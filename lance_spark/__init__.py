@@ -1,0 +1,30 @@
+"""lance_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of lancedb/lance.
+
+Architecture (Spark-first, see SURVEY.md):
+  - Table format: versioned datasets of immutable parquet *fragments* with
+    deletion sidecars, committed via JSON manifests under ``_versions/``
+    (semantics of rust/lance-table/src/format/manifest.rs:35-75).
+  - Query layer: Spark SQL / Catalyst plays the role DataFusion plays in the
+    reference (rust/lance/src/dataset/sql.rs) — scans become DataFrames,
+    filters/aggregations/joins are Catalyst's job.
+  - Indexes (vector IVF-PQ, FTS inverted, scalar) are Spark-built parquet
+    index tables queried as DataFrames.
+
+Public API mirrors python/python/lance/__init__.py of the reference:
+  write_dataset, dataset, LanceDataset.
+"""
+
+from lance_spark.dataset import LanceDataset, dataset
+from lance_spark.write import write_dataset, write_fragments
+from lance_spark.session import get_spark
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "LanceDataset",
+    "dataset",
+    "write_dataset",
+    "write_fragments",
+    "get_spark",
+]

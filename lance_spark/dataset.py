@@ -1,0 +1,333 @@
+"""LanceDataset — versioned dataset handle + scanner surface.
+
+Mirrors the reference API surface (python/python/lance/dataset.py:402
+`LanceDataset`, :666-899 scanner options, :3450-3639 `sql`) re-expressed as
+DataFrame construction:
+
+  - scan = spark.read.parquet(fragment files) — Catalyst pushes filters and
+    projections into the parquet scan (the role of FilteredReadExec,
+    rust/lance/src/io/exec/filtered_read.rs).
+  - deletion files = broadcast anti-join on ``_rowid`` (DeletionFile
+    semantics, rust/lance-table/src/format/fragment.rs:185-208).
+  - column groups (add_columns schema evolution) = equi-join on ``_rowid``
+    between the fragment's data files (fragment.rs:27 DataFile).
+  - time travel = manifest selection at open (dataset.py:2094-2153).
+
+All reads construct lazy DataFrames; nothing is collected here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from lance_spark import manifest as mf
+from lance_spark.write import FRAGID_SHIFT, ROWADDR_COL, ROWID_COL
+
+
+def dataset(uri: str, version: int | None = None, tag: str | None = None) -> "LanceDataset":
+    if tag is not None:
+        version = mf.resolve_tag(uri, tag)
+    return LanceDataset(uri, version=version)
+
+
+class LanceDataset:
+    def __init__(self, uri: str, version: int | None = None):
+        self.uri = os.path.abspath(uri)
+        self.manifest = mf.read_manifest(self.uri, version)
+
+    # ------------------------------------------------------------ metadata
+
+    @property
+    def version(self) -> int:
+        return self.manifest.version
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(self.manifest.schema_json)
+
+    @property
+    def columns(self) -> list[str]:
+        return [f["name"] for f in self.manifest.schema_json["fields"]]
+
+    def versions(self) -> list[dict]:
+        out = []
+        for v in mf.list_versions(self.uri):
+            m = mf.read_manifest(self.uri, v)
+            out.append({"version": v, "timestamp": m.timestamp, "operation": m.operation})
+        return out
+
+    def checkout_version(self, version: int) -> "LanceDataset":
+        return LanceDataset(self.uri, version=version)
+
+    def restore(self) -> "LanceDataset":
+        """Make the currently checked-out version the latest (Operation::Restore,
+        rust/lance/src/dataset/transaction.rs:215)."""
+        snap = self.manifest
+
+        def build(base, version):
+            m = mf.Manifest(
+                version=version,
+                schema_json=snap.schema_json,
+                fragments=snap.fragments,
+                max_fragment_id=snap.max_fragment_id,
+                operation="restore",
+                indices=snap.indices,
+                config=snap.config,
+            )
+            return m
+
+        mf.commit(self.uri, build, operation="restore")
+        return LanceDataset(self.uri)
+
+    # tags (dataset.py:539-645)
+    def create_tag(self, name: str, version: int | None = None) -> None:
+        mf.create_tag(self.uri, name, version if version is not None else self.version)
+
+    def delete_tag(self, name: str) -> None:
+        mf.delete_tag(self.uri, name)
+
+    def update_tag(self, name: str, version: int) -> None:
+        mf.update_tag(self.uri, name, version)
+
+    def tags(self) -> dict[str, int]:
+        return mf.list_tags(self.uri)
+
+    # ------------------------------------------------------------ read path
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self.uri, rel)
+
+    def _read_files(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        return spark.read.parquet(*[self._abs(p) for p in paths])
+
+    def _fragment_df(
+        self, spark: SparkSession, fragments: list[mf.Fragment], columns: list[str] | None
+    ) -> DataFrame:
+        """Assemble the logical table from fragment files + deletions.
+
+        Fragments whose file layout matches are scanned together in ONE
+        spark.read.parquet call (one scan node → full parallelism); differing
+        column-group layouts are unioned. Deletions from all fragments are
+        applied with a single broadcast anti-join on _rowid.
+        """
+        if not fragments:
+            return spark.createDataFrame([], self.schema).withColumn(ROWID_COL, F.lit(0).cast("long"))
+
+        # group fragments by file-layout signature
+        by_layout: dict[tuple, list[mf.Fragment]] = {}
+        for frag in fragments:
+            sig = tuple(tuple(f.columns) for f in frag.files)
+            by_layout.setdefault(sig, []).append(frag)
+
+        pieces = []
+        for sig, frags in by_layout.items():
+            n_groups = len(sig)
+            # primary group scan (contains original columns + _rowid)
+            base = self._read_files(spark, [fr.files[0].path for fr in frags])
+            for gi in range(1, n_groups):
+                extra = self._read_files(spark, [fr.files[gi].path for fr in frags])
+                # column-group zip: equi-join on _rowid; co-partitioned by
+                # file so AQE turns this into a local join at scale
+                base = base.join(extra, on=ROWID_COL, how="inner")
+            pieces.append(base)
+        df = pieces[0]
+        for p in pieces[1:]:
+            df = df.unionByName(p, allowMissingColumns=False)
+
+        # alter_columns renames are metadata-only: files keep physical names,
+        # the manifest maps physical→logical (schema_evolution.rs:74+)
+        for physical, logical in self.manifest.config.get("column_renames", {}).items():
+            if physical in df.columns:
+                df = df.withColumnRenamed(physical, logical)
+
+        del_paths = [f.deletion_file for f in fragments if f.deletion_file]
+        if del_paths:
+            dels = self._read_files(spark, del_paths).select(ROWID_COL)
+            df = df.join(F.broadcast(dels), on=ROWID_COL, how="left_anti")
+
+        ordered = columns if columns is not None else self.columns
+        return df.select(*ordered, ROWID_COL)
+
+    def to_df(self, spark: SparkSession, with_row_id: bool = False) -> DataFrame:
+        return self.scanner(spark, with_row_id=with_row_id)
+
+    def scanner(
+        self,
+        spark: SparkSession,
+        columns: list[str] | dict[str, str] | None = None,
+        filter: str | None = None,  # noqa: A002 - reference API name
+        limit: int | None = None,
+        offset: int | None = None,
+        with_row_id: bool = False,
+        with_row_address: bool = False,
+        fragments: list[int] | None = None,
+        prefilter_rowids: DataFrame | None = None,
+    ) -> DataFrame:
+        """The ScannerBuilder surface (dataset.py:4219-4590) as a DataFrame.
+
+        ``columns`` may be a list of names or a {name: sql_expr} dict
+        (projection with computed expressions, scanner.rs:708-742).
+        ``offset`` without a sort is defined on _rowid order (scan order),
+        matching the reference's scan-range semantics (scanner.rs:1707-1734).
+        """
+        frags = self.manifest.fragments
+        if fragments is not None:
+            wanted = set(fragments)
+            frags = [f for f in frags if f.id in wanted]
+
+        base_cols = None
+        if isinstance(columns, list):
+            base_cols = [c for c in columns if c in self.columns]
+        df = self._fragment_df(spark, frags, base_cols)
+
+        if prefilter_rowids is not None:
+            df = df.join(
+                F.broadcast(prefilter_rowids.select(ROWID_COL)), on=ROWID_COL, how="left_semi"
+            )
+        if filter:
+            df = df.filter(_compat_filter(filter))
+
+        if offset or limit is not None:
+            df = df.orderBy(ROWID_COL)
+            if offset:
+                df = df.offset(offset)
+            if limit is not None:
+                df = df.limit(limit)
+
+        if with_row_address:
+            df = df.withColumn(
+                ROWADDR_COL, F.col(ROWID_COL)  # rowid IS fragment<<32|offset pre-compaction
+            )
+        out_cols: list = []
+        if isinstance(columns, dict):
+            out_cols = [F.expr(e).alias(n) for n, e in columns.items()]
+        elif isinstance(columns, list):
+            out_cols = list(columns)
+        else:
+            out_cols = self.columns
+        if with_row_id:
+            out_cols.append(ROWID_COL)
+        if with_row_address:
+            out_cols.append(ROWADDR_COL)
+        return df.select(*out_cols)
+
+    # count fast path: O(1) from manifest when unfiltered
+    # (scanner.rs:1496-1577, dataset.rs:1254)
+    def count_rows(self, spark: SparkSession | None = None, filter: str | None = None) -> int:  # noqa: A002
+        if filter is None:
+            return sum(f.num_rows for f in self.manifest.fragments)
+        assert spark is not None, "filtered count needs a SparkSession"
+        return self.scanner(spark, filter=filter).count()
+
+    def head(self, spark: SparkSession, n: int = 10) -> DataFrame:
+        return self.scanner(spark, limit=n)
+
+    def sample(self, spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+        """Random-rowaddr sample (dataset.py:1407): deterministic hash-order
+        pick of n rows without a full shuffle."""
+        total = self.count_rows()
+        frac = min(1.0, n / max(total, 1) * 1.2)
+        return (
+            self.to_df(spark, with_row_id=True)
+            .sample(fraction=frac, seed=seed)
+            .limit(n)
+            .drop(ROWID_COL)
+        )
+
+    def take(self, spark: SparkSession, rowids: list[int], columns: list[str] | None = None) -> DataFrame:
+        """Random access by _rowid (dataset/take.rs:103). Small id sets prune
+        to the owning fragments first → targeted file reads, the parquet
+        analogue of Lance's point reads."""
+        fids = {rid >> FRAGID_SHIFT for rid in rowids}
+        frags = [f for f in self.manifest.fragments if f.id in fids]
+        df = self._fragment_df(spark, frags, columns if columns else None)
+        df = df.filter(F.col(ROWID_COL).isin(rowids))
+        return df.select(*(columns or self.columns), ROWID_COL)
+
+    # ------------------------------------------------------------ sql
+
+    def sql(self, spark: SparkSession, query: str, table_name: str = "dataset") -> DataFrame:
+        """Full SQL via temp view — the role DataFusion plays through
+        Dataset::sql() (rust/lance/src/dataset/sql.rs:66-80)."""
+        self.to_df(spark).createOrReplaceTempView(table_name)
+        return spark.sql(query)
+
+    # ------------------------------------------------------------ stats
+
+    def stats(self) -> dict:
+        m = self.manifest
+        return {
+            "num_rows": sum(f.num_rows for f in m.fragments),
+            "num_deleted_rows": sum(f.num_deleted_rows for f in m.fragments),
+            "num_fragments": len(m.fragments),
+            "num_small_files": sum(1 for f in m.fragments if f.physical_rows < 1024),
+            "num_indices": len(m.indices),
+            "version": m.version,
+        }
+
+    def list_indices(self) -> list[dict]:
+        return [i.to_json() for i in self.manifest.indices]
+
+    # mutation / evolution / maintenance entry points (implemented in their
+    # own modules; bound here for the reference's method-on-dataset API)
+    def delete(self, spark: SparkSession, predicate: str) -> "LanceDataset":
+        from lance_spark.mutation import delete
+
+        return delete(self, spark, predicate)
+
+    def update(self, spark: SparkSession, values: dict[str, str], where: str | None = None) -> "LanceDataset":
+        from lance_spark.mutation import update
+
+        return update(self, spark, values, where)
+
+    def merge_insert(self, on: str | list[str]) -> "MergeInsertBuilder":
+        from lance_spark.mutation import MergeInsertBuilder
+
+        return MergeInsertBuilder(self, on)
+
+    def insert(self, df: DataFrame) -> "LanceDataset":
+        from lance_spark.write import write_dataset
+
+        return write_dataset(df, self.uri, mode="append")
+
+    def add_columns(self, spark: SparkSession, transforms, read_columns=None) -> "LanceDataset":
+        from lance_spark.evolution import add_columns
+
+        return add_columns(self, spark, transforms, read_columns)
+
+    def drop_columns(self, columns: list[str]) -> "LanceDataset":
+        from lance_spark.evolution import drop_columns
+
+        return drop_columns(self, columns)
+
+    def alter_columns(self, *alterations: dict) -> "LanceDataset":
+        from lance_spark.evolution import alter_columns
+
+        return alter_columns(self, *alterations)
+
+    def merge(self, spark: SparkSession, right: DataFrame, left_on: str, right_on: str | None = None) -> "LanceDataset":
+        from lance_spark.evolution import merge
+
+        return merge(self, spark, right, left_on, right_on)
+
+    def compact_files(self, spark: SparkSession, target_rows_per_fragment: int = 1024 * 1024) -> "LanceDataset":
+        from lance_spark.maintenance import compact_files
+
+        return compact_files(self, spark, target_rows_per_fragment)
+
+    def cleanup_old_versions(self, older_than_seconds: float = 0.0, keep_tagged: bool = True) -> int:
+        from lance_spark.maintenance import cleanup_old_versions
+
+        return cleanup_old_versions(self, older_than_seconds, keep_tagged)
+
+
+def _compat_filter(expr: str) -> str:
+    """Reference filter dialect shims (rust/lance-datafusion/src/sql.rs:18-45):
+    `==` tolerated, backtick idents already Spark-native."""
+    # Spark SQL accepts `==` natively; nothing to rewrite today. Kept as the
+    # single seam where dialect differences (regexp_match → rlike etc.) land.
+    return expr

@@ -1,0 +1,235 @@
+"""Schema evolution: add_columns / drop_columns / alter_columns / merge.
+
+Reference semantics:
+  - add_columns(transform) is *horizontal* evolution: new columns land in new
+    DataFiles aligned to existing rows; existing files are never rewritten
+    (dataset.py:1725, rust/lance/src/dataset/schema_evolution.rs:58-71
+    NewColumnTransform ∈ {SQL exprs, batch UDF, all-nulls}).
+  - drop_columns is a metadata-only tombstone (dataset.py:1830).
+  - alter_columns renames/casts preserving field identity (dataset.py:1605).
+  - merge(right, on) attaches precomputed columns by key join
+    (dataset.py:1666, dataset/hash_joiner.rs:22).
+
+Spark-first HOW: alignment uses the materialized ``_rowid`` instead of file
+position — every column-group file stores ``_rowid``, so the read path zips
+groups with an equi-join that Catalyst executes as a co-partitioned join.
+New column-group files are written one-per-fragment by a distributed
+applyInPandas over fragment id — O(new columns), never O(table).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from lance_spark import manifest as mf
+from lance_spark.write import FRAGID_SHIFT, ROWID_COL
+
+_CG_META_SCHEMA = StructType(
+    [
+        StructField("fragment_id", LongType()),
+        StructField("path", StringType()),
+        StructField("num_rows", LongType()),
+    ]
+)
+
+
+def _write_column_groups(root: str, new_cols_df: DataFrame, new_cols: list[str]) -> dict[int, str]:
+    """Write {_rowid, *new_cols} as one parquet per fragment; returns
+    {fragment_id: rel_path}. Distributed one-task-per-fragment."""
+
+    def write_group(pdf):
+        import pandas as pd
+
+        fid = int(pdf["fragment_id"].iloc[0])
+        rel = os.path.join("data", f"frag-{fid}-cg-{uuid.uuid4().hex}.parquet")
+        abspath = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(abspath), exist_ok=True)
+        out = pdf[[ROWID_COL] + new_cols].sort_values(ROWID_COL)
+        out.to_parquet(abspath, index=False)
+        return pd.DataFrame({"fragment_id": [fid], "path": [rel], "num_rows": [len(out)]})
+
+    meta = (
+        new_cols_df.withColumn("fragment_id", F.shiftright(F.col(ROWID_COL), FRAGID_SHIFT))
+        .groupBy("fragment_id")
+        .applyInPandas(write_group, _CG_META_SCHEMA)
+        .collect()
+    )
+    return {r.fragment_id: r.path for r in meta}
+
+
+def _commit_new_columns(ds, cg_map: dict[int, str], new_fields: list[dict], new_cols: list[str]):
+    from lance_spark.dataset import LanceDataset
+
+    def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
+        assert base is not None
+        fragments = []
+        for frag in base.fragments:
+            files = list(frag.files)
+            if frag.id in cg_map:
+                files.append(mf.DataFile(path=cg_map[frag.id], columns=new_cols))
+            fragments.append(
+                mf.Fragment(
+                    id=frag.id,
+                    files=files,
+                    physical_rows=frag.physical_rows,
+                    deletion_file=frag.deletion_file,
+                    num_deleted_rows=frag.num_deleted_rows,
+                )
+            )
+        schema_json = dict(base.schema_json)
+        schema_json["fields"] = list(base.schema_json["fields"]) + new_fields
+        return mf.Manifest(
+            version=version,
+            schema_json=schema_json,
+            fragments=fragments,
+            max_fragment_id=base.max_fragment_id,
+            operation="add_columns",
+            indices=base.indices,
+            config=base.config,
+            blob_columns=base.blob_columns,
+        )
+
+    mf.commit(ds.uri, build, operation="add_columns")
+    return LanceDataset(ds.uri)
+
+
+def add_columns(ds, spark: SparkSession, transforms, read_columns: list[str] | None = None):
+    """transforms: {name: sql_expr} | callable(pandas.DataFrame)->pandas.DataFrame
+    (batch UDF over read_columns, python/python/lance/udf.py) | {name: None}
+    for all-null columns."""
+    base = ds.to_df(spark, with_row_id=True)
+
+    if callable(transforms):
+        import pandas as pd  # noqa: F401
+
+        fn = transforms
+        probe = fn(base.select(*(read_columns or ds.columns)).limit(1).toPandas())
+        new_cols = list(probe.columns)
+        out_schema = spark.createDataFrame(probe).schema
+
+        def apply_batches(it):
+            for pdf in it:
+                res = fn(pdf[read_columns or ds.columns])
+                res[ROWID_COL] = pdf[ROWID_COL].values
+                yield res
+
+        full_schema = StructType(list(out_schema.fields) + [StructField(ROWID_COL, LongType())])
+        new_df = base.mapInPandas(apply_batches, full_schema)
+    else:
+        exprs = []
+        for name, sql in transforms.items():
+            exprs.append(
+                F.lit(None).cast("string").alias(name) if sql is None else F.expr(sql).alias(name)
+            )
+        new_cols = list(transforms.keys())
+        new_df = base.select(F.col(ROWID_COL), *exprs)
+
+    collide = set(new_cols) & set(ds.columns)
+    if collide:
+        raise ValueError(f"columns already exist: {sorted(collide)}")
+    cg_map = _write_column_groups(ds.uri, new_df, new_cols)
+    new_fields = [
+        f for f in spark.createDataFrame([], new_df.schema).select(*new_cols).schema.jsonValue()["fields"]
+    ]
+    return _commit_new_columns(ds, cg_map, new_fields, new_cols)
+
+
+def merge(ds, spark: SparkSession, right: DataFrame, left_on: str, right_on: str | None = None):
+    """Attach precomputed columns by key join (hash_joiner.rs:22)."""
+    right_on = right_on or left_on
+    new_cols = [c for c in right.columns if c != right_on]
+    base = ds.to_df(spark, with_row_id=True).select(ROWID_COL, left_on)
+    joined = base.join(
+        right.withColumnRenamed(right_on, left_on), on=left_on, how="left"
+    ).select(ROWID_COL, *new_cols)
+    cg_map = _write_column_groups(ds.uri, joined, new_cols)
+    new_fields = [
+        f
+        for f in right.schema.jsonValue()["fields"]
+        if f["name"] in new_cols
+    ]
+    return _commit_new_columns(ds, cg_map, new_fields, new_cols)
+
+
+def drop_columns(ds, columns: list[str]):
+    """Metadata-only tombstone (dataset.py:1830): data files keep the bytes;
+    the schema and DataFile column lists stop referencing them."""
+    from lance_spark.dataset import LanceDataset
+
+    def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
+        assert base is not None
+        remaining = [f for f in base.schema_json["fields"] if f["name"] not in columns]
+        if len(remaining) == len(base.schema_json["fields"]) - len(columns) and not remaining:
+            raise ValueError("cannot drop all columns")
+        schema_json = dict(base.schema_json)
+        schema_json["fields"] = remaining
+        fragments = []
+        for frag in base.fragments:
+            files = []
+            for df_ in frag.files:
+                kept = [c for c in df_.columns if c not in columns]
+                if kept or df_ is frag.files[0]:
+                    files.append(mf.DataFile(path=df_.path, columns=kept))
+            fragments.append(
+                mf.Fragment(frag.id, files, frag.physical_rows, frag.deletion_file, frag.num_deleted_rows)
+            )
+        return mf.Manifest(
+            version=version,
+            schema_json=schema_json,
+            fragments=fragments,
+            max_fragment_id=base.max_fragment_id,
+            operation="drop_columns",
+            indices=[i for i in base.indices if i.column not in columns],
+            config=base.config,
+        )
+
+    mf.commit(ds.uri, build, operation="drop_columns")
+    return LanceDataset(ds.uri)
+
+
+def alter_columns(ds, *alterations: dict):
+    """Rename / nullability are metadata-only; we record renames in the
+    manifest config and apply them at read (field-id semantics of
+    schema_evolution.rs:74+ approximated by a physical→logical name map)."""
+    from lance_spark.dataset import LanceDataset
+
+    def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
+        assert base is not None
+        schema_json = dict(base.schema_json)
+        fields = [dict(f) for f in schema_json["fields"]]
+        renames = dict(base.config.get("column_renames", {}))
+        for alt in alterations:
+            path = alt["path"]
+            for f in fields:
+                if f["name"] == path:
+                    if "rename" in alt:
+                        physical = renames.get(path, path)
+                        # keep mapping physical-name -> new logical name
+                        renames = {k: v for k, v in renames.items() if v != path}
+                        renames[physical] = alt["rename"]
+                        f["name"] = alt["rename"]
+                    if "nullable" in alt:
+                        f["nullable"] = alt["nullable"]
+                    break
+            else:
+                raise ValueError(f"no such column: {path}")
+        schema_json["fields"] = fields
+        cfg = dict(base.config)
+        cfg["column_renames"] = renames
+        return mf.Manifest(
+            version=version,
+            schema_json=schema_json,
+            fragments=base.fragments,
+            max_fragment_id=base.max_fragment_id,
+            operation="alter_columns",
+            indices=base.indices,
+            config=cfg,
+        )
+
+    mf.commit(ds.uri, build, operation="alter_columns")
+    return LanceDataset(ds.uri)

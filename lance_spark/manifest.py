@@ -1,0 +1,295 @@
+"""Manifest / version / transaction layer.
+
+Semantics mirror the reference's table format (WHAT, not HOW):
+  - Manifest = schema + fragment list + version + index metadata
+    (rust/lance-table/src/format/manifest.rs:35-75, protos/table.proto).
+  - Fragment = files covering the same rows + optional deletion file +
+    physical_rows (rust/lance-table/src/format/fragment.rs:276-303).
+  - Optimistic-concurrency commit: version N+1 is claimed by exclusive
+    creation of ``_versions/{N+1}.manifest.json``; on conflict the
+    transaction re-reads and retries with a compatibility check
+    (rust/lance/src/dataset/transaction.rs:145-280).
+  - Tags/branches under ``_refs/`` (rust/lance/src/dataset/refs.rs).
+
+Storage here is JSON-on-filesystem; on an object store the exclusive create
+maps to put-if-absent. All manifest operations are driver-side and O(metadata),
+never O(data) — the scale-critical property.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+
+class CommitConflictError(Exception):
+    """Another writer claimed the target version."""
+
+
+@dataclass
+class DataFile:
+    """One column-subset file within a fragment (fragment.rs:27).
+
+    ``columns`` lists the user columns stored in this file; every data file
+    also physically stores ``_rowid`` so column groups join on it.
+    """
+
+    path: str  # relative to dataset root
+    columns: list[str]
+
+    def to_json(self) -> dict:
+        return {"path": self.path, "columns": self.columns}
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFile":
+        return DataFile(path=d["path"], columns=list(d["columns"]))
+
+
+@dataclass
+class Fragment:
+    """fragment.rs:276-303 — files + deletion sidecar + physical_rows."""
+
+    id: int
+    files: list[DataFile]
+    physical_rows: int
+    deletion_file: str | None = None  # parquet of deleted _rowid values
+    num_deleted_rows: int = 0
+
+    @property
+    def num_rows(self) -> int:
+        return self.physical_rows - self.num_deleted_rows
+
+    def to_json(self) -> dict:
+        return {
+            "id": self.id,
+            "files": [f.to_json() for f in self.files],
+            "physical_rows": self.physical_rows,
+            "deletion_file": self.deletion_file,
+            "num_deleted_rows": self.num_deleted_rows,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Fragment":
+        return Fragment(
+            id=d["id"],
+            files=[DataFile.from_json(f) for f in d["files"]],
+            physical_rows=d["physical_rows"],
+            deletion_file=d.get("deletion_file"),
+            num_deleted_rows=d.get("num_deleted_rows", 0),
+        )
+
+
+@dataclass
+class IndexMeta:
+    """Secondary-index metadata (rust/lance-index/src/lib.rs:98-130).
+
+    ``fragment_ids`` = coverage bitmap equivalent: which fragments the index
+    covers; unindexed fragments get the flat-search union branch.
+    """
+
+    name: str
+    index_type: str  # IVF_PQ | IVF_FLAT | INVERTED | BTREE | BITMAP | ZONEMAP | NGRAM
+    column: str
+    path: str  # directory under _indices/, relative to root
+    fragment_ids: list[int]
+    params: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "name": self.name,
+            "index_type": self.index_type,
+            "column": self.column,
+            "path": self.path,
+            "fragment_ids": self.fragment_ids,
+            "params": self.params,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "IndexMeta":
+        return IndexMeta(
+            name=d["name"],
+            index_type=d["index_type"],
+            column=d["column"],
+            path=d["path"],
+            fragment_ids=list(d["fragment_ids"]),
+            params=d.get("params", {}),
+        )
+
+
+@dataclass
+class Manifest:
+    """manifest.rs:35-75 — one immutable file per version."""
+
+    version: int
+    schema_json: dict  # Spark StructType jsonValue (user columns only)
+    fragments: list[Fragment]
+    max_fragment_id: int
+    operation: str  # append/overwrite/delete/update/merge/rewrite/restore/...
+    timestamp: float = 0.0
+    indices: list[IndexMeta] = field(default_factory=list)
+    config: dict = field(default_factory=dict)
+    blob_columns: list[str] = field(default_factory=list)
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "schema": self.schema_json,
+            "fragments": [f.to_json() for f in self.fragments],
+            "max_fragment_id": self.max_fragment_id,
+            "operation": self.operation,
+            "timestamp": self.timestamp,
+            "indices": [i.to_json() for i in self.indices],
+            "config": self.config,
+            "blob_columns": self.blob_columns,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Manifest":
+        return Manifest(
+            version=d["version"],
+            schema_json=d["schema"],
+            fragments=[Fragment.from_json(f) for f in d["fragments"]],
+            max_fragment_id=d["max_fragment_id"],
+            operation=d.get("operation", "unknown"),
+            timestamp=d.get("timestamp", 0.0),
+            indices=[IndexMeta.from_json(i) for i in d.get("indices", [])],
+            config=d.get("config", {}),
+            blob_columns=d.get("blob_columns", []),
+        )
+
+
+# ---------------------------------------------------------------- storage ops
+
+
+def versions_dir(root: str) -> str:
+    return os.path.join(root, "_versions")
+
+
+def manifest_path(root: str, version: int) -> str:
+    return os.path.join(versions_dir(root), f"{version}.manifest.json")
+
+
+def list_versions(root: str) -> list[int]:
+    vd = versions_dir(root)
+    if not os.path.isdir(vd):
+        return []
+    out = []
+    for name in os.listdir(vd):
+        if name.endswith(".manifest.json"):
+            out.append(int(name.split(".")[0]))
+    return sorted(out)
+
+
+def latest_version(root: str) -> int | None:
+    vs = list_versions(root)
+    return vs[-1] if vs else None
+
+
+def read_manifest(root: str, version: int | None = None) -> Manifest:
+    if version is None:
+        version = latest_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no dataset at {root}")
+    with open(manifest_path(root, version)) as fh:
+        return Manifest.from_json(json.load(fh))
+
+
+def write_manifest(root: str, manifest: Manifest) -> None:
+    """Atomically claim manifest.version via exclusive create.
+
+    Write-to-temp + hard-link-into-place gives atomic put-if-absent on POSIX;
+    on S3-class stores this is a conditional PUT (If-None-Match).
+    """
+    os.makedirs(versions_dir(root), exist_ok=True)
+    manifest.timestamp = time.time()
+    target = manifest_path(root, manifest.version)
+    tmp = os.path.join(versions_dir(root), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest.to_json(), fh)
+    try:
+        os.link(tmp, target)  # fails with EEXIST if version already claimed
+    except FileExistsError as exc:
+        raise CommitConflictError(f"version {manifest.version} already exists") from exc
+    finally:
+        os.unlink(tmp)
+
+
+# Operations that only add data never conflict with each other; operations
+# that rewrite/delete rows conflict with anything touching the same rows.
+# Simplified compatibility matrix from transaction.rs:1252+.
+_COMPATIBLE_WITH_APPEND = {"append", "create_index", "update_config"}
+
+
+def commit(
+    root: str,
+    build_manifest,
+    operation: str,
+    max_retries: int = 10,
+) -> Manifest:
+    """Optimistic-concurrency commit loop (dataset.py:197-222 semantics).
+
+    ``build_manifest(base: Manifest | None, version: int) -> Manifest`` is
+    called with the freshest base manifest; on conflict we re-read and rebuild.
+    """
+    for _attempt in range(max_retries):
+        latest = latest_version(root)
+        base = read_manifest(root, latest) if latest is not None else None
+        version = (latest or 0) + 1
+        manifest = build_manifest(base, version)
+        manifest.operation = operation
+        try:
+            write_manifest(root, manifest)
+            return manifest
+        except CommitConflictError:
+            continue
+    raise CommitConflictError(f"commit of {operation} failed after {max_retries} retries")
+
+
+# ------------------------------------------------------------------- refs
+
+
+def _refs_dir(root: str, kind: str) -> str:
+    return os.path.join(root, "_refs", kind)
+
+
+def create_tag(root: str, name: str, version: int) -> None:
+    d = _refs_dir(root, "tags")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"{name}.json")
+    if os.path.exists(path):
+        raise ValueError(f"tag {name} already exists")
+    with open(path, "w") as fh:
+        json.dump({"version": version}, fh)
+
+
+def delete_tag(root: str, name: str) -> None:
+    os.unlink(os.path.join(_refs_dir(root, "tags"), f"{name}.json"))
+
+
+def update_tag(root: str, name: str, version: int) -> None:
+    path = os.path.join(_refs_dir(root, "tags"), f"{name}.json")
+    if not os.path.exists(path):
+        raise ValueError(f"tag {name} does not exist")
+    with open(path, "w") as fh:
+        json.dump({"version": version}, fh)
+
+
+def resolve_tag(root: str, name: str) -> int:
+    path = os.path.join(_refs_dir(root, "tags"), f"{name}.json")
+    with open(path) as fh:
+        return json.load(fh)["version"]
+
+
+def list_tags(root: str) -> dict[str, int]:
+    d = _refs_dir(root, "tags")
+    if not os.path.isdir(d):
+        return {}
+    out = {}
+    for name in os.listdir(d):
+        if name.endswith(".json"):
+            with open(os.path.join(d, name)) as fh:
+                out[name[: -len(".json")]] = json.load(fh)["version"]
+    return out

@@ -1,0 +1,229 @@
+"""Mutations: delete / update / merge_insert.
+
+Reference semantics (WHAT):
+  - delete(predicate) → new deletion files, fragments fully deleted are
+    dropped (python/python/lance/dataset.py:1861, rust/lance/src/dataset/
+    write/delete.rs).
+  - update(values, where) → matched rows rewritten with SQL-expr assignments;
+    originals masked by deletion vectors (dataset.py:2046,
+    dataset/write/update.rs:58-252).
+  - merge_insert(on).when_matched_update_all(cond)
+      .when_not_matched_insert_all()
+      .when_not_matched_by_source_delete(expr) → MERGE INTO: join source and
+    target on key, route each row to an action (dataset.py:90-401,
+    rust/lance/src/dataset/write/merge_insert.rs:204-284, join plan :690).
+
+Spark-first HOW: all three reduce to ONE primitive —
+``_apply_deletes_and_appends`` — which writes per-fragment deletion sidecars
+(distributed, one applyInPandas group per fragment) plus appended fragments,
+then commits a single manifest version. Unchanged rows are never rewritten,
+so cost is O(changed rows), not O(table) — the property that matters at
+100 TB. The merge join is a plain DataFrame join, so Catalyst/AQE picks
+broadcast vs shuffle and handles skew.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from lance_spark import manifest as mf
+from lance_spark.write import FRAGID_SHIFT, ROWID_COL, write_fragments
+
+_DEL_META_SCHEMA = StructType(
+    [
+        StructField("fragment_id", LongType()),
+        StructField("path", StringType()),
+        StructField("num_deleted", LongType()),
+    ]
+)
+
+
+def _write_deletion_files(ds, spark: SparkSession, del_rowids: DataFrame) -> dict[int, tuple[str, int]]:
+    """Write one deletion sidecar per affected fragment; returns
+    {fragment_id: (rel_path, total_deleted_rows)}. Includes (unions) the
+    fragment's existing deletion file so each version has one sidecar per
+    fragment. Distributed: one task per fragment group."""
+    root = ds.uri
+    existing = [f.deletion_file for f in ds.manifest.fragments if f.deletion_file]
+    dels = del_rowids.select(ROWID_COL)
+    if existing:
+        old = spark.read.parquet(*[os.path.join(root, p) for p in existing]).select(ROWID_COL)
+        dels = dels.unionByName(old)
+    dels = dels.withColumn("fragment_id", F.shiftright(F.col(ROWID_COL), FRAGID_SHIFT))
+
+    def write_group(pdf):
+        import pandas as pd
+
+        fid = int(pdf["fragment_id"].iloc[0])
+        rel = os.path.join("_deletions", f"frag-{fid}-{uuid.uuid4().hex}.parquet")
+        abspath = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(abspath), exist_ok=True)
+        out = pdf[[ROWID_COL]].drop_duplicates().sort_values(ROWID_COL)
+        out.to_parquet(abspath, index=False)
+        return pd.DataFrame(
+            {"fragment_id": [fid], "path": [rel], "num_deleted": [len(out)]}
+        )
+
+    meta = dels.groupBy("fragment_id").applyInPandas(write_group, _DEL_META_SCHEMA).collect()
+    return {r.fragment_id: (r.path, r.num_deleted) for r in meta}
+
+
+def _apply_deletes_and_appends(
+    ds,
+    spark: SparkSession,
+    del_rowids: DataFrame | None,
+    append_df: DataFrame | None,
+    operation: str,
+):
+    """The single mutation primitive: deletion sidecars + appended fragments
+    + one optimistic-concurrency commit (transaction.rs Operation::Update)."""
+    from lance_spark.dataset import LanceDataset
+
+    root = ds.uri
+    del_map = _write_deletion_files(ds, spark, del_rowids) if del_rowids is not None else {}
+
+    new_frags: list[mf.Fragment] = []
+    if append_df is not None:
+        base_fid = ds.manifest.max_fragment_id + 1
+        new_frags = write_fragments(append_df.select(*ds.columns), root, base_fid)
+
+    def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
+        assert base is not None
+        fragments = []
+        for frag in base.fragments:
+            if frag.id in del_map:
+                path, ndel = del_map[frag.id]
+                if ndel >= frag.physical_rows:
+                    continue  # fully deleted → drop fragment
+                frag = mf.Fragment(
+                    id=frag.id,
+                    files=frag.files,
+                    physical_rows=frag.physical_rows,
+                    deletion_file=path,
+                    num_deleted_rows=ndel,
+                )
+            fragments.append(frag)
+        fragments.extend(new_frags)
+        max_fid = max((f.id for f in fragments), default=base.max_fragment_id)
+        return mf.Manifest(
+            version=version,
+            schema_json=base.schema_json,
+            fragments=fragments,
+            max_fragment_id=max(max_fid, base.max_fragment_id),
+            operation=operation,
+            indices=base.indices,
+            config=base.config,
+            blob_columns=base.blob_columns,
+        )
+
+    mf.commit(root, build, operation=operation)
+    return LanceDataset(root)
+
+
+def delete(ds, spark: SparkSession, predicate: str):
+    hits = ds.scanner(spark, filter=predicate, with_row_id=True).select(ROWID_COL)
+    return _apply_deletes_and_appends(ds, spark, hits, None, "delete")
+
+
+def update(ds, spark: SparkSession, values: dict[str, str], where: str | None = None):
+    """SQL-expr assignments on matching rows (update.rs:58-252): matched rows
+    are re-written as appended fragments; originals are masked."""
+    matched = ds.scanner(spark, filter=where, with_row_id=True) if where else ds.to_df(
+        spark, with_row_id=True
+    )
+    matched = matched.cache()
+    updated = matched.withColumns({c: F.expr(e) for c, e in values.items()})
+    res = _apply_deletes_and_appends(
+        ds, spark, matched.select(ROWID_COL), updated.drop(ROWID_COL), "update"
+    )
+    matched.unpersist()
+    return res
+
+
+class MergeInsertBuilder:
+    """dataset.py:90-401 builder API."""
+
+    def __init__(self, ds, on: str | list[str]):
+        self.ds = ds
+        self.on = [on] if isinstance(on, str) else list(on)
+        self._update_all = False
+        self._update_condition: str | None = None
+        self._insert_all = False
+        self._delete_not_matched_by_source = False
+        self._delete_condition: str | None = None
+
+    def when_matched_update_all(self, condition: str | None = None) -> "MergeInsertBuilder":
+        self._update_all = True
+        self._update_condition = condition
+        return self
+
+    def when_not_matched_insert_all(self) -> "MergeInsertBuilder":
+        self._insert_all = True
+        return self
+
+    def when_not_matched_by_source_delete(self, condition: str | None = None) -> "MergeInsertBuilder":
+        self._delete_not_matched_by_source = True
+        self._delete_condition = condition
+        return self
+
+    def execute(self, spark: SparkSession, source: DataFrame):
+        """Join source↔target on key and route rows (merge_insert.rs:690).
+
+        target side carries _rowid; actions:
+          matched + update     → delete old rowid, append source row
+          source-only + insert → append source row
+          target-only + delete → delete rowid
+        Catalyst picks broadcast vs shuffle join; at 100 TB the target scan
+        prunes to join-key columns + _rowid (update appends re-read nothing).
+        """
+        ds, on = self.ds, self.on
+        cols = ds.columns
+        target = ds.to_df(spark, with_row_id=True)
+        src = source.select(*cols)
+
+        joined = src.withColumn("__src", F.lit(1)).alias("s").join(
+            target.withColumn("__tgt", F.lit(1)).alias("t"),
+            on=[F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in on],
+            how="full_outer",
+        )
+        matched = F.col("s.__src").isNotNull() & F.col("t.__tgt").isNotNull()
+        src_only = F.col("s.__src").isNotNull() & F.col("t.__tgt").isNull()
+        tgt_only = F.col("s.__src").isNull() & F.col("t.__tgt").isNotNull()
+
+        joined = joined.cache()
+        delete_ids_parts, append_parts = [], []
+
+        if self._update_all:
+            upd = joined.filter(matched)
+            if self._update_condition:
+                upd = upd.filter(F.expr(self._update_condition))
+            delete_ids_parts.append(upd.select(F.col(f"t.{ROWID_COL}").alias(ROWID_COL)))
+            append_parts.append(upd.select(*[F.col(f"s.{c}").alias(c) for c in cols]))
+        if self._insert_all:
+            ins = joined.filter(src_only)
+            append_parts.append(ins.select(*[F.col(f"s.{c}").alias(c) for c in cols]))
+        if self._delete_not_matched_by_source:
+            dl = joined.filter(tgt_only)
+            if self._delete_condition:
+                dl = dl.filter(F.expr(self._delete_condition))
+            delete_ids_parts.append(dl.select(F.col(f"t.{ROWID_COL}").alias(ROWID_COL)))
+
+        del_df = None
+        if delete_ids_parts:
+            del_df = delete_ids_parts[0]
+            for p in delete_ids_parts[1:]:
+                del_df = del_df.unionByName(p)
+        app_df = None
+        if append_parts:
+            app_df = append_parts[0]
+            for p in append_parts[1:]:
+                app_df = app_df.unionByName(p)
+
+        res = _apply_deletes_and_appends(self.ds, spark, del_df, app_df, "merge")
+        joined.unpersist()
+        return res

@@ -1,0 +1,190 @@
+"""Distributed fragment write + commit.
+
+This is the reference's two-phase distributed write re-expressed in Spark's
+native execution model (python/python/lance/fragment.py:889 `write_fragments`
++ dataset.py:3059-3318 `commit`): executors each write one immutable parquet
+fragment file (with a materialized ``_rowid`` column) as a task side-output
+and return only fragment *metadata*; the driver commits a manifest referencing
+the metadata. Uncommitted files are invisible garbage (cleaned by
+``cleanup_old_versions``), so task retries are safe — exactly Lance's model,
+and it scales to any executor count because the driver handles O(fragments)
+metadata, never rows.
+
+``_rowid`` = fragment_id << 32 | local_offset (rust/lance-core/src/lib.rs:19-36
+row-address semantics, used as the stable id; compaction preserves ids via a
+remap, see maintenance.py).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from lance_spark import manifest as mf
+
+ROWID_COL = "_rowid"
+ROWADDR_COL = "_rowaddr"
+FRAGID_SHIFT = 32
+
+_META_SCHEMA = StructType(
+    [
+        StructField("fragment_id", LongType()),
+        StructField("path", StringType()),
+        StructField("physical_rows", LongType()),
+    ]
+)
+
+
+def _fragment_writer(root: str, base_fragment_id: int, data_dir: str = "data",
+                     preserve_rowids: bool = False):
+    """Return a mapInArrow function writing one fragment per input partition."""
+
+    def write_partition(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        part_id = TaskContext.get().partitionId()
+        fragment_id = base_fragment_id + part_id
+        rel_path = os.path.join(data_dir, f"frag-{fragment_id}-{uuid.uuid4().hex}.parquet")
+        abs_path = os.path.join(root, rel_path)
+        os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+
+        writer = None
+        offset = 0
+        for batch in batches:
+            n = batch.num_rows
+            if not preserve_rowids:
+                rowids = pa.array(
+                    np.arange(offset, offset + n, dtype=np.int64)
+                    | np.int64(fragment_id << FRAGID_SHIFT)
+                )
+                batch = pa.RecordBatch.from_arrays(
+                    list(batch.columns) + [rowids],
+                    schema=batch.schema.append(pa.field(ROWID_COL, pa.int64())),
+                )
+            if writer is None:
+                writer = pq.ParquetWriter(abs_path, batch.schema, compression="zstd")
+            writer.write_batch(batch)
+            offset += n
+        if writer is not None:
+            writer.close()
+        if offset == 0:
+            # empty partition → no fragment
+            yield pa.RecordBatch.from_pylist([], schema=pa.schema(
+                [pa.field("fragment_id", pa.int64()), pa.field("path", pa.string()),
+                 pa.field("physical_rows", pa.int64())]))
+            return
+        yield pa.RecordBatch.from_pylist(
+            [{"fragment_id": fragment_id, "path": rel_path, "physical_rows": offset}],
+            schema=pa.schema(
+                [pa.field("fragment_id", pa.int64()), pa.field("path", pa.string()),
+                 pa.field("physical_rows", pa.int64())]),
+        )
+
+    return write_partition
+
+
+def write_fragments(
+    df: DataFrame,
+    root: str,
+    base_fragment_id: int,
+    max_rows_per_fragment: int | None = None,
+    preserve_rowids: bool = False,
+) -> list[mf.Fragment]:
+    """Write df's partitions as fragments; return metadata (no commit).
+
+    One Spark partition → one fragment. Callers control fragment sizing via
+    the df's partitioning (e.g. ``df.repartition(n)``) or
+    ``max_rows_per_fragment``. ``preserve_rowids`` keeps an existing _rowid
+    column (compaction: stable ids, rowids.rs:55 semantics).
+    """
+    if preserve_rowids:
+        assert ROWID_COL in df.columns, "preserve_rowids requires _rowid column"
+    elif ROWID_COL in df.columns:
+        df = df.drop(ROWID_COL)
+    if max_rows_per_fragment is not None:
+        total = df.count()
+        parts = max(1, -(-total // max_rows_per_fragment))
+        df = df.repartition(parts)
+    meta_rows = (
+        df.mapInArrow(
+            _fragment_writer(root, base_fragment_id, preserve_rowids=preserve_rowids),
+            _META_SCHEMA,
+        )
+        .collect()
+    )
+    user_cols = [c for c in df.columns if c != ROWID_COL]
+    frags = [
+        mf.Fragment(
+            id=r.fragment_id,
+            files=[mf.DataFile(path=r.path, columns=user_cols)],
+            physical_rows=r.physical_rows,
+        )
+        for r in meta_rows
+        if r.physical_rows > 0
+    ]
+    return sorted(frags, key=lambda f: f.id)
+
+
+def write_dataset(
+    df: DataFrame,
+    uri: str,
+    mode: str = "create",
+    max_rows_per_fragment: int | None = None,
+):
+    """modes per rust/lance/src/dataset/write.rs:115-131: create/append/overwrite."""
+    from lance_spark.dataset import LanceDataset
+
+    os.makedirs(uri, exist_ok=True)
+    existing = mf.latest_version(uri)
+    if mode == "create" and existing is not None:
+        raise ValueError(f"dataset already exists at {uri}; use append or overwrite")
+    if mode == "append" and existing is None:
+        mode = "create"
+
+    schema_json = df.schema.jsonValue()
+
+    if mode in ("create", "overwrite"):
+        base_fragment_id = 0
+    else:
+        base = mf.read_manifest(uri)
+        base_fragment_id = base.max_fragment_id + 1
+        if [f["name"] for f in base.schema_json["fields"]] != df.columns:
+            raise ValueError(
+                f"append schema mismatch: dataset has "
+                f"{[f['name'] for f in base.schema_json['fields']]}, df has {df.columns}"
+            )
+
+    frags = write_fragments(df, uri, base_fragment_id, max_rows_per_fragment)
+
+    def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
+        if mode == "append" and base is not None:
+            # re-base fragment ids if a concurrent append claimed ours
+            shift = base.max_fragment_id + 1 - base_fragment_id
+            if shift > 0:
+                raise mf.CommitConflictError("fragment id collision; rewrite needed")
+            fragments = base.fragments + frags
+            indices = base.indices  # still valid for covered fragments
+            cfg = base.config
+        else:
+            fragments = frags
+            indices = []
+            cfg = {}
+        max_fid = max((f.id for f in fragments), default=-1)
+        return mf.Manifest(
+            version=version,
+            schema_json=schema_json,
+            fragments=fragments,
+            max_fragment_id=max_fid,
+            operation=mode,
+            indices=indices,
+            config=cfg,
+        )
+
+    mf.commit(uri, build, operation=mode)
+    return LanceDataset(uri)

@@ -1,0 +1,295 @@
+"""Table-format tests: write/read roundtrip, versioning, mutations,
+schema evolution, compaction, cleanup — the M0-M2 surface of SURVEY §7.
+
+Modeled on the reference's python/python/tests/test_dataset.py coverage
+(write modes, versions, merge, update, distributed commit).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+import lance_spark as ls
+from lance_spark import manifest as mf
+
+
+@pytest.fixture()
+def tmp_uri(tmp_path):
+    return str(tmp_path / "ds")
+
+
+def _lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def test_write_read_roundtrip(spark, sf_dir, tmp_uri):
+    src = _lineitem(spark, sf_dir)
+    ds = ls.write_dataset(src.repartition(4), tmp_uri, mode="create")
+    assert ds.version == 1
+    assert ds.count_rows() == src.count()
+    got = ds.to_df(spark)
+    assert got.columns == src.columns
+    assert got.count() == src.count()
+    # value fidelity: checksum a numeric column
+    a = src.agg(F.sum("l_extendedprice")).collect()[0][0]
+    b = got.agg(F.sum("l_extendedprice")).collect()[0][0]
+    assert abs(a - b) / abs(a) < 1e-12  # summation-order tolerance
+    # fragments: one per partition
+    assert len(ds.manifest.fragments) == 4
+
+
+def test_rowids_unique_and_addressed(spark, sf_dir, tmp_uri):
+    ds = ls.write_dataset(_lineitem(spark, sf_dir).repartition(3), tmp_uri)
+    df = ds.to_df(spark, with_row_id=True)
+    n = df.count()
+    assert df.select("_rowid").distinct().count() == n
+    frag_ids = {r[0] for r in df.select(F.shiftright("_rowid", 32)).distinct().collect()}
+    assert frag_ids == {f.id for f in ds.manifest.fragments}
+
+
+def test_append_and_overwrite_and_time_travel(spark, sf_dir, tmp_uri):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ds = ls.write_dataset(nation, tmp_uri, mode="create")
+    ds = ls.write_dataset(nation, tmp_uri, mode="append")
+    assert ds.version == 2
+    assert ds.count_rows() == 50
+    v1 = ds.checkout_version(1)
+    assert v1.count_rows() == 25
+    ds = ls.write_dataset(nation.limit(5), tmp_uri, mode="overwrite")
+    assert ds.version == 3
+    assert ds.count_rows() == 5
+    # restore v1 as v4
+    restored = ls.dataset(tmp_uri, version=1).restore()
+    assert restored.version == 4
+    assert restored.count_rows() == 25
+
+
+def test_tags(spark, sf_dir, tmp_uri):
+    ds = ls.write_dataset(spark.read.parquet(f"{sf_dir}/region.parquet"), tmp_uri)
+    ds.create_tag("stable")
+    ls.write_dataset(spark.read.parquet(f"{sf_dir}/region.parquet"), tmp_uri, mode="append")
+    tagged = ls.dataset(tmp_uri, tag="stable")
+    assert tagged.version == 1
+    assert tagged.count_rows() == 5
+    assert ds.tags() == {"stable": 1}
+
+
+def test_scanner_filter_project_limit(spark, sf_dir, tmp_uri):
+    ds = ls.write_dataset(_lineitem(spark, sf_dir).repartition(2), tmp_uri)
+    out = ds.scanner(
+        spark,
+        columns=["l_orderkey", "l_quantity"],
+        filter="l_quantity > 40 and l_returnflag == 'R'",
+    )
+    assert out.columns == ["l_orderkey", "l_quantity"]
+    pdf = out.toPandas()
+    assert (pdf.l_quantity > 40).all()
+    # computed projection (scanner.rs:720 project_with_transform)
+    out2 = ds.scanner(spark, columns={"ok": "l_orderkey", "disc_price": "l_extendedprice * (1 - l_discount)"})
+    assert out2.columns == ["ok", "disc_price"]
+    # limit/offset determinism on scan order
+    l1 = ds.scanner(spark, limit=10, offset=5).collect()
+    l2 = ds.scanner(spark, limit=10, offset=5).collect()
+    assert l1 == l2
+
+
+def test_count_fast_path(spark, sf_dir, tmp_uri):
+    ds = ls.write_dataset(_lineitem(spark, sf_dir), tmp_uri)
+    assert ds.count_rows() == 6000 or ds.count_rows() > 0
+    filtered = ds.count_rows(spark, filter="l_discount > 0.05")
+    oracle = _lineitem(spark, sf_dir).filter("l_discount > 0.05").count()
+    assert filtered == oracle
+
+
+def test_take(spark, sf_dir, tmp_uri):
+    ds = ls.write_dataset(_lineitem(spark, sf_dir).repartition(3), tmp_uri)
+    some = ds.to_df(spark, with_row_id=True).limit(5).collect()
+    ids = [r["_rowid"] for r in some]
+    got = ds.take(spark, ids).collect()
+    assert len(got) == 5
+    assert {r["_rowid"] for r in got} == set(ids)
+
+
+def test_delete(spark, sf_dir, tmp_uri):
+    ds = ls.write_dataset(_lineitem(spark, sf_dir).repartition(2), tmp_uri)
+    before = ds.count_rows()
+    dead = ds.to_df(spark).filter("l_quantity >= 45").count()
+    ds2 = ds.delete(spark, "l_quantity >= 45")
+    assert ds2.version == 2
+    assert ds2.count_rows() == before - dead
+    assert ds2.to_df(spark).filter("l_quantity >= 45").count() == 0
+    # old version still intact (deletion files are version-scoped)
+    assert ds.checkout_version(1).count_rows(spark, filter="l_quantity >= 45") == dead
+    # second delete unions with the first
+    ds3 = ds2.delete(spark, "l_quantity <= 2")
+    assert ds3.to_df(spark).filter("l_quantity <= 2 or l_quantity >= 45").count() == 0
+
+
+def test_delete_whole_fragment_drops_it(spark, sf_dir, tmp_uri):
+    ds = ls.write_dataset(spark.read.parquet(f"{sf_dir}/nation.parquet"), tmp_uri)
+    ds2 = ds.delete(spark, "n_nationkey >= 0")  # everything
+    assert ds2.count_rows() == 0
+    assert len(ds2.manifest.fragments) == 0
+
+
+def test_update(spark, sf_dir, tmp_uri):
+    ds = ls.write_dataset(spark.read.parquet(f"{sf_dir}/supplier.parquet"), tmp_uri)
+    ds2 = ds.update(spark, {"s_acctbal": "s_acctbal + 100.0"}, where="s_suppkey <= 5")
+    n_matched = ds.to_df(spark).filter("s_suppkey <= 5").count()
+    assert n_matched > 0
+    old = ds.to_df(spark).filter("s_suppkey <= 5").agg(F.sum("s_acctbal")).collect()[0][0]
+    new = ds2.to_df(spark).filter("s_suppkey <= 5").agg(F.sum("s_acctbal")).collect()[0][0]
+    assert abs(new - (old + 100.0 * n_matched)) < 1e-6
+    assert ds2.count_rows() == ds.count_rows()
+
+
+def test_merge_insert(spark, sf_dir, tmp_uri):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ds = ls.write_dataset(cust, tmp_uri)
+    # source: update half the rows' acctbal, add 10 brand-new customers
+    updates = cust.filter("c_custkey <= 50").withColumn("c_acctbal", F.lit(999.0))
+    news = cust.filter("c_custkey <= 10").withColumn(
+        "c_custkey", F.col("c_custkey") + 100000
+    )
+    source = updates.unionByName(news)
+    n_new = news.count()
+    ds2 = (
+        ds.merge_insert("c_custkey")
+        .when_matched_update_all()
+        .when_not_matched_insert_all()
+        .execute(spark, source)
+    )
+    out = ds2.to_df(spark)
+    assert out.count() == cust.count() + n_new
+    assert out.filter("c_custkey <= 50 and c_acctbal != 999.0").count() == 0
+    assert out.filter("c_custkey >= 100000").count() == n_new
+    # untouched rows intact
+    a = cust.filter("c_custkey > 50").agg(F.sum("c_acctbal")).collect()[0][0]
+    b = out.filter("c_custkey > 50 and c_custkey < 100000").agg(F.sum("c_acctbal")).collect()[0][0]
+    assert abs(a - b) < 1e-6
+
+
+def test_merge_insert_delete_not_matched(spark, sf_dir, tmp_uri):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ds = ls.write_dataset(nation, tmp_uri)
+    source = nation.filter("n_nationkey < 10")
+    ds2 = (
+        ds.merge_insert("n_nationkey")
+        .when_matched_update_all()
+        .when_not_matched_by_source_delete()
+        .execute(spark, source)
+    )
+    assert ds2.count_rows() == 10
+
+
+def test_add_columns_sql(spark, sf_dir, tmp_uri):
+    ds = ls.write_dataset(spark.read.parquet(f"{sf_dir}/part.parquet"), tmp_uri)
+    ds2 = ds.add_columns(spark, {"double_price": "p_retailprice * 2"})
+    assert "double_price" in ds2.columns
+    df = ds2.to_df(spark)
+    bad = df.filter(F.abs(F.col("double_price") - 2 * F.col("p_retailprice")) > 1e-9).count()
+    assert bad == 0
+    # original files untouched: fragment now has 2 column-group files
+    assert all(len(f.files) == 2 for f in ds2.manifest.fragments)
+
+
+def test_add_columns_udf(spark, sf_dir, tmp_uri):
+    ds = ls.write_dataset(spark.read.parquet(f"{sf_dir}/nation.parquet"), tmp_uri)
+
+    def namelen(pdf):
+        import pandas as pd
+
+        return pd.DataFrame({"name_len": pdf["n_name"].str.len()})
+
+    ds2 = ds.add_columns(spark, namelen, read_columns=["n_name"])
+    got = {r.n_name: r.name_len for r in ds2.to_df(spark).collect()}
+    assert all(len(k) == v for k, v in got.items())
+
+
+def test_merge_attach_columns(spark, sf_dir, tmp_uri):
+    ds = ls.write_dataset(spark.read.parquet(f"{sf_dir}/nation.parquet"), tmp_uri)
+    right = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        F.col("r_regionkey").alias("n_regionkey"), F.col("r_name")
+    )
+    ds2 = ds.merge(spark, right, left_on="n_regionkey")
+    assert "r_name" in ds2.columns
+    df = ds2.to_df(spark)
+    assert df.filter(F.col("r_name").isNull()).count() == 0
+
+
+def test_drop_and_rename_columns(spark, sf_dir, tmp_uri):
+    ds = ls.write_dataset(spark.read.parquet(f"{sf_dir}/region.parquet"), tmp_uri)
+    ds2 = ds.drop_columns(["r_name"])
+    assert ds2.columns == ["r_regionkey"]
+    assert ds2.to_df(spark).columns == ["r_regionkey"]
+    ds3 = ds2.alter_columns({"path": "r_regionkey", "rename": "regionkey"})
+    assert ds3.columns == ["regionkey"]
+    assert ds3.to_df(spark).select("regionkey").count() == 5
+
+
+def test_compact_preserves_rowids(spark, sf_dir, tmp_uri):
+    ds = ls.write_dataset(_lineitem(spark, sf_dir).repartition(8), tmp_uri)
+    ds = ds.delete(spark, "l_quantity > 30")
+    before = ds.to_df(spark, with_row_id=True)
+    before_ids = {r[0] for r in before.select("_rowid").collect()}
+    ds2 = ds.compact_files(spark, target_rows_per_fragment=100000)
+    assert len(ds2.manifest.fragments) < 8
+    after = ds2.to_df(spark, with_row_id=True)
+    after_ids = {r[0] for r in after.select("_rowid").collect()}
+    assert before_ids == after_ids  # stable row ids across compaction
+    assert ds2.count_rows() == len(before_ids)
+    # deletions materialized
+    assert all(f.num_deleted_rows == 0 for f in ds2.manifest.fragments)
+
+
+def test_cleanup_old_versions(spark, sf_dir, tmp_uri):
+    ds = ls.write_dataset(spark.read.parquet(f"{sf_dir}/region.parquet"), tmp_uri)
+    ds = ls.write_dataset(spark.read.parquet(f"{sf_dir}/region.parquet"), tmp_uri, mode="overwrite")
+    ds = ls.write_dataset(spark.read.parquet(f"{sf_dir}/region.parquet"), tmp_uri, mode="overwrite")
+    removed = ds.cleanup_old_versions(older_than_seconds=0.0)
+    assert removed >= 2
+    assert mf.list_versions(ds.uri) == [3]
+    assert ds.count_rows() == 5
+    # latest still readable
+    assert ls.dataset(ds.uri).to_df(spark).count() == 5
+
+
+def test_commit_conflict_retry(spark, sf_dir, tmp_uri):
+    ds = ls.write_dataset(spark.read.parquet(f"{sf_dir}/region.parquet"), tmp_uri)
+    # simulate a concurrent writer claiming version 2, then append: should
+    # retry onto version 3
+    m = ds.manifest
+    stolen = mf.Manifest(
+        version=2,
+        schema_json=m.schema_json,
+        fragments=m.fragments,
+        max_fragment_id=m.max_fragment_id,
+        operation="append",
+    )
+    mf.write_manifest(ds.uri, stolen)
+    ds2 = ls.write_dataset(
+        spark.read.parquet(f"{sf_dir}/region.parquet"), tmp_uri, mode="append"
+    )
+    assert ds2.version == 3
+    # 5 rows from the (stolen) v2 base + 5 appended
+    assert ds2.count_rows() == 10
+
+
+def test_sql_entry(spark, sf_dir, tmp_uri):
+    ds = ls.write_dataset(_lineitem(spark, sf_dir), tmp_uri)
+    out = ds.sql(
+        spark,
+        """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sq
+           FROM dataset GROUP BY l_returnflag ORDER BY l_returnflag""",
+        table_name="dataset",
+    ).collect()
+    oracle = (
+        _lineitem(spark, sf_dir)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sq"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert out == oracle
