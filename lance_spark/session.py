@@ -31,7 +31,8 @@ def get_spark(app_name: str = "lance_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # ns-precision parquet timestamps (events table) → read as TIMESTAMP_NTZ
-        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+        # Spark has no ns timestamp type: read parquet TIMESTAMP(NANOS) as long
+        # (events.ts); lance_spark.io.load_table derives a µs timestamp column
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
