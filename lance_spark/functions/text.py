@@ -1,0 +1,97 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All are built-in-function compositions (JVM-side, whole-stage codegen) —
+no Python UDFs in any hot path. Each has an exact ANSI-SQL equivalent so
+DuckDB can oracle-check it (see suite.py).
+
+``contains_tokens`` mirrors the reference's UDF of the same name
+(rust/lance-datafusion/src/udf.rs:51-98): token-boundary containment rather
+than substring match. ``hash64`` is the engine-portable 60-bit hash used by
+the dedup/minhash operators: both Spark and DuckDB compute identical md5
+bytes, so `bigint(md5[:15 hex])` agrees across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# languages scored by stopword evidence; tie-break = list order (deterministic)
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "la", "de", "et", "un", "les"],
+    "de": ["der", "die", "und", "das", "ein"],
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"]
+
+
+def tokenize(col) -> Column:
+    """lower → split on non-letters → drop empties (the reference's 'simple'
+    tokenizer: rust/lance-index/src/scalar/inverted/tokenizer.rs:43-80)."""
+    return F.filter(F.split(F.lower(col), "[^a-z]+"), lambda x: x != F.lit(""))
+
+
+def hash64(col) -> Column:
+    """Engine-portable 60-bit hash: bigint of the first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def token_count(col) -> Column:
+    return F.size(tokenize(col)).cast("long")
+
+
+def stopword_ratio(col, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    toks = tokenize(col)
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_sw / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] after lowercasing."""
+    total = F.greatest(F.length(col), F.lit(1))
+    clean = F.length(F.regexp_replace(F.lower(col), "[^a-z0-9 ]", ""))
+    return (F.length(col) - clean) / total
+
+
+def quality_score(col) -> Column:
+    """Composite quality heuristic in [0,1]: length band + stopword band +
+    low punctuation. Deterministic arithmetic only."""
+    n = token_count(col)
+    len_ok = F.when((n >= 10) & (n <= 1000), 1.0).otherwise(0.0)
+    sw = stopword_ratio(col)
+    sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(col) <= 0.2, 1.0).otherwise(0.0)
+    return (len_ok + sw_ok + punct_ok) / 3.0
+
+
+def lang_id(col) -> Column:
+    """Stopword-evidence language ID. Returns the language with the highest
+    stopword hit count; ties resolve in LANG_STOPWORDS order; zero evidence
+    → 'und'."""
+    toks = tokenize(col)
+
+    def hits(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: hits(words) for lang, words in LANG_STOPWORDS.items()}
+    result = F.lit("und")
+    # build CASE from last to first so earlier langs win ties
+    mx = F.greatest(*scores.values())
+    for lang in reversed(list(LANG_STOPWORDS)):
+        result = F.when((scores[lang] == mx) & (mx > 0), F.lit(lang)).otherwise(result)
+    return result
+
+
+def fingerprint(col) -> Column:
+    """Document fingerprint: md5 of the canonicalized token stream (case/
+    punctuation/whitespace-insensitive content identity)."""
+    return F.md5(F.concat_ws(" ", tokenize(col)))
+
+
+def contains_tokens(col, token: str) -> Column:
+    """Token-boundary containment (reference udf.rs:51-98 contains_tokens)."""
+    return F.array_contains(tokenize(col), token.lower())

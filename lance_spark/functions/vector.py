@@ -1,0 +1,43 @@
+"""Vector distance expressions over array<float|double> columns.
+
+JVM-side higher-order-function arithmetic (zip_with + aggregate) — stays in
+whole-stage codegen, no Python boundary. Mirrors the reference distance
+kernels l2/cosine/dot (rust/lance-linalg/src/distance.rs:36-70); hamming is
+over binary codes in the IVF-PQ module.
+
+For large-batch scoring (index build, brute-force KNN at scale) the
+pandas_udf numpy path in operators/knn.py is ~5-10× faster than per-row
+aggregate; these expressions are the exact-semantics reference and fine for
+oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot_product(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_sim(a, b) -> Column:
+    return dot_product(a, b) / (_norm(a) * _norm(b))
+
+
+def l2_distance(a, b) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )

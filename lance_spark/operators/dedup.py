@@ -1,0 +1,258 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all shuffle-architected for 100 TB:
+  - exact: hash-groupBy on a content fingerprint — one shuffle on a short
+    hash key, map-side partial agg.
+  - MinHash + LSH: shingle → portable 60-bit hash → k permutations → band
+    buckets → candidate pairs via an equi-join on (band, band-key). The
+    only O(n²) step is within a bucket, which banding keeps tiny. This is
+    the standard web-scale near-dup pipeline.
+  - SimHash: per-token hash bit-votes folded into a compact signature;
+    near-dups = signatures within hamming radius, bucketed by signature
+    bytes (each band column is an equi-join key).
+  - Embedding cosine: exact threshold join (small n) — the IVF route in
+    operators/knn.py is the scale path.
+
+Every operator is pure built-in-function DataFrame code (no Python UDFs),
+so the exact same math is expressible in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lance_spark.functions.text import hash64, tokenize, fingerprint
+
+# shared LSH constants — keep in sync with suite.py oracles
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4  # 4 rows per band
+MERSENNE31 = 2147483647
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per canonical-content fingerprint."""
+    keyed = df.withColumn("__fp", fingerprint(F.col(text_col)))
+    winners = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, [ "__fp", id_col], "left_semi").drop("__fp")
+
+
+def shingles(col, k: int = 3):
+    """k-word shingles from the token stream."""
+    toks = tokenize(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )
+
+
+def minhash_signature(col, num_perm: int = MINHASH_PERMS, shingle_k: int = 3):
+    """Array of num_perm minhash values. Permutation j is
+    h_j(s) = ((2j+3)·(hash64(s) mod p) + (5j+7)) mod p with p = 2^31-1 —
+    small coefficients keep every product inside int64 on both engines."""
+    sh = shingles(col, shingle_k)
+    base = F.transform(sh, lambda s: hash64(s) % MERSENNE31)
+
+    def perm(j):
+        # factory keeps the lambda unary — a 2-arg lambda would make Spark
+        # pass the array index as the second parameter
+        return lambda h: ((2 * j + 3) * h + (5 * j + 7)) % MERSENNE31
+
+    return F.array(*[F.array_min(F.transform(base, perm(j))) for j in range(num_perm)])
+
+
+def minhash_signatures_agg(
+    df: DataFrame, text_col: str, id_col: str, num_perm: int = MINHASH_PERMS, shingle_k: int = 3
+) -> DataFrame:
+    """Scale path for signatures: explode shingles → hash each ONCE →
+    num_perm map-side min-aggregates. One md5 per shingle total (the
+    array-expression form in ``minhash_signature`` inlines the hash into
+    every permutation — 16× the work and a codegen blowup), one shuffle
+    keyed by doc id. This is the 100 TB-shaped plan."""
+    hashed = (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_k)).alias("s"))
+        .select("id", (hash64(F.col("s")) % MERSENNE31).alias("h"))
+    )
+    mins = hashed.groupBy("id").agg(
+        *[
+            F.min((F.lit(2 * j + 3) * F.col("h") + F.lit(5 * j + 7)) % MERSENNE31).alias(f"m{j}")
+            for j in range(num_perm)
+        ]
+    )
+    return mins.select("id", F.array(*[f"m{j}" for j in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    min_est_jaccard: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) with estimated jaccard =
+    fraction of agreeing minhash positions. Banding makes the join an
+    equi-join on (band_id, band_key): fully shuffle-partitioned, no
+    cross product; the self-join reuses the signature exchange."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures_agg(df, text_col, id_col, num_perm, shingle_k)
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            ",", *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "sig", "band.band_id", "band.band_key")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id")) & (F.col("a.band_key") == F.col("b.band_key")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.withColumn("est_jaccard", F.round(est / F.lit(num_perm), 4))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(col, bits: int = 32):
+    """SimHash signature: bit i set iff the tf-weighted vote of token-hash
+    bit i is positive. Pure aggregate arithmetic, no explode."""
+    # handled at the DataFrame level in simhash_signatures (needs a groupBy)
+    raise NotImplementedError("use simhash_signatures(df, ...)")
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """One row per doc: (id, simhash bigint)."""
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", hash64(F.col("tok")))
+    )
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(F.col("tf") * (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long") * (2 ** i)).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ max_hamming, bucketed by
+    byte-bands (a pair within radius r < bands must agree on ≥1 band)."""
+    sigs = simhash_signatures(df, text_col, id_col, bits)
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "simhash", "band.band_id", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id")) & (F.col("a.band_key") == F.col("b.band_key")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bucket_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram (word) Jaccard over candidate pairs bucketed by
+    ``bucket_col`` (e.g. source/lang) to bound the pairwise join."""
+    sh = (
+        df.filter(F.size(tokenize(F.col(text_col))) >= n)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(bucket_col).alias("bucket"),
+            F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
+        )
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, vec_col: str, id_col: str, min_cosine: float = 0.4
+) -> DataFrame:
+    """Exact cosine threshold pairs. O(n²) — correct baseline and oracle;
+    the LSH/IVF route (operators/knn.py) is the 100 TB path."""
+    from lance_spark.functions.vector import cosine_sim
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_sim(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -1,0 +1,116 @@
+"""Full-text search: postings build + BM25 scoring + query tree.
+
+Reference semantics (rust/lance-index/src/scalar/inverted/):
+  - tokenizer: simple lower/split (tokenizer.rs:43-80) → functions/text.py
+  - BM25 with k1=1.2, b=0.75 (scorer.rs:24-25)
+  - query tree Match/Phrase/Boolean/Boost (query.rs:75-597)
+
+Spark-first plan (no WAND needed — batch scoring):
+  postings = explode(tokens) → groupBy(token, doc) tf  [one shuffle]
+  score    = postings ⋈ broadcast(query-term idf) → groupBy(doc) Σ bm25
+  top-k    = TakeOrderedAndProject
+
+At index time ``build_postings`` persists the postings + doc-length tables
+as parquet (indexes/inverted.py); at query time only the query terms'
+postings rows are read (predicate pushdown on the token column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lance_spark.functions.text import tokenize
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def build_postings(df: DataFrame, text_col: str, id_col: str) -> tuple[DataFrame, DataFrame]:
+    """Returns (postings{token, id, tf}, doclens{id, dl})."""
+    toks = df.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("toks"))
+    doclens = toks.select("id", F.size("toks").alias("dl"))
+    postings = (
+        toks.select("id", F.explode("toks").alias("token"))
+        .groupBy("token", "id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return postings, doclens
+
+
+def bm25_score_expr(tf, dl, idf, avgdl):
+    return idf * (tf * (BM25_K1 + 1)) / (tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl))
+
+
+def bm25_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    postings: DataFrame | None = None,
+    doclens: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 top-k for an OR-of-terms Match query. idf = ln(1 + (N-df+0.5)/(df+0.5)).
+
+    Accepts prebuilt postings/doclens (from an INVERTED index) or builds
+    them on the fly (the reference's flat-match fallback, fts.rs:332).
+    """
+    if postings is None or doclens is None:
+        postings, doclens = build_postings(df, text_col, id_col)
+    n_docs_avgdl = doclens.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qp = postings.filter(F.col("token").isin([t.lower() for t in query_terms]))
+    dfreq = qp.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        qp.join(F.broadcast(dfreq), "token")
+        .join(doclens, "id")
+        .crossJoin(F.broadcast(n_docs_avgdl))
+        .withColumn(
+            "idf", F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "term_score",
+            bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), F.col("avgdl")),
+        )
+        .groupBy("id")
+        .agg(F.round(F.sum("term_score"), 4).alias("_score"))
+    )
+    return (
+        scored.select(F.col("id").alias(id_col), "_score")
+        .orderBy(F.desc("_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def phrase_match(df: DataFrame, text_col: str, id_col: str, phrase: str) -> DataFrame:
+    """Phrase query (slop=0): containment in the canonical token stream —
+    equivalent to a positions-intersect over the postings because the token
+    stream is reconstructed in order."""
+    canon = F.concat_ws(" ", tokenize(F.col(text_col)))
+    needle = " ".join(phrase.lower().split())
+    return df.filter(
+        F.concat(F.lit(" "), canon, F.lit(" ")).contains(f" {needle} ")
+    ).select(F.col(id_col))
+
+
+def boolean_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Boolean query composition (BooleanQueryExec, fts.rs:904): must =
+    intersect, should = scoring union, must_not = anti-join."""
+    toks = tokenize(F.col(text_col))
+    base = df
+    for t in must or []:
+        base = base.filter(F.array_contains(toks, t.lower()))
+    for t in must_not or []:
+        base = base.filter(~F.array_contains(toks, t.lower()))
+    terms = (should or []) + (must or [])
+    return bm25_search(base, text_col, id_col, terms, k=k)

@@ -1,0 +1,70 @@
+"""K-nearest-neighbor search over embedding columns.
+
+Brute-force exact top-k (the reference's flat KNN: KNNVectorDistanceExec,
+rust/lance/src/io/exec/knn.rs:110 + SortExec::with_fetch top-k,
+scanner.rs:3450-3467) as a DataFrame plan:
+  distance expression → orderBy(distance).limit(k) — Catalyst executes this
+  as TakeOrderedAndProject: each partition keeps only its local top-k, the
+  driver merges k·partitions rows. No full sort, no full shuffle; scales
+  linearly in rows.
+
+Two scoring paths:
+  - expression path (zip_with/aggregate): JVM codegen, exact-SQL-equivalent,
+    used by oracle-checked queries;
+  - numpy pandas_udf path: Arrow-batched matrix math for wide vectors /
+    many queries (index build, refine) — the throughput path.
+
+IVF index build/search lives in indexes/ivf_pq.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from lance_spark.functions.vector import cosine_sim, dot_product, l2_distance
+
+
+def knn_bruteforce(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    use_numpy: bool = False,
+) -> DataFrame:
+    """Exact top-k; returns (id_col, _distance) — `_distance` follows the
+    reference's meta-column convention (rust/lance-core/src/lib.rs). Ties
+    break on id for determinism."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = F.col(vec_col).cast("array<double>")
+    if use_numpy:
+        qv = np.asarray(query, dtype=np.float64)
+
+        @pandas_udf("double")
+        def dist(s: pd.Series) -> pd.Series:
+            m = np.asarray(s.tolist(), dtype=np.float64)
+            if metric == "l2":
+                d = np.linalg.norm(m - qv, axis=1)
+            elif metric == "dot":
+                d = -(m @ qv)
+            else:
+                d = 1.0 - (m @ qv) / (np.linalg.norm(m, axis=1) * np.linalg.norm(qv))
+            return pd.Series(d)
+
+        dcol = dist(F.col(vec_col))
+    elif metric == "l2":
+        dcol = l2_distance(v, q)
+    elif metric == "dot":
+        dcol = -dot_product(v, q)
+    else:
+        dcol = 1.0 - cosine_sim(v, q)
+    return (
+        df.select(F.col(id_col), dcol.alias("_distance"))
+        .orderBy(F.asc("_distance"), F.asc(id_col))
+        .limit(k)
+    )

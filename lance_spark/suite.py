@@ -533,3 +533,481 @@ def events_sessionize(spark, sf_dir):
 
 def run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators: dedup / text analysis / KNN / FTS
+# (BASELINE.json north star; operators in lance_spark/operators/)
+# --------------------------------------------------------------------------
+
+# DuckDB fragments mirroring functions/text.py exactly
+_DUCK_TOKS = "list_filter(string_split_regex(lower({col}), '[^a-z]+'), x -> x <> '')"
+_DUCK_HASH64 = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+_P31 = 2147483647
+
+# synthetic near-dup corpus: documents ∪ perturbed copies of the even ids —
+# gives the dedup operators true positives to find (the raw table has none)
+_DUCK_CORPUS = """
+  SELECT doc_id AS id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' extra token tail', source
+  FROM documents WHERE doc_id % 2 = 0
+"""
+
+
+def _corpus(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(F.col("doc_id").alias("id"), "text", "source")
+    dups = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 100000).alias("id"),
+        F.concat(F.col("text"), F.lit(" extra token tail")).alias("text"),
+        "source",
+    )
+    return base.unionByName(dups)
+
+
+@query(
+    "dedup_exact",
+    f"""
+    WITH corpus AS ({_DUCK_CORPUS}),
+    fp AS (SELECT id, md5(array_to_string({_DUCK_TOKS.format(col='text')}, ' ')) AS f
+           FROM corpus)
+    SELECT CAST(count(*) AS BIGINT) AS total,
+           CAST(count(DISTINCT f) AS BIGINT) AS uniq,
+           CAST(count(*) - count(DISTINCT f) AS BIGINT) AS removed
+    FROM fp
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    from lance_spark.operators.dedup import exact_dedup
+
+    corpus = _corpus(spark, sf_dir)
+    kept = exact_dedup(corpus, "text", "id")
+    return corpus.agg(F.count("*").alias("total")).crossJoin(
+        kept.agg(F.count("*").alias("uniq"))
+    ).select(
+        "total", "uniq", (F.col("total") - F.col("uniq")).alias("removed")
+    )
+
+
+def _minhash_oracle() -> str:
+    from lance_spark.operators.dedup import MINHASH_PERMS, MINHASH_BANDS
+
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    sig_terms = ", ".join(
+        f"list_min(list_transform(hs, h -> ((2*{j}+3)*h + (5*{j}+7)) % {_P31}))"
+        for j in range(MINHASH_PERMS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, sig, {b} AS band_id, concat_ws(',', "
+        + ", ".join(f"sig[{b*rows + r + 1}]" for r in range(rows))
+        + ") AS band_key FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.sig[{i+1}] = sb.sig[{i+1}] THEN 1 ELSE 0 END" for i in range(MINHASH_PERMS)
+    )
+    return f"""
+    WITH corpus AS ({_DUCK_CORPUS}),
+    tok AS (SELECT id, {_DUCK_TOKS.format(col='text')} AS w FROM corpus),
+    sh AS (SELECT id, list_transform(range(1, len(w)-1),
+                i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS sh
+           FROM tok WHERE len(w) >= 3),
+    hs AS (SELECT id, list_transform(sh, s -> {_DUCK_HASH64.format(s='s')} % {_P31}) AS hs FROM sh),
+    sig AS (SELECT id, [{sig_terms}] AS sig FROM hs),
+    banded AS ({band_selects}),
+    pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.id < b.id),
+    est AS (SELECT p.id_a, p.id_b, round(({agree}) / {MINHASH_PERMS}.0, 4) AS est_jaccard
+            FROM pairs p JOIN sig sa ON sa.id = p.id_a JOIN sig sb ON sb.id = p.id_b)
+    SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+    """
+
+
+@query("dedup_minhash_pairs", _minhash_oracle())
+def dedup_minhash_pairs(spark, sf_dir):
+    from lance_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_corpus(spark, sf_dir), "text", "id", min_est_jaccard=0.5)
+
+
+def _simhash_oracle() -> str:
+    bits, bands, max_hamming = 32, 4, 3
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    votes = ", ".join(
+        f"sum(tf * (((h >> {i}) & 1) * 2 - 1)) AS v{i}" for i in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END" for i in range(bits)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, simhash, {b} AS band_id, (simhash >> {b*band_bits}) & {mask} AS band_key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH corpus AS ({_DUCK_CORPUS}),
+    tok AS (SELECT id, unnest({_DUCK_TOKS.format(col='text')}) AS tok FROM corpus),
+    tf AS (SELECT id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+    h AS (SELECT id, tf, {_DUCK_HASH64.format(s='tok')} AS h FROM tf),
+    v AS (SELECT id, {votes} FROM h GROUP BY id),
+    sig AS (SELECT id, {sig} AS simhash FROM v),
+    banded AS ({band_selects}),
+    pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                     bit_count(xor(a.simhash, b.simhash)) AS hamming
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.id < b.id)
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+@query("dedup_simhash_pairs", _simhash_oracle())
+def dedup_simhash_pairs(spark, sf_dir):
+    from lance_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_corpus(spark, sf_dir), "text", "id").select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH corpus AS ({_DUCK_CORPUS}),
+    tok AS (SELECT id, source, {_DUCK_TOKS.format(col='text')} AS w FROM corpus),
+    sh AS (SELECT id, source, list_distinct(list_transform(range(1, len(w)-1),
+                i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+           FROM tok WHERE len(w) >= 3)
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) /
+                 greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.id < b.id
+    WHERE round(len(list_intersect(a.sh, b.sh)) /
+                greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from lance_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_corpus(spark, sf_dir), "text", "id", "source", min_jaccard=0.5)
+
+
+_DUCK_COS = """
+    round(
+      list_sum(list_transform(range(1, len(a.embedding)+1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DUCK_COS} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DUCK_COS} >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from lance_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", min_cosine=0.4
+    )
+
+
+_DUCK_SW_EN = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
+
+
+@query(
+    "text_quality_stats",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, text, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
+    per_doc AS (
+      SELECT source,
+             len(w) AS n_tok,
+             len(list_filter(w, x -> list_contains({_DUCK_SW_EN}, x)))
+               / greatest(len(w), 1) AS sw_ratio,
+             (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+               / greatest(length(text), 1) AS punct,
+             (CASE WHEN len(w) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN len(list_filter(w, x -> list_contains({_DUCK_SW_EN}, x)))
+                       / greatest(len(w), 1) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+                       / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END) / 3.0 AS q
+      FROM tok)
+    SELECT source, count(*) AS n_docs,
+           round(avg(n_tok), 4) AS avg_tokens,
+           round(avg(sw_ratio), 4) AS avg_stopword_ratio,
+           round(avg(punct), 4) AS avg_punct_ratio,
+           round(avg(q), 4) AS avg_quality
+    FROM per_doc GROUP BY source
+    """,
+)
+def text_quality_stats(spark, sf_dir):
+    from lance_spark.functions.text import punct_ratio, quality_score, stopword_ratio, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.select(
+            "source",
+            token_count(t).alias("n_tok"),
+            stopword_ratio(t).alias("sw_ratio"),
+            punct_ratio(t).alias("punct"),
+            quality_score(t).alias("q"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.round(F.avg("sw_ratio"), 4).alias("avg_stopword_ratio"),
+            F.round(F.avg("punct"), 4).alias("avg_punct_ratio"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+    )
+
+
+def _langid_oracle() -> str:
+    from lance_spark.functions.text import LANG_STOPWORDS
+
+    score = {
+        lang: f"len(list_filter(w, x -> list_contains({[w for w in words]!r}, x)))"
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    mx = "greatest(" + ", ".join(score.values()) + ")"
+    case = "CASE WHEN " + f"{mx} = 0 THEN 'und' "
+    for lang in LANG_STOPWORDS:
+        case += f"WHEN {score[lang]} = {mx} THEN '{lang}' "
+    case += "END"
+    return f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS.format(col='text')} AS w FROM documents)
+    SELECT {case} AS pred_lang, count(*) AS n FROM tok GROUP BY 1
+    """
+
+
+@query("text_lang_id", _langid_oracle())
+def text_lang_id(spark, sf_dir):
+    from lance_spark.functions.text import lang_id
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "text_token_stats",
+    f"""
+    WITH tok AS (SELECT lang, unnest({_DUCK_TOKS.format(col='text')}) AS t FROM documents)
+    SELECT lang, count(*) AS total_tokens,
+           CAST(count(DISTINCT t) AS BIGINT) AS distinct_tokens
+    FROM tok GROUP BY lang
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    from lance_spark.functions.text import tokenize
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang", F.explode(tokenize(F.col("text"))).alias("t"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.count_distinct("t").alias("distinct_tokens"),
+        )
+    )
+
+
+@query(
+    "text_fingerprint_dups",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000, upper(text) || '  ' FROM documents WHERE doc_id % 3 = 0),
+    fp AS (SELECT id, md5(array_to_string({_DUCK_TOKS.format(col='text')}, ' ')) AS f FROM corpus),
+    grp AS (SELECT f, count(*) AS n FROM fp GROUP BY f HAVING count(*) > 1)
+    SELECT CAST(count(*) AS BIGINT) AS dup_groups, CAST(sum(n) AS BIGINT) AS dup_docs FROM grp
+    """,
+)
+def text_fingerprint_dups(spark, sf_dir):
+    # fingerprint is canonicalization-invariant: upper-case + whitespace
+    # perturbed copies still collide (case/punct/space-insensitive identity)
+    from lance_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(F.col("doc_id").alias("id"), "text").unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 200000).alias("id"),
+            F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    grp = (
+        corpus.select(fingerprint(F.col("text")).alias("f"))
+        .groupBy("f")
+        .agg(F.count("*").alias("n"))
+        .filter("n > 1")
+    )
+    return grp.agg(
+        F.count("*").alias("dup_groups"), F.sum("n").cast("long").alias("dup_docs")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search (KNN brute force — exact oracle; IVF in indexes/)
+# --------------------------------------------------------------------------
+
+_DUCK_COS_Q = """
+      list_sum(list_transform(range(1, len(e.embedding)+1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+@query(
+    "knn_cosine_topk",
+    f"""
+    SELECT e.vec_id, round(1.0 - ({_DUCK_COS_Q}), 4) AS _distance
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id != 0
+    ORDER BY round(1.0 - ({_DUCK_COS_Q}), 4), e.vec_id
+    LIMIT 10
+    """,
+)
+def knn_cosine_topk(spark, sf_dir):
+    from lance_spark.operators.knn import knn_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    res = knn_bruteforce(emb.filter("vec_id != 0"), "embedding", qvec, k=10, metric="cosine")
+    return res.select("vec_id", F.round("_distance", 4).alias("_distance")).orderBy(
+        "_distance", "vec_id"
+    )
+
+
+@query(
+    "knn_l2_topk",
+    """
+    SELECT e.vec_id,
+           round(sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+                    * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))))), 4)
+             AS _distance
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+    WHERE e.vec_id != 7
+    ORDER BY _distance, e.vec_id
+    LIMIT 10
+    """,
+)
+def knn_l2_topk(spark, sf_dir):
+    from lance_spark.operators.knn import knn_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    res = knn_bruteforce(emb.filter("vec_id != 7"), "embedding", qvec, k=10, metric="l2")
+    return res.select("vec_id", F.round("_distance", 4).alias("_distance")).orderBy(
+        "_distance", "vec_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# Full-text search (BM25 / phrase / boolean — operators/fts.py)
+# --------------------------------------------------------------------------
+
+_FTS_TERMS = ["table", "scan", "join"]
+
+
+def _bm25_oracle(terms: list[str], extra_filter: str = "", k: int = 10) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
+    filt AS (SELECT * FROM tok {extra_filter}),
+    dl AS (SELECT id, len(w) AS dl FROM filt),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    post AS (SELECT id, unnest(w) AS token FROM filt),
+    tfq AS (SELECT token, id, count(*) AS tf FROM post WHERE token IN ({terms_sql}) GROUP BY 1, 2),
+    dfq AS (SELECT token, count(*) AS df FROM tfq GROUP BY token),
+    sc AS (SELECT id,
+                  round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                        * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS _score
+           FROM tfq JOIN dfq USING (token) JOIN dl USING (id) CROSS JOIN stats
+           GROUP BY id)
+    SELECT id AS doc_id, _score FROM sc ORDER BY _score DESC, id LIMIT {k}
+    """
+
+
+@query("fts_bm25_topk", _bm25_oracle(_FTS_TERMS))
+def fts_bm25_topk(spark, sf_dir):
+    from lance_spark.operators.fts import bm25_search
+
+    return bm25_search(_t(spark, sf_dir, "documents"), "text", "doc_id", _FTS_TERMS, k=10)
+
+
+@query(
+    "fts_phrase_match",
+    f"""
+    WITH tok AS (SELECT lang, {_DUCK_TOKS.format(col='text')} AS w FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n
+    FROM tok
+    WHERE contains(' ' || array_to_string(w, ' ') || ' ', ' key order ')
+    GROUP BY lang
+    """,
+)
+def fts_phrase_match(spark, sf_dir):
+    from lance_spark.operators.fts import phrase_match
+
+    docs = _t(spark, sf_dir, "documents")
+    matched = phrase_match(docs, "text", "doc_id", "key order")
+    return (
+        docs.join(matched, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "fts_contains_tokens",
+    f"""
+    WITH tok AS (SELECT source, {_DUCK_TOKS.format(col='text')} AS w FROM documents)
+    SELECT source, CAST(count(*) AS BIGINT) AS n
+    FROM tok WHERE list_contains(w, 'spark') GROUP BY source
+    """,
+)
+def fts_contains_tokens(spark, sf_dir):
+    from lance_spark.functions.text import contains_tokens
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(contains_tokens(F.col("text"), "spark"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "fts_boolean",
+    _bm25_oracle(
+        ["scan", "join", "table"],
+        extra_filter="WHERE list_contains(w, 'table') AND NOT list_contains(w, 'slow')",
+    ),
+)
+def fts_boolean(spark, sf_dir):
+    from lance_spark.operators.fts import boolean_search
+
+    return boolean_search(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        must=["table"],
+        should=["scan", "join"],
+        must_not=["slow"],
+        k=10,
+    )

@@ -1,0 +1,161 @@
+"""Operator-level tests: dedup / knn / fts / text functions.
+
+Mirrors the reference's oracle style (test_filter.py pyarrow-compute oracle,
+test_vector_index.py recall-vs-bruteforce): here small hand-built inputs
+with known answers.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(id=1, text="the quick brown fox jumps over the lazy dog", src="a"),
+        Row(id=2, text="the quick brown fox jumps over the lazy dog today", src="a"),  # near-dup of 1
+        Row(id=3, text="THE QUICK  BROWN FOX jumps over the lazy dog", src="b"),  # exact dup of 1 (canonical)
+        Row(id=4, text="completely different content about spark engines and their many optimizers", src="a"),
+        Row(id=5, text="spark table scan join merge data", src="b"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(spark, docs):
+    from lance_spark.operators.dedup import exact_dedup
+
+    kept = exact_dedup(docs, "text", "id")
+    ids = {r.id for r in kept.collect()}
+    assert 1 in ids and 3 not in ids  # canonical dup of 1 removed, keeper = min id
+    assert ids == {1, 2, 4, 5}
+
+
+def test_minhash_near_dup(spark, docs):
+    from lance_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, "text", "id", min_est_jaccard=0.5).collect()}
+    assert (1, 3) in pairs  # identical canonical text → jaccard 1.0
+    assert (1, 2) in pairs or (2, 3) in pairs  # near-dup caught
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_ngram_jaccard(spark, docs):
+    from lance_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "text", "id", "src", min_jaccard=0.5).collect()
+    }
+    assert (1, 2) in pairs  # same bucket 'a', high overlap
+    assert pairs[(1, 2)] > 0.6
+
+
+def test_simhash_pairs(spark, docs):
+    from lance_spark.operators.dedup import simhash_pairs, simhash_signatures
+
+    sigs = {r.id: r.simhash for r in simhash_signatures(docs, "text", "id").collect()}
+    assert sigs[1] == sigs[3]  # canonicalized identical text → same signature
+    pairs = {(r.id_a, r.id_b) for r in simhash_pairs(docs, "text", "id", max_hamming=3).collect()}
+    assert (1, 3) in pairs
+
+
+def test_knn_bruteforce_cosine(spark):
+    from lance_spark.operators.knn import knn_bruteforce
+
+    rows = [
+        Row(vec_id=0, v=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, v=[0.9, 0.1, 0.0]),
+        Row(vec_id=2, v=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, v=[-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = knn_bruteforce(df, "v", [1.0, 0.0, 0.0], k=2, metric="cosine").collect()
+    assert [r.vec_id for r in out] == [0, 1]
+    assert out[0]["_distance"] == pytest.approx(0.0, abs=1e-12)
+    # numpy path agrees with expression path
+    out2 = knn_bruteforce(df, "v", [1.0, 0.0, 0.0], k=2, metric="cosine", use_numpy=True).collect()
+    assert [r.vec_id for r in out2] == [0, 1]
+    for a, b in zip(out, out2):
+        assert a["_distance"] == pytest.approx(b["_distance"], abs=1e-9)
+
+
+def test_knn_l2_and_dot(spark):
+    from lance_spark.operators.knn import knn_bruteforce
+
+    rows = [Row(vec_id=i, v=[float(i), 0.0]) for i in range(5)]
+    df = spark.createDataFrame(rows)
+    out = knn_bruteforce(df, "v", [2.1, 0.0], k=2, metric="l2").collect()
+    assert [r.vec_id for r in out] == [2, 3]
+    out = knn_bruteforce(df, "v", [1.0, 0.0], k=1, metric="dot").collect()
+    assert out[0].vec_id == 4  # max dot product
+
+
+def test_bm25_ranking(spark, docs):
+    from lance_spark.operators.fts import bm25_search
+
+    out = bm25_search(docs, "text", "id", ["spark"], k=3).collect()
+    ids = [r.id for r in out]
+    assert set(ids) == {4, 5}
+    # doc 5 is shorter → higher bm25 for same tf
+    assert ids[0] == 5
+
+
+def test_phrase_and_boolean(spark, docs):
+    from lance_spark.operators.fts import boolean_search, phrase_match
+
+    hits = {r.id for r in phrase_match(docs, "text", "id", "quick brown fox").collect()}
+    assert hits == {1, 2, 3}
+    assert phrase_match(docs, "text", "id", "fox brown").count() == 0  # order matters
+    out = boolean_search(docs, "text", "id", must=["spark"], must_not=["engines"]).collect()
+    assert {r.id for r in out} == {5}
+
+
+def test_text_functions(spark):
+    from lance_spark.functions.text import (
+        contains_tokens,
+        fingerprint,
+        lang_id,
+        punct_ratio,
+        quality_score,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="The quick, brown fox!"),
+            Row(id=2, t="el la de que y los amigos"),
+            Row(id=3, t="zzz qqq xxx"),
+        ]
+    )
+    got = df.select(
+        "id",
+        token_count("t").alias("n"),
+        lang_id("t").alias("lang"),
+        F.round(punct_ratio("t"), 3).alias("punct"),
+        fingerprint("t").alias("fp"),
+        contains_tokens("t", "FOX").alias("has_fox"),
+    ).collect()
+    by_id = {r.id: r for r in got}
+    assert by_id[1].n == 4
+    assert by_id[1].lang == "en"
+    assert by_id[2].lang == "es"
+    assert by_id[3].lang == "und"
+    assert by_id[1].has_fox is True
+    assert by_id[2].has_fox is False
+    # fingerprint is canonicalization-invariant
+    df2 = spark.createDataFrame([Row(id=1, t="the QUICK brown... fox")])
+    fp2 = df2.select(fingerprint("t").alias("fp")).first().fp
+    assert fp2 == by_id[1].fp
+
+
+def test_embedding_neardup(spark):
+    from lance_spark.operators.dedup import embedding_neardup_pairs
+
+    rows = [
+        Row(id=1, v=[1.0, 0.0]),
+        Row(id=2, v=[0.99, 0.01]),
+        Row(id=3, v=[0.0, 1.0]),
+    ]
+    out = embedding_neardup_pairs(spark.createDataFrame(rows), "v", "id", min_cosine=0.9).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
