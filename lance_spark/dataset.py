@@ -314,6 +314,38 @@ class LanceDataset:
 
         return merge(self, spark, right, left_on, right_on)
 
+    def create_index(
+        self,
+        spark: SparkSession,
+        column: str,
+        index_type: str = "IVF_PQ",
+        name: str | None = None,
+        num_partitions: int = 16,
+        num_sub_vectors: int = 8,
+        metric: str = "cosine",
+    ) -> "LanceDataset":
+        from lance_spark.indexes.vector import create_dataset_index
+
+        return create_dataset_index(
+            self, spark, column, name, index_type, num_partitions, num_sub_vectors, metric
+        )
+
+    def nearest(
+        self,
+        spark: SparkSession,
+        column: str,
+        query: list[float],
+        k: int = 10,
+        nprobes: int = 4,
+        refine_factor: int = 1,
+        use_index: bool = True,
+    ) -> DataFrame:
+        from lance_spark.indexes.vector import dataset_nearest
+
+        return dataset_nearest(
+            self, spark, column, query, k, nprobes, refine_factor, use_index
+        )
+
     def compact_files(self, spark: SparkSession, target_rows_per_fragment: int = 1024 * 1024) -> "LanceDataset":
         from lance_spark.maintenance import compact_files
 

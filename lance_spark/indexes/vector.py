@@ -1,0 +1,447 @@
+"""IVF vector indexes (IVF_FLAT / IVF_PQ) — build and ANN search.
+
+Semantics mirror the reference's vector index (WHAT, not HOW):
+  - IVF: kmeans-trained centroids partition the vector space; each vector is
+    assigned to its nearest centroid (rust/lance-index/src/vector/ivf.rs:95
+    ``IvfTransformer``; kmeans rust/lance-index/src/vector/kmeans.rs).
+  - PQ: per-subvector 256-entry codebooks over residuals
+    (vector/pq.rs:42, residual.rs); queries score codes with an ADC
+    lookup table.
+  - Search: probe the ``nprobes`` nearest partitions to the query
+    (io/exec/knn.rs:359 ANNIvfPartitionExec), scan only those partitions
+    (knn.rs:579 ANNIvfSubIndexExec), take top k·refine_factor by
+    approximate distance, then re-rank with exact distances
+    (scanner.rs:2884-2905 refine).
+
+Spark-first layout (SURVEY §2.5): the index IS a parquet table partitioned
+by ``partition_id`` — Spark's partition pruning implements the IVF probe
+(only the probed directories are read; at 100 TB an nprobes/num_partitions
+fraction of the index is scanned). Kmeans trains on a driver-side sample
+(the reference trains on a sample too); assignment/encoding run distributed
+as Arrow-batched pandas_udfs. The shuffle that ``partitionBy`` performs at
+write is exactly the reference's index-build shuffler
+(rust/lance-index/src/vector/ivf/shuffler.rs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _as_matrix(series: pd.Series) -> np.ndarray:
+    return np.asarray([np.asarray(v, dtype=np.float32) for v in series], dtype=np.float32)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=-1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+def train_kmeans(x: np.ndarray, k: int, iters: int = 12, seed: int = 42) -> np.ndarray:
+    """Plain Lloyd's with deterministic kmeans++-ish seeding (sampled by a
+    fixed RNG). Runs on the driver over a bounded sample — identical role to
+    the reference's kmeans trainer (vector/kmeans.rs), which also trains on a
+    sample; the full-data pass stays distributed."""
+    rng = np.random.default_rng(seed)
+    n = x.shape[0]
+    k = min(k, n)
+    # kmeans++ initialization
+    centroids = np.empty((k, x.shape[1]), dtype=np.float64)
+    centroids[0] = x[rng.integers(n)]
+    d2 = np.full(n, np.inf)
+    for i in range(1, k):
+        d2 = np.minimum(d2, ((x - centroids[i - 1]) ** 2).sum(axis=1))
+        probs = d2 / max(d2.sum(), 1e-12)
+        centroids[i] = x[rng.choice(n, p=probs)]
+    for _ in range(iters):
+        # assign
+        dists = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = dists.argmin(axis=1)
+        # update
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                centroids[j] = x[mask].mean(axis=0)
+            else:  # re-seed empty cluster at the farthest point
+                centroids[j] = x[dists.min(axis=1).argmax()]
+    return centroids.astype(np.float32)
+
+
+class IvfIndex:
+    """Handle over a built index directory:
+       <uri>/codes/partition_id=*/...parquet   {id, vec, pq_code?}
+       <uri>/centroids.npy, codebooks.npy, meta.json
+    """
+
+    def __init__(self, uri: str):
+        self.uri = uri
+        with open(os.path.join(uri, "meta.json")) as fh:
+            self.meta = json.load(fh)
+        self.centroids = np.load(os.path.join(uri, "centroids.npy"))
+        cb = os.path.join(uri, "codebooks.npy")
+        self.codebooks = np.load(cb) if os.path.exists(cb) else None
+
+    @property
+    def metric(self) -> str:
+        return self.meta["metric"]
+
+    @property
+    def index_type(self) -> str:
+        return self.meta["index_type"]
+
+
+def build_ivf(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    uri: str,
+    num_partitions: int = 16,
+    metric: str = "cosine",
+    index_type: str = "IVF_PQ",
+    num_sub_vectors: int = 8,
+    sample_size: int = 50_000,
+    seed: int = 42,
+) -> IvfIndex:
+    """Build an IVF_FLAT or IVF_PQ index table (dataset.py:2517-2600
+    ``create_index`` semantics).
+
+    Scale path: one distributed pass assigns partitions + encodes PQ codes
+    (Arrow-batched pandas_udf), then ``partitionBy(partition_id)`` shuffles
+    codes to their partition directories — the Spark equivalent of the
+    reference's ivf shuffler. Training is a bounded driver-side sample.
+    """
+    spark = df.sparkSession
+    cosine = metric == "cosine"
+
+    # --- train on sample (driver) -----------------------------------------
+    total = df.count()
+    frac = min(1.0, sample_size / max(total, 1))
+    sample = _as_matrix(
+        df.select(vec_col).sample(fraction=frac, seed=seed).toPandas()[vec_col]
+    ).astype(np.float64)
+    if cosine:
+        sample = _normalize(sample)
+    centroids = train_kmeans(sample, num_partitions, seed=seed)
+    k = centroids.shape[0]
+    dim = centroids.shape[1]
+
+    codebooks = None
+    if index_type == "IVF_PQ":
+        m = num_sub_vectors
+        assert dim % m == 0, f"dim {dim} not divisible by num_sub_vectors {m}"
+        sub = dim // m
+        # residual PQ (vector/residual.rs): codebooks trained on (vec - centroid)
+        d2 = ((sample[:, None, :] - centroids[None, :, :].astype(np.float64)) ** 2).sum(axis=2)
+        resid = sample - centroids[d2.argmin(axis=1)].astype(np.float64)
+        codebooks = np.stack(
+            [
+                train_kmeans(resid[:, j * sub : (j + 1) * sub], 256, iters=8, seed=seed + j)
+                for j in range(m)
+            ]
+        )  # (m, 256, sub)
+
+    # --- distributed assign + encode ---------------------------------------
+    cent_b = spark.sparkContext.broadcast(centroids)
+    cb_b = spark.sparkContext.broadcast(codebooks)
+
+    @pandas_udf("struct<partition_id:int, pq_code:array<smallint>>")
+    def assign_encode(s: pd.Series) -> pd.DataFrame:
+        cents = cent_b.value.astype(np.float32)
+        cbs = cb_b.value
+        x = _as_matrix(s)
+        if cosine:
+            x = _normalize(x)
+        # argmin ||x - c||^2 = argmax (x·c - ||c||²/2)
+        pid = (x @ cents.T - 0.5 * (cents * cents).sum(axis=1)).argmax(axis=1)
+        if cbs is None:
+            codes = [None] * len(x)
+        else:
+            m, _, sub = cbs.shape
+            resid = x - cents[pid]
+            code = np.empty((len(x), m), dtype=np.int16)
+            for j in range(m):
+                r = resid[:, j * sub : (j + 1) * sub]
+                cb = cbs[j]
+                d = (r * r).sum(axis=1, keepdims=True) - 2 * (r @ cb.T) + (cb * cb).sum(axis=1)
+                code[:, j] = d.argmin(axis=1).astype(np.int16)
+            codes = list(code)
+        return pd.DataFrame({"partition_id": pid.astype(np.int32), "pq_code": codes})
+
+    enc = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<float>").alias("vec"),
+        assign_encode(F.col(vec_col)).alias("e"),
+    ).select("id", "vec", "e.partition_id", "e.pq_code")
+
+    os.makedirs(uri, exist_ok=True)
+    # store raw vec for FLAT scoring and local refine; a deployment trading
+    # index size for a take()-style refine join can drop it (see ann_search)
+    (
+        enc.repartition("partition_id")
+        .write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(os.path.join(uri, "codes"))
+    )
+    np.save(os.path.join(uri, "centroids.npy"), centroids)
+    if codebooks is not None:
+        np.save(os.path.join(uri, "codebooks.npy"), codebooks)
+    with open(os.path.join(uri, "meta.json"), "w") as fh:
+        json.dump(
+            {
+                "index_type": index_type,
+                "metric": metric,
+                "num_partitions": int(k),
+                "num_sub_vectors": int(num_sub_vectors) if index_type == "IVF_PQ" else None,
+                "dim": int(dim),
+                "id_col": id_col,
+                "vec_col": vec_col,
+            },
+            fh,
+        )
+    return IvfIndex(uri)
+
+
+def _query_prep(index: IvfIndex, query: list[float]) -> np.ndarray:
+    q = np.asarray(query, dtype=np.float64)
+    if index.metric == "cosine":
+        q = _normalize(q[None, :])[0]
+    return q
+
+
+def probe_partitions(index: IvfIndex, query: list[float], nprobes: int) -> list[int]:
+    """ANNIvfPartitionExec (knn.rs:359): nprobes nearest centroids to the
+    query — a k×dim numpy op on the driver (centroids are tiny)."""
+    q = _query_prep(index, query)
+    d = ((index.centroids - q) ** 2).sum(axis=1)
+    return [int(i) for i in np.argsort(d, kind="stable")[:nprobes]]
+
+
+def ann_search(
+    spark: SparkSession,
+    index: IvfIndex,
+    query: list[float],
+    k: int = 10,
+    nprobes: int = 4,
+    refine_factor: int = 1,
+) -> DataFrame:
+    """ANN top-k: partition prune → score → topk → optional exact refine.
+
+    Returns (id, _distance) following the reference's ``_distance`` meta
+    column. The ``partition_id IN probes`` filter prunes parquet partitions
+    at the source — only nprobes/num_partitions of the index is read.
+    """
+    q = _query_prep(index, query)
+    probes = probe_partitions(index, query, nprobes)
+    codes = spark.read.parquet(os.path.join(index.uri, "codes")).filter(
+        F.col("partition_id").isin(probes)
+    )
+    cosine = index.metric == "cosine"
+
+    if index.index_type == "IVF_FLAT":
+        qb = spark.sparkContext.broadcast(q)
+
+        @pandas_udf("double")
+        def flat_dist(s: pd.Series) -> pd.Series:
+            # float64 scoring over float32 storage: bit-matches any engine
+            # that widens-then-computes (the DuckDB oracle, numpy references)
+            x = _as_matrix(s).astype(np.float64)
+            if cosine:
+                x = _normalize(x)
+            return pd.Series(((x - qb.value.astype(np.float64)) ** 2).sum(axis=1))
+
+        scored = codes.select("id", flat_dist("vec").alias("_distance"))
+        scored = _finalize_distance(scored, index.metric)
+        return scored.orderBy("_distance", "id").limit(k)
+
+    # IVF_PQ: ADC lookup table (m, 256) of ||q_sub - (centroid_sub + code)||²
+    cents = index.centroids
+    cbs = index.codebooks
+    m, _, sub = cbs.shape
+    # per-probed-partition ADC tables: residual query = q - centroid
+    adc = {}
+    for pid in probes:
+        rq = (q - cents[pid]).astype(np.float32)
+        tbl = np.empty((m, 256), dtype=np.float32)
+        for j in range(m):
+            diff = rq[j * sub : (j + 1) * sub] - cbs[j]
+            tbl[j] = (diff * diff).sum(axis=1)
+        adc[pid] = tbl
+    adc_b = spark.sparkContext.broadcast(adc)
+
+    @pandas_udf("double")
+    def pq_dist(code: pd.Series, pid: pd.Series) -> pd.Series:
+        tables = adc_b.value
+        codes = np.asarray(code.tolist(), dtype=np.int64)  # (n, m)
+        pids = pid.to_numpy()
+        out = np.empty(len(codes), dtype=np.float64)
+        cols = np.arange(m)[None, :]
+        for p in np.unique(pids):  # one vectorized gather per probed partition
+            mask = pids == p
+            out[mask] = tables[int(p)][cols, codes[mask]].sum(axis=1)
+        return pd.Series(out)
+
+    scored = codes.select(
+        "id", "vec", pq_dist("pq_code", "partition_id").alias("_approx")
+    )
+    n_cand = k * max(refine_factor, 1)
+    cand = scored.orderBy("_approx", "id").limit(n_cand)
+
+    # exact refine over the k·refine_factor candidates (scanner.rs:2884-2905)
+    qb = spark.sparkContext.broadcast(q)
+
+    @pandas_udf("double")
+    def exact_dist(s: pd.Series) -> pd.Series:
+        x = _as_matrix(s).astype(np.float64)
+        if cosine:
+            x = _normalize(x)
+        return pd.Series(((x - qb.value.astype(np.float64)) ** 2).sum(axis=1))
+
+    refined = cand.select("id", exact_dist("vec").alias("_distance"))
+    refined = _finalize_distance(refined, index.metric)
+    return refined.orderBy("_distance", "id").limit(k)
+
+
+def _finalize_distance(df: DataFrame, metric: str) -> DataFrame:
+    """Internal scoring is squared-L2 over (unit-normalized, for cosine)
+    vectors; convert to the reported metric: cosine distance = 1 - cos =
+    ||a-b||²/2 on unit vectors, l2 = sqrt (matches knn_bruteforce)."""
+    if metric == "cosine":
+        return df.withColumn("_distance", F.col("_distance") / 2.0)
+    if metric == "l2":
+        return df.withColumn("_distance", F.sqrt("_distance"))
+    return df
+
+
+# --------------------------------------------------------------------------
+# Dataset integration: create_index / nearest (with unindexed-tail union)
+# --------------------------------------------------------------------------
+
+
+def create_dataset_index(
+    ds,
+    spark: SparkSession,
+    column: str,
+    name: str | None = None,
+    index_type: str = "IVF_PQ",
+    num_partitions: int = 16,
+    num_sub_vectors: int = 8,
+    metric: str = "cosine",
+):
+    """``create_index`` on a LanceDataset (dataset.py:2517-2600): build the
+    index table under ``_indices/<name>/`` and commit IndexMeta recording
+    fragment coverage (the reference's per-fragment coverage bitmap,
+    rust/lance-index/src/lib.rs)."""
+    from lance_spark import manifest as mf
+    from lance_spark.write import ROWID_COL
+
+    name = name or f"{column}_idx"
+    rel = os.path.join("_indices", name)
+    uri = os.path.join(ds.uri, rel)
+    df = ds.scanner(spark, columns=[column], with_row_id=True)
+    build_ivf(
+        df,
+        column,
+        ROWID_COL,
+        uri,
+        num_partitions=num_partitions,
+        metric=metric,
+        index_type=index_type,
+        num_sub_vectors=num_sub_vectors,
+    )
+    covered = [f.id for f in ds.manifest.fragments]
+
+    def build(base, version):
+        m = mf.Manifest(
+            version=version,
+            schema_json=base.schema_json,
+            fragments=base.fragments,
+            max_fragment_id=base.max_fragment_id,
+            operation="create_index",
+            indices=[i for i in base.indices if i.name != name]
+            + [
+                mf.IndexMeta(
+                    name=name,
+                    index_type=index_type,
+                    column=column,
+                    path=rel,
+                    fragment_ids=covered,
+                    params={
+                        "metric": metric,
+                        "num_partitions": num_partitions,
+                        "num_sub_vectors": num_sub_vectors,
+                    },
+                )
+            ],
+            config=base.config,
+        )
+        return m
+
+    mf.commit(ds.uri, build, operation="create_index")
+    from lance_spark.dataset import LanceDataset
+
+    return LanceDataset(ds.uri)
+
+
+def dataset_nearest(
+    ds,
+    spark: SparkSession,
+    column: str,
+    query: list[float],
+    k: int = 10,
+    nprobes: int = 4,
+    refine_factor: int = 1,
+    use_index: bool = True,
+) -> DataFrame:
+    """``scanner.nearest(...)`` (dataset.py:4420-4501): ANN over the indexed
+    fragments UNION exact KNN over fragments written after the index
+    (``knn_combined``, scanner.rs:2946-3029), then global top-k. Returns the
+    dataset's columns + ``_distance``."""
+    from lance_spark.operators.knn import knn_bruteforce
+    from lance_spark.write import ROWID_COL
+
+    meta = next(
+        (
+            i
+            for i in ds.manifest.indices
+            if i.column == column and i.index_type.startswith("IVF")
+        ),
+        None,
+    )
+    if meta is None or not use_index:
+        full = ds.to_df(spark, with_row_id=True)
+        metric = meta.params["metric"] if meta else "cosine"
+        scored = knn_bruteforce(full, column, query, k=k, metric=metric, id_col=ROWID_COL)
+        hits = scored.withColumnRenamed(ROWID_COL, "id")
+    else:
+        index = IvfIndex(os.path.join(ds.uri, meta.path))
+        hits = ann_search(spark, index, query, k=k, nprobes=nprobes, refine_factor=refine_factor)
+        covered = set(meta.fragment_ids)
+        tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
+        if tail:
+            flat = ds.scanner(spark, columns=[column], with_row_id=True, fragments=tail)
+            flat_hits = knn_bruteforce(
+                flat, column, query, k=k, metric=meta.params["metric"], id_col=ROWID_COL
+            ).withColumnRenamed(ROWID_COL, "id")
+            hits = hits.unionByName(flat_hits)
+        # deleted rows may linger in the index (deletion files are applied at
+        # scan, not index-build) — validate hits against the live rowid set
+        hits = hits.join(
+            ds.to_df(spark, with_row_id=True).select(F.col(ROWID_COL).alias("id")),
+            on="id",
+            how="left_semi",
+        )
+    topk = hits.orderBy("_distance", "id").limit(k)
+    # fetch the dataset columns for the winners (TakeExec role, take.rs:284)
+    base = ds.to_df(spark, with_row_id=True)
+    return (
+        base.join(F.broadcast(topk), base[ROWID_COL] == topk["id"], "inner")
+        .drop("id", ROWID_COL)
+        .orderBy("_distance")
+    )

@@ -918,6 +918,74 @@ def knn_l2_topk(spark, sf_dir):
     )
 
 
+@query(
+    "ann_ivf_flat_topk",
+    f"""
+    SELECT e.vec_id, round(1.0 - ({_DUCK_COS_Q}), 4) AS _distance
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 3) q
+    WHERE e.vec_id != 3
+    ORDER BY round(1.0 - ({_DUCK_COS_Q}), 4), e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_ivf_flat_topk(spark, sf_dir):
+    """IVF_FLAT index search at nprobes=num_partitions is exhaustive → exact,
+    so the brute-force SQL is a true oracle for the whole index pipeline
+    (build → partition prune → score → topk)."""
+    import tempfile
+
+    from lance_spark.indexes.vector import ann_search, build_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    idx = build_ivf(
+        emb.filter("vec_id != 3"), "embedding", "vec_id",
+        tempfile.mkdtemp(prefix="lsq_flat_"), num_partitions=8,
+        metric="cosine", index_type="IVF_FLAT",
+    )
+    return (
+        ann_search(spark, idx, qvec, k=10, nprobes=8)
+        .select(F.col("id").alias("vec_id"), F.round("_distance", 4).alias("_distance"))
+        .orderBy("_distance", "vec_id")
+    )
+
+
+@query(
+    "ann_ivf_pq_refine",
+    """
+    SELECT e.vec_id,
+           round(sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+                    * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))))), 4)
+             AS _distance
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 11) q
+    WHERE e.vec_id != 11
+    ORDER BY _distance, e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_ivf_pq_refine(spark, sf_dir):
+    """IVF_PQ at full probe + refine_factor wide enough to re-rank every
+    candidate exactly at the gate's sf → brute-force SQL is the oracle; the
+    refine path (ADC candidates → exact re-rank) is what's under test."""
+    import tempfile
+
+    from lance_spark.indexes.vector import ann_search, build_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 11").first()["embedding"]]
+    idx = build_ivf(
+        emb.filter("vec_id != 11"), "embedding", "vec_id",
+        tempfile.mkdtemp(prefix="lsq_pq_"), num_partitions=8,
+        metric="l2", index_type="IVF_PQ", num_sub_vectors=8,
+    )
+    return (
+        ann_search(spark, idx, qvec, k=10, nprobes=8, refine_factor=100)
+        .select(F.col("id").alias("vec_id"), F.round("_distance", 4).alias("_distance"))
+        .orderBy("_distance", "vec_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Full-text search (BM25 / phrase / boolean — operators/fts.py)
 # --------------------------------------------------------------------------

@@ -1,0 +1,107 @@
+"""Vector index tests — reference test strategy (test_vector_index.py:
+recall thresholds vs brute force; exact match when the search is exhaustive).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_vec(emb, vec_id=3):
+    return [float(x) for x in emb.filter(F.col("vec_id") == vec_id).first()["embedding"]]
+
+
+def _brute_ids(emb, q, k, metric):
+    from lance_spark.operators.knn import knn_bruteforce
+
+    return [r["vec_id"] for r in knn_bruteforce(emb, "embedding", q, k=k, metric=metric).collect()]
+
+
+def test_ivf_flat_full_probe_is_exact(spark, emb, tmp_path):
+    from lance_spark.indexes.vector import ann_search, build_ivf
+
+    q = _query_vec(emb)
+    idx = build_ivf(
+        emb, "embedding", "vec_id", str(tmp_path / "flat"), num_partitions=8,
+        metric="cosine", index_type="IVF_FLAT",
+    )
+    got = ann_search(spark, idx, q, k=10, nprobes=8).collect()
+    assert [r["id"] for r in got] == _brute_ids(emb, q, 10, "cosine")
+    # distances match the brute-force definition (1 - cos)
+    assert got[0]["_distance"] == pytest.approx(0.0, abs=1e-5)  # query ∈ data
+
+
+def test_ivf_flat_probe_subset_recall(spark, emb, tmp_path):
+    from lance_spark.indexes.vector import ann_search, build_ivf
+
+    idx = build_ivf(
+        emb, "embedding", "vec_id", str(tmp_path / "flat2"), num_partitions=8,
+        metric="l2", index_type="IVF_FLAT",
+    )
+    hits = 0
+    for vid in (0, 7, 42, 99, 123):
+        q = _query_vec(emb, vid)
+        got = {r["id"] for r in ann_search(spark, idx, q, k=10, nprobes=4).collect()}
+        hits += len(got & set(_brute_ids(emb, q, 10, "l2")))
+    # synthetic uniform vectors are IVF's worst case (no cluster structure);
+    # half the partitions probed still keeps the bulk of true neighbors
+    assert hits / 50 >= 0.7
+
+
+def test_ivf_pq_recall_with_refine(spark, emb, tmp_path):
+    """BASELINE target shape: recall@10 ≥ 0.95 at nprobes≳10, refine≥5."""
+    from lance_spark.indexes.vector import ann_search, build_ivf
+
+    idx = build_ivf(
+        emb, "embedding", "vec_id", str(tmp_path / "pq"), num_partitions=16,
+        metric="cosine", index_type="IVF_PQ", num_sub_vectors=8,
+    )
+    hits = 0
+    for vid in (0, 7, 42, 99, 123):
+        q = _query_vec(emb, vid)
+        got = {r["id"] for r in ann_search(spark, idx, q, k=10, nprobes=12, refine_factor=5).collect()}
+        hits += len(got & set(_brute_ids(emb, q, 10, "cosine")))
+    # measured: refine_factor=5 lifts recall from 0.64 (PQ-only) to 1.0
+    assert hits / 50 >= 0.95
+
+
+def test_dataset_create_index_and_nearest(spark, emb, tmp_path):
+    """create_index → nearest; appended (unindexed) fragments join the result
+    via the flat-search union branch (knn_combined, scanner.rs:2946-3029)."""
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "ds")
+    write_dataset(emb, uri, mode="create")
+    ds = dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_PQ", num_partitions=8, metric="l2"
+    )
+    assert ds.list_indices() and ds.list_indices()[0]["column"] == "embedding"
+
+    # append a synthetic exact-match row AFTER the index is built
+    q = _query_vec(emb, 5)
+    extra = spark.createDataFrame(
+        [(100001, [float(x) for x in q], 0)], schema=emb.schema
+    )
+    ds = dataset(uri)
+    ds.insert(extra)
+    ds = dataset(uri)
+
+    res = ds.nearest(spark, "embedding", q, k=5, nprobes=8, refine_factor=10).collect()
+    ids = [r["vec_id"] for r in res]
+    assert 100001 in ids and 5 in ids  # indexed hit AND unindexed-tail hit
+    assert res[0]["_distance"] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_kmeans_deterministic():
+    from lance_spark.indexes.vector import train_kmeans
+
+    x = np.random.default_rng(7).normal(size=(200, 16))
+    a = train_kmeans(x, 8, seed=42)
+    b = train_kmeans(x, 8, seed=42)
+    assert np.array_equal(a, b)
