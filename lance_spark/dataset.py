@@ -330,6 +330,37 @@ class LanceDataset:
             self, spark, column, name, index_type, num_partitions, num_sub_vectors, metric
         )
 
+    def create_scalar_index(
+        self, spark: SparkSession, column: str, kind: str, name: str | None = None, params: dict | None = None
+    ) -> "LanceDataset":
+        from lance_spark.indexes.scalar import create_scalar_index
+
+        return create_scalar_index(self, spark, column, kind, name, params)
+
+    def scan_with_index(
+        self, spark: SparkSession, filter: str, columns: list[str] | None = None  # noqa: A002
+    ) -> DataFrame:
+        from lance_spark.indexes.scalar import scan_with_index
+
+        return scan_with_index(self, spark, filter, columns)
+
+    def drop_index(self, name: str) -> "LanceDataset":
+        from lance_spark import manifest as mf
+
+        def build(base, version):
+            return mf.Manifest(
+                version=version,
+                schema_json=base.schema_json,
+                fragments=base.fragments,
+                max_fragment_id=base.max_fragment_id,
+                operation="drop_index",
+                indices=[i for i in base.indices if i.name != name],
+                config=base.config,
+            )
+
+        mf.commit(self.uri, build, operation="drop_index")
+        return LanceDataset(self.uri)
+
     def nearest(
         self,
         spark: SparkSession,

@@ -1,0 +1,222 @@
+"""INVERTED (full-text) index: persisted positional postings + BM25 search.
+
+Reference semantics (rust/lance-index/src/scalar/inverted/):
+  - postings with positions (builder.rs), doc-length table, BM25 k1=1.2
+    b=0.75 (scorer.rs:24-25);
+  - queries: Match (OR of terms), Phrase (positions intersect, slop=0),
+    Boolean should/must/must_not (query.rs:75-597), Boost (fts.rs:729);
+  - fragments written after the index get the flat-match fallback
+    (FlatMatchQueryExec, fts.rs:332) — here: on-the-fly postings over the
+    uncovered fragments unioned into one global scoring pass, so BM25
+    statistics stay corpus-wide (scanner.rs:2280-2392 coverage split).
+
+Layout: ``_indices/<name>/postings`` {token, id, tf, positions} and
+``_indices/<name>/doclens`` {id, dl}. At query time only the query terms'
+postings rows are read — the token filter pushes into parquet (dictionary +
+stats skipping), the Spark analogue of a postings-list seek. No WAND
+needed: scoring the exact candidate set is a batch join, and the index
+table is ~tokens×docs rows of 4 small columns, partition-parallel.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_spark.functions.text import tokenize
+from lance_spark.operators.fts import BM25_B, BM25_K1, bm25_score_expr
+from lance_spark.write import ROWID_COL
+
+
+def _positional_postings(df: DataFrame, text_col: str, id_col: str) -> tuple[DataFrame, DataFrame]:
+    """(postings{token,id,tf,positions}, doclens{id,dl}) from raw text."""
+    toks = df.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("toks"))
+    doclens = toks.select("id", F.size("toks").alias("dl"))
+    postings = (
+        toks.select("id", F.posexplode("toks").alias("pos", "token"))
+        .groupBy("token", "id")
+        .agg(F.count("*").alias("tf"), F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+    return postings, doclens
+
+
+def create_inverted_index(ds, spark: SparkSession, column: str, name: str | None = None):
+    """``create_scalar_index(col, "INVERTED")`` (dataset.py:2229-2330)."""
+    from lance_spark import manifest as mf
+    from lance_spark.dataset import LanceDataset
+
+    name = name or f"{column}_inverted_idx"
+    rel = os.path.join("_indices", name)
+    uri = os.path.join(ds.uri, rel)
+    df = ds.scanner(spark, columns=[column], with_row_id=True)
+    postings, doclens = _positional_postings(df, column, ROWID_COL)
+    postings.write.mode("overwrite").parquet(os.path.join(uri, "postings"))
+    doclens.write.mode("overwrite").parquet(os.path.join(uri, "doclens"))
+    covered = [f.id for f in ds.manifest.fragments]
+
+    def build(base, version):
+        return mf.Manifest(
+            version=version,
+            schema_json=base.schema_json,
+            fragments=base.fragments,
+            max_fragment_id=base.max_fragment_id,
+            operation="create_index",
+            indices=[i for i in base.indices if i.name != name]
+            + [
+                mf.IndexMeta(
+                    name=name,
+                    index_type="INVERTED",
+                    column=column,
+                    path=rel,
+                    fragment_ids=covered,
+                    params={"k1": BM25_K1, "b": BM25_B},
+                )
+            ],
+            config=base.config,
+        )
+
+    mf.commit(ds.uri, build, operation="create_index")
+    return LanceDataset(ds.uri)
+
+
+def _index_tables(ds, spark: SparkSession, meta) -> tuple[DataFrame, DataFrame]:
+    """Index postings/doclens UNION flat postings over uncovered fragments —
+    the knn_combined analogue for FTS."""
+    base = os.path.join(ds.uri, meta.path)
+    postings = spark.read.parquet(os.path.join(base, "postings"))
+    doclens = spark.read.parquet(os.path.join(base, "doclens"))
+    covered = set(meta.fragment_ids)
+    tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
+    if tail:
+        flat = ds.scanner(spark, columns=[meta.column], with_row_id=True, fragments=tail)
+        p2, d2 = _positional_postings(flat, meta.column, ROWID_COL)
+        postings = postings.unionByName(p2)
+        doclens = doclens.unionByName(d2)
+    # deletions after index build: the live doclens set gates scoring
+    live = ds.to_df(spark, with_row_id=True).select(F.col(ROWID_COL).alias("id"))
+    return postings.join(live, "id", "left_semi"), doclens.join(live, "id", "left_semi")
+
+
+def _bm25(postings: DataFrame, doclens: DataFrame, terms: list[str]) -> DataFrame:
+    """One global scoring pass → (id, _score) for an OR-of-terms match."""
+    stats = doclens.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    qp = postings.filter(F.col("token").isin([t.lower() for t in terms]))
+    dfreq = qp.groupBy("token").agg(F.count("*").alias("df"))
+    return (
+        qp.join(F.broadcast(dfreq), "token")
+        .join(doclens, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf", F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .withColumn("s", bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), F.col("avgdl")))
+        .groupBy("id")
+        .agg(F.sum("s").alias("_score"))
+    )
+
+
+def match_query(ds, spark: SparkSession, terms: list[str], column: str | None = None, k: int = 10) -> DataFrame:
+    """MatchQueryExec (fts.rs:70): BM25 top-k through the index."""
+    meta = _find(ds, column)
+    postings, doclens = _index_tables(ds, spark, meta)
+    scored = _bm25(postings, doclens, terms)
+    return (
+        scored.select("id", F.round("_score", 4).alias("_score"))
+        .orderBy(F.desc("_score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def phrase_query(ds, spark: SparkSession, phrase: str, column: str | None = None) -> DataFrame:
+    """PhraseQueryExec (fts.rs:501), slop=0: consecutive-position intersect
+    over the positional postings (wand.rs positions path)."""
+    meta = _find(ds, column)
+    postings, _ = _index_tables(ds, spark, meta)
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        return spark.createDataFrame([], "id long")
+    cur = (
+        postings.filter(F.col("token") == terms[0])
+        .select("id", F.col("positions").alias("pos"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("token") == t).select(
+            "id", F.col("positions").alias(f"pos{i}")
+        )
+        cur = (
+            cur.join(nxt, "id")
+            # keep start positions whose (start+i) appears in term i's positions
+            .withColumn(
+                "pos",
+                F.filter(
+                    F.col("pos"),
+                    lambda p: F.array_contains(F.col(f"pos{i}"), p + i),
+                ),
+            )
+            .filter(F.size("pos") > 0)
+            .drop(f"pos{i}")
+        )
+    return cur.select("id")
+
+
+def boolean_query(
+    ds,
+    spark: SparkSession,
+    column: str | None = None,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """BooleanQueryExec (fts.rs:904): must=semi-join, must_not=anti-join,
+    should∪must=scoring terms."""
+    meta = _find(ds, column)
+    postings, doclens = _index_tables(ds, spark, meta)
+    base = doclens.select("id")
+    for t in must or []:
+        base = base.join(
+            postings.filter(F.col("token") == t.lower()).select("id"), "id", "left_semi"
+        )
+    for t in must_not or []:
+        base = base.join(
+            postings.filter(F.col("token") == t.lower()).select("id"), "id", "left_anti"
+        )
+    terms = (should or []) + (must or [])
+    scored = _bm25(postings.join(base, "id", "left_semi"), doclens.join(base, "id", "left_semi"), terms)
+    return (
+        scored.select("id", F.round("_score", 4).alias("_score"))
+        .orderBy(F.desc("_score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def boost_query(
+    ds,
+    spark: SparkSession,
+    positive: list[str],
+    negative: list[str],
+    negative_boost: float = 0.5,
+    column: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """BoostQueryExec (fts.rs:729): score = pos_score - negative_boost·neg_score."""
+    meta = _find(ds, column)
+    postings, doclens = _index_tables(ds, spark, meta)
+    pos = _bm25(postings, doclens, positive).withColumnRenamed("_score", "p")
+    neg = _bm25(postings, doclens, negative).withColumnRenamed("_score", "n")
+    return (
+        pos.join(neg, "id", "left_outer")
+        .select(
+            "id",
+            F.round(F.col("p") - F.lit(negative_boost) * F.coalesce("n", F.lit(0.0)), 4).alias("_score"),
+        )
+        .orderBy(F.desc("_score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def _find(ds, column: str | None):
+    for i in ds.manifest.indices:
+        if i.index_type == "INVERTED" and (column is None or i.column == column):
+            return i
+    raise ValueError(f"no INVERTED index on {column or '<any>'}")

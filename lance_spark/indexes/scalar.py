@@ -1,0 +1,330 @@
+"""Scalar secondary indexes: BTREE, BITMAP, LABEL_LIST, NGRAM, ZONEMAP,
+BLOOMFILTER.
+
+Reference semantics (rust/lance-index/src/scalar/): each index answers a
+``SargableQuery`` — Range / IsIn / Equals / IsNull / TextContains
+(scalar.rs:350-362) — with either an EXACT row-id set or an INEXACT
+candidate set that must be rechecked against the original predicate
+(expression.rs "recheck" marking; our ``IndexResult.exact`` flag).
+
+Spark-first shapes:
+  - BTREE (btree.rs:756)       → parquet {value, _rowid} sorted by value;
+    range/eq/in queries push a filter on ``value`` into the parquet scan
+    (row-group stats make this a log-ish seek, the role of the sorted runs).
+  - BITMAP (bitmap.rs:97)      → parquet {value, rowids array<long>} — one
+    row per distinct value, for low-cardinality columns.
+  - LABEL_LIST (label_list.rs) → BITMAP over exploded list elements;
+    answers array_has_any / array_has_all.
+  - NGRAM (ngram.rs:261)       → parquet {gram, _rowid} of char trigrams;
+    answers contains() INEXACTLY (candidates must recheck).
+  - ZONEMAP (zonemap.rs:101)   → parquet {fragment_id, min, max, null_count}
+    per fragment-chunk; prunes fragments, INEXACT by construction.
+  - BLOOMFILTER (bloomfilter.rs:75) → per-fragment bit arrays; INEXACT
+    equality/IN pruning.
+
+The index tables are tiny relative to data (value+rowid columns only) and
+partition-prunable; building each is one distributed pass over the column.
+At 100 TB the win is identical to the reference's: a prefilter row-id set
+(or fragment subset) computed from an index table orders of magnitude
+smaller than the base table, fed into ``scanner(prefilter_rowids=...)`` /
+``scanner(fragments=...)``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_spark.write import FRAGID_SHIFT, ROWID_COL
+
+
+@dataclass
+class IndexResult:
+    """Outcome of an index probe: row ids (exact or candidate) or a fragment
+    subset, plus whether the original predicate must be re-applied."""
+
+    rowids: DataFrame | None = None  # column: _rowid
+    fragments: list[int] | None = None  # fragment-granular prune
+    exact: bool = False
+
+
+# ------------------------------------------------------------------ builders
+
+
+def _scan_col(ds, spark: SparkSession, column: str) -> DataFrame:
+    return ds.scanner(spark, columns=[column], with_row_id=True)
+
+
+def build_scalar_index(ds, spark: SparkSession, column: str, kind: str, uri: str, params: dict | None = None) -> dict:
+    """One distributed pass over (column, _rowid) → index parquet at uri.
+    Returns the params dict recorded in IndexMeta."""
+    params = dict(params or {})
+    df = _scan_col(ds, spark, column)
+    kind = kind.upper()
+    if kind == "BTREE":
+        (
+            df.select(F.col(column).alias("value"), ROWID_COL)
+            .repartitionByRange(max(df.sparkSession.sparkContext.defaultParallelism, 1), "value")
+            .sortWithinPartitions("value")
+            .write.mode("overwrite")
+            .parquet(uri)
+        )
+    elif kind == "BITMAP":
+        (
+            df.groupBy(F.col(column).alias("value"))
+            .agg(F.sort_array(F.collect_list(ROWID_COL)).alias("rowids"))
+            .write.mode("overwrite")
+            .parquet(uri)
+        )
+    elif kind == "LABEL_LIST":
+        (
+            df.select(F.explode(column).alias("value"), F.col(ROWID_COL))
+            .groupBy("value")
+            .agg(F.sort_array(F.collect_list(ROWID_COL)).alias("rowids"))
+            .write.mode("overwrite")
+            .parquet(uri)
+        )
+    elif kind == "NGRAM":
+        n = int(params.setdefault("n", 3))
+        # char n-grams via expr-form transform (substring needs a positional arg)
+        grams = F.expr(
+            f"transform(sequence(1, greatest(length(lower({column})) - {n - 1}, 0)),"
+            f" i -> substring(lower({column}), i, {n}))"
+        )
+        (
+            df.select(F.explode(F.array_distinct(grams)).alias("gram"), F.col(ROWID_COL))
+            .write.mode("overwrite")
+            .parquet(uri)
+        )
+    elif kind == "ZONEMAP":
+        (
+            df.withColumn("fragment_id", F.shiftright(F.col(ROWID_COL), FRAGID_SHIFT))
+            .groupBy("fragment_id")
+            .agg(
+                F.min(column).alias("min"),
+                F.max(column).alias("max"),
+                F.sum(F.when(F.col(column).isNull(), 1).otherwise(0)).alias("null_count"),
+            )
+            .write.mode("overwrite")
+            .parquet(uri)
+        )
+    elif kind == "BLOOMFILTER":
+        # per-fragment set of xxhash64(value) mod nbits — bloom semantics
+        # (membership may false-positive on hash collision, never false-negative)
+        nbits = int(params.setdefault("nbits", 1 << 16))
+        (
+            df.withColumn("fragment_id", F.shiftright(F.col(ROWID_COL), FRAGID_SHIFT))
+            .select("fragment_id", F.col(column).cast("string").alias("value"))
+            .withColumn("h", F.xxhash64("value"))
+            .groupBy("fragment_id")
+            .agg(F.collect_set(F.pmod(F.col("h"), F.lit(nbits))).alias("bit_idx"))
+            .write.mode("overwrite")
+            .parquet(uri)
+        )
+    else:
+        raise ValueError(f"unknown scalar index type {kind}")
+    return params
+
+
+def create_scalar_index(ds, spark: SparkSession, column: str, kind: str, name: str | None = None, params: dict | None = None):
+    """dataset.py:2229-2330 ``create_scalar_index``: build + commit IndexMeta."""
+    from lance_spark import manifest as mf
+    from lance_spark.dataset import LanceDataset
+
+    kind = kind.upper()
+    name = name or f"{column}_{kind.lower()}_idx"
+    rel = os.path.join("_indices", name)
+    uri = os.path.join(ds.uri, rel)
+    params = build_scalar_index(ds, spark, column, kind, uri, params)
+    covered = [f.id for f in ds.manifest.fragments]
+
+    def build(base, version):
+        return mf.Manifest(
+            version=version,
+            schema_json=base.schema_json,
+            fragments=base.fragments,
+            max_fragment_id=base.max_fragment_id,
+            operation="create_index",
+            indices=[i for i in base.indices if i.name != name]
+            + [mf.IndexMeta(name=name, index_type=kind, column=column, path=rel, fragment_ids=covered, params=params)],
+            config=base.config,
+        )
+
+    mf.commit(ds.uri, build, operation="create_index")
+    return LanceDataset(ds.uri)
+
+
+# ------------------------------------------------------------------- queries
+
+
+def _load(spark: SparkSession, ds, meta) -> DataFrame:
+    return spark.read.parquet(os.path.join(ds.uri, meta.path))
+
+
+def query_index(ds, spark: SparkSession, meta, op: str, value) -> IndexResult:
+    """Answer a SargableQuery against one index (scalar.rs:350-362).
+
+    op ∈ {'=', '<', '<=', '>', '>=', 'between', 'in', 'is_null',
+          'contains', 'array_has_any', 'array_has_all'};
+    value: literal | (lo, hi) | list.
+    """
+    kind = meta.index_type
+    idx = _load(spark, ds, meta)
+    if kind == "BTREE":
+        v = F.col("value")
+        if op == "=":
+            hit = idx.filter(v == value)
+        elif op == "<":
+            hit = idx.filter(v < value)
+        elif op == "<=":
+            hit = idx.filter(v <= value)
+        elif op == ">":
+            hit = idx.filter(v > value)
+        elif op == ">=":
+            hit = idx.filter(v >= value)
+        elif op == "between":
+            hit = idx.filter(v.between(value[0], value[1]))
+        elif op == "in":
+            hit = idx.filter(v.isin(list(value)))
+        elif op == "is_null":
+            hit = idx.filter(v.isNull())
+        else:
+            raise ValueError(f"BTREE cannot answer {op}")
+        return IndexResult(rowids=hit.select(ROWID_COL), exact=True)
+    if kind in ("BITMAP", "LABEL_LIST"):
+        v = F.col("value")
+        if op in ("=", "contains"):  # contains = LABEL_LIST array_contains
+            hit = idx.filter(v == value)
+        elif op in ("in", "array_has_any"):
+            hit = idx.filter(v.isin(list(value)))
+        elif op == "is_null":
+            hit = idx.filter(v.isNull())
+        elif op == "array_has_all":
+            # intersect the per-label rowid sets
+            res = None
+            for label in value:
+                s = idx.filter(v == label).select(F.explode("rowids").alias(ROWID_COL))
+                res = s if res is None else res.join(s, ROWID_COL, "left_semi")
+            return IndexResult(rowids=res, exact=True)
+        else:
+            raise ValueError(f"{kind} cannot answer {op}")
+        return IndexResult(
+            rowids=hit.select(F.explode("rowids").alias(ROWID_COL)).distinct(), exact=True
+        )
+    if kind == "NGRAM":
+        if op != "contains":
+            raise ValueError("NGRAM answers contains() only")
+        n = int(meta.params.get("n", 3))
+        needle = str(value).lower()
+        grams = [needle[i : i + n] for i in range(max(len(needle) - n + 1, 0))] or [needle]
+        res = None
+        for g in set(grams):
+            s = idx.filter(F.col("gram") == g).select(ROWID_COL)
+            res = s if res is None else res.join(s, ROWID_COL, "left_semi")
+        # candidates contain all grams but maybe not contiguously → recheck
+        return IndexResult(rowids=res, exact=False)
+    if kind == "ZONEMAP":
+        mn, mx = F.col("min"), F.col("max")
+        if op == "=":
+            keep = idx.filter((mn <= value) & (mx >= value))
+        elif op == "between":
+            keep = idx.filter((mn <= value[1]) & (mx >= value[0]))
+        elif op in ("<", "<="):
+            keep = idx.filter(mn <= value)
+        elif op in (">", ">="):
+            keep = idx.filter(mx >= value)
+        elif op == "in":
+            cond = None
+            for x in value:
+                c = (mn <= x) & (mx >= x)
+                cond = c if cond is None else (cond | c)
+            keep = idx.filter(cond)
+        elif op == "is_null":
+            keep = idx.filter(F.col("null_count") > 0)
+        else:
+            raise ValueError(f"ZONEMAP cannot answer {op}")
+        frs = [r["fragment_id"] for r in keep.select("fragment_id").collect()]
+        return IndexResult(fragments=frs, exact=False)
+    if kind == "BLOOMFILTER":
+        if op not in ("=", "in"):
+            raise ValueError("BLOOMFILTER answers =/in only")
+        vals = [value] if op == "=" else list(value)
+        nbits = int(meta.params["nbits"])
+        probe = (
+            spark.createDataFrame([(str(v),) for v in vals], ["value"])
+            .select(F.pmod(F.xxhash64("value"), F.lit(nbits)).alias("bit"))
+        )
+        hit = idx.join(
+            F.broadcast(probe), F.array_contains(F.col("bit_idx"), F.col("bit")), "left_semi"
+        )
+        frs = [r["fragment_id"] for r in hit.select("fragment_id").distinct().collect()]
+        return IndexResult(fragments=frs, exact=False)
+    raise ValueError(f"unknown index type {kind}")
+
+
+# --------------------------------------------------- filter → index splitting
+
+
+_SIMPLE = re.compile(
+    r"^\s*`?(?P<col>\w+)`?\s*(?P<op>>=|<=|==|=|<|>)\s*(?P<lit>'[^']*'|[-0-9.]+)\s*$"
+)
+
+
+def _parse_lit(s: str):
+    if s.startswith("'"):
+        return s[1:-1]
+    return float(s) if "." in s else int(s)
+
+
+def split_filter(ds, filter_sql: str) -> tuple[list[tuple], str | None]:
+    """The reference's index-query extraction (expression.rs:1549-1671),
+    scoped to top-level AND conjuncts of simple comparisons. Returns
+    ([(index_meta, op, value)], refine_sql). Conjuncts that no index covers
+    stay in the refine filter; inexact indexes keep their conjunct in the
+    refine filter too (the 'recheck' marking)."""
+    by_col = {}
+    for m in ds.manifest.indices:
+        if m.index_type in ("BTREE", "BITMAP", "ZONEMAP", "BLOOMFILTER"):
+            by_col.setdefault(m.column, m)
+    probes, refine = [], []
+    for conj in re.split(r"\s+AND\s+", filter_sql, flags=re.IGNORECASE):
+        m = _SIMPLE.match(conj)
+        meta = by_col.get(m.group("col")) if m else None
+        if m and meta is not None:
+            op = "=" if m.group("op") == "==" else m.group("op")
+            exact_kind = meta.index_type in ("BTREE", "BITMAP")
+            if meta.index_type in ("BITMAP", "BLOOMFILTER") and op != "=":
+                refine.append(conj)
+                continue
+            probes.append((meta, op, _parse_lit(m.group("lit"))))
+            if not exact_kind:
+                refine.append(conj)  # recheck
+        else:
+            refine.append(conj)
+    return probes, (" AND ".join(refine) or None)
+
+
+def scan_with_index(ds, spark: SparkSession, filter_sql: str, columns: list[str] | None = None) -> DataFrame:
+    """Index-accelerated scan: probe indexes for AND-conjuncts, intersect the
+    row-id sets / fragment subsets, then scan with the refine filter
+    (FilteredReadExec + ScalarIndexExec composition, SURVEY §2.1)."""
+    probes, refine = split_filter(ds, filter_sql)
+    rowids = None
+    fragments = None
+    for meta, op, value in probes:
+        res = query_index(ds, spark, meta, op, value)
+        if res.rowids is not None:
+            rowids = res.rowids if rowids is None else rowids.join(res.rowids, ROWID_COL, "left_semi")
+        if res.fragments is not None:
+            fragments = res.fragments if fragments is None else [f for f in fragments if f in set(res.fragments)]
+    return ds.scanner(
+        spark,
+        columns=columns,
+        filter=refine,
+        fragments=fragments,
+        prefilter_rowids=rowids,
+    )

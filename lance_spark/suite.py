@@ -536,6 +536,173 @@ def run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Dataset lifecycle (SURVEY §2.4): the write/mutation surface, oracle-checked
+# by expressing the mutation's OUTCOME as plain SQL over the source table.
+# Each builds a throwaway dataset under /tmp from the driver's parquet.
+# --------------------------------------------------------------------------
+
+
+def _tmp_ds(spark, sf_dir, table, nparts=4):
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_ds_") + f"/{table}"
+    write_dataset(_t(spark, sf_dir, table).repartition(nparts), uri, mode="create")
+    return dataset(uri)
+
+
+@query(
+    "ds_delete_update",
+    """
+    SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'U' ELSE o_orderstatus END AS st,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE NOT (o_totalprice < 50000)
+    GROUP BY st
+    """,
+)
+def ds_delete_update(spark, sf_dir):
+    """delete(pred) + update(values, where) (dataset/write/{delete,update}.rs)
+    → outcome must equal the equivalent SELECT over the raw table."""
+    ds = _tmp_ds(spark, sf_dir, "orders")
+    ds = ds.delete(spark, "o_totalprice < 50000")
+    ds = ds.update(spark, {"o_orderstatus": "'U'"}, where="o_orderpriority = '1-URGENT'")
+    return (
+        ds.to_df(spark)
+        .groupBy(F.col("o_orderstatus").alias("st"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "ds_merge_upsert",
+    """
+    WITH target AS (SELECT * FROM orders WHERE o_orderkey < 5000),
+    source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                      o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+               FROM orders WHERE o_orderkey >= 2500 AND o_orderkey < 7500)
+    SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           round(coalesce(s.o_totalprice, t.o_totalprice), 2) AS price
+    FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def ds_merge_upsert(spark, sf_dir):
+    """merge_insert(on).when_matched_update_all().when_not_matched_insert_all()
+    (merge_insert.rs:204-284) ≡ FULL OUTER JOIN with source-wins routing."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    orders = _t(spark, sf_dir, "orders")
+    uri = tempfile.mkdtemp(prefix="lsq_merge_") + "/t"
+    write_dataset(orders.filter("o_orderkey < 5000").repartition(2), uri, mode="create")
+    source = orders.filter("o_orderkey >= 2500 AND o_orderkey < 7500").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    ds = dataset(uri)
+    ds = (
+        ds.merge_insert("o_orderkey")
+        .when_matched_update_all()
+        .when_not_matched_insert_all()
+        .execute(spark, source)
+    )
+    return ds.to_df(spark).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+
+
+@query(
+    "ds_time_travel",
+    """
+    SELECT count(*) AS v1_rows,
+           CAST(count(CASE WHEN o_orderstatus != 'F' THEN 1 END) AS BIGINT) AS v2_rows
+    FROM orders
+    """,
+)
+def ds_time_travel(spark, sf_dir):
+    """checkout_version after a delete: v1 sees all rows, v2 the survivors
+    (manifest-per-version time travel, dataset.py:2094-2153)."""
+    ds = _tmp_ds(spark, sf_dir, "orders")
+    v1 = ds.version
+    ds2 = ds.delete(spark, "o_orderstatus = 'F'")
+    old = ds2.checkout_version(v1)
+    return (
+        spark.range(1)
+        .select(
+            F.lit(old.count_rows()).alias("v1_rows"),
+            F.lit(ds2.count_rows()).alias("v2_rows"),
+        )
+    )
+
+
+@query(
+    "ds_add_columns",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice * 0.9), 2) AS discounted_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def ds_add_columns(spark, sf_dir):
+    """add_columns(sql transform) — horizontal schema evolution
+    (dataset/schema_evolution.rs:58-71): new column-group files, no rewrite."""
+    ds = _tmp_ds(spark, sf_dir, "orders")
+    ds = ds.add_columns(spark, {"discounted": "o_totalprice * 0.9"})
+    return (
+        ds.to_df(spark)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("discounted"), 2).alias("discounted_total"))
+    )
+
+
+@query(
+    "ds_compact_preserves",
+    """
+    SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key, CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_custkey % 3 != 0
+    """,
+)
+def ds_compact_preserves(spark, sf_dir):
+    """compact_files after a delete materializes deletions and rewrites small
+    fragments (dataset/optimize.rs:120-219) — content must be unchanged."""
+    ds = _tmp_ds(spark, sf_dir, "orders", nparts=8)
+    ds = ds.delete(spark, "o_custkey % 3 = 0")
+    ds = ds.compact_files(spark, target_rows_per_fragment=1_000_000)
+    return ds.to_df(spark).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@query(
+    "scalar_index_scan",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_totalprice > 250000 AND o_orderpriority = '5-LOW'
+    """,
+)
+def scalar_index_scan(spark, sf_dir):
+    """BTREE + BITMAP probes intersect to a prefilter row-id set; the refine
+    filter keeps only uncovered conjuncts (ScalarIndexExec + FilteredReadExec
+    composition, SURVEY §2.1)."""
+    ds = _tmp_ds(spark, sf_dir, "orders")
+    ds = ds.create_scalar_index(spark, "o_totalprice", "BTREE")
+    ds = ds.create_scalar_index(spark, "o_orderpriority", "BITMAP")
+    return ds.scan_with_index(
+        spark,
+        "o_totalprice > 250000 AND o_orderpriority = '5-LOW'",
+        columns=["o_orderkey", "o_custkey"],
+    )
+
+
+
+
+# --------------------------------------------------------------------------
 # LLM-data-pipeline operators: dedup / text analysis / KNN / FTS
 # (BASELINE.json north star; operators in lance_spark/operators/)
 # --------------------------------------------------------------------------
@@ -1078,4 +1245,31 @@ def fts_boolean(spark, sf_dir):
         should=["scan", "join"],
         must_not=["slow"],
         k=10,
+    )
+
+
+# --------------------------------------------------------------------------
+# Index-backed FTS (INVERTED index on a dataset; oracle = flat BM25 SQL)
+# --------------------------------------------------------------------------
+
+
+@query("fts_index_match", _bm25_oracle(["table", "scan", "join"]))
+def fts_index_match(spark, sf_dir):
+    """Persisted positional-postings index search must equal the flat BM25
+    oracle (same corpus, same stats) — the INVERTED index path end-to-end."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_inv_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text")
+    hits = match_query(ds, spark, ["table", "scan", "join"], k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
     )

@@ -1,0 +1,79 @@
+"""INVERTED index tests: index-backed results must equal the flat (unindexed)
+search — including after appends (coverage split) and deletes (live gating).
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_ds(spark, sf_dir, tmp_path_factory):
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path_factory.mktemp("inv") / "docs")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    write_dataset(docs.repartition(2), uri, mode="create")
+    from lance_spark.indexes.inverted import create_inverted_index
+
+    return create_inverted_index(dataset(uri), spark, "text")
+
+
+def test_match_equals_flat(spark, sf_dir, docs_ds):
+    from lance_spark.indexes.inverted import match_query
+    from lance_spark.operators.fts import bm25_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flat = bm25_search(docs, "text", "doc_id", ["table", "scan", "join"], k=10)
+    idx = match_query(docs_ds, spark, ["table", "scan", "join"], k=10)
+    # _rowid ↔ doc_id mapping: join back through the dataset
+    base = docs_ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    idx_docs = idx.join(base, idx.id == base._rowid).select("doc_id", "_score")
+    assert sorted(map(tuple, idx_docs.collect())) == sorted(
+        (r["doc_id"], r["_score"]) for r in flat.collect()
+    )
+
+
+def test_phrase_positions(spark, docs_ds, sf_dir):
+    from lance_spark.indexes.inverted import phrase_query
+    from lance_spark.operators.fts import phrase_match
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flat_ids = {r["doc_id"] for r in phrase_match(docs, "text", "doc_id", "key order").collect()}
+    base = docs_ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    idx = phrase_query(docs_ds, spark, "key order")
+    idx_ids = {
+        r["doc_id"] for r in idx.join(base, idx.id == base._rowid).select("doc_id").collect()
+    }
+    assert idx_ids == flat_ids and idx_ids  # non-empty at every sf
+
+
+def test_boolean_and_boost(spark, docs_ds):
+    from lance_spark.indexes.inverted import boolean_query, boost_query
+
+    res = boolean_query(
+        docs_ds, spark, must=["table"], should=["scan"], must_not=["slow"], k=5
+    ).collect()
+    assert res and all(r["_score"] > 0 for r in res)
+
+    b = boost_query(docs_ds, spark, positive=["table", "scan"], negative=["slow"], k=5).collect()
+    assert b and b[0]["_score"] >= b[-1]["_score"]
+
+
+def test_append_tail_flat_fallback(spark, docs_ds):
+    """Docs appended after index build are found via the flat branch."""
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import match_query
+
+    schema = docs_ds.schema
+    row = {f.name: None for f in schema.fields}
+    row.update(doc_id=999999, text="zanzibar zanzibar zanzibar unique token storm", lang="en", source="t")
+    extra = spark.createDataFrame([Row(**row)], schema=schema)
+    docs_ds.insert(extra)
+    ds2 = dataset(docs_ds.uri)
+
+    hits = match_query(ds2, spark, ["zanzibar"], k=5)
+    base = ds2.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    ids = {r["doc_id"] for r in hits.join(base, hits.id == base._rowid).select("doc_id").collect()}
+    assert ids == {999999}

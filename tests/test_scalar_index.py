@@ -1,0 +1,163 @@
+"""Scalar index tests — each index type × its SargableQuery surface,
+checked against a plain filtered scan (the reference's test_scalar_index.py
+strategy: every index must return exactly what the unindexed filter does).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def ds(spark, sf_dir, tmp_path_factory):
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path_factory.mktemp("scalar") / "orders_ds")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # several fragments so fragment-granular pruning is observable
+    write_dataset(orders.repartition(4), uri, mode="create")
+    return dataset(uri)
+
+
+def _truth(ds, spark, pred):
+    return {r["o_orderkey"] for r in ds.scanner(spark, filter=pred).select("o_orderkey").collect()}
+
+
+def test_btree_range_and_eq(spark, ds):
+    ds2 = ds.create_scalar_index(spark, "o_totalprice", "BTREE")
+    from lance_spark.indexes.scalar import query_index
+
+    meta = next(i for i in ds2.manifest.indices if i.index_type == "BTREE")
+    res = query_index(ds2, spark, meta, "between", (100000.0, 150000.0))
+    assert res.exact
+    got = {
+        r["o_orderkey"]
+        for r in ds2.scanner(spark, prefilter_rowids=res.rowids).select("o_orderkey").collect()
+    }
+    assert got == _truth(ds2, spark, "o_totalprice BETWEEN 100000.0 AND 150000.0")
+
+
+def test_bitmap_eq_in(spark, ds):
+    ds2 = ds.create_scalar_index(spark, "o_orderpriority", "BITMAP")
+    from lance_spark.indexes.scalar import query_index
+
+    meta = next(i for i in ds2.manifest.indices if i.index_type == "BITMAP")
+    res = query_index(ds2, spark, meta, "=", "1-URGENT")
+    assert res.exact
+    got = {
+        r["o_orderkey"]
+        for r in ds2.scanner(spark, prefilter_rowids=res.rowids).select("o_orderkey").collect()
+    }
+    assert got == _truth(ds2, spark, "o_orderpriority = '1-URGENT'")
+
+
+def test_zonemap_prunes_but_rechecks(spark, ds):
+    ds2 = ds.create_scalar_index(spark, "o_orderkey", "ZONEMAP")
+    from lance_spark.indexes.scalar import query_index
+
+    meta = next(i for i in ds2.manifest.indices if i.index_type == "ZONEMAP")
+    res = query_index(ds2, spark, meta, "=", 42)
+    assert not res.exact and res.fragments is not None
+    # pruned scan + recheck filter == truth
+    got = {
+        r["o_orderkey"]
+        for r in ds2.scanner(spark, filter="o_orderkey = 42", fragments=res.fragments)
+        .select("o_orderkey")
+        .collect()
+    }
+    assert got == {42}
+
+
+def test_bloom_membership(spark, ds):
+    ds2 = ds.create_scalar_index(spark, "o_custkey", "BLOOMFILTER")
+    from lance_spark.indexes.scalar import query_index
+
+    meta = next(i for i in ds2.manifest.indices if i.index_type == "BLOOMFILTER")
+    res = query_index(ds2, spark, meta, "=", 7)
+    assert not res.exact and res.fragments  # candidate fragments, recheck needed
+    got = {
+        r["o_orderkey"]
+        for r in ds2.scanner(spark, filter="o_custkey = 7", fragments=res.fragments)
+        .select("o_orderkey")
+        .collect()
+    }
+    assert got == _truth(ds2, spark, "o_custkey = 7")
+
+
+def test_ngram_contains(spark, sf_dir, tmp_path):
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.scalar import query_index
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "docs_ds")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    write_dataset(docs.repartition(2), uri, mode="create")
+    ds2 = dataset(uri).create_scalar_index(spark, "text", "NGRAM")
+    meta = next(i for i in ds2.manifest.indices if i.index_type == "NGRAM")
+    res = query_index(ds2, spark, meta, "contains", "spark")
+    assert not res.exact  # candidates must recheck contiguity
+    got = {
+        r["doc_id"]
+        for r in ds2.scanner(spark, filter="contains(lower(text), 'spark')", prefilter_rowids=res.rowids)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == {
+        r["doc_id"] for r in docs.filter(F.lower("text").contains("spark")).select("doc_id").collect()
+    }
+    # the candidate set is a superset of truth (no false negatives)
+    cand = {r["_rowid"] for r in res.rowids.collect()}
+    truth_ids = ds2.scanner(spark, filter="contains(lower(text), 'spark')", with_row_id=True)
+    assert {r["_rowid"] for r in truth_ids.select("_rowid").collect()} <= cand
+
+
+def test_label_list(spark, tmp_path):
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.scalar import query_index
+    from lance_spark.write import write_dataset
+
+    df = None
+    import pyspark.sql.types as T
+
+    spark_df = spark.createDataFrame(
+        [(1, ["red", "blue"]), (2, ["blue"]), (3, ["green", "red"]), (4, [])],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("tags", T.ArrayType(T.StringType())),
+            ]
+        ),
+    )
+    uri = str(tmp_path / "labels_ds")
+    write_dataset(spark_df, uri, mode="create")
+    ds2 = dataset(uri).create_scalar_index(spark, "tags", "LABEL_LIST")
+    meta = next(i for i in ds2.manifest.indices if i.index_type == "LABEL_LIST")
+
+    any_hit = query_index(ds2, spark, meta, "array_has_any", ["red", "green"])
+    got = {
+        r["id"]
+        for r in ds2.scanner(spark, prefilter_rowids=any_hit.rowids).select("id").collect()
+    }
+    assert got == {1, 3}
+
+    all_hit = query_index(ds2, spark, meta, "array_has_all", ["red", "blue"])
+    got = {
+        r["id"]
+        for r in ds2.scanner(spark, prefilter_rowids=all_hit.rowids).select("id").collect()
+    }
+    assert got == {1}
+
+
+def test_scan_with_index_splits_filter(spark, ds):
+    """Conjuncts covered by indexes become probes; the rest stays as the
+    refine filter — end result must equal the plain filtered scan."""
+    ds2 = ds.create_scalar_index(spark, "o_totalprice", "BTREE")
+    ds2 = ds2.create_scalar_index(spark, "o_orderpriority", "BITMAP")
+    pred = "o_totalprice > 250000 AND o_orderpriority = '5-LOW' AND o_custkey % 2 = 0"
+    got = {r["o_orderkey"] for r in ds2.scan_with_index(spark, pred).select("o_orderkey").collect()}
+    assert got == _truth(ds2, spark, pred)
+    assert got  # non-trivial
+
+    # drop_index removes it from the manifest
+    ds3 = ds2.drop_index(next(i.name for i in ds2.manifest.indices if i.index_type == "BITMAP"))
+    assert all(i.index_type != "BITMAP" for i in ds3.manifest.indices)
