@@ -123,17 +123,26 @@ class LanceDataset:
             sig = tuple(tuple(f.columns) for f in frag.files)
             by_layout.setdefault(sig, []).append(frag)
 
+        needed = set(columns) if columns is not None else set(self.columns)
+        # files keep physical names; manifest renames are metadata-only
+        # (schema_evolution.rs:74+) — translate logical→physical for pruning
+        renames = self.manifest.config.get("column_renames", {})
+        logical_to_phys = {v: k for k, v in renames.items()}
+        phys_needed = {logical_to_phys.get(c, c) for c in needed}
         pieces = []
         for sig, frags in by_layout.items():
-            n_groups = len(sig)
-            # primary group scan (contains original columns + _rowid)
-            base = self._read_files(spark, [fr.files[0].path for fr in frags])
-            for gi in range(1, n_groups):
+            # column-group pruning: read only the files that hold requested
+            # columns — a scan that skips the blob/wide group never opens it
+            # (late-materialization payoff, scanner.rs:1579-1654)
+            wanted = [gi for gi, cols in enumerate(sig) if phys_needed & set(cols)] or [0]
+            base = self._read_files(spark, [fr.files[wanted[0]].path for fr in frags])
+            for gi in wanted[1:]:
                 extra = self._read_files(spark, [fr.files[gi].path for fr in frags])
                 # column-group zip: equi-join on _rowid; co-partitioned by
                 # file so AQE turns this into a local join at scale
                 base = base.join(extra, on=ROWID_COL, how="inner")
-            pieces.append(base)
+            keep = [c for c in base.columns if c in phys_needed or c == ROWID_COL]
+            pieces.append(base.select(*keep))
         df = pieces[0]
         for p in pieces[1:]:
             df = df.unionByName(p, allowMissingColumns=False)
@@ -182,6 +191,19 @@ class LanceDataset:
         base_cols = None
         if isinstance(columns, list):
             base_cols = [c for c in columns if c in self.columns]
+        elif isinstance(columns, dict):
+            import re
+
+            refs = set()
+            for e in columns.values():
+                refs |= set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", e))
+            base_cols = [c for c in self.columns if c in refs]
+        if base_cols is not None and filter:
+            # filter columns must be scanned even when not projected
+            import re
+
+            refs = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", filter))
+            base_cols += [c for c in self.columns if c in refs and c not in base_cols]
         df = self._fragment_df(spark, frags, base_cols)
 
         if prefilter_rowids is not None:
@@ -247,6 +269,39 @@ class LanceDataset:
         df = self._fragment_df(spark, frags, columns if columns else None)
         df = df.filter(F.col(ROWID_COL).isin(rowids))
         return df.select(*(columns or self.columns), ROWID_COL)
+
+    # ------------------------------------------------------------ blobs
+
+    def _blob_files(self, column: str, fragments: list[mf.Fragment] | None = None) -> list[str]:
+        out = []
+        for frag in fragments if fragments is not None else self.manifest.fragments:
+            for f in frag.files[1:]:
+                if column in f.columns:
+                    out.append(f.path)
+        if not out:
+            raise ValueError(f"{column} is not a blob column")
+        return out
+
+    def blob_descriptors(self, spark: SparkSession, column: str) -> DataFrame:
+        """Blob scan without fetching bytes: {_rowid, size, file} descriptors
+        (BlobFile semantics, python/python/lance/blob.py — scans return
+        {position,size} and bytes are fetched lazily). Parquet column pruning
+        means the binary column is never read here."""
+        df = self._read_files(spark, self._blob_files(column))
+        return df.select(
+            ROWID_COL,
+            F.col(f"{column}_size").alias("size"),
+            F.input_file_name().alias("file"),
+        )
+
+    def take_blobs(self, spark: SparkSession, rowids: list[int], column: str) -> DataFrame:
+        """Fetch blob bytes for a rowid set (dataset.py:1439-1546 take_blobs):
+        fragment-prune → read only those fragments' blob files → rowid filter
+        (a ranged read of the out-of-line store)."""
+        fids = {rid >> FRAGID_SHIFT for rid in rowids}
+        frags = [f for f in self.manifest.fragments if f.id in fids]
+        df = self._read_files(spark, self._blob_files(column, frags))
+        return df.filter(F.col(ROWID_COL).isin(rowids)).select(ROWID_COL, column)
 
     # ------------------------------------------------------------ sql
 

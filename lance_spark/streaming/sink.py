@@ -1,0 +1,168 @@
+"""Structured Streaming ingest into a versioned dataset + stream operators.
+
+The reference has no streaming engine (SURVEY §2.8) — its closest construct
+is the MemWal metadata for an external write-ahead log
+(rust/lance-index/src/mem_wal.rs) plus conflict-retried commits. This module
+is our Spark-native extension: each micro-batch lands as immutable fragments
+followed by one manifest commit, so a streaming query produces exactly the
+same on-disk structure as batch writes — readable, time-travelable,
+compactable mid-stream.
+
+Exactly-once: foreachBatch may re-run a batch after failure; the committed
+manifest records ``stream_state[query_key] = last batch id`` and the writer
+skips batches at-or-below it (transactional sink via idempotent commit —
+the same trick Delta's foreachBatch idempotency uses, expressed on our
+manifest).  Orphan fragment files from a failed attempt stay uncommitted →
+invisible → GC'd by cleanup_old_versions, exactly like any aborted write.
+
+Watermark/window helpers wrap the stock Spark operators (window /
+session_window / applyInPandas*WithState) — at scale these are
+shuffle-on-key stateful aggs with RocksDB-backed state, nothing custom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lance_spark import manifest as mf
+from lance_spark.write import write_fragments
+
+
+def dataset_batch_writer(uri: str, query_key: str = "default"):
+    """foreachBatch callback: micro-batch → fragments + idempotent commit."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        os.makedirs(uri, exist_ok=True)
+        latest = mf.latest_version(uri)
+        base = mf.read_manifest(uri) if latest is not None else None
+        state_key = f"stream_state.{query_key}"
+        if base is not None:
+            last = int(base.config.get(state_key, -1))
+            if batch_id <= last:
+                return  # replayed batch — already committed
+        base_fid = (base.max_fragment_id + 1) if base is not None else 0
+        frags = write_fragments(batch_df, uri, base_fid)
+
+        def build(b: mf.Manifest | None, version: int) -> mf.Manifest:
+            if b is not None and int(b.config.get(state_key, -1)) >= batch_id:
+                raise mf.CommitConflictError("batch already committed")  # lost race
+            fragments = (b.fragments if b else []) + frags
+            cfg = dict(b.config) if b else {}
+            cfg[state_key] = batch_id
+            return mf.Manifest(
+                version=version,
+                schema_json=batch_df.schema.jsonValue(),
+                fragments=fragments,
+                max_fragment_id=max((f.id for f in fragments), default=-1),
+                operation="append",
+                indices=b.indices if b else [],
+                config=cfg,
+            )
+
+        try:
+            mf.commit(uri, build, operation="append")
+        except mf.CommitConflictError:
+            pass  # another attempt of this same batch won
+
+    return write_batch
+
+
+def write_stream(
+    sdf: DataFrame,
+    uri: str,
+    checkpoint_dir: str,
+    query_key: str = "default",
+    trigger_available_now: bool = False,
+    processing_time: str | None = None,
+):
+    """readStream → ... → write_stream(df, dataset_uri, ckpt): start the
+    streaming append into the dataset."""
+    w = (
+        sdf.writeStream.foreachBatch(dataset_batch_writer(uri, query_key))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    elif processing_time:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()
+
+
+# ------------------------------------------------------------ stream operators
+
+
+def tumbling_agg(
+    sdf: DataFrame,
+    ts_col: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    keys: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (late data beyond the
+    watermark is dropped; state is bounded)."""
+    aggs = aggs or [F.count("*").alias("n")]
+    out = (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *(keys or []))
+        .agg(*aggs)
+    )
+    agg_cols = [c for c in out.columns if c != "w" and c not in (keys or [])]
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *(keys or []),
+        *agg_cols,
+    )
+
+
+def session_agg(
+    sdf: DataFrame,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Session-window aggregation (gap-based sessions, built-in
+    session_window — the stateful operator Spark provides natively)."""
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), *(keys or []))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *(keys or []),
+            "n_events",
+        )
+    )
+
+
+def running_counts_stateful(sdf: DataFrame, key_col: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key running
+    event count that survives across micro-batches (the shape a bespoke
+    stream accumulator takes when window()/session_window() can't express
+    it)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n = sum(len(pdf) for pdf in pdf_iter)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame({"key": [key[0]], "total": [total]})
+
+    return (
+        sdf.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType="key string, total long",
+            stateStructType="total long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1273,3 +1273,85 @@ def fts_index_match(spark, sf_dir):
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary columns + streaming-shaped session windows
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_binary_stats",
+    """
+    SELECT source, count(*) AS n,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents GROUP BY source
+    """,
+)
+def multimodal_binary_stats(spark, sf_dir):
+    """Opaque-binary column handling with built-ins only: encode → byte
+    lengths aggregated. The binary stays JVM-side end-to-end."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.encode("text", "UTF-8").alias("payload"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.max(F.length("payload")).cast("long").alias("max_bytes"),
+        )
+    )
+
+
+@query("multimodal_decode_meta")  # no SQL oracle: mapInPandas codec plumbing
+def multimodal_decode_meta(spark, sf_dir):
+    """Decode-stub pipeline over fake encoded images derived from doc ids:
+    binary → metadata struct → aggregate. Deterministic but not
+    SQL-expressible (driver records the rows-only check)."""
+    from lance_spark.operators.multimodal import decode_image_meta
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(b"IMG0"),
+            # big-endian u32 width=64+doc_id%32, height=48, channels=3
+            F.expr("unhex(lpad(hex(64 + doc_id % 32), 8, '0'))"),
+            F.expr("unhex(lpad(hex(48), 8, '0'))"),
+            F.expr("unhex(lpad(hex(3), 8, '0'))"),
+            F.encode("text", "UTF-8"),
+        ).alias("img"),
+    )
+    return (
+        decode_image_meta(docs, "img")
+        .select("meta.width")
+        .groupBy("width")
+        .agg(F.count("*").alias("n"))
+        .orderBy("width")
+    )
+
+
+@query(
+    "events_session_window",
+    """
+    WITH x AS (
+      SELECT user_id, epoch_ns(ts) AS e,
+             lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS p
+      FROM events)
+    SELECT user_id,
+           CAST(1 + sum(CASE WHEN p IS NOT NULL AND e - p > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions
+    FROM x GROUP BY user_id
+    """,
+)
+def events_session_window(spark, sf_dir):
+    """Built-in session_window (gap-merge semantics) must produce the same
+    session count per user as the lag-based oracle — the batch-checkable
+    face of the streaming session operator (streaming/sink.py session_agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )

@@ -34,17 +34,25 @@ _META_SCHEMA = StructType(
         StructField("fragment_id", LongType()),
         StructField("path", StringType()),
         StructField("physical_rows", LongType()),
+        StructField("blob_path", StringType()),
     ]
 )
 
 
 def _fragment_writer(root: str, base_fragment_id: int, data_dir: str = "data",
-                     preserve_rowids: bool = False):
-    """Return a mapInArrow function writing one fragment per input partition."""
+                     preserve_rowids: bool = False, blob_cols: list[str] | None = None):
+    """Return a mapInArrow function writing one fragment per input partition.
+
+    ``blob_cols`` are split into a second column-group file per fragment
+    (out-of-line blob storage, rust/lance-core/src/datatypes.rs:29-75):
+    ``{_rowid, <col>, <col>_size}`` — scans that don't touch the blob never
+    read its file, and descriptor reads prune to the size column.
+    """
 
     def write_partition(batches):
         import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         from pyspark import TaskContext
 
@@ -53,8 +61,14 @@ def _fragment_writer(root: str, base_fragment_id: int, data_dir: str = "data",
         rel_path = os.path.join(data_dir, f"frag-{fragment_id}-{uuid.uuid4().hex}.parquet")
         abs_path = os.path.join(root, rel_path)
         os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+        rel_blob = (
+            os.path.join(data_dir, f"frag-{fragment_id}-blob-{uuid.uuid4().hex}.parquet")
+            if blob_cols
+            else None
+        )
 
         writer = None
+        blob_writer = None
         offset = 0
         for batch in batches:
             n = batch.num_rows
@@ -67,23 +81,40 @@ def _fragment_writer(root: str, base_fragment_id: int, data_dir: str = "data",
                     list(batch.columns) + [rowids],
                     schema=batch.schema.append(pa.field(ROWID_COL, pa.int64())),
                 )
+            if blob_cols:
+                rid = batch.column(batch.schema.get_field_index(ROWID_COL))
+                blob_arrays, blob_fields = [rid], [pa.field(ROWID_COL, pa.int64())]
+                for c in blob_cols:
+                    col = batch.column(batch.schema.get_field_index(c))
+                    blob_arrays += [col, pc.binary_length(col).cast(pa.int64())]
+                    blob_fields += [batch.schema.field(c), pa.field(f"{c}_size", pa.int64())]
+                blob_batch = pa.RecordBatch.from_arrays(blob_arrays, schema=pa.schema(blob_fields))
+                keep = [i for i, f in enumerate(batch.schema) if f.name not in blob_cols]
+                batch = batch.select(keep)
+                if blob_writer is None:
+                    blob_writer = pq.ParquetWriter(
+                        os.path.join(root, rel_blob), blob_batch.schema, compression="zstd"
+                    )
+                blob_writer.write_batch(blob_batch)
             if writer is None:
                 writer = pq.ParquetWriter(abs_path, batch.schema, compression="zstd")
             writer.write_batch(batch)
             offset += n
         if writer is not None:
             writer.close()
+        if blob_writer is not None:
+            blob_writer.close()
+        meta_schema = pa.schema(
+            [pa.field("fragment_id", pa.int64()), pa.field("path", pa.string()),
+             pa.field("physical_rows", pa.int64()), pa.field("blob_path", pa.string())])
         if offset == 0:
             # empty partition → no fragment
-            yield pa.RecordBatch.from_pylist([], schema=pa.schema(
-                [pa.field("fragment_id", pa.int64()), pa.field("path", pa.string()),
-                 pa.field("physical_rows", pa.int64())]))
+            yield pa.RecordBatch.from_pylist([], schema=meta_schema)
             return
         yield pa.RecordBatch.from_pylist(
-            [{"fragment_id": fragment_id, "path": rel_path, "physical_rows": offset}],
-            schema=pa.schema(
-                [pa.field("fragment_id", pa.int64()), pa.field("path", pa.string()),
-                 pa.field("physical_rows", pa.int64())]),
+            [{"fragment_id": fragment_id, "path": rel_path,
+              "physical_rows": offset, "blob_path": rel_blob}],
+            schema=meta_schema,
         )
 
     return write_partition
@@ -95,6 +126,7 @@ def write_fragments(
     base_fragment_id: int,
     max_rows_per_fragment: int | None = None,
     preserve_rowids: bool = False,
+    blob_columns: list[str] | None = None,
 ) -> list[mf.Fragment]:
     """Write df's partitions as fragments; return metadata (no commit).
 
@@ -113,21 +145,26 @@ def write_fragments(
         df = df.repartition(parts)
     meta_rows = (
         df.mapInArrow(
-            _fragment_writer(root, base_fragment_id, preserve_rowids=preserve_rowids),
+            _fragment_writer(
+                root, base_fragment_id, preserve_rowids=preserve_rowids,
+                blob_cols=blob_columns,
+            ),
             _META_SCHEMA,
         )
         .collect()
     )
-    user_cols = [c for c in df.columns if c != ROWID_COL]
-    frags = [
-        mf.Fragment(
-            id=r.fragment_id,
-            files=[mf.DataFile(path=r.path, columns=user_cols)],
-            physical_rows=r.physical_rows,
+    blob_set = set(blob_columns or [])
+    user_cols = [c for c in df.columns if c != ROWID_COL and c not in blob_set]
+    frags = []
+    for r in meta_rows:
+        if r.physical_rows == 0:
+            continue
+        files = [mf.DataFile(path=r.path, columns=user_cols)]
+        if r.blob_path:
+            files.append(mf.DataFile(path=r.blob_path, columns=sorted(blob_set)))
+        frags.append(
+            mf.Fragment(id=r.fragment_id, files=files, physical_rows=r.physical_rows)
         )
-        for r in meta_rows
-        if r.physical_rows > 0
-    ]
     return sorted(frags, key=lambda f: f.id)
 
 
@@ -136,6 +173,7 @@ def write_dataset(
     uri: str,
     mode: str = "create",
     max_rows_per_fragment: int | None = None,
+    blob_columns: list[str] | None = None,
 ):
     """modes per rust/lance/src/dataset/write.rs:115-131: create/append/overwrite."""
     from lance_spark.dataset import LanceDataset
@@ -160,7 +198,12 @@ def write_dataset(
                 f"{[f['name'] for f in base.schema_json['fields']]}, df has {df.columns}"
             )
 
-    frags = write_fragments(df, uri, base_fragment_id, max_rows_per_fragment)
+    if mode == "append" and existing is not None and not blob_columns:
+        blob_columns = mf.read_manifest(uri).blob_columns or None
+
+    frags = write_fragments(
+        df, uri, base_fragment_id, max_rows_per_fragment, blob_columns=blob_columns
+    )
 
     def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
         if mode == "append" and base is not None:
@@ -184,6 +227,7 @@ def write_dataset(
             operation=mode,
             indices=indices,
             config=cfg,
+            blob_columns=sorted(blob_columns) if blob_columns else [],
         )
 
     mf.commit(uri, build, operation=mode)

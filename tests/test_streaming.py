@@ -1,0 +1,134 @@
+"""Structured Streaming tests: file-source micro-batches → dataset commits
+(one version per batch, exactly-once), windowed/session/stateful operators
+checked against their batch equivalents.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _events(spark, sf_dir):
+    # load_table converts the TIMESTAMP(NANOS) ts column to TimestampType
+    from lance_spark.io import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+@pytest.fixture()
+def events_stream_dir(spark, sf_dir, tmp_path):
+    """Split events into 3 files in a fresh dir → 3 micro-batches with
+    maxFilesPerTrigger=1."""
+    src = str(tmp_path / "in")
+    _events(spark, sf_dir).repartition(3).write.parquet(src)
+    return src
+
+
+def _events_schema(spark, sf_dir):
+    return _events(spark, sf_dir).schema
+
+
+def test_stream_ingest_commits_versions(spark, sf_dir, events_stream_dir, tmp_path):
+    from lance_spark.dataset import dataset
+    from lance_spark.streaming.sink import write_stream
+
+    uri = str(tmp_path / "ds")
+    sdf = (
+        spark.readStream.schema(_events_schema(spark, sf_dir))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    q = write_stream(sdf, uri, str(tmp_path / "ckpt"), trigger_available_now=True)
+    q.awaitTermination(120)
+
+    ds = dataset(uri)
+    total = _events(spark, sf_dir).count()
+    assert ds.count_rows() == total
+    # one commit per non-empty micro-batch, time-travelable
+    assert len(ds.versions()) >= 2
+    v1 = ds.checkout_version(1)
+    assert 0 < v1.count_rows() < total
+
+    # restart with same checkpoint: no new data → no duplicate rows
+    q2 = write_stream(sdf, uri, str(tmp_path / "ckpt"), trigger_available_now=True)
+    q2.awaitTermination(120)
+    assert dataset(uri).count_rows() == total
+
+
+def test_batch_writer_idempotent(spark, sf_dir, tmp_path):
+    from lance_spark.dataset import dataset
+    from lance_spark.streaming.sink import dataset_batch_writer
+
+    uri = str(tmp_path / "ds2")
+    ev = _events(spark, sf_dir).limit(100)
+    w = dataset_batch_writer(uri)
+    w(ev, 0)
+    w(ev, 0)  # replay of same batch id must be a no-op
+    w(ev, 1)
+    assert dataset(uri).count_rows() == 200
+
+
+def test_tumbling_agg_matches_batch(spark, sf_dir, events_stream_dir, tmp_path):
+    from lance_spark.streaming.sink import tumbling_agg
+
+    sdf = (
+        spark.readStream.schema(_events_schema(spark, sf_dir))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    windowed = tumbling_agg(
+        sdf, "ts", window="1 hour", watermark="30 minutes",
+        keys=["event_type"], aggs=[F.count("*").alias("n")],
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_test").collect()
+    }
+    batch = (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    want = {(r["ws"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want
+
+
+def test_stateful_running_counts(spark, sf_dir, events_stream_dir, tmp_path):
+    from lance_spark.streaming.sink import running_counts_stateful
+
+    sdf = (
+        spark.readStream.schema(_events_schema(spark, sf_dir))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    counts = running_counts_stateful(sdf.select(F.col("event_type").cast("string")), "event_type")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted total per key == batch count (state carried across batches)
+    rows = spark.sql("SELECT key, max(total) AS total FROM state_test GROUP BY key").collect()
+    got = {r["key"]: r["total"] for r in rows}
+    want = {
+        r["event_type"]: r["n"]
+        for r in _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
