@@ -77,11 +77,10 @@ def bm25_search(
         .groupBy("id")
         .agg(F.round(F.sum("term_score"), 4).alias("_score"))
     )
-    return (
-        scored.select(F.col("id").alias(id_col), "_score")
-        .orderBy(F.desc("_score"), F.asc(id_col))
-        .limit(k)
+    out = scored.select(F.col("id").alias(id_col), "_score").orderBy(
+        F.desc("_score"), F.asc(id_col)
     )
+    return out if k is None else out.limit(k)
 
 
 def phrase_match(df: DataFrame, text_col: str, id_col: str, phrase: str) -> DataFrame:
@@ -93,6 +92,34 @@ def phrase_match(df: DataFrame, text_col: str, id_col: str, phrase: str) -> Data
     return df.filter(
         F.concat(F.lit(" "), canon, F.lit(" ")).contains(f" {needle} ")
     ).select(F.col(id_col))
+
+
+def multi_match(
+    df: DataFrame,
+    field_cols: list[str],
+    id_col: str,
+    query_terms: list[str],
+    boosts: list[float] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """MultiMatchQuery (rust/lance-index/src/scalar/inverted/query.rs:
+    MultiMatchQuery): the same term set scored per field, combined as a
+    boost-weighted sum (dis-max=false semantics). Each field gets its own
+    postings/doclens statistics."""
+    boosts = boosts or [1.0] * len(field_cols)
+    combined = None
+    for col, boost in zip(field_cols, boosts):
+        # k=None: no per-field truncation, so combined ranking is exact
+        s = bm25_search(df, col, id_col, query_terms, k=None).select(
+            F.col(id_col), (F.col("_score") * boost).alias("_s")
+        )
+        combined = s if combined is None else combined.unionByName(s)
+    return (
+        combined.groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 4).alias("_score"))
+        .orderBy(F.desc("_score"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def boolean_search(

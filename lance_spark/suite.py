@@ -1355,3 +1355,190 @@ def events_session_window(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count("*").alias("n_sessions"))
     )
+
+
+# --------------------------------------------------------------------------
+# Coverage extensions: distance-range KNN, percentiles, multi-field FTS,
+# JSON surface, merge(right), computed-projection scanner
+# --------------------------------------------------------------------------
+
+
+@query(
+    "knn_distance_range",
+    f"""
+    SELECT e.vec_id, round(1.0 - ({_DUCK_COS_Q}), 4) AS _distance
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 5) q
+    WHERE e.vec_id != 5
+      AND round(1.0 - ({_DUCK_COS_Q}), 4) >= 0.3
+      AND round(1.0 - ({_DUCK_COS_Q}), 4) < 0.45
+    """,
+)
+def knn_distance_range(spark, sf_dir):
+    """distance_range variant (scanner.rs:1087): all rows whose distance to
+    the query falls in [lo, hi) — a filter, not a top-k."""
+    from lance_spark.functions.vector import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 5").first()["embedding"]]
+    q = F.array(*[F.lit(x) for x in qvec])
+    d = F.round(1.0 - cosine_sim(F.col("embedding").cast("array<double>"), q), 4)
+    return (
+        emb.filter("vec_id != 5")
+        .select("vec_id", d.alias("_distance"))
+        .filter((F.col("_distance") >= 0.3) & (F.col("_distance") < 0.45))
+    )
+
+
+@query(
+    "agg_percentile",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    # exact linear-interpolation percentile on both engines
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        )
+    )
+
+
+@query("agg_approx_distinct")  # approx sketches differ per engine: rows-only
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++) — value is engine-specific, so the
+    driver's rows-only check applies; the exact variant is oracle-checked in
+    text_token_stats."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
+    )
+
+
+def _multi_match_oracle() -> str:
+    # per-field BM25 (exact bm25_search math) with boosts 1.0 / 2.0
+    def field_cte(col, alias):
+        return f"""
+    {alias}_tok AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col=col)} AS w FROM documents),
+    {alias}_dl AS (SELECT id, len(w) AS dl FROM {alias}_tok),
+    {alias}_stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM {alias}_dl),
+    {alias}_post AS (SELECT id, unnest(w) AS token FROM {alias}_tok),
+    {alias}_tfq AS (SELECT token, id, count(*) AS tf FROM {alias}_post
+                    WHERE token IN ('data', 'web') GROUP BY 1, 2),
+    {alias}_dfq AS (SELECT token, count(*) AS df FROM {alias}_tfq GROUP BY token),
+    {alias}_sc AS (SELECT id,
+                  round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                        * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS s
+           FROM {alias}_tfq JOIN {alias}_dfq USING (token) JOIN {alias}_dl USING (id)
+           CROSS JOIN {alias}_stats GROUP BY id)"""
+
+    return f"""
+    WITH {field_cte('text', 'a')},
+    {field_cte('source', 'b')},
+    u AS (SELECT id, s * 1.0 AS s FROM a_sc UNION ALL SELECT id, s * 2.0 AS s FROM b_sc)
+    SELECT id AS doc_id, round(sum(s), 4) AS _score
+    FROM u GROUP BY id ORDER BY _score DESC, id LIMIT 10
+    """
+
+
+@query("fts_multi_match", _multi_match_oracle())
+def fts_multi_match(spark, sf_dir):
+    """MultiMatchQuery (inverted/query.rs MultiMatchQuery): same terms scored
+    over several fields, boost-weighted sum."""
+    from lance_spark.operators.fts import multi_match
+
+    return multi_match(
+        _t(spark, sf_dir, "documents"),
+        ["text", "source"],
+        "doc_id",
+        ["data", "web"],
+        boosts=[1.0, 2.0],
+        k=10,
+    )
+
+
+@query(
+    "json_surface",
+    """
+    SELECT event_type,
+           CAST(count(CASE WHEN json_valid(props) THEN 1 END) AS BIGINT) AS n_valid,
+           CAST(count(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 END) AS BIGINT) AS n_with_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_surface(spark, sf_dir):
+    """json_exists / json_get_int family (reference udf/json.rs) via Spark
+    get_json_object + validity checks."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    valid = F.when(
+        F.get_json_object("props", "$.k").isNotNull() | F.col("props").rlike("^\\s*\\{"), 1
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(valid).alias("n_valid"),
+            F.count(F.when(k.isNotNull(), 1)).alias("n_with_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+@query(
+    "ds_merge_columns",
+    """
+    WITH side AS (SELECT o_orderkey AS k,
+                         CAST(floor(o_totalprice * 0.1) AS BIGINT) AS fee FROM orders)
+    SELECT o_orderpriority, CAST(sum(fee) AS BIGINT) AS total_fee
+    FROM orders JOIN side ON o_orderkey = k
+    GROUP BY o_orderpriority
+    """,
+)
+def ds_merge_columns(spark, sf_dir):
+    """merge(right, left_on): attach precomputed columns by key join
+    (dataset/hash_joiner.rs:22) as a new column group. Integer fee keeps the
+    cross-engine sum exact (float sums differ in the last ulp)."""
+    ds = _tmp_ds(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders")
+    side = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 0.1).cast("long").alias("fee"),
+    )
+    ds = ds.merge(spark, side, left_on="o_orderkey", right_on="k")
+    return (
+        ds.to_df(spark)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("fee").alias("total_fee"))
+    )
+
+
+@query(
+    "scan_projection_expr",
+    """
+    SELECT o_orderkey, round(o_totalprice * (1 - 0.04), 2) AS net,
+           CAST(year(o_orderdate) AS BIGINT) AS y
+    FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def scan_projection_expr(spark, sf_dir):
+    """Computed-expression projection through the dataset scanner
+    ({name: sql_expr} columns, scanner.rs:708-742) + filter pushdown."""
+    ds = _tmp_ds(spark, sf_dir, "orders")
+    return ds.scanner(
+        spark,
+        columns={
+            "o_orderkey": "o_orderkey",
+            "net": "round(o_totalprice * (1 - 0.04), 2)",
+            "y": "CAST(year(o_orderdate) AS BIGINT)",
+        },
+        filter="o_totalprice > 100000",
+    )
