@@ -28,9 +28,13 @@ from lance_spark import manifest as mf
 from lance_spark.write import FRAGID_SHIFT, ROWADDR_COL, ROWID_COL
 
 
-def dataset(uri: str, version: int | None = None, tag: str | None = None) -> "LanceDataset":
+def dataset(
+    uri: str, version: int | None = None, tag: str | None = None, branch: str | None = None
+) -> "LanceDataset":
     if tag is not None:
         version = mf.resolve_tag(uri, tag)
+    elif branch is not None:
+        version = mf.resolve_ref(uri, "branches", branch)
     return LanceDataset(uri, version=version)
 
 
@@ -83,7 +87,20 @@ class LanceDataset:
         mf.commit(self.uri, build, operation="restore")
         return LanceDataset(self.uri)
 
-    # tags (dataset.py:539-645)
+    # tags + branches (dataset.py:539-645; refs.rs). A branch is a named,
+    # movable ref like a tag; checkout via dataset(uri, branch=...).
+    def create_branch(self, name: str, version: int | None = None) -> None:
+        mf.create_ref(self.uri, "branches", name, version if version is not None else self.version)
+
+    def update_branch(self, name: str, version: int) -> None:
+        mf.update_ref(self.uri, "branches", name, version)
+
+    def delete_branch(self, name: str) -> None:
+        mf.delete_ref(self.uri, "branches", name)
+
+    def branches(self) -> dict[str, int]:
+        return mf.list_refs(self.uri, "branches")
+
     def create_tag(self, name: str, version: int | None = None) -> None:
         mf.create_tag(self.uri, name, version if version is not None else self.version)
 
@@ -105,7 +122,8 @@ class LanceDataset:
         return spark.read.parquet(*[self._abs(p) for p in paths])
 
     def _fragment_df(
-        self, spark: SparkSession, fragments: list[mf.Fragment], columns: list[str] | None
+        self, spark: SparkSession, fragments: list[mf.Fragment], columns: list[str] | None,
+        include_deleted: bool = False,
     ) -> DataFrame:
         """Assemble the logical table from fragment files + deletions.
 
@@ -153,7 +171,7 @@ class LanceDataset:
             if physical in df.columns:
                 df = df.withColumnRenamed(physical, logical)
 
-        del_paths = [f.deletion_file for f in fragments if f.deletion_file]
+        del_paths = [] if include_deleted else [f.deletion_file for f in fragments if f.deletion_file]
         if del_paths:
             dels = self._read_files(spark, del_paths).select(ROWID_COL)
             df = df.join(F.broadcast(dels), on=ROWID_COL, how="left_anti")
@@ -175,6 +193,7 @@ class LanceDataset:
         with_row_address: bool = False,
         fragments: list[int] | None = None,
         prefilter_rowids: DataFrame | None = None,
+        include_deleted_rows: bool = False,
     ) -> DataFrame:
         """The ScannerBuilder surface (dataset.py:4219-4590) as a DataFrame.
 
@@ -204,7 +223,7 @@ class LanceDataset:
 
             refs = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", filter))
             base_cols += [c for c in self.columns if c in refs and c not in base_cols]
-        df = self._fragment_df(spark, frags, base_cols)
+        df = self._fragment_df(spark, frags, base_cols, include_deleted=include_deleted_rows)
 
         if prefilter_rowids is not None:
             df = df.join(
@@ -247,6 +266,16 @@ class LanceDataset:
 
     def head(self, spark: SparkSession, n: int = 10) -> DataFrame:
         return self.scanner(spark, limit=n)
+
+    def shard(
+        self, spark: SparkSession, num_shards: int, shard_id: int, columns: list[str] | None = None
+    ) -> DataFrame:
+        """Fragment-sharded read for parallel ML ingest
+        (ShardedFragmentSampler, python/python/lance/sampler.py:260-361):
+        shard i reads fragments where fragment_id % num_shards == i — no
+        shuffle, each worker scans disjoint files."""
+        fids = [f.id for f in self.manifest.fragments if f.id % num_shards == shard_id]
+        return self.scanner(spark, columns=columns, fragments=fids)
 
     def sample(self, spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
         """Random-rowaddr sample (dataset.py:1407): deterministic hash-order
@@ -425,11 +454,14 @@ class LanceDataset:
         nprobes: int = 4,
         refine_factor: int = 1,
         use_index: bool = True,
+        filter: str | None = None,  # noqa: A002 - reference API name
+        fast_search: bool = False,
     ) -> DataFrame:
         from lance_spark.indexes.vector import dataset_nearest
 
         return dataset_nearest(
-            self, spark, column, query, k, nprobes, refine_factor, use_index
+            self, spark, column, query, k, nprobes, refine_factor, use_index,
+            filter=filter, fast_search=fast_search,
         )
 
     def compact_files(self, spark: SparkSession, target_rows_per_fragment: int = 1024 * 1024) -> "LanceDataset":
@@ -441,6 +473,11 @@ class LanceDataset:
         from lance_spark.maintenance import cleanup_old_versions
 
         return cleanup_old_versions(self, older_than_seconds, keep_tagged)
+
+    def optimize_indices(self, spark: SparkSession) -> "LanceDataset":
+        from lance_spark.maintenance import optimize_indices
+
+        return optimize_indices(self, spark)
 
 
 def _compat_filter(expr: str) -> str:

@@ -230,18 +230,26 @@ def ann_search(
     k: int = 10,
     nprobes: int = 4,
     refine_factor: int = 1,
+    prefilter_rowids: DataFrame | None = None,
 ) -> DataFrame:
-    """ANN top-k: partition prune → score → topk → optional exact refine.
+    """ANN top-k: partition prune → (prefilter) → score → topk → optional
+    exact refine.
 
     Returns (id, _distance) following the reference's ``_distance`` meta
     column. The ``partition_id IN probes`` filter prunes parquet partitions
     at the source — only nprobes/num_partitions of the index is read.
+    ``prefilter_rowids`` restricts candidates BEFORE top-k selection
+    (prefilter semantics, scanner.rs:3558-3619) so k survivors are
+    guaranteed from the allowed set.
     """
     q = _query_prep(index, query)
     probes = probe_partitions(index, query, nprobes)
     codes = spark.read.parquet(os.path.join(index.uri, "codes")).filter(
         F.col("partition_id").isin(probes)
     )
+    if prefilter_rowids is not None:
+        allow = prefilter_rowids.toDF("id")
+        codes = codes.join(F.broadcast(allow), "id", "left_semi")
     cosine = index.metric == "cosine"
 
     if index.index_type == "IVF_FLAT":
@@ -398,11 +406,19 @@ def dataset_nearest(
     nprobes: int = 4,
     refine_factor: int = 1,
     use_index: bool = True,
+    filter: str | None = None,  # noqa: A002 - reference API name
+    fast_search: bool = False,
 ) -> DataFrame:
     """``scanner.nearest(...)`` (dataset.py:4420-4501): ANN over the indexed
     fragments UNION exact KNN over fragments written after the index
     (``knn_combined``, scanner.rs:2946-3029), then global top-k. Returns the
-    dataset's columns + ``_distance``."""
+    dataset's columns + ``_distance``.
+
+    ``filter`` is a PREfilter (dataset.py:4353 prefilter=True): the allowed
+    row-id set is computed first and candidates are restricted before top-k,
+    so k matching rows come back. ``fast_search`` searches only indexed
+    fragments (dataset.py:4502), skipping the flat tail branch.
+    """
     from lance_spark.operators.knn import knn_bruteforce
     from lance_spark.write import ROWID_COL
 
@@ -414,18 +430,30 @@ def dataset_nearest(
         ),
         None,
     )
+    allow = (
+        ds.scanner(spark, columns=[], filter=filter, with_row_id=True).select(ROWID_COL)
+        if filter
+        else None
+    )
     if meta is None or not use_index:
         full = ds.to_df(spark, with_row_id=True)
+        if allow is not None:
+            full = full.join(F.broadcast(allow), ROWID_COL, "left_semi")
         metric = meta.params["metric"] if meta else "cosine"
         scored = knn_bruteforce(full, column, query, k=k, metric=metric, id_col=ROWID_COL)
         hits = scored.withColumnRenamed(ROWID_COL, "id")
     else:
         index = IvfIndex(os.path.join(ds.uri, meta.path))
-        hits = ann_search(spark, index, query, k=k, nprobes=nprobes, refine_factor=refine_factor)
+        hits = ann_search(
+            spark, index, query, k=k, nprobes=nprobes, refine_factor=refine_factor,
+            prefilter_rowids=allow,
+        )
         covered = set(meta.fragment_ids)
         tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
-        if tail:
+        if tail and not fast_search:
             flat = ds.scanner(spark, columns=[column], with_row_id=True, fragments=tail)
+            if allow is not None:
+                flat = flat.join(F.broadcast(allow), ROWID_COL, "left_semi")
             flat_hits = knn_bruteforce(
                 flat, column, query, k=k, metric=meta.params["metric"], id_col=ROWID_COL
             ).withColumnRenamed(ROWID_COL, "id")

@@ -69,6 +69,38 @@ def compact_files(ds, spark: SparkSession, target_rows_per_fragment: int = 1024 
     return LanceDataset(ds.uri)
 
 
+def optimize_indices(ds, spark: SparkSession):
+    """``optimize.optimize_indices`` (dataset.py:4831): bring every index
+    back to full fragment coverage after appends, by rebuilding the stale
+    ones (the reference merges deltas; our builds are one distributed pass
+    over the column, so a rebuild IS the merge)."""
+    from lance_spark.dataset import LanceDataset
+
+    current = {f.id for f in ds.manifest.fragments}
+    out = ds
+    for meta in list(ds.manifest.indices):
+        if set(meta.fragment_ids) >= current:
+            continue  # already covers everything
+        if meta.index_type.startswith("IVF"):
+            from lance_spark.indexes.vector import create_dataset_index
+
+            out = create_dataset_index(
+                out, spark, meta.column, meta.name, meta.index_type,
+                num_partitions=int(meta.params.get("num_partitions", 16)),
+                num_sub_vectors=int(meta.params.get("num_sub_vectors", 8)),
+                metric=meta.params.get("metric", "cosine"),
+            )
+        elif meta.index_type == "INVERTED":
+            from lance_spark.indexes.inverted import create_inverted_index
+
+            out = create_inverted_index(out, spark, meta.column, meta.name)
+        else:
+            from lance_spark.indexes.scalar import create_scalar_index
+
+            out = create_scalar_index(out, spark, meta.column, meta.index_type, meta.name, meta.params)
+    return LanceDataset(ds.uri)
+
+
 def cleanup_old_versions(ds, older_than_seconds: float = 0.0, keep_tagged: bool = True) -> int:
     """Delete manifests older than the cutoff (never the latest) and any
     data/deletion files not referenced by a retained version. Returns number

@@ -255,36 +255,36 @@ def _refs_dir(root: str, kind: str) -> str:
     return os.path.join(root, "_refs", kind)
 
 
-def create_tag(root: str, name: str, version: int) -> None:
-    d = _refs_dir(root, "tags")
+def create_ref(root: str, kind: str, name: str, version: int) -> None:
+    d = _refs_dir(root, kind)
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"{name}.json")
     if os.path.exists(path):
-        raise ValueError(f"tag {name} already exists")
+        raise ValueError(f"{kind[:-1]} {name} already exists")
     with open(path, "w") as fh:
         json.dump({"version": version}, fh)
 
 
-def delete_tag(root: str, name: str) -> None:
-    os.unlink(os.path.join(_refs_dir(root, "tags"), f"{name}.json"))
+def delete_ref(root: str, kind: str, name: str) -> None:
+    os.unlink(os.path.join(_refs_dir(root, kind), f"{name}.json"))
 
 
-def update_tag(root: str, name: str, version: int) -> None:
-    path = os.path.join(_refs_dir(root, "tags"), f"{name}.json")
+def update_ref(root: str, kind: str, name: str, version: int) -> None:
+    path = os.path.join(_refs_dir(root, kind), f"{name}.json")
     if not os.path.exists(path):
-        raise ValueError(f"tag {name} does not exist")
+        raise ValueError(f"{kind[:-1]} {name} does not exist")
     with open(path, "w") as fh:
         json.dump({"version": version}, fh)
 
 
-def resolve_tag(root: str, name: str) -> int:
-    path = os.path.join(_refs_dir(root, "tags"), f"{name}.json")
+def resolve_ref(root: str, kind: str, name: str) -> int:
+    path = os.path.join(_refs_dir(root, kind), f"{name}.json")
     with open(path) as fh:
         return json.load(fh)["version"]
 
 
-def list_tags(root: str) -> dict[str, int]:
-    d = _refs_dir(root, "tags")
+def list_refs(root: str, kind: str) -> dict[str, int]:
+    d = _refs_dir(root, kind)
     if not os.path.isdir(d):
         return {}
     out = {}
@@ -293,3 +293,24 @@ def list_tags(root: str) -> dict[str, int]:
             with open(os.path.join(d, name)) as fh:
                 out[name[: -len(".json")]] = json.load(fh)["version"]
     return out
+
+
+# tags = refs of kind "tags" (back-compat names)
+def create_tag(root: str, name: str, version: int) -> None:
+    create_ref(root, "tags", name, version)
+
+
+def delete_tag(root: str, name: str) -> None:
+    delete_ref(root, "tags", name)
+
+
+def update_tag(root: str, name: str, version: int) -> None:
+    update_ref(root, "tags", name, version)
+
+
+def resolve_tag(root: str, name: str) -> int:
+    return resolve_ref(root, "tags", name)
+
+
+def list_tags(root: str) -> dict[str, int]:
+    return list_refs(root, "tags")

@@ -1,0 +1,103 @@
+"""Parity extras: prefiltered/fast ANN, optimize_indices, branches, shards,
+include_deleted_rows."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb_ds(spark, sf_dir, tmp_path_factory):
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path_factory.mktemp("extras") / "emb")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    write_dataset(emb.repartition(2), uri, mode="create")
+    return dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_PQ", num_partitions=8, metric="l2"
+    )
+
+
+def test_nearest_with_prefilter(spark, emb_ds, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 9").first()["embedding"]]
+    res = emb_ds.nearest(
+        spark, "embedding", q, k=5, nprobes=8, refine_factor=20, filter="label = 2"
+    ).collect()
+    assert len(res) == 5
+    assert all(r["label"] == 2 for r in res)  # prefilter restricts candidates
+    # matches brute force over the filtered subset
+    from lance_spark.operators.knn import knn_bruteforce
+
+    truth = [
+        r["vec_id"]
+        for r in knn_bruteforce(emb.filter("label = 2"), "embedding", q, k=5, metric="l2").collect()
+    ]
+    assert [r["vec_id"] for r in res] == truth
+
+
+def test_fast_search_skips_tail(spark, emb_ds, sf_dir):
+    from lance_spark.dataset import dataset
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 2").first()["embedding"]]
+    extra = spark.createDataFrame([(900001, q, 0)], schema=emb.schema)
+    emb_ds.insert(extra)
+    ds2 = dataset(emb_ds.uri)
+    fast = {r["vec_id"] for r in ds2.nearest(spark, "embedding", q, k=3, nprobes=8, fast_search=True).collect()}
+    slow = {r["vec_id"] for r in ds2.nearest(spark, "embedding", q, k=3, nprobes=8).collect()}
+    assert 900001 not in fast and 900001 in slow
+
+
+def test_optimize_indices_recovers_coverage(spark, emb_ds):
+    from lance_spark.dataset import dataset
+
+    ds = dataset(emb_ds.uri)  # has the appended fragment from the test above
+    meta = ds.manifest.indices[0]
+    all_fids = {f.id for f in ds.manifest.fragments}
+    assert not set(meta.fragment_ids) >= all_fids  # stale after append
+    ds2 = ds.optimize_indices(spark)
+    meta2 = ds2.manifest.indices[0]
+    assert set(meta2.fragment_ids) >= {f.id for f in ds2.manifest.fragments}
+
+
+def test_branches(spark, sf_dir, tmp_path):
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "b")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    ds = write_dataset(region, uri)
+    ds.create_branch("stable")
+    ds2 = ds.delete(spark, "r_regionkey >= 3")
+    assert dataset(uri, branch="stable").count_rows() == 5
+    assert dataset(uri).count_rows() == 3
+    ds2.update_branch("stable", ds2.version)
+    assert dataset(uri, branch="stable").count_rows() == 3
+    assert "stable" in ds2.branches()
+    ds2.delete_branch("stable")
+    assert "stable" not in dataset(uri).branches()
+
+
+def test_shard_partition(spark, sf_dir, tmp_path):
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "s");
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ds = write_dataset(orders.repartition(4), uri)
+    parts = [ds.shard(spark, 2, i).select("o_orderkey") for i in range(2)]
+    union = parts[0].unionByName(parts[1])
+    assert union.count() == orders.count()
+    assert parts[0].join(parts[1], "o_orderkey", "inner").count() == 0  # disjoint
+
+
+def test_include_deleted_rows(spark, sf_dir, tmp_path):
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "d")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    ds = write_dataset(region, uri).delete(spark, "r_regionkey = 0")
+    assert ds.scanner(spark).count() == 4
+    assert ds.scanner(spark, include_deleted_rows=True).count() == 5
