@@ -23,10 +23,13 @@ HEADLINE = [
     "tpch_q5_region",
     "window_topn_per_group",
     "events_hourly_window",
+    "events_session_window",
     "scan_filter_project",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
     "knn_cosine_topk",
+    "ann_ivf_pq_refine",  # index build + partition-pruned search + refine
     "fts_bm25_topk",
     "text_quality_stats",
 ]

@@ -1542,3 +1542,165 @@ def scan_projection_expr(spark, sf_dir):
         },
         filter="o_totalprice > 100000",
     )
+
+
+# --------------------------------------------------------------------------
+# Wider TPC-H-style SQL breadth (delegated-engine surface, SURVEY §2.3)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q4_exists",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_discount > 0.06)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_exists(spark, sf_dir):
+    # Q4 shape (EXISTS decorrelated to a semi-join); synthetic lineitem has
+    # no commit/receipt dates, so the correlated predicate is on discount
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    late = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.06)
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q12_shipmode",
+    """
+    SELECT l_returnflag AS shipgroup,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_quantity < 30
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12_shipmode(spark, sf_dir):
+    # Q12 shape (fact⋈dim conditional counts); grouped on l_returnflag since
+    # the synthetic table has no l_shipmode/commit/receipt columns
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_quantity") < 30)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("shipgroup"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+)
+def tpch_q14_promo(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue"))
+    )
+
+
+@query(
+    "tpch_q18_having",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, round(sum_qty, 2) AS sum_qty
+    FROM orders JOIN (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+    ON o_orderkey = big.l_orderkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def tpch_q18_having(spark, sf_dir):
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter("sum_qty > 150")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
+)
+def tpch_q19_disjunctive(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@query(
+    "tpch_q16_distinct_agg",
+    """
+    SELECT p_type, CAST(count(DISTINCT s_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_size BETWEEN 1 AND 15 AND s_nationkey % 2 = 0
+    GROUP BY p_type
+    """,
+)
+def tpch_q16_distinct_agg(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size").between(1, 15))
+    supp = _t(spark, sf_dir, "supplier").filter("s_nationkey % 2 = 0")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_type")
+        .agg(F.count_distinct("s_suppkey").alias("supplier_cnt"))
+    )
