@@ -50,6 +50,7 @@ def train_kmeans(x: np.ndarray, k: int, iters: int = 12, seed: int = 42) -> np.n
     the reference's kmeans trainer (vector/kmeans.rs), which also trains on a
     sample; the full-data pass stays distributed."""
     rng = np.random.default_rng(seed)
+    x = np.ascontiguousarray(x, dtype=np.float64)
     n = x.shape[0]
     k = min(k, n)
     # kmeans++ initialization
@@ -60,9 +61,11 @@ def train_kmeans(x: np.ndarray, k: int, iters: int = 12, seed: int = 42) -> np.n
         d2 = np.minimum(d2, ((x - centroids[i - 1]) ** 2).sum(axis=1))
         probs = d2 / max(d2.sum(), 1e-12)
         centroids[i] = x[rng.choice(n, p=probs)]
+    x2 = (x * x).sum(axis=1, keepdims=True)
     for _ in range(iters):
-        # assign
-        dists = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        # assign via |x|² - 2x·c + |c|² (GEMM; the (n,k,dim) broadcast
+        # temporary of the naive form dominates runtime for k=256)
+        dists = x2 - 2.0 * (x @ centroids.T) + (centroids * centroids).sum(axis=1)
         assign = dists.argmin(axis=1)
         # update
         for j in range(k):
@@ -121,10 +124,10 @@ def build_ivf(
     cosine = metric == "cosine"
 
     # --- train on sample (driver) -----------------------------------------
-    total = df.count()
-    frac = min(1.0, sample_size / max(total, 1))
+    # limit() avoids a full count+scan; the reference trains on a sample
+    # too. If the table layout is heavily clustered, pass a pre-shuffled df.
     sample = _as_matrix(
-        df.select(vec_col).sample(fraction=frac, seed=seed).toPandas()[vec_col]
+        df.select(vec_col).limit(sample_size).toPandas()[vec_col]
     ).astype(np.float64)
     if cosine:
         sample = _normalize(sample)

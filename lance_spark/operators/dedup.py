@@ -180,16 +180,17 @@ def simhash(col, bits: int = 32):
 
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
-    """One row per doc: (id, simhash bigint)."""
-    toks = (
-        df.select(F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("tok"))
-        .groupBy("id", "tok")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("h", hash64(F.col("tok")))
-    )
-    votes = toks.groupBy("id").agg(
+    """One row per doc: (id, simhash bigint).
+
+    tf-weighting falls out of summing per token OCCURRENCE — identical math
+    to a (id, token, tf) table but one shuffle instead of two, and the
+    shuffle carries only 32 map-side-combined partial sums per doc."""
+    occ = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("tok")
+    ).select("id", hash64(F.col("tok")).alias("h"))
+    votes = occ.groupBy("id").agg(
         *[
-            F.sum(F.col("tf") * (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"v{i}")
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
             for i in range(bits)
         ]
     )
@@ -230,12 +231,18 @@ def simhash_pairs(
         .agg(F.collect_list(F.struct("id", "simhash")).alias("ms"))
         .filter(F.size("ms") > 1)
     )
+    # hamming-filter BEFORE struct construction: buckets can hold millions of
+    # candidate pairs, but only survivors get materialized/flattened/shuffled
     pair = F.explode(
         F.flatten(
             F.transform(
                 F.col("ms"),
                 lambda x, i: F.transform(
-                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    F.filter(
+                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                        lambda y: F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+                        <= max_hamming,
+                    ),
                     lambda y: F.struct(
                         F.least(x["id"], y["id"]).alias("id_a"),
                         F.greatest(x["id"], y["id"]).alias("id_b"),
@@ -249,7 +256,6 @@ def simhash_pairs(
         buckets.select(pair.alias("p"))
         .select("p.*")
         .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 
