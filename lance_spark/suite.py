@@ -1704,3 +1704,31 @@ def tpch_q16_distinct_agg(spark, sf_dir):
         .groupBy("p_type")
         .agg(F.count_distinct("s_suppkey").alias("supplier_cnt"))
     )
+
+
+@query(
+    "datasource_roundtrip",
+    """
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_totalprice > 150000 GROUP BY o_orderpriority
+    """,
+)
+def datasource_roundtrip(spark, sf_dir):
+    """format('lance') write (two-phase commit) then read (fragment
+    partitions + filter pushdown) — the Python DataSource end-to-end."""
+    import tempfile
+
+    from lance_spark.sources.datasource import LanceDataSource
+
+    spark.dataSource.register(LanceDataSource)
+    uri = tempfile.mkdtemp(prefix="lsq_dsv2_") + "/orders"
+    (
+        _t(spark, sf_dir, "orders").repartition(4)
+        .write.format("lance").option("uri", uri).mode("append").save()
+    )
+    return (
+        spark.read.format("lance").option("uri", uri).load()
+        .filter("o_totalprice > 150000")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
