@@ -289,12 +289,21 @@ class LanceDataset:
             .drop(ROWID_COL)
         )
 
+    def _rowid_addressable(self) -> bool:
+        """True while rowids still encode fragment<<32|offset; compaction
+        preserves ids into new fragments and clears this (config flag)."""
+        return bool(self.manifest.config.get("rowid_address_style", True))
+
     def take(self, spark: SparkSession, rowids: list[int], columns: list[str] | None = None) -> DataFrame:
         """Random access by _rowid (dataset/take.rs:103). Small id sets prune
         to the owning fragments first → targeted file reads, the parquet
-        analogue of Lance's point reads."""
-        fids = {rid >> FRAGID_SHIFT for rid in rowids}
-        frags = [f for f in self.manifest.fragments if f.id in fids]
+        analogue of Lance's point reads. After compaction the prefix no
+        longer names the fragment, so pruning falls back to parquet _rowid
+        min/max stats (rowid runs stay dense per file)."""
+        frags = self.manifest.fragments
+        if self._rowid_addressable():
+            fids = {rid >> FRAGID_SHIFT for rid in rowids}
+            frags = [f for f in frags if f.id in fids]
         df = self._fragment_df(spark, frags, columns if columns else None)
         df = df.filter(F.col(ROWID_COL).isin(rowids))
         return df.select(*(columns or self.columns), ROWID_COL)
@@ -327,8 +336,10 @@ class LanceDataset:
         """Fetch blob bytes for a rowid set (dataset.py:1439-1546 take_blobs):
         fragment-prune → read only those fragments' blob files → rowid filter
         (a ranged read of the out-of-line store)."""
-        fids = {rid >> FRAGID_SHIFT for rid in rowids}
-        frags = [f for f in self.manifest.fragments if f.id in fids]
+        frags = self.manifest.fragments
+        if self._rowid_addressable():
+            fids = {rid >> FRAGID_SHIFT for rid in rowids}
+            frags = [f for f in frags if f.id in fids]
         df = self._read_files(spark, self._blob_files(column, frags))
         return df.filter(F.col(ROWID_COL).isin(rowids)).select(ROWID_COL, column)
 

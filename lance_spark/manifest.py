@@ -248,6 +248,32 @@ def commit(
     raise CommitConflictError(f"commit of {operation} failed after {max_retries} retries")
 
 
+def reserve_fragment_ids(root: str, n: int) -> int:
+    """Claim a contiguous fragment-id range via a metadata-only commit
+    (Operation::ReserveFragments, transaction.rs) — parallel writers get
+    disjoint ranges, so their fragment files (whose rowids embed the id)
+    never need rewriting at commit time. Returns the first reserved id."""
+    out = {}
+
+    def build(base: Manifest | None, version: int) -> Manifest:
+        assert base is not None, "reserve requires an existing dataset"
+        start = base.max_fragment_id + 1
+        out["start"] = start
+        return Manifest(
+            version=version,
+            schema_json=base.schema_json,
+            fragments=base.fragments,
+            max_fragment_id=start + n - 1,
+            operation="reserve_fragments",
+            indices=base.indices,
+            config=base.config,
+            blob_columns=base.blob_columns,
+        )
+
+    commit(root, build, operation="reserve_fragments")
+    return out["start"]
+
+
 # ------------------------------------------------------------------- refs
 
 

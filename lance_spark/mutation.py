@@ -43,6 +43,25 @@ _DEL_META_SCHEMA = StructType(
 )
 
 
+def _rowid_fragment_map(ds, spark: SparkSession) -> DataFrame | None:
+    """(_rowid → fragment_id) for datasets where rowids no longer encode the
+    owning fragment (after compaction preserves ids into NEW fragments,
+    config flag rowid_address_style=False). None = shiftright fast path is
+    exact. The mapping scan reads only the _rowid column (parquet prunes)."""
+    if ds.manifest.config.get("rowid_address_style", True):
+        return None
+    pieces = []
+    for frag in ds.manifest.fragments:
+        p = spark.read.parquet(os.path.join(ds.uri, frag.files[0].path)).select(
+            ROWID_COL, F.lit(frag.id).alias("fragment_id")
+        )
+        pieces.append(p)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _write_deletion_files(ds, spark: SparkSession, del_rowids: DataFrame) -> dict[int, tuple[str, int]]:
     """Write one deletion sidecar per affected fragment; returns
     {fragment_id: (rel_path, total_deleted_rows)}. Includes (unions) the
@@ -54,7 +73,11 @@ def _write_deletion_files(ds, spark: SparkSession, del_rowids: DataFrame) -> dic
     if existing:
         old = spark.read.parquet(*[os.path.join(root, p) for p in existing]).select(ROWID_COL)
         dels = dels.unionByName(old)
-    dels = dels.withColumn("fragment_id", F.shiftright(F.col(ROWID_COL), FRAGID_SHIFT))
+    mapping = _rowid_fragment_map(ds, spark)
+    if mapping is None:
+        dels = dels.withColumn("fragment_id", F.shiftright(F.col(ROWID_COL), FRAGID_SHIFT))
+    else:
+        dels = dels.join(mapping, ROWID_COL, "inner")
 
     def write_group(pdf):
         import pandas as pd
@@ -73,6 +96,14 @@ def _write_deletion_files(ds, spark: SparkSession, del_rowids: DataFrame) -> dic
     return {r.fragment_id: (r.path, r.num_deleted) for r in meta}
 
 
+class StaleSnapshotError(Exception):
+    """The base manifest changed in a way that invalidates this mutation's
+    precomputed deletion files (e.g. a racing delete committed first, or a
+    compaction replaced an affected fragment). Callers re-read the dataset
+    and recompute — the reference's conflict-resolution retry
+    (transaction.rs:1252+ Delete-vs-Delete → rewrite)."""
+
+
 def _apply_deletes_and_appends(
     ds,
     spark: SparkSession,
@@ -86,14 +117,24 @@ def _apply_deletes_and_appends(
 
     root = ds.uri
     del_map = _write_deletion_files(ds, spark, del_rowids) if del_rowids is not None else {}
+    # snapshot of the deletion state our sidecars were derived from: if the
+    # committed base diverges on any affected fragment, this mutation's
+    # sidecars silently drop the other writer's deletions → must recompute
+    del_snapshot = {f.id: f.deletion_file for f in ds.manifest.fragments}
 
     new_frags: list[mf.Fragment] = []
     if append_df is not None:
-        base_fid = ds.manifest.max_fragment_id + 1
-        new_frags = write_fragments(append_df.select(*ds.columns), root, base_fid)
+        append_df = append_df.select(*ds.columns)
+        # reserve ids so a racing writer can't claim the same fragment range
+        base_fid = mf.reserve_fragment_ids(root, append_df.rdd.getNumPartitions())
+        new_frags = write_fragments(append_df, root, base_fid)
 
     def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
         assert base is not None
+        live = {f.id: f for f in base.fragments}
+        for fid in del_map:
+            if fid not in live or live[fid].deletion_file != del_snapshot.get(fid):
+                raise StaleSnapshotError(f"fragment {fid} changed under this mutation")
         fragments = []
         for frag in base.fragments:
             if frag.id in del_map:
@@ -125,24 +166,46 @@ def _apply_deletes_and_appends(
     return LanceDataset(root)
 
 
+def _retrying(ds, fn, max_retries: int = 10):
+    """Re-read + recompute loop around a mutation (dataset.py:197-222
+    conflict_retries): fn(fresh_ds) must build its plan from the snapshot it
+    is handed, so each retry sees the other writer's committed deletions."""
+    from lance_spark.dataset import LanceDataset
+
+    for _ in range(max_retries):
+        try:
+            return fn(ds)
+        except StaleSnapshotError:
+            ds = LanceDataset(ds.uri)
+    raise StaleSnapshotError(f"mutation failed after {max_retries} recomputes")
+
+
 def delete(ds, spark: SparkSession, predicate: str):
-    hits = ds.scanner(spark, filter=predicate, with_row_id=True).select(ROWID_COL)
-    return _apply_deletes_and_appends(ds, spark, hits, None, "delete")
+    def run(d):
+        hits = d.scanner(spark, filter=predicate, with_row_id=True).select(ROWID_COL)
+        return _apply_deletes_and_appends(d, spark, hits, None, "delete")
+
+    return _retrying(ds, run)
 
 
 def update(ds, spark: SparkSession, values: dict[str, str], where: str | None = None):
     """SQL-expr assignments on matching rows (update.rs:58-252): matched rows
     are re-written as appended fragments; originals are masked."""
-    matched = ds.scanner(spark, filter=where, with_row_id=True) if where else ds.to_df(
-        spark, with_row_id=True
-    )
-    matched = matched.cache()
-    updated = matched.withColumns({c: F.expr(e) for c, e in values.items()})
-    res = _apply_deletes_and_appends(
-        ds, spark, matched.select(ROWID_COL), updated.drop(ROWID_COL), "update"
-    )
-    matched.unpersist()
-    return res
+
+    def run(d):
+        matched = d.scanner(spark, filter=where, with_row_id=True) if where else d.to_df(
+            spark, with_row_id=True
+        )
+        matched = matched.cache()
+        try:
+            updated = matched.withColumns({c: F.expr(e) for c, e in values.items()})
+            return _apply_deletes_and_appends(
+                d, spark, matched.select(ROWID_COL), updated.drop(ROWID_COL), "update"
+            )
+        finally:
+            matched.unpersist()
+
+    return _retrying(ds, run)
 
 
 class MergeInsertBuilder:
@@ -181,7 +244,10 @@ class MergeInsertBuilder:
         Catalyst picks broadcast vs shuffle join; at 100 TB the target scan
         prunes to join-key columns + _rowid (update appends re-read nothing).
         """
-        ds, on = self.ds, self.on
+        return _retrying(self.ds, lambda d: self._execute_once(d, spark, source))
+
+    def _execute_once(self, ds, spark: SparkSession, source: DataFrame):
+        on = self.on
         cols = ds.columns
         target = ds.to_df(spark, with_row_id=True)
         src = source.select(*cols)
@@ -224,6 +290,7 @@ class MergeInsertBuilder:
             for p in append_parts[1:]:
                 app_df = app_df.unionByName(p)
 
-        res = _apply_deletes_and_appends(self.ds, spark, del_df, app_df, "merge")
-        joined.unpersist()
-        return res
+        try:
+            return _apply_deletes_and_appends(ds, spark, del_df, app_df, "merge")
+        finally:
+            joined.unpersist()

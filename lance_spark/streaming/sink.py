@@ -43,7 +43,11 @@ def dataset_batch_writer(uri: str, query_key: str = "default"):
             last = int(base.config.get(state_key, -1))
             if batch_id <= last:
                 return  # replayed batch — already committed
-        base_fid = (base.max_fragment_id + 1) if base is not None else 0
+        base_fid = (
+            mf.reserve_fragment_ids(uri, batch_df.rdd.getNumPartitions())
+            if base is not None
+            else 0
+        )
         frags = write_fragments(batch_df, uri, base_fid)
 
         def build(b: mf.Manifest | None, version: int) -> mf.Manifest:

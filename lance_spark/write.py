@@ -191,12 +191,18 @@ def write_dataset(
         base_fragment_id = 0
     else:
         base = mf.read_manifest(uri)
-        base_fragment_id = base.max_fragment_id + 1
         if [f["name"] for f in base.schema_json["fields"]] != df.columns:
             raise ValueError(
                 f"append schema mismatch: dataset has "
                 f"{[f['name'] for f in base.schema_json['fields']]}, df has {df.columns}"
             )
+        # reserve disjoint fragment ids so concurrent appends never collide
+        # (rowids embed the fragment id, so a late rebase would mean a file
+        # rewrite; reservation is a metadata-only commit instead)
+        n_parts = df.rdd.getNumPartitions()
+        if max_rows_per_fragment is not None:
+            n_parts = max(n_parts, -(-df.count() // max_rows_per_fragment))
+        base_fragment_id = mf.reserve_fragment_ids(uri, n_parts)
 
     if mode == "append" and existing is not None and not blob_columns:
         blob_columns = mf.read_manifest(uri).blob_columns or None
@@ -207,10 +213,7 @@ def write_dataset(
 
     def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
         if mode == "append" and base is not None:
-            # re-base fragment ids if a concurrent append claimed ours
-            shift = base.max_fragment_id + 1 - base_fragment_id
-            if shift > 0:
-                raise mf.CommitConflictError("fragment id collision; rewrite needed")
+            # ids were reserved up front → disjoint by construction
             fragments = base.fragments + frags
             indices = base.indices  # still valid for covered fragments
             cfg = base.config
@@ -219,6 +222,8 @@ def write_dataset(
             indices = []
             cfg = {}
         max_fid = max((f.id for f in fragments), default=-1)
+        if mode == "append" and base is not None:
+            max_fid = max(max_fid, base.max_fragment_id)  # keep reservations
         return mf.Manifest(
             version=version,
             schema_json=schema_json,

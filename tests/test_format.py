@@ -53,16 +53,17 @@ def test_append_and_overwrite_and_time_travel(spark, sf_dir, tmp_uri):
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     ds = ls.write_dataset(nation, tmp_uri, mode="create")
     ds = ls.write_dataset(nation, tmp_uri, mode="append")
-    assert ds.version == 2
+    # append = reserve_fragments (v2) + append (v3)
+    assert ds.version == 3
     assert ds.count_rows() == 50
     v1 = ds.checkout_version(1)
     assert v1.count_rows() == 25
     ds = ls.write_dataset(nation.limit(5), tmp_uri, mode="overwrite")
-    assert ds.version == 3
+    assert ds.version == 4
     assert ds.count_rows() == 5
-    # restore v1 as v4
+    # restore v1 as v5
     restored = ls.dataset(tmp_uri, version=1).restore()
-    assert restored.version == 4
+    assert restored.version == 5
     assert restored.count_rows() == 25
 
 
@@ -272,7 +273,8 @@ def test_commit_conflict_retry(spark, sf_dir, tmp_uri):
     ds2 = ls.write_dataset(
         spark.read.parquet(f"{sf_dir}/region.parquet"), tmp_uri, mode="append"
     )
-    assert ds2.version == 3
+    # reserve lands on v3 (after retrying past the stolen v2), append on v4
+    assert ds2.version == 4
     # 5 rows from the (stolen) v2 base + 5 appended
     assert ds2.count_rows() == 10
 

@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) — the reference's proptest strategy
+(rust/lance-encoding proptest roundtrips, SURVEY §5) applied to our format
+layer: manifest JSON roundtrips, and random mutation sequences checked
+against an in-memory pandas model of the table.
+"""
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lance_spark import manifest as mf
+
+names = st.text(alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=12)
+
+
+@st.composite
+def manifests(draw):
+    n_frags = draw(st.integers(0, 5))
+    frags = []
+    for i in range(n_frags):
+        n_files = draw(st.integers(1, 3))
+        files = [
+            mf.DataFile(path=f"data/f{i}-{g}.parquet", columns=draw(st.lists(names, min_size=1, max_size=4)))
+            for g in range(n_files)
+        ]
+        phys = draw(st.integers(1, 10_000))
+        frags.append(
+            mf.Fragment(
+                id=i,
+                files=files,
+                physical_rows=phys,
+                deletion_file=draw(st.one_of(st.none(), st.just(f"_deletions/d{i}.parquet"))),
+                num_deleted_rows=draw(st.integers(0, phys - 1)),
+            )
+        )
+    indices = [
+        mf.IndexMeta(
+            name=draw(names),
+            index_type=draw(st.sampled_from(["IVF_PQ", "BTREE", "INVERTED", "ZONEMAP"])),
+            column=draw(names),
+            path="_indices/x",
+            fragment_ids=[f.id for f in frags],
+            params=draw(st.dictionaries(names, st.integers(0, 100), max_size=3)),
+        )
+        for _ in range(draw(st.integers(0, 2)))
+    ]
+    return mf.Manifest(
+        version=draw(st.integers(1, 1000)),
+        schema_json={"type": "struct", "fields": []},
+        fragments=frags,
+        max_fragment_id=max((f.id for f in frags), default=-1),
+        operation=draw(st.sampled_from(["append", "overwrite", "delete", "rewrite"])),
+        indices=indices,
+        config=draw(st.dictionaries(names, names, max_size=3)),
+        blob_columns=draw(st.lists(names, max_size=2)),
+    )
+
+
+@given(manifests())
+@settings(max_examples=200, deadline=None)
+def test_manifest_json_roundtrip(m):
+    j = json.dumps(m.to_json())
+    back = mf.Manifest.from_json(json.loads(j))
+    assert back.to_json() == m.to_json()
+    assert [f.num_rows for f in back.fragments] == [f.num_rows for f in m.fragments]
+
+
+# ------------------------- model-based mutation sequences -------------------
+
+op_strategy = st.lists(
+    st.one_of(
+        st.tuples(st.just("delete"), st.integers(0, 9)),        # delete key%10 == k
+        st.tuples(st.just("update"), st.integers(0, 9)),        # bump value where key%10 == k
+        st.tuples(st.just("append"), st.integers(1, 30)),       # append n fresh rows
+        st.tuples(st.just("compact"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@pytest.mark.slow
+@given(ops=op_strategy)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_mutation_sequence_matches_model(spark, tmp_path_factory, ops):
+    """Random delete/update/append/compact sequences: the dataset must agree
+    with a driver-side pandas model after every step."""
+    import pandas as pd
+
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path_factory.mktemp("prop") / "t")
+    model = pd.DataFrame({"k": range(50), "v": [i * 10 for i in range(50)]})
+    df = spark.createDataFrame(model)
+    write_dataset(df.repartition(3), uri)
+    next_key = 50
+
+    for op, arg in ops:
+        ds = dataset(uri)
+        if op == "delete":
+            ds.delete(spark, f"k % 10 = {arg}")
+            model = model[model.k % 10 != arg]
+        elif op == "update":
+            ds.update(spark, {"v": "v + 1"}, where=f"k % 10 = {arg}")
+            model.loc[model.k % 10 == arg, "v"] += 1
+        elif op == "append":
+            newm = pd.DataFrame({"k": range(next_key, next_key + arg), "v": [0] * arg})
+            ds.insert(spark.createDataFrame(newm))
+            model = pd.concat([model, newm], ignore_index=True)
+            next_key += arg
+        elif op == "compact":
+            ds.compact_files(spark, target_rows_per_fragment=1000)
+
+        got = (
+            dataset(uri).to_df(spark).toPandas().sort_values("k").reset_index(drop=True)
+        )
+        want = model.sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]], check_dtype=False)
