@@ -33,6 +33,40 @@ def tokenize(col) -> Column:
     return F.filter(F.split(F.lower(col), "[^a-z]+"), lambda x: x != F.lit(""))
 
 
+def tokenize_whitespace(col) -> Column:
+    """Whitespace tokenizer (tokenizer.rs 'whitespace'): split on runs of
+    whitespace only, case preserved."""
+    return F.filter(F.split(col, "\\s+"), lambda x: x != F.lit(""))
+
+
+def tokenize_ngram(colname: str, n: int = 3, prefix_only: bool = False) -> Column:
+    """Character n-gram tokenizer (tokenizer.rs 'ngram', min=max=n): distinct
+    lowercase char n-grams; prefix_only keeps the leading gram (edge-ngram).
+    Takes a column NAME (the expr-form transform needs it verbatim)."""
+    if prefix_only:
+        return F.array(F.substring(F.lower(F.col(colname)), 1, n))
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(lower({colname})) - {n - 1}, 0)),"
+        f" i -> substring(lower({colname}), i, {n}))"
+    )
+    return F.array_distinct(grams)
+
+
+def remove_stopwords(tokens, lang: str = "en") -> Column:
+    """Stop-word filter stage (tokenizer.rs stop-word list support)."""
+    sw = F.array(*[F.lit(s) for s in LANG_STOPWORDS.get(lang, STOPWORDS_EN)])
+    return F.filter(tokens, lambda t: ~F.array_contains(sw, t))
+
+
+def ascii_fold(col) -> Column:
+    """ASCII folding (tokenizer.rs ascii_folding): strip common diacritics."""
+    return F.translate(
+        col,
+        "àáâãäåèéêëìíîïòóôõöùúûüýÿñçÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÑÇ",
+        "aaaaaaeeeeiiiiooooouuuuyyncAAAAAAEEEEIIIIOOOOOUUUUYNC",
+    )
+
+
 def hash64(col) -> Column:
     """Engine-portable 60-bit hash: bigint of the first 15 hex chars of md5."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

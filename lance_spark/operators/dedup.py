@@ -295,6 +295,93 @@ def ngram_jaccard_pairs(
     )
 
 
+def hyperplanes(dim: int, nplanes: int = 16, seed: int = 42):
+    """Deterministic random hyperplanes for sign-LSH; shared by the Spark
+    operator and the DuckDB oracle (constants inlined on both sides)."""
+    import numpy as np
+
+    return np.random.default_rng(seed).standard_normal((nplanes, dim))
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    min_cosine: float = 0.4,
+    nplanes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dup: sign-LSH (random hyperplane)
+    signatures → band buckets → candidate pairs → exact cosine only on
+    candidates. Replaces the O(n²) join of embedding_neardup_pairs with
+    O(n·bucket) work; signatures/banding are JVM expressions (no UDF).
+
+    Similar vectors agree on most signature bits (P[bit agree] = 1 - θ/π),
+    so banding keeps true near-dups while pruning the cross product."""
+    band_bits = nplanes // bands
+    planes = hyperplanes(dim, nplanes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    bits = []
+    for i, p in enumerate(planes):
+        w = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(F.zip_with(v, w, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = sum(bits[1:], bits[0])
+
+    sigs = df.select(F.col(id_col).alias("id"), v.alias("v"), sig.alias("sig"))
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("sig"), b * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "v", "band.band_id", "band.band_key")
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.collect_list(F.struct("id", "v")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+
+    def _cos(a, b):
+        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+        return dot / (na * nb)
+
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.transform(
+                    F.filter(
+                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                        lambda y: _cos(x["v"], y["v"]) >= min_cosine,
+                    ),
+                    lambda y: F.struct(
+                        F.least(x["id"], y["id"]).alias("id_a"),
+                        F.greatest(x["id"], y["id"]).alias("id_b"),
+                        F.round(_cos(x["v"], y["v"]), 4).alias("cosine"),
+                    ),
+                ),
+            )
+        )
+    )
+    return (
+        buckets.select(pair.alias("p")).select("p.*").dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame, vec_col: str, id_col: str, min_cosine: float = 0.4
 ) -> DataFrame:

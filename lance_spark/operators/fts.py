@@ -94,6 +94,24 @@ def phrase_match(df: DataFrame, text_col: str, id_col: str, phrase: str) -> Data
     ).select(F.col(id_col))
 
 
+def fuzzy_match(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    term: str,
+    fuzziness: int = 1,
+) -> DataFrame:
+    """Fuzzy Match (inverted/query.rs MatchQuery.fuzziness): docs containing
+    a token within ``fuzziness`` edit distance of the term. Distinct tokens
+    per doc, then JVM levenshtein — at index scale this runs against the
+    postings' token dictionary (distinct terms), not the corpus."""
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"))
+    )
+    hits = toks.filter(F.levenshtein(F.col("tok"), F.lit(term.lower())) <= fuzziness)
+    return hits.select("id").distinct().withColumnRenamed("id", id_col)
+
+
 def multi_match(
     df: DataFrame,
     field_cols: list[str],

@@ -1732,3 +1732,96 @@ def datasource_roundtrip(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
     )
+
+
+def _lsh_oracle() -> str:
+    from lance_spark.operators.dedup import hyperplanes
+
+    nplanes, bands, band_bits = 16, 4, 4
+    planes = hyperplanes(64, nplanes, 42)
+    sig_terms = " + ".join(
+        f"""CASE WHEN list_sum(list_transform(range(1, 65),
+              i -> CAST(embedding[i] AS DOUBLE) * ([{", ".join(repr(float(x)) for x in p)}])[i]))
+            > 0 THEN {1 << i} ELSE 0 END"""
+        for i, p in enumerate(planes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {b} AS band_id, (sig >> {b * band_bits}) & 15 AS band_key FROM sig"
+        for b in range(bands)
+    )
+    cos = """
+      list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    """
+    return f"""
+    WITH sig AS (SELECT vec_id, embedding, {sig_terms} AS sig FROM embeddings),
+    banded AS ({band_selects}),
+    pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round({cos}, 4) AS cosine
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+              WHERE {cos} >= 0.4)
+    SELECT id_a, id_b, cosine FROM pairs
+    """
+
+
+@query("dedup_embedding_lsh", _lsh_oracle())
+def dedup_embedding_lsh(spark, sf_dir):
+    """Sign-LSH near-dup pairs over embeddings — the scale path replacing the
+    O(n²) exact join; candidates from hyperplane-signature band buckets,
+    exact cosine only on survivors."""
+    from lance_spark.operators.dedup import embedding_lsh_pairs
+
+    return embedding_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", dim=64, min_cosine=0.4
+    )
+
+
+@query(
+    "fts_fuzzy_match",
+    f"""
+    WITH tok AS (SELECT doc_id, lang, unnest(list_distinct({_DUCK_TOKS.format(col='text')})) AS tok
+                 FROM documents)
+    SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+    FROM tok WHERE levenshtein(tok, 'tabl') <= 1
+    GROUP BY lang
+    """,
+)
+def fts_fuzzy_match(spark, sf_dir):
+    """Fuzzy term match (MatchQuery.fuzziness): 'tabl' ~1 edit → 'table'."""
+    from lance_spark.operators.fts import fuzzy_match
+
+    docs = _t(spark, sf_dir, "documents")
+    hits = fuzzy_match(docs, "text", "doc_id", "tabl", fuzziness=1)
+    return (
+        docs.join(hits, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count_distinct("doc_id").alias("n"))
+    )
+
+
+@query(
+    "text_ngram_tokens",
+    f"""
+    WITH g AS (SELECT doc_id,
+                      unnest(list_distinct(list_transform(range(1, greatest(length(lower(text)) - 2, 0) + 1),
+                             i -> substr(lower(text), i, 3)))) AS gram
+               FROM documents)
+    SELECT gram, CAST(count(*) AS BIGINT) AS df
+    FROM g GROUP BY gram ORDER BY df DESC, gram LIMIT 25
+    """,
+)
+def text_ngram_tokens(spark, sf_dir):
+    """Character trigram tokenizer (tokenizer.rs 'ngram'): top grams by
+    document frequency."""
+    from lance_spark.functions.text import tokenize_ngram
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokenize_ngram("text", 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "gram")
+        .limit(25)
+    )
