@@ -16,7 +16,7 @@ Public API mirrors python/python/lance/__init__.py of the reference:
 """
 
 from lance_spark.dataset import LanceDataset, dataset
-from lance_spark.write import write_dataset, write_fragments
+from lance_spark.write import commit_fragments, write_dataset, write_fragments
 from lance_spark.session import get_spark
 
 __version__ = "0.1.0"
@@ -26,5 +26,6 @@ __all__ = [
     "dataset",
     "write_dataset",
     "write_fragments",
+    "commit_fragments",
     "get_spark",
 ]

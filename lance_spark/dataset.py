@@ -277,6 +277,13 @@ class LanceDataset:
         fids = [f.id for f in self.manifest.fragments if f.id % num_shards == shard_id]
         return self.scanner(spark, columns=columns, fragments=fids)
 
+    def to_batches(self, spark: SparkSession, columns: list[str] | None = None, batch_size: int = 65536):
+        """Iterator of pyarrow RecordBatches (ML-ingest surface; the role of
+        the reference's FullScanSampler, python/python/lance/sampler.py).
+        Streams through the driver — for parallel ingest use shard()."""
+        df = self.scanner(spark, columns=columns)
+        yield from df.toArrow().to_batches(max_chunksize=batch_size)
+
     def sample(self, spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
         """Random-rowaddr sample (dataset.py:1407): deterministic hash-order
         pick of n rows without a full shuffle."""

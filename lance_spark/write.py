@@ -168,6 +168,45 @@ def write_fragments(
     return sorted(frags, key=lambda f: f.id)
 
 
+def commit_fragments(
+    uri: str,
+    fragments: list[mf.Fragment],
+    schema_json: dict | None = None,
+    operation: str = "append",
+) -> "mf.Manifest":
+    """Public distributed-commit API (python/python/lance/fragment.py:889
+    write_fragments + dataset.py:3059 LanceDataset.commit): any process that
+    produced fragment files — another Spark job, a non-Spark writer — hands
+    the driver its fragment metadata and the driver commits one version.
+    Pair with ``write_fragments(df, uri, base_fragment_id)``; reserve ids via
+    ``manifest.reserve_fragment_ids`` when writers run concurrently."""
+
+    def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
+        if operation == "append" and base is not None:
+            all_frags = base.fragments + fragments
+            schema = base.schema_json
+            indices, cfg, blobs = base.indices, base.config, base.blob_columns
+        else:
+            assert schema_json is not None, "create/overwrite commit needs schema_json"
+            all_frags, schema = fragments, schema_json
+            indices, cfg, blobs = [], {}, []
+        return mf.Manifest(
+            version=version,
+            schema_json=schema,
+            fragments=all_frags,
+            max_fragment_id=max(
+                [f.id for f in all_frags] + ([base.max_fragment_id] if base else [-1])
+            ),
+            operation=operation,
+            indices=indices,
+            config=cfg,
+            blob_columns=blobs,
+        )
+
+    os.makedirs(uri, exist_ok=True)
+    return mf.commit(uri, build, operation=operation)
+
+
 def write_dataset(
     df: DataFrame,
     uri: str,

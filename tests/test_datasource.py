@@ -89,3 +89,32 @@ def test_format_stream_tails_versions(spark, registered, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.sql("SELECT count(*) FROM lance_tail").first()[0] == 2 * region.count()
+
+
+def test_streaming_pipeline_through_format(spark, registered, sf_dir, tmp_path):
+    """End-to-end through our own format: lance stream source → transform →
+    dataset sink. New versions appended upstream flow into the downstream
+    dataset on the next trigger."""
+    from lance_spark.dataset import dataset
+    from lance_spark.streaming.sink import write_stream
+    from lance_spark.write import write_dataset
+
+    src_uri = str(tmp_path / "src")
+    dst_uri = str(tmp_path / "dst")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    write_dataset(region, src_uri)
+
+    def run_once():
+        sdf = spark.readStream.format("lance").option("uri", src_uri).load()
+        out = sdf.selectExpr("r_regionkey", "upper(r_name) AS uname")
+        q = write_stream(out, dst_uri, str(tmp_path / "ckpt"), trigger_available_now=True)
+        q.awaitTermination(120)
+
+    run_once()
+    assert dataset(dst_uri).count_rows() == region.count()
+    # upstream append → downstream picks up only the delta
+    write_dataset(region, src_uri, mode="append")
+    run_once()
+    assert dataset(dst_uri).count_rows() == 2 * region.count()
+    got = dataset(dst_uri).to_df(spark)
+    assert set(got.columns) == {"r_regionkey", "uname"}

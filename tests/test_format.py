@@ -295,3 +295,15 @@ def test_sql_entry(spark, sf_dir, tmp_uri):
         .collect()
     )
     assert out == oracle
+
+
+def test_public_commit_fragments_api(spark, sf_dir, tmp_uri):
+    """External-writer protocol: write_fragments (executors) +
+    commit_fragments (driver) — the distributed two-phase commit as a
+    public API."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    ds = ls.write_dataset(region, tmp_uri)
+    start = mf.reserve_fragment_ids(tmp_uri, 2)
+    frags = ls.write_fragments(region.repartition(2), tmp_uri, start)
+    ls.commit_fragments(tmp_uri, frags, operation="append")
+    assert ls.dataset(tmp_uri).count_rows() == 2 * region.count()
