@@ -90,6 +90,8 @@ class IvfIndex:
         self.centroids = np.load(os.path.join(uri, "centroids.npy"))
         cb = os.path.join(uri, "codebooks.npy")
         self.codebooks = np.load(cb) if os.path.exists(cb) else None
+        sq = os.path.join(uri, "sq_bounds.npy")
+        self.sq_bounds = np.load(sq) if os.path.exists(sq) else None
 
     @property
     def metric(self) -> str:
@@ -136,6 +138,13 @@ def build_ivf(
     dim = centroids.shape[1]
 
     codebooks = None
+    sq_bounds = None
+    if index_type == "IVF_SQ":
+        # scalar quantization (vector/sq.rs:33): per-dimension [min,max] from
+        # the sample → uint8 codes; raw vectors (not residuals) are encoded
+        lo = sample.min(axis=0)
+        hi = sample.max(axis=0)
+        sq_bounds = np.stack([lo, np.maximum(hi - lo, 1e-12)]).astype(np.float32)
     if index_type == "IVF_PQ":
         m = num_sub_vectors
         assert dim % m == 0, f"dim {dim} not divisible by num_sub_vectors {m}"
@@ -153,17 +162,23 @@ def build_ivf(
     # --- distributed assign + encode ---------------------------------------
     cent_b = spark.sparkContext.broadcast(centroids)
     cb_b = spark.sparkContext.broadcast(codebooks)
+    sq_b = spark.sparkContext.broadcast(sq_bounds)
 
     @pandas_udf("struct<partition_id:int, pq_code:array<smallint>>")
     def assign_encode(s: pd.Series) -> pd.DataFrame:
         cents = cent_b.value.astype(np.float32)
         cbs = cb_b.value
+        sq = sq_b.value
         x = _as_matrix(s)
         if cosine:
             x = _normalize(x)
         # argmin ||x - c||^2 = argmax (x·c - ||c||²/2)
         pid = (x @ cents.T - 0.5 * (cents * cents).sum(axis=1)).argmax(axis=1)
-        if cbs is None:
+        if sq is not None:
+            codes = list(
+                np.clip(np.rint((x - sq[0]) / sq[1] * 255.0), 0, 255).astype(np.int16)
+            )
+        elif cbs is None:
             codes = [None] * len(x)
         else:
             m, _, sub = cbs.shape
@@ -195,6 +210,8 @@ def build_ivf(
     np.save(os.path.join(uri, "centroids.npy"), centroids)
     if codebooks is not None:
         np.save(os.path.join(uri, "codebooks.npy"), codebooks)
+    if sq_bounds is not None:
+        np.save(os.path.join(uri, "sq_bounds.npy"), sq_bounds)
     with open(os.path.join(uri, "meta.json"), "w") as fh:
         json.dump(
             {
@@ -270,6 +287,34 @@ def ann_search(
         scored = codes.select("id", flat_dist("vec").alias("_distance"))
         scored = _finalize_distance(scored, index.metric)
         return scored.orderBy("_distance", "id").limit(k)
+
+    if index.index_type == "IVF_SQ":
+        # dequantize codes → squared-L2 to the query, then exact refine
+        sqb = index.sq_bounds
+        qb = spark.sparkContext.broadcast(q)
+        sq_b2 = spark.sparkContext.broadcast(sqb)
+
+        @pandas_udf("double")
+        def sq_dist(code: pd.Series) -> pd.Series:
+            lo, span = sq_b2.value[0].astype(np.float64), sq_b2.value[1].astype(np.float64)
+            codes = np.asarray(code.tolist(), dtype=np.float64)
+            deq = lo + codes / 255.0 * span
+            if cosine:
+                deq = _normalize(deq)
+            return pd.Series(((deq - qb.value.astype(np.float64)) ** 2).sum(axis=1))
+
+        scored = codes.select("id", "vec", sq_dist("pq_code").alias("_approx"))
+        cand = scored.orderBy("_approx", "id").limit(k * max(refine_factor, 1))
+
+        @pandas_udf("double")
+        def sq_exact(s: pd.Series) -> pd.Series:
+            x = _as_matrix(s).astype(np.float64)
+            if cosine:
+                x = _normalize(x)
+            return pd.Series(((x - qb.value.astype(np.float64)) ** 2).sum(axis=1))
+
+        refined = _finalize_distance(cand.select("id", sq_exact("vec").alias("_distance")), index.metric)
+        return refined.orderBy("_distance", "id").limit(k)
 
     # IVF_PQ: ADC lookup table (m, 256) of ||q_sub - (centroid_sub + code)||²
     cents = index.centroids

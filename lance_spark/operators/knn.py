@@ -28,6 +28,47 @@ from pyspark.sql.functions import pandas_udf
 from lance_spark.functions.vector import cosine_sim, dot_product, l2_distance
 
 
+def knn_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str | None = None,
+    k: int = 10,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Batch KNN: top-k corpus neighbors for EVERY query row
+    (KNNVectorDistanceExec scores whole query batches, knn.rs:110).
+
+    Plan: broadcast the query set (queries are small by definition), score
+    the cross product with JVM expression arithmetic, keep per-query top-k
+    with a window — one pass over the corpus regardless of query count.
+    Returns (query_id, id, _distance)."""
+    from pyspark.sql import Window
+
+    qv = query_vec_col or vec_col
+    q = F.broadcast(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(qv).cast("array<double>").alias("qv"))
+    )
+    v = F.col(vec_col).cast("array<double>")
+    if metric == "l2":
+        dist = l2_distance(v, F.col("qv"))
+    elif metric == "dot":
+        dist = -dot_product(v, F.col("qv"))
+    else:
+        dist = 1.0 - cosine_sim(v, F.col("qv"))
+    scored = corpus.crossJoin(q).select(
+        "query_id", F.col(id_col).alias("id"), dist.alias("_distance")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_distance"), F.asc("id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def knn_bruteforce(
     df: DataFrame,
     vec_col: str,

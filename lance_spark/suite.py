@@ -1825,3 +1825,116 @@ def text_ngram_tokens(spark, sf_dir):
         .orderBy(F.desc("df"), "gram")
         .limit(25)
     )
+
+
+@query(
+    "ann_ivf_sq_refine",
+    """
+    SELECT e.vec_id,
+           round(sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+                    * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))))), 4)
+             AS _distance
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 21) q
+    WHERE e.vec_id != 21
+    ORDER BY _distance, e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_ivf_sq_refine(spark, sf_dir):
+    """IVF_SQ (8-bit scalar quantization, vector/sq.rs) at full probe with
+    exhaustive refine at the gate's sf → brute-force SQL is the oracle."""
+    import tempfile
+
+    from lance_spark.indexes.vector import ann_search, build_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 21").first()["embedding"]]
+    idx = build_ivf(
+        emb.filter("vec_id != 21"), "embedding", "vec_id",
+        tempfile.mkdtemp(prefix="lsq_sq_") + "/i", num_partitions=8,
+        metric="l2", index_type="IVF_SQ",
+    )
+    return (
+        ann_search(spark, idx, qvec, k=10, nprobes=8, refine_factor=100)
+        .select(F.col("id").alias("vec_id"), F.round("_distance", 4).alias("_distance"))
+        .orderBy("_distance", "vec_id")
+    )
+
+
+@query(
+    "knn_batch_queries",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS id,
+             sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                  i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+                     * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)))))
+               AS d
+      FROM embeddings e, q WHERE e.vec_id >= 3),
+    ranked AS (SELECT query_id, id, d,
+                      row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS rn
+               FROM scored)
+    SELECT query_id, id, round(d, 4) AS _distance FROM ranked WHERE rn <= 5
+    """,
+)
+def knn_batch_queries(spark, sf_dir):
+    """Batch KNN: per-query top-k in ONE corpus pass (broadcast query set +
+    window top-k) — the shape KNNVectorDistanceExec scores query batches."""
+    from lance_spark.operators.knn import knn_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = knn_batch(
+        emb.filter("vec_id >= 3"),
+        emb.filter("vec_id < 3"),
+        "embedding",
+        "vec_id",
+        "vec_id",
+        k=5,
+        metric="l2",
+    )
+    return res.select("query_id", "id", F.round("_distance", 4).alias("_distance"))
+
+
+@query(
+    "window_range_frame",
+    """
+    SELECT o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING), 2) AS nearby_sum
+    FROM orders
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    # RANGE frame (value-based window, ColumnOrdering semantics)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 10000)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("nearby_sum"))
+    )
+
+
+@query(
+    "window_lead_lag_ntile",
+    """
+    SELECT o_orderkey,
+           round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w, 2) AS delta_prev,
+           round(lead(o_totalprice, 1, 0.0) OVER w, 2)               AS next_price,
+           CAST(ntile(4) OVER w AS BIGINT)                           AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_lead_lag_ntile(spark, sf_dir):
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2).alias("delta_prev"),
+        F.round(F.lead("o_totalprice", 1, 0.0).over(w), 2).alias("next_price"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

@@ -105,3 +105,19 @@ def test_kmeans_deterministic():
     a = train_kmeans(x, 8, seed=42)
     b = train_kmeans(x, 8, seed=42)
     assert np.array_equal(a, b)
+
+
+def test_ivf_sq_recall_with_refine(spark, emb, tmp_path):
+    from lance_spark.indexes.vector import ann_search, build_ivf
+
+    idx = build_ivf(
+        emb, "embedding", "vec_id", str(tmp_path / "sq"), num_partitions=8,
+        metric="l2", index_type="IVF_SQ",
+    )
+    hits = 0
+    for vid in (0, 7, 42, 99, 123):
+        q = _query_vec(emb, vid)
+        got = {r["id"] for r in ann_search(spark, idx, q, k=10, nprobes=8, refine_factor=4).collect()}
+        hits += len(got & set(_brute_ids(emb, q, 10, "l2")))
+    # 8-bit scalar quantization + refine: near-exact at full probe
+    assert hits / 50 >= 0.95
