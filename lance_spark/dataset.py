@@ -194,6 +194,8 @@ class LanceDataset:
         fragments: list[int] | None = None,
         prefilter_rowids: DataFrame | None = None,
         include_deleted_rows: bool = False,
+        order_by: list[tuple] | list[str] | None = None,
+        late_materialization: bool = False,
     ) -> DataFrame:
         """The ScannerBuilder surface (dataset.py:4219-4590) as a DataFrame.
 
@@ -201,6 +203,13 @@ class LanceDataset:
         (projection with computed expressions, scanner.rs:708-742).
         ``offset`` without a sort is defined on _rowid order (scan order),
         matching the reference's scan-range semantics (scanner.rs:1707-1734).
+        ``order_by`` entries are column names or (column, "asc"|"desc"
+        [, "nulls_first"|"nulls_last"]) tuples — ColumnOrdering semantics
+        (scanner.rs:136-176). With ``late_materialization`` and a limit, the
+        top-k runs over (sort columns, _rowid) only and the remaining
+        columns are fetched by a _rowid join afterwards (TakeExec role,
+        scanner.rs:1579-1654) — at 100 TB the wide columns are read for k
+        rows, not N.
         """
         frags = self.manifest.fragments
         if fragments is not None:
@@ -217,27 +226,70 @@ class LanceDataset:
             for e in columns.values():
                 refs |= set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", e))
             base_cols = [c for c in self.columns if c in refs]
+        sort_cols = []
+        for entry in order_by or []:
+            if isinstance(entry, str):
+                entry = (entry, "asc")
+            name, direction = entry[0], entry[1].lower()
+            nulls = entry[2].lower() if len(entry) > 2 else None
+            c = F.col(name)
+            if direction == "desc":
+                c = c.desc_nulls_first() if nulls == "nulls_first" else c.desc_nulls_last() if nulls == "nulls_last" else c.desc()
+            else:
+                c = c.asc_nulls_first() if nulls == "nulls_first" else c.asc_nulls_last() if nulls == "nulls_last" else c.asc()
+            sort_cols.append((name, c))
+
         if base_cols is not None and filter:
             # filter columns must be scanned even when not projected
             import re
 
             refs = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", filter))
             base_cols += [c for c in self.columns if c in refs and c not in base_cols]
-        df = self._fragment_df(spark, frags, base_cols, include_deleted=include_deleted_rows)
 
-        if prefilter_rowids is not None:
-            df = df.join(
-                F.broadcast(prefilter_rowids.select(ROWID_COL)), on=ROWID_COL, how="left_semi"
+        late = late_materialization and limit is not None and sort_cols
+        if late:
+            # phase 1: narrow scan (sort + filter columns only) → top-k rowids
+            narrow_cols = [n for n, _ in sort_cols]
+            narrow = self.scanner(
+                spark,
+                columns=narrow_cols,
+                filter=filter,
+                fragments=fragments,
+                prefilter_rowids=prefilter_rowids,
+                with_row_id=True,
+                order_by=order_by,
             )
-        if filter:
-            df = df.filter(_compat_filter(filter))
-
-        if offset or limit is not None:
-            df = df.orderBy(ROWID_COL)
             if offset:
-                df = df.offset(offset)
-            if limit is not None:
-                df = df.limit(limit)
+                narrow = narrow.offset(offset)
+            topk = narrow.limit(limit).select(ROWID_COL, *narrow_cols)
+            # phase 2: fetch the remaining columns for k winners only
+            full_cols = base_cols
+            if base_cols is not None:
+                full_cols = base_cols + [n for n, _ in sort_cols if n not in base_cols]
+            full = self._fragment_df(
+                spark, frags, full_cols, include_deleted=include_deleted_rows
+            )
+            df = full.join(F.broadcast(topk.select(ROWID_COL)), ROWID_COL, "left_semi")
+            df = df.orderBy(*[c for _, c in sort_cols])
+        else:
+            df = self._fragment_df(spark, frags, base_cols, include_deleted=include_deleted_rows)
+
+            if prefilter_rowids is not None:
+                df = df.join(
+                    F.broadcast(prefilter_rowids.select(ROWID_COL)), on=ROWID_COL, how="left_semi"
+                )
+            if filter:
+                df = df.filter(_compat_filter(filter))
+
+            if sort_cols:
+                df = df.orderBy(*[c for _, c in sort_cols])
+            if offset or limit is not None:
+                if not sort_cols:
+                    df = df.orderBy(ROWID_COL)
+                if offset:
+                    df = df.offset(offset)
+                if limit is not None:
+                    df = df.limit(limit)
 
         if with_row_address:
             df = df.withColumn(

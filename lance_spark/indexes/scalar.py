@@ -267,64 +267,228 @@ def query_index(ds, spark: SparkSession, meta, op: str, value) -> IndexResult:
 
 
 # --------------------------------------------------- filter → index splitting
+#
+# The reference extracts an index query from the WHOLE boolean tree —
+# AND/OR/NOT over per-column SargableQueries, with inexact nodes marked for
+# recheck (rust/lance-index/src/scalar/expression.rs:1549-1671). We parse the
+# SQL filter into (and/or/not/leaf) nodes, evaluate the indexable subtree to
+# a row-id set / fragment subset, and re-apply the original predicate as the
+# refine filter unless the whole tree was answered exactly.
 
 
-_SIMPLE = re.compile(
-    r"^\s*`?(?P<col>\w+)`?\s*(?P<op>>=|<=|==|=|<|>)\s*(?P<lit>'[^']*'|[-0-9.]+)\s*$"
+_LEAF = re.compile(
+    r"^\s*`?(?P<col>\w+)`?\s*(?:"
+    r"(?P<op>>=|<=|==|=|<|>)\s*(?P<lit>'[^']*'|[-0-9.]+)"
+    r"|(?P<in>IN)\s*\(\s*(?P<inlist>[^)]*)\)"
+    r"|(?P<between>BETWEEN)\s+(?P<lo>'[^']*'|[-0-9.]+)\s+AND\s+(?P<hi>'[^']*'|[-0-9.]+)"
+    r"|(?P<isnull>IS\s+NULL)"
+    r")\s*$",
+    re.IGNORECASE,
 )
 
 
 def _parse_lit(s: str):
+    s = s.strip()
     if s.startswith("'"):
         return s[1:-1]
     return float(s) if "." in s else int(s)
 
 
-def split_filter(ds, filter_sql: str) -> tuple[list[tuple], str | None]:
-    """The reference's index-query extraction (expression.rs:1549-1671),
-    scoped to top-level AND conjuncts of simple comparisons. Returns
-    ([(index_meta, op, value)], refine_sql). Conjuncts that no index covers
-    stay in the refine filter; inexact indexes keep their conjunct in the
-    refine filter too (the 'recheck' marking)."""
+def _tokenize(s: str) -> list[str]:
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c in "()":
+            out.append(c)
+            i += 1
+        elif c == "'":
+            j = i + 1
+            while j < len(s) and s[j] != "'":
+                j += 1
+            out.append(s[i : j + 1])
+            i = j + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(s) and not s[j].isspace() and s[j] not in "()'":
+                j += 1
+            out.append(s[i:j])
+            i = j
+    return out
+
+
+class _Parser:
+    """Recursive-descent over OR > AND > NOT > atom; IN-lists and BETWEEN's
+    inner AND are folded into their leaf."""
+
+    def __init__(self, tokens: list[str]):
+        self.t = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.t[self.i] if self.i < len(self.t) else None
+
+    def _kw(self, tok, word):
+        return tok is not None and tok.upper() == word
+
+    def parse_or(self):
+        nodes = [self.parse_and()]
+        while self._kw(self.peek(), "OR"):
+            self.i += 1
+            nodes.append(self.parse_and())
+        return nodes[0] if len(nodes) == 1 else ("or", nodes)
+
+    def parse_and(self):
+        nodes = [self.parse_not()]
+        while self._kw(self.peek(), "AND"):
+            self.i += 1
+            nodes.append(self.parse_not())
+        return nodes[0] if len(nodes) == 1 else ("and", nodes)
+
+    def parse_not(self):
+        if self._kw(self.peek(), "NOT"):
+            self.i += 1
+            return ("not", self.parse_not())
+        return self.parse_atom()
+
+    def parse_atom(self):
+        if self.peek() == "(":
+            self.i += 1
+            node = self.parse_or()
+            assert self.peek() == ")", "unbalanced parens in filter"
+            self.i += 1
+            return node
+        # leaf: consume until a bare AND/OR/')' — BETWEEN swallows one AND,
+        # IN swallows its parenthesized list
+        toks = []
+        pending_between = False
+        while self.i < len(self.t):
+            tok = self.t[self.i]
+            up = tok.upper()
+            if tok == ")":
+                break
+            if up == "AND" and pending_between:
+                pending_between = False
+                toks.append(tok)
+                self.i += 1
+                continue
+            if up in ("AND", "OR"):
+                break
+            if up == "BETWEEN":
+                pending_between = True
+            toks.append(tok)
+            self.i += 1
+            if up == "IN" and self.peek() == "(":
+                depth = 0
+                while self.i < len(self.t):
+                    tok = self.t[self.i]
+                    toks.append(tok)
+                    self.i += 1
+                    depth += tok == "("
+                    depth -= tok == ")"
+                    if depth == 0:
+                        break
+        return ("leaf", " ".join(toks))
+
+
+def parse_filter_tree(filter_sql: str):
+    return _Parser(_tokenize(filter_sql)).parse_or()
+
+
+def _eval_tree(ds, spark: SparkSession, node, by_col) -> IndexResult | None:
+    """Evaluate the indexable part of the tree to an IndexResult; None =
+    this subtree is opaque to every index (full refine)."""
+    kind = node[0]
+    if kind == "leaf":
+        m = _LEAF.match(node[1])
+        if not m:
+            return None
+        meta = by_col.get(m.group("col"))
+        if meta is None:
+            return None
+        if m.group("op"):
+            op = "=" if m.group("op") == "==" else m.group("op")
+            value = _parse_lit(m.group("lit"))
+        elif m.group("in"):
+            op, value = "in", [_parse_lit(x) for x in m.group("inlist").split(",")]
+        elif m.group("between"):
+            op, value = "between", (_parse_lit(m.group("lo")), _parse_lit(m.group("hi")))
+        else:
+            op, value = "is_null", None
+        try:
+            return query_index(ds, spark, meta, op, value)
+        except ValueError:
+            return None  # index can't answer this op
+    if kind == "not":
+        return None  # block-list NOT handling not implemented → recheck
+    results = [_eval_tree(ds, spark, child, by_col) for child in node[1]]
+    if kind == "and":
+        rowids, fragments = None, None
+        exact = all(r is not None and r.exact for r in results)
+        for r in results:
+            if r is None:
+                continue
+            if r.rowids is not None:
+                rowids = r.rowids if rowids is None else rowids.join(r.rowids, ROWID_COL, "left_semi")
+            if r.fragments is not None:
+                fragments = (
+                    r.fragments
+                    if fragments is None
+                    else [f for f in fragments if f in set(r.fragments)]
+                )
+        if rowids is None and fragments is None:
+            return None
+        return IndexResult(rowids=rowids, fragments=fragments, exact=exact)
+    # OR: every branch must be index-answerable, else the node is opaque
+    if any(r is None for r in results):
+        return None
+    if all(r.rowids is not None for r in results):
+        rowids = results[0].rowids
+        for r in results[1:]:
+            rowids = rowids.unionByName(r.rowids)
+        return IndexResult(rowids=rowids.distinct(), exact=all(r.exact for r in results))
+    # mixed rowid/fragment branches: fall back to the fragment union
+    # (rowids imply their fragments via the address prefix)
+    frs: set[int] = set()
+    for r in results:
+        if r.fragments is not None:
+            frs |= set(r.fragments)
+        else:
+            frs |= {
+                row[0]
+                for row in r.rowids.select(
+                    F.shiftright(F.col(ROWID_COL), FRAGID_SHIFT)
+                ).distinct().collect()
+            }
+    return IndexResult(fragments=sorted(frs), exact=False)
+
+
+def split_filter(ds, spark: SparkSession, filter_sql: str) -> tuple[IndexResult | None, str | None]:
+    """Returns (index_result, refine_sql). refine_sql is None only when the
+    whole tree was answered exactly by indexes."""
     by_col = {}
     for m in ds.manifest.indices:
         if m.index_type in ("BTREE", "BITMAP", "ZONEMAP", "BLOOMFILTER"):
             by_col.setdefault(m.column, m)
-    probes, refine = [], []
-    for conj in re.split(r"\s+AND\s+", filter_sql, flags=re.IGNORECASE):
-        m = _SIMPLE.match(conj)
-        meta = by_col.get(m.group("col")) if m else None
-        if m and meta is not None:
-            op = "=" if m.group("op") == "==" else m.group("op")
-            exact_kind = meta.index_type in ("BTREE", "BITMAP")
-            if meta.index_type in ("BITMAP", "BLOOMFILTER") and op != "=":
-                refine.append(conj)
-                continue
-            probes.append((meta, op, _parse_lit(m.group("lit"))))
-            if not exact_kind:
-                refine.append(conj)  # recheck
-        else:
-            refine.append(conj)
-    return probes, (" AND ".join(refine) or None)
+    if not by_col:
+        return None, filter_sql
+    tree = parse_filter_tree(filter_sql)
+    res = _eval_tree(ds, spark, tree, by_col)
+    if res is None:
+        return None, filter_sql
+    return res, (None if res.exact else filter_sql)
 
 
 def scan_with_index(ds, spark: SparkSession, filter_sql: str, columns: list[str] | None = None) -> DataFrame:
-    """Index-accelerated scan: probe indexes for AND-conjuncts, intersect the
-    row-id sets / fragment subsets, then scan with the refine filter
-    (FilteredReadExec + ScalarIndexExec composition, SURVEY §2.1)."""
-    probes, refine = split_filter(ds, filter_sql)
-    rowids = None
-    fragments = None
-    for meta, op, value in probes:
-        res = query_index(ds, spark, meta, op, value)
-        if res.rowids is not None:
-            rowids = res.rowids if rowids is None else rowids.join(res.rowids, ROWID_COL, "left_semi")
-        if res.fragments is not None:
-            fragments = res.fragments if fragments is None else [f for f in fragments if f in set(res.fragments)]
+    """Index-accelerated scan: evaluate the filter's indexable AND/OR tree
+    to a prefilter row-id set / fragment subset, then scan with the refine
+    filter (FilteredReadExec + ScalarIndexExec composition, SURVEY §2.1)."""
+    res, refine = split_filter(ds, spark, filter_sql)
     return ds.scanner(
         spark,
         columns=columns,
         filter=refine,
-        fragments=fragments,
-        prefilter_rowids=rowids,
+        fragments=res.fragments if res else None,
+        prefilter_rowids=res.rowids if res else None,
     )

@@ -307,3 +307,33 @@ def test_public_commit_fragments_api(spark, sf_dir, tmp_uri):
     frags = ls.write_fragments(region.repartition(2), tmp_uri, start)
     ls.commit_fragments(tmp_uri, frags, operation="append")
     assert ls.dataset(tmp_uri).count_rows() == 2 * region.count()
+
+
+def test_scanner_order_by_and_late_materialization(spark, sf_dir, tmp_uri):
+    """ColumnOrdering + two-phase top-k: results identical to the eager
+    path, and phase-2 wide columns are fetched for k rows only."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ds = ls.write_dataset(orders.repartition(4), tmp_uri)
+
+    eager = ds.scanner(
+        spark,
+        columns=["o_orderkey", "o_orderpriority"],
+        order_by=[("o_totalprice", "desc"), ("o_orderkey", "asc")],
+        limit=7,
+    ).collect()
+    late = ds.scanner(
+        spark,
+        columns=["o_orderkey", "o_orderpriority"],
+        order_by=[("o_totalprice", "desc"), ("o_orderkey", "asc")],
+        limit=7,
+        late_materialization=True,
+    ).collect()
+    want = [
+        (r["o_orderkey"], r["o_orderpriority"])
+        for r in orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(7).collect()
+    ]
+    assert [(r["o_orderkey"], r["o_orderpriority"]) for r in eager] == want
+    assert [(r["o_orderkey"], r["o_orderpriority"]) for r in late] == want
+
+    # nulls placement variants execute
+    ds.scanner(spark, order_by=[("o_orderdate", "asc", "nulls_last")], limit=3).collect()

@@ -161,3 +161,40 @@ def test_scan_with_index_splits_filter(spark, ds):
     # drop_index removes it from the manifest
     ds3 = ds2.drop_index(next(i.name for i in ds2.manifest.indices if i.index_type == "BITMAP"))
     assert all(i.index_type != "BITMAP" for i in ds3.manifest.indices)
+
+
+def test_or_tree_filter_split(spark, ds):
+    """OR of two indexed predicates → union of rowid sets; result equals the
+    plain filtered scan (expression.rs OR-tree extraction)."""
+    ds2 = ds.create_scalar_index(spark, "o_totalprice", "BTREE")
+    ds2 = ds2.create_scalar_index(spark, "o_orderpriority", "BITMAP")
+    pred = "o_totalprice > 400000 OR o_orderpriority = '1-URGENT'"
+    got = {r["o_orderkey"] for r in ds2.scan_with_index(spark, pred).select("o_orderkey").collect()}
+    assert got == _truth(ds2, spark, pred) and got
+
+    from lance_spark.indexes.scalar import split_filter
+
+    res, refine = split_filter(ds2, spark, pred)
+    assert res is not None and res.exact and refine is None  # fully answered
+
+
+def test_mixed_tree_with_opaque_branch(spark, ds):
+    """(indexed OR opaque) stays a refine filter; indexed AND sibling still
+    prunes. Result must always equal the plain scan."""
+    ds2 = ds.create_scalar_index(spark, "o_totalprice", "BTREE")
+    pred = "o_totalprice BETWEEN 100000 AND 300000 AND (o_custkey % 7 = 0 OR o_orderpriority = '2-HIGH')"
+    got = {r["o_orderkey"] for r in ds2.scan_with_index(spark, pred).select("o_orderkey").collect()}
+    assert got == _truth(ds2, spark, pred) and got
+
+    from lance_spark.indexes.scalar import split_filter
+
+    res, refine = split_filter(ds2, spark, pred)
+    assert res is not None and res.rowids is not None  # BETWEEN probe used
+    assert refine is not None  # opaque OR branch forces recheck
+
+
+def test_in_and_not_leaves(spark, ds):
+    ds2 = ds.create_scalar_index(spark, "o_orderpriority", "BITMAP")
+    pred = "o_orderpriority IN ('1-URGENT', '3-MEDIUM') AND NOT (o_custkey = 1)"
+    got = {r["o_orderkey"] for r in ds2.scan_with_index(spark, pred).select("o_orderkey").collect()}
+    assert got == _truth(ds2, spark, pred) and got
