@@ -458,10 +458,45 @@ class LanceDataset:
 
         return drop_columns(self, columns)
 
-    def alter_columns(self, *alterations: dict) -> "LanceDataset":
+    def alter_columns(self, *alterations: dict, spark: SparkSession | None = None) -> "LanceDataset":
         from lance_spark.evolution import alter_columns
 
-        return alter_columns(self, *alterations)
+        return alter_columns(self, *alterations, spark=spark)
+
+    def index_statistics(self, name: str) -> dict:
+        """dataset.py:2980-3005 index_statistics: metadata + coverage."""
+        meta = next((i for i in self.manifest.indices if i.name == name), None)
+        if meta is None:
+            raise ValueError(f"no index named {name}")
+        all_frags = {f.id for f in self.manifest.fragments}
+        covered = set(meta.fragment_ids) & all_frags
+        return {
+            "name": meta.name,
+            "index_type": meta.index_type,
+            "column": meta.column,
+            "params": meta.params,
+            "num_indexed_fragments": len(covered),
+            "num_unindexed_fragments": len(all_frags - covered),
+            "num_indexed_rows": sum(
+                f.num_rows for f in self.manifest.fragments if f.id in covered
+            ),
+            "num_unindexed_rows": sum(
+                f.num_rows for f in self.manifest.fragments if f.id not in covered
+            ),
+        }
+
+    def prewarm_index(self, spark: SparkSession, name: str) -> None:
+        """dataset.py prewarm_index: pin the index table in executor memory."""
+        meta = next((i for i in self.manifest.indices if i.name == name), None)
+        if meta is None:
+            raise ValueError(f"no index named {name}")
+        path = os.path.join(self.uri, meta.path)
+        sub = os.path.join(path, "codes") if os.path.isdir(os.path.join(path, "codes")) else path
+        if meta.index_type == "INVERTED":
+            for part in ("postings", "doclens"):
+                spark.read.parquet(os.path.join(path, part)).cache().count()
+        else:
+            spark.read.parquet(sub).cache().count()
 
     def merge(self, spark: SparkSession, right: DataFrame, left_on: str, right_on: str | None = None) -> "LanceDataset":
         from lance_spark.evolution import merge

@@ -41,16 +41,29 @@ _CG_META_SCHEMA = StructType(
 def _write_column_groups(root: str, new_cols_df: DataFrame, new_cols: list[str]) -> dict[int, str]:
     """Write {_rowid, *new_cols} as one parquet per fragment; returns
     {fragment_id: rel_path}. Distributed one-task-per-fragment."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    # declared types must survive the pandas hop (e.g. decimal precision
+    # would otherwise be re-inferred from values)
+    arrow_schema = to_arrow_schema(
+        new_cols_df.select(ROWID_COL, *new_cols).schema
+    )
 
     def write_group(pdf):
         import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
         fid = int(pdf["fragment_id"].iloc[0])
         rel = os.path.join("data", f"frag-{fid}-cg-{uuid.uuid4().hex}.parquet")
         abspath = os.path.join(root, rel)
         os.makedirs(os.path.dirname(abspath), exist_ok=True)
         out = pdf[[ROWID_COL] + new_cols].sort_values(ROWID_COL)
-        out.to_parquet(abspath, index=False)
+        pq.write_table(
+            pa.Table.from_pandas(out, schema=arrow_schema, preserve_index=False),
+            abspath,
+            compression="zstd",
+        )
         return pd.DataFrame({"fragment_id": [fid], "path": [rel], "num_rows": [len(out)]})
 
     meta = (
@@ -192,11 +205,26 @@ def drop_columns(ds, columns: list[str]):
     return LanceDataset(ds.uri)
 
 
-def alter_columns(ds, *alterations: dict):
+def alter_columns(ds, *alterations: dict, spark=None):
     """Rename / nullability are metadata-only; we record renames in the
     manifest config and apply them at read (field-id semantics of
-    schema_evolution.rs:74+ approximated by a physical→logical name map)."""
+    schema_evolution.rs:74+ approximated by a physical→logical name map).
+    ``data_type`` casts rewrite that column only (schema_evolution.rs cast):
+    composed as add(cast) → drop(old) → rename — three commits, one
+    column-group write, zero rewrites of other columns."""
     from lance_spark.dataset import LanceDataset
+
+    casts = [a for a in alterations if "data_type" in a]
+    alterations = [a for a in alterations if "data_type" not in a]
+    for alt in casts:
+        assert spark is not None, "data_type cast needs a SparkSession"
+        col, dtype = alt["path"], alt["data_type"]
+        tmp = f"{col}__cast"
+        ds = add_columns(ds, spark, {tmp: f"CAST(`{col}` AS {dtype})"})
+        ds = drop_columns(ds, [col])
+        ds = alter_columns(ds, {"path": tmp, "rename": alt.get("rename", col)})
+    if not alterations:
+        return ds
 
     def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
         assert base is not None

@@ -69,6 +69,46 @@ def knn_batch(
     )
 
 
+def multivector_maxsim(
+    df: DataFrame,
+    mv_col: str,
+    id_col: str,
+    query_vectors: list[list[float]],
+    k: int = 10,
+) -> DataFrame:
+    """Multivector (ColBERT-style) maxsim scoring — MultivectorScoringExec
+    (rust/lance/src/io/exec/knn.rs:1133; plan scanner.rs:3471-3552):
+
+        score(doc) = Σ_q  max_{v ∈ doc.vectors}  cos(q, v)
+
+    over ``array<array<float>>`` document vectors. Pure higher-order-function
+    arithmetic: the query set is a literal array (broadcast-in-expression),
+    each doc row computes its own max per query vector — no explode, no
+    shuffle until the final top-k."""
+    doc = F.col(mv_col).cast("array<array<double>>")
+
+    def cos(a, b):
+        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+        return dot / (na * nb)
+
+    per_query = []
+    for q in query_vectors:
+        qc = F.array(*[F.lit(float(x)) for x in q])
+        per_query.append(
+            F.array_max(F.transform(doc, lambda v: cos(qc, v)))
+        )
+    score = per_query[0]
+    for s in per_query[1:]:
+        score = score + s
+    return (
+        df.select(F.col(id_col), F.round(score, 4).alias("_maxsim"))
+        .orderBy(F.desc("_maxsim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def knn_bruteforce(
     df: DataFrame,
     vec_col: str,

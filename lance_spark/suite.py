@@ -1938,3 +1938,75 @@ def window_lead_lag_ntile(spark, sf_dir):
         F.round(F.lead("o_totalprice", 1, 0.0).over(w), 2).alias("next_price"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+def _maxsim_oracle() -> str:
+    cos_qv = """
+      list_sum(list_transform(range(1, 65), i -> CAST(v[i] AS DOUBLE) * CAST(q{j}.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(q{j}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    """
+    terms = " + ".join(
+        f"list_max(list_transform(mv, v -> {cos_qv.format(j=j)}))" for j in (0, 1)
+    )
+    return f"""
+    WITH docs AS (SELECT label, list(embedding) AS mv FROM embeddings WHERE vec_id >= 2 GROUP BY label),
+    q0 AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    q1 AS (SELECT embedding FROM embeddings WHERE vec_id = 1)
+    SELECT label, round({terms}, 4) AS _maxsim
+    FROM docs, q0, q1
+    ORDER BY _maxsim DESC, label LIMIT 5
+    """
+
+
+@query("multivector_maxsim", _maxsim_oracle())
+def multivector_maxsim_q(spark, sf_dir):
+    """Multivector maxsim (MultivectorScoringExec): documents = per-label
+    vector sets, score = sum over query vectors of the best match."""
+    from lance_spark.operators.knn import multivector_maxsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [
+        [float(x) for x in emb.filter(f"vec_id = {i}").first()["embedding"]]
+        for i in (0, 1)
+    ]
+    docs = (
+        emb.filter("vec_id >= 2")
+        .groupBy("label")
+        .agg(F.collect_list("embedding").alias("mv"))
+    )
+    return multivector_maxsim(docs, "mv", "label", qs, k=5)
+
+
+@query(
+    "ann_prefiltered",
+    f"""
+    SELECT e.vec_id, round(1.0 - ({_DUCK_COS_Q}), 4) AS _distance
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 4) q
+    WHERE e.vec_id != 4 AND e.label = 1
+    ORDER BY round(1.0 - ({_DUCK_COS_Q}), 4), e.vec_id
+    LIMIT 5
+    """,
+)
+def ann_prefiltered(spark, sf_dir):
+    """Prefiltered ANN through the dataset path (prefilter semantics,
+    scanner.rs:3558-3619): the allow-list restricts candidates BEFORE top-k,
+    exhaustive probe+refine makes it exact → SQL oracle."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 4").first()["embedding"]]
+    uri = tempfile.mkdtemp(prefix="lsq_pref_") + "/emb"
+    write_dataset(emb.filter("vec_id != 4").repartition(2), uri, mode="create")
+    ds = dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_PQ", num_partitions=8, metric="cosine"
+    )
+    res = ds.nearest(
+        spark, "embedding", qvec, k=5, nprobes=8, refine_factor=200, filter="label = 1"
+    )
+    return res.select("vec_id", F.round("_distance", 4).alias("_distance")).orderBy(
+        "_distance", "vec_id"
+    )

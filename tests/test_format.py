@@ -337,3 +337,31 @@ def test_scanner_order_by_and_late_materialization(spark, sf_dir, tmp_uri):
 
     # nulls placement variants execute
     ds.scanner(spark, order_by=[("o_orderdate", "asc", "nulls_last")], limit=3).collect()
+
+
+def test_alter_columns_cast(spark, sf_dir, tmp_uri):
+    """data_type cast = one column-group rewrite (add->drop->rename),
+    other columns untouched."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ds = ls.write_dataset(orders, tmp_uri)
+    ds = ds.alter_columns({"path": "o_totalprice", "data_type": "DECIMAL(12,2)"}, spark=spark)
+    got = ds.to_df(spark)
+    assert dict(got.dtypes)["o_totalprice"] == "decimal(12,2)"
+    assert set(got.columns) == set(orders.columns)
+    import decimal
+    want = orders.agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)"))).first()[0]
+    assert got.agg(F.sum("o_totalprice")).first()[0] == want
+
+
+def test_index_statistics_and_prewarm(spark, sf_dir, tmp_uri):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ls.write_dataset(emb.repartition(2), tmp_uri)
+    ds = ds.create_index(spark, "embedding", index_type="IVF_FLAT", num_partitions=4, metric="l2")
+    name = ds.list_indices()[0]["name"]
+    stats = ds.index_statistics(name)
+    assert stats["num_unindexed_fragments"] == 0 and stats["num_indexed_rows"] == emb.count()
+    ds.insert(emb.limit(10))
+    ds2 = ls.dataset(tmp_uri)
+    stats2 = ds2.index_statistics(name)
+    assert stats2["num_unindexed_rows"] == 10
+    ds2.prewarm_index(spark, name)  # executes without error, caches the table
