@@ -498,6 +498,58 @@ class LanceDataset:
         else:
             spark.read.parquet(sub).cache().count()
 
+    def shallow_clone(self, dest_uri: str) -> "LanceDataset":
+        """Zero-copy clone (dataset.py:3328 shallow_clone; Operation::Clone,
+        transaction.rs): the clone's manifest references the source's data,
+        deletion, and index files *in place* by absolute path — O(metadata),
+        no data movement. Subsequent writes land under the clone root, so the
+        two datasets diverge independently; `cleanup_old_versions` on either
+        root only ever deletes files under that root, never shared ones."""
+        dest = os.path.abspath(dest_uri)
+        if mf.latest_version(dest) is not None:
+            raise ValueError(f"dataset already exists at {dest}")
+
+        def _absolutize(p: str) -> str:
+            return p if os.path.isabs(p) else os.path.join(self.uri, p)
+
+        src = self.manifest
+        frags = [
+            mf.Fragment(
+                id=f.id,
+                files=[mf.DataFile(_absolutize(df.path), list(df.columns)) for df in f.files],
+                physical_rows=f.physical_rows,
+                deletion_file=_absolutize(f.deletion_file) if f.deletion_file else None,
+                num_deleted_rows=f.num_deleted_rows,
+            )
+            for f in src.fragments
+        ]
+        indices = [
+            mf.IndexMeta(
+                name=i.name,
+                index_type=i.index_type,
+                column=i.column,
+                path=_absolutize(i.path),
+                fragment_ids=list(i.fragment_ids),
+                params=dict(i.params),
+            )
+            for i in src.indices
+        ]
+
+        def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
+            return mf.Manifest(
+                version=version,
+                schema_json=src.schema_json,
+                fragments=frags,
+                max_fragment_id=src.max_fragment_id,
+                operation="clone",
+                indices=indices,
+                config={**src.config, "cloned_from": {"uri": self.uri, "version": src.version}},
+                blob_columns=list(src.blob_columns),
+            )
+
+        mf.commit(dest, build, operation="clone")
+        return LanceDataset(dest)
+
     def merge(self, spark: SparkSession, right: DataFrame, left_on: str, right_on: str | None = None) -> "LanceDataset":
         from lance_spark.evolution import merge
 

@@ -365,3 +365,39 @@ def test_index_statistics_and_prewarm(spark, sf_dir, tmp_uri):
     stats2 = ds2.index_statistics(name)
     assert stats2["num_unindexed_rows"] == 10
     ds2.prewarm_index(spark, name)  # executes without error, caches the table
+
+
+def test_shallow_clone(spark, sf_dir, tmp_path):
+    """Clone references source files in place; mutations diverge; cleanup on
+    the clone never touches source files (dataset.py:3328 semantics)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src_uri = str(tmp_path / "src")
+    ds = ls.write_dataset(orders.repartition(3), src_uri)
+    n = ds.count_rows()
+
+    clone = ds.shallow_clone(str(tmp_path / "clone"))
+    assert clone.version == 1 and clone.count_rows() == n
+    # no data files copied into the clone root
+    assert not os.path.isdir(os.path.join(clone.uri, "data"))
+    assert clone.to_df(spark).agg(F.sum("o_totalprice")).first()[0] == pytest.approx(
+        orders.agg(F.sum("o_totalprice")).first()[0]
+    )
+
+    # clone over existing root refuses
+    with pytest.raises(ValueError):
+        ds.shallow_clone(clone.uri)
+
+    # divergence: delete on the clone, source untouched
+    clone = clone.delete(spark, "o_orderstatus = 'F'")
+    assert clone.count_rows() < n
+    assert ls.dataset(src_uri).count_rows() == n
+
+    # appends land under the clone root
+    clone = clone.insert(orders.limit(5))
+    assert os.path.isdir(os.path.join(clone.uri, "data"))
+    # cleanup on the clone: source files all survive
+    from lance_spark.maintenance import cleanup_old_versions
+
+    cleanup_old_versions(clone, older_than_seconds=0.0, keep_tagged=False)
+    assert ls.dataset(src_uri).count_rows() == n
+    assert ls.dataset(clone.uri).count_rows() == clone.count_rows()
