@@ -36,5 +36,20 @@ def get_spark(app_name: str = "lance_spark", cpus: int | None = None) -> SparkSe
         # Spark has no ns timestamp type: read parquet TIMESTAMP(NANOS) as long
         # (events.ts); lance_spark.io.load_table derives a µs timestamp column
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # This engine joins on COMPUTED keys everywhere (token hashes, LSH
+        # band keys, shingles): InferFiltersFromConstraints clones the whole
+        # key expression tree into inferred isnotnull/size predicates and
+        # pushes them below exchanges — measured 22s of duplicated
+        # tokenize+shingle evaluation on one ngram-jaccard join at sf0.1.
+        # The isnotnull pruning it buys on plain-column joins is already
+        # covered by parquet row-group stats.
+        # InferFiltersFromGenerate does the same with explode()'s implicit
+        # size>0/isnotnull guard — after projection collapse, the guard
+        # re-evaluates the exploded array expression per input row.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints,"
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     return builder.getOrCreate()
