@@ -2,8 +2,7 @@
 
 JVM-side higher-order-function arithmetic (zip_with + aggregate) — stays in
 whole-stage codegen, no Python boundary. Mirrors the reference distance
-kernels l2/cosine/dot (rust/lance-linalg/src/distance.rs:36-70); hamming is
-over binary codes in the IVF-PQ module.
+kernels l2/cosine/dot/hamming (rust/lance-linalg/src/distance.rs:36-70).
 
 For large-batch scoring (index build, brute-force KNN at scale) the
 pandas_udf numpy path in operators/knn.py is ~5-10× faster than per-row
@@ -40,4 +39,15 @@ def l2_distance(a, b) -> Column:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+    )
+
+
+def hamming_distance(a, b) -> Column:
+    """Hamming distance over integer code arrays (distance.rs:36-42
+    Hamming): Σ popcount(aᵢ XOR bᵢ). Works for bit-packed uint8 codes and
+    degenerates to positions-differing for 0/1 arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )

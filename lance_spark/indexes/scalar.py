@@ -1,5 +1,5 @@
 """Scalar secondary indexes: BTREE, BITMAP, LABEL_LIST, NGRAM, ZONEMAP,
-BLOOMFILTER.
+BLOOMFILTER, JSON (a BTree over an extracted JSON path, json.rs:55).
 
 Reference semantics (rust/lance-index/src/scalar/): each index answers a
 ``SargableQuery`` — Range / IsIn / Equals / IsNull / TextContains
@@ -100,6 +100,23 @@ def build_scalar_index(ds, spark: SparkSession, column: str, kind: str, uri: str
             .write.mode("overwrite")
             .parquet(uri)
         )
+    elif kind == "JSON":
+        # JsonIndex (rust/lance-index/src/scalar/json.rs:55): a BTree over
+        # one extracted JSON path; value_type casts the extracted string
+        path = params.get("path")
+        if not path:
+            raise ValueError("JSON index requires params={'path': '$.field'}")
+        vtype = params.setdefault("value_type", "string")
+        (
+            df.select(
+                F.get_json_object(F.col(column), path).cast(vtype).alias("value"),
+                F.col(ROWID_COL),
+            )
+            .repartitionByRange(max(df.sparkSession.sparkContext.defaultParallelism, 1), "value")
+            .sortWithinPartitions("value")
+            .write.mode("overwrite")
+            .parquet(uri)
+        )
     elif kind == "ZONEMAP":
         (
             df.withColumn("fragment_id", F.shiftright(F.col(ROWID_COL), FRAGID_SHIFT))
@@ -174,7 +191,7 @@ def query_index(ds, spark: SparkSession, meta, op: str, value) -> IndexResult:
     """
     kind = meta.index_type
     idx = _load(spark, ds, meta)
-    if kind == "BTREE":
+    if kind in ("BTREE", "JSON"):  # JSON = BTree over the extracted path
         v = F.col("value")
         if op == "=":
             hit = idx.filter(v == value)

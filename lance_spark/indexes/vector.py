@@ -149,9 +149,16 @@ def build_ivf(
         m = num_sub_vectors
         assert dim % m == 0, f"dim {dim} not divisible by num_sub_vectors {m}"
         sub = dim // m
-        # residual PQ (vector/residual.rs): codebooks trained on (vec - centroid)
-        d2 = ((sample[:, None, :] - centroids[None, :, :].astype(np.float64)) ** 2).sum(axis=2)
-        resid = sample - centroids[d2.argmin(axis=1)].astype(np.float64)
+        # residual PQ (vector/residual.rs): codebooks trained on (vec - centroid).
+        # GEMM assignment — the (n, k, dim) broadcast temporary of the naive
+        # form is O(sample·k·dim) memory (6+ GB at 50k sample × 256 parts)
+        cf = centroids.astype(np.float64)
+        d2 = (
+            (sample * sample).sum(axis=1, keepdims=True)
+            - 2.0 * (sample @ cf.T)
+            + (cf * cf).sum(axis=1)
+        )
+        resid = sample - cf[d2.argmin(axis=1)]
         codebooks = np.stack(
             [
                 train_kmeans(resid[:, j * sub : (j + 1) * sub], 256, iters=8, seed=seed + j)

@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from lance_spark.functions.vector import cosine_sim, dot_product, l2_distance
+from lance_spark.functions.vector import (
+    cosine_sim,
+    dot_product,
+    hamming_distance,
+    l2_distance,
+)
 
 
 def knn_batch(
@@ -56,6 +61,9 @@ def knn_batch(
         dist = l2_distance(v, F.col("qv"))
     elif metric == "dot":
         dist = -dot_product(v, F.col("qv"))
+    elif metric == "hamming":
+        v = F.col(vec_col).cast("array<long>")
+        dist = hamming_distance(v, F.col("qv").cast("array<long>")).cast("double")
     else:
         dist = 1.0 - cosine_sim(v, F.col("qv"))
     scored = corpus.crossJoin(q).select(
@@ -142,6 +150,9 @@ def knn_bruteforce(
         dcol = l2_distance(v, q)
     elif metric == "dot":
         dcol = -dot_product(v, q)
+    elif metric == "hamming":
+        qi = F.array(*[F.lit(int(x)).cast("long") for x in query])
+        dcol = hamming_distance(F.col(vec_col).cast("array<long>"), qi).cast("double")
     else:
         dcol = 1.0 - cosine_sim(v, q)
     return (

@@ -2271,3 +2271,73 @@ def tpch_q22_no_orders(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "knn_hamming_topk",
+    """
+    WITH b AS (SELECT vec_id,
+                      list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS bits
+               FROM embeddings),
+    q AS (SELECT bits FROM b WHERE vec_id = 7)
+    SELECT b.vec_id,
+           CAST(list_sum(list_transform(range(1, len(b.bits)+1),
+                i -> CASE WHEN b.bits[i] != q.bits[i] THEN 1 ELSE 0 END)) AS DOUBLE) AS _distance
+    FROM b, q
+    WHERE b.vec_id != 7
+    ORDER BY _distance, b.vec_id
+    LIMIT 10
+    """,
+)
+def knn_hamming_topk(spark, sf_dir):
+    """Hamming-metric KNN (distance.rs:36-42 Hamming) over sign-binarized
+    embeddings — the binary-vector search mode of the reference."""
+    from lance_spark.operators.knn import knn_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bits = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.when(x > 0, 1).otherwise(0).cast("long")
+        ).alias("bits"),
+    )
+    qbits = [int(x > 0) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    return knn_bruteforce(
+        bits.filter("vec_id != 7"), "bits", qbits, k=10, metric="hamming", id_col="vec_id"
+    )
+
+
+@query(
+    "json_index_lookup",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) BETWEEN 10 AND 20
+    GROUP BY k ORDER BY k
+    """,
+)
+def json_index_lookup(spark, sf_dir):
+    """JSON scalar index (json.rs:55 JsonIndex): BTree over the extracted
+    '$.k' path answers the range SargableQuery with an exact row-id set;
+    matched rows come back via a semi-join on _rowid (MaterializeIndexExec
+    role, scalar_index.rs:465)."""
+    from lance_spark.indexes.scalar import query_index
+    from lance_spark.write import ROWID_COL
+
+    ds = _tmp_ds(spark, sf_dir, "events")
+    ds = ds.create_scalar_index(
+        spark, "props", "JSON", params={"path": "$.k", "value_type": "long"}
+    )
+    meta = next(i for i in ds.manifest.indices if i.index_type == "JSON")
+    res = query_index(ds, spark, meta, "between", (10, 20))
+    rows = ds.to_df(spark, with_row_id=True).join(
+        F.broadcast(res.rowids), ROWID_COL, "left_semi"
+    )
+    return (
+        rows.select(F.get_json_object("props", "$.k").cast("long").alias("k"), "value")
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("k")
+    )

@@ -159,3 +159,13 @@ def test_embedding_neardup(spark):
     ]
     out = embedding_neardup_pairs(spark.createDataFrame(rows), "v", "id", min_cosine=0.9).collect()
     assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+
+def test_knn_hamming(spark):
+    from lance_spark.operators.knn import knn_bruteforce
+
+    rows = [(i, [int(b) for b in format(i, "08b")]) for i in range(64)]
+    df = spark.createDataFrame(rows, "id long, bits array<long>")
+    got = knn_bruteforce(df, "bits", [0] * 8, k=4, metric="hamming", id_col="id").collect()
+    # nearest to 0b00000000: 0 (d=0) then single-bit codes 1,2,4 (d=1, id order)
+    assert [(r["id"], r["_distance"]) for r in got] == [(0, 0.0), (1, 1.0), (2, 1.0), (4, 1.0)]

@@ -198,3 +198,32 @@ def test_in_and_not_leaves(spark, ds):
     pred = "o_orderpriority IN ('1-URGENT', '3-MEDIUM') AND NOT (o_custkey = 1)"
     got = {r["o_orderkey"] for r in ds2.scan_with_index(spark, pred).select("o_orderkey").collect()}
     assert got == _truth(ds2, spark, pred) and got
+
+
+def test_json_index_lookup(spark, sf_dir, tmp_path):
+    """JSON index (json.rs:55): BTree over an extracted path; exact rowid
+    sets for eq and range queries match a direct json-path filter."""
+    import lance_spark as ls
+    from lance_spark.indexes.scalar import query_index
+    from lance_spark.write import ROWID_COL
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").drop("ts")
+    ds = ls.write_dataset(events.repartition(3), str(tmp_path / "ev"))
+    ds = ds.create_scalar_index(spark, "props", "JSON", params={"path": "$.k", "value_type": "long"})
+    meta = next(i for i in ds.manifest.indices if i.index_type == "JSON")
+    assert meta.params["path"] == "$.k"
+
+    base = ds.to_df(spark, with_row_id=True).withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    for op, val, pred in [
+        ("=", 42, F.col("k") == 42),
+        ("between", (10, 20), F.col("k").between(10, 20)),
+        (">", 90, F.col("k") > 90),
+    ]:
+        res = query_index(ds, spark, meta, op, val)
+        assert res.exact
+        got = {r[0] for r in res.rowids.select(ROWID_COL).collect()}
+        want = {r[0] for r in base.filter(pred).select(ROWID_COL).collect()}
+        assert got == want and got
