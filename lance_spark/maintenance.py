@@ -49,18 +49,36 @@ def compact_files(ds, spark: SparkSession, target_rows_per_fragment: int = 1024 
         df.repartition(n_frags), ds.uri, base_fid, preserve_rowids=True
     )
 
+    new_ids = {f.id for f in new_frags}
+
     def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
         assert base is not None
         fragments = [f for f in base.fragments if f.id not in victim_ids] + new_frags
         cfg = dict(base.config)
         cfg["rowid_address_style"] = False
+        # Remap index coverage (Operation::Rewrite remap, optimize.rs:982):
+        # rowids are stable so index entries stay valid; a rewritten fragment
+        # is covered iff every victim it absorbed was covered (rows from an
+        # unindexed victim would otherwise be wrongly skipped by fast_search).
+        indices = []
+        for i in base.indices:
+            cov = set(i.fragment_ids)
+            fids = cov - victim_ids
+            if victim_ids <= cov:
+                fids |= new_ids
+            indices.append(
+                mf.IndexMeta(
+                    name=i.name, index_type=i.index_type, column=i.column,
+                    path=i.path, fragment_ids=sorted(fids), params=i.params,
+                )
+            )
         return mf.Manifest(
             version=version,
             schema_json=base.schema_json,
             fragments=fragments,
             max_fragment_id=max(f.id for f in fragments),
             operation="rewrite",
-            indices=base.indices,  # rowids stable → indexes stay valid
+            indices=indices,
             config=cfg,
             blob_columns=base.blob_columns,
         )

@@ -216,6 +216,7 @@ class MergeInsertBuilder:
         self.on = [on] if isinstance(on, str) else list(on)
         self._update_all = False
         self._update_condition: str | None = None
+        self._fail_on_match = False
         self._insert_all = False
         self._delete_not_matched_by_source = False
         self._delete_condition: str | None = None
@@ -223,6 +224,12 @@ class MergeInsertBuilder:
     def when_matched_update_all(self, condition: str | None = None) -> "MergeInsertBuilder":
         self._update_all = True
         self._update_condition = condition
+        return self
+
+    def when_matched_fail(self) -> "MergeInsertBuilder":
+        """WhenMatched::Fail (merge_insert.rs:204-284): abort the merge if
+        any source row matches an existing target row."""
+        self._fail_on_match = True
         return self
 
     def when_not_matched_insert_all(self) -> "MergeInsertBuilder":
@@ -264,6 +271,11 @@ class MergeInsertBuilder:
         joined = joined.cache()
         delete_ids_parts, append_parts = [], []
 
+        if self._fail_on_match:
+            n = joined.filter(matched).limit(1).count()
+            if n:
+                joined.unpersist()
+                raise ValueError("merge_insert: when_matched_fail and source rows matched target")
         if self._update_all:
             upd = joined.filter(matched)
             if self._update_condition:

@@ -401,3 +401,40 @@ def test_shallow_clone(spark, sf_dir, tmp_path):
     cleanup_old_versions(clone, older_than_seconds=0.0, keep_tagged=False)
     assert ls.dataset(src_uri).count_rows() == n
     assert ls.dataset(clone.uri).count_rows() == clone.count_rows()
+
+
+def test_merge_insert_when_matched_fail(spark, sf_dir, tmp_uri):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ds = ls.write_dataset(orders, tmp_uri)
+    fresh = orders.limit(5).withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+    # no matches: insert proceeds
+    ds = (
+        ds.merge_insert("o_orderkey")
+        .when_matched_fail()
+        .when_not_matched_insert_all()
+        .execute(spark, fresh)
+    )
+    assert ds.count_rows() == orders.count() + 5
+    # overlap: merge aborts, dataset unchanged
+    with pytest.raises(ValueError, match="when_matched_fail"):
+        (
+            ds.merge_insert("o_orderkey")
+            .when_matched_fail()
+            .when_not_matched_insert_all()
+            .execute(spark, orders.limit(3))
+        )
+    assert ls.dataset(tmp_uri).count_rows() == orders.count() + 5
+
+
+def test_compaction_remaps_index_coverage(spark, sf_dir, tmp_path):
+    """Rewrite keeps index coverage (optimize.rs:982 remap): fully-covered
+    victims -> new fragments covered; stats show zero unindexed rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ls.write_dataset(emb.repartition(6), str(tmp_path / "emb"))
+    ds = ds.create_index(spark, "embedding", index_type="IVF_FLAT", num_partitions=4, metric="l2")
+    name = ds.list_indices()[0]["name"]
+    assert ds.index_statistics(name)["num_unindexed_rows"] == 0
+    ds2 = ds.compact_files(spark, target_rows_per_fragment=100_000)
+    assert len(ds2.manifest.fragments) < 6
+    stats = ds2.index_statistics(name)
+    assert stats["num_unindexed_rows"] == 0 and stats["num_indexed_rows"] == emb.count()
