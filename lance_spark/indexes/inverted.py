@@ -127,17 +127,40 @@ def match_query(ds, spark: SparkSession, terms: list[str], column: str | None = 
     )
 
 
-def phrase_query(ds, spark: SparkSession, phrase: str, column: str | None = None) -> DataFrame:
-    """PhraseQueryExec (fts.rs:501), slop=0: consecutive-position intersect
-    over the positional postings (wand.rs positions path)."""
+def _phrase_step(cand_col, next_pos_col, i: int, slop: int):
+    """One candidate-walk step of sloppy phrase matching: each candidate
+    {start, last} advances to the smallest position q of term i with
+    q > last and q ≤ start + i + slop (total in-order displacement ≤ slop;
+    slop=0 degenerates to exact consecutive positions). Greedy min-q is
+    safe: a smaller `last` can only admit more future matches."""
+    stepped = F.transform(
+        cand_col,
+        lambda c: F.struct(
+            c["start"].alias("start"),
+            F.array_min(
+                F.filter(
+                    next_pos_col,
+                    lambda q: (q > c["last"]) & (q <= c["start"] + i + slop),
+                )
+            ).alias("last"),
+        ),
+    )
+    return F.filter(stepped, lambda c: c["last"].isNotNull())
+
+
+def phrase_query(
+    ds, spark: SparkSession, phrase: str, column: str | None = None, slop: int = 0
+) -> DataFrame:
+    """PhraseQueryExec (fts.rs:501; PhraseQuery.slop, inverted/query.rs):
+    in-order position intersect over the positional postings, allowing up
+    to ``slop`` total displacement between terms."""
     meta = _find(ds, column)
     postings, _ = _index_tables(ds, spark, meta)
     terms = [t for t in phrase.lower().split() if t]
     if not terms:
         return spark.createDataFrame([], "id long")
-    cur = (
-        postings.filter(F.col("token") == terms[0])
-        .select("id", F.col("positions").alias("pos"))
+    cur = postings.filter(F.col("token") == terms[0]).select(
+        "id", F.transform("positions", lambda p: F.struct(p.alias("start"), p.alias("last"))).alias("cand")
     )
     for i, t in enumerate(terms[1:], start=1):
         nxt = postings.filter(F.col("token") == t).select(
@@ -145,15 +168,8 @@ def phrase_query(ds, spark: SparkSession, phrase: str, column: str | None = None
         )
         cur = (
             cur.join(nxt, "id")
-            # keep start positions whose (start+i) appears in term i's positions
-            .withColumn(
-                "pos",
-                F.filter(
-                    F.col("pos"),
-                    lambda p: F.array_contains(F.col(f"pos{i}"), p + i),
-                ),
-            )
-            .filter(F.size("pos") > 0)
+            .withColumn("cand", _phrase_step(F.col("cand"), F.col(f"pos{i}"), i, slop))
+            .filter(F.size("cand") > 0)
             .drop(f"pos{i}")
         )
     return cur.select("id")

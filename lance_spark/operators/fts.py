@@ -83,15 +83,39 @@ def bm25_search(
     return out if k is None else out.limit(k)
 
 
-def phrase_match(df: DataFrame, text_col: str, id_col: str, phrase: str) -> DataFrame:
-    """Phrase query (slop=0): containment in the canonical token stream —
-    equivalent to a positions-intersect over the postings because the token
-    stream is reconstructed in order."""
-    canon = F.concat_ws(" ", tokenize(F.col(text_col)))
-    needle = " ".join(phrase.lower().split())
-    return df.filter(
-        F.concat(F.lit(" "), canon, F.lit(" ")).contains(f" {needle} ")
-    ).select(F.col(id_col))
+def phrase_match(
+    df: DataFrame, text_col: str, id_col: str, phrase: str, slop: int = 0
+) -> DataFrame:
+    """Flat phrase query (FlatMatchQueryExec role, fts.rs:332; slop per
+    PhraseQuery.slop): slop=0 is containment in the canonical token stream;
+    slop>0 runs the same in-order candidate walk as the indexed path over
+    per-term position arrays computed from the token array."""
+    if slop == 0:
+        canon = F.concat_ws(" ", tokenize(F.col(text_col)))
+        needle = " ".join(phrase.lower().split())
+        return df.filter(
+            F.concat(F.lit(" "), canon, F.lit(" ")).contains(f" {needle} ")
+        ).select(F.col(id_col))
+
+    from lance_spark.indexes.inverted import _phrase_step
+
+    terms = [t for t in phrase.lower().split() if t]
+    base = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__w"))
+
+    def positions(term):
+        return F.filter(
+            F.sequence(F.lit(1), F.size("__w")),
+            lambda i: F.element_at(F.col("__w"), i) == term,
+        )
+
+    cur = base.select(
+        F.col(id_col),
+        "__w",
+        F.transform(positions(terms[0]), lambda p: F.struct(p.alias("start"), p.alias("last"))).alias("cand"),
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        cur = cur.withColumn("cand", _phrase_step(F.col("cand"), positions(t), i, slop))
+    return cur.filter(F.size("cand") > 0).select(F.col(id_col))
 
 
 def fuzzy_match(

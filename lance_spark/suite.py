@@ -2341,3 +2341,28 @@ def json_index_lookup(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
         .orderBy("k")
     )
+
+
+@query(
+    "fts_phrase_slop",
+    f"""
+    WITH tok AS (SELECT lang, {_DUCK_TOKS.format(col='text')} AS w FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n
+    FROM tok
+    WHERE len(list_filter(range(1, len(w)+1), i -> w[i] = 'key'
+          AND len(list_filter(range(i+1, i+4), j -> w[j] = 'order')) > 0)) > 0
+    GROUP BY lang
+    """,
+)
+def fts_phrase_slop(spark, sf_dir):
+    """Sloppy phrase (PhraseQuery.slop, inverted/query.rs): 'key ... order'
+    with ≤2 intervening displacement."""
+    from lance_spark.operators.fts import phrase_match
+
+    docs = _t(spark, sf_dir, "documents")
+    matched = phrase_match(docs, "text", "doc_id", "key order", slop=2)
+    return (
+        docs.join(matched, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )

@@ -77,3 +77,24 @@ def test_append_tail_flat_fallback(spark, docs_ds):
     base = ds2.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     ids = {r["doc_id"] for r in hits.join(base, hits.id == base._rowid).select("doc_id").collect()}
     assert ids == {999999}
+
+
+def test_phrase_slop_indexed_matches_flat(spark, docs_ds):
+    """Indexed sloppy phrase (positions walk over postings) ≡ flat walk
+    over the token array, for slop 0..3; slop widens monotonically."""
+    from lance_spark.indexes.inverted import phrase_query
+    from lance_spark.operators.fts import phrase_match
+
+    docs = docs_ds.to_df(spark)
+    base = docs_ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    prev = set()
+    for slop in (0, 1, 2, 3):
+        idx = phrase_query(docs_ds, spark, "key order", slop=slop)
+        idx_ids = {
+            r["doc_id"] for r in idx.join(base, idx.id == base._rowid).select("doc_id").collect()
+        }
+        flat_ids = {r[0] for r in phrase_match(docs, "text", "doc_id", "key order", slop=slop).collect()}
+        assert idx_ids == flat_ids
+        assert prev <= idx_ids
+        prev = idx_ids
+    assert prev  # widest slop matched something
