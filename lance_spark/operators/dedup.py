@@ -36,6 +36,8 @@ def _fan_out(df: DataFrame, min_tasks: int | None = None) -> DataFrame:
     serialize it on one core. Repartition ONLY when the scan yields fewer
     splits than cores — on production multi-fragment layouts this is a
     no-op, so no added shuffle at scale."""
+    if df.isStreaming:  # no static partition count; micro-batches are sized upstream
+        return df
     spark = df.sparkSession
     target = min_tasks or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < min(4, target):
