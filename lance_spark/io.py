@@ -19,6 +19,11 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Runtime-settable SQL conf; the driver's harness builds its own
+    # SparkSession without our session.py defaults, so set it here too —
+    # otherwise reading events.parquet (TIMESTAMP(NANOS)) raises
+    # PARQUET_TYPE_ILLEGAL on any foreign session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumnRenamed("ts", "ts_ns").withColumn(
