@@ -73,16 +73,7 @@ class LanceDataset:
         snap = self.manifest
 
         def build(base, version):
-            m = mf.Manifest(
-                version=version,
-                schema_json=snap.schema_json,
-                fragments=snap.fragments,
-                max_fragment_id=snap.max_fragment_id,
-                operation="restore",
-                indices=snap.indices,
-                config=snap.config,
-            )
-            return m
+            return mf.Manifest.evolve(snap, version, operation="restore")
 
         mf.commit(self.uri, build, operation="restore")
         return LanceDataset(self.uri)
@@ -589,14 +580,9 @@ class LanceDataset:
         from lance_spark import manifest as mf
 
         def build(base, version):
-            return mf.Manifest(
-                version=version,
-                schema_json=base.schema_json,
-                fragments=base.fragments,
-                max_fragment_id=base.max_fragment_id,
-                operation="drop_index",
+            return mf.Manifest.evolve(
+                base, version, operation="drop_index",
                 indices=[i for i in base.indices if i.name != name],
-                config=base.config,
             )
 
         mf.commit(self.uri, build, operation="drop_index")
@@ -626,10 +612,15 @@ class LanceDataset:
 
         return compact_files(self, spark, target_rows_per_fragment)
 
-    def cleanup_old_versions(self, older_than_seconds: float = 0.0, keep_tagged: bool = True) -> int:
+    def cleanup_old_versions(
+        self,
+        older_than_seconds: float = 0.0,
+        keep_tagged: bool = True,
+        delete_unverified: bool = False,
+    ) -> int:
         from lance_spark.maintenance import cleanup_old_versions
 
-        return cleanup_old_versions(self, older_than_seconds, keep_tagged)
+        return cleanup_old_versions(self, older_than_seconds, keep_tagged, delete_unverified)
 
     def optimize_indices(self, spark: SparkSession) -> "LanceDataset":
         from lance_spark.maintenance import optimize_indices

@@ -96,15 +96,9 @@ def _commit_new_columns(ds, cg_map: dict[int, str], new_fields: list[dict], new_
             )
         schema_json = dict(base.schema_json)
         schema_json["fields"] = list(base.schema_json["fields"]) + new_fields
-        return mf.Manifest(
-            version=version,
-            schema_json=schema_json,
-            fragments=fragments,
-            max_fragment_id=base.max_fragment_id,
-            operation="add_columns",
-            indices=base.indices,
-            config=base.config,
-            blob_columns=base.blob_columns,
+        return mf.Manifest.evolve(
+            base, version, operation="add_columns",
+            schema_json=schema_json, fragments=fragments,
         )
 
     mf.commit(ds.uri, build, operation="add_columns")
@@ -191,14 +185,11 @@ def drop_columns(ds, columns: list[str]):
             fragments.append(
                 mf.Fragment(frag.id, files, frag.physical_rows, frag.deletion_file, frag.num_deleted_rows)
             )
-        return mf.Manifest(
-            version=version,
-            schema_json=schema_json,
-            fragments=fragments,
-            max_fragment_id=base.max_fragment_id,
-            operation="drop_columns",
+        return mf.Manifest.evolve(
+            base, version, operation="drop_columns",
+            schema_json=schema_json, fragments=fragments,
             indices=[i for i in base.indices if i.column not in columns],
-            config=base.config,
+            blob_columns=[c for c in base.blob_columns if c not in columns],
         )
 
     mf.commit(ds.uri, build, operation="drop_columns")
@@ -249,14 +240,12 @@ def alter_columns(ds, *alterations: dict, spark=None):
         schema_json["fields"] = fields
         cfg = dict(base.config)
         cfg["column_renames"] = renames
-        return mf.Manifest(
-            version=version,
-            schema_json=schema_json,
-            fragments=base.fragments,
-            max_fragment_id=base.max_fragment_id,
-            operation="alter_columns",
-            indices=base.indices,
-            config=cfg,
+        # a renamed blob column must keep its blob status
+        logical_renames = {a["path"]: a["rename"] for a in alterations if "rename" in a}
+        return mf.Manifest.evolve(
+            base, version, operation="alter_columns",
+            schema_json=schema_json, config=cfg,
+            blob_columns=[logical_renames.get(c, c) for c in base.blob_columns],
         )
 
     mf.commit(ds.uri, build, operation="alter_columns")

@@ -52,6 +52,111 @@ def tokenize_ngram(colname: str, n: int = 3, prefix_only: bool = False) -> Colum
     return F.array_distinct(grams)
 
 
+def tokenize_unicode(col) -> Column:
+    """Unicode-aware tokenizer (tokenizer.rs LanceTokenizer language configs):
+    CJK ideographs/kana/hangul become single-character tokens (the unigram
+    strategy of the reference's lindera/jieba configs, minus the dictionaries),
+    all other scripts split on non-letter/digit runs. Non-Latin text no longer
+    tokenizes to nothing (the hardwired ``[^a-z]+`` gap this closes)."""
+    spaced = F.regexp_replace(
+        col, "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}])", " $1 "
+    )
+    return F.filter(
+        F.split(F.lower(spaced), "[^\\p{L}\\p{N}]+"), lambda x: x != F.lit("")
+    )
+
+
+# Doubled-consonant endings undoubled after -ing/-ed stripping (porter step
+# 1b cleanup). Enumerated pairs, NOT a backreference pattern — DuckDB's RE2
+# has no backreferences, and the oracle SQL must express the same rule.
+_DOUBLED = ["bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt"]
+
+
+def stem_token(t) -> Column:
+    """Snowball-style English stemmer, porter-lite subset (tokenizer.rs:43-80
+    stemmer stage). Deterministic rules, first match wins:
+    plural (sses→ss, ies→y, s→∅), then -ing/-ed/-ly stripping with a minimum
+    stem length, then doubled-consonant undoubling. The exact same rules are
+    expressible as ANSI SQL CASE/regexp in the DuckDB oracle."""
+    # stage 1: plurals
+    t1 = (
+        F.when(t.rlike("sses$"), F.regexp_replace(t, "sses$", "ss"))
+        .when(t.rlike(".ies$"), F.regexp_replace(t, "ies$", "y"))
+        .when(t.rlike(".[^su]s$"), F.regexp_replace(t, "s$", ""))
+        .otherwise(t)
+    )
+    # stage 2: suffixes (keep a stem of >= 3 chars)
+    t2 = (
+        F.when(t1.rlike(".{3}ing$"), F.regexp_replace(t1, "ing$", ""))
+        .when(t1.rlike(".{3}ed$"), F.regexp_replace(t1, "ed$", ""))
+        .when(t1.rlike(".{4}ly$"), F.regexp_replace(t1, "ly$", ""))
+        .otherwise(t1)
+    )
+    # stage 3: undouble final consonant only when stage 2 stripped something
+    undoubled = F.when(
+        (t2 != t1) & F.substring(t2, -2, 2).isin(_DOUBLED),
+        F.substring(t2, 1, F.length(t2) - 1),
+    ).otherwise(t2)
+    return undoubled
+
+
+def stem_word(w: str) -> str:
+    """Driver-side mirror of ``stem_token`` for query-term stemming — MUST
+    stay rule-for-rule identical so query terms hit the stemmed postings."""
+    import re
+
+    if re.search(r"sses$", w):
+        t1 = re.sub(r"sses$", "ss", w)
+    elif re.search(r".ies$", w):
+        t1 = re.sub(r"ies$", "y", w)
+    elif re.search(r".[^su]s$", w):
+        t1 = re.sub(r"s$", "", w)
+    else:
+        t1 = w
+    if re.search(r".{3}ing$", t1):
+        t2 = re.sub(r"ing$", "", t1)
+    elif re.search(r".{3}ed$", t1):
+        t2 = re.sub(r"ed$", "", t1)
+    elif re.search(r".{4}ly$", t1):
+        t2 = re.sub(r"ly$", "", t1)
+    else:
+        t2 = t1
+    if t2 != t1 and t2[-2:] in _DOUBLED:
+        return t2[:-1]
+    return t2
+
+
+def tokenize_stemmed(col) -> Column:
+    """simple tokenizer + English stemming ('english_stem' config)."""
+    return F.transform(tokenize(col), stem_token)
+
+
+def tokenizer_expr(name: str):
+    """Named tokenizer registry (tokenizer.rs LanceTokenizer names) →
+    callable(col) -> array<string> Column. Index params record the name so
+    build and query tokenize identically."""
+    try:
+        return {
+            "simple": tokenize,
+            "whitespace": tokenize_whitespace,
+            "unicode": tokenize_unicode,
+            "english_stem": tokenize_stemmed,
+        }[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown tokenizer {name!r}; expected simple|whitespace|unicode|english_stem"
+        ) from None
+
+
+def query_tokens(terms: list[str], tokenizer: str) -> list[str]:
+    """Normalize already-split query terms the way the named tokenizer
+    normalized the postings (driver-side, O(len(query)))."""
+    terms = [t.lower() for t in terms]
+    if tokenizer == "english_stem":
+        return [stem_word(t) for t in terms]
+    return terms
+
+
 def remove_stopwords(tokens, lang: str = "en") -> Column:
     """Stop-word filter stage (tokenizer.rs stop-word list support)."""
     sw = F.array(*[F.lit(s) for s in LANG_STOPWORDS.get(lang, STOPWORDS_EN)])

@@ -25,14 +25,20 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lance_spark.functions.text import tokenize
+from lance_spark.functions.text import query_tokens
 from lance_spark.operators.fts import BM25_B, BM25_K1, bm25_score_expr
 from lance_spark.write import ROWID_COL
 
 
-def _positional_postings(df: DataFrame, text_col: str, id_col: str) -> tuple[DataFrame, DataFrame]:
+def _positional_postings(
+    df: DataFrame, text_col: str, id_col: str, tokenizer: str = "simple"
+) -> tuple[DataFrame, DataFrame]:
     """(postings{token,id,tf,positions}, doclens{id,dl}) from raw text."""
-    toks = df.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("toks"))
+    from lance_spark.functions.text import tokenizer_expr
+
+    toks = df.select(
+        F.col(id_col).alias("id"), tokenizer_expr(tokenizer)(F.col(text_col)).alias("toks")
+    )
     doclens = toks.select("id", F.size("toks").alias("dl"))
     postings = (
         toks.select("id", F.posexplode("toks").alias("pos", "token"))
@@ -42,27 +48,31 @@ def _positional_postings(df: DataFrame, text_col: str, id_col: str) -> tuple[Dat
     return postings, doclens
 
 
-def create_inverted_index(ds, spark: SparkSession, column: str, name: str | None = None):
-    """``create_scalar_index(col, "INVERTED")`` (dataset.py:2229-2330)."""
+def create_inverted_index(
+    ds, spark: SparkSession, column: str, name: str | None = None, tokenizer: str = "simple"
+):
+    """``create_scalar_index(col, "INVERTED")`` (dataset.py:2229-2330).
+
+    ``tokenizer`` is recorded in the index params so queries tokenize the
+    same way the postings were built (tokenizer.rs:43-80 LanceTokenizer
+    configs; see functions/text.py tokenizer_expr for the supported names).
+    """
     from lance_spark import manifest as mf
     from lance_spark.dataset import LanceDataset
 
     name = name or f"{column}_inverted_idx"
     rel = os.path.join("_indices", name)
     uri = os.path.join(ds.uri, rel)
+    extra_params = {"tokenizer": tokenizer}
     df = ds.scanner(spark, columns=[column], with_row_id=True)
-    postings, doclens = _positional_postings(df, column, ROWID_COL)
+    postings, doclens = _positional_postings(df, column, ROWID_COL, tokenizer)
     postings.write.mode("overwrite").parquet(os.path.join(uri, "postings"))
     doclens.write.mode("overwrite").parquet(os.path.join(uri, "doclens"))
     covered = [f.id for f in ds.manifest.fragments]
 
     def build(base, version):
-        return mf.Manifest(
-            version=version,
-            schema_json=base.schema_json,
-            fragments=base.fragments,
-            max_fragment_id=base.max_fragment_id,
-            operation="create_index",
+        return mf.Manifest.evolve(
+            base, version, operation="create_index",
             indices=[i for i in base.indices if i.name != name]
             + [
                 mf.IndexMeta(
@@ -71,10 +81,9 @@ def create_inverted_index(ds, spark: SparkSession, column: str, name: str | None
                     column=column,
                     path=rel,
                     fragment_ids=covered,
-                    params={"k1": BM25_K1, "b": BM25_B},
+                    params={"k1": BM25_K1, "b": BM25_B, **extra_params},
                 )
             ],
-            config=base.config,
         )
 
     mf.commit(ds.uri, build, operation="create_index")
@@ -91,7 +100,9 @@ def _index_tables(ds, spark: SparkSession, meta) -> tuple[DataFrame, DataFrame]:
     tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
     if tail:
         flat = ds.scanner(spark, columns=[meta.column], with_row_id=True, fragments=tail)
-        p2, d2 = _positional_postings(flat, meta.column, ROWID_COL)
+        p2, d2 = _positional_postings(
+            flat, meta.column, ROWID_COL, meta.params.get("tokenizer", "simple")
+        )
         postings = postings.unionByName(p2)
         doclens = doclens.unionByName(d2)
     # deletions after index build: the live doclens set gates scoring
@@ -119,6 +130,7 @@ def match_query(ds, spark: SparkSession, terms: list[str], column: str | None = 
     """MatchQueryExec (fts.rs:70): BM25 top-k through the index."""
     meta = _find(ds, column)
     postings, doclens = _index_tables(ds, spark, meta)
+    terms = query_tokens(terms, meta.params.get("tokenizer", "simple"))
     scored = _bm25(postings, doclens, terms)
     return (
         scored.select("id", F.round("_score", 4).alias("_score"))
@@ -156,7 +168,9 @@ def phrase_query(
     to ``slop`` total displacement between terms."""
     meta = _find(ds, column)
     postings, _ = _index_tables(ds, spark, meta)
-    terms = [t for t in phrase.lower().split() if t]
+    terms = query_tokens(
+        [t for t in phrase.split() if t], meta.params.get("tokenizer", "simple")
+    )
     if not terms:
         return spark.createDataFrame([], "id long")
     cur = postings.filter(F.col("token") == terms[0]).select(
@@ -188,6 +202,10 @@ def boolean_query(
     should∪must=scoring terms."""
     meta = _find(ds, column)
     postings, doclens = _index_tables(ds, spark, meta)
+    tok = meta.params.get("tokenizer", "simple")
+    must = query_tokens(must or [], tok)
+    should = query_tokens(should or [], tok)
+    must_not = query_tokens(must_not or [], tok)
     base = doclens.select("id")
     for t in must or []:
         base = base.join(
@@ -218,8 +236,9 @@ def boost_query(
     """BoostQueryExec (fts.rs:729): score = pos_score - negative_boost·neg_score."""
     meta = _find(ds, column)
     postings, doclens = _index_tables(ds, spark, meta)
-    pos = _bm25(postings, doclens, positive).withColumnRenamed("_score", "p")
-    neg = _bm25(postings, doclens, negative).withColumnRenamed("_score", "n")
+    tok = meta.params.get("tokenizer", "simple")
+    pos = _bm25(postings, doclens, query_tokens(positive, tok)).withColumnRenamed("_score", "p")
+    neg = _bm25(postings, doclens, query_tokens(negative, tok)).withColumnRenamed("_score", "n")
     return (
         pos.join(neg, "id", "left_outer")
         .select(

@@ -160,15 +160,10 @@ def create_scalar_index(ds, spark: SparkSession, column: str, kind: str, name: s
     covered = [f.id for f in ds.manifest.fragments]
 
     def build(base, version):
-        return mf.Manifest(
-            version=version,
-            schema_json=base.schema_json,
-            fragments=base.fragments,
-            max_fragment_id=base.max_fragment_id,
-            operation="create_index",
+        return mf.Manifest.evolve(
+            base, version, operation="create_index",
             indices=[i for i in base.indices if i.name != name]
             + [mf.IndexMeta(name=name, index_type=kind, column=column, path=rel, fragment_ids=covered, params=params)],
-            config=base.config,
         )
 
     mf.commit(ds.uri, build, operation="create_index")
@@ -182,15 +177,87 @@ def _load(spark: SparkSession, ds, meta) -> DataFrame:
     return spark.read.parquet(os.path.join(ds.uri, meta.path))
 
 
+def _uncovered_fragments(ds, meta) -> list[int]:
+    """Fragments appended after the index build — not in its coverage set."""
+    cov = set(meta.fragment_ids)
+    return [f.id for f in ds.manifest.fragments if f.id not in cov]
+
+
+def _tail_predicate(meta, op: str, value):
+    """The sargable op as a Column predicate on the base column, for the
+    flat-scan branch over uncovered fragments. Must be at-least-as-selective
+    truth (exact for exact kinds; superset ok for inexact kinds)."""
+    col = F.col(meta.column)
+    if meta.index_type == "JSON":
+        col = F.get_json_object(col, meta.params["path"]).cast(
+            meta.params.get("value_type", "string")
+        )
+    if op == "=":
+        return col == value
+    if op == "<":
+        return col < value
+    if op == "<=":
+        return col <= value
+    if op == ">":
+        return col > value
+    if op == ">=":
+        return col >= value
+    if op == "between":
+        return col.between(value[0], value[1])
+    if op == "in":
+        return col.isin(list(value))
+    if op == "is_null":
+        return col.isNull()
+    if op == "contains":
+        if meta.index_type == "LABEL_LIST":
+            return F.array_contains(col, value)
+        return F.instr(F.lower(col), str(value).lower()) > 0
+    if op == "array_has_any":
+        conds = [F.array_contains(col, x) for x in value]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return out
+    if op == "array_has_all":
+        conds = [F.array_contains(col, x) for x in value]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+    raise ValueError(f"no tail predicate for {op}")
+
+
 def query_index(ds, spark: SparkSession, meta, op: str, value) -> IndexResult:
     """Answer a SargableQuery against one index (scalar.rs:350-362).
 
     op ∈ {'=', '<', '<=', '>', '>=', 'between', 'in', 'is_null',
           'contains', 'array_has_any', 'array_has_all'};
     value: literal | (lo, hi) | list.
+
+    Coverage (scanner.rs:2280-2392 split, mirrored from the vector/inverted
+    paths): fragments appended after the index build are NOT in the index
+    tables — rowid results union a flat-scan branch over them, and
+    fragment-prune results always retain them.
     """
     kind = meta.index_type
     idx = _load(spark, ds, meta)
+    tail = _uncovered_fragments(ds, meta)
+
+    def with_tail(res: IndexResult) -> IndexResult:
+        if not tail:
+            return res
+        if res.fragments is not None:
+            return IndexResult(
+                fragments=sorted(set(res.fragments) | set(tail)), exact=res.exact
+            )
+        flat = ds.scanner(
+            spark, columns=[meta.column], with_row_id=True, fragments=tail
+        )
+        tail_hits = flat.filter(_tail_predicate(meta, op, value)).select(ROWID_COL)
+        rowids = (
+            tail_hits if res.rowids is None else res.rowids.unionByName(tail_hits)
+        )
+        return IndexResult(rowids=rowids, exact=res.exact)
     if kind in ("BTREE", "JSON"):  # JSON = BTree over the extracted path
         v = F.col("value")
         if op == "=":
@@ -211,7 +278,7 @@ def query_index(ds, spark: SparkSession, meta, op: str, value) -> IndexResult:
             hit = idx.filter(v.isNull())
         else:
             raise ValueError(f"BTREE cannot answer {op}")
-        return IndexResult(rowids=hit.select(ROWID_COL), exact=True)
+        return with_tail(IndexResult(rowids=hit.select(ROWID_COL), exact=True))
     if kind in ("BITMAP", "LABEL_LIST"):
         v = F.col("value")
         if op in ("=", "contains"):  # contains = LABEL_LIST array_contains
@@ -226,11 +293,14 @@ def query_index(ds, spark: SparkSession, meta, op: str, value) -> IndexResult:
             for label in value:
                 s = idx.filter(v == label).select(F.explode("rowids").alias(ROWID_COL))
                 res = s if res is None else res.join(s, ROWID_COL, "left_semi")
-            return IndexResult(rowids=res, exact=True)
+            return with_tail(IndexResult(rowids=res, exact=True))
         else:
             raise ValueError(f"{kind} cannot answer {op}")
-        return IndexResult(
-            rowids=hit.select(F.explode("rowids").alias(ROWID_COL)).distinct(), exact=True
+        return with_tail(
+            IndexResult(
+                rowids=hit.select(F.explode("rowids").alias(ROWID_COL)).distinct(),
+                exact=True,
+            )
         )
     if kind == "NGRAM":
         if op != "contains":
@@ -243,7 +313,7 @@ def query_index(ds, spark: SparkSession, meta, op: str, value) -> IndexResult:
             s = idx.filter(F.col("gram") == g).select(ROWID_COL)
             res = s if res is None else res.join(s, ROWID_COL, "left_semi")
         # candidates contain all grams but maybe not contiguously → recheck
-        return IndexResult(rowids=res, exact=False)
+        return with_tail(IndexResult(rowids=res, exact=False))
     if kind == "ZONEMAP":
         mn, mx = F.col("min"), F.col("max")
         if op == "=":
@@ -265,7 +335,7 @@ def query_index(ds, spark: SparkSession, meta, op: str, value) -> IndexResult:
         else:
             raise ValueError(f"ZONEMAP cannot answer {op}")
         frs = [r["fragment_id"] for r in keep.select("fragment_id").collect()]
-        return IndexResult(fragments=frs, exact=False)
+        return with_tail(IndexResult(fragments=frs, exact=False))
     if kind == "BLOOMFILTER":
         if op not in ("=", "in"):
             raise ValueError("BLOOMFILTER answers =/in only")
@@ -279,7 +349,7 @@ def query_index(ds, spark: SparkSession, meta, op: str, value) -> IndexResult:
             F.broadcast(probe), F.array_contains(F.col("bit_idx"), F.col("bit")), "left_semi"
         )
         frs = [r["fragment_id"] for r in hit.select("fragment_id").distinct().collect()]
-        return IndexResult(fragments=frs, exact=False)
+        return with_tail(IndexResult(fragments=frs, exact=False))
     raise ValueError(f"unknown index type {kind}")
 
 

@@ -421,12 +421,8 @@ def create_dataset_index(
     covered = [f.id for f in ds.manifest.fragments]
 
     def build(base, version):
-        m = mf.Manifest(
-            version=version,
-            schema_json=base.schema_json,
-            fragments=base.fragments,
-            max_fragment_id=base.max_fragment_id,
-            operation="create_index",
+        return mf.Manifest.evolve(
+            base, version, operation="create_index",
             indices=[i for i in base.indices if i.name != name]
             + [
                 mf.IndexMeta(
@@ -442,9 +438,7 @@ def create_dataset_index(
                     },
                 )
             ],
-            config=base.config,
         )
-        return m
 
     mf.commit(ds.uri, build, operation="create_index")
     from lance_spark.dataset import LanceDataset

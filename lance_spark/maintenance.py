@@ -28,63 +28,78 @@ from lance_spark.write import ROWID_COL, write_fragments
 
 def compact_files(ds, spark: SparkSession, target_rows_per_fragment: int = 1024 * 1024):
     """Rewrite fragments that are small (<1/2 target) or deletion-heavy
-    (>10% deleted) into full-size fragments (optimize.rs CompactionOptions)."""
+    (>10% deleted) into full-size fragments (optimize.rs CompactionOptions).
+
+    Concurrency (transaction.rs Rewrite-vs-* conflicts): fragment ids are
+    RESERVED before writing so a concurrent append can never claim the same
+    range, and the commit verifies each victim is still present with the
+    exact deletion_file the rewrite read — a delete landing between scan and
+    commit would otherwise be resurrected by the rewritten rows. On such a
+    conflict the whole compaction recomputes from the fresh snapshot."""
     from lance_spark.dataset import LanceDataset
+    from lance_spark.mutation import StaleSnapshotError, _retrying
 
     def needs_compaction(f: mf.Fragment) -> bool:
         return f.num_rows < target_rows_per_fragment // 2 or (
             f.physical_rows > 0 and f.num_deleted_rows / f.physical_rows > 0.10
         )
 
-    victims = [f for f in ds.manifest.fragments if needs_compaction(f)]
-    if len(victims) < 2 and not any(f.num_deleted_rows for f in victims):
-        return ds
-    victim_ids = {f.id for f in victims}
+    def run(d):
+        victims = [f for f in d.manifest.fragments if needs_compaction(f)]
+        if len(victims) < 2 and not any(f.num_deleted_rows for f in victims):
+            return d
+        victim_ids = {f.id for f in victims}
+        # deletion state this rewrite materializes; commit must see it intact
+        del_snapshot = {f.id: f.deletion_file for f in victims}
 
-    df = ds._fragment_df(spark, victims, None)  # deletions applied; _rowid kept
-    live_rows = sum(f.num_rows for f in victims)
-    n_frags = max(1, -(-live_rows // target_rows_per_fragment))
-    base_fid = ds.manifest.max_fragment_id + 1
-    new_frags = write_fragments(
-        df.repartition(n_frags), ds.uri, base_fid, preserve_rowids=True
-    )
-
-    new_ids = {f.id for f in new_frags}
-
-    def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
-        assert base is not None
-        fragments = [f for f in base.fragments if f.id not in victim_ids] + new_frags
-        cfg = dict(base.config)
-        cfg["rowid_address_style"] = False
-        # Remap index coverage (Operation::Rewrite remap, optimize.rs:982):
-        # rowids are stable so index entries stay valid; a rewritten fragment
-        # is covered iff every victim it absorbed was covered (rows from an
-        # unindexed victim would otherwise be wrongly skipped by fast_search).
-        indices = []
-        for i in base.indices:
-            cov = set(i.fragment_ids)
-            fids = cov - victim_ids
-            if victim_ids <= cov:
-                fids |= new_ids
-            indices.append(
-                mf.IndexMeta(
-                    name=i.name, index_type=i.index_type, column=i.column,
-                    path=i.path, fragment_ids=sorted(fids), params=i.params,
-                )
-            )
-        return mf.Manifest(
-            version=version,
-            schema_json=base.schema_json,
-            fragments=fragments,
-            max_fragment_id=max(f.id for f in fragments),
-            operation="rewrite",
-            indices=indices,
-            config=cfg,
-            blob_columns=base.blob_columns,
+        df = d._fragment_df(spark, victims, None)  # deletions applied; _rowid kept
+        live_rows = sum(f.num_rows for f in victims)
+        n_frags = max(1, -(-live_rows // target_rows_per_fragment))
+        base_fid = mf.reserve_fragment_ids(d.uri, n_frags)
+        new_frags = write_fragments(
+            df.repartition(n_frags), d.uri, base_fid, preserve_rowids=True
         )
 
-    mf.commit(ds.uri, build, operation="rewrite")
-    return LanceDataset(ds.uri)
+        new_ids = {f.id for f in new_frags}
+
+        def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
+            assert base is not None
+            live = {f.id: f for f in base.fragments}
+            for vid in victim_ids:
+                if vid not in live or live[vid].deletion_file != del_snapshot[vid]:
+                    raise StaleSnapshotError(
+                        f"fragment {vid} changed under compaction"
+                    )
+            fragments = [f for f in base.fragments if f.id not in victim_ids] + new_frags
+            cfg = dict(base.config)
+            cfg["rowid_address_style"] = False
+            # Remap index coverage (Operation::Rewrite remap, optimize.rs:982):
+            # rowids are stable so index entries stay valid; a rewritten fragment
+            # is covered iff every victim it absorbed was covered (rows from an
+            # unindexed victim would otherwise be wrongly skipped by fast_search).
+            indices = []
+            for i in base.indices:
+                cov = set(i.fragment_ids)
+                fids = cov - victim_ids
+                if victim_ids <= cov:
+                    fids |= new_ids
+                indices.append(
+                    mf.IndexMeta(
+                        name=i.name, index_type=i.index_type, column=i.column,
+                        path=i.path, fragment_ids=sorted(fids), params=i.params,
+                    )
+                )
+            return mf.Manifest.evolve(
+                base, version, operation="rewrite",
+                fragments=fragments,
+                max_fragment_id=max(max(f.id for f in fragments), base.max_fragment_id),
+                indices=indices, config=cfg,
+            )
+
+        mf.commit(d.uri, build, operation="rewrite")
+        return LanceDataset(d.uri)
+
+    return _retrying(ds, run)
 
 
 def optimize_indices(ds, spark: SparkSession):
@@ -119,10 +134,28 @@ def optimize_indices(ds, spark: SparkSession):
     return LanceDataset(ds.uri)
 
 
-def cleanup_old_versions(ds, older_than_seconds: float = 0.0, keep_tagged: bool = True) -> int:
-    """Delete manifests older than the cutoff (never the latest) and any
-    data/deletion files not referenced by a retained version. Returns number
-    of files removed. Driver-side O(metadata + file listing)."""
+#: Grace period before an *orphan* file (referenced by NO manifest, ever) is
+#: GC'd. Orphans are indistinguishable from a concurrent writer's in-flight
+#: files — every writer creates files BEFORE committing — so deleting young
+#: orphans races active transactions (the reference's cleanup.rs keeps any
+#: unreferenced file newer than the cutoff for exactly this reason).
+UNVERIFIED_GRACE_SECONDS = 7 * 24 * 3600.0
+
+
+def cleanup_old_versions(
+    ds,
+    older_than_seconds: float = 0.0,
+    keep_tagged: bool = True,
+    delete_unverified: bool = False,
+) -> int:
+    """Delete manifests older than the cutoff (never the latest) plus files
+    referenced only by those dropped manifests. Files referenced by *no*
+    manifest at all (aborted or in-flight writes) are only removed once older
+    than ``UNVERIFIED_GRACE_SECONDS``, unless ``delete_unverified=True`` —
+    the caller's assertion that no write is concurrently in progress
+    (reference: ``dataset.py:2180`` cleanup_old_versions(delete_unverified),
+    ``rust/lance/src/dataset/cleanup.rs`` maybe-in-progress guard).
+    Returns number of files removed. Driver-side O(metadata + file listing)."""
     import time
 
     root = ds.uri
@@ -137,21 +170,34 @@ def cleanup_old_versions(ds, older_than_seconds: float = 0.0, keep_tagged: bool 
         if v == latest or v in tagged or (now - m.timestamp) < older_than_seconds:
             keep.append(m)
         else:
-            drop.append(v)
+            drop.append(m)
 
-    referenced: set[str] = set()
-    for m in keep:
-        for frag in m.fragments:
-            for f in frag.files:
-                referenced.add(f.path)
-            if frag.deletion_file:
-                referenced.add(frag.deletion_file)
-        for idx in m.indices:
-            referenced.add(idx.path)
+    def refs(manifests) -> set[str]:
+        out: set[str] = set()
+        for m in manifests:
+            for frag in m.fragments:
+                for f in frag.files:
+                    out.add(f.path)
+                if frag.deletion_file:
+                    out.add(frag.deletion_file)
+            for idx in m.indices:
+                out.add(idx.path)
+        return out
+
+    referenced = refs(keep)
+    dropped_refs = refs(drop) - referenced  # committed once, now unreachable
+
+    def orphan_deletable(path: str) -> bool:
+        if delete_unverified:
+            return True
+        try:
+            return (now - os.path.getmtime(path)) >= UNVERIFIED_GRACE_SECONDS
+        except OSError:
+            return False
 
     removed = 0
-    for v in drop:
-        os.unlink(mf.manifest_path(root, v))
+    for m in drop:
+        os.unlink(mf.manifest_path(root, m.version))
         removed += 1
     for sub in ("data", "_deletions"):
         d = os.path.join(root, sub)
@@ -159,7 +205,9 @@ def cleanup_old_versions(ds, older_than_seconds: float = 0.0, keep_tagged: bool 
             continue
         for name in os.listdir(d):
             rel = os.path.join(sub, name)
-            if rel not in referenced:
+            if rel in referenced:
+                continue
+            if rel in dropped_refs or orphan_deletable(os.path.join(root, rel)):
                 os.unlink(os.path.join(root, rel))
                 removed += 1
     # index directories
@@ -169,7 +217,9 @@ def cleanup_old_versions(ds, older_than_seconds: float = 0.0, keep_tagged: bool 
 
         for name in os.listdir(idx_root):
             rel = os.path.join("_indices", name)
-            if rel not in referenced:
+            if rel in referenced:
+                continue
+            if rel in dropped_refs or orphan_deletable(os.path.join(idx_root, name)):
                 shutil.rmtree(os.path.join(idx_root, rel))
                 removed += 1
     return removed

@@ -146,6 +146,25 @@ class Manifest:
             "blob_columns": self.blob_columns,
         }
 
+    @classmethod
+    def evolve(cls, base: "Manifest", version: int, **overrides) -> "Manifest":
+        """Next-version manifest carrying forward EVERY field from ``base``
+        unless explicitly overridden. Commit builders should use this instead
+        of the raw constructor so carry-forward fields (``config``,
+        ``blob_columns``, ``indices``) are never silently reset to their
+        defaults when a new field is added."""
+        kw = dict(
+            schema_json=base.schema_json,
+            fragments=base.fragments,
+            max_fragment_id=base.max_fragment_id,
+            operation=base.operation,
+            indices=base.indices,
+            config=base.config,
+            blob_columns=base.blob_columns,
+        )
+        kw.update(overrides)
+        return cls(version=version, **kw)
+
     @staticmethod
     def from_json(d: dict) -> "Manifest":
         return Manifest(

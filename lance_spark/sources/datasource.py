@@ -227,8 +227,13 @@ class LanceWriter(DataSourceWriter):
                 import numpy as np
                 import pyarrow as pa
 
+                # mask off any previous fragment prefix before OR-ing: this
+                # build closure re-runs on commit conflict with a different
+                # base_fid, and a plain OR would merge both prefixes into a
+                # corrupt rowid — masking makes the rewrite idempotent
                 rid = pa.array(
-                    np.asarray(t[ROWID_COL]) | np.int64(fid << FRAGID_SHIFT)
+                    (np.asarray(t[ROWID_COL]) & np.int64((1 << FRAGID_SHIFT) - 1))
+                    | np.int64(fid << FRAGID_SHIFT)
                 )
                 t = t.set_column(t.column_names.index(ROWID_COL), ROWID_COL, rid)
                 pq.write_table(t, abs_path, compression="zstd")
@@ -247,14 +252,20 @@ class LanceWriter(DataSourceWriter):
                     )
                 )
             fragments = list(existing) + new_frags
+            max_fid = max((f.id for f in fragments), default=-1)
+            if base is not None and not self.overwrite:
+                # carry forward indices/config/blob_columns on append
+                return mf.Manifest.evolve(
+                    base, version, operation="append",
+                    schema_json=schema_json, fragments=fragments,
+                    max_fragment_id=max(max_fid, base.max_fragment_id),
+                )
             return mf.Manifest(
                 version=version,
                 schema_json=schema_json,
                 fragments=fragments,
-                max_fragment_id=max((f.id for f in fragments), default=-1),
+                max_fragment_id=max_fid,
                 operation="overwrite" if self.overwrite else "append",
-                indices=[] if self.overwrite else (base.indices if base else []),
-                config={} if self.overwrite else (base.config if base else {}),
             )
 
         os.makedirs(self.uri, exist_ok=True)

@@ -56,13 +56,19 @@ def dataset_batch_writer(uri: str, query_key: str = "default"):
             fragments = (b.fragments if b else []) + frags
             cfg = dict(b.config) if b else {}
             cfg[state_key] = batch_id
+            max_fid = max((f.id for f in fragments), default=-1)
+            if b is not None:
+                # carry forward indices/config/blob_columns from the base
+                return mf.Manifest.evolve(
+                    b, version, operation="append",
+                    fragments=fragments, max_fragment_id=max_fid, config=cfg,
+                )
             return mf.Manifest(
                 version=version,
                 schema_json=batch_df.schema.jsonValue(),
                 fragments=fragments,
-                max_fragment_id=max((f.id for f in fragments), default=-1),
+                max_fragment_id=max_fid,
                 operation="append",
-                indices=b.indices if b else [],
                 config=cfg,
             )
 

@@ -1160,10 +1160,39 @@ def ann_ivf_pq_refine(spark, sf_dir):
 _FTS_TERMS = ["table", "scan", "join"]
 
 
-def _bm25_oracle(terms: list[str], extra_filter: str = "", k: int = 10) -> str:
+def _duck_stem_toks(toks_expr: str) -> str:
+    """DuckDB mirror of functions/text.py stem_token — rule-for-rule the same
+    porter-lite stages, written without regex backreferences (RE2)."""
+
+    def s1(t):
+        return (
+            f"CASE WHEN regexp_matches({t}, 'sses$') THEN regexp_replace({t}, 'sses$', 'ss') "
+            f"WHEN regexp_matches({t}, '.ies$') THEN regexp_replace({t}, 'ies$', 'y') "
+            f"WHEN regexp_matches({t}, '.[^su]s$') THEN regexp_replace({t}, 's$', '') "
+            f"ELSE {t} END"
+        )
+
+    def s2(u):
+        return (
+            f"CASE WHEN regexp_matches({u}, '.{{3}}ing$') THEN regexp_replace({u}, 'ing$', '') "
+            f"WHEN regexp_matches({u}, '.{{3}}ed$') THEN regexp_replace({u}, 'ed$', '') "
+            f"WHEN regexp_matches({u}, '.{{4}}ly$') THEN regexp_replace({u}, 'ly$', '') "
+            f"ELSE {u} END"
+        )
+
+    doubles = "'bb','dd','ff','gg','mm','nn','pp','rr','tt'"
+    t2 = s2("u")
+    s3 = (
+        f"CASE WHEN ({t2}) <> u AND right(({t2}), 2) IN ({doubles}) "
+        f"THEN substr(({t2}), 1, length(({t2})) - 1) ELSE ({t2}) END"
+    )
+    return f"list_transform(list_transform({toks_expr}, t -> {s1('t')}), u -> {s3})"
+
+
+def _bm25_oracle(terms: list[str], extra_filter: str = "", k: int = 10, toks: str | None = None) -> str:
     terms_sql = ", ".join(f"'{t}'" for t in terms)
     return f"""
-    WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
+    WITH tok AS (SELECT doc_id AS id, {toks or _DUCK_TOKS.format(col='text')} AS w FROM documents),
     filt AS (SELECT * FROM tok {extra_filter}),
     dl AS (SELECT id, len(w) AS dl FROM filt),
     stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
@@ -1267,6 +1296,77 @@ def fts_index_match(spark, sf_dir):
     write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text")
     hits = match_query(ds, spark, ["table", "scan", "join"], k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
+@query(
+    "fts_boost",
+    f"""
+    WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
+    dl AS (SELECT id, len(w) AS dl FROM tok),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    post AS (SELECT id, unnest(w) AS token FROM tok),
+    tfq AS (SELECT token, id, count(*) AS tf FROM post
+            WHERE token IN ('table', 'scan', 'slow') GROUP BY 1, 2),
+    dfq AS (SELECT token, count(*) AS df FROM tfq GROUP BY token),
+    sc AS (SELECT id, token,
+                  ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                    * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+           FROM tfq JOIN dfq USING (token) JOIN dl USING (id) CROSS JOIN stats),
+    p AS (SELECT id, sum(s) AS ps FROM sc WHERE token IN ('table', 'scan') GROUP BY id),
+    n AS (SELECT id, sum(s) AS ns FROM sc WHERE token IN ('slow') GROUP BY id)
+    SELECT p.id AS doc_id, round(ps - 0.5 * coalesce(ns, 0), 4) AS _score
+    FROM p LEFT JOIN n ON p.id = n.id
+    ORDER BY _score DESC, doc_id LIMIT 10
+    """,
+)
+def fts_boost(spark, sf_dir):
+    """BoostQueryExec (fts.rs:729) through the INVERTED index: positive-term
+    BM25 minus negative_boost x negative-term BM25."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import boost_query, create_inverted_index
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_boost_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text")
+    hits = boost_query(ds, spark, ["table", "scan"], ["slow"], negative_boost=0.5, k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
+@query(
+    "fts_stemmed_match",
+    _bm25_oracle(
+        ["table", "scan", "join"],  # the stemmed forms of the query terms
+        toks=_duck_stem_toks(_DUCK_TOKS.format(col="text")),
+    ),
+)
+def fts_stemmed_match(spark, sf_dir):
+    """english_stem tokenizer end-to-end (tokenizer.rs stemmer configs):
+    postings stemmed at build, query terms stemmed at search — surface-form
+    queries ('tables', 'scanning', 'joins') hit the stemmed postings."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_stem_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="english_stem")
+    hits = match_query(ds, spark, ["tables", "scanning", "joins"], k=10)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)

@@ -438,3 +438,55 @@ def test_compaction_remaps_index_coverage(spark, sf_dir, tmp_path):
     assert len(ds2.manifest.fragments) < 6
     stats = ds2.index_statistics(name)
     assert stats["num_unindexed_rows"] == 0 and stats["num_indexed_rows"] == emb.count()
+
+
+def test_cleanup_spares_young_orphans(spark, sf_dir, tmp_uri):
+    """An unreferenced file younger than the grace period may be a concurrent
+    writer's in-flight fragment — cleanup must NOT delete it unless
+    delete_unverified=True (cleanup.rs maybe-in-progress guard)."""
+    ds = ls.write_dataset(spark.read.parquet(f"{sf_dir}/region.parquet"), tmp_uri)
+    orphan = os.path.join(tmp_uri, "data", "frag-inflight-deadbeef.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not yet committed")
+    ds.cleanup_old_versions(older_than_seconds=0.0)
+    assert os.path.exists(orphan)  # young orphan survives
+    ds.cleanup_old_versions(older_than_seconds=0.0, delete_unverified=True)
+    assert not os.path.exists(orphan)  # caller asserted no writer is active
+    assert ls.dataset(tmp_uri).to_df(spark).count() == 5
+
+
+def test_compaction_detects_concurrent_delete(spark, sf_dir, tmp_uri):
+    """A delete committed between compaction's scan and its commit must not
+    be resurrected: the stale compaction retries from the fresh snapshot
+    (transaction.rs Rewrite-vs-Delete conflict)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ds = ls.write_dataset(orders.repartition(4), tmp_uri)
+    stale = ls.dataset(tmp_uri)  # snapshot taken BEFORE the delete
+    fresh = ls.dataset(tmp_uri).delete(spark, "o_orderkey % 2 = 0")
+    want = fresh.count_rows()
+    # compacting through the stale handle must converge on the fresh state
+    out = stale.compact_files(spark, target_rows_per_fragment=10_000)
+    assert out.count_rows() == want
+    assert out.to_df(spark).filter("o_orderkey % 2 = 0").count() == 0
+
+
+def test_manifest_carries_blob_columns_through_commits(spark, tmp_uri):
+    """restore / drop_index / alter_columns must not reset blob_columns
+    (the Manifest.evolve carry-forward)."""
+    rows = [Row(doc_id=i, img=bytes([i] * 40), n=i) for i in range(8)]
+    df = spark.createDataFrame(rows)
+    ds = ls.write_dataset(df.repartition(2), tmp_uri, blob_columns=["img"])
+    assert ds.manifest.blob_columns == ["img"]
+    ds = ds.create_scalar_index(spark, "n", "BTREE")
+    assert ds.manifest.blob_columns == ["img"]
+    ds = ds.drop_index(next(i.name for i in ds.manifest.indices))
+    assert ds.manifest.blob_columns == ["img"]
+    ds = ds.checkout_version(1).restore()
+    assert ds.manifest.blob_columns == ["img"]
+    from lance_spark.evolution import alter_columns
+
+    ds = alter_columns(ds, {"path": "img", "rename": "image"})
+    assert ds.manifest.blob_columns == ["image"]
+    # appends after the metadata commits still split the blob column group
+    ds2 = ls.dataset(tmp_uri)
+    assert ds2.manifest.blob_columns == ["image"]

@@ -227,3 +227,57 @@ def test_json_index_lookup(spark, sf_dir, tmp_path):
         got = {r[0] for r in res.rowids.select(ROWID_COL).collect()}
         want = {r[0] for r in base.filter(pred).select(ROWID_COL).collect()}
         assert got == want and got
+
+
+def test_index_covers_appended_fragments(spark, sf_dir, tmp_path):
+    """Fragments appended AFTER an index build must still appear in index-
+    accelerated results (scanner.rs coverage split): rowid indexes union a
+    flat branch over the uncovered tail, fragment-prune indexes retain it."""
+    import lance_spark as ls
+    from lance_spark.indexes.scalar import query_index
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lo, hi = orders.limit(1000), orders.subtract(orders.limit(1000))
+    ds = ls.write_dataset(lo.repartition(2), str(tmp_path / "cov"))
+    ds = ds.create_scalar_index(spark, "o_totalprice", "BTREE")
+    ds = ds.create_scalar_index(spark, "o_orderpriority", "BITMAP")
+    ds = ds.create_scalar_index(spark, "o_orderkey", "ZONEMAP")
+    ds = ds.insert(hi.repartition(2))  # appended, NOT indexed
+
+    covered = {i.index_type: set(i.fragment_ids) for i in ds.manifest.indices}
+    current = {f.id for f in ds.manifest.fragments}
+    assert all(cov < current for cov in covered.values())  # tail exists
+
+    # BTREE: exact result must include appended matches
+    meta = next(i for i in ds.manifest.indices if i.index_type == "BTREE")
+    res = query_index(ds, spark, meta, "between", (100000.0, 150000.0))
+    got = {
+        r["o_orderkey"]
+        for r in ds.scanner(spark, prefilter_rowids=res.rowids).select("o_orderkey").collect()
+    }
+    assert got == _truth(ds, spark, "o_totalprice BETWEEN 100000.0 AND 150000.0")
+
+    # BITMAP
+    meta = next(i for i in ds.manifest.indices if i.index_type == "BITMAP")
+    res = query_index(ds, spark, meta, "=", "1-URGENT")
+    got = {
+        r["o_orderkey"]
+        for r in ds.scanner(spark, prefilter_rowids=res.rowids).select("o_orderkey").collect()
+    }
+    assert got == _truth(ds, spark, "o_orderpriority = '1-URGENT'")
+
+    # ZONEMAP: uncovered fragments must stay in the scan set
+    meta = next(i for i in ds.manifest.indices if i.index_type == "ZONEMAP")
+    some_key = ds.to_df(spark).orderBy(F.desc("o_orderkey")).limit(1).collect()[0]["o_orderkey"]
+    res = query_index(ds, spark, meta, "=", some_key)
+    got = {
+        r["o_orderkey"]
+        for r in ds.scanner(spark, filter=f"o_orderkey = {some_key}", fragments=res.fragments)
+        .select("o_orderkey").collect()
+    }
+    assert got == {some_key}
+
+    # whole scan_with_index path
+    pred = "o_totalprice > 200000.0 AND o_orderpriority = '5-LOW'"
+    got = {r["o_orderkey"] for r in ds.scan_with_index(spark, pred).select("o_orderkey").collect()}
+    assert got == _truth(ds, spark, pred) and got
