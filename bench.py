@@ -15,7 +15,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # headline set: scan-heavy, join-heavy, window, and (as implemented)
-# dedup/knn/fts representatives
+# dedup/knn/fts representatives. ANN and FTS are benched build-vs-search
+# separately (bench_indexed below) — the reference reports per-query search
+# latency excluding build (benchmarks/sift CSVs), so conflating them hides
+# search regressions behind build noise.
 HEADLINE = [
     "tpch_q1",
     "tpch_q6",
@@ -29,10 +32,51 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "knn_cosine_topk",
-    "ann_ivf_pq_refine",  # index build + partition-pruned search + refine
-    "fts_bm25_topk",
     "text_quality_stats",
 ]
+
+
+def bench_indexed(spark, sf_dir: str, timings: dict[str, float]) -> None:
+    """ANN + FTS through their persisted indexes: build timed once per run,
+    search timed on the prebuilt index (the serving-path number)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.indexes.vector import ann_search, build_ivf
+    from lance_spark.io import load_table
+    from lance_spark.write import write_dataset
+
+    # --- ANN: IVF_PQ build once, partition-pruned search + refine ---------
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvecs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin([11, 101, 1001])).collect()
+    ]
+    t0 = time.time()
+    idx = build_ivf(
+        emb, "embedding", "vec_id", tempfile.mkdtemp(prefix="bench_pq_"),
+        num_partitions=16, metric="l2", index_type="IVF_PQ", num_sub_vectors=8,
+    )
+    timings["ann_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    for qv in qvecs:
+        ann_search(spark, idx, qv, k=10, nprobes=4, refine_factor=10).collect()
+    timings["ann_search"] = round((time.time() - t0) / len(qvecs), 3)
+
+    # --- FTS: INVERTED index build once, match through the postings -------
+    uri = tempfile.mkdtemp(prefix="bench_fts_") + "/docs"
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    write_dataset(docs.repartition(8), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text")
+    timings["fts_index_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    for terms in (["table", "scan", "join"], ["key", "order"], ["spark"]):
+        match_query(ds, spark, terms, k=10).collect()
+    timings["fts_bm25_indexed"] = round((time.time() - t0) / 3, 3)
 
 
 def main():
@@ -65,6 +109,10 @@ def main():
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    bench_indexed(spark, sf_dir, timings)
+    for k in ("ann_build", "ann_search", "fts_index_build", "fts_bm25_indexed"):
+        print(f"# {k}: {timings[k]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

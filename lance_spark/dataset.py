@@ -202,6 +202,8 @@ class LanceDataset:
         scanner.rs:1579-1654) — at 100 TB the wide columns are read for k
         rows, not N.
         """
+        if filter is not None and not isinstance(filter, str):
+            filter = arrow_filter_to_sql(filter)  # noqa: A001 - reference API name
         frags = self.manifest.fragments
         if fragments is not None:
             wanted = set(fragments)
@@ -634,3 +636,39 @@ def _compat_filter(expr: str) -> str:
     # Spark SQL accepts `==` natively; nothing to rewrite today. Kept as the
     # single seam where dialect differences (regexp_match → rlike etc.) land.
     return expr
+
+
+def arrow_filter_to_sql(expr) -> str:
+    """pyarrow.compute.Expression → Spark SQL predicate string.
+
+    The reference's scanner accepts pyarrow expressions alongside SQL
+    (python/python/lance/dataset.py:4307); pyarrow exposes no public AST, so
+    this converts the stable rendered form of the sargable surface —
+    comparisons, and/or, invert(), is_valid/is_null, is_in — and rejects
+    anything else loudly rather than mis-translating it."""
+    import re
+
+    s = str(expr)
+
+    def in_list(m: "re.Match[str]") -> str:
+        vals = [v.strip() for v in m.group(2).split(",") if v.strip()]
+        return f"({m.group(1)} IN ({', '.join(vals)}))"
+
+    s = re.sub(
+        r"is_in\((\w+), \{value_set=\w+:\[(.*?)\], null_matching_behavior=\w+\}\)",
+        in_list,
+        s,
+        flags=re.DOTALL,
+    )
+    s = re.sub(r"is_valid\((\w+)\)", r"(\1 IS NOT NULL)", s)
+    s = re.sub(r"is_null\((\w+)(?:, \{[^}]*\})?\)", r"(\1 IS NULL)", s)
+    # invert(...) → NOT (...): the operand is always a parenthesized group
+    while "invert(" in s:
+        s = re.sub(r"invert\(", "NOT (", s, count=1)
+    s = s.replace("==", "=")
+    s = re.sub(r'"([^"]*)"', r"'\1'", s)
+    if re.search(r"[a-z_]+\(", s.replace("NOT (", "")):
+        raise ValueError(
+            f"unsupported pyarrow expression (pass a SQL string instead): {expr}"
+        )
+    return s

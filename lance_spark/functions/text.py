@@ -177,40 +177,39 @@ def hash64(col) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def token_count(col) -> Column:
-    return F.size(tokenize(col)).cast("long")
+# Band functions take a PRE-BOUND token-array column. Callers that compute
+# several bands over the same text must bind the tokens ONCE
+# (`.withColumn("__toks", tokenize(col))` or a separate select) — Catalyst
+# does not CSE a repeated tokenize() across projection expressions, so the
+# inline forms below evaluate split+filter per band (measured 6.8s → ~2.5s
+# at sf0.1 on text_quality_stats; same fix as dedup.py shingles-once).
 
 
-def stopword_ratio(col, stopwords: list[str] | None = None) -> Column:
+def token_count_from(toks) -> Column:
+    return F.size(toks).cast("long")
+
+
+def stopword_ratio_from(toks, stopwords: list[str] | None = None) -> Column:
     sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
-    toks = tokenize(col)
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return n_sw / F.greatest(F.size(toks), F.lit(1))
 
 
-def punct_ratio(col) -> Column:
-    """Fraction of characters that are not [a-z0-9 ] after lowercasing."""
-    total = F.greatest(F.length(col), F.lit(1))
-    clean = F.length(F.regexp_replace(F.lower(col), "[^a-z0-9 ]", ""))
-    return (F.length(col) - clean) / total
-
-
-def quality_score(col) -> Column:
-    """Composite quality heuristic in [0,1]: length band + stopword band +
-    low punctuation. Deterministic arithmetic only."""
-    n = token_count(col)
+def quality_score_from(toks, col) -> Column:
+    """Composite quality heuristic in [0,1] from pre-bound tokens: length
+    band + stopword band + low punctuation. Deterministic arithmetic only."""
+    n = token_count_from(toks)
     len_ok = F.when((n >= 10) & (n <= 1000), 1.0).otherwise(0.0)
-    sw = stopword_ratio(col)
+    sw = stopword_ratio_from(toks)
     sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), 1.0).otherwise(0.0)
     punct_ok = F.when(punct_ratio(col) <= 0.2, 1.0).otherwise(0.0)
     return (len_ok + sw_ok + punct_ok) / 3.0
 
 
-def lang_id(col) -> Column:
-    """Stopword-evidence language ID. Returns the language with the highest
-    stopword hit count; ties resolve in LANG_STOPWORDS order; zero evidence
-    → 'und'."""
-    toks = tokenize(col)
+def lang_id_from(toks) -> Column:
+    """Stopword-evidence language ID from pre-bound tokens: highest stopword
+    hit count wins; ties resolve in LANG_STOPWORDS order; zero evidence →
+    'und'."""
 
     def hits(words):
         arr = F.array(*[F.lit(w) for w in words])
@@ -223,6 +222,33 @@ def lang_id(col) -> Column:
     for lang in reversed(list(LANG_STOPWORDS)):
         result = F.when((scores[lang] == mx) & (mx > 0), F.lit(lang)).otherwise(result)
     return result
+
+
+# Convenience single-expression forms (tokenize inlined; fine for one-band
+# use, use the *_from forms when computing several bands per row).
+
+
+def token_count(col) -> Column:
+    return token_count_from(tokenize(col))
+
+
+def stopword_ratio(col, stopwords: list[str] | None = None) -> Column:
+    return stopword_ratio_from(tokenize(col), stopwords)
+
+
+def punct_ratio(col) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] after lowercasing."""
+    total = F.greatest(F.length(col), F.lit(1))
+    clean = F.length(F.regexp_replace(F.lower(col), "[^a-z0-9 ]", ""))
+    return (F.length(col) - clean) / total
+
+
+def quality_score(col) -> Column:
+    return quality_score_from(tokenize(col), col)
+
+
+def lang_id(col) -> Column:
+    return lang_id_from(tokenize(col))
 
 
 def fingerprint(col) -> Column:

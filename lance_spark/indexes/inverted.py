@@ -105,7 +105,18 @@ def _index_tables(ds, spark: SparkSession, meta) -> tuple[DataFrame, DataFrame]:
         )
         postings = postings.unionByName(p2)
         doclens = doclens.unionByName(d2)
-    # deletions after index build: the live doclens set gates scoring
+    # Deletions after index build: the live doclens set gates scoring. The
+    # gate needs a base-table scan, so skip it when the manifest PROVES all
+    # postings rows are live: no fragment holds deletions and every covered
+    # fragment is still present (compaction/full-delete would remove one) —
+    # then a query touches only the query-term postings rows (token pushdown),
+    # never the corpus. O(metadata) check; the common hot path at scale.
+    frag_ids = {f.id for f in ds.manifest.fragments}
+    all_live = all(f.num_deleted_rows == 0 for f in ds.manifest.fragments) and (
+        covered <= frag_ids
+    )
+    if all_live:
+        return postings, doclens
     live = ds.to_df(spark, with_row_id=True).select(F.col(ROWID_COL).alias("id"))
     return postings.join(live, "id", "left_semi"), doclens.join(live, "id", "left_semi")
 

@@ -19,7 +19,7 @@ so the exact same math is expressible in ANSI SQL for the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lance_spark.functions.text import hash64, tokenize, fingerprint
@@ -28,6 +28,50 @@ from lance_spark.functions.text import hash64, tokenize, fingerprint
 MINHASH_PERMS = 16
 MINHASH_BANDS = 4  # 4 rows per band
 MERSENNE31 = 2147483647
+
+# Hot-bucket guard ceiling. LSH's contract is that banding keeps buckets
+# tiny; a degenerate corpus (near-constant text, all-zero embeddings) breaks
+# that contract and a single collect_list bucket becomes an executor OOM.
+# Buckets above the cap are SKIPPED — their members are pathological
+# near-identical mass-duplicates better handled by exact_dedup first; pairs
+# within every retained bucket are unaffected.
+DEFAULT_MAX_BUCKET = 10_000
+
+
+def _bucketed(banded: DataFrame, payload: list[str], max_bucket_size: int | None) -> DataFrame:
+    """(band_id, band_key, ms=collect_list(struct(payload))) with the
+    hot-bucket guard applied BEFORE collection.
+
+    The size gate is a count() window over the same keys the repartition
+    hashed on — no extra shuffle, and oversized buckets' rows never reach
+    the collect_list, so the guard actually bounds task memory (a post-hoc
+    size filter would OOM inside the aggregation it was guarding)."""
+    out = banded.repartition(
+        banded.sparkSession.sparkContext.defaultParallelism, "band_id", "band_key"
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        out = (
+            out.withColumn("__bucket_n", F.count("*").over(w))
+            .filter(F.col("__bucket_n") <= max_bucket_size)
+            .drop("__bucket_n")
+        )
+    return (
+        out.groupBy("band_id", "band_key")
+        .agg(F.collect_list(F.struct(*payload)).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+
+
+def oversized_lsh_buckets(banded: DataFrame, max_bucket_size: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """Observability companion to the guard: (band_id, band_key, n) of the
+    buckets the pair expansion would skip — run it when a dedup pass returns
+    suspiciously few pairs on a corpus that may be degenerate."""
+    return (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket_size)
+    )
 
 
 def _fan_out(df: DataFrame, min_tasks: int | None = None) -> DataFrame:
@@ -127,6 +171,7 @@ def minhash_lsh_pairs(
     bands: int = MINHASH_BANDS,
     min_est_jaccard: float = 0.5,
     shingle_k: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) with estimated jaccard =
     fraction of agreeing minhash positions. Banding makes the join an
@@ -156,17 +201,11 @@ def minhash_lsh_pairs(
     # re-execute the whole signature pipeline for both sides (no shared
     # exchange), and at scale would shuffle the corpus twice. One groupBy
     # sends each signature to its bucket once; pairs materialize inside the
-    # bucket, whose size banding keeps tiny (that's LSH's contract).
+    # bucket, whose size banding keeps tiny (that's LSH's contract) and the
+    # hot-bucket guard enforces against degenerate corpora.
     # explicit repartition pins the reduce parallelism: the bucket stage is
     # compute-heavy but byte-light, so AQE would coalesce it to one task
-    buckets = (
-        banded.repartition(
-            banded.sparkSession.sparkContext.defaultParallelism, "band_id", "band_key"
-        )
-        .groupBy("band_id", "band_key")
-        .agg(F.collect_list(F.struct("id", "sig")).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
+    buckets = _bucketed(banded, ["id", "sig"], max_bucket_size)
     pair = F.explode(
         F.flatten(
             F.transform(
@@ -238,7 +277,13 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = 32
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 32, max_hamming: int = 3, bands: int = 4
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ max_hamming, bucketed by
     byte-bands (a pair within radius r < bands must agree on ≥1 band)."""
@@ -262,14 +307,7 @@ def simhash_pairs(
     ).select("id", "simhash", "band.band_id", "band.band_key")
     # in-bucket pair expansion (see minhash_lsh_pairs): one pass, no
     # self-join re-execution of the signature aggregation
-    buckets = (
-            banded.repartition(
-            banded.sparkSession.sparkContext.defaultParallelism, "band_id", "band_key"
-        )
-        .groupBy("band_id", "band_key")
-        .agg(F.collect_list(F.struct("id", "simhash")).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
+    buckets = _bucketed(banded, ["id", "simhash"], max_bucket_size)
     # hamming-filter BEFORE struct construction: buckets can hold millions of
     # candidate pairs, but only survivors get materialized/flattened/shuffled
     pair = F.explode(
@@ -373,6 +411,7 @@ def embedding_lsh_pairs(
     nplanes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Scale path for embedding near-dup: sign-LSH (random hyperplane)
     signatures → band buckets → candidate pairs → exact cosine only on
@@ -408,14 +447,7 @@ def embedding_lsh_pairs(
             )
         ).alias("band"),
     ).select("id", "v", "band.band_id", "band.band_key")
-    buckets = (
-            banded.repartition(
-            banded.sparkSession.sparkContext.defaultParallelism, "band_id", "band_key"
-        )
-        .groupBy("band_id", "band_key")
-        .agg(F.collect_list(F.struct("id", "v")).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
+    buckets = _bucketed(banded, ["id", "v"], max_bucket_size)
 
     def _cos(a, b):
         dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)

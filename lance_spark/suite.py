@@ -916,17 +916,26 @@ _DUCK_SW_EN = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
     """,
 )
 def text_quality_stats(spark, sf_dir):
-    from lance_spark.functions.text import punct_ratio, quality_score, stopword_ratio, token_count
+    from lance_spark.functions.text import (
+        punct_ratio,
+        quality_score_from,
+        stopword_ratio_from,
+        token_count_from,
+        tokenize,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    t = F.col("text")
+    t, toks = F.col("text"), F.col("__toks")
     return (
-        docs.select(
+        # tokens bound ONCE in their own projection — the bands below are
+        # cheap array ops over the materialized attribute, not 3x re-tokenize
+        docs.select("source", "text", tokenize(F.col("text")).alias("__toks"))
+        .select(
             "source",
-            token_count(t).alias("n_tok"),
-            stopword_ratio(t).alias("sw_ratio"),
+            token_count_from(toks).alias("n_tok"),
+            stopword_ratio_from(toks).alias("sw_ratio"),
             punct_ratio(t).alias("punct"),
-            quality_score(t).alias("q"),
+            quality_score_from(toks, t).alias("q"),
         )
         .groupBy("source")
         .agg(
@@ -959,11 +968,12 @@ def _langid_oracle() -> str:
 
 @query("text_lang_id", _langid_oracle())
 def text_lang_id(spark, sf_dir):
-    from lance_spark.functions.text import lang_id
+    from lance_spark.functions.text import lang_id_from, tokenize
 
     return (
         _t(spark, sf_dir, "documents")
-        .select(lang_id(F.col("text")).alias("pred_lang"))
+        .select(tokenize(F.col("text")).alias("__toks"))
+        .select(lang_id_from(F.col("__toks")).alias("pred_lang"))
         .groupBy("pred_lang")
         .agg(F.count("*").alias("n"))
     )

@@ -169,3 +169,60 @@ def test_knn_hamming(spark):
     got = knn_bruteforce(df, "bits", [0] * 8, k=4, metric="hamming", id_col="id").collect()
     # nearest to 0b00000000: 0 (d=0) then single-bit codes 1,2,4 (d=1, id order)
     assert [(r["id"], r["_distance"]) for r in got] == [(0, 0.0), (1, 1.0), (2, 1.0), (4, 1.0)]
+
+
+def test_lsh_hot_bucket_guard(spark):
+    """A degenerate near-constant corpus floods one LSH bucket; the guard
+    skips it (bounding task memory) while pairs in healthy buckets survive."""
+    from lance_spark.operators.dedup import minhash_lsh_pairs, oversized_lsh_buckets
+
+    hot = [(i, "the same exact sentence repeated everywhere forever always") for i in range(300)]
+    healthy = [
+        (1000, "a perfectly normal unique document about spark query planning"),
+        (1001, "a perfectly normal unique document about spark query planning today"),
+        (2000, "completely unrelated text mentioning volcanoes and geology"),
+    ]
+    df = spark.createDataFrame(hot + healthy, ["id", "text"])
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, "text", "id", max_bucket_size=100).collect()
+    }
+    assert (1000, 1001) in pairs          # healthy bucket unaffected
+    assert not any(a < 300 and b < 300 for a, b in pairs)  # hot bucket skipped
+
+    # guard off → the degenerate pairs come back (still small enough here)
+    pairs_all = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, "text", "id", max_bucket_size=None).collect()
+    }
+    assert any(a < 300 and b < 300 for a, b in pairs_all)
+    assert (1000, 1001) in pairs_all
+
+
+def test_oversized_bucket_observability(spark):
+    from lance_spark.operators.dedup import (
+        MINHASH_BANDS, MINHASH_PERMS, minhash_signatures_agg, oversized_lsh_buckets,
+    )
+    from pyspark.sql import functions as F
+
+    hot = [(i, "the same exact sentence repeated everywhere forever always") for i in range(50)]
+    df = spark.createDataFrame(hot, ["id", "text"])
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    sigs = minhash_signatures_agg(df, "text", "id")
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.concat_ws(",", *[
+                        F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)
+                    ]).alias("band_key"),
+                )
+                for b in range(MINHASH_BANDS)
+            ])
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_key")
+    over = oversized_lsh_buckets(banded, max_bucket_size=10).collect()
+    assert len(over) == MINHASH_BANDS and all(r.n == 50 for r in over)

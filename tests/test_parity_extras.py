@@ -101,3 +101,39 @@ def test_include_deleted_rows(spark, sf_dir, tmp_path):
     ds = write_dataset(region, uri).delete(spark, "r_regionkey = 0")
     assert ds.scanner(spark).count() == 4
     assert ds.scanner(spark, include_deleted_rows=True).count() == 5
+
+
+def test_pyarrow_expression_filters(spark, sf_dir, tmp_path):
+    """scanner(filter=<pyarrow expression>) parity with the reference
+    (dataset.py:4307 accepts pyarrow compute expressions)."""
+    import pyarrow.compute as pc
+
+    import lance_spark as ls
+    from lance_spark.dataset import arrow_filter_to_sql
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ds = ls.write_dataset(orders, str(tmp_path / "pa"))
+
+    cases = [
+        (pc.field("o_orderkey") > 100, "o_orderkey > 100"),
+        (
+            (pc.field("o_orderkey") > 100) & (pc.field("o_orderpriority") == "1-URGENT"),
+            "o_orderkey > 100 AND o_orderpriority = '1-URGENT'",
+        ),
+        (~(pc.field("o_orderkey") < 50), "NOT (o_orderkey < 50)"),
+        (pc.field("o_custkey").isin([1, 2, 3]), "o_custkey IN (1, 2, 3)"),
+        (pc.field("o_orderstatus").is_valid(), "o_orderstatus IS NOT NULL"),
+        (
+            (pc.field("o_totalprice") >= 1000.5) | (pc.field("o_custkey") != 7),
+            "o_totalprice >= 1000.5 OR o_custkey != 7",
+        ),
+    ]
+    for pa_expr, sql in cases:
+        got = ds.scanner(spark, filter=pa_expr).count()
+        want = ds.scanner(spark, filter=sql).count()
+        assert got == want, f"{pa_expr} -> {arrow_filter_to_sql(pa_expr)}"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported pyarrow expression"):
+        arrow_filter_to_sql(pc.ascii_upper(pc.field("o_orderstatus")) == "X")
