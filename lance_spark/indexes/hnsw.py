@@ -1,0 +1,250 @@
+"""IVF_HNSW_FLAT: per-IVF-partition HNSW graphs (batch build + search).
+
+Reference semantics (WHAT, not HOW):
+  - HNSW graph build: level-sampled multi-layer proximity graph, greedy
+    descent from the top layer, ef_construction-bounded neighbor search,
+    M / M0 degree caps (rust/lance-index/src/vector/hnsw/builder.rs:1-928).
+  - IVF_HNSW_* index family: one sub-index per IVF partition
+    (rust/lance-index/src/lib.rs:120-130 IndexType::IvfHnswFlat;
+    exercised by python/python/tests/test_vector_index.py).
+
+Spark-first HOW: the graph for each IVF partition is built in ONE
+``applyInPandas`` task grouped by ``partition_id`` — partition sizes are
+bounded by IVF fan-out (n/num_partitions), so each graph fits task memory,
+exactly the reference's per-partition sub-index contract. Graphs serialize
+as plain parquet rows {id, vec, level, nbrs array<array<long>>} under
+``<uri>/hnsw/partition_id=N/`` — readable by any Spark job, prunable by the
+same partition_id directory scheme the codes use. Search probes nprobes
+partitions; each probed graph is traversed in its own task (one
+applyInPandas group), emits its ef_search best (exact distances — FLAT
+stores raw vectors), and a global top-k merges the per-partition results.
+
+Determinism: node levels derive from a hash of the node id (not an RNG
+stream), insertion order is sorted by id, and all heaps tie-break on id —
+two builds of the same partition produce byte-identical graphs.
+
+Exhaustive escape hatch: when ``ef >= partition size`` the layer search
+appends any nodes a disconnected graph component would hide, making the
+full-probe / full-ef configuration exactly brute-force — that is the config
+the DuckDB oracle gate runs, so hash-equality is guaranteed rather than
+probabilistic, while smaller ef exercises the real traversal.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HNSW_M = 16  # max degree, upper layers
+HNSW_M0 = 32  # max degree, layer 0
+HNSW_EF_CONSTRUCTION = 100
+
+
+def _node_level(node_id: int, m: int) -> int:
+    """Deterministic level draw: uniform from the node id's 64-bit hash →
+    geometric with p = 1/ln(m) (the standard HNSW distribution, seeded by
+    identity so rebuilds are reproducible)."""
+    # splitmix64 of the id → uniform in (0, 1)
+    z = (node_id + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    z = z ^ (z >> 31)
+    u = (z + 1) / 2**64
+    return int(-math.log(u) / math.log(m))
+
+
+def _search_layer(
+    vecs: np.ndarray, nbrs, q: np.ndarray, entry: int, ef: int, level: int,
+    exhaustive: bool = False,
+):
+    """Standard HNSW ef-bounded best-first layer search → [(dist, idx)]
+    sorted ascending. Ties break on index for determinism. ``exhaustive``
+    (query-time only — construction must stay layer-respecting) sweeps up
+    nodes a disconnected component would hide when ef covers the whole
+    partition."""
+    d0 = float(((vecs[entry] - q) ** 2).sum())
+    visited = {entry}
+    cand = [(d0, entry)]  # min-heap by (dist, idx)
+    best = [(-d0, entry)]  # max-heap (negated) of the ef best
+    while cand:
+        d, c = heapq.heappop(cand)
+        if d > -best[0][0] and len(best) >= ef:
+            break
+        for n in nbrs[c][level] if level < len(nbrs[c]) else ():
+            if n in visited:
+                continue
+            visited.add(n)
+            dn = float(((vecs[n] - q) ** 2).sum())
+            if len(best) < ef or dn < -best[0][0]:
+                heapq.heappush(cand, (dn, n))
+                heapq.heappush(best, (-dn, n))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    out = sorted((-nd, i) for nd, i in best)
+    if exhaustive and ef >= len(vecs) and len(visited) < len(vecs):
+        # exhaustive-ef escape hatch: a disconnected component cannot hide
+        # nodes when the caller asked for the whole partition
+        rest = [i for i in range(len(vecs)) if i not in visited]
+        out = sorted(out + [(float(((vecs[i] - q) ** 2).sum()), i) for i in rest])
+    return out
+
+
+def _build_graph(vecs: np.ndarray, m: int = HNSW_M, ef_c: int = HNSW_EF_CONSTRUCTION):
+    """Insert-all HNSW build (builder.rs HNSWBuilder::insert). Returns
+    (levels, nbrs) where nbrs[i][l] is node i's neighbor list at layer l."""
+    n = len(vecs)
+    levels = [_node_level(i, m) for i in range(n)]
+    nbrs = [[[] for _ in range(levels[i] + 1)] for i in range(n)]
+    entry, max_lvl = 0, levels[0]
+    for i in range(1, n):
+        lvl = levels[i]
+        q = vecs[i]
+        cur = entry
+        for lc in range(max_lvl, lvl, -1):
+            # greedy descent: hop to the closest neighbor until local minimum
+            improved = True
+            dcur = float(((vecs[cur] - q) ** 2).sum())
+            while improved:
+                improved = False
+                for nb in nbrs[cur][lc] if lc < len(nbrs[cur]) else ():
+                    dn = float(((vecs[nb] - q) ** 2).sum())
+                    if dn < dcur:
+                        cur, dcur, improved = nb, dn, True
+        for lc in range(min(lvl, max_lvl), -1, -1):
+            cap = HNSW_M0 if lc == 0 else m
+            found = _search_layer(vecs, nbrs, q, cur, ef_c, lc)
+            chosen = [idx for _, idx in found[:cap]]
+            nbrs[i][lc] = list(chosen)
+            for c in chosen:
+                lst = nbrs[c][lc]
+                lst.append(i)
+                if len(lst) > cap:
+                    # prune to the cap closest (simple heuristic; the
+                    # reference's select-neighbors heuristic also caps here)
+                    ds = sorted(
+                        (float(((vecs[x] - vecs[c]) ** 2).sum()), x) for x in lst
+                    )
+                    nbrs[c][lc] = [x for _, x in ds[:cap]]
+            cur = found[0][1]
+        if lvl > max_lvl:
+            entry, max_lvl = i, lvl
+    return levels, nbrs
+
+
+def build_hnsw_graphs(index, spark: SparkSession) -> None:
+    """Build one HNSW graph per IVF partition of an existing IVF index dir
+    (codes already written). One applyInPandas task per partition."""
+    cosine = index.metric == "cosine"
+    codes = spark.read.parquet(os.path.join(index.uri, "codes"))
+
+    def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["partition_id"].iloc[0])
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float32)
+        if cosine:
+            nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
+            vecs = vecs / np.maximum(nrm, 1e-12)
+        levels, nbrs = _build_graph(vecs)
+        ids = pdf["id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "partition_id": pid,
+                "id": ids,
+                "vec": list(vecs.astype(np.float32)),
+                "level": levels,
+                "nbrs": [
+                    [[int(ids[x]) for x in layer] for layer in nbrs[i]]
+                    for i in range(len(ids))
+                ],
+            }
+        )
+
+    out_schema = (
+        "partition_id int, id long, vec array<float>, level int, "
+        "nbrs array<array<long>>"
+    )
+    (
+        codes.select("partition_id", "id", "vec")
+        .groupBy("partition_id")
+        .applyInPandas(build_one, out_schema)
+        .write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(os.path.join(index.uri, "hnsw"))
+    )
+
+
+def hnsw_search(
+    spark: SparkSession,
+    index,
+    query: list[float],
+    k: int = 10,
+    nprobes: int = 4,
+    ef_search: int = 64,
+    prefilter_rowids: DataFrame | None = None,
+) -> DataFrame:
+    """Probe nprobes partitions; traverse each probed HNSW graph in its own
+    task; merge per-partition candidates into a global exact top-k.
+
+    With a prefilter, traversal still walks the full graph (filtered-out
+    nodes remain routing waypoints — the reference's prefilter keeps graph
+    connectivity too) and only the emitted candidates are filtered."""
+    from lance_spark.indexes.vector import _normalize, _query_prep, probe_partitions
+
+    q = _query_prep(index, query).astype(np.float32)
+    probes = probe_partitions(index, query, nprobes)
+    graph = spark.read.parquet(os.path.join(index.uri, "hnsw")).filter(
+        F.col("partition_id").isin(probes)
+    )
+    metric = index.metric
+    qb = spark.sparkContext.broadcast(q)
+    ef = max(ef_search, k)
+
+    def search_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float32)
+        id_to_idx = {int(v): i for i, v in enumerate(ids)}
+        nbrs = [
+            [[id_to_idx[int(x)] for x in layer] for layer in node]
+            for node in pdf["nbrs"]
+        ]
+        levels = pdf["level"].to_numpy()
+        entry = int(np.lexsort((ids, -levels))[0])  # max level, min id
+        qv = qb.value.astype(np.float32)
+        cur = entry
+        for lc in range(int(levels[entry]), 0, -1):
+            improved = True
+            dcur = float(((vecs[cur] - qv) ** 2).sum())
+            while improved:
+                improved = False
+                for nb in nbrs[cur][lc] if lc < len(nbrs[cur]) else ():
+                    dn = float(((vecs[nb] - qv) ** 2).sum())
+                    if dn < dcur:
+                        cur, dcur, improved = nb, dn, True
+        found = _search_layer(vecs, nbrs, qv, cur, ef, 0, exhaustive=True)
+        top = found[: max(ef, k)]
+        return pd.DataFrame(
+            {"id": [int(ids[i]) for _, i in top], "_d2": [d for d, _ in top]}
+        )
+
+    cands = graph.groupBy("partition_id").applyInPandas(search_one, "id long, _d2 double")
+    if prefilter_rowids is not None:
+        allow = prefilter_rowids.toDF("id")
+        cands = cands.join(F.broadcast(allow), "id", "left_semi")
+    if metric == "cosine":
+        dist = F.col("_d2") / 2.0
+    elif metric == "l2":
+        dist = F.sqrt("_d2")
+    else:
+        dist = F.col("_d2")
+    return (
+        cands.select("id", dist.alias("_distance"))
+        .orderBy("_distance", "id")
+        .limit(k)
+    )

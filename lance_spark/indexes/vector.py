@@ -232,7 +232,13 @@ def build_ivf(
             },
             fh,
         )
-    return IvfIndex(uri)
+    index = IvfIndex(uri)
+    if index_type == "IVF_HNSW_FLAT":
+        # per-partition proximity graphs next to the codes (indexes/hnsw.py)
+        from lance_spark.indexes.hnsw import build_hnsw_graphs
+
+        build_hnsw_graphs(index, spark)
+    return index
 
 
 def _query_prep(index: IvfIndex, query: list[float]) -> np.ndarray:
@@ -258,6 +264,7 @@ def ann_search(
     nprobes: int = 4,
     refine_factor: int = 1,
     prefilter_rowids: DataFrame | None = None,
+    ef_search: int = 64,
 ) -> DataFrame:
     """ANN top-k: partition prune → (prefilter) → score → topk → optional
     exact refine.
@@ -267,8 +274,15 @@ def ann_search(
     at the source — only nprobes/num_partitions of the index is read.
     ``prefilter_rowids`` restricts candidates BEFORE top-k selection
     (prefilter semantics, scanner.rs:3558-3619) so k survivors are
-    guaranteed from the allowed set.
+    guaranteed from the allowed set. ``ef_search`` applies to the
+    IVF_HNSW_FLAT graph traversal only.
     """
+    if index.index_type == "IVF_HNSW_FLAT":
+        from lance_spark.indexes.hnsw import hnsw_search
+
+        return hnsw_search(
+            spark, index, query, k, nprobes, ef_search, prefilter_rowids
+        )
     q = _query_prep(index, query)
     probes = probe_partitions(index, query, nprobes)
     codes = spark.read.parquet(os.path.join(index.uri, "codes")).filter(

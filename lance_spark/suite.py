@@ -1163,6 +1163,42 @@ def ann_ivf_pq_refine(spark, sf_dir):
     )
 
 
+@query(
+    "ann_ivf_hnsw_topk",
+    """
+    SELECT e.vec_id,
+           round(sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+                    * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))))), 4)
+             AS _distance
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 23) q
+    WHERE e.vec_id != 23
+    ORDER BY _distance, e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_ivf_hnsw_topk(spark, sf_dir):
+    """IVF_HNSW_FLAT (hnsw/builder.rs; IndexType lib.rs:120-130) at full
+    probe + exhaustive ef → exact, so brute-force SQL is a true oracle for
+    build → per-partition graph traversal → merge → topk."""
+    import tempfile
+
+    from lance_spark.indexes.vector import ann_search, build_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 23").first()["embedding"]]
+    idx = build_ivf(
+        emb.filter("vec_id != 23"), "embedding", "vec_id",
+        tempfile.mkdtemp(prefix="lsq_hnsw_"), num_partitions=8,
+        metric="l2", index_type="IVF_HNSW_FLAT",
+    )
+    return (
+        ann_search(spark, idx, qvec, k=10, nprobes=8, ef_search=1_000_000)
+        .select(F.col("id").alias("vec_id"), F.round("_distance", 4).alias("_distance"))
+        .orderBy("_distance", "vec_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Full-text search (BM25 / phrase / boolean — operators/fts.py)
 # --------------------------------------------------------------------------

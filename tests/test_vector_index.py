@@ -121,3 +121,53 @@ def test_ivf_sq_recall_with_refine(spark, emb, tmp_path):
         hits += len(got & set(_brute_ids(emb, q, 10, "l2")))
     # 8-bit scalar quantization + refine: near-exact at full probe
     assert hits / 50 >= 0.95
+
+
+def test_ivf_hnsw_flat_exact_at_full_ef(spark, sf_dir, tmp_path):
+    """Full probe + exhaustive ef must equal brute force exactly (the
+    oracle-gate configuration of ann_ivf_hnsw_topk)."""
+    from lance_spark.indexes.vector import ann_search, build_ivf
+    from lance_spark.operators.knn import knn_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 5").first()["embedding"]]
+    corpus = emb.filter("vec_id != 5")
+    idx = build_ivf(
+        corpus, "embedding", "vec_id", str(tmp_path / "hnsw"),
+        num_partitions=4, metric="l2", index_type="IVF_HNSW_FLAT",
+    )
+    got = [
+        (r["id"], round(r["_distance"], 4))
+        for r in ann_search(spark, idx, qvec, k=10, nprobes=4, ef_search=10**6).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["_distance"], 4))
+        for r in knn_bruteforce(corpus, "embedding", qvec, k=10, metric="l2").collect()
+    ]
+    assert got == want
+
+
+def test_ivf_hnsw_recall_floor(spark, sf_dir, tmp_path):
+    """Real traversal (bounded ef) keeps recall@10 high at full probes —
+    the graph quality check, not the escape hatch."""
+    from lance_spark.indexes.vector import ann_search, build_ivf
+    from lance_spark.operators.knn import knn_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter("vec_id >= 10")
+    idx = build_ivf(
+        corpus, "embedding", "vec_id", str(tmp_path / "hnsw_r"),
+        num_partitions=4, metric="l2", index_type="IVF_HNSW_FLAT",
+    )
+    hits = 0
+    queries = [r for r in emb.filter("vec_id < 5").collect()]
+    for row in queries:
+        qv = [float(x) for x in row["embedding"]]
+        got = {r["id"] for r in ann_search(spark, idx, qv, k=10, nprobes=4, ef_search=64).collect()}
+        want = {
+            r["vec_id"]
+            for r in knn_bruteforce(corpus, "embedding", qv, k=10, metric="l2").collect()
+        }
+        hits += len(got & want)
+    recall = hits / (10 * len(queries))
+    assert recall >= 0.9, f"recall@10 {recall}"
