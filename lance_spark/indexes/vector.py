@@ -92,6 +92,8 @@ class IvfIndex:
         self.codebooks = np.load(cb) if os.path.exists(cb) else None
         sq = os.path.join(uri, "sq_bounds.npy")
         self.sq_bounds = np.load(sq) if os.path.exists(sq) else None
+        rot = os.path.join(uri, "rotation.npy")
+        self.rotation = np.load(rot) if os.path.exists(rot) else None
 
     @property
     def metric(self) -> str:
@@ -139,6 +141,16 @@ def build_ivf(
 
     codebooks = None
     sq_bounds = None
+    rotation = None
+    if index_type == "IVF_RQ":
+        # RabitQ-style binary quantization (vector/bq.rs; Gao & Long 2024):
+        # a seeded random orthogonal rotation decorrelates the residual, then
+        # 1 bit/dim (the sign) plus two per-vector floats — ‖residual‖ and
+        # the quantization-alignment correction — support an unbiased
+        # distance estimate. 32× smaller than raw float32 at dim bits/vector.
+        g = np.random.default_rng(seed).standard_normal((dim, dim))
+        rotation, _ = np.linalg.qr(g)
+        rotation = rotation.astype(np.float32)
     if index_type == "IVF_SQ":
         # scalar quantization (vector/sq.rs:33): per-dimension [min,max] from
         # the sample → uint8 codes; raw vectors (not residuals) are encoded
@@ -170,18 +182,38 @@ def build_ivf(
     cent_b = spark.sparkContext.broadcast(centroids)
     cb_b = spark.sparkContext.broadcast(codebooks)
     sq_b = spark.sparkContext.broadcast(sq_bounds)
+    rot_b = spark.sparkContext.broadcast(rotation)
 
-    @pandas_udf("struct<partition_id:int, pq_code:array<smallint>>")
+    @pandas_udf(
+        "struct<partition_id:int, pq_code:array<smallint>, rq_norm:float, rq_corr:float>"
+    )
     def assign_encode(s: pd.Series) -> pd.DataFrame:
         cents = cent_b.value.astype(np.float32)
         cbs = cb_b.value
         sq = sq_b.value
+        rot = rot_b.value
         x = _as_matrix(s)
         if cosine:
             x = _normalize(x)
         # argmin ||x - c||^2 = argmax (x·c - ||c||²/2)
         pid = (x @ cents.T - 0.5 * (cents * cents).sum(axis=1)).argmax(axis=1)
-        if sq is not None:
+        rq_norm = rq_corr = [None] * len(x)
+        if rot is not None:
+            resid = (x - cents[pid]).astype(np.float64)
+            y = resid @ rot.T.astype(np.float64)
+            d = y.shape[1]
+            norms = np.sqrt((y * y).sum(axis=1))
+            sgn = np.where(y > 0, 1.0, -1.0)
+            # alignment of the sign-unit vector with the rotated residual:
+            # <sgn/√d, y/‖y‖> = Σ|y| / (√d·‖y‖); clamped away from 0 so the
+            # estimator 1/corr stays bounded on pathological vectors
+            corr = np.abs(y).sum(axis=1) / np.maximum(np.sqrt(d) * norms, 1e-12)
+            corr = np.maximum(corr, 1e-3)
+            bits = np.packbits((y > 0).astype(np.uint8), axis=1)
+            codes = list(bits.astype(np.int16))
+            rq_norm = norms.astype(np.float32)
+            rq_corr = corr.astype(np.float32)
+        elif sq is not None:
             codes = list(
                 np.clip(np.rint((x - sq[0]) / sq[1] * 255.0), 0, 255).astype(np.int16)
             )
@@ -197,13 +229,20 @@ def build_ivf(
                 d = (r * r).sum(axis=1, keepdims=True) - 2 * (r @ cb.T) + (cb * cb).sum(axis=1)
                 code[:, j] = d.argmin(axis=1).astype(np.int16)
             codes = list(code)
-        return pd.DataFrame({"partition_id": pid.astype(np.int32), "pq_code": codes})
+        return pd.DataFrame(
+            {
+                "partition_id": pid.astype(np.int32),
+                "pq_code": codes,
+                "rq_norm": rq_norm,
+                "rq_corr": rq_corr,
+            }
+        )
 
     enc = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<float>").alias("vec"),
         assign_encode(F.col(vec_col)).alias("e"),
-    ).select("id", "vec", "e.partition_id", "e.pq_code")
+    ).select("id", "vec", "e.partition_id", "e.pq_code", "e.rq_norm", "e.rq_corr")
 
     os.makedirs(uri, exist_ok=True)
     # store raw vec for FLAT scoring and local refine; a deployment trading
@@ -219,6 +258,8 @@ def build_ivf(
         np.save(os.path.join(uri, "codebooks.npy"), codebooks)
     if sq_bounds is not None:
         np.save(os.path.join(uri, "sq_bounds.npy"), sq_bounds)
+    if rotation is not None:
+        np.save(os.path.join(uri, "rotation.npy"), rotation)
     with open(os.path.join(uri, "meta.json"), "w") as fh:
         json.dump(
             {
@@ -308,6 +349,48 @@ def ann_search(
         scored = codes.select("id", flat_dist("vec").alias("_distance"))
         scored = _finalize_distance(scored, index.metric)
         return scored.orderBy("_distance", "id").limit(k)
+
+    if index.index_type == "IVF_RQ":
+        # RabitQ estimator (bq.rs): per probed partition, rotate the query
+        # residual once on the driver; each vector contributes its sign-bit
+        # dot with the rotated residual, scaled by the stored norm and
+        # alignment correction. Scoring reads only {id, pq_code(bits),
+        # rq_norm, rq_corr} — 1 bit/dim + 8 bytes — never raw vectors.
+        rot = index.rotation.astype(np.float64)
+        dim = int(index.meta["dim"])
+        t = {}
+        for pid in probes:
+            tv = rot @ (q.astype(np.float64) - index.centroids[pid].astype(np.float64))
+            t[pid] = (tv, float(np.sqrt((tv * tv).sum())))
+        t_b = spark.sparkContext.broadcast(t)
+
+        @pandas_udf("double")
+        def rq_dist(code: pd.Series, norm: pd.Series, corr: pd.Series, pid: pd.Series) -> pd.Series:
+            tabs = t_b.value
+            bits = np.unpackbits(
+                np.asarray(code.tolist(), dtype=np.uint8), axis=1
+            )[:, :dim].astype(np.float64)
+            sgn = 2.0 * bits - 1.0
+            pids = pid.to_numpy()
+            nx = norm.to_numpy().astype(np.float64)
+            cr = corr.to_numpy().astype(np.float64)
+            out = np.empty(len(sgn), dtype=np.float64)
+            for p in np.unique(pids):
+                mask = pids == p
+                tv, nt = tabs[int(p)]
+                if nt < 1e-12:
+                    out[mask] = nx[mask] ** 2
+                    continue
+                est_cos = (sgn[mask] @ tv) / (np.sqrt(dim) * nt) / cr[mask]
+                est_cos = np.clip(est_cos, -1.0, 1.0)
+                out[mask] = nx[mask] ** 2 + nt**2 - 2.0 * nx[mask] * nt * est_cos
+            return pd.Series(out)
+
+        scored = codes.select(
+            "id", rq_dist("pq_code", "rq_norm", "rq_corr", "partition_id").alias("_approx")
+        )
+        cand = scored.orderBy("_approx", "id").limit(k * max(refine_factor, 1)).collect()
+        return _exact_refine_local(spark, index, probes, [r["id"] for r in cand], q, k, cosine)
 
     if index.index_type == "IVF_SQ":
         # dequantize codes → squared-L2 to the query, then exact refine.

@@ -1164,6 +1164,42 @@ def ann_ivf_pq_refine(spark, sf_dir):
 
 
 @query(
+    "ann_ivf_rq_refine",
+    """
+    SELECT e.vec_id,
+           round(sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+                    * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))))), 4)
+             AS _distance
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 31) q
+    WHERE e.vec_id != 31
+    ORDER BY _distance, e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_ivf_rq_refine(spark, sf_dir):
+    """IVF_RQ (RabitQ 1-bit, vector/bq.rs) at full probe + refine wide
+    enough to re-rank every candidate exactly at the gate sf — the binary
+    estimator generates candidates, the exact refine is under test."""
+    import tempfile
+
+    from lance_spark.indexes.vector import ann_search, build_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 31").first()["embedding"]]
+    idx = build_ivf(
+        emb.filter("vec_id != 31"), "embedding", "vec_id",
+        tempfile.mkdtemp(prefix="lsq_rq_"), num_partitions=8,
+        metric="l2", index_type="IVF_RQ",
+    )
+    return (
+        ann_search(spark, idx, qvec, k=10, nprobes=8, refine_factor=100)
+        .select(F.col("id").alias("vec_id"), F.round("_distance", 4).alias("_distance"))
+        .orderBy("_distance", "vec_id")
+    )
+
+
+@query(
     "ann_ivf_hnsw_topk",
     """
     SELECT e.vec_id,

@@ -171,3 +171,34 @@ def test_ivf_hnsw_recall_floor(spark, sf_dir, tmp_path):
         hits += len(got & want)
     recall = hits / (10 * len(queries))
     assert recall >= 0.9, f"recall@10 {recall}"
+
+
+def test_ivf_rq_exact_at_full_refine(spark, sf_dir, tmp_path):
+    """IVF_RQ full probe + all-covering refine equals brute force (the
+    oracle-gate config), and the binary estimator alone reaches a usable
+    recall floor at moderate refine."""
+    from lance_spark.indexes.vector import ann_search, build_ivf
+    from lance_spark.operators.knn import knn_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 9").first()["embedding"]]
+    corpus = emb.filter("vec_id != 9")
+    n = corpus.count()
+    idx = build_ivf(
+        corpus, "embedding", "vec_id", str(tmp_path / "rq"),
+        num_partitions=4, metric="l2", index_type="IVF_RQ",
+    )
+    got = [
+        (r["id"], round(r["_distance"], 4))
+        for r in ann_search(spark, idx, qvec, k=10, nprobes=4, refine_factor=n).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["_distance"], 4))
+        for r in knn_bruteforce(corpus, "embedding", qvec, k=10, metric="l2").collect()
+    ]
+    assert got == want
+
+    # estimator quality: recall@10 with refine_factor=8 (80 candidates of n)
+    hit = {r["id"] for r in ann_search(spark, idx, qvec, k=10, nprobes=4, refine_factor=8).collect()}
+    truth = {x[0] for x in want}
+    assert len(hit & truth) >= 8, f"RQ recall {len(hit & truth)}/10"
