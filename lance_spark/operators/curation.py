@@ -1,0 +1,110 @@
+"""Training-data curation operators: chunking, per-source caps, repetition
+scoring, PII redaction.
+
+The reference has no curation layer — these are the operations a 100 TB
+training-data pipeline runs between ingest and tokenization (the brief's
+"beyond the reference" surface, alongside operators/dedup.py). All are pure
+built-in-function DataFrame code (JVM-side, whole-stage codegen, no Python
+UDFs) with exact ANSI-SQL mirrors for the DuckDB oracle.
+
+Scale shapes:
+  - chunking: explode over per-row start offsets — row-local, no shuffle;
+    output partitioning inherits the scan.
+  - per-group caps: one shuffle on the group key (window row_number), the
+    canonical top-n-per-key plan; skewed groups are bounded by the cap
+    itself (only n rows per group survive the window's sort buffer... the
+    sort is per-partition; a pathological single group is an orderable
+    spill, not an OOM).
+  - repetition / redaction: row-local expressions, zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lance_spark.functions.text import tokenize
+
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 100,
+    overlap: int = 20,
+) -> DataFrame:
+    """Sliding token-window chunking: (id, chunk_id, n_tokens, chunk_text).
+
+    Windows start every ``chunk_tokens - overlap`` tokens; the final chunk
+    may be short; empty documents emit nothing. Row-local (explode over a
+    start-offset sequence bound to ONE tokenize evaluation)."""
+    step = chunk_tokens - overlap
+    assert step > 0, "overlap must be smaller than chunk_tokens"
+    toks = F.col("__toks")
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(step))
+    return (
+        df.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks"))
+        .filter(F.size(toks) > 0)
+        .select("id", toks, F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            "id",
+            "chunk_id",
+            F.slice(toks, F.col("start") + 1, chunk_tokens).alias("__chunk"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            F.size("__chunk").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", "__chunk").alias("chunk_text"),
+        )
+    )
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, order_col, n: int, id_col: str
+) -> DataFrame:
+    """Keep the best ``n`` rows per group — the per-domain/source document
+    cap every crawl-curation pipeline applies. ``order_col`` descending,
+    ``id_col`` ascending tie-break (deterministic). One shuffle on the
+    group key."""
+    w = Window.partitionBy(group_col).orderBy(F.desc(order_col), F.asc(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def repetition_ratio(toks) -> "F.Column":
+    """Within-document repetition: 1 - distinct_bigrams/total_bigrams over a
+    pre-bound token array (the Gopher duplicate-ngram-fraction signal).
+    0 = no repetition; →1 for degenerate loops; 0.0 for docs with <2 tokens."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    total = F.size(toks) - 1
+    return F.when(
+        total >= 1,
+        1.0 - F.size(F.array_distinct(grams)) / total.cast("double"),
+    ).otherwise(0.0)
+
+
+def redact_pii(col) -> "F.Column":
+    """Redact email addresses and phone-shaped numbers (the minimal PII
+    scrub a text pipeline applies before tokenization). Patterns restricted
+    to syntax both Java regex and RE2 execute identically."""
+    return F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+
+
+def pii_counts(col) -> tuple["F.Column", "F.Column"]:
+    """(n_emails, n_phones) found in the column."""
+    return (
+        F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), F.lit(0))),
+        F.size(F.regexp_extract_all(col, F.lit(PHONE_RE), F.lit(0))),
+    )

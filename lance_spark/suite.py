@@ -1038,6 +1038,175 @@ def text_fingerprint_dups(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Curation operators (operators/curation.py — chunking, caps, repetition, PII)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "curate_chunks",
+    f"""
+    WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
+    nz AS (SELECT * FROM tok WHERE len(w) > 0),
+    st AS (SELECT id, w,
+                  unnest(range(0, len(w), 40)) AS start,
+                  generate_subscripts(range(0, len(w), 40), 1) - 1 AS chunk_id
+           FROM nz),
+    ch AS (SELECT id, chunk_id, w[start + 1 : start + 50] AS c FROM st)
+    SELECT id AS doc_id, chunk_id,
+           CAST(len(c) AS BIGINT) AS n_tokens,
+           md5(array_to_string(c, ' ')) AS chunk_md5
+    FROM ch
+    """,
+)
+def curate_chunks(spark, sf_dir):
+    """Sliding token-window chunking (50-token chunks, 10 overlap): the
+    doc→training-sample shaping step. Row-local explode, zero shuffles."""
+    from lance_spark.operators.curation import chunk_documents
+
+    ch = chunk_documents(_t(spark, sf_dir, "documents"), "text", "doc_id", 50, 10)
+    return ch.select(
+        F.col("id").alias("doc_id"),
+        "chunk_id",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+@query(
+    "curate_source_caps",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, text, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
+    q AS (
+      SELECT doc_id, source,
+             (CASE WHEN len(w) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN len(list_filter(w, x -> list_contains({_DUCK_SW_EN}, x)))
+                       / greatest(len(w), 1) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+                       / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END) / 3.0 AS q
+      FROM tok),
+    r AS (SELECT doc_id, source, q,
+                 row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn
+          FROM q)
+    SELECT doc_id, source, round(q, 4) AS q FROM r WHERE rn <= 5
+    """,
+)
+def curate_source_caps(spark, sf_dir):
+    """Per-source document cap (best 5 by quality, deterministic tie-break)
+    — the per-domain cap every crawl-curation pipeline applies. One shuffle
+    on the group key."""
+    from lance_spark.functions.text import quality_score_from, tokenize
+    from lance_spark.operators.curation import cap_per_group
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text", tokenize(F.col("text")).alias("__toks"))
+        .select(
+            "doc_id", "source",
+            quality_score_from(F.col("__toks"), F.col("text")).alias("q"),
+        )
+    )
+    return cap_per_group(docs, "source", "q", 5, "doc_id").select(
+        "doc_id", "source", F.round("q", 4).alias("q")
+    )
+
+
+@query(
+    "curate_repetition",
+    f"""
+    WITH tok AS (SELECT doc_id, source, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
+    rep AS (
+      SELECT source,
+             CASE WHEN len(w) >= 2 THEN
+               1.0 - CAST(len(list_distinct(
+                       list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                     )) AS DOUBLE) / (len(w) - 1)
+             ELSE 0.0 END AS r
+      FROM tok)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(r), 4) AS avg_repetition,
+           CAST(sum(CASE WHEN r > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+    FROM rep GROUP BY source
+    """,
+)
+def curate_repetition(spark, sf_dir):
+    """Within-doc duplicate-bigram fraction (the Gopher repetition signal)
+    aggregated per source. Row-local expressions, zero shuffles before the
+    final agg."""
+    from lance_spark.functions.text import tokenize
+    from lance_spark.operators.curation import repetition_ratio
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", tokenize(F.col("text")).alias("__toks")
+    )
+    rep = docs.select("source", repetition_ratio(F.col("__toks")).alias("r"))
+    return rep.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("r"), 4).alias("avg_repetition"),
+        F.sum(F.when(F.col("r") > 0.5, 1).otherwise(0)).alias("n_repetitive"),
+    )
+
+
+@query(
+    "curate_pii_redact",
+    """
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 500000, source,
+             text || ' contact user' || doc_id || '@example.com or call 555-0123'
+      FROM documents WHERE doc_id % 7 = 0),
+    red AS (
+      SELECT source,
+             len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS ne,
+             len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{4}\\b')) AS np,
+             regexp_replace(
+               regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+               '\\b[0-9]{3}-[0-9]{4}\\b', '[PHONE]', 'g') <> text AS changed
+      FROM corpus)
+    SELECT source,
+           CAST(sum(ne) AS BIGINT) AS n_emails,
+           CAST(sum(np) AS BIGINT) AS n_phones,
+           CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM red GROUP BY source
+    """,
+)
+def curate_pii_redact(spark, sf_dir):
+    """Email/phone scrub before tokenization. The synthetic corpus has no
+    PII, so PII-bearing perturbed copies are synthesized identically on
+    both engines (the text_fingerprint_dups pattern)."""
+    from lance_spark.operators.curation import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "source", "text").unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            "source",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com or call 555-0123"),
+            ).alias("text"),
+        )
+    )
+    ne, np_ = pii_counts(F.col("text"))
+    red = corpus.select(
+        "source",
+        ne.alias("ne"),
+        np_.alias("np"),
+        (redact_pii(F.col("text")) != F.col("text")).alias("changed"),
+    )
+    return red.groupBy("source").agg(
+        F.sum("ne").alias("n_emails"),
+        F.sum("np").alias("n_phones"),
+        F.sum(F.when(F.col("changed"), 1).otherwise(0)).alias("n_redacted"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Similarity search (KNN brute force — exact oracle; IVF in indexes/)
 # --------------------------------------------------------------------------
 

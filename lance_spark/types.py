@@ -1,0 +1,62 @@
+"""Arrow→Spark type normalization for ingest.
+
+The reference accepts arrow types Spark has no runtime type for
+(rust/lance-core/src/datatypes.rs:160-190): dictionary-encoded columns
+(:166-173 — storage detail, not semantics), the ``lance.bfloat16``
+extension (:186, storage fixed_size_binary(2)), large_string/large_binary,
+and fixed-size lists. ``normalize_arrow_table`` maps each onto the Spark
+type that preserves its SEMANTICS so ``write_dataset(pa.Table)`` round-trips:
+
+  dictionary<V>            → V (decoded; dictionaries are an encoding)
+  lance.bfloat16 extension → float32 (bf16 is the top half of an f32)
+  large_string/large_binary/large_list → string/binary/list
+  fixed_size_list<T, n>    → list<T>
+
+Spark-side parquet then re-applies dictionary encoding where it pays —
+the encoding choice belongs to the writer, not the logical schema.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+BFLOAT16_EXTENSION = "lance.bfloat16"
+
+
+def _decode_bf16(arr: pa.Array) -> pa.Array:
+    """fixed_size_binary(2) little-endian bf16 payloads → float32."""
+    storage = arr.storage if isinstance(arr, pa.ExtensionArray) else arr
+    out = np.empty(len(storage), dtype=np.float32)
+    buf = np.zeros(1, dtype=np.uint32)
+    for i, v in enumerate(storage):
+        b = v.as_py()
+        if b is None:
+            out[i] = np.nan
+            continue
+        buf[0] = np.uint32(int.from_bytes(b, "little")) << 16
+        out[i] = buf.view(np.float32)[0]
+    mask = np.array([v.as_py() is None for v in storage], dtype=bool)
+    return pa.array(out, mask=mask)
+
+
+def _normalize_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:
+    t = arr.type
+    if isinstance(t, pa.ExtensionType) and t.extension_name == BFLOAT16_EXTENSION:
+        return pa.chunked_array([_decode_bf16(c) for c in arr.chunks])
+    if pa.types.is_dictionary(t):
+        return arr.cast(t.value_type)
+    if pa.types.is_large_string(t):
+        return arr.cast(pa.string())
+    if pa.types.is_large_binary(t):
+        return arr.cast(pa.binary())
+    if pa.types.is_fixed_size_list(t):
+        return arr.cast(pa.list_(t.value_type))
+    if pa.types.is_large_list(t):
+        return arr.cast(pa.list_(t.value_type))
+    return arr
+
+
+def normalize_arrow_table(table: pa.Table) -> pa.Table:
+    cols = [_normalize_array(table.column(i)) for i in range(table.num_columns)]
+    return pa.table(dict(zip(table.column_names, cols)))

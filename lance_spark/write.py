@@ -214,8 +214,26 @@ def write_dataset(
     max_rows_per_fragment: int | None = None,
     blob_columns: list[str] | None = None,
 ):
-    """modes per rust/lance/src/dataset/write.rs:115-131: create/append/overwrite."""
+    """modes per rust/lance/src/dataset/write.rs:115-131: create/append/overwrite.
+
+    ``df`` may be a Spark DataFrame or a ``pyarrow.Table`` (the reference's
+    primary write input, dataset.py write_dataset) — arrow tables pass
+    through the type normalizer (types.py: dictionary decode, bfloat16 →
+    float32, large_*/fixed_size_list mappings) before entering Spark.
+    """
+    import pyarrow as pa
+
     from lance_spark.dataset import LanceDataset
+
+    if isinstance(df, pa.Table):
+        from pyspark.sql import SparkSession
+
+        from lance_spark.types import normalize_arrow_table
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("write_dataset(pa.Table) needs an active SparkSession")
+        df = spark.createDataFrame(normalize_arrow_table(df))
 
     os.makedirs(uri, exist_ok=True)
     existing = mf.latest_version(uri)

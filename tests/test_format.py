@@ -490,3 +490,55 @@ def test_manifest_carries_blob_columns_through_commits(spark, tmp_uri):
     # appends after the metadata commits still split the blob column group
     ds2 = ls.dataset(tmp_uri)
     assert ds2.manifest.blob_columns == ["image"]
+
+
+def test_write_dataset_arrow_table_type_mappings(spark, tmp_uri):
+    """Arrow ingest parity (datatypes.rs:160-190): dictionary decode,
+    lance.bfloat16 -> float32, large_string, fixed_size_list -> list."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lance_spark.types import BFLOAT16_EXTENSION, normalize_arrow_table
+
+    class Bf16Type(pa.ExtensionType):
+        def __init__(self):
+            super().__init__(pa.binary(2), BFLOAT16_EXTENSION)
+
+        def __arrow_ext_serialize__(self):
+            return b""
+
+        @classmethod
+        def __arrow_ext_deserialize__(cls, storage_type, serialized):
+            return cls()
+
+    def bf16_bytes(f):
+        # top 16 bits of the f32 pattern, little-endian
+        return np.float32(f).tobytes()[2:4]
+
+    bf = pa.ExtensionArray.from_storage(
+        Bf16Type(), pa.array([bf16_bytes(1.5), bf16_bytes(-2.0), None], pa.binary(2))
+    )
+    table = pa.table(
+        {
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "d": pa.array(["a", "b", "a"]).dictionary_encode(),
+            "ls": pa.array(["x", "y", "z"], pa.large_string()),
+            "fsl": pa.FixedSizeListArray.from_arrays(
+                pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0], pa.float32()), 2
+            ),
+            "bf": bf,
+        }
+    )
+    norm = normalize_arrow_table(table)
+    assert norm.schema.field("d").type == pa.string()
+    assert norm.schema.field("bf").type == pa.float32()
+
+    ds = ls.write_dataset(table, tmp_uri)
+    got = ds.to_df(spark).orderBy("k").collect()
+    assert [r["d"] for r in got] == ["a", "b", "a"]
+    assert [r["ls"] for r in got] == ["x", "y", "z"]
+    assert got[0]["fsl"] == [1.0, 2.0]
+    assert got[0]["bf"] == 1.5 and got[1]["bf"] == -2.0
+    import math
+
+    assert got[2]["bf"] is None or math.isnan(got[2]["bf"])

@@ -226,3 +226,71 @@ def test_oversized_bucket_observability(spark):
     ).select("id", "band.band_id", "band.band_key")
     over = oversized_lsh_buckets(banded, max_bucket_size=10).collect()
     assert len(over) == MINHASH_BANDS and all(r.n == 50 for r in over)
+
+
+def test_chunk_documents_windows(spark):
+    from lance_spark.operators.curation import chunk_documents
+
+    import string
+
+    words = [f"w{a}{b}" for a in string.ascii_lowercase[:5] for b in string.ascii_lowercase[:5]]
+    text = " ".join(words)  # 25 distinct letter-only tokens
+    df = spark.createDataFrame([(1, text), (2, "only three words"), (3, "")], ["id", "text"])
+    ch = chunk_documents(df, "text", "id", chunk_tokens=10, overlap=2).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r["id"], []).append(r)
+    # doc 1: starts at 0, 8, 16, 24 -> sizes 10, 10, 9, 1
+    d1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in d1] == [10, 10, 9, 1]
+    assert d1[0]["chunk_text"].startswith(f"{words[0]} ")
+    assert d1[1]["chunk_text"].startswith(f"{words[8]} ")
+    # overlap: chunk 1 starts at token 8, which chunk 0 also contains
+    assert words[8] in d1[0]["chunk_text"]
+    assert [r["n_tokens"] for r in by_doc[2]] == [3]
+    assert 3 not in by_doc  # empty doc emits nothing
+
+
+def test_cap_per_group_deterministic(spark):
+    from lance_spark.operators.curation import cap_per_group
+
+    rows = [(i, "g", 1.0 if i < 6 else 0.5) for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "grp", "score"])
+    kept = sorted(r["id"] for r in cap_per_group(df, "grp", "score", 4, "id").collect())
+    assert kept == [0, 1, 2, 3]  # ties broken by ascending id
+
+
+def test_repetition_ratio_extremes(spark):
+    from lance_spark.operators.curation import repetition_ratio
+    from lance_spark.functions.text import tokenize
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"), (2, "all words here are unique"), (3, "one")],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: r["r"]
+        for r in df.select(
+            "id", tokenize(F.col("text")).alias("__toks")
+        ).select("id", repetition_ratio(F.col("__toks")).alias("r")).collect()
+    }
+    assert out[1] == 0.75  # 4 bigrams, 1 distinct
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+
+
+def test_redact_pii(spark):
+    from lance_spark.operators.curation import pii_counts, redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "mail me at bob.smith+x@corp.example.org or call 555-0199 now")],
+        ["id", "text"],
+    )
+    r = df.select(
+        redact_pii(F.col("text")).alias("red"),
+        *[c.alias(n) for c, n in zip(pii_counts(F.col("text")), ("ne", "np"))],
+    ).first()
+    assert r["red"] == "mail me at [EMAIL] or call [PHONE] now"
+    assert (r["ne"], r["np"]) == (1, 1)
