@@ -33,6 +33,8 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "knn_cosine_topk",
     "text_quality_stats",
+    "curate_chunks",
+    "curate_repetition",
 ]
 
 

@@ -60,15 +60,16 @@ def _node_level(node_id: int, m: int) -> int:
 
 
 def _search_layer(
-    vecs: np.ndarray, nbrs, q: np.ndarray, entry: int, ef: int, level: int,
+    dfun, n_nodes: int, nbrs, entry: int, ef: int, level: int,
     exhaustive: bool = False,
 ):
     """Standard HNSW ef-bounded best-first layer search → [(dist, idx)]
-    sorted ascending. Ties break on index for determinism. ``exhaustive``
-    (query-time only — construction must stay layer-respecting) sweeps up
-    nodes a disconnected component would hide when ef covers the whole
-    partition."""
-    d0 = float(((vecs[entry] - q) ** 2).sum())
+    sorted ascending. ``dfun(i)`` scores node i against the query — raw
+    squared-L2 for FLAT, an ADC lookup for the PQ variant. Ties break on
+    index for determinism. ``exhaustive`` (query-time only — construction
+    must stay layer-respecting) sweeps up nodes a disconnected component
+    would hide when ef covers the whole partition."""
+    d0 = dfun(entry)
     visited = {entry}
     cand = [(d0, entry)]  # min-heap by (dist, idx)
     best = [(-d0, entry)]  # max-heap (negated) of the ef best
@@ -80,19 +81,23 @@ def _search_layer(
             if n in visited:
                 continue
             visited.add(n)
-            dn = float(((vecs[n] - q) ** 2).sum())
+            dn = dfun(n)
             if len(best) < ef or dn < -best[0][0]:
                 heapq.heappush(cand, (dn, n))
                 heapq.heappush(best, (-dn, n))
                 if len(best) > ef:
                     heapq.heappop(best)
     out = sorted((-nd, i) for nd, i in best)
-    if exhaustive and ef >= len(vecs) and len(visited) < len(vecs):
+    if exhaustive and ef >= n_nodes and len(visited) < n_nodes:
         # exhaustive-ef escape hatch: a disconnected component cannot hide
         # nodes when the caller asked for the whole partition
-        rest = [i for i in range(len(vecs)) if i not in visited]
-        out = sorted(out + [(float(((vecs[i] - q) ** 2).sum()), i) for i in rest])
+        rest = [i for i in range(n_nodes) if i not in visited]
+        out = sorted(out + [(dfun(i), i) for i in rest])
     return out
+
+
+def _l2_dfun(vecs: np.ndarray, q: np.ndarray):
+    return lambda i: float(((vecs[i] - q) ** 2).sum())
 
 
 def _build_graph(vecs: np.ndarray, m: int = HNSW_M, ef_c: int = HNSW_EF_CONSTRUCTION):
@@ -105,20 +110,21 @@ def _build_graph(vecs: np.ndarray, m: int = HNSW_M, ef_c: int = HNSW_EF_CONSTRUC
     for i in range(1, n):
         lvl = levels[i]
         q = vecs[i]
+        dfun = _l2_dfun(vecs, q)
         cur = entry
         for lc in range(max_lvl, lvl, -1):
             # greedy descent: hop to the closest neighbor until local minimum
             improved = True
-            dcur = float(((vecs[cur] - q) ** 2).sum())
+            dcur = dfun(cur)
             while improved:
                 improved = False
                 for nb in nbrs[cur][lc] if lc < len(nbrs[cur]) else ():
-                    dn = float(((vecs[nb] - q) ** 2).sum())
+                    dn = dfun(nb)
                     if dn < dcur:
                         cur, dcur, improved = nb, dn, True
         for lc in range(min(lvl, max_lvl), -1, -1):
             cap = HNSW_M0 if lc == 0 else m
-            found = _search_layer(vecs, nbrs, q, cur, ef_c, lc)
+            found = _search_layer(dfun, n, nbrs, cur, ef_c, lc)
             chosen = [idx for _, idx in found[:cap]]
             nbrs[i][lc] = list(chosen)
             for c in chosen:
@@ -139,8 +145,14 @@ def _build_graph(vecs: np.ndarray, m: int = HNSW_M, ef_c: int = HNSW_EF_CONSTRUC
 
 def build_hnsw_graphs(index, spark: SparkSession) -> None:
     """Build one HNSW graph per IVF partition of an existing IVF index dir
-    (codes already written). One applyInPandas task per partition."""
+    (codes already written). One applyInPandas task per partition.
+
+    Graph construction always measures raw-vector distances (builder.rs does
+    the same — codes are a storage format, not a build metric); the PQ
+    variant then stores pq_code instead of the raw vector in the graph rows,
+    so the query-time graph table is code-sized."""
     cosine = index.metric == "cosine"
+    pq = index.index_type == "IVF_HNSW_PQ"
     codes = spark.read.parquet(os.path.join(index.uri, "codes"))
 
     def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -152,25 +164,28 @@ def build_hnsw_graphs(index, spark: SparkSession) -> None:
             vecs = vecs / np.maximum(nrm, 1e-12)
         levels, nbrs = _build_graph(vecs)
         ids = pdf["id"].to_numpy()
-        return pd.DataFrame(
-            {
-                "partition_id": pid,
-                "id": ids,
-                "vec": list(vecs.astype(np.float32)),
-                "level": levels,
-                "nbrs": [
-                    [[int(ids[x]) for x in layer] for layer in nbrs[i]]
-                    for i in range(len(ids))
-                ],
-            }
-        )
+        out = {
+            "partition_id": pid,
+            "id": ids,
+            "level": levels,
+            "nbrs": [
+                [[int(ids[x]) for x in layer] for layer in nbrs[i]]
+                for i in range(len(ids))
+            ],
+        }
+        if pq:
+            out["pq_code"] = list(pdf["pq_code"])
+        else:
+            out["vec"] = list(vecs.astype(np.float32))
+        return pd.DataFrame(out)
 
+    payload = "pq_code array<smallint>" if pq else "vec array<float>"
     out_schema = (
-        "partition_id int, id long, vec array<float>, level int, "
-        "nbrs array<array<long>>"
+        f"partition_id int, id long, {payload}, level int, nbrs array<array<long>>"
     )
+    cols = ["partition_id", "id", "pq_code" if pq else "vec"] + (["vec"] if pq else [])
     (
-        codes.select("partition_id", "id", "vec")
+        codes.select(*cols)
         .groupBy("partition_id")
         .applyInPandas(build_one, out_schema)
         .write.mode("overwrite")
@@ -187,15 +202,24 @@ def hnsw_search(
     nprobes: int = 4,
     ef_search: int = 64,
     prefilter_rowids: DataFrame | None = None,
+    refine_factor: int = 1,
 ) -> DataFrame:
     """Probe nprobes partitions; traverse each probed HNSW graph in its own
-    task; merge per-partition candidates into a global exact top-k.
+    task; merge per-partition candidates into a global top-k.
 
-    With a prefilter, traversal still walks the full graph (filtered-out
-    nodes remain routing waypoints — the reference's prefilter keeps graph
+    FLAT scores raw vectors during traversal (exact distances, no refine
+    needed); the PQ variant scores an ADC lookup over the stored codes and
+    exact-refines the bounded k·refine_factor candidate set. With a
+    prefilter, traversal still walks the full graph (filtered-out nodes
+    remain routing waypoints — the reference's prefilter keeps graph
     connectivity too) and only the emitted candidates are filtered."""
-    from lance_spark.indexes.vector import _normalize, _query_prep, probe_partitions
+    from lance_spark.indexes.vector import (
+        _exact_refine_local,
+        _query_prep,
+        probe_partitions,
+    )
 
+    pq = index.index_type == "IVF_HNSW_PQ"
     q = _query_prep(index, query).astype(np.float32)
     probes = probe_partitions(index, query, nprobes)
     graph = spark.read.parquet(os.path.join(index.uri, "hnsw")).filter(
@@ -205,10 +229,23 @@ def hnsw_search(
     qb = spark.sparkContext.broadcast(q)
     ef = max(ef_search, k)
 
+    adc_b = None
+    if pq:
+        cents, cbs = index.centroids, index.codebooks
+        m, _, sub = cbs.shape
+        adc = {}
+        for pid in probes:
+            rq = (q.astype(np.float64) - cents[pid].astype(np.float64)).astype(np.float32)
+            tbl = np.empty((m, 256), dtype=np.float32)
+            for j in range(m):
+                diff = rq[j * sub : (j + 1) * sub] - cbs[j]
+                tbl[j] = (diff * diff).sum(axis=1)
+            adc[pid] = tbl
+        adc_b = spark.sparkContext.broadcast(adc)
+
     def search_one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id").reset_index(drop=True)
         ids = pdf["id"].to_numpy()
-        vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float32)
         id_to_idx = {int(v): i for i, v in enumerate(ids)}
         nbrs = [
             [[id_to_idx[int(x)] for x in layer] for layer in node]
@@ -217,17 +254,27 @@ def hnsw_search(
         levels = pdf["level"].to_numpy()
         entry = int(np.lexsort((ids, -levels))[0])  # max level, min id
         qv = qb.value.astype(np.float32)
+        if pq:
+            tbl = adc_b.value[int(pdf["partition_id"].iloc[0])]
+            codes_arr = np.asarray(pdf["pq_code"].tolist(), dtype=np.int64)
+            mm = np.arange(tbl.shape[0])
+
+            def dfun(i):
+                return float(tbl[mm, codes_arr[i]].sum())
+        else:
+            vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float32)
+            dfun = _l2_dfun(vecs, qv)
         cur = entry
         for lc in range(int(levels[entry]), 0, -1):
             improved = True
-            dcur = float(((vecs[cur] - qv) ** 2).sum())
+            dcur = dfun(cur)
             while improved:
                 improved = False
                 for nb in nbrs[cur][lc] if lc < len(nbrs[cur]) else ():
-                    dn = float(((vecs[nb] - qv) ** 2).sum())
+                    dn = dfun(nb)
                     if dn < dcur:
                         cur, dcur, improved = nb, dn, True
-        found = _search_layer(vecs, nbrs, qv, cur, ef, 0, exhaustive=True)
+        found = _search_layer(dfun, len(ids), nbrs, cur, ef, 0, exhaustive=True)
         top = found[: max(ef, k)]
         return pd.DataFrame(
             {"id": [int(ids[i]) for _, i in top], "_d2": [d for d, _ in top]}
@@ -237,6 +284,13 @@ def hnsw_search(
     if prefilter_rowids is not None:
         allow = prefilter_rowids.toDF("id")
         cands = cands.join(F.broadcast(allow), "id", "left_semi")
+    if pq:
+        # ADC distances are approximate: exact-refine the bounded candidate set
+        n_cand = k * max(refine_factor, 1)
+        top = cands.orderBy("_d2", "id").limit(n_cand).collect()
+        return _exact_refine_local(
+            spark, index, probes, [r["id"] for r in top], q, k, metric == "cosine"
+        )
     if metric == "cosine":
         dist = F.col("_d2") / 2.0
     elif metric == "l2":

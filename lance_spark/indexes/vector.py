@@ -157,7 +157,7 @@ def build_ivf(
         lo = sample.min(axis=0)
         hi = sample.max(axis=0)
         sq_bounds = np.stack([lo, np.maximum(hi - lo, 1e-12)]).astype(np.float32)
-    if index_type == "IVF_PQ":
+    if index_type in ("IVF_PQ", "IVF_HNSW_PQ"):
         m = num_sub_vectors
         assert dim % m == 0, f"dim {dim} not divisible by num_sub_vectors {m}"
         sub = dim // m
@@ -266,7 +266,7 @@ def build_ivf(
                 "index_type": index_type,
                 "metric": metric,
                 "num_partitions": int(k),
-                "num_sub_vectors": int(num_sub_vectors) if index_type == "IVF_PQ" else None,
+                "num_sub_vectors": int(num_sub_vectors) if index_type in ("IVF_PQ", "IVF_HNSW_PQ") else None,
                 "dim": int(dim),
                 "id_col": id_col,
                 "vec_col": vec_col,
@@ -274,7 +274,7 @@ def build_ivf(
             fh,
         )
     index = IvfIndex(uri)
-    if index_type == "IVF_HNSW_FLAT":
+    if index_type in ("IVF_HNSW_FLAT", "IVF_HNSW_PQ"):
         # per-partition proximity graphs next to the codes (indexes/hnsw.py)
         from lance_spark.indexes.hnsw import build_hnsw_graphs
 
@@ -318,11 +318,12 @@ def ann_search(
     guaranteed from the allowed set. ``ef_search`` applies to the
     IVF_HNSW_FLAT graph traversal only.
     """
-    if index.index_type == "IVF_HNSW_FLAT":
+    if index.index_type.startswith("IVF_HNSW"):
         from lance_spark.indexes.hnsw import hnsw_search
 
         return hnsw_search(
-            spark, index, query, k, nprobes, ef_search, prefilter_rowids
+            spark, index, query, k, nprobes, ef_search, prefilter_rowids,
+            refine_factor,
         )
     q = _query_prep(index, query)
     probes = probe_partitions(index, query, nprobes)

@@ -202,3 +202,36 @@ def test_ivf_rq_exact_at_full_refine(spark, sf_dir, tmp_path):
     hit = {r["id"] for r in ann_search(spark, idx, qvec, k=10, nprobes=4, refine_factor=8).collect()}
     truth = {x[0] for x in want}
     assert len(hit & truth) >= 8, f"RQ recall {len(hit & truth)}/10"
+
+
+def test_ivf_hnsw_pq_exact_at_full_refine(spark, sf_dir, tmp_path):
+    """IVF_HNSW_PQ: ADC-scored graph traversal + exact refine. Full probe,
+    exhaustive ef, all-covering refine == brute force."""
+    from lance_spark.indexes.vector import ann_search, build_ivf
+    from lance_spark.operators.knn import knn_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 13").first()["embedding"]]
+    corpus = emb.filter("vec_id != 13")
+    n = corpus.count()
+    idx = build_ivf(
+        corpus, "embedding", "vec_id", str(tmp_path / "hnswpq"),
+        num_partitions=4, metric="l2", index_type="IVF_HNSW_PQ", num_sub_vectors=8,
+    )
+    got = [
+        (r["id"], round(r["_distance"], 4))
+        for r in ann_search(
+            spark, idx, qvec, k=10, nprobes=4, ef_search=10**6, refine_factor=n
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["_distance"], 4))
+        for r in knn_bruteforce(corpus, "embedding", qvec, k=10, metric="l2").collect()
+    ]
+    assert got == want
+    # bounded ef + moderate refine still recalls well through the ADC graph
+    hit = {
+        r["id"]
+        for r in ann_search(spark, idx, qvec, k=10, nprobes=4, ef_search=64, refine_factor=8).collect()
+    }
+    assert len(hit & {x[0] for x in want}) >= 8
