@@ -325,9 +325,13 @@ class LanceDataset:
     def to_batches(self, spark: SparkSession, columns: list[str] | None = None, batch_size: int = 65536):
         """Iterator of pyarrow RecordBatches (ML-ingest surface; the role of
         the reference's FullScanSampler, python/python/lance/sampler.py).
-        Streams through the driver — for parallel ingest use shard()."""
-        df = self.scanner(spark, columns=columns)
-        yield from df.toArrow().to_batches(max_chunksize=batch_size)
+
+        Streams ONE FRAGMENT AT A TIME through the driver — peak driver
+        memory is a fragment, not the table, so the iterator works at any
+        table size. For parallel ingest use shard()/loaders.numpy_batches."""
+        for frag in self.manifest.fragments:
+            t = self.scanner(spark, columns=columns, fragments=[frag.id]).toArrow()
+            yield from t.to_batches(max_chunksize=batch_size)
 
     def sample(self, spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
         """Random-rowaddr sample (dataset.py:1407): deterministic hash-order
@@ -601,12 +605,13 @@ class LanceDataset:
         use_index: bool = True,
         filter: str | None = None,  # noqa: A002 - reference API name
         fast_search: bool = False,
+        ef_search: int = 64,
     ) -> DataFrame:
         from lance_spark.indexes.vector import dataset_nearest
 
         return dataset_nearest(
             self, spark, column, query, k, nprobes, refine_factor, use_index,
-            filter=filter, fast_search=fast_search,
+            filter=filter, fast_search=fast_search, ef_search=ef_search,
         )
 
     def compact_files(self, spark: SparkSession, target_rows_per_fragment: int = 1024 * 1024) -> "LanceDataset":

@@ -576,6 +576,7 @@ def dataset_nearest(
     use_index: bool = True,
     filter: str | None = None,  # noqa: A002 - reference API name
     fast_search: bool = False,
+    ef_search: int = 64,
 ) -> DataFrame:
     """``scanner.nearest(...)`` (dataset.py:4420-4501): ANN over the indexed
     fragments UNION exact KNN over fragments written after the index
@@ -614,7 +615,7 @@ def dataset_nearest(
         index = IvfIndex(os.path.join(ds.uri, meta.path))
         hits = ann_search(
             spark, index, query, k=k, nprobes=nprobes, refine_factor=refine_factor,
-            prefilter_rowids=allow,
+            prefilter_rowids=allow, ef_search=ef_search,
         )
         covered = set(meta.fragment_ids)
         tail = [f.id for f in ds.manifest.fragments if f.id not in covered]

@@ -1,0 +1,93 @@
+"""ML data loaders over a LanceDataset (torch/tf-shaped ingest surface).
+
+Reference semantics (python/python/lance/torch/data.py LanceDataset
+IterableDataset; python/python/lance/sampler.py ShardedFragmentSampler):
+  - each worker/rank reads a disjoint fragment shard (fragment_id %
+    world_size == rank) — no shuffle, no coordination, deterministic;
+  - batches stream fragment-by-fragment, so loader memory is bounded by a
+    fragment regardless of table size;
+  - columns project into the scan (only requested columns are read).
+
+``numpy_batches`` is the framework-agnostic core (dict of numpy arrays —
+what both torch's ``IterableDataset`` and tf's ``from_generator`` consume).
+``LanceTorchDataset`` wraps it behind an import-guard: this container has
+no torch, so the wrapper raises a clear ImportError at iteration time while
+the plumbing (sharding, batching, column projection, dtype shaping) is real
+and tested through the numpy path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _batch_to_numpy(batch) -> dict[str, np.ndarray]:
+    """RecordBatch → {col: ndarray}; fixed-width list columns (embeddings)
+    stack into 2-D arrays, the shape a training loop feeds to a tensor."""
+    out = {}
+    for name, col in zip(batch.schema.names, batch.columns):
+        arr = col.to_numpy(zero_copy_only=False)
+        if arr.dtype == object and len(arr) and isinstance(arr[0], np.ndarray):
+            widths = {a.shape for a in arr if a is not None}
+            if len(widths) == 1:
+                arr = np.stack(arr)
+        out[name] = arr
+    return out
+
+
+def numpy_batches(
+    ds,
+    spark,
+    columns: list[str] | None = None,
+    batch_size: int = 1024,
+    rank: int = 0,
+    world_size: int = 1,
+):
+    """Dict-of-numpy batches over this rank's fragment shard (the
+    ShardedFragmentSampler contract: ranks read disjoint fragments whose
+    union is the table)."""
+    if not 0 <= rank < world_size:
+        raise ValueError(f"rank {rank} not in [0, {world_size})")
+    frags = [f for f in ds.manifest.fragments if f.id % world_size == rank]
+    for frag in frags:
+        t = ds.scanner(spark, columns=columns, fragments=[frag.id]).toArrow()
+        for b in t.to_batches(max_chunksize=batch_size):
+            yield _batch_to_numpy(b)
+
+
+class LanceTorchDataset:
+    """torch.utils.data.IterableDataset-shaped wrapper (torch/data.py:
+    LanceDataset). Iterating yields dicts of torch tensors; without torch
+    installed it raises ImportError with the numpy_batches escape hatch."""
+
+    def __init__(
+        self,
+        ds,
+        spark,
+        columns: list[str] | None = None,
+        batch_size: int = 1024,
+        rank: int = 0,
+        world_size: int = 1,
+    ):
+        self.ds = ds
+        self.spark = spark
+        self.columns = columns
+        self.batch_size = batch_size
+        self.rank = rank
+        self.world_size = world_size
+
+    def __iter__(self):
+        try:
+            import torch
+        except ImportError as exc:
+            raise ImportError(
+                "torch is not installed; use lance_spark.loaders.numpy_batches "
+                "for the framework-agnostic iterator"
+            ) from exc
+        for batch in numpy_batches(
+            self.ds, self.spark, self.columns, self.batch_size, self.rank, self.world_size
+        ):
+            yield {
+                k: torch.from_numpy(np.ascontiguousarray(v)) if v.dtype != object else v
+                for k, v in batch.items()
+            }

@@ -1,0 +1,78 @@
+"""Loader surface: sharded, batched, column-projected iteration
+(reference: torch/data.py LanceDataset, sampler.py ShardedFragmentSampler)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ds(spark, sf_dir, tmp_path_factory):
+    import lance_spark as ls
+
+    uri = str(tmp_path_factory.mktemp("loaders") / "emb")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ls.write_dataset(emb.repartition(4), uri)
+
+
+def test_numpy_batches_batching_and_projection(spark, ds):
+    from lance_spark.loaders import numpy_batches
+
+    total = 0
+    for b in numpy_batches(ds, spark, columns=["vec_id", "embedding"], batch_size=100):
+        assert set(b.keys()) == {"vec_id", "embedding"}
+        assert len(b["vec_id"]) <= 100
+        assert b["embedding"].ndim == 2  # fixed-width lists stack to 2-D
+        total += len(b["vec_id"])
+    assert total == ds.count_rows()
+
+
+def test_numpy_batches_shards_partition_the_table(spark, ds):
+    from lance_spark.loaders import numpy_batches
+
+    world = 3
+    seen = []
+    for rank in range(world):
+        ids = [
+            int(v)
+            for b in numpy_batches(ds, spark, columns=["vec_id"], batch_size=512,
+                                   rank=rank, world_size=world)
+            for v in b["vec_id"]
+        ]
+        seen.append(set(ids))
+    # disjoint and complete
+    assert sum(len(s) for s in seen) == ds.count_rows()
+    assert set.union(*seen) == {
+        r["vec_id"] for r in ds.to_df(spark).select("vec_id").collect()
+    }
+    for i in range(world):
+        for j in range(i + 1, world):
+            assert not (seen[i] & seen[j])
+
+
+def test_to_batches_streams_per_fragment(spark, ds):
+    n = 0
+    for b in ds.to_batches(spark, columns=["vec_id"], batch_size=256):
+        assert b.num_rows <= 256
+        n += b.num_rows
+    assert n == ds.count_rows()
+
+
+def test_torch_wrapper_errors_without_torch(spark, ds):
+    from lance_spark.loaders import LanceTorchDataset
+
+    try:
+        import torch  # noqa: F401
+
+        pytest.skip("torch installed; wrapper exercised in real envs")
+    except ImportError:
+        pass
+    it = iter(LanceTorchDataset(ds, spark, batch_size=64))
+    with pytest.raises(ImportError, match="numpy_batches"):
+        next(it)
+
+
+def test_loader_invalid_rank(spark, ds):
+    from lance_spark.loaders import numpy_batches
+
+    with pytest.raises(ValueError, match="rank"):
+        next(numpy_batches(ds, spark, rank=4, world_size=2))
