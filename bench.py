@@ -63,6 +63,9 @@ def bench_indexed(spark, sf_dir: str, timings: dict[str, float]) -> None:
         num_partitions=16, metric="l2", index_type="IVF_PQ", num_sub_vectors=8,
     )
     timings["ann_build"] = round(time.time() - t0, 3)
+    # one untimed warmup: first query pays python-worker spawn + parquet
+    # footic reads; the steady-state per-query latency is the serving number
+    ann_search(spark, idx, qvecs[0], k=10, nprobes=4, refine_factor=10).collect()
     t0 = time.time()
     for qv in qvecs:
         ann_search(spark, idx, qv, k=10, nprobes=4, refine_factor=10).collect()
@@ -75,6 +78,7 @@ def bench_indexed(spark, sf_dir: str, timings: dict[str, float]) -> None:
     write_dataset(docs.repartition(8), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text")
     timings["fts_index_build"] = round(time.time() - t0, 3)
+    match_query(ds, spark, ["warmup"], k=10).collect()  # untimed warmup
     t0 = time.time()
     for terms in (["table", "scan", "join"], ["key", "order"], ["spark"]):
         match_query(ds, spark, terms, k=10).collect()

@@ -126,7 +126,10 @@ def optimize_indices(ds, spark: SparkSession):
         elif meta.index_type == "INVERTED":
             from lance_spark.indexes.inverted import create_inverted_index
 
-            out = create_inverted_index(out, spark, meta.column, meta.name)
+            out = create_inverted_index(
+                out, spark, meta.column, meta.name,
+                tokenizer=meta.params.get("tokenizer", "simple"),
+            )
         else:
             from lance_spark.indexes.scalar import create_scalar_index
 
