@@ -152,7 +152,7 @@ def build_hnsw_graphs(index, spark: SparkSession) -> None:
     variant then stores pq_code instead of the raw vector in the graph rows,
     so the query-time graph table is code-sized."""
     cosine = index.metric == "cosine"
-    pq = index.index_type == "IVF_HNSW_PQ"
+    pq = index.index_type in ("IVF_HNSW_PQ", "IVF_HNSW_SQ")  # code-sized rows
     codes = spark.read.parquet(os.path.join(index.uri, "codes"))
 
     def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -220,6 +220,7 @@ def hnsw_search(
     )
 
     pq = index.index_type == "IVF_HNSW_PQ"
+    sq = index.index_type == "IVF_HNSW_SQ"
     q = _query_prep(index, query).astype(np.float32)
     probes = probe_partitions(index, query, nprobes)
     graph = spark.read.parquet(os.path.join(index.uri, "hnsw")).filter(
@@ -229,7 +230,12 @@ def hnsw_search(
     qb = spark.sparkContext.broadcast(q)
     ef = max(ef_search, k)
 
-    adc_b = None
+    adc_b = sq_b = None
+    if sq:
+        sqb = index.sq_bounds
+        sq_b = spark.sparkContext.broadcast(
+            (sqb[0].astype(np.float64), sqb[1].astype(np.float64))
+        )
     if pq:
         cents, cbs = index.centroids, index.codebooks
         m, _, sub = cbs.shape
@@ -261,6 +267,15 @@ def hnsw_search(
 
             def dfun(i):
                 return float(tbl[mm, codes_arr[i]].sum())
+        elif sq:
+            lo, span = sq_b.value
+            codes_arr = np.asarray(pdf["pq_code"].tolist(), dtype=np.float64)
+            deq = lo + codes_arr / 255.0 * span  # (n, dim) dequantized
+            qv64 = qv.astype(np.float64)
+
+            def dfun(i):
+                d = deq[i] - qv64
+                return float((d * d).sum())
         else:
             vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float32)
             dfun = _l2_dfun(vecs, qv)
@@ -284,8 +299,8 @@ def hnsw_search(
     if prefilter_rowids is not None:
         allow = prefilter_rowids.toDF("id")
         cands = cands.join(F.broadcast(allow), "id", "left_semi")
-    if pq:
-        # ADC distances are approximate: exact-refine the bounded candidate set
+    if pq or sq:
+        # quantized distances are approximate: exact-refine the bounded set
         n_cand = k * max(refine_factor, 1)
         top = cands.orderBy("_d2", "id").limit(n_cand).collect()
         return _exact_refine_local(

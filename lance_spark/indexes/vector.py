@@ -151,7 +151,7 @@ def build_ivf(
         g = np.random.default_rng(seed).standard_normal((dim, dim))
         rotation, _ = np.linalg.qr(g)
         rotation = rotation.astype(np.float32)
-    if index_type == "IVF_SQ":
+    if index_type in ("IVF_SQ", "IVF_HNSW_SQ"):
         # scalar quantization (vector/sq.rs:33): per-dimension [min,max] from
         # the sample → uint8 codes; raw vectors (not residuals) are encoded
         lo = sample.min(axis=0)
@@ -274,7 +274,7 @@ def build_ivf(
             fh,
         )
     index = IvfIndex(uri)
-    if index_type in ("IVF_HNSW_FLAT", "IVF_HNSW_PQ"):
+    if index_type in ("IVF_HNSW_FLAT", "IVF_HNSW_PQ", "IVF_HNSW_SQ"):
         # per-partition proximity graphs next to the codes (indexes/hnsw.py)
         from lance_spark.indexes.hnsw import build_hnsw_graphs
 

@@ -1405,6 +1405,41 @@ def ann_ivf_hnsw_pq_refine(spark, sf_dir):
 
 
 @query(
+    "ann_ivf_hnsw_sq_refine",
+    """
+    SELECT e.vec_id,
+           round(sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+                    * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))))), 4)
+             AS _distance
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 41) q
+    WHERE e.vec_id != 41
+    ORDER BY _distance, e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_ivf_hnsw_sq_refine(spark, sf_dir):
+    """IVF_HNSW_SQ: graph traversal over dequantized uint8 codes + exact
+    refine. Full probe + exhaustive ef + covering refine → exact."""
+    import tempfile
+
+    from lance_spark.indexes.vector import ann_search, build_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 41").first()["embedding"]]
+    idx = build_ivf(
+        emb.filter("vec_id != 41"), "embedding", "vec_id",
+        tempfile.mkdtemp(prefix="lsq_hnswsq_"), num_partitions=8,
+        metric="l2", index_type="IVF_HNSW_SQ",
+    )
+    return (
+        ann_search(spark, idx, qvec, k=10, nprobes=8, ef_search=1_000_000, refine_factor=100)
+        .select(F.col("id").alias("vec_id"), F.round("_distance", 4).alias("_distance"))
+        .orderBy("_distance", "vec_id")
+    )
+
+
+@query(
     "ann_ivf_hnsw_topk",
     """
     SELECT e.vec_id,

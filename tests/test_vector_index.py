@@ -235,3 +235,34 @@ def test_ivf_hnsw_pq_exact_at_full_refine(spark, sf_dir, tmp_path):
         for r in ann_search(spark, idx, qvec, k=10, nprobes=4, ef_search=64, refine_factor=8).collect()
     }
     assert len(hit & {x[0] for x in want}) >= 8
+
+
+def test_ivf_hnsw_sq_exact_at_full_refine(spark, sf_dir, tmp_path):
+    """IVF_HNSW_SQ: dequantized-code graph traversal + exact refine."""
+    from lance_spark.indexes.vector import ann_search, build_ivf
+    from lance_spark.operators.knn import knn_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 17").first()["embedding"]]
+    corpus = emb.filter("vec_id != 17")
+    n = corpus.count()
+    idx = build_ivf(
+        corpus, "embedding", "vec_id", str(tmp_path / "hnswsq"),
+        num_partitions=4, metric="l2", index_type="IVF_HNSW_SQ",
+    )
+    got = [
+        (r["id"], round(r["_distance"], 4))
+        for r in ann_search(
+            spark, idx, qvec, k=10, nprobes=4, ef_search=10**6, refine_factor=n
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["_distance"], 4))
+        for r in knn_bruteforce(corpus, "embedding", qvec, k=10, metric="l2").collect()
+    ]
+    assert got == want
+    hit = {
+        r["id"]
+        for r in ann_search(spark, idx, qvec, k=10, nprobes=4, ef_search=64, refine_factor=8).collect()
+    }
+    assert len(hit & {x[0] for x in want}) >= 8
