@@ -19,7 +19,7 @@ from lance_spark.dataset import LanceDataset, dataset
 from lance_spark.write import commit_fragments, write_dataset, write_fragments
 from lance_spark.session import get_spark
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "LanceDataset",
@@ -29,3 +29,11 @@ __all__ = [
     "commit_fragments",
     "get_spark",
 ]
+
+# Submodule map (import directly; kept lazy to avoid heavy imports here):
+#   lance_spark.functions.{text,vector,json} — column function families
+#   lance_spark.indexes.{vector,hnsw,inverted,scalar} — index build/search
+#   lance_spark.operators.{dedup,curation,knn,fts,multimodal} — pipelines
+#   lance_spark.loaders — ML ingest (sharded numpy/torch batches)
+#   lance_spark.types — arrow→spark ingest type normalization
+#   lance_spark.streaming.sink — Structured Streaming dataset sink

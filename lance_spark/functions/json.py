@@ -1,0 +1,59 @@
+"""Named JSON function family — reference UDF registry parity.
+
+The reference registers these as scalar UDFs (rust/lance-datafusion/src/
+udf.rs:18-28, impl udf/json.rs): json_extract, json_extract_with_type,
+json_exists, json_get, json_get_string, json_get_int, json_get_float,
+json_get_bool, json_array_contains, json_array_length. Here each is a thin
+shim over Spark built-ins (get_json_object / json_array_length — JVM-side,
+codegen'd), so a reference user's call sites port one-to-one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def json_extract(col, path: str) -> Column:
+    """JSON value at path, as its JSON text (null if absent)."""
+    return F.get_json_object(col, path)
+
+
+def json_extract_with_type(col, path: str, data_type: str) -> Column:
+    return F.get_json_object(col, path).cast(data_type)
+
+
+def json_exists(col, path: str) -> Column:
+    return F.get_json_object(col, path).isNotNull()
+
+
+def json_get(col, path: str) -> Column:
+    return json_extract(col, path)
+
+
+def json_get_string(col, path: str) -> Column:
+    return F.get_json_object(col, path)
+
+
+def json_get_int(col, path: str) -> Column:
+    return F.get_json_object(col, path).cast("long")
+
+
+def json_get_float(col, path: str) -> Column:
+    return F.get_json_object(col, path).cast("double")
+
+
+def json_get_bool(col, path: str) -> Column:
+    return F.get_json_object(col, path).cast("boolean")
+
+
+def json_array_contains(col, path: str, value) -> Column:
+    """True when the JSON array at path contains ``value`` (compared through
+    its string form — elements coerce to string on parse)."""
+    arr = F.from_json(F.get_json_object(col, path), "array<string>")
+    return F.array_contains(arr, str(value))
+
+
+def json_array_length(col, path: str = "$") -> Column:
+    target = col if path == "$" else F.get_json_object(col, path)
+    return F.json_array_length(target).cast("long")

@@ -137,3 +137,35 @@ def test_pyarrow_expression_filters(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="unsupported pyarrow expression"):
         arrow_filter_to_sql(pc.ascii_upper(pc.field("o_orderstatus")) == "X")
+
+
+def test_json_function_family(spark):
+    """Named json_get_* shims (reference udf.rs:18-28 registry parity)."""
+    from lance_spark.functions import json as J
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 42, "s": "hi", "f": 1.5, "b": true, "arr": [1, 2, 3]}'),
+            (2, '{"s": "bye", "arr": []}'),
+            (3, "not json at all"),
+        ],
+        ["id", "j"],
+    )
+    c = F.col("j")
+    out = df.select(
+        "id",
+        J.json_get_int(c, "$.k").alias("k"),
+        J.json_get_string(c, "$.s").alias("s"),
+        J.json_get_float(c, "$.f").alias("f"),
+        J.json_get_bool(c, "$.b").alias("b"),
+        J.json_exists(c, "$.k").alias("has_k"),
+        J.json_array_contains(c, "$.arr", 2).alias("has2"),
+        J.json_array_length(c, "$.arr").alias("alen"),
+        J.json_extract_with_type(c, "$.k", "string").alias("ks"),
+    ).collect()
+    r = {row["id"]: row for row in out}
+    assert (r[1]["k"], r[1]["s"], r[1]["f"], r[1]["b"]) == (42, "hi", 1.5, True)
+    assert r[1]["has_k"] and r[1]["has2"] and r[1]["alen"] == 3 and r[1]["ks"] == "42"
+    assert r[2]["k"] is None and not r[2]["has_k"] and not r[2]["has2"] and r[2]["alen"] == 0
+    assert r[3]["k"] is None and r[3]["alen"] is None
