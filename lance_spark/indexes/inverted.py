@@ -261,6 +261,42 @@ def boost_query(
     )
 
 
+def fuzzy_query(
+    ds,
+    spark: SparkSession,
+    term: str,
+    fuzziness: int = 1,
+    column: str | None = None,
+    k: int = 10,
+    prefix_length: int = 0,
+) -> DataFrame:
+    """Fuzzy match through the index (inverted/query.rs MatchQuery.fuzziness):
+    expand the term against the postings' token DICTIONARY — vocabulary-
+    sized, not corpus-sized — then BM25-score the expanded OR-of-terms.
+    ``prefix_length`` prunes the dictionary pass to tokens sharing the
+    term's prefix (the role of tantivy's fuzzy automaton prefix, expressed
+    as a parquet-pushable prefix filter). The collected expansion set is
+    bounded by the matching vocabulary, not the corpus."""
+    meta = _find(ds, column)
+    postings, doclens = _index_tables(ds, spark, meta)
+    t = query_tokens([term], meta.params.get("tokenizer", "simple"))[0]
+    vocab = postings.select("token").distinct()
+    if prefix_length > 0:
+        vocab = vocab.filter(F.col("token").startswith(t[:prefix_length]))
+    expanded = [
+        r["token"]
+        for r in vocab.filter(F.levenshtein(F.col("token"), F.lit(t)) <= fuzziness).collect()
+    ]
+    if not expanded:
+        return spark.createDataFrame([], "id long, _score double")
+    scored = _bm25(postings, doclens, expanded)
+    return (
+        scored.select("id", F.round("_score", 4).alias("_score"))
+        .orderBy(F.desc("_score"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def _find(ds, column: str | None):
     for i in ds.manifest.indices:
         if i.index_type == "INVERTED" and (column is None or i.column == column):

@@ -1669,6 +1669,46 @@ def fts_boost(spark, sf_dir):
 
 
 @query(
+    "fts_fuzzy_indexed",
+    f"""
+    WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
+    dl AS (SELECT id, len(w) AS dl FROM tok),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    post AS (SELECT id, unnest(w) AS token FROM tok),
+    exp AS (SELECT DISTINCT token FROM post WHERE levenshtein(token, 'tabl') <= 1),
+    tfq AS (SELECT token, id, count(*) AS tf FROM post
+            WHERE token IN (SELECT token FROM exp) GROUP BY 1, 2),
+    dfq AS (SELECT token, count(*) AS df FROM tfq GROUP BY token),
+    sc AS (SELECT id,
+                  round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                        * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS _score
+           FROM tfq JOIN dfq USING (token) JOIN dl USING (id) CROSS JOIN stats
+           GROUP BY id)
+    SELECT id AS doc_id, _score FROM sc ORDER BY _score DESC, id LIMIT 10
+    """,
+)
+def fts_fuzzy_indexed(spark, sf_dir):
+    """Fuzzy match THROUGH the index: term expanded against the postings
+    token dictionary (vocabulary-sized), expanded terms BM25-scored."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, fuzzy_query
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_fuzzy_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text")
+    hits = fuzzy_query(ds, spark, "tabl", fuzziness=1, k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
+@query(
     "fts_stemmed_match",
     _bm25_oracle(
         ["table", "scan", "join"],  # the stemmed forms of the query terms
