@@ -108,3 +108,26 @@ def pii_counts(col) -> tuple["F.Column", "F.Column"]:
         F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), F.lit(0))),
         F.size(F.regexp_extract_all(col, F.lit(PHONE_RE), F.lit(0))),
     )
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, rates: dict[str, float], group_col: str
+) -> DataFrame:
+    """Deterministic per-group downsampling: keep a row iff
+    hash64(id) % 10000 < rate·10000 for its group's rate (groups absent
+    from ``rates`` keep everything).
+
+    Training-data mixes are rate-per-source downsamples; hashing the id
+    (instead of rand()) makes the sample REPRODUCIBLE — identical across
+    runs, engines (the DuckDB oracle computes the same md5-derived hash),
+    and retries, and it needs no shuffle, state, or seed plumbing. Rows keep
+    or drop independently of partitioning."""
+    from lance_spark.functions.text import hash64
+
+    bucket = hash64(F.col(id_col).cast("string")) % 10000
+    keep = None
+    for grp, rate in rates.items():
+        cond = (F.col(group_col) == grp) & (bucket < int(rate * 10000))
+        keep = cond if keep is None else keep | cond
+    others = ~F.col(group_col).isin(list(rates.keys()))
+    return df.filter(others | keep)

@@ -1206,6 +1206,32 @@ def curate_pii_redact(spark, sf_dir):
     )
 
 
+@query(
+    "curate_stratified_sample",
+    """
+    WITH h AS (
+      SELECT lang, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
+      FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n
+    FROM h
+    WHERE (lang NOT IN ('en', 'zh'))
+       OR (lang = 'en' AND b < 2500)
+       OR (lang = 'zh' AND b < 7500)
+    GROUP BY lang
+    """,
+)
+def curate_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling (training-mix rates): keep
+    25% of en, 75% of zh, all else — reproducible via the portable 60-bit
+    md5 hash, zero shuffles before the count."""
+    from lance_spark.operators.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "doc_id", {"en": 0.25, "zh": 0.75}, "lang")
+    return kept.groupBy("lang").agg(F.count("*").alias("n"))
+
+
 # --------------------------------------------------------------------------
 # Similarity search (KNN brute force — exact oracle; IVF in indexes/)
 # --------------------------------------------------------------------------

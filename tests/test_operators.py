@@ -294,3 +294,17 @@ def test_redact_pii(spark):
     ).first()
     assert r["red"] == "mail me at [EMAIL] or call [PHONE] now"
     assert (r["ne"], r["np"]) == (1, 1)
+
+
+def test_stratified_sample_deterministic(spark):
+    from lance_spark.operators.curation import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "lang"])
+    kept1 = {r["id"] for r in stratified_sample(df, "id", {"en": 0.3}, "lang").collect()}
+    kept2 = {r["id"] for r in stratified_sample(df, "id", {"en": 0.3}, "lang").collect()}
+    assert kept1 == kept2  # reproducible, not rand()
+    fr = {i for i, l in rows if l == "fr"}
+    assert fr <= kept1  # unlisted groups keep everything
+    en_kept = len(kept1 - fr)
+    assert 200 <= en_kept <= 400  # ~30% of 1000, hash-uniform
