@@ -173,6 +173,43 @@ class LanceDataset:
     def to_df(self, spark: SparkSession, with_row_id: bool = False) -> DataFrame:
         return self.scanner(spark, with_row_id=with_row_id)
 
+    def to_table(
+        self,
+        spark: SparkSession,
+        columns: list[str] | dict[str, str] | None = None,
+        filter: str | None = None,  # noqa: A002 - reference API name
+        limit: int | None = None,
+        offset: int | None = None,
+        nearest: dict | None = None,
+        with_row_id: bool = False,
+    ):
+        """The reference's primary read call (dataset.py:666-899 ``to_table``)
+        → pyarrow.Table. ``nearest`` follows the reference dict shape:
+        {"column", "q", "k", "nprobes", "refine_factor", "use_index"}.
+        Materializes on the driver by definition — use ``scanner()`` /
+        ``to_batches()`` for anything unbounded."""
+        if nearest is not None:
+            df = self.nearest(
+                spark,
+                nearest["column"],
+                list(nearest.get("q", nearest.get("query"))),
+                k=int(nearest.get("k", 10)),
+                nprobes=int(nearest.get("nprobes", 4)),
+                refine_factor=int(nearest.get("refine_factor", 1)),
+                use_index=bool(nearest.get("use_index", True)),
+                filter=filter,
+            )
+            if columns is not None:
+                df = df.select(*columns, "_distance")
+            if limit is not None:
+                df = df.limit(limit)
+            return df.toArrow()
+        df = self.scanner(
+            spark, columns=columns, filter=filter, limit=limit, offset=offset,
+            with_row_id=with_row_id,
+        )
+        return df.toArrow()
+
     def scanner(
         self,
         spark: SparkSession,

@@ -169,3 +169,24 @@ def test_json_function_family(spark):
     assert r[1]["has_k"] and r[1]["has2"] and r[1]["alen"] == 3 and r[1]["ks"] == "42"
     assert r[2]["k"] is None and not r[2]["has_k"] and not r[2]["has2"] and r[2]["alen"] == 0
     assert r[3]["k"] is None and r[3]["alen"] is None
+
+
+def test_to_table_primary_read_call(spark, sf_dir, tmp_path):
+    """ds.to_table(...) parity (reference dataset.py:666-899): pyarrow Table
+    out, filter/columns/limit applied, nearest dict supported."""
+    import lance_spark as ls
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ls.write_dataset(emb, str(tmp_path / "tt"))
+
+    t = ds.to_table(spark, columns=["vec_id"], filter="vec_id < 50", limit=10)
+    assert t.num_rows == 10 and t.column_names == ["vec_id"]
+    assert max(t.column("vec_id").to_pylist()) < 50
+
+    qvec = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    nt = ds.to_table(
+        spark, nearest={"column": "embedding", "q": qvec, "k": 5, "use_index": False}
+    )
+    assert nt.num_rows == 5 and "_distance" in nt.column_names
+    ids = nt.column("vec_id").to_pylist()
+    assert 3 in ids  # the query vector itself is its own nearest neighbor
