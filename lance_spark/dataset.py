@@ -444,6 +444,91 @@ class LanceDataset:
         self.to_df(spark).createOrReplaceTempView(table_name)
         return spark.sql(query)
 
+    # ----------------------------------------------- fragment / config parity
+
+    def get_fragments(self) -> list[mf.Fragment]:
+        """Fragment metadata list (dataset.py ``get_fragments`` → LanceFragment;
+        our Fragment dataclass carries id/files/physical_rows/deletions)."""
+        return list(self.manifest.fragments)
+
+    def get_fragment(self, fragment_id: int) -> mf.Fragment | None:
+        return next((f for f in self.manifest.fragments if f.id == fragment_id), None)
+
+    def has_index(self) -> bool:
+        return bool(self.manifest.indices)
+
+    def checkout_latest(self) -> "LanceDataset":
+        return LanceDataset(self.uri)
+
+    def checkout_branch(self, name: str) -> "LanceDataset":
+        return LanceDataset(self.uri, version=mf.resolve_ref(self.uri, "branches", name))
+
+    @property
+    def config(self) -> dict:
+        return dict(self.manifest.config)
+
+    def update_config(self, upsert: dict) -> "LanceDataset":
+        """Operation::UpdateConfig (transaction.rs): metadata-only commit
+        merging keys into the manifest config."""
+
+        def build(base, version):
+            return mf.Manifest.evolve(
+                base, version, operation="update_config",
+                config={**base.config, **upsert},
+            )
+
+        mf.commit(self.uri, build, operation="update_config")
+        return LanceDataset(self.uri)
+
+    def delete_config_keys(self, *keys: str) -> "LanceDataset":
+        def build(base, version):
+            return mf.Manifest.evolve(
+                base, version, operation="update_config",
+                config={k: v for k, v in base.config.items() if k not in keys},
+            )
+
+        mf.commit(self.uri, build, operation="update_config")
+        return LanceDataset(self.uri)
+
+    def schema_metadata(self) -> dict:
+        return dict(self.manifest.config.get("schema_metadata", {}))
+
+    def replace_schema_metadata(self, metadata: dict) -> "LanceDataset":
+        """Schema-level key/value metadata (dataset.py replace_schema_metadata)
+        — carried in the manifest config, versioned like any commit."""
+        return self.update_config({"schema_metadata": dict(metadata)})
+
+    def full_text_search(
+        self, spark: SparkSession, query: str, column: str | None = None, k: int = 10
+    ) -> DataFrame:
+        """``full_text_search`` entry (scanner fts surface): terms of ``query``
+        matched through the INVERTED index when one exists, else the flat
+        fallback — returns the dataset's columns + _score."""
+        terms = [t for t in query.split() if t]
+        try:
+            from lance_spark.indexes.inverted import _find, match_query
+
+            _find(self, column)
+            hits = match_query(self, spark, terms, column=column, k=k)
+        except ValueError:
+            from lance_spark.operators.fts import bm25_search
+
+            col = column or next(
+                f["name"]
+                for f in self.manifest.schema_json["fields"]
+                if f["type"] == "string"
+            )
+            flat = self.to_df(spark, with_row_id=True)
+            hits = bm25_search(flat, col, ROWID_COL, terms, k=k).withColumnRenamed(
+                ROWID_COL, "id"
+            )
+        base = self.to_df(spark, with_row_id=True)
+        return (
+            base.join(F.broadcast(hits), base[ROWID_COL] == hits["id"])
+            .drop("id", ROWID_COL)
+            .orderBy(F.desc("_score"))
+        )
+
     # ------------------------------------------------------------ stats
 
     def stats(self) -> dict:

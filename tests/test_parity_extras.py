@@ -190,3 +190,45 @@ def test_to_table_primary_read_call(spark, sf_dir, tmp_path):
     assert nt.num_rows == 5 and "_distance" in nt.column_names
     ids = nt.column("vec_id").to_pylist()
     assert 3 in ids  # the query vector itself is its own nearest neighbor
+
+
+def test_fragment_config_parity_methods(spark, sf_dir, tmp_path):
+    import lance_spark as ls
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ds = ls.write_dataset(orders.repartition(3), str(tmp_path / "par"))
+
+    frags = ds.get_fragments()
+    assert len(frags) == 3 and ds.get_fragment(frags[0].id).id == frags[0].id
+    assert ds.get_fragment(99999) is None
+    assert not ds.has_index()
+
+    ds = ds.update_config({"owner": "pipeline-a", "tier": "gold"})
+    assert ds.config["owner"] == "pipeline-a"
+    ds = ds.delete_config_keys("tier")
+    assert "tier" not in ds.config and ds.config["owner"] == "pipeline-a"
+
+    ds = ds.replace_schema_metadata({"description": "orders snapshot"})
+    assert ds.schema_metadata() == {"description": "orders snapshot"}
+
+    old = ds.version
+    ds2 = ds.insert(orders.limit(5))
+    assert ds.checkout_latest().version == ds2.version > old
+
+    ds.create_branch("dev")
+    assert ds.checkout_branch("dev").version == ds.version
+
+
+def test_full_text_search_entry(spark, sf_dir, tmp_path):
+    import lance_spark as ls
+    from lance_spark.indexes.inverted import create_inverted_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ds = ls.write_dataset(docs, str(tmp_path / "ftsds"))
+
+    flat = ds.full_text_search(spark, "table scan", k=5).collect()
+    assert len(flat) == 5 and "_score" in flat[0].asDict()
+
+    ds = create_inverted_index(ds, spark, "text")
+    idx = ds.full_text_search(spark, "table scan", k=5).collect()
+    assert {r["doc_id"] for r in idx} == {r["doc_id"] for r in flat}
