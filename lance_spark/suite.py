@@ -1207,6 +1207,63 @@ def curate_pii_redact(spark, sf_dir):
 
 
 @query(
+    "curate_pipeline_e2e",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, text, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
+    fp AS (
+      SELECT *, md5(array_to_string(w, ' ')) AS f FROM tok),
+    dedup AS (
+      SELECT * FROM fp QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1),
+    q AS (
+      SELECT doc_id, source, w,
+             (CASE WHEN len(w) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN len(list_filter(w, x -> list_contains({_DUCK_SW_EN}, x)))
+                       / greatest(len(w), 1) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+                       / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END) / 3.0 AS q
+      FROM dedup),
+    keep AS (SELECT * FROM q WHERE q >= 0.6 AND len(w) > 0),
+    st AS (SELECT doc_id, source, w,
+                  unnest(range(0, len(w), 40)) AS start FROM keep),
+    ch AS (SELECT source, len(w[start + 1 : start + 50]) AS n_tokens FROM st)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM ch GROUP BY source
+    """,
+)
+def curate_pipeline_e2e(spark, sf_dir):
+    """The operators composed as one lazy plan — exact dedup → quality gate
+    → token-window chunking → per-source stats. Catalyst fuses the whole
+    chain; the only shuffles are the dedup key and the final agg."""
+    from lance_spark.functions.text import quality_score_from, tokenize
+    from lance_spark.operators.curation import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "source", "text", tokenize(F.col("text")).alias("__toks")
+    )
+    # exact dedup: min doc_id per token-stream fingerprint (one shuffle)
+    w = Window.partitionBy(F.md5(F.concat_ws(" ", "__toks"))).orderBy("doc_id")
+    deduped = toked.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    kept = deduped.filter(
+        (quality_score_from(F.col("__toks"), F.col("text")) >= 0.6)
+        & (F.size("__toks") > 0)
+    ).select("doc_id", "source", "text")
+    chunks = chunk_documents(kept, "text", "doc_id", 50, 10)
+    src = kept.select(F.col("doc_id").alias("id"), "source")
+    return (
+        chunks.join(src, "id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+@query(
     "curate_stratified_sample",
     """
     WITH h AS (
