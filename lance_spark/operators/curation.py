@@ -129,5 +129,6 @@ def stratified_sample(
     for grp, rate in rates.items():
         cond = (F.col(group_col) == grp) & (bucket < int(rate * 10000))
         keep = cond if keep is None else keep | cond
-    others = ~F.col(group_col).isin(list(rates.keys()))
+    # NULL group is "not listed" → keep (a bare ~isin would null out and drop)
+    others = F.col(group_col).isNull() | ~F.col(group_col).isin(list(rates.keys()))
     return df.filter(others | keep)

@@ -308,3 +308,10 @@ def test_stratified_sample_deterministic(spark):
     assert fr <= kept1  # unlisted groups keep everything
     en_kept = len(kept1 - fr)
     assert 200 <= en_kept <= 400  # ~30% of 1000, hash-uniform
+
+    # NULL group = unlisted -> kept (a bare ~isin would drop it)
+    import pyspark.sql.functions as _F
+
+    withnull = df.withColumn("lang", _F.when(_F.col("id") == 0, None).otherwise(_F.col("lang")))
+    kept3 = {r["id"] for r in stratified_sample(withnull, "id", {"en": 0.3}, "lang").collect()}
+    assert 0 in kept3
