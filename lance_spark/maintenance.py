@@ -165,7 +165,13 @@ def cleanup_old_versions(
     now = time.time()
     versions = mf.list_versions(root)
     latest = versions[-1]
-    tagged = set(mf.list_tags(root).values()) if keep_tagged else set()
+    # a branch head is as load-bearing as a tag: dropping its manifest would
+    # break every checkout_branch after the GC
+    tagged = (
+        set(mf.list_tags(root).values()) | set(mf.list_refs(root, "branches").values())
+        if keep_tagged
+        else set()
+    )
 
     keep, drop = [], []
     for v in versions:

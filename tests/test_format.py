@@ -542,3 +542,18 @@ def test_write_dataset_arrow_table_type_mappings(spark, tmp_uri):
     import math
 
     assert got[2]["bf"] is None or math.isnan(got[2]["bf"])
+
+
+def test_cleanup_protects_branch_heads(spark, sf_dir, tmp_uri):
+    """A branch-referenced version must survive GC exactly like a tagged one."""
+    ds = ls.write_dataset(spark.read.parquet(f"{sf_dir}/region.parquet"), tmp_uri)
+    ds.create_branch("exp")  # branch at v1
+    ds = ls.write_dataset(spark.read.parquet(f"{sf_dir}/region.parquet"), tmp_uri, mode="overwrite")
+    ds = ls.write_dataset(spark.read.parquet(f"{sf_dir}/region.parquet"), tmp_uri, mode="overwrite")
+    ds.cleanup_old_versions(older_than_seconds=0.0)
+    assert 1 in mf.list_versions(tmp_uri)  # branch head retained
+    assert ds.checkout_branch("exp").to_df(spark).count() == 5
+    # and without ref protection it goes away
+    ds.delete_branch("exp")
+    ds.cleanup_old_versions(older_than_seconds=0.0)
+    assert mf.list_versions(tmp_uri) == [3]
