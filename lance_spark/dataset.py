@@ -529,6 +529,12 @@ class LanceDataset:
             .orderBy(F.desc("_score"))
         )
 
+    @property
+    def optimize(self) -> "_OptimizeNamespace":
+        """Reference call-site parity: ``ds.optimize.compact_files(...)`` /
+        ``ds.optimize.optimize_indices(...)`` (dataset.py DatasetOptimizer)."""
+        return _OptimizeNamespace(self)
+
     # ------------------------------------------------------------ stats
 
     def stats(self) -> dict:
@@ -799,3 +805,16 @@ def arrow_filter_to_sql(expr) -> str:
             f"unsupported pyarrow expression (pass a SQL string instead): {expr}"
         )
     return s
+
+
+class _OptimizeNamespace:
+    """``ds.optimize`` (reference DatasetOptimizer, dataset.py:4731+)."""
+
+    def __init__(self, ds: LanceDataset):
+        self._ds = ds
+
+    def compact_files(self, spark: SparkSession, target_rows_per_fragment: int = 1024 * 1024) -> LanceDataset:
+        return self._ds.compact_files(spark, target_rows_per_fragment)
+
+    def optimize_indices(self, spark: SparkSession) -> LanceDataset:
+        return self._ds.optimize_indices(spark)

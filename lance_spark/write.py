@@ -221,10 +221,13 @@ def write_dataset(
     through the type normalizer (types.py: dictionary decode, bfloat16 →
     float32, large_*/fixed_size_list mappings) before entering Spark.
     """
+    import pandas as pd
     import pyarrow as pa
 
     from lance_spark.dataset import LanceDataset
 
+    if isinstance(df, pd.DataFrame):
+        df = pa.Table.from_pandas(df, preserve_index=False)
     if isinstance(df, pa.Table):
         from pyspark.sql import SparkSession
 

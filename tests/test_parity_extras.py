@@ -232,3 +232,17 @@ def test_full_text_search_entry(spark, sf_dir, tmp_path):
     ds = create_inverted_index(ds, spark, "text")
     idx = ds.full_text_search(spark, "table scan", k=5).collect()
     assert {r["doc_id"] for r in idx} == {r["doc_id"] for r in flat}
+
+
+def test_optimize_namespace_and_pandas_write(spark, tmp_path):
+    import pandas as pd
+
+    import lance_spark as ls
+
+    pdf = pd.DataFrame({"k": list(range(100)), "v": [f"s{i}" for i in range(100)]})
+    ds = ls.write_dataset(pdf, str(tmp_path / "pd"))
+    assert ds.count_rows() == 100
+    ds = ds.delete(spark, "k % 2 = 0")
+    out = ds.optimize.compact_files(spark, target_rows_per_fragment=1000)
+    assert out.count_rows() == 50
+    assert all(f.num_deleted_rows == 0 for f in out.manifest.fragments)
