@@ -94,6 +94,8 @@ class IvfIndex:
         self.sq_bounds = np.load(sq) if os.path.exists(sq) else None
         rot = os.path.join(uri, "rotation.npy")
         self.rotation = np.load(rot) if os.path.exists(rot) else None
+        rad = os.path.join(uri, "radii.npy")
+        self.radii = np.load(rad) if os.path.exists(rad) else None
 
     @property
     def metric(self) -> str:
@@ -253,6 +255,27 @@ def build_ivf(
         .partitionBy("partition_id")
         .parquet(os.path.join(uri, "codes"))
     )
+    # per-partition covering radius max‖x − c_p‖: enables triangle-inequality
+    # partition pruning for distance_range (lower bound ‖q−c‖ − r_p)
+    @pandas_udf("double")
+    def _resid_norm(s: pd.Series, pid: pd.Series) -> pd.Series:
+        x = _as_matrix(s).astype(np.float64)
+        if cosine:
+            x = _normalize(x)
+        c = cent_b.value.astype(np.float64)[pid.to_numpy()]
+        return pd.Series(np.sqrt(((x - c) ** 2).sum(axis=1)))
+
+    radii_rows = (
+        spark.read.parquet(os.path.join(uri, "codes"))
+        .select(F.col("partition_id"), _resid_norm("vec", "partition_id").alias("r"))
+        .groupBy("partition_id")
+        .agg(F.max("r").alias("radius"))
+        .collect()
+    )
+    radii = np.zeros(k, dtype=np.float64)
+    for r in radii_rows:
+        radii[int(r["partition_id"])] = float(r["radius"])
+    np.save(os.path.join(uri, "radii.npy"), radii)
     np.save(os.path.join(uri, "centroids.npy"), centroids)
     if codebooks is not None:
         np.save(os.path.join(uri, "codebooks.npy"), codebooks)
@@ -488,6 +511,51 @@ def _exact_refine_local(
     order = np.lexsort((ids, d))[:k]
     rows = [(int(ids[i]), float(d[i])) for i in order]
     return spark.createDataFrame(rows, "id long, _distance double")
+
+
+def distance_range_search(
+    spark: SparkSession,
+    index: IvfIndex,
+    query: list[float],
+    range_min: float = 0.0,
+    range_max: float = float("inf"),
+) -> DataFrame:
+    """Index-accelerated ``distance_range`` (scanner distance_range surface):
+    a partition can hold a vector within ``range_max`` of the query only if
+    ‖q − c_p‖ − radius_p ≤ range_max (triangle inequality over the stored
+    covering radii), so only qualifying partitions are scanned; exact
+    distances filter within them. At scale the prune is the whole win: a
+    tight range touches few partitions, the rest are never read."""
+    q = _query_prep(index, query)
+    d_cent = np.sqrt(((index.centroids.astype(np.float64) - q) ** 2).sum(axis=1))
+    lower = np.maximum(0.0, d_cent - index.radii)
+    if index.metric == "cosine":
+        # internal space is unit-normalized squared-L2 = 2·cosine_distance
+        range_max_l2 = float(np.sqrt(2.0 * range_max)) if np.isfinite(range_max) else np.inf
+    else:
+        range_max_l2 = range_max
+    probes = [int(i) for i in np.nonzero(lower <= range_max_l2)[0]]
+    if not probes:
+        return spark.createDataFrame([], "id long, _distance double")
+    codes = spark.read.parquet(os.path.join(index.uri, "codes")).filter(
+        F.col("partition_id").isin(probes)
+    )
+    cosine = index.metric == "cosine"
+    qb = spark.sparkContext.broadcast(q)
+
+    @pandas_udf("double")
+    def exact_dist(s: pd.Series) -> pd.Series:
+        x = _as_matrix(s).astype(np.float64)
+        if cosine:
+            x = _normalize(x)
+        return pd.Series(((x - qb.value.astype(np.float64)) ** 2).sum(axis=1))
+
+    scored = _finalize_distance(
+        codes.select("id", exact_dist("vec").alias("_distance")), index.metric
+    )
+    return scored.filter(
+        (F.col("_distance") >= range_min) & (F.col("_distance") < range_max)
+    ).orderBy("_distance", "id")
 
 
 def _finalize_distance(df: DataFrame, metric: str) -> DataFrame:

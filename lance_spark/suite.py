@@ -1909,6 +1909,44 @@ def events_session_window(spark, sf_dir):
 
 
 @query(
+    "ann_distance_range",
+    """
+    SELECT e.vec_id,
+           round(sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+                    * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))))), 4)
+             AS _distance
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 43) q
+    WHERE e.vec_id != 43
+      AND sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+                    * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))))) < 1.2
+    ORDER BY _distance, e.vec_id
+    """,
+)
+def ann_distance_range(spark, sf_dir):
+    """Index-accelerated distance_range: triangle-inequality partition prune
+    over stored covering radii, exact filter inside surviving partitions.
+    Results are exact (the prune is lossless), so brute force is the oracle."""
+    import tempfile
+
+    from lance_spark.indexes.vector import build_ivf, distance_range_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 43").first()["embedding"]]
+    idx = build_ivf(
+        emb.filter("vec_id != 43"), "embedding", "vec_id",
+        tempfile.mkdtemp(prefix="lsq_dr_"), num_partitions=8,
+        metric="l2", index_type="IVF_FLAT",
+    )
+    return (
+        distance_range_search(spark, idx, qvec, range_max=1.2)
+        .select(F.col("id").alias("vec_id"), F.round("_distance", 4).alias("_distance"))
+        .orderBy("_distance", "vec_id")
+    )
+
+
+@query(
     "knn_distance_range",
     f"""
     SELECT e.vec_id, round(1.0 - ({_DUCK_COS_Q}), 4) AS _distance

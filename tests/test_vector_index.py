@@ -266,3 +266,38 @@ def test_ivf_hnsw_sq_exact_at_full_refine(spark, sf_dir, tmp_path):
         for r in ann_search(spark, idx, qvec, k=10, nprobes=4, ef_search=64, refine_factor=8).collect()
     }
     assert len(hit & {x[0] for x in want}) >= 8
+
+
+def test_distance_range_pruning_lossless(spark, sf_dir, tmp_path):
+    """Triangle-inequality partition pruning loses nothing, and a tight
+    range actually prunes partitions."""
+    import numpy as np
+
+    from lance_spark.indexes.vector import IvfIndex, build_ivf, distance_range_search
+    from lance_spark.operators.knn import knn_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 2").first()["embedding"]]
+    corpus = emb.filter("vec_id != 2")
+    idx = build_ivf(
+        corpus, "embedding", "vec_id", str(tmp_path / "dr"),
+        num_partitions=8, metric="l2", index_type="IVF_FLAT",
+    )
+    rmax = 1.1
+    got = {
+        (r["id"], round(r["_distance"], 4))
+        for r in distance_range_search(spark, idx, qvec, range_max=rmax).collect()
+    }
+    want = {
+        (r["vec_id"], round(r["_distance"], 4))
+        for r in knn_bruteforce(corpus, "embedding", qvec, k=10**9, metric="l2")
+        .filter(f"_distance < {rmax}")
+        .collect()
+    }
+    assert got == want
+
+    # the prune bound actually excludes partitions for a tight range
+    q = np.asarray(qvec)
+    d_cent = np.sqrt(((idx.centroids.astype(np.float64) - q) ** 2).sum(axis=1))
+    lower = np.maximum(0.0, d_cent - idx.radii)
+    assert (lower > rmax).any(), "expected at least one prunable partition"
