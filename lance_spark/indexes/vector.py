@@ -135,6 +135,10 @@ def build_ivf(
     sample = _as_matrix(
         df.select(vec_col).limit(sample_size).toPandas()[vec_col]
     ).astype(np.float64)
+    # limit() row order varies with scan parallelism; canonicalize so the
+    # trained centroids are a function of the sample SET, not the cluster
+    # shape that happened to deliver it (bounded driver-side cost).
+    sample = sample[np.lexsort(sample.T[::-1])]
     if cosine:
         sample = _normalize(sample)
     centroids = train_kmeans(sample, num_partitions, seed=seed)

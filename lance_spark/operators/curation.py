@@ -132,3 +132,54 @@ def stratified_sample(
     # NULL group is "not listed" → keep (a bare ~isin would null out and drop)
     others = F.col(group_col).isNull() | ~F.col(group_col).isin(list(rates.keys()))
     return df.filter(others | keep)
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Benchmark decontamination: for every training doc, the fraction of
+    its distinct word n-grams that occur anywhere in the eval/benchmark
+    corpus → ``(id, overlap_ratio, contaminated)``. Docs too short to form
+    an n-gram report ratio 0.0.
+
+    Scale shape: benchmark sets are tiny relative to 100 TB of training
+    data, so the distinct eval-shingle set is BROADCAST — the training side
+    is a scan + row-local explode + map-side join + one groupBy on doc id.
+    No training-corpus self-join anywhere. The flag threshold compares the
+    ROUNDED ratio so the Spark and oracle sides can never disagree at the
+    boundary.
+    """
+    from lance_spark.operators.dedup import shingles_from_tokens
+
+    ev = (
+        eval_df.select(tokenize(F.col(text_col)).alias("t"))
+        .filter(F.size("t") >= n)
+        .select(F.explode(F.array_distinct(shingles_from_tokens(F.col("t"), n))).alias("g"))
+        .distinct()
+    )
+    sh = (
+        train.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("t"))
+        .filter(F.size("t") >= n)
+        .select("id", F.array_distinct(shingles_from_tokens(F.col("t"), n)).alias("sh"))
+    )
+    hits = (
+        sh.select("id", F.size("sh").cast("long").alias("nsh"), F.explode("sh").alias("g"))
+        .join(F.broadcast(ev), "g")
+        .groupBy("id", "nsh")
+        .agg(F.count("*").cast("long").alias("hit"))
+    )
+    ratio = F.round(F.coalesce(F.col("hit") / F.col("nsh"), F.lit(0.0)), 4)
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            ratio.alias("overlap_ratio"),
+            (ratio >= threshold).alias("contaminated"),
+        )
+    )

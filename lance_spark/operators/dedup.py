@@ -496,3 +496,78 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph: returns
+    ``(id, cluster_id)`` where ``cluster_id`` is the smallest node id
+    reachable from ``id`` (singletons cluster to themselves).
+
+    Min-label propagation: each round every node adopts the minimum label
+    in its closed neighborhood (one shuffle join on node id + a min
+    aggregate per round). The minimum spreads one hop per round, so rounds
+    = component diameter. Near-duplicate graphs are dense local cliques —
+    diameters stay in single digits even at web scale, which is why
+    map-reduce dedup pipelines ship exactly this loop. `localCheckpoint`
+    truncates lineage each round so the plan does not grow with iterations,
+    and materializing the edge set once keeps the (expensive) pair
+    generation out of the loop.
+
+    The reference stops at pair generation; a real pipeline needs the
+    assignment step (keep one doc per cluster) — this is that step.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    edges = edges.localCheckpoint(eager=True)
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("comp"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+                (F.coalesce("nbr_comp", "comp") < F.col("comp")).alias("__chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("__chg")).limit(1).count()
+        labels = stepped.drop("__chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("comp").alias("cluster_id"))
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bucket_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate clustering end-to-end: exact n-gram-Jaccard candidate
+    pairs (shingle-postings join — see ngram_jaccard_pairs) → connected
+    components → ``(id, cluster_id, is_canonical)``. Every input doc appears
+    exactly once; ``is_canonical`` marks the one doc per cluster a dedup
+    pipeline keeps (the smallest id)."""
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, bucket_col, n=n, min_jaccard=min_jaccard)
+    nodes = df.select(F.col(id_col).alias("id"))
+    cc = connected_components(nodes, pairs)
+    return cc.select(
+        F.col("id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("cluster_id") == F.col("id")).alias("is_canonical"),
+    )

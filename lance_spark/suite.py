@@ -2949,3 +2949,263 @@ def fts_phrase_slop(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3: dedup clustering, decontamination, deeper TPC-H coverage
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE corpus AS ({_DUCK_CORPUS}),
+    tok AS (SELECT id, source, {_DUCK_TOKS.format(col='text')} AS w FROM corpus),
+    sh AS (SELECT id, source, list_distinct(list_transform(range(1, len(w)-1),
+                i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+           FROM tok WHERE len(w) >= 3),
+    pairs AS (SELECT a.id AS id_a, b.id AS id_b
+              FROM sh a JOIN sh b ON a.source = b.source AND a.id < b.id
+              WHERE round(len(list_intersect(a.sh, b.sh)) /
+                    greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4) >= 0.5),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT id AS src, id AS dst FROM corpus
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+    SELECT src AS id, CAST(min(dst) AS BIGINT) AS cluster_id,
+           (min(dst) = src) AS is_canonical
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components → one canonical doc per
+    cluster (the assignment step the reference's pair generation lacks).
+    Oracle = recursive-CTE transitive closure with min-label clustering."""
+    from lance_spark.operators.dedup import duplicate_clusters
+
+    return duplicate_clusters(_corpus(spark, sf_dir), "text", "id", "source")
+
+
+@query(
+    "curate_decontaminate",
+    f"""
+    WITH base AS (SELECT doc_id, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
+    evtok AS (SELECT list_slice(w, 1, greatest(len(w) // 2, 1)) AS w
+              FROM base WHERE doc_id % 10 = 0),
+    ev AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w)-1),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS g
+           FROM evtok WHERE len(w) >= 3),
+    sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(w)-1),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+           FROM base WHERE len(w) >= 3),
+    trx AS (SELECT id, len(sh) AS nsh, unnest(sh) AS g FROM sh),
+    h AS (SELECT id, any_value(nsh) AS nsh, count(*) AS hit
+          FROM trx JOIN ev USING (g) GROUP BY id)
+    SELECT d.doc_id AS id,
+           round(coalesce(h.hit / h.nsh, 0), 4) AS overlap_ratio,
+           (round(coalesce(h.hit / h.nsh, 0), 4) >= 0.3) AS contaminated
+    FROM documents d LEFT JOIN h ON d.doc_id = h.id
+    """,
+)
+def curate_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: word-3-gram overlap of every training doc
+    against a broadcast eval-shingle set (eval = first half of every 10th
+    doc, so true partial contamination exists)."""
+    from lance_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.concat_ws(
+            " ",
+            F.expr(
+                "slice(filter(split(lower(text), '[^a-z]+'), x -> x <> ''), 1, "
+                "greatest(cast(size(filter(split(lower(text), '[^a-z]+'), x -> x <> '')) / 2 as int), 1))"
+            ),
+        ).alias("text")
+    )
+    return decontaminate(docs, ev, "text", "doc_id", n=3, threshold=0.3)
+
+
+@query(
+    "tpch_q8_mktshare",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN n_name = 'NATION_7' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS n_name
+      FROM lineitem
+           JOIN part     ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders   ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region   ON n1.n_regionkey = r_regionkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    ) allvol
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_mktshare(spark, sf_dir):
+    """Q8 national market share: one fact scan, five broadcast dims, the
+    conditional-share reaggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31 00:00:00")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").alias("n1")
+    n2 = _t(spark, sf_dir, "nation").alias("n2")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n2.n_name").alias("n_name"),
+        )
+    )
+    share = F.sum(F.when(F.col("n_name") == "NATION_7", F.col("volume")).otherwise(0.0)) / F.sum(
+        "volume"
+    )
+    return joined.groupBy("o_year").agg(F.round(share, 4).alias("mkt_share"))
+
+
+@query(
+    "tpch_q11_important",
+    """
+    SELECT l_partkey AS ps_partkey, round(sum(l_extendedprice * l_quantity), 2) AS part_value
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * l_quantity) > (
+      SELECT sum(l_extendedprice * l_quantity) * 0.001
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+    )
+    """,
+)
+def tpch_q11_important(spark, sf_dir):
+    """Q11 adapted (no partsupp: value = extendedprice×quantity shipped by
+    the nation's suppliers). Scalar-subquery threshold = a 1-row broadcast
+    cross join, not a driver collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    base = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
+    )
+    per_part = base.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        F.sum("val").alias("raw_value")
+    )
+    threshold = base.agg((F.sum("val") * 0.001).alias("__thr"))
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("raw_value") > F.col("__thr"))
+        .select("ps_partkey", F.round("raw_value", 2).alias("part_value"))
+    )
+
+
+@query(
+    "tpch_q2_min_cost",
+    """
+    WITH cost AS (
+      SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+             round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY l_partkey, s_suppkey, s_name, s_acctbal, n_name
+    )
+    SELECT p_partkey, p_name, s_name, n_name, round(s_acctbal, 2) AS acctbal, unit_cost
+    FROM cost JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 10
+      AND unit_cost = (SELECT min(unit_cost) FROM cost c2 WHERE c2.l_partkey = cost.l_partkey)
+    ORDER BY acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost(spark, sf_dir):
+    """Q2 adapted (no partsupp: supply cost = avg unit sale price per
+    (part, supplier) from lineitem). The correlated min-subquery is the
+    classic window-min rewrite — one shuffle on part key, no self-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    cost = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("__min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("__min_cost")
+    )
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "unit_cost",
+        )
+        .orderBy(F.desc("acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q20_part_suppliers",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%')
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 50
+      )
+    ORDER BY s_name
+    """,
+)
+def tpch_q20_part_suppliers(spark, sf_dir):
+    """Q20 adapted: suppliers in a nation who shipped > 50 units of
+    '%gear%' parts — nested IN subqueries become semi-joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    heavy = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(heavy), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

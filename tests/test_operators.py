@@ -315,3 +315,60 @@ def test_stratified_sample_deterministic(spark):
     withnull = df.withColumn("lang", _F.when(_F.col("id") == 0, None).otherwise(_F.col("lang")))
     kept3 = {r["id"] for r in stratified_sample(withnull, "id", {"en": 0.3}, "lang").collect()}
     assert 0 in kept3
+
+
+def test_connected_components_transitivity(spark):
+    from lance_spark.operators.dedup import connected_components
+
+    # two chains (1-2-3-4, 10-11) + singleton 99: min label must cross
+    # multiple hops, not just direct edges
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)], ["id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(nodes, pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (99, 99)}
+
+
+def test_duplicate_clusters_canonical(spark):
+    from lance_spark.operators.dedup import duplicate_clusters
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, text, "s"),
+        (2, text + " tail", "s"),          # near-dup of 1
+        (3, text + " tail more", "s"),     # near-dup of 2 (and transitively 1)
+        (4, "totally different words here with no overlap at all ok", "s"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text", "source"])
+    out = {r["id"]: (r["cluster_id"], r["is_canonical"])
+           for r in duplicate_clusters(df, "text", "id", "source", min_jaccard=0.4).collect()}
+    assert out[1] == (1, True)
+    assert out[2][0] == 1 and not out[2][1]
+    assert out[3][0] == 1 and not out[3][1]
+    assert out[4] == (4, True)
+    # every input id appears exactly once
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_decontaminate_ratio(spark):
+    from lance_spark.operators.curation import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight"),   # 50% of its 3-grams in eval
+            (2, "totally unrelated text with zero overlap here"),
+            (3, "ab"),                                        # too short for a 3-gram
+        ],
+        ["id", "text"],
+    )
+    ev = spark.createDataFrame([(100, "one two three four five")], ["id", "text"])
+    got = {r["id"]: (r["overlap_ratio"], r["contaminated"])
+           for r in decontaminate(train, ev, "text", "id", threshold=0.4).collect()}
+    # doc 1: 6 distinct 3-grams, eval contributes 3 -> 0.5
+    assert got[1] == (0.5, True)
+    assert got[2] == (0.0, False)
+    assert got[3] == (0.0, False)
