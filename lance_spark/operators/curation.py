@@ -183,3 +183,56 @@ def decontaminate(
             (ratio >= threshold).alias("contaminated"),
         )
     )
+
+
+def unigram_logprob_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus-trained unigram language-model score per document: the
+    CCNet/KenLM perplexity-filter shape with a deterministic unigram model
+    so the exact math is oracle-checkable → ``(id, n_tokens, avg_logprob)``
+    (avg_logprob = mean −ln p(token); HIGH = surprising/noisy text).
+
+    Scale shape: one explode pass feeds BOTH the model (groupBy token — one
+    shuffle; vocabulary, not corpus, sized output) and the scoring join.
+    The vocab table is broadcast (natural-language vocab is ~1e6 rows ≈
+    tens of MB regardless of corpus size); scoring is then map-side with a
+    single final groupBy on doc id."""
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    model = vocab.join(F.broadcast(total)).select(
+        "tok", (F.col("cnt") / F.col("total")).alias("p")
+    )
+    return (
+        tok.join(F.broadcast(model), "tok")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("p"))), 4).alias("avg_logprob"),
+        )
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Reproducible train/val/test assignment: hash the id into one of
+    ``buckets`` slots and carve slots by cumulative weight → ``(id, split)``.
+    Row-local (zero shuffles), stable across runs/engines/cluster sizes —
+    the property rand()-based splits lack — and any id joins back to the
+    same split forever (incremental ingest keeps old assignments)."""
+    from lance_spark.functions.text import hash64
+
+    assert abs(sum(weights.values()) - 1.0) < 1e-9, "weights must sum to 1"
+    slot = F.pmod(hash64(F.col(id_col).cast("string")), F.lit(buckets))
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = slot < int(round(acc * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.select(F.col(id_col).alias("id"), expr.alias("split"))

@@ -3209,3 +3209,46 @@ def tpch_q20_part_suppliers(spark, sf_dir):
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@query(
+    "text_unigram_logprob",
+    f"""
+    WITH tok AS (SELECT doc_id AS id, unnest({_DUCK_TOKS.format(col='text')}) AS tok
+                 FROM documents),
+    vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+    model AS (SELECT tok, cnt / (SELECT CAST(sum(cnt) AS DOUBLE) FROM vocab) AS p
+              FROM vocab)
+    SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(p)), 4) AS avg_logprob
+    FROM tok JOIN model USING (tok)
+    GROUP BY id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality score (the CCNet perplexity-filter shape with a
+    corpus-trained deterministic model)."""
+    from lance_spark.operators.curation import unigram_logprob_score
+
+    return unigram_logprob_score(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "curate_split",
+    f"""
+    SELECT doc_id AS id,
+           CASE WHEN slot < 8000 THEN 'train'
+                WHEN slot < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 {_DUCK_HASH64.format(s="CAST(doc_id AS VARCHAR)")} % 10000 AS slot
+          FROM documents)
+    """,
+)
+def curate_split(spark, sf_dir):
+    """Deterministic hash-bucket train/val/test split (80/10/10)."""
+    from lance_spark.operators.curation import deterministic_split
+
+    return deterministic_split(
+        _t(spark, sf_dir, "documents"), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )

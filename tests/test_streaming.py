@@ -132,3 +132,43 @@ def test_stateful_running_counts(spark, sf_dir, events_stream_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_drops_replays(spark, tmp_path):
+    """Replayed keys inside the watermark horizon are emitted once."""
+    import datetime as dt
+
+    from lance_spark.streaming.sink import streaming_dedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, "a"),
+        (2, base + dt.timedelta(minutes=1), "b"),
+        (1, base + dt.timedelta(minutes=2), "a-replay"),
+        (3, base + dt.timedelta(minutes=3), "c"),
+        (2, base + dt.timedelta(minutes=4), "b-replay"),
+    ]
+    spark.createDataFrame(rows, "event_id long, ts timestamp, payload string").coalesce(
+        1
+    ).write.parquet(src + "/batch0")
+    sdf = (
+        spark.readStream.schema("event_id long, ts timestamp, payload string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        streaming_dedup(sdf, ["event_id"], "ts")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert {r["event_id"] for r in got.collect()} == {1, 2, 3}
