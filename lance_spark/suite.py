@@ -3252,3 +3252,67 @@ def curate_split(spark, sf_dir):
     return deterministic_split(
         _t(spark, sf_dir, "documents"), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
+
+
+@query(
+    "tpch_q21_waiting",
+    """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE n_name = 'NATION_3'
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def tpch_q21_waiting(spark, sf_dir):
+    """Q21 shape (suppliers who kept orders waiting): the EXISTS /
+    NOT-EXISTS pair over lineitem is rewritten as ONE per-order aggregate
+    pass — the order qualifies iff it has >1 distinct supplier and exactly
+    one distinct LATE supplier — so lineitem is shuffled once on
+    l_orderkey instead of three times (outer + two correlated self-joins).
+    "Late" adapts to the synthetic schema (no commit/receipt dates) as
+    l_shipdate > o_orderdate + 90 days. Reference surface: delegated SQL
+    (rust/lance/src/dataset/sql.rs:66-80); TPC-H text
+    benchmarks/tpch/queries.md Q21."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    j = li.join(ords, li.l_orderkey == ords.o_orderkey).withColumn(
+        "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    late_supp = F.when(F.col("late"), F.col("l_suppkey"))
+    per_order = (
+        j.groupBy("l_orderkey")
+        .agg(
+            F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+            F.size(F.collect_set(late_supp)).alias("n_late"),
+            F.max(late_supp).alias("late_supp"),
+            F.sum(F.when(F.col("late"), F.lit(1)).otherwise(F.lit(0))).alias("late_rows"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.sum("late_rows").cast("long").alias("numwait"))
+        .join(supp, F.col("late_supp") == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
