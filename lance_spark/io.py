@@ -19,16 +19,25 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Runtime-settable SQL conf; the driver's harness builds its own
-    # SparkSession without our session.py defaults, so set it here too —
-    # otherwise reading events.parquet (TIMESTAMP(NANOS)) raises
-    # PARQUET_TYPE_ILLEGAL on any foreign session.
+    # Runtime-settable SQL confs; the driver's harness builds its own
+    # SparkSession without our session.py defaults, so set them here too —
+    # nanosAsLong: reading a TIMESTAMP(NANOS) events.parquet raises
+    # PARQUET_TYPE_ILLEGAL on any foreign session without it; UTC session tz
+    # keeps timestamp rendering aligned with DuckDB's naive timestamps.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.expr("timestamp_micros(ts_ns div 1000)")
-        )
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":  # TIMESTAMP(NANOS) read as long under nanosAsLong
+            df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+                "ts", F.expr("timestamp_micros(ts_ns div 1000)")
+            )
+        elif dt == "timestamp_ntz":
+            # Spark 4 infers parquet non-UTC-adjusted micros as TIMESTAMP_NTZ;
+            # cast to TIMESTAMP (identity under the UTC session tz above) so
+            # watermarks/windows and prior query semantics keep working.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

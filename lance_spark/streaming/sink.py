@@ -105,6 +105,15 @@ def write_stream(
 # ------------------------------------------------------------ stream operators
 
 
+def _watermarkable(sdf: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ); parquet micros without UTC
+    adjustment arrive as TIMESTAMP_NTZ under Spark 4's inference. Cast
+    (identity under a UTC session tz) so every helper below accepts both."""
+    if dict(sdf.dtypes).get(ts_col) == "timestamp_ntz":
+        return sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return sdf
+
+
 def tumbling_agg(
     sdf: DataFrame,
     ts_col: str,
@@ -117,7 +126,7 @@ def tumbling_agg(
     watermark is dropped; state is bounded)."""
     aggs = aggs or [F.count("*").alias("n")]
     out = (
-        sdf.withWatermark(ts_col, watermark)
+        _watermarkable(sdf, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), *(keys or []))
         .agg(*aggs)
     )
@@ -140,7 +149,7 @@ def session_agg(
     """Session-window aggregation (gap-based sessions, built-in
     session_window — the stateful operator Spark provides natively)."""
     return (
-        sdf.withWatermark(ts_col, watermark)
+        _watermarkable(sdf, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("w"), *(keys or []))
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -192,4 +201,8 @@ def streaming_dedup(
     100 TB/day ingest (an unbounded ``dropDuplicates`` key set grows
     forever). Exactly-once sinks compose with dataset_batch_writer's
     idempotent-commit query key."""
-    return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+    return (
+        _watermarkable(sdf, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+    )

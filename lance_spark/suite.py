@@ -520,12 +520,12 @@ def events_hourly_window(spark, sf_dir):
     """,
 )
 def events_sessionize(spark, sf_dir):
-    # 30-minute-gap sessionization via exact integer ns arithmetic
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    # 30-minute-gap sessionization via exact integer µs arithmetic
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
     return (
-        ev.withColumn("new_sess", F.when(gap > 1_800_000_000_000, 1).otherwise(0))
+        ev.withColumn("new_sess", F.when(gap > 1_800_000_000, 1).otherwise(0))
         .groupBy("user_id")
         .agg((F.lit(1) + F.sum("new_sess")).cast("long").alias("n_sessions"))
     )
