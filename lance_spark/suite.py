@@ -1849,11 +1849,33 @@ def multimodal_binary_stats(spark, sf_dir):
     )
 
 
-@query("multimodal_decode_meta")  # no SQL oracle: mapInPandas codec plumbing
+@query(
+    "multimodal_decode_meta",
+    # Full-roundtrip oracle: DuckDB rebuilds the same encoded bytes, then
+    # decodes the big-endian u32 width OUT OF THE BLOB (hex-string byte
+    # math), mirroring _parse_header — not just re-deriving 64 + doc_id%32.
+    """
+    WITH img AS (
+      SELECT doc_id,
+             unhex('494D4730'
+                   || lpad(hex(64 + doc_id % 32), 8, '0')
+                   || lpad(hex(48), 8, '0')
+                   || lpad(hex(3), 8, '0')) || encode(text) AS b
+      FROM documents),
+    dec AS (
+      SELECT CASE WHEN octet_length(b) >= 16 AND substr(hex(b), 1, 8) = '494D4730'
+                  THEN CAST(list_sum(list_transform(range(1, 9),
+                         i -> (strpos('0123456789ABCDEF', substr(hex(b), 8 + i, 1)) - 1)
+                              * 16 ** (8 - i))) AS INT)
+                  ELSE -1 END AS width
+      FROM img)
+    SELECT width, CAST(count(*) AS BIGINT) AS n FROM dec GROUP BY width ORDER BY width
+    """,
+)
 def multimodal_decode_meta(spark, sf_dir):
     """Decode-stub pipeline over fake encoded images derived from doc ids:
-    binary → metadata struct → aggregate. Deterministic but not
-    SQL-expressible (driver records the rows-only check)."""
+    binary → metadata struct → aggregate. Value-oracled: DuckDB constructs
+    identical bytes and decodes the header with blob/hex arithmetic."""
     from lance_spark.operators.multimodal import decode_image_meta
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -1993,14 +2015,33 @@ def agg_percentile(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct")  # approx sketches differ per engine: rows-only
+@query(
+    "agg_approx_distinct",
+    # Band-compare oracle: the raw HLL++ estimate is engine-specific, but
+    # "within the advertised 5% rsd of the exact count" is checkable — the
+    # Spark side emits the exact count plus the band verdict, the oracle
+    # asserts the same exact count and verdict=true.
+    """
+    SELECT count(DISTINCT l_orderkey) AS n_exact, true AS approx_ok
+    FROM lineitem
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HLL++) — value is engine-specific, so the
-    driver's rows-only check applies; the exact variant is oracle-checked in
-    text_token_stats."""
+    """approx_count_distinct (HLL++) value-checked by banding against the
+    exact count(DISTINCT): |approx - exact| / exact must be < 0.05 (the
+    default rsd), which both engines can agree on even though the raw
+    sketch estimate differs per engine."""
     return (
         _t(spark, sf_dir, "lineitem")
-        .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
+        .agg(
+            F.count_distinct("l_orderkey").alias("n_exact"),
+            F.approx_count_distinct("l_orderkey").alias("approx"),
+        )
+        .select(
+            "n_exact",
+            (F.abs(F.col("approx") - F.col("n_exact")) / F.col("n_exact")
+             < F.lit(0.05)).alias("approx_ok"),
+        )
     )
 
 
