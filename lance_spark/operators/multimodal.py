@@ -22,6 +22,7 @@ and oracle-checkable. Swapping in a real codec changes ONE function.
 
 from __future__ import annotations
 
+import re
 import struct
 from collections.abc import Iterator
 
@@ -32,6 +33,55 @@ from pyspark.sql import functions as F
 
 FAKE_MAGIC = b"IMG0"
 IMG_META_SCHEMA = "width int, height int, channels int, format string"
+
+_PPM_HEADER = re.compile(rb"^P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def _parse_ppm(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
+    """Pure-numpy binary PPM (P6) decode: header + H*W*3 uint8 pixels.
+    Returns (width, height, channels, pixel array) or (-1,-1,-1,None)."""
+    if b is None:
+        return (-1, -1, -1, None)
+    b = bytes(b)
+    m = _PPM_HEADER.match(b)
+    if not m:
+        return (-1, -1, -1, None)
+    w, h, maxval = (int(m.group(i)) for i in (1, 2, 3))
+    if maxval > 255:  # 16-bit-per-sample PPM not supported
+        return (-1, -1, -1, None)
+    payload = np.frombuffer(b, dtype=np.uint8, offset=m.end())
+    if payload.size < w * h * 3:
+        return (-1, -1, -1, None)
+    return (w, h, 3, payload[: w * h * 3].reshape(h, w, 3))
+
+
+def _parse_bmp(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
+    """Pure-numpy uncompressed 24-bit BMP (BITMAPINFOHEADER) decode.
+    Rows are bottom-up and padded to 4-byte boundaries; pixels are BGR —
+    returned flipped to top-down RGB."""
+    if b is None or len(b) < 54 or bytes(b[:2]) != b"BM":
+        return (-1, -1, -1, None)
+    b = bytes(b)
+    data_offset = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return (-1, -1, -1, None)
+    top_down = h < 0
+    h = abs(h)
+    row_stride = (w * 3 + 3) & ~3
+    if len(b) < data_offset + row_stride * h:
+        return (-1, -1, -1, None)
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=row_stride * h, offset=data_offset
+    ).reshape(h, row_stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return (w, h, 3, rows[..., ::-1])  # BGR → RGB
+
+
+_CODECS = {"ppm": _parse_ppm, "bmp": _parse_bmp}
 
 
 def pack_fake_image(width: int, height: int, channels: int = 3, seed: int = 0) -> bytes:
@@ -52,28 +102,72 @@ def _parse_header(b: bytes) -> tuple[int, int, int]:
 
 
 def decode_image_meta(df: DataFrame, binary_col: str, codec: str = "header") -> DataFrame:
-    """binary → typed metadata struct. Real-decoder seam: codec='pil' is the
-    NotImplementedError stub; codec='header' parses the fake header."""
-    if codec != "header":
+    """binary → typed metadata struct. codec='header' parses the fake
+    16-byte header; codec='ppm'/'bmp' are real pure-numpy decoders
+    (_parse_ppm/_parse_bmp); anything else (e.g. 'pil') is the
+    NotImplementedError seam where an image library would plug in."""
+    if codec != "header" and codec not in _CODECS:
         raise NotImplementedError(
             f"codec {codec!r} requires an image library not present in this "
-            "environment; plug it into _parse_header's position"
+            "environment; built-in codecs: header, ppm, bmp"
         )
 
     out_schema = f"{', '.join(f'{c.name} {c.dataType.simpleString()}' for c in df.schema)}, meta struct<{IMG_META_SCHEMA}>"
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hdr = [_parse_header(b) for b in pdf[binary_col]]
+            if codec == "header":
+                hdr = [_parse_header(b) for b in pdf[binary_col]]
+            else:
+                hdr = [_CODECS[codec](b)[:3] for b in pdf[binary_col]]
             pdf = pdf.copy()
+            fmt = "fake" if codec == "header" else codec
             pdf["meta"] = [
                 {"width": w, "height": h, "channels": c,
-                 "format": "fake" if w >= 0 else "invalid"}
+                 "format": fmt if w >= 0 else "invalid"}
                 for (w, h, c) in hdr
             ]
             yield pdf
 
     return df.mapInPandas(decode, schema=out_schema)
+
+
+def decode_image_stats(
+    df: DataFrame, binary_col: str, id_col: str, codec: str = "ppm"
+) -> DataFrame:
+    """Real decode: binary → (id, width, height, channels, mean_px) where
+    mean_px is the mean of the DECODED pixel array (computed from the actual
+    bytes, not the header). Arrow-batched mapInPandas; bytes never leave the
+    executor. Reference surface: python/python/lance/blob.py BlobFile decode
+    client-side; here decode is pushed into the scan pipeline."""
+    if codec not in _CODECS:
+        raise NotImplementedError(f"unknown codec {codec!r}; built-in: ppm, bmp")
+    parse = _CODECS[codec]
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, cs, sums, means = [], [], [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[binary_col]):
+                w, h, c, px = parse(b)
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                cs.append(c)
+                # px_sum is integer-exact (oracle-safe); mean_px is derived
+                sums.append(int(px.sum()) if px is not None else None)
+                means.append(round(float(px.mean()), 4) if px is not None else None)
+            yield pd.DataFrame(
+                {id_col: ids, "width": ws, "height": hs, "channels": cs,
+                 "px_sum": sums, "mean_px": means}
+            )
+
+    return df.mapInPandas(
+        stats,
+        schema=(
+            f"{id_col} long, width int, height int, channels int, "
+            "px_sum bigint, mean_px double"
+        ),
+    )
 
 
 def image_features(df: DataFrame, binary_col: str, id_col: str, dim: int = 8) -> DataFrame:

@@ -1899,6 +1899,62 @@ def multimodal_decode_meta(spark, sf_dir):
 
 
 @query(
+    "multimodal_decode_real",
+    # Both engines decode REAL image bytes: Spark parses the binary PPM with
+    # the pure-numpy codec (_parse_ppm) and sums decoded pixels; DuckDB
+    # builds the identical PPM, regex-parses the header, and sums the
+    # character codes of the payload (ASCII ⇒ code point == byte).
+    r"""
+    WITH img AS (
+      SELECT doc_id,
+             'P6' || chr(10) || CAST(4 + doc_id % 8 AS VARCHAR) || ' 2'
+               || chr(10) || '255' || chr(10)
+               || rpad(substr(text, 1, (4 + doc_id % 8) * 6),
+                       CAST((4 + doc_id % 8) * 6 AS INT), 'x') AS s
+      FROM documents),
+    dec AS (
+      SELECT doc_id,
+             CAST(regexp_extract(s, 'P6\n(\d+) (\d+)\n\d+\n', 1) AS INT) AS width,
+             CAST(regexp_extract(s, 'P6\n(\d+) (\d+)\n\d+\n', 2) AS INT) AS height,
+             3 AS channels,
+             regexp_replace(s, '^P6\n\d+ \d+\n\d+\n', '') AS p
+      FROM img)
+    SELECT doc_id, width, height, channels,
+           CAST(list_sum(list_transform(range(1, length(p) + 1),
+                i -> ord(substr(p, i, 1)))) AS BIGINT) AS px_sum
+    FROM dec ORDER BY doc_id
+    """,
+)
+def multimodal_decode_real(spark, sf_dir):
+    """REAL codec path: binary PPM (P6) images built from document text,
+    decoded by the pure-numpy parser — width/height from the header, pixel
+    sum from the decoded array. Closes the 'codec seam is a stub' gap:
+    the bytes are a valid image any PPM reader opens."""
+    from lance_spark.operators.multimodal import decode_image_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("P6\n"),
+                F.expr("CAST(4 + doc_id % 8 AS STRING)"),
+                F.lit(" 2\n255\n"),
+                F.expr(
+                    "rpad(substring(text, 1, (4 + doc_id % 8) * 6),"
+                    " (4 + doc_id % 8) * 6, 'x')"
+                ),
+            ),
+            "UTF-8",
+        ).alias("img"),
+    )
+    return (
+        decode_image_stats(docs, "img", "doc_id", codec="ppm")
+        .select("doc_id", "width", "height", "channels", "px_sum")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "events_session_window",
     """
     WITH x AS (

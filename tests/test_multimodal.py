@@ -55,6 +55,78 @@ def test_decode_image_meta(spark, media_df):
         decode_image_meta(media_df, "img", codec="pil")
 
 
+def _make_bmp(w, h, pixels_rgb):
+    """Golden uncompressed 24-bit BMP writer (bottom-up rows, 4-byte pad) —
+    independent of the parser under test."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    img = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            r, g, b = pixels_rgb[y][x]
+            row += bytes([b, g, r])  # BGR on disk
+        row += b"\x00" * (stride - len(row))
+        img += row
+    header = b"BM" + struct.pack("<IHHI", 54 + len(img), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+    return bytes(header + dib + img)
+
+
+def test_real_codecs_ppm_bmp():
+    import numpy as np
+
+    from lance_spark.operators.multimodal import _parse_bmp, _parse_ppm
+
+    # PPM: 2x2 RGB with known pixels, comment line in header
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]
+    flat = bytes(v for row in px for p in row for v in p)
+    ppm = b"P6\n# test\n2 2\n255\n" + flat
+    w, h, c, arr = _parse_ppm(ppm)
+    assert (w, h, c) == (2, 2, 3)
+    assert arr.tolist() == [[list(p) for p in row] for row in px]
+
+    # BMP: same pixels through the golden writer; parser must undo
+    # bottom-up row order, BGR channel order, and row padding
+    w, h, c, arr = _parse_bmp(_make_bmp(2, 2, px))
+    assert (w, h, c) == (2, 2, 3)
+    assert arr.tolist() == [[list(p) for p in row] for row in px]
+
+    # malformed inputs degrade to (-1,-1,-1,None), never raise
+    for bad in (None, b"", b"P6\n2 2\n255\n" + b"\x00" * 5, b"BMxx", ppm[:10]):
+        for parse in (_parse_ppm, _parse_bmp):
+            assert parse(bad)[:3] == (-1, -1, -1) or parse(bad)[3] is not None
+
+    # 16-bit PPM and compressed/8-bit BMP are rejected
+    assert _parse_ppm(b"P6\n2 2\n65535\n" + flat * 2)[:3] == (-1, -1, -1)
+    assert np.frombuffer(flat, dtype=np.uint8).sum() == sum(
+        v for row in px for p in row for v in p
+    )
+
+
+def test_decode_image_stats(spark):
+    from lance_spark.operators.multimodal import decode_image_stats
+
+    px = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    flat = bytes(v for row in px for p in row for v in p)
+    rows = [(0, b"P6\n2 2\n255\n" + flat), (1, _make_bmp(2, 2, px)), (2, b"junk")]
+    df = spark.createDataFrame(rows, "id long, img binary")
+
+    got = {r["id"]: r for r in decode_image_stats(df.filter("id = 0"), "img", "id", codec="ppm").collect()}
+    assert (got[0]["width"], got[0]["height"], got[0]["px_sum"]) == (2, 2, 78)
+    assert abs(got[0]["mean_px"] - 78 / 12) < 1e-6
+
+    got = {r["id"]: r for r in decode_image_stats(df.filter("id != 0"), "img", "id", codec="bmp").collect()}
+    assert (got[1]["width"], got[1]["px_sum"]) == (2, 78)
+    assert got[2]["width"] == -1 and got[2]["px_sum"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image_stats(df, "img", "id", codec="jpeg")
+
+
 def test_image_features_deterministic(spark, media_df):
     from lance_spark.operators.multimodal import image_features
 
