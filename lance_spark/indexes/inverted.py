@@ -269,14 +269,18 @@ def fuzzy_query(
     column: str | None = None,
     k: int = 10,
     prefix_length: int = 0,
+    max_expansions: int = 50,
 ) -> DataFrame:
     """Fuzzy match through the index (inverted/query.rs MatchQuery.fuzziness):
     expand the term against the postings' token DICTIONARY — vocabulary-
     sized, not corpus-sized — then BM25-score the expanded OR-of-terms.
     ``prefix_length`` prunes the dictionary pass to tokens sharing the
     term's prefix (the role of tantivy's fuzzy automaton prefix, expressed
-    as a parquet-pushable prefix filter). The collected expansion set is
-    bounded by the matching vocabulary, not the corpus."""
+    as a parquet-pushable prefix filter). The driver-side expansion set is
+    CAPPED at ``max_expansions`` (Lucene/tantivy's default of 50): closest
+    edit distance wins, ties broken lexically, ranked IN-PLAN so the
+    collect is bounded even when a pathological term (short + high
+    fuzziness over a web-scale vocabulary) matches millions of tokens."""
     meta = _find(ds, column)
     postings, doclens = _index_tables(ds, spark, meta)
     t = query_tokens([term], meta.params.get("tokenizer", "simple"))[0]
@@ -285,7 +289,11 @@ def fuzzy_query(
         vocab = vocab.filter(F.col("token").startswith(t[:prefix_length]))
     expanded = [
         r["token"]
-        for r in vocab.filter(F.levenshtein(F.col("token"), F.lit(t)) <= fuzziness).collect()
+        for r in vocab.select("token", F.levenshtein(F.col("token"), F.lit(t)).alias("_d"))
+        .filter(F.col("_d") <= fuzziness)
+        .orderBy("_d", "token")
+        .limit(max_expansions)
+        .collect()
     ]
     if not expanded:
         return spark.createDataFrame([], "id long, _score double")

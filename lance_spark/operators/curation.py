@@ -185,7 +185,12 @@ def decontaminate(
     )
 
 
-def unigram_logprob_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    broadcast_vocab_limit: int = 2_000_000,
+) -> DataFrame:
     """Corpus-trained unigram language-model score per document: the
     CCNet/KenLM perplexity-filter shape with a deterministic unigram model
     so the exact math is oracle-checkable → ``(id, n_tokens, avg_logprob)``
@@ -193,18 +198,27 @@ def unigram_logprob_score(df: DataFrame, text_col: str, id_col: str) -> DataFram
 
     Scale shape: one explode pass feeds BOTH the model (groupBy token — one
     shuffle; vocabulary, not corpus, sized output) and the scoring join.
-    The vocab table is broadcast (natural-language vocab is ~1e6 rows ≈
-    tens of MB regardless of corpus size); scoring is then map-side with a
-    single final groupBy on doc id."""
+    Natural-language vocab (~1e6 rows ≈ tens of MB) is broadcast so scoring
+    stays map-side — but web-scale corpora (typos, code, URLs) can grow the
+    vocabulary without bound, so the broadcast is COUNT-GATED: the model is
+    persisted, counted (vocab-sized job, reused by the join), and above
+    ``broadcast_vocab_limit`` distinct tokens the scoring join falls back
+    to a shuffle hash join instead of blowing the driver/broadcast limit."""
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     model = vocab.join(F.broadcast(total)).select(
         "tok", (F.col("cnt") / F.col("total")).alias("p")
     )
-    return (
+    model = model.persist()
+    n_vocab = model.count()
+    scoring = (
         tok.join(F.broadcast(model), "tok")
-        .groupBy("id")
+        if n_vocab <= broadcast_vocab_limit
+        else tok.join(model.hint("shuffle_hash"), "tok")
+    )
+    return (
+        scoring.groupBy("id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
             F.round(F.avg(-F.log(F.col("p"))), 4).alias("avg_logprob"),

@@ -98,3 +98,27 @@ def test_phrase_slop_indexed_matches_flat(spark, docs_ds):
         assert prev <= idx_ids
         prev = idx_ids
     assert prev  # widest slop matched something
+
+
+def test_fuzzy_expansion_cap(spark, docs_ds):
+    """max_expansions bounds the driver-side dictionary expansion: a
+    pathological (short, high-fuzziness) term over the vocabulary must
+    return results from at most N expanded terms, closest-distance-first,
+    and the capped result must be a subset of the uncapped one."""
+    from lance_spark.indexes.inverted import fuzzy_query
+
+    full = fuzzy_query(docs_ds, spark, "tabl", fuzziness=2, k=50).collect()
+    capped = fuzzy_query(docs_ds, spark, "tabl", fuzziness=2, k=50, max_expansions=1).collect()
+    assert len(capped) <= len(full)
+    # max_expansions=1 keeps only the closest term (distance-then-lex order):
+    # every capped hit must also appear in the uncapped result set
+    assert {r["id"] for r in capped} <= {r["id"] for r in full}
+    # exact term present in vocab -> distance 0 wins under a cap of 1,
+    # so capped == plain match on the stemless exact term
+    exact = fuzzy_query(docs_ds, spark, "table", fuzziness=2, k=50, max_expansions=1)
+    from lance_spark.indexes.inverted import match_query
+
+    plain = match_query(docs_ds, spark, ["table"], k=50)
+    assert {(r["id"], r["_score"]) for r in exact.collect()} == {
+        (r["id"], r["_score"]) for r in plain.collect()
+    }

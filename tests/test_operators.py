@@ -372,3 +372,20 @@ def test_decontaminate_ratio(spark):
     assert got[1] == (0.5, True)
     assert got[2] == (0.0, False)
     assert got[3] == (0.0, False)
+
+
+def test_unigram_vocab_broadcast_gate(spark):
+    """The vocab broadcast is count-gated: a degenerate high-cardinality
+    vocabulary (every token unique) must take the shuffle-join fallback and
+    produce IDENTICAL scores to the broadcast path."""
+    from lance_spark.operators.curation import unigram_logprob_score
+
+    rows = [(i, f"tok{i}a tok{i}b shared") for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    bcast = {r["id"]: (r["n_tokens"], r["avg_logprob"])
+             for r in unigram_logprob_score(df, "text", "id").collect()}
+    # 401 distinct tokens > limit of 10 -> shuffle-hash fallback
+    shuf = {r["id"]: (r["n_tokens"], r["avg_logprob"])
+            for r in unigram_logprob_score(df, "text", "id", broadcast_vocab_limit=10).collect()}
+    assert bcast == shuf and len(bcast) == 200
+    assert all(n >= 3 and lp > 0 for n, lp in bcast.values())
