@@ -20,8 +20,10 @@ from pyspark.sql import functions as F
 LANG_STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is"],
     "es": ["el", "la", "de", "que", "y", "los"],
-    "fr": ["le", "la", "de", "et", "un", "les"],
-    "de": ["der", "die", "und", "das", "ein"],
+    "fr": ["le", "la", "de", "et", "un", "les", "des", "en", "du", "dans",
+           "est", "pour", "qui", "une", "sur"],
+    "de": ["der", "die", "und", "das", "ein", "von", "mit", "den", "des",
+           "im", "nicht", "zu", "auf", "ist", "eine"],
 }
 
 STOPWORDS_EN = LANG_STOPWORDS["en"]
@@ -131,6 +133,120 @@ def tokenize_stemmed(col) -> Column:
     return F.transform(tokenize(col), stem_token)
 
 
+# --- German / French snowball-style rule subsets --------------------------
+# Mirrors the reference's per-language snowball stemmer configs
+# (rust/lance-index/src/scalar/inverted/tokenizer.rs:43-80). Same contract
+# as the English porter-lite above: deterministic first-match-wins CASE
+# chains with minimum-stem-length guards, no backreferences, so the exact
+# rules are expressible in the DuckDB oracle and in the driver-side
+# query-term mirrors.
+
+_ASCII_FOLD_SRC = "àáâãäåèéêëìíîïòóôõöùúûüýÿñç"
+_ASCII_FOLD_DST = "aaaaaaeeeeiiiiooooouuuuyync"
+_FOLD_TABLE = str.maketrans(_ASCII_FOLD_SRC, _ASCII_FOLD_DST)
+
+
+def _fold_de(col) -> Column:
+    """German normalization: lowercase, ß→ss, umlauts/diacritics folded —
+    after which the text is ASCII and the 'simple' tokenizer applies."""
+    return ascii_fold(F.regexp_replace(F.lower(col), "ß", "ss"))
+
+
+def stem_token_de(t) -> Column:
+    """German snowball-lite: declensional endings (-ern -en -er -es -em -e
+    -s) then derivational suffixes (-ung -heit -keit -lich -isch)."""
+    t1 = (
+        F.when(t.rlike(".{3}ern$"), F.regexp_replace(t, "ern$", ""))
+        .when(t.rlike(".{3}(en|er|es|em)$"), F.regexp_replace(t, "(en|er|es|em)$", ""))
+        .when(t.rlike(".{3}e$"), F.regexp_replace(t, "e$", ""))
+        .when(t.rlike(".{4}s$"), F.regexp_replace(t, "s$", ""))
+        .otherwise(t)
+    )
+    return (
+        F.when(t1.rlike(".{4}(ung|heit|keit)$"), F.regexp_replace(t1, "(ung|heit|keit)$", ""))
+        .when(t1.rlike(".{4}(lich|isch)$"), F.regexp_replace(t1, "(lich|isch)$", ""))
+        .otherwise(t1)
+    )
+
+
+def stem_word_de(w: str) -> str:
+    """Driver-side mirror of ``stem_token_de`` — rule-for-rule identical."""
+    import re
+
+    if re.search(r".{3}ern$", w):
+        t1 = re.sub(r"ern$", "", w)
+    elif re.search(r".{3}(en|er|es|em)$", w):
+        t1 = re.sub(r"(en|er|es|em)$", "", w)
+    elif re.search(r".{3}e$", w):
+        t1 = re.sub(r"e$", "", w)
+    elif re.search(r".{4}s$", w):
+        t1 = re.sub(r"s$", "", w)
+    else:
+        t1 = w
+    if re.search(r".{4}(ung|heit|keit)$", t1):
+        return re.sub(r"(ung|heit|keit)$", "", t1)
+    if re.search(r".{4}(lich|isch)$", t1):
+        return re.sub(r"(lich|isch)$", "", t1)
+    return t1
+
+
+def stem_token_fr(t) -> Column:
+    """French snowball-lite: -eaux/-aux plural mutation, derivational
+    suffixes (-ation(s) -ement(s) -euse(s)), then verb/plural endings
+    (-er -ez -ent, -es -e -s)."""
+    t1 = (
+        F.when(t.rlike("eaux$"), F.regexp_replace(t, "eaux$", "eau"))
+        .when(t.rlike(".aux$"), F.regexp_replace(t, "aux$", "al"))
+        .when(
+            t.rlike(".{3}(ations|ation|ements|ement|euses|euse)$"),
+            F.regexp_replace(t, "(ations|ation|ements|ement|euses|euse)$", ""),
+        )
+        .otherwise(t)
+    )
+    return (
+        F.when(t1.rlike(".{3}(er|ez|ent)$"), F.regexp_replace(t1, "(er|ez|ent)$", ""))
+        .when(t1.rlike(".{3}es$"), F.regexp_replace(t1, "es$", ""))
+        .when(t1.rlike(".{3}e$"), F.regexp_replace(t1, "e$", ""))
+        .when(t1.rlike(".{3}s$"), F.regexp_replace(t1, "s$", ""))
+        .otherwise(t1)
+    )
+
+
+def stem_word_fr(w: str) -> str:
+    """Driver-side mirror of ``stem_token_fr`` — rule-for-rule identical."""
+    import re
+
+    if re.search(r"eaux$", w):
+        t1 = re.sub(r"eaux$", "eau", w)
+    elif re.search(r".aux$", w):
+        t1 = re.sub(r"aux$", "al", w)
+    elif re.search(r".{3}(ations|ation|ements|ement|euses|euse)$", w):
+        t1 = re.sub(r"(ations|ation|ements|ement|euses|euse)$", "", w)
+    else:
+        t1 = w
+    if re.search(r".{3}(er|ez|ent)$", t1):
+        return re.sub(r"(er|ez|ent)$", "", t1)
+    if re.search(r".{3}es$", t1):
+        return re.sub(r"es$", "", t1)
+    if re.search(r".{3}e$", t1):
+        return re.sub(r"e$", "", t1)
+    if re.search(r".{3}s$", t1):
+        return re.sub(r"s$", "", t1)
+    return t1
+
+
+def tokenize_german(col) -> Column:
+    """fold(ß/umlauts) → simple tokenizer → German stemming
+    ('german_stem' config)."""
+    return F.transform(tokenize(_fold_de(col)), stem_token_de)
+
+
+def tokenize_french(col) -> Column:
+    """fold(diacritics) → simple tokenizer → French stemming
+    ('french_stem' config)."""
+    return F.transform(tokenize(ascii_fold(F.lower(col))), stem_token_fr)
+
+
 def tokenizer_expr(name: str):
     """Named tokenizer registry (tokenizer.rs LanceTokenizer names) →
     callable(col) -> array<string> Column. Index params record the name so
@@ -141,10 +257,13 @@ def tokenizer_expr(name: str):
             "whitespace": tokenize_whitespace,
             "unicode": tokenize_unicode,
             "english_stem": tokenize_stemmed,
+            "german_stem": tokenize_german,
+            "french_stem": tokenize_french,
         }[name]
     except KeyError:
         raise ValueError(
-            f"unknown tokenizer {name!r}; expected simple|whitespace|unicode|english_stem"
+            f"unknown tokenizer {name!r}; expected "
+            "simple|whitespace|unicode|english_stem|german_stem|french_stem"
         ) from None
 
 
@@ -154,6 +273,10 @@ def query_tokens(terms: list[str], tokenizer: str) -> list[str]:
     terms = [t.lower() for t in terms]
     if tokenizer == "english_stem":
         return [stem_word(t) for t in terms]
+    if tokenizer == "german_stem":
+        return [stem_word_de(t.replace("ß", "ss").translate(_FOLD_TABLE)) for t in terms]
+    if tokenizer == "french_stem":
+        return [stem_word_fr(t.translate(_FOLD_TABLE)) for t in terms]
     return terms
 
 

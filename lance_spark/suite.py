@@ -1791,6 +1791,59 @@ def fts_fuzzy_indexed(spark, sf_dir):
     )
 
 
+def _duck_stem_toks_de(toks_expr: str) -> str:
+    """DuckDB mirror of functions/text.py stem_token_de (German
+    snowball-lite), rule-for-rule: declensional endings then derivational
+    suffixes, first match wins."""
+    s1 = (
+        "CASE WHEN regexp_matches(t, '.{3}ern$') THEN regexp_replace(t, 'ern$', '') "
+        "WHEN regexp_matches(t, '.{3}(en|er|es|em)$') THEN regexp_replace(t, '(en|er|es|em)$', '') "
+        "WHEN regexp_matches(t, '.{3}e$') THEN regexp_replace(t, 'e$', '') "
+        "WHEN regexp_matches(t, '.{4}s$') THEN regexp_replace(t, 's$', '') "
+        "ELSE t END"
+    )
+    s2 = (
+        "CASE WHEN regexp_matches(u, '.{4}(ung|heit|keit)$') THEN regexp_replace(u, '(ung|heit|keit)$', '') "
+        "WHEN regexp_matches(u, '.{4}(lich|isch)$') THEN regexp_replace(u, '(lich|isch)$', '') "
+        "ELSE u END"
+    )
+    return f"list_transform(list_transform({toks_expr}, t -> {s1}), u -> {s2})"
+
+
+def _duck_stem_toks_fr(toks_expr: str) -> str:
+    """DuckDB mirror of functions/text.py stem_token_fr (French
+    snowball-lite): -eaux/-aux mutation, derivational suffixes, then
+    verb/plural endings."""
+    s1 = (
+        "CASE WHEN regexp_matches(t, 'eaux$') THEN regexp_replace(t, 'eaux$', 'eau') "
+        "WHEN regexp_matches(t, '.aux$') THEN regexp_replace(t, 'aux$', 'al') "
+        "WHEN regexp_matches(t, '.{3}(ations|ation|ements|ement|euses|euse)$') "
+        "THEN regexp_replace(t, '(ations|ation|ements|ement|euses|euse)$', '') "
+        "ELSE t END"
+    )
+    s2 = (
+        "CASE WHEN regexp_matches(u, '.{3}(er|ez|ent)$') THEN regexp_replace(u, '(er|ez|ent)$', '') "
+        "WHEN regexp_matches(u, '.{3}es$') THEN regexp_replace(u, 'es$', '') "
+        "WHEN regexp_matches(u, '.{3}e$') THEN regexp_replace(u, 'e$', '') "
+        "WHEN regexp_matches(u, '.{3}s$') THEN regexp_replace(u, 's$', '') "
+        "ELSE u END"
+    )
+    return f"list_transform(list_transform({toks_expr}, t -> {s1}), u -> {s2})"
+
+
+# German/French normalization before tokenizing (ß→ss + diacritic fold);
+# the corpus is ASCII so this is an identity here, but the oracle applies
+# the same pipeline as the Spark tokenizers for rule parity.
+_DUCK_FOLD_DE = (
+    "translate(replace(lower(text), 'ß', 'ss'),"
+    " 'àáâãäåèéêëìíîïòóôõöùúûüýÿñç', 'aaaaaaeeeeiiiiooooouuuuyync')"
+)
+_DUCK_FOLD_FR = (
+    "translate(lower(text),"
+    " 'àáâãäåèéêëìíîïòóôõöùúûüýÿñç', 'aaaaaaeeeeiiiiooooouuuuyync')"
+)
+
+
 @query(
     "fts_stemmed_match",
     _bm25_oracle(
@@ -1812,6 +1865,64 @@ def fts_stemmed_match(spark, sf_dir):
     write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="english_stem")
     hits = match_query(ds, spark, ["tables", "scanning", "joins"], k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
+@query(
+    "fts_stemmed_match_de",
+    _bm25_oracle(
+        ["tabl", "ord", "join"],  # German-stemmed forms of the query terms
+        toks=_duck_stem_toks_de(_DUCK_TOKS.format(col=_DUCK_FOLD_DE)),
+    ),
+)
+def fts_stemmed_match_de(spark, sf_dir):
+    """german_stem tokenizer end-to-end (tokenizer.rs per-language snowball
+    configs): postings German-stemmed at build, query terms stemmed at
+    search — 'tables'/'ordern'/'joine' conflate onto the corpus's
+    'table'/'order'/'join' via the shared stem."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_stemde_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="german_stem")
+    hits = match_query(ds, spark, ["tables", "ordern", "joine"], k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
+@query(
+    "fts_stemmed_match_fr",
+    _bm25_oracle(
+        ["tabl", "ord", "join"],  # French-stemmed forms of the query terms
+        toks=_duck_stem_toks_fr(_DUCK_TOKS.format(col=_DUCK_FOLD_FR)),
+    ),
+)
+def fts_stemmed_match_fr(spark, sf_dir):
+    """french_stem tokenizer end-to-end: 'tables'/'ordent'/'joins' conflate
+    onto 'table'/'order'/'join' through the French rule set."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_stemfr_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="french_stem")
+    hits = match_query(ds, spark, ["tables", "ordent", "joins"], k=10)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)

@@ -81,3 +81,68 @@ def test_tokenizer_registry_rejects_unknown():
 
     with pytest.raises(ValueError, match="unknown tokenizer"):
         tokenizer_expr("klingon")
+
+
+def test_german_french_stem_column_matches_driver_mirror(spark):
+    """stem_token_de/fr (Column) and stem_word_de/fr (driver) must be
+    rule-for-rule identical — query terms only hit stemmed postings if the
+    two stay in lockstep."""
+    from pyspark.sql import functions as F
+
+    from lance_spark.functions.text import (
+        stem_token_de, stem_token_fr, stem_word_de, stem_word_fr,
+    )
+
+    words = [
+        # German: declensional + derivational + guards
+        "tagen", "kinder", "laufend", "hunden", "hoffnung", "freundlich",
+        "schnelles", "haus", "rose", "ein", "es",
+        # French: mutations + suffixes + endings + guards
+        "chevaux", "eaux", "tableaux", "nations", "doucement", "chanteuses",
+        "parler", "parlez", "parlent", "tables", "table", "les", "de",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got_de = {r["w"]: r["s"] for r in df.select("w", stem_token_de(F.col("w")).alias("s")).collect()}
+    got_fr = {r["w"]: r["s"] for r in df.select("w", stem_token_fr(F.col("w")).alias("s")).collect()}
+    for w in words:
+        assert got_de[w] == stem_word_de(w), f"de mismatch on {w!r}"
+        assert got_fr[w] == stem_word_fr(w), f"fr mismatch on {w!r}"
+    # spot semantics: plural/derivation conflation, short-word guards
+    assert got_de["tagen"] == "tag" and got_de["hoffnung"] == "hoffn"
+    assert got_de["es"] == "es" and got_de["ein"] == "ein"
+    assert got_fr["chevaux"] == "cheval" and got_fr["eaux"] == "eau"
+    assert got_fr["parler"] == got_fr["parlez"] == got_fr["parlent"] == "parl"
+    assert got_fr["de"] == "de"
+
+
+def test_german_fold_and_index_roundtrip(spark, tmp_path):
+    """ß/umlaut folding: surface forms with diacritics hit the folded,
+    stemmed postings through the german_stem index."""
+    import lance_spark as ls
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+
+    docs = spark.createDataFrame(
+        [(0, "die Straßen der Städte"), (1, "ein großes Haus"), (2, "nothing here")],
+        ["doc_id", "text"],
+    )
+    ds = ls.write_dataset(docs, str(tmp_path / "destem"))
+    ds = create_inverted_index(ds, spark, "text", tokenizer="german_stem")
+    # 'strassen' folds+stems to the same token as indexed 'Straßen'
+    hits = match_query(ds, spark, ["strassen"], k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    got = {r["doc_id"] for r in hits.join(base, hits.id == base._rowid).collect()}
+    assert got == {0}
+
+
+def test_stopword_lists_de_fr(spark):
+    from pyspark.sql import functions as F
+
+    from lance_spark.functions.text import remove_stopwords, tokenize
+
+    df = spark.createDataFrame(
+        [("der hund und die katze",), ("le chien et les chats",)], ["t"]
+    )
+    de = df.select(remove_stopwords(tokenize(F.col("t")), "de").alias("x")).collect()
+    fr = df.select(remove_stopwords(tokenize(F.col("t")), "fr").alias("x")).collect()
+    assert de[0]["x"] == ["hund", "katze"]
+    assert fr[1]["x"] == ["chien", "chats"]
