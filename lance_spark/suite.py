@@ -2803,6 +2803,44 @@ def ann_prefiltered(spark, sf_dir):
     )
 
 
+@query(
+    "ds_lifecycle_e2e",
+    f"""
+    SELECT e.vec_id, round(1.0 - ({_DUCK_COS_Q}), 4) AS _distance
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+    WHERE e.vec_id != 7
+    ORDER BY round(1.0 - ({_DUCK_COS_Q}), 4), e.vec_id
+    LIMIT 10
+    """,
+)
+def ds_lifecycle_e2e(spark, sf_dir):
+    """Full index-maintenance lifecycle through the dataset API:
+    write 70% → create_index (IVF_FLAT) → append the other 30% (unindexed
+    tail) → optimize_indices (tail folded into the index) → nearest at
+    exhaustive nprobes. The brute-force oracle runs over the FULL corpus,
+    so the top-k is only right if the appended tail made it into the
+    index — composition previously covered only by pytest."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    rest = emb.filter("vec_id != 7")
+    uri = tempfile.mkdtemp(prefix="lsq_life_") + "/emb"
+    write_dataset(rest.filter("vec_id % 10 < 7").repartition(2), uri, mode="create")
+    ds = dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_FLAT", num_partitions=8, metric="cosine"
+    )
+    ds = ds.insert(rest.filter("vec_id % 10 >= 7").repartition(2))
+    ds = ds.optimize_indices(spark)
+    res = ds.nearest(spark, "embedding", qvec, k=10, nprobes=8, refine_factor=100)
+    return res.select(
+        "vec_id", F.round("_distance", 4).alias("_distance")
+    ).orderBy("_distance", "vec_id")
+
+
 # --------------------------------------------------------------------------
 # TPC-H breadth, part 2 (SURVEY §2.3 delegated-engine surface): multi-join
 # fact/dim pipelines, left-join histograms, correlated/scalar subqueries,
