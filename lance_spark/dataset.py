@@ -240,7 +240,12 @@ class LanceDataset:
         rows, not N.
         """
         if filter is not None and not isinstance(filter, str):
-            filter = arrow_filter_to_sql(filter)  # noqa: A001 - reference API name
+            import pyarrow as pa
+
+            if isinstance(filter, (bytes, bytearray, memoryview, pa.Buffer)):
+                filter = substrait_filter_to_sql(filter)  # noqa: A001
+            else:
+                filter = arrow_filter_to_sql(filter)  # noqa: A001 - reference API name
         frags = self.manifest.fragments
         if fragments is not None:
             wanted = set(fragments)
@@ -779,9 +784,45 @@ def arrow_filter_to_sql(expr) -> str:
     this converts the stable rendered form of the sargable surface —
     comparisons, and/or, invert(), is_valid/is_null, is_in — and rejects
     anything else loudly rather than mis-translating it."""
+    return _rendered_arrow_to_sql(str(expr), expr)
+
+
+def substrait_filter_to_sql(buf) -> str:
+    """Substrait ExtendedExpression protobuf → Spark SQL predicate string.
+
+    Third filter input form next to SQL strings and pyarrow expressions,
+    mirroring the reference's Substrait support
+    (rust/lance-datafusion/src/substrait.rs, sql.rs:18-45): the reference
+    lowers Substrait to a DataFusion Expr; here pyarrow's bundled Substrait
+    consumer lowers it to a bound pyarrow expression, whose positional
+    field references (FieldPath(i)) are resolved to column names through
+    the message's embedded schema, after which the pyarrow renderer path
+    applies. Sargable subset only — anything else raises."""
     import re
 
-    s = str(expr)
+    try:
+        import pyarrow.substrait as pa_substrait
+    except ImportError as e:  # pragma: no cover - pyarrow always bundles it
+        raise NotImplementedError(
+            "Substrait filter input requires pyarrow.substrait"
+        ) from e
+
+    bound = pa_substrait.deserialize_expressions(buf)
+    exprs = dict(bound.expressions)
+    if len(exprs) != 1:
+        raise ValueError(
+            f"expected exactly one Substrait filter expression, got {sorted(exprs)}"
+        )
+    (expr,) = exprs.values()
+    names = [f.name for f in bound.schema]
+    s = re.sub(
+        r"FieldPath\((\d+)\)", lambda m: names[int(m.group(1))], str(expr)
+    )
+    return _rendered_arrow_to_sql(s, expr)
+
+
+def _rendered_arrow_to_sql(s: str, expr) -> str:
+    import re
 
     def in_list(m: "re.Match[str]") -> str:
         vals = [v.strip() for v in m.group(2).split(",") if v.strip()]

@@ -139,6 +139,52 @@ def test_pyarrow_expression_filters(spark, sf_dir, tmp_path):
         arrow_filter_to_sql(pc.ascii_upper(pc.field("o_orderstatus")) == "X")
 
 
+def test_substrait_expression_filters(spark, sf_dir, tmp_path):
+    """scanner(filter=<Substrait ExtendedExpression bytes>) — third filter
+    input form, mirroring rust/lance-datafusion/src/substrait.rs: eq /
+    range / compound filters roundtrip through serialize → scanner and
+    match the SQL-string plan's row counts."""
+    import pyarrow.compute as pc
+    import pyarrow.substrait as pa_substrait
+
+    import lance_spark as ls
+    from lance_spark.dataset import substrait_filter_to_sql
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ds = ls.write_dataset(orders, str(tmp_path / "sub"))
+    schema = ds.to_arrow_schema() if hasattr(ds, "to_arrow_schema") else None
+    if schema is None:
+        import pyarrow.parquet as pq
+        import glob
+
+        schema = pq.read_schema(glob.glob(f"{sf_dir}/orders.parquet")[0])
+
+    cases = [
+        (pc.field("o_orderpriority") == "1-URGENT", "o_orderpriority = '1-URGENT'"),
+        (pc.field("o_orderkey") > 100, "o_orderkey > 100"),
+        (
+            (pc.field("o_totalprice") >= 1000.5) & (pc.field("o_custkey") < 50),
+            "o_totalprice >= 1000.5 AND o_custkey < 50",
+        ),
+    ]
+    for pa_expr, sql in cases:
+        buf = pa_substrait.serialize_expressions([pa_expr], ["filter"], schema)
+        got = ds.scanner(spark, filter=buf.to_pybytes()).count()  # raw bytes
+        got_buf = ds.scanner(spark, filter=buf).count()  # pyarrow Buffer
+        want = ds.scanner(spark, filter=sql).count()
+        assert got == got_buf == want, f"{sql}: {substrait_filter_to_sql(buf)}"
+        assert want > 0  # the filters actually select something
+
+    import pytest as _pytest
+
+    # two expressions in one message is ambiguous -> loud error
+    buf2 = pa_substrait.serialize_expressions(
+        [cases[0][0], cases[1][0]], ["a", "b"], schema
+    )
+    with _pytest.raises(ValueError, match="exactly one"):
+        substrait_filter_to_sql(buf2)
+
+
 def test_json_function_family(spark):
     """Named json_get_* shims (reference udf.rs:18-28 registry parity)."""
     from lance_spark.functions import json as J
