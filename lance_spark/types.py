@@ -25,19 +25,17 @@ BFLOAT16_EXTENSION = "lance.bfloat16"
 
 
 def _decode_bf16(arr: pa.Array) -> pa.Array:
-    """fixed_size_binary(2) little-endian bf16 payloads → float32."""
+    """fixed_size_binary(2) little-endian bf16 payloads → float32.
+
+    Vectorized: the fixed-size-binary data buffer is a contiguous u16 run;
+    widening each to the top half of a u32 bit-pattern IS the bf16→f32
+    conversion (bf16 = f32 with the low 16 mantissa bits dropped)."""
     storage = arr.storage if isinstance(arr, pa.ExtensionArray) else arr
-    out = np.empty(len(storage), dtype=np.float32)
-    buf = np.zeros(1, dtype=np.uint32)
-    for i, v in enumerate(storage):
-        b = v.as_py()
-        if b is None:
-            out[i] = np.nan
-            continue
-        buf[0] = np.uint32(int.from_bytes(b, "little")) << 16
-        out[i] = buf.view(np.float32)[0]
-    mask = np.array([v.as_py() is None for v in storage], dtype=bool)
-    return pa.array(out, mask=mask)
+    data = storage.buffers()[1]
+    u16 = np.frombuffer(data, dtype="<u2", count=len(storage), offset=storage.offset * 2)
+    f32 = (u16.astype(np.uint32) << 16).view(np.float32)
+    mask = ~np.asarray(storage.is_valid(), dtype=bool)
+    return pa.array(f32, mask=mask)
 
 
 def _normalize_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:

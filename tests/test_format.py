@@ -523,6 +523,9 @@ def test_write_dataset_arrow_table_type_mappings(spark, tmp_uri):
             "k": pa.array([1, 2, 3], pa.int64()),
             "d": pa.array(["a", "b", "a"]).dictionary_encode(),
             "ls": pa.array(["x", "y", "z"], pa.large_string()),
+            "lb": pa.array([b"p", b"q", b"r"], pa.large_binary()),
+            "di": pa.array([10, 20, 10], pa.int64()).dictionary_encode(),
+            "ll": pa.array([[1], [2, 3], []], pa.large_list(pa.int64())),
             "fsl": pa.FixedSizeListArray.from_arrays(
                 pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0], pa.float32()), 2
             ),
@@ -537,6 +540,9 @@ def test_write_dataset_arrow_table_type_mappings(spark, tmp_uri):
     got = ds.to_df(spark).orderBy("k").collect()
     assert [r["d"] for r in got] == ["a", "b", "a"]
     assert [r["ls"] for r in got] == ["x", "y", "z"]
+    assert [bytes(r["lb"]) for r in got] == [b"p", b"q", b"r"]
+    assert [r["di"] for r in got] == [10, 20, 10]
+    assert [r["ll"] for r in got] == [[1], [2, 3], []]
     assert got[0]["fsl"] == [1.0, 2.0]
     assert got[0]["bf"] == 1.5 and got[1]["bf"] == -2.0
     import math
