@@ -235,6 +235,44 @@ def stem_word_fr(w: str) -> str:
     return t1
 
 
+def stem_token_es(t) -> Column:
+    """Spanish snowball-lite: -ciones→-cion mutation, derivational
+    suffixes (-mente -idad -able), then plural endings (-es -s)."""
+    t1 = (
+        F.when(t.rlike(".{3}ciones$"), F.regexp_replace(t, "ciones$", "cion"))
+        .when(t.rlike(".{4}(mente|idad|able)$"), F.regexp_replace(t, "(mente|idad|able)$", ""))
+        .otherwise(t)
+    )
+    return (
+        F.when(t1.rlike(".{3}es$"), F.regexp_replace(t1, "es$", ""))
+        .when(t1.rlike(".{3}s$"), F.regexp_replace(t1, "s$", ""))
+        .otherwise(t1)
+    )
+
+
+def stem_word_es(w: str) -> str:
+    """Driver-side mirror of ``stem_token_es`` — rule-for-rule identical."""
+    import re
+
+    if re.search(r".{3}ciones$", w):
+        t1 = re.sub(r"ciones$", "cion", w)
+    elif re.search(r".{4}(mente|idad|able)$", w):
+        t1 = re.sub(r"(mente|idad|able)$", "", w)
+    else:
+        t1 = w
+    if re.search(r".{3}es$", t1):
+        return re.sub(r"es$", "", t1)
+    if re.search(r".{3}s$", t1):
+        return re.sub(r"s$", "", t1)
+    return t1
+
+
+def tokenize_spanish(col) -> Column:
+    """fold(diacritics) → simple tokenizer → Spanish stemming
+    ('spanish_stem' config)."""
+    return F.transform(tokenize(ascii_fold(F.lower(col))), stem_token_es)
+
+
 def tokenize_german(col) -> Column:
     """fold(ß/umlauts) → simple tokenizer → German stemming
     ('german_stem' config)."""
@@ -259,11 +297,12 @@ def tokenizer_expr(name: str):
             "english_stem": tokenize_stemmed,
             "german_stem": tokenize_german,
             "french_stem": tokenize_french,
+            "spanish_stem": tokenize_spanish,
         }[name]
     except KeyError:
         raise ValueError(
-            f"unknown tokenizer {name!r}; expected "
-            "simple|whitespace|unicode|english_stem|german_stem|french_stem"
+            f"unknown tokenizer {name!r}; expected simple|whitespace|unicode"
+            "|english_stem|german_stem|french_stem|spanish_stem"
         ) from None
 
 
@@ -277,6 +316,8 @@ def query_tokens(terms: list[str], tokenizer: str) -> list[str]:
         return [stem_word_de(t.replace("ß", "ss").translate(_FOLD_TABLE)) for t in terms]
     if tokenizer == "french_stem":
         return [stem_word_fr(t.translate(_FOLD_TABLE)) for t in terms]
+    if tokenizer == "spanish_stem":
+        return [stem_word_es(t.translate(_FOLD_TABLE)) for t in terms]
     return terms
 
 

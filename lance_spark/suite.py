@@ -1873,6 +1873,50 @@ def fts_stemmed_match(spark, sf_dir):
     )
 
 
+def _duck_stem_toks_es(toks_expr: str) -> str:
+    """DuckDB mirror of functions/text.py stem_token_es (Spanish
+    snowball-lite): -ciones mutation, derivational suffixes, plurals."""
+    s1 = (
+        "CASE WHEN regexp_matches(t, '.{3}ciones$') THEN regexp_replace(t, 'ciones$', 'cion') "
+        "WHEN regexp_matches(t, '.{4}(mente|idad|able)$') THEN regexp_replace(t, '(mente|idad|able)$', '') "
+        "ELSE t END"
+    )
+    s2 = (
+        "CASE WHEN regexp_matches(u, '.{3}es$') THEN regexp_replace(u, 'es$', '') "
+        "WHEN regexp_matches(u, '.{3}s$') THEN regexp_replace(u, 's$', '') "
+        "ELSE u END"
+    )
+    return f"list_transform(list_transform({toks_expr}, t -> {s1}), u -> {s2})"
+
+
+@query(
+    "fts_stemmed_match_es",
+    _bm25_oracle(
+        ["order", "key", "scan"],  # Spanish-stemmed forms of the query terms
+        toks=_duck_stem_toks_es(_DUCK_TOKS.format(col=_DUCK_FOLD_FR)),
+    ),
+)
+def fts_stemmed_match_es(spark, sf_dir):
+    """spanish_stem tokenizer end-to-end: 'orders'/'keys'/'scans' conflate
+    onto the corpus's 'order'/'key'/'scan' through the Spanish rule set."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_stemes_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="spanish_stem")
+    hits = match_query(ds, spark, ["orders", "keys", "scans"], k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
 @query(
     "fts_stemmed_match_de",
     _bm25_oracle(

@@ -115,6 +115,24 @@ def test_german_french_stem_column_matches_driver_mirror(spark):
     assert got_fr["de"] == "de"
 
 
+def test_spanish_stem_column_matches_driver_mirror(spark):
+    from pyspark.sql import functions as F
+
+    from lance_spark.functions.text import stem_token_es, stem_word_es
+
+    words = [
+        "canciones", "naciones", "rapidamente", "felicidad", "amable",
+        "casas", "flores", "luces", "sol", "mes", "los",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {r["w"]: r["s"] for r in df.select("w", stem_token_es(F.col("w")).alias("s")).collect()}
+    for w in words:
+        assert got[w] == stem_word_es(w), f"es mismatch on {w!r}"
+    assert got["canciones"] == "cancion" and got["casas"] == "casa"
+    assert got["rapidamente"] == "rapida" and got["flores"] == "flor"
+    assert got["los"] == "los" and got["mes"] == "mes"  # short-word guards
+
+
 def test_german_fold_and_index_roundtrip(spark, tmp_path):
     """ß/umlaut folding: surface forms with diacritics hit the folded,
     stemmed postings through the german_stem index."""
