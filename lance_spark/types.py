@@ -38,20 +38,31 @@ def _decode_bf16(arr: pa.Array) -> pa.Array:
     return pa.array(f32, mask=mask)
 
 
+def _norm_value_type(vt: pa.DataType) -> pa.DataType:
+    # f16 has no Spark runtime type; widen to f32 (the reference's
+    # _cast_list_f16 seam, rust/lance-datafusion/src/planner.rs:63-155,
+    # crossed in the opposite direction on ingest)
+    return pa.float32() if pa.types.is_float16(vt) else vt
+
+
 def _normalize_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:
     t = arr.type
     if isinstance(t, pa.ExtensionType) and t.extension_name == BFLOAT16_EXTENSION:
         return pa.chunked_array([_decode_bf16(c) for c in arr.chunks])
     if pa.types.is_dictionary(t):
-        return arr.cast(t.value_type)
+        return _normalize_array(arr.cast(t.value_type))
+    if pa.types.is_float16(t):
+        return arr.cast(pa.float32())
     if pa.types.is_large_string(t):
         return arr.cast(pa.string())
     if pa.types.is_large_binary(t):
         return arr.cast(pa.binary())
     if pa.types.is_fixed_size_list(t):
-        return arr.cast(pa.list_(t.value_type))
+        return arr.cast(pa.list_(_norm_value_type(t.value_type)))
     if pa.types.is_large_list(t):
-        return arr.cast(pa.list_(t.value_type))
+        return arr.cast(pa.list_(_norm_value_type(t.value_type)))
+    if pa.types.is_list(t) and pa.types.is_float16(t.value_type):
+        return arr.cast(pa.list_(pa.float32()))
     return arr
 
 

@@ -526,6 +526,10 @@ def test_write_dataset_arrow_table_type_mappings(spark, tmp_uri):
             "lb": pa.array([b"p", b"q", b"r"], pa.large_binary()),
             "di": pa.array([10, 20, 10], pa.int64()).dictionary_encode(),
             "ll": pa.array([[1], [2, 3], []], pa.large_list(pa.int64())),
+            "h": pa.array(np.array([0.5, 1.5, -2.0], dtype=np.float16), pa.float16()),
+            "hv": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.arange(6, dtype=np.float16), pa.float16()), 2
+            ),
             "fsl": pa.FixedSizeListArray.from_arrays(
                 pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0], pa.float32()), 2
             ),
@@ -543,6 +547,11 @@ def test_write_dataset_arrow_table_type_mappings(spark, tmp_uri):
     assert [bytes(r["lb"]) for r in got] == [b"p", b"q", b"r"]
     assert [r["di"] for r in got] == [10, 20, 10]
     assert [r["ll"] for r in got] == [[1], [2, 3], []]
+    # f16 → f32 widening (the reference's _cast_list_f16 seam, reversed)
+    assert norm.schema.field("h").type == pa.float32()
+    assert norm.schema.field("hv").type == pa.list_(pa.float32())
+    assert [r["h"] for r in got] == [0.5, 1.5, -2.0]
+    assert got[1]["hv"] == [2.0, 3.0]
     assert got[0]["fsl"] == [1.0, 2.0]
     assert got[0]["bf"] == 1.5 and got[1]["bf"] == -2.0
     import math
