@@ -119,3 +119,50 @@ def test_mutation_sequence_matches_model(spark, tmp_path_factory, ops):
         )
         want = model.sort_values("k").reset_index(drop=True)
         pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]], check_dtype=False)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyzäöüßéèê", min_size=1, max_size=14),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_stemmer_mirrors_lockstep(spark, words):
+    """Property: for ANY token, the Column-side stemmer and the driver-side
+    query-term mirror produce the same stem, for all three languages plus
+    English. A divergence silently breaks FTS recall (query terms stop
+    hitting their own postings), so this is pinned over random words
+    including diacritics."""
+    from pyspark.sql import functions as F
+
+    from lance_spark.functions.text import (
+        _FOLD_TABLE,
+        ascii_fold,
+        stem_token,
+        stem_token_de,
+        stem_token_es,
+        stem_token_fr,
+        stem_word,
+        stem_word_de,
+        stem_word_es,
+        stem_word_fr,
+    )
+
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    folded = ascii_fold(F.regexp_replace(F.col("w"), "ß", "ss"))
+    got = df.select(
+        "w",
+        stem_token(F.col("w")).alias("en"),
+        stem_token_de(folded).alias("de"),
+        stem_token_fr(ascii_fold(F.col("w"))).alias("fr"),
+        stem_token_es(ascii_fold(F.col("w"))).alias("es"),
+    ).collect()
+    for r in got:
+        w = r["w"]
+        assert r["en"] == stem_word(w), f"en diverges on {w!r}"
+        assert r["de"] == stem_word_de(w.replace("ß", "ss").translate(_FOLD_TABLE)), f"de diverges on {w!r}"
+        assert r["fr"] == stem_word_fr(w.translate(_FOLD_TABLE)), f"fr diverges on {w!r}"
+        assert r["es"] == stem_word_es(w.translate(_FOLD_TABLE)), f"es diverges on {w!r}"
