@@ -53,7 +53,7 @@ def bench_indexed(spark, sf_dir: str, timings: dict[str, float]) -> None:
     from lance_spark.io import load_table
     from lance_spark.write import write_dataset
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
     # --- ANN: IVF_PQ build (median of repeats), pruned search + refine ----
     emb = load_table(spark, sf_dir, "embeddings")
@@ -125,7 +125,7 @@ def main():
     # away from a 3x outlier (BENCH_r03 recorded 82s on code whose idle
     # wall is 26s). The median of three back-to-back runs is robust to a
     # transient load spike without triple-counting steady-state cost.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in suite.QUERIES:

@@ -815,8 +815,13 @@ def substrait_filter_to_sql(buf) -> str:
         )
     (expr,) = exprs.values()
     names = [f.name for f in bound.schema]
-    s = re.sub(
-        r"FieldPath\((\d+)\)", lambda m: names[int(m.group(1))], str(expr)
+    # Substitute FieldPath(i) → column name OUTSIDE string literals only: a
+    # literal like == "FieldPath(1)" must stay a literal, not become a
+    # column reference (the render uses double quotes for strings).
+    parts = re.split(r'("(?:[^"\\]|\\.)*")', str(expr))
+    s = "".join(
+        p if i % 2 else re.sub(r"FieldPath\((\d+)\)", lambda m: names[int(m.group(1))], p)
+        for i, p in enumerate(parts)
     )
     return _rendered_arrow_to_sql(s, expr)
 
@@ -841,7 +846,10 @@ def _rendered_arrow_to_sql(s: str, expr) -> str:
         s = re.sub(r"invert\(", "NOT (", s, count=1)
     s = s.replace("==", "=")
     s = re.sub(r'"([^"]*)"', r"'\1'", s)
-    if re.search(r"[a-z_]+\(", s.replace("NOT (", "")):
+    # leftover-call sanity check runs on the string with literals blanked —
+    # a quoted literal containing "foo(" is data, not an unconverted call
+    bare = re.sub(r"'[^']*'", "''", s)
+    if re.search(r"[a-z_]+\(", bare.replace("NOT (", "")):
         raise ValueError(
             f"unsupported pyarrow expression (pass a SQL string instead): {expr}"
         )

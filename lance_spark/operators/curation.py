@@ -212,11 +212,16 @@ def unigram_logprob_score(
     )
     model = model.persist()
     n_vocab = model.count()
-    scoring = (
-        tok.join(F.broadcast(model), "tok")
-        if n_vocab <= broadcast_vocab_limit
-        else tok.join(model.hint("shuffle_hash"), "tok")
-    )
+    if n_vocab <= broadcast_vocab_limit:
+        # keep the (small, gate-bounded) model cached for the broadcast;
+        # MEMORY_AND_DISK spills rather than OOMs and caps at the gate size
+        scoring = tok.join(F.broadcast(model), "tok")
+    else:
+        # huge-vocab path: release the cache now — the shuffle join
+        # recomputes the model lineage once, instead of pinning an
+        # unbounded table in executor storage for the app lifetime
+        model.unpersist()
+        scoring = tok.join(model.hint("shuffle_hash"), "tok")
     return (
         scoring.groupBy("id")
         .agg(

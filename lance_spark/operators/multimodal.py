@@ -81,7 +81,38 @@ def _parse_bmp(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
     return (w, h, 3, rows[..., ::-1])  # BGR → RGB
 
 
+def _ppm_header(b: bytes) -> tuple[int, int, int]:
+    """Header-only PPM parse (no pixel materialization) for metadata paths."""
+    if b is None:
+        return (-1, -1, -1)
+    b = bytes(b)
+    m = _PPM_HEADER.match(b)
+    if not m:
+        return (-1, -1, -1)
+    w, h, maxval = (int(m.group(i)) for i in (1, 2, 3))
+    if maxval > 255 or len(b) - m.end() < w * h * 3:
+        return (-1, -1, -1)
+    return (w, h, 3)
+
+
+def _bmp_header(b: bytes) -> tuple[int, int, int]:
+    """Header-only BMP parse (no pixel materialization) for metadata paths."""
+    if b is None or len(b) < 54 or bytes(b[:2]) != b"BM":
+        return (-1, -1, -1)
+    b = bytes(b)
+    data_offset = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return (-1, -1, -1)
+    if len(b) < data_offset + ((w * 3 + 3) & ~3) * abs(h):
+        return (-1, -1, -1)
+    return (w, abs(h), 3)
+
+
 _CODECS = {"ppm": _parse_ppm, "bmp": _parse_bmp}
+_HEADER_CODECS = {"ppm": _ppm_header, "bmp": _bmp_header}
 
 
 def pack_fake_image(width: int, height: int, channels: int = 3, seed: int = 0) -> bytes:
@@ -119,7 +150,8 @@ def decode_image_meta(df: DataFrame, binary_col: str, codec: str = "header") -> 
             if codec == "header":
                 hdr = [_parse_header(b) for b in pdf[binary_col]]
             else:
-                hdr = [_CODECS[codec](b)[:3] for b in pdf[binary_col]]
+                # metadata-only: header parse, no pixel materialization
+                hdr = [_HEADER_CODECS[codec](b) for b in pdf[binary_col]]
             pdf = pdf.copy()
             fmt = "fake" if codec == "header" else codec
             pdf["meta"] = [

@@ -1758,7 +1758,9 @@ def fts_boost(spark, sf_dir):
     dl AS (SELECT id, len(w) AS dl FROM tok),
     stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
     post AS (SELECT id, unnest(w) AS token FROM tok),
-    exp AS (SELECT DISTINCT token FROM post WHERE levenshtein(token, 'tabl') <= 1),
+    exp AS (SELECT token FROM (
+              SELECT DISTINCT token, levenshtein(token, 'tabl') AS d FROM post)
+            WHERE d <= 1 ORDER BY d, token LIMIT 50),
     tfq AS (SELECT token, id, count(*) AS tf FROM post
             WHERE token IN (SELECT token FROM exp) GROUP BY 1, 2),
     dfq AS (SELECT token, count(*) AS df FROM tfq GROUP BY token),
@@ -2239,9 +2241,11 @@ def agg_percentile(spark, sf_dir):
 )
 def agg_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HLL++) value-checked by banding against the
-    exact count(DISTINCT): |approx - exact| / exact must be < 0.05 (the
-    default rsd), which both engines can agree on even though the raw
-    sketch estimate differs per engine."""
+    exact count(DISTINCT): |approx - exact| / exact must be < 3×rsd
+    (rsd=0.05 is a one-sigma relative error, not a bound — a 1-sigma band
+    would false-FAIL on ~1/3 of datasets; 3 sigma is a >99.7% envelope
+    while still catching a broken sketch), which both engines agree on
+    even though the raw estimate differs per engine."""
     return (
         _t(spark, sf_dir, "lineitem")
         .agg(
@@ -2251,7 +2255,7 @@ def agg_approx_distinct(spark, sf_dir):
         .select(
             "n_exact",
             (F.abs(F.col("approx") - F.col("n_exact")) / F.col("n_exact")
-             < F.lit(0.05)).alias("approx_ok"),
+             < F.lit(0.15)).alias("approx_ok"),
         )
     )
 

@@ -93,13 +93,23 @@ def test_real_codecs_ppm_bmp():
     assert (w, h, c) == (2, 2, 3)
     assert arr.tolist() == [[list(p) for p in row] for row in px]
 
-    # malformed inputs degrade to (-1,-1,-1,None), never raise
+    # malformed inputs degrade to (-1,-1,-1,None), never raise — for BOTH
+    # parsers (none of these is a valid PPM or BMP)
     for bad in (None, b"", b"P6\n2 2\n255\n" + b"\x00" * 5, b"BMxx", ppm[:10]):
         for parse in (_parse_ppm, _parse_bmp):
-            assert parse(bad)[:3] == (-1, -1, -1) or parse(bad)[3] is not None
+            assert parse(bad) == (-1, -1, -1, None), (parse.__name__, bad)
 
     # 16-bit PPM and compressed/8-bit BMP are rejected
     assert _parse_ppm(b"P6\n2 2\n65535\n" + flat * 2)[:3] == (-1, -1, -1)
+
+    # header-only parsers (metadata path) agree with the full decoders
+    from lance_spark.operators.multimodal import _bmp_header, _ppm_header
+
+    bmp_bytes = _make_bmp(2, 2, px)
+    for full, hdr, data in ((_parse_ppm, _ppm_header, ppm), (_parse_bmp, _bmp_header, bmp_bytes)):
+        assert hdr(data) == full(data)[:3]
+        for bad in (None, b"", b"BMxx", ppm[:10]):
+            assert hdr(bad) == (-1, -1, -1)
     assert np.frombuffer(flat, dtype=np.uint8).sum() == sum(
         v for row in px for p in row for v in p
     )

@@ -184,6 +184,15 @@ def test_substrait_expression_filters(spark, sf_dir, tmp_path):
     with _pytest.raises(ValueError, match="exactly one"):
         substrait_filter_to_sql(buf2)
 
+    # regression: a string literal that LOOKS like a field reference must
+    # stay a literal — FieldPath substitution only applies outside quotes
+    trap = pa_substrait.serialize_expressions(
+        [pc.field("o_orderpriority") == "FieldPath(1)"], ["f"], schema
+    )
+    sql = substrait_filter_to_sql(trap)
+    assert "'FieldPath(1)'" in sql, sql
+    assert ds.scanner(spark, filter=trap).count() == 0  # no such priority
+
 
 def test_json_function_family(spark):
     """Named json_get_* shims (reference udf.rs:18-28 registry parity)."""

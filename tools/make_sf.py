@@ -8,8 +8,13 @@ source, so sf_out ⊇ sf_in.
 
 Per-copy perturbations:
   - all synthetic keys offset by copy * 100M (BIGINT-safe)
-  - documents.text gets a per-copy suffix token so exact/near-dup
-    populations scale ~linearly instead of exploding cross-copy
+  - documents.text gets a per-copy suffix token, which breaks EXACT
+    duplicates across copies but NOT near-duplicates: one appended token
+    leaves shingle Jaccard ≈0.97, so every replica group is a true
+    near-dup clique and pair-output of minhash/simhash/jaccard queries
+    grows ~quadratically in mult (C(mult,2) pairs per doc). That is
+    result-cardinality growth, not plan cost — interpret dedup wall-times
+    at synthesized sfs against their output size (see SCALING.md).
   - embeddings replicate as-is (scan/score cost is what the ANN/KNN
     benches measure; duplicated vectors don't change the plan shape)
 
