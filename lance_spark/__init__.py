@@ -18,6 +18,16 @@ Public API mirrors python/python/lance/__init__.py of the reference:
 from lance_spark.dataset import LanceDataset, dataset
 from lance_spark.write import commit_fragments, write_dataset, write_fragments
 from lance_spark.session import get_spark
+from lance_spark.query import (
+    BooleanQuery,
+    BoostQuery,
+    FullTextOperator,
+    FullTextQuery,
+    MatchQuery,
+    MultiMatchQuery,
+    Occur,
+    PhraseQuery,
+)
 
 __version__ = "0.2.0"
 
@@ -28,6 +38,14 @@ __all__ = [
     "write_fragments",
     "commit_fragments",
     "get_spark",
+    "FullTextQuery",
+    "MatchQuery",
+    "PhraseQuery",
+    "BoostQuery",
+    "MultiMatchQuery",
+    "BooleanQuery",
+    "Occur",
+    "FullTextOperator",
 ]
 
 # Submodule map (import directly; kept lazy to avoid heavy imports here):

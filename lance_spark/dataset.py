@@ -504,11 +504,24 @@ class LanceDataset:
         return self.update_config({"schema_metadata": dict(metadata)})
 
     def full_text_search(
-        self, spark: SparkSession, query: str, column: str | None = None, k: int = 10
+        self, spark: SparkSession, query, column: str | None = None, k: int = 10
     ) -> DataFrame:
-        """``full_text_search`` entry (scanner fts surface): terms of ``query``
-        matched through the INVERTED index when one exists, else the flat
-        fallback — returns the dataset's columns + _score."""
+        """``full_text_search`` entry (scanner fts surface): a plain string is
+        an OR-of-terms match; a structured ``FullTextQuery`` object
+        (lance_spark.query — reference python/python/lance/query.py:31-244)
+        compiles its whole tree to one Spark plan. Either path goes through
+        the INVERTED index when one exists, else the flat fallback — returns
+        the dataset's columns + _score."""
+        from lance_spark.query import FullTextQuery, execute_query
+
+        if isinstance(query, FullTextQuery):
+            hits = execute_query(spark, query, ds=self, column=column, k=k)
+            base = self.to_df(spark, with_row_id=True)
+            return (
+                base.join(F.broadcast(hits), base[ROWID_COL] == hits["id"])
+                .drop("id", ROWID_COL)
+                .orderBy(F.desc("_score"))
+            )
         terms = [t for t in query.split() if t]
         try:
             from lance_spark.indexes.inverted import _find, match_query

@@ -1,0 +1,337 @@
+"""Composable full-text query objects (the reference's structured FTS API).
+
+Reference surface: python/python/lance/query.py:12-244 — ``MatchQuery``,
+``PhraseQuery``, ``BoostQuery``, ``MultiMatchQuery``, ``BooleanQuery``,
+the ``Occur``/``FullTextOperator`` enums, and ``&``/``|`` composition
+(query.py:57-88). There the objects wrap a PyO3 ``PyFullTextQuery`` that
+DataFusion executes (rust/lance-index/src/scalar/inverted/query.rs:75-597);
+here each node compiles to a Spark plan over the same postings/doclens
+tables the operator functions use, so a query tree is ONE composed
+DataFrame — Catalyst sees the whole thing and the only corpus-sized work
+is the query terms' postings rows.
+
+Scoring semantics (mirrors query.rs / fts.rs):
+  - Match: BM25 sum over terms; ``operator=AND`` keeps only docs matching
+    every term; ``fuzziness`` expands terms against the token dictionary
+    (capped at ``max_expansions``); ``boost`` scales the node's score.
+  - Phrase: positional in-order match (slop-bounded), scored by BM25 of
+    the phrase terms over matching docs.
+  - Boost: positive.score - negative_boost * negative.score.
+  - MultiMatch: per-column Match, boost-weighted sum.
+  - Boolean: docs must match every MUST node and no MUST_NOT node;
+    score = sum of MUST + SHOULD node scores (fts.rs:904).
+  - q1 & q2 == BooleanQuery([(MUST, q1), (MUST, q2)]);
+    q1 | q2 == BooleanQuery([(SHOULD, q1), (SHOULD, q2)]).
+"""
+
+from __future__ import annotations
+
+import abc
+from enum import Enum
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class FullTextQueryType(Enum):
+    MATCH = "match"
+    MATCH_PHRASE = "match_phrase"
+    BOOST = "boost"
+    MULTI_MATCH = "multi_match"
+    BOOLEAN = "boolean"
+
+
+class FullTextOperator(Enum):
+    AND = "AND"
+    OR = "OR"
+
+
+class Occur(Enum):
+    SHOULD = "SHOULD"
+    MUST = "MUST"
+    MUST_NOT = "MUST_NOT"
+
+
+class FullTextQuery(abc.ABC):
+    @abc.abstractmethod
+    def query_type(self) -> FullTextQueryType: ...
+
+    def __and__(self, other: "FullTextQuery") -> "FullTextQuery":
+        return BooleanQuery([(Occur.MUST, self), (Occur.MUST, other)])
+
+    def __or__(self, other: "FullTextQuery") -> "FullTextQuery":
+        return BooleanQuery([(Occur.SHOULD, self), (Occur.SHOULD, other)])
+
+
+class MatchQuery(FullTextQuery):
+    def __init__(
+        self,
+        query: str,
+        column: str | None = None,
+        *,
+        boost: float = 1.0,
+        fuzziness: int = 0,
+        max_expansions: int = 50,
+        operator: FullTextOperator = FullTextOperator.OR,
+        prefix_length: int = 0,
+    ):
+        self.query = query
+        self.column = column
+        self.boost = boost
+        self.fuzziness = fuzziness
+        self.max_expansions = max_expansions
+        self.operator = operator
+        self.prefix_length = prefix_length
+
+    def query_type(self) -> FullTextQueryType:
+        return FullTextQueryType.MATCH
+
+
+class PhraseQuery(FullTextQuery):
+    def __init__(self, query: str, column: str | None = None, *, slop: int = 0):
+        self.query = query
+        self.column = column
+        self.slop = slop
+
+    def query_type(self) -> FullTextQueryType:
+        return FullTextQueryType.MATCH_PHRASE
+
+
+class BoostQuery(FullTextQuery):
+    def __init__(
+        self,
+        positive: FullTextQuery,
+        negative: FullTextQuery,
+        *,
+        negative_boost: float = 0.5,
+    ):
+        self.positive = positive
+        self.negative = negative
+        self.negative_boost = negative_boost
+
+    def query_type(self) -> FullTextQueryType:
+        return FullTextQueryType.BOOST
+
+
+class MultiMatchQuery(FullTextQuery):
+    def __init__(
+        self,
+        query: str,
+        columns: list[str],
+        *,
+        boosts: list[float] | None = None,
+        operator: FullTextOperator = FullTextOperator.OR,
+    ):
+        self.query = query
+        self.columns = list(columns)
+        self.boosts = list(boosts) if boosts is not None else [1.0] * len(columns)
+        self.operator = operator
+
+    def query_type(self) -> FullTextQueryType:
+        return FullTextQueryType.MULTI_MATCH
+
+
+class BooleanQuery(FullTextQuery):
+    def __init__(self, queries: list[tuple[Occur, FullTextQuery]]):
+        self.queries = list(queries)
+
+    def query_type(self) -> FullTextQueryType:
+        return FullTextQueryType.BOOLEAN
+
+
+# ---------------------------------------------------------------- compiler
+
+
+class _Corpus:
+    """Per-column postings/doclens provider with caching.
+
+    Backed either by a LanceDataset (INVERTED index tables when one covers
+    the column, else a flat tokenize pass — FlatMatchQueryExec's role) or
+    by a plain DataFrame for index-free search.
+    """
+
+    def __init__(self, spark: SparkSession, ds=None, df: DataFrame | None = None,
+                 id_col: str = "_rowid", default_column: str | None = None):
+        self.spark = spark
+        self.ds = ds
+        self.df = df
+        self.id_col = id_col
+        self.default_column = default_column
+        self._cache: dict[str, tuple[DataFrame, DataFrame, str]] = {}
+
+    def _resolve(self, column: str | None) -> str:
+        if column is not None:
+            return column
+        if self.default_column is not None:
+            return self.default_column
+        if self.ds is not None:
+            for i in self.ds.manifest.indices:
+                if i.index_type == "INVERTED":
+                    return i.column
+            for f in self.ds.manifest.schema_json["fields"]:
+                if f["type"] == "string":
+                    return f["name"]
+        elif self.df is not None:
+            for name, dtype in self.df.dtypes:
+                if dtype == "string":
+                    return name
+        raise ValueError("no text column to search")
+
+    def tables(self, column: str | None) -> tuple[DataFrame, DataFrame, str]:
+        """(postings{token,id,tf,positions?}, doclens{id,dl}, tokenizer)."""
+        col = self._resolve(column)
+        if col in self._cache:
+            return self._cache[col]
+        if self.ds is not None:
+            from lance_spark.indexes.inverted import _find, _index_tables
+
+            try:
+                meta = _find(self.ds, col)
+                postings, doclens = _index_tables(self.ds, self.spark, meta)
+                tok = meta.params.get("tokenizer", "simple")
+            except ValueError:
+                flat = self.ds.scanner(self.spark, columns=[col], with_row_id=True)
+                postings, doclens, tok = self._flat(flat, col, "_rowid")
+        else:
+            postings, doclens, tok = self._flat(self.df, col, self.id_col)
+        self._cache[col] = (postings, doclens, tok)
+        return self._cache[col]
+
+    @staticmethod
+    def _flat(df: DataFrame, col: str, id_col: str):
+        from lance_spark.indexes.inverted import _positional_postings
+
+        postings, doclens = _positional_postings(df, col, id_col, "simple")
+        return postings, doclens, "simple"
+
+
+def _match_scores(corpus: _Corpus, q: MatchQuery) -> DataFrame:
+    from lance_spark.functions.text import query_tokens
+    from lance_spark.indexes.inverted import _bm25
+
+    postings, doclens, tok = corpus.tables(q.column)
+    terms = query_tokens([t for t in q.query.split() if t], tok)
+    if q.fuzziness:
+        terms = _expand_fuzzy(postings, terms, q.fuzziness, q.prefix_length,
+                              q.max_expansions)
+    if not terms:
+        return corpus.spark.createDataFrame([], "id long, _score double")
+    scored = _bm25(postings, doclens, terms)
+    if q.operator is FullTextOperator.AND:
+        for t in terms:
+            scored = scored.join(
+                postings.filter(F.col("token") == t).select("id"), "id", "left_semi"
+            )
+    if q.boost != 1.0:
+        scored = scored.select("id", (F.col("_score") * q.boost).alias("_score"))
+    return scored
+
+
+def _expand_fuzzy(postings, terms, fuzziness, prefix_length, max_expansions):
+    """Term expansion against the token DICTIONARY (vocabulary-sized, capped
+    in-plan before the collect — same contract as indexes/inverted.py
+    fuzzy_query)."""
+    out: list[str] = []
+    vocab = postings.select("token").distinct()
+    for t in terms:
+        v = vocab
+        if prefix_length > 0:
+            v = v.filter(F.col("token").startswith(t[:prefix_length]))
+        out.extend(
+            r["token"]
+            for r in v.select("token", F.levenshtein("token", F.lit(t)).alias("_d"))
+            .filter(F.col("_d") <= fuzziness)
+            .orderBy("_d", "token")
+            .limit(max_expansions)
+            .collect()
+        )
+    return list(dict.fromkeys(out))
+
+
+def _phrase_scores(corpus: _Corpus, q: PhraseQuery) -> DataFrame:
+    from lance_spark.functions.text import query_tokens
+    from lance_spark.indexes.inverted import _bm25, _phrase_step
+
+    postings, doclens, tok = corpus.tables(q.column)
+    terms = query_tokens([t for t in q.query.split() if t], tok)
+    if not terms:
+        return corpus.spark.createDataFrame([], "id long, _score double")
+    cur = postings.filter(F.col("token") == terms[0]).select(
+        "id",
+        F.transform("positions", lambda p: F.struct(p.alias("start"), p.alias("last"))).alias("cand"),
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("token") == t).select("id", F.col("positions").alias(f"p{i}"))
+        cur = (
+            cur.join(nxt, "id")
+            .withColumn("cand", _phrase_step(F.col("cand"), F.col(f"p{i}"), i, q.slop))
+            .filter(F.size("cand") > 0)
+            .drop(f"p{i}")
+        )
+    hits = cur.select("id")
+    scored = _bm25(postings.join(hits, "id", "left_semi"),
+                   doclens.join(hits, "id", "left_semi"), terms)
+    return scored
+
+
+def _scores(corpus: _Corpus, q: FullTextQuery) -> DataFrame:
+    """Compile a query node → DataFrame(id, _score). Membership in the
+    output IS the node's match set."""
+    if isinstance(q, MatchQuery):
+        return _match_scores(corpus, q)
+    if isinstance(q, PhraseQuery):
+        return _phrase_scores(corpus, q)
+    if isinstance(q, BoostQuery):
+        pos = _scores(corpus, q.positive).withColumnRenamed("_score", "_p")
+        neg = _scores(corpus, q.negative).withColumnRenamed("_score", "_n")
+        return pos.join(neg, "id", "left_outer").select(
+            "id",
+            (F.col("_p") - F.lit(q.negative_boost) * F.coalesce("_n", F.lit(0.0))).alias("_score"),
+        )
+    if isinstance(q, MultiMatchQuery):
+        parts = [
+            _scores(corpus, MatchQuery(q.query, c, boost=b, operator=q.operator))
+            for c, b in zip(q.columns, q.boosts)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.groupBy("id").agg(F.sum("_score").alias("_score"))
+    if isinstance(q, BooleanQuery):
+        must = [s for o, s in q.queries if o is Occur.MUST]
+        should = [s for o, s in q.queries if o is Occur.SHOULD]
+        must_not = [s for o, s in q.queries if o is Occur.MUST_NOT]
+        scoring = [_scores(corpus, s) for s in must + should]
+        if not scoring:
+            raise ValueError("BooleanQuery needs at least one MUST or SHOULD clause")
+        out = scoring[0]
+        for p in scoring[1:]:
+            out = out.unionByName(p)
+        out = out.groupBy("id").agg(F.sum("_score").alias("_score"))
+        for i, s in enumerate(must):
+            out = out.join(scoring[i].select("id"), "id", "left_semi")
+        for s in must_not:
+            out = out.join(_scores(corpus, s).select("id"), "id", "left_anti")
+        return out
+    raise TypeError(f"not a FullTextQuery: {type(q).__name__}")
+
+
+def execute_query(
+    spark: SparkSession,
+    query: FullTextQuery,
+    *,
+    ds=None,
+    df: DataFrame | None = None,
+    id_col: str = "_rowid",
+    column: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Run a structured query → (id, _score) top-k, deterministic ties."""
+    if (ds is None) == (df is None):
+        raise ValueError("pass exactly one of ds= or df=")
+    corpus = _Corpus(spark, ds=ds, df=df, id_col=id_col, default_column=column)
+    scored = _scores(corpus, query)
+    out = scored.select("id", F.round("_score", 4).alias("_score")).orderBy(
+        F.desc("_score"), F.asc("id")
+    )
+    return out if k is None else out.limit(k)

@@ -1,0 +1,177 @@
+"""Structured FullTextQuery objects (lance_spark/query.py) must agree with
+the operator functions they compile to, over both the flat path (plain
+DataFrame) and the INVERTED-index path (LanceDataset).
+
+Reference surface: python/python/lance/query.py:31-244.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lance_spark.query import (
+    BooleanQuery,
+    BoostQuery,
+    FullTextOperator,
+    MatchQuery,
+    MultiMatchQuery,
+    Occur,
+    PhraseQuery,
+    execute_query,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_ds(spark, sf_dir, tmp_path_factory):
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path_factory.mktemp("qobj") / "docs")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    write_dataset(docs.repartition(2), uri, mode="create")
+    return create_inverted_index(dataset(uri), spark, "text")
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_match_equals_bm25_search(spark, docs):
+    from lance_spark.operators.fts import bm25_search
+
+    got = execute_query(
+        spark, MatchQuery("table scan join", "text"), df=docs, id_col="doc_id", k=10
+    )
+    want = bm25_search(docs, "text", "doc_id", ["table", "scan", "join"], k=10)
+    assert _rows(got) == _rows(want.select(F.col("doc_id").alias("id"), "_score"))
+
+
+def test_match_and_operator_requires_all_terms(spark, docs):
+    from lance_spark.functions.text import tokenize
+
+    got = execute_query(
+        spark,
+        MatchQuery("table join", "text", operator=FullTextOperator.AND),
+        df=docs,
+        id_col="doc_id",
+        k=None,
+    )
+    ids = {r["id"] for r in got.collect()}
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    want = {
+        r["doc_id"]
+        for r in toks.filter(
+            F.array_contains("t", "table") & F.array_contains("t", "join")
+        ).collect()
+    }
+    assert ids == want and ids
+
+
+def test_and_composition_is_boolean_must(spark, docs):
+    q = MatchQuery("table", "text") & MatchQuery("join", "text")
+    assert isinstance(q, BooleanQuery)
+    assert [o for o, _ in q.queries] == [Occur.MUST, Occur.MUST]
+    got = execute_query(spark, q, df=docs, id_col="doc_id", k=None)
+    both = execute_query(
+        spark,
+        MatchQuery("table join", "text", operator=FullTextOperator.AND),
+        df=docs,
+        id_col="doc_id",
+        k=None,
+    )
+    assert {r["id"] for r in got.collect()} == {r["id"] for r in both.collect()}
+
+
+def test_or_composition_unions_match_sets(spark, docs):
+    q = MatchQuery("checkpoint", "text") | MatchQuery("join", "text")
+    got = {r["id"] for r in execute_query(spark, q, df=docs, id_col="doc_id", k=None).collect()}
+    a = {r["id"] for r in execute_query(spark, MatchQuery("checkpoint", "text"), df=docs, id_col="doc_id", k=None).collect()}
+    b = {r["id"] for r in execute_query(spark, MatchQuery("join", "text"), df=docs, id_col="doc_id", k=None).collect()}
+    assert got == a | b
+
+
+def test_boolean_must_not_excludes(spark, docs):
+    q = BooleanQuery(
+        [
+            (Occur.MUST, MatchQuery("table", "text")),
+            (Occur.MUST_NOT, MatchQuery("slow", "text")),
+        ]
+    )
+    got = {r["id"] for r in execute_query(spark, q, df=docs, id_col="doc_id", k=None).collect()}
+    slow = {r["id"] for r in execute_query(spark, MatchQuery("slow", "text"), df=docs, id_col="doc_id", k=None).collect()}
+    has = {r["id"] for r in execute_query(spark, MatchQuery("table", "text"), df=docs, id_col="doc_id", k=None).collect()}
+    assert got == has - slow and got
+
+
+def test_boost_matches_operator_function(spark, docs_ds):
+    from lance_spark.indexes.inverted import boost_query
+
+    got = execute_query(
+        spark,
+        BoostQuery(
+            MatchQuery("table scan", "text"),
+            MatchQuery("slow", "text"),
+            negative_boost=0.5,
+        ),
+        ds=docs_ds,
+        k=5,
+    )
+    want = boost_query(docs_ds, spark, positive=["table", "scan"], negative=["slow"], k=5)
+    assert _rows(got) == _rows(want)
+
+
+def test_phrase_ids_match_phrase_query(spark, docs_ds):
+    from lance_spark.indexes.inverted import phrase_query
+
+    got = execute_query(spark, PhraseQuery("key order", "text"), ds=docs_ds, k=None)
+    want_ids = {r["id"] for r in phrase_query(docs_ds, spark, "key order").collect()}
+    assert {r["id"] for r in got.collect()} == want_ids and want_ids
+
+
+def test_multi_match_two_columns(spark, docs):
+    # score("table scan" over text)*1.0 + over title*2.0 == MultiMatchQuery
+    from lance_spark.operators.fts import multi_match
+
+    cols = [c for c in ("title", "text") if c in docs.columns]
+    if len(cols) < 2:
+        docs = docs.withColumn("title", F.substring("text", 1, 40))
+        cols = ["title", "text"]
+    got = execute_query(
+        spark,
+        MultiMatchQuery("table scan", cols, boosts=[2.0, 1.0]),
+        df=docs,
+        id_col="doc_id",
+        k=8,
+    )
+    want = multi_match(docs, cols, "doc_id", ["table", "scan"], boosts=[2.0, 1.0], k=8)
+    # multi_match rounds per-field scores before summing; the compiler sums
+    # raw scores and rounds once — equal up to that last-digit rounding
+    g, w = _rows(got), _rows(want.select(F.col("doc_id").alias("id"), "_score"))
+    assert [i for i, _ in g] == [i for i, _ in w]
+    assert all(abs(a - b) < 1e-3 for (_, a), (_, b) in zip(g, w))
+
+
+def test_fuzzy_expansion(spark, docs):
+    got = execute_query(
+        spark,
+        MatchQuery("tabl", "text", fuzziness=1),
+        df=docs,
+        id_col="doc_id",
+        k=None,
+    )
+    exact = execute_query(spark, MatchQuery("table", "text"), df=docs, id_col="doc_id", k=None)
+    assert {r["id"] for r in got.collect()} >= {r["id"] for r in exact.collect()}
+
+
+def test_dataset_full_text_search_accepts_query_object(spark, docs_ds):
+    out = docs_ds.full_text_search(
+        spark, MatchQuery("table", "text") & MatchQuery("scan", "text"), k=5
+    )
+    rows = out.collect()
+    assert rows and "_score" in out.columns and "text" in out.columns
+    assert all(r["_score"] > 0 for r in rows)
