@@ -38,16 +38,30 @@ _CG_META_SCHEMA = StructType(
 )
 
 
-def _write_column_groups(root: str, new_cols_df: DataFrame, new_cols: list[str]) -> dict[int, str]:
+def _write_column_groups(
+    root: str, new_cols_df: DataFrame, new_cols: list[str], checkpoint=None,
+    fn=None, fn_read_cols: list[str] | None = None, fn_out_schema=None,
+) -> dict[int, str]:
     """Write {_rowid, *new_cols} as one parquet per fragment; returns
-    {fragment_id: rel_path}. Distributed one-task-per-fragment."""
+    {fragment_id: rel_path}. Distributed one-task-per-fragment.
+
+    With ``fn`` (the checkpointed-BatchUDF path) the UDF runs INSIDE the
+    fragment task, so one fragment's failure leaves sibling fragments'
+    files + markers durable; each finished fragment drops a marker in the
+    ``FragmentCheckpoint`` so an interrupted run resumes (markers must
+    live on storage all executors reach — same requirement as the dataset
+    root itself)."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
     # declared types must survive the pandas hop (e.g. decimal precision
     # would otherwise be re-inferred from values)
-    arrow_schema = to_arrow_schema(
-        new_cols_df.select(ROWID_COL, *new_cols).schema
-    )
+    if fn is None:
+        arrow_schema = to_arrow_schema(new_cols_df.select(ROWID_COL, *new_cols).schema)
+    else:
+        arrow_schema = to_arrow_schema(
+            StructType([StructField(ROWID_COL, LongType())] + list(fn_out_schema.fields))
+        )
+    ckpt_path = checkpoint.path if checkpoint is not None else None
 
     def write_group(pdf):
         import pandas as pd
@@ -55,6 +69,10 @@ def _write_column_groups(root: str, new_cols_df: DataFrame, new_cols: list[str])
         import pyarrow.parquet as pq
 
         fid = int(pdf["fragment_id"].iloc[0])
+        if fn is not None:
+            res = fn(pdf[fn_read_cols])
+            res[ROWID_COL] = pdf[ROWID_COL].values
+            pdf = res
         rel = os.path.join("data", f"frag-{fid}-cg-{uuid.uuid4().hex}.parquet")
         abspath = os.path.join(root, rel)
         os.makedirs(os.path.dirname(abspath), exist_ok=True)
@@ -64,6 +82,10 @@ def _write_column_groups(root: str, new_cols_df: DataFrame, new_cols: list[str])
             abspath,
             compression="zstd",
         )
+        if ckpt_path is not None:
+            from lance_spark.udf import FragmentCheckpoint
+
+            FragmentCheckpoint(ckpt_path).put(fid, rel, len(out))
         return pd.DataFrame({"fragment_id": [fid], "path": [rel], "num_rows": [len(out)]})
 
     meta = (
@@ -108,16 +130,52 @@ def _commit_new_columns(ds, cg_map: dict[int, str], new_fields: list[dict], new_
 def add_columns(ds, spark: SparkSession, transforms, read_columns: list[str] | None = None):
     """transforms: {name: sql_expr} | callable(pandas.DataFrame)->pandas.DataFrame
     (batch UDF over read_columns, python/python/lance/udf.py) | {name: None}
-    for all-null columns."""
+    for all-null columns. A ``lance_spark.udf.BatchUDF`` adds a declared
+    output schema (skips the one-row probe) and per-fragment resumable
+    checkpointing (udf.py:96-166 BatchUDFCheckpoint role)."""
+    from lance_spark.udf import BatchUDF
+
     base = ds.to_df(spark, with_row_id=True)
+    checkpoint = None
 
     if callable(transforms):
         import pandas as pd  # noqa: F401
 
         fn = transforms
-        probe = fn(base.select(*(read_columns or ds.columns)).limit(1).toPandas())
-        new_cols = list(probe.columns)
-        out_schema = spark.createDataFrame(probe).schema
+        if isinstance(transforms, BatchUDF) and transforms.output_schema is not None:
+            out_schema = transforms.output_schema
+        else:
+            probe = fn(base.select(*(read_columns or ds.columns)).limit(1).toPandas())
+            out_schema = spark.createDataFrame(probe).schema
+        new_cols = list(out_schema.fieldNames())
+
+        if isinstance(transforms, BatchUDF) and transforms.checkpoint_file:
+            from lance_spark.udf import FragmentCheckpoint
+
+            checkpoint = FragmentCheckpoint(transforms.checkpoint_file)
+            done = checkpoint.done()
+            if done:
+                # resume: skip completed fragments BEFORE the UDF runs —
+                # the fragment-id filter prunes whole fragments at the scan
+                base = base.filter(
+                    ~F.shiftright(F.col(ROWID_COL), FRAGID_SHIFT).isin(list(done))
+                )
+            # the UDF must run INSIDE the per-fragment write task (not a
+            # map stage before the shuffle barrier): a failure on one
+            # fragment then can't prevent sibling fragments from finishing
+            # their file + marker, which is what makes resume meaningful
+            collide = set(new_cols) & set(ds.columns)
+            if collide:
+                raise ValueError(f"columns already exist: {sorted(collide)}")
+            src = base.select(ROWID_COL, *(read_columns or ds.columns))
+            cg_map = _write_column_groups(
+                ds.uri, src, new_cols, checkpoint=checkpoint,
+                fn=fn, fn_read_cols=read_columns or ds.columns,
+                fn_out_schema=out_schema,
+            )
+            cg_map.update({fid: d["path"] for fid, d in checkpoint.done().items()})
+            new_fields = list(out_schema.jsonValue()["fields"])
+            return _commit_new_columns(ds, cg_map, new_fields, new_cols)
 
         def apply_batches(it):
             for pdf in it:

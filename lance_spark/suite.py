@@ -1682,6 +1682,50 @@ def fts_boolean(spark, sf_dir):
     )
 
 
+@query(
+    "fts_structured_query",
+    f"""
+    WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
+    dl AS (SELECT id, len(w) AS dl FROM tok),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    post AS (SELECT id, unnest(w) AS token FROM tok),
+    tfq AS (SELECT token, id, count(*) AS tf FROM post
+            WHERE token IN ('table', 'scan', 'join') GROUP BY 1, 2),
+    dfq AS (SELECT token, count(*) AS df FROM tfq GROUP BY token),
+    sc AS (SELECT id,
+                  round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                        * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS _score
+           FROM tfq JOIN dfq USING (token) JOIN dl USING (id) CROSS JOIN stats
+           GROUP BY id),
+    keep AS (SELECT id FROM tok
+             WHERE list_contains(w, 'table') AND NOT list_contains(w, 'slow'))
+    SELECT id AS doc_id, _score FROM sc JOIN keep USING (id)
+    ORDER BY _score DESC, id LIMIT 10
+    """,
+)
+def fts_structured_query(spark, sf_dir):
+    """Composable FullTextQuery tree (lance_spark/query.py; reference
+    python/python/lance/query.py:31-244): MUST match('table') + SHOULD
+    match('scan join') + MUST_NOT match('slow'), compiled as ONE Spark plan.
+    Unlike ``boolean_search`` (which recomputes BM25 stats over the
+    must-filtered corpus), each node scores against FULL-corpus statistics
+    and MUST/MUST_NOT restrict membership afterwards — Lucene's semantics;
+    the oracle mirrors that normalization."""
+    from lance_spark.query import BooleanQuery, MatchQuery, Occur, execute_query
+
+    q = BooleanQuery(
+        [
+            (Occur.MUST, MatchQuery("table", "text")),
+            (Occur.SHOULD, MatchQuery("scan join", "text")),
+            (Occur.MUST_NOT, MatchQuery("slow", "text")),
+        ]
+    )
+    hits = execute_query(
+        spark, q, df=_t(spark, sf_dir, "documents"), id_col="doc_id", k=10
+    )
+    return hits.withColumnRenamed("id", "doc_id")
+
+
 # --------------------------------------------------------------------------
 # Index-backed FTS (INVERTED index on a dataset; oracle = flat BM25 SQL)
 # --------------------------------------------------------------------------

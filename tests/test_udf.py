@@ -1,0 +1,103 @@
+"""BatchUDF surface: declared output schema skips the probe; fragment
+checkpoints make add_columns resumable after a mid-job failure
+(reference python/python/lance/udf.py:24-166)."""
+
+import glob
+import os
+import uuid
+
+import pytest
+
+from lance_spark.udf import BatchUDF, FragmentCheckpoint, batch_udf
+
+
+@pytest.fixture()
+def nation_ds(spark, sf_dir, tmp_path):
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "nation")
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    write_dataset(df.repartition(2), uri, mode="create")
+    return dataset(uri)
+
+
+def test_batch_udf_declared_schema(spark, nation_ds):
+    probe_calls = []
+
+    @batch_udf(output_schema="n_name_len int")
+    def add_len(pdf):
+        probe_calls.append(len(pdf))
+        return pdf.assign(n_name_len=pdf["n_name"].str.len())[["n_name_len"]]
+
+    ds2 = nation_ds.add_columns(spark, add_len, read_columns=["n_name"])
+    rows = ds2.to_df(spark).select("n_name", "n_name_len").collect()
+    assert rows and all(r["n_name_len"] == len(r["n_name"]) for r in rows)
+    # declared schema: no single-row probe call happened
+    assert 1 not in probe_calls
+
+
+def test_batch_udf_schema_forms():
+    import pyarrow as pa
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    st = StructType([StructField("x", IntegerType())])
+    assert BatchUDF(lambda p: p, output_schema=st).output_schema == st
+    assert BatchUDF(lambda p: p, output_schema="x int").output_schema is not None
+    assert (
+        BatchUDF(lambda p: p, output_schema=pa.schema([("x", pa.int32())])).output_schema
+        is not None
+    )
+    with pytest.raises(TypeError):
+        BatchUDF(lambda p: p, output_schema=42)
+
+
+def test_checkpoint_resume_after_failure(spark, nation_ds, tmp_path):
+    from lance_spark.write import FRAGID_SHIFT
+
+    from pyspark.sql import functions as F
+
+    base = nation_ds.to_df(spark, with_row_id=True)
+    frag1_keys = {
+        r["n_nationkey"]
+        for r in base.filter(F.shiftright(F.col("_rowid"), FRAGID_SHIFT) == 1)
+        .select("n_nationkey")
+        .collect()
+    }
+    assert frag1_keys  # two fragments exist
+    ckpt = str(tmp_path / "ckpt")
+    seen_dir = str(tmp_path / "seen")
+    os.makedirs(seen_dir, exist_ok=True)
+
+    def poisoned(pdf):
+        if set(pdf["n_nationkey"]) & frag1_keys:
+            import time
+
+            time.sleep(2)  # let the healthy fragment finish its write
+            raise RuntimeError("injected failure on fragment 1")
+        return pdf.assign(key2=pdf["n_nationkey"] * 2)[["key2"]]
+
+    failing = BatchUDF(poisoned, output_schema="key2 bigint", checkpoint_file=ckpt)
+    with pytest.raises(Exception):
+        nation_ds.add_columns(spark, failing, read_columns=["n_nationkey"])
+
+    done = FragmentCheckpoint(ckpt).done()
+    assert 0 in done and 1 not in done  # fragment 0 checkpointed, job failed
+
+    def healthy(pdf):
+        # record which rows this run computes: resume must re-see ONLY frag 1
+        with open(os.path.join(seen_dir, uuid.uuid4().hex), "w") as f:
+            f.write("\n".join(str(k) for k in pdf["n_nationkey"]))
+        return pdf.assign(key2=pdf["n_nationkey"] * 2)[["key2"]]
+
+    resumed = BatchUDF(healthy, output_schema="key2 bigint", checkpoint_file=ckpt)
+    ds2 = nation_ds.add_columns(spark, resumed, read_columns=["n_nationkey"])
+
+    seen = set()
+    for p in glob.glob(os.path.join(seen_dir, "*")):
+        with open(p) as f:
+            seen.update(int(x) for x in f.read().split() if x)
+    assert seen == frag1_keys  # fragment 0 was skipped on resume
+
+    rows = ds2.to_df(spark).select("n_nationkey", "key2").collect()
+    assert len(rows) == 25 and all(r["key2"] == r["n_nationkey"] * 2 for r in rows)
