@@ -255,3 +255,60 @@ def deterministic_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.select(F.col(id_col).alias("id"), expr.alias("split"))
+
+
+def gopher_quality(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+    Models", Appendix A) — the standard web-corpus pre-filter a training
+    pipeline runs before dedup/tokenization:
+
+      r_word_count   50 <= words <= 100000
+      r_mean_wlen    3 <= mean word length <= 10
+      r_symbol       (#'s + ...'s) / words < 0.1
+      r_bullet       < 90% of lines start with a bullet
+      r_ellipsis     < 30% of lines end with an ellipsis
+      r_alpha        > 80% of words contain a letter
+      r_stopwords    >= 2 distinct common English stop words present
+
+    ``gopher_keep`` is the conjunction. Whitespace tokens (the paper's
+    definition), NOT the lowercase-alpha ``tokenize`` — "e.g." and "3.5"
+    are words here. Row-local JVM expressions only: zero shuffles, scales
+    with the scan."""
+    words = F.filter(F.split(F.col(col), r"\s+"), lambda w: w != "")
+    lines = F.filter(F.split(F.col(col), "\n"), lambda l: F.trim(l) != "")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    mean_wlen = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ) / n_words
+    hashes = F.length(F.col(col)) - F.length(F.regexp_replace(F.col(col), "#", ""))
+    ellipses = (
+        F.length(F.col(col))
+        - F.length(F.regexp_replace(F.col(col), r"\.\.\.", ""))
+    ) / 3
+    bullet_frac = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike("^[-*•‣◦]"))
+    ) / n_lines
+    ellipsis_frac = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$"))
+    ) / n_lines
+    alpha_frac = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words
+    low_words = F.transform(words, lambda w: F.lower(w))
+    stop_hits = sum(
+        F.when(F.array_contains(low_words, sw), 1).otherwise(0)
+        for sw in ["the", "be", "to", "of", "and", "that", "have", "with"]
+    )
+    flags = {
+        "r_word_count": (F.size(words) >= 50) & (F.size(words) <= 100_000),
+        "r_mean_wlen": (mean_wlen >= 3) & (mean_wlen <= 10),
+        "r_symbol": (hashes + ellipses) / n_words < 0.1,
+        "r_bullet": bullet_frac < 0.9,
+        "r_ellipsis": ellipsis_frac < 0.3,
+        "r_alpha": alpha_frac > 0.8,
+        "r_stopwords": stop_hits >= 2,
+    }
+    out = df.select(F.col(id_col).alias("id"), *[v.alias(k) for k, v in flags.items()])
+    keep = None
+    for k in flags:
+        keep = F.col(k) if keep is None else keep & F.col(k)
+    return out.withColumn("gopher_keep", keep)

@@ -3593,6 +3593,57 @@ def curate_split(spark, sf_dir):
 
 
 @query(
+    "curate_gopher_rules",
+    r"""
+    WITH w AS (
+      SELECT doc_id AS id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+      FROM documents
+    ), m AS (
+      SELECT id, text, words, lines,
+             greatest(len(words), 1) AS nw,
+             greatest(len(lines), 1) AS nl,
+             CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+               / greatest(len(words), 1) AS mean_wlen,
+             length(text) - length(replace(text, '#', '')) AS hashes,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS ellipses,
+             list_transform(words, x -> lower(x)) AS lw
+      FROM w
+    )
+    SELECT id,
+      len(words) BETWEEN 50 AND 100000                                    AS r_word_count,
+      mean_wlen >= 3 AND mean_wlen <= 10                                  AS r_mean_wlen,
+      (hashes + ellipses) / nw < 0.1                                      AS r_symbol,
+      CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•‣◦]'))) AS DOUBLE)
+        / nl < 0.9                                                        AS r_bullet,
+      CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+        / nl < 0.3                                                        AS r_ellipsis,
+      CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        / nw > 0.8                                                        AS r_alpha,
+      (CASE WHEN list_contains(lw, 'the')  THEN 1 ELSE 0 END +
+       CASE WHEN list_contains(lw, 'be')   THEN 1 ELSE 0 END +
+       CASE WHEN list_contains(lw, 'to')   THEN 1 ELSE 0 END +
+       CASE WHEN list_contains(lw, 'of')   THEN 1 ELSE 0 END +
+       CASE WHEN list_contains(lw, 'and')  THEN 1 ELSE 0 END +
+       CASE WHEN list_contains(lw, 'that') THEN 1 ELSE 0 END +
+       CASE WHEN list_contains(lw, 'have') THEN 1 ELSE 0 END +
+       CASE WHEN list_contains(lw, 'with') THEN 1 ELSE 0 END) >= 2        AS r_stopwords,
+      r_word_count AND r_mean_wlen AND r_symbol AND r_bullet
+        AND r_ellipsis AND r_alpha AND r_stopwords                        AS gopher_keep
+    FROM m ORDER BY id
+    """,
+)
+def curate_gopher_rules(spark, sf_dir):
+    """Gopher web-corpus quality rules (Rae et al. 2021 Appendix A), one
+    boolean per rule per document + the conjunction — the standard
+    pre-tokenization keep/drop gate."""
+    from lance_spark.operators.curation import gopher_quality
+
+    return gopher_quality(_t(spark, sf_dir, "documents"), "text", "doc_id").orderBy("id")
+
+
+@query(
     "tpch_q21_waiting",
     """
     SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
