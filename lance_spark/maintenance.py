@@ -26,63 +26,148 @@ from lance_spark import manifest as mf
 from lance_spark.write import ROWID_COL, write_fragments
 
 
-def compact_files(ds, spark: SparkSession, target_rows_per_fragment: int = 1024 * 1024):
-    """Rewrite fragments that are small (<1/2 target) or deletion-heavy
-    (>10% deleted) into full-size fragments (optimize.rs CompactionOptions).
+from dataclasses import dataclass, field
 
-    Concurrency (transaction.rs Rewrite-vs-* conflicts): fragment ids are
-    RESERVED before writing so a concurrent append can never claim the same
-    range, and the commit verifies each victim is still present with the
-    exact deletion_file the rewrite read — a delete landing between scan and
-    commit would otherwise be resurrected by the rewritten rows. On such a
-    conflict the whole compaction recomputes from the fresh snapshot."""
-    from lance_spark.dataset import LanceDataset
-    from lance_spark.mutation import StaleSnapshotError, _retrying
 
-    def needs_compaction(f: mf.Fragment) -> bool:
-        return f.num_rows < target_rows_per_fragment // 2 or (
-            f.physical_rows > 0 and f.num_deleted_rows / f.physical_rows > 0.10
+@dataclass
+class RewriteResult:
+    """One task's output (optimize.rs RewriteResult): the victims it
+    absorbed, the deletion state it materialized, the replacement
+    fragments. JSON-serializable, so results can travel between workers
+    and the committing driver."""
+
+    victim_ids: list[int]
+    del_snapshot: dict[int, str | None]
+    new_fragments: list[mf.Fragment]
+
+    def to_json(self) -> dict:
+        return {
+            "victim_ids": list(self.victim_ids),
+            "del_snapshot": {str(k): v for k, v in self.del_snapshot.items()},
+            "new_fragments": [f.to_json() for f in self.new_fragments],
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "RewriteResult":
+        return RewriteResult(
+            victim_ids=list(d["victim_ids"]),
+            del_snapshot={int(k): v for k, v in d["del_snapshot"].items()},
+            new_fragments=[mf.Fragment.from_json(f) for f in d["new_fragments"]],
         )
 
-    def run(d):
-        victims = [f for f in d.manifest.fragments if needs_compaction(f)]
-        if len(victims) < 2 and not any(f.num_deleted_rows for f in victims):
-            return d
-        victim_ids = {f.id for f in victims}
-        # deletion state this rewrite materializes; commit must see it intact
-        del_snapshot = {f.id: f.deletion_file for f in victims}
 
+@dataclass
+class CompactionTask:
+    """An independently executable bin of victim fragments
+    (optimize.rs CompactionTask): rewrite these fragments' live rows into
+    ~target-size replacements. Tasks share nothing, so a scheduler can run
+    them on different drivers/jobs and commit once at the end."""
+
+    uri: str
+    version: int
+    fragment_ids: list[int]
+    target_rows_per_fragment: int
+
+    def execute(self, spark: SparkSession) -> RewriteResult:
+        from lance_spark.dataset import LanceDataset
+
+        d = LanceDataset(self.uri, version=self.version)
+        by_id = {f.id: f for f in d.manifest.fragments}
+        victims = [by_id[i] for i in self.fragment_ids]
+        del_snapshot = {f.id: f.deletion_file for f in victims}
         df = d._fragment_df(spark, victims, None)  # deletions applied; _rowid kept
         live_rows = sum(f.num_rows for f in victims)
-        n_frags = max(1, -(-live_rows // target_rows_per_fragment))
-        base_fid = mf.reserve_fragment_ids(d.uri, n_frags)
+        n_frags = max(1, -(-live_rows // self.target_rows_per_fragment))
+        base_fid = mf.reserve_fragment_ids(self.uri, n_frags)
         new_frags = write_fragments(
-            df.repartition(n_frags), d.uri, base_fid, preserve_rowids=True
+            df.repartition(n_frags), self.uri, base_fid, preserve_rowids=True
+        )
+        return RewriteResult(
+            victim_ids=list(self.fragment_ids),
+            del_snapshot=del_snapshot,
+            new_fragments=new_frags,
         )
 
-        new_ids = {f.id for f in new_frags}
+
+@dataclass
+class CompactionPlan:
+    """optimize.rs CompactionPlan: the task list for one compaction round."""
+
+    tasks: list[CompactionTask] = field(default_factory=list)
+
+    @property
+    def num_tasks(self) -> int:
+        return len(self.tasks)
+
+
+class Compaction:
+    """Distributed compaction (optimize.rs Compaction; the reference's
+    plan → execute-anywhere → commit workflow used by its Spark/Ray
+    integrations). ``compact_files`` is plan+execute+commit in-process."""
+
+    @staticmethod
+    def plan(ds, target_rows_per_fragment: int = 1024 * 1024,
+             materialize_deletions_threshold: float = 0.10) -> CompactionPlan:
+        """Bin small/deletion-heavy fragments greedily by cumulative live
+        rows; each bin is one independent task."""
+        victims = [
+            f
+            for f in ds.manifest.fragments
+            if f.num_rows < target_rows_per_fragment // 2
+            or (
+                f.physical_rows > 0
+                and f.num_deleted_rows / f.physical_rows > materialize_deletions_threshold
+            )
+        ]
+        if len(victims) < 2 and not any(f.num_deleted_rows for f in victims):
+            return CompactionPlan([])
+        tasks, bin_ids, bin_rows = [], [], 0
+        for f in victims:
+            bin_ids.append(f.id)
+            bin_rows += f.num_rows
+            if bin_rows >= target_rows_per_fragment:
+                tasks.append(CompactionTask(ds.uri, ds.version, bin_ids, target_rows_per_fragment))
+                bin_ids, bin_rows = [], 0
+        if bin_ids:
+            tasks.append(CompactionTask(ds.uri, ds.version, bin_ids, target_rows_per_fragment))
+        return CompactionPlan(tasks)
+
+    @staticmethod
+    def commit(ds, rewrites: list[RewriteResult]):
+        """Apply completed rewrites in ONE manifest commit, verifying every
+        victim is still present with the exact deletion_file its rewrite
+        read (transaction.rs Rewrite-vs-* conflicts) — a delete landing
+        between scan and commit would otherwise be resurrected."""
+        from lance_spark.dataset import LanceDataset
+        from lance_spark.mutation import StaleSnapshotError
+
+        if not rewrites:
+            return LanceDataset(ds.uri)
+        all_victims = {v for r in rewrites for v in r.victim_ids}
+        all_snapshot = {k: v for r in rewrites for k, v in r.del_snapshot.items()}
+        new_frags = [f for r in rewrites for f in r.new_fragments]
 
         def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
             assert base is not None
             live = {f.id: f for f in base.fragments}
-            for vid in victim_ids:
-                if vid not in live or live[vid].deletion_file != del_snapshot[vid]:
-                    raise StaleSnapshotError(
-                        f"fragment {vid} changed under compaction"
-                    )
-            fragments = [f for f in base.fragments if f.id not in victim_ids] + new_frags
+            for vid in all_victims:
+                if vid not in live or live[vid].deletion_file != all_snapshot[vid]:
+                    raise StaleSnapshotError(f"fragment {vid} changed under compaction")
+            fragments = [f for f in base.fragments if f.id not in all_victims] + new_frags
             cfg = dict(base.config)
             cfg["rowid_address_style"] = False
             # Remap index coverage (Operation::Rewrite remap, optimize.rs:982):
-            # rowids are stable so index entries stay valid; a rewritten fragment
-            # is covered iff every victim it absorbed was covered (rows from an
-            # unindexed victim would otherwise be wrongly skipped by fast_search).
+            # rowids are stable so index entries stay valid; a task's new
+            # fragments are covered iff every victim that task absorbed was
+            # covered (rows from an unindexed victim would otherwise be
+            # wrongly skipped by fast_search).
             indices = []
             for i in base.indices:
                 cov = set(i.fragment_ids)
-                fids = cov - victim_ids
-                if victim_ids <= cov:
-                    fids |= new_ids
+                fids = cov - all_victims
+                for r in rewrites:
+                    if set(r.victim_ids) <= cov:
+                        fids |= {f.id for f in r.new_fragments}
                 indices.append(
                     mf.IndexMeta(
                         name=i.name, index_type=i.index_type, column=i.column,
@@ -96,8 +181,32 @@ def compact_files(ds, spark: SparkSession, target_rows_per_fragment: int = 1024 
                 indices=indices, config=cfg,
             )
 
-        mf.commit(d.uri, build, operation="rewrite")
-        return LanceDataset(d.uri)
+        mf.commit(ds.uri, build, operation="rewrite")
+        return LanceDataset(ds.uri)
+
+    @staticmethod
+    def execute(ds, spark: SparkSession, target_rows_per_fragment: int = 1024 * 1024):
+        plan = Compaction.plan(ds, target_rows_per_fragment)
+        if not plan.tasks:
+            return ds
+        rewrites = [t.execute(spark) for t in plan.tasks]
+        return Compaction.commit(ds, rewrites)
+
+
+def compact_files(ds, spark: SparkSession, target_rows_per_fragment: int = 1024 * 1024):
+    """Rewrite fragments that are small (<1/2 target) or deletion-heavy
+    (>10% deleted) into full-size fragments (optimize.rs CompactionOptions).
+
+    Concurrency (transaction.rs Rewrite-vs-* conflicts): fragment ids are
+    RESERVED before writing so a concurrent append can never claim the same
+    range, and the commit verifies each victim is still present with the
+    exact deletion_file the rewrite read — a delete landing between scan and
+    commit would otherwise be resurrected by the rewritten rows. On such a
+    conflict the whole compaction recomputes from the fresh snapshot."""
+    from lance_spark.mutation import _retrying
+
+    def run(d):
+        return Compaction.execute(d, spark, target_rows_per_fragment)
 
     return _retrying(ds, run)
 

@@ -1,0 +1,61 @@
+"""LanceFragment handle: fragment-scoped reads and deletes
+(reference python/python/lance/fragment.py:252-851)."""
+
+import pytest
+
+from lance_spark.fragment import LanceFragment
+from lance_spark.write import FRAGID_SHIFT
+
+
+@pytest.fixture()
+def ds(spark, sf_dir, tmp_path):
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "frags")
+    write_dataset(
+        spark.read.parquet(f"{sf_dir}/nation.parquet").repartition(2), uri, mode="create"
+    )
+    return dataset(uri)
+
+
+def test_fragment_reads_only_its_rows(spark, ds):
+    frags = [LanceFragment(ds, f.id) for f in ds.manifest.fragments]
+    assert len(frags) == 2
+    total = sum(f.count_rows() for f in frags)
+    assert total == 25
+    t0 = frags[0].to_table(spark, columns=["n_nationkey"])
+    t1 = frags[1].to_table(spark, columns=["n_nationkey"])
+    keys0 = set(t0["n_nationkey"].to_pylist())
+    keys1 = set(t1["n_nationkey"].to_pylist())
+    assert keys0.isdisjoint(keys1) and len(keys0 | keys1) == 25
+    assert frags[0].head(spark, 3).num_rows == 3
+    assert repr(frags[0]).startswith("LanceFragment(id=")
+
+
+def test_fragment_take_by_position(spark, ds):
+    frag = LanceFragment(ds, ds.manifest.fragments[1].id)
+    got = frag.take(spark, [0, 2], columns=["n_nationkey"]).collect()
+    rowids = {r["_rowid"] for r in got}
+    base = frag.id << FRAGID_SHIFT
+    assert rowids == {base, base + 2}
+
+
+def test_fragment_scoped_delete(spark, ds):
+    f0, f1 = (f.id for f in ds.manifest.fragments)
+    frag0 = LanceFragment(ds, f0)
+    before1 = LanceFragment(ds, f1).count_rows()
+    # predicate matches rows in BOTH fragments; only fragment 0's rows go
+    # (a fully-emptied fragment is dropped from the manifest entirely)
+    ds2 = frag0.delete(spark, "n_nationkey >= 0")
+    assert ds2.get_fragment(f0) is None
+    assert LanceFragment(ds2, f1).count_rows() == before1
+    assert ds2.count_rows() == before1
+
+
+def test_fragment_filtered_count_and_missing(spark, ds):
+    frag = LanceFragment(ds, ds.manifest.fragments[0].id)
+    n = frag.count_rows("n_nationkey % 2 = 0", spark=spark)
+    assert 0 < n < frag.count_rows()
+    with pytest.raises(ValueError):
+        LanceFragment(ds, 99)
