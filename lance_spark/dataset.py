@@ -57,6 +57,19 @@ class LanceDataset:
     def columns(self) -> list[str]:
         return [f["name"] for f in self.manifest.schema_json["fields"]]
 
+    @property
+    def max_field_id(self) -> int:
+        """Highest field ordinal in the current schema (reference
+        dataset.py:925 ``max_field_id``). Fields here are addressed by name,
+        not id, so this is the current top-level arity minus one."""
+        return len(self.manifest.schema_json["fields"]) - 1
+
+    @property
+    def data_storage_version(self) -> str:
+        """Storage-format tag (reference dataset.py:918). The physical layer
+        here is parquet fragments + JSON manifests."""
+        return self.manifest.config.get("data_storage_version", "parquet-1.0")
+
     def versions(self) -> list[dict]:
         out = []
         for v in mf.list_versions(self.uri):
@@ -441,6 +454,14 @@ class LanceDataset:
         df = self._read_files(spark, self._blob_files(column, frags))
         return df.filter(F.col(ROWID_COL).isin(rowids)).select(ROWID_COL, column)
 
+    def take_blob_files(self, rowids: list[int], column: str) -> list:
+        """Lazy file-like handles, one per rowid (the reference's actual
+        ``take_blobs`` return shape — list[BlobFile], dataset.py:1500,
+        blob.py:52). No Spark job: bytes are point-read at first .read()."""
+        from lance_spark.blob import blob_files
+
+        return blob_files(self, column, rowids)
+
     # ------------------------------------------------------------ sql
 
     def sql(self, spark: SparkSession, query: str, table_name: str = "dataset") -> DataFrame:
@@ -448,6 +469,12 @@ class LanceDataset:
         Dataset::sql() (rust/lance/src/dataset/sql.rs:66-80)."""
         self.to_df(spark).createOrReplaceTempView(table_name)
         return spark.sql(query)
+
+    def sql_builder(self, query: str) -> "SqlQueryBuilder":
+        """Builder-shaped SQL entry (reference dataset.py:3450-3475 ``sql`` →
+        SqlQueryBuilder :3581-3639): ``ds.sql_builder("SELECT ...")
+        .table_name("t").with_row_id().build(spark).to_df()``."""
+        return SqlQueryBuilder(self, query)
 
     # ----------------------------------------------- fragment / config parity
 
@@ -472,14 +499,26 @@ class LanceDataset:
     def config(self) -> dict:
         return dict(self.manifest.config)
 
-    def update_config(self, upsert: dict) -> "LanceDataset":
+    def update_config(self, upsert: dict, *, replace: bool = False) -> "LanceDataset":
         """Operation::UpdateConfig (transaction.rs): metadata-only commit
-        merging keys into the manifest config."""
+        merging keys into the manifest config. Unified semantics (reference
+        dataset.py:1206-1243): a ``None`` value removes the key;
+        ``replace=True`` swaps the whole config for ``upsert``."""
 
         def build(base, version):
+            if replace:
+                # schema/table metadata live in their own namespaces in the
+                # reference — a config replace must not clobber them
+                merged = {
+                    k: v for k, v in base.config.items()
+                    if k in ("schema_metadata", "table_metadata")
+                }
+                merged.update(upsert)
+            else:
+                merged = {**base.config, **upsert}
+            merged = {k: v for k, v in merged.items() if v is not None}
             return mf.Manifest.evolve(
-                base, version, operation="update_config",
-                config={**base.config, **upsert},
+                base, version, operation="update_config", config=merged,
             )
 
         mf.commit(self.uri, build, operation="update_config")
@@ -502,6 +541,102 @@ class LanceDataset:
         """Schema-level key/value metadata (dataset.py replace_schema_metadata)
         — carried in the manifest config, versioned like any commit."""
         return self.update_config({"schema_metadata": dict(metadata)})
+
+    def update_schema_metadata(self, values: dict, *, replace: bool = False) -> dict:
+        """Incremental schema-metadata update (reference dataset.py:1244-1281):
+        ``None`` removes a key; ``replace=True`` swaps the whole map."""
+        cur = {} if replace else self.schema_metadata()
+        cur.update(values)
+        cur = {k: v for k, v in cur.items() if v is not None}
+        self.manifest = self.update_config({"schema_metadata": cur}).manifest
+        return cur
+
+    @property
+    def metadata(self) -> dict:
+        """Table-level metadata map (reference dataset.py:1145 ``metadata``) —
+        a namespace separate from schema metadata."""
+        return dict(self.manifest.config.get("table_metadata", {}))
+
+    def update_metadata(self, values: dict, *, replace: bool = False) -> dict:
+        """Table-metadata update (reference dataset.py:1168-1204)."""
+        cur = {} if replace else self.metadata
+        cur.update(values)
+        cur = {k: v for k, v in cur.items() if v is not None}
+        self.manifest = self.update_config({"table_metadata": cur}).manifest
+        return cur
+
+    # field-level metadata (reference dataset.py:1119-1143 replace_field_metadata,
+    # :1282-1328 update_field_metadata). Stored in the Spark schema JSON's
+    # per-field ``metadata`` dict — StructType round-trips it natively, so the
+    # metadata travels with every scan's schema.
+    def _field_entry(self, schema_json: dict, path: str) -> dict:
+        parts = path.split(".")
+        fields = schema_json["fields"]
+        for i, part in enumerate(parts):
+            entry = next((f for f in fields if f["name"] == part), None)
+            if entry is None:
+                raise KeyError(f"field not found: {path}")
+            if i == len(parts) - 1:
+                return entry
+            t = entry["type"]
+            if not (isinstance(t, dict) and t.get("type") == "struct"):
+                raise KeyError(f"field not found: {path} ({part} is not a struct)")
+            fields = t["fields"]
+        raise KeyError(f"field not found: {path}")
+
+    def field_metadata(self, field_name: str) -> dict:
+        return dict(self._field_entry(self.manifest.schema_json, field_name).get("metadata", {}))
+
+    def update_field_metadata(
+        self, field_updates: dict, *, replace: bool = False
+    ) -> "LanceDataset":
+        """Update metadata for multiple fields in one metadata-only commit
+        (reference dataset.py:1282-1328; dotted paths reach struct members).
+        ``None`` values remove keys; ``replace=True`` swaps each named
+        field's map wholesale."""
+        import copy
+
+        def build(base, version):
+            schema = copy.deepcopy(base.schema_json)
+            for path, updates in field_updates.items():
+                entry = self._field_entry(schema, path)
+                cur = {} if replace else dict(entry.get("metadata", {}))
+                cur.update(updates)
+                entry["metadata"] = {k: v for k, v in cur.items() if v is not None}
+            return mf.Manifest.evolve(
+                base, version, operation="update_config", schema_json=schema,
+            )
+
+        mf.commit(self.uri, build, operation="update_config")
+        return LanceDataset(self.uri)
+
+    def replace_field_metadata(self, field_name: str, new_metadata: dict) -> "LanceDataset":
+        """Full replacement for one field (reference dataset.py:1119)."""
+        return self.update_field_metadata({field_name: new_metadata}, replace=True)
+
+    # --------------------------------------------------------- transactions
+
+    def read_transaction(self, version: int) -> dict | None:
+        """Transaction record for a version (reference dataset.py:3408-3447;
+        Transaction dataclass :3646-3652). Derived from the version's
+        manifest: operation + read_version + the commit's properties."""
+        try:
+            m = mf.read_manifest(self.uri, version)
+        except FileNotFoundError:
+            return None
+        return {
+            "read_version": version - 1,
+            "version": version,
+            "operation": m.operation,
+            "timestamp": m.timestamp,
+            "uuid": f"{os.path.basename(self.uri)}-{version}",
+            "transaction_properties": dict(m.properties),
+        }
+
+    def get_transactions(self, recent_transactions: int = 10) -> list[dict | None]:
+        """Most-recent-first transaction list (reference dataset.py:3447)."""
+        vs = mf.list_versions(self.uri)
+        return [self.read_transaction(v) for v in sorted(vs, reverse=True)[:recent_transactions]]
 
     def full_text_search(
         self, spark: SparkSession, query, column: str | None = None, k: int = 10
@@ -776,6 +911,38 @@ class LanceDataset:
             self, spark, column, name, index_type, num_partitions, num_sub_vectors, metric
         )
 
+    def get_ivf_model(self, index_name: str):
+        """IVF model handle for a vector index (reference dataset.py:3495-3507
+        ``get_ivf_model`` → PyIvfModel): exposes ``.centroids`` (numpy
+        [num_partitions, dim]), ``.metric``, ``.index_type``. Works for every
+        IVF_* variant — HNSW builds its graphs over the same IVF layout."""
+        from lance_spark.indexes.vector import IvfIndex
+
+        meta = next((i for i in self.manifest.indices if i.name == index_name), None)
+        if meta is None:
+            raise KeyError(f"index not found: {index_name}")
+        if not meta.index_type.startswith("IVF"):
+            raise ValueError(f"{index_name} is {meta.index_type}, not an IVF index")
+        return IvfIndex(self._abs(meta.path))
+
+    def centroids(self, *, index_name: str | None = None, column: str | None = None):
+        """IVF centroids by index name or column (reference
+        dataset.py:3518-3545)."""
+        if index_name is None:
+            if column is None:
+                raise ValueError("Must provide 'index_name' or 'column'.")
+            index_name = next(
+                (
+                    i.name
+                    for i in self.manifest.indices
+                    if i.column == column and i.index_type.startswith("IVF")
+                ),
+                None,
+            )
+            if index_name is None:
+                raise KeyError(f"No IVF index for column '{column}'")
+        return self.get_ivf_model(index_name).centroids
+
     def create_scalar_index(
         self, spark: SparkSession, column: str, kind: str, name: str | None = None, params: dict | None = None
     ) -> "LanceDataset":
@@ -942,3 +1109,60 @@ class _OptimizeNamespace:
 
     def optimize_indices(self, spark: SparkSession) -> LanceDataset:
         return self._ds.optimize_indices(spark)
+
+
+class SqlQuery:
+    """Built query handle (reference dataset.py:3546-3580 SqlQuery)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def to_df(self) -> DataFrame:
+        return self._df
+
+    def to_batch_records(self) -> list:
+        """Arrow batches (reference to_batch_records)."""
+        return self._df.toArrow().to_batches()
+
+    def to_stream_reader(self):
+        """RecordBatchReader (reference to_stream_reader)."""
+        import pyarrow as pa
+
+        t = self._df.toArrow()
+        return pa.RecordBatchReader.from_batches(t.schema, t.to_batches())
+
+
+class SqlQueryBuilder:
+    """Fluent SQL builder (reference dataset.py:3581-3639): table_name /
+    with_row_id / with_row_addr accumulate scan options; ``build(spark)``
+    registers the view and plans the query."""
+
+    def __init__(self, ds: LanceDataset, query: str):
+        self._ds = ds
+        self._query = query
+        self._table_name = "dataset"
+        self._with_row_id = False
+        self._with_row_addr = False
+
+    def table_name(self, name: str) -> "SqlQueryBuilder":
+        self._table_name = name
+        return self
+
+    def with_row_id(self, flag: bool = True) -> "SqlQueryBuilder":
+        self._with_row_id = flag
+        return self
+
+    def with_row_addr(self, flag: bool = True) -> "SqlQueryBuilder":
+        self._with_row_addr = flag
+        return self
+
+    def build(self, spark: SparkSession) -> SqlQuery:
+        df = self._ds.to_df(spark, with_row_id=self._with_row_id or self._with_row_addr)
+        if self._with_row_addr:
+            # _rowaddr = (fragment_id << FRAGID_SHIFT) | local offset — same
+            # packing as _rowid for uncompacted fragments (write.py:28-30)
+            df = df.withColumn(ROWADDR_COL, F.col(ROWID_COL))
+            if not self._with_row_id:
+                df = df.drop(ROWID_COL)
+        df.createOrReplaceTempView(self._table_name)
+        return SqlQuery(spark.sql(self._query))

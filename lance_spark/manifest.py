@@ -132,6 +132,11 @@ class Manifest:
     indices: list[IndexMeta] = field(default_factory=list)
     config: dict = field(default_factory=dict)
     blob_columns: list[str] = field(default_factory=list)
+    # per-commit transaction properties (reference Transaction
+    # .transaction_properties, dataset.py:3646-3652; the commit message lives
+    # under the reference's ``__lance_commit_message`` key). NOT carried
+    # forward by evolve() — each version owns its properties.
+    properties: dict = field(default_factory=dict)
 
     def to_json(self) -> dict:
         return {
@@ -144,6 +149,7 @@ class Manifest:
             "indices": [i.to_json() for i in self.indices],
             "config": self.config,
             "blob_columns": self.blob_columns,
+            "properties": self.properties,
         }
 
     @classmethod
@@ -177,6 +183,7 @@ class Manifest:
             indices=[IndexMeta.from_json(i) for i in d.get("indices", [])],
             config=d.get("config", {}),
             blob_columns=d.get("blob_columns", []),
+            properties=d.get("properties", {}),
         )
 
 
@@ -247,11 +254,14 @@ def commit(
     build_manifest,
     operation: str,
     max_retries: int = 10,
+    properties: dict | None = None,
 ) -> Manifest:
     """Optimistic-concurrency commit loop (dataset.py:197-222 semantics).
 
     ``build_manifest(base: Manifest | None, version: int) -> Manifest`` is
     called with the freshest base manifest; on conflict we re-read and rebuild.
+    ``properties`` become the version's transaction properties
+    (reference ``transaction_properties`` / ``commit_message``).
     """
     for _attempt in range(max_retries):
         latest = latest_version(root)
@@ -259,6 +269,8 @@ def commit(
         version = (latest or 0) + 1
         manifest = build_manifest(base, version)
         manifest.operation = operation
+        if properties:
+            manifest.properties = {**manifest.properties, **properties}
         try:
             write_manifest(root, manifest)
             return manifest

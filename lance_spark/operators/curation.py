@@ -312,3 +312,70 @@ def gopher_quality(df: DataFrame, col: str, id_col: str) -> DataFrame:
     for k in flags:
         keep = F.col(k) if keep is None else keep & F.col(k)
     return out.withColumn("gopher_keep", keep)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    capacity: int,
+    num_shards: int = 32,
+) -> DataFrame:
+    """Sequence packing: assign documents, in global ``id_col`` order, to
+    fixed ``capacity``-token training bins by contiguous fill — doc's bin =
+    floor(tokens-before-it / capacity). The doc→context-window shaping step
+    that follows chunking in an LLM data pipeline. Returns
+    ``(id, n_tokens, bin, bin_offset)``; a doc longer than ``capacity``
+    straddles bins and is assigned to the bin where it starts.
+
+    Scale: a global ordered cumsum is the textbook "don't use a global
+    Window" trap — ``Window.orderBy(id)`` alone collapses to ONE partition.
+    This is the two-pass distributed prefix sum instead: (1) arithmetic
+    range sharding on id (deterministic, no sampling), (2) per-shard totals
+    → O(num_shards) driver prefix offsets, (3) per-shard local window
+    cumsum + broadcast offset. One shuffle, no single-partition stage; at
+    1000 executors set num_shards ≈ cluster cores.
+    """
+    stats = df.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).collect()[0]
+    lo, hi = stats["lo"], stats["hi"]
+    if lo is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, n_tokens long, bin long, bin_offset long"
+        )
+    span = max((hi - lo + 1 + num_shards - 1) // num_shards, 1)
+    shard = ((F.col(id_col) - F.lit(lo)) / F.lit(span)).cast("long")
+    base = df.select(
+        F.col(id_col), F.col(token_count_col).cast("long").alias("n_tokens"), shard.alias("__shard")
+    )
+    # pass 1: per-shard totals — tiny (num_shards rows) driver collect
+    totals = {
+        r["__shard"]: r["t"]
+        for r in base.groupBy("__shard").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for s in sorted(totals):
+        offsets[s] = acc
+        acc += totals[s]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(s, o) for s, o in offsets.items()], "__shard long, __offset long"
+        )
+    )
+    # pass 2: local cumsum within each shard (partitioned window, parallel)
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("__offset")
+    return (
+        base.join(off_df, on="__shard")
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(cum_before / capacity).cast("long").alias("bin"),
+            (cum_before % capacity).cast("long").alias("bin_offset"),
+        )
+    )

@@ -571,3 +571,48 @@ def duplicate_clusters(
         F.col("cluster_id").cast("long").alias("cluster_id"),
         (F.col("cluster_id") == F.col("id")).alias("is_canonical"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    para_tokens: int = 10,
+) -> DataFrame:
+    """Paragraph-level exact dedup — the sub-document granularity web-corpus
+    pipelines run AFTER doc-level dedup (boilerplate headers/footers repeat
+    across distinct documents). Splits each doc into fixed ``para_tokens``
+    token windows (the splitter is a detail; the plan is identical for
+    \\n\\n-delimited paragraphs), keeps each distinct paragraph's FIRST
+    occurrence — (min doc, min position) — and reports per-document survival:
+    ``(id, n_paras, n_kept)``.
+
+    Scale: explode is row-local; ONE shuffle on the paragraph hash with a
+    map-side-combined min aggregation (never a collect_list of occurrences);
+    the winner set joins back by hash. At 100 TB the hash shuffle carries
+    (hash, doc, pos) triples only — never paragraph text.
+    """
+    toks = F.col("__toks")
+    paras = (
+        df.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks"))
+        .filter(F.size(toks) > 0)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / para_tokens).cast("int")),
+                    lambda i: F.slice(toks, i * para_tokens + 1, para_tokens),
+                )
+            ).alias("pos", "__p"),
+        )
+        .filter(F.size("__p") > 0)
+        .select("id", "pos", F.md5(F.array_join("__p", " ")).alias("h"))
+    )
+    winners = paras.groupBy("h").agg(F.min(F.struct("id", "pos")).alias("w"))
+    kept = paras.join(
+        winners.select("h", F.col("w.id").alias("wid"), F.col("w.pos").alias("wpos")), on="h"
+    ).withColumn("keep", (F.col("id") == F.col("wid")) & (F.col("pos") == F.col("wpos")))
+    return kept.groupBy("id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    )

@@ -3705,3 +3705,135 @@ def tpch_q21_waiting(spark, sf_dir):
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 additions: sequence packing, paragraph dedup, temporal joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "curate_pack_sequences",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, CAST(len({_DUCK_TOKS.format(col='text')}) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM tok)
+    SELECT doc_id, n_tokens,
+           CAST(floor(cb / 2048) AS BIGINT) AS bin,
+           CAST(cb % 2048 AS BIGINT) AS bin_offset
+    FROM c
+    """,
+)
+def curate_pack_sequences(spark, sf_dir):
+    """Sequence packing: contiguous-fill documents into 2048-token training
+    bins in doc_id order. The oracle is a single-node window cumsum; the
+    Spark side is the two-pass distributed prefix sum (per-shard totals +
+    broadcast offsets) — no single-partition global window."""
+    from lance_spark.functions.text import tokenize
+    from lance_spark.operators.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", capacity=2048)
+
+
+@query(
+    "dedup_paragraphs",
+    f"""
+    WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
+    nz AS (SELECT * FROM tok WHERE len(w) > 0),
+    st AS (SELECT id, unnest(range(0, len(w), 10)) AS start FROM nz),
+    para AS (
+      SELECT st.id, CAST(st.start / 10 AS BIGINT) AS pos,
+             md5(array_to_string(w[st.start + 1 : st.start + 10], ' ')) AS h
+      FROM st JOIN nz ON st.id = nz.id),
+    ranked AS (
+      SELECT id, pos, row_number() OVER (PARTITION BY h ORDER BY id, pos) AS rn
+      FROM para)
+    SELECT id, CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM ranked GROUP BY id
+    """,
+)
+def dedup_paragraphs(spark, sf_dir):
+    """Paragraph-level exact dedup (operators/dedup.py paragraph_dedup):
+    keep each distinct 10-token paragraph's first occurrence, report
+    per-document survival. One hash-keyed shuffle; text never shuffles."""
+    from lance_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id", para_tokens=10)
+
+
+@query(
+    "events_asof_join",
+    """
+    WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    r0 AS (SELECT user_id, ts, value,
+                  row_number() OVER (PARTITION BY user_id, ts ORDER BY value DESC, event_id DESC) AS rn
+           FROM events WHERE event_type = 'click'),
+    r AS (SELECT user_id, ts, value FROM r0 WHERE rn = 1)
+    SELECT l.event_id, l.user_id, round(l.value, 4) AS value,
+           round(r.value, 4) AS asof_value, epoch_us(r.ts) AS asof_ts
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join: each purchase gets the user's most recent click value at
+    or before it — DuckDB's native ASOF JOIN is the oracle; the Spark plan
+    is the scalable union+window carry-forward (operators/joins.py), one
+    shuffle on user_id, no inequality join."""
+    from lance_spark.operators.joins import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    right = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value", "event_id")
+    res = as_of_join(left, right, on="user_id", time_col="ts", value_cols=["value"])
+    return res.select(
+        "event_id", "user_id",
+        F.round("value", 4).alias("value"),
+        F.round("value_asof", 4).alias("asof_value"),
+        F.unix_micros("ts_asof").alias("asof_ts"),
+    )
+
+
+@query(
+    "events_range_join",
+    """
+    WITH a AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+    p AS (SELECT a.event_id, c.value
+          FROM a JOIN c ON a.user_id = c.user_id
+           AND c.ts >= a.ts AND c.ts < a.ts + INTERVAL 1 HOUR),
+    g AS (SELECT event_id, count(*) AS cnt, sum(value) AS sv FROM p GROUP BY event_id)
+    SELECT a.event_id, a.user_id,
+           CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n_in_window,
+           round(COALESCE(g.sv, 0), 2) AS sum_value
+    FROM a LEFT JOIN g USING (event_id)
+    """,
+)
+def events_range_join(spark, sf_dir):
+    """Bounded range join: per signup, the user's click count/value inside
+    the following hour. Spark side time-buckets the inequality into an
+    equi-join on (user, hour-bucket) with a 2-bucket probe
+    (operators/joins.py range_join) — shuffle O(n + 2m), never O(n·m)."""
+    from lance_spark.operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    pairs = range_join(anchors, clicks, on="user_id", time_col="ts",
+                       window="1 HOUR", bucket_seconds=3600)
+    g = pairs.groupBy("event_id").agg(
+        F.count("*").alias("cnt"), F.sum("value_r").alias("sv")
+    )
+    return anchors.join(g, on="event_id", how="left").select(
+        "event_id", "user_id",
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("n_in_window"),
+        F.round(F.coalesce("sv", F.lit(0.0)), 2).alias("sum_value"),
+    )

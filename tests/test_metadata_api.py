@@ -1,0 +1,262 @@
+"""Tests for the round-4 parity surfaces: transactions, table/schema/field
+metadata, IVF model introspection, BlobFile, single-file reader/writer,
+debug formatters, SqlQueryBuilder.
+
+Reference models: python/python/tests/test_dataset.py (metadata/transaction
+coverage), test_blob.py, test_file.py.
+"""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+import lance_spark as ls
+from lance_spark import manifest as mf
+from lance_spark.debug import format_fragment, format_manifest, format_schema, list_transactions
+from lance_spark.file import LanceFileReader, LanceFileWriter
+
+
+@pytest.fixture()
+def tmp_uri(tmp_path):
+    return str(tmp_path / "ds")
+
+
+@pytest.fixture()
+def nation_ds(spark, sf_dir, tmp_uri):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return ls.write_dataset(nation, tmp_uri, mode="create"), nation
+
+
+# ------------------------------------------------------------- transactions
+
+
+def test_read_transaction_and_get_transactions(spark, nation_ds):
+    ds, nation = nation_ds
+    ds = ls.write_dataset(nation, ds.uri, mode="append")
+    tx1 = ds.read_transaction(1)
+    assert tx1["operation"] == "create"
+    assert tx1["read_version"] == 0
+    txs = ds.get_transactions(recent_transactions=2)
+    assert len(txs) == 2
+    assert txs[0]["version"] > txs[1]["version"]  # newest first
+    assert ds.read_transaction(999) is None
+
+
+def test_commit_properties_roundtrip(nation_ds):
+    ds, _ = nation_ds
+    # commit with properties through the manifest layer (the reference's
+    # transaction_properties / __lance_commit_message)
+    def build(base, version):
+        return mf.Manifest.evolve(base, version, operation="update_config")
+
+    mf.commit(ds.uri, build, operation="update_config",
+              properties={"__lance_commit_message": "round4", "who": "test"})
+    ds = ds.checkout_latest()
+    tx = ds.read_transaction(ds.version)
+    assert tx["transaction_properties"]["__lance_commit_message"] == "round4"
+    assert tx["transaction_properties"]["who"] == "test"
+    # properties are per-version, not inherited
+    ds2 = ds.update_config({"k": "v"})
+    assert ds2.read_transaction(ds2.version)["transaction_properties"] == {}
+
+
+# ---------------------------------------------------------------- metadata
+
+
+def test_update_metadata_incremental_and_replace(nation_ds):
+    ds, _ = nation_ds
+    got = ds.update_metadata({"author": "a", "v": "1"})
+    assert got == {"author": "a", "v": "1"}
+    got = ds.update_metadata({"v": None, "b": "2"})
+    assert got == {"author": "a", "b": "2"}
+    got = ds.update_metadata({"only": "x"}, replace=True)
+    assert got == {"only": "x"}
+    assert ds.checkout_latest().metadata == {"only": "x"}
+
+
+def test_update_schema_metadata_separate_namespace(nation_ds):
+    ds, _ = nation_ds
+    ds.update_metadata({"table": "t"})
+    got = ds.update_schema_metadata({"encoding": "utf-8"})
+    assert got == {"encoding": "utf-8"}
+    ds = ds.checkout_latest()
+    # namespaces are independent; config replace preserves both
+    assert ds.metadata == {"table": "t"}
+    assert ds.schema_metadata() == {"encoding": "utf-8"}
+    ds = ds.update_config({"x": "1"}, replace=True)
+    assert ds.config == {
+        "x": "1",
+        "schema_metadata": {"encoding": "utf-8"},
+        "table_metadata": {"table": "t"},
+    }
+
+
+def test_field_metadata_update_and_replace(nation_ds):
+    ds, _ = nation_ds
+    ds = ds.update_field_metadata({
+        "n_name": {"description": "nation name", "pii": "no"},
+        "n_nationkey": {"description": "key"},
+    })
+    assert ds.field_metadata("n_name") == {"description": "nation name", "pii": "no"}
+    ds = ds.update_field_metadata({"n_name": {"pii": None, "lang": "en"}})
+    assert ds.field_metadata("n_name") == {"description": "nation name", "lang": "en"}
+    ds = ds.replace_field_metadata("n_name", {"only": "this"})
+    assert ds.field_metadata("n_name") == {"only": "this"}
+    # untouched field survives commits
+    assert ds.field_metadata("n_nationkey") == {"description": "key"}
+    with pytest.raises(KeyError):
+        ds.update_field_metadata({"nope": {"a": "b"}})
+    # metadata travels in the Spark schema
+    field = next(f for f in ds.schema.fields if f.name == "n_name")
+    assert field.metadata == {"only": "this"}
+
+
+def test_trivia_properties(nation_ds):
+    ds, nation = nation_ds
+    assert ds.max_field_id == len(nation.columns) - 1
+    assert ds.data_storage_version.startswith("parquet")
+
+
+# ----------------------------------------------------------- ivf introspect
+
+
+def test_get_ivf_model_and_centroids(spark, sf_dir, tmp_uri):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(500)
+    ds = ls.write_dataset(emb, tmp_uri, mode="create")
+    ds = ds.create_index(spark, "embedding", index_type="IVF_FLAT",
+                         name="emb_idx", num_partitions=4, metric="l2")
+    model = ds.get_ivf_model("emb_idx")
+    dim = len(emb.select("embedding").first()[0])
+    assert model.centroids.shape == (4, dim)
+    assert model.metric == "l2"
+    cents = ds.centroids(column="embedding")
+    assert (cents == model.centroids).all()
+    with pytest.raises(KeyError):
+        ds.get_ivf_model("nope")
+    with pytest.raises(ValueError):
+        ds.centroids()
+
+
+# ------------------------------------------------------------------- blobs
+
+
+def test_blob_file_seek_read(spark, tmp_uri):
+    rows = [(i, f"payload-{i}".encode() * 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, data binary")
+    ds = ls.write_dataset(df.repartition(2), tmp_uri, blob_columns=["data"])
+    rowids = [r[0] for r in ds.blob_descriptors(spark, "data").select("_rowid").limit(3).collect()]
+    files = ds.take_blob_files(rowids, "data")
+    assert len(files) == 3
+    f = files[0]
+    assert f.readable() and f.seekable() and not f.closed
+    whole = f.readall()
+    assert whole.startswith(b"payload-")
+    assert f.size() == len(whole)
+    f.seek(8)
+    assert f.read(2) == whole[8:10]
+    f.seek(-4, os.SEEK_END)
+    assert f.read() == whole[-4:]
+    buf = bytearray(5)
+    f.seek(0)
+    assert f.readinto(buf) == 5
+    assert bytes(buf) == whole[:5]
+    f.close()
+    assert f.closed
+    with pytest.raises(KeyError):
+        ds.take_blob_files([999 << 32], "data")[0].read()
+
+
+# ------------------------------------------------------------- file reader
+
+
+def test_file_writer_reader_roundtrip(tmp_path):
+    path = str(tmp_path / "f.parquet")
+    t = pa.table({"a": list(range(100)), "b": [f"s{i}" for i in range(100)]})
+    with LanceFileWriter(path) as w:
+        for batch in t.to_batches(max_chunksize=30):
+            w.write_batch(batch)
+        w.add_schema_metadata("creator", "test")
+        idx = w.add_global_buffer(b"\x01\x02\x03")
+    assert idx == 1
+
+    r = LanceFileReader(path)
+    assert r.num_rows() == 100
+    md = r.metadata()
+    assert md.num_rows == 100 and md.schema.names == ["a", "b"]
+    assert r.read_all().to_table().num_rows == 100
+    got = r.read_range(25, 10).to_table()
+    assert got.column("a").to_pylist() == list(range(25, 35))
+    got = r.take_rows([0, 3, 97]).to_table()
+    assert got.column("a").to_pylist() == [0, 3, 97]
+    with pytest.raises(ValueError):
+        r.take_rows([5, 2])
+    assert r.read_global_buffer(1) == b"\x01\x02\x03"
+    with pytest.raises(IndexError):
+        r.read_global_buffer(9)
+    stats = r.file_statistics()
+    assert {c["column"] for c in stats.columns} == {"a", "b"}
+    # batches iterate at the requested size
+    batches = list(r.read_all(batch_size=32).to_batches())
+    assert sum(b.num_rows for b in batches) == 100
+
+
+def test_file_reader_column_projection(tmp_path):
+    path = str(tmp_path / "g.parquet")
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    with LanceFileWriter(path, schema=t.schema) as w:
+        w.write_batch(t)
+    r = LanceFileReader(path, columns=["b"])
+    assert r.read_all().to_table().column_names == ["b"]
+
+
+# ------------------------------------------------------------------- debug
+
+
+def test_debug_formatters(spark, nation_ds):
+    ds, _ = nation_ds
+    ds = ds.update_field_metadata({"n_name": {"d": "x"}})
+    ds.delete(spark, "n_nationkey = 1")
+    ds = ds.checkout_latest()
+    s = format_schema(ds)
+    assert "n_name" in s and "metadata={'d': 'x'}" in s
+    m = format_manifest(ds)
+    assert "Manifest(version=" in m and "Fragment 0" in m
+    frag = ds.get_fragments()[0]
+    fs = format_fragment(frag)
+    assert "deletion_file" in fs and "physical_rows" in fs
+    txs = list_transactions(ds)
+    assert any("delete" in t for t in txs)
+
+
+# --------------------------------------------------------------------- sql
+
+
+def test_sql_builder(spark, nation_ds):
+    ds, nation = nation_ds
+    q = (
+        ds.sql_builder("SELECT n_name, _rowid FROM nations WHERE n_regionkey = 0 ORDER BY n_name")
+        .table_name("nations")
+        .with_row_id()
+        .build(spark)
+    )
+    df = q.to_df()
+    assert "_rowid" in df.columns
+    expect = [r[0] for r in nation.filter("n_regionkey = 0").select("n_name").orderBy("n_name").collect()]
+    assert [r["n_name"] for r in df.collect()] == expect
+    batches = q.to_batch_records()
+    assert sum(b.num_rows for b in batches) == len(expect)
+    reader = q.to_stream_reader()
+    assert reader.read_all().num_rows == len(expect)
+
+
+def test_sql_builder_row_addr(spark, nation_ds):
+    ds, _ = nation_ds
+    q = (
+        ds.sql_builder("SELECT _rowaddr FROM t LIMIT 5")
+        .table_name("t")
+        .with_row_addr()
+        .build(spark)
+    )
+    rows = q.to_df().collect()
+    assert len(rows) == 5

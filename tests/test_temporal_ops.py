@@ -1,0 +1,134 @@
+"""Unit tests for round-4 operators: as-of join, range join, sequence
+packing, paragraph dedup — edge semantics the suite oracle doesn't pin
+(tolerance cutoffs, empty inputs, straddling docs, oversized docs).
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from lance_spark.operators.curation import pack_sequences
+from lance_spark.operators.dedup import paragraph_dedup
+from lance_spark.operators.joins import as_of_join, range_join
+
+
+def _ts(minute):
+    return datetime.datetime(2024, 1, 1, 10, minute)
+
+
+@pytest.fixture()
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", _ts(5), 100.0), (2, "A", _ts(10), 101.0), (3, "B", _ts(7), 50.0),
+         (4, "C", _ts(1), 7.0)],
+        "trade_id long, sym string, ts timestamp, px double",
+    )
+    quotes = spark.createDataFrame(
+        [("A", _ts(4), 99.5), ("A", _ts(10), 100.5), ("A", _ts(12), 109.0),
+         ("B", _ts(0), 49.0)],
+        "sym string, ts timestamp, bid double",
+    )
+    return trades, quotes
+
+
+def test_as_of_join_basic(trades_quotes):
+    trades, quotes = trades_quotes
+    out = as_of_join(trades, quotes, on="sym", time_col="ts", value_cols=["bid"])
+    got = {r["trade_id"]: (r["bid_asof"], r["ts_asof"]) for r in out.collect()}
+    assert got[1] == (99.5, _ts(4))      # strictly before
+    assert got[2] == (100.5, _ts(10))    # equal ts is inclusive
+    assert got[3] == (49.0, _ts(0))
+    assert got[4] == (None, None)        # no quote for C
+    assert out.count() == trades.count()  # left-join cardinality
+
+
+def test_as_of_join_tolerance(trades_quotes):
+    trades, quotes = trades_quotes
+    out = as_of_join(trades, quotes, on="sym", time_col="ts",
+                     value_cols=["bid"], tolerance="5 MINUTE")
+    got = {r["trade_id"]: r["bid_asof"] for r in out.collect()}
+    assert got[1] == 99.5                # 1 min back, inside tolerance
+    assert got[3] is None                # 7 min back, outside
+
+
+def test_as_of_join_duplicate_right_ts(spark):
+    left = spark.createDataFrame([(1, "A", _ts(5))], "id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("A", _ts(3), 1.0), ("A", _ts(3), 9.0)], "k string, ts timestamp, v double"
+    )
+    out = as_of_join(left, right, on="k", time_col="ts", value_cols=["v"])
+    # deterministic winner among equal-ts right rows: max-ordered
+    assert out.collect()[0]["v_asof"] == 9.0
+
+
+def test_range_join_window_edges(spark):
+    anchors = spark.createDataFrame([(1, "u", _ts(0))], "id long, k string, ts timestamp")
+    # 59:59 in-window; exactly +1h excluded; before-anchor excluded
+    right = spark.createDataFrame(
+        [("u", datetime.datetime(2024, 1, 1, 10, 59, 59), 1.0),
+         ("u", datetime.datetime(2024, 1, 1, 11, 0, 0), 2.0),
+         ("u", datetime.datetime(2024, 1, 1, 9, 59, 59), 3.0),
+         ("u", _ts(0), 4.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = range_join(anchors, right, on="k", time_col="ts",
+                     window="1 HOUR", bucket_seconds=3600)
+    vals = sorted(r["v_r"] for r in out.collect())
+    assert vals == [1.0, 4.0]  # inclusive start, exclusive end, no lookback
+
+
+def test_range_join_no_cross_key_pairs(spark):
+    anchors = spark.createDataFrame([(1, "u1", _ts(0))], "id long, k string, ts timestamp")
+    right = spark.createDataFrame([("u2", _ts(30), 1.0)], "k string, ts timestamp, v double")
+    out = range_join(anchors, right, on="k", time_col="ts",
+                     window="1 HOUR", bucket_seconds=3600)
+    assert out.count() == 0
+
+
+def test_pack_sequences_contiguous_fill(spark):
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(10)], "id long, n long"
+    )
+    out = pack_sequences(df, "id", "n", capacity=250, num_shards=3).orderBy("id").collect()
+    # cumulative-before: 0,100,...,900 → bins 0,0,0,1,1,2,2,2,3,3
+    assert [r["bin"] for r in out] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    assert [r["bin_offset"] for r in out] == [0, 100, 200, 50, 150, 0, 100, 200, 50, 150]
+
+
+def test_pack_sequences_oversized_doc_and_empty(spark):
+    df = spark.createDataFrame([(1, 5000), (2, 10)], "id long, n long")
+    out = {r["id"]: r for r in pack_sequences(df, "id", "n", capacity=2048).collect()}
+    assert out[1]["bin"] == 0            # starts at offset 0
+    assert out[2]["bin"] == 2            # 5000 // 2048
+    empty = pack_sequences(df.filter("id > 99"), "id", "n", capacity=2048)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "n_tokens", "bin", "bin_offset"}
+
+
+def test_pack_sequences_matches_global_window(spark):
+    # distributed 2-pass cumsum == single-partition global window
+    import random
+
+    rng = random.Random(7)
+    rows = [(i * 3 + 1, rng.randint(0, 500)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, n long")
+    got = pack_sequences(df, "id", "n", capacity=1000, num_shards=8).orderBy("id").collect()
+    cum = 0
+    for r, (_i, n) in zip(got, sorted(rows)):
+        assert r["bin"] == cum // 1000
+        assert r["bin_offset"] == cum % 1000
+        cum += n
+
+
+def test_paragraph_dedup(spark):
+    # alphabetic words — tokenize() splits on non-letters, digits vanish
+    words = [f"w{chr(97 + i)}" for i in range(20)]
+    a = " ".join(words)                               # paras P0 P1
+    b = " ".join(words[:10]) + " unique text here only doc two"
+    df = spark.createDataFrame([(1, a), (2, b), (3, a)], "doc_id long, text string")
+    out = {r["id"]: (r["n_paras"], r["n_kept"]) for r in
+           paragraph_dedup(df, "text", "doc_id", para_tokens=10).collect()}
+    assert out[1] == (2, 2)   # first occurrence of both paras
+    assert out[2] == (2, 1)   # P0 is doc 1's; tail para unique
+    assert out[3] == (2, 0)   # exact dup of doc 1
