@@ -237,6 +237,18 @@ class LanceDataset:
         include_deleted_rows: bool = False,
         order_by: list[tuple] | list[str] | None = None,
         late_materialization: bool = False,
+        nearest: dict | None = None,
+        full_text_query=None,
+        prefilter: bool = False,
+        fast_search: bool = False,
+        use_scalar_index: bool | None = None,
+        batch_size: int | None = None,
+        batch_readahead: int | None = None,
+        fragment_readahead: int | None = None,
+        io_buffer_size: int | None = None,
+        scan_in_order: bool | None = None,
+        use_stats: bool | None = None,
+        strict_batch_size: bool | None = None,
     ) -> DataFrame:
         """The ScannerBuilder surface (dataset.py:4219-4590) as a DataFrame.
 
@@ -251,7 +263,28 @@ class LanceDataset:
         columns are fetched by a _rowid join afterwards (TakeExec role,
         scanner.rs:1579-1654) — at 100 TB the wide columns are read for k
         rows, not N.
+
+        ``nearest`` / ``full_text_query`` route through the vector / FTS
+        search paths (scanner nearest + fts surface, dataset.py:4420-4501);
+        ``prefilter`` chooses whether ``filter`` restricts candidates
+        BEFORE the search (k matching rows return) or trims its results
+        after. ``batch_size`` / ``*_readahead`` / ``io_buffer_size`` /
+        ``scan_in_order`` / ``use_stats`` / ``strict_batch_size`` are
+        accepted for call-site compatibility and intentionally ignored:
+        batch shaping and IO scheduling belong to Spark's scan machinery
+        (maxPartitionBytes, AQE), which replaces the reference's hand-tuned
+        readahead. ``use_scalar_index`` False is honored by this scan path
+        unconditionally (Catalyst's parquet stats pushdown plays the
+        BTREE/ZONEMAP role); explicit scalar-index routing lives in
+        ``scan_with_index``.
         """
+        if nearest is not None or full_text_query is not None:
+            return self._search_scan(
+                spark, columns=columns, filter=filter, limit=limit,
+                with_row_id=with_row_id, nearest=nearest,
+                full_text_query=full_text_query, prefilter=prefilter,
+                fast_search=fast_search,
+            )
         if filter is not None and not isinstance(filter, str):
             import pyarrow as pa
 
@@ -355,6 +388,70 @@ class LanceDataset:
         if with_row_address:
             out_cols.append(ROWADDR_COL)
         return df.select(*out_cols)
+
+    def _search_scan(
+        self,
+        spark: SparkSession,
+        columns=None,
+        filter: str | None = None,  # noqa: A002
+        limit: int | None = None,
+        with_row_id: bool = False,
+        nearest: dict | None = None,
+        full_text_query=None,
+        prefilter: bool = False,
+        fast_search: bool = False,
+    ) -> DataFrame:
+        """scanner(nearest=...) / scanner(full_text_query=...) routing
+        (reference dataset.py:4420-4501 nearest dict; :4502 fast_search;
+        :4353 prefilter semantics)."""
+        if filter is not None and not isinstance(filter, str):
+            import pyarrow as pa
+
+            if isinstance(filter, (bytes, bytearray, memoryview, pa.Buffer)):
+                filter = substrait_filter_to_sql(filter)  # noqa: A001
+            else:
+                filter = arrow_filter_to_sql(filter)  # noqa: A001
+        if nearest is not None:
+            nq = dict(nearest)
+            hits = self.nearest(
+                spark,
+                nq["column"],
+                list(nq["q"]),
+                k=int(nq.get("k", 10)),
+                nprobes=int(nq.get("nprobes", 4)),
+                refine_factor=int(nq.get("refine_factor") or 1),
+                use_index=bool(nq.get("use_index", True)),
+                filter=filter if prefilter else None,
+                fast_search=fast_search,
+                with_row_id=True,
+            )
+            score_col = "_distance"
+        else:
+            q = full_text_query
+            if isinstance(q, dict):  # reference accepts {"query": ..., "columns": [...]}
+                column = (q.get("columns") or [None])[0]
+                q = q.get("query")
+            else:
+                column = None
+            hits = self.full_text_search(
+                spark, q, column=column, k=int(limit or 10), with_row_id=True
+            )
+            score_col = "_score"
+        if filter and not prefilter:
+            hits = hits.filter(_compat_filter(filter))
+        if limit is not None:
+            order = F.asc(score_col) if score_col == "_distance" else F.desc(score_col)
+            hits = hits.orderBy(order, ROWID_COL).limit(limit)
+        if isinstance(columns, dict):
+            sel = [F.expr(e).alias(n) for n, e in columns.items()]
+        elif isinstance(columns, list):
+            sel = list(columns)
+        else:
+            sel = [c for c in self.columns if c in hits.columns]
+        sel = [*sel, score_col]
+        if with_row_id:
+            sel.append(ROWID_COL)
+        return hits.select(*sel)
 
     # count fast path: O(1) from manifest when unfiltered
     # (scanner.rs:1496-1577, dataset.rs:1254)
@@ -639,7 +736,8 @@ class LanceDataset:
         return [self.read_transaction(v) for v in sorted(vs, reverse=True)[:recent_transactions]]
 
     def full_text_search(
-        self, spark: SparkSession, query, column: str | None = None, k: int = 10
+        self, spark: SparkSession, query, column: str | None = None, k: int = 10,
+        with_row_id: bool = False,
     ) -> DataFrame:
         """``full_text_search`` entry (scanner fts surface): a plain string is
         an OR-of-terms match; a structured ``FullTextQuery`` object
@@ -651,36 +749,30 @@ class LanceDataset:
 
         if isinstance(query, FullTextQuery):
             hits = execute_query(spark, query, ds=self, column=column, k=k)
-            base = self.to_df(spark, with_row_id=True)
-            return (
-                base.join(F.broadcast(hits), base[ROWID_COL] == hits["id"])
-                .drop("id", ROWID_COL)
-                .orderBy(F.desc("_score"))
-            )
-        terms = [t for t in query.split() if t]
-        try:
-            from lance_spark.indexes.inverted import _find, match_query
+        else:
+            terms = [t for t in query.split() if t]
+            try:
+                from lance_spark.indexes.inverted import _find, match_query
 
-            _find(self, column)
-            hits = match_query(self, spark, terms, column=column, k=k)
-        except ValueError:
-            from lance_spark.operators.fts import bm25_search
+                _find(self, column)
+                hits = match_query(self, spark, terms, column=column, k=k)
+            except ValueError:
+                from lance_spark.operators.fts import bm25_search
 
-            col = column or next(
-                f["name"]
-                for f in self.manifest.schema_json["fields"]
-                if f["type"] == "string"
-            )
-            flat = self.to_df(spark, with_row_id=True)
-            hits = bm25_search(flat, col, ROWID_COL, terms, k=k).withColumnRenamed(
-                ROWID_COL, "id"
-            )
+                col = column or next(
+                    f["name"]
+                    for f in self.manifest.schema_json["fields"]
+                    if f["type"] == "string"
+                )
+                flat = self.to_df(spark, with_row_id=True)
+                hits = bm25_search(flat, col, ROWID_COL, terms, k=k).withColumnRenamed(
+                    ROWID_COL, "id"
+                )
         base = self.to_df(spark, with_row_id=True)
-        return (
-            base.join(F.broadcast(hits), base[ROWID_COL] == hits["id"])
-            .drop("id", ROWID_COL)
-            .orderBy(F.desc("_score"))
-        )
+        out = base.join(F.broadcast(hits), base[ROWID_COL] == hits["id"]).drop("id")
+        if not with_row_id:
+            out = out.drop(ROWID_COL)
+        return out.orderBy(F.desc("_score"))
 
     @property
     def optimize(self) -> "_OptimizeNamespace":
@@ -981,12 +1073,14 @@ class LanceDataset:
         filter: str | None = None,  # noqa: A002 - reference API name
         fast_search: bool = False,
         ef_search: int = 64,
+        with_row_id: bool = False,
     ) -> DataFrame:
         from lance_spark.indexes.vector import dataset_nearest
 
         return dataset_nearest(
             self, spark, column, query, k, nprobes, refine_factor, use_index,
             filter=filter, fast_search=fast_search, ef_search=ef_search,
+            with_row_id=with_row_id,
         )
 
     def compact_files(self, spark: SparkSession, target_rows_per_fragment: int = 1024 * 1024) -> "LanceDataset":

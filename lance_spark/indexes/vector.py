@@ -649,6 +649,7 @@ def dataset_nearest(
     filter: str | None = None,  # noqa: A002 - reference API name
     fast_search: bool = False,
     ef_search: int = 64,
+    with_row_id: bool = False,
 ) -> DataFrame:
     """``scanner.nearest(...)`` (dataset.py:4420-4501): ANN over the indexed
     fragments UNION exact KNN over fragments written after the index
@@ -709,8 +710,7 @@ def dataset_nearest(
     topk = hits.orderBy("_distance", "id").limit(k)
     # fetch the dataset columns for the winners (TakeExec role, take.rs:284)
     base = ds.to_df(spark, with_row_id=True)
-    return (
-        base.join(F.broadcast(topk), base[ROWID_COL] == topk["id"], "inner")
-        .drop("id", ROWID_COL)
-        .orderBy("_distance")
-    )
+    out = base.join(F.broadcast(topk), base[ROWID_COL] == topk["id"], "inner").drop("id")
+    if not with_row_id:
+        out = out.drop(ROWID_COL)
+    return out.orderBy("_distance")

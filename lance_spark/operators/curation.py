@@ -379,3 +379,30 @@ def pack_sequences(
             (cum_before % capacity).cast("long").alias("bin_offset"),
         )
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str,
+    max_size: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Tokenizer-vocabulary construction: corpus word frequencies → top
+    ``max_size`` tokens by (count desc, token asc) → dense contiguous ids
+    from 0. The vocab-build step before tokenization in an LLM pipeline.
+
+    Scale: ONE map-side-combined shuffle for the counts; the global rank
+    runs AFTER ``limit(max_size)``, so the single-partition window is
+    bounded by the vocab cap (a few hundred thousand rows at worst), never
+    by the corpus."""
+    counts = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    top = counts.orderBy(F.desc("cnt"), "token").limit(max_size)
+    w = Window.orderBy(F.desc("cnt"), "token")
+    return top.select(
+        "token", "cnt", (F.row_number().over(w) - 1).cast("long").alias("id")
+    )

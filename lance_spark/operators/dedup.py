@@ -616,3 +616,29 @@ def paragraph_dedup(
         F.count("*").alias("n_paras"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
     )
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    min_cosine: float = 0.4,
+) -> DataFrame:
+    """Semantic (embedding-space) dedup end-to-end: sign-LSH candidate
+    pairs → exact-cosine threshold → connected components → per-row keep
+    flag ``(id, cluster_id, keep)``. ``keep`` marks the one row per
+    semantic cluster a pipeline retains (smallest id); every input row
+    appears exactly once.
+
+    This is SemDeDup-style curation assembled from the scale-safe pieces:
+    bucketed LSH (never an O(n²) self-join), components via min-label
+    propagation (rounds = cluster diameter)."""
+    pairs = embedding_lsh_pairs(df, vec_col, id_col, dim=dim, min_cosine=min_cosine)
+    nodes = df.select(F.col(id_col).alias("id"))
+    cc = connected_components(nodes, pairs)
+    return cc.select(
+        "id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("cluster_id") == F.col("id")).alias("keep"),
+    )

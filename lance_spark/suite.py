@@ -3837,3 +3837,72 @@ def events_range_join(spark, sf_dir):
         F.coalesce("cnt", F.lit(0)).cast("long").alias("n_in_window"),
         F.round(F.coalesce("sv", F.lit(0.0)), 2).alias("sum_value"),
     )
+
+
+@query(
+    "text_build_vocab",
+    f"""
+    WITH tok AS (SELECT unnest({_DUCK_TOKS.format(col='text')}) AS token FROM documents),
+    c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+    top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 1000)
+    SELECT token, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS id
+    FROM top
+    """,
+)
+def text_build_vocab(spark, sf_dir):
+    """Tokenizer-vocabulary build: corpus word frequencies → capped rank →
+    dense ids. The rank window runs AFTER limit(cap), so its single
+    partition is bounded by the vocab size, never the corpus."""
+    from lance_spark.operators.curation import build_vocab
+
+    return build_vocab(_t(spark, sf_dir, "documents"), "text", max_size=1000)
+
+
+def _semantic_keep_oracle() -> str:
+    from lance_spark.operators.dedup import hyperplanes
+
+    nplanes, bands, band_bits = 16, 4, 4
+    planes = hyperplanes(64, nplanes, 42)
+    sig_terms = " + ".join(
+        f"""CASE WHEN list_sum(list_transform(range(1, 65),
+              i -> CAST(embedding[i] AS DOUBLE) * ([{", ".join(repr(float(x)) for x in p)}])[i]))
+            > 0 THEN {1 << i} ELSE 0 END"""
+        for i, p in enumerate(planes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {b} AS band_id, (sig >> {b * band_bits}) & 15 AS band_key FROM sig"
+        for b in range(bands)
+    )
+    cos = """
+      list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    """
+    return f"""
+    WITH RECURSIVE sig AS (SELECT vec_id, embedding, {sig_terms} AS sig FROM embeddings),
+    banded AS ({band_selects}),
+    pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+              WHERE {cos} >= 0.4),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT vec_id AS src, vec_id AS dst FROM embeddings
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+    SELECT src AS id, CAST(min(dst) AS BIGINT) AS cluster_id,
+           (min(dst) = src) AS keep
+    FROM reach GROUP BY src
+    """
+
+
+@query("dedup_semantic_keep", _semantic_keep_oracle())
+def dedup_semantic_keep(spark, sf_dir):
+    """SemDeDup-style semantic dedup end-to-end: sign-LSH candidates →
+    cosine >= 0.4 → connected components → one kept row per semantic
+    cluster. Oracle = the same LSH arithmetic + recursive-CTE closure."""
+    from lance_spark.operators.dedup import semantic_dedup_keep
+
+    return semantic_dedup_keep(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", dim=64, min_cosine=0.4
+    )

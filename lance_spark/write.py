@@ -207,6 +207,50 @@ def commit_fragments(
     return mf.commit(uri, build, operation=operation)
 
 
+def commit_batch(
+    dest,
+    transactions: list[dict],
+    max_retries: int = 20,
+    properties: dict | None = None,
+) -> dict:
+    """Merge several transactions into ONE new version (reference
+    dataset.py:3225 ``commit_batch`` → BulkCommitResult). Like the
+    reference, only append transactions merge; each transaction is
+    ``{"operation": "append", "fragments": [manifest.Fragment, ...]}`` —
+    the shape ``write_fragments`` returns. The merged commit is atomic:
+    either every transaction's fragments appear in the new version or none
+    do.
+    """
+    uri = dest.uri if hasattr(dest, "uri") else str(dest)
+    merged: list[mf.Fragment] = []
+    for tx in transactions:
+        op = tx.get("operation", "append")
+        if op != "append":
+            raise NotImplementedError(
+                "commit_batch merges append transactions only (reference parity: "
+                "dataset.py:3250 'Only append transactions are currently supported')"
+            )
+        merged.extend(tx["fragments"])
+
+    def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
+        assert base is not None, "commit_batch appends to an existing dataset"
+        return mf.Manifest.evolve(
+            base,
+            version,
+            operation="append",
+            fragments=base.fragments + merged,
+            max_fragment_id=max([f.id for f in merged] + [base.max_fragment_id]),
+        )
+
+    mf.commit(uri, build, operation="append", max_retries=max_retries, properties=properties)
+    from lance_spark.dataset import LanceDataset
+
+    return {
+        "dataset": LanceDataset(uri),
+        "merged": {"operation": "append", "fragments": merged},
+    }
+
+
 def write_dataset(
     df: DataFrame,
     uri: str,
