@@ -69,3 +69,22 @@ def _normalize_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:
 def normalize_arrow_table(table: pa.Table) -> pa.Table:
     cols = [_normalize_array(table.column(i)) for i in range(table.num_columns)]
     return pa.table(dict(zip(table.column_names, cols)))
+
+
+def schema_to_json(schema: "pa.Schema") -> dict:
+    """Arrow schema → JSON dict (reference python/python/lance/schema.py:13
+    ``schema_to_json``). The JSON dialect here is Spark's StructType
+    encoding — the manifest's native schema format — so a schema written by
+    this helper round-trips through ``json_to_schema`` AND matches what
+    ``Manifest.schema_json`` stores."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return from_arrow_schema(normalize_arrow_table(schema.empty_table()).schema).jsonValue()
+
+
+def json_to_schema(schema_json: dict) -> "pa.Schema":
+    """JSON dict → Arrow schema (reference schema.py:23 ``json_to_schema``)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    return to_arrow_schema(StructType.fromJson(schema_json))

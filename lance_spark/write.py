@@ -40,7 +40,8 @@ _META_SCHEMA = StructType(
 
 
 def _fragment_writer(root: str, base_fragment_id: int, data_dir: str = "data",
-                     preserve_rowids: bool = False, blob_cols: list[str] | None = None):
+                     preserve_rowids: bool = False, blob_cols: list[str] | None = None,
+                     progress=None):
     """Return a mapInArrow function writing one fragment per input partition.
 
     ``blob_cols`` are split into a second column-group file per fragment
@@ -61,6 +62,10 @@ def _fragment_writer(root: str, base_fragment_id: int, data_dir: str = "data",
         rel_path = os.path.join(data_dir, f"frag-{fragment_id}-{uuid.uuid4().hex}.parquet")
         abs_path = os.path.join(root, rel_path)
         os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+        if progress is not None:
+            # task-side begin hook (FragmentWriteProgress contract,
+            # progress.py) — fires before any bytes land
+            progress.begin({"id": fragment_id, "path": rel_path})
         rel_blob = (
             os.path.join(data_dir, f"frag-{fragment_id}-blob-{uuid.uuid4().hex}.parquet")
             if blob_cols
@@ -109,8 +114,14 @@ def _fragment_writer(root: str, base_fragment_id: int, data_dir: str = "data",
              pa.field("physical_rows", pa.int64()), pa.field("blob_path", pa.string())])
         if offset == 0:
             # empty partition → no fragment
+            if progress is not None:
+                progress.complete({"id": fragment_id, "path": rel_path})
             yield pa.RecordBatch.from_pylist([], schema=meta_schema)
             return
+        if progress is not None:
+            progress.complete(
+                {"id": fragment_id, "path": rel_path, "physical_rows": offset}
+            )
         yield pa.RecordBatch.from_pylist(
             [{"fragment_id": fragment_id, "path": rel_path,
               "physical_rows": offset, "blob_path": rel_blob}],
@@ -127,6 +138,7 @@ def write_fragments(
     max_rows_per_fragment: int | None = None,
     preserve_rowids: bool = False,
     blob_columns: list[str] | None = None,
+    progress=None,
 ) -> list[mf.Fragment]:
     """Write df's partitions as fragments; return metadata (no commit).
 
@@ -147,7 +159,7 @@ def write_fragments(
         df.mapInArrow(
             _fragment_writer(
                 root, base_fragment_id, preserve_rowids=preserve_rowids,
-                blob_cols=blob_columns,
+                blob_cols=blob_columns, progress=progress,
             ),
             _META_SCHEMA,
         )
