@@ -16,6 +16,7 @@ Public API mirrors python/python/lance/__init__.py of the reference:
 """
 
 from lance_spark.dataset import LanceDataset, dataset
+from lance_spark.operation import LanceOperation, commit
 from lance_spark.write import commit_batch, commit_fragments, write_dataset, write_fragments
 from lance_spark.session import get_spark
 from lance_spark.query import (
@@ -38,6 +39,8 @@ __all__ = [
     "write_fragments",
     "commit_fragments",
     "commit_batch",
+    "LanceOperation",
+    "commit",
     "get_spark",
     "FullTextQuery",
     "MatchQuery",

@@ -1,0 +1,94 @@
+"""Typed LanceOperation commits (reference dataset.py:3710-4100 +
+LanceDataset.commit): external writers describe changes as operation
+objects; commit applies them through the optimistic manifest loop."""
+
+import pytest
+
+import lance_spark as ls
+from lance_spark import LanceOperation as Op
+from lance_spark import manifest as mf
+from lance_spark.write import write_fragments
+
+
+@pytest.fixture()
+def ds_and_df(spark, sf_dir, tmp_path):
+    uri = str(tmp_path / "ds")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return ls.write_dataset(nation, uri), nation
+
+
+def test_commit_append(spark, ds_and_df):
+    ds, nation = ds_and_df
+    n0 = ds.count_rows()
+    base = mf.reserve_fragment_ids(ds.uri, 4)
+    frags = write_fragments(nation.limit(7).repartition(1), ds.uri, base)
+    ds2 = ls.commit(ds.uri, Op.Append(fragments=frags),
+                    properties={"writer": "external"})
+    assert ds2.count_rows() == n0 + 7
+    tx = ds2.read_transaction(ds2.version)
+    assert tx["operation"] == "append"
+    assert tx["transaction_properties"]["writer"] == "external"
+
+
+def test_commit_overwrite(spark, ds_and_df, tmp_path):
+    ds, nation = ds_and_df
+    small = nation.limit(3).select("n_nationkey", "n_name")
+    base = mf.reserve_fragment_ids(ds.uri, 2)
+    frags = write_fragments(small.repartition(1), ds.uri, base)
+    ds2 = ls.commit(ds.uri, Op.Overwrite(new_schema=small.schema, fragments=frags))
+    assert ds2.count_rows() == 3
+    assert ds2.columns == ["n_nationkey", "n_name"]
+    # previous version still readable (time travel)
+    assert ds.checkout_version(1).count_rows() == 25
+
+
+def test_commit_delete_drops_fragments(spark, ds_and_df):
+    ds, nation = ds_and_df
+    victim = ds.get_fragments()[0]
+    ds2 = ls.commit(
+        ds.uri,
+        Op.Delete(updated_fragments=[], deleted_fragment_ids=[victim.id],
+                  predicate="true"),
+    )
+    assert ds2.count_rows() == ds.count_rows() - victim.num_rows
+    assert all(f.id != victim.id for f in ds2.get_fragments())
+
+
+def test_commit_rewrite_checks_row_counts(spark, ds_and_df):
+    ds, nation = ds_and_df
+    old = ds.get_fragments()
+    base = mf.reserve_fragment_ids(ds.uri, 2)
+    frags = write_fragments(ds.to_df(spark).repartition(1), ds.uri, base)
+    ds2 = ls.commit(ds.uri, Op.Rewrite(groups=[
+        Op.RewriteGroup(old_fragments=old, new_fragments=frags)
+    ]))
+    assert ds2.count_rows() == ds.count_rows()
+    assert len(ds2.get_fragments()) == 1
+    # row-count mismatch is rejected
+    bad = write_fragments(ds.to_df(spark).limit(4).repartition(1), ds.uri,
+                          mf.reserve_fragment_ids(ds.uri, 2))
+    with pytest.raises(ValueError, match="preserve row counts"):
+        ls.commit(ds.uri, Op.Rewrite(groups=[
+            Op.RewriteGroup(old_fragments=ds2.checkout_latest().get_fragments(),
+                            new_fragments=bad)
+        ]))
+
+
+def test_commit_restore(spark, ds_and_df):
+    ds, nation = ds_and_df
+    ds.delete(spark, "n_nationkey < 10")
+    cur = ds.checkout_latest()
+    assert cur.count_rows() < 25
+    ds2 = ls.commit(ds.uri, Op.Restore(version=1))
+    assert ds2.count_rows() == 25
+    assert ds2.read_transaction(ds2.version)["operation"] == "restore"
+
+
+def test_commit_project_reorders_schema(spark, ds_and_df):
+    ds, nation = ds_and_df
+    reordered = [f for f in reversed(ds.schema.fields)]
+    from pyspark.sql.types import StructType
+
+    ds2 = ls.commit(ds.uri, Op.Project(schema=StructType(reordered)))
+    assert ds2.columns == list(reversed(ds.columns))
+    assert ds2.to_df(spark).columns == ds2.columns

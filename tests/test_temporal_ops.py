@@ -132,3 +132,55 @@ def test_paragraph_dedup(spark):
     assert out[1] == (2, 2)   # first occurrence of both paras
     assert out[2] == (2, 1)   # P0 is doc 1's; tail para unique
     assert out[3] == (2, 0)   # exact dup of doc 1
+
+
+def test_as_of_join_random_vs_bruteforce(spark):
+    """Property-style check: union+window as-of join == per-row brute-force
+    lookup over a randomized event set (many keys, duplicate timestamps,
+    keys missing on either side)."""
+    import random
+
+    rng = random.Random(13)
+    keys = ["a", "b", "c", "d"]
+    left = [(i, rng.choice(keys), _ts(rng.randint(0, 59)))
+            for i in range(120)]
+    right = [(rng.choice(keys + ["e"]), _ts(rng.randint(0, 59)), float(i))
+             for i in range(80)]
+    ldf = spark.createDataFrame(left, "id long, k string, ts timestamp")
+    rdf = spark.createDataFrame(right, "k string, ts timestamp, v double")
+    got = {r["id"]: r["v_asof"]
+           for r in as_of_join(ldf, rdf, on="k", time_col="ts", value_cols=["v"]).collect()}
+
+    # brute force with identical tie-break: per (k, ts) the max-ordered row
+    # survives; match = greatest right ts <= left ts
+    best = {}
+    for k, ts, v in right:
+        cur = best.get((k, ts))
+        if cur is None or v > cur:
+            best[(k, ts)] = v
+    for lid, lk, lts in left:
+        cands = [(ts, v) for (k, ts), v in best.items() if k == lk and ts <= lts]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, f"id {lid}: got {got[lid]}, want {want}"
+
+
+def test_range_join_random_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(29)
+    anchors = [(i, rng.choice("ab"), _ts(rng.randint(0, 50))) for i in range(40)]
+    right = [(rng.choice("abc"), _ts(rng.randint(0, 59)), float(i)) for i in range(120)]
+    adf = spark.createDataFrame(anchors, "id long, k string, ts timestamp")
+    rdf = spark.createDataFrame(right, "k string, ts timestamp, v double")
+    pairs = range_join(adf, rdf, on="k", time_col="ts",
+                       window="10 MINUTE", bucket_seconds=600)
+    got = sorted((r["id"], r["v_r"]) for r in pairs.collect())
+    import datetime
+
+    want = sorted(
+        (aid, v)
+        for aid, ak, ats in anchors
+        for rk, rts, v in right
+        if rk == ak and ats <= rts < ats + datetime.timedelta(minutes=10)
+    )
+    assert got == want
