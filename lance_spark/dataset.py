@@ -70,6 +70,18 @@ class LanceDataset:
         here is parquet fragments + JSON manifests."""
         return self.manifest.config.get("data_storage_version", "parquet-1.0")
 
+    @staticmethod
+    def drop(base_uri: str, ignore_not_found: bool = False) -> None:
+        """Delete a dataset in place (reference dataset.py:3488 ``drop``)."""
+        import shutil
+
+        target = os.path.abspath(base_uri)
+        if not os.path.isdir(os.path.join(target, "_versions")):
+            if ignore_not_found:
+                return
+            raise FileNotFoundError(f"not a lance_spark dataset: {base_uri}")
+        shutil.rmtree(target)
+
     def versions(self) -> list[dict]:
         out = []
         for v in mf.list_versions(self.uri):

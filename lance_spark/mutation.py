@@ -110,9 +110,16 @@ def _apply_deletes_and_appends(
     del_rowids: DataFrame | None,
     append_df: DataFrame | None,
     operation: str,
+    commit: bool = True,
 ):
     """The single mutation primitive: deletion sidecars + appended fragments
-    + one optimistic-concurrency commit (transaction.rs Operation::Update)."""
+    + one optimistic-concurrency commit (transaction.rs Operation::Update).
+
+    ``commit=False`` (execute_uncommitted) stops after the data work and
+    returns the change as a typed ``LanceOperation.Update`` — note the
+    deferred path skips the per-fragment stale-snapshot recheck this
+    function's commit closure performs, so the caller owns conflict
+    awareness between now and its ``lance_spark.commit``."""
     from lance_spark.dataset import LanceDataset
 
     root = ds.uri
@@ -128,6 +135,33 @@ def _apply_deletes_and_appends(
         # reserve ids so a racing writer can't claim the same fragment range
         base_fid = mf.reserve_fragment_ids(root, append_df.rdd.getNumPartitions())
         new_frags = write_fragments(append_df, root, base_fid)
+
+    if not commit:
+        from lance_spark.operation import LanceOperation
+
+        updated, removed = [], []
+        for frag in ds.manifest.fragments:
+            if frag.id in del_map:
+                path, ndel = del_map[frag.id]
+                if ndel >= frag.physical_rows:
+                    removed.append(frag.id)
+                else:
+                    updated.append(
+                        mf.Fragment(
+                            id=frag.id, files=frag.files,
+                            physical_rows=frag.physical_rows,
+                            deletion_file=path, num_deleted_rows=ndel,
+                        )
+                    )
+        return {
+            "transaction": LanceOperation.Update(
+                removed_fragment_ids=removed,
+                updated_fragments=updated,
+                new_fragments=new_frags,
+            ),
+            "uri": root,
+            "read_version": ds.version,
+        }
 
     def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
         assert base is not None
@@ -166,16 +200,24 @@ def _apply_deletes_and_appends(
     return LanceDataset(root)
 
 
-def _retrying(ds, fn, max_retries: int = 10):
+def _retrying(ds, fn, max_retries: int = 10, timeout_s: float | None = None):
     """Re-read + recompute loop around a mutation (dataset.py:197-222
-    conflict_retries): fn(fresh_ds) must build its plan from the snapshot it
-    is handed, so each retry sees the other writer's committed deletions."""
+    conflict_retries + retry_timeout): fn(fresh_ds) must build its plan from
+    the snapshot it is handed, so each retry sees the other writer's
+    committed deletions."""
+    import time
+
     from lance_spark.dataset import LanceDataset
 
+    deadline = time.monotonic() + timeout_s if timeout_s is not None else None
     for _ in range(max_retries):
         try:
             return fn(ds)
         except StaleSnapshotError:
+            if deadline is not None and time.monotonic() > deadline:
+                raise StaleSnapshotError(
+                    f"mutation retry budget exhausted after {timeout_s}s"
+                ) from None
             ds = LanceDataset(ds.uri)
     raise StaleSnapshotError(f"mutation failed after {max_retries} recomputes")
 
@@ -220,6 +262,29 @@ class MergeInsertBuilder:
         self._insert_all = False
         self._delete_not_matched_by_source = False
         self._delete_condition: str | None = None
+        self._max_retries = 10
+        self._retry_timeout_s: float | None = None
+
+    def conflict_retries(self, max_retries: int) -> "MergeInsertBuilder":
+        """dataset.py:197-208 ``conflict_retries``: cap on recompute+retry
+        rounds when concurrent writers change the affected fragments."""
+        self._max_retries = max_retries
+        return self
+
+    def retry_timeout(self, timeout) -> "MergeInsertBuilder":
+        """dataset.py:209-222 ``retry_timeout``: wall-clock budget across
+        all retries (datetime.timedelta or seconds)."""
+        self._retry_timeout_s = (
+            timeout.total_seconds() if hasattr(timeout, "total_seconds") else float(timeout)
+        )
+        return self
+
+    def use_index(self, use_index: bool = True) -> "MergeInsertBuilder":  # noqa: ARG002
+        """dataset.py:223-243 ``use_index``: the reference toggles a
+        btree-assisted join strategy. Accepted no-op here — Catalyst's join
+        selection (broadcast/shuffle/sort-merge + AQE) owns that decision,
+        and the target scan already prunes to key columns + _rowid."""
+        return self
 
     def when_matched_update_all(self, condition: str | None = None) -> "MergeInsertBuilder":
         self._update_all = True
@@ -251,19 +316,51 @@ class MergeInsertBuilder:
         Catalyst picks broadcast vs shuffle join; at 100 TB the target scan
         prunes to join-key columns + _rowid (update appends re-read nothing).
         """
-        return _retrying(self.ds, lambda d: self._execute_once(d, spark, source))
+        return _retrying(
+            self.ds,
+            lambda d: self._execute_once(d, spark, source),
+            max_retries=self._max_retries,
+            timeout_s=self._retry_timeout_s,
+        )
 
-    def _execute_once(self, ds, spark: SparkSession, source: DataFrame):
-        on = self.on
+    def explain_plan(self, spark: SparkSession, source: DataFrame, verbose: bool = False) -> str:
+        """Physical plan of the merge's routing join WITHOUT executing it
+        (reference dataset.py:244-313 ``explain_plan``)."""
+        from lance_spark.plans.explain import explain_plan
+
+        joined = self._routing_plan(self.ds, spark, source)
+        return explain_plan(joined, mode="extended" if verbose else "formatted")
+
+    def analyze_plan(self, spark: SparkSession, source: DataFrame) -> str:
+        """Executed-plan metrics for the routing join (reference
+        dataset.py:314-401 ``analyze_plan``). Runs the join once."""
+        from lance_spark.plans.explain import analyze_plan
+
+        return analyze_plan(self._routing_plan(self.ds, spark, source))
+
+    def execute_uncommitted(self, spark: SparkSession, source: DataFrame):
+        """Run the merge's data work but do NOT commit (reference
+        dataset.py:113-138 ``execute_uncommitted``): deletion sidecars and
+        new fragments are written, and the change comes back as a typed
+        ``LanceOperation.Update`` plus stats. Apply it later — possibly from
+        another process — with ``lance_spark.commit(uri, operation)``."""
+        return self._execute_once(self.ds, spark, source, commit=False)
+
+    def _routing_plan(self, ds, spark: SparkSession, source: DataFrame) -> DataFrame:
+        """The full-outer routing join shared by execute / explain_plan /
+        analyze_plan (merge_insert.rs:690 plan shape)."""
         cols = ds.columns
         target = ds.to_df(spark, with_row_id=True)
         src = source.select(*cols)
-
-        joined = src.withColumn("__src", F.lit(1)).alias("s").join(
+        return src.withColumn("__src", F.lit(1)).alias("s").join(
             target.withColumn("__tgt", F.lit(1)).alias("t"),
-            on=[F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in on],
+            on=[F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in self.on],
             how="full_outer",
         )
+
+    def _execute_once(self, ds, spark: SparkSession, source: DataFrame, commit: bool = True):
+        cols = ds.columns
+        joined = self._routing_plan(ds, spark, source)
         matched = F.col("s.__src").isNotNull() & F.col("t.__tgt").isNotNull()
         src_only = F.col("s.__src").isNotNull() & F.col("t.__tgt").isNull()
         tgt_only = F.col("s.__src").isNull() & F.col("t.__tgt").isNotNull()
@@ -303,6 +400,6 @@ class MergeInsertBuilder:
                 app_df = app_df.unionByName(p)
 
         try:
-            return _apply_deletes_and_appends(ds, spark, del_df, app_df, "merge")
+            return _apply_deletes_and_appends(ds, spark, del_df, app_df, "merge", commit=commit)
         finally:
             joined.unpersist()
