@@ -57,3 +57,40 @@ def json_array_contains(col, path: str, value) -> Column:
 def json_array_length(col, path: str = "$") -> Column:
     target = col if path == "$" else F.get_json_object(col, path)
     return F.json_array_length(target).cast("long")
+
+
+SQL_FUNCTION_DDL = [
+    # SQL-registry parity (reference rust/lance-datafusion/src/udf.rs:16-29
+    # registers these names into DataFusion's SQL function registry): Spark
+    # SQL UDFs macro-expand into Catalyst expressions at parse time, so SQL
+    # call sites stay inside whole-stage codegen — no Python boundary.
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_extract(js STRING, p STRING)
+       RETURNS STRING RETURN get_json_object(js, p)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_get(js STRING, p STRING)
+       RETURNS STRING RETURN get_json_object(js, p)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_get_string(js STRING, p STRING)
+       RETURNS STRING RETURN get_json_object(js, p)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_get_int(js STRING, p STRING)
+       RETURNS BIGINT RETURN CAST(get_json_object(js, p) AS BIGINT)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_get_float(js STRING, p STRING)
+       RETURNS DOUBLE RETURN CAST(get_json_object(js, p) AS DOUBLE)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_get_bool(js STRING, p STRING)
+       RETURNS BOOLEAN RETURN CAST(get_json_object(js, p) AS BOOLEAN)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_exists(js STRING, p STRING)
+       RETURNS BOOLEAN RETURN get_json_object(js, p) IS NOT NULL""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_array_contains(js STRING, p STRING, v STRING)
+       RETURNS BOOLEAN RETURN array_contains(from_json(get_json_object(js, p), 'array<string>'), v)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_array_length(js STRING, p STRING)
+       RETURNS BIGINT RETURN CAST(json_array_length(CASE WHEN p = '$' THEN js
+                                   ELSE get_json_object(js, p) END) AS BIGINT)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION contains_tokens(s STRING, tok STRING)
+       RETURNS BOOLEAN RETURN array_contains(
+           filter(split(lower(s), '[^a-z]+'), x -> x != ''), lower(tok))""",
+]
+
+
+def register_sql_functions(spark) -> None:
+    """Install the reference's SQL UDF names into the session so
+    ``ds.sql("SELECT json_get_int(props, '$.k') ...")`` works verbatim."""
+    for ddl in SQL_FUNCTION_DDL:
+        spark.sql(ddl)

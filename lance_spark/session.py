@@ -52,4 +52,13 @@ def get_spark(app_name: str = "lance_spark", cpus: int | None = None) -> SparkSe
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    try:
+        # the reference's SQL UDF registry (udf.rs:16-29) — SQL UDFs
+        # macro-expand into Catalyst expressions, so these stay codegen'd
+        from lance_spark.functions.json import register_sql_functions
+
+        register_sql_functions(spark)
+    except Exception:  # pragma: no cover - older Spark without SQL UDFs
+        pass
+    return spark

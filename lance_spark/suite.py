@@ -3906,3 +3906,34 @@ def dedup_semantic_keep(spark, sf_dir):
     return semantic_dedup_keep(
         _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", dim=64, min_cosine=0.4
     )
+
+
+@query(
+    "func_json_sql_registry",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    GROUP BY event_type
+    """,
+)
+def func_json_sql_registry(spark, sf_dir):
+    """The reference's SQL UDF registry names used INSIDE a SQL string
+    (udf.rs:16-29 reached through Dataset::sql): json_get_int/json_exists
+    are session-registered Spark SQL UDFs that macro-expand to Catalyst
+    expressions — the filter stays in whole-stage codegen."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__ev_json")
+    return spark.sql("""
+        SELECT event_type,
+               count(*) AS n,
+               sum(json_get_int(props, '$.k')) AS sum_k,
+               sum(CASE WHEN json_exists(props, '$.k') THEN 1 ELSE 0 END) AS n_with_k
+        FROM __ev_json
+        WHERE json_get_int(props, '$.k') >= 50
+        GROUP BY event_type
+    """)
