@@ -36,6 +36,12 @@ HEADLINE = [
     "text_quality_stats",
     "curate_chunks",
     "curate_repetition",
+    # round-4 pipeline operators
+    "events_asof_join",
+    "events_range_join",
+    "curate_pack_sequences",
+    "dedup_paragraphs",
+    "text_build_vocab",
 ]
 
 

@@ -321,6 +321,12 @@ class LanceDataset:
             base_cols = [c for c in self.columns if c in refs]
         sort_cols = []
         for entry in order_by or []:
+            if hasattr(entry, "column_name"):  # ColumnOrdering object
+                entry = (
+                    entry.column_name,
+                    "asc" if getattr(entry, "ascending", True) else "desc",
+                    "nulls_first" if getattr(entry, "nulls_first", False) else "nulls_last",
+                )
             if isinstance(entry, str):
                 entry = (entry, "asc")
             name, direction = entry[0], entry[1].lower()
@@ -1272,3 +1278,12 @@ class SqlQueryBuilder:
                 df = df.drop(ROWID_COL)
         df.createOrReplaceTempView(self._table_name)
         return SqlQuery(spark.sql(self._query))
+
+
+class ColumnOrdering:
+    """Sort rule for scanner(order_by=...) (reference dataset.py:4169-4178)."""
+
+    def __init__(self, column_name: str, ascending: bool = True, nulls_first: bool = False):
+        self.column_name = column_name
+        self.ascending = ascending
+        self.nulls_first = nulls_first

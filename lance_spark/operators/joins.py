@@ -46,6 +46,10 @@ def as_of_join(
 
     ``tolerance``: optional max lookback (SQL interval string, e.g.
     ``'1 hour'``); older matches return null.
+
+    Caveat: a right row whose value is NULL is transparent to the
+    last(ignorenulls) carry — an older non-null value shows through. Wrap
+    nullable payloads in a struct column if NULL must win.
     """
     lcols = left.columns
     # deterministic tie-break: one right row per (key, time), keeping the
