@@ -1014,7 +1014,12 @@ class LanceDataset:
         num_partitions: int = 16,
         num_sub_vectors: int = 8,
         metric: str = "cosine",
+        train: bool = True,
     ) -> "LanceDataset":
+        if not train:
+            # reference parity: vector indices require training
+            # (test_create_empty_index.py expects NotImplementedError)
+            raise NotImplementedError("train=False is not supported for vector indices")
         from lance_spark.indexes.vector import create_dataset_index
 
         return create_dataset_index(
@@ -1054,11 +1059,12 @@ class LanceDataset:
         return self.get_ivf_model(index_name).centroids
 
     def create_scalar_index(
-        self, spark: SparkSession, column: str, kind: str, name: str | None = None, params: dict | None = None
+        self, spark: SparkSession, column: str, kind: str, name: str | None = None,
+        params: dict | None = None, train: bool = True,
     ) -> "LanceDataset":
         from lance_spark.indexes.scalar import create_scalar_index
 
-        return create_scalar_index(self, spark, column, kind, name, params)
+        return create_scalar_index(self, spark, column, kind, name, params, train=train)
 
     def scan_with_index(
         self, spark: SparkSession, filter: str, columns: list[str] | None = None  # noqa: A002

@@ -147,8 +147,13 @@ def build_scalar_index(ds, spark: SparkSession, column: str, kind: str, uri: str
     return params
 
 
-def create_scalar_index(ds, spark: SparkSession, column: str, kind: str, name: str | None = None, params: dict | None = None):
-    """dataset.py:2229-2330 ``create_scalar_index``: build + commit IndexMeta."""
+def create_scalar_index(ds, spark: SparkSession, column: str, kind: str, name: str | None = None, params: dict | None = None, train: bool = True):
+    """dataset.py:2229-2330 ``create_scalar_index``: build + commit IndexMeta.
+
+    ``train=False`` registers an EMPTY index (reference
+    test_create_empty_index.py): no build pass, zero fragment coverage —
+    index_statistics reports num_indexed_rows=0, queries run the flat
+    branch, and a later ``optimize_indices`` performs the actual build."""
     from lance_spark import manifest as mf
     from lance_spark.dataset import LanceDataset
 
@@ -156,8 +161,12 @@ def create_scalar_index(ds, spark: SparkSession, column: str, kind: str, name: s
     name = name or f"{column}_{kind.lower()}_idx"
     rel = os.path.join("_indices", name)
     uri = os.path.join(ds.uri, rel)
-    params = build_scalar_index(ds, spark, column, kind, uri, params)
-    covered = [f.id for f in ds.manifest.fragments]
+    if train:
+        params = build_scalar_index(ds, spark, column, kind, uri, params)
+        covered = [f.id for f in ds.manifest.fragments]
+    else:
+        params = dict(params or {})
+        covered = []
 
     def build(base, version):
         return mf.Manifest.evolve(
@@ -240,8 +249,17 @@ def query_index(ds, spark: SparkSession, meta, op: str, value) -> IndexResult:
     fragment-prune results always retain them.
     """
     kind = meta.index_type
-    idx = _load(spark, ds, meta)
     tail = _uncovered_fragments(ds, meta)
+    if not meta.fragment_ids:
+        # untrained index (create_scalar_index(train=False), reference
+        # test_create_empty_index.py): zero coverage — answer entirely from
+        # the flat branch; exact=False forces the standard recheck filter
+        flat = ds.scanner(
+            spark, columns=[meta.column], with_row_id=True, fragments=tail
+        )
+        hits = flat.filter(_tail_predicate(meta, op, value)).select(ROWID_COL)
+        return IndexResult(rowids=hits, exact=False)
+    idx = _load(spark, ds, meta)
 
     def with_tail(res: IndexResult) -> IndexResult:
         if not tail:

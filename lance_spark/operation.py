@@ -90,6 +90,17 @@ class LanceOperation:
 
         schema: object
 
+    @dataclass
+    class CreateIndex(BaseOperation):
+        """Register/replace index metadata without a build pass (reference
+        test_commit_index.py flow: copy index files, then commit a
+        CreateIndex op). ``new_indices`` are ``manifest.IndexMeta`` (or
+        equivalent dicts); ``removed_indices`` are index names (or
+        IndexMeta) to drop."""
+
+        new_indices: list
+        removed_indices: list = field(default_factory=list)
+
 
 def _schema_json(schema) -> dict:
     from pyspark.sql.types import StructType
@@ -180,13 +191,24 @@ def _apply(op, base: mf.Manifest | None, version: int) -> mf.Manifest:
     if isinstance(op, O.Project):
         assert base is not None
         return mf.Manifest.evolve(base, version, schema_json=_schema_json(op.schema))
+    if isinstance(op, O.CreateIndex):
+        assert base is not None
+        new = [
+            i if isinstance(i, mf.IndexMeta) else mf.IndexMeta.from_json(i)
+            for i in op.new_indices
+        ]
+        removed = {
+            i if isinstance(i, str) else i.name for i in op.removed_indices
+        } | {i.name for i in new}
+        indices = [i for i in base.indices if i.name not in removed] + new
+        return mf.Manifest.evolve(base, version, indices=indices)
     raise TypeError(f"unsupported operation: {type(op).__name__}")
 
 
 _OP_NAMES = {
     "Append": "append", "Overwrite": "overwrite", "Delete": "delete",
     "Update": "update", "Merge": "merge", "Restore": "restore",
-    "Rewrite": "rewrite", "Project": "project",
+    "Rewrite": "rewrite", "Project": "project", "CreateIndex": "create_index",
 }
 
 

@@ -3,6 +3,7 @@ LanceDataset.commit): external writers describe changes as operation
 objects; commit applies them through the optimistic manifest loop."""
 
 import pytest
+from pyspark.sql import functions as F
 
 import lance_spark as ls
 from lance_spark import LanceOperation as Op
@@ -92,3 +93,59 @@ def test_commit_project_reorders_schema(spark, ds_and_df):
     ds2 = ls.commit(ds.uri, Op.Project(schema=StructType(reordered)))
     assert ds2.columns == list(reversed(ds.columns))
     assert ds2.to_df(spark).columns == ds2.columns
+
+
+def test_create_empty_scalar_index(spark, sf_dir, tmp_path):
+    """train=False registers an index with zero coverage; queries answer
+    from the flat branch; stats report nothing indexed (reference
+    test_create_empty_index.py)."""
+    uri = str(tmp_path / "ei")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ds = ls.write_dataset(orders, uri)
+    ds = ds.create_scalar_index(spark, "o_orderkey", "BTREE", train=False)
+    stats = ds.index_statistics("o_orderkey_btree_idx")
+    assert stats["num_indexed_rows"] == 0
+    assert stats["num_unindexed_rows"] == ds.count_rows()
+    # the untrained index still answers queries (flat branch + recheck)
+    key = orders.first()["o_orderkey"]
+    got = ds.scan_with_index(spark, f"o_orderkey = {key}")
+    assert got.count() == orders.filter(F.col("o_orderkey") == key).count()
+    # optimize_indices performs the deferred build
+    ds = ds.optimize_indices(spark)
+    stats = ds.index_statistics("o_orderkey_btree_idx")
+    assert stats["num_unindexed_rows"] == 0
+
+
+def test_create_empty_vector_index_rejected(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    ds = ls.write_dataset(emb, str(tmp_path / "ev"))
+    with pytest.raises(NotImplementedError):
+        ds.create_index(spark, "embedding", train=False)
+
+
+def test_commit_create_index_copies_index(spark, sf_dir, tmp_path):
+    """Reference test_commit_index.py flow: build an index on dataset A,
+    copy its files to dataset B, register via a CreateIndex commit."""
+    import shutil
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = ls.write_dataset(orders, str(tmp_path / "a"))
+    a = a.create_scalar_index(spark, "o_custkey", "BTREE", name="ck_idx")
+    b = ls.write_dataset(orders, str(tmp_path / "b"))
+
+    meta_a = next(i for i in a.manifest.indices if i.name == "ck_idx")
+    shutil.copytree(f"{a.uri}/{meta_a.path}", f"{b.uri}/{meta_a.path}")
+    new_meta = mf.IndexMeta(
+        name="ck_idx", index_type=meta_a.index_type, column=meta_a.column,
+        path=meta_a.path, fragment_ids=[f.id for f in b.get_fragments()],
+        params=meta_a.params,
+    )
+    b = ls.commit(b.uri, Op.CreateIndex(new_indices=[new_meta]))
+    assert [i["name"] for i in b.list_indices()] == ["ck_idx"]
+    key = orders.first()["o_custkey"]
+    ga = a.scan_with_index(spark, f"o_custkey = {key}").count()
+    gb = b.scan_with_index(spark, f"o_custkey = {key}").count()
+    assert ga == gb > 0
+    # removing by name drops it
+    b2 = ls.commit(b.uri, Op.CreateIndex(new_indices=[], removed_indices=["ck_idx"]))
+    assert b2.list_indices() == []
