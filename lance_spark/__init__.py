@@ -16,6 +16,7 @@ Public API mirrors python/python/lance/__init__.py of the reference:
 """
 
 from lance_spark.dataset import LanceDataset, dataset
+from lance_spark.manifest import DatasetBasePath
 from lance_spark.operation import LanceOperation, commit
 from lance_spark.write import commit_batch, commit_fragments, write_dataset, write_fragments
 from lance_spark.session import get_spark
@@ -40,6 +41,7 @@ __all__ = [
     "commit_fragments",
     "commit_batch",
     "LanceOperation",
+    "DatasetBasePath",
     "commit",
     "get_spark",
     "FullTextQuery",

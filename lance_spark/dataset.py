@@ -132,6 +132,8 @@ class LanceDataset:
     # ------------------------------------------------------------ read path
 
     def _abs(self, rel: str) -> str:
+        # multi-base data files carry absolute paths (manifest.bases);
+        # os.path.join passes absolute second args through unchanged
         return os.path.join(self.uri, rel)
 
     def _read_files(self, spark: SparkSession, paths: list[str]) -> DataFrame:
@@ -752,6 +754,41 @@ class LanceDataset:
         """Most-recent-first transaction list (reference dataset.py:3447)."""
         vs = mf.list_versions(self.uri)
         return [self.read_transaction(v) for v in sorted(vs, reverse=True)[:recent_transactions]]
+
+    # ---------------------------------------------------------- multi-base
+
+    def base_paths(self) -> dict:
+        """Registered storage bases, keyed by name (reference
+        ``_ds.base_paths()``)."""
+        return {
+            b["name"]: mf.DatasetBasePath.from_json(b) for b in self.manifest.bases
+        }
+
+    def add_bases(
+        self, new_bases: list, transaction_properties: dict | None = None
+    ) -> "LanceDataset":
+        """Register additional storage roots for future writes (reference
+        dataset.py:2154-2178 ``add_bases``) — a metadata-only commit."""
+        adds = []
+        for b in new_bases:
+            if not isinstance(b, mf.DatasetBasePath):
+                b = mf.DatasetBasePath.from_json(b)
+            adds.append(b.to_json())
+
+        def build(base, version):
+            names = [x["name"] for x in base.bases] + [x["name"] for x in adds]
+            dupes = {n for n in names if names.count(n) > 1}
+            if dupes:
+                raise ValueError(f"duplicate base name(s): {sorted(dupes)}")
+            return mf.Manifest.evolve(
+                base, version, operation="update_config", bases=base.bases + adds,
+            )
+
+        mf.commit(
+            self.uri, build, operation="update_config",
+            properties=transaction_properties,
+        )
+        return LanceDataset(self.uri)
 
     def full_text_search(
         self, spark: SparkSession, query, column: str | None = None, k: int = 10,

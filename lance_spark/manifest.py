@@ -49,6 +49,32 @@ class DataFile:
 
 
 @dataclass
+class DatasetBasePath:
+    """Named storage root for multi-base datasets (reference
+    lance.DatasetBasePath; dataset.py:2154 add_bases). ``is_dataset_root``
+    marks a base that is itself a dataset directory (manifests live there
+    too in the reference's layout; informational here)."""
+
+    path: str
+    name: str | None = None
+    is_dataset_root: bool = False
+
+    def to_json(self) -> dict:
+        return {
+            "name": self.name or self.path,
+            "path": self.path,
+            "is_dataset_root": self.is_dataset_root,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "DatasetBasePath":
+        return DatasetBasePath(
+            path=d["path"], name=d.get("name"),
+            is_dataset_root=d.get("is_dataset_root", False),
+        )
+
+
+@dataclass
 class Fragment:
     """fragment.rs:276-303 — files + deletion sidecar + physical_rows."""
 
@@ -137,6 +163,11 @@ class Manifest:
     # under the reference's ``__lance_commit_message`` key). NOT carried
     # forward by evolve() — each version owns its properties.
     properties: dict = field(default_factory=dict)
+    # multi-base storage registry (reference DatasetBasePath / add_bases,
+    # dataset.py:2154; rust base_paths): named roots fragments may live
+    # under. Data files written to a base carry ABSOLUTE paths; files under
+    # the primary root stay relative.
+    bases: list = field(default_factory=list)  # [{name, path, is_dataset_root}]
 
     def to_json(self) -> dict:
         return {
@@ -150,6 +181,7 @@ class Manifest:
             "config": self.config,
             "blob_columns": self.blob_columns,
             "properties": self.properties,
+            "bases": self.bases,
         }
 
     @classmethod
@@ -167,6 +199,7 @@ class Manifest:
             indices=base.indices,
             config=base.config,
             blob_columns=base.blob_columns,
+            bases=base.bases,
         )
         kw.update(overrides)
         return cls(version=version, **kw)
@@ -184,6 +217,7 @@ class Manifest:
             config=d.get("config", {}),
             blob_columns=d.get("blob_columns", []),
             properties=d.get("properties", {}),
+            bases=d.get("bases", []),
         )
 
 

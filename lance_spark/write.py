@@ -41,7 +41,7 @@ _META_SCHEMA = StructType(
 
 def _fragment_writer(root: str, base_fragment_id: int, data_dir: str = "data",
                      preserve_rowids: bool = False, blob_cols: list[str] | None = None,
-                     progress=None):
+                     progress=None, target_roots: list[str] | None = None):
     """Return a mapInArrow function writing one fragment per input partition.
 
     ``blob_cols`` are split into a second column-group file per fragment
@@ -60,6 +60,12 @@ def _fragment_writer(root: str, base_fragment_id: int, data_dir: str = "data",
         part_id = TaskContext.get().partitionId()
         fragment_id = base_fragment_id + part_id
         rel_path = os.path.join(data_dir, f"frag-{fragment_id}-{uuid.uuid4().hex}.parquet")
+        if target_roots:
+            # multi-base write: fragments round-robin across target bases
+            # (reference write target_bases); manifest paths go ABSOLUTE so
+            # every reader resolves them without the registry
+            wroot = target_roots[part_id % len(target_roots)]
+            rel_path = os.path.join(wroot, rel_path)
         abs_path = os.path.join(root, rel_path)
         os.makedirs(os.path.dirname(abs_path), exist_ok=True)
         if progress is not None:
@@ -71,6 +77,8 @@ def _fragment_writer(root: str, base_fragment_id: int, data_dir: str = "data",
             if blob_cols
             else None
         )
+        if rel_blob and target_roots:
+            rel_blob = os.path.join(target_roots[part_id % len(target_roots)], rel_blob)
 
         writer = None
         blob_writer = None
@@ -139,6 +147,7 @@ def write_fragments(
     preserve_rowids: bool = False,
     blob_columns: list[str] | None = None,
     progress=None,
+    target_roots: list[str] | None = None,
 ) -> list[mf.Fragment]:
     """Write df's partitions as fragments; return metadata (no commit).
 
@@ -160,6 +169,7 @@ def write_fragments(
             _fragment_writer(
                 root, base_fragment_id, preserve_rowids=preserve_rowids,
                 blob_cols=blob_columns, progress=progress,
+                target_roots=target_roots,
             ),
             _META_SCHEMA,
         )
@@ -269,6 +279,9 @@ def write_dataset(
     mode: str = "create",
     max_rows_per_fragment: int | None = None,
     blob_columns: list[str] | None = None,
+    initial_bases: list | None = None,
+    target_bases: list[str] | None = None,
+    max_rows_per_file: int | None = None,
 ):
     """modes per rust/lance/src/dataset/write.rs:115-131: create/append/overwrite.
 
@@ -276,6 +289,14 @@ def write_dataset(
     primary write input, dataset.py write_dataset) — arrow tables pass
     through the type normalizer (types.py: dictionary decode, bfloat16 →
     float32, large_*/fixed_size_list mappings) before entering Spark.
+
+    Multi-base layout (reference DatasetBasePath / target_bases):
+    ``initial_bases`` registers named storage roots at create time (append/
+    overwrite inherit the registry); ``target_bases`` names (or raw paths
+    of) the bases this write's fragments round-robin across. Manifests stay
+    under the primary ``uri``; base-resident data files carry absolute
+    paths. ``max_rows_per_file`` is the reference's name for
+    ``max_rows_per_fragment``.
     """
     import pandas as pd
     import pyarrow as pa
@@ -294,12 +315,41 @@ def write_dataset(
             raise RuntimeError("write_dataset(pa.Table) needs an active SparkSession")
         df = spark.createDataFrame(normalize_arrow_table(df))
 
+    if max_rows_per_fragment is None:
+        max_rows_per_fragment = max_rows_per_file
     os.makedirs(uri, exist_ok=True)
     existing = mf.latest_version(uri)
     if mode == "create" and existing is not None:
         raise ValueError(f"dataset already exists at {uri}; use append or overwrite")
     if mode == "append" and existing is None:
         mode = "create"
+
+    # multi-base registry: create takes initial_bases; append/overwrite
+    # inherit the existing registry (reference overwrite-inherits test)
+    if mode == "create" or existing is None:
+        bases_json = [
+            (b if isinstance(b, mf.DatasetBasePath) else mf.DatasetBasePath.from_json(b)).to_json()
+            for b in (initial_bases or [])
+        ]
+    else:
+        bases_json = list(mf.read_manifest(uri).bases)
+        for b in initial_bases or []:
+            bj = (b if isinstance(b, mf.DatasetBasePath) else mf.DatasetBasePath.from_json(b)).to_json()
+            if bj["name"] not in {x["name"] for x in bases_json}:
+                bases_json.append(bj)
+    target_roots = None
+    if target_bases:
+        by_name = {b["name"]: b["path"] for b in bases_json}
+        known_paths = {b["path"] for b in bases_json}
+        target_roots = []
+        for t in target_bases:
+            if t in by_name:
+                target_roots.append(os.path.abspath(by_name[t]))
+            elif t in known_paths or os.path.isabs(t):
+                # reference also accepts the base's path/URI directly
+                target_roots.append(os.path.abspath(t))
+            else:
+                raise ValueError(f"unknown target base: {t!r} (registered: {sorted(by_name)})")
 
     schema_json = df.schema.jsonValue()
 
@@ -324,7 +374,8 @@ def write_dataset(
         blob_columns = mf.read_manifest(uri).blob_columns or None
 
     frags = write_fragments(
-        df, uri, base_fragment_id, max_rows_per_fragment, blob_columns=blob_columns
+        df, uri, base_fragment_id, max_rows_per_fragment, blob_columns=blob_columns,
+        target_roots=target_roots,
     )
 
     def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
@@ -349,6 +400,7 @@ def write_dataset(
             indices=indices,
             config=cfg,
             blob_columns=sorted(blob_columns) if blob_columns else [],
+            bases=bases_json,
         )
 
     mf.commit(uri, build, operation=mode)
