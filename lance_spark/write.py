@@ -41,7 +41,8 @@ _META_SCHEMA = StructType(
 
 def _fragment_writer(root: str, base_fragment_id: int, data_dir: str = "data",
                      preserve_rowids: bool = False, blob_cols: list[str] | None = None,
-                     progress=None, target_roots: list[str] | None = None):
+                     progress=None, target_roots: list[str] | None = None,
+                     non_nullable: list[str] | None = None):
     """Return a mapInArrow function writing one fragment per input partition.
 
     ``blob_cols`` are split into a second column-group file per fragment
@@ -85,6 +86,13 @@ def _fragment_writer(root: str, base_fragment_id: int, data_dir: str = "data",
         offset = 0
         for batch in batches:
             n = batch.num_rows
+            for c in non_nullable or []:
+                # nullability enforcement at write (reference
+                # test_ingestion.py test_nullability): per-batch null_count
+                # is O(metadata) on arrow arrays
+                col = batch.column(batch.schema.get_field_index(c))
+                if col.null_count:
+                    raise ValueError(f"column {c!r} is non-nullable but batch contains nulls")
             if not preserve_rowids:
                 rowids = pa.array(
                     np.arange(offset, offset + n, dtype=np.int64)
@@ -170,6 +178,7 @@ def write_fragments(
                 root, base_fragment_id, preserve_rowids=preserve_rowids,
                 blob_cols=blob_columns, progress=progress,
                 target_roots=target_roots,
+                non_nullable=[f.name for f in df.schema.fields if not f.nullable],
             ),
             _META_SCHEMA,
         )
@@ -303,6 +312,13 @@ def write_dataset(
 
     from lance_spark.dataset import LanceDataset
 
+    if isinstance(df, list) and df and isinstance(df[0], dict):
+        # iterable-of-dicts ingest (reference ReaderLike breadth)
+        df = pa.Table.from_pylist(df)
+    if type(df).__module__.split(".")[0] == "datasets":
+        # HuggingFace datasets.Dataset (reference hf.py:1 — arrow-backed);
+        # guarded by module name so the lib stays an optional dependency
+        df = pa.table(df.data.table)
     if isinstance(df, pd.DataFrame):
         df = pa.Table.from_pandas(df, preserve_index=False)
     if isinstance(df, pa.Table):

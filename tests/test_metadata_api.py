@@ -260,3 +260,38 @@ def test_sql_builder_row_addr(spark, nation_ds):
     )
     rows = q.to_df().collect()
     assert len(rows) == 5
+
+
+def test_write_list_of_dicts(spark, tmp_path):
+    rows = [{"id": i, "name": f"n{i}"} for i in range(20)]
+    ds = ls.write_dataset(rows, str(tmp_path / "lod"))
+    assert ds.count_rows() == 20
+    assert set(ds.columns) == {"id", "name"}
+
+
+def test_write_non_nullable_enforced(spark, tmp_path):
+    """Spark itself coerces/validates nulls in non-nullable columns, so the
+    writer-side guard is the safety net for the arrow ingest edge where a
+    schema can DECLARE non-nullable while the data still carries nulls.
+    Drive the task-side writer directly to prove the guard fires."""
+    from unittest.mock import patch
+
+    from lance_spark.write import _fragment_writer
+
+    batch = pa.record_batch(
+        [pa.array([1, None], pa.int64()), pa.array(["a", "b"])], names=["id", "name"]
+    )
+
+    class _Ctx:
+        def partitionId(self):
+            return 0
+
+    wf = _fragment_writer(str(tmp_path), 0, non_nullable=["id"])
+    with patch("pyspark.TaskContext.get", return_value=_Ctx()):
+        with pytest.raises(ValueError, match="non-nullable"):
+            list(wf([batch]))
+    # nullable columns pass
+    wf_ok = _fragment_writer(str(tmp_path), 1, non_nullable=[])
+    with patch("pyspark.TaskContext.get", return_value=_Ctx()):
+        out = list(wf_ok([batch]))
+    assert out[0].column("physical_rows")[0].as_py() == 2
