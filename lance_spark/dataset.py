@@ -81,6 +81,7 @@ class LanceDataset:
                 return
             raise FileNotFoundError(f"not a lance_spark dataset: {base_uri}")
         shutil.rmtree(target)
+        mf.invalidate_root(target)
 
     def versions(self) -> list[dict]:
         out = []
@@ -835,6 +836,13 @@ class LanceDataset:
         ``ds.optimize.optimize_indices(...)`` (dataset.py DatasetOptimizer)."""
         return _OptimizeNamespace(self)
 
+    def session(self) -> "Session":
+        """Metadata-cache handle (reference dataset.py:3039 ``session`` →
+        Session.size_bytes/approx_num_items). Backed by the process-wide
+        manifest cache — versions are immutable, so entries never go stale
+        while their files exist."""
+        return Session()
+
     # ------------------------------------------------------------ stats
 
     def stats(self) -> dict:
@@ -1330,3 +1338,20 @@ class ColumnOrdering:
         self.column_name = column_name
         self.ascending = ascending
         self.nulls_first = nulls_first
+
+
+class Session:
+    """Process-wide metadata cache stats (reference Session, session.rs;
+    dataset.py:3039)."""
+
+    def size_bytes(self) -> int:
+        return mf.manifest_cache_stats()["size_bytes"]
+
+    def approx_num_items(self) -> int:
+        return mf.manifest_cache_stats()["approx_num_items"]
+
+    def stats(self) -> dict:
+        return mf.manifest_cache_stats()
+
+    def clear(self) -> None:
+        mf.clear_manifest_cache()

@@ -317,6 +317,10 @@ def cleanup_old_versions(
     for m in drop:
         os.unlink(mf.manifest_path(root, m.version))
         removed += 1
+    if drop:
+        # deleted version files may be re-claimed by a future writer after a
+        # drop/recreate cycle — stale cache entries must not survive that
+        mf.invalidate_root(root)
     for sub in ("data", "_deletions"):
         d = os.path.join(root, sub)
         if not os.path.isdir(d):

@@ -248,13 +248,56 @@ def latest_version(root: str) -> int | None:
     return vs[-1] if vs else None
 
 
+# process-wide manifest cache (the role of the reference Session's metadata
+# cache, dataset.py:3039; rust session.rs). A (root, version) manifest file
+# is IMMUTABLE once committed — write_manifest claims the version with an
+# exclusive create — so caching the parsed object is correctness-safe.
+# "latest" resolution is never cached. Capped LRU; stats feed ds.session().
+_MANIFEST_CACHE: "dict[tuple[str, int], tuple[Manifest, int]]" = {}
+_MANIFEST_CACHE_CAP = 64
+_CACHE_STATS = {"hits": 0, "misses": 0}
+
+
+def clear_manifest_cache() -> None:
+    _MANIFEST_CACHE.clear()
+    _CACHE_STATS["hits"] = _CACHE_STATS["misses"] = 0
+
+
+def invalidate_root(root: str) -> None:
+    """Drop every cached manifest under ``root`` — required when version
+    files are REMOVED (LanceDataset.drop + recreate, cleanup_old_versions),
+    the one case where a (root, version) key can be re-claimed."""
+    root = os.path.abspath(root)
+    for key in [k for k in _MANIFEST_CACHE if k[0] == root]:
+        _MANIFEST_CACHE.pop(key, None)
+
+
+def manifest_cache_stats() -> dict:
+    return {
+        "approx_num_items": len(_MANIFEST_CACHE),
+        "size_bytes": sum(sz for _, sz in _MANIFEST_CACHE.values()),
+        **_CACHE_STATS,
+    }
+
+
 def read_manifest(root: str, version: int | None = None) -> Manifest:
     if version is None:
         version = latest_version(root)
         if version is None:
             raise FileNotFoundError(f"no dataset at {root}")
+    key = (os.path.abspath(root), version)
+    hit = _MANIFEST_CACHE.get(key)
+    if hit is not None:
+        _CACHE_STATS["hits"] += 1
+        return hit[0]
+    _CACHE_STATS["misses"] += 1
     with open(manifest_path(root, version)) as fh:
-        return Manifest.from_json(json.load(fh))
+        raw = fh.read()
+    m = Manifest.from_json(json.loads(raw))
+    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
+        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+    _MANIFEST_CACHE[key] = (m, len(raw))
+    return m
 
 
 def write_manifest(root: str, manifest: Manifest) -> None:
@@ -275,6 +318,9 @@ def write_manifest(root: str, manifest: Manifest) -> None:
         raise CommitConflictError(f"version {manifest.version} already exists") from exc
     finally:
         os.unlink(tmp)
+    # a prior dataset at this root may have been dropped: the freshly
+    # claimed version supersedes any stale cache entry for the key
+    _MANIFEST_CACHE.pop((os.path.abspath(root), manifest.version), None)
 
 
 # Operations that only add data never conflict with each other; operations

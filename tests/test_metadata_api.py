@@ -295,3 +295,25 @@ def test_write_non_nullable_enforced(spark, tmp_path):
     with patch("pyspark.TaskContext.get", return_value=_Ctx()):
         out = list(wf_ok([batch]))
     assert out[0].column("physical_rows")[0].as_py() == 2
+
+
+def test_session_manifest_cache(spark, sf_dir, tmp_path):
+    """ds.session() cache stats + immutability-safe caching + drop
+    invalidation (reference test_session.py shape)."""
+    uri = str(tmp_path / "sc")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ds = ls.write_dataset(nation, uri)
+    sess = ds.session()
+    sess.clear()
+    v = ds.version
+    a = ls.dataset(uri, version=v)
+    b = ls.dataset(uri, version=v)
+    st = sess.stats()
+    assert st["hits"] >= 1 and st["approx_num_items"] >= 1 and sess.size_bytes() > 0
+    assert a.manifest is b.manifest  # same cached object
+    # drop + recreate at the same uri must NOT serve the old manifest
+    old_cols = a.columns
+    ls.LanceDataset.drop(uri)
+    ds2 = ls.write_dataset(nation.select("n_nationkey", "n_name"), uri)
+    fresh = ls.dataset(uri, version=ds2.version)
+    assert fresh.columns == ["n_nationkey", "n_name"] != old_cols
