@@ -3937,3 +3937,56 @@ def func_json_sql_registry(spark, sf_dir):
         WHERE json_get_int(props, '$.k') >= 50
         GROUP BY event_type
     """)
+
+
+@query(
+    "search_hybrid_rrf",
+    f"""
+    WITH corpus AS (
+      SELECT d.doc_id AS id, d.text, e.embedding
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+    tok AS (SELECT id, {_DUCK_TOKS.format(col='text')} AS w FROM corpus),
+    dl AS (SELECT id, len(w) AS dl FROM tok),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    post AS (SELECT id, unnest(w) AS token FROM tok),
+    tfq AS (SELECT token, id, count(*) AS tf FROM post
+            WHERE token IN ('table', 'scan', 'join') GROUP BY 1, 2),
+    dfq AS (SELECT token, count(*) AS df FROM tfq GROUP BY token),
+    bm AS (SELECT id,
+                  round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                        * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS s
+           FROM tfq JOIN dfq USING (token) JOIN dl USING (id) CROSS JOIN stats
+           GROUP BY id),
+    trank AS (SELECT id, row_number() OVER (ORDER BY s DESC, id) AS rank
+              FROM bm ORDER BY s DESC, id LIMIT 50),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    cos AS (SELECT e.id,
+                   round(1.0 - (
+                     list_sum(list_transform(range(1, len(e.embedding)+1),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   ), 4) AS d
+            FROM corpus e, q),
+    vrank AS (SELECT id, row_number() OVER (ORDER BY d, id) AS rank
+              FROM cos ORDER BY d, id LIMIT 50),
+    fused AS (SELECT id, rank FROM trank UNION ALL SELECT id, rank FROM vrank)
+    SELECT id, round(sum(1.0 / (60 + rank)), 6) AS rrf
+    FROM fused GROUP BY id ORDER BY rrf DESC, id LIMIT 10
+    """,
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-50 + cosine-KNN top-50 fused by
+    reciprocal-rank fusion (operators/hybrid.py). Each branch's rank window
+    is bounded by k, never the corpus; the fuse is a k-row aggregate."""
+    from lance_spark.operators.hybrid import hybrid_search
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        docs.doc_id, docs.text, emb.embedding
+    )
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return hybrid_search(
+        corpus, "text", "embedding", "doc_id", ["table", "scan", "join"], qvec
+    )
