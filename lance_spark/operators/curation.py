@@ -406,3 +406,43 @@ def build_vocab(
     return top.select(
         "token", "cnt", (F.row_number().over(w) - 1).cast("long").alias("id")
     )
+
+
+def encode_with_vocab(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: DataFrame,
+) -> DataFrame:
+    """Tokenize and map tokens to vocab ids (the encode step after
+    ``build_vocab``): returns ``(id, n_tokens, n_oov, ids_md5)`` where
+    ``ids_md5`` hashes the space-joined id sequence (OOV → -1) — a compact,
+    order-sensitive encoding fingerprint.
+
+    Scale: the vocab is capped by construction, so it broadcasts; the join
+    is map-side (no shuffle of the corpus), and the per-doc aggregation
+    keys on the doc id — ONE shuffle carrying (id, pos, tok_id) triples."""
+    toks = (
+        df.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks"))
+        .select("id", F.posexplode("__toks").alias("pos", "token"))
+    )
+    joined = toks.join(F.broadcast(vocab.select("token", F.col("id").alias("tok_id"))),
+                       on="token", how="left")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("tok_id").isNull().cast("long")).alias("n_oov"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", F.coalesce("tok_id", F.lit(-1)).alias("t")))
+                        ),
+                        lambda s: s["t"].cast("string"),
+                    ),
+                    " ",
+                )
+            ).alias("ids_md5"),
+        )
+    )

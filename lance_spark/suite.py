@@ -3990,3 +3990,33 @@ def search_hybrid_rrf(spark, sf_dir):
     return hybrid_search(
         corpus, "text", "embedding", "doc_id", ["table", "scan", "join"], qvec
     )
+
+
+@query(
+    "curate_vocab_encode",
+    f"""
+    WITH tok0 AS (SELECT unnest({_DUCK_TOKS.format(col='text')}) AS token FROM documents),
+    c AS (SELECT token, count(*) AS cnt FROM tok0 GROUP BY token),
+    vocab AS (SELECT token,
+                     CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS tok_id
+              FROM (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 1000)),
+    dtok AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
+    pos AS (SELECT id, unnest(w) AS token, generate_subscripts(w, 1) AS pos FROM dtok),
+    enc AS (SELECT p.id, p.pos, COALESCE(v.tok_id, -1) AS t,
+                   (v.tok_id IS NULL) AS oov
+            FROM pos p LEFT JOIN vocab v USING (token))
+    SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           md5(string_agg(CAST(t AS VARCHAR), ' ' ORDER BY pos)) AS ids_md5
+    FROM enc GROUP BY id
+    """,
+)
+def curate_vocab_encode(spark, sf_dir):
+    """Vocab-id encoding of every document (build_vocab → encode): OOV
+    counts + an order-sensitive fingerprint of the id sequence. The capped
+    vocab broadcasts; the corpus never shuffles for the lookup."""
+    from lance_spark.operators.curation import build_vocab, encode_with_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", max_size=1000)
+    return encode_with_vocab(docs, "text", "doc_id", vocab)
