@@ -335,6 +335,7 @@ def commit(
     operation: str,
     max_retries: int = 10,
     properties: dict | None = None,
+    commit_lock=None,
 ) -> Manifest:
     """Optimistic-concurrency commit loop (dataset.py:197-222 semantics).
 
@@ -342,6 +343,12 @@ def commit(
     called with the freshest base manifest; on conflict we re-read and rebuild.
     ``properties`` become the version's transaction properties
     (reference ``transaction_properties`` / ``commit_message``).
+
+    ``commit_lock`` (reference commit.py CommitLock): a callable taking the
+    version and returning a context manager; the manifest write happens
+    inside it. Needed only for stores without atomic put-if-absent — the
+    local path already gets atomicity from exclusive hard-link creation, so
+    the lock is belt-and-braces there.
     """
     for _attempt in range(max_retries):
         latest = latest_version(root)
@@ -352,7 +359,11 @@ def commit(
         if properties:
             manifest.properties = {**manifest.properties, **properties}
         try:
-            write_manifest(root, manifest)
+            if commit_lock is not None:
+                with commit_lock(version):
+                    write_manifest(root, manifest)
+            else:
+                write_manifest(root, manifest)
             return manifest
         except CommitConflictError:
             continue

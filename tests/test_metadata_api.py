@@ -317,3 +317,26 @@ def test_session_manifest_cache(spark, sf_dir, tmp_path):
     ds2 = ls.write_dataset(nation.select("n_nationkey", "n_name"), uri)
     fresh = ls.dataset(uri, version=ds2.version)
     assert fresh.columns == ["n_nationkey", "n_name"] != old_cols
+
+
+def test_commit_lock_seam(spark, sf_dir, tmp_path):
+    """Custom commit lock (reference commit.py CommitLock): the manifest
+    write runs inside the user's context manager."""
+    import contextlib
+
+    uri = str(tmp_path / "cl")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ls.write_dataset(nation, uri)
+    events = []
+
+    @contextlib.contextmanager
+    def lock(version):
+        events.append(("acquire", version))
+        yield
+        events.append(("release", version))
+
+    def build(base, version):
+        return mf.Manifest.evolve(base, version, operation="update_config")
+
+    m = mf.commit(uri, build, operation="update_config", commit_lock=lock)
+    assert events == [("acquire", m.version), ("release", m.version)]
