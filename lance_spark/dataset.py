@@ -836,6 +836,16 @@ class LanceDataset:
         ``ds.optimize.optimize_indices(...)`` (dataset.py DatasetOptimizer)."""
         return _OptimizeNamespace(self)
 
+    def changes(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental diff between versions (lance_spark.cdc.changes):
+        inserted rows carry their column values, deleted rows their rowid.
+        O(changed fragments), never a table diff."""
+        from lance_spark.cdc import changes
+
+        return changes(self, spark, from_version, to_version)
+
     def session(self) -> "Session":
         """Metadata-cache handle (reference dataset.py:3039 ``session`` →
         Session.size_bytes/approx_num_items). Backed by the process-wide

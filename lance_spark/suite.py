@@ -4020,3 +4020,42 @@ def curate_vocab_encode(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     vocab = build_vocab(docs, "text", max_size=1000)
     return encode_with_vocab(docs, "text", "doc_id", vocab)
+
+
+@query(
+    "ds_changes_cdc",
+    """
+    WITH base AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 1000),
+    appended AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 200 OFFSET 1000),
+    ins AS (SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM appended WHERE o_orderkey % 7 != 0),
+    del AS (SELECT count(*) AS n FROM base WHERE o_orderkey % 7 = 0)
+    SELECT 'insert' AS change_type, CAST(n AS BIGINT) AS n, total FROM ins
+    UNION ALL
+    SELECT 'delete', CAST(n AS BIGINT), NULL FROM del
+    """,
+)
+def ds_changes_cdc(spark, sf_dir):
+    """Version-diff CDC read (lance_spark.cdc.changes): create → append →
+    delete, then diff against the pre-append version. NET semantics: a row
+    that appeared AND died inside the window (an appended row the delete
+    hit) is reported as neither insert nor delete; base-fragment deletions
+    report as deletes, surviving appended rows as inserts with values."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    orders = _t(spark, sf_dir, "orders").orderBy("o_orderkey")
+    uri = tempfile.mkdtemp(prefix="lsq_cdc_") + "/orders"
+    write_dataset(orders.limit(1000).repartition(2), uri, mode="create")
+    ds = dataset(uri)
+    v1 = ds.version
+    write_dataset(orders.offset(1000).limit(200).repartition(1), uri, mode="append")
+    ds = dataset(uri)
+    ds = ds.delete(spark, "o_orderkey % 7 = 0")
+    ch = dataset(uri).changes(spark, v1)
+    return ch.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -1,0 +1,78 @@
+"""Version-diff / CDC reads (lance_spark.cdc.changes)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import lance_spark as ls
+
+
+@pytest.fixture()
+def ds(spark, sf_dir, tmp_path):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return ls.write_dataset(nation, str(tmp_path / "ds"))
+
+
+def test_changes_append(spark, sf_dir, ds):
+    v1 = ds.version
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ds2 = ls.write_dataset(nation.limit(7), ds.uri, mode="append")
+    ch = ds2.changes(spark, v1)
+    rows = ch.collect()
+    assert len(rows) == 7
+    assert all(r["_change_type"] == "insert" for r in rows)
+    assert all(r["n_name"] is not None for r in rows)
+
+
+def test_changes_delete_and_window(spark, ds):
+    v1 = ds.version
+    ds.delete(spark, "n_nationkey < 3")
+    ds2 = ds.checkout_latest()
+    ch = ds2.changes(spark, v1).collect()
+    assert sorted(r["_rowid"] for r in ch) == sorted(
+        r["_rowid"] for r in ds.to_df(spark, with_row_id=True)
+        .filter("n_nationkey < 3").collect()
+    )
+    assert all(r["_change_type"] == "delete" and r["n_name"] is None for r in ch)
+    # a second delete: the window (v2, v3] must show ONLY the new deletions
+    v2 = ds2.version
+    ds2.delete(spark, "n_nationkey = 5")
+    ds3 = ds2.checkout_latest()
+    ch2 = ds3.changes(spark, v2).collect()
+    assert len(ch2) == 1 and ch2[0]["_change_type"] == "delete"
+
+
+def test_changes_merge_is_delete_plus_insert(spark, sf_dir, ds):
+    v1 = ds.version
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    src = nation.limit(2).withColumn("n_comment", F.lit("updated"))
+    (
+        ds.merge_insert("n_nationkey")
+        .when_matched_update_all()
+        .execute(spark, src.select(*ds.columns).withColumn("n_name", F.upper("n_name")))
+    )
+    ds2 = ds.checkout_latest()
+    ch = ds2.changes(spark, v1)
+    kinds = {r["_change_type"] for r in ch.collect()}
+    assert kinds == {"insert", "delete"}
+    ins = ch.filter("_change_type = 'insert'")
+    assert ins.count() == 2
+    assert all(r["n_name"].isupper() for r in ins.collect())
+
+
+def test_changes_full_fragment_drop(spark, ds):
+    v1 = ds.version
+    # deleting every row of the only fragment drops it from the manifest
+    ds.delete(spark, "true")
+    ds2 = ds.checkout_latest()
+    ch = ds2.changes(spark, v1)
+    assert ch.count() == 25
+    assert ch.filter("_change_type = 'delete'").count() == 25
+
+
+def test_changes_empty_window(spark, ds):
+    ch = ds.changes(spark, ds.version, ds.version)
+    assert ch.count() == 0
+    ds2 = ds.update_config({"k": "v"})  # version++ with no data change
+    assert ds2.changes(spark, ds.version).count() == 0
+    with pytest.raises(ValueError):
+        ds2.changes(spark, ds2.version, ds2.version - 1)
