@@ -15,7 +15,9 @@ Public API mirrors python/python/lance/__init__.py of the reference:
   write_dataset, dataset, LanceDataset.
 """
 
-from lance_spark.dataset import LanceDataset, dataset
+from lance_spark.blob import BlobFile
+from lance_spark.dataset import ColumnOrdering, LanceDataset, Session, dataset
+from lance_spark.file import LanceFileReader, LanceFileWriter
 from lance_spark.manifest import DatasetBasePath
 from lance_spark.operation import LanceOperation, commit
 from lance_spark.write import commit_batch, commit_fragments, write_dataset, write_fragments
@@ -44,6 +46,11 @@ __all__ = [
     "DatasetBasePath",
     "commit",
     "get_spark",
+    "BlobFile",
+    "LanceFileReader",
+    "LanceFileWriter",
+    "ColumnOrdering",
+    "Session",
     "FullTextQuery",
     "MatchQuery",
     "PhraseQuery",
@@ -61,3 +68,7 @@ __all__ = [
 #   lance_spark.loaders — ML ingest (sharded numpy/torch batches)
 #   lance_spark.types — arrow→spark ingest type normalization
 #   lance_spark.streaming.sink — Structured Streaming dataset sink
+#   lance_spark.cdc — version-diff change feeds (ds.changes)
+#   lance_spark.debug — format_manifest/format_fragment/format_schema
+#   lance_spark.progress — FragmentWriteProgress hooks
+#   lance_spark.util — KMeans, vec_to_table, validate_vector_index

@@ -49,6 +49,13 @@ def _normalize_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:
     t = arr.type
     if isinstance(t, pa.ExtensionType) and t.extension_name == BFLOAT16_EXTENSION:
         return pa.chunked_array([_decode_bf16(c) for c in arr.chunks])
+    if isinstance(t, pa.ExtensionType):
+        # generic extension unwrap (image uri/encoded/tensor types,
+        # lance_spark.arrow): Spark stores the storage type; the extension
+        # identity is a reader-side concern
+        return _normalize_array(
+            pa.chunked_array([c.storage for c in arr.chunks], type=t.storage_type)
+        )
     if pa.types.is_dictionary(t):
         return _normalize_array(arr.cast(t.value_type))
     if pa.types.is_float16(t):
