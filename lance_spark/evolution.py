@@ -133,7 +133,25 @@ def add_columns(ds, spark: SparkSession, transforms, read_columns: list[str] | N
     for all-null columns. A ``lance_spark.udf.BatchUDF`` adds a declared
     output schema (skips the one-row probe) and per-fragment resumable
     checkpointing (udf.py:96-166 BatchUDFCheckpoint role)."""
+    import pyarrow as pa
+
     from lance_spark.udf import BatchUDF
+
+    if isinstance(transforms, pa.Field):
+        transforms = [transforms]
+    if (
+        isinstance(transforms, list)
+        and transforms
+        and all(isinstance(f, pa.Field) for f in transforms)
+    ):
+        # reference dataset.py add_columns(pa.Field...): typed all-null
+        # columns — a metadata-cheap schema extension
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        transforms = {
+            f.name: f"CAST(NULL AS {from_arrow_type(f.type).simpleString()})"
+            for f in transforms
+        }
 
     base = ds.to_df(spark, with_row_id=True)
     checkpoint = None
@@ -205,7 +223,18 @@ def add_columns(ds, spark: SparkSession, transforms, read_columns: list[str] | N
 
 
 def merge(ds, spark: SparkSession, right: DataFrame, left_on: str, right_on: str | None = None):
-    """Attach precomputed columns by key join (hash_joiner.rs:22)."""
+    """Attach precomputed columns by key join (hash_joiner.rs:22).
+
+    ``right`` may be a Spark DataFrame, a pyarrow Table, or a
+    RecordBatchReader (reference dataset.py:1666 merge accepts ReaderLike)."""
+    import pyarrow as pa
+
+    if isinstance(right, pa.RecordBatchReader):
+        right = right.read_all()
+    if isinstance(right, pa.Table):
+        from lance_spark.types import normalize_arrow_table
+
+        right = spark.createDataFrame(normalize_arrow_table(right))
     right_on = right_on or left_on
     new_cols = [c for c in right.columns if c != right_on]
     base = ds.to_df(spark, with_row_id=True).select(ROWID_COL, left_on)

@@ -340,3 +340,32 @@ def test_commit_lock_seam(spark, sf_dir, tmp_path):
 
     m = mf.commit(uri, build, operation="update_config", commit_lock=lock)
     assert events == [("acquire", m.version), ("release", m.version)]
+
+
+def test_add_columns_pa_field(spark, sf_dir, tmp_path):
+    """add_columns(pa.Field...) adds typed all-null columns (reference
+    dataset.py add_columns field input)."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ds = ls.write_dataset(nation, str(tmp_path / "af"))
+    ds = ds.add_columns(spark, pa.field("score", pa.float64()))
+    ds = ds.add_columns(spark, [pa.field("tag", pa.string()), pa.field("n", pa.int64())])
+    df = ds.to_df(spark)
+    assert set(df.columns) >= {"score", "tag", "n"}
+    row = df.first()
+    assert row["score"] is None and row["tag"] is None and row["n"] is None
+    assert dict(df.dtypes)["score"] == "double"
+
+
+def test_merge_from_arrow_table(spark, sf_dir, tmp_path):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ds = ls.write_dataset(nation, str(tmp_path / "mt"))
+    extra = pa.table({"n_nationkey": list(range(25)), "greeting": [f"hi{i}" for i in range(25)]})
+    ds = ds.merge(spark, extra, "n_nationkey")
+    df = ds.to_df(spark)
+    assert "greeting" in df.columns
+    assert df.filter("greeting = 'hi3'").count() == 1
+    # RecordBatchReader input too
+    renamed = extra.rename_columns(["n_nationkey", "greeting2"])
+    rdr = pa.RecordBatchReader.from_batches(renamed.schema, renamed.to_batches())
+    ds = ds.checkout_latest().merge(spark, rdr, "n_nationkey")
+    assert "greeting2" in ds.to_df(spark).columns
