@@ -495,15 +495,24 @@ class LanceDataset:
         fids = [f.id for f in self.manifest.fragments if f.id % num_shards == shard_id]
         return self.scanner(spark, columns=columns, fragments=fids)
 
-    def to_batches(self, spark: SparkSession, columns: list[str] | None = None, batch_size: int = 65536):
+    def to_batches(
+        self,
+        spark: SparkSession,
+        columns: list[str] | None = None,
+        batch_size: int = 65536,
+        filter: str | None = None,  # noqa: A002 - reference API name
+    ) -> "object":
         """Iterator of pyarrow RecordBatches (ML-ingest surface; the role of
-        the reference's FullScanSampler, python/python/lance/sampler.py).
+        the reference's FullScanSampler, python/python/lance/sampler.py;
+        dataset.py:1348 ``to_batches`` with filter pushdown).
 
         Streams ONE FRAGMENT AT A TIME through the driver — peak driver
         memory is a fragment, not the table, so the iterator works at any
         table size. For parallel ingest use shard()/loaders.numpy_batches."""
         for frag in self.manifest.fragments:
-            t = self.scanner(spark, columns=columns, fragments=[frag.id]).toArrow()
+            t = self.scanner(
+                spark, columns=columns, filter=filter, fragments=[frag.id]
+            ).toArrow()
             yield from t.to_batches(max_chunksize=batch_size)
 
     def sample(self, spark: SparkSession, n: int, seed: int = 42) -> DataFrame:

@@ -76,3 +76,36 @@ def test_changes_empty_window(spark, ds):
     assert ds2.changes(spark, ds.version).count() == 0
     with pytest.raises(ValueError):
         ds2.changes(spark, ds2.version, ds2.version - 1)
+
+
+def test_changes_matches_snapshot_diff_random(spark, sf_dir, tmp_path):
+    """Randomized mutation sequence: changes(vi, vj) must equal the rowid
+    diff of the two snapshots for every adjacent version pair."""
+    import random
+
+    rng = random.Random(11)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    uri = str(tmp_path / "rand")
+    ds = ls.write_dataset(nation.repartition(2), uri)
+
+    def live_rowids(version):
+        d = ls.dataset(uri, version=version)
+        return {r["_rowid"] for r in d.to_df(spark, with_row_id=True).select("_rowid").collect()}
+
+    versions = [ds.version]
+    for _step in range(4):
+        op = rng.choice(["append", "delete", "delete"])
+        if op == "append":
+            ls.write_dataset(nation.limit(rng.randint(1, 5)), uri, mode="append")
+        else:
+            k = rng.randint(0, 24)
+            ls.dataset(uri).delete(spark, f"n_nationkey = {k}")
+        versions.append(ls.dataset(uri).version)
+
+    for v0, v1 in zip(versions, versions[1:]):
+        ch = ls.dataset(uri).changes(spark, v0, v1).collect()
+        got_ins = {r["_rowid"] for r in ch if r["_change_type"] == "insert"}
+        got_del = {r["_rowid"] for r in ch if r["_change_type"] == "delete"}
+        old, new = live_rowids(v0), live_rowids(v1)
+        assert got_ins == new - old, f"inserts wrong for {v0}->{v1}"
+        assert got_del == old - new, f"deletes wrong for {v0}->{v1}"
