@@ -31,8 +31,13 @@ class BlobFile(io.RawIOBase):
         self._pos = 0
         self._closed = False
 
+    def _check_open(self) -> None:
+        if self._closed:
+            raise ValueError("I/O operation on closed BlobFile")
+
     # -- lazy fetch ---------------------------------------------------------
     def _load(self) -> bytes:
+        self._check_open()
         if self._buf is None:
             for p in self._paths:
                 f = pq.ParquetFile(p)
@@ -81,6 +86,7 @@ class BlobFile(io.RawIOBase):
         return self._pos
 
     def seek(self, offset: int, whence: int = io.SEEK_SET) -> int:
+        self._check_open()
         if whence == io.SEEK_SET:
             self._pos = offset
         elif whence == io.SEEK_CUR:

@@ -6,14 +6,17 @@ training pipeline needs INCREMENTAL consumption — process only what a
 nightly ingest added, retract what a takedown deleted. The format makes
 this O(changed fragments), never a table diff:
 
-  - data files are immutable and rows are only ever ADDED via new
-    fragments → inserts = live rows of fragments present in ``to`` but
-    not ``from``;
-  - deletions are per-fragment sidecar replacements → deletes in common
-    fragments = (new sidecar − old sidecar) rowids; dropped fragments
-    contribute all their previously-live rows;
-  - merge_insert updates are delete+append (the row moves to a new
-    fragment with a new rowid) → surfaced as a delete plus an insert.
+  - data files are immutable → candidate inserts are the live rows of
+    fragments present in ``to`` but not ``from``;
+  - deletions are per-fragment sidecar replacements → candidate deletes in
+    common fragments = (new sidecar − old sidecar) rowids; dropped
+    fragments contribute all their previously-live rows;
+  - compaction/Rewrite MOVES rows to new fragments with PRESERVED rowids,
+    so a rowid in both candidate sets changed location, not existence —
+    the final anti-join between the two candidate sets cancels those out
+    and a pure compaction window reports zero changes;
+  - merge_insert updates are delete+append (the row gets a NEW rowid) →
+    surfaced as a delete plus an insert.
 """
 
 from __future__ import annotations
@@ -48,28 +51,20 @@ def changes(ds, spark: SparkSession, from_version: int, to_version: int | None =
     old_frags = {f.id: f for f in old.manifest.fragments}
     new_frags = {f.id: f for f in new.manifest.fragments}
 
-    # ---- inserts: fragments new to ``to`` (live rows only) ---------------
+    # ---- candidate inserts: fragments new to ``to`` (live rows only) -----
     added = [fid for fid in new_frags if fid not in old_frags]
-    pieces: list[DataFrame] = []
-    if added:
-        ins = new._fragment_df(spark, [new_frags[f] for f in added], None)
-        pieces.append(
-            ins.select(
-                F.lit("insert").alias("_change_type"), F.col(ROWID_COL), *cols
-            )
-        )
+    ins = (
+        new._fragment_df(spark, [new_frags[f] for f in added], None)
+        if added
+        else None
+    )
 
-    # ---- deletes ---------------------------------------------------------
-    null_cols = [F.lit(None).cast(f.dataType).alias(f.name) for f in new.schema.fields]
-    # (a) fragments dropped outright: every row live at ``from`` is gone
+    # ---- candidate deletes ----------------------------------------------
+    del_pieces: list[DataFrame] = []
+    # (a) fragments dropped outright: every row live at ``from``
     dropped = [old_frags[f] for f in old_frags if f not in new_frags]
     if dropped:
-        gone = old._fragment_df(spark, dropped, [])
-        pieces.append(
-            gone.select(
-                F.lit("delete").alias("_change_type"), F.col(ROWID_COL), *null_cols
-            )
-        )
+        del_pieces.append(old._fragment_df(spark, dropped, []).select(ROWID_COL))
     # (b) common fragments whose deletion sidecar grew: new − old rowids
     new_dels, old_dels = [], []
     for fid, nf in new_frags.items():
@@ -85,8 +80,37 @@ def changes(ds, spark: SparkSession, from_version: int, to_version: int | None =
         od = _deleted_rowids(spark, ds.uri, old_dels)
         if od is not None:
             nd = nd.join(od, on=ROWID_COL, how="left_anti")
+        del_pieces.append(nd)
+    dels = None
+    if del_pieces:
+        dels = del_pieces[0]
+        for p in del_pieces[1:]:
+            dels = dels.unionByName(p)
+
+    # ---- cancel moved rows (compaction preserves rowids) -----------------
+    # a rowid appearing as BOTH candidate insert and candidate delete only
+    # moved fragments; the anti-joins stay O(changed fragments) in size
+    pieces: list[DataFrame] = []
+    null_cols = [F.lit(None).cast(f.dataType).alias(f.name) for f in new.schema.fields]
+    if ins is not None:
+        true_ins = (
+            ins.join(dels.select(ROWID_COL), on=ROWID_COL, how="left_anti")
+            if dels is not None
+            else ins
+        )
         pieces.append(
-            nd.select(
+            true_ins.select(
+                F.lit("insert").alias("_change_type"), F.col(ROWID_COL), *cols
+            )
+        )
+    if dels is not None:
+        true_dels = (
+            dels.join(ins.select(ROWID_COL), on=ROWID_COL, how="left_anti")
+            if ins is not None
+            else dels
+        )
+        pieces.append(
+            true_dels.select(
                 F.lit("delete").alias("_change_type"), F.col(ROWID_COL), *null_cols
             )
         )

@@ -293,13 +293,6 @@ class LanceDataset:
         BTREE/ZONEMAP role); explicit scalar-index routing lives in
         ``scan_with_index``.
         """
-        if nearest is not None or full_text_query is not None:
-            return self._search_scan(
-                spark, columns=columns, filter=filter, limit=limit,
-                with_row_id=with_row_id, nearest=nearest,
-                full_text_query=full_text_query, prefilter=prefilter,
-                fast_search=fast_search,
-            )
         if filter is not None and not isinstance(filter, str):
             import pyarrow as pa
 
@@ -307,6 +300,13 @@ class LanceDataset:
                 filter = substrait_filter_to_sql(filter)  # noqa: A001
             else:
                 filter = arrow_filter_to_sql(filter)  # noqa: A001 - reference API name
+        if nearest is not None or full_text_query is not None:
+            return self._search_scan(
+                spark, columns=columns, filter=filter, limit=limit,
+                with_row_id=with_row_id, nearest=nearest,
+                full_text_query=full_text_query, prefilter=prefilter,
+                fast_search=fast_search,
+            )
         frags = self.manifest.fragments
         if fragments is not None:
             wanted = set(fragments)
@@ -424,14 +424,8 @@ class LanceDataset:
     ) -> DataFrame:
         """scanner(nearest=...) / scanner(full_text_query=...) routing
         (reference dataset.py:4420-4501 nearest dict; :4502 fast_search;
-        :4353 prefilter semantics)."""
-        if filter is not None and not isinstance(filter, str):
-            import pyarrow as pa
-
-            if isinstance(filter, (bytes, bytearray, memoryview, pa.Buffer)):
-                filter = substrait_filter_to_sql(filter)  # noqa: A001
-            else:
-                filter = arrow_filter_to_sql(filter)  # noqa: A001
+        :4353 prefilter semantics). ``filter`` arrives as SQL — scanner()
+        converts pyarrow/Substrait inputs before dispatching here."""
         if nearest is not None:
             nq = dict(nearest)
             hits = self.nearest(
@@ -454,9 +448,29 @@ class LanceDataset:
                 q = q.get("query")
             else:
                 column = None
-            hits = self.full_text_search(
-                spark, q, column=column, k=int(limit or 10), with_row_id=True
-            )
+            if filter and prefilter:
+                # true prefilter: restrict the CORPUS before scoring so k
+                # MATCHING rows come back. Runs the flat BM25 path over the
+                # filtered base (the indexed postings can't be pre-restricted
+                # without rebuilding them; the reference's prefilter also
+                # materializes the allow-set first).
+                from lance_spark.operators.fts import bm25_search
+
+                col = column or next(
+                    f["name"]
+                    for f in self.manifest.schema_json["fields"]
+                    if f["type"] == "string"
+                )
+                base = self.to_df(spark, with_row_id=True).filter(_compat_filter(filter))
+                terms = [t for t in str(q).split() if t]
+                scored = bm25_search(base, col, ROWID_COL, terms, k=int(limit or 10))
+                hits = base.join(
+                    F.broadcast(scored.select(ROWID_COL, "_score")), on=ROWID_COL
+                )
+            else:
+                hits = self.full_text_search(
+                    spark, q, column=column, k=int(limit or 10), with_row_id=True
+                )
             score_col = "_score"
         if filter and not prefilter:
             hits = hits.filter(_compat_filter(filter))
@@ -1059,6 +1073,7 @@ class LanceDataset:
                 indices=indices,
                 config={**src.config, "cloned_from": {"uri": self.uri, "version": src.version}},
                 blob_columns=list(src.blob_columns),
+                bases=list(src.bases),
             )
 
         mf.commit(dest, build, operation="clone")
@@ -1351,9 +1366,10 @@ class SqlQueryBuilder:
 
 
 class ColumnOrdering:
-    """Sort rule for scanner(order_by=...) (reference dataset.py:4169-4178)."""
+    """Sort rule for scanner(order_by=...) (reference dataset.py:4169-4178;
+    defaults match the reference: ascending, nulls FIRST)."""
 
-    def __init__(self, column_name: str, ascending: bool = True, nulls_first: bool = False):
+    def __init__(self, column_name: str, ascending: bool = True, nulls_first: bool = True):
         self.column_name = column_name
         self.ascending = ascending
         self.nulls_first = nulls_first

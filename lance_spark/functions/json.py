@@ -80,7 +80,11 @@ SQL_FUNCTION_DDL = [
        RETURNS BOOLEAN RETURN get_json_object(js, p) IS NOT NULL""",
     """CREATE OR REPLACE TEMPORARY FUNCTION json_array_contains(js STRING, p STRING, v STRING)
        RETURNS BOOLEAN RETURN array_contains(from_json(get_json_object(js, p), 'array<string>'), v)""",
-    """CREATE OR REPLACE TEMPORARY FUNCTION json_array_length(js STRING, p STRING)
+    # NOTE: no json_array_length DDL — Spark ships a BUILT-IN (non-SQL)
+    # function of that name which CREATE OR REPLACE cannot shadow
+    # (CANNOT_REPLACE_NON_SQL_UDF_WITH_SQL_UDF); the builtin covers the
+    # path='$' case, and json_path_array_length below covers paths.
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_path_array_length(js STRING, p STRING)
        RETURNS BIGINT RETURN CAST(json_array_length(CASE WHEN p = '$' THEN js
                                    ELSE get_json_object(js, p) END) AS BIGINT)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION contains_tokens(s STRING, tok STRING)
@@ -89,8 +93,18 @@ SQL_FUNCTION_DDL = [
 ]
 
 
-def register_sql_functions(spark) -> None:
+def register_sql_functions(spark) -> list[str]:
     """Install the reference's SQL UDF names into the session so
-    ``ds.sql("SELECT json_get_int(props, '$.k') ...")`` works verbatim."""
+    ``ds.sql("SELECT json_get_int(props, '$.k') ...")`` works verbatim.
+    Each DDL registers independently — one name colliding with a builtin
+    must not abort the rest. Returns the names that failed (normally [])."""
+    import re
+
+    failed = []
     for ddl in SQL_FUNCTION_DDL:
-        spark.sql(ddl)
+        try:
+            spark.sql(ddl)
+        except Exception:
+            m = re.search(r"FUNCTION (\w+)", ddl)
+            failed.append(m.group(1) if m else ddl[:40])
+    return failed

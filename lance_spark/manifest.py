@@ -275,7 +275,7 @@ def invalidate_root(root: str) -> None:
 def manifest_cache_stats() -> dict:
     return {
         "approx_num_items": len(_MANIFEST_CACHE),
-        "size_bytes": sum(sz for _, sz in _MANIFEST_CACHE.values()),
+        "size_bytes": sum(entry[1] for entry in _MANIFEST_CACHE.values()),
         **_CACHE_STATS,
     }
 
@@ -286,17 +286,29 @@ def read_manifest(root: str, version: int | None = None) -> Manifest:
         if version is None:
             raise FileNotFoundError(f"no dataset at {root}")
     key = (os.path.abspath(root), version)
+    path = manifest_path(root, version)
     hit = _MANIFEST_CACHE.get(key)
     if hit is not None:
-        _CACHE_STATS["hits"] += 1
-        return hit[0]
+        # one stat() guards against out-of-band rmtree+recreate (a dropped
+        # dataset replaced at the same path): the entry is only valid while
+        # the file it was parsed from still exists with the same identity
+        m, _size, sig = hit
+        try:
+            st = os.stat(path)
+            if (st.st_mtime_ns, st.st_size) == sig:
+                _CACHE_STATS["hits"] += 1
+                return m
+        except FileNotFoundError:
+            pass
+        _MANIFEST_CACHE.pop(key, None)
     _CACHE_STATS["misses"] += 1
-    with open(manifest_path(root, version)) as fh:
+    with open(path) as fh:
         raw = fh.read()
+    st = os.stat(path)
     m = Manifest.from_json(json.loads(raw))
     if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
         _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
-    _MANIFEST_CACHE[key] = (m, len(raw))
+    _MANIFEST_CACHE[key] = (m, len(raw), (st.st_mtime_ns, st.st_size))
     return m
 
 
@@ -381,15 +393,9 @@ def reserve_fragment_ids(root: str, n: int) -> int:
         assert base is not None, "reserve requires an existing dataset"
         start = base.max_fragment_id + 1
         out["start"] = start
-        return Manifest(
-            version=version,
-            schema_json=base.schema_json,
-            fragments=base.fragments,
+        return Manifest.evolve(
+            base, version, operation="reserve_fragments",
             max_fragment_id=start + n - 1,
-            operation="reserve_fragments",
-            indices=base.indices,
-            config=base.config,
-            blob_columns=base.blob_columns,
         )
 
     commit(root, build, operation="reserve_fragments")

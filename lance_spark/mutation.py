@@ -185,15 +185,12 @@ def _apply_deletes_and_appends(
             fragments.append(frag)
         fragments.extend(new_frags)
         max_fid = max((f.id for f in fragments), default=base.max_fragment_id)
-        return mf.Manifest(
-            version=version,
-            schema_json=base.schema_json,
+        # evolve, not a hand-rolled constructor: carry-forward fields added
+        # later (e.g. multi-base registry) must never silently reset
+        return mf.Manifest.evolve(
+            base, version, operation=operation,
             fragments=fragments,
             max_fragment_id=max(max_fid, base.max_fragment_id),
-            operation=operation,
-            indices=base.indices,
-            config=base.config,
-            blob_columns=base.blob_columns,
         )
 
     mf.commit(root, build, operation=operation)

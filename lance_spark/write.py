@@ -215,23 +215,22 @@ def commit_fragments(
     def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
         if operation == "append" and base is not None:
             all_frags = base.fragments + fragments
-            schema = base.schema_json
-            indices, cfg, blobs = base.indices, base.config, base.blob_columns
-        else:
-            assert schema_json is not None, "create/overwrite commit needs schema_json"
-            all_frags, schema = fragments, schema_json
-            indices, cfg, blobs = [], {}, []
+            # evolve carries indices/config/blob_columns/bases forward
+            return mf.Manifest.evolve(
+                base, version, operation=operation,
+                fragments=all_frags,
+                max_fragment_id=max([f.id for f in all_frags] + [base.max_fragment_id]),
+            )
+        assert schema_json is not None, "create/overwrite commit needs schema_json"
         return mf.Manifest(
             version=version,
-            schema_json=schema,
-            fragments=all_frags,
+            schema_json=schema_json,
+            fragments=fragments,
             max_fragment_id=max(
-                [f.id for f in all_frags] + ([base.max_fragment_id] if base else [-1])
+                [f.id for f in fragments] + ([base.max_fragment_id] if base else [-1])
             ),
             operation=operation,
-            indices=indices,
-            config=cfg,
-            blob_columns=blobs,
+            bases=base.bases if base else [],
         )
 
     os.makedirs(uri, exist_ok=True)

@@ -109,3 +109,17 @@ def test_changes_matches_snapshot_diff_random(spark, sf_dir, tmp_path):
         old, new = live_rowids(v0), live_rowids(v1)
         assert got_ins == new - old, f"inserts wrong for {v0}->{v1}"
         assert got_del == old - new, f"deletes wrong for {v0}->{v1}"
+
+
+def test_changes_compaction_reports_nothing(spark, sf_dir, tmp_path):
+    """Review regression: compaction moves rows to new fragments with
+    PRESERVED rowids — a pure-compaction window must report zero changes."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ds = ls.write_dataset(nation.repartition(4), str(tmp_path / "cp"))
+    ds.delete(spark, "n_nationkey = 0")
+    ds = ds.checkout_latest()
+    v_before = ds.version
+    ds = ds.compact_files(spark, target_rows_per_fragment=1000)
+    assert len(ds.get_fragments()) < 4
+    ch = ds.changes(spark, v_before)
+    assert ch.count() == 0

@@ -369,3 +369,32 @@ def test_merge_from_arrow_table(spark, sf_dir, tmp_path):
     rdr = pa.RecordBatchReader.from_batches(renamed.schema, renamed.to_batches())
     ds = ds.checkout_latest().merge(spark, rdr, "n_nationkey")
     assert "greeting2" in ds.to_df(spark).columns
+
+
+def test_manifest_cache_survives_oob_rmtree(spark, sf_dir, tmp_path):
+    """Review regression: an out-of-band rmtree + recreate at the same path
+    must not serve the dropped dataset's cached manifest."""
+    import shutil
+
+    uri = str(tmp_path / "oob")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ls.write_dataset(nation, uri)
+    ls.write_dataset(nation, uri, mode="append")
+    assert ls.dataset(uri, version=3).columns[0] == "n_nationkey"  # cache it
+    shutil.rmtree(uri)  # NOT LanceDataset.drop — no invalidation hook
+    ls.write_dataset(nation.select("n_name"), uri)
+    with pytest.raises(FileNotFoundError):
+        ls.dataset(uri, version=3)
+    assert ls.dataset(uri).columns == ["n_name"]
+
+
+def test_blob_file_closed_contract(spark, tmp_path):
+    df = spark.createDataFrame([(1, b"abc" * 10)], "id long, data binary")
+    ds = ls.write_dataset(df, str(tmp_path / "bc"), blob_columns=["data"])
+    rid = ds.blob_descriptors(spark, "data").first()["_rowid"]
+    f = ds.take_blob_files([rid], "data")[0]
+    f.close()
+    with pytest.raises(ValueError, match="closed"):
+        f.read()
+    with pytest.raises(ValueError, match="closed"):
+        f.seek(0)

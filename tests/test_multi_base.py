@@ -118,3 +118,32 @@ def test_multi_base_mutations_still_work(spark, sf_dir, roots):
     ds = ds.delete(spark, "n_nationkey < 5")
     assert ds.checkout_latest().count_rows() == 20
     ds.validate()
+
+
+def test_mutations_and_commits_preserve_base_registry(spark, sf_dir, roots):
+    """Review regression: delete/update/commit_fragments/reserve must carry
+    the bases registry forward (hand-rolled manifest constructors used to
+    drop it)."""
+    from lance_spark import manifest as mf
+    from lance_spark.write import commit_fragments, write_fragments
+
+    primary, p1, _p2 = roots
+    nation = _nation(spark, sf_dir)
+    ds = ls.write_dataset(
+        nation, primary, mode="create",
+        initial_bases=[DatasetBasePath(p1, name="path1")],
+        target_bases=["path1"],
+    )
+    ds = ds.delete(spark, "n_nationkey = 1").checkout_latest()
+    assert set(ds.base_paths()) == {"path1"}
+    ds = ds.update(spark, {"n_name": "'X'"}, where="n_nationkey = 2").checkout_latest()
+    assert set(ds.base_paths()) == {"path1"}
+    base_fid = mf.reserve_fragment_ids(primary, 2)
+    assert set(ls.dataset(primary).base_paths()) == {"path1"}
+    frags = write_fragments(nation.limit(3).repartition(1), primary, base_fid)
+    commit_fragments(primary, frags, operation="append")
+    ds = ls.dataset(primary)
+    assert set(ds.base_paths()) == {"path1"}
+    # appending by base name still resolves after all those commits
+    ds = ls.write_dataset(nation.limit(2), primary, mode="append", target_bases=["path1"])
+    assert set(ds.base_paths()) == {"path1"}

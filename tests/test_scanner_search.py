@@ -101,3 +101,36 @@ def test_commit_batch_merges_appends(spark, sf_dir, tmp_path):
     assert tx["transaction_properties"]["__lance_commit_message"] == "bulk"
     with pytest.raises(NotImplementedError):
         ls.commit_batch(uri, [{"operation": "delete", "fragments": []}])
+
+
+def test_scanner_fts_prefilter_and_postfilter(spark, sf_dir, tmp_path):
+    """Review regression: scanner(full_text_query=..., filter=...) must
+    honor the filter in BOTH prefilter modes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    ds = ls.write_dataset(docs, str(tmp_path / "fp"))
+    lang = docs.first()["lang"]
+    pre = ds.scanner(
+        spark, full_text_query="table scan", filter=f"lang = '{lang}'",
+        prefilter=True, limit=8,
+    ).collect()
+    assert pre and all(r["lang"] == lang for r in pre)
+    post = ds.scanner(
+        spark, full_text_query="table scan", filter=f"lang = '{lang}'",
+        prefilter=False, limit=8,
+    ).collect()
+    assert all(r["lang"] == lang for r in post)
+
+
+def test_sql_udf_registry_registers_everything(spark):
+    """Review regression: one colliding DDL must not abort the rest —
+    contains_tokens and the json family all resolve in SQL."""
+    from lance_spark.functions.json import register_sql_functions
+
+    assert register_sql_functions(spark) == []
+    row = spark.sql("""
+        SELECT contains_tokens('Table scan time', 'scan') a,
+               json_get_int('{"k": 3}', '$.k') b,
+               json_path_array_length('{"a": [1,2]}', '$.a') c,
+               json_exists('{"k": 3}', '$.x') d
+    """).first()
+    assert (row["a"], row["b"], row["c"], row["d"]) == (True, 3, 2, False)
