@@ -52,3 +52,74 @@ def test_dataset_scanner_prunes_groups(spark, sf_dir, tmp_path):
     q = ds.scanner(spark, columns=["o_orderkey"])
     s = plan_summary(q)
     assert s["scans"] == 1  # the column-group file for 'extra' is not opened
+
+
+def test_asof_join_plan_single_shuffle_no_inequality_join(spark):
+    """The as-of join must plan as union + window (one exchange on the key),
+    never a nested-loop/cartesian inequality join."""
+    import datetime
+
+    from lance_spark.operators.joins import as_of_join
+    from lance_spark.plans.explain import explain_plan, plan_summary
+
+    left = spark.createDataFrame(
+        [(1, "a", datetime.datetime(2024, 1, 1))], "id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", datetime.datetime(2024, 1, 1), 1.0)], "k string, ts timestamp, v double"
+    )
+    q = as_of_join(left, right, on="k", time_col="ts", value_cols=["v"])
+    e = explain_plan(q, "formatted")
+    assert "BroadcastNestedLoopJoin" not in e and "CartesianProduct" not in e
+    assert "Window" in e
+    s = plan_summary(q)
+    assert s["shuffles"] <= 3  # right dedup agg + the union's key partition
+
+
+def test_range_join_plan_is_equi_join(spark):
+    """The range join must plan as an equi-join on (key, bucket) — the
+    inequality is a post-join Filter, not the join condition."""
+    import datetime
+
+    from lance_spark.operators.joins import range_join
+    from lance_spark.plans.explain import explain_plan
+
+    a = spark.createDataFrame(
+        [(1, "a", datetime.datetime(2024, 1, 1))], "id long, k string, ts timestamp"
+    )
+    r = spark.createDataFrame(
+        [("a", datetime.datetime(2024, 1, 1), 1.0)], "k string, ts timestamp, v double"
+    )
+    q = range_join(a, r, on="k", time_col="ts", window="1 HOUR", bucket_seconds=3600)
+    e = explain_plan(q, "formatted")
+    assert "BroadcastNestedLoopJoin" not in e and "CartesianProduct" not in e
+    assert "Join" in e or "BroadcastHashJoin" in e
+
+
+def test_pack_sequences_no_global_window(spark):
+    """The distributed prefix sum must never plan a single-partition global
+    window over the data (the Window must be partitioned by shard)."""
+    from lance_spark.operators.curation import pack_sequences
+    from lance_spark.plans.explain import explain_plan
+
+    df = spark.createDataFrame([(i, 10) for i in range(100)], "id long, n long")
+    q = pack_sequences(df, "id", "n", capacity=100, num_shards=8)
+    e = explain_plan(q, "formatted")
+    # a global (unpartitioned) window plans as 'Window [...], [id ASC...]'
+    # AFTER an Exchange SinglePartition — assert the exchange isn't global
+    assert "SinglePartition" not in e
+    assert "Window" in e
+
+
+def test_hybrid_rrf_windows_bounded_by_topk(spark, sf_dir):
+    """Hybrid RRF's rank windows run over branch top-ks (bounded by k);
+    the plan may use single-partition windows only AFTER a limit."""
+    from lance_spark import suite
+    from lance_spark.plans.explain import explain_plan
+
+    q = suite.QUERIES["search_hybrid_rrf"](spark, sf_dir)
+    e = explain_plan(q, "formatted")
+    # the limits must appear below the windows: every window input is a
+    # TakeOrderedAndProject/Limit of k rows, so SinglePartition is bounded
+    assert "Window" in e
+    assert "Limit" in e or "TakeOrdered" in e
