@@ -889,6 +889,41 @@ class LanceDataset:
             "version": m.version,
         }
 
+    def data_stats(self, columns: list[str] | None = None) -> dict:
+        """Per-column physical statistics (reference LanceStats.data_stats,
+        dataset.py:5068; field-level size accounting). Aggregated from
+        parquet FOOTERS across fragments — O(files), never a data scan, so
+        as cheap at 100 TB as locally."""
+        import pyarrow.parquet as pq
+
+        wanted = set(columns) if columns is not None else None
+        out: dict[str, dict] = {}
+        for frag in self.manifest.fragments:
+            for df in frag.files:
+                cols_here = set(df.columns)
+                if wanted is not None and not (cols_here & wanted):
+                    continue  # column-group pruning applies to stats too
+                md = pq.read_metadata(self._abs(df.path))
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    for ci in range(rg.num_columns):
+                        col = rg.column(ci)
+                        name = col.path_in_schema.split(".")[0]
+                        if name.startswith("_") or (wanted is not None and name not in wanted):
+                            continue
+                        ent = out.setdefault(
+                            name,
+                            {"num_values": 0, "null_count": 0,
+                             "compressed_bytes": 0, "uncompressed_bytes": 0},
+                        )
+                        ent["num_values"] += col.num_values
+                        ent["compressed_bytes"] += col.total_compressed_size
+                        ent["uncompressed_bytes"] += col.total_uncompressed_size
+                        st = col.statistics
+                        if st is not None and st.null_count is not None:
+                            ent["null_count"] += st.null_count
+        return {"fields": out}
+
     def list_indices(self) -> list[dict]:
         return [i.to_json() for i in self.manifest.indices]
 

@@ -91,3 +91,36 @@ class LanceTorchDataset:
                 k: torch.from_numpy(np.ascontiguousarray(v)) if v.dtype != object else v
                 for k, v in batch.items()
             }
+
+
+def tf_dataset(
+    ds,
+    spark,
+    columns: list[str] | None = None,
+    batch_size: int = 1024,
+    rank: int = 0,
+    world_size: int = 1,
+):
+    """tf.data-shaped loader (reference python/python/lance/tf/data.py
+    ``from_lance``): returns a ``tf.data.Dataset`` built with
+    ``from_generator`` over the same sharded numpy batches the torch
+    wrapper uses. Raises ImportError without tensorflow (not in this
+    container) — the generator path is the tested, framework-free core."""
+    try:
+        import tensorflow as tf
+    except ImportError as exc:
+        raise ImportError(
+            "tensorflow is not installed; use lance_spark.loaders.numpy_batches "
+            "for the framework-agnostic iterator"
+        ) from exc
+
+    def gen():
+        yield from numpy_batches(ds, spark, columns, batch_size, rank, world_size)
+
+    first = next(numpy_batches(ds, spark, columns, batch_size, rank, world_size))
+    signature = {
+        k: tf.TensorSpec(shape=(None, *v.shape[1:]), dtype=tf.as_dtype(v.dtype))
+        for k, v in first.items()
+        if v.dtype != object
+    }
+    return tf.data.Dataset.from_generator(gen, output_signature=signature)

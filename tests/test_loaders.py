@@ -76,3 +76,13 @@ def test_loader_invalid_rank(spark, ds):
 
     with pytest.raises(ValueError, match="rank"):
         next(numpy_batches(ds, spark, rank=4, world_size=2))
+
+
+def test_tf_dataset_import_guard(spark, sf_dir, tmp_path):
+    import lance_spark as ls
+    from lance_spark.loaders import tf_dataset
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
+    ds = ls.write_dataset(emb, str(tmp_path / "tf"))
+    with pytest.raises(ImportError, match="tensorflow"):
+        tf_dataset(ds, spark)

@@ -398,3 +398,14 @@ def test_blob_file_closed_contract(spark, tmp_path):
         f.read()
     with pytest.raises(ValueError, match="closed"):
         f.seek(0)
+
+
+def test_data_stats_from_footers(spark, sf_dir, tmp_path):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ds = ls.write_dataset(nation.repartition(2), str(tmp_path / "stats"))
+    st = ds.data_stats()
+    assert set(st["fields"]) == set(nation.columns)
+    assert st["fields"]["n_name"]["num_values"] == 25
+    assert st["fields"]["n_name"]["compressed_bytes"] > 0
+    only = ds.data_stats(columns=["n_nationkey"])
+    assert set(only["fields"]) == {"n_nationkey"}
