@@ -15,11 +15,23 @@ Public API mirrors python/python/lance/__init__.py of the reference:
   write_dataset, dataset, LanceDataset.
 """
 
-from lance_spark.blob import BlobFile
-from lance_spark.dataset import ColumnOrdering, LanceDataset, Session, dataset
+from lance_spark.blob import BlobColumn, BlobFile
+from lance_spark.dataset import (
+    ColumnOrdering,
+    DataStatistics,
+    FieldStatistics,
+    LanceDataset,
+    Session,
+    dataset,
+)
 from lance_spark.file import LanceFileReader, LanceFileWriter
-from lance_spark.manifest import DatasetBasePath
-from lance_spark.operation import LanceOperation, commit
+from lance_spark.fragment import LanceFragment
+from lance_spark.manifest import DatasetBasePath, FragmentMetadata, Index
+from lance_spark.mutation import MergeInsertBuilder
+from lance_spark.operation import LanceOperation, Transaction, commit
+from lance_spark.scanner import LanceScanner, ScanStatistics
+from lance_spark.types import json_to_schema, schema_to_json
+from lance_spark.udf import batch_udf
 from lance_spark.write import commit_batch, commit_fragments, write_dataset, write_fragments
 from lance_spark.session import get_spark
 from lance_spark.query import (
@@ -59,6 +71,19 @@ __all__ = [
     "BooleanQuery",
     "Occur",
     "FullTextOperator",
+    "BlobColumn",
+    "DataStatistics",
+    "FieldStatistics",
+    "FragmentMetadata",
+    "Index",
+    "LanceFragment",
+    "LanceScanner",
+    "MergeInsertBuilder",
+    "ScanStatistics",
+    "Transaction",
+    "batch_udf",
+    "json_to_schema",
+    "schema_to_json",
 ]
 
 # Submodule map (import directly; kept lazy to avoid heavy imports here):

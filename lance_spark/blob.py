@@ -151,3 +151,25 @@ def blob_files(ds, column: str, rowids: list[int]) -> list[BlobFile]:
             paths = all_paths
         out.append(BlobFile(paths, column, rid))
     return out
+
+
+class BlobColumn:
+    """Iterate a pyarrow binary column's rows as file-like objects
+    (reference blob.py:23-50). For in-memory binary values that feed APIs
+    expecting files — large out-of-line blobs should instead go through a
+    blob column group and ``ds.take_blobs``."""
+
+    def __init__(self, blob_column):
+        import pyarrow as pa
+
+        if not isinstance(blob_column, (pa.Array, pa.ChunkedArray)):
+            raise ValueError(
+                f"expected a pyarrow Array or ChunkedArray, got {type(blob_column)}"
+            )
+        t = blob_column.type
+        if not (pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+            raise ValueError(f"expected a binary array, got {t}")
+        self.blob_column = blob_column
+
+    def __iter__(self):
+        return (io.BytesIO(v.as_py()) for v in self.blob_column)

@@ -28,19 +28,63 @@ from lance_spark import manifest as mf
 from lance_spark.write import FRAGID_SHIFT, ROWADDR_COL, ROWID_COL
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class FieldStatistics:
+    """Per-field physical size (reference dataset.py:5018)."""
+
+    id: int
+    bytes_on_disk: int
+
+
+@dataclass
+class DataStatistics:
+    """Dataset-wide field statistics (reference dataset.py:5026)."""
+
+    fields: list
+
+
 def dataset(
-    uri: str, version: int | None = None, tag: str | None = None, branch: str | None = None
+    uri: str,
+    version: int | None = None,
+    tag: str | None = None,
+    branch: str | None = None,
+    storage_options: dict | None = None,
+    storage_options_provider=None,
 ) -> "LanceDataset":
     if tag is not None:
         version = mf.resolve_tag(uri, tag)
     elif branch is not None:
         version = mf.resolve_ref(uri, "branches", branch)
-    return LanceDataset(uri, version=version)
+    return LanceDataset(
+        uri,
+        version=version,
+        storage_options=storage_options,
+        storage_options_provider=storage_options_provider,
+    )
 
 
 class LanceDataset:
-    def __init__(self, uri: str, version: int | None = None):
+    def __init__(
+        self,
+        uri: str,
+        version: int | None = None,
+        storage_options: dict | None = None,
+        storage_options_provider=None,
+    ):
         self.uri = os.path.abspath(uri)
+        # Credential seam (reference dataset.py:413-480): a provider is
+        # queried at open — the refresh point for time-limited object-store
+        # credentials. The local-fs backend consumes no options; they are
+        # resolved, kept, and carried to derived handles so an object-store
+        # filesystem layer can plug in (see lance_spark.io).
+        if storage_options_provider is not None:
+            fetched = storage_options_provider.fetch_storage_options()
+            storage_options = {**fetched, **(storage_options or {})}
+        self.storage_options = storage_options or {}
+        self._storage_options_provider = storage_options_provider
         self.manifest = mf.read_manifest(self.uri, version)
 
     # ------------------------------------------------------------ metadata
@@ -92,6 +136,51 @@ class LanceDataset:
 
     def checkout_version(self, version: int) -> "LanceDataset":
         return LanceDataset(self.uri, version=version)
+
+    def latest_version(self) -> int:
+        """Latest committed version number (reference dataset.py:2117) —
+        O(1) directory listing, independent of the checked-out version."""
+        return max(mf.list_versions(self.uri))
+
+    # -- pyarrow-dataset-interface stubs the reference also raises on
+    # (reference dataset.py:1080-1096; kept so call sites port verbatim)
+    def join(self, *args, **kwargs):
+        raise NotImplementedError(
+            "join is not supported on a dataset handle; use ds.sql or Spark joins"
+        )
+
+    def partition_expression(self):
+        raise NotImplementedError("partitioning not yet supported")
+
+    def replace_schema(self, schema):
+        raise NotImplementedError(
+            "Cannot replace the schema of a dataset; use replace_schema_metadata "
+            "or replace_field_metadata"
+        )
+
+    def migrate_manifest_paths_v2(self) -> None:
+        """Idempotent manifest-path migration (reference dataset.py:3371).
+        Our manifests have exactly one path scheme (_versions/<n>.json), so
+        this is a documented no-op kept for call-site compatibility."""
+        return None
+
+    # reference exposes commit/commit_batch as LanceDataset staticmethods
+    # (dataset.py:3059, 3225) as well as module-level functions
+    @staticmethod
+    def commit(dest, operation, read_version: int | None = None,
+               properties: dict | None = None, max_retries: int = 20) -> "LanceDataset":
+        from lance_spark.operation import commit as _commit
+
+        return _commit(dest, operation, read_version=read_version,
+                       properties=properties, max_retries=max_retries)
+
+    @staticmethod
+    def commit_batch(dest, transactions, max_retries: int = 20,
+                     properties: dict | None = None) -> dict:
+        from lance_spark.write import commit_batch as _commit_batch
+
+        return _commit_batch(dest, transactions, max_retries=max_retries,
+                             properties=properties)
 
     def restore(self) -> "LanceDataset":
         """Make the currently checked-out version the latest (Operation::Restore,
@@ -264,6 +353,7 @@ class LanceDataset:
         scan_in_order: bool | None = None,
         use_stats: bool | None = None,
         strict_batch_size: bool | None = None,
+        scan_stats_callback=None,
     ) -> DataFrame:
         """The ScannerBuilder surface (dataset.py:4219-4590) as a DataFrame.
 
@@ -301,12 +391,14 @@ class LanceDataset:
             else:
                 filter = arrow_filter_to_sql(filter)  # noqa: A001 - reference API name
         if nearest is not None or full_text_query is not None:
-            return self._search_scan(
+            res = self._search_scan(
                 spark, columns=columns, filter=filter, limit=limit,
                 with_row_id=with_row_id, nearest=nearest,
                 full_text_query=full_text_query, prefilter=prefilter,
                 fast_search=fast_search,
             )
+            res._scan_stats_callback = scan_stats_callback
+            return res
         frags = self.manifest.fragments
         if fragments is not None:
             wanted = set(fragments)
@@ -408,7 +500,9 @@ class LanceDataset:
             out_cols.append(ROWID_COL)
         if with_row_address:
             out_cols.append(ROWADDR_COL)
-        return df.select(*out_cols)
+        from lance_spark.scanner import LanceScanner
+
+        return LanceScanner(df.select(*out_cols), self, scan_stats_callback)
 
     def _search_scan(
         self,
@@ -486,7 +580,9 @@ class LanceDataset:
         sel = [*sel, score_col]
         if with_row_id:
             sel.append(ROWID_COL)
-        return hits.select(*sel)
+        from lance_spark.scanner import LanceScanner
+
+        return LanceScanner(hits.select(*sel), self)
 
     # count fast path: O(1) from manifest when unfiltered
     # (scanner.rs:1496-1577, dataset.rs:1254)
@@ -924,7 +1020,26 @@ class LanceDataset:
                             ent["null_count"] += st.null_count
         return {"fields": out}
 
-    def list_indices(self) -> list[dict]:
+    def data_statistics(self, columns: list[str] | None = None) -> "DataStatistics":
+        """Typed view of ``data_stats`` — the reference's
+        ``DataStatistics``/``FieldStatistics`` shape (dataset.py:5018-5031):
+        per-field bytes-on-disk accounting. Field ids are schema positions
+        (the stable id our parquet-backed format carries)."""
+        raw = self.data_stats(columns)["fields"]
+        order = {name: i for i, name in enumerate(self.columns)}
+        fields = [
+            FieldStatistics(id=order.get(name, -1), bytes_on_disk=ent["compressed_bytes"])
+            for name, ent in sorted(raw.items(), key=lambda kv: order.get(kv[0], 1 << 30))
+        ]
+        return DataStatistics(fields=fields)
+
+    def list_indices(self, as_objects: bool = False) -> list:
+        """Index inventory (reference dataset.py:2894 ``list_indices``).
+        Default returns the manifest dicts; ``as_objects=True`` returns
+        reference-shaped ``Index`` records (dataset.py:3691)."""
+        if as_objects:
+            v = self.version
+            return [mf.Index.from_meta(i, dataset_version=v) for i in self.manifest.indices]
         return [i.to_json() for i in self.manifest.indices]
 
     def validate(self) -> None:

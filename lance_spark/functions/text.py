@@ -24,6 +24,10 @@ LANG_STOPWORDS = {
            "est", "pour", "qui", "une", "sur"],
     "de": ["der", "die", "und", "das", "ein", "von", "mit", "den", "des",
            "im", "nicht", "zu", "auf", "ist", "eine"],
+    "it": ["il", "di", "che", "la", "per", "con", "del", "sono", "una",
+           "anche", "della", "gli", "nel"],
+    "pt": ["o", "de", "que", "do", "da", "em", "um", "para", "com", "uma",
+           "os", "no", "se", "na", "por"],
 }
 
 STOPWORDS_EN = LANG_STOPWORDS["en"]
@@ -267,10 +271,89 @@ def stem_word_es(w: str) -> str:
     return t1
 
 
+def stem_token_it(t) -> Column:
+    """Italian snowball-lite: -zioni→-zione mutation, derivational suffixes
+    (-mente -abile -ibile -ita), then vowel endings (-i -e -o -a)."""
+    t1 = (
+        F.when(t.rlike(".{3}zioni$"), F.regexp_replace(t, "zioni$", "zione"))
+        .when(t.rlike(".{4}(mente|abile|ibile|ita)$"),
+              F.regexp_replace(t, "(mente|abile|ibile|ita)$", ""))
+        .otherwise(t)
+    )
+    return (
+        F.when(t1.rlike(".{3}(i|e|o|a)$"), F.regexp_replace(t1, "(i|e|o|a)$", ""))
+        .otherwise(t1)
+    )
+
+
+def stem_word_it(w: str) -> str:
+    """Driver-side mirror of ``stem_token_it`` — rule-for-rule identical."""
+    import re
+
+    if re.search(r".{3}zioni$", w):
+        t1 = re.sub(r"zioni$", "zione", w)
+    elif re.search(r".{4}(mente|abile|ibile|ita)$", w):
+        t1 = re.sub(r"(mente|abile|ibile|ita)$", "", w)
+    else:
+        t1 = w
+    if re.search(r".{3}(i|e|o|a)$", t1):
+        return re.sub(r"(i|e|o|a)$", "", t1)
+    return t1
+
+
+def stem_token_pt(t) -> Column:
+    """Portuguese snowball-lite: -coes→-cao mutation (post-fold),
+    derivational suffixes (-mente -idade -avel -ivel), then plural/vowel
+    endings (-es -s -a -e -o)."""
+    t1 = (
+        F.when(t.rlike(".{3}coes$"), F.regexp_replace(t, "coes$", "cao"))
+        .when(t.rlike(".{4}(mente|idade|avel|ivel)$"),
+              F.regexp_replace(t, "(mente|idade|avel|ivel)$", ""))
+        .otherwise(t)
+    )
+    return (
+        F.when(t1.rlike(".{3}es$"), F.regexp_replace(t1, "es$", ""))
+        .when(t1.rlike(".{3}s$"), F.regexp_replace(t1, "s$", ""))
+        .when(t1.rlike(".{3}(a|e|o)$"), F.regexp_replace(t1, "(a|e|o)$", ""))
+        .otherwise(t1)
+    )
+
+
+def stem_word_pt(w: str) -> str:
+    """Driver-side mirror of ``stem_token_pt`` — rule-for-rule identical."""
+    import re
+
+    if re.search(r".{3}coes$", w):
+        t1 = re.sub(r"coes$", "cao", w)
+    elif re.search(r".{4}(mente|idade|avel|ivel)$", w):
+        t1 = re.sub(r"(mente|idade|avel|ivel)$", "", w)
+    else:
+        t1 = w
+    if re.search(r".{3}es$", t1):
+        return re.sub(r"es$", "", t1)
+    if re.search(r".{3}s$", t1):
+        return re.sub(r"s$", "", t1)
+    if re.search(r".{3}(a|e|o)$", t1):
+        return re.sub(r"(a|e|o)$", "", t1)
+    return t1
+
+
 def tokenize_spanish(col) -> Column:
     """fold(diacritics) → simple tokenizer → Spanish stemming
     ('spanish_stem' config)."""
     return F.transform(tokenize(ascii_fold(F.lower(col))), stem_token_es)
+
+
+def tokenize_italian(col) -> Column:
+    """fold(diacritics) → simple tokenizer → Italian stemming
+    ('italian_stem' config)."""
+    return F.transform(tokenize(ascii_fold(F.lower(col))), stem_token_it)
+
+
+def tokenize_portuguese(col) -> Column:
+    """fold(diacritics/ç) → simple tokenizer → Portuguese stemming
+    ('portuguese_stem' config)."""
+    return F.transform(tokenize(ascii_fold(F.lower(col))), stem_token_pt)
 
 
 def tokenize_german(col) -> Column:
@@ -298,11 +381,14 @@ def tokenizer_expr(name: str):
             "german_stem": tokenize_german,
             "french_stem": tokenize_french,
             "spanish_stem": tokenize_spanish,
+            "italian_stem": tokenize_italian,
+            "portuguese_stem": tokenize_portuguese,
         }[name]
     except KeyError:
         raise ValueError(
             f"unknown tokenizer {name!r}; expected simple|whitespace|unicode"
             "|english_stem|german_stem|french_stem|spanish_stem"
+            "|italian_stem|portuguese_stem"
         ) from None
 
 
@@ -318,6 +404,10 @@ def query_tokens(terms: list[str], tokenizer: str) -> list[str]:
         return [stem_word_fr(t.translate(_FOLD_TABLE)) for t in terms]
     if tokenizer == "spanish_stem":
         return [stem_word_es(t.translate(_FOLD_TABLE)) for t in terms]
+    if tokenizer == "italian_stem":
+        return [stem_word_it(t.translate(_FOLD_TABLE)) for t in terms]
+    if tokenizer == "portuguese_stem":
+        return [stem_word_pt(t.translate(_FOLD_TABLE)) for t in terms]
     return terms
 
 

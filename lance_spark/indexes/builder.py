@@ -1,0 +1,412 @@
+"""Staged distributed vector-index building — the reference's
+``lance.indices`` surface (python/python/lance/indices/builder.py:26-408,
+ivf.py, pq.py).
+
+``create_dataset_index`` builds an index in one call; this staged API is
+for pipelines that CHECKPOINT between steps at 100 TB scale: train models
+once (cheap, sample-bound), run the expensive distributed transform pass
+(restartable per fragment-set), shuffle codes into partition order, then
+commit. Each stage maps to its Spark-native equivalent:
+
+  train_ivf / train_pq      driver kmeans over a bounded scanner sample
+                            (the reference trains on a sample too)
+  assign_ivf_partitions     one Arrow-batched pandas_udf pass → parquet of
+                            (rowid, partition_id)
+  transform_vectors         same pass also PQ-encoding residuals → unsorted
+                            parquet of (id, vec, partition_id, pq_code)
+  shuffle_transformed       repartition(partition_id) + partitionBy write —
+  _vectors                  Spark's exchange IS the reference's shuffler
+                            (rust/lance-index/src/vector/ivf/shuffler.rs)
+  load_shuffled_vectors     assemble the index directory (centroids /
+                            codebooks / radii / meta.json) and commit
+                            IndexMeta into the dataset manifest
+
+Models save/load as numpy + JSON so a training job and a commit job can be
+different processes (the reference stores them as lance files; the format
+is private to each implementation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from lance_spark.indexes.vector import (
+    IvfIndex,
+    _as_matrix,
+    _normalize,
+    train_kmeans,
+)
+
+_DISTANCE_TYPES = ("l2", "cosine", "dot")
+
+
+class IvfModel:
+    """Trained IVF centroids (reference indices/ivf.py:9)."""
+
+    def __init__(self, centroids: np.ndarray, distance_type: str = "l2"):
+        if distance_type not in _DISTANCE_TYPES:
+            raise ValueError(f"distance_type must be one of {_DISTANCE_TYPES}")
+        self.centroids = np.asarray(centroids, dtype=np.float32)
+        self.distance_type = distance_type
+
+    @property
+    def num_partitions(self) -> int:
+        return self.centroids.shape[0]
+
+    def save(self, uri: str) -> None:
+        os.makedirs(uri, exist_ok=True)
+        np.save(os.path.join(uri, "centroids.npy"), self.centroids)
+        with open(os.path.join(uri, "ivf_model.json"), "w") as fh:
+            json.dump({"distance_type": self.distance_type}, fh)
+
+    @classmethod
+    def load(cls, uri: str) -> "IvfModel":
+        with open(os.path.join(uri, "ivf_model.json")) as fh:
+            meta = json.load(fh)
+        return cls(
+            np.load(os.path.join(uri, "centroids.npy")), meta["distance_type"]
+        )
+
+
+class PqModel:
+    """Trained PQ codebooks, shape (num_subvectors, 256, sub_dim)
+    (reference indices/pq.py:9)."""
+
+    def __init__(self, num_subvectors: int, codebook: np.ndarray):
+        self.num_subvectors = int(num_subvectors)
+        self.codebook = np.asarray(codebook, dtype=np.float32)
+        assert self.codebook.shape[0] == self.num_subvectors
+
+    @property
+    def dimension(self) -> int:
+        return self.codebook.shape[0] * self.codebook.shape[2]
+
+    def save(self, uri: str) -> None:
+        os.makedirs(uri, exist_ok=True)
+        np.save(os.path.join(uri, "codebooks.npy"), self.codebook)
+        with open(os.path.join(uri, "pq_model.json"), "w") as fh:
+            json.dump({"num_subvectors": self.num_subvectors}, fh)
+
+    @classmethod
+    def load(cls, uri: str) -> "PqModel":
+        with open(os.path.join(uri, "pq_model.json")) as fh:
+            meta = json.load(fh)
+        return cls(meta["num_subvectors"], np.load(os.path.join(uri, "codebooks.npy")))
+
+
+class IndicesBuilder:
+    """Stage-by-stage index construction (reference builder.py:26).
+
+    Unlike the reference ctor, ``spark`` is explicit — every read here is a
+    Spark job, matching the repo-wide convention that dataset methods take
+    the session."""
+
+    def __init__(self, dataset, column: str, spark: SparkSession):
+        self.dataset = dataset
+        self.column = column
+        self.spark = spark
+
+    # ------------------------------------------------------------ training
+    def _sample(self, n: int, distance_type: str) -> np.ndarray:
+        df = self.dataset.scanner(self.spark, columns=[self.column], limit=n)
+        sample = _as_matrix(df.toPandas()[self.column]).astype(np.float64)
+        if len(sample) < n:
+            raise ValueError(
+                f"not enough rows to train: need {n}, dataset has {len(sample)}"
+            )
+        # canonical order: centroids are a function of the sample SET, not
+        # of scan parallelism (same rule as build_ivf)
+        sample = sample[np.lexsort(sample.T[::-1])]
+        if distance_type == "cosine":
+            sample = _normalize(sample)
+        return sample
+
+    def train_ivf(
+        self,
+        num_partitions: int | None = None,
+        *,
+        distance_type: str = "l2",
+        sample_rate: int = 256,
+        max_iters: int = 50,
+    ) -> IvfModel:
+        """K-means centroids from a sample_rate·num_partitions-row sample
+        (reference builder.py:60). num_partitions defaults to ~√num_rows."""
+        if distance_type not in _DISTANCE_TYPES:
+            raise ValueError(f"distance_type must be one of {_DISTANCE_TYPES}")
+        num_rows = self.dataset.count_rows()
+        if num_partitions is None:
+            num_partitions = max(1, int(round(np.sqrt(num_rows))))
+        sample = self._sample(
+            min(num_rows, sample_rate * num_partitions), distance_type
+        )
+        cents = train_kmeans(sample, num_partitions, iters=min(max_iters, 50))
+        return IvfModel(cents, distance_type)
+
+    def train_pq(
+        self,
+        ivf_model: IvfModel,
+        num_subvectors: int | None = None,
+        *,
+        sample_rate: int = 256,
+        max_iters: int = 50,
+    ) -> PqModel:
+        """Per-subvector 256-entry codebooks over IVF residuals (reference
+        builder.py:149). num_subvectors defaults to dim/16 or dim/8."""
+        dim = ivf_model.centroids.shape[1]
+        if num_subvectors is None:
+            if dim % 16 == 0:
+                num_subvectors = dim // 16
+            elif dim % 8 == 0:
+                num_subvectors = dim // 8
+            else:
+                raise ValueError(
+                    f"dimension {dim} not divisible by 16 or 8; "
+                    "specify num_subvectors explicitly"
+                )
+        if dim % num_subvectors:
+            raise ValueError(f"dim {dim} not divisible by num_subvectors {num_subvectors}")
+        sub = dim // num_subvectors
+        num_rows = self.dataset.count_rows()
+        sample = self._sample(min(num_rows, sample_rate * 256), ivf_model.distance_type)
+        cf = ivf_model.centroids.astype(np.float64)
+        # GEMM assignment (no (n, k, dim) broadcast temporary)
+        d2 = (
+            (sample * sample).sum(axis=1, keepdims=True)
+            - 2.0 * (sample @ cf.T)
+            + (cf * cf).sum(axis=1)
+        )
+        resid = sample - cf[d2.argmin(axis=1)]
+        codebook = np.stack(
+            [
+                train_kmeans(
+                    resid[:, j * sub : (j + 1) * sub], 256,
+                    iters=min(max_iters, 8), seed=42 + j,
+                )
+                for j in range(num_subvectors)
+            ]
+        )
+        return PqModel(num_subvectors, codebook)
+
+    # ------------------------------------------------------ distributed pass
+    def _transform_df(
+        self, ivf: IvfModel, pq: PqModel | None, fragments=None
+    ) -> DataFrame:
+        from lance_spark.write import ROWID_COL
+
+        cosine = ivf.distance_type == "cosine"
+        cent_b = self.spark.sparkContext.broadcast(ivf.centroids)
+        cb_b = self.spark.sparkContext.broadcast(pq.codebook if pq else None)
+
+        @pandas_udf("struct<partition_id:int, pq_code:array<smallint>>")
+        def enc(s: pd.Series) -> pd.DataFrame:
+            cents = cent_b.value.astype(np.float32)
+            cbs = cb_b.value
+            x = _as_matrix(s)
+            if cosine:
+                x = _normalize(x)
+            pid = (x @ cents.T - 0.5 * (cents * cents).sum(axis=1)).argmax(axis=1)
+            if cbs is None:
+                codes = [None] * len(x)
+            else:
+                m, _, sub = cbs.shape
+                resid = x - cents[pid]
+                code = np.empty((len(x), m), dtype=np.int16)
+                for j in range(m):
+                    r = resid[:, j * sub : (j + 1) * sub]
+                    cb = cbs[j]
+                    d = (r * r).sum(axis=1, keepdims=True) - 2 * (r @ cb.T) + (cb * cb).sum(axis=1)
+                    code[:, j] = d.argmin(axis=1).astype(np.int16)
+                codes = list(code)
+            return pd.DataFrame({"partition_id": pid.astype(np.int32), "pq_code": codes})
+
+        fids = None
+        if fragments is not None:
+            if len(fragments) == 0:
+                raise ValueError("fragments must be a non-empty list or None")
+            fids = [f.id if hasattr(f, "id") else int(f) for f in fragments]
+        df = self.dataset.scanner(
+            self.spark, columns=[self.column], with_row_id=True, fragments=fids
+        )
+        return df.select(
+            F.col(ROWID_COL).alias("id"),
+            F.col(self.column).cast("array<float>").alias("vec"),
+            enc(F.col(self.column)).alias("e"),
+        ).select("id", "vec", "e.partition_id", "e.pq_code")
+
+    def assign_ivf_partitions(
+        self, ivf_model: IvfModel, *, output_uri: str
+    ) -> str:
+        """Distributed (rowid → partition_id) assignment written as parquet
+        (reference builder.py:206 writes a precomputed-partitions dataset).
+        Feed the returned uri to ``transform_vectors(partition_ds_uri=)``
+        to skip re-assignment."""
+        (
+            self._transform_df(ivf_model, None)
+            .select("id", "partition_id")
+            .write.mode("overwrite")
+            .parquet(output_uri)
+        )
+        return output_uri
+
+    def transform_vectors(
+        self,
+        ivf: IvfModel,
+        pq: PqModel | None,
+        dest_uri: str,
+        fragments=None,
+        partition_ds_uri: str | None = None,
+    ) -> str:
+        """One distributed pass producing the UNSORTED transform output
+        (id, vec, partition_id, pq_code) as parquet (reference
+        builder.py:261). ``fragments`` restricts the pass (restartable
+        chunking at scale); ``partition_ds_uri`` joins precomputed
+        assignments instead of recomputing them."""
+        out = self._transform_df(ivf, pq, fragments)
+        if partition_ds_uri is not None:
+            pre = self.spark.read.parquet(partition_ds_uri).select(
+                "id", F.col("partition_id").alias("pre_pid")
+            )
+            out = (
+                out.drop("partition_id")
+                .join(pre, "id")
+                .withColumnRenamed("pre_pid", "partition_id")
+            )
+        out.write.mode("overwrite").parquet(dest_uri)
+        return dest_uri
+
+    def shuffle_transformed_vectors(
+        self,
+        unsorted_filenames: list[str],
+        dir_path: str,
+        ivf: IvfModel,
+        shuffle_output_root_filename: str = "sorted",
+    ) -> list[str]:
+        """Partition-sort the unsorted transform outputs (reference
+        builder.py:317): repartition on partition_id + partitionBy write —
+        one shuffle, the exact exchange the reference's shuffler performs.
+        Returns the partition directories under ``dir_path/<root>``."""
+        if not isinstance(unsorted_filenames, list):
+            raise ValueError("filenames must be a list of strings")
+        out_dir = os.path.join(dir_path, shuffle_output_root_filename)
+        src = [
+            f if os.path.isabs(f) else os.path.join(dir_path, f)
+            for f in unsorted_filenames
+        ]
+        (
+            self.spark.read.parquet(*src)
+            .repartition("partition_id")
+            .write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(out_dir)
+        )
+        return sorted(
+            os.path.join(shuffle_output_root_filename, d)
+            for d in os.listdir(out_dir)
+            if d.startswith("partition_id=")
+        )
+
+    def load_shuffled_vectors(
+        self,
+        filenames: list[str],
+        dir_path: str,
+        ivf: IvfModel,
+        pq: PqModel | None,
+        index_name: str | None = None,
+    ):
+        """Assemble the index directory from the sorted files and COMMIT it
+        into the dataset manifest (reference builder.py:360). Computes the
+        per-partition covering radii (one distributed aggregation) so
+        distance_range pruning works, then records IndexMeta with fragment
+        coverage — the same commit ``create_dataset_index`` makes."""
+        if not isinstance(filenames, list):
+            raise ValueError("filenames must be a list of strings")
+        from lance_spark import manifest as mf
+        from lance_spark.dataset import LanceDataset
+        from lance_spark.write import ROWID_COL
+
+        ds = self.dataset
+        name = index_name or f"{self.column}_idx"
+        rel = os.path.join("_indices", name)
+        uri = os.path.join(ds.uri, rel)
+        codes_dir = os.path.join(uri, "codes")
+        if os.path.isdir(uri):
+            shutil.rmtree(uri)
+        os.makedirs(uri, exist_ok=True)
+        os.makedirs(codes_dir, exist_ok=True)
+        # move the sorted partition directories into the index layout
+        for f in filenames:
+            src = f if os.path.isabs(f) else os.path.join(dir_path, f)
+            shutil.move(src, os.path.join(codes_dir, os.path.basename(src)))
+
+        cosine = ivf.distance_type == "cosine"
+        cent_b = self.spark.sparkContext.broadcast(ivf.centroids)
+
+        @pandas_udf("double")
+        def _resid_norm(s: pd.Series, pid: pd.Series) -> pd.Series:
+            x = _as_matrix(s).astype(np.float64)
+            if cosine:
+                x = _normalize(x)
+            c = cent_b.value.astype(np.float64)[pid.to_numpy()]
+            return pd.Series(np.sqrt(((x - c) ** 2).sum(axis=1)))
+
+        radii_rows = (
+            self.spark.read.parquet(codes_dir)
+            .select("partition_id", _resid_norm("vec", "partition_id").alias("r"))
+            .groupBy("partition_id")
+            .agg(F.max("r").alias("radius"))
+            .collect()
+        )
+        radii = np.zeros(ivf.num_partitions, dtype=np.float64)
+        for r in radii_rows:
+            radii[int(r["partition_id"])] = float(r["radius"])
+        np.save(os.path.join(uri, "radii.npy"), radii)
+        np.save(os.path.join(uri, "centroids.npy"), ivf.centroids)
+        if pq is not None:
+            np.save(os.path.join(uri, "codebooks.npy"), pq.codebook)
+        with open(os.path.join(uri, "meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "index_type": "IVF_PQ" if pq is not None else "IVF_FLAT",
+                    "metric": ivf.distance_type,
+                    "num_partitions": int(ivf.num_partitions),
+                    "num_sub_vectors": pq.num_subvectors if pq else None,
+                    "dim": int(ivf.centroids.shape[1]),
+                    "id_col": ROWID_COL,
+                    "vec_col": self.column,
+                },
+                fh,
+            )
+        covered = [f.id for f in ds.manifest.fragments]
+        params = {
+            "metric": ivf.distance_type,
+            "num_partitions": int(ivf.num_partitions),
+            "num_sub_vectors": pq.num_subvectors if pq else None,
+        }
+
+        def build(base, version):
+            return mf.Manifest.evolve(
+                base, version, operation="create_index",
+                indices=[i for i in base.indices if i.name != name]
+                + [
+                    mf.IndexMeta(
+                        name=name,
+                        index_type="IVF_PQ" if pq is not None else "IVF_FLAT",
+                        column=self.column,
+                        path=rel,
+                        fragment_ids=covered,
+                        params=params,
+                    )
+                ],
+            )
+
+        mf.commit(ds.uri, build, operation="create_index")
+        IvfIndex(uri)  # validate the assembled layout opens
+        return LanceDataset(ds.uri)

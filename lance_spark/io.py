@@ -44,3 +44,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     for name in names or TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+class StorageOptionsProvider:
+    """Credential-refresh seam for object-store deployments (reference
+    io.py:14 ``StorageOptionsProvider``). Long-running jobs on S3/GCS/Azure
+    hold time-limited credentials; a provider is re-queried at each dataset
+    open (the reference refreshes on expiry) so stale credentials never
+    poison a cached handle.
+
+    The local-filesystem backend this repo tests against needs no
+    credentials — like the commit-lock seam (lance_spark.commit), the
+    provider contract is the part an object-store integration plugs into:
+    ``fetch_storage_options()`` returns the option dict handed to the
+    filesystem layer, and MUST include an expiry key of the provider's
+    choosing if refresh matters."""
+
+    def fetch_storage_options(self) -> dict:
+        raise NotImplementedError("subclasses implement fetch_storage_options")

@@ -88,6 +88,11 @@ class Fragment:
     def num_rows(self) -> int:
         return self.physical_rows - self.num_deleted_rows
 
+    @property
+    def num_deletions(self) -> int:
+        """Reference FragmentMetadata.num_deletions (fragment.py:129)."""
+        return self.num_deleted_rows
+
     def to_json(self) -> dict:
         return {
             "id": self.id,
@@ -105,6 +110,38 @@ class Fragment:
             physical_rows=d["physical_rows"],
             deletion_file=d.get("deletion_file"),
             num_deleted_rows=d.get("num_deleted_rows", 0),
+        )
+
+
+# Reference-name alias: lance.FragmentMetadata IS our Fragment dataclass
+# (same fields: id / files / physical_rows / deletion_file, same
+# num_rows / num_deletions / to_json surface; fragment.py:56-140).
+FragmentMetadata = Fragment
+
+
+@dataclass
+class Index:
+    """Reference ``lance.dataset.Index`` descriptor (dataset.py:3691):
+    the shape ``list_indices`` rows take in the reference. Built from our
+    IndexMeta — ``fields`` carries column NAMES (the reference uses field
+    ids; names are the stable spark-side identifier)."""
+
+    uuid: str
+    name: str
+    fields: list
+    dataset_version: int
+    fragment_ids: set
+    index_version: int
+
+    @staticmethod
+    def from_meta(meta: "IndexMeta", dataset_version: int = 0) -> "Index":
+        return Index(
+            uuid=meta.path,
+            name=meta.name,
+            fields=[meta.column],
+            dataset_version=dataset_version,
+            fragment_ids=set(meta.fragment_ids),
+            index_version=int(meta.params.get("index_version", 0)),
         )
 
 

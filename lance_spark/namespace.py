@@ -230,3 +230,22 @@ class DirectoryNamespace:
         if not _is_dataset(uri):
             raise ValueError(f"table does not exist: {name}")
         shutil.rmtree(uri)
+
+
+class LanceNamespaceStorageOptionsProvider:
+    """Namespace-backed storage options (reference namespace.py:392):
+    fetch fresh table location + storage options from the namespace's
+    ``describe_table`` on every call — the refresh path time-limited
+    object-store credentials need. With DirectoryNamespace the options are
+    the namespace properties (local fs needs no credentials); a remote
+    namespace implementation returns its temporary credentials here."""
+
+    def __init__(self, namespace, table_id):
+        self.namespace = namespace
+        self.table_id = list(table_id)
+
+    def fetch_storage_options(self) -> dict:
+        desc = self.namespace.describe_table(self.table_id)
+        opts = dict(desc.get("storage_options") or {})
+        opts.setdefault("location", desc["location"])
+        return opts

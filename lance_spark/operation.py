@@ -102,6 +102,24 @@ class LanceOperation:
         removed_indices: list = field(default_factory=list)
 
 
+@dataclass
+class Transaction:
+    """A described-but-uncommitted change (reference dataset.py:3646):
+    the operation plus the version it was computed against, carried as a
+    value so external writers can hand it to ``commit`` / ``commit_batch``."""
+
+    read_version: int
+    operation: "LanceOperation.BaseOperation"
+    uuid: str = ""
+    transaction_properties: dict | None = field(default_factory=dict)
+
+    def __post_init__(self):
+        if not self.uuid:
+            import uuid as _uuid
+
+            self.uuid = str(_uuid.uuid4())
+
+
 def _schema_json(schema) -> dict:
     from pyspark.sql.types import StructType
 
@@ -227,6 +245,10 @@ def commit(
 
     from lance_spark.dataset import LanceDataset
 
+    if isinstance(operation, Transaction):
+        read_version = operation.read_version
+        properties = properties or operation.transaction_properties or None
+        operation = operation.operation
     uri = dest.uri if hasattr(dest, "uri") else os.path.abspath(str(dest))
     op_name = _OP_NAMES[type(operation).__name__]
 

@@ -257,6 +257,55 @@ def deterministic_split(
     return df.select(F.col(id_col).alias("id"), expr.alias("split"))
 
 
+def weighted_mixture(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Per-source deterministic downsampling — the LLM-pipeline "dataset
+    mixing" step (choose how much Wikipedia vs web vs code enters a
+    training run). A row survives iff its hash slot falls under its
+    source's rate: hash64(source:id) % buckets < rate·buckets.
+
+    Row-local (zero shuffles, filter pushes to the scan), stable across
+    runs, engines, and cluster sizes — re-running on an appended corpus
+    keeps every earlier keep/drop decision. Rates > 1.0 are capped at 1.0:
+    upsampling is a repeat-read concern for the loader, not a filter.
+    Sources absent from ``rates`` get ``default_rate``."""
+    from lance_spark.functions.text import hash64
+
+    slot = F.pmod(
+        hash64(F.concat_ws(":", F.col(source_col), F.col(id_col).cast("string"))),
+        F.lit(buckets),
+    )
+    thresh = None
+    for name, rate in rates.items():
+        lim = int(round(min(rate, 1.0) * buckets))
+        cond = F.col(source_col) == name
+        thresh = F.when(cond, lim) if thresh is None else thresh.when(cond, lim)
+    lim_default = int(round(min(default_rate, 1.0) * buckets))
+    thresh = F.lit(lim_default) if thresh is None else thresh.otherwise(lim_default)
+    return df.filter(slot < thresh)
+
+
+def global_shuffle(df: DataFrame, id_col: str, seed: int = 42) -> DataFrame:
+    """Deterministic global shuffle for training-data materialization:
+    total-order the corpus by a seeded engine-portable hash of the id.
+    Breaks source/time locality so every downstream shard is an unbiased
+    sample — the step before sequence packing in a pretraining pipeline.
+
+    In Spark the orderBy is a range-partitioned distributed sort (sampled
+    range boundaries, no single-reducer stage), so it scales to any corpus;
+    writing the result materializes fragments in shuffled order. md5-based
+    keys make the permutation identical on any engine and any cluster
+    size — rand()-seeded shuffles guarantee neither."""
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    return df.orderBy(key.asc())
+
+
 def gopher_quality(df: DataFrame, col: str, id_col: str) -> DataFrame:
     """Gopher document-quality rules (Rae et al. 2021, "Scaling Language
     Models", Appendix A) — the standard web-corpus pre-filter a training

@@ -2021,6 +2021,98 @@ def fts_stemmed_match_fr(spark, sf_dir):
     )
 
 
+def _duck_stem_toks_it(toks_expr: str) -> str:
+    """DuckDB mirror of functions/text.py stem_token_it (Italian
+    snowball-lite): -zioni mutation, derivational suffixes, vowel endings."""
+    s1 = (
+        "CASE WHEN regexp_matches(t, '.{3}zioni$') THEN regexp_replace(t, 'zioni$', 'zione') "
+        "WHEN regexp_matches(t, '.{4}(mente|abile|ibile|ita)$') "
+        "THEN regexp_replace(t, '(mente|abile|ibile|ita)$', '') "
+        "ELSE t END"
+    )
+    s2 = (
+        "CASE WHEN regexp_matches(u, '.{3}(i|e|o|a)$') THEN regexp_replace(u, '(i|e|o|a)$', '') "
+        "ELSE u END"
+    )
+    return f"list_transform(list_transform({toks_expr}, t -> {s1}), u -> {s2})"
+
+
+@query(
+    "fts_stemmed_match_it",
+    _bm25_oracle(
+        ["order", "scan", "join"],  # Italian-stemmed forms of the query terms
+        toks=_duck_stem_toks_it(_DUCK_TOKS.format(col=_DUCK_FOLD_FR)),
+    ),
+)
+def fts_stemmed_match_it(spark, sf_dir):
+    """italian_stem tokenizer end-to-end: 'ordere'/'scano'/'joini' conflate
+    onto the corpus's 'order'/'scan'/'join' through the Italian rule set."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_stemit_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="italian_stem")
+    hits = match_query(ds, spark, ["ordere", "scano", "joini"], k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
+def _duck_stem_toks_pt(toks_expr: str) -> str:
+    """DuckDB mirror of functions/text.py stem_token_pt (Portuguese
+    snowball-lite): -coes mutation, derivational suffixes, plural/vowel
+    endings."""
+    s1 = (
+        "CASE WHEN regexp_matches(t, '.{3}coes$') THEN regexp_replace(t, 'coes$', 'cao') "
+        "WHEN regexp_matches(t, '.{4}(mente|idade|avel|ivel)$') "
+        "THEN regexp_replace(t, '(mente|idade|avel|ivel)$', '') "
+        "ELSE t END"
+    )
+    s2 = (
+        "CASE WHEN regexp_matches(u, '.{3}es$') THEN regexp_replace(u, 'es$', '') "
+        "WHEN regexp_matches(u, '.{3}s$') THEN regexp_replace(u, 's$', '') "
+        "WHEN regexp_matches(u, '.{3}(a|e|o)$') THEN regexp_replace(u, '(a|e|o)$', '') "
+        "ELSE u END"
+    )
+    return f"list_transform(list_transform({toks_expr}, t -> {s1}), u -> {s2})"
+
+
+@query(
+    "fts_stemmed_match_pt",
+    _bm25_oracle(
+        ["order", "scan", "key"],  # Portuguese-stemmed forms of the query terms
+        toks=_duck_stem_toks_pt(_DUCK_TOKS.format(col=_DUCK_FOLD_FR)),
+    ),
+)
+def fts_stemmed_match_pt(spark, sf_dir):
+    """portuguese_stem tokenizer end-to-end: 'orderes'/'scans'/'keyo'
+    conflate onto the corpus's 'order'/'scan'/'key' through the Portuguese
+    rule set."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_stempt_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="portuguese_stem")
+    hits = match_query(ds, spark, ["orderes", "scans", "keyo"], k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal binary columns + streaming-shaped session windows
 # --------------------------------------------------------------------------
@@ -3589,6 +3681,65 @@ def curate_split(spark, sf_dir):
 
     return deterministic_split(
         _t(spark, sf_dir, "documents"), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+@query(
+    "curate_mix_weighted",
+    f"""
+    SELECT doc_id, source
+    FROM (SELECT doc_id, source,
+                 {_DUCK_HASH64.format(s="source || ':' || CAST(doc_id AS VARCHAR)")}
+                   % 10000 AS slot
+          FROM documents)
+    WHERE slot < CASE source
+                   WHEN 'src0' THEN 10000
+                   WHEN 'src1' THEN 5000
+                   WHEN 'src2' THEN 2500
+                   ELSE 1000 END
+    ORDER BY doc_id
+    """,
+)
+def curate_mix_weighted(spark, sf_dir):
+    """Dataset-mixing by per-source sampling rates (keep all of src0, half
+    of src1, a quarter of src2, 10% of the rest) — deterministic hash
+    sampling, so the mixture is reproducible across engines and reruns."""
+    from lance_spark.operators.curation import weighted_mixture
+
+    return (
+        weighted_mixture(
+            _t(spark, sf_dir, "documents"),
+            "doc_id", "source",
+            {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+            default_rate=0.1,
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "curate_global_shuffle",
+    """
+    SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS skey
+    FROM documents
+    ORDER BY skey
+    LIMIT 100
+    """,
+)
+def curate_global_shuffle(spark, sf_dir):
+    """Deterministic global shuffle (seeded md5 total order) — first 100
+    rows of the shuffled corpus with their sort keys. The full operator is
+    a range-partitioned distributed sort; the oracle pins the permutation."""
+    from lance_spark.operators.curation import global_shuffle
+
+    df = global_shuffle(_t(spark, sf_dir, "documents"), "doc_id", seed=7)
+    return (
+        df.select(
+            "doc_id",
+            F.md5(F.concat_ws(":", F.lit("7"), F.col("doc_id").cast("string"))).alias("skey"),
+        )
+        .limit(100)
     )
 
 

@@ -1,0 +1,173 @@
+"""Top-level API parity with the reference's ``lance`` namespace
+(python/python/lance/__init__.py __all__): every name a reference user
+imports resolves here, and the scanner object carries the reference's
+materialization surface while remaining a genuine Spark DataFrame.
+"""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+import lance_spark as ls
+
+
+@pytest.fixture(scope="module")
+def ds(spark, sf_dir, tmp_path_factory):
+    uri = str(tmp_path_factory.mktemp("parity")) + "/orders"
+    df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    ls.write_dataset(df.repartition(4), uri, mode="create")
+    return ls.dataset(uri)
+
+
+def test_reference_all_names_resolve():
+    ref_all = [
+        "BlobColumn", "BlobFile", "DatasetBasePath", "DataStatistics",
+        "FieldStatistics", "FragmentMetadata", "Index", "LanceDataset",
+        "LanceFragment", "LanceOperation", "LanceScanner",
+        "MergeInsertBuilder", "Transaction", "batch_udf", "dataset",
+        "json_to_schema", "schema_to_json", "write_dataset",
+    ]
+    missing = [n for n in ref_all if not hasattr(ls, n)]
+    assert not missing, missing
+
+
+def test_scanner_is_dataframe_and_has_arrow_surface(spark, ds):
+    from pyspark.sql import DataFrame
+
+    sc = ds.scanner(spark, columns=["o_orderkey", "o_totalprice"],
+                    filter="o_totalprice > 1000")
+    assert isinstance(sc, DataFrame)
+    assert isinstance(sc, ls.LanceScanner)
+    t = sc.to_table()
+    assert isinstance(t, pa.Table)
+    assert t.column_names == ["o_orderkey", "o_totalprice"]
+    assert sc.count_rows() == t.num_rows > 0
+    # DataFrame ops still work and return plain DataFrames
+    assert sc.select("o_orderkey").count() == t.num_rows
+    # batches / reader round-trip the same rows
+    n = sum(b.num_rows for b in sc.to_batches(batch_size=512))
+    assert n == t.num_rows
+    rdr = sc.to_reader()
+    assert rdr.read_all().num_rows == t.num_rows
+
+
+def test_scanner_schemas_and_plan(spark, ds):
+    sc = ds.scanner(spark, columns=["o_orderkey"])
+    assert sc.projected_schema.names == ["o_orderkey"]
+    assert "o_orderkey" in [f.name for f in sc.dataset_schema.fields]
+    plan = sc.explain_plan()
+    assert "Scan" in plan or "Physical Plan" in plan
+
+
+def test_search_scanner_is_wrapped(spark, sf_dir, tmp_path):
+    uri = str(tmp_path / "docs")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ls.write_dataset(docs.repartition(2), uri, mode="create")
+    ds2 = ls.dataset(uri)
+    sc = ds2.scanner(spark, full_text_query="table scan", limit=5)
+    assert isinstance(sc, ls.LanceScanner)
+    assert sc.to_table().num_rows <= 5
+
+
+def test_transaction_commit(spark, ds):
+    v0 = ds.version
+    txn = ls.Transaction(
+        read_version=v0,
+        operation=ls.LanceOperation.Append(fragments=[]),
+        transaction_properties={"who": "parity-test"},
+    )
+    ds2 = ls.commit(ds.uri, txn)
+    assert ds2.version == v0 + 1
+    assert ds2.count_rows() == ds.count_rows()
+
+
+def test_fragment_metadata_alias(ds):
+    frag = ds.manifest.fragments[0]
+    assert isinstance(frag, ls.FragmentMetadata)
+    assert frag.num_deletions == 0
+    assert frag.num_rows == frag.physical_rows
+
+
+def test_data_statistics_typed(ds):
+    stats = ds.data_statistics(columns=["o_orderkey", "o_totalprice"])
+    assert isinstance(stats, ls.DataStatistics)
+    names = {f.id for f in stats.fields}
+    assert len(stats.fields) == 2 and all(f.bytes_on_disk > 0 for f in stats.fields)
+    assert names == {ds.columns.index("o_orderkey"), ds.columns.index("o_totalprice")}
+
+
+def test_list_indices_objects(spark, ds):
+    from lance_spark.indexes.scalar import create_scalar_index
+
+    ds2 = create_scalar_index(ds, spark, "o_orderkey", kind="BTREE")
+    objs = ds2.list_indices(as_objects=True)
+    assert objs and isinstance(objs[0], ls.Index)
+    assert objs[0].fields == ["o_orderkey"]
+    assert objs[0].fragment_ids == {f.id for f in ds2.manifest.fragments}
+
+
+def test_blob_column_iterates_file_likes():
+    col = ls.BlobColumn(pa.chunked_array([pa.array([b"alpha", b"beta"])]))
+    vals = [f.read() for f in col]
+    assert vals == [b"alpha", b"beta"]
+    with pytest.raises(ValueError):
+        ls.BlobColumn(pa.array([1, 2]))
+
+
+def test_storage_options_provider_called_at_open(ds):
+    from lance_spark.io import StorageOptionsProvider
+
+    calls = []
+
+    class Prov(StorageOptionsProvider):
+        def fetch_storage_options(self):
+            calls.append(1)
+            return {"aws_session_token": "tmp", "region": "us-east-1"}
+
+    d2 = ls.dataset(ds.uri, storage_options_provider=Prov())
+    assert calls == [1], "provider must be queried at open (refresh point)"
+    assert d2.storage_options["region"] == "us-east-1"
+    # explicit options override fetched ones
+    d3 = ls.dataset(ds.uri, storage_options_provider=Prov(),
+                    storage_options={"region": "eu-west-1"})
+    assert d3.storage_options["region"] == "eu-west-1"
+    assert ls.dataset(ds.uri).storage_options == {}
+
+
+def test_namespace_storage_options_provider(ds, tmp_path):
+    from lance_spark.namespace import (
+        DirectoryNamespace,
+        LanceNamespaceStorageOptionsProvider,
+    )
+
+    ns = DirectoryNamespace(str(tmp_path / "ns"))
+    ns.register_table(["orders"], ds.uri)
+    prov = LanceNamespaceStorageOptionsProvider(ns, ["orders"])
+    opts = prov.fetch_storage_options()
+    assert opts["location"] == ds.uri
+    d2 = ls.dataset(ds.uri, storage_options_provider=prov)
+    assert d2.storage_options["location"] == ds.uri
+
+
+def test_unimplemented_pyarrow_interface_stubs(ds):
+    for call in (lambda: ds.join(None, "k"), ds.partition_expression,
+                 lambda: ds.replace_schema(None)):
+        with pytest.raises(NotImplementedError):
+            call()
+    assert ds.migrate_manifest_paths_v2() is None
+    assert ds.latest_version() >= ds.version
+
+
+def test_scan_stats_callback(spark, ds):
+    got = []
+    sc = ds.scanner(spark, columns=["o_orderkey"], scan_stats_callback=got.append)
+    n = sc.count_rows()
+    assert n > 0 and len(got) == 1
+    st = got[0]
+    assert isinstance(st, ls.ScanStatistics)
+    assert st.parts_loaded > 0, st.all_counts
+    assert st.bytes_read > 0, st.all_counts
+    # scan_stats() one-shot helper
+    st2 = ds.scanner(spark, columns=["o_orderkey"]).scan_stats()
+    assert st2.parts_loaded == st.parts_loaded

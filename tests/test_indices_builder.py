@@ -1,0 +1,102 @@
+"""Staged distributed index building (reference lance.indices.IndicesBuilder,
+python/python/lance/indices/builder.py): train → assign/transform → shuffle →
+load must commit an index equivalent to the monolithic create_index path —
+same manifest registration, same search behavior through ds.nearest."""
+
+import numpy as np
+import pytest
+
+from lance_spark.indices import IndicesBuilder, IvfModel, PqModel
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture()
+def ds(spark, emb, tmp_path):
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "ds")
+    write_dataset(emb.repartition(4), uri, mode="create")
+    return dataset(uri)
+
+
+def _query_vec(emb, vec_id):
+    row = emb.where(f"vec_id = {vec_id}").first()
+    return [float(x) for x in row["embedding"]]
+
+
+def test_models_save_load_roundtrip(tmp_path):
+    ivf = IvfModel(np.random.default_rng(0).standard_normal((8, 16)), "cosine")
+    ivf.save(str(tmp_path / "ivf"))
+    back = IvfModel.load(str(tmp_path / "ivf"))
+    assert back.distance_type == "cosine" and back.num_partitions == 8
+    np.testing.assert_allclose(back.centroids, ivf.centroids, rtol=1e-6)
+
+    pq = PqModel(4, np.random.default_rng(1).standard_normal((4, 256, 4)))
+    pq.save(str(tmp_path / "pq"))
+    back = PqModel.load(str(tmp_path / "pq"))
+    assert back.num_subvectors == 4 and back.dimension == 16
+    np.testing.assert_allclose(back.codebook, pq.codebook, rtol=1e-6)
+
+
+def test_staged_build_end_to_end(spark, ds, emb, tmp_path):
+    b = IndicesBuilder(ds, "embedding", spark)
+    ivf = b.train_ivf(8, distance_type="l2", sample_rate=64)
+    assert ivf.num_partitions == 8
+    pq = b.train_pq(ivf, num_subvectors=8, sample_rate=16)
+    assert pq.dimension == ivf.centroids.shape[1]
+
+    work = str(tmp_path / "work")
+    unsorted = b.transform_vectors(ivf, pq, work + "/unsorted")
+    files = b.shuffle_transformed_vectors(["unsorted"], work, ivf)
+    assert files and all(f.startswith("sorted") for f in files)
+    ds2 = b.load_shuffled_vectors(files, work, ivf, pq, index_name="emb_idx")
+
+    metas = ds2.list_indices()
+    assert metas and metas[0]["name"] == "emb_idx"
+    assert metas[0]["index_type"] == "IVF_PQ"
+
+    # staged index answers nearest like the monolithic one: exact row first
+    q = _query_vec(emb, 7)
+    res = ds2.nearest(
+        spark, "embedding", q, k=5, nprobes=8, refine_factor=8
+    ).collect()
+    assert res[0]["vec_id"] == 7
+    assert res[0]["_distance"] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_precomputed_partition_assignment(spark, ds, tmp_path):
+    b = IndicesBuilder(ds, "embedding", spark)
+    ivf = b.train_ivf(4, distance_type="l2", sample_rate=64)
+    pq = b.train_pq(ivf, num_subvectors=4, sample_rate=16)
+
+    parts_uri = b.assign_ivf_partitions(ivf, output_uri=str(tmp_path / "parts"))
+    direct = b.transform_vectors(ivf, pq, str(tmp_path / "direct"))
+    via_pre = b.transform_vectors(
+        ivf, pq, str(tmp_path / "via_pre"), partition_ds_uri=parts_uri
+    )
+    a = {
+        r["id"]: (r["partition_id"], tuple(r["pq_code"]))
+        for r in spark.read.parquet(direct).collect()
+    }
+    c = {
+        r["id"]: (r["partition_id"], tuple(r["pq_code"]))
+        for r in spark.read.parquet(via_pre).collect()
+    }
+    assert a == c
+
+
+def test_train_ivf_defaults_and_errors(spark, ds):
+    b = IndicesBuilder(ds, "embedding", spark)
+    with pytest.raises(ValueError):
+        b.train_ivf(4, distance_type="manhattan")
+    with pytest.raises(ValueError):
+        b.shuffle_transformed_vectors("not-a-list", "/tmp", None)
+    # default num_partitions ≈ sqrt(n)
+    n = ds.count_rows()
+    ivf = b.train_ivf(sample_rate=2)
+    assert ivf.num_partitions == max(1, int(round(np.sqrt(n))))

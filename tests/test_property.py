@@ -145,10 +145,14 @@ def test_stemmer_mirrors_lockstep(spark, words):
         stem_token_de,
         stem_token_es,
         stem_token_fr,
+        stem_token_it,
+        stem_token_pt,
         stem_word,
         stem_word_de,
         stem_word_es,
         stem_word_fr,
+        stem_word_it,
+        stem_word_pt,
     )
 
     df = spark.createDataFrame([(w,) for w in words], ["w"])
@@ -159,6 +163,8 @@ def test_stemmer_mirrors_lockstep(spark, words):
         stem_token_de(folded).alias("de"),
         stem_token_fr(ascii_fold(F.col("w"))).alias("fr"),
         stem_token_es(ascii_fold(F.col("w"))).alias("es"),
+        stem_token_it(ascii_fold(F.col("w"))).alias("it"),
+        stem_token_pt(ascii_fold(F.col("w"))).alias("pt"),
     ).collect()
     for r in got:
         w = r["w"]
@@ -166,3 +172,5 @@ def test_stemmer_mirrors_lockstep(spark, words):
         assert r["de"] == stem_word_de(w.replace("ß", "ss").translate(_FOLD_TABLE)), f"de diverges on {w!r}"
         assert r["fr"] == stem_word_fr(w.translate(_FOLD_TABLE)), f"fr diverges on {w!r}"
         assert r["es"] == stem_word_es(w.translate(_FOLD_TABLE)), f"es diverges on {w!r}"
+        assert r["it"] == stem_word_it(w.translate(_FOLD_TABLE)), f"it diverges on {w!r}"
+        assert r["pt"] == stem_word_pt(w.translate(_FOLD_TABLE)), f"pt diverges on {w!r}"
