@@ -112,6 +112,13 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # loadavg BEFORE any work: the end-of-run value mostly reflects bench's
+    # own 32-core burst; the start value shows pre-existing contention (the
+    # signal that separates a real regression from a noisy box).
+    try:
+        load1_start, load5_start, _ = os.getloadavg()
+    except OSError:
+        load1_start = load5_start = -1.0
 
     from lance_spark.session import get_spark
     from lance_spark import suite
@@ -173,6 +180,8 @@ def main():
                 "repeats": repeats,
                 "loadavg_1m": round(load1, 2),
                 "loadavg_5m": round(load5, 2),
+                "loadavg_1m_start": round(load1_start, 2),
+                "loadavg_5m_start": round(load5_start, 2),
             }
         )
     )

@@ -80,6 +80,83 @@ def dataset_batch_writer(uri: str, query_key: str = "default"):
     return write_batch
 
 
+def dataset_upsert_writer(uri: str, on: str | list[str], query_key: str = "upsert"):
+    """foreachBatch callback: micro-batch MERGE (upsert) into the dataset —
+    the streaming-CDC ingest pattern (a change feed keyed on ``on`` becomes
+    a continuously-updated table).
+
+    Each batch is key-deduplicated then routed through
+    ``merge_insert(on).when_matched_update_all().when_not_matched_insert_all()``;
+    the data work runs uncommitted and the commit both applies the typed
+    Update operation and records the batch id in dataset config — ONE
+    atomic version per batch, so a replayed micro-batch (checkpoint
+    recovery) sees its id already committed and becomes a no-op instead of
+    a double-merge. Single upsert stream per dataset (the reference's
+    single-writer MERGE assumption); concurrent appends rebase fine.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from lance_spark.dataset import LanceDataset
+        from lance_spark.mutation import MergeInsertBuilder
+        from lance_spark.operation import _apply
+
+        spark = batch_df.sparkSession
+        state_key = f"stream_state.{query_key}"
+        keys = [on] if isinstance(on, str) else list(on)
+        batch = batch_df.dropDuplicates(keys)
+
+        latest = mf.latest_version(uri)
+        if latest is None:
+            # bootstrap: first batch creates the dataset (marker included)
+            os.makedirs(uri, exist_ok=True)
+            frags = write_fragments(batch, uri, 0)
+
+            def build_create(b: mf.Manifest | None, version: int) -> mf.Manifest:
+                if b is not None:
+                    raise mf.CommitConflictError("dataset appeared concurrently")
+                return mf.Manifest(
+                    version=version,
+                    schema_json=batch.schema.jsonValue(),
+                    fragments=frags,
+                    max_fragment_id=max((f.id for f in frags), default=-1),
+                    operation="create",
+                    config={state_key: batch_id},
+                )
+
+            try:
+                mf.commit(uri, build_create, operation="create")
+                return
+            except mf.CommitConflictError:
+                pass  # someone else created it — fall through to merge
+
+        ds = LanceDataset(uri)
+        if int(ds.manifest.config.get(state_key, -1)) >= batch_id:
+            return  # replayed batch — already committed
+        res = (
+            MergeInsertBuilder(ds, on)
+            .when_matched_update_all()
+            .when_not_matched_insert_all()
+            .execute_uncommitted(spark, batch)
+        )
+        op = res["transaction"]
+
+        def build(b: mf.Manifest | None, version: int) -> mf.Manifest:
+            if b is not None and int(b.config.get(state_key, -1)) >= batch_id:
+                raise mf.CommitConflictError("batch already committed")
+            m = _apply(op, b, version)
+            m.config = {**m.config, state_key: batch_id}
+            return m
+
+        try:
+            mf.commit(uri, build, operation="update")
+        except mf.CommitConflictError:
+            pass  # a replay of this same batch won the race
+
+    return write_batch
+
+
 def write_stream(
     sdf: DataFrame,
     uri: str,
@@ -87,11 +164,22 @@ def write_stream(
     query_key: str = "default",
     trigger_available_now: bool = False,
     processing_time: str | None = None,
+    mode: str = "append",
+    on: str | list[str] | None = None,
 ):
     """readStream → ... → write_stream(df, dataset_uri, ckpt): start the
-    streaming append into the dataset."""
+    streaming write into the dataset. ``mode="append"`` adds fragments;
+    ``mode="upsert"`` merges each micro-batch on key ``on`` (CDC ingest)."""
+    if mode == "upsert":
+        if not on:
+            raise ValueError("mode='upsert' requires the merge key(s) in `on`")
+        writer = dataset_upsert_writer(uri, on, query_key)
+    elif mode == "append":
+        writer = dataset_batch_writer(uri, query_key)
+    else:
+        raise ValueError(f"unknown stream write mode {mode!r}")
     w = (
-        sdf.writeStream.foreachBatch(dataset_batch_writer(uri, query_key))
+        sdf.writeStream.foreachBatch(writer)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

@@ -172,3 +172,68 @@ def test_streaming_dedup_drops_replays(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3
     assert {r["event_id"] for r in got.collect()} == {1, 2, 3}
+
+
+def test_stream_upsert_merges_batches(spark, sf_dir, tmp_path):
+    """mode='upsert': a keyed change feed becomes a continuously-updated
+    table — later batches overwrite matching keys, insert new ones, and a
+    checkpoint replay does not double-apply."""
+    from lance_spark.dataset import dataset
+    from lance_spark.streaming.sink import write_stream
+
+    src = str(tmp_path / "in")
+    # batch files processed one per trigger in name order is not guaranteed,
+    # so make the upsert outcome order-independent: every file carries
+    # DISTINCT keys except key 1, whose value is the same in both files
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(1, "a"), (3, "c")], "k int, v string"
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    uri = str(tmp_path / "ds")
+    sdf = (
+        spark.readStream.schema("k int, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = write_stream(
+        sdf, uri, str(tmp_path / "ckpt"), mode="upsert", on="k",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    ds = dataset(uri)
+    rows = {r["k"]: r["v"] for r in ds.to_df(spark).collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}
+    assert ds.count_rows() == 3  # key 1 merged, not duplicated
+
+    # replay from the same checkpoint: nothing new → no extra versions/rows
+    v_before = ds.version
+    q2 = write_stream(
+        sdf, uri, str(tmp_path / "ckpt"), mode="upsert", on="k",
+        trigger_available_now=True,
+    )
+    q2.awaitTermination(120)
+    ds2 = dataset(uri)
+    assert ds2.count_rows() == 3 and ds2.version == v_before
+
+
+def test_stream_upsert_updates_values(spark, tmp_path):
+    """Explicit two-phase upsert through the foreachBatch callback: the
+    second batch's value for an existing key wins."""
+    from lance_spark.dataset import dataset
+    from lance_spark.streaming.sink import dataset_upsert_writer
+
+    uri = str(tmp_path / "ds")
+    w = dataset_upsert_writer(uri, "k", query_key="t")
+    w(spark.createDataFrame([(1, "old"), (2, "keep")], "k int, v string"), 0)
+    w(spark.createDataFrame([(1, "new"), (3, "ins")], "k int, v string"), 1)
+    rows = {r["k"]: r["v"] for r in dataset(uri).to_df(spark).collect()}
+    assert rows == {1: "new", 2: "keep", 3: "ins"}
+    # replaying batch 1 is a no-op
+    v = dataset(uri).version
+    w(spark.createDataFrame([(1, "zzz")], "k int, v string"), 1)
+    assert dataset(uri).version == v
+    assert {r["k"]: r["v"] for r in dataset(uri).to_df(spark).collect()}[1] == "new"
