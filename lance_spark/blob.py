@@ -172,4 +172,9 @@ class BlobColumn:
         self.blob_column = blob_column
 
     def __iter__(self):
-        return (io.BytesIO(v.as_py()) for v in self.blob_column)
+        # null cells yield None (not a crash mid-iteration): arrow binary
+        # columns routinely carry nulls and callers can filter them
+        return (
+            None if not v.is_valid else io.BytesIO(v.as_py())
+            for v in self.blob_column
+        )

@@ -78,14 +78,27 @@ class LanceDataset:
         # Credential seam (reference dataset.py:413-480): a provider is
         # queried at open — the refresh point for time-limited object-store
         # credentials. The local-fs backend consumes no options; they are
-        # resolved, kept, and carried to derived handles so an object-store
-        # filesystem layer can plug in (see lance_spark.io).
+        # resolved, kept, and carried to checkout/restore-derived handles
+        # (handles returned by module-level mutations re-open plain) so an
+        # object-store filesystem layer can plug in (see lance_spark.io).
+        self._explicit_storage_options = dict(storage_options or {})
         if storage_options_provider is not None:
             fetched = storage_options_provider.fetch_storage_options()
             storage_options = {**fetched, **(storage_options or {})}
         self.storage_options = storage_options or {}
         self._storage_options_provider = storage_options_provider
         self.manifest = mf.read_manifest(self.uri, version)
+
+    def _derived(self, version: int | None = None) -> "LanceDataset":
+        """Re-open at ``version`` keeping the credential seam: the provider
+        is re-queried (its refresh point beats stale cached credentials)
+        and only the user's EXPLICIT options carry as overrides."""
+        return LanceDataset(
+            self.uri,
+            version=version,
+            storage_options=self._explicit_storage_options or None,
+            storage_options_provider=self._storage_options_provider,
+        )
 
     # ------------------------------------------------------------ metadata
 
@@ -135,12 +148,13 @@ class LanceDataset:
         return out
 
     def checkout_version(self, version: int) -> "LanceDataset":
-        return LanceDataset(self.uri, version=version)
+        return self._derived(version=version)
 
     def latest_version(self) -> int:
         """Latest committed version number (reference dataset.py:2117) —
         O(1) directory listing, independent of the checked-out version."""
-        return max(mf.list_versions(self.uri))
+        lv = mf.latest_version(self.uri)
+        return self.manifest.version if lv is None else lv
 
     # -- pyarrow-dataset-interface stubs the reference also raises on
     # (reference dataset.py:1080-1096; kept so call sites port verbatim)
@@ -191,7 +205,7 @@ class LanceDataset:
             return mf.Manifest.evolve(snap, version, operation="restore")
 
         mf.commit(self.uri, build, operation="restore")
-        return LanceDataset(self.uri)
+        return self._derived()
 
     # tags + branches (dataset.py:539-645; refs.rs). A branch is a named,
     # movable ref like a tag; checkout via dataset(uri, branch=...).

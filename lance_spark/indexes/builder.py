@@ -42,7 +42,9 @@ from lance_spark.indexes.vector import (
     IvfIndex,
     _as_matrix,
     _normalize,
+    compute_partition_radii,
     train_kmeans,
+    train_pq_codebooks,
 )
 
 _DISTANCE_TYPES = ("l2", "cosine", "dot")
@@ -173,25 +175,10 @@ class IndicesBuilder:
                 )
         if dim % num_subvectors:
             raise ValueError(f"dim {dim} not divisible by num_subvectors {num_subvectors}")
-        sub = dim // num_subvectors
         num_rows = self.dataset.count_rows()
         sample = self._sample(min(num_rows, sample_rate * 256), ivf_model.distance_type)
-        cf = ivf_model.centroids.astype(np.float64)
-        # GEMM assignment (no (n, k, dim) broadcast temporary)
-        d2 = (
-            (sample * sample).sum(axis=1, keepdims=True)
-            - 2.0 * (sample @ cf.T)
-            + (cf * cf).sum(axis=1)
-        )
-        resid = sample - cf[d2.argmin(axis=1)]
-        codebook = np.stack(
-            [
-                train_kmeans(
-                    resid[:, j * sub : (j + 1) * sub], 256,
-                    iters=min(max_iters, 8), seed=42 + j,
-                )
-                for j in range(num_subvectors)
-            ]
+        codebook = train_pq_codebooks(
+            sample, ivf_model.centroids, num_subvectors, iters=min(max_iters, 8)
         )
         return PqModel(num_subvectors, codebook)
 
@@ -205,6 +192,10 @@ class IndicesBuilder:
         cent_b = self.spark.sparkContext.broadcast(ivf.centroids)
         cb_b = self.spark.sparkContext.broadcast(pq.codebook if pq else None)
 
+        # Deliberately a PQ/FLAT-only subset of build_ivf's assign_encode
+        # (vector.py): the staged API stages IVF_FLAT/IVF_PQ builds — the
+        # RQ/SQ variants exist only on the monolithic path, and their code
+        # columns (rq_norm/rq_corr) are likewise absent here by design.
         @pandas_udf("struct<partition_id:int, pq_code:array<smallint>>")
         def enc(s: pd.Series) -> pd.DataFrame:
             cents = cent_b.value.astype(np.float32)
@@ -235,11 +226,13 @@ class IndicesBuilder:
         df = self.dataset.scanner(
             self.spark, columns=[self.column], with_row_id=True, fragments=fids
         )
-        return df.select(
+        out = df.select(
             F.col(ROWID_COL).alias("id"),
             F.col(self.column).cast("array<float>").alias("vec"),
             enc(F.col(self.column)).alias("e"),
         ).select("id", "vec", "e.partition_id", "e.pq_code")
+        covered = fids if fids is not None else [f.id for f in self.dataset.manifest.fragments]
+        return out, covered
 
     def assign_ivf_partitions(
         self, ivf_model: IvfModel, *, output_uri: str
@@ -248,12 +241,8 @@ class IndicesBuilder:
         (reference builder.py:206 writes a precomputed-partitions dataset).
         Feed the returned uri to ``transform_vectors(partition_ds_uri=)``
         to skip re-assignment."""
-        (
-            self._transform_df(ivf_model, None)
-            .select("id", "partition_id")
-            .write.mode("overwrite")
-            .parquet(output_uri)
-        )
+        out, _ = self._transform_df(ivf_model, None)
+        out.select("id", "partition_id").write.mode("overwrite").parquet(output_uri)
         return output_uri
 
     def transform_vectors(
@@ -267,19 +256,27 @@ class IndicesBuilder:
         """One distributed pass producing the UNSORTED transform output
         (id, vec, partition_id, pq_code) as parquet (reference
         builder.py:261). ``fragments`` restricts the pass (restartable
-        chunking at scale); ``partition_ds_uri`` joins precomputed
-        assignments instead of recomputing them."""
-        out = self._transform_df(ivf, pq, fragments)
+        chunking at scale); ``partition_ds_uri`` left-joins precomputed
+        assignments — rows the precompute missed (appended since) keep
+        their freshly-computed partition instead of being dropped.
+
+        The fragment ids this pass covered are recorded in a
+        ``_coverage.json`` sidecar (underscore prefix → invisible to
+        parquet readers); shuffle/load union these so the committed
+        IndexMeta claims exactly the transformed fragments."""
+        out, covered = self._transform_df(ivf, pq, fragments)
         if partition_ds_uri is not None:
             pre = self.spark.read.parquet(partition_ds_uri).select(
                 "id", F.col("partition_id").alias("pre_pid")
             )
             out = (
-                out.drop("partition_id")
-                .join(pre, "id")
-                .withColumnRenamed("pre_pid", "partition_id")
+                out.join(pre, "id", "left")
+                .withColumn("partition_id", F.coalesce("pre_pid", "partition_id"))
+                .drop("pre_pid")
             )
         out.write.mode("overwrite").parquet(dest_uri)
+        with open(os.path.join(dest_uri, "_coverage.json"), "w") as fh:
+            json.dump({"fragment_ids": covered}, fh)
         return dest_uri
 
     def shuffle_transformed_vectors(
@@ -307,6 +304,14 @@ class IndicesBuilder:
             .partitionBy("partition_id")
             .parquet(out_dir)
         )
+        covered: set[int] = set()
+        for s in src:
+            cov = os.path.join(s, "_coverage.json")
+            if os.path.exists(cov):
+                with open(cov) as fh:
+                    covered.update(json.load(fh)["fragment_ids"])
+        with open(os.path.join(out_dir, "_coverage.json"), "w") as fh:
+            json.dump({"fragment_ids": sorted(covered)}, fh)
         return sorted(
             os.path.join(shuffle_output_root_filename, d)
             for d in os.listdir(out_dir)
@@ -341,32 +346,26 @@ class IndicesBuilder:
             shutil.rmtree(uri)
         os.makedirs(uri, exist_ok=True)
         os.makedirs(codes_dir, exist_ok=True)
-        # move the sorted partition directories into the index layout
+        # move the sorted partition directories into the index layout;
+        # coverage sidecars written by transform/shuffle name the fragments
+        # this index actually indexed (a subset-transform leaves the rest
+        # on the flat-search tail, not silently unsearchable)
+        covered: list[int] | None = None
         for f in filenames:
             src = f if os.path.isabs(f) else os.path.join(dir_path, f)
+            cov = os.path.join(os.path.dirname(src), "_coverage.json")
+            if covered is None and os.path.exists(cov):
+                with open(cov) as fh:
+                    ids = json.load(fh)["fragment_ids"]
+                if ids:
+                    covered = sorted(ids)
             shutil.move(src, os.path.join(codes_dir, os.path.basename(src)))
+        if covered is None:
+            covered = [f.id for f in ds.manifest.fragments]
 
-        cosine = ivf.distance_type == "cosine"
-        cent_b = self.spark.sparkContext.broadcast(ivf.centroids)
-
-        @pandas_udf("double")
-        def _resid_norm(s: pd.Series, pid: pd.Series) -> pd.Series:
-            x = _as_matrix(s).astype(np.float64)
-            if cosine:
-                x = _normalize(x)
-            c = cent_b.value.astype(np.float64)[pid.to_numpy()]
-            return pd.Series(np.sqrt(((x - c) ** 2).sum(axis=1)))
-
-        radii_rows = (
-            self.spark.read.parquet(codes_dir)
-            .select("partition_id", _resid_norm("vec", "partition_id").alias("r"))
-            .groupBy("partition_id")
-            .agg(F.max("r").alias("radius"))
-            .collect()
+        radii = compute_partition_radii(
+            self.spark, codes_dir, ivf.centroids, ivf.distance_type == "cosine"
         )
-        radii = np.zeros(ivf.num_partitions, dtype=np.float64)
-        for r in radii_rows:
-            radii[int(r["partition_id"])] = float(r["radius"])
         np.save(os.path.join(uri, "radii.npy"), radii)
         np.save(os.path.join(uri, "centroids.npy"), ivf.centroids)
         if pq is not None:
@@ -384,7 +383,6 @@ class IndicesBuilder:
                 },
                 fh,
             )
-        covered = [f.id for f in ds.manifest.fragments]
         params = {
             "metric": ivf.distance_type,
             "num_partitions": int(ivf.num_partitions),

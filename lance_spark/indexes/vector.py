@@ -106,6 +106,63 @@ class IvfIndex:
         return self.meta["index_type"]
 
 
+def train_pq_codebooks(
+    sample: np.ndarray, centroids: np.ndarray, num_subvectors: int,
+    seed: int = 42, iters: int = 8,
+) -> np.ndarray:
+    """Residual-PQ codebooks (vector/residual.rs): GEMM-assign each sample
+    to its centroid, then per-subvector 256-way kmeans on the residuals.
+    Shared by the monolithic build (build_ivf) and the staged
+    IndicesBuilder so the two build paths cannot drift numerically."""
+    dim = centroids.shape[1]
+    sub = dim // num_subvectors
+    cf = centroids.astype(np.float64)
+    # GEMM assignment — the (n, k, dim) broadcast temporary of the naive
+    # form is O(sample·k·dim) memory (6+ GB at 50k sample × 256 parts)
+    d2 = (
+        (sample * sample).sum(axis=1, keepdims=True)
+        - 2.0 * (sample @ cf.T)
+        + (cf * cf).sum(axis=1)
+    )
+    resid = sample - cf[d2.argmin(axis=1)]
+    return np.stack(
+        [
+            train_kmeans(resid[:, j * sub : (j + 1) * sub], 256, iters=iters, seed=seed + j)
+            for j in range(num_subvectors)
+        ]
+    )  # (m, 256, sub)
+
+
+def compute_partition_radii(
+    spark: SparkSession, codes_dir: str, centroids: np.ndarray, cosine: bool
+) -> np.ndarray:
+    """Per-partition covering radius max‖x − c_p‖ over a codes table —
+    enables triangle-inequality partition pruning for distance_range
+    (lower bound ‖q−c‖ − r_p). One distributed aggregation; shared by both
+    index-build paths."""
+    cent_b = spark.sparkContext.broadcast(centroids)
+
+    @pandas_udf("double")
+    def _resid_norm(s: pd.Series, pid: pd.Series) -> pd.Series:
+        x = _as_matrix(s).astype(np.float64)
+        if cosine:
+            x = _normalize(x)
+        c = cent_b.value.astype(np.float64)[pid.to_numpy()]
+        return pd.Series(np.sqrt(((x - c) ** 2).sum(axis=1)))
+
+    radii_rows = (
+        spark.read.parquet(codes_dir)
+        .select(F.col("partition_id"), _resid_norm("vec", "partition_id").alias("r"))
+        .groupBy("partition_id")
+        .agg(F.max("r").alias("radius"))
+        .collect()
+    )
+    radii = np.zeros(centroids.shape[0], dtype=np.float64)
+    for r in radii_rows:
+        radii[int(r["partition_id"])] = float(r["radius"])
+    return radii
+
+
 def build_ivf(
     df: DataFrame,
     vec_col: str,
@@ -166,23 +223,8 @@ def build_ivf(
     if index_type in ("IVF_PQ", "IVF_HNSW_PQ"):
         m = num_sub_vectors
         assert dim % m == 0, f"dim {dim} not divisible by num_sub_vectors {m}"
-        sub = dim // m
-        # residual PQ (vector/residual.rs): codebooks trained on (vec - centroid).
-        # GEMM assignment — the (n, k, dim) broadcast temporary of the naive
-        # form is O(sample·k·dim) memory (6+ GB at 50k sample × 256 parts)
-        cf = centroids.astype(np.float64)
-        d2 = (
-            (sample * sample).sum(axis=1, keepdims=True)
-            - 2.0 * (sample @ cf.T)
-            + (cf * cf).sum(axis=1)
-        )
-        resid = sample - cf[d2.argmin(axis=1)]
-        codebooks = np.stack(
-            [
-                train_kmeans(resid[:, j * sub : (j + 1) * sub], 256, iters=8, seed=seed + j)
-                for j in range(m)
-            ]
-        )  # (m, 256, sub)
+        # residual PQ (vector/residual.rs): codebooks trained on (vec - centroid)
+        codebooks = train_pq_codebooks(sample, centroids, m, seed=seed)
 
     # --- distributed assign + encode ---------------------------------------
     cent_b = spark.sparkContext.broadcast(centroids)
@@ -259,26 +301,7 @@ def build_ivf(
         .partitionBy("partition_id")
         .parquet(os.path.join(uri, "codes"))
     )
-    # per-partition covering radius max‖x − c_p‖: enables triangle-inequality
-    # partition pruning for distance_range (lower bound ‖q−c‖ − r_p)
-    @pandas_udf("double")
-    def _resid_norm(s: pd.Series, pid: pd.Series) -> pd.Series:
-        x = _as_matrix(s).astype(np.float64)
-        if cosine:
-            x = _normalize(x)
-        c = cent_b.value.astype(np.float64)[pid.to_numpy()]
-        return pd.Series(np.sqrt(((x - c) ** 2).sum(axis=1)))
-
-    radii_rows = (
-        spark.read.parquet(os.path.join(uri, "codes"))
-        .select(F.col("partition_id"), _resid_norm("vec", "partition_id").alias("r"))
-        .groupBy("partition_id")
-        .agg(F.max("r").alias("radius"))
-        .collect()
-    )
-    radii = np.zeros(k, dtype=np.float64)
-    for r in radii_rows:
-        radii[int(r["partition_id"])] = float(r["radius"])
+    radii = compute_partition_radii(spark, os.path.join(uri, "codes"), centroids, cosine)
     np.save(os.path.join(uri, "radii.npy"), radii)
     np.save(os.path.join(uri, "centroids.npy"), centroids)
     if codebooks is not None:

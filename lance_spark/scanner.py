@@ -57,6 +57,10 @@ def _executed_plan_metrics(df: DataFrame) -> dict:
     except Exception:
         return out
     seen = 0
+    # SQLMetrics are accumulators shared by reused exchanges / query-stage
+    # wrappers; dedup by accumulator id so a metric reachable through two
+    # plan paths is counted once.
+    seen_acc: set[int] = set()
     while stack and seen < 10_000:
         node = stack.pop()
         seen += 1
@@ -65,6 +69,13 @@ def _executed_plan_metrics(df: DataFrame) -> dict:
             while it.hasNext():
                 kv = it.next()
                 metric = kv._2()
+                try:
+                    acc_id = int(metric.id())
+                    if acc_id in seen_acc:
+                        continue
+                    seen_acc.add(acc_id)
+                except Exception:
+                    pass
                 try:
                     nm = metric.name()
                     desc = str(nm.get()) if nm.isDefined() else str(kv._1())
@@ -199,7 +210,9 @@ class LanceScanner(DataFrame):
         """Arrow schema of the underlying dataset (not the projection)."""
         if self._lance_dataset is None:
             return self._arrow_schema()
-        return self._lance_dataset.schema
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(self._lance_dataset.schema)
 
     def explain_plan(self, verbose: bool = False) -> str:
         """The Catalyst plan string (reference dataset.py:4719

@@ -80,7 +80,12 @@ def dataset_batch_writer(uri: str, query_key: str = "default"):
     return write_batch
 
 
-def dataset_upsert_writer(uri: str, on: str | list[str], query_key: str = "upsert"):
+def dataset_upsert_writer(
+    uri: str,
+    on: str | list[str],
+    query_key: str = "upsert",
+    sequence_col: str | None = None,
+):
     """foreachBatch callback: micro-batch MERGE (upsert) into the dataset —
     the streaming-CDC ingest pattern (a change feed keyed on ``on`` becomes
     a continuously-updated table).
@@ -93,6 +98,13 @@ def dataset_upsert_writer(uri: str, on: str | list[str], query_key: str = "upser
     recovery) sees its id already committed and becomes a no-op instead of
     a double-merge. Single upsert stream per dataset (the reference's
     single-writer MERGE assumption); concurrent appends rebase fine.
+
+    ``sequence_col``: when a micro-batch can carry SEVERAL changes for one
+    key (the normal CDC case), name the event-order column — the max-
+    sequence row per key wins deterministically. Without it, the in-batch
+    winner is whichever row dropDuplicates meets first (partition-order
+    dependent); only omit it when the feed guarantees ≤1 change per key
+    per batch.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -105,7 +117,17 @@ def dataset_upsert_writer(uri: str, on: str | list[str], query_key: str = "upser
         spark = batch_df.sparkSession
         state_key = f"stream_state.{query_key}"
         keys = [on] if isinstance(on, str) else list(on)
-        batch = batch_df.dropDuplicates(keys)
+        if sequence_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(F.desc(sequence_col))
+            batch = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter("__rn = 1")
+                .drop("__rn")
+            )
+        else:
+            batch = batch_df.dropDuplicates(keys)
 
         latest = mf.latest_version(uri)
         if latest is None:
@@ -166,14 +188,16 @@ def write_stream(
     processing_time: str | None = None,
     mode: str = "append",
     on: str | list[str] | None = None,
+    sequence_col: str | None = None,
 ):
     """readStream → ... → write_stream(df, dataset_uri, ckpt): start the
     streaming write into the dataset. ``mode="append"`` adds fragments;
-    ``mode="upsert"`` merges each micro-batch on key ``on`` (CDC ingest)."""
+    ``mode="upsert"`` merges each micro-batch on key ``on`` (CDC ingest;
+    pass ``sequence_col`` when a batch may hold several changes per key)."""
     if mode == "upsert":
         if not on:
             raise ValueError("mode='upsert' requires the merge key(s) in `on`")
-        writer = dataset_upsert_writer(uri, on, query_key)
+        writer = dataset_upsert_writer(uri, on, query_key, sequence_col)
     elif mode == "append":
         writer = dataset_batch_writer(uri, query_key)
     else:

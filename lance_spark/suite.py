@@ -1380,6 +1380,46 @@ def ann_ivf_flat_topk(spark, sf_dir):
 
 
 @query(
+    "ann_staged_builder_topk",
+    f"""
+    SELECT e.vec_id, round(1.0 - ({_DUCK_COS_Q}), 4) AS _distance
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 5) q
+    WHERE e.vec_id != 5
+    ORDER BY round(1.0 - ({_DUCK_COS_Q}), 4), e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_staged_builder_topk(spark, sf_dir):
+    """Staged IndicesBuilder pipeline end-to-end (reference
+    lance.indices.builder: train_ivf → transform_vectors →
+    shuffle_transformed_vectors → load_shuffled_vectors commit), searched
+    through ds.nearest at exhaustive probe — IVF_FLAT at
+    nprobes=num_partitions is exact, so brute-force cosine is a true
+    oracle for the whole staged build + manifest commit + search path."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indices import IndicesBuilder
+    from lance_spark.write import write_dataset
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 5").first()["embedding"]]
+    uri = tempfile.mkdtemp(prefix="lsq_staged_") + "/emb"
+    write_dataset(emb.filter("vec_id != 5").repartition(4), uri, mode="create")
+    b = IndicesBuilder(dataset(uri), "embedding", spark)
+    ivf = b.train_ivf(8, distance_type="cosine", sample_rate=64)
+    work = tempfile.mkdtemp(prefix="lsq_stagedwork_")
+    b.transform_vectors(ivf, None, work + "/unsorted")
+    files = b.shuffle_transformed_vectors(["unsorted"], work, ivf)
+    ds = b.load_shuffled_vectors(files, work, ivf, None, index_name="emb_idx")
+    return (
+        ds.nearest(spark, "embedding", qvec, k=10, nprobes=8)
+        .select("vec_id", F.round("_distance", 4).alias("_distance"))
+        .orderBy("_distance", "vec_id")
+    )
+
+
+@query(
     "ann_ivf_pq_refine",
     """
     SELECT e.vec_id,

@@ -251,9 +251,22 @@ def commit_batch(
     either every transaction's fragments appear in the new version or none
     do.
     """
+    from lance_spark.operation import LanceOperation, Transaction
+
     uri = dest.uri if hasattr(dest, "uri") else str(dest)
     merged: list[mf.Fragment] = []
     for tx in transactions:
+        # accept both the dict shape write_fragments returns and typed
+        # Transaction objects (the reference's commit_batch input)
+        if isinstance(tx, Transaction):
+            inner = tx.operation
+            if not isinstance(inner, LanceOperation.Append):
+                raise NotImplementedError(
+                    "commit_batch merges append transactions only (reference "
+                    "parity: dataset.py:3250)"
+                )
+            merged.extend(inner.fragments)
+            continue
         op = tx.get("operation", "append")
         if op != "append":
             raise NotImplementedError(

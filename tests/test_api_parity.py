@@ -55,7 +55,7 @@ def test_scanner_is_dataframe_and_has_arrow_surface(spark, ds):
 def test_scanner_schemas_and_plan(spark, ds):
     sc = ds.scanner(spark, columns=["o_orderkey"])
     assert sc.projected_schema.names == ["o_orderkey"]
-    assert "o_orderkey" in [f.name for f in sc.dataset_schema.fields]
+    assert "o_orderkey" in sc.dataset_schema.names
     plan = sc.explain_plan()
     assert "Scan" in plan or "Physical Plan" in plan
 
@@ -171,3 +171,46 @@ def test_scan_stats_callback(spark, ds):
     # scan_stats() one-shot helper
     st2 = ds.scanner(spark, columns=["o_orderkey"]).scan_stats()
     assert st2.parts_loaded == st.parts_loaded
+
+
+def test_commit_batch_accepts_transactions(spark, sf_dir, tmp_path):
+    from lance_spark.write import write_fragments
+
+    uri = str(tmp_path / "ds")
+    df = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    ls.write_dataset(df, uri, mode="create")
+    ds = ls.dataset(uri)
+    n0 = ds.count_rows()
+    frags = write_fragments(df, uri, base_fragment_id=100)
+    txns = [ls.Transaction(read_version=ds.version,
+                           operation=ls.LanceOperation.Append(fragments=frags))]
+    res = ls.LanceDataset.commit_batch(uri, txns)
+    assert res["dataset"].count_rows() == 2 * n0
+
+
+def test_blob_column_yields_none_for_nulls():
+    col = ls.BlobColumn(pa.array([b"x", None], type=pa.binary()))
+    vals = list(col)
+    assert vals[0].read() == b"x" and vals[1] is None
+
+
+def test_dataset_schema_is_arrow(spark, ds):
+    sc = ds.scanner(spark, columns=["o_orderkey"])
+    assert isinstance(sc.dataset_schema, pa.Schema)
+    assert isinstance(sc.projected_schema, pa.Schema)
+
+
+def test_storage_options_carry_to_derived_handles(ds):
+    calls = []
+
+    class Prov:
+        def fetch_storage_options(self):
+            calls.append(1)
+            return {"token": f"t{len(calls)}"}
+
+    d = ls.dataset(ds.uri, storage_options_provider=Prov(),
+                   storage_options={"region": "r1"})
+    d2 = d.checkout_version(d.version)
+    # provider re-queried at derive (refresh), explicit options carried
+    assert len(calls) == 2
+    assert d2.storage_options == {"token": "t2", "region": "r1"}

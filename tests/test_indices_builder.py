@@ -100,3 +100,50 @@ def test_train_ivf_defaults_and_errors(spark, ds):
     n = ds.count_rows()
     ivf = b.train_ivf(sample_rate=2)
     assert ivf.num_partitions == max(1, int(round(np.sqrt(n))))
+
+
+def test_subset_transform_marks_partial_coverage(spark, ds, emb, tmp_path):
+    """Transforming only SOME fragments must commit partial coverage so the
+    untransformed fragments stay reachable via the flat-search tail."""
+    b = IndicesBuilder(ds, "embedding", spark)
+    ivf = b.train_ivf(4, distance_type="l2", sample_rate=64)
+    all_fids = [f.id for f in ds.manifest.fragments]
+    subset = all_fids[:2]
+
+    work = str(tmp_path / "w")
+    b.transform_vectors(ivf, None, work + "/unsorted", fragments=subset)
+    files = b.shuffle_transformed_vectors(["unsorted"], work, ivf)
+    ds2 = b.load_shuffled_vectors(files, work, ivf, None, index_name="part_idx")
+
+    meta = next(i for i in ds2.manifest.indices if i.name == "part_idx")
+    assert sorted(meta.fragment_ids) == sorted(subset)
+
+    # a row living in an UNtransformed fragment is still found (flat tail)
+    tail_fid = all_fids[2]
+    row = ds2.scanner(spark, fragments=[tail_fid]).first()
+    q = [float(x) for x in row["embedding"]]
+    res = ds2.nearest(spark, "embedding", q, k=3, nprobes=4).collect()
+    assert res[0]["vec_id"] == row["vec_id"]
+    assert res[0]["_distance"] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_precomputed_assignment_left_join_keeps_new_rows(spark, emb, tmp_path):
+    """Rows appended AFTER assign_ivf_partitions keep their freshly-computed
+    partition instead of being dropped by the precompute join."""
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "ds")
+    write_dataset(emb.limit(100).repartition(2), uri, mode="create")
+    ds = dataset(uri)
+    b = IndicesBuilder(ds, "embedding", spark)
+    ivf = b.train_ivf(4, distance_type="l2", sample_rate=16)
+    parts = b.assign_ivf_partitions(ivf, output_uri=str(tmp_path / "parts"))
+
+    # append more rows, re-open, transform with the stale precompute
+    ds.insert(emb.limit(150))
+    ds2 = dataset(uri)
+    b2 = IndicesBuilder(ds2, "embedding", spark)
+    out = b2.transform_vectors(ivf, None, str(tmp_path / "t"), partition_ds_uri=parts)
+    n = spark.read.parquet(out).count()
+    assert n == ds2.count_rows()  # nothing silently dropped

@@ -237,3 +237,25 @@ def test_stream_upsert_updates_values(spark, tmp_path):
     w(spark.createDataFrame([(1, "zzz")], "k int, v string"), 1)
     assert dataset(uri).version == v
     assert {r["k"]: r["v"] for r in dataset(uri).to_df(spark).collect()}[1] == "new"
+
+
+def test_stream_upsert_sequence_col_deterministic(spark, tmp_path):
+    """With sequence_col, the max-sequence change per key wins even when one
+    micro-batch carries several changes for the same key."""
+    from lance_spark.dataset import dataset
+    from lance_spark.streaming.sink import dataset_upsert_writer
+
+    uri = str(tmp_path / "ds")
+    w = dataset_upsert_writer(uri, "k", query_key="s", sequence_col="seq")
+    batch = spark.createDataFrame(
+        [(1, "insert", 10), (1, "update", 20), (2, "only", 5)],
+        "k int, v string, seq int",
+    ).repartition(4)  # scatter so dropDuplicates order would be arbitrary
+    w(batch, 0)
+    rows = {r["k"]: r["v"] for r in dataset(uri).to_df(spark).collect()}
+    assert rows == {1: "update", 2: "only"}
+    # next batch: older sequence for k=1 still wins within ITS batch rules
+    w(spark.createDataFrame([(1, "late", 15), (1, "later", 30)],
+                            "k int, v string, seq int"), 1)
+    rows = {r["k"]: r["v"] for r in dataset(uri).to_df(spark).collect()}
+    assert rows[1] == "later"
