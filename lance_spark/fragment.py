@@ -66,6 +66,150 @@ class LanceFragment:
     def deletion_file(self) -> str | None:
         return self._meta.deletion_file
 
+    @property
+    def schema(self):
+        """Logical (dataset) schema — fragments share it (fragment.py:531)."""
+        return self._ds.schema
+
+    @property
+    def physical_schema(self):
+        """Arrow schema of this fragment's primary data file footer
+        (fragment.py:525 — includes meta columns like _rowid)."""
+        import pyarrow.parquet as pq
+
+        return pq.read_schema(self._ds._abs(self._meta.files[0].path))
+
+    def partition_expression(self):
+        raise NotImplementedError("partitioning not yet supported")
+
+    # ------------------------------------------------------------ creation
+
+    @staticmethod
+    def create(
+        dataset_uri: str,
+        data,
+        fragment_id: int | None = None,
+        schema=None,
+        max_rows_per_group: int = 1024,
+        progress=None,
+        mode: str = "append",
+        storage_options: dict | None = None,
+    ) -> mf.Fragment:
+        """Write ONE fragment's data files WITHOUT committing (reference
+        fragment.py:304 — the distributed-write primitive: every worker
+        calls create(), a coordinator commits the returned metadata with
+        ``LanceOperation.Append`` / ``commit_fragments``). ``data`` takes
+        the full ReaderLike breadth (Spark/pandas/arrow/list-of-dicts).
+        ``fragment_id`` defaults to a reserved id on an existing dataset
+        (so concurrent workers can't collide), else 0."""
+        import os
+
+        from lance_spark.write import input_to_spark_df, write_fragments
+
+        sdf = input_to_spark_df(data)
+        if schema is not None:
+            sdf = sdf.select(*list(schema.names))
+        os.makedirs(dataset_uri, exist_ok=True)
+        if fragment_id is None:
+            fragment_id = (
+                mf.reserve_fragment_ids(dataset_uri, 1)
+                if mf.latest_version(dataset_uri) is not None
+                else 0
+            )
+        frags = write_fragments(
+            sdf.coalesce(1), dataset_uri, fragment_id, progress=progress
+        )
+        return frags[0]
+
+    @staticmethod
+    def create_from_file(filename: str, dataset, fragment_id: int) -> mf.Fragment:
+        """Wrap an existing data file as fragment metadata (reference
+        fragment.py:279 — re-attach a datafile lost from the dataset).
+        Row count comes from the parquet footer; columns from its schema
+        minus meta columns."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = (
+            os.path.relpath(filename, dataset.uri)
+            if os.path.isabs(filename)
+            else filename
+        )
+        md = pq.read_metadata(os.path.join(dataset.uri, path))
+        schema = pq.read_schema(os.path.join(dataset.uri, path))
+        cols = [n for n in schema.names if not n.startswith("_")]
+        return mf.Fragment(
+            id=fragment_id,
+            files=[mf.DataFile(path=path, columns=cols)],
+            physical_rows=md.num_rows,
+        )
+
+    # ---------------------------------------------------- column evolution
+
+    def merge_columns(
+        self,
+        spark: SparkSession,
+        value_func,
+        columns: list[str] | None = None,
+    ) -> tuple[mf.Fragment, list[dict]]:
+        """Compute new columns for THIS fragment and write its column-group
+        file WITHOUT committing (reference fragment.py:585 merge_columns →
+        (FragmentMetadata, schema)) — the distributed add_columns
+        primitive: each worker merges its fragments, the coordinator
+        applies ONE ``LanceOperation.Merge`` commit with the updated
+        fragment list + extended schema.
+
+        ``value_func``: callable(pandas.DataFrame) -> pandas.DataFrame over
+        ``columns``, or a {name: sql_expr} dict. Returns the updated
+        fragment metadata and the new fields (schema JSON dicts)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from lance_spark.evolution import _write_column_groups
+        from lance_spark.write import ROWID_COL
+
+        base = self.scanner(spark, with_row_id=True)
+        if callable(value_func):
+            read_cols = columns or self._ds.columns
+            probe = value_func(base.select(*read_cols).limit(1).toPandas())
+            out_schema = spark.createDataFrame(probe).schema
+
+            def apply_batches(it):
+                for pdf in it:
+                    res = value_func(pdf[read_cols])
+                    res[ROWID_COL] = pdf[ROWID_COL].values
+                    yield res
+
+            full_schema = StructType(
+                list(out_schema.fields) + [StructField(ROWID_COL, LongType())]
+            )
+            new_df = base.mapInPandas(apply_batches, full_schema)
+            new_cols = list(out_schema.fieldNames())
+        else:
+            exprs = [F.expr(sql).alias(name) for name, sql in value_func.items()]
+            new_df = base.select(F.col(ROWID_COL), *exprs)
+            new_cols = list(value_func)
+        collide = set(new_cols) & set(self._ds.columns)
+        if collide:
+            raise ValueError(f"columns already exist: {sorted(collide)}")
+        cg_map = _write_column_groups(self._ds.uri, new_df, new_cols)
+        path = cg_map[self.id]
+        meta = self._meta
+        new_frag = mf.Fragment(
+            id=meta.id,
+            files=[*meta.files, mf.DataFile(path=path, columns=new_cols)],
+            physical_rows=meta.physical_rows,
+            deletion_file=meta.deletion_file,
+            num_deleted_rows=meta.num_deleted_rows,
+        )
+        fields = (
+            spark.createDataFrame([], new_df.schema)
+            .select(*new_cols)
+            .schema.jsonValue()["fields"]
+        )
+        return new_frag, fields
+
     # ---------------------------------------------------------------- reads
 
     def scanner(self, spark: SparkSession, **kwargs) -> DataFrame:

@@ -237,6 +237,36 @@ def commit_fragments(
     return mf.commit(uri, build, operation=operation)
 
 
+def input_to_spark_df(df) -> DataFrame:
+    """ReaderLike ingest breadth (reference write path): Spark DataFrame
+    passes through; list-of-dicts / HuggingFace dataset / pandas / arrow
+    Table convert via the arrow type normalizer (types.py)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(df, list) and df and isinstance(df[0], dict):
+        # iterable-of-dicts ingest (reference ReaderLike breadth)
+        df = pa.Table.from_pylist(df)
+    if type(df).__module__.split(".")[0] == "datasets":
+        # HuggingFace datasets.Dataset (reference hf.py:1 — arrow-backed);
+        # guarded by module name so the lib stays an optional dependency
+        df = pa.table(df.data.table)
+    if isinstance(df, pa.RecordBatchReader):
+        df = df.read_all()
+    if isinstance(df, pd.DataFrame):
+        df = pa.Table.from_pandas(df, preserve_index=False)
+    if isinstance(df, pa.Table):
+        from pyspark.sql import SparkSession
+
+        from lance_spark.types import normalize_arrow_table
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("arrow/pandas write input needs an active SparkSession")
+        df = spark.createDataFrame(normalize_arrow_table(df))
+    return df
+
+
 def commit_batch(
     dest,
     transactions: list[dict],
@@ -319,29 +349,9 @@ def write_dataset(
     paths. ``max_rows_per_file`` is the reference's name for
     ``max_rows_per_fragment``.
     """
-    import pandas as pd
-    import pyarrow as pa
-
     from lance_spark.dataset import LanceDataset
 
-    if isinstance(df, list) and df and isinstance(df[0], dict):
-        # iterable-of-dicts ingest (reference ReaderLike breadth)
-        df = pa.Table.from_pylist(df)
-    if type(df).__module__.split(".")[0] == "datasets":
-        # HuggingFace datasets.Dataset (reference hf.py:1 — arrow-backed);
-        # guarded by module name so the lib stays an optional dependency
-        df = pa.table(df.data.table)
-    if isinstance(df, pd.DataFrame):
-        df = pa.Table.from_pandas(df, preserve_index=False)
-    if isinstance(df, pa.Table):
-        from pyspark.sql import SparkSession
-
-        from lance_spark.types import normalize_arrow_table
-
-        spark = SparkSession.getActiveSession()
-        if spark is None:
-            raise RuntimeError("write_dataset(pa.Table) needs an active SparkSession")
-        df = spark.createDataFrame(normalize_arrow_table(df))
+    df = input_to_spark_df(df)
 
     if max_rows_per_fragment is None:
         max_rows_per_fragment = max_rows_per_file

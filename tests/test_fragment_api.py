@@ -59,3 +59,72 @@ def test_fragment_filtered_count_and_missing(spark, ds):
     assert 0 < n < frag.count_rows()
     with pytest.raises(ValueError):
         LanceFragment(ds, 99)
+
+
+def test_fragment_create_then_commit(spark, sf_dir, tmp_path):
+    """The distributed-write primitive: workers write fragments without
+    committing, a coordinator commits the metadata (reference
+    fragment.py:304 + LanceOperation.Append)."""
+    import lance_spark as ls
+    from lance_spark.fragment import LanceFragment
+
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    uri = str(tmp_path / "ds")
+    # worker 1: bootstrap fragment for a not-yet-created dataset
+    f0 = LanceFragment.create(uri, region, fragment_id=0)
+    ds = ls.commit(uri, ls.LanceOperation.Overwrite(
+        new_schema=region.schema, fragments=[f0]))
+    n = region.count()
+    assert ds.count_rows() == n
+
+    # worker 2: append via reserved id (arrow-table input path)
+    f1 = LanceFragment.create(uri, region.toPandas())
+    assert f1.id > 0
+    ds2 = ls.commit(uri, ls.LanceOperation.Append(fragments=[f1]))
+    assert ds2.count_rows() == 2 * n
+
+
+def test_fragment_create_from_file(spark, ds):
+    from lance_spark.fragment import LanceFragment
+
+    frag = LanceFragment(ds, 0)
+    path = frag.data_files()[0].path
+    meta = LanceFragment.create_from_file(path, ds, fragment_id=99)
+    assert meta.id == 99
+    assert meta.physical_rows == frag.physical_rows
+    assert set(meta.files[0].columns) == set(frag.data_files()[0].columns)
+
+
+def test_fragment_schemas(spark, ds):
+    from lance_spark.fragment import LanceFragment
+
+    f = LanceFragment(ds, 0)
+    assert "n_name" in f.schema.fieldNames()
+    assert "_rowid" in f.physical_schema.names
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        f.partition_expression()
+
+
+def test_fragment_merge_columns_distributed(spark, ds):
+    """Per-fragment column computation + ONE coordinator Merge commit
+    attaches the columns dataset-wide."""
+    import lance_spark as ls
+    from lance_spark.fragment import LanceFragment
+
+    fids = [f.id for f in ds.manifest.fragments]
+    updated, fields = [], None
+    for fid in fids:
+        nf, flds = LanceFragment(ds, fid).merge_columns(
+            spark, {"key2": "n_nationkey * 2"}
+        )
+        updated.append(nf)
+        fields = flds
+    schema_json = {
+        "type": "struct",
+        "fields": list(ds.manifest.schema_json["fields"]) + fields,
+    }
+    ds2 = ls.commit(ds.uri, ls.LanceOperation.Merge(
+        fragments=updated, schema=schema_json))
+    rows = ds2.to_df(spark).select("n_nationkey", "key2").collect()
+    assert rows and all(r["key2"] == 2 * r["n_nationkey"] for r in rows)
