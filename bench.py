@@ -42,6 +42,9 @@ HEADLINE = [
     "curate_pack_sequences",
     "dedup_paragraphs",
     "text_build_vocab",
+    # round-4b pipeline operators
+    "curate_mix_weighted",
+    "curate_global_shuffle",
 ]
 
 

@@ -29,7 +29,13 @@ from lance_spark.fragment import LanceFragment
 from lance_spark.manifest import DatasetBasePath, FragmentMetadata, Index
 from lance_spark.mutation import MergeInsertBuilder
 from lance_spark.operation import LanceOperation, Transaction, commit
-from lance_spark.scanner import LanceScanner, ScanStatistics
+from lance_spark.log import set_logger
+from lance_spark.scanner import (
+    LanceScanner,
+    ScanStatistics,
+    bytes_read_counter,
+    iops_counter,
+)
 from lance_spark.types import json_to_schema, schema_to_json
 from lance_spark.udf import batch_udf
 from lance_spark.write import commit_batch, commit_fragments, write_dataset, write_fragments
@@ -82,8 +88,11 @@ __all__ = [
     "ScanStatistics",
     "Transaction",
     "batch_udf",
+    "bytes_read_counter",
+    "iops_counter",
     "json_to_schema",
     "schema_to_json",
+    "set_logger",
 ]
 
 # Submodule map (import directly; kept lazy to avoid heavy imports here):

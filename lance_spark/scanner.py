@@ -45,6 +45,28 @@ class ScanStatistics:
     all_counts: dict = field(default_factory=dict)
 
 
+# process-wide IO counters (reference __init__: bytes_read_counter /
+# iops_counter). Fed by ScanStatistics harvests: metered materializations
+# (scan_stats_callback / scan_stats / enable_io_counters) contribute;
+# un-metered DataFrame actions do not — metering every action would put a
+# py4j plan walk on every query.
+_IO_COUNTERS = {"bytes_read": 0, "iops": 0, "enabled": False}
+
+
+def enable_io_counters(on: bool = True) -> None:
+    """Harvest IO stats on EVERY LanceScanner materialization (small py4j
+    plan-walk overhead per query) so the global counters see all scans."""
+    _IO_COUNTERS["enabled"] = bool(on)
+
+
+def bytes_read_counter() -> int:
+    return _IO_COUNTERS["bytes_read"]
+
+
+def iops_counter() -> int:
+    return _IO_COUNTERS["iops"]
+
+
 def _executed_plan_metrics(df: DataFrame) -> dict:
     """Sum SQLMetric values across the executed plan's nodes (post-run).
 
@@ -112,13 +134,16 @@ def _executed_plan_metrics(df: DataFrame) -> dict:
 
 def _stats_from_metrics(counts: dict) -> ScanStatistics:
     files = counts.get("number of files read", 0)
-    return ScanStatistics(
+    st = ScanStatistics(
         iops=files,
         requests=files,
         bytes_read=counts.get("size of files read", 0),
         parts_loaded=files,
         all_counts=counts,
     )
+    _IO_COUNTERS["bytes_read"] += st.bytes_read
+    _IO_COUNTERS["iops"] += st.iops
+    return st
 
 
 class LanceScanner(DataFrame):
@@ -143,6 +168,8 @@ class LanceScanner(DataFrame):
     def _after_scan(self) -> None:
         if self._scan_stats_callback is not None:
             self._scan_stats_callback(_stats_from_metrics(_executed_plan_metrics(self)))
+        elif _IO_COUNTERS["enabled"]:
+            _stats_from_metrics(_executed_plan_metrics(self))
 
     # ------------------------------------------------- materialization
     def to_table(self) -> "pa.Table":

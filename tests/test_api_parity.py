@@ -214,3 +214,27 @@ def test_storage_options_carry_to_derived_handles(ds):
     # provider re-queried at derive (refresh), explicit options carried
     assert len(calls) == 2
     assert d2.storage_options == {"token": "t2", "region": "r1"}
+
+
+def test_io_counters_accumulate(spark, ds):
+    from lance_spark.scanner import enable_io_counters
+
+    b0, i0 = ls.bytes_read_counter(), ls.iops_counter()
+    enable_io_counters(True)
+    try:
+        ds.scanner(spark, columns=["o_orderkey"]).to_table()
+    finally:
+        enable_io_counters(False)
+    assert ls.bytes_read_counter() > b0
+    assert ls.iops_counter() > i0
+
+
+def test_set_logger(tmp_path):
+    import logging
+
+    log = ls.set_logger(str(tmp_path / "l.log"), name="lance_spark.test",
+                        level=logging.DEBUG)
+    log.debug("hello")
+    for h in list(log.handlers):
+        h.flush()
+    assert "hello" in (tmp_path / "l.log").read_text()
