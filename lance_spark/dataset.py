@@ -988,16 +988,14 @@ class LanceDataset:
 
     # ------------------------------------------------------------ stats
 
-    def stats(self) -> dict:
-        m = self.manifest
-        return {
-            "num_rows": sum(f.num_rows for f in m.fragments),
-            "num_deleted_rows": sum(f.num_deleted_rows for f in m.fragments),
-            "num_fragments": len(m.fragments),
-            "num_small_files": sum(1 for f in m.fragments if f.physical_rows < 1024),
-            "num_indices": len(m.indices),
-            "version": m.version,
-        }
+    @property
+    def stats(self) -> "LanceStats":
+        """Stats namespace (reference dataset.py:5038 ``LanceStats``):
+        ``ds.stats.dataset_stats()`` / ``index_stats(name)`` /
+        ``data_stats()``. Also CALLABLE — ``ds.stats()`` returns the flat
+        summary dict this repo exposed originally, so both call shapes
+        work."""
+        return LanceStats(self)
 
     def data_stats(self, columns: list[str] | None = None) -> dict:
         """Per-column physical statistics (reference LanceStats.data_stats,
@@ -1457,6 +1455,44 @@ def _rendered_arrow_to_sql(s: str, expr) -> str:
             f"unsupported pyarrow expression (pass a SQL string instead): {expr}"
         )
     return s
+
+
+class LanceStats:
+    """Dataset statistics namespace (reference dataset.py:5038). Callable
+    for back-compat with the flat ``ds.stats()`` dict."""
+
+    def __init__(self, ds: "LanceDataset"):
+        self._ds = ds
+
+    def __call__(self) -> dict:
+        m = self._ds.manifest
+        return {
+            "num_rows": sum(f.num_rows for f in m.fragments),
+            "num_deleted_rows": sum(f.num_deleted_rows for f in m.fragments),
+            "num_fragments": len(m.fragments),
+            "num_small_files": sum(1 for f in m.fragments if f.physical_rows < 1024),
+            "num_indices": len(m.indices),
+            "version": m.version,
+        }
+
+    def dataset_stats(self, max_rows_per_group: int = 1024) -> dict:
+        """Reference DatasetStats shape (dataset.py:5046)."""
+        m = self._ds.manifest
+        return {
+            "num_deleted_rows": sum(f.num_deleted_rows for f in m.fragments),
+            "num_fragments": len(m.fragments),
+            "num_small_files": sum(
+                1 for f in m.fragments if f.physical_rows < max_rows_per_group
+            ),
+        }
+
+    def index_stats(self, index_name: str) -> dict:
+        """Reference index_stats (dataset.py:5056)."""
+        return self._ds.index_statistics(index_name)
+
+    def data_stats(self, columns: list[str] | None = None) -> "DataStatistics":
+        """Reference data_stats → DataStatistics (dataset.py:5068)."""
+        return self._ds.data_statistics(columns)
 
 
 class _OptimizeNamespace:

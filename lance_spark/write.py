@@ -333,6 +333,10 @@ def write_dataset(
     initial_bases: list | None = None,
     target_bases: list[str] | None = None,
     max_rows_per_file: int | None = None,
+    schema=None,
+    progress=None,
+    commit_lock=None,
+    storage_options: dict | None = None,
 ):
     """modes per rust/lance/src/dataset/write.rs:115-131: create/append/overwrite.
 
@@ -352,6 +356,11 @@ def write_dataset(
     from lance_spark.dataset import LanceDataset
 
     df = input_to_spark_df(df)
+    if schema is not None:
+        # reference write_dataset(schema=...): project/cast to the declared
+        # schema (arrow or Spark StructType) — extra columns dropped
+        names = list(schema.names)
+        df = df.select(*names)
 
     if max_rows_per_fragment is None:
         max_rows_per_fragment = max_rows_per_file
@@ -413,7 +422,7 @@ def write_dataset(
 
     frags = write_fragments(
         df, uri, base_fragment_id, max_rows_per_fragment, blob_columns=blob_columns,
-        target_roots=target_roots,
+        target_roots=target_roots, progress=progress,
     )
 
     def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
@@ -441,5 +450,5 @@ def write_dataset(
             bases=bases_json,
         )
 
-    mf.commit(uri, build, operation=mode)
-    return LanceDataset(uri)
+    mf.commit(uri, build, operation=mode, commit_lock=commit_lock)
+    return LanceDataset(uri, storage_options=storage_options)

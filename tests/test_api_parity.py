@@ -238,3 +238,18 @@ def test_set_logger(tmp_path):
     for h in list(log.handlers):
         h.flush()
     assert "hello" in (tmp_path / "l.log").read_text()
+
+
+def test_stats_namespace_both_shapes(spark, ds):
+    # legacy flat-dict call shape
+    flat = ds.stats()
+    assert flat["num_fragments"] >= 1 and "num_rows" in flat
+    # reference namespace shape
+    dstats = ds.stats.dataset_stats()
+    assert set(dstats) == {"num_deleted_rows", "num_fragments", "num_small_files"}
+    assert isinstance(ds.stats.data_stats(), ls.DataStatistics)
+    from lance_spark.indexes.scalar import create_scalar_index
+
+    ds2 = create_scalar_index(ds, spark, "o_custkey", kind="BITMAP")
+    st = ds2.stats.index_stats("o_custkey_bitmap_idx")
+    assert st and isinstance(st, dict)
