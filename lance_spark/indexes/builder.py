@@ -118,12 +118,14 @@ class IndicesBuilder:
 
     # ------------------------------------------------------------ training
     def _sample(self, n: int, distance_type: str) -> np.ndarray:
-        df = self.dataset.scanner(self.spark, columns=[self.column], limit=n)
+        # null vectors are unindexable (reference mostly_null behavior)
+        df = self.dataset.scanner(
+            self.spark, columns=[self.column], filter=f"`{self.column}` IS NOT NULL",
+            limit=n,
+        )
         sample = _as_matrix(df.toPandas()[self.column]).astype(np.float64)
-        if len(sample) < n:
-            raise ValueError(
-                f"not enough rows to train: need {n}, dataset has {len(sample)}"
-            )
+        if len(sample) == 0:
+            raise ValueError("no non-null vectors to train on")
         # canonical order: centroids are a function of the sample SET, not
         # of scan parallelism (same rule as build_ivf)
         sample = sample[np.lexsort(sample.T[::-1])]
@@ -224,7 +226,8 @@ class IndicesBuilder:
                 raise ValueError("fragments must be a non-empty list or None")
             fids = [f.id if hasattr(f, "id") else int(f) for f in fragments]
         df = self.dataset.scanner(
-            self.spark, columns=[self.column], with_row_id=True, fragments=fids
+            self.spark, columns=[self.column], filter=f"`{self.column}` IS NOT NULL",
+            with_row_id=True, fragments=fids,
         )
         out = df.select(
             F.col(ROWID_COL).alias("id"),

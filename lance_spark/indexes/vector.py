@@ -185,6 +185,9 @@ def build_ivf(
     """
     spark = df.sparkSession
     cosine = metric == "cosine"
+    # null vectors are unindexable — skip them like the reference's builder
+    # (test_indices.py mostly_null fixtures): they never match a search
+    df = df.filter(F.col(vec_col).isNotNull())
 
     # --- train on sample (driver) -----------------------------------------
     # limit() avoids a full count+scan; the reference trains on a sample

@@ -50,6 +50,7 @@ def knn_batch(
     the cross product with JVM expression arithmetic, keep per-query top-k
     with a window — one pass over the corpus regardless of query count.
     Returns (query_id, id, _distance)."""
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     from pyspark.sql import Window
 
     qv = query_vec_col or vec_col
@@ -93,6 +94,7 @@ def multivector_maxsim(
     arithmetic: the query set is a literal array (broadcast-in-expression),
     each doc row computes its own max per query vector — no explode, no
     shuffle until the final top-k."""
+    df = df.filter(F.col(mv_col).isNotNull())
     doc = F.col(mv_col).cast("array<array<double>>")
 
     def cos(a, b):
@@ -129,6 +131,9 @@ def knn_bruteforce(
     """Exact top-k; returns (id_col, _distance) — `_distance` follows the
     reference's meta-column convention (rust/lance-core/src/lib.rs). Ties
     break on id for determinism."""
+    # null vectors can never be neighbors; without this they'd crash the
+    # numpy path and rank FIRST in the SQL path (asc = NULLS FIRST)
+    df = df.filter(F.col(vec_col).isNotNull())
     q = F.array(*[F.lit(float(x)) for x in query])
     v = F.col(vec_col).cast("array<double>")
     if use_numpy:

@@ -317,3 +317,44 @@ def test_distance_range_pruning_lossless(spark, sf_dir, tmp_path):
     }
     assert got_t == want_t
     assert (lower > r_tight).any(), "expected at least one prunable partition"
+
+
+def test_build_and_search_with_null_vectors(spark, tmp_path):
+    """Null vectors are skipped at build and can never be neighbors
+    (reference test_indices.py mostly_null fixtures) — they used to crash
+    the numpy path and rank FIRST in the SQL path (asc = NULLS FIRST)."""
+    from lance_spark.indexes.vector import ann_search, build_ivf
+    from lance_spark.operators.knn import knn_bruteforce
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)] if i % 3 == 0 else None) for i in range(90)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = build_ivf(
+        df, "embedding", "vec_id", str(tmp_path / "idx"),
+        num_partitions=2, metric="l2", index_type="IVF_FLAT",
+    )
+    res = ann_search(spark, idx, [30.0, 31.0], k=3, nprobes=2).collect()
+    assert res[0]["id"] == 30 and res[0]["_distance"] == pytest.approx(0.0, abs=1e-6)
+
+    flat = knn_bruteforce(df, "embedding", [30.0, 31.0], k=3, metric="l2").collect()
+    assert flat[0]["vec_id"] == 30
+    assert all(r["_distance"] is not None for r in flat)
+
+
+def test_staged_builder_with_null_vectors(spark, tmp_path):
+    from lance_spark.dataset import dataset
+    from lance_spark.indices import IndicesBuilder
+    from lance_spark.write import write_dataset
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)] if i % 2 == 0 else None) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    uri = str(tmp_path / "ds")
+    write_dataset(df.repartition(2), uri, mode="create")
+    b = IndicesBuilder(dataset(uri), "embedding", spark)
+    ivf = b.train_ivf(2, distance_type="l2", sample_rate=8)
+    out = b.transform_vectors(ivf, None, str(tmp_path / "t"))
+    n = spark.read.parquet(out).count()
+    assert n == 40  # only the non-null vectors transform
