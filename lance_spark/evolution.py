@@ -127,6 +127,52 @@ def _commit_new_columns(ds, cg_map: dict[int, str], new_fields: list[dict], new_
     return LanceDataset(ds.uri)
 
 
+def transforms_to_new_df(
+    base: DataFrame,
+    transforms,
+    read_cols: list[str],
+    spark: SparkSession,
+    out_schema=None,
+) -> tuple[DataFrame, list[str]]:
+    """callable / {name: sql} transforms → ({_rowid, *new_cols} DataFrame,
+    new column names). The shared core of dataset ``add_columns`` (plain
+    paths) and fragment ``merge_columns`` — one place for the probe /
+    apply-batches / null-column rules. ``out_schema`` skips the one-row
+    probe (BatchUDF declared schema)."""
+    if callable(transforms):
+        if out_schema is None:
+            probe_src = base.select(*read_cols).limit(1).toPandas()
+            if probe_src.empty:
+                raise ValueError(
+                    "no live rows to derive the UDF output schema from; "
+                    "declare the schema (BatchUDF) or skip empty fragments"
+                )
+            out_schema = spark.createDataFrame(transforms(probe_src)).schema
+
+        def apply_batches(it):
+            for pdf in it:
+                res = transforms(pdf[read_cols])
+                res[ROWID_COL] = pdf[ROWID_COL].values
+                yield res
+
+        full_schema = StructType(
+            list(out_schema.fields) + [StructField(ROWID_COL, LongType())]
+        )
+        return base.mapInPandas(apply_batches, full_schema), list(out_schema.fieldNames())
+    exprs = [
+        F.lit(None).cast("string").alias(name) if sql is None else F.expr(sql).alias(name)
+        for name, sql in transforms.items()
+    ]
+    return base.select(F.col(ROWID_COL), *exprs), list(transforms)
+
+
+def new_fields_json(new_df: DataFrame, new_cols: list[str]) -> list[dict]:
+    """Schema-JSON dicts for the new columns — derived from the plan's
+    schema directly (no empty-DataFrame round-trip)."""
+    by_name = {f.name: f for f in new_df.schema.fields}
+    return StructType([by_name[c] for c in new_cols]).jsonValue()["fields"]
+
+
 def add_columns(ds, spark: SparkSession, transforms, read_columns: list[str] | None = None):
     """transforms: {name: sql_expr} | callable(pandas.DataFrame)->pandas.DataFrame
     (batch UDF over read_columns, python/python/lance/udf.py) | {name: None}
@@ -195,31 +241,19 @@ def add_columns(ds, spark: SparkSession, transforms, read_columns: list[str] | N
             new_fields = list(out_schema.jsonValue()["fields"])
             return _commit_new_columns(ds, cg_map, new_fields, new_cols)
 
-        def apply_batches(it):
-            for pdf in it:
-                res = fn(pdf[read_columns or ds.columns])
-                res[ROWID_COL] = pdf[ROWID_COL].values
-                yield res
-
-        full_schema = StructType(list(out_schema.fields) + [StructField(ROWID_COL, LongType())])
-        new_df = base.mapInPandas(apply_batches, full_schema)
+        new_df, new_cols = transforms_to_new_df(
+            base, fn, read_columns or ds.columns, spark, out_schema=out_schema
+        )
     else:
-        exprs = []
-        for name, sql in transforms.items():
-            exprs.append(
-                F.lit(None).cast("string").alias(name) if sql is None else F.expr(sql).alias(name)
-            )
-        new_cols = list(transforms.keys())
-        new_df = base.select(F.col(ROWID_COL), *exprs)
+        new_df, new_cols = transforms_to_new_df(
+            base, transforms, read_columns or ds.columns, spark
+        )
 
     collide = set(new_cols) & set(ds.columns)
     if collide:
         raise ValueError(f"columns already exist: {sorted(collide)}")
     cg_map = _write_column_groups(ds.uri, new_df, new_cols)
-    new_fields = [
-        f for f in spark.createDataFrame([], new_df.schema).select(*new_cols).schema.jsonValue()["fields"]
-    ]
-    return _commit_new_columns(ds, cg_map, new_fields, new_cols)
+    return _commit_new_columns(ds, cg_map, new_fields_json(new_df, new_cols), new_cols)
 
 
 def merge(ds, spark: SparkSession, right: DataFrame, left_on: str, right_on: str | None = None):

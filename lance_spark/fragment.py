@@ -101,7 +101,13 @@ class LanceFragment:
         ``LanceOperation.Append`` / ``commit_fragments``). ``data`` takes
         the full ReaderLike breadth (Spark/pandas/arrow/list-of-dicts).
         ``fragment_id`` defaults to a reserved id on an existing dataset
-        (so concurrent workers can't collide), else 0."""
+        (so concurrent workers can't collide), else 0.
+
+        ``max_rows_per_group`` / ``mode`` / ``storage_options`` are
+        accepted for reference call-site compatibility and intentionally
+        ignored: row-group sizing belongs to the parquet writer defaults,
+        schema field-id assignment is name-based here, and the local-fs
+        backend takes no credentials."""
         import os
 
         from lance_spark.write import input_to_spark_df, write_fragments
@@ -119,6 +125,8 @@ class LanceFragment:
         frags = write_fragments(
             sdf.coalesce(1), dataset_uri, fragment_id, progress=progress
         )
+        if not frags:
+            raise ValueError("cannot create a fragment from empty data")
         return frags[0]
 
     @staticmethod
@@ -126,8 +134,17 @@ class LanceFragment:
         """Wrap an existing data file as fragment metadata (reference
         fragment.py:279 — re-attach a datafile lost from the dataset).
         Row count comes from the parquet footer; columns from its schema
-        minus meta columns."""
+        minus the materialized ``_rowid`` (the same rule the write path
+        uses, so layouts stay consistent across fragments).
+
+        The file's embedded ``_rowid`` values name the fragment they were
+        written for — re-attaching under a DIFFERENT id would silently
+        corrupt every rowid-scoped operation (fragment-scoped delete,
+        take, merge_columns), so the prefix is validated against
+        ``fragment_id`` while rowids are fragment-addressable."""
         import os
+
+        from lance_spark.write import FRAGID_SHIFT, ROWID_COL
 
         import pyarrow.parquet as pq
 
@@ -136,9 +153,24 @@ class LanceFragment:
             if os.path.isabs(filename)
             else filename
         )
-        md = pq.read_metadata(os.path.join(dataset.uri, path))
-        schema = pq.read_schema(os.path.join(dataset.uri, path))
-        cols = [n for n in schema.names if not n.startswith("_")]
+        abspath = os.path.join(dataset.uri, path)
+        md = pq.read_metadata(abspath)
+        schema = pq.read_schema(abspath)
+        cols = [n for n in schema.names if n != ROWID_COL]
+        if ROWID_COL in schema.names and dataset._rowid_addressable():
+            f = pq.ParquetFile(abspath)
+            idx = schema.names.index(ROWID_COL)
+            for g in range(f.metadata.num_row_groups):
+                st = f.metadata.row_group(g).column(idx).statistics
+                if st is None or st.min is None:
+                    continue
+                for bound in (st.min, st.max):
+                    if bound >> FRAGID_SHIFT != fragment_id:
+                        raise ValueError(
+                            f"file {path} holds rowids of fragment "
+                            f"{bound >> FRAGID_SHIFT}, cannot attach as "
+                            f"fragment {fragment_id}"
+                        )
         return mf.Fragment(
             id=fragment_id,
             files=[mf.DataFile(path=path, columns=cols)],
@@ -163,33 +195,20 @@ class LanceFragment:
         ``value_func``: callable(pandas.DataFrame) -> pandas.DataFrame over
         ``columns``, or a {name: sql_expr} dict. Returns the updated
         fragment metadata and the new fields (schema JSON dicts)."""
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType, StructField, StructType
+        from lance_spark.evolution import (
+            _write_column_groups,
+            new_fields_json,
+            transforms_to_new_df,
+        )
 
-        from lance_spark.evolution import _write_column_groups
-        from lance_spark.write import ROWID_COL
-
-        base = self.scanner(spark, with_row_id=True)
-        if callable(value_func):
-            read_cols = columns or self._ds.columns
-            probe = value_func(base.select(*read_cols).limit(1).toPandas())
-            out_schema = spark.createDataFrame(probe).schema
-
-            def apply_batches(it):
-                for pdf in it:
-                    res = value_func(pdf[read_cols])
-                    res[ROWID_COL] = pdf[ROWID_COL].values
-                    yield res
-
-            full_schema = StructType(
-                list(out_schema.fields) + [StructField(ROWID_COL, LongType())]
+        if self._meta.num_rows == 0:
+            raise ValueError(
+                f"fragment {self.id} has no live rows; nothing to merge"
             )
-            new_df = base.mapInPandas(apply_batches, full_schema)
-            new_cols = list(out_schema.fieldNames())
-        else:
-            exprs = [F.expr(sql).alias(name) for name, sql in value_func.items()]
-            new_df = base.select(F.col(ROWID_COL), *exprs)
-            new_cols = list(value_func)
+        base = self.scanner(spark, with_row_id=True)
+        new_df, new_cols = transforms_to_new_df(
+            base, value_func, columns or self._ds.columns, spark
+        )
         collide = set(new_cols) & set(self._ds.columns)
         if collide:
             raise ValueError(f"columns already exist: {sorted(collide)}")
@@ -203,12 +222,7 @@ class LanceFragment:
             deletion_file=meta.deletion_file,
             num_deleted_rows=meta.num_deleted_rows,
         )
-        fields = (
-            spark.createDataFrame([], new_df.schema)
-            .select(*new_cols)
-            .schema.jsonValue()["fields"]
-        )
-        return new_frag, fields
+        return new_frag, new_fields_json(new_df, new_cols)
 
     # ---------------------------------------------------------------- reads
 

@@ -1,9 +1,10 @@
 """Package logging (reference log.py: ``set_logger`` / LOGGER).
 
 The reference routes its Rust-side tracing through a Python logger the
-user can replace; here the logger covers driver-side events (commits,
-index builds, maintenance) — executor-side work logs through Spark's own
-log4j, which ``set_logger`` cannot and should not capture.
+user can replace; here every manifest commit (each version of every
+dataset flows through ``manifest.commit``) logs at INFO and commit
+conflicts at DEBUG — executor-side work logs through Spark's own log4j,
+which ``set_logger`` cannot and should not capture.
 """
 
 from __future__ import annotations
@@ -28,6 +29,10 @@ def set_logger(
         format_string = "%(asctime)s - %(name)s - %(levelname)s - %(message)s"
     handler = log_handler or logging.FileHandler(file_path)
     handler.setFormatter(logging.Formatter(format_string))
+    # replace, don't stack: repeated set_logger calls must not duplicate
+    # every line once per call
+    for h in list(logger.handlers):
+        logger.removeHandler(h)
     logger.addHandler(handler)
     LOGGER = logger
     return logger

@@ -413,10 +413,21 @@ def commit(
                     write_manifest(root, manifest)
             else:
                 write_manifest(root, manifest)
+            _log().info(
+                "commit %s version=%d root=%s fragments=%d",
+                operation, version, root, len(manifest.fragments),
+            )
             return manifest
         except CommitConflictError:
+            _log().debug("commit conflict on %s version=%d root=%s", operation, version, root)
             continue
     raise CommitConflictError(f"commit of {operation} failed after {max_retries} retries")
+
+
+def _log():
+    from lance_spark.log import LOGGER
+
+    return LOGGER
 
 
 def reserve_fragment_ids(root: str, n: int) -> int:

@@ -51,6 +51,7 @@ def knn_batch(
     with a window — one pass over the corpus regardless of query count.
     Returns (query_id, id, _distance)."""
     corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(query_vec_col or vec_col).isNotNull())
     from pyspark.sql import Window
 
     qv = query_vec_col or vec_col

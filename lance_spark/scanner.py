@@ -197,17 +197,19 @@ class LanceScanner(DataFrame):
     def count_rows(self) -> int:
         """Row count of the scan result (reference dataset.py:4635).
 
-        With a stats callback registered, the count runs through a plan
-        handle we keep (df.count() executes a derived JVM Dataset whose
-        metrics are unreachable afterwards) so the scan metrics can be
-        harvested post-run."""
-        if self._scan_stats_callback is None:
+        With a stats callback registered (or global IO counters enabled),
+        the count runs through a plan handle we keep (df.count() executes a
+        derived JVM Dataset whose metrics are unreachable afterwards) so
+        the scan metrics can be harvested post-run."""
+        if self._scan_stats_callback is None and not _IO_COUNTERS["enabled"]:
             return self.count()
         from pyspark.sql import functions as F
 
         agg = self.groupBy().agg(F.count(F.lit(1)))
         n = int(agg.collect()[0][0])
-        self._scan_stats_callback(_stats_from_metrics(_executed_plan_metrics(agg)))
+        stats = _stats_from_metrics(_executed_plan_metrics(agg))
+        if self._scan_stats_callback is not None:
+            self._scan_stats_callback(stats)
         return n
 
     def scan_stats(self) -> ScanStatistics:

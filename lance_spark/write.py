@@ -357,10 +357,30 @@ def write_dataset(
 
     df = input_to_spark_df(df)
     if schema is not None:
-        # reference write_dataset(schema=...): project/cast to the declared
-        # schema (arrow or Spark StructType) — extra columns dropped
-        names = list(schema.names)
-        df = df.select(*names)
+        # reference write_dataset(schema=...): project AND cast to the
+        # declared schema (arrow or Spark StructType) — extra input columns
+        # are dropped, missing ones are a clear error
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType as _St
+
+        if not isinstance(schema, _St):
+            from pyspark.sql.pandas.types import from_arrow_type
+
+            schema = _St.fromJson(
+                {"type": "struct",
+                 "fields": [
+                     {"name": f.name,
+                      "type": from_arrow_type(f.type).jsonValue(),
+                      "nullable": f.nullable, "metadata": {}}
+                     for f in schema
+                 ]}
+            )
+        missing = [f.name for f in schema.fields if f.name not in df.columns]
+        if missing:
+            raise ValueError(f"declared schema columns missing from input: {missing}")
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+        )
 
     if max_rows_per_fragment is None:
         max_rows_per_fragment = max_rows_per_file

@@ -253,3 +253,27 @@ def test_stats_namespace_both_shapes(spark, ds):
     ds2 = create_scalar_index(ds, spark, "o_custkey", kind="BITMAP")
     st = ds2.stats.index_stats("o_custkey_bitmap_idx")
     assert st and isinstance(st, dict)
+
+
+def test_write_dataset_declared_schema_casts(spark, tmp_path):
+    import pyarrow as _pa
+
+    df = spark.createDataFrame([(1, 2.5, "drop")], "x long, y double, z string")
+    declared = _pa.schema([_pa.field("x", _pa.int32()), _pa.field("y", _pa.float32())])
+    uri = str(tmp_path / "cast")
+    ds = ls.write_dataset(df, uri, mode="create", schema=declared)
+    assert [f.name for f in ds.schema.fields] == ["x", "y"]
+    assert ds.schema["x"].dataType.simpleString() == "int"
+    assert ds.schema["y"].dataType.simpleString() == "float"
+    with pytest.raises(ValueError, match="missing from input"):
+        ls.write_dataset(df, str(tmp_path / "c2"), mode="create",
+                         schema=_pa.schema([_pa.field("nope", _pa.int64())]))
+
+
+def test_commit_logs_to_package_logger(spark, sf_dir, tmp_path, caplog):
+    import logging
+
+    df = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    with caplog.at_level(logging.INFO, logger="lance_spark"):
+        ls.write_dataset(df, str(tmp_path / "logds"), mode="create")
+    assert any("commit create version=1" in r.message for r in caplog.records)

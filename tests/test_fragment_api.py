@@ -85,14 +85,20 @@ def test_fragment_create_then_commit(spark, sf_dir, tmp_path):
 
 
 def test_fragment_create_from_file(spark, ds):
+    import pytest as _pt
+
     from lance_spark.fragment import LanceFragment
 
     frag = LanceFragment(ds, 0)
     path = frag.data_files()[0].path
-    meta = LanceFragment.create_from_file(path, ds, fragment_id=99)
-    assert meta.id == 99
+    # re-attach under the id the file's rowids actually encode
+    meta = LanceFragment.create_from_file(path, ds, fragment_id=0)
+    assert meta.id == 0
     assert meta.physical_rows == frag.physical_rows
     assert set(meta.files[0].columns) == set(frag.data_files()[0].columns)
+    # a DIFFERENT id would corrupt rowid-scoped ops → must refuse
+    with _pt.raises(ValueError, match="rowids of fragment"):
+        LanceFragment.create_from_file(path, ds, fragment_id=99)
 
 
 def test_fragment_schemas(spark, ds):
@@ -128,3 +134,25 @@ def test_fragment_merge_columns_distributed(spark, ds):
         fragments=updated, schema=schema_json))
     rows = ds2.to_df(spark).select("n_nationkey", "key2").collect()
     assert rows and all(r["key2"] == 2 * r["n_nationkey"] for r in rows)
+
+
+def test_fragment_create_empty_raises(spark, tmp_path):
+    from lance_spark.fragment import LanceFragment
+
+    empty = spark.createDataFrame([], "id long, v string")
+    with pytest.raises(ValueError, match="empty data"):
+        LanceFragment.create(str(tmp_path / "x"), empty, fragment_id=0)
+
+
+def test_merge_columns_on_emptied_fragment_raises(spark, ds):
+    from lance_spark.fragment import LanceFragment
+
+    f = LanceFragment(ds, 0)
+    lo, hi = f.id << 32, (f.id + 1) << 32
+    ds2 = ds.delete(spark, f"_rowid >= {lo} AND _rowid < {hi}")
+    f2 = LanceFragment(ds2, 0) if any(
+        fr.id == 0 for fr in ds2.manifest.fragments) else None
+    if f2 is None:
+        pytest.skip("fragment fully dropped by delete")
+    with pytest.raises(ValueError, match="no live rows"):
+        f2.merge_columns(spark, {"z": "1"})
