@@ -658,6 +658,42 @@ def ds_add_columns(spark, sf_dir):
 
 
 @query(
+    "ds_fragment_merge_columns",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice * 2), 2) AS doubled_sum
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def ds_fragment_merge_columns(spark, sf_dir):
+    """Distributed column evolution via fragment primitives (reference
+    fragment.py:585 merge_columns + LanceOperation.Merge): each fragment
+    computes its new column independently (worker role), then ONE
+    coordinator commit attaches them dataset-wide — the add_columns
+    workflow a multi-job pipeline runs at 100 TB."""
+    from lance_spark.fragment import LanceFragment
+    from lance_spark.operation import LanceOperation, commit
+
+    ds = _tmp_ds(spark, sf_dir, "orders", nparts=4)
+    updated, fields = [], None
+    for frag in ds.manifest.fragments:
+        nf, fields = LanceFragment(ds, frag.id).merge_columns(
+            spark, {"doubled": "o_totalprice * 2"}
+        )
+        updated.append(nf)
+    schema_json = {
+        "type": "struct",
+        "fields": list(ds.manifest.schema_json["fields"]) + fields,
+    }
+    ds2 = commit(ds.uri, LanceOperation.Merge(fragments=updated, schema=schema_json))
+    return (
+        ds2.to_df(spark)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("doubled"), 2).alias("doubled_sum"))
+    )
+
+
+@query(
     "ds_compact_preserves",
     """
     SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
