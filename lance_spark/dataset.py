@@ -178,6 +178,17 @@ class LanceDataset:
         this is a documented no-op kept for call-site compatibility."""
         return None
 
+    def merge_index_metadata(self, index_uuid: str, index_type: str,
+                             batch_readhead: int | None = None):
+        """Reference dataset.py:3006 merges an UNCOMMITTED native index
+        build into the dataset. Here the staged equivalent is
+        ``lance_spark.indices.IndicesBuilder.load_shuffled_vectors`` —
+        assemble + commit in one step — so this entry point only redirects."""
+        raise NotImplementedError(
+            "uncommitted-index merging is performed by "
+            "IndicesBuilder.load_shuffled_vectors (lance_spark.indices)"
+        )
+
     # reference exposes commit/commit_batch as LanceDataset staticmethods
     # (dataset.py:3059, 3225) as well as module-level functions
     @staticmethod

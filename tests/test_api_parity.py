@@ -277,3 +277,18 @@ def test_commit_logs_to_package_logger(spark, sf_dir, tmp_path, caplog):
     with caplog.at_level(logging.INFO, logger="lance_spark"):
         ls.write_dataset(df, str(tmp_path / "logds"), mode="create")
     assert any("commit create version=1" in r.message for r in caplog.records)
+
+
+def test_scanner_usable_as_join_right_side(spark, ds):
+    """The subclass contract: a LanceScanner must be accepted anywhere a
+    DataFrame is — including the RIGHT side of a plain-DataFrame join."""
+    left = spark.createDataFrame([(1,), (2,)], "o_orderkey long")
+    sc = ds.scanner(spark, columns=["o_orderkey", "o_totalprice"])
+    joined = left.join(sc, "o_orderkey")
+    assert joined.count() >= 0
+    assert {r["o_orderkey"] for r in joined.select("o_orderkey").distinct().collect()} <= {1, 2}
+
+
+def test_merge_index_metadata_redirects(ds):
+    with pytest.raises(NotImplementedError, match="load_shuffled_vectors"):
+        ds.merge_index_metadata("uuid", "IVF_PQ")
