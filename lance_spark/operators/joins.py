@@ -16,17 +16,57 @@ loop and unrunnable at 100 TB):
     preceding frame, keep left rows. ONE shuffle, no inequality join, no
     per-key fan-out. Skew = one user's events land in one partition's sort
     — an orderable spill, not an OOM.
-  - range_join: time-bucketing. Right rows key on floor(ts/width); left
-    anchors probe their bucket and the next one (a window [t, t+width)
-    spans at most 2 buckets), then the exact predicate filters. Turns the
-    inequality join into an equi-join with 2× probe fan-out — shuffle
-    volume O(n + 2m), never O(n·m).
+  - range_join: time-bucketing. Right rows key on floor(ts/bucket); left
+    anchors probe the ceil(window/bucket)+1 buckets a window [t, t+window)
+    can touch, then the exact predicate filters. Turns the inequality join
+    into an equi-join with bounded probe fan-out — shuffle volume
+    O(n + c·m) with c = ceil(window/bucket)+1, never O(n·m).
 """
 
 from __future__ import annotations
 
+import math
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_UNIT_SECONDS = {
+    "week": 604800, "weeks": 604800,
+    "day": 86400, "days": 86400,
+    "hour": 3600, "hours": 3600,
+    "minute": 60, "minutes": 60, "min": 60, "mins": 60,
+    "second": 1, "seconds": 1, "sec": 1, "secs": 1,
+}
+
+_INTERVAL_TOKEN = re.compile(r"\s*'?(\d+(?:\.\d+)?)'?\s+([a-zA-Z]+)\s*")
+
+
+def _interval_seconds(spark, window: str) -> float:
+    """Length of a SQL day-time interval body (``'1 hour'``,
+    ``'90 minutes'``, ``'1 day 6 hours'``) in seconds, resolved once on the
+    driver. Pure-python fast path for the common forms; falls back to a
+    one-row Spark evaluation for anything else so the accepted grammar is
+    exactly Spark's own."""
+    pos, total = 0, 0.0
+    while pos < len(window):
+        m = _INTERVAL_TOKEN.match(window, pos)
+        if not m or m.group(2).lower() not in _UNIT_SECONDS:
+            break
+        total += float(m.group(1)) * _UNIT_SECONDS[m.group(2).lower()]
+        pos = m.end()
+    if pos == len(window) and total > 0:
+        return total
+    # O(1) one-row driver job; tz-safe because the two timestamps share a tz
+    row = spark.range(1).select(
+        F.expr(
+            f"unix_timestamp(timestamp'2000-01-01 00:00:00' + INTERVAL {window})"
+            " - unix_timestamp(timestamp'2000-01-01 00:00:00')"
+        ).alias("s")
+    ).collect()[0]
+    if row["s"] is None or row["s"] <= 0:
+        raise ValueError(f"range_join window {window!r} must be a positive day-time interval")
+    return float(row["s"])
 
 
 def as_of_join(
@@ -105,18 +145,34 @@ def range_join(
     window: str,
     *,
     bucket_seconds: int,
+    max_probe_buckets: int = 64,
 ) -> DataFrame:
     """Pairs (left, right) where ``right.time ∈ [left.time, left.time +
     window)`` and keys match. ``window`` is a SQL interval body (e.g.
-    ``'1 hour'``) and ``bucket_seconds`` MUST equal or exceed its length so
-    a window spans at most two buckets.
+    ``'1 hour'``). The window length is parsed once on the driver and each
+    anchor probes the ``ceil(window/bucket_seconds)+1`` buckets its window
+    can touch — any ``bucket_seconds`` gives exact results; it only tunes
+    the probe fan-out. Raises if the fan-out would exceed
+    ``max_probe_buckets`` (pick a larger ``bucket_seconds``).
 
     Returns left columns + right columns suffixed ``_r``. Inner semantics:
     unmatched anchors are absent (wrap with a rejoin for left semantics).
     """
+    if bucket_seconds < 1:
+        raise ValueError("bucket_seconds must be a positive integer")
+    wsec = _interval_seconds(left.sparkSession, window)
+    n_probe = int(math.ceil(wsec / bucket_seconds)) + 1
+    if n_probe > max_probe_buckets:
+        raise ValueError(
+            f"range_join window {window!r} ({wsec:.0f}s) over bucket_seconds="
+            f"{bucket_seconds} needs {n_probe} probe buckets per anchor "
+            f"(> max_probe_buckets={max_probe_buckets}); raise bucket_seconds "
+            f"to >= {int(math.ceil(wsec / (max_probe_buckets - 1)))}"
+        )
     lb = F.floor(F.unix_timestamp(F.col(time_col)) / bucket_seconds)
     l2 = left.select(
-        *left.columns, F.explode(F.array(lb.cast("long"), (lb + 1).cast("long"))).alias("__b")
+        *left.columns,
+        F.explode(F.array(*[(lb + i).cast("long") for i in range(n_probe)])).alias("__b"),
     )
     rb = F.floor(F.unix_timestamp(F.col(time_col)) / bucket_seconds).cast("long")
     r2 = right.select(

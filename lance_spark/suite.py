@@ -45,17 +45,37 @@ def _t(spark, sf_dir, name):
 # TPC-H-style SQL surface (SURVEY §2.3 — the delegated-engine queries)
 # --------------------------------------------------------------------------
 
+# Scale-stable money sums (r4 verdict item 2): per-row products stay double
+# (bit-identical across engines on identical inputs), but the ACCUMULATION
+# happens in DECIMAL(38,6) — exact and order-independent — so the hash gate
+# survives any scale factor. float64 sums of ~4e10 magnitude over millions
+# of rows differ in trailing ulps between Spark and DuckDB purely from
+# accumulation order; decimal sums cannot. A double can never equal a
+# 6-dp midpoint exactly (scale-7 decimals are non-dyadic), so the
+# double->decimal cast also rounds identically in both engines.
+
+
+def _dsum(expr):
+    """Exact decimal accumulation of a double expression, back to double."""
+    return F.round(F.sum(expr.cast("decimal(38,6)")), 2).cast("double")
+
+
+def _davg(expr, places=4):
+    """Order-independent avg: exact decimal sum cast to double, / count."""
+    return F.round(F.sum(expr.cast("decimal(38,6)")).cast("double") / F.count("*"), places)
+
+
 @query(
     "tpch_q1",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE)      AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4)      AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4)      AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -66,13 +86,13 @@ def tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        _dsum(disc).alias("sum_disc_price"),
+        _dsum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+        _davg(F.col("l_quantity")).alias("avg_qty"),
+        _davg(F.col("l_extendedprice")).alias("avg_price"),
+        _davg(F.col("l_discount")).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -80,7 +100,7 @@ def tpch_q1(spark, sf_dir):
 @query(
     "tpch_q6",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -95,7 +115,7 @@ def tpch_q6(spark, sf_dir):
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
@@ -142,7 +162,7 @@ def tpch_q3_topk(spark, sf_dir):
 @query(
     "tpch_q5_region",
     """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -173,7 +193,7 @@ def tpch_q5_region(spark, sf_dir):
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
