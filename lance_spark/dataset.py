@@ -728,9 +728,85 @@ class LanceDataset:
 
     def sql(self, spark: SparkSession, query: str, table_name: str = "dataset") -> DataFrame:
         """Full SQL via temp view — the role DataFusion plays through
-        Dataset::sql() (rust/lance/src/dataset/sql.rs:66-80)."""
+        Dataset::sql() (rust/lance/src/dataset/sql.rs:66-80).
+
+        Supports the reference's ``fts(...)`` table function inside the SQL
+        text (rust/lance/src/dataset/udtf.rs:130-220):
+        ``SELECT * FROM fts('{"match": {"column": "text", "terms": "..."}}',
+        '{"with_row_id": true}') WHERE ...`` — args are (optional table
+        name,) query JSON (or plain terms), (optional options JSON with
+        with_row_id / with_row_addr / ordered). Each call compiles to a
+        scored DataFrame registered as a temp view; the SQL sees the
+        dataset's columns plus ``_score``."""
+        query = self._rewrite_fts_calls(spark, query)
         self.to_df(spark).createOrReplaceTempView(table_name)
         return spark.sql(query)
+
+    def _rewrite_fts_calls(self, spark: SparkSession, query: str) -> str:
+        """Replace each ``fts(...)`` table-function reference in the SQL
+        text with a temp view holding that search's results. The rewrite is
+        quote-aware: ``fts(`` inside a string literal is left alone, and
+        commas inside the JSON argument strings don't split args."""
+        import json as _json
+
+        from lance_spark.query import FullTextQuery, MatchQuery, execute_query, from_json
+
+        out, i, n_calls, in_str = [], 0, 0, False
+        q = query
+        while i < len(q):
+            ch = q[i]
+            if in_str:
+                out.append(ch)
+                if ch == "'":
+                    in_str = False
+                i += 1
+                continue
+            if ch == "'":
+                out.append(ch)
+                in_str = True
+                i += 1
+                continue
+            if (
+                q[i : i + 3].lower() == "fts"
+                and (i == 0 or not (q[i - 1].isalnum() or q[i - 1] in "_."))
+            ):
+                j = i + 3
+                while j < len(q) and q[j].isspace():
+                    j += 1
+                if j < len(q) and q[j] == "(":
+                    args, end = _split_sql_call_args(q, j)
+                    # arg shapes (udtf.rs:177-201): (query[, options]) or
+                    # (table_name, query[, options])
+                    if len(args) >= 2 and not args[0].lstrip().startswith("{"):
+                        args = args[1:]
+                    if not 1 <= len(args) <= 2:
+                        raise ValueError("fts() takes ([table,] query[, options])")
+                    opts = _json.loads(args[1]) if len(args) == 2 and args[1].strip() else {}
+                    qtext = args[0]
+                    qobj: FullTextQuery = (
+                        from_json(qtext) if qtext.lstrip().startswith("{") else MatchQuery(qtext)
+                    )
+                    hits = execute_query(spark, qobj, ds=self, k=None)
+                    base = self.to_df(spark, with_row_id=True)
+                    res = base.join(
+                        F.broadcast(hits), base[ROWID_COL] == hits["id"]
+                    ).drop("id")
+                    if opts.get("with_row_addr"):
+                        # rowid IS fragment<<32|offset pre-compaction
+                        res = res.withColumn(ROWADDR_COL, F.col(ROWID_COL))
+                    if not opts.get("with_row_id"):
+                        res = res.drop(ROWID_COL)
+                    if opts.get("ordered"):
+                        res = res.orderBy(F.desc("_score"))
+                    view = f"__lance_fts_{n_calls}"
+                    n_calls += 1
+                    res.createOrReplaceTempView(view)
+                    out.append(view)
+                    i = end
+                    continue
+            out.append(ch)
+            i += 1
+        return "".join(out)
 
     def sql_builder(self, query: str) -> "SqlQueryBuilder":
         """Builder-shaped SQL entry (reference dataset.py:3450-3475 ``sql`` →
@@ -1378,6 +1454,47 @@ class LanceDataset:
         from lance_spark.maintenance import optimize_indices
 
         return optimize_indices(self, spark)
+
+
+def _split_sql_call_args(q: str, lparen: int) -> tuple[list[str], int]:
+    """Split the args of a SQL call whose ``(`` is at ``lparen`` into
+    unquoted strings; returns (args, index past the closing paren). Handles
+    nested parens, single-quoted literals, and SQL ``''`` quote escapes —
+    commas inside quotes (e.g. in a JSON argument) never split."""
+    i, depth, args, cur, in_str = lparen + 1, 1, [], [], False
+    while i < len(q):
+        ch = q[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(q) and q[i + 1] == "'":
+                    cur.append("'")
+                    i += 2
+                    continue
+                in_str = False
+            else:
+                cur.append(ch)
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                s = "".join(cur).strip()
+                if s or args:
+                    args.append(s)
+                return args, i + 1
+            cur.append(ch)
+        elif ch == "," and depth == 1:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    raise ValueError("unterminated fts(...) call in SQL text")
 
 
 def _compat_filter(expr: str) -> str:

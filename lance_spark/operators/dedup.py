@@ -63,6 +63,57 @@ def _bucketed(banded: DataFrame, payload: list[str], max_bucket_size: int | None
     )
 
 
+def _lex_pairs(ids, hamming_expr, n: int):
+    """First ``n`` (id_a, id_b) pairs, in lexicographic order, from an
+    already-sorted id array — generated WITHOUT materializing the full
+    C(k,2) expansion beyond the first n+ slots per anchor. All pairs carry
+    the same distance (``hamming_expr``), e.g. 0 for an identical-signature
+    group."""
+    return F.slice(
+        F.flatten(
+            F.transform(
+                F.slice(ids, 1, n + 1),  # an anchor past n+1 can't reach top-n
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, n),
+                    lambda y: F.struct(
+                        hamming_expr.alias("hamming"),
+                        x.alias("id_a"),
+                        y.alias("id_b"),
+                    ),
+                ),
+            )
+        ),
+        1,
+        n,
+    )
+
+
+def _cross_pairs(ids_a, ids_b, hamming_expr, n: int):
+    """Top-``n`` (by (id_a, id_b)) cross pairs between two sorted id lists
+    (each already sliced to its n+2 smallest). Bounded: sorts at most
+    (n+2)^2 structs, only for group pairs that already passed the distance
+    filter."""
+    return F.slice(
+        F.array_sort(
+            F.flatten(
+                F.transform(
+                    ids_a,
+                    lambda a: F.transform(
+                        ids_b,
+                        lambda b: F.struct(
+                            hamming_expr.alias("hamming"),
+                            F.least(a, b).alias("id_a"),
+                            F.greatest(a, b).alias("id_b"),
+                        ),
+                    ),
+                )
+            )
+        ),
+        1,
+        n,
+    )
+
+
 def oversized_lsh_buckets(banded: DataFrame, max_bucket_size: int = DEFAULT_MAX_BUCKET) -> DataFrame:
     """Observability companion to the guard: (band_id, band_key, n) of the
     buckets the pair expansion would skip — run it when a dedup pass returns
@@ -172,11 +223,24 @@ def minhash_lsh_pairs(
     min_est_jaccard: float = 0.5,
     shingle_k: int = 3,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    max_pairs: int | None = None,
+    summary: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) with estimated jaccard =
     fraction of agreeing minhash positions. Banding makes the join an
     equi-join on (band_id, band_key): fully shuffle-partitioned, no
-    cross product; the self-join reuses the signature exchange."""
+    cross product; the self-join reuses the signature exchange.
+
+    ``max_pairs``: keep only the N highest-estimated pairs (ties broken on
+    (id_a, id_b)). The cap applies INSIDE each bucket before any pair
+    leaves the bucket row — a replica-heavy corpus whose true pair count is
+    quadratic can't make output cardinality the wall-clock. Exact: a pair
+    in the global top-N beats all but <N pairs in its own bucket, so the
+    per-bucket top-N slices cover the global top-N.
+
+    ``summary``: return one row (n_pairs, avg_est_jaccard) instead of the
+    pairs — the count-only mode for corpora where even enumerating pairs
+    is the cost you're probing for."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures_agg(df, text_col, id_col, num_perm, shingle_k)
     banded = sigs.select(
@@ -205,34 +269,121 @@ def minhash_lsh_pairs(
     # hot-bucket guard enforces against degenerate corpora.
     # explicit repartition pins the reduce parallelism: the bucket stage is
     # compute-heavy but byte-light, so AQE would coalesce it to one task
-    buckets = _bucketed(banded, ["id", "sig"], max_bucket_size)
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ms"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                    lambda y: F.struct(
-                        F.least(x["id"], y["id"]).alias("id_a"),
-                        F.greatest(x["id"], y["id"]).alias("id_b"),
-                        x["sig"].alias("sig_a"),
-                        y["sig"].alias("sig_b"),
+    def _agree(x_sig, y_sig):
+        return F.aggregate(
+            F.zip_with(x_sig, y_sig, lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    if max_pairs is None:
+        buckets = _bucketed(banded, ["id", "sig"], max_bucket_size)
+        pair = F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                        lambda y: F.struct(
+                            F.least(x["id"], y["id"]).alias("id_a"),
+                            F.greatest(x["id"], y["id"]).alias("id_b"),
+                            x["sig"].alias("sig_a"),
+                            y["sig"].alias("sig_b"),
+                        ),
                     ),
-                ),
+                )
             )
         )
+        pairs = buckets.select(pair.alias("p")).select("p.*").dropDuplicates(["id_a", "id_b"])
+        est = F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        out = (
+            pairs.withColumn("est_jaccard", F.round(est / F.lit(num_perm), 4))
+            .filter(F.col("est_jaccard") >= min_est_jaccard)
+            .select("id_a", "id_b", "est_jaccard")
+        )
+        if summary:
+            return out.agg(
+                F.count("*").alias("n_pairs"),
+                F.round(F.avg("est_jaccard"), 4).alias("avg_est_jaccard"),
+            )
+        return out
+
+    # capped mode: collapse identical signatures per bucket first (the
+    # replica-clique mass becomes one group row), lex-slice within-group
+    # pairs, compare only DISTINCT signatures cross-group — see
+    # _simhash_pairs_capped for the exactness argument
+    n = max_pairs
+    ids_slice = F.slice(F.array_sort(F.collect_list("id")), 1, n + 2)
+    groups = banded.repartition(
+        banded.sparkSession.sparkContext.defaultParallelism, "band_id", "band_key"
+    ).groupBy("band_id", "band_key", "sig").agg(
+        ids_slice.alias("ids"), F.count("*").alias("k")
     )
-    pairs = buckets.select(pair.alias("p")).select("p.*").dropDuplicates(["id_a", "id_b"])
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        groups = (
+            groups.withColumn("__d", F.count("*").over(w))
+            .filter(F.col("__d") <= max_bucket_size)
+            .drop("__d")
+        )
+    within = groups.filter(F.col("k") >= 2).select(
+        F.explode(_lex_pairs(F.col("ids"), F.lit(0), n)).alias("p")
     )
-    return (
-        pairs.withColumn("est_jaccard", F.round(est / F.lit(num_perm), 4))
-        .filter(F.col("est_jaccard") >= min_est_jaccard)
-        .select("id_a", "id_b", "est_jaccard")
+    bsigs = (
+        groups.groupBy("band_id", "band_key")
+        .agg(F.collect_list(F.struct("sig", "ids")).alias("gs"))
+        .filter(F.size("gs") > 1)
     )
+    min_agree_round = min_est_jaccard  # filter matches uncapped: round(est,4) >= threshold
+    cross_arr = F.flatten(
+        F.transform(
+            F.col("gs"),
+            lambda x, i: F.flatten(
+                F.transform(
+                    F.filter(
+                        F.slice(F.col("gs"), i + 2, F.size(F.col("gs"))),
+                        lambda y: F.round(_agree(x["sig"], y["sig"]) / F.lit(num_perm), 4)
+                        >= min_agree_round,
+                    ),
+                    lambda y: _cross_pairs(
+                        x["ids"],
+                        y["ids"],
+                        F.lit(num_perm) - _agree(x["sig"], y["sig"]),
+                        n,
+                    ),
+                )
+            ),
+        )
+    )
+    cross = bsigs.select(F.explode(cross_arr).alias("p"))
+    # TakeOrdered before dedup — see _simhash_pairs_capped: a pair shows up
+    # at most once per band, so top n*bands duplicated ⊇ top n distinct
+    out = (
+        within.unionByName(cross)
+        .select("p.id_a", "p.id_b", F.col("p.hamming").alias("disagree"))
+        .orderBy("disagree", "id_a", "id_b")
+        .limit(n * bands)
+        .dropDuplicates(["id_a", "id_b"])
+        .orderBy("disagree", "id_a", "id_b")
+        .limit(n)
+        .select(
+            "id_a",
+            "id_b",
+            F.round((F.lit(num_perm) - F.col("disagree")) / F.lit(num_perm), 4).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+    if summary:
+        return out.agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("est_jaccard"), 4).alias("avg_est_jaccard"),
+        )
+    return out
 
 
 def simhash(col, bits: int = 32):
@@ -284,9 +435,19 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    max_pairs: int | None = None,
+    summary: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ max_hamming, bucketed by
-    byte-bands (a pair within radius r < bands must agree on ≥1 band)."""
+    byte-bands (a pair within radius r < bands must agree on ≥1 band).
+
+    ``max_pairs``: keep only the N hamming-smallest pairs (ties broken on
+    (id_a, id_b)), capped per-bucket BEFORE any pair is materialized — see
+    minhash_lsh_pairs for why the per-bucket top-N is exact. This is the
+    scale valve for replica-heavy corpora whose true pair count is
+    quadratic (sf1's clique corpus: 24.4M pairs).
+
+    ``summary``: one row (n_pairs, avg_hamming) instead of the pairs."""
     sigs = simhash_signatures(df, text_col, id_col, bits)
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
@@ -307,32 +468,144 @@ def simhash_pairs(
     ).select("id", "simhash", "band.band_id", "band.band_key")
     # in-bucket pair expansion (see minhash_lsh_pairs): one pass, no
     # self-join re-execution of the signature aggregation
-    buckets = _bucketed(banded, ["id", "simhash"], max_bucket_size)
-    # hamming-filter BEFORE struct construction: buckets can hold millions of
-    # candidate pairs, but only survivors get materialized/flattened/shuffled
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ms"),
-                lambda x, i: F.transform(
+    if max_pairs is not None:
+        out = _simhash_pairs_capped(banded, max_hamming, max_bucket_size, max_pairs, bands)
+    else:
+        buckets = _bucketed(banded, ["id", "simhash"], max_bucket_size)
+        # hamming-filter BEFORE struct construction: buckets can hold
+        # millions of candidate pairs, but only survivors get
+        # materialized/flattened/shuffled
+        pair = F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda x, i: F.transform(
+                        F.filter(
+                            F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                            lambda y: F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+                            <= max_hamming,
+                        ),
+                        lambda y: F.struct(
+                            F.least(x["id"], y["id"]).alias("id_a"),
+                            F.greatest(x["id"], y["id"]).alias("id_b"),
+                            F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+                        ),
+                    ),
+                )
+            )
+        )
+        out = (
+            buckets.select(pair.alias("p"))
+            .select("p.id_a", "p.id_b", "p.hamming")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    if summary:
+        return out.agg(
+            F.count("*").alias("n_pairs"), F.round(F.avg("hamming"), 4).alias("avg_hamming")
+        )
+    return out
+
+
+def _simhash_pairs_capped(
+    banded: DataFrame, max_hamming: int, max_bucket_size: int | None, n: int, n_bands: int
+) -> DataFrame:
+    """Exact top-``n`` pairs by (hamming, id_a, id_b), built so a
+    replica-heavy corpus's quadratic pair mass never materializes:
+
+    1. Collapse identical signatures per bucket FIRST — a k-replica clique
+       becomes ONE group row carrying its n+2 smallest ids (provably
+       enough: a pair whose smaller id has >= n+1 smaller groupmates is
+       beaten by >= n+1 lex-smaller pairs, so the global top-n only ever
+       touches each group's n+2 smallest ids).
+    2. Within-group pairs (hamming 0) come from lex-slicing the sorted id
+       list — first n pairs, never C(k,2).
+    3. Short-circuit: if >= n pairs exist at hamming 0 (exact-signature
+       duplicates), the global top-n is entirely within-group — the whole
+       cross-group stage is skipped. This is the common shape of the
+       replica-heavy corpus capped mode exists for.
+    4. Cross-group comparisons (when needed) run on DISTINCT signatures
+       only (d^2 per bucket, not m^2), emitting at most n pairs per
+       qualifying group pair.
+    5. TakeOrdered over the duplicated stream, then dedup — see below.
+    """
+    ids_slice = F.slice(F.array_sort(F.collect_list("id")), 1, n + 2)
+    groups = banded.repartition(
+        banded.sparkSession.sparkContext.defaultParallelism, "band_id", "band_key"
+    ).groupBy("band_id", "band_key", "simhash").agg(
+        ids_slice.alias("ids"), F.count("*").alias("k")
+    )
+    if max_bucket_size is not None:
+        # guard on distinct signatures per bucket — that is what drives the
+        # d^2 comparison cost (replica mass is already collapsed)
+        w = Window.partitionBy("band_id", "band_key")
+        groups = (
+            groups.withColumn("__d", F.count("*").over(w))
+            .filter(F.col("__d") <= max_bucket_size)
+            .drop("__d")
+        )
+    # one row per distinct (bucket, signature): tiny vs the corpus — pin it
+    # so the count probe and the pair plan share a single signature pass
+    groups = groups.localCheckpoint(eager=True)
+    within = groups.filter(F.col("k") >= 2).select(
+        F.explode(_lex_pairs(F.col("ids"), F.lit(0), n)).alias("p")
+    )
+    # hamming-0 probe on band 0 ONLY: identical signatures agree on every
+    # band, so band 0's (band_key, simhash) groups partition the corpus by
+    # full signature — sum C(k,2) there is the EXACT distinct hamming-0
+    # pair count (any band would work; all bands would count each pair
+    # n_bands times)
+    band0 = groups.filter((F.col("band_id") == 0) & (F.col("k") >= 2))
+    row = band0.agg(
+        F.sum(
+            F.least(((F.col("k") * (F.col("k") - 1)) / 2).cast("long"), F.lit(n))
+        ).alias("s")
+    ).collect()[0]
+    if (row["s"] or 0) >= n:
+        return (
+            band0.select(F.explode(_lex_pairs(F.col("ids"), F.lit(0), n)).alias("p"))
+            .select("p.id_a", "p.id_b", "p.hamming")
+            .orderBy("hamming", "id_a", "id_b")
+            .limit(n)
+        )
+    bsigs = (
+        groups.groupBy("band_id", "band_key")
+        .agg(F.collect_list(F.struct("simhash", "ids")).alias("gs"))
+        .filter(F.size("gs") > 1)
+    )
+    cross_arr = F.flatten(
+        F.transform(
+            F.col("gs"),
+            lambda x, i: F.flatten(
+                F.transform(
                     F.filter(
-                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                        F.slice(F.col("gs"), i + 2, F.size(F.col("gs"))),
                         lambda y: F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
                         <= max_hamming,
                     ),
-                    lambda y: F.struct(
-                        F.least(x["id"], y["id"]).alias("id_a"),
-                        F.greatest(x["id"], y["id"]).alias("id_b"),
-                        F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+                    lambda y: _cross_pairs(
+                        x["ids"],
+                        y["ids"],
+                        F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])),
+                        n,
                     ),
-                ),
-            )
+                )
+            ),
         )
     )
+    cross = bsigs.select(F.explode(cross_arr).alias("p"))
+    # TakeOrdered FIRST (map-side partial top-k, no shuffle of the pair
+    # mass), THEN dedup: a pair appears at most once per band, so the top
+    # n*n_bands duplicated rows surely contain the top n distinct pairs —
+    # this replaces a full dropDuplicates shuffle of the (possibly
+    # quadratic) candidate stream with a driver-sized merge
     return (
-        buckets.select(pair.alias("p"))
-        .select("p.*")
+        within.unionByName(cross)
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .orderBy("hamming", "id_a", "id_b")
+        .limit(n * n_bands)
         .dropDuplicates(["id_a", "id_b"])
+        .orderBy("hamming", "id_a", "id_b")
+        .limit(n)
     )
 
 

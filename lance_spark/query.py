@@ -139,6 +139,71 @@ class BooleanQuery(FullTextQuery):
         return FullTextQueryType.BOOLEAN
 
 
+# ------------------------------------------------------------- JSON parser
+
+
+def from_json(json_str: str) -> FullTextQuery:
+    """Parse the reference's FTS JSON grammar into a query object
+    (rust/lance-index/src/scalar/inverted/parser.rs:156-178): a single-key
+    object ``{"match"|"phrase"|"boost"|"multi_match"|"boolean": {...}}``."""
+    import json as _json
+
+    value = _json.loads(json_str) if isinstance(json_str, str) else json_str
+    return _from_json_value(value)
+
+
+def _from_json_value(value) -> FullTextQuery:
+    if not isinstance(value, dict) or len(value) != 1:
+        raise ValueError("fts query must be a single-key JSON object")
+    qtype, v = next(iter(value.items()))
+    if qtype == "match":
+        return _match_from_json(v)
+    if qtype == "phrase":
+        return PhraseQuery(v["terms"], v.get("column"), slop=int(v.get("slop", 0)))
+    if qtype == "boost":
+        return BoostQuery(
+            _from_json_value(v["positive"]),
+            _from_json_value(v["negative"]),
+            negative_boost=float(v.get("negative_boost", 0.5)),
+        )
+    if qtype == "multi_match":
+        matches = [_match_from_json(m) for m in v["match_queries"]]
+        if not matches:
+            raise ValueError("empty multi_match query")
+        if all(m.query == matches[0].query for m in matches):
+            return MultiMatchQuery(
+                matches[0].query,
+                [m.column for m in matches],
+                boosts=[m.boost for m in matches],
+                operator=matches[0].operator,
+            )
+        # heterogenous terms: reference models multi_match as a list of
+        # MatchQuery anyway — a SHOULD-union scores identically
+        return BooleanQuery([(Occur.SHOULD, m) for m in matches])
+    if qtype == "boolean":
+        clauses = [(Occur.MUST, _from_json_value(q)) for q in v.get("must", [])]
+        clauses += [(Occur.SHOULD, _from_json_value(q)) for q in v.get("should", [])]
+        clauses += [(Occur.MUST_NOT, _from_json_value(q)) for q in v.get("must_not", [])]
+        return BooleanQuery(clauses)
+    raise ValueError(f"unknown fts query type: {qtype!r}")
+
+
+def _match_from_json(v) -> MatchQuery:
+    fuzz = v.get("fuzziness", 0)
+    # reference "auto" = tantivy length-based distance, capped at 2
+    fuzz = 2 if fuzz == "auto" else int(fuzz or 0)
+    op = FullTextOperator(v.get("operator", "OR").upper())
+    return MatchQuery(
+        v["terms"],
+        v.get("column"),
+        boost=float(v.get("boost", 1.0)),
+        fuzziness=fuzz,
+        max_expansions=int(v.get("max_expansions", 50)),
+        operator=op,
+        prefix_length=int(v.get("prefix_length", 0)),
+    )
+
+
 # ---------------------------------------------------------------- compiler
 
 

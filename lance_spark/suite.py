@@ -896,6 +896,21 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 
 @query(
+    "dedup_simhash_capped",
+    _simhash_oracle().rstrip() + "\n    ORDER BY hamming, id_a, id_b LIMIT 50\n",
+)
+def dedup_simhash_capped(spark, sf_dir):
+    """max_pairs mode: the N hamming-smallest pairs, capped per-bucket
+    before any pair is materialized — output stays bounded even when the
+    corpus's true pair count is quadratic (dedup.py simhash_pairs)."""
+    from lance_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_corpus(spark, sf_dir), "text", "id", max_pairs=50).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     f"""
     WITH corpus AS ({_DUCK_CORPUS}),
@@ -1846,6 +1861,27 @@ def fts_index_match(spark, sf_dir):
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
+@query("func_fts_sql", _bm25_oracle(["table", "scan", "join"]))
+def func_fts_sql(spark, sf_dir):
+    """FTS as a table function inside a SQL string — the reference's
+    ``fts(...)`` UDTF (rust/lance/src/dataset/udtf.rs:130-220). The whole
+    query is one SQL text; ds.sql rewrites the fts() call into a scored
+    temp view, and results must equal the flat BM25 oracle."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_ftsudtf_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    return dataset(uri).sql(
+        spark,
+        """SELECT doc_id, _score
+           FROM fts('{"match": {"column": "text", "terms": "table scan join"}}')
+           ORDER BY _score DESC, doc_id LIMIT 10""",
     )
 
 

@@ -1,0 +1,149 @@
+"""fts(...) as a table function inside ds.sql() SQL text — parity with the
+reference's UDTF (rust/lance/src/dataset/udtf.rs:130-220) — plus the FTS
+JSON query grammar (rust/lance-index/src/scalar/inverted/parser.rs).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import lance_spark as ls
+from lance_spark.query import (
+    BooleanQuery,
+    BoostQuery,
+    FullTextOperator,
+    MatchQuery,
+    MultiMatchQuery,
+    Occur,
+    PhraseQuery,
+    from_json,
+)
+
+
+@pytest.fixture()
+def docs_ds(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    return ls.write_dataset(docs, str(tmp_path / "docs")), docs
+
+
+def test_fts_sql_matches_dataframe_api(spark, docs_ds):
+    ds, _docs = docs_ds
+    via_sql = ds.sql(
+        spark,
+        """SELECT doc_id, _score
+           FROM fts('{"match": {"column": "text", "terms": "table scan"}}')
+           ORDER BY _score DESC, doc_id LIMIT 5""",
+    ).collect()
+    via_df = (
+        ds.full_text_search(spark, MatchQuery("table scan", "text"), k=None)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(5)
+        .collect()
+    )
+    assert [(r["doc_id"], r["_score"]) for r in via_sql] == [
+        (r["doc_id"], r["_score"]) for r in via_df
+    ]
+
+
+def test_fts_sql_plain_terms_and_where(spark, docs_ds):
+    ds, _ = docs_ds
+    out = ds.sql(
+        spark,
+        "SELECT doc_id, lang, _score FROM fts('table scan') WHERE lang = 'en' "
+        "ORDER BY _score DESC, doc_id LIMIT 5",
+    ).collect()
+    assert 0 < len(out) <= 5
+    assert all(r["lang"] == "en" for r in out)
+
+
+def test_fts_sql_reference_arg_shapes(spark, docs_ds):
+    """(table_name, query, options) — the full udtf.rs:177-201 arg shape,
+    options JSON carrying with_row_id."""
+    ds, _ = docs_ds
+    out = ds.sql(
+        spark,
+        """SELECT _rowid, doc_id FROM
+           fts('docs', '{"match": {"column": "text", "terms": "table"}}',
+               '{"with_row_id": true}')
+           ORDER BY doc_id LIMIT 3""",
+    )
+    assert set(out.columns) == {"_rowid", "doc_id"}
+    assert out.count() == 3
+
+
+def test_fts_sql_join_against_dataset_view(spark, docs_ds):
+    """The fts view composes with the dataset view in one SQL text."""
+    ds, _ = docs_ds
+    out = ds.sql(
+        spark,
+        """SELECT d.doc_id, f._score
+           FROM fts('{"match": {"column": "text", "terms": "table scan"}}') f
+           JOIN dataset d ON f.doc_id = d.doc_id
+           ORDER BY f._score DESC, d.doc_id LIMIT 4""",
+    )
+    assert out.count() == 4
+
+
+def test_fts_sql_literal_not_rewritten(spark, docs_ds):
+    ds, _ = docs_ds
+    out = ds.sql(spark, "SELECT 'fts(x)' AS s FROM dataset LIMIT 1").collect()
+    assert out[0]["s"] == "fts(x)"
+    # and an identifier merely ending in fts is untouched
+    out2 = ds.sql(spark, "SELECT length('abcfts') AS n FROM dataset LIMIT 1").collect()
+    assert out2[0]["n"] == 6
+
+
+def test_fts_sql_bad_args_raise(spark, docs_ds):
+    ds, _ = docs_ds
+    with pytest.raises(ValueError, match="fts"):
+        ds.sql(spark, "SELECT * FROM fts()")
+    with pytest.raises(ValueError, match="unterminated"):
+        ds.sql(spark, "SELECT * FROM fts('oops")
+
+
+def test_from_json_match_full_options():
+    q = from_json(
+        '{"match": {"column": "text", "terms": "catch fish", "boost": 2.0,'
+        ' "fuzziness": 1, "max_expansions": 10, "operator": "And",'
+        ' "prefix_length": 2}}'
+    )
+    assert isinstance(q, MatchQuery)
+    assert q.column == "text" and q.query == "catch fish"
+    assert q.boost == 2.0 and q.fuzziness == 1 and q.max_expansions == 10
+    assert q.operator is FullTextOperator.AND and q.prefix_length == 2
+
+
+def test_from_json_phrase_boost_boolean():
+    q = from_json(
+        '{"boolean": {"must": [{"phrase": {"column": "text", "terms": "a b", "slop": 1}}],'
+        ' "should": [{"match": {"terms": "c"}}],'
+        ' "must_not": [{"match": {"terms": "d"}}]}}'
+    )
+    assert isinstance(q, BooleanQuery)
+    occs = [o for o, _ in q.queries]
+    assert occs == [Occur.MUST, Occur.SHOULD, Occur.MUST_NOT]
+    assert isinstance(q.queries[0][1], PhraseQuery)
+    assert q.queries[0][1].slop == 1
+
+    b = from_json(
+        '{"boost": {"positive": {"match": {"terms": "x"}},'
+        ' "negative": {"match": {"terms": "y"}}, "negative_boost": 0.3}}'
+    )
+    assert isinstance(b, BoostQuery) and b.negative_boost == 0.3
+
+
+def test_from_json_multi_match():
+    q = from_json(
+        '{"multi_match": {"match_queries": ['
+        '{"column": "title", "terms": "spark", "boost": 2.0},'
+        '{"column": "text", "terms": "spark"}]}}'
+    )
+    assert isinstance(q, MultiMatchQuery)
+    assert q.columns == ["title", "text"] and q.boosts == [2.0, 1.0]
+
+
+def test_from_json_rejects_garbage():
+    with pytest.raises(ValueError):
+        from_json('{"match": {}, "phrase": {}}')
+    with pytest.raises(ValueError):
+        from_json('{"wat": {"terms": "x"}}')

@@ -60,6 +60,52 @@ def test_simhash_pairs(spark, docs):
     assert (1, 3) in pairs
 
 
+def test_simhash_pairs_capped_keeps_hamming_smallest(spark, sf_dir):
+    """max_pairs mode must return exactly the N (hamming, id_a, id_b)-
+    smallest pairs of the uncapped output — the per-bucket top-N slice is
+    provably exact for the global top-N."""
+    from lance_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(400)
+    full = sorted(
+        ((r.hamming, r.id_a, r.id_b) for r in
+         simhash_pairs(docs, "text", "doc_id").collect())
+    )
+    n = 20
+    capped = [(r.hamming, r.id_a, r.id_b) for r in
+              simhash_pairs(docs, "text", "doc_id", max_pairs=n).collect()]
+    assert len(full) > n  # the cap is actually binding
+    assert sorted(capped) == full[:n]
+
+
+def test_simhash_pairs_summary_mode(spark, docs):
+    from lance_spark.operators.dedup import simhash_pairs
+
+    full = simhash_pairs(docs, "text", "id").count()
+    row = simhash_pairs(docs, "text", "id", summary=True).collect()[0]
+    assert row["n_pairs"] == full
+    assert row["avg_hamming"] is not None
+
+
+def test_minhash_pairs_capped_matches_uncapped_top(spark, sf_dir):
+    from lance_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(400)
+    full = sorted(
+        ((-r.est_jaccard, r.id_a, r.id_b) for r in
+         minhash_lsh_pairs(docs, "text", "doc_id", min_est_jaccard=0.5).collect())
+    )
+    n = 15
+    capped = [(-r.est_jaccard, r.id_a, r.id_b) for r in
+              minhash_lsh_pairs(docs, "text", "doc_id", min_est_jaccard=0.5,
+                                max_pairs=n).collect()]
+    assert len(full) > n
+    assert sorted(capped) == full[:n]
+    row = minhash_lsh_pairs(docs, "text", "doc_id", min_est_jaccard=0.5,
+                            summary=True).collect()[0]
+    assert row["n_pairs"] == len(full)
+
+
 def test_knn_bruteforce_cosine(spark):
     from lance_spark.operators.knn import knn_bruteforce
 
