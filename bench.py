@@ -45,7 +45,26 @@ HEADLINE = [
     # round-4b pipeline operators
     "curate_mix_weighted",
     "curate_global_shuffle",
+    # round-5: bounded-output near-dup (the replica-heavy-corpus scale valve)
+    "dedup_simhash_capped",
 ]
+
+
+def _between_queries(spark) -> None:
+    """Heap hygiene between timed queries: a long single-process suite
+    accumulates cached relations, shuffle bookkeeping, and un-collected
+    garbage, so mid-suite rows measure heap history instead of plans
+    (BENCH_sf1: events_session_window 9.1s in-suite vs 0.8s standalone).
+    Clearing the SQL cache and nudging both collectors between rows makes
+    each timing start from a comparable heap."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass  # py4j hiccup — skip the nudge rather than fail the bench
 
 
 def bench_indexed(spark, sf_dir: str, timings: dict[str, float]) -> None:
@@ -146,6 +165,7 @@ def main():
     for name in HEADLINE:
         if name not in suite.QUERIES:
             continue
+        _between_queries(spark)
         samples = []
         for _ in range(repeats):
             t0 = time.time()
@@ -161,6 +181,7 @@ def main():
             file=sys.stderr,
         )
 
+    _between_queries(spark)
     bench_indexed(spark, sf_dir, timings)
     for k in ("ann_build", "ann_search", "fts_index_build", "fts_bm25_indexed"):
         print(f"# {k}: {timings[k]:.3f}s", file=sys.stderr)

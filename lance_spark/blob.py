@@ -141,12 +141,21 @@ def blob_files(ds, column: str, rowids: list[int]) -> list[BlobFile]:
     from lance_spark.write import FRAGID_SHIFT
 
     out = []
-    all_paths = [ds._abs(p) for p in ds._blob_files(column)]
+    rel_paths = ds._blob_files(column)
+    all_paths = [ds._abs(p) for p in rel_paths]
     frags = {f.id: f for f in ds.manifest.fragments} if ds._rowid_addressable() else {}
     for rid in rowids:
         frag = frags.get(rid >> FRAGID_SHIFT)
         if frag is not None and any(column in f.columns for f in frag.files[1:]):
             paths = [ds._abs(p) for p in ds._blob_files(column, [frag])]
+        elif not frags:
+            # post-compaction: footer-stats pruning (dataset._rowid_range)
+            # narrows each handle to the files whose _rowid range covers it
+            hit = [
+                ds._abs(p) for p in rel_paths
+                if (rng := ds._rowid_range(p)) is None or rng[0] <= rid <= rng[1]
+            ]
+            paths = hit or all_paths
         else:
             paths = all_paths
         out.append(BlobFile(paths, column, rid))

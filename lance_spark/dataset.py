@@ -667,16 +667,78 @@ class LanceDataset:
         preserves ids into new fragments and clears this (config flag)."""
         return bool(self.manifest.config.get("rowid_address_style", True))
 
+    def _rowid_range(self, path: str) -> tuple[int, int] | None:
+        """(min, max) of ``_rowid`` in one parquet file, from its footer
+        stats — an O(footer) driver read, cached per (version, path) since
+        data files are immutable. None when stats are unavailable."""
+        cache = self.__dict__.setdefault("_rowid_range_cache", {})
+        if path in cache:
+            return cache[path]
+        rng = None
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.read_metadata(self._abs(path))
+            idx = next(
+                (i for i in range(md.num_columns)
+                 if md.schema.column(i).name == ROWID_COL),
+                None,
+            )
+            if idx is not None:
+                mn, mx = None, None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        mn = None
+                        break
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+                if mn is not None:
+                    rng = (int(mn), int(mx))
+        except Exception:
+            rng = None
+        cache[path] = rng
+        return rng
+
+    def _prune_frags_by_rowid_stats(
+        self, fragments: list, rowids: list[int], file_of=None
+    ) -> list:
+        """Post-compaction fragment pruning: rowids no longer encode the
+        fragment, but each file's footer still bounds its ``_rowid`` values
+        (compaction writes ids in sorted runs). Keep a fragment iff any
+        requested id lands inside one of its files' [min, max] — the
+        TakeExec analogue (take.rs:103) for mid-size id sets. A file with
+        no stats is conservatively kept."""
+        import bisect
+
+        rid_sorted = sorted(rowids)
+
+        def hit(path: str) -> bool:
+            rng = self._rowid_range(path)
+            if rng is None:
+                return True
+            i = bisect.bisect_left(rid_sorted, rng[0])
+            return i < len(rid_sorted) and rid_sorted[i] <= rng[1]
+
+        out = []
+        for f in fragments:
+            paths = file_of(f) if file_of else [df.path for df in f.files]
+            if any(hit(p) for p in paths):
+                out.append(f)
+        return out
+
     def take(self, spark: SparkSession, rowids: list[int], columns: list[str] | None = None) -> DataFrame:
         """Random access by _rowid (dataset/take.rs:103). Small id sets prune
         to the owning fragments first → targeted file reads, the parquet
         analogue of Lance's point reads. After compaction the prefix no
         longer names the fragment, so pruning falls back to parquet _rowid
-        min/max stats (rowid runs stay dense per file)."""
+        min/max footer stats (rowid runs stay dense per file)."""
         frags = self.manifest.fragments
         if self._rowid_addressable():
             fids = {rid >> FRAGID_SHIFT for rid in rowids}
             frags = [f for f in frags if f.id in fids]
+        else:
+            frags = self._prune_frags_by_rowid_stats(frags, rowids)
         df = self._fragment_df(spark, frags, columns if columns else None)
         df = df.filter(F.col(ROWID_COL).isin(rowids))
         return df.select(*(columns or self.columns), ROWID_COL)
@@ -713,7 +775,22 @@ class LanceDataset:
         if self._rowid_addressable():
             fids = {rid >> FRAGID_SHIFT for rid in rowids}
             frags = [f for f in frags if f.id in fids]
-        df = self._read_files(spark, self._blob_files(column, frags))
+        else:
+            # post-compaction: prune by each blob file's _rowid footer stats
+            # so a small take on a many-fragment dataset opens only the
+            # owning blob files, never the whole store
+            frags = self._prune_frags_by_rowid_stats(
+                frags, rowids,
+                file_of=lambda f: [
+                    df.path for df in f.files[1:] if column in df.columns
+                ],
+            )
+        self._blob_files(column)  # validate the column even if pruning emptied frags
+        paths = [p for f in frags for df in f.files[1:] if column in df.columns
+                 for p in [df.path]]
+        if not paths:
+            return spark.createDataFrame([], f"{ROWID_COL} long, {column} binary")
+        df = self._read_files(spark, paths)
         return df.filter(F.col(ROWID_COL).isin(rowids)).select(ROWID_COL, column)
 
     def take_blob_files(self, rowids: list[int], column: str) -> list:
@@ -1285,45 +1362,10 @@ class LanceDataset:
         dest = os.path.abspath(dest_uri)
         if mf.latest_version(dest) is not None:
             raise ValueError(f"dataset already exists at {dest}")
-
-        def _absolutize(p: str) -> str:
-            return p if os.path.isabs(p) else os.path.join(self.uri, p)
-
         src = self.manifest
-        frags = [
-            mf.Fragment(
-                id=f.id,
-                files=[mf.DataFile(_absolutize(df.path), list(df.columns)) for df in f.files],
-                physical_rows=f.physical_rows,
-                deletion_file=_absolutize(f.deletion_file) if f.deletion_file else None,
-                num_deleted_rows=f.num_deleted_rows,
-            )
-            for f in src.fragments
-        ]
-        indices = [
-            mf.IndexMeta(
-                name=i.name,
-                index_type=i.index_type,
-                column=i.column,
-                path=_absolutize(i.path),
-                fragment_ids=list(i.fragment_ids),
-                params=dict(i.params),
-            )
-            for i in src.indices
-        ]
 
         def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
-            return mf.Manifest(
-                version=version,
-                schema_json=src.schema_json,
-                fragments=frags,
-                max_fragment_id=src.max_fragment_id,
-                operation="clone",
-                indices=indices,
-                config={**src.config, "cloned_from": {"uri": self.uri, "version": src.version}},
-                blob_columns=list(src.blob_columns),
-                bases=list(src.bases),
-            )
+            return mf.cloned_manifest(self.uri, src, version)
 
         mf.commit(dest, build, operation="clone")
         return LanceDataset(dest)

@@ -450,6 +450,50 @@ def reserve_fragment_ids(root: str, n: int) -> int:
     return out["start"]
 
 
+def cloned_manifest(src_uri: str, src: "Manifest", version: int) -> "Manifest":
+    """Manifest for a zero-copy clone of ``src`` (Operation::Clone,
+    transaction.rs:273-280): fragments, deletion sidecars, and index paths
+    reference the source IN PLACE by absolute path — O(metadata). Shared by
+    ``LanceDataset.shallow_clone`` and the typed ``LanceOperation.Clone``
+    commit path."""
+
+    def _abs(p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(src_uri, p)
+
+    frags = [
+        Fragment(
+            id=f.id,
+            files=[DataFile(_abs(df.path), list(df.columns)) for df in f.files],
+            physical_rows=f.physical_rows,
+            deletion_file=_abs(f.deletion_file) if f.deletion_file else None,
+            num_deleted_rows=f.num_deleted_rows,
+        )
+        for f in src.fragments
+    ]
+    indices = [
+        IndexMeta(
+            name=i.name,
+            index_type=i.index_type,
+            column=i.column,
+            path=_abs(i.path),
+            fragment_ids=list(i.fragment_ids),
+            params=dict(i.params),
+        )
+        for i in src.indices
+    ]
+    return Manifest(
+        version=version,
+        schema_json=src.schema_json,
+        fragments=frags,
+        max_fragment_id=src.max_fragment_id,
+        operation="clone",
+        indices=indices,
+        config={**src.config, "cloned_from": {"uri": src_uri, "version": src.version}},
+        blob_columns=list(src.blob_columns),
+        bases=list(src.bases),
+    )
+
+
 # ------------------------------------------------------------------- refs
 
 

@@ -91,6 +91,59 @@ class LanceOperation:
         schema: object
 
     @dataclass
+    class UpdateMap:
+        """Updates to one metadata map (reference dataset.py:4123-4137):
+        ``None`` values delete keys; ``replace=True`` swaps the whole map."""
+
+        updates: dict
+        replace: bool = False
+
+    @dataclass
+    class UpdateConfig(BaseOperation):
+        """Metadata-only commit updating config / table metadata / schema
+        metadata / per-field metadata (reference dataset.py:4140-4165;
+        transaction.rs:260-265). ``field_metadata_updates`` is keyed by
+        field name (or positional field index) since names are the stable
+        spark-side identifier."""
+
+        config_updates: "LanceOperation.UpdateMap | None" = None
+        table_metadata_updates: "LanceOperation.UpdateMap | None" = None
+        schema_metadata_updates: "LanceOperation.UpdateMap | None" = None
+        field_metadata_updates: dict | None = None
+
+    @dataclass
+    class Clone(BaseOperation):
+        """Clone a dataset from ``ref_path`` (transaction.rs:273-280).
+        Shallow = the new manifest references the source's data/deletion/
+        index files in place by absolute path (O(metadata)); deep = files
+        are copied under the destination root (driver-side IO — at cluster
+        scale run a distributed copy first, then commit shallow against
+        the copy)."""
+
+        is_shallow: bool = True
+        ref_name: str | None = None  # tag/branch of the source to clone
+        ref_version: int | None = None
+        ref_path: str = ""
+        branch_name: str | None = None  # branch ref created at the clone
+
+    @dataclass
+    class DataReplacementGroup:
+        """One fragment's data-file swap (reference dataset.py:4067-4073)."""
+
+        fragment_id: int
+        new_file: object  # manifest.DataFile (or its to_json dict)
+
+    @dataclass
+    class DataReplacement(BaseOperation):
+        """Replace existing datafiles in place (reference dataset.py:
+        4076-4081; transaction.rs DataReplacement): each group swaps the
+        fragment's column-group file that covers the same columns. Row
+        counts are unchanged — this is the file-level seam backfills and
+        encodings migrations commit through."""
+
+        replacements: list
+
+    @dataclass
     class CreateIndex(BaseOperation):
         """Register/replace index metadata without a build pass (reference
         test_commit_index.py flow: copy index files, then commit a
@@ -131,6 +184,28 @@ def _schema_json(schema) -> dict:
     from lance_spark.types import schema_to_json
 
     return schema_to_json(schema)
+
+
+def _field_entry(schema_json: dict, path) -> dict:
+    """Field entry by dotted name path, or by positional index for int keys
+    (mirrors LanceDataset._field_entry)."""
+    fields = schema_json["fields"]
+    if isinstance(path, int):
+        if not 0 <= path < len(fields):
+            raise KeyError(f"field index out of range: {path}")
+        return fields[path]
+    parts = str(path).split(".")
+    for i, part in enumerate(parts):
+        entry = next((f for f in fields if f["name"] == part), None)
+        if entry is None:
+            raise KeyError(f"field not found: {path}")
+        if i == len(parts) - 1:
+            return entry
+        t = entry["type"]
+        if not (isinstance(t, dict) and t.get("type") == "struct"):
+            raise KeyError(f"field not found: {path} ({part} is not a struct)")
+        fields = t["fields"]
+    raise KeyError(f"field not found: {path}")
 
 
 def _apply(op, base: mf.Manifest | None, version: int) -> mf.Manifest:
@@ -209,6 +284,93 @@ def _apply(op, base: mf.Manifest | None, version: int) -> mf.Manifest:
     if isinstance(op, O.Project):
         assert base is not None
         return mf.Manifest.evolve(base, version, schema_json=_schema_json(op.schema))
+    if isinstance(op, O.UpdateConfig):
+        assert base is not None
+
+        def merged(cur: dict, um) -> dict:
+            out = {} if (um is not None and um.replace) else dict(cur)
+            if um is not None:
+                out.update(um.updates)
+            return {k: v for k, v in out.items() if v is not None}
+
+        config = dict(base.config)
+        if op.config_updates is not None:
+            # flat config keys only — the metadata namespaces have their own
+            # UpdateMaps and must survive a config replace (update_config
+            # method semantics, dataset.py)
+            flat = {
+                k: v for k, v in config.items()
+                if k not in ("schema_metadata", "table_metadata")
+            }
+            keep = {
+                k: v for k, v in config.items()
+                if k in ("schema_metadata", "table_metadata")
+            }
+            config = {**keep, **merged(flat, op.config_updates)}
+        for ns, um in (
+            ("schema_metadata", op.schema_metadata_updates),
+            ("table_metadata", op.table_metadata_updates),
+        ):
+            if um is not None:
+                config[ns] = merged(config.get(ns, {}), um)
+        schema = base.schema_json
+        if op.field_metadata_updates:
+            import copy
+
+            schema = copy.deepcopy(schema)
+            for key, um in op.field_metadata_updates.items():
+                entry = _field_entry(schema, key)
+                entry["metadata"] = merged(entry.get("metadata", {}), um)
+        return mf.Manifest.evolve(
+            base, version, config=config, schema_json=schema,
+        )
+    if isinstance(op, O.DataReplacement):
+        assert base is not None
+        by_id = {f.id: f for f in base.fragments}
+        swaps: dict[int, mf.DataFile] = {}
+        for g in op.replacements:
+            nf = g.new_file
+            if not isinstance(nf, mf.DataFile):
+                nf = mf.DataFile.from_json(nf)
+            if g.fragment_id not in by_id:
+                raise ValueError(f"DataReplacement: no fragment {g.fragment_id}")
+            swaps[g.fragment_id] = nf
+        frags = []
+        for f in base.fragments:
+            nf = swaps.get(f.id)
+            if nf is None:
+                frags.append(f)
+                continue
+            # swap the column-group file covering the same columns
+            target = next(
+                (df for df in f.files if set(df.columns) == set(nf.columns)), None
+            )
+            if target is None:
+                raise ValueError(
+                    f"DataReplacement: fragment {f.id} has no data file with "
+                    f"columns {sorted(nf.columns)}"
+                )
+            frags.append(
+                mf.Fragment(
+                    id=f.id,
+                    files=[nf if df is target else df for df in f.files],
+                    physical_rows=f.physical_rows,
+                    deletion_file=f.deletion_file,
+                    num_deleted_rows=f.num_deleted_rows,
+                )
+            )
+        # replaced files fall out of index coverage for indexes on the
+        # swapped columns (their values may have changed)
+        swapped_cols = {c for nf in swaps.values() for c in nf.columns}
+        indices = [
+            i if i.column not in swapped_cols else mf.IndexMeta(
+                name=i.name, index_type=i.index_type, column=i.column, path=i.path,
+                fragment_ids=[fid for fid in i.fragment_ids if fid not in swaps],
+                params=i.params,
+            )
+            for i in base.indices
+        ]
+        return mf.Manifest.evolve(base, version, fragments=frags, indices=indices)
     if isinstance(op, O.CreateIndex):
         assert base is not None
         new = [
@@ -227,7 +389,50 @@ _OP_NAMES = {
     "Append": "append", "Overwrite": "overwrite", "Delete": "delete",
     "Update": "update", "Merge": "merge", "Restore": "restore",
     "Rewrite": "rewrite", "Project": "project", "CreateIndex": "create_index",
+    "UpdateConfig": "update_config", "Clone": "clone",
+    "DataReplacement": "data_replacement",
 }
+
+
+def _deep_copy_clone(m: mf.Manifest, dest_uri: str) -> mf.Manifest:
+    """Rewrite a cloned manifest to own its files: copy every referenced
+    data/deletion/index file under ``dest_uri`` and store relative paths.
+    Driver-side IO — fine for metadata-scale clones; at 100 TB run a
+    distributed copy (DistCp-style) and commit the shallow form against
+    the copied root instead."""
+    import os
+    import shutil
+
+    def _pull(abs_path: str, sub: str) -> str:
+        rel = os.path.join(sub, os.path.basename(abs_path.rstrip("/")))
+        dst = os.path.join(dest_uri, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if not os.path.exists(dst):
+            if os.path.isdir(abs_path):
+                shutil.copytree(abs_path, dst)
+            else:
+                shutil.copy2(abs_path, dst)
+        return rel
+
+    frags = [
+        mf.Fragment(
+            id=f.id,
+            files=[mf.DataFile(_pull(df.path, "data"), list(df.columns)) for df in f.files],
+            physical_rows=f.physical_rows,
+            deletion_file=_pull(f.deletion_file, "_deletions") if f.deletion_file else None,
+            num_deleted_rows=f.num_deleted_rows,
+        )
+        for f in m.fragments
+    ]
+    indices = [
+        mf.IndexMeta(
+            name=i.name, index_type=i.index_type, column=i.column,
+            path=_pull(i.path, "_indices"), fragment_ids=list(i.fragment_ids),
+            params=dict(i.params),
+        )
+        for i in m.indices
+    ]
+    return mf.Manifest.evolve(m, m.version, fragments=frags, indices=indices)
 
 
 def commit(
@@ -254,6 +459,34 @@ def commit(
 
     def build(base, version):
         return _apply(operation, base, version)
+
+    if isinstance(operation, LanceOperation.Clone):
+        src_uri = os.path.abspath(operation.ref_path)
+        if operation.ref_version is not None:
+            src_version = operation.ref_version
+        elif operation.ref_name is not None:
+            refs = {**mf.list_refs(src_uri, "tags"), **mf.list_refs(src_uri, "branches")}
+            if operation.ref_name not in refs:
+                raise ValueError(f"unknown ref {operation.ref_name!r} at {src_uri}")
+            src_version = refs[operation.ref_name]
+        else:
+            src_version = mf.latest_version(src_uri)
+            if src_version is None:
+                raise FileNotFoundError(f"no dataset at {src_uri}")
+        if mf.latest_version(uri) is not None:
+            raise ValueError(f"dataset already exists at {uri}")
+        snap = mf.read_manifest(src_uri, src_version)
+
+        def build(base, version):  # noqa: F811
+            m = mf.cloned_manifest(src_uri, snap, version)
+            if operation.is_shallow:
+                return m
+            return _deep_copy_clone(m, uri)
+
+        mf.commit(uri, build, operation="clone", max_retries=max_retries, properties=properties)
+        if operation.branch_name:
+            mf.create_ref(uri, "branches", operation.branch_name, 1)
+        return LanceDataset(uri)
 
     if isinstance(operation, LanceOperation.Restore):
         # Restore resolves against the dataset root, not the base manifest

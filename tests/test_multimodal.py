@@ -157,3 +157,63 @@ def test_resize_and_frames(spark, media_df):
     counts = frames.groupBy("id").count().collect()
     assert all(r["count"] >= 1 for r in counts)
     assert frames.filter("frame_idx % 2 != 0").count() == 0
+
+
+def test_take_blobs_fragment_pruned_post_compaction(spark, media_df, tmp_path, monkeypatch):
+    """After compaction rowids no longer encode the fragment; take_blobs
+    must still open only the blob files whose _rowid footer range covers
+    the requested ids (take.rs:103 TakeExec parity), not the whole store."""
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "media_many")
+    write_dataset(media_df.repartition(10), uri, mode="create", blob_columns=["img"])
+    ds = dataset(uri)
+    n_blob_files = len(ds._blob_files("img"))
+    assert n_blob_files == 10
+
+    # simulate the post-compaction state: stable ids, no fragment prefix
+    ds2 = ds.update_config({"rowid_address_style": False})
+    assert not ds2._rowid_addressable()
+
+    # pick 3 ids that live in (at most) 2 fragments
+    rows = ds2.to_df(spark, with_row_id=True).select("_rowid").orderBy("_rowid").collect()
+    rids = [rows[0]["_rowid"], rows[1]["_rowid"], rows[-1]["_rowid"]]
+
+    opened = []
+    orig = ds2._read_files
+
+    def spy(spark_, paths):
+        opened.extend(paths)
+        return orig(spark_, paths)
+
+    monkeypatch.setattr(ds2, "_read_files", spy)
+    got = ds2.take_blobs(spark, rids, "img").collect()
+    assert len(got) == 3
+    assert 0 < len(opened) <= 3  # a handful, never all 10 blob files
+
+    # lazy handle path prunes the same way
+    from lance_spark.blob import blob_files
+
+    handles = blob_files(ds2, "img", [rids[0]])
+    assert len(handles) == 1 and len(handles[0]._paths) <= 3
+
+    # pruning to zero fragments (nonexistent id) returns empty, not error
+    assert ds2.take_blobs(spark, [1 << 60], "img").count() == 0
+
+
+def test_take_post_compaction_stats_pruning(spark, sf_dir, tmp_path):
+    """ds.take after a REAL compaction: correct rows come back and the
+    footer-stats path is exercised end-to-end."""
+    import lance_spark as ls
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ds = ls.write_dataset(nation.repartition(6), str(tmp_path / "n"))
+    before = {r["_rowid"]: r["n_name"] for r in
+              ds.to_df(spark, with_row_id=True).select("_rowid", "n_name").collect()}
+    ds = ds.compact_files(spark, target_rows_per_fragment=10)
+    assert not ds._rowid_addressable()
+    some = sorted(before)[:4]
+    got = {r["_rowid"]: r["n_name"] for r in
+           ds.take(spark, some, columns=["n_name"]).collect()}
+    assert got == {k: before[k] for k in some}

@@ -149,3 +149,99 @@ def test_commit_create_index_copies_index(spark, sf_dir, tmp_path):
     # removing by name drops it
     b2 = ls.commit(b.uri, Op.CreateIndex(new_indices=[], removed_indices=["ck_idx"]))
     assert b2.list_indices() == []
+
+
+def test_commit_update_config(spark, ds_and_df):
+    """UpdateConfig typed op (transaction.rs:260-265): config keys, table/
+    schema metadata namespaces, and field metadata through one commit."""
+    ds, _ = ds_and_df
+    ds2 = ls.commit(ds.uri, Op.UpdateConfig(
+        config_updates=Op.UpdateMap(updates={"owner": "me", "tier": "gold"}),
+        schema_metadata_updates=Op.UpdateMap(updates={"desc": "nations"}),
+        table_metadata_updates=Op.UpdateMap(updates={"team": "data"}),
+        field_metadata_updates={"n_name": Op.UpdateMap(updates={"pii": "no"})},
+    ))
+    assert ds2.config["owner"] == "me" and ds2.config["tier"] == "gold"
+    assert ds2.schema_metadata()["desc"] == "nations"
+    assert ds2.field_metadata("n_name")["pii"] == "no"
+    tx = ds2.read_transaction(ds2.version)
+    assert tx["operation"] == "update_config"
+    # None deletes; replace swaps the flat config but keeps the namespaces
+    ds3 = ls.commit(ds2.uri, Op.UpdateConfig(
+        config_updates=Op.UpdateMap(updates={"tier": None, "env": "prod"}, replace=True),
+    ))
+    assert "owner" not in ds3.config and "tier" not in ds3.config
+    assert ds3.config["env"] == "prod"
+    assert ds3.schema_metadata()["desc"] == "nations"  # namespace survives
+
+
+def test_commit_clone_shallow_and_deep(spark, ds_and_df, tmp_path):
+    ds, _ = ds_and_df
+    shallow = ls.commit(str(tmp_path / "shallow"),
+                        Op.Clone(is_shallow=True, ref_path=ds.uri))
+    assert shallow.count_rows() == ds.count_rows()
+    assert shallow.config["cloned_from"]["uri"] == ds.uri
+    # shallow references source files in place (absolute paths)
+    import os
+    assert all(os.path.isabs(f.files[0].path) for f in shallow.get_fragments())
+
+    deep = ls.commit(str(tmp_path / "deep"),
+                     Op.Clone(is_shallow=False, ref_path=ds.uri,
+                              branch_name="main2"))
+    assert deep.count_rows() == ds.count_rows()
+    assert all(not os.path.isabs(f.files[0].path) for f in deep.get_fragments())
+    assert deep.branches()["main2"] == 1
+    # deep clone survives source deletion
+    got = deep.to_df(spark).count()
+    assert got == ds.count_rows()
+    with pytest.raises(ValueError, match="already exists"):
+        ls.commit(str(tmp_path / "deep"), Op.Clone(ref_path=ds.uri))
+
+
+def test_commit_clone_ref_version(spark, ds_and_df, tmp_path):
+    ds, nation = ds_and_df
+    ds.create_tag("v1-tag", 1)
+    ds2 = ds.delete(spark, "n_nationkey < 5")
+    assert ds2.count_rows() < 25
+    by_tag = ls.commit(str(tmp_path / "bytag"),
+                       Op.Clone(ref_path=ds.uri, ref_name="v1-tag"))
+    assert by_tag.count_rows() == 25
+    by_ver = ls.commit(str(tmp_path / "byver"),
+                       Op.Clone(ref_path=ds.uri, ref_version=1))
+    assert by_ver.count_rows() == 25
+
+
+def test_commit_data_replacement(spark, ds_and_df, tmp_path):
+    """DataReplacement swaps a fragment's column-group file in place; row
+    count is preserved and readers see the new values."""
+    ds, nation = ds_and_df
+    frag = ds.get_fragments()[0]
+    old_file = frag.files[0]
+    # write a replacement parquet with the same columns + _rowid
+    from lance_spark.write import ROWID_COL
+    import os
+
+    repl_rel = "data/replacement-0.parquet"
+    rows = (
+        ds.to_df(spark, with_row_id=True)
+        .filter(F.col(ROWID_COL).between(frag.id << 32, ((frag.id + 1) << 32) - 1))
+        .withColumn("n_name", F.upper("n_name"))
+        .select(*[c for c in [ROWID_COL] + list(old_file.columns)])
+    )
+    os.makedirs(f"{ds.uri}/data", exist_ok=True)
+    rows.coalesce(1).write.mode("overwrite").parquet(f"{ds.uri}/__tmp_repl")
+    part = next(p for p in os.listdir(f"{ds.uri}/__tmp_repl") if p.endswith(".parquet"))
+    os.replace(f"{ds.uri}/__tmp_repl/{part}", f"{ds.uri}/{repl_rel}")
+
+    ds2 = ls.commit(ds.uri, Op.DataReplacement(replacements=[
+        Op.DataReplacementGroup(fragment_id=frag.id,
+                                new_file=mf.DataFile(repl_rel, list(old_file.columns))),
+    ]))
+    assert ds2.count_rows() == ds.count_rows()
+    names = [r["n_name"] for r in ds2.to_df(spark).collect()]
+    assert names and all(n == n.upper() for n in names)
+    with pytest.raises(ValueError, match="no fragment"):
+        ls.commit(ds.uri, Op.DataReplacement(replacements=[
+            Op.DataReplacementGroup(fragment_id=999,
+                                    new_file=mf.DataFile(repl_rel, list(old_file.columns))),
+        ]))
