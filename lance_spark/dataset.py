@@ -1203,9 +1203,15 @@ class LanceDataset:
         (the stable id our parquet-backed format carries)."""
         raw = self.data_stats(columns)["fields"]
         order = {name: i for i, name in enumerate(self.columns)}
+        # entries not in the top-level schema (blob sidecar columns, renamed
+        # leftovers) have no field id — skip them rather than emit a bogus
+        # id=-1 row; their bytes remain visible through data_stats()
         fields = [
-            FieldStatistics(id=order.get(name, -1), bytes_on_disk=ent["compressed_bytes"])
-            for name, ent in sorted(raw.items(), key=lambda kv: order.get(kv[0], 1 << 30))
+            FieldStatistics(id=order[name], bytes_on_disk=ent["compressed_bytes"])
+            for name, ent in sorted(
+                (kv for kv in raw.items() if kv[0] in order),
+                key=lambda kv: order[kv[0]],
+            )
         ]
         return DataStatistics(fields=fields)
 

@@ -110,11 +110,14 @@ class LanceFragment:
         backend takes no credentials."""
         import os
 
-        from lance_spark.write import input_to_spark_df, write_fragments
+        from lance_spark.write import input_to_spark_df, project_to_schema, write_fragments
 
         sdf = input_to_spark_df(data)
         if schema is not None:
-            sdf = sdf.select(*list(schema.names))
+            # project AND cast (same helper as write_dataset(schema=...)) so
+            # worker-written fragments can't end up with parquet types that
+            # diverge from the schema a coordinator later commits
+            sdf = project_to_schema(sdf, schema)
         os.makedirs(dataset_uri, exist_ok=True)
         if fragment_id is None:
             fragment_id = (

@@ -338,6 +338,122 @@ def stem_word_pt(w: str) -> str:
     return t1
 
 
+def stem_token_ru(t) -> Column:
+    """Russian snowball-lite (tokenizer.rs per-language snowball configs):
+    derivational -ость/-ости, plural/instrumental endings (-иями -ями -ами),
+    adjective endings (-ый -ой -ая -яя -ое -ее -ие -ые), then case/vowel
+    endings. Operates on Cyrillic codepoints — pair with
+    ``tokenize_unicode`` (the 'simple' tokenizer drops non-Latin)."""
+    t1 = (
+        F.when(t.rlike(".{3}(ость|ости)$"), F.regexp_replace(t, "(ость|ости)$", ""))
+        .when(t.rlike(".{3}(иями|ями|ами)$"), F.regexp_replace(t, "(иями|ями|ами)$", ""))
+        .when(
+            t.rlike(".{2}(ый|ой|ая|яя|ое|ее|ие|ые|ов|ев|ам|ям|ах|ях|ом|ем|ей)$"),
+            F.regexp_replace(t, "(ый|ой|ая|яя|ое|ее|ие|ые|ов|ев|ам|ям|ах|ях|ом|ем|ей)$", ""),
+        )
+        .otherwise(t)
+    )
+    return (
+        F.when(t1.rlike(".{3}(а|я|ы|и|е|о|у|ю|ь)$"),
+               F.regexp_replace(t1, "(а|я|ы|и|е|о|у|ю|ь)$", ""))
+        .otherwise(t1)
+    )
+
+
+def stem_word_ru(w: str) -> str:
+    """Driver-side mirror of ``stem_token_ru`` — rule-for-rule identical."""
+    import re
+
+    if re.search(r".{3}(ость|ости)$", w):
+        t1 = re.sub(r"(ость|ости)$", "", w)
+    elif re.search(r".{3}(иями|ями|ами)$", w):
+        t1 = re.sub(r"(иями|ями|ами)$", "", w)
+    elif re.search(r".{2}(ый|ой|ая|яя|ое|ее|ие|ые|ов|ев|ам|ям|ах|ях|ом|ем|ей)$", w):
+        t1 = re.sub(r"(ый|ой|ая|яя|ое|ее|ие|ые|ов|ев|ам|ям|ах|ях|ом|ем|ей)$", "", w)
+    else:
+        t1 = w
+    if re.search(r".{3}(а|я|ы|и|е|о|у|ю|ь)$", t1):
+        return re.sub(r"(а|я|ы|и|е|о|у|ю|ь)$", "", t1)
+    return t1
+
+
+def stem_token_nl(t) -> Column:
+    """Dutch snowball-lite: -heden→-heid mutation, derivational suffixes
+    (-ingen -ing -lijk -baar), then inflection endings (-en -e -s)."""
+    t1 = (
+        F.when(t.rlike(".{2}heden$"), F.regexp_replace(t, "heden$", "heid"))
+        .when(t.rlike(".{4}(ingen|ing)$"), F.regexp_replace(t, "(ingen|ing)$", ""))
+        .when(t.rlike(".{4}(lijk|baar)$"), F.regexp_replace(t, "(lijk|baar)$", ""))
+        .otherwise(t)
+    )
+    return (
+        F.when(t1.rlike(".{3}en$"), F.regexp_replace(t1, "en$", ""))
+        .when(t1.rlike(".{3}e$"), F.regexp_replace(t1, "e$", ""))
+        .when(t1.rlike(".{4}s$"), F.regexp_replace(t1, "s$", ""))
+        .otherwise(t1)
+    )
+
+
+def stem_word_nl(w: str) -> str:
+    """Driver-side mirror of ``stem_token_nl`` — rule-for-rule identical."""
+    import re
+
+    if re.search(r".{2}heden$", w):
+        t1 = re.sub(r"heden$", "heid", w)
+    elif re.search(r".{4}(ingen|ing)$", w):
+        t1 = re.sub(r"(ingen|ing)$", "", w)
+    elif re.search(r".{4}(lijk|baar)$", w):
+        t1 = re.sub(r"(lijk|baar)$", "", w)
+    else:
+        t1 = w
+    if re.search(r".{3}en$", t1):
+        return re.sub(r"en$", "", t1)
+    if re.search(r".{3}e$", t1):
+        return re.sub(r"e$", "", t1)
+    if re.search(r".{4}s$", t1):
+        return re.sub(r"s$", "", t1)
+    return t1
+
+
+def stem_token_sv(t) -> Column:
+    """Swedish snowball-lite (post-fold: å/ä/ö → a/a/o): definite plural
+    endings (-arna -orna -erna), participles (-ande -ende), -het(s),
+    then inflection endings (-ar -er -or -en, -a -e, -s)."""
+    t1 = (
+        F.when(t.rlike(".{2}(arna|orna|erna)$"), F.regexp_replace(t, "(arna|orna|erna)$", ""))
+        .when(t.rlike(".{2}(ande|ende)$"), F.regexp_replace(t, "(ande|ende)$", ""))
+        .when(t.rlike(".{3}(hets|het)$"), F.regexp_replace(t, "(hets|het)$", ""))
+        .otherwise(t)
+    )
+    return (
+        F.when(t1.rlike(".{3}(ar|er|or|en)$"), F.regexp_replace(t1, "(ar|er|or|en)$", ""))
+        .when(t1.rlike(".{3}(a|e)$"), F.regexp_replace(t1, "(a|e)$", ""))
+        .when(t1.rlike(".{4}s$"), F.regexp_replace(t1, "s$", ""))
+        .otherwise(t1)
+    )
+
+
+def stem_word_sv(w: str) -> str:
+    """Driver-side mirror of ``stem_token_sv`` — rule-for-rule identical."""
+    import re
+
+    if re.search(r".{2}(arna|orna|erna)$", w):
+        t1 = re.sub(r"(arna|orna|erna)$", "", w)
+    elif re.search(r".{2}(ande|ende)$", w):
+        t1 = re.sub(r"(ande|ende)$", "", w)
+    elif re.search(r".{3}(hets|het)$", w):
+        t1 = re.sub(r"(hets|het)$", "", w)
+    else:
+        t1 = w
+    if re.search(r".{3}(ar|er|or|en)$", t1):
+        return re.sub(r"(ar|er|or|en)$", "", t1)
+    if re.search(r".{3}(a|e)$", t1):
+        return re.sub(r"(a|e)$", "", t1)
+    if re.search(r".{4}s$", t1):
+        return re.sub(r"s$", "", t1)
+    return t1
+
+
 def tokenize_spanish(col) -> Column:
     """fold(diacritics) → simple tokenizer → Spanish stemming
     ('spanish_stem' config)."""
@@ -368,6 +484,26 @@ def tokenize_french(col) -> Column:
     return F.transform(tokenize(ascii_fold(F.lower(col))), stem_token_fr)
 
 
+def tokenize_russian(col) -> Column:
+    """unicode tokenizer (Cyrillic survives) → Russian stemming
+    ('russian_stem' config). ё is folded to е first (snowball convention)."""
+    return F.transform(
+        tokenize_unicode(F.regexp_replace(F.lower(col), "ё", "е")), stem_token_ru
+    )
+
+
+def tokenize_dutch(col) -> Column:
+    """fold(diacritics) → simple tokenizer → Dutch stemming
+    ('dutch_stem' config)."""
+    return F.transform(tokenize(ascii_fold(F.lower(col))), stem_token_nl)
+
+
+def tokenize_swedish(col) -> Column:
+    """fold(å/ä/ö) → simple tokenizer → Swedish stemming
+    ('swedish_stem' config)."""
+    return F.transform(tokenize(ascii_fold(F.lower(col))), stem_token_sv)
+
+
 def tokenizer_expr(name: str):
     """Named tokenizer registry (tokenizer.rs LanceTokenizer names) →
     callable(col) -> array<string> Column. Index params record the name so
@@ -383,12 +519,16 @@ def tokenizer_expr(name: str):
             "spanish_stem": tokenize_spanish,
             "italian_stem": tokenize_italian,
             "portuguese_stem": tokenize_portuguese,
+            "russian_stem": tokenize_russian,
+            "dutch_stem": tokenize_dutch,
+            "swedish_stem": tokenize_swedish,
         }[name]
     except KeyError:
         raise ValueError(
             f"unknown tokenizer {name!r}; expected simple|whitespace|unicode"
             "|english_stem|german_stem|french_stem|spanish_stem"
-            "|italian_stem|portuguese_stem"
+            "|italian_stem|portuguese_stem|russian_stem|dutch_stem"
+            "|swedish_stem"
         ) from None
 
 
@@ -408,7 +548,52 @@ def query_tokens(terms: list[str], tokenizer: str) -> list[str]:
         return [stem_word_it(t.translate(_FOLD_TABLE)) for t in terms]
     if tokenizer == "portuguese_stem":
         return [stem_word_pt(t.translate(_FOLD_TABLE)) for t in terms]
+    if tokenizer == "russian_stem":
+        return [stem_word_ru(t.replace("ё", "е")) for t in terms]
+    if tokenizer == "dutch_stem":
+        return [stem_word_nl(t.translate(_FOLD_TABLE)) for t in terms]
+    if tokenizer == "swedish_stem":
+        return [stem_word_sv(t.translate(_FOLD_TABLE)) for t in terms]
     return terms
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """True Damerau–Levenshtein distance (adjacent transposition costs 1,
+    edits between transposed characters allowed) — the distance tantivy's
+    fuzzy automaton uses with transposition_cost_one
+    (rust/lance-index/src/scalar/inverted — MatchQuery.fuzziness path).
+    Matches DuckDB's ``damerau_levenshtein`` exactly, so value oracles can
+    mirror it; NOT the cheaper OSA restriction, which disagrees on cases
+    like ('ca','abc')."""
+    la, lb = len(a), len(b)
+    inf = la + lb
+    da: dict[str, int] = {}
+    score = [[0] * (lb + 2) for _ in range(la + 2)]
+    score[0][0] = inf
+    for i in range(la + 1):
+        score[i + 1][0] = inf
+        score[i + 1][1] = i
+    for j in range(lb + 1):
+        score[0][j + 1] = inf
+        score[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            last = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            score[i + 1][j + 1] = min(
+                score[i][j] + cost,          # substitute / match
+                score[i + 1][j] + 1,         # insert
+                score[i][j + 1] + 1,         # delete
+                score[k][last] + (i - k - 1) + 1 + (j - last - 1),  # transpose
+            )
+        da[a[i - 1]] = i
+    return score[la + 1][lb + 1]
 
 
 def remove_stopwords(tokens, lang: str = "en") -> Column:

@@ -272,10 +272,47 @@ class IndicesBuilder:
             pre = self.spark.read.parquet(partition_ds_uri).select(
                 "id", F.col("partition_id").alias("pre_pid")
             )
+            out = out.join(pre, "id", "left").withColumn(
+                "__final_pid", F.coalesce("pre_pid", "partition_id")
+            )
+            if pq is not None:
+                # the stored pq_code is the residual against the partition's
+                # centroid — if the precomputed assignment disagrees with
+                # the fresh one (stale precompute, tie-break drift), the
+                # code must be re-encoded against the partition actually
+                # stored, or ADC distances would be computed off the wrong
+                # centroid
+                cent_b = self.spark.sparkContext.broadcast(ivf.centroids)
+                cb_b = self.spark.sparkContext.broadcast(pq.codebook)
+                cosine = ivf.distance_type == "cosine"
+
+                @pandas_udf("array<smallint>")
+                def enc_at(vec: pd.Series, pid: pd.Series) -> pd.Series:
+                    cents = cent_b.value.astype(np.float32)
+                    cbs = cb_b.value
+                    x = _as_matrix(vec)
+                    if cosine:
+                        x = _normalize(x)
+                    p = pid.to_numpy().astype(np.int64)
+                    m, _, sub = cbs.shape
+                    resid = x - cents[p]
+                    code = np.empty((len(x), m), dtype=np.int16)
+                    for j in range(m):
+                        r = resid[:, j * sub : (j + 1) * sub]
+                        cb = cbs[j]
+                        d = (r * r).sum(axis=1, keepdims=True) - 2 * (r @ cb.T) + (cb * cb).sum(axis=1)
+                        code[:, j] = d.argmin(axis=1).astype(np.int16)
+                    return pd.Series(list(code))
+
+                out = out.withColumn(
+                    "pq_code",
+                    F.when(
+                        F.col("__final_pid") == F.col("partition_id"), F.col("pq_code")
+                    ).otherwise(enc_at(F.col("vec"), F.col("__final_pid"))),
+                )
             out = (
-                out.join(pre, "id", "left")
-                .withColumn("partition_id", F.coalesce("pre_pid", "partition_id"))
-                .drop("pre_pid")
+                out.withColumn("partition_id", F.col("__final_pid"))
+                .drop("pre_pid", "__final_pid")
             )
         out.write.mode("overwrite").parquet(dest_uri)
         with open(os.path.join(dest_uri, "_coverage.json"), "w") as fh:
@@ -353,17 +390,39 @@ class IndicesBuilder:
         # coverage sidecars written by transform/shuffle name the fragments
         # this index actually indexed (a subset-transform leaves the rest
         # on the flat-search tail, not silently unsearchable)
-        covered: list[int] | None = None
+        # union coverage across ALL distinct source dirs: a multi-chunk
+        # transform flow shuffles into several output dirs, each with its
+        # own _coverage.json — stopping at the first would leave later
+        # chunks' fragments in the codes AND on the flat-search tail
+        # (duplicate candidates, wrong coverage accounting)
+        covered_ids: set[int] = set()
+        seen_dirs: set[str] = set()
+        any_sidecar = False
         for f in filenames:
             src = f if os.path.isabs(f) else os.path.join(dir_path, f)
-            cov = os.path.join(os.path.dirname(src), "_coverage.json")
-            if covered is None and os.path.exists(cov):
-                with open(cov) as fh:
-                    ids = json.load(fh)["fragment_ids"]
-                if ids:
-                    covered = sorted(ids)
-            shutil.move(src, os.path.join(codes_dir, os.path.basename(src)))
-        if covered is None:
+            d = os.path.dirname(src)
+            if d not in seen_dirs:
+                seen_dirs.add(d)
+                cov = os.path.join(d, "_coverage.json")
+                if os.path.exists(cov):
+                    any_sidecar = True
+                    with open(cov) as fh:
+                        covered_ids.update(json.load(fh)["fragment_ids"])
+            dst = os.path.join(codes_dir, os.path.basename(src))
+            if os.path.isdir(dst) and os.path.isdir(src):
+                # same partition from two shuffle chunks (multi-dir flow):
+                # merge file contents — a bare move would NEST the second
+                # dir inside the first and corrupt the parquet layout
+                for item in os.listdir(src):
+                    if item.startswith(("_", ".")):
+                        continue  # _SUCCESS / .crc markers collide by name
+                    shutil.move(os.path.join(src, item), os.path.join(dst, item))
+                shutil.rmtree(src)
+            else:
+                shutil.move(src, dst)
+        if any_sidecar and covered_ids:
+            covered = sorted(covered_ids)
+        else:
             covered = [f.id for f in ds.manifest.fragments]
 
         radii = compute_partition_radii(

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -261,6 +262,23 @@ def boost_query(
     )
 
 
+def _edit_distance_col(term: str, transpositions: bool):
+    """Distance of the ``token`` column to ``term``: JVM levenshtein when
+    transpositions are off; an Arrow-batched Damerau UDF otherwise (runs
+    against the vocabulary-sized dictionary, never the corpus)."""
+    if not transpositions:
+        return F.levenshtein(F.col("token"), F.lit(term))
+    from pyspark.sql.functions import pandas_udf
+
+    from lance_spark.functions.text import damerau_levenshtein
+
+    @pandas_udf("int")
+    def _dl(tok: pd.Series) -> pd.Series:
+        return tok.map(lambda s: damerau_levenshtein(s or "", term))
+
+    return _dl(F.col("token"))
+
+
 def fuzzy_query(
     ds,
     spark: SparkSession,
@@ -270,6 +288,7 @@ def fuzzy_query(
     k: int = 10,
     prefix_length: int = 0,
     max_expansions: int = 50,
+    transpositions: bool = True,
 ) -> DataFrame:
     """Fuzzy match through the index (inverted/query.rs MatchQuery.fuzziness):
     expand the term against the postings' token DICTIONARY — vocabulary-
@@ -280,7 +299,11 @@ def fuzzy_query(
     CAPPED at ``max_expansions`` (Lucene/tantivy's default of 50): closest
     edit distance wins, ties broken lexically, ranked IN-PLAN so the
     collect is bounded even when a pathological term (short + high
-    fuzziness over a web-scale vocabulary) matches millions of tokens."""
+    fuzziness over a web-scale vocabulary) matches millions of tokens.
+
+    ``transpositions=True`` (tantivy's automaton default) counts an
+    adjacent transposition as ONE edit (Damerau); False falls back to
+    plain Levenshtein."""
     meta = _find(ds, column)
     postings, doclens = _index_tables(ds, spark, meta)
     t = query_tokens([term], meta.params.get("tokenizer", "simple"))[0]
@@ -289,7 +312,7 @@ def fuzzy_query(
         vocab = vocab.filter(F.col("token").startswith(t[:prefix_length]))
     expanded = [
         r["token"]
-        for r in vocab.select("token", F.levenshtein(F.col("token"), F.lit(t)).alias("_d"))
+        for r in vocab.select("token", _edit_distance_col(t, transpositions).alias("_d"))
         .filter(F.col("_d") <= fuzziness)
         .orderBy("_d", "token")
         .limit(max_expansions)

@@ -403,6 +403,30 @@ def pack_sequences(
         r["__shard"]: r["t"]
         for r in base.groupBy("__shard").agg(F.sum("n_tokens").alias("t")).collect()
     }
+    # occupancy guard (r4 verdict): arithmetic [lo,hi] sharding assumes
+    # roughly dense ids. A sparse/clustered id space (_rowid =
+    # fragment<<32|offset with few fragments) lands everything in a few
+    # shards and serializes the per-shard window. When most shards are
+    # empty, re-shard on quantile boundaries of the actual id distribution
+    # — still monotone in id, so the global order (and therefore bin
+    # arithmetic) is unchanged; only the parallelism recovers.
+    if len(totals) < max(num_shards // 4, 2) and num_shards > 1:
+        probs = [i / num_shards for i in range(1, num_shards)]
+        bounds = sorted(set(df.approxQuantile(id_col, probs, 0.001)))
+        if bounds:
+            shard = sum(
+                (F.when(F.col(id_col) >= F.lit(b), 1).otherwise(0) for b in bounds),
+                F.lit(0),
+            ).cast("long")
+            base = df.select(
+                F.col(id_col),
+                F.col(token_count_col).cast("long").alias("n_tokens"),
+                shard.alias("__shard"),
+            )
+            totals = {
+                r["__shard"]: r["t"]
+                for r in base.groupBy("__shard").agg(F.sum("n_tokens").alias("t")).collect()
+            }
     offsets, acc = {}, 0
     for s in sorted(totals):
         offsets[s] = acc

@@ -124,15 +124,28 @@ def fuzzy_match(
     id_col: str,
     term: str,
     fuzziness: int = 1,
+    transpositions: bool = True,
 ) -> DataFrame:
     """Fuzzy Match (inverted/query.rs MatchQuery.fuzziness): docs containing
-    a token within ``fuzziness`` edit distance of the term. Distinct tokens
-    per doc, then JVM levenshtein — at index scale this runs against the
-    postings' token dictionary (distinct terms), not the corpus."""
+    a token within ``fuzziness`` edit distance of the term.
+    ``transpositions=True`` (tantivy automaton default) uses Damerau
+    distance — adjacent swaps cost one edit.
+
+    Scale shape: the distance runs against the DISTINCT token dictionary
+    (vocabulary-sized), then a broadcast semi-join brings back the docs —
+    the corpus-sized token stream never evaluates an edit distance."""
     toks = (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"))
     )
-    hits = toks.filter(F.levenshtein(F.col("tok"), F.lit(term.lower())) <= fuzziness)
+    from lance_spark.indexes.inverted import _edit_distance_col
+
+    vocab_hits = (
+        toks.select(F.col("tok").alias("token"))
+        .distinct()
+        .filter(_edit_distance_col(term.lower(), transpositions) <= fuzziness)
+        .withColumnRenamed("token", "tok")
+    )
+    hits = toks.join(F.broadcast(vocab_hits), "tok", "left_semi")
     return hits.select("id").distinct().withColumnRenamed("id", id_col)
 
 

@@ -295,7 +295,10 @@ def _match_scores(corpus: _Corpus, q: MatchQuery) -> DataFrame:
 def _expand_fuzzy(postings, terms, fuzziness, prefix_length, max_expansions):
     """Term expansion against the token DICTIONARY (vocabulary-sized, capped
     in-plan before the collect — same contract as indexes/inverted.py
-    fuzzy_query)."""
+    fuzzy_query). Transposition-aware (Damerau) like tantivy's automaton
+    default."""
+    from lance_spark.indexes.inverted import _edit_distance_col
+
     out: list[str] = []
     vocab = postings.select("token").distinct()
     for t in terms:
@@ -304,7 +307,7 @@ def _expand_fuzzy(postings, terms, fuzziness, prefix_length, max_expansions):
             v = v.filter(F.col("token").startswith(t[:prefix_length]))
         out.extend(
             r["token"]
-            for r in v.select("token", F.levenshtein("token", F.lit(t)).alias("_d"))
+            for r in v.select("token", _edit_distance_col(t, True).alias("_d"))
             .filter(F.col("_d") <= fuzziness)
             .orderBy("_d", "token")
             .limit(max_expansions)

@@ -1935,7 +1935,7 @@ def fts_boost(spark, sf_dir):
     stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
     post AS (SELECT id, unnest(w) AS token FROM tok),
     exp AS (SELECT token FROM (
-              SELECT DISTINCT token, levenshtein(token, 'tabl') AS d FROM post)
+              SELECT DISTINCT token, damerau_levenshtein(token, 'tabl') AS d FROM post)
             WHERE d <= 1 ORDER BY d, token LIMIT 50),
     tfq AS (SELECT token, id, count(*) AS tf FROM post
             WHERE token IN (SELECT token FROM exp) GROUP BY 1, 2),
@@ -1966,6 +1966,33 @@ def fts_fuzzy_indexed(spark, sf_dir):
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
+@query(
+    "fts_fuzzy_damerau",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest(list_distinct({_DUCK_TOKS.format(col='text')})) AS tok
+                 FROM documents)
+    SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_damerau,
+           (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM tok
+            WHERE levenshtein(tok, 'tbale') <= 1) AS n_plain
+    FROM tok WHERE damerau_levenshtein(tok, 'tbale') <= 1
+    """,
+)
+def fts_fuzzy_damerau(spark, sf_dir):
+    """Transposition-aware fuzzy parity (tantivy automaton's
+    transpose-cost-one): 'tbale' is ONE Damerau edit from 'table' but TWO
+    Levenshtein edits — the two modes must diverge exactly as the oracle's
+    two distance functions do."""
+    from lance_spark.operators.fts import fuzzy_match
+
+    docs = _t(spark, sf_dir, "documents")
+    dam = fuzzy_match(docs, "text", "doc_id", "tbale", fuzziness=1)
+    plain = fuzzy_match(docs, "text", "doc_id", "tbale", fuzziness=1,
+                        transpositions=False)
+    return dam.agg(F.count_distinct("doc_id").alias("n_damerau")).crossJoin(
+        plain.agg(F.count_distinct("doc_id").alias("n_plain"))
     )
 
 
@@ -2237,6 +2264,168 @@ def fts_stemmed_match_pt(spark, sf_dir):
     write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="portuguese_stem")
     hits = match_query(ds, spark, ["orderes", "scans", "keyo"], k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
+def _duck_stem_toks_nl(toks_expr: str) -> str:
+    """DuckDB mirror of functions/text.py stem_token_nl (Dutch
+    snowball-lite): -heden mutation, derivational suffixes, endings."""
+    s1 = (
+        "CASE WHEN regexp_matches(t, '.{2}heden$') THEN regexp_replace(t, 'heden$', 'heid') "
+        "WHEN regexp_matches(t, '.{4}(ingen|ing)$') THEN regexp_replace(t, '(ingen|ing)$', '') "
+        "WHEN regexp_matches(t, '.{4}(lijk|baar)$') THEN regexp_replace(t, '(lijk|baar)$', '') "
+        "ELSE t END"
+    )
+    s2 = (
+        "CASE WHEN regexp_matches(u, '.{3}en$') THEN regexp_replace(u, 'en$', '') "
+        "WHEN regexp_matches(u, '.{3}e$') THEN regexp_replace(u, 'e$', '') "
+        "WHEN regexp_matches(u, '.{4}s$') THEN regexp_replace(u, 's$', '') "
+        "ELSE u END"
+    )
+    return f"list_transform(list_transform({toks_expr}, t -> {s1}), u -> {s2})"
+
+
+@query(
+    "fts_stemmed_match_nl",
+    _bm25_oracle(
+        ["tabl", "scan", "join"],  # Dutch-stemmed forms of the query terms
+        toks=_duck_stem_toks_nl(_DUCK_TOKS.format(col=_DUCK_FOLD_FR)),
+    ),
+)
+def fts_stemmed_match_nl(spark, sf_dir):
+    """dutch_stem tokenizer end-to-end: 'tablen'/'scans'/'joinen' conflate
+    onto the corpus's 'table'/'scan'/'join' through the Dutch rule set."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_stemnl_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="dutch_stem")
+    hits = match_query(ds, spark, ["tablen", "scans", "joinen"], k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
+def _duck_stem_toks_sv(toks_expr: str) -> str:
+    """DuckDB mirror of functions/text.py stem_token_sv (Swedish
+    snowball-lite): definite plurals, participles, -het, endings."""
+    s1 = (
+        "CASE WHEN regexp_matches(t, '.{2}(arna|orna|erna)$') "
+        "THEN regexp_replace(t, '(arna|orna|erna)$', '') "
+        "WHEN regexp_matches(t, '.{2}(ande|ende)$') THEN regexp_replace(t, '(ande|ende)$', '') "
+        "WHEN regexp_matches(t, '.{3}(hets|het)$') THEN regexp_replace(t, '(hets|het)$', '') "
+        "ELSE t END"
+    )
+    s2 = (
+        "CASE WHEN regexp_matches(u, '.{3}(ar|er|or|en)$') "
+        "THEN regexp_replace(u, '(ar|er|or|en)$', '') "
+        "WHEN regexp_matches(u, '.{3}(a|e)$') THEN regexp_replace(u, '(a|e)$', '') "
+        "WHEN regexp_matches(u, '.{4}s$') THEN regexp_replace(u, 's$', '') "
+        "ELSE u END"
+    )
+    return f"list_transform(list_transform({toks_expr}, t -> {s1}), u -> {s2})"
+
+
+@query(
+    "fts_stemmed_match_sv",
+    _bm25_oracle(
+        ["tabl", "ord", "join"],  # Swedish-stemmed forms of the query terms
+        toks=_duck_stem_toks_sv(_DUCK_TOKS.format(col=_DUCK_FOLD_FR)),
+    ),
+)
+def fts_stemmed_match_sv(spark, sf_dir):
+    """swedish_stem tokenizer end-to-end: 'tablar'/'ordande'/'joins'
+    conflate onto the corpus's 'table'/'order'/'join' through the Swedish
+    rule set."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_stemsv_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="swedish_stem")
+    hits = match_query(ds, spark, ["tablar", "ordande", "joins"], k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
+# Cyrillic transliteration used ONLY to give the Russian stemmer a corpus
+# it can act on: the synthetic documents are English, so both engines map
+# a-z onto Cyrillic with the SAME table, then tokenize unicode-aware and
+# stem with the same rule set. Deterministic on both sides, so the value
+# oracle is exact.
+_RU_LAT = "abcdefghijklmnopqrstuvwxyz"
+_RU_CYR = "абцдефгхийклмнопкрстуввхыз"
+_DUCK_TOKS_UNI = (
+    "list_filter(string_split_regex(lower({col}), '[^\\p{{L}}\\p{{N}}]+'), x -> x <> '')"
+)
+
+
+def _duck_stem_toks_ru(toks_expr: str) -> str:
+    """DuckDB mirror of functions/text.py stem_token_ru (Russian
+    snowball-lite, Cyrillic suffixes)."""
+    adj = "ый|ой|ая|яя|ое|ее|ие|ые|ов|ев|ам|ям|ах|ях|ом|ем|ей"
+    s1 = (
+        "CASE WHEN regexp_matches(t, '.{3}(ость|ости)$') "
+        "THEN regexp_replace(t, '(ость|ости)$', '') "
+        "WHEN regexp_matches(t, '.{3}(иями|ями|ами)$') "
+        "THEN regexp_replace(t, '(иями|ями|ами)$', '') "
+        f"WHEN regexp_matches(t, '.{{2}}({adj})$') THEN regexp_replace(t, '({adj})$', '') "
+        "ELSE t END"
+    )
+    s2 = (
+        "CASE WHEN regexp_matches(u, '.{3}(а|я|ы|и|е|о|у|ю|ь)$') "
+        "THEN regexp_replace(u, '(а|я|ы|и|е|о|у|ю|ь)$', '') "
+        "ELSE u END"
+    )
+    return f"list_transform(list_transform({toks_expr}, t -> {s1}), u -> {s2})"
+
+
+@query(
+    "fts_stemmed_match_ru",
+    _bm25_oracle(
+        ["табл", "сцан", "йоин"],  # Russian-stemmed forms of the query terms
+        toks=_duck_stem_toks_ru(
+            _DUCK_TOKS_UNI.format(col=f"translate(lower(text), '{_RU_LAT}', '{_RU_CYR}')")
+        ),
+    ),
+)
+def fts_stemmed_match_ru(spark, sf_dir):
+    """russian_stem tokenizer end-to-end on a Cyrillic corpus: the docs are
+    transliterated a-z → Cyrillic identically in Spark and DuckDB, then
+    'таблами'/'сцаны'/'йоином' conflate onto 'табле'/'сцан'/'йоин' stems
+    through the Russian rule set (unicode tokenizer keeps Cyrillic)."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.write import write_dataset
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.translate(F.lower("text"), _RU_LAT, _RU_CYR)
+    )
+    uri = tempfile.mkdtemp(prefix="lsq_stemru_") + "/docs"
+    write_dataset(docs.repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="russian_stem")
+    hits = match_query(ds, spark, ["таблами", "сцаны", "йоином"], k=10)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
@@ -2891,12 +3080,13 @@ def dedup_embedding_lsh(spark, sf_dir):
     WITH tok AS (SELECT doc_id, lang, unnest(list_distinct({_DUCK_TOKS.format(col='text')})) AS tok
                  FROM documents)
     SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n
-    FROM tok WHERE levenshtein(tok, 'tabl') <= 1
+    FROM tok WHERE damerau_levenshtein(tok, 'tabl') <= 1
     GROUP BY lang
     """,
 )
 def fts_fuzzy_match(spark, sf_dir):
-    """Fuzzy term match (MatchQuery.fuzziness): 'tabl' ~1 edit → 'table'."""
+    """Fuzzy term match (MatchQuery.fuzziness): 'tabl' ~1 edit → 'table'.
+    Damerau distance (tantivy automaton default) on both sides."""
     from lance_spark.operators.fts import fuzzy_match
 
     docs = _t(spark, sf_dir, "documents")

@@ -324,6 +324,33 @@ def commit_batch(
     }
 
 
+def project_to_schema(df, schema):
+    """Reference ``write_dataset(schema=...)`` semantics: project AND cast
+    the input to the declared schema (arrow or Spark StructType) — extra
+    input columns are dropped, missing ones are a clear error. Shared by
+    write_dataset and LanceFragment.create so worker-written fragments
+    can't diverge in parquet types from the schema a coordinator commits."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType as _St
+
+    if not isinstance(schema, _St):
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        schema = _St.fromJson(
+            {"type": "struct",
+             "fields": [
+                 {"name": f.name,
+                  "type": from_arrow_type(f.type).jsonValue(),
+                  "nullable": f.nullable, "metadata": {}}
+                 for f in schema
+             ]}
+        )
+    missing = [f.name for f in schema.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(f"declared schema columns missing from input: {missing}")
+    return df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+
+
 def write_dataset(
     df: DataFrame,
     uri: str,
@@ -357,30 +384,7 @@ def write_dataset(
 
     df = input_to_spark_df(df)
     if schema is not None:
-        # reference write_dataset(schema=...): project AND cast to the
-        # declared schema (arrow or Spark StructType) — extra input columns
-        # are dropped, missing ones are a clear error
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import StructType as _St
-
-        if not isinstance(schema, _St):
-            from pyspark.sql.pandas.types import from_arrow_type
-
-            schema = _St.fromJson(
-                {"type": "struct",
-                 "fields": [
-                     {"name": f.name,
-                      "type": from_arrow_type(f.type).jsonValue(),
-                      "nullable": f.nullable, "metadata": {}}
-                     for f in schema
-                 ]}
-            )
-        missing = [f.name for f in schema.fields if f.name not in df.columns]
-        if missing:
-            raise ValueError(f"declared schema columns missing from input: {missing}")
-        df = df.select(
-            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
-        )
+        df = project_to_schema(df, schema)
 
     if max_rows_per_fragment is None:
         max_rows_per_fragment = max_rows_per_file

@@ -147,3 +147,83 @@ def test_precomputed_assignment_left_join_keeps_new_rows(spark, emb, tmp_path):
     out = b2.transform_vectors(ivf, None, str(tmp_path / "t"), partition_ds_uri=parts)
     n = spark.read.parquet(out).count()
     assert n == ds2.count_rows()  # nothing silently dropped
+
+
+def test_multi_chunk_transform_coverage_union(spark, ds, emb, tmp_path):
+    """Two transform chunks shuffled into SEPARATE output dirs: the
+    committed IndexMeta must union coverage across every source dir's
+    _coverage.json, not stop at the first — otherwise the second chunk's
+    fragments live in the codes AND on the flat-search tail (duplicate
+    candidates)."""
+    b = IndicesBuilder(ds, "embedding", spark)
+    ivf = b.train_ivf(4, distance_type="l2", sample_rate=64)
+    fids = [f.id for f in ds.manifest.fragments]
+    assert len(fids) >= 2
+    work = str(tmp_path / "w")
+    b.transform_vectors(ivf, None, work + "/u0", fragments=fids[:1])
+    b.transform_vectors(ivf, None, work + "/u1", fragments=fids[1:])
+    f0 = b.shuffle_transformed_vectors(["u0"], work, ivf, shuffle_output_root_filename="s0")
+    f1 = b.shuffle_transformed_vectors(["u1"], work, ivf, shuffle_output_root_filename="s1")
+    ds2 = b.load_shuffled_vectors(f0 + f1, work, ivf, None, index_name="union_idx")
+    meta = next(i for i in ds2.manifest.indices if i.name == "union_idx")
+    assert sorted(meta.fragment_ids) == sorted(fids)
+    # no duplicate candidates: exact self-match returns exactly one row per vec
+    row = ds2.scanner(spark, fragments=[fids[-1]]).first()
+    q = [float(x) for x in row["embedding"]]
+    res = ds2.nearest(spark, "embedding", q, k=3, nprobes=4).collect()
+    assert res[0]["vec_id"] == row["vec_id"]
+    assert len({r["vec_id"] for r in res}) == len(res)
+
+
+def test_stale_precompute_reencodes_pq_residual(spark, emb, tmp_path):
+    """partition_ds_uri assignments that disagree with the fresh ones must
+    trigger PQ re-encoding against the STORED partition's centroid — a code
+    encoded off one centroid but stored under another corrupts ADC."""
+    import numpy as np
+    import pyarrow.parquet as pq_mod
+
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "ds")
+    write_dataset(emb.limit(200).repartition(2), uri, mode="create")
+    ds = dataset(uri)
+    b = IndicesBuilder(ds, "embedding", spark)
+    ivf = b.train_ivf(4, distance_type="l2", sample_rate=32)
+    pq = b.train_pq(ivf, num_subvectors=4, sample_rate=32)
+
+    # fresh (consistent) transform as the baseline
+    work = str(tmp_path / "w")
+    b.transform_vectors(ivf, pq, work + "/fresh")
+    fresh = spark.read.parquet(work + "/fresh").select("id", "partition_id", "pq_code").toPandas()
+
+    # adversarial precompute: rotate every assignment to a WRONG partition
+    pre = fresh[["id", "partition_id"]].copy()
+    pre["partition_id"] = (pre["partition_id"] + 1) % int(ivf.num_partitions)
+    spark.createDataFrame(pre).write.mode("overwrite").parquet(work + "/pre")
+
+    b.transform_vectors(ivf, pq, work + "/override", partition_ds_uri=work + "/pre")
+    over = spark.read.parquet(work + "/override").select("id", "partition_id", "pq_code").toPandas()
+    merged = fresh.merge(over, on="id", suffixes=("_f", "_o"))
+    # partitions follow the precompute...
+    assert (merged["partition_id_o"] == (merged["partition_id_f"] + 1) % int(ivf.num_partitions)).all()
+    # ...and codes were RE-encoded: decoding code_o against centroid[pid_o]
+    # must approximate the vector at least as well as the stale code would
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float32)
+            for r in spark.read.parquet(f"{tmp_path}/ds/data/*.parquet" if False else work + "/fresh").select("id", "vec").withColumnRenamed("id", "vec_id").withColumnRenamed("vec", "embedding").collect()}
+
+    def decode(code, pid):
+        cents = ivf.centroids
+        m, _, sub = pq.codebook.shape
+        parts = [pq.codebook[j][int(code[j])] for j in range(m)]
+        return cents[int(pid)] + np.concatenate(parts)
+
+    worse = 0
+    for _, r in merged.head(50).iterrows():
+        v = vecs[r["id"]]
+        err_o = np.linalg.norm(v - decode(r["pq_code_o"], r["partition_id_o"]))
+        # stale would be: code_f (residual vs centroid pid_f) stored under pid_o
+        err_stale = np.linalg.norm(v - decode(r["pq_code_f"], r["partition_id_o"]))
+        if err_o > err_stale + 1e-4:
+            worse += 1
+    assert worse == 0  # re-encoded codes are never worse than stale ones

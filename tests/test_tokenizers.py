@@ -164,3 +164,146 @@ def test_stopword_lists_de_fr(spark):
     fr = df.select(remove_stopwords(tokenize(F.col("t")), "fr").alias("x")).collect()
     assert de[0]["x"] == ["hund", "katze"]
     assert fr[1]["x"] == ["chien", "chats"]
+
+
+def test_ru_nl_sv_stem_column_matches_driver_mirror(spark):
+    """stem_token_ru/nl/sv (Column) and stem_word_ru/nl/sv (driver) must
+    be rule-for-rule identical — same lockstep contract as en/de/fr."""
+    from pyspark.sql import functions as F
+
+    from lance_spark.functions.text import (
+        stem_token_nl, stem_token_ru, stem_token_sv,
+        stem_word_nl, stem_word_ru, stem_word_sv,
+    )
+
+    ru_words = [
+        # derivational, plural/instrumental, adjectives, vowel endings, guards
+        "возможность", "книгами", "странами", "красный", "большой",
+        "домах", "словом", "книга", "поля", "дом", "он", "из",
+    ]
+    nl_words = [
+        "mogelijkheden", "gebouwen", "wandelingen", "betaling", "vriendelijk",
+        "bruikbaar", "huizen", "tafels", "tafel", "een", "de", "es",
+    ]
+    sv_words = [
+        "flickorna", "bilarna", "husen", "springande", "möjlighet", "snabbhet",
+        "bilar", "hundar", "flickor", "tabell", "hus", "en", "de",
+    ]
+    for words, tok, mirror, tag in [
+        (ru_words, stem_token_ru, stem_word_ru, "ru"),
+        (nl_words, stem_token_nl, stem_word_nl, "nl"),
+        (sv_words, stem_token_sv, stem_word_sv, "sv"),
+    ]:
+        df = spark.createDataFrame([(w,) for w in words], ["w"])
+        got = {r["w"]: r["s"] for r in df.select("w", tok(F.col("w")).alias("s")).collect()}
+        for w in words:
+            assert got[w] == mirror(w), f"{tag} mismatch on {w!r}"
+
+    # spot semantics
+    assert stem_word_ru("книгами") == stem_word_ru("книга") == "книг"
+    assert stem_word_ru("возможность") == "возможн"
+    assert stem_word_ru("он") == "он"  # short-word guard
+    assert stem_word_nl("gebouwen") == "gebouw"
+    assert stem_word_nl("mogelijkheden") == "mogelijkheid"
+    assert stem_word_nl("de") == "de"
+    assert stem_word_sv("flickorna") == stem_word_sv("flickor") == "flick"
+    assert stem_word_sv("en") == "en"
+
+
+def test_random_words_stem_mirror_property(spark):
+    """Randomized lockstep: the Column stemmers and driver mirrors agree on
+    arbitrary letter strings (incl. Cyrillic for ru), not just curated
+    vocabulary."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lance_spark.functions.text import (
+        stem_token_nl, stem_token_ru, stem_token_sv,
+        stem_word_nl, stem_word_ru, stem_word_sv,
+    )
+
+    rng = random.Random(71)
+    latin = [
+        "".join(rng.choice("abcdehilmnorstu") for _ in range(rng.randint(1, 12)))
+        for _ in range(300)
+    ]
+    cyr = [
+        "".join(rng.choice("абвгдеиклмностыья") for _ in range(rng.randint(1, 12)))
+        for _ in range(300)
+    ]
+    for words, tok, mirror, tag in [
+        (cyr, stem_token_ru, stem_word_ru, "ru"),
+        (latin, stem_token_nl, stem_word_nl, "nl"),
+        (latin, stem_token_sv, stem_word_sv, "sv"),
+    ]:
+        df = spark.createDataFrame([(w,) for w in set(words)], ["w"])
+        got = {r["w"]: r["s"] for r in df.select("w", tok(F.col("w")).alias("s")).collect()}
+        for w in set(words):
+            assert got[w] == mirror(w), f"{tag} mismatch on {w!r}"
+
+
+def test_ru_nl_sv_index_query_roundtrip(spark, tmp_path):
+    """Inflected query terms hit stemmed postings through each new
+    tokenizer config end-to-end."""
+    import lance_spark as ls
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+
+    cases = [
+        ("russian_stem", [(0, "новые книги на полке"), (1, "ничего тут нет")],
+         ["книгами"], {0}),
+        ("dutch_stem", [(0, "de grote gebouwen van de stad"), (1, "niets hier")],
+         ["gebouw"], {0}),
+        ("swedish_stem", [(0, "alla flickorna springer fort"), (1, "ingenting")],
+         ["flickor"], {0}),
+    ]
+    for tok, rows, terms, want in cases:
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        ds = ls.write_dataset(docs, str(tmp_path / tok))
+        ds = create_inverted_index(ds, spark, "text", tokenizer=tok)
+        hits = match_query(ds, spark, terms, k=10)
+        base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+        got = {r["doc_id"] for r in hits.join(base, hits.id == base._rowid).collect()}
+        assert got == want, f"{tok}: got {got}"
+
+
+def test_damerau_levenshtein_matches_duckdb():
+    """Our driver-side Damerau–Levenshtein must equal DuckDB's
+    damerau_levenshtein (the oracle function) on random strings — full DL
+    incl. the OSA-divergent shapes."""
+    import random
+
+    import duckdb
+
+    from lance_spark.functions.text import damerau_levenshtein
+
+    cases = [("ca", "abc"), ("abc", "acb"), ("", "abc"), ("a", ""), ("abc", "abc"),
+             ("tbale", "table"), ("ab", "ba"), ("abcdef", "badcfe")]
+    rng = random.Random(97)
+    for _ in range(300):
+        a = "".join(rng.choice("abcde") for _ in range(rng.randint(0, 8)))
+        b = "".join(rng.choice("abcde") for _ in range(rng.randint(0, 8)))
+        cases.append((a, b))
+    con = duckdb.connect()
+    for a, b in cases:
+        want = con.execute("SELECT damerau_levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert damerau_levenshtein(a, b) == want, (a, b)
+
+
+def test_fuzzy_transpositions_end_to_end(spark, tmp_path):
+    import lance_spark as ls
+    from lance_spark.indexes.inverted import create_inverted_index, fuzzy_query
+    from lance_spark.operators.fts import fuzzy_match
+
+    docs = spark.createDataFrame(
+        [(0, "the table stands"), (1, "nothing relevant")], ["doc_id", "text"]
+    )
+    # flat path: 'tbale' is 1 Damerau edit from 'table', 2 Levenshtein
+    assert fuzzy_match(docs, "text", "doc_id", "tbale", fuzziness=1).count() == 1
+    assert fuzzy_match(docs, "text", "doc_id", "tbale", fuzziness=1,
+                       transpositions=False).count() == 0
+    # indexed path
+    ds = ls.write_dataset(docs, str(tmp_path / "fz"))
+    ds = create_inverted_index(ds, spark, "text")
+    assert fuzzy_query(ds, spark, "tbale", fuzziness=1).count() == 1
+    assert fuzzy_query(ds, spark, "tbale", fuzziness=1, transpositions=False).count() == 0
