@@ -359,7 +359,7 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    cross = bsigs.select(F.explode(cross_arr).alias("p"))
+    cross = bsigs.select(F.explode(F.slice(F.array_sort(cross_arr), 1, n)).alias("p"))
     # TakeOrdered before dedup — see _simhash_pairs_capped: a pair shows up
     # at most once per band, so top n*bands duplicated ⊇ top n distinct
     out = (
@@ -592,7 +592,11 @@ def _simhash_pairs_capped(
             ),
         )
     )
-    cross = bsigs.select(F.explode(cross_arr).alias("p"))
+    # per-bucket top-n slice BEFORE the explode: a bucket's array holds one
+    # struct per qualifying group pair — sorting it locally and keeping n
+    # bounds the exploded stream at n rows per bucket (exact: a global
+    # top-n pair beats all but <n pairs inside its own bucket)
+    cross = bsigs.select(F.explode(F.slice(F.array_sort(cross_arr), 1, n)).alias("p"))
     # TakeOrdered FIRST (map-side partial top-k, no shuffle of the pair
     # mass), THEN dedup: a pair appears at most once per band, so the top
     # n*n_bands duplicated rows surely contain the top n distinct pairs —
