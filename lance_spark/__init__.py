@@ -36,7 +36,10 @@ from lance_spark.scanner import (
     bytes_read_counter,
     iops_counter,
 )
-from lance_spark.types import json_to_schema, schema_to_json
+from lance_spark import io
+from lance_spark.fragment import FragmentSession
+from lance_spark.namespace import LanceNamespaceStorageOptionsProvider
+from lance_spark.types import LanceSchema, json_to_schema, schema_to_json
 from lance_spark.udf import batch_udf
 from lance_spark.write import commit_batch, commit_fragments, write_dataset, write_fragments
 from lance_spark.session import get_spark
@@ -93,7 +96,28 @@ __all__ = [
     "json_to_schema",
     "schema_to_json",
     "set_logger",
+    "LanceSchema",
+    "FragmentSession",
+    "LanceNamespaceStorageOptionsProvider",
+    "FFILanceTableProvider",
+    "io",
 ]
+
+
+class FFILanceTableProvider:
+    """Reference export parity (lance.FFILanceTableProvider): a DataFusion
+    FFI TableProvider handle for embedding Lance tables into other Arrow
+    FFI engines. Spark's integration point is the DataSource V2 instead —
+    ``spark.read.format("lance").load(uri)`` (sources/datasource.py) plays
+    this exact role — so constructing the FFI form raises with the
+    redirect rather than pretending."""
+
+    def __init__(self, *a, **kw):
+        raise NotImplementedError(
+            "DataFusion-FFI table providers don't apply to Spark; use "
+            'spark.read.format("lance").load(uri) (the DataSource V2) to '
+            "hand this dataset to the engine"
+        )
 
 # Submodule map (import directly; kept lazy to avoid heavy imports here):
 #   lance_spark.functions.{text,vector,json} — column function families

@@ -111,6 +111,14 @@ class LanceDataset:
         return StructType.fromJson(self.manifest.schema_json)
 
     @property
+    def lance_schema(self):
+        """The format-native schema handle (reference dataset.py:911
+        ``lance_schema`` → LanceSchema) — the object typed commits carry."""
+        from lance_spark.types import LanceSchema
+
+        return LanceSchema(self.manifest.schema_json)
+
+    @property
     def columns(self) -> list[str]:
         return [f["name"] for f in self.manifest.schema_json["fields"]]
 

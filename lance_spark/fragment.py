@@ -18,6 +18,7 @@ standard one-fragment deletion-file swap.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from lance_spark import manifest as mf
 from lance_spark.write import FRAGID_SHIFT
@@ -227,7 +228,141 @@ class LanceFragment:
         )
         return new_frag, new_fields_json(new_df, new_cols)
 
+    def merge(
+        self,
+        spark: SparkSession,
+        data_obj,
+        left_on: str,
+        right_on: str | None = None,
+        schema=None,
+    ) -> tuple[mf.Fragment, "object"]:
+        """Attach the right side's columns to THIS fragment by key
+        (reference fragment.py:551 ``merge`` → (FragmentMetadata,
+        LanceSchema)): a left join where the fragment is the left side;
+        unmatched rows get nulls. Per-fragment distributed primitive — each
+        worker merges its fragments, the coordinator commits ONE
+        ``LanceOperation.Merge(fragments, schema)`` with the returned
+        schema (the reference loop shape: ``f, schema = f.merge(...)``)."""
+        from lance_spark.evolution import _write_column_groups, new_fields_json
+        from lance_spark.types import LanceSchema
+        from lance_spark.write import ROWID_COL, input_to_spark_df
+
+        right_on = right_on or left_on
+        right = input_to_spark_df(data_obj)
+        if schema is not None:
+            from lance_spark.write import project_to_schema
+
+            right = project_to_schema(right, schema)
+        new_cols = [c for c in right.columns if c != right_on]
+        collide = set(new_cols) & set(self._ds.columns)
+        if collide:
+            raise ValueError(f"columns already exist: {sorted(collide)}")
+        if left_on not in self._ds.columns:
+            raise ValueError(f"left_on {left_on!r} is not a dataset column")
+        base = self.scanner(spark, columns=[left_on], with_row_id=True)
+        joined = base.join(
+            right.withColumnRenamed(right_on, left_on), on=left_on, how="left"
+        ).select(ROWID_COL, *new_cols)
+        cg_map = _write_column_groups(self._ds.uri, joined, new_cols)
+        meta = self._meta
+        new_frag = mf.Fragment(
+            id=meta.id,
+            files=[*meta.files, mf.DataFile(path=cg_map[self.id], columns=new_cols)],
+            physical_rows=meta.physical_rows,
+            deletion_file=meta.deletion_file,
+            num_deleted_rows=meta.num_deleted_rows,
+        )
+        merged_json = {
+            "type": "struct",
+            "fields": self._ds.manifest.schema_json["fields"]
+            + new_fields_json(joined, new_cols),
+        }
+        return new_frag, LanceSchema(merged_json)
+
+    def update_columns(
+        self,
+        spark: SparkSession,
+        data_obj,
+        left_on: str = "_rowid",
+        right_on: str | None = None,
+    ) -> tuple[mf.Fragment, list[int]]:
+        """Overwrite EXISTING columns' values in this fragment by key
+        (reference fragment.py:623 ``update_columns`` → (FragmentMetadata,
+        changed field ids)): a left-outer join — rows the right side
+        misses keep their old value. Rewrites only the column-group files
+        that own an updated column (sorted by _rowid, so footer-stats take
+        pruning still holds); the coordinator commits the returned
+        fragments via ``LanceOperation.DataReplacement`` or ``Update``."""
+        import os
+        import uuid
+
+        from lance_spark.write import ROWID_COL, input_to_spark_df
+
+        right_on = right_on or left_on
+        right = input_to_spark_df(data_obj)
+        upd_cols = [c for c in right.columns if c != right_on]
+        unknown = set(upd_cols) - set(self._ds.columns)
+        if unknown:
+            raise ValueError(f"cannot update nonexistent columns: {sorted(unknown)}")
+        if not upd_cols:
+            raise ValueError("no update columns (right side has only the key)")
+        key_ok = left_on == ROWID_COL or left_on in self._ds.columns
+        if not key_ok:
+            raise ValueError(f"left_on {left_on!r} is not a dataset column")
+
+        base = self.scanner(spark, with_row_id=True)
+        r2 = right.withColumnRenamed(right_on, left_on).select(
+            left_on, *[F.col(c).alias(f"__new_{c}") for c in upd_cols]
+        )
+        joined = base.join(r2, on=left_on, how="left")
+
+        new_files = []
+        for df_meta in self._meta.files:
+            if not set(df_meta.columns) & set(upd_cols):
+                new_files.append(df_meta)
+                continue
+            cols = [
+                F.coalesce(F.col(f"__new_{c}").cast(base.schema[c].dataType), F.col(c)).alias(c)
+                if c in upd_cols else F.col(c)
+                for c in df_meta.columns
+            ]
+            rel = os.path.join("data", f"update-{self.id}-{uuid.uuid4().hex[:8]}.parquet")
+            out_dir = os.path.join(self._ds.uri, f"__tmp_upd_{uuid.uuid4().hex[:8]}")
+            (
+                joined.select(ROWID_COL, *cols)
+                .orderBy(ROWID_COL)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(out_dir)
+            )
+            part = next(p for p in os.listdir(out_dir) if p.endswith(".parquet"))
+            os.makedirs(os.path.join(self._ds.uri, "data"), exist_ok=True)
+            os.replace(os.path.join(out_dir, part), os.path.join(self._ds.uri, rel))
+            import shutil
+
+            shutil.rmtree(out_dir, ignore_errors=True)
+            new_files.append(mf.DataFile(path=rel, columns=list(df_meta.columns)))
+
+        new_frag = mf.Fragment(
+            id=self._meta.id,
+            files=new_files,
+            physical_rows=self._meta.physical_rows,
+            deletion_file=self._meta.deletion_file,
+            num_deleted_rows=self._meta.num_deleted_rows,
+        )
+        order = {name: i for i, name in enumerate(self._ds.columns)}
+        return new_frag, sorted(order[c] for c in upd_cols)
+
     # ---------------------------------------------------------------- reads
+
+    def open_session(
+        self, spark: SparkSession, columns=None, with_row_address: bool = False
+    ) -> "FragmentSession":
+        """Short-lived repeated-read handle over a fixed projection
+        (reference fragment.py:477 ``open_session`` → FragmentSession):
+        the projected fragment DataFrame is built ONCE and cached, so
+        repeated ``take`` calls skip plan re-resolution and re-scan."""
+        return FragmentSession(self, spark, columns, with_row_address)
 
     def scanner(self, spark: SparkSession, **kwargs) -> DataFrame:
         """ds.scanner restricted to this fragment (fragment.py:439-476)."""
@@ -260,3 +395,39 @@ class LanceFragment:
         hi = (self.id + 1) << FRAGID_SHIFT
         scoped = f"({predicate}) AND _rowid >= {lo} AND _rowid < {hi}"
         return self._ds.delete(spark, scoped)
+
+
+class FragmentSession:
+    """Repeated-read session over one fragment's fixed projection
+    (reference fragment.py:1008 ``FragmentSession``): the projected
+    DataFrame is resolved once and cached in Spark's block store, so a
+    stream of ``take(indices)`` calls pays plan resolution and the
+    fragment scan once."""
+
+    def __init__(self, frag: LanceFragment, spark: SparkSession, columns, with_row_address: bool):
+        from lance_spark.write import ROWID_COL
+
+        self._frag = frag
+        self._spark = spark
+        self._df = frag.scanner(
+            spark, columns=columns, with_row_id=True,
+            with_row_address=with_row_address,
+        ).cache()
+        self._rowid = ROWID_COL
+
+    def take(self, indices: list[int]):
+        """Rows by position within the fragment → pyarrow.Table."""
+        base = self._frag.id << FRAGID_SHIFT
+        rowids = [base + int(i) for i in indices]
+        out = self._df.filter(F.col(self._rowid).isin(rowids))
+        keep = [c for c in self._df.columns if c != self._rowid]
+        return out.select(*keep, self._rowid).toArrow()
+
+    def close(self) -> None:
+        self._df.unpersist()
+
+    def __enter__(self) -> "FragmentSession":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -176,8 +176,12 @@ class Transaction:
 def _schema_json(schema) -> dict:
     from pyspark.sql.types import StructType
 
+    from lance_spark.types import LanceSchema
+
     if isinstance(schema, dict):
         return schema
+    if isinstance(schema, LanceSchema):
+        return schema.to_json()
     if isinstance(schema, StructType):
         return schema.jsonValue()
     # pyarrow schema

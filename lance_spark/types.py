@@ -95,3 +95,35 @@ def json_to_schema(schema_json: dict) -> "pa.Schema":
     from pyspark.sql.types import StructType
 
     return to_arrow_schema(StructType.fromJson(schema_json))
+
+
+class LanceSchema:
+    """The reference's ``LanceSchema`` handle (python/python/lance/schema.py;
+    rust lance_core::datatypes::Schema): the schema object typed commits
+    carry (``LanceOperation.Project(schema)``, ``Merge(frags, schema)``) and
+    ``ds.lance_schema`` returns. Backed here by the manifest's native
+    schema-JSON dict (Spark StructType encoding)."""
+
+    def __init__(self, schema_json: dict):
+        self._json = schema_json
+
+    @staticmethod
+    def from_pyarrow(schema: "pa.Schema") -> "LanceSchema":
+        """Reference call-site shape: ``LanceSchema.from_pyarrow(tbl.schema)``."""
+        return LanceSchema(schema_to_json(schema))
+
+    def to_pyarrow(self) -> "pa.Schema":
+        return json_to_schema(self._json)
+
+    def to_json(self) -> dict:
+        return self._json
+
+    @property
+    def names(self) -> list[str]:
+        return [f["name"] for f in self._json["fields"]]
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, LanceSchema) and self._json == other._json
+
+    def __repr__(self) -> str:
+        return f"LanceSchema({', '.join(self.names)})"

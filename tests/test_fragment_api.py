@@ -2,6 +2,7 @@
 (reference python/python/lance/fragment.py:252-851)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from lance_spark.fragment import LanceFragment
 from lance_spark.write import FRAGID_SHIFT
@@ -156,3 +157,106 @@ def test_merge_columns_on_emptied_fragment_raises(spark, ds):
         pytest.skip("fragment fully dropped by delete")
     with pytest.raises(ValueError, match="no live rows"):
         f2.merge_columns(spark, {"z": "1"})
+
+
+def test_fragment_merge_then_commit(spark, sf_dir, tmp_path):
+    """Reference loop shape (fragment.py:551): per-fragment merge, then ONE
+    LanceOperation.Merge commit with the returned LanceSchema."""
+    import lance_spark as ls
+    from lance_spark.fragment import LanceFragment
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ds = ls.write_dataset(nation.repartition(3), str(tmp_path / "m"))
+    extra = nation.select("n_nationkey", (F.col("n_nationkey") * 10).alias("score"))
+
+    merged, schema = [], None
+    for fm in ds.get_fragments():
+        f, schema = LanceFragment(ds, fm.id).merge(
+            spark, extra, left_on="n_nationkey"
+        )
+        merged.append(f)
+    assert isinstance(schema, ls.LanceSchema) and "score" in schema.names
+    ds2 = ls.commit(ds.uri, ls.LanceOperation.Merge(fragments=merged, schema=schema))
+    got = {r["n_nationkey"]: r["score"] for r in ds2.to_df(spark).collect()}
+    assert len(got) == 25 and all(got[k] == k * 10 for k in got)
+
+
+def test_fragment_update_columns_data_replacement(spark, sf_dir, tmp_path):
+    """update_columns rewrites only the owning column-group file; committing
+    the returned fragment via Update yields the new values, misses keep old."""
+    import lance_spark as ls
+    from lance_spark.fragment import LanceFragment
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ds = ls.write_dataset(nation.repartition(2), str(tmp_path / "u"))
+    frag_meta = ds.get_fragments()[0]
+    frag = LanceFragment(ds, frag_meta.id)
+    keys = [r["n_nationkey"] for r in frag.scanner(spark).limit(3).collect()]
+    updates = spark.createDataFrame(
+        [(k, f"UPDATED_{k}") for k in keys], "n_nationkey long, n_name string"
+    )
+    new_frag, field_ids = frag.update_columns(spark, updates, left_on="n_nationkey")
+    assert field_ids == [ds.columns.index("n_name")]
+    ds2 = ls.commit(ds.uri, ls.LanceOperation.Update(updated_fragments=[new_frag]))
+    got = {r["n_nationkey"]: r["n_name"] for r in ds2.to_df(spark).collect()}
+    assert all(got[k] == f"UPDATED_{k}" for k in keys)
+    assert len(got) == 25  # unmatched rows kept their values
+    untouched = [k for k in got if k not in keys]
+    orig = {r["n_nationkey"]: r["n_name"] for r in nation.collect()}
+    assert all(got[k] == orig[k] for k in untouched)
+
+
+def test_fragment_update_columns_rejects_unknown(spark, sf_dir, tmp_path):
+    import lance_spark as ls
+    from lance_spark.fragment import LanceFragment
+
+    ds = ls.write_dataset(
+        spark.read.parquet(f"{sf_dir}/nation.parquet"), str(tmp_path / "x")
+    )
+    frag = LanceFragment(ds, ds.get_fragments()[0].id)
+    bad = spark.createDataFrame([(1, "x")], "n_nationkey long, nope string")
+    with pytest.raises(ValueError, match="nonexistent"):
+        frag.update_columns(spark, bad, left_on="n_nationkey")
+
+
+def test_fragment_open_session_take(spark, sf_dir, tmp_path):
+    import lance_spark as ls
+    from lance_spark.fragment import LanceFragment
+
+    ds = ls.write_dataset(
+        spark.read.parquet(f"{sf_dir}/nation.parquet").repartition(1),
+        str(tmp_path / "s"),
+    )
+    frag = LanceFragment(ds, ds.get_fragments()[0].id)
+    with frag.open_session(spark, columns=["n_name"]) as sess:
+        t1 = sess.take([0, 2])
+        t2 = sess.take([1])
+        assert t1.num_rows == 2 and t2.num_rows == 1
+        assert set(t1.column_names) == {"n_name", "_rowid"}
+
+
+def test_lance_schema_roundtrip_and_project_op(spark, sf_dir, tmp_path):
+    import pyarrow as pa
+
+    import lance_spark as ls
+
+    ds = ls.write_dataset(
+        spark.read.parquet(f"{sf_dir}/nation.parquet"), str(tmp_path / "ls")
+    )
+    lsch = ds.lance_schema
+    assert isinstance(lsch, ls.LanceSchema)
+    assert lsch.names == ds.columns
+    # from_pyarrow / to_pyarrow round-trips
+    rt = ls.LanceSchema.from_pyarrow(lsch.to_pyarrow())
+    assert rt == lsch
+    # usable directly in a typed Project commit
+    sub = pa.schema([f for f in lsch.to_pyarrow() if f.name != "n_comment"])
+    ds2 = ls.commit(ds.uri, ls.LanceOperation.Project(ls.LanceSchema.from_pyarrow(sub)))
+    assert "n_comment" not in ds2.columns
+
+
+def test_ffi_provider_redirects():
+    import lance_spark as ls
+
+    with pytest.raises(NotImplementedError, match="DataSource V2"):
+        ls.FFILanceTableProvider()
