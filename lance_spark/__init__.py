@@ -36,9 +36,13 @@ from lance_spark.scanner import (
     bytes_read_counter,
     iops_counter,
 )
-from lance_spark import io
+from lance_spark import io, sampler, tracing
 from lance_spark.fragment import FragmentSession
+from lance_spark.hf import HuggingFaceConverter
+from lance_spark.maintenance import CompactionOptions
+from lance_spark.manifest import CommitConflictError
 from lance_spark.namespace import LanceNamespaceStorageOptionsProvider
+from lance_spark.tracing import capture_trace_events, trace_to_chrome
 from lance_spark.types import LanceSchema, json_to_schema, schema_to_json
 from lance_spark.udf import batch_udf
 from lance_spark.write import commit_batch, commit_fragments, write_dataset, write_fragments
@@ -101,6 +105,13 @@ __all__ = [
     "LanceNamespaceStorageOptionsProvider",
     "FFILanceTableProvider",
     "io",
+    "sampler",
+    "tracing",
+    "CommitConflictError",
+    "CompactionOptions",
+    "HuggingFaceConverter",
+    "capture_trace_events",
+    "trace_to_chrome",
 ]
 
 

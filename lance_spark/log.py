@@ -36,3 +36,10 @@ def set_logger(
     logger.addHandler(handler)
     LOGGER = logger
     return logger
+
+
+def get_log_level() -> str:
+    """Effective package log level name (reference log.py get_log_level)."""
+    import logging
+
+    return logging.getLevelName(LOGGER.getEffectiveLevel())

@@ -345,3 +345,33 @@ def cleanup_old_versions(
                 shutil.rmtree(os.path.join(idx_root, rel))
                 removed += 1
     return removed
+
+
+class CompactionOptions(dict):
+    """Options dict for compaction (reference optimize.py:16 TypedDict):
+    ``target_rows_per_fragment`` (default 1024*1024), plus the reference's
+    ``max_rows_per_group`` / ``max_bytes_per_file`` / ``materialize_deletions``
+    knobs, accepted for call-site compatibility (row-group sizing belongs
+    to the parquet writer; deletions always materialize on rewrite here)."""
+
+    def __init__(
+        self,
+        target_rows_per_fragment: int = 1024 * 1024,
+        max_rows_per_group: int | None = None,
+        max_bytes_per_file: int | None = None,
+        materialize_deletions: bool = True,
+        materialize_deletions_threshold: float = 0.1,
+        num_threads: int | None = None,
+        batch_size: int | None = None,
+        defer_index_remap: bool = False,
+    ):
+        super().__init__(
+            target_rows_per_fragment=target_rows_per_fragment,
+            max_rows_per_group=max_rows_per_group,
+            max_bytes_per_file=max_bytes_per_file,
+            materialize_deletions=materialize_deletions,
+            materialize_deletions_threshold=materialize_deletions_threshold,
+            num_threads=num_threads,
+            batch_size=batch_size,
+            defer_index_remap=defer_index_remap,
+        )

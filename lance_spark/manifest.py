@@ -417,6 +417,12 @@ def commit(
                 "commit %s version=%d root=%s fragments=%d",
                 operation, version, root, len(manifest.fragments),
             )
+            from lance_spark.tracing import emit
+
+            emit(
+                "lance_spark::commit", operation=operation, version=version,
+                root=root, fragments=len(manifest.fragments),
+            )
             return manifest
         except CommitConflictError:
             _log().debug("commit conflict on %s version=%d root=%s", operation, version, root)

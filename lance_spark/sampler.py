@@ -1,0 +1,362 @@
+"""Dataloader-side sampling over a LanceDataset — the reference
+``lance.sampler`` surface (python/python/lance/sampler.py:35-460):
+``maybe_sample`` / ``reservoir_sampling`` / ``Sampler`` / ``FragmentSampler``
+/ ``FullScanSampler`` / ``ShardedFragmentSampler`` / ``ShardedBatchSampler``.
+
+Scale shape: samplers run on TRAINING workers, not the Spark cluster — so
+everything here reads fragment parquet files directly with pyarrow (no
+SparkSession). A rank touches only its own fragment shard; memory is
+bounded by one fragment regardless of table size. String filters are
+evaluated by DuckDB over the in-memory arrow table (worker-local,
+fragment-sized) — the same predicate dialect the oracle suite uses.
+"""
+
+from __future__ import annotations
+
+import gc
+import random
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, field
+from heapq import heappush, heappushpop
+from typing import Generic, Iterable, TypeVar
+
+import numpy as np
+
+__all__ = [
+    "maybe_sample",
+    "reservoir_sampling",
+    "PrioritizedItem",
+    "Sampler",
+    "FragmentSampler",
+    "FullScanSampler",
+    "ShardedFragmentSampler",
+    "ShardedBatchSampler",
+]
+
+
+def _fragment_table(ds, frag, columns=None, filter=None, with_row_id=False):  # noqa: A002
+    """One fragment → pyarrow.Table: read the column groups that own the
+    requested columns, align on the embedded ``_rowid``, drop deleted rows,
+    apply the (optional, DuckDB-evaluated) filter."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lance_spark.write import ROWID_COL
+
+    want = list(columns) if columns else [c for f in frag.files for c in f.columns]
+    found = {c for f in frag.files for c in f.columns if c in want}
+    missing = [c for c in want if c not in found]
+    if missing:
+        raise KeyError(f"columns not in fragment {frag.id}: {missing}")
+    tables = [
+        pq.read_table(
+            ds._abs(f.path),
+            columns=[ROWID_COL] + [c for c in f.columns if c in want],
+        )
+        for f in frag.files
+        if any(c in want for c in f.columns)
+    ]
+    base = tables[0].sort_by(ROWID_COL)
+    for t in tables[1:]:
+        t = t.sort_by(ROWID_COL)
+        for name in t.column_names:
+            if name != ROWID_COL:
+                base = base.append_column(name, t.column(name))
+    if frag.deletion_file:
+        import pyarrow.compute as pc
+
+        dead = pq.read_table(ds._abs(frag.deletion_file)).column(0)
+        base = base.filter(pc.invert(pc.is_in(base.column(ROWID_COL), value_set=dead)))
+    if filter is not None:
+        base = _apply_filter(base, filter)
+    order = ([ROWID_COL] if with_row_id else []) + [c for c in want if c in base.column_names]
+    if not with_row_id:
+        order = [c for c in order if c != ROWID_COL]
+    return base.select(order or base.column_names)
+
+
+def _apply_filter(table, filter):  # noqa: A002
+    """pyarrow Expression applied directly; SQL strings via DuckDB over the
+    worker-local arrow table."""
+    import pyarrow as pa
+
+    if isinstance(filter, str):
+        try:
+            import duckdb
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "string filters in samplers need duckdb on the worker; pass "
+                "a pyarrow.compute Expression instead"
+            ) from e
+        con = duckdb.connect()
+        con.register("t", table)
+        return con.execute(f"SELECT * FROM t WHERE {filter}").fetch_arrow_table()
+    return table.filter(filter)
+
+
+def maybe_sample(
+    dataset,
+    n: int,
+    columns=None,
+    batch_size: int = 10240,
+    max_takes: int = 2048,
+    filter: str | None = None,  # noqa: A002
+):
+    """Yield ~``n`` randomly-sampled rows as RecordBatches (reference
+    sampler.py ``maybe_sample``): a full scan when the dataset is smaller
+    than ``n``; otherwise chunked random takes so the read pattern stays
+    ``max_takes`` sequential ranges, not ``n`` point reads."""
+    import pyarrow as pa
+
+    from lance_spark.dataset import LanceDataset
+
+    if isinstance(dataset, str):
+        dataset = LanceDataset(dataset)
+    if isinstance(columns, str):
+        columns = [columns]
+
+    frags = [f for f in dataset.manifest.fragments]
+    total = sum(f.num_rows for f in frags)
+    if n >= total and filter is None:
+        # not enough data: just full-scan (reference maybe_sample branch 1)
+        for frag in frags:
+            yield from _fragment_table(dataset, frag, columns).to_batches(
+                max_chunksize=batch_size
+            )
+        return
+    if filter is not None:
+        # filtered: selectivity is unknowable up front — collect the
+        # filtered stream and down-sample (reference's filtered path loads
+        # matching ids then batches them in random order)
+        batches = []
+        for frag in frags:
+            t = _fragment_table(dataset, frag, columns, filter)
+            batches.extend(t.to_batches(max_chunksize=batch_size))
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        if tbl.num_rows > n:
+            idx = np.random.choice(tbl.num_rows, n, replace=False)
+            tbl = tbl.take(np.sort(idx))
+        yield from tbl.to_batches(max_chunksize=batch_size)
+        return
+
+    # positional sampling: global position -> (fragment, local offset)
+    takes = min(max_takes, n)
+    chunk = max(total // takes, 1)
+    per_chunk = max(n // takes, 1)
+    sampled = 0
+    buf, buffered = [], 0
+    for start in range(0, total, chunk):
+        if sampled >= n:
+            break
+        local = min(chunk, total - start)
+        take_n = min(per_chunk, local)
+        off = start + (np.random.randint(0, local - take_n) if take_n < local else 0)
+        tbl = _take_positions(dataset, frags, range(off, off + take_n), columns)
+        sampled += take_n
+        buf.append(tbl)
+        buffered += tbl.num_rows
+        if buffered >= batch_size:
+            out = pa.concat_tables(buf).combine_chunks()
+            buf, buffered = [], 0
+            yield from out.to_batches(max_chunksize=batch_size)
+    if buf:
+        out = pa.concat_tables(buf).combine_chunks()
+        yield from out.to_batches(max_chunksize=batch_size)
+
+
+def _take_positions(ds, frags, positions, columns):
+    """Global live-row positions → one arrow table (fragment-pruned)."""
+    import pyarrow as pa
+
+    positions = sorted(positions)
+    out, lo = [], 0
+    it = iter(positions)
+    pos = next(it, None)
+    for frag in frags:
+        hi = lo + frag.num_rows
+        local = []
+        while pos is not None and pos < hi:
+            local.append(pos - lo)
+            pos = next(it, None)
+        if local:
+            t = _fragment_table(ds, frag, columns)
+            out.append(t.take(local))
+        lo = hi
+    return pa.concat_tables(out) if out else pa.table({})
+
+
+T = TypeVar("T")
+
+
+@dataclass(order=True)
+class PrioritizedItem(Generic[T]):
+    priority: int
+    item: T = field(compare=False)
+
+
+def reservoir_sampling(stream: Iterable[T], k: int) -> list[T]:
+    """Approximate k-reservoir over an arbitrary stream (reference
+    sampler.py:241-258 — same random-priority heap)."""
+    rng = np.random.default_rng()
+    heap: list[PrioritizedItem] = []
+    for idx, item in enumerate(stream):
+        entry = PrioritizedItem(int(rng.integers(0, k * 2)), item)
+        if len(heap) < k:
+            heappush(heap, entry)
+        else:
+            heappushpop(heap, entry)
+        if idx % 10240 == 0:
+            gc.collect()
+    return [i.item for i in heap]
+
+
+class Sampler(ABC):
+    """Sampler over a LanceDataset (reference sampler.py:260). Implement
+    ``__call__`` to yield ``pyarrow.RecordBatch``."""
+
+    @abstractmethod
+    def __call__(
+        self,
+        ds,
+        *args,
+        batch_size: int = 128,
+        columns=None,
+        filter=None,  # noqa: A002
+        batch_readahead: int = 16,
+        with_row_id: bool = False,
+        **kwargs,
+    ):
+        ...
+
+
+class FragmentSampler(Sampler):
+    """Sampling by fragment order (reference sampler.py:283): subclasses
+    pick the fragment sequence; batches stream fragment-by-fragment so
+    loader memory stays bounded by one fragment."""
+
+    def __call__(
+        self,
+        dataset,
+        *args,
+        batch_size: int = 128,
+        columns=None,
+        filter=None,  # noqa: A002
+        batch_readahead: int = 16,
+        with_row_id: bool = False,
+        **kwargs,
+    ):
+        for frag in self.iter_fragments(dataset, *args, **kwargs):
+            t = _fragment_table(dataset, frag, columns, filter, with_row_id)
+            yield from t.to_batches(max_chunksize=batch_size)
+
+    @abstractmethod
+    def iter_fragments(self, ds, *args, **kwargs):
+        ...
+
+
+class FullScanSampler(FragmentSampler):
+    """Default: the entire dataset, sequentially (sampler.py:321)."""
+
+    def iter_fragments(self, dataset, **kwargs):
+        yield from dataset.manifest.fragments
+
+
+class ShardedFragmentSampler(FragmentSampler):
+    """Each rank reads ``fragments[rank::world_size]`` (sampler.py:331) —
+    disjoint shards, zero coordination; the efficient choice for large
+    datasets."""
+
+    def __init__(self, rank: int, world_size: int, randomize: bool = False, seed: int = 0):
+        super().__init__()
+        self._rank = rank
+        self._world_size = world_size
+        self._randomize = randomize
+        self._seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    @staticmethod
+    def from_torch(randomize: bool = False, seed: int = 0) -> "ShardedFragmentSampler":
+        import torch
+
+        return ShardedFragmentSampler(
+            torch.distributed.get_rank(),
+            torch.distributed.get_world_size(),
+            randomize=randomize,
+            seed=seed,
+        )
+
+    def iter_fragments(self, dataset, **kwargs):
+        frags = list(dataset.manifest.fragments)
+        if self._randomize:
+            random.Random(self._seed + self._epoch).shuffle(frags)
+        for idx in range(self._rank, len(frags), self._world_size):
+            yield frags[idx]
+
+
+class ShardedBatchSampler(Sampler):
+    """Each rank takes every Nth ``batch_size`` run of global row positions
+    (sampler.py:385) — finer-grained than fragment sharding, at the cost of
+    ranged reads. With a filter, every rank scans the filtered stream and
+    keeps its share (positions can't be pre-divided), reservoir-randomized
+    when ``randomize`` is set — the reference's documented fallback."""
+
+    def __init__(self, rank: int, world_size: int, randomize: bool = False, seed: int = 0):
+        self._rank = rank
+        self._world_size = world_size
+        self._randomize = randomize
+        self._seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    @staticmethod
+    def from_torch(randomize: bool = False, seed: int = 0) -> "ShardedBatchSampler":
+        import torch
+
+        return ShardedBatchSampler(
+            torch.distributed.get_rank(),
+            torch.distributed.get_world_size(),
+            randomize=randomize,
+            seed=seed,
+        )
+
+    def __call__(
+        self,
+        dataset,
+        *args,
+        batch_size: int = 128,
+        columns=None,
+        filter=None,  # noqa: A002
+        batch_readahead: int = 16,
+        with_row_id: bool = False,
+        **kwargs,
+    ):
+        frags = list(dataset.manifest.fragments)
+        if filter is not None:
+            # filtered: scan own fragment shard's filtered stream, keep all
+            # (positions can't be pre-assigned once a filter intervenes)
+            batches = []
+            for frag in frags:
+                t = _fragment_table(dataset, frag, columns, filter, with_row_id)
+                batches.extend(t.to_batches(max_chunksize=batch_size))
+            mine = batches[self._rank :: self._world_size]
+            if self._randomize:
+                mine = reservoir_sampling(iter(mine), len(mine))
+            yield from mine
+            return
+        total = sum(f.num_rows for f in frags)
+        starts = list(range(0, total, batch_size))
+        mine = starts[self._rank :: self._world_size]
+        if self._randomize:
+            random.Random(self._seed + self._epoch).shuffle(mine)
+        for s in mine:
+            tbl = _take_positions(
+                dataset, frags, range(s, min(s + batch_size, total)), columns
+            )
+            yield from tbl.to_batches(max_chunksize=batch_size)

@@ -106,3 +106,105 @@ class FragmentCheckpoint:
         import shutil
 
         shutil.rmtree(self.path, ignore_errors=True)
+
+
+class BatchUDFCheckpoint:
+    """SQLite-backed cache of per-batch UDF results and fully-written (but
+    uncommitted) fragments (reference udf.py:96-166 — byte-for-byte the
+    same table layout, so external tooling written against the reference's
+    checkpoint DB reads ours). Connections are never reused: sqlite3
+    connections aren't thread-safe and fragment tasks run concurrently."""
+
+    class BatchInfo:
+        def __init__(self, fragment_id: int, batch_index: int):
+            self.fragment_id = fragment_id
+            self.batch_index = batch_index
+
+    def __init__(self, path: str):
+        import sqlite3
+
+        self.path = path
+        conn = sqlite3.connect(path)
+        conn.execute(
+            "CREATE TABLE IF NOT EXISTS batches"
+            " (fragment_id INT, batch_index INT, result BLOB)"
+        )
+        conn.execute(
+            "CREATE TABLE IF NOT EXISTS fragments (fragment_id INT, data BLOB)"
+        )
+        conn.commit()
+
+    def cleanup(self) -> None:
+        os.remove(self.path)
+
+    def get_batch(self, info: "BatchUDFCheckpoint.BatchInfo"):
+        import pickle
+        import sqlite3
+
+        conn = sqlite3.connect(self.path)
+        row = conn.execute(
+            "SELECT result FROM batches WHERE fragment_id = ? AND batch_index = ?",
+            (info.fragment_id, info.batch_index),
+        ).fetchone()
+        return pickle.loads(row[0]) if row is not None else None
+
+    def insert_batch(self, info: "BatchUDFCheckpoint.BatchInfo", batch) -> None:
+        import pickle
+        import sqlite3
+
+        conn = sqlite3.connect(self.path)
+        conn.execute(
+            "INSERT INTO batches (fragment_id, batch_index, result) VALUES (?, ?, ?)",
+            (info.fragment_id, info.batch_index, pickle.dumps(batch)),
+        )
+        conn.commit()
+
+    def get_fragment(self, fragment_id: int) -> str | None:
+        import sqlite3
+
+        conn = sqlite3.connect(self.path)
+        row = conn.execute(
+            "SELECT data FROM fragments WHERE fragment_id = ?", (fragment_id,)
+        ).fetchone()
+        return row[0] if row is not None else None
+
+    def insert_fragment(self, fragment_id: int, fragment: str) -> None:
+        import sqlite3
+
+        conn = sqlite3.connect(self.path)
+        conn.execute(
+            "INSERT INTO fragments (fragment_id, data) VALUES (?, ?)",
+            (fragment_id, fragment),
+        )
+        conn.execute("DELETE FROM batches WHERE fragment_id = ?", (fragment_id,))
+        conn.commit()
+
+
+def normalize_transform(udf_like, data_source, read_columns=None, reader_schema=None):
+    """Canonicalize an add_columns transform (reference udf.py:168-230):
+    a ``{name: sql_expr}`` dict passes through; a BatchUDF with no declared
+    output schema gets it INFERRED by running the UDF on one real batch of
+    ``data_source`` (pyarrow-native read — no SparkSession needed); a bare
+    callable is wrapped as a BatchUDF first; anything else is treated as a
+    reader and returned as-is."""
+    if isinstance(udf_like, dict):
+        return udf_like
+    if callable(udf_like) and not isinstance(udf_like, BatchUDF):
+        udf_like = BatchUDF(udf_like, None, None)
+    if isinstance(udf_like, BatchUDF):
+        if udf_like.output_schema is None:
+            from lance_spark.sampler import _fragment_table
+
+            ds = getattr(data_source, "_ds", data_source)
+            frags = ds.manifest.fragments
+            if not frags:
+                raise ValueError("cannot infer UDF output schema on an empty dataset")
+            sample = _fragment_table(ds, frags[0], read_columns).slice(0, 64)
+            out = udf_like(sample.to_pandas())  # our BatchUDF is pandas-in/out
+            import pyarrow as pa
+
+            udf_like.output_schema = _as_spark_schema(
+                pa.Schema.from_pandas(out, preserve_index=False)
+            )
+        return udf_like
+    return udf_like  # ReaderLike passes through; schema declared by reader

@@ -1,0 +1,117 @@
+"""Dataloader samplers (reference python/python/lance/sampler.py): pyarrow-
+native fragment reads — no SparkSession on the training worker."""
+
+import pyarrow as pa
+import pytest
+
+import lance_spark as ls
+from lance_spark.sampler import (
+    FullScanSampler,
+    ShardedBatchSampler,
+    ShardedFragmentSampler,
+    maybe_sample,
+    reservoir_sampling,
+)
+
+
+@pytest.fixture(scope="module")
+def ds(spark, sf_dir, tmp_path_factory):
+    nation = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    uri = str(tmp_path_factory.mktemp("sampler") / "cust")
+    return ls.write_dataset(nation.repartition(6), uri)
+
+
+def test_full_scan_sampler_covers_everything(ds):
+    rows = [b.num_rows for b in FullScanSampler()(ds, batch_size=100, columns=["c_custkey"])]
+    assert sum(rows) == ds.count_rows()
+    assert max(rows) <= 100
+
+
+def test_sharded_fragment_sampler_partitions(ds):
+    world = 3
+    seen = []
+    for rank in range(world):
+        s = ShardedFragmentSampler(rank, world)
+        for b in s(ds, batch_size=512, columns=["c_custkey"]):
+            seen.extend(b.column("c_custkey").to_pylist())
+    assert sorted(seen) == sorted(
+        r["c_custkey"] for r in ds.to_df(ds_spark(ds)).select("c_custkey").collect()
+    )
+    # disjoint: no key seen twice
+    assert len(seen) == len(set(seen))
+
+
+def ds_spark(ds):
+    from lance_spark.session import get_spark
+
+    return get_spark()
+
+
+def test_sharded_fragment_sampler_randomize_epoch(ds):
+    a = [f.id for f in ShardedFragmentSampler(0, 1, randomize=True, seed=7).iter_fragments(ds)]
+    b = [f.id for f in ShardedFragmentSampler(0, 1, randomize=True, seed=7).iter_fragments(ds)]
+    assert a == b  # seeded determinism
+    s = ShardedFragmentSampler(0, 1, randomize=True, seed=7)
+    s.set_epoch(1)
+    c = [f.id for f in s.iter_fragments(ds)]
+    assert sorted(c) == sorted(a)
+
+
+def test_sampler_filter_string_and_with_row_id(ds):
+    out = list(
+        FullScanSampler()(
+            ds, batch_size=256, columns=["c_custkey", "c_mktsegment"],
+            filter="c_mktsegment = 'BUILDING'", with_row_id=True,
+        )
+    )
+    tbl = pa.Table.from_batches(out)
+    assert tbl.num_rows > 0
+    assert set(tbl.column_names) == {"_rowid", "c_custkey", "c_mktsegment"}
+    assert all(v == "BUILDING" for v in tbl.column("c_mktsegment").to_pylist())
+
+
+def test_sharded_batch_sampler_partitions_rows(ds):
+    world, bs = 2, 97
+    seen = []
+    for rank in range(world):
+        for b in ShardedBatchSampler(rank, world)(ds, batch_size=bs, columns=["c_custkey"]):
+            seen.extend(b.column("c_custkey").to_pylist())
+    assert len(seen) == ds.count_rows()
+    assert len(set(seen)) == len(seen)
+
+
+def test_maybe_sample_shapes(ds):
+    total = ds.count_rows()
+    # n >= len: full scan
+    full = sum(b.num_rows for b in maybe_sample(ds, n=total + 10, columns=["c_custkey"]))
+    assert full == total
+    # small n: exact point takes
+    small = pa.Table.from_batches(list(maybe_sample(ds, n=20, columns=["c_custkey"], max_takes=5)))
+    assert 0 < small.num_rows <= 25
+    keys = small.column("c_custkey").to_pylist()
+    assert len(set(keys)) == len(keys)
+    # filtered
+    filt = pa.Table.from_batches(
+        list(maybe_sample(ds, n=10, columns=["c_custkey", "c_mktsegment"],
+                          filter="c_mktsegment = 'BUILDING'"))
+    )
+    assert 0 < filt.num_rows <= 10
+    assert all(v == "BUILDING" for v in filt.column("c_mktsegment").to_pylist())
+
+
+def test_sampler_respects_deletions(spark, sf_dir, tmp_path):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ds2 = ls.write_dataset(nation.repartition(2), str(tmp_path / "del"))
+    ds2 = ds2.delete(spark, "n_nationkey < 5")
+    got = pa.Table.from_batches(
+        list(FullScanSampler()(ds2, batch_size=100, columns=["n_nationkey"]))
+    )
+    keys = got.column("n_nationkey").to_pylist()
+    assert len(keys) == 20 and min(keys) == 5
+
+
+def test_reservoir_sampling_bounds():
+    out = reservoir_sampling(iter(range(1000)), 10)
+    assert len(out) == 10 and all(0 <= x < 1000 for x in out)
+    short = reservoir_sampling(iter(range(3)), 10)
+    assert sorted(short) == [0, 1, 2]
