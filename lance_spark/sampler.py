@@ -31,6 +31,8 @@ __all__ = [
     "FullScanSampler",
     "ShardedFragmentSampler",
     "ShardedBatchSampler",
+    "ShardedBatchIterator",
+    "CachedDataset",
 ]
 
 
@@ -360,3 +362,97 @@ class ShardedBatchSampler(Sampler):
                 dataset, frags, range(s, min(s + batch_size, total)), columns
             )
             yield from tbl.to_batches(max_chunksize=batch_size)
+
+
+class ShardedBatchIterator:
+    """Iterator of RecordBatches over one shard of a dataset (reference
+    lance._dataset.sharded_batch_iterator.ShardedBatchIterator):
+    ``granularity='fragment'`` shards whole fragments (the performant
+    default — sequential reads, zero coordination); ``'batch'`` shards
+    ``batch_size`` row runs (finer balance, ranged reads)."""
+
+    def __init__(
+        self,
+        data,
+        rank: int,
+        world_size: int,
+        *,
+        columns=None,
+        batch_size: int = 1024 * 10,
+        granularity: str = "fragment",
+        batch_readahead: int = 8,
+        with_row_id: bool = False,
+    ):
+        from lance_spark.dataset import LanceDataset
+
+        self._ds = LanceDataset(data) if isinstance(data, str) else data
+        if granularity == "fragment":
+            self._sampler = ShardedFragmentSampler(rank, world_size)
+        elif granularity == "batch":
+            self._sampler = ShardedBatchSampler(rank, world_size)
+        else:
+            raise ValueError(f"granularity must be 'fragment' or 'batch', got {granularity!r}")
+        self._kwargs = dict(
+            batch_size=batch_size, columns=columns, with_row_id=with_row_id,
+            batch_readahead=batch_readahead,
+        )
+
+    def __iter__(self):
+        return iter(self._sampler(self._ds, **self._kwargs))
+
+
+class CachedDataset:
+    """Cache a batch stream to a local arrow IPC file on the FIRST epoch so
+    later epochs replay from disk instead of recomputing the source
+    (reference lance._dataset.cache.CachedDataset — same contract: a
+    second iteration before the first finishes raises)."""
+
+    def __init__(self, stream, cache_dir: str | None = None):
+        import tempfile
+
+        self.stream = stream
+        self._dir = cache_dir or tempfile.mkdtemp(prefix="lance_spark_cache_")
+        self._own = cache_dir is None
+        self.cache_file: str | None = None
+        self.finished_origin_stream = False
+
+    def __iter__(self):
+        import os
+
+        import pyarrow as pa
+
+        if self.cache_file is None:
+            writer = None
+            for batch in self.stream:
+                if writer is None:
+                    self.cache_file = os.path.join(self._dir, "cache.arrow")
+                    writer = pa.ipc.new_stream(self.cache_file, batch.schema)
+                writer.write(batch)
+                yield batch
+            if writer is not None:
+                writer.close()
+            self.finished_origin_stream = True
+        else:
+            if not self.finished_origin_stream:
+                raise RuntimeError(
+                    "CachedDataset: the iteration over original data has not finished"
+                )
+            with pa.ipc.open_stream(self.cache_file) as reader:
+                yield from reader
+
+    def close(self) -> None:
+        import os
+        import shutil
+
+        if self.cache_file and os.path.exists(self.cache_file):
+            if self._own:
+                shutil.rmtree(self._dir, ignore_errors=True)
+            else:
+                os.remove(self.cache_file)
+        self.cache_file = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -115,3 +115,44 @@ def test_reservoir_sampling_bounds():
     assert len(out) == 10 and all(0 <= x < 1000 for x in out)
     short = reservoir_sampling(iter(range(3)), 10)
     assert sorted(short) == [0, 1, 2]
+
+
+def test_sharded_batch_iterator_both_granularities(ds):
+    from lance_spark.sampler import ShardedBatchIterator
+
+    for gran in ("fragment", "batch"):
+        seen = []
+        for rank in range(2):
+            it = ShardedBatchIterator(ds, rank, 2, columns=["c_custkey"],
+                                      batch_size=128, granularity=gran)
+            for b in it:
+                seen.extend(b.column("c_custkey").to_pylist())
+        assert len(seen) == ds.count_rows(), gran
+        assert len(set(seen)) == len(seen), gran
+    with pytest.raises(ValueError, match="granularity"):
+        ShardedBatchIterator(ds, 0, 2, granularity="row")
+
+
+def test_cached_dataset_replays_and_guards(ds):
+    from lance_spark.sampler import CachedDataset
+
+    stream = FullScanSampler()(ds, batch_size=200, columns=["c_custkey"])
+    with CachedDataset(stream) as cache:
+        first = [b.num_rows for b in cache]
+        second = [b.num_rows for b in cache]  # replays from the IPC file
+        assert sum(first) == sum(second) == ds.count_rows()
+
+    # a second iteration before the first finishes must raise
+    stream2 = FullScanSampler()(ds, batch_size=200, columns=["c_custkey"])
+    cache2 = CachedDataset(stream2)
+    it = iter(cache2)
+    next(it)
+    with pytest.raises(RuntimeError, match="has not finished"):
+        list(iter(cache2))
+
+
+def test_index_config_shape():
+    from lance_spark.indices import IndexConfig
+
+    cfg = IndexConfig(index_type="btree", parameters={"zone_size": 4096})
+    assert cfg.index_type == "btree" and cfg.parameters["zone_size"] == 4096
