@@ -123,3 +123,37 @@ def test_hybrid_rrf_windows_bounded_by_topk(spark, sf_dir):
     # TakeOrderedAndProject/Limit of k rows, so SinglePartition is bounded
     assert "Window" in e
     assert "Limit" in e or "TakeOrdered" in e
+
+
+def test_capped_simhash_plan_takeordered_no_wide_dedup(spark, sf_dir):
+    """Capped near-dup mode must finish with TakeOrdered (map-side partial
+    top-k), never a full dropDuplicates shuffle of the pair stream — the
+    r5 design that keeps quadratic pair mass off the wire."""
+    from lance_spark.operators.dedup import simhash_pairs
+    from lance_spark.plans.explain import explain_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    q = simhash_pairs(docs, "text", "doc_id", max_pairs=20)
+    e = explain_plan(q, "formatted")
+    assert "TakeOrderedAndProject" in e
+    # the only aggregate-dedup allowed is AFTER the TakeOrdered (tiny);
+    # check no global Sort over the raw pair stream
+    assert "CartesianProduct" not in e and "BroadcastNestedLoopJoin" not in e
+
+
+def test_take_blobs_pruned_scan_lists_few_files(spark, tmp_path):
+    """Post-compaction take_blobs must scan only footer-matched files —
+    plan-level companion to the IO-counter spy test."""
+    from lance_spark.operators.multimodal import pack_fake_image
+
+    import lance_spark as ls
+
+    rows = [(i, pack_fake_image(32, 32, 3, seed=i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, img binary")
+    ds = ls.write_dataset(df.repartition(8), str(tmp_path / "b"), blob_columns=["img"])
+    ds = ds.update_config({"rowid_address_style": False})
+    rid = ds.to_df(spark, with_row_id=True).first()["_rowid"]
+    q = ds.take_blobs(spark, [rid], "img")
+    files = q.inputFiles()
+    assert 0 < len(files) <= 2, files
+    assert all("-blob-" in f for f in files)
