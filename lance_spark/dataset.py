@@ -836,19 +836,20 @@ class LanceDataset:
 
         from lance_spark.query import FullTextQuery, MatchQuery, execute_query, from_json
 
-        out, i, n_calls, in_str = [], 0, 0, False
+        out, i, n_calls = [], 0, 0
+        in_quote: str | None = None  # ' or " (string literals) or ` (identifier)
         q = query
         while i < len(q):
             ch = q[i]
-            if in_str:
+            if in_quote is not None:
                 out.append(ch)
-                if ch == "'":
-                    in_str = False
+                if ch == in_quote:
+                    in_quote = None
                 i += 1
                 continue
-            if ch == "'":
+            if ch in ("'", '"', "`"):
                 out.append(ch)
-                in_str = True
+                in_quote = ch
                 i += 1
                 continue
             if (

@@ -127,6 +127,14 @@ class LanceOperation:
         branch_name: str | None = None  # branch ref created at the clone
 
     @dataclass
+    class UpdateBases(BaseOperation):
+        """Register additional storage roots (transaction.rs UpdateBases —
+        add-only, like the reference). ``new_bases``: DatasetBasePath
+        objects or their json dicts."""
+
+        new_bases: list
+
+    @dataclass
     class DataReplacementGroup:
         """One fragment's data-file swap (reference dataset.py:4067-4073)."""
 
@@ -328,6 +336,17 @@ def _apply(op, base: mf.Manifest | None, version: int) -> mf.Manifest:
         return mf.Manifest.evolve(
             base, version, config=config, schema_json=schema,
         )
+    if isinstance(op, O.UpdateBases):
+        assert base is not None
+        adds = [
+            (b if isinstance(b, mf.DatasetBasePath) else mf.DatasetBasePath.from_json(b)).to_json()
+            for b in op.new_bases
+        ]
+        names = [x["name"] for x in base.bases] + [x["name"] for x in adds]
+        dupes = {n for n in names if names.count(n) > 1}
+        if dupes:
+            raise ValueError(f"duplicate base name(s): {sorted(dupes)}")
+        return mf.Manifest.evolve(base, version, bases=base.bases + adds)
     if isinstance(op, O.DataReplacement):
         assert base is not None
         by_id = {f.id: f for f in base.fragments}
@@ -394,7 +413,7 @@ _OP_NAMES = {
     "Update": "update", "Merge": "merge", "Restore": "restore",
     "Rewrite": "rewrite", "Project": "project", "CreateIndex": "create_index",
     "UpdateConfig": "update_config", "Clone": "clone",
-    "DataReplacement": "data_replacement",
+    "DataReplacement": "data_replacement", "UpdateBases": "update_bases",
 }
 
 

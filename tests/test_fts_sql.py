@@ -88,9 +88,17 @@ def test_fts_sql_literal_not_rewritten(spark, docs_ds):
     ds, _ = docs_ds
     out = ds.sql(spark, "SELECT 'fts(x)' AS s FROM dataset LIMIT 1").collect()
     assert out[0]["s"] == "fts(x)"
+    # double-quoted string literals are literals too in Spark SQL
+    out_dq = ds.sql(spark, 'SELECT "fts(y)" AS s FROM dataset LIMIT 1').collect()
+    assert out_dq[0]["s"] == "fts(y)"
     # and an identifier merely ending in fts is untouched
     out2 = ds.sql(spark, "SELECT length('abcfts') AS n FROM dataset LIMIT 1").collect()
     assert out2[0]["n"] == 6
+    # backticked identifiers containing the token survive
+    out3 = ds.sql(
+        spark, "SELECT doc_id AS `fts(col)` FROM dataset LIMIT 1"
+    ).collect()
+    assert out3[0]["fts(col)"] is not None
 
 
 def test_fts_sql_bad_args_raise(spark, docs_ds):

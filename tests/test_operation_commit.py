@@ -245,3 +245,17 @@ def test_commit_data_replacement(spark, ds_and_df, tmp_path):
             Op.DataReplacementGroup(fragment_id=999,
                                     new_file=mf.DataFile(repl_rel, list(old_file.columns))),
         ]))
+
+
+def test_commit_update_bases(spark, ds_and_df, tmp_path):
+    ds, _ = ds_and_df
+    base_dir = str(tmp_path / "cold_base")
+    ds2 = ls.commit(ds.uri, Op.UpdateBases(new_bases=[
+        mf.DatasetBasePath(path=base_dir, name="cold"),
+    ]))
+    assert any(b["name"] == "cold" for b in ds2.manifest.bases)
+    assert ds2.read_transaction(ds2.version)["operation"] == "update_bases"
+    with pytest.raises(ValueError, match="duplicate"):
+        ls.commit(ds.uri, Op.UpdateBases(new_bases=[
+            mf.DatasetBasePath(path=base_dir, name="cold"),
+        ]))
