@@ -166,6 +166,11 @@ def main():
         if name not in suite.QUERIES:
             continue
         _between_queries(spark)
+        # one untimed warmup: the first execution of a query pays its
+        # whole-stage codegen compilation (~0.5-1s), which is a one-time
+        # session cost, not the query's steady-state latency — the
+        # BASELINE numbers this is compared against are steady-state
+        suite.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
         for _ in range(repeats):
             t0 = time.time()
