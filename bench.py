@@ -47,6 +47,8 @@ HEADLINE = [
     "curate_global_shuffle",
     # round-5: bounded-output near-dup (the replica-heavy-corpus scale valve)
     "dedup_simhash_capped",
+    # round-5: snapshot-vs-corpus dedup through a persisted fingerprint index
+    "dedup_incremental_index",
 ]
 
 

@@ -919,3 +919,139 @@ def semantic_dedup_keep(
         F.col("cluster_id").cast("long").alias("cluster_id"),
         (F.col("cluster_id") == F.col("id")).alias("keep"),
     )
+
+
+# ------------------------------------------------------------------------
+# Incremental dedup against a PERSISTED fingerprint index — the production
+# pipeline shape: each new snapshot dedups against the accumulated corpus
+# WITHOUT re-scanning its text. The index is itself a lance dataset (one
+# banded row per (doc, band): id, fp, sig, band_id, band_key), so it
+# versions, appends, and compacts like any table. At 100 TB of corpus text
+# the index is ~bands rows of a few hundred bytes per doc — the join
+# shuffles fingerprints, never documents.
+# ------------------------------------------------------------------------
+
+
+def _banded_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, num_perm: int, bands: int, shingle_k: int
+) -> DataFrame:
+    """(id, fp, sig, band_id, band_key): exact canonical fingerprint +
+    minhash signature, exploded into band rows (same signature/band math
+    as minhash_lsh_pairs, so thresholds mean the same thing)."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures_agg(df, text_col, id_col, num_perm, shingle_k)
+    fps = _fan_out(df).select(
+        F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    # left join: docs too short to shingle (no sig) still carry an exact fp
+    joined = fps.join(sigs, "id", "left")
+    return joined.select(
+        "id",
+        "fp",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.when(
+                            F.col("sig").isNotNull(),
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            ),
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "fp", "sig", "band.band_id", "band.band_key")
+
+
+def build_fingerprint_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    uri: str,
+    *,
+    mode: str = "create",
+    num_perm: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    shingle_k: int = 3,
+):
+    """Persist a corpus's dedup fingerprints as a lance dataset. ``mode=
+    'append'`` accumulates a new snapshot's fingerprints into an existing
+    index (run it on the SURVIVORS of dedup_against_index, so the index
+    grows dedup-clean). Returns the index LanceDataset."""
+    from lance_spark.write import write_dataset
+
+    banded = _banded_fingerprints(df, text_col, id_col, num_perm, bands, shingle_k)
+    return write_dataset(banded, uri, mode=mode)
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_ds,
+    spark,
+    *,
+    min_est_jaccard: float = 0.5,
+    exact: bool = True,
+    near: bool = True,
+    num_perm: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Rows of ``new_df`` that do NOT duplicate the indexed corpus:
+    ``exact`` drops canonical-fingerprint collisions (anti-join on fp);
+    ``near`` drops docs whose minhash signature agrees with any indexed
+    signature on >= ``min_est_jaccard`` of positions — candidates come
+    from the banded equi-join (LSH's contract: a high-jaccard pair shares
+    at least one band), so no all-pairs comparison ever happens.
+
+    One pass over the NEW snapshot's text; the corpus contributes only its
+    fingerprint rows."""
+    idx = index_ds.to_df(spark)
+    nb = _banded_fingerprints(new_df, text_col, id_col, num_perm, bands, shingle_k)
+    doomed = None
+    if exact:
+        hits = nb.select("id", "fp").join(
+            idx.select(F.col("fp").alias("ifp")).distinct(),
+            F.col("fp") == F.col("ifp"),
+            "inner",
+        ).select("id")
+        doomed = hits
+    if near:
+        cand = (
+            nb.filter(F.col("band_key").isNotNull())
+            .alias("n")
+            .join(
+                idx.filter(F.col("band_key").isNotNull()).alias("i"),
+                on=["band_id", "band_key"],
+                how="inner",
+            )
+            .select(F.col("n.id").alias("id"), F.col("n.sig").alias("sig"),
+                    F.col("i.sig").alias("isig"))
+            .dropDuplicates(["id", "isig"])
+        )
+        agree = F.aggregate(
+            F.zip_with("sig", "isig", lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        near_hits = (
+            cand.withColumn("est", F.round(agree / F.lit(num_perm), 4))
+            .filter(F.col("est") >= min_est_jaccard)
+            .select("id")
+        )
+        doomed = near_hits if doomed is None else doomed.unionByName(near_hits)
+    if doomed is None:
+        return new_df
+    return new_df.join(
+        doomed.distinct().withColumnRenamed("id", id_col), on=id_col, how="left_anti"
+    )

@@ -870,6 +870,115 @@ def dedup_minhash_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_corpus(spark, sf_dir), "text", "id", min_est_jaccard=0.5)
 
 
+def _incr_dedup_oracle() -> str:
+    """DuckDB mirror of the incremental fingerprint-index flow: corpus
+    fingerprints (exact md5 + minhash bands) vs a new snapshot containing
+    exact dups (canonicalization-invariant), near dups (appended tail),
+    and genuinely fresh docs — survivors are the fresh ones."""
+    from lance_spark.operators.dedup import MINHASH_BANDS, MINHASH_PERMS
+
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    sig_terms = ", ".join(
+        f"list_min(list_transform(hs, h -> ((2*{j}+3)*h + (5*{j}+7)) % {_P31}))"
+        for j in range(MINHASH_PERMS)
+    )
+
+    def banded(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT id, sig, {b} AS band_id, concat_ws(',', "
+            + ", ".join(f"sig[{b*rows + r + 1}]" for r in range(rows))
+            + f") AS band_key FROM {src}"
+            for b in range(MINHASH_BANDS)
+        )
+
+    agree = " + ".join(
+        f"CASE WHEN sa.sig[{i+1}] = sb.sig[{i+1}] THEN 1 ELSE 0 END"
+        for i in range(MINHASH_PERMS)
+    )
+    toks = _DUCK_TOKS.format(col="text")
+    fresh = ", ".join(f"'qq{c}' || doc_id" for c in "abcdef")
+    return f"""
+    WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+    newdocs AS (
+      SELECT doc_id + 500000 AS id, upper(text) || '  ' AS text
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 600000, text || ' extra token tail'
+      FROM documents WHERE doc_id % 5 = 1
+      UNION ALL
+      SELECT doc_id + 700000, concat_ws(' ', {fresh})
+      FROM documents WHERE doc_id % 5 = 2),
+    ctok AS (SELECT id, {toks} AS w FROM corpus),
+    cfp AS (SELECT id, md5(array_to_string(w, ' ')) AS f FROM ctok),
+    csh AS (SELECT id, list_transform(range(1, len(w)-1),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS sh
+            FROM ctok WHERE len(w) >= 3),
+    chs AS (SELECT id, list_transform(sh, s -> {_DUCK_HASH64.format(s='s')} % {_P31}) AS hs FROM csh),
+    csig AS (SELECT id, [{sig_terms}] AS sig FROM chs),
+    ntok AS (SELECT id, {toks} AS w FROM newdocs),
+    nfp AS (SELECT id, md5(array_to_string(w, ' ')) AS f FROM ntok),
+    nsh AS (SELECT id, list_transform(range(1, len(w)-1),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS sh
+            FROM ntok WHERE len(w) >= 3),
+    nhs AS (SELECT id, list_transform(sh, s -> {_DUCK_HASH64.format(s='s')} % {_P31}) AS hs FROM nsh),
+    nsig AS (SELECT id, [{sig_terms}] AS sig FROM nhs),
+    cband AS ({banded('csig')}),
+    nband AS ({banded('nsig')}),
+    exact_hits AS (SELECT DISTINCT n.id FROM nfp n JOIN cfp c ON n.f = c.f),
+    cand AS (SELECT DISTINCT n.id AS nid, c.id AS cid
+             FROM nband n JOIN cband c
+               ON n.band_id = c.band_id AND n.band_key = c.band_key),
+    near_hits AS (SELECT DISTINCT p.nid AS id
+                  FROM cand p JOIN nsig sa ON sa.id = p.nid
+                              JOIN csig sb ON sb.id = p.cid
+                  WHERE round(({agree}) / {MINHASH_PERMS}.0, 4) >= 0.5)
+    SELECT id FROM newdocs
+    WHERE id NOT IN (SELECT id FROM exact_hits)
+      AND id NOT IN (SELECT id FROM near_hits)
+    ORDER BY id
+    """
+
+
+@query("dedup_incremental_index", _incr_dedup_oracle())
+def dedup_incremental_index(spark, sf_dir):
+    """Incremental dedup against a PERSISTED fingerprint index
+    (operators/dedup.py build_fingerprint_index / dedup_against_index):
+    the production pipeline shape where each snapshot dedups against the
+    accumulated corpus without re-scanning its text. Exact dups
+    (canonicalization-invariant) and near dups (appended tail) are
+    dropped; genuinely fresh docs survive."""
+    import tempfile
+
+    from lance_spark.operators.dedup import (
+        build_fingerprint_index,
+        dedup_against_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(F.col("doc_id").alias("id"), "text")
+    uri = tempfile.mkdtemp(prefix="lsq_fpidx_") + "/fps"
+    idx = build_fingerprint_index(corpus, "text", "id", uri)
+
+    exact_dups = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 500000).alias("id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    near_dups = docs.filter(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + 600000).alias("id"),
+        F.concat(F.col("text"), F.lit(" extra token tail")).alias("text"),
+    )
+    fresh = docs.filter(F.col("doc_id") % 5 == 2).select(
+        (F.col("doc_id") + 700000).alias("id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit(f"qq{c}"), F.col("doc_id").cast("string")) for c in "abcdef"],
+        ).alias("text"),
+    )
+    new = exact_dups.unionByName(near_dups).unionByName(fresh)
+    out = dedup_against_index(new, "text", "id", idx, spark, min_est_jaccard=0.5)
+    return out.select("id").orderBy("id")
+
+
 def _simhash_oracle() -> str:
     bits, bands, max_hamming = 32, 4, 3
     band_bits = bits // bands

@@ -435,3 +435,48 @@ def test_unigram_vocab_broadcast_gate(spark):
             for r in unigram_logprob_score(df, "text", "id", broadcast_vocab_limit=10).collect()}
     assert bcast == shuf and len(bcast) == 200
     assert all(n >= 3 and lp > 0 for n, lp in bcast.values())
+
+
+def test_incremental_fingerprint_index_lifecycle(spark, sf_dir, tmp_path):
+    """Snapshot N dedups against the index, survivors' fingerprints append,
+    snapshot N+1 then collides with snapshot N's survivors too — the
+    accumulated-corpus contract."""
+    from pyspark.sql import functions as F
+
+    from lance_spark.operators.dedup import (
+        build_fingerprint_index,
+        dedup_against_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    corpus = docs.select(F.col("doc_id").alias("id"), "text")
+    uri = str(tmp_path / "fps")
+    idx = build_fingerprint_index(corpus, "text", "id", uri)
+
+    fresh = docs.limit(5).select(
+        (F.col("doc_id") + 1000).alias("id"),
+        F.concat_ws(" ", *[F.concat(F.lit(f"zz{c}"), F.col("doc_id").cast("string"))
+                           for c in "abcdef"]).alias("text"),
+    )
+    dup_of_corpus = docs.limit(5).select(
+        (F.col("doc_id") + 2000).alias("id"), F.upper("text").alias("text")
+    )
+    snap1 = fresh.unionByName(dup_of_corpus)
+    kept1 = dedup_against_index(snap1, "text", "id", idx, spark)
+    ids1 = {r["id"] for r in kept1.collect()}
+    assert ids1 == {r["id"] for r in fresh.collect()}  # dups dropped, fresh kept
+
+    # append survivors' fingerprints; a re-send of the same fresh docs now dies
+    idx2 = build_fingerprint_index(kept1, "text", "id", uri, mode="append")
+    resend = fresh.withColumn("id", F.col("id") + 9000)
+    kept2 = dedup_against_index(resend, "text", "id", idx2, spark)
+    assert kept2.count() == 0
+
+    # mode flags: exact-only lets near-dups through
+    near = docs.limit(3).select(
+        (F.col("doc_id") + 3000).alias("id"),
+        F.concat(F.col("text"), F.lit(" tiny tail")).alias("text"),
+    )
+    assert dedup_against_index(near, "text", "id", idx2, spark,
+                               near=False).count() == 3
+    assert dedup_against_index(near, "text", "id", idx2, spark).count() == 0
