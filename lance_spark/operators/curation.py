@@ -519,3 +519,48 @@ def encode_with_vocab(
             ).alias("ids_md5"),
         )
     )
+
+
+def c4_quality(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+    Transfer Learning", §2.2) — the line-level companion to the Gopher
+    document rules:
+
+      line kept iff  ends in terminal punctuation (. ! ? ")
+                 AND has >= 5 words
+                 AND does not contain the word 'javascript'
+      page kept iff  >= 3 kept lines ("sentences")
+                 AND no 'lorem ipsum' substring
+                 AND no '{' character
+
+    Returns (id, n_lines, n_kept, r_min_sentences, r_lorem, r_brace,
+    c4_keep, clean_text) where clean_text is the kept lines rejoined —
+    the text a C4-style pipeline would feed downstream. Row-local JVM
+    expressions only: zero shuffles, scales with the scan."""
+    lines = F.filter(F.split(F.col(col), "\n"), lambda l: F.trim(l) != "")
+
+    def line_ok(l):
+        t = F.trim(l)
+        words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+        low = F.transform(words, lambda w: F.lower(w))
+        return (
+            t.rlike('[.!?"]$')
+            & (F.size(words) >= 5)
+            & ~F.array_contains(low, "javascript")
+        )
+
+    kept = F.filter(lines, line_ok)
+    low_doc = F.lower(F.col(col))
+    r_min_sentences = F.size(kept) >= 3
+    r_lorem = ~low_doc.contains("lorem ipsum")
+    r_brace = ~F.col(col).contains("{")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        r_min_sentences.alias("r_min_sentences"),
+        r_lorem.alias("r_lorem"),
+        r_brace.alias("r_brace"),
+        (r_min_sentences & r_lorem & r_brace).alias("c4_keep"),
+        F.concat_ws("\n", F.transform(kept, lambda l: F.trim(l))).alias("clean_text"),
+    )

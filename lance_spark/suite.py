@@ -4241,6 +4241,87 @@ def curate_gopher_rules(spark, sf_dir):
 
 
 @query(
+    "curate_c4_rules",
+    r"""
+    WITH src AS (
+      SELECT doc_id AS id,
+             text || chr(10) || 'tiny line' || chr(10) ||
+             'this proper sentence contains more than five words.' || chr(10) ||
+             CASE WHEN doc_id % 7 = 0
+                  THEN 'some javascript heavy line with six words.'
+                  ELSE 'another good sentence with plenty of words here.' END
+             || chr(10) ||
+             CASE WHEN doc_id % 11 = 0
+                  THEN 'now { brace appears in this line today.'
+                  ELSE 'closing sentence with the required five words.' END
+             || chr(10) ||
+             CASE WHEN doc_id % 13 = 0
+                  THEN 'lorem ipsum dolor sit amet padding line.'
+                  ELSE 'final regular sentence keeps things quite normal.' END
+             AS text
+      FROM documents
+    ), w AS (
+      SELECT id, text,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+      FROM src
+    ), k AS (
+      SELECT id, text, lines,
+             list_filter(lines, l ->
+               regexp_matches(trim(l), '[.!?"]$')
+               AND len(list_filter(string_split_regex(trim(l), '\s+'), x -> x <> '')) >= 5
+               AND NOT list_contains(
+                     list_transform(
+                       list_filter(string_split_regex(trim(l), '\s+'), x -> x <> ''),
+                       x -> lower(x)),
+                     'javascript')) AS kept
+      FROM w
+    )
+    SELECT id,
+           CAST(len(lines) AS INT) AS n_lines,
+           CAST(len(kept) AS INT)  AS n_kept,
+           len(kept) >= 3                              AS r_min_sentences,
+           NOT contains(lower(text), 'lorem ipsum')    AS r_lorem,
+           NOT contains(text, '{')                     AS r_brace,
+           len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(text, '{')               AS c4_keep
+    FROM k ORDER BY id
+    """,
+)
+def curate_c4_rules(spark, sf_dir):
+    """C4 line-level cleaning rules (Raffel et al. 2020 §2.2) over a
+    constructed multi-line corpus: terminal-punctuation + min-words +
+    javascript line filters, then the page-level sentence-count /
+    lorem-ipsum / curly-brace gates (operators/curation.c4_quality)."""
+    from lance_spark.operators.curation import c4_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("tiny line"),
+            F.lit("this proper sentence contains more than five words."),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("some javascript heavy line with six words."))
+             .otherwise(F.lit("another good sentence with plenty of words here.")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit("now { brace appears in this line today."))
+             .otherwise(F.lit("closing sentence with the required five words.")),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.lit("lorem ipsum dolor sit amet padding line."))
+             .otherwise(F.lit("final regular sentence keeps things quite normal.")),
+        ).alias("text"),
+    )
+    return (
+        c4_quality(src, "text", "doc_id")
+        .select("id", "n_lines", "n_kept", "r_min_sentences", "r_lorem",
+                "r_brace", "c4_keep")
+        .orderBy("id")
+    )
+
+
+@query(
     "tpch_q21_waiting",
     """
     SELECT s_name, CAST(count(*) AS BIGINT) AS numwait

@@ -480,3 +480,38 @@ def test_incremental_fingerprint_index_lifecycle(spark, sf_dir, tmp_path):
     assert dedup_against_index(near, "text", "id", idx2, spark,
                                near=False).count() == 3
     assert dedup_against_index(near, "text", "id", idx2, spark).count() == 0
+
+
+def test_c4_quality_line_and_page_rules(spark):
+    from lance_spark.operators.curation import c4_quality
+
+    rows = [
+        # 3 good sentences -> kept page, tiny/unpunctuated lines dropped
+        (1, "here is the first proper sentence today.\nshort one\n"
+            "the second proper sentence arrives right now.\n"
+            "and a third proper sentence closes things out."),
+        # javascript line dropped -> only 2 kept sentences -> page dropped
+        (2, "here is the first proper sentence today.\n"
+            "this javascript line would otherwise be kept fine.\n"
+            "the second proper sentence arrives right now."),
+        # lorem ipsum anywhere kills the page even with 3 good lines
+        (3, "here is the first proper sentence today.\n"
+            "the second proper sentence arrives right now.\n"
+            "and lorem ipsum appears inside this final sentence."),
+        # curly brace kills the page
+        (4, "here is the first proper sentence today.\n"
+            "the second { proper sentence arrives right now.\n"
+            "and a third proper sentence closes things out."),
+        # no terminal punctuation at all -> zero kept lines
+        (5, "no punctuation here at all\nnor here either"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in c4_quality(df, "text", "id").collect()}
+    assert out[1]["c4_keep"] and out[1]["n_kept"] == 3 and out[1]["n_lines"] == 4
+    assert not out[2]["c4_keep"] and out[2]["n_kept"] == 2
+    assert not out[3]["r_lorem"] and not out[3]["c4_keep"]
+    assert not out[4]["r_brace"] and not out[4]["c4_keep"]
+    assert out[5]["n_kept"] == 0 and not out[5]["c4_keep"]
+    # clean_text is the kept lines rejoined
+    assert out[1]["clean_text"].count("\n") == 2
+    assert "short one" not in out[1]["clean_text"]
