@@ -564,3 +564,66 @@ def c4_quality(df: DataFrame, col: str, id_col: str) -> DataFrame:
         (r_min_sentences & r_lorem & r_brace).alias("c4_keep"),
         F.concat_ws("\n", F.transform(kept, lambda l: F.trim(l))).alias("clean_text"),
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: float = 0.1,
+    broadcast_vocab_limit: int = 2_000_000,
+) -> DataFrame:
+    """Corpus-trained BIGRAM language-model score per document — one rung
+    up from ``unigram_logprob_score`` toward the CCNet/KenLM perplexity
+    filter, still fully deterministic so the exact math is
+    oracle-checkable. Add-k smoothing:
+
+        p(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k · V)
+
+    with V = distinct-unigram vocabulary size and c(w1 ·) summed over
+    observed bigram contexts. Returns ``(id, n_bigrams, avg_logprob)``
+    where avg_logprob = mean −ln p (HIGH = surprising/noisy text); docs
+    with < 2 tokens report 0 bigrams and NULL score.
+
+    Scale shape: one tokenize pass feeds the per-doc bigram explode; the
+    model is a groupBy on the bigram key (one shuffle, bigram-vocabulary-
+    sized output) joined back count-gated-broadcast like the unigram
+    model. No corpus self-join, no driver-side state beyond two counts."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= 2)
+    bi = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("id", "b.w1", "b.w2")
+
+    counts = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab_n = bi.select(F.col("w2").alias("w")).union(
+        bi.select(F.col("w1").alias("w"))
+    ).distinct().count()
+    model = (
+        counts.join(ctx, "w1")
+        .select("w1", "w2", ((F.col("c12") + k) / (F.col("c1") + k * vocab_n)).alias("p"))
+        .persist()
+    )
+    n_model = model.count()
+    joined = (
+        bi.join(F.broadcast(model), ["w1", "w2"])
+        if n_model <= broadcast_vocab_limit
+        else bi.join(model.hint("shuffle_hash"), ["w1", "w2"])
+    )
+    if n_model > broadcast_vocab_limit:
+        model.unpersist()
+    return joined.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg(-F.log(F.col("p"))), 4).alias("avg_logprob"),
+    )

@@ -4110,6 +4110,36 @@ def text_unigram_logprob(spark, sf_dir):
 
 
 @query(
+    "text_bigram_logprob",
+    f"""
+    WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col='text')} AS t
+                 FROM documents),
+    t2 AS (SELECT id, t FROM tok WHERE len(t) >= 2),
+    bi AS (SELECT id, t[i] AS w1, t[i + 1] AS w2
+           FROM t2, unnest(range(1, len(t))) AS u(i)),
+    counts AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(c12) AS c1 FROM counts GROUP BY w1),
+    v AS (SELECT count(DISTINCT w) AS n FROM
+          (SELECT w1 AS w FROM bi UNION SELECT w2 FROM bi)),
+    model AS (SELECT w1, w2,
+                     (c12 + 0.1) / (c1 + 0.1 * (SELECT n FROM v)) AS p
+              FROM counts JOIN ctx USING (w1))
+    SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln(p)), 4) AS avg_logprob
+    FROM bi JOIN model USING (w1, w2)
+    GROUP BY id
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality score with add-k smoothing — one rung up from the
+    unigram filter toward CCNet's KenLM shape
+    (operators/curation.bigram_logprob_score)."""
+    from lance_spark.operators.curation import bigram_logprob_score
+
+    return bigram_logprob_score(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
     "curate_split",
     f"""
     SELECT doc_id AS id,

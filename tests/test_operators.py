@@ -515,3 +515,20 @@ def test_c4_quality_line_and_page_rules(spark):
     # clean_text is the kept lines rejoined
     assert out[1]["clean_text"].count("\n") == 2
     assert "short one" not in out[1]["clean_text"]
+
+
+def test_bigram_logprob_semantics(spark):
+    """Repetitive text scores LOWER (-ln p) than novel-transition text of
+    the same corpus, and short docs report no bigrams."""
+    from lance_spark.operators.curation import bigram_logprob_score
+
+    rows = [
+        (1, "a b a b a b a b a b a b"),       # one dominant transition
+        (2, "c d e f g h i j k l m n"),       # all transitions unique
+        (3, "x"),                              # too short
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in bigram_logprob_score(df, "text", "id").collect()}
+    assert 3 not in out                       # <2 tokens -> no row
+    assert out[1]["n_bigrams"] == 11 and out[2]["n_bigrams"] == 11
+    assert out[1]["avg_logprob"] < out[2]["avg_logprob"]
