@@ -862,9 +862,25 @@ class LanceDataset:
                 if j < len(q) and q[j] == "(":
                     args, end = _split_sql_call_args(q, j)
                     # arg shapes (udtf.rs:177-201): (query[, options]) or
-                    # (table_name, query[, options])
-                    if len(args) >= 2 and not args[0].lstrip().startswith("{"):
+                    # (table_name, query[, options]). Disambiguating the
+                    # 2-arg case: a leading table name is only assumed when
+                    # the SECOND arg is a query JSON — ('plain terms',
+                    # '{"with_row_id": true}') is (query, options), since
+                    # options keys never name a query type
+                    _QUERY_KEYS = {"match", "phrase", "boost", "multi_match", "boolean"}
+                    if len(args) == 3 and not args[0].lstrip().startswith("{"):
                         args = args[1:]
+                    elif len(args) == 2 and not args[0].lstrip().startswith("{"):
+                        second = args[1].lstrip()
+                        is_query_json = False
+                        if second.startswith("{"):
+                            try:
+                                keys = set(_json.loads(args[1]).keys())
+                                is_query_json = bool(keys & _QUERY_KEYS)
+                            except Exception:
+                                is_query_json = False
+                        if is_query_json:
+                            args = args[1:]  # (table_name, query)
                     if not 1 <= len(args) <= 2:
                         raise ValueError("fts() takes ([table,] query[, options])")
                     opts = _json.loads(args[1]) if len(args) == 2 and args[1].strip() else {}

@@ -310,7 +310,10 @@ class LanceFragment:
         if not key_ok:
             raise ValueError(f"left_on {left_on!r} is not a dataset column")
 
-        base = self.scanner(spark, with_row_id=True)
+        # include DELETED rows: this rewrites files that physically contain
+        # them — dropping them here would silently shrink the file below
+        # physical_rows and desync it from its sibling column groups
+        base = self.scanner(spark, with_row_id=True, include_deleted_rows=True)
         r2 = right.withColumnRenamed(right_on, left_on).select(
             left_on, *[F.col(c).alias(f"__new_{c}") for c in upd_cols]
         )
@@ -405,22 +408,31 @@ class FragmentSession:
     fragment scan once."""
 
     def __init__(self, frag: LanceFragment, spark: SparkSession, columns, with_row_address: bool):
+        from pyspark.sql import Window
         from lance_spark.write import ROWID_COL
 
         self._frag = frag
         self._spark = spark
-        self._df = frag.scanner(
-            spark, columns=columns, with_row_id=True,
-            with_row_address=with_row_address,
-        ).cache()
+        # positions index LIVE rows in _rowid order — materialized as an
+        # explicit row_number so takes stay correct on fragments with
+        # deletions and on post-compaction rowids (which no longer encode
+        # fragment<<32|offset). Single-fragment window: bounded by one
+        # fragment's rows, the same bound the whole session carries.
+        w = Window.orderBy(ROWID_COL)
+        self._df = (
+            frag.scanner(
+                spark, columns=columns, with_row_id=True,
+                with_row_address=with_row_address,
+            )
+            .withColumn("__pos", F.row_number().over(w) - 1)
+            .cache()
+        )
         self._rowid = ROWID_COL
 
     def take(self, indices: list[int]):
         """Rows by position within the fragment → pyarrow.Table."""
-        base = self._frag.id << FRAGID_SHIFT
-        rowids = [base + int(i) for i in indices]
-        out = self._df.filter(F.col(self._rowid).isin(rowids))
-        keep = [c for c in self._df.columns if c != self._rowid]
+        out = self._df.filter(F.col("__pos").isin([int(i) for i in indices]))
+        keep = [c for c in self._df.columns if c not in (self._rowid, "__pos")]
         return out.select(*keep, self._rowid).toArrow()
 
     def close(self) -> None:

@@ -582,8 +582,9 @@ def bigram_logprob_score(
 
     with V = distinct-unigram vocabulary size and c(w1 ·) summed over
     observed bigram contexts. Returns ``(id, n_bigrams, avg_logprob)``
-    where avg_logprob = mean −ln p (HIGH = surprising/noisy text); docs
-    with < 2 tokens report 0 bigrams and NULL score.
+    where avg_logprob = mean −ln p (HIGH = surprising/noisy text). Docs
+    with < 2 tokens form no bigram and are ABSENT from the output (left
+    join the result back if the pipeline must account for them).
 
     Scale shape: one tokenize pass feeds the per-doc bigram explode; the
     model is a groupBy on the bigram key (one shuffle, bigram-vocabulary-

@@ -330,6 +330,10 @@ def minhash_lsh_pairs(
             .filter(F.col("__d") <= max_bucket_size)
             .drop("__d")
         )
+    # pin the distinct-sig relation: `within` and the cross stage both
+    # consume it — without this the full corpus signature pass runs twice
+    # (same reason as _simhash_pairs_capped)
+    groups = groups.localCheckpoint(eager=True)
     within = groups.filter(F.col("k") >= 2).select(
         F.explode(_lex_pairs(F.col("ids"), F.lit(0), n)).alias("p")
     )
@@ -1018,6 +1022,11 @@ def dedup_against_index(
     fingerprint rows."""
     idx = index_ds.to_df(spark)
     nb = _banded_fingerprints(new_df, text_col, id_col, num_perm, bands, shingle_k)
+    if exact and near:
+        # both branches consume nb — a lazy checkpoint makes the snapshot's
+        # tokenize+fingerprint pass run ONCE (materialized at first action,
+        # lineage truncated) instead of once per branch
+        nb = nb.localCheckpoint(eager=False)
     doomed = None
     if exact:
         hits = nb.select("id", "fp").join(

@@ -58,12 +58,14 @@ def _fragment_table(ds, frag, columns=None, filter=None, with_row_id=False):  # 
         for f in frag.files
         if any(c in want for c in f.columns)
     ]
-    base = tables[0].sort_by(ROWID_COL)
+    base = tables[0]
     for t in tables[1:]:
-        t = t.sort_by(ROWID_COL)
-        for name in t.column_names:
-            if name != ROWID_COL:
-                base = base.append_column(name, t.column(name))
+        # align on the embedded _rowid, never positionally: column groups
+        # written from deletion-filtered scans can carry FEWER rows than
+        # the primary file, and a positional append would crash (or worse,
+        # silently misalign)
+        base = base.join(t, keys=ROWID_COL, join_type="inner")
+    base = base.sort_by(ROWID_COL)
     if frag.deletion_file:
         import pyarrow.compute as pc
 
@@ -154,7 +156,10 @@ def maybe_sample(
             break
         local = min(chunk, total - start)
         take_n = min(per_chunk, local)
-        off = start + (np.random.randint(0, local - take_n) if take_n < local else 0)
+        # +1: randint's high is exclusive — without it the window could
+        # never END at the chunk boundary, zeroing the last row's
+        # sampling probability in every chunk
+        off = start + (np.random.randint(0, local - take_n + 1) if take_n < local else 0)
         tbl = _take_positions(dataset, frags, range(off, off + take_n), columns)
         sampled += take_n
         buf.append(tbl)
@@ -168,7 +173,7 @@ def maybe_sample(
         yield from out.to_batches(max_chunksize=batch_size)
 
 
-def _take_positions(ds, frags, positions, columns):
+def _take_positions(ds, frags, positions, columns, with_row_id=False):
     """Global live-row positions → one arrow table (fragment-pruned)."""
     import pyarrow as pa
 
@@ -183,7 +188,7 @@ def _take_positions(ds, frags, positions, columns):
             local.append(pos - lo)
             pos = next(it, None)
         if local:
-            t = _fragment_table(ds, frag, columns)
+            t = _fragment_table(ds, frag, columns, with_row_id=with_row_id)
             out.append(t.take(local))
         lo = hi
     return pa.concat_tables(out) if out else pa.table({})
@@ -359,7 +364,8 @@ class ShardedBatchSampler(Sampler):
             random.Random(self._seed + self._epoch).shuffle(mine)
         for s in mine:
             tbl = _take_positions(
-                dataset, frags, range(s, min(s + batch_size, total)), columns
+                dataset, frags, range(s, min(s + batch_size, total)), columns,
+                with_row_id=with_row_id,
             )
             yield from tbl.to_batches(max_chunksize=batch_size)
 

@@ -97,13 +97,18 @@ class _ChromeTrace:
         """Flush the chrome trace JSON (idempotent; also runs atexit)."""
         if self._done:
             return
+        # drain BEFORE detaching: events already enqueued (a commit emitted
+        # just before finish) must still reach _on_event — removing the
+        # listener first would drop them from the written trace
+        deadline = time.time() + 1.0
+        while not _queue.empty() and time.time() < deadline:
+            time.sleep(0.01)
+        time.sleep(0.05)  # let the in-flight dispatch complete
         self._done = True
         try:
             _listeners.remove(self._on_event)
         except ValueError:
             pass
-        # drain anything already queued for us
-        time.sleep(0.05)
         with open(self._file, "w") as fh:
             json.dump({"traceEvents": self._events}, fh)
 

@@ -260,3 +260,27 @@ def test_ffi_provider_redirects():
 
     with pytest.raises(NotImplementedError, match="DataSource V2"):
         ls.FFILanceTableProvider()
+
+
+def test_fragment_session_take_with_deletions_and_compaction(spark, sf_dir, tmp_path):
+    """Review regression: positions index LIVE rows in _rowid order — not
+    fragment<<32|offset arithmetic, which breaks on deletions and
+    post-compaction rowids."""
+    import lance_spark as ls
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ds = ls.write_dataset(nation.repartition(1), str(tmp_path / "s2"))
+    ds = ds.delete(spark, "n_nationkey = 0")  # physical row 0 is dead
+    frag = LanceFragment(ds, ds.get_fragments()[0].id)
+    with frag.open_session(spark, columns=["n_nationkey"]) as sess:
+        t = sess.take([0])
+        assert t.num_rows == 1
+        assert t.column("n_nationkey").to_pylist() == [1]  # first LIVE row
+
+    # post-compaction: rowids no longer encode the fragment
+    ds2 = ls.write_dataset(nation.repartition(4), str(tmp_path / "s3"))
+    ds2 = ds2.compact_files(spark, target_rows_per_fragment=100)
+    assert not ds2._rowid_addressable()
+    frag2 = LanceFragment(ds2, ds2.get_fragments()[0].id)
+    with frag2.open_session(spark, columns=["n_nationkey"]) as sess:
+        assert sess.take([0, 1]).num_rows == 2

@@ -155,3 +155,15 @@ def test_from_json_rejects_garbage():
         from_json('{"match": {}, "phrase": {}}')
     with pytest.raises(ValueError):
         from_json('{"wat": {"terms": "x"}}')
+
+
+def test_fts_sql_plain_terms_with_options(spark, docs_ds):
+    """Review regression: ('plain terms', '{options}') must parse as
+    (query, options), not (table_name, query)."""
+    ds, _ = docs_ds
+    out = ds.sql(
+        spark,
+        """SELECT _rowid, doc_id FROM fts('table scan', '{"with_row_id": true}')
+           ORDER BY doc_id LIMIT 3""",
+    )
+    assert set(out.columns) == {"_rowid", "doc_id"} and out.count() == 3

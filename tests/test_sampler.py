@@ -156,3 +156,29 @@ def test_index_config_shape():
 
     cfg = IndexConfig(index_type="btree", parameters={"zone_size": 4096})
     assert cfg.index_type == "btree" and cfg.parameters["zone_size"] == 4096
+
+
+def test_sharded_batch_sampler_with_row_id_unfiltered(ds):
+    """Review regression: with_row_id must survive the unfiltered
+    positional path, not just the filtered one."""
+    b = next(iter(ShardedBatchSampler(0, 2)(ds, batch_size=64,
+                                            columns=["c_custkey"], with_row_id=True)))
+    assert "_rowid" in b.schema.names
+
+
+def test_fragment_table_joins_short_column_groups(spark, sf_dir, tmp_path):
+    """Review regression: a column group with FEWER rows than the primary
+    file (written from a deletion-filtered scan) must align by _rowid,
+    not positionally."""
+    import lance_spark as ls
+    from lance_spark.sampler import FullScanSampler
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ds2 = ls.write_dataset(nation.repartition(1), str(tmp_path / "cg"))
+    ds2 = ds2.delete(spark, "n_nationkey < 3")
+    ds2 = ds2.add_columns(spark, {"dbl": "n_nationkey * 2"})
+    got = pa.Table.from_batches(list(
+        FullScanSampler()(ds2, batch_size=100, columns=["n_nationkey", "dbl"])
+    ))
+    vals = dict(zip(got.column("n_nationkey").to_pylist(), got.column("dbl").to_pylist()))
+    assert len(vals) == 22 and all(v == k * 2 for k, v in vals.items())
