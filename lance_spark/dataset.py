@@ -842,6 +842,13 @@ class LanceDataset:
         while i < len(q):
             ch = q[i]
             if in_quote is not None:
+                # Spark string literals process backslash escapes ('don\'t');
+                # backtick identifiers don't.
+                if ch == "\\" and in_quote in ("'", '"') and i + 1 < len(q):
+                    out.append(ch)
+                    out.append(q[i + 1])
+                    i += 2
+                    continue
                 out.append(ch)
                 if ch == in_quote:
                     in_quote = None
@@ -872,18 +879,34 @@ class LanceDataset:
                         args = args[1:]
                     elif len(args) == 2 and not args[0].lstrip().startswith("{"):
                         second = args[1].lstrip()
-                        is_query_json = False
                         if second.startswith("{"):
+                            is_query_json = False
                             try:
                                 keys = set(_json.loads(args[1]).keys())
                                 is_query_json = bool(keys & _QUERY_KEYS)
                             except Exception:
                                 is_query_json = False
-                        if is_query_json:
-                            args = args[1:]  # (table_name, query)
+                            if is_query_json:
+                                args = args[1:]  # (table_name, query)
+                        else:
+                            # second arg is neither options-JSON nor query-JSON
+                            # → it must be the query and args[0] a table name:
+                            # fts('docs', 'scan join')
+                            args = args[1:]
                     if not 1 <= len(args) <= 2:
                         raise ValueError("fts() takes ([table,] query[, options])")
-                    opts = _json.loads(args[1]) if len(args) == 2 and args[1].strip() else {}
+                    if len(args) == 2 and args[1].strip():
+                        try:
+                            opts = _json.loads(args[1])
+                        except Exception as exc:
+                            raise ValueError(
+                                "fts() options argument must be a JSON object "
+                                "like '{\"with_row_id\": true}'; accepted call "
+                                "shapes are fts(query), fts(query, options), "
+                                f"fts(table, query[, options]); got: {args[1]!r}"
+                            ) from exc
+                    else:
+                        opts = {}
                     qtext = args[0]
                     qobj: FullTextQuery = (
                         from_json(qtext) if qtext.lstrip().startswith("{") else MatchQuery(qtext)

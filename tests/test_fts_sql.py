@@ -157,6 +157,46 @@ def test_from_json_rejects_garbage():
         from_json('{"wat": {"terms": "x"}}')
 
 
+def test_fts_sql_table_name_plus_plain_terms(spark, docs_ds):
+    """ADVICE r5 regression: ('docs', 'scan join') — table name plus a
+    plain-terms query — must parse as (table, query), not crash trying to
+    json.loads('scan join') as options."""
+    ds, _ = docs_ds
+    out = ds.sql(
+        spark,
+        "SELECT doc_id, _score FROM fts('docs', 'table scan') "
+        "ORDER BY _score DESC, doc_id LIMIT 3",
+    ).collect()
+    assert 0 < len(out) <= 3
+    # equivalent to the table-less call
+    base = ds.sql(
+        spark,
+        "SELECT doc_id, _score FROM fts('table scan') "
+        "ORDER BY _score DESC, doc_id LIMIT 3",
+    ).collect()
+    assert [(r["doc_id"], r["_score"]) for r in out] == [
+        (r["doc_id"], r["_score"]) for r in base
+    ]
+
+
+def test_fts_sql_backslash_escaped_quote_not_rewritten(spark, docs_ds):
+    r"""ADVICE r5 regression: a string literal containing a backslash-escaped
+    quote followed by fts( — 'don\'t fts(' — must survive untouched."""
+    ds, _ = docs_ds
+    out = ds.sql(
+        spark, r"SELECT 'don\'t fts(x)' AS s FROM dataset LIMIT 1"
+    ).collect()
+    assert out[0]["s"] == "don't fts(x)"
+
+
+def test_fts_sql_bad_options_clear_error(spark, docs_ds):
+    """A second arg that is malformed JSON starting with { raises a clear
+    ValueError naming the accepted shapes, not a bare JSONDecodeError."""
+    ds, _ = docs_ds
+    with pytest.raises(ValueError, match="accepted call"):
+        ds.sql(spark, "SELECT * FROM fts('table scan', '{oops')")
+
+
 def test_fts_sql_plain_terms_with_options(spark, docs_ds):
     """Review regression: ('plain terms', '{options}') must parse as
     (query, options), not (table_name, query)."""
