@@ -283,7 +283,7 @@ def fuzzy_query(
     ds,
     spark: SparkSession,
     term: str,
-    fuzziness: int = 1,
+    fuzziness: int | None = 1,
     column: str | None = None,
     k: int = 10,
     prefix_length: int = 0,
@@ -307,6 +307,10 @@ def fuzzy_query(
     meta = _find(ds, column)
     postings, doclens = _index_tables(ds, spark, meta)
     t = query_tokens([term], meta.params.get("tokenizer", "simple"))[0]
+    if fuzziness is None:  # length-based auto distance (query.rs:373)
+        from lance_spark.query import auto_fuzziness
+
+        fuzziness = auto_fuzziness(t)
     vocab = postings.select("token").distinct()
     if prefix_length > 0:
         vocab = vocab.filter(F.col("token").startswith(t[:prefix_length]))

@@ -423,18 +423,34 @@ def _deep_copy_clone(m: mf.Manifest, dest_uri: str) -> mf.Manifest:
     Driver-side IO — fine for metadata-scale clones; at 100 TB run a
     distributed copy (DistCp-style) and commit the shallow form against
     the copied root instead."""
+    import hashlib
     import os
     import shutil
 
+    # dedupe by SOURCE path (not destination basename): two source files
+    # with equal basenames from different directories — e.g. a
+    # clone-of-clone spanning roots — must not silently map onto one
+    # file's bytes (ADVICE r5)
+    pulled: dict[str, str] = {}
+    taken: set[str] = set()
+
     def _pull(abs_path: str, sub: str) -> str:
-        rel = os.path.join(sub, os.path.basename(abs_path.rstrip("/")))
+        src = abs_path.rstrip("/")
+        if src in pulled:
+            return pulled[src]
+        rel = os.path.join(sub, os.path.basename(src))
+        if rel in taken:  # basename collision → disambiguate by source dir
+            tag = hashlib.sha1(os.path.dirname(src).encode()).hexdigest()[:8]
+            rel = os.path.join(sub, f"{tag}-{os.path.basename(src)}")
         dst = os.path.join(dest_uri, rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         if not os.path.exists(dst):
-            if os.path.isdir(abs_path):
-                shutil.copytree(abs_path, dst)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
             else:
-                shutil.copy2(abs_path, dst)
+                shutil.copy2(src, dst)
+        pulled[src] = rel
+        taken.add(rel)
         return rel
 
     frags = [
@@ -455,7 +471,11 @@ def _deep_copy_clone(m: mf.Manifest, dest_uri: str) -> mf.Manifest:
         )
         for i in m.indices
     ]
-    return mf.Manifest.evolve(m, m.version, fragments=frags, indices=indices)
+    # every file now lives under dest — the source's bases registry must
+    # not be carried into the deep clone (ADVICE r5)
+    return mf.Manifest.evolve(
+        m, m.version, fragments=frags, indices=indices, bases=[]
+    )
 
 
 def commit(

@@ -201,26 +201,25 @@ def unigram_logprob_score(
     Natural-language vocab (~1e6 rows ≈ tens of MB) is broadcast so scoring
     stays map-side — but web-scale corpora (typos, code, URLs) can grow the
     vocabulary without bound, so the broadcast is COUNT-GATED: the model is
-    persisted, counted (vocab-sized job, reused by the join), and above
-    ``broadcast_vocab_limit`` distinct tokens the scoring join falls back
-    to a shuffle hash join instead of blowing the driver/broadcast limit."""
+    localCheckpoint-ed, counted (vocab-sized job, reused by the join), and
+    above ``broadcast_vocab_limit`` distinct tokens the scoring join falls
+    back to a shuffle hash join instead of blowing the driver/broadcast
+    limit."""
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     model = vocab.join(F.broadcast(total)).select(
         "tok", (F.col("cnt") / F.col("total")).alias("p")
     )
-    model = model.persist()
+    # localCheckpoint, NOT persist: checkpoint blocks are released by the
+    # ContextCleaner once the returned plan is GC'd, while a persist() with
+    # no reachable unpersist() would pin the model in executor storage for
+    # the session lifetime (ADVICE r5)
+    model = model.localCheckpoint(eager=True)
     n_vocab = model.count()
     if n_vocab <= broadcast_vocab_limit:
-        # keep the (small, gate-bounded) model cached for the broadcast;
-        # MEMORY_AND_DISK spills rather than OOMs and caps at the gate size
         scoring = tok.join(F.broadcast(model), "tok")
     else:
-        # huge-vocab path: release the cache now — the shuffle join
-        # recomputes the model lineage once, instead of pinning an
-        # unbounded table in executor storage for the app lifetime
-        model.unpersist()
         scoring = tok.join(model.hint("shuffle_hash"), "tok")
     return (
         scoring.groupBy("id")
@@ -611,10 +610,12 @@ def bigram_logprob_score(
     vocab_n = bi.select(F.col("w2").alias("w")).union(
         bi.select(F.col("w1").alias("w"))
     ).distinct().count()
+    # localCheckpoint, NOT persist: blocks are released when the returned
+    # plan is GC'd instead of leaking in executor storage (ADVICE r5)
     model = (
         counts.join(ctx, "w1")
         .select("w1", "w2", ((F.col("c12") + k) / (F.col("c1") + k * vocab_n)).alias("p"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n_model = model.count()
     joined = (
@@ -622,8 +623,6 @@ def bigram_logprob_score(
         if n_model <= broadcast_vocab_limit
         else bi.join(model.hint("shuffle_hash"), ["w1", "w2"])
     )
-    if n_model > broadcast_vocab_limit:
-        model.unpersist()
     return joined.groupBy("id").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.avg(-F.log(F.col("p"))), 4).alias("avg_logprob"),

@@ -123,11 +123,12 @@ def fuzzy_match(
     text_col: str,
     id_col: str,
     term: str,
-    fuzziness: int = 1,
+    fuzziness: int | None = 1,
     transpositions: bool = True,
 ) -> DataFrame:
     """Fuzzy Match (inverted/query.rs MatchQuery.fuzziness): docs containing
-    a token within ``fuzziness`` edit distance of the term.
+    a token within ``fuzziness`` edit distance of the term. ``None`` picks
+    the distance from the term length (query.rs:373 auto_fuzziness).
     ``transpositions=True`` (tantivy automaton default) uses Damerau
     distance — adjacent swaps cost one edit.
 
@@ -138,7 +139,10 @@ def fuzzy_match(
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"))
     )
     from lance_spark.indexes.inverted import _edit_distance_col
+    from lance_spark.query import auto_fuzziness
 
+    if fuzziness is None:
+        fuzziness = auto_fuzziness(term)
     vocab_hits = (
         toks.select(F.col("tok").alias("token"))
         .distinct()

@@ -63,6 +63,14 @@ class FullTextQuery(abc.ABC):
         return BooleanQuery([(Occur.SHOULD, self), (Occur.SHOULD, other)])
 
 
+def auto_fuzziness(token: str) -> int:
+    """Length-based fuzzy distance used when ``fuzziness=None``
+    (rust/lance-index/src/scalar/inverted/query.rs:373 auto_fuzziness):
+    0 for terms of length <= 2, 1 for <= 5, 2 otherwise."""
+    n = len(token)
+    return 0 if n <= 2 else (1 if n <= 5 else 2)
+
+
 class MatchQuery(FullTextQuery):
     def __init__(
         self,
@@ -70,7 +78,7 @@ class MatchQuery(FullTextQuery):
         column: str | None = None,
         *,
         boost: float = 1.0,
-        fuzziness: int = 0,
+        fuzziness: int | None = 0,
         max_expansions: int = 50,
         operator: FullTextOperator = FullTextOperator.OR,
         prefix_length: int = 0,
@@ -78,7 +86,8 @@ class MatchQuery(FullTextQuery):
         self.query = query
         self.column = column
         self.boost = boost
-        self.fuzziness = fuzziness
+        # None = automatic per-term distance (auto_fuzziness)
+        self.fuzziness = fuzziness if fuzziness is None else int(fuzziness)
         self.max_expansions = max_expansions
         self.operator = operator
         self.prefix_length = prefix_length
@@ -190,8 +199,8 @@ def _from_json_value(value) -> FullTextQuery:
 
 def _match_from_json(v) -> MatchQuery:
     fuzz = v.get("fuzziness", 0)
-    # reference "auto" = tantivy length-based distance, capped at 2
-    fuzz = 2 if fuzz == "auto" else int(fuzz or 0)
+    # reference None/"auto" = per-term length-based distance (query.rs:373)
+    fuzz = None if fuzz in (None, "auto") else int(fuzz)
     op = FullTextOperator(v.get("operator", "OR").upper())
     return MatchQuery(
         v["terms"],
@@ -276,7 +285,7 @@ def _match_scores(corpus: _Corpus, q: MatchQuery) -> DataFrame:
 
     postings, doclens, tok = corpus.tables(q.column)
     terms = query_tokens([t for t in q.query.split() if t], tok)
-    if q.fuzziness:
+    if q.fuzziness is None or q.fuzziness:
         terms = _expand_fuzzy(postings, terms, q.fuzziness, q.prefix_length,
                               q.max_expansions)
     if not terms:
@@ -296,19 +305,25 @@ def _expand_fuzzy(postings, terms, fuzziness, prefix_length, max_expansions):
     """Term expansion against the token DICTIONARY (vocabulary-sized, capped
     in-plan before the collect — same contract as indexes/inverted.py
     fuzzy_query). Transposition-aware (Damerau) like tantivy's automaton
-    default."""
+    default. ``fuzziness=None`` resolves per term from its length
+    (auto_fuzziness — query.rs:373), so short terms stay exact instead of
+    over-expanding."""
     from lance_spark.indexes.inverted import _edit_distance_col
 
     out: list[str] = []
     vocab = postings.select("token").distinct()
     for t in terms:
+        d = auto_fuzziness(t) if fuzziness is None else fuzziness
+        if d == 0:
+            out.append(t)
+            continue
         v = vocab
         if prefix_length > 0:
             v = v.filter(F.col("token").startswith(t[:prefix_length]))
         out.extend(
             r["token"]
             for r in v.select("token", _edit_distance_col(t, True).alias("_d"))
-            .filter(F.col("_d") <= fuzziness)
+            .filter(F.col("_d") <= d)
             .orderBy("_d", "token")
             .limit(max_expansions)
             .collect()

@@ -129,19 +129,51 @@ def maybe_sample(
             )
         return
     if filter is not None:
-        # filtered: selectivity is unknowable up front — collect the
-        # filtered stream and down-sample (reference's filtered path loads
-        # matching ids then batches them in random order)
-        batches = []
+        # filtered: selectivity is unknowable up front — reservoir-sample
+        # the filtered batch stream so memory stays O(n) rows no matter how
+        # large the filtered corpus is (ADVICE r5: the previous form
+        # collected every matching batch before down-sampling). Classic
+        # slot-replacement reservoir, vectorized per batch: row with global
+        # index t draws r ~ U[0, t] and replaces slot r when r < n —
+        # uniform without replacement over the whole stream.
+        reservoir: list = []  # n single-row zero-copy slices
+        seen = 0
+        pinned = 0  # parent batches kept alive by reservoir slices
+
+        def _compact():
+            # re-materialize the reservoir so slices stop pinning their
+            # (batch_size-row) parent batches — keeps memory O(n) rows
+            nonlocal reservoir, pinned
+            tbl = pa.Table.from_batches(reservoir).combine_chunks()
+            one = tbl.to_batches(max_chunksize=tbl.num_rows)[0]
+            reservoir = [one.slice(i, 1) for i in range(one.num_rows)]
+            pinned = 0
+
         for frag in frags:
             t = _fragment_table(dataset, frag, columns, filter)
-            batches.extend(t.to_batches(max_chunksize=batch_size))
-        if not batches:
+            for batch in t.to_batches(max_chunksize=batch_size):
+                m = batch.num_rows
+                if m == 0:
+                    continue
+                fill = min(max(n - len(reservoir), 0), m)
+                for i in range(fill):
+                    reservoir.append(batch.slice(i, 1))
+                touched = fill > 0
+                if m > fill:
+                    gidx = np.arange(seen + fill, seen + m)
+                    r = (np.random.random(m - fill) * (gidx + 1)).astype(np.int64)
+                    hit = r < n
+                    for row, slot in zip(np.nonzero(hit)[0], r[hit]):
+                        reservoir[slot] = batch.slice(fill + int(row), 1)
+                    touched = touched or bool(hit.any())
+                seen += m
+                if touched:
+                    pinned += 1
+                    if pinned >= 64:
+                        _compact()
+        if not reservoir:
             return
-        tbl = pa.Table.from_batches(batches).combine_chunks()
-        if tbl.num_rows > n:
-            idx = np.random.choice(tbl.num_rows, n, replace=False)
-            tbl = tbl.take(np.sort(idx))
+        tbl = pa.Table.from_batches(reservoir).combine_chunks()
         yield from tbl.to_batches(max_chunksize=batch_size)
         return
 

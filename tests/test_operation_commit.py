@@ -259,3 +259,39 @@ def test_commit_update_bases(spark, ds_and_df, tmp_path):
         ls.commit(ds.uri, Op.UpdateBases(new_bases=[
             mf.DatasetBasePath(path=base_dir, name="cold"),
         ]))
+
+
+def test_deep_clone_basename_collision_and_bases_reset(tmp_path):
+    """ADVICE r5: two source files with equal basenames from different
+    directories must land as distinct deep-cloned files (not silently map
+    onto one file's bytes), and the deep clone must not carry the source's
+    bases registry — all its files live under dest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lance_spark.operation import _deep_copy_clone
+
+    d1, d2 = tmp_path / "rootA", tmp_path / "rootB"
+    d1.mkdir(), d2.mkdir()
+    pq.write_table(pa.table({"x": [1]}), str(d1 / "part.parquet"))
+    pq.write_table(pa.table({"x": [2]}), str(d2 / "part.parquet"))
+    m = mf.Manifest(
+        version=1,
+        schema_json={"type": "struct", "fields": [
+            {"name": "x", "type": "long", "nullable": True, "metadata": {}}]},
+        fragments=[
+            mf.Fragment(0, [mf.DataFile(str(d1 / "part.parquet"), ["x"])], 1),
+            mf.Fragment(1, [mf.DataFile(str(d2 / "part.parquet"), ["x"])], 1),
+        ],
+        max_fragment_id=1,
+        operation="clone",
+        bases=[{"name": "b", "path": str(d2), "is_dataset_root": False}],
+    )
+    dest = tmp_path / "deep"
+    dest.mkdir()
+    out = _deep_copy_clone(m, str(dest))
+    p0, p1 = out.fragments[0].files[0].path, out.fragments[1].files[0].path
+    assert p0 != p1
+    assert pq.read_table(str(dest / p0)).column("x").to_pylist() == [1]
+    assert pq.read_table(str(dest / p1)).column("x").to_pylist() == [2]
+    assert out.bases == []

@@ -175,3 +175,37 @@ def test_dataset_full_text_search_accepts_query_object(spark, docs_ds):
     rows = out.collect()
     assert rows and "_score" in out.columns and "text" in out.columns
     assert all(r["_score"] > 0 for r in rows)
+
+
+def test_auto_fuzziness_schedule():
+    """ADVICE r5: fuzziness=None resolves per term length (query.rs:373),
+    not a hardcoded 2."""
+    from lance_spark.query import auto_fuzziness
+
+    assert auto_fuzziness("ab") == 0
+    assert auto_fuzziness("tabl") == 1
+    assert auto_fuzziness("tables") == 2
+
+
+def test_match_auto_fuzziness_per_term(spark, docs):
+    # 4-letter term: auto == explicit distance 1
+    auto = execute_query(spark, MatchQuery("tabl", "text", fuzziness=None),
+                         df=docs, id_col="doc_id", k=None)
+    one = execute_query(spark, MatchQuery("tabl", "text", fuzziness=1),
+                        df=docs, id_col="doc_id", k=None)
+    assert {r["id"] for r in auto.collect()} == {r["id"] for r in one.collect()}
+    # 2-letter term: auto stays EXACT (the over-expansion the advice flagged)
+    short_auto = execute_query(spark, MatchQuery("of", "text", fuzziness=None),
+                               df=docs, id_col="doc_id", k=None)
+    short_exact = execute_query(spark, MatchQuery("of", "text", fuzziness=0),
+                                df=docs, id_col="doc_id", k=None)
+    assert ({r["id"] for r in short_auto.collect()}
+            == {r["id"] for r in short_exact.collect()})
+
+
+def test_from_json_auto_fuzziness():
+    from lance_spark.query import from_json
+
+    assert from_json('{"match": {"terms": "tabl", "fuzziness": "auto"}}').fuzziness is None
+    assert from_json('{"match": {"terms": "tabl", "fuzziness": null}}').fuzziness is None
+    assert from_json('{"match": {"terms": "tabl"}}').fuzziness == 0

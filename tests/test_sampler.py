@@ -182,3 +182,28 @@ def test_fragment_table_joins_short_column_groups(spark, sf_dir, tmp_path):
     ))
     vals = dict(zip(got.column("n_nationkey").to_pylist(), got.column("dbl").to_pylist()))
     assert len(vals) == 22 and all(v == k * 2 for k, v in vals.items())
+
+
+def test_maybe_sample_filtered_reservoir(ds):
+    """ADVICE r5: the filtered path reservoir-samples the batch stream —
+    memory O(n) — and still yields exactly n unique matching rows when the
+    filtered corpus exceeds n."""
+    tbl = pa.Table.from_batches(
+        list(maybe_sample(ds, n=10, columns=["c_custkey", "c_mktsegment"],
+                          filter="c_mktsegment = 'BUILDING'", batch_size=8))
+    )
+    assert tbl.num_rows == 10
+    keys = tbl.column("c_custkey").to_pylist()
+    assert len(set(keys)) == len(keys)
+    assert all(v == "BUILDING" for v in tbl.column("c_mktsegment").to_pylist())
+    # n above the filtered corpus: every matching row, once
+    n_building = sum(
+        b.num_rows
+        for b in maybe_sample(ds, n=10**6, columns=["c_custkey", "c_mktsegment"],
+                              filter="c_mktsegment = 'BUILDING'", batch_size=8)
+    )
+    all_rows = pa.Table.from_batches(
+        list(maybe_sample(ds, n=10**6, columns=["c_mktsegment"]))
+    )
+    want = sum(1 for v in all_rows.column("c_mktsegment").to_pylist() if v == "BUILDING")
+    assert n_building == want
