@@ -249,8 +249,13 @@ class LanceDataset:
     def update_tag(self, name: str, version: int) -> None:
         mf.update_tag(self.uri, name, version)
 
-    def tags(self) -> dict[str, int]:
-        return mf.list_tags(self.uri)
+    @property
+    def tags(self) -> "Tags":
+        """Tag manager (reference dataset.py:4888 ``Tags``): dict-like AND
+        callable, so both the reference's ``ds.tags.get_version(t)`` /
+        ``ds.tags.list()`` and this repo's original ``ds.tags()`` form
+        work."""
+        return Tags(self)
 
     # ------------------------------------------------------------ read path
 
@@ -1541,10 +1546,14 @@ class LanceDataset:
         older_than_seconds: float = 0.0,
         keep_tagged: bool = True,
         delete_unverified: bool = False,
+        retain_versions: int | None = None,
     ) -> int:
         from lance_spark.maintenance import cleanup_old_versions
 
-        return cleanup_old_versions(self, older_than_seconds, keep_tagged, delete_unverified)
+        return cleanup_old_versions(
+            self, older_than_seconds, keep_tagged, delete_unverified,
+            retain_versions,
+        )
 
     def optimize_indices(self, spark: SparkSession) -> "LanceDataset":
         from lance_spark.maintenance import optimize_indices
@@ -1719,6 +1728,54 @@ class LanceStats:
         return self._ds.data_statistics(columns)
 
 
+class Tags(dict):
+    """Dataset tag manager (reference dataset.py:4888 ``Tags``). Dict-like
+    over ``{name: version}`` and callable — ``ds.tags()`` (this repo's
+    original method form) and ``ds.tags.get_version(t)`` (reference form)
+    both work."""
+
+    def __init__(self, ds: LanceDataset):
+        super().__init__(mf.list_tags(ds.uri))
+        self._ds = ds
+
+    def __call__(self) -> "Tags":
+        return self
+
+    def list(self) -> dict[str, int]:
+        """All tags as {name: version} (reference dataset.py:4896)."""
+        return dict(self)
+
+    def get_version(self, tag: str) -> int | None:
+        """Version a tag points at, or None if absent (dataset.py:4907)."""
+        return self.get(tag)
+
+    def create(self, tag: str, version: int | None = None) -> None:
+        self._ds.create_tag(tag, version)
+        self[tag] = mf.list_tags(self._ds.uri)[tag]
+
+    def delete(self, tag: str) -> None:
+        self._ds.delete_tag(tag)
+        self.pop(tag, None)
+
+    def update(self, tag: str, version: int) -> None:
+        self._ds.update_tag(tag, version)
+        self[tag] = version
+
+
+class AutoCleanupConfig(dict):
+    """Auto-cleanup policy (reference dataset.py:3704 AutoCleanupConfig
+    TypedDict): ``interval`` (run GC when version % interval == 0) and
+    ``older_than_seconds`` (only versions older than this are dropped).
+    ``retain_versions`` optionally keeps the newest N versions regardless
+    of age (cleanup.rs:594)."""
+
+    def __init__(self, interval: int, older_than_seconds: int,
+                 retain_versions: int | None = None):
+        super().__init__(interval=interval, older_than_seconds=older_than_seconds)
+        if retain_versions is not None:
+            self["retain_versions"] = retain_versions
+
+
 class _OptimizeNamespace:
     """``ds.optimize`` (reference DatasetOptimizer, dataset.py:4731+)."""
 
@@ -1730,6 +1787,30 @@ class _OptimizeNamespace:
 
     def optimize_indices(self, spark: SparkSession) -> LanceDataset:
         return self._ds.optimize_indices(spark)
+
+    def enable_auto_cleanup(self, auto_cleanup_config: dict) -> LanceDataset:
+        """Store the auto-GC policy in dataset config (reference
+        dataset.py:4864): every ``interval``-th version, commits trigger
+        ``cleanup_old_versions(older_than)``. Keys mirror the reference's
+        (``lance.auto_cleanup.interval`` / ``.older_than`` /
+        ``.retain_versions``) so configs round-trip."""
+        updates = {
+            "lance.auto_cleanup.interval": str(auto_cleanup_config["interval"]),
+            "lance.auto_cleanup.older_than": f"{auto_cleanup_config['older_than_seconds']}s",
+        }
+        if auto_cleanup_config.get("retain_versions") is not None:
+            updates["lance.auto_cleanup.retain_versions"] = str(
+                auto_cleanup_config["retain_versions"]
+            )
+        return self._ds.update_config(updates)
+
+    def disable_auto_cleanup(self) -> LanceDataset:
+        """Delete the auto-GC config keys (reference dataset.py:4881)."""
+        return self._ds.delete_config_keys(
+            "lance.auto_cleanup.interval",
+            "lance.auto_cleanup.older_than",
+            "lance.auto_cleanup.retain_versions",
+        )
 
 
 class SqlQuery:

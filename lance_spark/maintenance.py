@@ -259,6 +259,7 @@ def cleanup_old_versions(
     older_than_seconds: float = 0.0,
     keep_tagged: bool = True,
     delete_unverified: bool = False,
+    retain_versions: int | None = None,
 ) -> int:
     """Delete manifests older than the cutoff (never the latest) plus files
     referenced only by those dropped manifests. Files referenced by *no*
@@ -282,10 +283,15 @@ def cleanup_old_versions(
         else set()
     )
 
+    # lance.auto_cleanup.retain_versions semantics (cleanup.rs:594): the
+    # newest N versions survive regardless of age
+    retained = set(versions[-retain_versions:]) if retain_versions else set()
+
     keep, drop = [], []
     for v in versions:
         m = mf.read_manifest(root, v)
-        if v == latest or v in tagged or (now - m.timestamp) < older_than_seconds:
+        if (v == latest or v in tagged or v in retained
+                or (now - m.timestamp) < older_than_seconds):
             keep.append(m)
         else:
             drop.append(m)

@@ -423,6 +423,7 @@ def commit(
                 "lance_spark::commit", operation=operation, version=version,
                 root=root, fragments=len(manifest.fragments),
             )
+            _maybe_auto_cleanup(root, manifest)
             return manifest
         except CommitConflictError:
             _log().debug("commit conflict on %s version=%d root=%s", operation, version, root)
@@ -434,6 +435,67 @@ def _log():
     from lance_spark.log import LOGGER
 
     return LOGGER
+
+
+def _parse_duration_seconds(text: str) -> float:
+    """`lance.auto_cleanup.older_than` values: bare seconds or an integer
+    with an s/m/h/d suffix (the subset of humantime the reference's config
+    examples use — cleanup.rs parse_duration)."""
+    text = str(text).strip()
+    mult = {"s": 1, "m": 60, "h": 3600, "d": 86400}.get(text[-1:].lower())
+    if mult is not None and text[:-1].strip().lstrip("-").isdigit():
+        return int(text[:-1].strip()) * mult
+    return float(text)
+
+
+def _maybe_auto_cleanup(root: str, manifest: "Manifest") -> None:
+    """Auto-GC on commit (reference cleanup.rs:554 auto_cleanup_hook): when
+    the dataset config carries ``lance.auto_cleanup.interval`` and the new
+    version is a multiple of it, run ``cleanup_old_versions`` with
+    ``.older_than`` (and optional ``.retain_versions``), keep_tagged=True,
+    delete_unverified=False. Config parse errors raise (loud
+    misconfiguration, like the reference); GC IO errors only log — the
+    commit is already durable and must not appear failed."""
+    interval = manifest.config.get("lance.auto_cleanup.interval")
+    if interval is None:
+        return
+    try:
+        interval = int(interval)
+    except ValueError as e:
+        raise ValueError(
+            f"lance.auto_cleanup.interval must be an integer: {interval!r}"
+        ) from e
+    if interval <= 0 or manifest.version % interval != 0:
+        return
+    try:
+        older = _parse_duration_seconds(
+            manifest.config.get("lance.auto_cleanup.older_than", "0s")
+        )
+    except ValueError as e:
+        raise ValueError(
+            "lance.auto_cleanup.older_than must be a duration like '3600s'"
+        ) from e
+    retain = manifest.config.get("lance.auto_cleanup.retain_versions")
+    try:
+        retain = int(retain) if retain is not None else None
+    except ValueError as e:
+        raise ValueError(
+            f"lance.auto_cleanup.retain_versions must be an integer: {retain!r}"
+        ) from e
+    from types import SimpleNamespace
+
+    from lance_spark.maintenance import cleanup_old_versions
+
+    try:
+        removed = cleanup_old_versions(
+            SimpleNamespace(uri=root), older_than_seconds=older,
+            keep_tagged=True, delete_unverified=False,
+            retain_versions=retain,
+        )
+        if removed:
+            _log().info("auto-cleanup v%d: removed %d files", manifest.version, removed)
+    except OSError as e:  # pragma: no cover - environment-dependent
+        _log().warning("auto-cleanup after v%d failed: %s", manifest.version, e)
 
 
 def reserve_fragment_ids(root: str, n: int) -> int:

@@ -402,6 +402,66 @@ class ShardedBatchSampler(Sampler):
             yield from tbl.to_batches(max_chunksize=batch_size)
 
 
+class ShardedFixedBatchSampler(ShardedBatchSampler):
+    """Distributed fixed-range INDEX batching for static datasets with a
+    known row count (reference python/python/lance/sampler.py:580): rank r
+    owns the consecutive index range ``[r*ceil(total/world), ...)`` split
+    into ``batch_size`` batches, yielded as ``list[int]`` — the shape a
+    torch ``DataLoader(batch_sampler=...)`` consumes. Ranges stay adjacent
+    on purpose (sequential reads); no filter is applied for the same
+    reason. ``randomize`` shuffles the BATCH order per epoch
+    (``seed + epoch``), never the rows inside a batch."""
+
+    def __init__(
+        self,
+        rank: int,
+        world_size: int,
+        randomize: bool = False,
+        seed: int = 0,
+        batch_size: int = 0,
+        total_num_rows: int = 0,
+    ):
+        super().__init__(rank, world_size, randomize, seed)
+        self._batch_size = batch_size
+        self._total_num_rows = total_num_rows
+
+    def _rank_range(self) -> tuple[int, int]:
+        per_rank = -(-self._total_num_rows // self._world_size)  # ceil
+        start = self._rank * per_rank
+        return start, min(start + per_rank, self._total_num_rows)
+
+    def __len__(self) -> int:
+        if self._batch_size == 0 and self._total_num_rows == 0:
+            return 0
+        per_rank = -(-self._total_num_rows // self._world_size)
+        return -(-per_rank // self._batch_size)
+
+    def __iter__(self):
+        start, end = self._rank_range()
+        batches = [
+            list(range(s, min(s + self._batch_size, end)))
+            for s in range(start, end, self._batch_size)
+        ]
+        if self._randomize:
+            random.Random(self._seed + self._epoch).shuffle(batches)
+        yield from batches
+
+    @staticmethod
+    def from_torch(
+        batch_size: int, total_num_rows: int, randomize: bool = False, seed: int = 0
+    ) -> "ShardedFixedBatchSampler":
+        import torch
+
+        return ShardedFixedBatchSampler(
+            torch.distributed.get_rank(),
+            torch.distributed.get_world_size(),
+            randomize,
+            seed,
+            batch_size,
+            total_num_rows,
+        )
+
+
 class ShardedBatchIterator:
     """Iterator of RecordBatches over one shard of a dataset (reference
     lance._dataset.sharded_batch_iterator.ShardedBatchIterator):

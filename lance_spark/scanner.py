@@ -256,3 +256,121 @@ class LanceScanner(DataFrame):
         from lance_spark.plans.explain import analyze_plan
 
         return analyze_plan(self)
+
+
+class ScannerBuilder:
+    """Fluent scan builder (reference dataset.py:4180-4600 ScannerBuilder):
+    every reference setter exists, records a ``LanceDataset.scanner``
+    kwarg, and ``to_scanner()`` dispatches the accumulated options.
+    ``apply_defaults`` (dataset.py:4211) routes a ``{option: value}`` dict
+    through the named setters so saved option dicts replay verbatim."""
+
+    def __init__(self, ds, spark=None):
+        self.ds = ds
+        self._spark = spark
+        self._kw: dict = {}
+
+    def apply_defaults(self, default_opts: dict) -> "ScannerBuilder":
+        for key, value in default_opts.items():
+            setter = getattr(self, key, None)
+            if setter is None or not callable(setter):
+                raise ValueError(f"Unknown option {key}")
+            setter(value)
+        return self
+
+    def _set(self, key, value) -> "ScannerBuilder":
+        self._kw[key] = value
+        return self
+
+    # passthrough knobs (accepted for call-site compatibility; batch and IO
+    # shaping belong to Spark's scan machinery — see LanceDataset.scanner)
+    def batch_size(self, batch_size: int) -> "ScannerBuilder":
+        return self._set("batch_size", batch_size)
+
+    def io_buffer_size(self, io_buffer_size: int) -> "ScannerBuilder":
+        return self._set("io_buffer_size", io_buffer_size)
+
+    def batch_readahead(self, nbatches: int | None = None) -> "ScannerBuilder":
+        return self._set("batch_readahead", nbatches)
+
+    def fragment_readahead(self, nfragments: int | None = None) -> "ScannerBuilder":
+        return self._set("fragment_readahead", nfragments)
+
+    def scan_in_order(self, scan_in_order: bool = True) -> "ScannerBuilder":
+        return self._set("scan_in_order", scan_in_order)
+
+    def use_stats(self, use_stats: bool = True) -> "ScannerBuilder":
+        return self._set("use_stats", use_stats)
+
+    def strict_batch_size(self, strict_batch_size: bool = False) -> "ScannerBuilder":
+        return self._set("strict_batch_size", strict_batch_size)
+
+    # plan-shaping options
+    def limit(self, n: int | None = None) -> "ScannerBuilder":
+        return self._set("limit", n)
+
+    def offset(self, n: int | None = None) -> "ScannerBuilder":
+        return self._set("offset", n)
+
+    def columns(self, cols=None) -> "ScannerBuilder":
+        return self._set("columns", cols)
+
+    def filter(self, filter) -> "ScannerBuilder":  # noqa: A002
+        return self._set("filter", filter)
+
+    def prefilter(self, prefilter: bool) -> "ScannerBuilder":
+        return self._set("prefilter", prefilter)
+
+    def with_row_id(self, with_row_id: bool = True) -> "ScannerBuilder":
+        return self._set("with_row_id", with_row_id)
+
+    def with_row_address(self, with_row_address: bool = True) -> "ScannerBuilder":
+        return self._set("with_row_address", with_row_address)
+
+    def late_materialization(self, late_materialization) -> "ScannerBuilder":
+        return self._set("late_materialization", bool(late_materialization))
+
+    def use_scalar_index(self, use_scalar_index: bool = True) -> "ScannerBuilder":
+        return self._set("use_scalar_index", use_scalar_index)
+
+    def with_fragments(self, fragments) -> "ScannerBuilder":
+        if fragments is not None:
+            fragments = [getattr(f, "id", f) for f in fragments]
+        return self._set("fragments", fragments)
+
+    def fast_search(self, flag: bool) -> "ScannerBuilder":
+        return self._set("fast_search", flag)
+
+    def include_deleted_rows(self, flag: bool) -> "ScannerBuilder":
+        return self._set("include_deleted_rows", flag)
+
+    def scan_stats_callback(self, callback) -> "ScannerBuilder":
+        return self._set("scan_stats_callback", callback)
+
+    def order_by(self, orderings=None) -> "ScannerBuilder":
+        return self._set("order_by", orderings)
+
+    def disable_scoring_autoprojection(self, disable: bool = True) -> "ScannerBuilder":
+        """Keep an explicit projection as-is instead of auto-appending the
+        _score/_distance column on search scans (dataset.py:4587)."""
+        return self._set("disable_scoring_autoprojection", disable)
+
+    def nearest(self, column: str, q, k: int | None = None, **kwargs) -> "ScannerBuilder":
+        spec = {"column": column, "q": q}
+        if k is not None:
+            spec["k"] = k
+        spec.update({k2: v for k2, v in kwargs.items() if v is not None})
+        return self._set("nearest", spec)
+
+    def full_text_search(self, query, columns=None) -> "ScannerBuilder":
+        if columns:
+            query = {"query": query, "columns": list(columns)}
+        return self._set("full_text_query", query)
+
+    def to_scanner(self, spark=None) -> "LanceScanner":
+        from pyspark.sql import SparkSession
+
+        spark = spark or self._spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError("no SparkSession: pass one to to_scanner(spark)")
+        return self.ds.scanner(spark, **self._kw)

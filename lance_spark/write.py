@@ -364,6 +364,7 @@ def write_dataset(
     progress=None,
     commit_lock=None,
     storage_options: dict | None = None,
+    auto_cleanup_options: dict | None = None,
 ):
     """modes per rust/lance/src/dataset/write.rs:115-131: create/append/overwrite.
 
@@ -459,6 +460,18 @@ def write_dataset(
             fragments = frags
             indices = []
             cfg = {}
+        if auto_cleanup_options is not None:
+            # reference dataset.py:5093 auto_cleanup_options on write:
+            # store the GC policy in the dataset config at create time
+            cfg = dict(cfg)
+            cfg["lance.auto_cleanup.interval"] = str(auto_cleanup_options["interval"])
+            cfg["lance.auto_cleanup.older_than"] = (
+                f"{auto_cleanup_options['older_than_seconds']}s"
+            )
+            if auto_cleanup_options.get("retain_versions") is not None:
+                cfg["lance.auto_cleanup.retain_versions"] = str(
+                    auto_cleanup_options["retain_versions"]
+                )
         max_fid = max((f.id for f in fragments), default=-1)
         if mode == "append" and base is not None:
             max_fid = max(max_fid, base.max_fragment_id)  # keep reservations
