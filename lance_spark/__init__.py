@@ -17,11 +17,14 @@ Public API mirrors python/python/lance/__init__.py of the reference:
 
 from lance_spark.blob import BlobColumn, BlobFile
 from lance_spark.dataset import (
+    AutoCleanupConfig,
+    Branches,
     ColumnOrdering,
     DataStatistics,
     FieldStatistics,
     LanceDataset,
     Session,
+    Tags,
     dataset,
 )
 from lance_spark.file import LanceFileReader, LanceFileWriter
@@ -32,6 +35,7 @@ from lance_spark.operation import LanceOperation, Transaction, commit
 from lance_spark.log import set_logger
 from lance_spark.scanner import (
     LanceScanner,
+    ScannerBuilder,
     ScanStatistics,
     bytes_read_counter,
     iops_counter,
@@ -92,7 +96,11 @@ __all__ = [
     "LanceFragment",
     "LanceScanner",
     "MergeInsertBuilder",
+    "ScannerBuilder",
     "ScanStatistics",
+    "Tags",
+    "Branches",
+    "AutoCleanupConfig",
     "Transaction",
     "batch_udf",
     "bytes_read_counter",

@@ -237,8 +237,12 @@ class LanceDataset:
     def delete_branch(self, name: str) -> None:
         mf.delete_ref(self.uri, "branches", name)
 
-    def branches(self) -> dict[str, int]:
-        return mf.list_refs(self.uri, "branches")
+    @property
+    def branches(self) -> "Branches":
+        """Branch manager (reference dataset.py:567 ``ds.branches``):
+        callable for the original ``ds.branches()`` dict form, plus the
+        reference's list/list_ordered/delete manager methods."""
+        return Branches(self)
 
     def create_tag(self, name: str, version: int | None = None) -> None:
         mf.create_tag(self.uri, name, version if version is not None else self.version)
@@ -254,8 +258,16 @@ class LanceDataset:
         """Tag manager (reference dataset.py:4888 ``Tags``): dict-like AND
         callable, so both the reference's ``ds.tags.get_version(t)`` /
         ``ds.tags.list()`` and this repo's original ``ds.tags()`` form
-        work."""
+        work. Live view — re-reads the refs on every access."""
         return Tags(self)
+
+    def scanner_builder(self, spark: SparkSession | None = None) -> "ScannerBuilder":
+        """Fluent scan construction (reference ScannerBuilder,
+        dataset.py:4180): ``ds.scanner_builder().filter(...).limit(10)
+        .to_scanner()``."""
+        from lance_spark.scanner import ScannerBuilder
+
+        return ScannerBuilder(self, spark)
 
     # ------------------------------------------------------------ read path
 
@@ -378,7 +390,7 @@ class LanceDataset:
         prefilter_rowids: DataFrame | None = None,
         include_deleted_rows: bool = False,
         order_by: list[tuple] | list[str] | None = None,
-        late_materialization: bool = False,
+        late_materialization: bool | list[str] = False,
         nearest: dict | None = None,
         full_text_query=None,
         prefilter: bool = False,
@@ -392,6 +404,7 @@ class LanceDataset:
         use_stats: bool | None = None,
         strict_batch_size: bool | None = None,
         scan_stats_callback=None,
+        disable_scoring_autoprojection: bool = False,
     ) -> DataFrame:
         """The ScannerBuilder surface (dataset.py:4219-4590) as a DataFrame.
 
@@ -434,6 +447,7 @@ class LanceDataset:
                 with_row_id=with_row_id, nearest=nearest,
                 full_text_query=full_text_query, prefilter=prefilter,
                 fast_search=fast_search,
+                disable_scoring_autoprojection=disable_scoring_autoprojection,
             )
             res._scan_stats_callback = scan_stats_callback
             return res
@@ -478,6 +492,13 @@ class LanceDataset:
             refs = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", filter))
             base_cols += [c for c in self.columns if c in refs and c not in base_cols]
 
+        # reference accepts bool | list[str] (dataset.py:4374-4378,
+        # scanner.rs:190-222): a list names the columns to materialize late
+        late_cols = (
+            list(late_materialization)
+            if isinstance(late_materialization, (list, tuple))
+            else None
+        )
         late = late_materialization and limit is not None and sort_cols
         if late:
             # phase 1: narrow scan (sort + filter columns only) → top-k rowids
@@ -504,14 +525,47 @@ class LanceDataset:
             df = full.join(F.broadcast(topk.select(ROWID_COL)), ROWID_COL, "left_semi")
             df = df.orderBy(*[c for _, c in sort_cols])
         else:
-            df = self._fragment_df(spark, frags, base_cols, include_deleted=include_deleted_rows)
+            # per-column late materialization on a filtered scan: read only
+            # the early (filter + non-late) columns, filter, then fetch the
+            # listed columns for the SURVIVORS by _rowid join (TakeExec
+            # role, scanner.rs:1579-1654) — at 100 TB the wide columns are
+            # read for matching rows only, and Catalyst prunes them from
+            # the early parquet scan entirely.
+            late_set: set = set()
+            if late_cols and filter:
+                import re
 
-            if prefilter_rowids is not None:
-                df = df.join(
-                    F.broadcast(prefilter_rowids.select(ROWID_COL)), on=ROWID_COL, how="left_semi"
+                frefs = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", filter))
+                needed = base_cols if base_cols is not None else list(self.columns)
+                sort_names = {n for n, _ in sort_cols}
+                late_set = {
+                    c for c in late_cols
+                    if c in needed and c not in frefs and c not in sort_names
+                }
+            if late_set:
+                early_cols = [c for c in (base_cols or self.columns) if c not in late_set]
+                df = self._fragment_df(
+                    spark, frags, early_cols, include_deleted=include_deleted_rows
                 )
-            if filter:
+                if prefilter_rowids is not None:
+                    df = df.join(
+                        F.broadcast(prefilter_rowids.select(ROWID_COL)),
+                        on=ROWID_COL, how="left_semi",
+                    )
                 df = df.filter(_compat_filter(filter))
+                late_df = self._fragment_df(
+                    spark, frags, sorted(late_set), include_deleted=include_deleted_rows
+                )
+                df = df.join(late_df, ROWID_COL, "inner")
+            else:
+                df = self._fragment_df(spark, frags, base_cols, include_deleted=include_deleted_rows)
+
+                if prefilter_rowids is not None:
+                    df = df.join(
+                        F.broadcast(prefilter_rowids.select(ROWID_COL)), on=ROWID_COL, how="left_semi"
+                    )
+                if filter:
+                    df = df.filter(_compat_filter(filter))
 
             if sort_cols:
                 df = df.orderBy(*[c for _, c in sort_cols])
@@ -553,6 +607,7 @@ class LanceDataset:
         full_text_query=None,
         prefilter: bool = False,
         fast_search: bool = False,
+        disable_scoring_autoprojection: bool = False,
     ) -> DataFrame:
         """scanner(nearest=...) / scanner(full_text_query=...) routing
         (reference dataset.py:4420-4501 nearest dict; :4502 fast_search;
@@ -615,7 +670,13 @@ class LanceDataset:
             sel = list(columns)
         else:
             sel = [c for c in self.columns if c in hits.columns]
-        sel = [*sel, score_col]
+        # the _score/_distance column is auto-appended to explicit
+        # projections unless disabled (reference dataset.py:4587
+        # disable_scoring_autoprojection); default projections always
+        # include it
+        if not (disable_scoring_autoprojection
+                and isinstance(columns, (list, dict))):
+            sel = [*sel, score_col]
         if with_row_id:
             sel.append(ROWID_COL)
         from lance_spark.scanner import LanceScanner
@@ -972,6 +1033,12 @@ class LanceDataset:
         merging keys into the manifest config. Unified semantics (reference
         dataset.py:1206-1243): a ``None`` value removes the key;
         ``replace=True`` swaps the whole config for ``upsert``."""
+        # auto-cleanup keys are validated HERE, at set time, so a bad value
+        # can never enter the manifest — the commit-time GC hook must never
+        # raise (the commit is durable by then; io/commit.rs:904-906)
+        mf.validate_auto_cleanup_config(
+            {k: v for k, v in upsert.items() if v is not None}
+        )
 
         def build(base, version):
             if replace:
@@ -1728,38 +1795,133 @@ class LanceStats:
         return self._ds.data_statistics(columns)
 
 
-class Tags(dict):
-    """Dataset tag manager (reference dataset.py:4888 ``Tags``). Dict-like
-    over ``{name: version}`` and callable — ``ds.tags()`` (this repo's
-    original method form) and ``ds.tags.get_version(t)`` (reference form)
-    both work."""
+class _RefManager:
+    """Shared live-view machinery for Tags/Branches. NOT a dict subclass —
+    every read re-lists the refs on disk, so a held manager never goes
+    stale after a create/delete through another handle (the reference Tags
+    is a live non-dict manager, dataset.py:4888). Mapping dunders + being
+    callable keep this repo's original ``ds.tags()["name"]`` form working."""
+
+    _kind = ""
 
     def __init__(self, ds: LanceDataset):
-        super().__init__(mf.list_tags(ds.uri))
         self._ds = ds
 
-    def __call__(self) -> "Tags":
-        return self
+    def _live(self) -> dict[str, int]:
+        return mf.list_refs(self._ds.uri, self._kind)
+
+    def __call__(self) -> dict[str, int]:
+        return self._live()
 
     def list(self) -> dict[str, int]:
-        """All tags as {name: version} (reference dataset.py:4896)."""
-        return dict(self)
+        return self._live()
+
+    def __getitem__(self, name: str) -> int:
+        return self._live()[name]
+
+    def get(self, name: str, default=None):
+        return self._live().get(name, default)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._live()
+
+    def __iter__(self):
+        return iter(self._live())
+
+    def __len__(self) -> int:
+        return len(self._live())
+
+    def keys(self):
+        return self._live().keys()
+
+    def values(self):
+        return self._live().values()
+
+    def items(self):
+        return self._live().items()
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, _RefManager):
+            other = other._live()
+        return self._live() == other
+
+    def __ne__(self, other) -> bool:
+        return not self.__eq__(other)
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}({self._live()!r})"
+
+    def _manifest_size(self, version: int) -> int:
+        try:
+            return os.path.getsize(mf.manifest_path(self._ds.uri, version))
+        except OSError:
+            return 0
+
+    def list_ordered(self, order: str | None = None) -> list[tuple[str, dict]]:
+        """Refs ordered by version (reference Tags.list_ordered /
+        Branches.list_ordered, dataset.py:4923,5004). ``order`` is "asc"
+        or "desc" (default "desc"); each entry carries the version and the
+        manifest file size, the reference's Tag metadata shape
+        (dataset.py:3655)."""
+        order = (order or "desc").lower()
+        if order not in ("asc", "desc"):
+            raise ValueError(f"order must be 'asc' or 'desc', got {order!r}")
+        entries = sorted(
+            self._live().items(), key=lambda kv: (kv[1], kv[0]),
+            reverse=(order == "desc"),
+        )
+        return [
+            (name, {"version": v, "manifest_size": self._manifest_size(v)})
+            for name, v in entries
+        ]
+
+
+class Tags(_RefManager):
+    """Dataset tag manager (reference dataset.py:4888 ``Tags``): live view
+    over {name: version} plus create/delete/update/get_version/
+    list_ordered. ``branch=`` on create/update resolves the default
+    version from that branch's head (reference passes branch through to
+    create_tag, dataset.py:4941)."""
+
+    _kind = "tags"
 
     def get_version(self, tag: str) -> int | None:
         """Version a tag points at, or None if absent (dataset.py:4907)."""
         return self.get(tag)
 
-    def create(self, tag: str, version: int | None = None) -> None:
-        self._ds.create_tag(tag, version)
-        self[tag] = mf.list_tags(self._ds.uri)[tag]
+    def _resolve(self, version: int | None, branch: str | None) -> int:
+        if version is not None:
+            return version
+        if branch is not None:
+            return mf.resolve_ref(self._ds.uri, "branches", branch)
+        return self._ds.version
+
+    def create(self, tag: str, version: int | None = None,
+               branch: str | None = None) -> None:
+        self._ds.create_tag(tag, self._resolve(version, branch))
 
     def delete(self, tag: str) -> None:
         self._ds.delete_tag(tag)
-        self.pop(tag, None)
 
-    def update(self, tag: str, version: int) -> None:
-        self._ds.update_tag(tag, version)
-        self[tag] = version
+    def update(self, tag: str, version: int | None = None,
+               branch: str | None = None) -> None:
+        self._ds.update_tag(tag, self._resolve(version, branch))
+
+
+class Branches(_RefManager):
+    """Dataset branch manager (reference dataset.py:4985 ``Branches``):
+    live {name: head version} view with list/list_ordered/delete, callable
+    for this repo's original ``ds.branches()`` form. Branch metadata here
+    is the head version + manifest size — parent lineage is not recorded
+    by this repo's flat ref store (documented divergence)."""
+
+    _kind = "branches"
+
+    def create(self, branch: str, version: int | None = None) -> None:
+        self._ds.create_branch(branch, version)
+
+    def delete(self, branch: str) -> None:
+        self._ds.delete_branch(branch)
 
 
 class AutoCleanupConfig(dict):

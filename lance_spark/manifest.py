@@ -438,55 +438,102 @@ def _log():
 
 
 def _parse_duration_seconds(text: str) -> float:
-    """`lance.auto_cleanup.older_than` values: bare seconds or an integer
+    """`lance.auto_cleanup.older_than` values: bare seconds or a number
     with an s/m/h/d suffix (the subset of humantime the reference's config
     examples use — cleanup.rs parse_duration)."""
     text = str(text).strip()
     mult = {"s": 1, "m": 60, "h": 3600, "d": 86400}.get(text[-1:].lower())
-    if mult is not None and text[:-1].strip().lstrip("-").isdigit():
-        return int(text[:-1].strip()) * mult
+    if mult is not None:
+        return float(text[:-1].strip()) * mult
     return float(text)
+
+
+#: Default cleanup cutoff when ``lance.auto_cleanup.older_than`` is absent:
+#: two weeks, the reference's cleanup default (python dataset.py:2180
+#: ``older_than: timedelta = timedelta(days=14)``). A missing key must NOT
+#: mean "delete everything immediately".
+AUTO_CLEANUP_DEFAULT_OLDER_THAN = 14 * 24 * 3600.0
+
+_AUTO_CLEANUP_KEYS = (
+    "lance.auto_cleanup.interval",
+    "lance.auto_cleanup.older_than",
+    "lance.auto_cleanup.retain_versions",
+)
+
+
+def validate_auto_cleanup_config(config: dict) -> None:
+    """Reject malformed ``lance.auto_cleanup.*`` values at SET time
+    (enable_auto_cleanup / update_config / write_dataset) so a bad value can
+    never enter the manifest. The commit-time hook itself never raises —
+    the reference logs all auto_cleanup_hook errors and never fails the
+    commit (io/commit.rs:904-906) — so this is the only place a
+    misconfiguration surfaces loudly."""
+    interval = config.get("lance.auto_cleanup.interval")
+    if interval is not None:
+        try:
+            interval = int(interval)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"lance.auto_cleanup.interval must be an integer: {interval!r}"
+            ) from None
+        if interval <= 0:
+            raise ValueError(
+                f"lance.auto_cleanup.interval must be positive: {interval}"
+            )
+    older = config.get("lance.auto_cleanup.older_than")
+    if older is not None:
+        try:
+            if _parse_duration_seconds(older) < 0:
+                raise ValueError("negative")
+        except (TypeError, ValueError):
+            raise ValueError(
+                "lance.auto_cleanup.older_than must be a non-negative duration "
+                f"like '3600s' or '14d': {older!r}"
+            ) from None
+    retain = config.get("lance.auto_cleanup.retain_versions")
+    if retain is not None:
+        try:
+            retain = int(retain)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"lance.auto_cleanup.retain_versions must be an integer: {retain!r}"
+            ) from None
+        if retain < 0:
+            raise ValueError(
+                f"lance.auto_cleanup.retain_versions must be >= 0: {retain}"
+            )
 
 
 def _maybe_auto_cleanup(root: str, manifest: "Manifest") -> None:
     """Auto-GC on commit (reference cleanup.rs:554 auto_cleanup_hook): when
     the dataset config carries ``lance.auto_cleanup.interval`` and the new
     version is a multiple of it, run ``cleanup_old_versions`` with
-    ``.older_than`` (and optional ``.retain_versions``), keep_tagged=True,
-    delete_unverified=False. Config parse errors raise (loud
-    misconfiguration, like the reference); GC IO errors only log — the
-    commit is already durable and must not appear failed."""
-    interval = manifest.config.get("lance.auto_cleanup.interval")
-    if interval is None:
+    ``.older_than`` (two weeks when absent, the reference cleanup default)
+    and optional ``.retain_versions``, keep_tagged=True,
+    delete_unverified=False. The commit is already durable when this runs,
+    so NOTHING here may raise — the reference logs all auto_cleanup_hook
+    errors and never fails the commit (io/commit.rs:904-906). Bad config
+    values are rejected earlier, at set time (validate_auto_cleanup_config);
+    anything that still slips through (or any GC IO error) only logs."""
+    if manifest.config.get("lance.auto_cleanup.interval") is None:
         return
     try:
-        interval = int(interval)
-    except ValueError as e:
-        raise ValueError(
-            f"lance.auto_cleanup.interval must be an integer: {interval!r}"
-        ) from e
-    if interval <= 0 or manifest.version % interval != 0:
-        return
-    try:
-        older = _parse_duration_seconds(
-            manifest.config.get("lance.auto_cleanup.older_than", "0s")
+        interval = int(manifest.config["lance.auto_cleanup.interval"])
+        if interval <= 0 or manifest.version % interval != 0:
+            return
+        older = manifest.config.get("lance.auto_cleanup.older_than")
+        older = (
+            _parse_duration_seconds(older)
+            if older is not None
+            else AUTO_CLEANUP_DEFAULT_OLDER_THAN
         )
-    except ValueError as e:
-        raise ValueError(
-            "lance.auto_cleanup.older_than must be a duration like '3600s'"
-        ) from e
-    retain = manifest.config.get("lance.auto_cleanup.retain_versions")
-    try:
+        retain = manifest.config.get("lance.auto_cleanup.retain_versions")
         retain = int(retain) if retain is not None else None
-    except ValueError as e:
-        raise ValueError(
-            f"lance.auto_cleanup.retain_versions must be an integer: {retain!r}"
-        ) from e
-    from types import SimpleNamespace
 
-    from lance_spark.maintenance import cleanup_old_versions
+        from types import SimpleNamespace
 
-    try:
+        from lance_spark.maintenance import cleanup_old_versions
+
         removed = cleanup_old_versions(
             SimpleNamespace(uri=root), older_than_seconds=older,
             keep_tagged=True, delete_unverified=False,
@@ -494,7 +541,7 @@ def _maybe_auto_cleanup(root: str, manifest: "Manifest") -> None:
         )
         if removed:
             _log().info("auto-cleanup v%d: removed %d files", manifest.version, removed)
-    except OSError as e:  # pragma: no cover - environment-dependent
+    except Exception as e:  # noqa: BLE001 - commit must never appear failed
         _log().warning("auto-cleanup after v%d failed: %s", manifest.version, e)
 
 

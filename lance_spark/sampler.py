@@ -437,6 +437,8 @@ class ShardedFixedBatchSampler(ShardedBatchSampler):
         return -(-per_rank // self._batch_size)
 
     def __iter__(self):
+        if self._batch_size <= 0 or self._total_num_rows <= 0:
+            return
         start, end = self._rank_range()
         batches = [
             list(range(s, min(s + self._batch_size, end)))

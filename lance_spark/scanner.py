@@ -272,8 +272,12 @@ class ScannerBuilder:
 
     def apply_defaults(self, default_opts: dict) -> "ScannerBuilder":
         for key, value in default_opts.items():
-            setter = getattr(self, key, None)
-            if setter is None or not callable(setter):
+            # only the public fluent setters are valid option names —
+            # guarding on the name (not just callability) keeps internals
+            # like _set / to_scanner from masquerading as options
+            setter = getattr(self, key, None) if not key.startswith("_") else None
+            if (setter is None or not callable(setter)
+                    or key in ("apply_defaults", "to_scanner")):
                 raise ValueError(f"Unknown option {key}")
             setter(value)
         return self
@@ -328,7 +332,9 @@ class ScannerBuilder:
         return self._set("with_row_address", with_row_address)
 
     def late_materialization(self, late_materialization) -> "ScannerBuilder":
-        return self._set("late_materialization", bool(late_materialization))
+        # reference accepts bool | list[str] (dataset.py:4374-4378); pass
+        # through unmodified — LanceDataset.scanner handles both forms
+        return self._set("late_materialization", late_materialization)
 
     def use_scalar_index(self, use_scalar_index: bool = True) -> "ScannerBuilder":
         return self._set("use_scalar_index", use_scalar_index)

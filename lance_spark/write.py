@@ -395,6 +395,26 @@ def write_dataset(
         raise ValueError(f"dataset already exists at {uri}; use append or overwrite")
     if mode == "append" and existing is None:
         mode = "create"
+    if auto_cleanup_options is not None:
+        if mode == "append":
+            # reference docs: auto_cleanup_params "only takes effect when
+            # creating a new dataset, it has no effect on existing
+            # datasets" — never silently rewrite an existing GC policy
+            mf._log().warning(
+                "auto_cleanup_options ignored on append to %s (it only "
+                "takes effect when creating a new dataset)", uri,
+            )
+            auto_cleanup_options = None
+        else:
+            # validated at set time so a bad value never enters the
+            # manifest — the commit-time GC hook never raises
+            mf.validate_auto_cleanup_config({
+                "lance.auto_cleanup.interval": auto_cleanup_options["interval"],
+                "lance.auto_cleanup.older_than":
+                    f"{auto_cleanup_options['older_than_seconds']}s",
+                "lance.auto_cleanup.retain_versions":
+                    auto_cleanup_options.get("retain_versions"),
+            })
 
     # multi-base registry: create takes initial_bases; append/overwrite
     # inherit the existing registry (reference overwrite-inherits test)
