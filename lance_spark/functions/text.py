@@ -454,6 +454,145 @@ def stem_word_sv(w: str) -> str:
     return t1
 
 
+def stem_token_da(t) -> Column:
+    """Danish snowball-lite (post-fold: æ/ø/å → ae/o/a): definite plural
+    -erne, participles -ende, -else, -hed(s), then inflection endings
+    (-er -en -et -es, -e, -s)."""
+    t1 = (
+        F.when(t.rlike(".{2}(erne|ende|else)$"), F.regexp_replace(t, "(erne|ende|else)$", ""))
+        .when(t.rlike(".{3}(heds|hed)$"), F.regexp_replace(t, "(heds|hed)$", ""))
+        .otherwise(t)
+    )
+    return (
+        F.when(t1.rlike(".{3}(er|en|et|es)$"), F.regexp_replace(t1, "(er|en|et|es)$", ""))
+        .when(t1.rlike(".{3}e$"), F.regexp_replace(t1, "e$", ""))
+        .when(t1.rlike(".{4}s$"), F.regexp_replace(t1, "s$", ""))
+        .otherwise(t1)
+    )
+
+
+def stem_word_da(w: str) -> str:
+    """Driver-side mirror of ``stem_token_da`` — rule-for-rule identical."""
+    import re
+
+    if re.search(r".{2}(erne|ende|else)$", w):
+        t1 = re.sub(r"(erne|ende|else)$", "", w)
+    elif re.search(r".{3}(heds|hed)$", w):
+        t1 = re.sub(r"(heds|hed)$", "", w)
+    else:
+        t1 = w
+    if re.search(r".{3}(er|en|et|es)$", t1):
+        return re.sub(r"(er|en|et|es)$", "", t1)
+    if re.search(r".{3}e$", t1):
+        return re.sub(r"e$", "", t1)
+    if re.search(r".{4}s$", t1):
+        return re.sub(r"s$", "", t1)
+    return t1
+
+
+def stem_token_no(t) -> Column:
+    """Norwegian snowball-lite (post-fold: æ/ø/å → ae/o/a): definite
+    plural -ene, participles -ande/-ende, -else, -het(s), then inflection
+    endings (-er -en -et -es, -a -e, -s)."""
+    t1 = (
+        F.when(t.rlike(".{2}(ene|ande|ende|else)$"), F.regexp_replace(t, "(ene|ande|ende|else)$", ""))
+        .when(t.rlike(".{3}(hets|het)$"), F.regexp_replace(t, "(hets|het)$", ""))
+        .otherwise(t)
+    )
+    return (
+        F.when(t1.rlike(".{3}(er|en|et|es)$"), F.regexp_replace(t1, "(er|en|et|es)$", ""))
+        .when(t1.rlike(".{3}(a|e)$"), F.regexp_replace(t1, "(a|e)$", ""))
+        .when(t1.rlike(".{4}s$"), F.regexp_replace(t1, "s$", ""))
+        .otherwise(t1)
+    )
+
+
+def stem_word_no(w: str) -> str:
+    """Driver-side mirror of ``stem_token_no`` — rule-for-rule identical."""
+    import re
+
+    if re.search(r".{2}(ene|ande|ende|else)$", w):
+        t1 = re.sub(r"(ene|ande|ende|else)$", "", w)
+    elif re.search(r".{3}(hets|het)$", w):
+        t1 = re.sub(r"(hets|het)$", "", w)
+    else:
+        t1 = w
+    if re.search(r".{3}(er|en|et|es)$", t1):
+        return re.sub(r"(er|en|et|es)$", "", t1)
+    if re.search(r".{3}(a|e)$", t1):
+        return re.sub(r"(a|e)$", "", t1)
+    if re.search(r".{4}s$", t1):
+        return re.sub(r"s$", "", t1)
+    return t1
+
+
+def stem_token_fi(t) -> Column:
+    """Finnish snowball-lite (post-fold: ä/ö/å → a/o/a): case endings
+    (-ssa -sta -lla -lta -lle -ksi), plural/partitive (-it -at -et),
+    genitive/essive (-in -en -an), then a final-vowel strip (-a -i -e)."""
+    t1 = F.when(
+        t.rlike(".{3}(ssa|sta|lla|lta|lle|ksi)$"),
+        F.regexp_replace(t, "(ssa|sta|lla|lta|lle|ksi)$", ""),
+    ).otherwise(t)
+    return (
+        F.when(t1.rlike(".{3}(it|at|et)$"), F.regexp_replace(t1, "(it|at|et)$", ""))
+        .when(t1.rlike(".{4}(in|en|an)$"), F.regexp_replace(t1, "(in|en|an)$", ""))
+        .when(t1.rlike(".{4}(a|i|e)$"), F.regexp_replace(t1, "(a|i|e)$", ""))
+        .otherwise(t1)
+    )
+
+
+def stem_word_fi(w: str) -> str:
+    """Driver-side mirror of ``stem_token_fi`` — rule-for-rule identical."""
+    import re
+
+    if re.search(r".{3}(ssa|sta|lla|lta|lle|ksi)$", w):
+        t1 = re.sub(r"(ssa|sta|lla|lta|lle|ksi)$", "", w)
+    else:
+        t1 = w
+    if re.search(r".{3}(it|at|et)$", t1):
+        return re.sub(r"(it|at|et)$", "", t1)
+    if re.search(r".{4}(in|en|an)$", t1):
+        return re.sub(r"(in|en|an)$", "", t1)
+    if re.search(r".{4}(a|i|e)$", t1):
+        return re.sub(r"(a|i|e)$", "", t1)
+    return t1
+
+
+def stem_token_tr(t) -> Column:
+    """Turkish snowball-lite (post-fold: ı/ş/ğ/ç/ö/ü → i/s/g/c/o/u).
+    Suffixes strip outside-in (root+plural+case): stage 1 removes case
+    endings (-den -dan -ten -tan, -de -da -te -ta), stage 2 the plural /
+    possessive-plural (-lari -leri, -lar -ler)."""
+    t1 = (
+        F.when(t.rlike(".{3}(den|dan|ten|tan)$"), F.regexp_replace(t, "(den|dan|ten|tan)$", ""))
+        .when(t.rlike(".{3}(de|da|te|ta)$"), F.regexp_replace(t, "(de|da|te|ta)$", ""))
+        .otherwise(t)
+    )
+    return (
+        F.when(t1.rlike(".{3}(lari|leri)$"), F.regexp_replace(t1, "(lari|leri)$", ""))
+        .when(t1.rlike(".{2}(lar|ler)$"), F.regexp_replace(t1, "(lar|ler)$", ""))
+        .otherwise(t1)
+    )
+
+
+def stem_word_tr(w: str) -> str:
+    """Driver-side mirror of ``stem_token_tr`` — rule-for-rule identical."""
+    import re
+
+    if re.search(r".{3}(den|dan|ten|tan)$", w):
+        t1 = re.sub(r"(den|dan|ten|tan)$", "", w)
+    elif re.search(r".{3}(de|da|te|ta)$", w):
+        t1 = re.sub(r"(de|da|te|ta)$", "", w)
+    else:
+        t1 = w
+    if re.search(r".{3}(lari|leri)$", t1):
+        return re.sub(r"(lari|leri)$", "", t1)
+    if re.search(r".{2}(lar|ler)$", t1):
+        return re.sub(r"(lar|ler)$", "", t1)
+    return t1
+
+
 def tokenize_spanish(col) -> Column:
     """fold(diacritics) → simple tokenizer → Spanish stemming
     ('spanish_stem' config)."""
@@ -504,6 +643,45 @@ def tokenize_swedish(col) -> Column:
     return F.transform(tokenize(ascii_fold(F.lower(col))), stem_token_sv)
 
 
+def _fold_scand(col) -> Column:
+    """Danish/Norwegian normalization: lowercase, æ→ae ø→o, then the
+    common diacritic fold (å→a)."""
+    return ascii_fold(
+        F.regexp_replace(F.regexp_replace(F.lower(col), "æ", "ae"), "ø", "o")
+    )
+
+
+def tokenize_danish(col) -> Column:
+    """fold(æ/ø/å) → simple tokenizer → Danish stemming
+    ('danish_stem' config)."""
+    return F.transform(tokenize(_fold_scand(col)), stem_token_da)
+
+
+def tokenize_norwegian(col) -> Column:
+    """fold(æ/ø/å) → simple tokenizer → Norwegian stemming
+    ('norwegian_stem' config)."""
+    return F.transform(tokenize(_fold_scand(col)), stem_token_no)
+
+
+def tokenize_finnish(col) -> Column:
+    """fold(ä/ö/å) → simple tokenizer → Finnish stemming
+    ('finnish_stem' config)."""
+    return F.transform(tokenize(ascii_fold(F.lower(col))), stem_token_fi)
+
+
+_TR_FOLD_SRC = "ışğ"
+_TR_FOLD_DST = "isg"
+
+
+def tokenize_turkish(col) -> Column:
+    """fold(ı/ş/ğ + ç/ö/ü) → simple tokenizer → Turkish stemming
+    ('turkish_stem' config)."""
+    return F.transform(
+        tokenize(ascii_fold(F.translate(F.lower(col), _TR_FOLD_SRC, _TR_FOLD_DST))),
+        stem_token_tr,
+    )
+
+
 def tokenizer_expr(name: str):
     """Named tokenizer registry (tokenizer.rs LanceTokenizer names) →
     callable(col) -> array<string> Column. Index params record the name so
@@ -522,13 +700,18 @@ def tokenizer_expr(name: str):
             "russian_stem": tokenize_russian,
             "dutch_stem": tokenize_dutch,
             "swedish_stem": tokenize_swedish,
+            "danish_stem": tokenize_danish,
+            "norwegian_stem": tokenize_norwegian,
+            "finnish_stem": tokenize_finnish,
+            "turkish_stem": tokenize_turkish,
         }[name]
     except KeyError:
         raise ValueError(
             f"unknown tokenizer {name!r}; expected simple|whitespace|unicode"
             "|english_stem|german_stem|french_stem|spanish_stem"
             "|italian_stem|portuguese_stem|russian_stem|dutch_stem"
-            "|swedish_stem"
+            "|swedish_stem|danish_stem|norwegian_stem|finnish_stem"
+            "|turkish_stem"
         ) from None
 
 
@@ -554,6 +737,25 @@ def query_tokens(terms: list[str], tokenizer: str) -> list[str]:
         return [stem_word_nl(t.translate(_FOLD_TABLE)) for t in terms]
     if tokenizer == "swedish_stem":
         return [stem_word_sv(t.translate(_FOLD_TABLE)) for t in terms]
+    if tokenizer == "danish_stem":
+        return [
+            stem_word_da(t.replace("æ", "ae").replace("ø", "o").translate(_FOLD_TABLE))
+            for t in terms
+        ]
+    if tokenizer == "norwegian_stem":
+        return [
+            stem_word_no(t.replace("æ", "ae").replace("ø", "o").translate(_FOLD_TABLE))
+            for t in terms
+        ]
+    if tokenizer == "finnish_stem":
+        return [stem_word_fi(t.translate(_FOLD_TABLE)) for t in terms]
+    if tokenizer == "turkish_stem":
+        return [
+            stem_word_tr(
+                t.translate(str.maketrans(_TR_FOLD_SRC, _TR_FOLD_DST)).translate(_FOLD_TABLE)
+            )
+            for t in terms
+        ]
     return terms
 
 

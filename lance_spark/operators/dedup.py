@@ -125,6 +125,28 @@ def oversized_lsh_buckets(banded: DataFrame, max_bucket_size: int = DEFAULT_MAX_
     )
 
 
+#: memo for _fan_out's partition probe, keyed by the analyzed plan's
+#: semantic hash. ``df.rdd`` triggers a full plan→RDD conversion on the
+#: driver (~10s of ms); short interactive dedup calls re-probe the same
+#: source DataFrame every time, so the memo removes the repeated cost.
+_NPART_CACHE: dict[int, int] = {}
+
+
+def _probe_partitions(df: DataFrame) -> int:
+    try:
+        key = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # non-classic DataFrame (connect) — probe directly
+        key = None
+    if key is not None and key in _NPART_CACHE:
+        return _NPART_CACHE[key]
+    n = df.rdd.getNumPartitions()
+    if key is not None:
+        if len(_NPART_CACHE) >= 256:
+            _NPART_CACHE.clear()
+        _NPART_CACHE[key] = n
+    return n
+
+
 def _fan_out(df: DataFrame, min_tasks: int | None = None) -> DataFrame:
     """Signature computation is CPU-bound (one md5 per token/shingle), so an
     under-partitioned source (e.g. a single-row-group parquet file) would
@@ -135,7 +157,7 @@ def _fan_out(df: DataFrame, min_tasks: int | None = None) -> DataFrame:
         return df
     spark = df.sparkSession
     target = min_tasks or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(4, target):
+    if _probe_partitions(df) < min(4, target):
         # rand() key (vs round-robin) doubles as a predicate-pushdown
         # barrier: Catalyst won't move filters below a non-deterministic
         # expression, so token-size guards evaluate AFTER the fan-out

@@ -2491,6 +2491,207 @@ def fts_stemmed_match_sv(spark, sf_dir):
     )
 
 
+_DUCK_FOLD_SCAND = (
+    "translate(replace(replace(lower(text), 'æ', 'ae'), 'ø', 'o'),"
+    " 'àáâãäåèéêëìíîïòóôõöùúûüýÿñç', 'aaaaaaeeeeiiiiooooouuuuyync')"
+)
+_DUCK_FOLD_TR = (
+    "translate(lower(text),"
+    " 'ışğàáâãäåèéêëìíîïòóôõöùúûüýÿñç', 'isgaaaaaaeeeeiiiiooooouuuuyync')"
+)
+
+
+def _duck_stem_toks_da(toks_expr: str) -> str:
+    """DuckDB mirror of functions/text.py stem_token_da (Danish
+    snowball-lite): definite plurals/participles, -hed, endings."""
+    s1 = (
+        "CASE WHEN regexp_matches(t, '.{2}(erne|ende|else)$') "
+        "THEN regexp_replace(t, '(erne|ende|else)$', '') "
+        "WHEN regexp_matches(t, '.{3}(heds|hed)$') THEN regexp_replace(t, '(heds|hed)$', '') "
+        "ELSE t END"
+    )
+    s2 = (
+        "CASE WHEN regexp_matches(u, '.{3}(er|en|et|es)$') "
+        "THEN regexp_replace(u, '(er|en|et|es)$', '') "
+        "WHEN regexp_matches(u, '.{3}e$') THEN regexp_replace(u, 'e$', '') "
+        "WHEN regexp_matches(u, '.{4}s$') THEN regexp_replace(u, 's$', '') "
+        "ELSE u END"
+    )
+    return f"list_transform(list_transform({toks_expr}, t -> {s1}), u -> {s2})"
+
+
+@query(
+    "fts_stemmed_match_da",
+    _bm25_oracle(
+        ["tabl", "scan", "join"],  # Danish-stemmed forms of the query terms
+        toks=_duck_stem_toks_da(_DUCK_TOKS.format(col=_DUCK_FOLD_SCAND)),
+    ),
+)
+def fts_stemmed_match_da(spark, sf_dir):
+    """danish_stem tokenizer end-to-end: 'tabler'/'scans'/'joinet'
+    conflate onto the corpus's 'table'/'scan'/'join' through the Danish
+    rule set (tokenizer.rs:43-80 Language::Danish)."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_stemda_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="danish_stem")
+    hits = match_query(ds, spark, ["tabler", "scans", "joinet"], k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
+def _duck_stem_toks_no(toks_expr: str) -> str:
+    """DuckDB mirror of functions/text.py stem_token_no (Norwegian
+    snowball-lite): definite plurals/participles, -het, endings."""
+    s1 = (
+        "CASE WHEN regexp_matches(t, '.{2}(ene|ande|ende|else)$') "
+        "THEN regexp_replace(t, '(ene|ande|ende|else)$', '') "
+        "WHEN regexp_matches(t, '.{3}(hets|het)$') THEN regexp_replace(t, '(hets|het)$', '') "
+        "ELSE t END"
+    )
+    s2 = (
+        "CASE WHEN regexp_matches(u, '.{3}(er|en|et|es)$') "
+        "THEN regexp_replace(u, '(er|en|et|es)$', '') "
+        "WHEN regexp_matches(u, '.{3}(a|e)$') THEN regexp_replace(u, '(a|e)$', '') "
+        "WHEN regexp_matches(u, '.{4}s$') THEN regexp_replace(u, 's$', '') "
+        "ELSE u END"
+    )
+    return f"list_transform(list_transform({toks_expr}, t -> {s1}), u -> {s2})"
+
+
+@query(
+    "fts_stemmed_match_no",
+    _bm25_oracle(
+        ["tabl", "scan", "join"],  # Norwegian-stemmed forms of the query terms
+        toks=_duck_stem_toks_no(_DUCK_TOKS.format(col=_DUCK_FOLD_SCAND)),
+    ),
+)
+def fts_stemmed_match_no(spark, sf_dir):
+    """norwegian_stem tokenizer end-to-end: 'tablene'/'scans'/'joinet'
+    conflate onto the corpus's 'table'/'scan'/'join' through the Norwegian
+    rule set (tokenizer.rs:43-80 Language::Norwegian)."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_stemno_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="norwegian_stem")
+    hits = match_query(ds, spark, ["tablene", "scans", "joinet"], k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
+def _duck_stem_toks_fi(toks_expr: str) -> str:
+    """DuckDB mirror of functions/text.py stem_token_fi (Finnish
+    snowball-lite): case endings, plural/partitive, final-vowel strip."""
+    s1 = (
+        "CASE WHEN regexp_matches(t, '.{3}(ssa|sta|lla|lta|lle|ksi)$') "
+        "THEN regexp_replace(t, '(ssa|sta|lla|lta|lle|ksi)$', '') "
+        "ELSE t END"
+    )
+    s2 = (
+        "CASE WHEN regexp_matches(u, '.{3}(it|at|et)$') "
+        "THEN regexp_replace(u, '(it|at|et)$', '') "
+        "WHEN regexp_matches(u, '.{4}(in|en|an)$') THEN regexp_replace(u, '(in|en|an)$', '') "
+        "WHEN regexp_matches(u, '.{4}(a|i|e)$') THEN regexp_replace(u, '(a|i|e)$', '') "
+        "ELSE u END"
+    )
+    return f"list_transform(list_transform({toks_expr}, t -> {s1}), u -> {s2})"
+
+
+@query(
+    "fts_stemmed_match_fi",
+    _bm25_oracle(
+        ["tabl", "scan", "join"],  # Finnish-stemmed forms of the query terms
+        toks=_duck_stem_toks_fi(_DUCK_TOKS.format(col=_DUCK_FOLD_FR)),
+    ),
+)
+def fts_stemmed_match_fi(spark, sf_dir):
+    """finnish_stem tokenizer end-to-end: 'tablessa'/'scanit'/'joinilla'
+    conflate onto the corpus's 'table'/'scan'/'join' through the Finnish
+    rule set (tokenizer.rs:43-80 Language::Finnish)."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_stemfi_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="finnish_stem")
+    hits = match_query(ds, spark, ["tablessa", "scanit", "joinilla"], k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
+def _duck_stem_toks_tr(toks_expr: str) -> str:
+    """DuckDB mirror of functions/text.py stem_token_tr (Turkish
+    snowball-lite): case endings outside-in, then plural."""
+    s1 = (
+        "CASE WHEN regexp_matches(t, '.{3}(den|dan|ten|tan)$') "
+        "THEN regexp_replace(t, '(den|dan|ten|tan)$', '') "
+        "WHEN regexp_matches(t, '.{3}(de|da|te|ta)$') "
+        "THEN regexp_replace(t, '(de|da|te|ta)$', '') "
+        "ELSE t END"
+    )
+    s2 = (
+        "CASE WHEN regexp_matches(u, '.{3}(lari|leri)$') "
+        "THEN regexp_replace(u, '(lari|leri)$', '') "
+        "WHEN regexp_matches(u, '.{2}(lar|ler)$') THEN regexp_replace(u, '(lar|ler)$', '') "
+        "ELSE u END"
+    )
+    return f"list_transform(list_transform({toks_expr}, t -> {s1}), u -> {s2})"
+
+
+@query(
+    "fts_stemmed_match_tr",
+    _bm25_oracle(
+        ["table", "scan", "join"],  # Turkish-stemmed forms of the query terms
+        toks=_duck_stem_toks_tr(_DUCK_TOKS.format(col=_DUCK_FOLD_TR)),
+    ),
+)
+def fts_stemmed_match_tr(spark, sf_dir):
+    """turkish_stem tokenizer end-to-end: 'tablelar'/'scanlardan'/'joinler'
+    conflate onto the corpus's 'table'/'scan'/'join' through the Turkish
+    rule set (tokenizer.rs:43-80 Language::Turkish)."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_stemtr_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="turkish_stem")
+    hits = match_query(ds, spark, ["tablelar", "scanlardan", "joinler"], k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
 # Cyrillic transliteration used ONLY to give the Russian stemmer a corpus
 # it can act on: the synthetic documents are English, so both engines map
 # a-z onto Cyrillic with the SAME table, then tokenize unicode-aware and

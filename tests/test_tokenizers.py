@@ -307,3 +307,107 @@ def test_fuzzy_transpositions_end_to_end(spark, tmp_path):
     ds = create_inverted_index(ds, spark, "text")
     assert fuzzy_query(ds, spark, "tbale", fuzziness=1).count() == 1
     assert fuzzy_query(ds, spark, "tbale", fuzziness=1, transpositions=False).count() == 0
+
+
+def test_da_no_fi_tr_stem_column_matches_driver_mirror(spark):
+    """stem_token_da/no/fi/tr (Column) and stem_word_da/no/fi/tr (driver)
+    must be rule-for-rule identical — same lockstep contract as the other
+    nine languages (tokenizer.rs:43-80)."""
+    from pyspark.sql import functions as F
+
+    from lance_spark.functions.text import (
+        stem_token_da, stem_token_fi, stem_token_no, stem_token_tr,
+        stem_word_da, stem_word_fi, stem_word_no, stem_word_tr,
+    )
+
+    da_words = [
+        "hunderne", "loebende", "bevaegelse", "muligheds", "mulighed",
+        "tabler", "huset", "huse", "scans", "hus", "en", "de",
+    ]
+    no_words = [
+        "husene", "gaaende", "loepende", "mulighets", "mulighet",
+        "tabler", "huset", "joinet", "scans", "hus", "en", "et",
+    ]
+    fi_words = [
+        "talossa", "kirjasta", "poydalla", "maalta", "hanelle", "kirjaksi",
+        "talot", "kirjat", "taloin", "talon", "tablessa", "scanit", "talo", "on",
+    ]
+    tr_words = [
+        "evlerden", "evlerde", "kitaplardan", "kitaplari", "evleri",
+        "tablelar", "joinler", "evler", "kitap", "ev", "on",
+    ]
+    for words, tok, mirror, tag in [
+        (da_words, stem_token_da, stem_word_da, "da"),
+        (no_words, stem_token_no, stem_word_no, "no"),
+        (fi_words, stem_token_fi, stem_word_fi, "fi"),
+        (tr_words, stem_token_tr, stem_word_tr, "tr"),
+    ]:
+        df = spark.createDataFrame([(w,) for w in words], ["w"])
+        got = {r["w"]: r["s"] for r in df.select("w", tok(F.col("w")).alias("s")).collect()}
+        for w in words:
+            assert got[w] == mirror(w), f"{tag} mismatch on {w!r}"
+
+    # spot semantics: inflected and base forms conflate
+    assert stem_word_da("tabler") == stem_word_da("table") == "tabl"
+    assert stem_word_da("en") == "en"  # short-word guard
+    assert stem_word_no("tablene") == stem_word_no("table") == "tabl"
+    assert stem_word_fi("tablessa") == stem_word_fi("table") == "tabl"
+    assert stem_word_fi("scanit") == "scan"
+    assert stem_word_tr("tablelar") == "table"  # plural stripped, root kept
+    assert stem_word_tr("evlerden") == stem_word_tr("evler") == "ev"
+
+
+def test_da_no_fi_tr_random_words_mirror_property(spark):
+    """Randomized lockstep for the four new languages on arbitrary letter
+    strings, mirroring the ru/nl/sv property test."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lance_spark.functions.text import (
+        stem_token_da, stem_token_fi, stem_token_no, stem_token_tr,
+        stem_word_da, stem_word_fi, stem_word_no, stem_word_tr,
+    )
+
+    rng = random.Random(73)
+    latin = [
+        "".join(rng.choice("abcdehiklmnorstu") for _ in range(rng.randint(1, 12)))
+        for _ in range(300)
+    ]
+    for tok, mirror, tag in [
+        (stem_token_da, stem_word_da, "da"),
+        (stem_token_no, stem_word_no, "no"),
+        (stem_token_fi, stem_word_fi, "fi"),
+        (stem_token_tr, stem_word_tr, "tr"),
+    ]:
+        df = spark.createDataFrame([(w,) for w in set(latin)], ["w"])
+        got = {r["w"]: r["s"] for r in df.select("w", tok(F.col("w")).alias("s")).collect()}
+        for w in set(latin):
+            assert got[w] == mirror(w), f"{tag} mismatch on {w!r}"
+
+
+def test_da_no_fi_tr_index_query_roundtrip(spark, tmp_path):
+    """Inflected query terms hit stemmed postings through each new
+    tokenizer config end-to-end, incl. the language-specific folds
+    (æ/ø for da/no, ä/ö for fi, ı/ş/ğ for tr)."""
+    import lance_spark as ls
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+
+    cases = [
+        ("danish_stem", [(0, "hunderne løber på vejen"), (1, "ingenting her")],
+         ["hunden"], {0}),
+        ("norwegian_stem", [(0, "husene står ved fjorden"), (1, "ingenting")],
+         ["huset"], {0}),
+        ("finnish_stem", [(0, "kirjat ovat talossa"), (1, "ei mitään")],
+         ["talolla"], {0}),
+        ("turkish_stem", [(0, "kitaplar masada duruyor"), (1, "hiçbir şey")],
+         ["kitaplardan"], {0}),
+    ]
+    for tok, rows, terms, want in cases:
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        ds = ls.write_dataset(docs, str(tmp_path / tok))
+        ds = create_inverted_index(ds, spark, "text", tokenizer=tok)
+        hits = match_query(ds, spark, terms, k=10)
+        base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+        got = {r["doc_id"] for r in hits.join(base, hits.id == base._rowid).collect()}
+        assert got == want, f"{tok}: got {got}"
