@@ -259,3 +259,124 @@ def test_stream_upsert_sequence_col_deterministic(spark, tmp_path):
                             "k int, v string, seq int"), 1)
     rows = {r["k"]: r["v"] for r in dataset(uri).to_df(spark).collect()}
     assert rows[1] == "later"
+
+
+# ------------------------------------------------ late data / watermarks
+
+
+def _write_event_file(path, times, mtime):
+    """One parquet file of ('2026-01-01 HH:MM' UTC, key) events with a
+    controlled mtime — the file source orders micro-batches by mtime, so
+    tests can stage exactly which events arrive in which batch."""
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "ts": pa.array(
+            [datetime(2026, 1, 1, h, m, tzinfo=timezone.utc) for h, m in times],
+            pa.timestamp("us", tz="UTC"),
+        ),
+        "k": pa.array(["a"] * len(times)),
+    })
+    pq.write_table(tbl, str(path))
+    os.utime(str(path), (mtime, mtime))
+
+
+def test_late_events_watermark_vs_batch_oracle(spark, tmp_path):
+    """Late data crossing micro-batch boundaries: an event later than the
+    watermark is dropped, one within the watermark is aggregated — and the
+    COMMITTED dataset equals the batch-mode oracle over the surviving
+    events for every finalized window."""
+    import time
+
+    from lance_spark.dataset import dataset
+    from lance_spark.streaming.sink import tumbling_agg, write_stream
+
+    src = tmp_path / "late_in"
+    src.mkdir()
+    base = time.time() - 1000
+    # batch 0: window 10:00 gets two events
+    _write_event_file(src / "a.parquet", [(10, 10), (10, 20)], base)
+    # batch 1: 12:00 event → watermark becomes 11:30 for the NEXT batch
+    _write_event_file(src / "b.parquet", [(12, 0)], base + 10)
+    # batch 2: runs with wm=11:30 → window 10:00 is EVICTED here (n=2)
+    _write_event_file(src / "b2.parquet", [(12, 10)], base + 20)
+    # batch 3: 10:30 arrives AFTER its window was evicted → guaranteed
+    # dropped (the watermark contract); 12:05 is within the watermark
+    _write_event_file(src / "c.parquet", [(10, 30), (12, 5)], base + 30)
+    # batch 4: 14:00 → watermark passes 13:00, finalizing window 12:00
+    _write_event_file(src / "d.parquet", [(14, 0)], base + 40)
+
+    sdf = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    windowed = tumbling_agg(
+        sdf, "ts", window="1 hour", watermark="30 minutes",
+        keys=["k"], aggs=[F.count("*").alias("n")],
+    )
+    uri = str(tmp_path / "late_ds")
+    ckpt = str(tmp_path / "late_ckpt")
+    q = write_stream(windowed, uri, ckpt, trigger_available_now=True)
+    q.awaitTermination(120)
+    # restart once: watermark state persists in the checkpoint, so a no-op
+    # run flushes any window finalized by the last batch's watermark bump
+    sdf2 = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    windowed2 = tumbling_agg(
+        sdf2, "ts", window="1 hour", watermark="30 minutes",
+        keys=["k"], aggs=[F.count("*").alias("n")],
+    )
+    q2 = write_stream(windowed2, uri, ckpt, trigger_available_now=True)
+    q2.awaitTermination(120)
+
+    got = {
+        (r["window_start"].hour, r["n"])
+        for r in dataset(uri).to_df(spark).collect()
+    }
+    # batch oracle over the events that survive the watermark
+    # ({10:10, 10:20, 12:00, 12:10, 12:05} — 10:30 was late past its
+    # window's eviction), restricted to windows the final watermark
+    # (13:30) finalized:
+    assert got == {(10, 2), (12, 3)}
+
+
+def test_out_of_order_files_append_matches_batch(spark, tmp_path):
+    """Raw append ingest has no watermark: files arriving in non-time
+    order still land exactly-once and the committed dataset equals the
+    batch union of all files."""
+    import time
+
+    from lance_spark.dataset import dataset
+    from lance_spark.streaming.sink import write_stream
+
+    src = tmp_path / "ooo_in"
+    src.mkdir()
+    base = time.time() - 1000
+    # arrival order deliberately disagrees with event-time order
+    _write_event_file(src / "a.parquet", [(12, 0), (12, 30)], base)
+    _write_event_file(src / "b.parquet", [(9, 0)], base + 10)
+    _write_event_file(src / "c.parquet", [(15, 0), (8, 45)], base + 20)
+
+    sdf = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    uri = str(tmp_path / "ooo_ds")
+    q = write_stream(sdf, uri, str(tmp_path / "ooo_ckpt"), trigger_available_now=True)
+    q.awaitTermination(120)
+
+    got = sorted(r["ts"] for r in dataset(uri).to_df(spark).collect())
+    want = sorted(r["ts"] for r in spark.read.parquet(str(src)).collect())
+    assert got == want and len(got) == 5
+    # one commit per micro-batch, replay-safe on restart
+    q2 = write_stream(sdf, uri, str(tmp_path / "ooo_ckpt"), trigger_available_now=True)
+    q2.awaitTermination(120)
+    assert dataset(uri).count_rows() == 5
