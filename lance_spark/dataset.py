@@ -895,13 +895,104 @@ class LanceDataset:
 
     def _rewrite_fts_calls(self, spark: SparkSession, query: str) -> str:
         """Replace each ``fts(...)`` table-function reference in the SQL
-        text with a temp view holding that search's results. The rewrite is
-        quote-aware: ``fts(`` inside a string literal is left alone, and
-        commas inside the JSON argument strings don't split args."""
+        text with a temp view holding that search's results.
+
+        Call sites are located with Spark's own SQL parser
+        (``sessionState().sqlParser().parsePlan``): the parsed plan is
+        walked — children, CTE inner children, and subquery expressions —
+        for ``UnresolvedTableValuedFunction`` nodes named ``fts``, and each
+        node's parser-recorded origin span plus its literal arguments'
+        spans give the exact source range of the call, so quoting, escape
+        sequences, comments, and identifier backticks are all handled by
+        the parser rather than by hand. Queries that do not parse (they
+        would fail in ``spark.sql`` regardless) and environments without a
+        classic JVM session fall back to a conservative character scanner,
+        which preserves the historical error messages for malformed
+        calls."""
+        spans = _locate_fts_calls_via_parser(spark, query)
+        if spans is None:
+            return self._rewrite_fts_calls_scanner(spark, query)
+        # compile views in document order (stable numbering), then splice
+        # the replacements right-to-left so earlier offsets stay valid
+        views = [
+            self._compile_fts_call(spark, args, n)
+            for n, (_, _, args) in enumerate(spans)
+        ]
+        out = query
+        for (start, end, _), view in zip(reversed(spans), reversed(views)):
+            out = out[:start] + view + out[end + 1 :]
+        return out
+
+    def _compile_fts_call(self, spark: SparkSession, args: list[str], n_calls: int) -> str:
+        """Execute one ``fts(...)`` call's search and register the scored
+        result as a temp view; returns the view name. Arg shapes
+        (udtf.rs:177-201): (query[, options]) or (table_name, query[,
+        options]). Disambiguating the 2-arg case: a leading table name is
+        only assumed when the SECOND arg is a query JSON — ('plain terms',
+        '{"with_row_id": true}') is (query, options), since options keys
+        never name a query type."""
         import json as _json
 
         from lance_spark.query import FullTextQuery, MatchQuery, execute_query, from_json
 
+        _QUERY_KEYS = {"match", "phrase", "boost", "multi_match", "boolean"}
+        if len(args) == 3 and not args[0].lstrip().startswith("{"):
+            args = args[1:]
+        elif len(args) == 2 and not args[0].lstrip().startswith("{"):
+            second = args[1].lstrip()
+            if second.startswith("{"):
+                is_query_json = False
+                try:
+                    keys = set(_json.loads(args[1]).keys())
+                    is_query_json = bool(keys & _QUERY_KEYS)
+                except Exception:
+                    is_query_json = False
+                if is_query_json:
+                    args = args[1:]  # (table_name, query)
+            else:
+                # second arg is neither options-JSON nor query-JSON → it
+                # must be the query and args[0] a table name:
+                # fts('docs', 'scan join')
+                args = args[1:]
+        if not 1 <= len(args) <= 2:
+            raise ValueError("fts() takes ([table,] query[, options])")
+        if len(args) == 2 and args[1].strip():
+            try:
+                opts = _json.loads(args[1])
+            except Exception as exc:
+                raise ValueError(
+                    "fts() options argument must be a JSON object "
+                    "like '{\"with_row_id\": true}'; accepted call "
+                    "shapes are fts(query), fts(query, options), "
+                    f"fts(table, query[, options]); got: {args[1]!r}"
+                ) from exc
+        else:
+            opts = {}
+        qtext = args[0]
+        qobj: FullTextQuery = (
+            from_json(qtext) if qtext.lstrip().startswith("{") else MatchQuery(qtext)
+        )
+        hits = execute_query(spark, qobj, ds=self, k=None)
+        base = self.to_df(spark, with_row_id=True)
+        res = base.join(F.broadcast(hits), base[ROWID_COL] == hits["id"]).drop("id")
+        if opts.get("with_row_addr"):
+            # rowid IS fragment<<32|offset pre-compaction
+            res = res.withColumn(ROWADDR_COL, F.col(ROWID_COL))
+        if not opts.get("with_row_id"):
+            res = res.drop(ROWID_COL)
+        if opts.get("ordered"):
+            res = res.orderBy(F.desc("_score"))
+        view = f"__lance_fts_{n_calls}"
+        res.createOrReplaceTempView(view)
+        return view
+
+    def _rewrite_fts_calls_scanner(self, spark: SparkSession, query: str) -> str:
+        """Character-scanner fallback for queries the parser rejects (kept
+        for its precise 'unterminated fts(...)' diagnostics; a non-parsing
+        query errors in ``spark.sql`` anyway, so this path can never
+        mis-rewrite a valid query). Quote-aware: ``fts(`` inside a string
+        literal is left alone, and commas inside the JSON argument strings
+        don't split args."""
         out, i, n_calls = [], 0, 0
         in_quote: str | None = None  # ' or " (string literals) or ` (identifier)
         q = query
@@ -934,64 +1025,8 @@ class LanceDataset:
                     j += 1
                 if j < len(q) and q[j] == "(":
                     args, end = _split_sql_call_args(q, j)
-                    # arg shapes (udtf.rs:177-201): (query[, options]) or
-                    # (table_name, query[, options]). Disambiguating the
-                    # 2-arg case: a leading table name is only assumed when
-                    # the SECOND arg is a query JSON — ('plain terms',
-                    # '{"with_row_id": true}') is (query, options), since
-                    # options keys never name a query type
-                    _QUERY_KEYS = {"match", "phrase", "boost", "multi_match", "boolean"}
-                    if len(args) == 3 and not args[0].lstrip().startswith("{"):
-                        args = args[1:]
-                    elif len(args) == 2 and not args[0].lstrip().startswith("{"):
-                        second = args[1].lstrip()
-                        if second.startswith("{"):
-                            is_query_json = False
-                            try:
-                                keys = set(_json.loads(args[1]).keys())
-                                is_query_json = bool(keys & _QUERY_KEYS)
-                            except Exception:
-                                is_query_json = False
-                            if is_query_json:
-                                args = args[1:]  # (table_name, query)
-                        else:
-                            # second arg is neither options-JSON nor query-JSON
-                            # → it must be the query and args[0] a table name:
-                            # fts('docs', 'scan join')
-                            args = args[1:]
-                    if not 1 <= len(args) <= 2:
-                        raise ValueError("fts() takes ([table,] query[, options])")
-                    if len(args) == 2 and args[1].strip():
-                        try:
-                            opts = _json.loads(args[1])
-                        except Exception as exc:
-                            raise ValueError(
-                                "fts() options argument must be a JSON object "
-                                "like '{\"with_row_id\": true}'; accepted call "
-                                "shapes are fts(query), fts(query, options), "
-                                f"fts(table, query[, options]); got: {args[1]!r}"
-                            ) from exc
-                    else:
-                        opts = {}
-                    qtext = args[0]
-                    qobj: FullTextQuery = (
-                        from_json(qtext) if qtext.lstrip().startswith("{") else MatchQuery(qtext)
-                    )
-                    hits = execute_query(spark, qobj, ds=self, k=None)
-                    base = self.to_df(spark, with_row_id=True)
-                    res = base.join(
-                        F.broadcast(hits), base[ROWID_COL] == hits["id"]
-                    ).drop("id")
-                    if opts.get("with_row_addr"):
-                        # rowid IS fragment<<32|offset pre-compaction
-                        res = res.withColumn(ROWADDR_COL, F.col(ROWID_COL))
-                    if not opts.get("with_row_id"):
-                        res = res.drop(ROWID_COL)
-                    if opts.get("ordered"):
-                        res = res.orderBy(F.desc("_score"))
-                    view = f"__lance_fts_{n_calls}"
+                    view = self._compile_fts_call(spark, args, n_calls)
                     n_calls += 1
-                    res.createOrReplaceTempView(view)
                     out.append(view)
                     i = end
                     continue
@@ -1626,6 +1661,104 @@ class LanceDataset:
         from lance_spark.maintenance import optimize_indices
 
         return optimize_indices(self, spark)
+
+
+class _SpanUnavailable(Exception):
+    """Parser produced a plan but a node lacks usable origin offsets."""
+
+
+def _locate_fts_calls_via_parser(
+    spark: SparkSession, query: str
+) -> list[tuple[int, int, list[str]]] | None:
+    """Find every ``fts(...)`` table-function call in ``query`` using
+    Spark's SQL parser. Returns ``[(start, end_inclusive, args), ...]``
+    sorted by position — the span covers exactly ``fts( ... )`` (computed
+    from the TVF node's origin start and the closing paren after its last
+    literal argument, so a trailing table alias inside the node's origin
+    span is preserved). Returns ``None`` when the parser path is
+    unavailable (no classic JVM session, query fails to parse, or origins
+    are missing) — the caller then uses the scanner fallback. Raises
+    ``ValueError`` for fts() calls with non-literal arguments."""
+    try:
+        jparser = spark._jsparkSession.sessionState().sqlParser()
+        plan = jparser.parsePlan(query)
+    except ValueError:
+        raise
+    except Exception:
+        return None
+
+    found: dict[int, tuple[int, int, list[str]]] = {}
+
+    def collect(node) -> None:
+        nm = node.name()
+        if nm.length() != 1 or str(nm.apply(0)).lower() != "fts":
+            return
+        origin = node.origin()
+        if not origin.startIndex().isDefined():
+            raise _SpanUnavailable
+        start = origin.startIndex().get()
+        args: list[str] = []
+        last_stop = None
+        fargs = node.functionArgs()
+        for i in range(fargs.length()):
+            a = fargs.apply(i)
+            if not a.foldable():
+                raise ValueError(
+                    "fts() arguments must be literal strings; got a "
+                    f"non-constant expression: {a.sql()}"
+                )
+            v = a.eval(None)
+            args.append("" if v is None else str(v))
+            ao = a.origin()
+            if ao.stopIndex().isDefined():
+                stop = ao.stopIndex().get()
+                if last_stop is None or stop > last_stop:
+                    last_stop = stop
+        try:
+            search_from = (
+                last_stop + 1 if last_stop is not None else query.index("(", start) + 1
+            )
+            end = query.index(")", search_from)
+        except ValueError as exc:  # pragma: no cover — parsed SQL has the paren
+            raise _SpanUnavailable from exc
+        found[start] = (start, end, args)
+
+    def visit_plan(node) -> None:
+        if node.getClass().getSimpleName() == "UnresolvedTableValuedFunction":
+            collect(node)
+        ch = node.children()
+        for i in range(ch.length()):
+            visit_plan(ch.apply(i))
+        try:
+            ic = node.innerChildren()
+            for i in range(ic.length()):
+                visit_plan(ic.apply(i))
+        except Exception:
+            pass
+        try:
+            exprs = node.expressions()
+        except Exception:
+            return
+        stack = [exprs.apply(i) for i in range(exprs.length())]
+        while stack:
+            e = stack.pop()
+            try:
+                visit_plan(e.plan())  # SubqueryExpression carries a plan
+            except ValueError:
+                raise
+            except _SpanUnavailable:
+                raise
+            except Exception:
+                pass
+            ech = e.children()
+            for i in range(ech.length()):
+                stack.append(ech.apply(i))
+
+    try:
+        visit_plan(plan)
+    except _SpanUnavailable:
+        return None
+    return [found[k] for k in sorted(found)]
 
 
 def _split_sql_call_args(q: str, lparen: int) -> tuple[list[str], int]:

@@ -207,3 +207,68 @@ def test_fts_sql_plain_terms_with_options(spark, docs_ds):
            ORDER BY doc_id LIMIT 3""",
     )
     assert set(out.columns) == {"_rowid", "doc_id"} and out.count() == 3
+
+
+# ------------------------------------------------------------------
+# parser-located call sites (round 7): the rewrite is driven by Spark's
+# own SQL parser (UnresolvedTableValuedFunction origins), so comments,
+# CTEs, subqueries, and arbitrary quoting are handled structurally.
+
+
+def test_fts_sql_inside_comment_not_rewritten(spark, docs_ds):
+    ds, _ = docs_ds
+    out = ds.sql(
+        spark,
+        "SELECT doc_id -- fts('nope') in a line comment\n"
+        "FROM dataset /* fts('also nope') */ LIMIT 1",
+    ).collect()
+    assert len(out) == 1
+
+
+def test_fts_sql_in_cte(spark, docs_ds):
+    ds, _ = docs_ds
+    out = ds.sql(
+        spark,
+        """WITH hits AS (SELECT doc_id, _score FROM fts('table scan'))
+           SELECT doc_id, _score FROM hits ORDER BY _score DESC, doc_id LIMIT 5""",
+    ).collect()
+    assert len(out) == 5
+    assert all(r["_score"] > 0 for r in out)
+
+
+def test_fts_sql_in_subquery_predicate(spark, docs_ds):
+    ds, _ = docs_ds
+    out = ds.sql(
+        spark,
+        """SELECT doc_id FROM dataset
+           WHERE doc_id IN (SELECT doc_id FROM fts('table scan'))""",
+    ).collect()
+    direct = ds.sql(spark, "SELECT doc_id FROM fts('table scan')").collect()
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in direct}
+    assert out
+
+
+def test_fts_sql_two_calls_joined(spark, docs_ds):
+    ds, _ = docs_ds
+    out = ds.sql(
+        spark,
+        """SELECT a.doc_id, a._score AS s1, b._score AS s2
+           FROM fts('table') a JOIN fts('scan') b ON a.doc_id = b.doc_id""",
+    ).collect()
+    assert out
+    assert all(r["s1"] > 0 and r["s2"] > 0 for r in out)
+
+
+def test_fts_sql_multiline_spacing(spark, docs_ds):
+    ds, _ = docs_ds
+    out = ds.sql(
+        spark,
+        "SELECT doc_id\nFROM fts (\n   'table scan'\n  )\nLIMIT 3",
+    ).collect()
+    assert len(out) == 3
+
+
+def test_fts_sql_non_literal_arg_raises(spark, docs_ds):
+    ds, _ = docs_ds
+    with pytest.raises(ValueError, match="literal"):
+        ds.sql(spark, "SELECT * FROM fts(doc_id)")
