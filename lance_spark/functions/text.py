@@ -682,6 +682,238 @@ def tokenize_turkish(col) -> Column:
     )
 
 
+def stem_token_hu(t) -> Column:
+    """Hungarian snowball-lite (post-fold: ő/ű → o/u, diacritics folded).
+    Stage 1 strips case endings (instrumental plurals -okkal/-ekkel, then
+    -ban -ben -nak -nek -val -vel -rol -tol -hoz -hez), stage 2 plurals
+    (-ok -ek -ak, bare -k) or a final a/e."""
+    t1 = (
+        F.when(t.rlike(".{3}(okkal|ekkel)$"), F.regexp_replace(t, "(okkal|ekkel)$", ""))
+        .when(
+            t.rlike(".{3}(ban|ben|nak|nek|val|vel|rol|tol|hoz|hez)$"),
+            F.regexp_replace(t, "(ban|ben|nak|nek|val|vel|rol|tol|hoz|hez)$", ""),
+        )
+        .otherwise(t)
+    )
+    return (
+        F.when(t1.rlike(".{3}(ok|ek|ak)$"), F.regexp_replace(t1, "(ok|ek|ak)$", ""))
+        .when(t1.rlike(".{4}k$"), F.regexp_replace(t1, "k$", ""))
+        .when(t1.rlike(".{4}(a|e)$"), F.regexp_replace(t1, "(a|e)$", ""))
+        .otherwise(t1)
+    )
+
+
+def stem_word_hu(w: str) -> str:
+    """Driver-side mirror of ``stem_token_hu`` — rule-for-rule identical."""
+    import re
+
+    if re.search(r".{3}(okkal|ekkel)$", w):
+        t1 = re.sub(r"(okkal|ekkel)$", "", w)
+    elif re.search(r".{3}(ban|ben|nak|nek|val|vel|rol|tol|hoz|hez)$", w):
+        t1 = re.sub(r"(ban|ben|nak|nek|val|vel|rol|tol|hoz|hez)$", "", w)
+    else:
+        t1 = w
+    if re.search(r".{3}(ok|ek|ak)$", t1):
+        return re.sub(r"(ok|ek|ak)$", "", t1)
+    if re.search(r".{4}k$", t1):
+        return re.sub(r"k$", "", t1)
+    if re.search(r".{4}(a|e)$", t1):
+        return re.sub(r"(a|e)$", "", t1)
+    return t1
+
+
+def stem_token_ro(t) -> Column:
+    """Romanian snowball-lite (post-fold: ă/â→a, î→i, ş/ţ→s/t). Stage 1
+    strips definite-plural chains (-urile -urilor, then -ilor -elor
+    -ului), stage 2 plural endings (-ele -uri -ii) or a final vowel."""
+    t1 = (
+        F.when(t.rlike(".{2}(urile|urilor)$"), F.regexp_replace(t, "(urile|urilor)$", ""))
+        .when(t.rlike(".{3}(ilor|elor|ului)$"), F.regexp_replace(t, "(ilor|elor|ului)$", ""))
+        .otherwise(t)
+    )
+    return (
+        F.when(t1.rlike(".{3}(ele|uri|ii)$"), F.regexp_replace(t1, "(ele|uri|ii)$", ""))
+        .when(t1.rlike(".{4}(e|i|a|u)$"), F.regexp_replace(t1, "(e|i|a|u)$", ""))
+        .otherwise(t1)
+    )
+
+
+def stem_word_ro(w: str) -> str:
+    """Driver-side mirror of ``stem_token_ro`` — rule-for-rule identical."""
+    import re
+
+    if re.search(r".{2}(urile|urilor)$", w):
+        t1 = re.sub(r"(urile|urilor)$", "", w)
+    elif re.search(r".{3}(ilor|elor|ului)$", w):
+        t1 = re.sub(r"(ilor|elor|ului)$", "", w)
+    else:
+        t1 = w
+    if re.search(r".{3}(ele|uri|ii)$", t1):
+        return re.sub(r"(ele|uri|ii)$", "", t1)
+    if re.search(r".{4}(e|i|a|u)$", t1):
+        return re.sub(r"(e|i|a|u)$", "", t1)
+    return t1
+
+
+def stem_token_el(t) -> Column:
+    """Greek snowball-lite over folded text (final sigma ς→σ, accents
+    stripped, so every suffix below is written in its folded form).
+    Stage 1 rewrites -ματα/-ματοσ → μα and strips noun case endings
+    (-ων -ου -ησ -ασ -εσ -οσ -οι -αι), stage 2 a final vowel."""
+    t1 = (
+        F.when(t.rlike(".{2}(ματα|ματοσ)$"), F.regexp_replace(t, "(ματα|ματοσ)$", "μα"))
+        .when(
+            t.rlike(".{3}(ων|ου|ησ|ασ|εσ|οσ|οι|αι|ια)$"),
+            F.regexp_replace(t, "(ων|ου|ησ|ασ|εσ|οσ|οι|αι|ια)$", ""),
+        )
+        .otherwise(t)
+    )
+    return (
+        F.when(t1.rlike(".{3}(α|η|ι|ο|ε|υ|ω)$"), F.regexp_replace(t1, "(α|η|ι|ο|ε|υ|ω)$", ""))
+        .otherwise(t1)
+    )
+
+
+def stem_word_el(w: str) -> str:
+    """Driver-side mirror of ``stem_token_el`` — rule-for-rule identical."""
+    import re
+
+    if re.search(r".{2}(ματα|ματοσ)$", w):
+        t1 = re.sub(r"(ματα|ματοσ)$", "μα", w)
+    elif re.search(r".{3}(ων|ου|ησ|ασ|εσ|οσ|οι|αι|ια)$", w):
+        t1 = re.sub(r"(ων|ου|ησ|ασ|εσ|οσ|οι|αι|ια)$", "", w)
+    else:
+        t1 = w
+    if re.search(r".{3}(α|η|ι|ο|ε|υ|ω)$", t1):
+        return re.sub(r"(α|η|ι|ο|ε|υ|ω)$", "", t1)
+    return t1
+
+
+def stem_token_ar(t) -> Column:
+    """Arabic light stemmer (the Larkey light-stemmer family tantivy's
+    Arabic config implements; post-fold: أ/إ/آ→ا, ى→ي). Stage 1 strips
+    the definite-article prefixes (وال- بال- كال- فال-, then ال-),
+    stage 2 suffixes (-ات -ان -ون -ين -ها -ية, then -ة -ه -ي)."""
+    t1 = (
+        F.when(t.rlike("^(وال|بال|كال|فال).{3}"), F.regexp_replace(t, "^(وال|بال|كال|فال)", ""))
+        .when(t.rlike("^ال.{3}"), F.regexp_replace(t, "^ال", ""))
+        .otherwise(t)
+    )
+    return (
+        F.when(
+            t1.rlike(".{3}(ات|ان|ون|ين|ها|ية)$"),
+            F.regexp_replace(t1, "(ات|ان|ون|ين|ها|ية)$", ""),
+        )
+        .when(t1.rlike(".{3}(ة|ه|ي)$"), F.regexp_replace(t1, "(ة|ه|ي)$", ""))
+        .otherwise(t1)
+    )
+
+
+def stem_word_ar(w: str) -> str:
+    """Driver-side mirror of ``stem_token_ar`` — rule-for-rule identical."""
+    import re
+
+    if re.search(r"^(وال|بال|كال|فال).{3}", w):
+        t1 = re.sub(r"^(وال|بال|كال|فال)", "", w)
+    elif re.search(r"^ال.{3}", w):
+        t1 = re.sub(r"^ال", "", w)
+    else:
+        t1 = w
+    if re.search(r".{3}(ات|ان|ون|ين|ها|ية)$", t1):
+        return re.sub(r"(ات|ان|ون|ين|ها|ية)$", "", t1)
+    if re.search(r".{3}(ة|ه|ي)$", t1):
+        return re.sub(r"(ة|ه|ي)$", "", t1)
+    return t1
+
+
+def stem_token_ta(t) -> Column:
+    """Tamil snowball-lite. Suffix chains are written with independent
+    letters only (no combining vowel signs), because the unicode tokenizer
+    splits on non-letters and combining marks are \\p{M}, not \\p{L} — a
+    suffix containing one would never survive tokenization on either the
+    index or the oracle side. Stage 1 strips plural chains (-களஇல -களஐ
+    -கள), stage 2 case endings (-இல -ஆல -உடந -ஐ)."""
+    t1 = (
+        F.when(t.rlike(".{2}(களஇல|களஐ|கள)$"), F.regexp_replace(t, "(களஇல|களஐ|கள)$", ""))
+        .otherwise(t)
+    )
+    return (
+        F.when(t1.rlike(".{3}(இல|ஆல|உடந|ஐ)$"), F.regexp_replace(t1, "(இல|ஆல|உடந|ஐ)$", ""))
+        .otherwise(t1)
+    )
+
+
+def stem_word_ta(w: str) -> str:
+    """Driver-side mirror of ``stem_token_ta`` — rule-for-rule identical."""
+    import re
+
+    if re.search(r".{2}(களஇல|களஐ|கள)$", w):
+        t1 = re.sub(r"(களஇல|களஐ|கள)$", "", w)
+    else:
+        t1 = w
+    if re.search(r".{3}(இல|ஆல|உடந|ஐ)$", t1):
+        return re.sub(r"(இல|ஆல|உடந|ஐ)$", "", t1)
+    return t1
+
+
+_HU_FOLD_SRC = "őű"
+_HU_FOLD_DST = "ou"
+
+
+def tokenize_hungarian(col) -> Column:
+    """fold(ő/ű + diacritics) → simple tokenizer → Hungarian stemming
+    ('hungarian_stem' config)."""
+    return F.transform(
+        tokenize(ascii_fold(F.translate(F.lower(col), _HU_FOLD_SRC, _HU_FOLD_DST))),
+        stem_token_hu,
+    )
+
+
+_RO_FOLD_SRC = "ăşţșț"
+_RO_FOLD_DST = "astst"
+
+
+def tokenize_romanian(col) -> Column:
+    """fold(ă/ş/ţ — both cedilla and comma forms — + diacritics) → simple
+    tokenizer → Romanian stemming ('romanian_stem' config)."""
+    return F.transform(
+        tokenize(ascii_fold(F.translate(F.lower(col), _RO_FOLD_SRC, _RO_FOLD_DST))),
+        stem_token_ro,
+    )
+
+
+_EL_FOLD_SRC = "ςάέήίόύώϊϋΐΰ"
+_EL_FOLD_DST = "σαεηιουωιυιυ"
+
+
+def tokenize_greek(col) -> Column:
+    """fold(final sigma, accents) → unicode tokenizer (Greek survives) →
+    Greek stemming ('greek_stem' config)."""
+    return F.transform(
+        tokenize_unicode(F.translate(F.lower(col), _EL_FOLD_SRC, _EL_FOLD_DST)),
+        stem_token_el,
+    )
+
+
+_AR_FOLD_SRC = "أإآى"
+_AR_FOLD_DST = "اااي"
+
+
+def tokenize_arabic(col) -> Column:
+    """fold(hamza forms of alif, alif maqsura) → unicode tokenizer →
+    Arabic light stemming ('arabic_stem' config)."""
+    return F.transform(
+        tokenize_unicode(F.translate(F.lower(col), _AR_FOLD_SRC, _AR_FOLD_DST)),
+        stem_token_ar,
+    )
+
+
+def tokenize_tamil(col) -> Column:
+    """unicode tokenizer (Tamil survives) → Tamil stemming
+    ('tamil_stem' config)."""
+    return F.transform(tokenize_unicode(F.lower(col)), stem_token_ta)
+
+
 def tokenizer_expr(name: str):
     """Named tokenizer registry (tokenizer.rs LanceTokenizer names) →
     callable(col) -> array<string> Column. Index params record the name so
@@ -704,6 +936,11 @@ def tokenizer_expr(name: str):
             "norwegian_stem": tokenize_norwegian,
             "finnish_stem": tokenize_finnish,
             "turkish_stem": tokenize_turkish,
+            "hungarian_stem": tokenize_hungarian,
+            "romanian_stem": tokenize_romanian,
+            "greek_stem": tokenize_greek,
+            "arabic_stem": tokenize_arabic,
+            "tamil_stem": tokenize_tamil,
         }[name]
     except KeyError:
         raise ValueError(
@@ -711,7 +948,8 @@ def tokenizer_expr(name: str):
             "|english_stem|german_stem|french_stem|spanish_stem"
             "|italian_stem|portuguese_stem|russian_stem|dutch_stem"
             "|swedish_stem|danish_stem|norwegian_stem|finnish_stem"
-            "|turkish_stem"
+            "|turkish_stem|hungarian_stem|romanian_stem|greek_stem"
+            "|arabic_stem|tamil_stem"
         ) from None
 
 
@@ -756,6 +994,32 @@ def query_tokens(terms: list[str], tokenizer: str) -> list[str]:
             )
             for t in terms
         ]
+    if tokenizer == "hungarian_stem":
+        return [
+            stem_word_hu(
+                t.translate(str.maketrans(_HU_FOLD_SRC, _HU_FOLD_DST)).translate(_FOLD_TABLE)
+            )
+            for t in terms
+        ]
+    if tokenizer == "romanian_stem":
+        return [
+            stem_word_ro(
+                t.translate(str.maketrans(_RO_FOLD_SRC, _RO_FOLD_DST)).translate(_FOLD_TABLE)
+            )
+            for t in terms
+        ]
+    if tokenizer == "greek_stem":
+        return [
+            stem_word_el(t.translate(str.maketrans(_EL_FOLD_SRC, _EL_FOLD_DST)))
+            for t in terms
+        ]
+    if tokenizer == "arabic_stem":
+        return [
+            stem_word_ar(t.translate(str.maketrans(_AR_FOLD_SRC, _AR_FOLD_DST)))
+            for t in terms
+        ]
+    if tokenizer == "tamil_stem":
+        return [stem_word_ta(t) for t in terms]
     return terms
 
 

@@ -2759,6 +2759,284 @@ def fts_stemmed_match_ru(spark, sf_dir):
     )
 
 
+def _duck_stem_toks_hu(toks_expr: str) -> str:
+    """DuckDB mirror of functions/text.py stem_token_hu (Hungarian
+    snowball-lite): case endings, plurals, final a/e."""
+    s1 = (
+        "CASE WHEN regexp_matches(t, '.{3}(okkal|ekkel)$') "
+        "THEN regexp_replace(t, '(okkal|ekkel)$', '') "
+        "WHEN regexp_matches(t, '.{3}(ban|ben|nak|nek|val|vel|rol|tol|hoz|hez)$') "
+        "THEN regexp_replace(t, '(ban|ben|nak|nek|val|vel|rol|tol|hoz|hez)$', '') "
+        "ELSE t END"
+    )
+    s2 = (
+        "CASE WHEN regexp_matches(u, '.{3}(ok|ek|ak)$') "
+        "THEN regexp_replace(u, '(ok|ek|ak)$', '') "
+        "WHEN regexp_matches(u, '.{4}k$') THEN regexp_replace(u, 'k$', '') "
+        "WHEN regexp_matches(u, '.{4}(a|e)$') THEN regexp_replace(u, '(a|e)$', '') "
+        "ELSE u END"
+    )
+    return f"list_transform(list_transform({toks_expr}, t -> {s1}), u -> {s2})"
+
+
+_DUCK_FOLD_HU = (
+    "translate(lower(text),"
+    " 'őűàáâãäåèéêëìíîïòóôõöùúûüýÿñç', 'ouaaaaaaeeeeiiiiooooouuuuyync')"
+)
+
+
+@query(
+    "fts_stemmed_match_hu",
+    _bm25_oracle(
+        ["tabl", "scan", "join"],  # Hungarian-stemmed forms of the query terms
+        toks=_duck_stem_toks_hu(_DUCK_TOKS.format(col=_DUCK_FOLD_HU)),
+    ),
+)
+def fts_stemmed_match_hu(spark, sf_dir):
+    """hungarian_stem tokenizer end-to-end: 'tableban'/'scanok'/'joinnak'
+    conflate onto the corpus's 'table'/'scan'/'join' through the Hungarian
+    rule set (tokenizer.rs:43-80 Language::Hungarian)."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_stemhu_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="hungarian_stem")
+    hits = match_query(ds, spark, ["tableban", "scanok", "joinnak"], k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
+def _duck_stem_toks_ro(toks_expr: str) -> str:
+    """DuckDB mirror of functions/text.py stem_token_ro (Romanian
+    snowball-lite): definite-plural chains, plurals, final vowel."""
+    s1 = (
+        "CASE WHEN regexp_matches(t, '.{2}(urile|urilor)$') "
+        "THEN regexp_replace(t, '(urile|urilor)$', '') "
+        "WHEN regexp_matches(t, '.{3}(ilor|elor|ului)$') "
+        "THEN regexp_replace(t, '(ilor|elor|ului)$', '') "
+        "ELSE t END"
+    )
+    s2 = (
+        "CASE WHEN regexp_matches(u, '.{3}(ele|uri|ii)$') "
+        "THEN regexp_replace(u, '(ele|uri|ii)$', '') "
+        "WHEN regexp_matches(u, '.{4}(e|i|a|u)$') THEN regexp_replace(u, '(e|i|a|u)$', '') "
+        "ELSE u END"
+    )
+    return f"list_transform(list_transform({toks_expr}, t -> {s1}), u -> {s2})"
+
+
+_DUCK_FOLD_RO = (
+    "translate(lower(text),"
+    " 'ăşţșțàáâãäåèéêëìíîïòóôõöùúûüýÿñç', 'aststaaaaaaeeeeiiiiooooouuuuyync')"
+)
+
+
+@query(
+    "fts_stemmed_match_ro",
+    _bm25_oracle(
+        ["tabl", "scan", "join"],  # Romanian-stemmed forms of the query terms
+        toks=_duck_stem_toks_ro(_DUCK_TOKS.format(col=_DUCK_FOLD_RO)),
+    ),
+)
+def fts_stemmed_match_ro(spark, sf_dir):
+    """romanian_stem tokenizer end-to-end: 'tablele'/'scanuri'/'joinului'
+    conflate onto the corpus's 'table'/'scan'/'join' through the Romanian
+    rule set (tokenizer.rs:43-80 Language::Romanian)."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_stemro_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="romanian_stem")
+    hits = match_query(ds, spark, ["tablele", "scanuri", "joinului"], k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
+# Transliterations for the non-Latin stemmer oracles, same device as the
+# Russian one above: a-z → target script with the SAME table in Spark and
+# DuckDB (repeated target letters are fine — both sides agree), so the
+# stemmer has a corpus in its own script and the value oracle is exact.
+_EL_LAT = "abcdefghijklmnopqrstuvwxyz"
+_EL_GRK = "αβψδεφγηιξκλμνοπθρστυωωχυζ"
+_AR_LAT = "abcdefghijklmnopqrstuvwxyz"
+_AR_ARB = "ابجدهفغحيجكلمنوبقرستوفوخيز"
+_TA_LAT = "abcdefghijklmnopqrstuvwxyz"
+_TA_TAM = "அபசடஎஃகஹஇஜகலமநஒபகரஸதஉவவஷயழ"
+
+
+def _duck_stem_toks_el(toks_expr: str) -> str:
+    """DuckDB mirror of functions/text.py stem_token_el (Greek
+    snowball-lite over folded text)."""
+    s1 = (
+        "CASE WHEN regexp_matches(t, '.{2}(ματα|ματοσ)$') "
+        "THEN regexp_replace(t, '(ματα|ματοσ)$', 'μα') "
+        "WHEN regexp_matches(t, '.{3}(ων|ου|ησ|ασ|εσ|οσ|οι|αι|ια)$') "
+        "THEN regexp_replace(t, '(ων|ου|ησ|ασ|εσ|οσ|οι|αι|ια)$', '') "
+        "ELSE t END"
+    )
+    s2 = (
+        "CASE WHEN regexp_matches(u, '.{3}(α|η|ι|ο|ε|υ|ω)$') "
+        "THEN regexp_replace(u, '(α|η|ι|ο|ε|υ|ω)$', '') "
+        "ELSE u END"
+    )
+    return f"list_transform(list_transform({toks_expr}, t -> {s1}), u -> {s2})"
+
+
+@query(
+    "fts_stemmed_match_el",
+    _bm25_oracle(
+        ["ταβλ", "σψαν", "ξοιν"],  # Greek-stemmed forms of the query terms
+        toks=_duck_stem_toks_el(
+            _DUCK_TOKS_UNI.format(col=f"translate(lower(text), '{_EL_LAT}', '{_EL_GRK}')")
+        ),
+    ),
+)
+def fts_stemmed_match_el(spark, sf_dir):
+    """greek_stem tokenizer end-to-end on a Greek-script corpus: the docs
+    are transliterated a-z → Greek identically in Spark and DuckDB, then
+    'ταβλες'/'σψανων'/'ξοινου' conflate onto 'ταβλ'/'σψαν'/'ξοιν' stems
+    through the Greek rule set (tokenizer.rs:43-80 Language::Greek)."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.write import write_dataset
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.translate(F.lower("text"), _EL_LAT, _EL_GRK)
+    )
+    uri = tempfile.mkdtemp(prefix="lsq_stemel_") + "/docs"
+    write_dataset(docs.repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="greek_stem")
+    hits = match_query(ds, spark, ["ταβλες", "σψανων", "ξοινου"], k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
+def _duck_stem_toks_ar(toks_expr: str) -> str:
+    """DuckDB mirror of functions/text.py stem_token_ar (Arabic light
+    stemmer): article prefixes, then suffixes."""
+    s1 = (
+        "CASE WHEN regexp_matches(t, '^(وال|بال|كال|فال).{3}') "
+        "THEN regexp_replace(t, '^(وال|بال|كال|فال)', '') "
+        "WHEN regexp_matches(t, '^ال.{3}') THEN regexp_replace(t, '^ال', '') "
+        "ELSE t END"
+    )
+    s2 = (
+        "CASE WHEN regexp_matches(u, '.{3}(ات|ان|ون|ين|ها|ية)$') "
+        "THEN regexp_replace(u, '(ات|ان|ون|ين|ها|ية)$', '') "
+        "WHEN regexp_matches(u, '.{3}(ة|ه|ي)$') THEN regexp_replace(u, '(ة|ه|ي)$', '') "
+        "ELSE u END"
+    )
+    return f"list_transform(list_transform({toks_expr}, t -> {s1}), u -> {s2})"
+
+
+@query(
+    "fts_stemmed_match_ar",
+    _bm25_oracle(
+        ["تابل", "سجان", "جوين"],  # Arabic-stemmed forms of the query terms
+        toks=_duck_stem_toks_ar(
+            _DUCK_TOKS_UNI.format(col=f"translate(lower(text), '{_AR_LAT}', '{_AR_ARB}')")
+        ),
+    ),
+)
+def fts_stemmed_match_ar(spark, sf_dir):
+    """arabic_stem tokenizer end-to-end on an Arabic-script corpus:
+    'التابله' (definite article) / 'سجانات' (plural) / 'جوينها'
+    (possessive) conflate onto the 'تابل'/'سجان'/'جوين' stems through the
+    light-stemmer rules (tokenizer.rs:43-80 Language::Arabic)."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.write import write_dataset
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.translate(F.lower("text"), _AR_LAT, _AR_ARB)
+    )
+    uri = tempfile.mkdtemp(prefix="lsq_stemar_") + "/docs"
+    write_dataset(docs.repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="arabic_stem")
+    hits = match_query(ds, spark, ["التابله", "سجانات", "جوينها"], k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
+def _duck_stem_toks_ta(toks_expr: str) -> str:
+    """DuckDB mirror of functions/text.py stem_token_ta (Tamil
+    snowball-lite over independent letters)."""
+    s1 = (
+        "CASE WHEN regexp_matches(t, '.{2}(களஇல|களஐ|கள)$') "
+        "THEN regexp_replace(t, '(களஇல|களஐ|கள)$', '') "
+        "ELSE t END"
+    )
+    s2 = (
+        "CASE WHEN regexp_matches(u, '.{3}(இல|ஆல|உடந|ஐ)$') "
+        "THEN regexp_replace(u, '(இல|ஆல|உடந|ஐ)$', '') "
+        "ELSE u END"
+    )
+    return f"list_transform(list_transform({toks_expr}, t -> {s1}), u -> {s2})"
+
+
+@query(
+    "fts_stemmed_match_ta",
+    _bm25_oracle(
+        ["தஅபலஎ", "ஸசஅந", "ஜஒஇந"],  # Tamil-stemmed forms of the query terms
+        toks=_duck_stem_toks_ta(
+            _DUCK_TOKS_UNI.format(col=f"translate(lower(text), '{_TA_LAT}', '{_TA_TAM}')")
+        ),
+    ),
+)
+def fts_stemmed_match_ta(spark, sf_dir):
+    """tamil_stem tokenizer end-to-end on a Tamil-script corpus:
+    'தஅபலஎகள' (plural) / 'ஸசஅநஇல' (locative) / 'ஜஒஇநஐ' (accusative)
+    conflate onto the 'தஅபலஎ'/'ஸசஅந'/'ஜஒஇந' stems through the Tamil rule
+    set (tokenizer.rs:43-80 Language::Tamil)."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.write import write_dataset
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.translate(F.lower("text"), _TA_LAT, _TA_TAM)
+    )
+    uri = tempfile.mkdtemp(prefix="lsq_stemta_") + "/docs"
+    write_dataset(docs.repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="tamil_stem")
+    hits = match_query(ds, spark, ["தஅபலஎகள", "ஸசஅநஇல", "ஜஒஇநஐ"], k=10)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("doc_id", "_score")
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal binary columns + streaming-shaped session windows
 # --------------------------------------------------------------------------

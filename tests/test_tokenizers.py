@@ -411,3 +411,97 @@ def test_da_no_fi_tr_index_query_roundtrip(spark, tmp_path):
         base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
         got = {r["doc_id"] for r in hits.join(base, hits.id == base._rowid).collect()}
         assert got == want, f"{tok}: got {got}"
+
+
+def test_hu_ro_el_ar_ta_stem_column_matches_driver_mirror(spark):
+    """Lockstep contract for the round-7 languages (hu/ro/el/ar/ta): the
+    Column rule chain and the driver mirror used for query-term
+    normalization must be rule-for-rule identical."""
+    from pyspark.sql import functions as F
+
+    from lance_spark.functions.text import (
+        stem_token_ar, stem_token_el, stem_token_hu, stem_token_ro, stem_token_ta,
+        stem_word_ar, stem_word_el, stem_word_hu, stem_word_ro, stem_word_ta,
+    )
+
+    cases = [
+        (stem_token_hu, stem_word_hu, "hu",
+         ["asztalokkal", "asztalok", "hazak", "kertben", "konyvnek", "szoba",
+          "fak", "efgk", "alma", "ab"]),
+        (stem_token_ro, stem_word_ro, "ro",
+         ["mesele", "meselor", "scanurile", "cartilor", "omului", "uri",
+          "copii", "casa", "ab"]),
+        (stem_token_el, stem_word_el, "el",
+         ["ταβλες", "τραπεζια", "τραπεζιων", "ονοματα", "προγραμματοσ",
+          "λογοσ", "μερα", "αβ"]),
+        (stem_token_ar, stem_word_ar, "ar",
+         ["الكتاب", "والكتاب", "كتابها", "مدرسات", "مكتبة", "بيوت",
+          "ال", "كتابين"]),
+        (stem_token_ta, stem_word_ta, "ta",
+         ["தஅபலஎகள", "தஅபலஎஐ", "ஸசஅநஇல", "கள", "நஅடஉ", "அப"]),
+    ]
+    for tok, mirror, tag, words in cases:
+        df = spark.createDataFrame([(w,) for w in words], ["w"])
+        got = {r["w"]: r["s"] for r in df.select("w", tok(F.col("w")).alias("s")).collect()}
+        for w in words:
+            assert got[w] == mirror(w), f"{tag} mismatch on {w!r}: {got[w]!r} != {mirror(w)!r}"
+
+
+def test_hu_ro_el_ar_ta_random_words_mirror_property(spark):
+    """Randomized lockstep for the five round-7 languages on arbitrary
+    strings over each language's own alphabet."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lance_spark.functions.text import (
+        stem_token_ar, stem_token_el, stem_token_hu, stem_token_ro, stem_token_ta,
+        stem_word_ar, stem_word_el, stem_word_hu, stem_word_ro, stem_word_ta,
+    )
+
+    rng = random.Random(97)
+    alphabets = {
+        "hu": ("abehklnortv", stem_token_hu, stem_word_hu),
+        "ro": ("aceilortu", stem_token_ro, stem_word_ro),
+        "el": ("αβγεηιλμνοστυω", stem_token_el, stem_word_el),
+        "ar": ("ابتةسكلمنهوي", stem_token_ar, stem_word_ar),
+        "ta": ("அஇஉஎகசடதநபலளஐ", stem_token_ta, stem_word_ta),
+    }
+    for tag, (alpha, tok, mirror) in alphabets.items():
+        words = {
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+            for _ in range(250)
+        }
+        df = spark.createDataFrame([(w,) for w in words], ["w"])
+        got = {r["w"]: r["s"] for r in df.select("w", tok(F.col("w")).alias("s")).collect()}
+        for w in words:
+            assert got[w] == mirror(w), f"{tag} mismatch on {w!r}"
+
+
+def test_hu_ro_el_ar_ta_index_query_roundtrip(spark, tmp_path):
+    """Inflected query terms hit stemmed postings through each round-7
+    tokenizer config end-to-end, incl. the language folds (ő/ű for hu,
+    ă/ş/ţ for ro, final-sigma/accents for el, hamza folds for ar)."""
+    import lance_spark as ls
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+
+    cases = [
+        ("hungarian_stem", [(0, "az asztalok a szobában"), (1, "semmi más")],
+         ["asztalokkal"], {0}),
+        ("romanian_stem", [(0, "mesele sunt aici"), (1, "nimic altceva")],
+         ["meselor"], {0}),
+        ("greek_stem", [(0, "τα τραπεζια ειναι εδω"), (1, "τιποτα αλλο")],
+         ["τραπεζιων"], {0}),
+        ("arabic_stem", [(0, "الكتاب على الرف"), (1, "شيء اخر")],
+         ["كتابها"], {0}),
+        ("tamil_stem", [(0, "தஅபலஎகள இஙஉ"), (1, "வஎரய நஅடஉ")],
+         ["தஅபலஎஐ"], {0}),
+    ]
+    for tok, rows, terms, want in cases:
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        ds = ls.write_dataset(docs, str(tmp_path / tok))
+        ds = create_inverted_index(ds, spark, "text", tokenizer=tok)
+        hits = match_query(ds, spark, terms, k=10)
+        base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+        got = {r["doc_id"] for r in hits.join(base, hits.id == base._rowid).collect()}
+        assert got == want, f"{tok}: got {got}"
