@@ -909,6 +909,10 @@ class LanceDataset:
         classic JVM session fall back to a conservative character scanner,
         which preserves the historical error messages for malformed
         calls."""
+        if "fts" not in query.lower():
+            # fast path: no possible call site, skip the parse + plan walk
+            # (the py4j traversal costs ~1ms/node on wide plans)
+            return query
         spans = _locate_fts_calls_via_parser(spark, query)
         if spans is None:
             return self._rewrite_fts_calls_scanner(spark, query)

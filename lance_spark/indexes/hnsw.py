@@ -100,6 +100,36 @@ def _l2_dfun(vecs: np.ndarray, q: np.ndarray):
     return lambda i: float(((vecs[i] - q) ** 2).sum())
 
 
+def _select_neighbors_heuristic(
+    cand_sorted: list, cap: int, vecs: np.ndarray
+) -> list[int]:
+    """SELECT-NEIGHBORS-HEURISTIC (HNSW paper Alg. 4; the reference's
+    select_neighbors in rust/lance-index/src/vector/hnsw/builder.rs):
+    keep candidate e only if it is closer to the base point than to every
+    already-kept neighbor — this preserves edges that cross cluster gaps
+    instead of filling every slot with one tight cluster, which is what
+    keeps the graph connected on clustered embedding spaces. Pruned
+    candidates backfill remaining slots (keepPrunedConnections)."""
+    chosen: list[tuple[float, int]] = []
+    pruned: list[int] = []
+    for d, e in cand_sorted:
+        if len(chosen) >= cap:
+            break
+        ve = vecs[e]
+        for _, c in chosen:
+            if float(((ve - vecs[c]) ** 2).sum()) < d:
+                pruned.append(e)
+                break
+        else:
+            chosen.append((d, e))
+    out = [e for _, e in chosen]
+    for e in pruned:
+        if len(out) >= cap:
+            break
+        out.append(e)
+    return out
+
+
 def _build_graph(vecs: np.ndarray, m: int = HNSW_M, ef_c: int = HNSW_EF_CONSTRUCTION):
     """Insert-all HNSW build (builder.rs HNSWBuilder::insert). Returns
     (levels, nbrs) where nbrs[i][l] is node i's neighbor list at layer l."""
@@ -125,18 +155,18 @@ def _build_graph(vecs: np.ndarray, m: int = HNSW_M, ef_c: int = HNSW_EF_CONSTRUC
         for lc in range(min(lvl, max_lvl), -1, -1):
             cap = HNSW_M0 if lc == 0 else m
             found = _search_layer(dfun, n, nbrs, cur, ef_c, lc)
-            chosen = [idx for _, idx in found[:cap]]
+            chosen = _select_neighbors_heuristic(found, cap, vecs)
             nbrs[i][lc] = list(chosen)
             for c in chosen:
                 lst = nbrs[c][lc]
                 lst.append(i)
                 if len(lst) > cap:
-                    # prune to the cap closest (simple heuristic; the
-                    # reference's select-neighbors heuristic also caps here)
+                    # re-select with the same diversity heuristic, with
+                    # distances taken to the node being pruned
                     ds = sorted(
                         (float(((vecs[x] - vecs[c]) ** 2).sum()), x) for x in lst
                     )
-                    nbrs[c][lc] = [x for _, x in ds[:cap]]
+                    nbrs[c][lc] = _select_neighbors_heuristic(ds, cap, vecs)
             cur = found[0][1]
         if lvl > max_lvl:
             entry, max_lvl = i, lvl

@@ -171,7 +171,7 @@ def build_ivf(
     num_partitions: int = 16,
     metric: str = "cosine",
     index_type: str = "IVF_PQ",
-    num_sub_vectors: int = 8,
+    num_sub_vectors: int | None = None,
     sample_size: int = 50_000,
     seed: int = 42,
 ) -> IvfIndex:
@@ -224,6 +224,11 @@ def build_ivf(
         hi = sample.max(axis=0)
         sq_bounds = np.stack([lo, np.maximum(hi - lo, 1e-12)]).astype(np.float32)
     if index_type in ("IVF_PQ", "IVF_HNSW_PQ"):
+        if num_sub_vectors is None:
+            # the reference's PQBuildParams default is 16 sub-vectors
+            # (vector/pq/builder.rs:51); fall back to the largest
+            # power-of-two divisor of dim when 16 doesn't divide it
+            num_sub_vectors = next(m for m in (16, 8, 4, 2, 1) if dim % m == 0)
         m = num_sub_vectors
         assert dim % m == 0, f"dim {dim} not divisible by num_sub_vectors {m}"
         # residual PQ (vector/residual.rs): codebooks trained on (vec - centroid)
@@ -611,7 +616,7 @@ def create_dataset_index(
     name: str | None = None,
     index_type: str = "IVF_PQ",
     num_partitions: int = 16,
-    num_sub_vectors: int = 8,
+    num_sub_vectors: int | None = None,
     metric: str = "cosine",
 ):
     """``create_index`` on a LanceDataset (dataset.py:2517-2600): build the

@@ -170,7 +170,10 @@ def test_ivf_hnsw_recall_floor(spark, sf_dir, tmp_path):
         }
         hits += len(got & want)
     recall = hits / (10 * len(queries))
-    assert recall >= 0.9, f"recall@10 {recall}"
+    # floor raised 0.9 → 0.95 with the select-neighbors diversity
+    # heuristic; the 100k-vector pin lives in tools/recall_scale.py +
+    # SCALING.md (>= 0.95 for all three IVF_HNSW_* types)
+    assert recall >= 0.95, f"recall@10 {recall}"
 
 
 def test_ivf_rq_exact_at_full_refine(spark, sf_dir, tmp_path):
