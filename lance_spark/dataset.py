@@ -1671,6 +1671,47 @@ class _SpanUnavailable(Exception):
     """Parser produced a plan but a node lacks usable origin offsets."""
 
 
+def _find_closing_paren(query: str, search_from: int) -> int:
+    """Index of the next ``)`` at or after ``search_from`` that is not
+    inside a ``--`` line comment, a ``/* */`` block comment, or a
+    ``'...'``/backtick literal — so ``fts('x' /* :) */)`` splices at the
+    call's real closing paren, not the smiley inside the comment."""
+    i, n = search_from, len(query)
+    while i < n:
+        ch = query[i]
+        if ch == ")":
+            return i
+        if ch == "-" and query.startswith("--", i):
+            nl = query.find("\n", i)
+            i = n if nl == -1 else nl + 1
+        elif ch == "/" and query.startswith("/*", i):
+            close = query.find("*/", i + 2)
+            if close == -1:
+                raise ValueError("unterminated block comment")
+            i = close + 2
+        elif ch == "'":
+            i += 1
+            while i < n:
+                if query[i] == "\\" and i + 1 < n:
+                    i += 2
+                    continue
+                if query[i] == "'":
+                    if i + 1 < n and query[i + 1] == "'":
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+        elif ch == "`":
+            nxt = query.find("`", i + 1)
+            if nxt == -1:
+                raise ValueError("unterminated backtick identifier")
+            i = nxt + 1
+        else:
+            i += 1
+    raise ValueError("no closing paren found")
+
+
 def _locate_fts_calls_via_parser(
     spark: SparkSession, query: str
 ) -> list[tuple[int, int, list[str]]] | None:
@@ -1722,7 +1763,7 @@ def _locate_fts_calls_via_parser(
             search_from = (
                 last_stop + 1 if last_stop is not None else query.index("(", start) + 1
             )
-            end = query.index(")", search_from)
+            end = _find_closing_paren(query, search_from)
         except ValueError as exc:  # pragma: no cover — parsed SQL has the paren
             raise _SpanUnavailable from exc
         found[start] = (start, end, args)
@@ -1733,12 +1774,16 @@ def _locate_fts_calls_via_parser(
         ch = node.children()
         for i in range(ch.length()):
             visit_plan(ch.apply(i))
+        # CTE bodies hang off innerChildren (UnresolvedWith); guard only the
+        # accessor so ValueError / _SpanUnavailable raised while visiting a
+        # CTE's fts() call propagate like they do for children()
         try:
             ic = node.innerChildren()
+        except Exception:
+            ic = None
+        if ic is not None:
             for i in range(ic.length()):
                 visit_plan(ic.apply(i))
-        except Exception:
-            pass
         try:
             exprs = node.expressions()
         except Exception:

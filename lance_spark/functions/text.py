@@ -9,6 +9,13 @@ DuckDB can oracle-check it (see suite.py).
 than substring match. ``hash64`` is the engine-portable 60-bit hash used by
 the dedup/minhash operators: both Spark and DuckDB compute identical md5
 bytes, so `bigint(md5[:15 hex])` agrees across engines.
+
+The ``stem_token_*`` family covers the same language set as tantivy's
+``Language`` enum (tokenizer.rs:43-80), but the rules are deliberately
+snowball-LITE: SQL-expressible suffix rewrites, not the full Snowball
+algorithms tantivy runs. Stems are therefore internally consistent (Spark
+build == Spark query == DuckDB oracle) but NOT term-compatible with an
+inverted index built by the reference itself.
 """
 
 from __future__ import annotations
@@ -759,7 +766,7 @@ def stem_token_el(t) -> Column:
     """Greek snowball-lite over folded text (final sigma ς→σ, accents
     stripped, so every suffix below is written in its folded form).
     Stage 1 rewrites -ματα/-ματοσ → μα and strips noun case endings
-    (-ων -ου -ησ -ασ -εσ -οσ -οι -αι), stage 2 a final vowel."""
+    (-ων -ου -ησ -ασ -εσ -οσ -οι -αι -ια), stage 2 a final vowel."""
     t1 = (
         F.when(t.rlike(".{2}(ματα|ματοσ)$"), F.regexp_replace(t, "(ματα|ματοσ)$", "μα"))
         .when(

@@ -630,7 +630,7 @@ def create_dataset_index(
     rel = os.path.join("_indices", name)
     uri = os.path.join(ds.uri, rel)
     df = ds.scanner(spark, columns=[column], with_row_id=True)
-    build_ivf(
+    index = build_ivf(
         df,
         column,
         ROWID_COL,
@@ -640,6 +640,11 @@ def create_dataset_index(
         index_type=index_type,
         num_sub_vectors=num_sub_vectors,
     )
+    # Persist the RESOLVED parameters (build_ivf picks num_sub_vectors when
+    # None is passed, PQBuildParams-style): optimize_indices rebuilds from
+    # these, and a stored None would crash the int() there.
+    num_partitions = int(index.meta["num_partitions"])
+    num_sub_vectors = index.meta.get("num_sub_vectors")
     covered = [f.id for f in ds.manifest.fragments]
 
     def build(base, version):

@@ -226,10 +226,13 @@ def optimize_indices(ds, spark: SparkSession):
         if meta.index_type.startswith("IVF"):
             from lance_spark.indexes.vector import create_dataset_index
 
+            nsv = meta.params.get("num_sub_vectors")
             out = create_dataset_index(
                 out, spark, meta.column, meta.name, meta.index_type,
                 num_partitions=int(meta.params.get("num_partitions", 16)),
-                num_sub_vectors=int(meta.params.get("num_sub_vectors", 8)),
+                # indexes created before the resolved-params fix may have
+                # persisted None; let build_ivf re-resolve in that case
+                num_sub_vectors=int(nsv) if nsv is not None else None,
                 metric=meta.params.get("metric", "cosine"),
             )
         elif meta.index_type == "INVERTED":

@@ -5246,3 +5246,77 @@ def ds_changes_cdc(spark, sf_dir):
         F.count("*").cast("long").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-8 gate entries: put the round-6/7 API surfaces (ScannerBuilder,
+# late-materialization column lists, fts() in a CTE) under the value oracle
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scan_builder_topk",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def scan_builder_topk(spark, sf_dir):
+    """ScannerBuilder fluent path (reference dataset.py:4180 ScannerBuilder)
+    end-to-end: filter + projection + order_by + limit through
+    ``ds.scanner_builder()`` must equal the plain-SQL oracle."""
+    ds = _tmp_ds(spark, sf_dir, "orders")
+    return (
+        ds.scanner_builder(spark)
+        .filter("o_orderstatus = 'O'")
+        .columns(["o_orderkey", "o_totalprice", "o_orderpriority"])
+        .order_by([("o_totalprice", "desc"), ("o_orderkey", "asc")])
+        .limit(25)
+        .to_scanner()
+    )
+
+
+@query(
+    "scan_late_materialized_cols",
+    """
+    SELECT doc_id, text, n_chars FROM documents
+    WHERE lang = 'en' AND n_chars > 400
+    ORDER BY doc_id
+    """,
+)
+def scan_late_materialized_cols(spark, sf_dir):
+    """Column-list late materialization (reference dataset.py:4374-4378,
+    scanner.rs:190-222): the wide ``text`` column is fetched by _rowid join
+    for filter SURVIVORS only — the early scan reads just doc_id/lang/
+    n_chars. Values must equal the direct-scan oracle."""
+    ds = _tmp_ds(spark, sf_dir, "documents")
+    return ds.scanner(
+        spark,
+        columns=["doc_id", "text", "n_chars"],
+        filter="lang = 'en' AND n_chars > 400",
+        late_materialization=["text"],
+    ).orderBy("doc_id")
+
+
+@query("func_fts_sql_cte", _bm25_oracle(["table", "scan", "join"]))
+def func_fts_sql_cte(spark, sf_dir):
+    """fts() table function inside a CTE body (udtf.rs:130-220 call shape;
+    CTE relations hang off the parser plan's innerChildren) — the parser
+    locator must rewrite it there exactly as at top level."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_ftscte_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    return dataset(uri).sql(
+        spark,
+        """WITH hits AS (
+             SELECT doc_id, _score
+             FROM fts('{"match": {"column": "text", "terms": "table scan join"}}')
+           )
+           SELECT doc_id, _score FROM hits
+           ORDER BY _score DESC, doc_id LIMIT 10""",
+    )

@@ -272,3 +272,37 @@ def test_fts_sql_non_literal_arg_raises(spark, docs_ds):
     ds, _ = docs_ds
     with pytest.raises(ValueError, match="literal"):
         ds.sql(spark, "SELECT * FROM fts(doc_id)")
+
+
+def test_fts_sql_block_comment_containing_paren(spark, docs_ds):
+    """A ')' inside a block comment between the last argument and the call's
+    real closing paren must not truncate the splice (round-7 advice, low)."""
+    ds, _ = docs_ds
+    out = ds.sql(
+        spark,
+        "SELECT doc_id, _score FROM fts('table scan' /* :) tricky */ ) "
+        "ORDER BY _score DESC, doc_id LIMIT 3",
+    ).collect()
+    assert len(out) == 3
+    assert all(r["_score"] > 0 for r in out)
+
+
+def test_fts_sql_line_comment_before_close_paren(spark, docs_ds):
+    ds, _ = docs_ds
+    out = ds.sql(
+        spark,
+        "SELECT doc_id FROM fts('table scan' -- :) trailing\n) LIMIT 2",
+    ).collect()
+    assert len(out) == 2
+
+
+def test_fts_sql_non_literal_arg_in_cte_raises(spark, docs_ds):
+    """The CTE body hangs off innerChildren; the non-literal diagnostic must
+    propagate instead of being swallowed into an opaque unresolved-TVF error
+    (round-7 advice, medium)."""
+    ds, _ = docs_ds
+    with pytest.raises(ValueError, match="literal"):
+        ds.sql(
+            spark,
+            "WITH h AS (SELECT * FROM fts(doc_id)) SELECT * FROM h",
+        )

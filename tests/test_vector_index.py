@@ -361,3 +361,56 @@ def test_staged_builder_with_null_vectors(spark, tmp_path):
     out = b.transform_vectors(ivf, None, str(tmp_path / "t"))
     n = spark.read.parquet(out).count()
     assert n == 40  # only the non-null vectors transform
+
+
+def test_optimize_after_default_num_sub_vectors(spark, emb, tmp_path):
+    """Regression: create_index with the default (None) num_sub_vectors must
+    persist the RESOLVED value in IndexMeta, so optimize_indices can rebuild
+    a stale index without int(None) crashing (round-7 advice, high)."""
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "ds")
+    write_dataset(emb.limit(400), uri, mode="create")
+    ds = dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_PQ", num_partitions=4, metric="l2"
+    )
+    meta = ds.list_indices()[0]
+    assert meta["params"]["num_sub_vectors"] is not None
+
+    # make the index stale, then optimize — must not raise
+    extra = emb.limit(450).subtract(emb.limit(400))
+    ds.insert(extra)
+    ds = dataset(uri).optimize_indices(spark)
+    idx_meta = next(i for i in ds.manifest.indices if i.column == "embedding")
+    assert set(idx_meta.fragment_ids) == {f.id for f in ds.manifest.fragments}
+
+    q = _query_vec(emb, 7)
+    res = ds.nearest(spark, "embedding", q, k=3, nprobes=4, refine_factor=10).collect()
+    assert res and res[0]["_distance"] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_optimize_tolerates_legacy_none_num_sub_vectors(spark, emb, tmp_path):
+    """Indexes committed before the resolved-params fix stored None; the
+    optimize path must re-resolve instead of int(None)."""
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "ds")
+    write_dataset(emb.limit(300), uri, mode="create")
+    ds = dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_PQ", num_partitions=4, metric="l2"
+    )
+    # simulate a legacy manifest: force the param back to None
+    from lance_spark import manifest as mf
+
+    def poison(base, version):
+        idx = [i for i in base.indices]
+        idx[0].params["num_sub_vectors"] = None
+        return mf.Manifest.evolve(base, version, operation="update_config", indices=idx)
+
+    mf.commit(uri, poison, operation="update_config")
+    ds = dataset(uri)
+    ds.insert(emb.limit(330).subtract(emb.limit(300)))
+    ds = dataset(uri).optimize_indices(spark)  # must not raise
+    assert ds.list_indices()
