@@ -1546,8 +1546,8 @@ class LanceDataset:
         column: str,
         index_type: str = "IVF_PQ",
         name: str | None = None,
-        num_partitions: int = 16,
-        num_sub_vectors: int = 8,
+        num_partitions: int | None = None,
+        num_sub_vectors: int | None = None,
         metric: str = "cosine",
         train: bool = True,
     ) -> "LanceDataset":

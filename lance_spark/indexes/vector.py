@@ -168,7 +168,7 @@ def build_ivf(
     vec_col: str,
     id_col: str,
     uri: str,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     metric: str = "cosine",
     index_type: str = "IVF_PQ",
     num_sub_vectors: int | None = None,
@@ -188,6 +188,14 @@ def build_ivf(
     # null vectors are unindexable — skip them like the reference's builder
     # (test_indices.py mostly_null fixtures): they never match a search
     df = df.filter(F.col(vec_col).isNotNull())
+
+    if num_partitions is None:
+        # ~sqrt(num_rows), the reference's IndicesBuilder default
+        # (python/python/lance/indices.py IvfModel training; mirrored by our
+        # indexes/builder.py:150) clamped to 4096 — a fixed count would
+        # leave nprobes pruning nothing at 100M+ rows, and sqrt keeps
+        # per-partition residuals small enough for PQ to rank usefully
+        num_partitions = max(1, min(4096, int(round(df.count() ** 0.5))))
 
     # --- train on sample (driver) -----------------------------------------
     # limit() avoids a full count+scan; the reference trains on a sample
@@ -615,7 +623,7 @@ def create_dataset_index(
     column: str,
     name: str | None = None,
     index_type: str = "IVF_PQ",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     num_sub_vectors: int | None = None,
     metric: str = "cosine",
 ):

@@ -921,6 +921,97 @@ def paragraph_dedup(
     )
 
 
+def substring_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 40,
+    every: int = 4,
+    min_docs: int = 2,
+    max_gap: int | None = None,
+) -> DataFrame:
+    """Character-window substring dedup — the span-level granularity of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): web corpora repeat SPANS (boilerplate, license headers,
+    quoted passages) across otherwise-distinct documents, and doc-level
+    near-dup misses them entirely.
+
+    Fixed-stride windows CANNOT work here: a passage repeated at offsets
+    that differ by a non-multiple of the stride slices into different
+    windows in each doc (the alignment problem that pushes Lee et al. to
+    suffix arrays, which don't distribute). Instead windows are
+    CONTENT-DEFINED: anchored at every word start, then sampled by
+    ``hash(window) % every == 0`` — the selection depends only on window
+    CONTENT, so a repeated passage produces identical sampled windows at
+    any alignment (the winnowing/CDC-chunking trick, Schleimer et al.
+    2003). Windows whose hash occurs in >= ``min_docs`` distinct docs are
+    merged per doc into maximal spans: a new span starts when the next
+    duplicated anchor is more than ``max_gap`` (default ``window``) chars
+    away.
+
+    Returns ``(id, span_start, span_len)`` — 1-based char offsets.
+    Sensitivity: a repeated region is detected iff it covers a sampled
+    anchor window; expected anchor spacing is ``every``×(avg word length),
+    so regions shorter than ~``window + every*6`` chars can be missed —
+    lower ``every`` for higher sensitivity (1 = every word start).
+
+    Scale: anchor selection and hashing are row-local built-ins (one pass
+    over the text column, no Python UDFs); the hash %% sampling prunes
+    1-1/every of candidate rows BEFORE the only shuffle, which carries
+    (hash, id, pos) triples — never text. The duplicated-hash set is
+    duplicate-bounded and re-joins by hash; span merging is one window
+    function partitioned by doc id.
+    """
+    gap = max_gap if max_gap is not None else window
+    t = F.col(text_col)
+    anchors = F.filter(
+        F.sequence(F.lit(1), F.length(t) - window + 1),
+        lambda i: (i == F.lit(1)) | (t.substr(i - 1, F.lit(1)) == F.lit(" ")),
+    )
+    wins = (
+        df.filter(F.length(t) >= window)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.filter(
+                    F.transform(
+                        anchors,
+                        lambda i: F.struct(
+                            i.alias("pos"),
+                            hash64(t.substr(i, F.lit(window))).alias("h"),
+                        ),
+                    ),
+                    lambda s: s["h"] % every == 0,
+                )
+            ).alias("w"),
+        )
+        .select("id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    # (id, pos) is unique by construction (one hash per anchor), so no
+    # distinct — that would be a second full shuffle for nothing
+    d = wins.join(dup, "h").select("id", "pos")
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    marks = d.withColumn(
+        "new",
+        F.when(F.col("pos") - F.lag("pos").over(w_ord) > gap, 1).otherwise(0),
+    )
+    isl = marks.withColumn("grp", F.sum("new").over(w_ord))
+    return (
+        isl.groupBy("id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + window).cast("long").alias("span_len"),
+        )
+        .select("id", "span_start", "span_len")
+    )
+
+
 def semantic_dedup_keep(
     df: DataFrame,
     vec_col: str,

@@ -5320,3 +5320,41 @@ def func_fts_sql_cte(spark, sf_dir):
            SELECT doc_id, _score FROM hits
            ORDER BY _score DESC, doc_id LIMIT 10""",
     )
+
+
+@query(
+    "dedup_substring_spans",
+    """
+    WITH anch AS (
+      SELECT doc_id AS id, i AS pos,
+             CAST(('0x' || substr(md5(substr(text, i, 40)), 1, 15)) AS BIGINT) AS h
+      FROM documents,
+           LATERAL unnest(list_filter(generate_series(1, greatest(length(text) - 39, 0), 1),
+                                      i -> i = 1 OR substr(text, i - 1, 1) = ' ')) AS t(i)
+    ),
+    samp AS (SELECT * FROM anch WHERE h % 4 = 0),
+    dup AS (SELECT h FROM samp GROUP BY h HAVING count(DISTINCT id) >= 2),
+    d AS (SELECT id, pos FROM samp JOIN dup USING (h)),
+    marks AS (SELECT id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > 40
+                          THEN 1 ELSE 0 END AS new
+              FROM d),
+    isl AS (SELECT id, pos, sum(new) OVER (PARTITION BY id ORDER BY pos) AS grp FROM marks)
+    SELECT id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) - min(pos) + 40 AS BIGINT) AS span_len
+    FROM isl GROUP BY id, grp ORDER BY id, span_start
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Span-level substring dedup (Lee et al. 2022) with content-defined
+    window anchoring (word starts + hash%-sampled, winnowing-style — see
+    operators/dedup.py:substring_duplicate_spans): repeated passages are
+    found at ANY byte alignment, windows repeated across >=2 docs merge
+    into maximal spans. Built-in-function DataFrame code; one shuffle on
+    the window hash, one per-doc window function."""
+    from lance_spark.operators.dedup import substring_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_duplicate_spans(
+        docs, "text", "doc_id", window=40, every=4, min_docs=2
+    ).orderBy("id", "span_start")

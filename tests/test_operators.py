@@ -532,3 +532,70 @@ def test_bigram_logprob_semantics(spark):
     assert 3 not in out                       # <2 tokens -> no row
     assert out[1]["n_bigrams"] == 11 and out[2]["n_bigrams"] == 11
     assert out[1]["avg_logprob"] < out[2]["avg_logprob"]
+
+
+class TestSubstringSpans:
+    """substring_duplicate_spans (Lee et al. 2022 span-level dedup with
+    content-defined, alignment-robust window anchoring)."""
+
+    def _spans(self, spark, rows, **kw):
+        from lance_spark.operators.dedup import substring_duplicate_spans
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = substring_duplicate_spans(df, "text", "doc_id", **kw)
+        return sorted(
+            (r["id"], r["span_start"], r["span_len"]) for r in out.collect()
+        )
+
+    def test_shared_passage_found_at_any_alignment(self, spark):
+        # the passage sits at byte offsets 23 and 32 — offsets differing by
+        # a NON-multiple of any stride, the case fixed-stride windows miss
+        boiler = (
+            "All rights reserved under the international "
+            "copyright conventions that apply here today."
+        )
+        rows = [
+            (1, "unique alpha text one. " + boiler + " tail text for doc one."),
+            (2, "totally different beta opening. " + boiler + " other ending."),
+            (3, "no shared content in this document at all, nothing repeats."),
+        ]
+        spans = self._spans(spark, rows, window=20, every=1)
+        ids = {s[0] for s in spans}
+        assert 1 in ids and 2 in ids and 3 not in ids
+        # every reported span must lie inside the shared region
+        for doc_id, start, length in spans:
+            text = rows[doc_id - 1][1]
+            assert boiler.find(text[start - 1 : start - 1 + length]) >= 0
+
+    def test_within_doc_repeat_not_flagged(self, spark):
+        chunk = "repeated inner chunk of text goes here padding padding."
+        rows = [
+            (1, chunk + " middle filler words. " + chunk),
+            (2, "entirely unrelated second document body with no repeats."),
+        ]
+        assert self._spans(spark, rows, window=20, every=1) == []
+
+    def test_adjacent_windows_merge_into_one_span(self, spark):
+        shared = " ".join(["shared span core words here"] * 8)
+        rows = [(1, "AAA " + shared + " BBB"), (2, "CC DD " + shared + " EE")]
+        spans = self._spans(spark, rows, window=20, every=1)
+        assert len([s for s in spans if s[0] == 1]) == 1
+        assert len([s for s in spans if s[0] == 2]) == 1
+        assert all(s[2] >= len(shared) - 40 for s in spans)
+
+    def test_sampling_selects_by_content_not_position(self, spark):
+        # with every=4 only hash%4==0 windows survive — but the SAME
+        # windows survive in both docs, so detection still works on a
+        # long-enough shared region
+        words = [f"token{i}word" for i in range(40)]
+        boiler = " ".join(words)  # 40 distinct anchors -> ~10 sampled
+        rows = [
+            (1, "x " + boiler + " suffix one two"),
+            (2, "yyyyy zz " + boiler + " trailer"),
+        ]
+        spans = self._spans(spark, rows, window=20, every=4)
+        assert {s[0] for s in spans} == {1, 2}
+
+    def test_short_docs_skipped(self, spark):
+        rows = [(1, "tiny"), (2, "tiny")]
+        assert self._spans(spark, rows, window=20, every=1) == []

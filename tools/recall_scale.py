@@ -47,11 +47,12 @@ def main() -> None:
     ap.add_argument(
         "--types", default="IVF_HNSW_FLAT,IVF_HNSW_PQ,IVF_HNSW_SQ"
     )
-    ap.add_argument("--partitions", type=int, default=32)
-    ap.add_argument("--nprobes", type=int, default=8)
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="IVF partitions; default = the library sqrt(n) heuristic")
+    ap.add_argument("--nprobes", type=int, default=16)
     ap.add_argument("--ef", type=int, default=128)
-    ap.add_argument("--refine", type=int, default=4)
-    ap.add_argument("--subvectors", type=int, default=8)
+    ap.add_argument("--refine", type=int, default=10)
+    ap.add_argument("--subvectors", type=int, default=16)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -108,6 +109,7 @@ def main() -> None:
                 sample_size=50_000, num_sub_vectors=args.subvectors,
             )
             build_s = time.time() - t0
+            out["partitions"] = int(idx.meta["num_partitions"])  # resolved
             hits, t1 = 0, time.time()
             for qi, qv in enumerate(queries):
                 got = {
