@@ -49,6 +49,8 @@ HEADLINE = [
     "dedup_simhash_capped",
     # round-5: snapshot-vs-corpus dedup through a persisted fingerprint index
     "dedup_incremental_index",
+    # round-8: span-level substring dedup (content-defined windows)
+    "dedup_substring_spans",
 ]
 
 

@@ -138,17 +138,22 @@ def _bm25(postings: DataFrame, doclens: DataFrame, terms: list[str]) -> DataFram
     )
 
 
-def match_query(ds, spark: SparkSession, terms: list[str], column: str | None = None, k: int = 10) -> DataFrame:
+def _topk(scored, k: int | None):
+    """Deterministic top-k cut: rounded score desc, id asc. ``k=None``
+    returns ALL scored rows — callers that re-rank on a different tie
+    column (e.g. the oracle's doc_id, which need not follow _rowid order
+    after a shuffled write) cut after their own sort."""
+    out = scored.orderBy(F.desc("_score"), F.asc("id"))
+    return out if k is None else out.limit(k)
+
+
+def match_query(ds, spark: SparkSession, terms: list[str], column: str | None = None, k: int | None = 10) -> DataFrame:
     """MatchQueryExec (fts.rs:70): BM25 top-k through the index."""
     meta = _find(ds, column)
     postings, doclens = _index_tables(ds, spark, meta)
     terms = query_tokens(terms, meta.params.get("tokenizer", "simple"))
     scored = _bm25(postings, doclens, terms)
-    return (
-        scored.select("id", F.round("_score", 4).alias("_score"))
-        .orderBy(F.desc("_score"), F.asc("id"))
-        .limit(k)
-    )
+    return _topk(scored.select("id", F.round("_score", 4).alias("_score")), k)
 
 
 def _phrase_step(cand_col, next_pos_col, i: int, slop: int):
@@ -208,7 +213,7 @@ def boolean_query(
     must: list[str] | None = None,
     should: list[str] | None = None,
     must_not: list[str] | None = None,
-    k: int = 10,
+    k: int | None = 10,
 ) -> DataFrame:
     """BooleanQueryExec (fts.rs:904): must=semi-join, must_not=anti-join,
     should∪must=scoring terms."""
@@ -229,11 +234,7 @@ def boolean_query(
         )
     terms = (should or []) + (must or [])
     scored = _bm25(postings.join(base, "id", "left_semi"), doclens.join(base, "id", "left_semi"), terms)
-    return (
-        scored.select("id", F.round("_score", 4).alias("_score"))
-        .orderBy(F.desc("_score"), F.asc("id"))
-        .limit(k)
-    )
+    return _topk(scored.select("id", F.round("_score", 4).alias("_score")), k)
 
 
 def boost_query(
@@ -243,7 +244,7 @@ def boost_query(
     negative: list[str],
     negative_boost: float = 0.5,
     column: str | None = None,
-    k: int = 10,
+    k: int | None = 10,
 ) -> DataFrame:
     """BoostQueryExec (fts.rs:729): score = pos_score - negative_boost·neg_score."""
     meta = _find(ds, column)
@@ -251,14 +252,12 @@ def boost_query(
     tok = meta.params.get("tokenizer", "simple")
     pos = _bm25(postings, doclens, query_tokens(positive, tok)).withColumnRenamed("_score", "p")
     neg = _bm25(postings, doclens, query_tokens(negative, tok)).withColumnRenamed("_score", "n")
-    return (
-        pos.join(neg, "id", "left_outer")
-        .select(
+    return _topk(
+        pos.join(neg, "id", "left_outer").select(
             "id",
             F.round(F.col("p") - F.lit(negative_boost) * F.coalesce("n", F.lit(0.0)), 4).alias("_score"),
-        )
-        .orderBy(F.desc("_score"), F.asc("id"))
-        .limit(k)
+        ),
+        k,
     )
 
 
@@ -285,7 +284,7 @@ def fuzzy_query(
     term: str,
     fuzziness: int | None = 1,
     column: str | None = None,
-    k: int = 10,
+    k: int | None = 10,
     prefix_length: int = 0,
     max_expansions: int = 50,
     transpositions: bool = True,
@@ -325,11 +324,7 @@ def fuzzy_query(
     if not expanded:
         return spark.createDataFrame([], "id long, _score double")
     scored = _bm25(postings, doclens, expanded)
-    return (
-        scored.select("id", F.round("_score", 4).alias("_score"))
-        .orderBy(F.desc("_score"), F.asc("id"))
-        .limit(k)
-    )
+    return _topk(scored.select("id", F.round("_score", 4).alias("_score")), k)
 
 
 def _find(ds, column: str | None):

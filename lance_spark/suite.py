@@ -676,7 +676,8 @@ def ds_time_travel(spark, sf_dir):
     "ds_add_columns",
     """
     SELECT o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice * 0.9), 2) AS discounted_total
+           round(CAST(sum(CAST(round((o_totalprice * 0.9) * 1e6) AS BIGINT)) AS DOUBLE) / 1e4) / 100.0
+             AS discounted_total
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -688,7 +689,7 @@ def ds_add_columns(spark, sf_dir):
     return (
         ds.to_df(spark)
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n"), F.round(F.sum("discounted"), 2).alias("discounted_total"))
+        .agg(F.count("*").alias("n"), _msum(F.col("discounted")).alias("discounted_total"))
     )
 
 
@@ -696,7 +697,8 @@ def ds_add_columns(spark, sf_dir):
     "ds_fragment_merge_columns",
     """
     SELECT o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice * 2), 2) AS doubled_sum
+           round(CAST(sum(CAST(round((o_totalprice * 2) * 1e6) AS BIGINT)) AS DOUBLE) / 1e4) / 100.0
+             AS doubled_sum
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -724,7 +726,7 @@ def ds_fragment_merge_columns(spark, sf_dir):
     return (
         ds2.to_df(spark)
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n"), F.round(F.sum("doubled"), 2).alias("doubled_sum"))
+        .agg(F.count("*").alias("n"), _msum(F.col("doubled")).alias("doubled_sum"))
     )
 
 
@@ -1979,12 +1981,13 @@ def fts_index_match(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_inv_") + "/docs"
     write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text")
-    hits = match_query(ds, spark, ["table", "scan", "join"], k=10)
+    hits = match_query(ds, spark, ["table", "scan", "join"], k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -2042,12 +2045,13 @@ def fts_boost(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_boost_") + "/docs"
     write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text")
-    hits = boost_query(ds, spark, ["table", "scan"], ["slow"], negative_boost=0.5, k=10)
+    hits = boost_query(ds, spark, ["table", "scan"], ["slow"], negative_boost=0.5, k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -2084,12 +2088,13 @@ def fts_fuzzy_indexed(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_fuzzy_") + "/docs"
     write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text")
-    hits = fuzzy_query(ds, spark, "tabl", fuzziness=1, k=10)
+    hits = fuzzy_query(ds, spark, "tabl", fuzziness=1, k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -2193,12 +2198,13 @@ def fts_stemmed_match(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_stem_") + "/docs"
     write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="english_stem")
-    hits = match_query(ds, spark, ["tables", "scanning", "joins"], k=10)
+    hits = match_query(ds, spark, ["tables", "scanning", "joins"], k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -2237,12 +2243,13 @@ def fts_stemmed_match_es(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_stemes_") + "/docs"
     write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="spanish_stem")
-    hits = match_query(ds, spark, ["orders", "keys", "scans"], k=10)
+    hits = match_query(ds, spark, ["orders", "keys", "scans"], k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -2267,12 +2274,13 @@ def fts_stemmed_match_de(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_stemde_") + "/docs"
     write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="german_stem")
-    hits = match_query(ds, spark, ["tables", "ordern", "joine"], k=10)
+    hits = match_query(ds, spark, ["tables", "ordern", "joine"], k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -2295,12 +2303,13 @@ def fts_stemmed_match_fr(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_stemfr_") + "/docs"
     write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="french_stem")
-    hits = match_query(ds, spark, ["tables", "ordent", "joins"], k=10)
+    hits = match_query(ds, spark, ["tables", "ordent", "joins"], k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -2339,12 +2348,13 @@ def fts_stemmed_match_it(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_stemit_") + "/docs"
     write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="italian_stem")
-    hits = match_query(ds, spark, ["ordere", "scano", "joini"], k=10)
+    hits = match_query(ds, spark, ["ordere", "scano", "joini"], k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -2387,12 +2397,13 @@ def fts_stemmed_match_pt(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_stempt_") + "/docs"
     write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="portuguese_stem")
-    hits = match_query(ds, spark, ["orderes", "scans", "keyo"], k=10)
+    hits = match_query(ds, spark, ["orderes", "scans", "keyo"], k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -2433,12 +2444,13 @@ def fts_stemmed_match_nl(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_stemnl_") + "/docs"
     write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="dutch_stem")
-    hits = match_query(ds, spark, ["tablen", "scans", "joinen"], k=10)
+    hits = match_query(ds, spark, ["tablen", "scans", "joinen"], k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -2482,12 +2494,13 @@ def fts_stemmed_match_sv(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_stemsv_") + "/docs"
     write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="swedish_stem")
-    hits = match_query(ds, spark, ["tablar", "ordande", "joins"], k=10)
+    hits = match_query(ds, spark, ["tablar", "ordande", "joins"], k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -2540,12 +2553,13 @@ def fts_stemmed_match_da(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_stemda_") + "/docs"
     write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="danish_stem")
-    hits = match_query(ds, spark, ["tabler", "scans", "joinet"], k=10)
+    hits = match_query(ds, spark, ["tabler", "scans", "joinet"], k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -2588,12 +2602,13 @@ def fts_stemmed_match_no(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_stemno_") + "/docs"
     write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="norwegian_stem")
-    hits = match_query(ds, spark, ["tablene", "scans", "joinet"], k=10)
+    hits = match_query(ds, spark, ["tablene", "scans", "joinet"], k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -2635,12 +2650,13 @@ def fts_stemmed_match_fi(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_stemfi_") + "/docs"
     write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="finnish_stem")
-    hits = match_query(ds, spark, ["tablessa", "scanit", "joinilla"], k=10)
+    hits = match_query(ds, spark, ["tablessa", "scanit", "joinilla"], k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -2683,12 +2699,13 @@ def fts_stemmed_match_tr(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_stemtr_") + "/docs"
     write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="turkish_stem")
-    hits = match_query(ds, spark, ["tablelar", "scanlardan", "joinler"], k=10)
+    hits = match_query(ds, spark, ["tablelar", "scanlardan", "joinler"], k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -2750,12 +2767,13 @@ def fts_stemmed_match_ru(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_stemru_") + "/docs"
     write_dataset(docs.repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="russian_stem")
-    hits = match_query(ds, spark, ["таблами", "сцаны", "йоином"], k=10)
+    hits = match_query(ds, spark, ["таблами", "сцаны", "йоином"], k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -2805,12 +2823,13 @@ def fts_stemmed_match_hu(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_stemhu_") + "/docs"
     write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="hungarian_stem")
-    hits = match_query(ds, spark, ["tableban", "scanok", "joinnak"], k=10)
+    hits = match_query(ds, spark, ["tableban", "scanok", "joinnak"], k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -2859,12 +2878,13 @@ def fts_stemmed_match_ro(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_stemro_") + "/docs"
     write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="romanian_stem")
-    hits = match_query(ds, spark, ["tablele", "scanuri", "joinului"], k=10)
+    hits = match_query(ds, spark, ["tablele", "scanuri", "joinului"], k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -2924,12 +2944,13 @@ def fts_stemmed_match_el(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_stemel_") + "/docs"
     write_dataset(docs.repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="greek_stem")
-    hits = match_query(ds, spark, ["ταβλες", "σψανων", "ξοινου"], k=10)
+    hits = match_query(ds, spark, ["ταβλες", "σψανων", "ξοινου"], k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -2977,12 +2998,13 @@ def fts_stemmed_match_ar(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_stemar_") + "/docs"
     write_dataset(docs.repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="arabic_stem")
-    hits = match_query(ds, spark, ["التابله", "سجانات", "جوينها"], k=10)
+    hits = match_query(ds, spark, ["التابله", "سجانات", "جوينها"], k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -3028,12 +3050,13 @@ def fts_stemmed_match_ta(spark, sf_dir):
     uri = tempfile.mkdtemp(prefix="lsq_stemta_") + "/docs"
     write_dataset(docs.repartition(2), uri, mode="create")
     ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="tamil_stem")
-    hits = match_query(ds, spark, ["தஅபலஎகள", "ஸசஅநஇல", "ஜஒஇநஐ"], k=10)
+    hits = match_query(ds, spark, ["தஅபலஎகள", "ஸசஅநஇல", "ஜஒஇநஐ"], k=None)
     base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
     return (
         hits.join(base, hits.id == base._rowid)
         .select("doc_id", "_score")
         .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -4010,7 +4033,8 @@ def tpch_q7_volume(spark, sf_dir):
 @query(
     "tpch_q9_profit",
     """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           round(CAST(sum(CAST(round(amount * 1e6) AS BIGINT)) AS DOUBLE) / 1e4) / 100.0 AS sum_profit
     FROM (
       SELECT n_name AS nation, year(o_orderdate) AS o_year,
              l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1 AS amount
@@ -4044,7 +4068,7 @@ def tpch_q9_profit(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(_msum(amount).alias("sum_profit"))
     )
 
 

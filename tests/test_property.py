@@ -174,3 +174,75 @@ def test_stemmer_mirrors_lockstep(spark, words):
         assert r["es"] == stem_word_es(w.translate(_FOLD_TABLE)), f"es diverges on {w!r}"
         assert r["it"] == stem_word_it(w.translate(_FOLD_TABLE)), f"it diverges on {w!r}"
         assert r["pt"] == stem_word_pt(w.translate(_FOLD_TABLE)), f"pt diverges on {w!r}"
+
+
+# ---------------------------------------------------------------------------
+# substring_duplicate_spans vs a direct python mirror (the DuckDB oracle in
+# suite.py is the independent check; this drives RANDOM corpora through the
+# same math to hunt alignment/boundary edge cases)
+# ---------------------------------------------------------------------------
+
+
+def _py_spans(docs, window, every, min_docs, gap):
+    import hashlib
+    from collections import defaultdict
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    wins = []  # (id, pos 1-based, hash)
+    for did, text in docs:
+        if len(text) < window:
+            continue
+        for i in range(1, len(text) - window + 2):
+            if i == 1 or text[i - 2] == " ":
+                hv = h64(text[i - 1 : i - 1 + window])
+                if hv % every == 0:
+                    wins.append((did, i, hv))
+    by_hash = defaultdict(set)
+    for did, _, hv in wins:
+        by_hash[hv].add(did)
+    dup_pos = defaultdict(list)
+    for did, pos, hv in wins:
+        if len(by_hash[hv]) >= min_docs:
+            dup_pos[did].append(pos)
+    spans = []
+    for did, poss in dup_pos.items():
+        poss.sort()
+        start = prev = poss[0]
+        for p in poss[1:]:
+            if p - prev > gap:
+                spans.append((did, start, prev - start + window))
+                start = p
+            prev = p
+        spans.append((did, start, prev - start + window))
+    return sorted(spans)
+
+
+words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+)
+docs_strategy = st.lists(
+    st.lists(words, min_size=0, max_size=30).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=docs_strategy, window=st.sampled_from([8, 15, 20]),
+       every=st.sampled_from([1, 3]))
+def test_substring_spans_match_python_mirror(spark, texts, window, every):
+    from lance_spark.operators.dedup import substring_duplicate_spans
+
+    docs = [(i + 1, t) for i, t in enumerate(texts)]
+    expected = _py_spans(docs, window, every, min_docs=2, gap=window)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = sorted(
+        (r["id"], r["span_start"], r["span_len"])
+        for r in substring_duplicate_spans(
+            df, "text", "doc_id", window=window, every=every, min_docs=2
+        ).collect()
+    )
+    assert got == expected
