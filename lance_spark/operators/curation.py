@@ -185,6 +185,105 @@ def decontaminate(
     )
 
 
+def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document unigram token entropy → ``(id, n_tokens, n_distinct,
+    entropy, norm_entropy)``; docs with zero tokens are omitted.
+
+    Shannon entropy of the doc's token distribution (nats) is a standard
+    quality/boilerplate signal (low entropy = repetitive spam, keyword
+    stuffing, template pages; RefinedWeb/Gopher-style filters threshold
+    it). ``norm_entropy`` divides by ln(n_distinct) → [0, 1], comparable
+    across doc lengths (0 when only one distinct token).
+
+    Scale shape: the wordcount-by-doc pattern — explode to (id, token),
+    one map-side-combinable groupBy on (id, token), then a per-doc
+    rollup whose key count is bounded by distinct (id, token) pairs. No
+    text bytes shuffle (tokens only), no Python UDFs, no O(n·d)
+    row-local frequency scan (that degrades quadratically on long
+    repetitive docs — exactly the ones this signal exists to catch).
+    """
+    from lance_spark.functions.text import tokenize
+
+    t = (
+        df.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("w"))
+        .filter(F.size("w") >= 1)
+        .select("id", F.size("w").cast("long").alias("nt"), F.explode("w").alias("tok"))
+    )
+    # nt is functionally dependent on id: keying by (id, nt, tok) costs
+    # nothing extra and saves an any_value pass
+    c = t.groupBy("id", "nt", "tok").agg(F.count("*").cast("double").alias("c"))
+    p = F.col("c") / F.col("nt")
+    e = c.groupBy("id", "nt").agg(
+        F.count("*").cast("long").alias("nd"),
+        (-F.sum(p * F.log(p))).alias("ent"),
+    )
+    return e.select(
+        "id",
+        F.col("nt").alias("n_tokens"),
+        F.col("nd").alias("n_distinct"),
+        F.round("ent", 4).alias("entropy"),
+        F.round(
+            F.when(F.col("nd") > 1, F.col("ent") / F.log(F.col("nd"))).otherwise(0.0), 4
+        ).alias("norm_entropy"),
+    )
+
+
+def contamination_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 40,
+    every: int = 2,
+    max_gap: int | None = None,
+) -> DataFrame:
+    """Span-level benchmark decontamination: locate the exact character
+    ranges of each training doc that reproduce eval/benchmark text →
+    ``(id, span_start, span_len)``, 1-based char offsets.
+
+    Doc-level ``decontaminate`` flags WHOLE documents by n-gram overlap
+    ratio; production pipelines instead excise the contaminated PASSAGE
+    and keep the rest (the Lee et al. 2022 span granularity applied to
+    decontamination). Windows are content-defined (word-start anchors +
+    ``hash % every`` sampling — see dedup.sampled_window_hashes), so a
+    benchmark passage quoted at any byte alignment inside a training doc
+    produces the same sampled window hashes on both sides; matched
+    anchors merge into maximal spans per doc.
+
+    Scale shape: eval sets are tiny relative to 100 TB of training data,
+    so the distinct eval window-hash set is BROADCAST — the training side
+    is one scan with row-local window hashing, a map-side semi join
+    (nothing shuffles at corpus size), then one window function over the
+    matched anchors only (contamination-bounded, not corpus-bounded).
+    Sensitivity: a quoted region is found iff it covers a sampled anchor
+    window; expected anchor spacing is ``every``×(avg word length), so
+    quotes shorter than ~``window + every*6`` chars can be missed —
+    ``every=1`` anchors every word start.
+    """
+    from lance_spark.operators.dedup import (
+        merge_anchor_spans,
+        sampled_window_hashes,
+    )
+
+    gap = max_gap if max_gap is not None else window
+    ev = (
+        sampled_window_hashes(
+            eval_df.select(F.col(text_col)).withColumn(
+                "__eid", F.monotonically_increasing_id()
+            ),
+            text_col,
+            "__eid",
+            window,
+            every,
+        )
+        .select("h")
+        .distinct()
+    )
+    wins = sampled_window_hashes(train, text_col, id_col, window, every)
+    d = wins.join(F.broadcast(ev), "h", "left_semi").select("id", "pos")
+    return merge_anchor_spans(d, window, gap)
+
+
 def unigram_logprob_score(
     df: DataFrame,
     text_col: str,

@@ -921,6 +921,66 @@ def paragraph_dedup(
     )
 
 
+def sampled_window_hashes(
+    df: DataFrame, text_col: str, id_col: str, window: int, every: int
+) -> DataFrame:
+    """Content-defined sampled character windows → ``(id, pos, h)``.
+
+    Windows anchor at every word start of ``text_col`` and survive only
+    when ``hash64(window_text) % every == 0`` — selection depends on
+    window CONTENT alone, so identical passages yield identical sampled
+    windows at ANY byte alignment (winnowing / CDC chunking, Schleimer et
+    al. 2003). Row-local built-ins only; the ``% every`` sampling prunes
+    1-1/every of rows before anything downstream shuffles.
+    """
+    t = F.col(text_col)
+    anchors = F.filter(
+        F.sequence(F.lit(1), F.length(t) - window + 1),
+        lambda i: (i == F.lit(1)) | (t.substr(i - 1, F.lit(1)) == F.lit(" ")),
+    )
+    return (
+        df.filter(F.length(t) >= window)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.filter(
+                    F.transform(
+                        anchors,
+                        lambda i: F.struct(
+                            i.alias("pos"),
+                            hash64(t.substr(i, F.lit(window))).alias("h"),
+                        ),
+                    ),
+                    lambda s: s["h"] % every == 0,
+                )
+            ).alias("w"),
+        )
+        .select("id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+
+
+def merge_anchor_spans(d: DataFrame, window: int, gap: int) -> DataFrame:
+    """Merge matched anchor positions ``(id, pos)`` into maximal spans
+    ``(id, span_start, span_len)``: a new span starts when the next
+    anchor is more than ``gap`` chars away. One window function
+    partitioned by doc id — the only shuffle, and it carries only the
+    matched anchors."""
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    marks = d.withColumn(
+        "new",
+        F.when(F.col("pos") - F.lag("pos").over(w_ord) > gap, 1).otherwise(0),
+    )
+    isl = marks.withColumn("grp", F.sum("new").over(w_ord))
+    return (
+        isl.groupBy("id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + window).cast("long").alias("span_len"),
+        )
+        .select("id", "span_start", "span_len")
+    )
+
+
 def substring_duplicate_spans(
     df: DataFrame,
     text_col: str,
@@ -963,30 +1023,7 @@ def substring_duplicate_spans(
     function partitioned by doc id.
     """
     gap = max_gap if max_gap is not None else window
-    t = F.col(text_col)
-    anchors = F.filter(
-        F.sequence(F.lit(1), F.length(t) - window + 1),
-        lambda i: (i == F.lit(1)) | (t.substr(i - 1, F.lit(1)) == F.lit(" ")),
-    )
-    wins = (
-        df.filter(F.length(t) >= window)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.filter(
-                    F.transform(
-                        anchors,
-                        lambda i: F.struct(
-                            i.alias("pos"),
-                            hash64(t.substr(i, F.lit(window))).alias("h"),
-                        ),
-                    ),
-                    lambda s: s["h"] % every == 0,
-                )
-            ).alias("w"),
-        )
-        .select("id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
-    )
+    wins = sampled_window_hashes(df, text_col, id_col, window, every)
     dup = (
         wins.groupBy("h")
         .agg(F.countDistinct("id").alias("nd"))
@@ -996,20 +1033,7 @@ def substring_duplicate_spans(
     # (id, pos) is unique by construction (one hash per anchor), so no
     # distinct — that would be a second full shuffle for nothing
     d = wins.join(dup, "h").select("id", "pos")
-    w_ord = Window.partitionBy("id").orderBy("pos")
-    marks = d.withColumn(
-        "new",
-        F.when(F.col("pos") - F.lag("pos").over(w_ord) > gap, 1).otherwise(0),
-    )
-    isl = marks.withColumn("grp", F.sum("new").over(w_ord))
-    return (
-        isl.groupBy("id", "grp")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") - F.min("pos") + window).cast("long").alias("span_len"),
-        )
-        .select("id", "span_start", "span_len")
-    )
+    return merge_anchor_spans(d, window, gap)
 
 
 def semantic_dedup_keep(

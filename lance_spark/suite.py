@@ -1200,6 +1200,31 @@ def text_token_stats(spark, sf_dir):
 
 
 @query(
+    "text_token_entropy",
+    f"""
+    WITH base AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
+    t AS (SELECT id, len(w) AS nt, unnest(w) AS tok FROM base WHERE len(w) >= 1),
+    c AS (SELECT id, nt, tok, CAST(count(*) AS DOUBLE) AS c FROM t GROUP BY id, nt, tok),
+    e AS (SELECT id, nt, count(*) AS nd, -sum((c / nt) * ln(c / nt)) AS ent
+          FROM c GROUP BY id, nt)
+    SELECT id, CAST(nt AS BIGINT) AS n_tokens, CAST(nd AS BIGINT) AS n_distinct,
+           round(ent, 4) AS entropy,
+           round(CASE WHEN nd > 1 THEN ent / ln(nd) ELSE 0 END, 4) AS norm_entropy
+    FROM e ORDER BY id
+    """,
+)
+def text_token_entropy(spark, sf_dir):
+    """Per-doc unigram token entropy + length-normalized variant
+    (operators/curation.py:token_entropy) — the low-entropy-boilerplate
+    quality filter, computed as distributed wordcount-by-doc (never an
+    O(n·d) row-local frequency scan)."""
+    from lance_spark.operators.curation import token_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_entropy(docs, "text", "doc_id").orderBy("id")
+
+
+@query(
     "text_fingerprint_dups",
     f"""
     WITH corpus AS (
@@ -5381,4 +5406,61 @@ def dedup_substring_spans(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return substring_duplicate_spans(
         docs, "text", "doc_id", window=40, every=4, min_docs=2
+    ).orderBy("id", "span_start")
+
+
+@query(
+    "curate_decontaminate_spans",
+    """
+    WITH ev AS (
+      SELECT substr(text, 1, greatest(length(text) // 2, 40)) AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    evh AS (
+      SELECT DISTINCT h FROM (
+        SELECT CAST(('0x' || substr(md5(substr(text, i, 40)), 1, 15)) AS BIGINT) AS h
+        FROM ev,
+             LATERAL unnest(list_filter(generate_series(1, greatest(length(text) - 39, 0), 1),
+                                        i -> i = 1 OR substr(text, i - 1, 1) = ' ')) AS t(i)
+      ) WHERE h % 2 = 0
+    ),
+    anch AS (
+      SELECT id, pos, h FROM (
+        SELECT doc_id AS id, i AS pos,
+               CAST(('0x' || substr(md5(substr(text, i, 40)), 1, 15)) AS BIGINT) AS h
+        FROM documents,
+             LATERAL unnest(list_filter(generate_series(1, greatest(length(text) - 39, 0), 1),
+                                        i -> i = 1 OR substr(text, i - 1, 1) = ' ')) AS t(i)
+      ) WHERE h % 2 = 0
+    ),
+    d AS (SELECT id, pos FROM anch JOIN evh USING (h)),
+    marks AS (SELECT id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > 40
+                          THEN 1 ELSE 0 END AS new
+              FROM d),
+    isl AS (SELECT id, pos, sum(new) OVER (PARTITION BY id ORDER BY pos) AS grp FROM marks)
+    SELECT id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) - min(pos) + 40 AS BIGINT) AS span_len
+    FROM isl GROUP BY id, grp ORDER BY id, span_start
+    """,
+)
+def curate_decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination (operators/curation.py:
+    contamination_spans): the exact character ranges of each training doc
+    that reproduce eval-set text, found at any byte alignment via
+    content-defined sampled windows, eval hashes broadcast (map-side semi
+    join — nothing corpus-sized shuffles). Eval set = first half of every
+    10th doc, so true partial contamination exists; spans should cover
+    roughly the flagged docs' first halves and any cross-doc quotes of
+    eval text."""
+    from lance_spark.operators.curation import contamination_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.expr(
+            "substring(text, 1, greatest(cast(length(text) / 2 as int), 40))"
+        ).alias("text")
+    )
+    return contamination_spans(
+        docs, ev, "text", "doc_id", window=40, every=2
     ).orderBy("id", "span_start")

@@ -599,3 +599,90 @@ class TestSubstringSpans:
     def test_short_docs_skipped(self, spark):
         rows = [(1, "tiny"), (2, "tiny")]
         assert self._spans(spark, rows, window=20, every=1) == []
+
+
+class TestContaminationSpans:
+    """contamination_spans (span-level eval-set decontamination: broadcast
+    eval window hashes, alignment-robust content-defined anchoring)."""
+
+    def _spans(self, spark, train_rows, eval_texts, **kw):
+        from lance_spark.operators.curation import contamination_spans
+
+        train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+        ev = spark.createDataFrame([(t,) for t in eval_texts], "text string")
+        out = contamination_spans(train, ev, "text", "doc_id", **kw)
+        return sorted(
+            (r["id"], r["span_start"], r["span_len"]) for r in out.collect()
+        )
+
+    def test_quoted_benchmark_passage_located(self, spark):
+        bench = (
+            "What is the capital of France? Paris is the capital and "
+            "largest city of France by population."
+        )
+        rows = [
+            (1, "intro words then the leak: " + bench + " and commentary."),
+            (2, "a perfectly clean training document with original prose."),
+        ]
+        spans = self._spans(spark, rows, [bench], window=20, every=1)
+        assert {s[0] for s in spans} == {1}
+        # the reported span must lie inside the quoted region
+        start, length = spans[0][1], spans[0][2]
+        assert bench.find(rows[0][1][start - 1 : start - 1 + length]) >= 0
+
+    def test_alignment_invariance(self, spark):
+        # same eval passage at byte offsets differing by a non-multiple of
+        # any fixed stride — both docs must be flagged
+        bench = "the quick brown fox jumps over the lazy dog every single time"
+        rows = [
+            (1, "ab " + bench + " tail"),
+            (2, "abcdefg hi " + bench + " other tail"),
+        ]
+        spans = self._spans(spark, rows, [bench], window=20, every=1)
+        assert {s[0] for s in spans} == {1, 2}
+
+    def test_eval_only_match_requires_eval_text(self, spark):
+        # two train docs sharing text NOT in the eval set are clean —
+        # unlike substring_duplicate_spans, the self-join case must NOT fire
+        shared = "training corpora repeat boilerplate that is not benchmark"
+        rows = [(1, "x " + shared), (2, "yy " + shared)]
+        assert self._spans(spark, rows, ["unrelated eval data"], window=20, every=1) == []
+
+    def test_adjacent_matches_merge(self, spark):
+        bench = " ".join(["benchmark answer span words"] * 8)
+        rows = [(1, "prefix " + bench + " suffix")]
+        spans = self._spans(spark, rows, [bench], window=20, every=1)
+        assert len(spans) == 1
+        assert spans[0][2] >= len(bench) - 40
+
+    def test_short_docs_and_empty_eval(self, spark):
+        rows = [(1, "tiny"), (2, "a training doc of reasonable length here")]
+        assert self._spans(spark, rows, ["tiny"], window=20, every=1) == []
+        assert self._spans(spark, rows, [], window=20, every=1) == []
+
+
+class TestTokenEntropy:
+    def test_entropy_math(self, spark):
+        from math import log
+
+        from lance_spark.operators.curation import token_entropy
+
+        rows = [
+            (1, "aa aa aa aa"),          # one distinct token: entropy 0
+            (2, "aa bb aa bb"),          # uniform over 2: ln 2
+            (3, "aa aa aa bb"),          # 3/4, 1/4
+            (4, ""),                     # zero tokens: omitted
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["id"]: r
+            for r in token_entropy(df, "text", "doc_id").collect()
+        }
+        assert set(out) == {1, 2, 3}
+        assert out[1]["entropy"] == 0.0 and out[1]["norm_entropy"] == 0.0
+        assert out[2]["n_tokens"] == 4 and out[2]["n_distinct"] == 2
+        assert abs(out[2]["entropy"] - round(log(2), 4)) < 1e-9
+        assert out[2]["norm_entropy"] == 1.0
+        h3 = -(0.75 * log(0.75) + 0.25 * log(0.25))
+        assert abs(out[3]["entropy"] - round(h3, 4)) < 1e-9
+        assert abs(out[3]["norm_entropy"] - round(h3 / log(2), 4)) < 1e-9
