@@ -51,6 +51,9 @@ HEADLINE = [
     "dedup_incremental_index",
     # round-8: span-level substring dedup (content-defined windows)
     "dedup_substring_spans",
+    # round-8: span-level eval decontamination + entropy quality signal
+    "curate_decontaminate_spans",
+    "text_token_entropy",
 ]
 
 
@@ -157,8 +160,12 @@ def main():
     from lance_spark.io import TABLES, load_table
 
     spark.range(1000).selectExpr("sum(id)").collect()
+    # full noop-sink scan (count() takes the parquet metadata fast path and
+    # reads no data pages) so a cold OS page cache is charged to warmup,
+    # not to whichever query touches each table first — measured a fresh
+    # VM recording 2-3x medians on the first IO-heavy queries otherwise
     for t in TABLES:
-        load_table(spark, sf_dir, t).limit(16).count()
+        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
     # Median-of-3 per query: a single timed run is one background process
     # away from a 3x outlier (BENCH_r03 recorded 82s on code whose idle

@@ -284,6 +284,60 @@ def contamination_spans(
     return merge_anchor_spans(d, window, gap)
 
 
+def excise_spans(
+    df: DataFrame, spans: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Remove character spans from documents → ``(id, cleaned_text,
+    removed_chars)``: the materialization step after ``contamination_spans``
+    / ``substring_duplicate_spans`` — production pipelines excise the
+    contaminated or duplicated PASSAGE and keep the document.
+
+    ``spans`` is ``(id, span_start, span_len)`` with 1-based offsets
+    (overlapping spans are handled; the cursor never moves backwards).
+    Docs with no spans pass through unchanged.
+
+    Scale shape: spans are grouped per doc (the only shuffle, sized by
+    span count not text), joined back to the corpus, and the splice is one
+    row-local ``aggregate`` expression over the sorted span array — no
+    Python UDFs, text bytes never shuffle (the join ships span structs to
+    the text, not text to the spans).
+    """
+    sid = "id" if "id" in spans.columns else id_col
+    sp = spans.groupBy(F.col(sid).alias("__id")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").cast("long").alias("s"),
+                    F.col("span_len").cast("long").alias("l"),
+                )
+            )
+        ).alias("__sp")
+    )
+    base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    j = base.join(sp, "__id", "left")
+    t = F.col("__t")
+    acc0 = F.struct(F.lit(1).cast("long").alias("pos"), F.lit("").alias("out"))
+
+    def _merge(acc, s):
+        keep = t.substr(acc["pos"], F.greatest(s["s"] - acc["pos"], F.lit(0).cast("long")))
+        return F.struct(
+            F.greatest(acc["pos"], s["s"] + s["l"]).alias("pos"),
+            F.concat(acc["out"], keep).alias("out"),
+        )
+
+    def _finish(acc):
+        return F.concat(acc["out"], t.substr(acc["pos"], F.length(t) - acc["pos"] + 1))
+
+    cleaned = F.when(F.col("__sp").isNull(), t).otherwise(
+        F.aggregate(F.col("__sp"), acc0, _merge, _finish)
+    )
+    return j.select(
+        F.col("__id").alias("id"),
+        cleaned.alias("cleaned_text"),
+        (F.length(t) - F.length(cleaned)).cast("long").alias("removed_chars"),
+    )
+
+
 def unigram_logprob_score(
     df: DataFrame,
     text_col: str,

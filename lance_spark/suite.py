@@ -5409,10 +5409,8 @@ def dedup_substring_spans(spark, sf_dir):
     ).orderBy("id", "span_start")
 
 
-@query(
-    "curate_decontaminate_spans",
-    """
-    WITH ev AS (
+_DECONTAM_SPANS_CTES = """
+    ev AS (
       SELECT substr(text, 1, greatest(length(text) // 2, 40)) AS text
       FROM documents WHERE doc_id % 10 = 0
     ),
@@ -5438,10 +5436,18 @@ def dedup_substring_spans(spark, sf_dir):
                      CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > 40
                           THEN 1 ELSE 0 END AS new
               FROM d),
-    isl AS (SELECT id, pos, sum(new) OVER (PARTITION BY id ORDER BY pos) AS grp FROM marks)
-    SELECT id, CAST(min(pos) AS BIGINT) AS span_start,
-           CAST(max(pos) - min(pos) + 40 AS BIGINT) AS span_len
-    FROM isl GROUP BY id, grp ORDER BY id, span_start
+    isl AS (SELECT id, pos, sum(new) OVER (PARTITION BY id ORDER BY pos) AS grp FROM marks),
+    spans AS (SELECT id, CAST(min(pos) AS BIGINT) AS span_start,
+                     CAST(max(pos) - min(pos) + 40 AS BIGINT) AS span_len
+              FROM isl GROUP BY id, grp)
+"""
+
+
+@query(
+    "curate_decontaminate_spans",
+    f"""
+    WITH {_DECONTAM_SPANS_CTES}
+    SELECT id, span_start, span_len FROM spans ORDER BY id, span_start
     """,
 )
 def curate_decontaminate_spans(spark, sf_dir):
@@ -5464,3 +5470,49 @@ def curate_decontaminate_spans(spark, sf_dir):
     return contamination_spans(
         docs, ev, "text", "doc_id", window=40, every=2
     ).orderBy("id", "span_start")
+
+
+@query(
+    "curate_excise_spans",
+    f"""
+    WITH {_DECONTAM_SPANS_CTES},
+    term AS (
+      SELECT id, span_start, span_len FROM spans
+      UNION ALL
+      SELECT doc_id AS id, length(text) + 1 AS span_start, 0 AS span_len
+      FROM documents WHERE doc_id IN (SELECT id FROM spans)
+    ),
+    p AS (SELECT id, span_start,
+                 coalesce(lag(span_start + span_len)
+                          OVER (PARTITION BY id ORDER BY span_start), 1) AS prev_end
+          FROM term),
+    pieces AS (SELECT p.id, p.prev_end,
+                      substr(d.text, CAST(p.prev_end AS INT),
+                             CAST(greatest(p.span_start - p.prev_end, 0) AS INT)) AS piece
+               FROM p JOIN documents d ON d.doc_id = p.id),
+    agg AS (SELECT id, string_agg(piece, '' ORDER BY prev_end) AS cleaned
+            FROM pieces GROUP BY id)
+    SELECT d.doc_id AS id,
+           coalesce(a.cleaned, d.text) AS cleaned_text,
+           CAST(length(d.text) - length(coalesce(a.cleaned, d.text)) AS BIGINT)
+             AS removed_chars
+    FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
+    ORDER BY id
+    """,
+)
+def curate_excise_spans(spark, sf_dir):
+    """Decontamination pipeline e2e: locate eval-text spans
+    (contamination_spans) then EXCISE them from the corpus
+    (operators/curation.py:excise_spans) — keep the document, drop the
+    leaked passage. Splice is one row-local aggregate expression over the
+    per-doc sorted span array; text bytes never shuffle."""
+    from lance_spark.operators.curation import contamination_spans, excise_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.expr(
+            "substring(text, 1, greatest(cast(length(text) / 2 as int), 40))"
+        ).alias("text")
+    )
+    spans = contamination_spans(docs, ev, "text", "doc_id", window=40, every=2)
+    return excise_spans(docs, spans, "text", "doc_id").orderBy("id")

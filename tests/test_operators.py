@@ -686,3 +686,53 @@ class TestTokenEntropy:
         h3 = -(0.75 * log(0.75) + 0.25 * log(0.25))
         assert abs(out[3]["entropy"] - round(h3, 4)) < 1e-9
         assert abs(out[3]["norm_entropy"] - round(h3 / log(2), 4)) < 1e-9
+
+
+class TestExciseSpans:
+    def _run(self, spark, rows, spans):
+        from lance_spark.operators.curation import excise_spans
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        sp = spark.createDataFrame(
+            spans, "id long, span_start long, span_len long"
+        )
+        return {
+            r["id"]: (r["cleaned_text"], r["removed_chars"])
+            for r in excise_spans(df, sp, "text", "doc_id").collect()
+        }
+
+    def test_basic_excision(self, spark):
+        rows = [(1, "keep REMOVE keep2"), (2, "untouched document")]
+        out = self._run(spark, rows, [(1, 6, 7)])  # "REMOVE " (1-based)
+        assert out[1] == ("keep keep2", 7)
+        assert out[2] == ("untouched document", 0)
+
+    def test_multiple_and_overlapping_spans(self, spark):
+        rows = [(1, "abcdefghij")]
+        # spans [2,4] (bcd) and overlapping [3,5] (cdefg) → remove b..g
+        out = self._run(spark, rows, [(1, 2, 3), (1, 3, 5)])
+        assert out[1] == ("ahij", 6)
+
+    def test_span_at_edges(self, spark):
+        rows = [(1, "abcdef")]
+        out = self._run(spark, rows, [(1, 1, 2), (1, 5, 2)])
+        assert out[1] == ("cd", 4)
+        out = self._run(spark, rows, [(1, 1, 6)])
+        assert out[1] == ("", 6)
+
+    def test_roundtrip_with_contamination_spans(self, spark):
+        from lance_spark.operators.curation import (
+            contamination_spans,
+            excise_spans,
+        )
+
+        bench = "the exact benchmark passage that leaked into training data here"
+        rows = [(1, "prefix words then " + bench + " and a suffix"),
+                (2, "clean original document with no leaked content at all")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        ev = spark.createDataFrame([(bench,)], "text string")
+        spans = contamination_spans(df, ev, "text", "doc_id", window=20, every=1)
+        out = {r["id"]: r for r in excise_spans(df, spans, "text", "doc_id").collect()}
+        assert out[2]["removed_chars"] == 0
+        assert out[1]["removed_chars"] > len(bench) - 40
+        assert "benchmark passage" not in out[1]["cleaned_text"]

@@ -246,3 +246,58 @@ def test_substring_spans_match_python_mirror(spark, texts, window, every):
         ).collect()
     )
     assert got == expected
+
+
+def _py_contamination(train, ev_texts, window, every, gap):
+    import hashlib
+    from collections import defaultdict
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def wins(text):
+        if len(text) < window:
+            return
+        for i in range(1, len(text) - window + 2):
+            if i == 1 or text[i - 2] == " ":
+                hv = h64(text[i - 1 : i - 1 + window])
+                if hv % every == 0:
+                    yield i, hv
+
+    evh = {hv for t in ev_texts for _, hv in wins(t)}
+    dup_pos = defaultdict(list)
+    for did, text in train:
+        for pos, hv in wins(text):
+            if hv in evh:
+                dup_pos[did].append(pos)
+    spans = []
+    for did, poss in dup_pos.items():
+        poss.sort()
+        start = prev = poss[0]
+        for p in poss[1:]:
+            if p - prev > gap:
+                spans.append((did, start, prev - start + window))
+                start = p
+            prev = p
+        spans.append((did, start, prev - start + window))
+    return sorted(spans)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=docs_strategy, ev=docs_strategy, window=st.sampled_from([8, 15, 20]),
+       every=st.sampled_from([1, 3]))
+def test_contamination_spans_match_python_mirror(spark, texts, ev, window, every):
+    from lance_spark.operators.curation import contamination_spans
+
+    docs = [(i + 1, t) for i, t in enumerate(texts)]
+    expected = _py_contamination(docs, ev, window, every, gap=window)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    ev_df = spark.createDataFrame([(t,) for t in ev], "text string")
+    got = sorted(
+        (r["id"], r["span_start"], r["span_len"])
+        for r in contamination_spans(
+            df, ev_df, "text", "doc_id", window=window, every=every
+        ).collect()
+    )
+    assert got == expected
