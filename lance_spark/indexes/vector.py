@@ -601,6 +601,85 @@ def distance_range_search(
     ).orderBy("_distance", "id")
 
 
+def ann_join(
+    spark: SparkSession,
+    index: IvfIndex,
+    queries: DataFrame,
+    query_vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+    nprobes: int = 1,
+) -> DataFrame:
+    """Distributed ANN JOIN: top-``k`` indexed neighbors for EVERY query
+    row → ``(query_id, id, _distance)``. The bulk-retrieval shape
+    (semantic dedup across corpora, RAG candidate generation, embedding
+    cross-linking) where the query set is itself a large table — too big
+    to broadcast like ``knn_batch``, too many driver round-trips for
+    per-query ``ann_search``.
+
+    Plan: the centroid table (tiny) is broadcast; each query row is
+    assigned its ``nprobes`` nearest IVF partitions ROW-LOCALLY (one
+    Arrow-batched pandas UDF) and exploded to (query, partition_id); the
+    probe stream equi-joins the codes table on partition_id — one
+    co-partitioned shuffle join scored with JVM expression arithmetic —
+    and a per-query window keeps the top-k. Work scored per query is the
+    ``nprobes/num_partitions`` corpus fraction, exactly the single-query
+    IVF prune applied in bulk; at ``nprobes = num_partitions`` the join
+    is exhaustive and therefore exact (the oracle configuration).
+
+    Scoring uses the stored raw vectors (IVF_FLAT semantics) regardless
+    of the index's compression type — the PQ/SQ ADC path buys code-only
+    IO for single queries, but a bulk join re-reads every probed
+    partition anyway, so exact scoring costs the same scan and skips the
+    refine stage.
+    """
+    from lance_spark.functions.vector import cosine_sim, dot_product, l2_distance
+
+    metric = index.metric
+    cosine = metric == "cosine"
+    cent_b = spark.sparkContext.broadcast(index.centroids.astype(np.float64))
+    np_ = min(int(nprobes), int(index.centroids.shape[0]))
+
+    @pandas_udf("array<int>")
+    def probe(s: pd.Series) -> pd.Series:
+        cents = cent_b.value
+        x = _as_matrix(s).astype(np.float64)
+        if cosine:
+            x = _normalize(x)
+        d = (x * x).sum(axis=1, keepdims=True) - 2 * (x @ cents.T) + (
+            cents * cents
+        ).sum(axis=1)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :np_]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    q = queries.filter(F.col(query_vec_col).isNotNull()).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("__qv"),
+        F.explode(probe(F.col(query_vec_col))).alias("partition_id"),
+    )
+    codes = spark.read.parquet(os.path.join(index.uri, "codes")).select(
+        "partition_id", "id", "vec"
+    )
+    v = F.col("vec").cast("array<double>")
+    if metric == "l2":
+        dist = l2_distance(v, F.col("__qv"))
+    elif metric == "dot":
+        dist = -dot_product(v, F.col("__qv"))
+    else:
+        dist = 1.0 - cosine_sim(v, F.col("__qv"))
+    scored = q.join(codes, "partition_id").select(
+        "query_id", "id", dist.alias("_distance")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("_distance"), F.asc("id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def _finalize_distance(df: DataFrame, metric: str) -> DataFrame:
     """Internal scoring is squared-L2 over (unit-normalized, for cosine)
     vectors; convert to the reported metric: cosine distance = 1 - cos =

@@ -1602,6 +1602,53 @@ def ann_ivf_flat_topk(spark, sf_dir):
 
 
 @query(
+    "ann_knn_join",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 != 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             1.0 - ({_DUCK_COS_Q}) AS d
+      FROM q, c e
+    ),
+    r AS (SELECT query_id, vec_id, d,
+                 row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rn
+          FROM scored)
+    SELECT query_id, vec_id, round(d, 4) AS _distance
+    FROM r WHERE rn <= 5 ORDER BY query_id, rn
+    """,
+)
+def ann_knn_join(spark, sf_dir):
+    """Distributed ANN JOIN (indexes/vector.py:ann_join): top-k indexed
+    neighbors for EVERY row of a large query table — centroids broadcast,
+    queries assigned to probed partitions row-locally, one co-partitioned
+    shuffle join against the codes table, per-query top-k window. At
+    nprobes=num_partitions the join is exhaustive, so per-query
+    brute-force cosine is a true oracle for the whole bulk path."""
+    import tempfile
+
+    from lance_spark.indexes.vector import ann_join, build_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 100 != 0)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = build_ivf(
+        corpus, "embedding", "vec_id",
+        tempfile.mkdtemp(prefix="lsq_annjoin_"), num_partitions=8,
+        metric="cosine", index_type="IVF_FLAT",
+    )
+    return (
+        ann_join(spark, idx, queries, "embedding", "vec_id", k=5, nprobes=8)
+        .select(
+            "query_id",
+            F.col("id").alias("vec_id"),
+            F.round("_distance", 4).alias("_distance"),
+        )
+        .orderBy("query_id", "_distance", "vec_id")
+    )
+
+
+@query(
     "ann_staged_builder_topk",
     f"""
     SELECT e.vec_id, round(1.0 - ({_DUCK_COS_Q}), 4) AS _distance

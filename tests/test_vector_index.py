@@ -414,3 +414,48 @@ def test_optimize_tolerates_legacy_none_num_sub_vectors(spark, emb, tmp_path):
     ds.insert(emb.limit(330).subtract(emb.limit(300)))
     ds = dataset(uri).optimize_indices(spark)  # must not raise
     assert ds.list_indices()
+
+
+def test_ann_join_full_probe_is_exact(spark, emb, tmp_path):
+    """ann_join at nprobes=num_partitions equals per-query brute force
+    (same plan the ann_knn_join suite oracle pins at sf0.01/0.1)."""
+    from lance_spark.indexes.vector import ann_join, build_ivf
+
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).limit(5)
+    idx = build_ivf(
+        corpus, "embedding", "vec_id", str(tmp_path / "aj"), num_partitions=8,
+        metric="cosine", index_type="IVF_FLAT",
+    )
+    got = ann_join(spark, idx, queries, "embedding", "vec_id", k=5, nprobes=8)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["_distance"], r["id"]))
+    assert len(by_q) == queries.count()
+    for qrow in queries.collect():
+        qv = [float(x) for x in qrow["embedding"]]
+        expect = _brute_ids(corpus, qv, 5, "cosine")
+        ids = [i for _, i in sorted(by_q[qrow["vec_id"]])]
+        assert ids == expect
+
+
+def test_ann_join_partial_probe_recall(spark, emb, tmp_path):
+    from lance_spark.indexes.vector import ann_join, build_ivf
+
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).limit(10)
+    idx = build_ivf(
+        corpus, "embedding", "vec_id", str(tmp_path / "aj2"), num_partitions=8,
+        metric="cosine", index_type="IVF_FLAT",
+    )
+    got = ann_join(spark, idx, queries, "embedding", "vec_id", k=10, nprobes=4)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["id"])
+    hits = total = 0
+    for qrow in queries.collect():
+        qv = [float(x) for x in qrow["embedding"]]
+        truth = set(_brute_ids(corpus, qv, 10, "cosine"))
+        hits += len(by_q.get(qrow["vec_id"], set()) & truth)
+        total += 10
+    assert hits / total >= 0.7
