@@ -542,6 +542,37 @@ def events_hourly_window(spark, sf_dir):
 
 
 @query(
+    "events_sliding_window",
+    """
+    WITH e AS (
+      SELECT epoch_us(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))) AS b15,
+             event_type, value
+      FROM events),
+    x AS (SELECT b15 - CAST(k AS BIGINT) * 900000000 AS window_start, event_type, value
+          FROM e, LATERAL unnest([0, 1, 2, 3]) AS t(k))
+    SELECT window_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM x GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    """Sliding (hopping) window aggregation — 1 h windows every 15 min,
+    each event contributing to 4 overlapping windows (the Structured
+    Streaming F.window(slideDuration=...) semantics, run in batch mode so
+    it's oracle-able; the streaming path shares the operator)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
     "events_sessionize",
     """
     WITH x AS (
