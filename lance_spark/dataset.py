@@ -1649,16 +1649,20 @@ class LanceDataset:
 
     def cleanup_old_versions(
         self,
-        older_than_seconds: float = 0.0,
+        older_than_seconds: float | None = None,
         keep_tagged: bool = True,
         delete_unverified: bool = False,
         retain_versions: int | None = None,
+        older_than=None,
     ) -> int:
+        """GC old versions. ``older_than`` takes the reference's timedelta
+        (dataset.py:2180); ``older_than_seconds`` is the float alias. Both
+        unset → the reference's two-week default."""
         from lance_spark.maintenance import cleanup_old_versions
 
         return cleanup_old_versions(
             self, older_than_seconds, keep_tagged, delete_unverified,
-            retain_versions,
+            retain_versions, older_than=older_than,
         )
 
     def optimize_indices(self, spark: SparkSession) -> "LanceDataset":

@@ -257,12 +257,18 @@ def optimize_indices(ds, spark: SparkSession):
 UNVERIFIED_GRACE_SECONDS = 7 * 24 * 3600.0
 
 
+#: the reference's cleanup default: versions younger than two weeks are
+#: kept (python/python/lance/dataset.py:2180, cleanup.rs DEFAULT_CLEANUP)
+DEFAULT_CLEANUP_SECONDS = 14 * 24 * 3600.0
+
+
 def cleanup_old_versions(
     ds,
-    older_than_seconds: float = 0.0,
+    older_than_seconds: float | None = None,
     keep_tagged: bool = True,
     delete_unverified: bool = False,
     retain_versions: int | None = None,
+    older_than=None,
 ) -> int:
     """Delete manifests older than the cutoff (never the latest) plus files
     referenced only by those dropped manifests. Files referenced by *no*
@@ -271,8 +277,21 @@ def cleanup_old_versions(
     the caller's assertion that no write is concurrently in progress
     (reference: ``dataset.py:2180`` cleanup_old_versions(delete_unverified),
     ``rust/lance/src/dataset/cleanup.rs`` maybe-in-progress guard).
-    Returns number of files removed. Driver-side O(metadata + file listing)."""
+
+    The cutoff is ``older_than`` (a ``datetime.timedelta``, the reference's
+    parameter) or ``older_than_seconds`` (this engine's float alias); when
+    neither is given it defaults to TWO WEEKS like the reference — a bare
+    ``cleanup_old_versions()`` must never strip history that a concurrent
+    reader pinned minutes ago. Returns number of files removed. Driver-side
+    O(metadata + file listing)."""
     import time
+
+    if older_than is not None:
+        from lance_spark.util import td_to_micros
+
+        older_than_seconds = td_to_micros(older_than) / 1e6
+    elif older_than_seconds is None:
+        older_than_seconds = DEFAULT_CLEANUP_SECONDS
 
     root = ds.uri
     now = time.time()

@@ -20,6 +20,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def sanitize_ts(ts) -> "datetime":
+    """Coerce str / pandas.Timestamp / datetime to a python datetime — the
+    reference's version-timestamp argument normalizer (util.py:31-46),
+    used by ``checkout_version``-style time-travel lookups."""
+    from datetime import datetime
+
+    if isinstance(ts, str):
+        ts = pd.to_datetime(ts).to_pydatetime()
+    elif isinstance(ts, pd.Timestamp):
+        ts = ts.to_pydatetime()
+    elif not isinstance(ts, datetime):
+        raise TypeError(f"Unrecognized version timestamp {ts} of type {type(ts)}")
+    return ts
+
+
+def td_to_micros(td) -> int:
+    """Microseconds in a timedelta (reference util.py:49-51); the unit
+    ``cleanup_old_versions(older_than=...)`` resolves through."""
+    from datetime import timedelta
+
+    return round(td / timedelta(microseconds=1))
+
+
 def _to_matrix(data, ndim: int | None = None) -> np.ndarray:
     """numpy (n, d) float32 from ndarray / list-of-vectors / pyarrow array."""
     if isinstance(data, pa.ChunkedArray):

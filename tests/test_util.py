@@ -75,3 +75,42 @@ def test_validate_vector_index(spark, sf_dir, tmp_path):
         dataset(uri), spark, col, index_type="IVF_FLAT", num_partitions=4
     )
     validate_vector_index(ds, spark, col, sample_size=5, refine_factor=5)
+
+
+def test_sanitize_ts_and_td_to_micros():
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+    import pytest
+
+    from lance_spark.util import sanitize_ts, td_to_micros
+
+    d = datetime(2026, 1, 2, 3, 4, 5)
+    assert sanitize_ts(d) is d
+    assert sanitize_ts("2026-01-02 03:04:05") == d
+    assert sanitize_ts(pd.Timestamp(d)) == d
+    with pytest.raises(TypeError):
+        sanitize_ts(12345)
+    assert td_to_micros(timedelta(seconds=1, microseconds=5)) == 1_000_005
+    assert td_to_micros(timedelta(days=14)) == 14 * 86400 * 1_000_000
+
+
+def test_cleanup_default_is_two_weeks(tmp_path, spark, sf_dir):
+    """A bare cleanup_old_versions() must NOT strip minutes-old history
+    (reference two-week default, dataset.py:2180); explicit
+    older_than=timedelta(0) still cleans immediately."""
+    from datetime import timedelta
+
+    import lance_spark as ls
+
+    uri = str(tmp_path / "gc")
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    ls.write_dataset(df, uri, mode="create")
+    ds = ls.dataset(uri)
+    ds = ds.delete(spark, "r_regionkey = 0")  # v2
+    assert len(ds.versions()) == 2
+    assert ds.cleanup_old_versions() == 0  # default: fresh history survives
+    assert len(ls.dataset(uri).versions()) == 2
+    removed = ds.cleanup_old_versions(older_than=timedelta(0))
+    assert removed > 0
+    assert len(ls.dataset(uri).versions()) == 1
