@@ -233,13 +233,17 @@ def tumbling_agg(
     watermark: str = "30 minutes",
     keys: list[str] | None = None,
     aggs: list | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation (late data beyond the
-    watermark is dropped; state is bounded)."""
+    watermark is dropped; state is bounded). ``slide`` turns it into a
+    sliding (hopping) window: each event lands in window/slide overlapping
+    windows — state grows by the same factor, still watermark-bounded."""
     aggs = aggs or [F.count("*").alias("n")]
+    w = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     out = (
         _watermarkable(sdf, ts_col).withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window).alias("w"), *(keys or []))
+        .groupBy(w.alias("w"), *(keys or []))
         .agg(*aggs)
     )
     agg_cols = [c for c in out.columns if c != "w" and c not in (keys or [])]

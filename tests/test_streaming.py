@@ -380,3 +380,40 @@ def test_out_of_order_files_append_matches_batch(spark, tmp_path):
     q2 = write_stream(sdf, uri, str(tmp_path / "ooo_ckpt"), trigger_available_now=True)
     q2.awaitTermination(120)
     assert dataset(uri).count_rows() == 5
+
+
+def test_sliding_agg_matches_batch(spark, sf_dir, events_stream_dir, tmp_path):
+    """Sliding (hopping) windows through the streaming path equal the batch
+    F.window(slideDuration) plan — same operator the oracle pins in the
+    events_sliding_window suite entry."""
+    from lance_spark.streaming.sink import tumbling_agg
+
+    sdf = (
+        spark.readStream.schema(_events_schema(spark, sf_dir))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    windowed = tumbling_agg(
+        sdf, "ts", window="1 hour", slide="15 minutes", watermark="30 minutes",
+        keys=["event_type"], aggs=[F.count("*").alias("n")],
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("slide_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM slide_test").collect()
+    }
+    batch = (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    want = {(r["ws"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want
