@@ -284,6 +284,101 @@ def contamination_spans(
     return merge_anchor_spans(d, window, gap)
 
 
+def nb_classify(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Multinomial Naive Bayes text classifier, trained AND scored
+    distributed → ``(id, pred, score)`` (pred = argmax class, score = its
+    rounded joint log-likelihood). The quality/domain/language classifier
+    stage of CCNet/GPT-3-style pipelines (fastText linear classifiers fill
+    this role there), in a closed-form, oracle-checkable form: add-α
+    smoothed token likelihoods + document-frequency priors.
+
+    score(d, c) = ln P(c) + Σ_t∈d ln((cnt(t,c)+α) / (N_c + α·V)); tokens
+    unseen in class c take the smoothing floor; ties (after rounding to 6
+    decimals — float-sum order differs across engines) break on the
+    lexicographically smallest class.
+
+    Scale shape: training is one wordcount shuffle on (token, class);
+    the per-token likelihood table is pivoted to one row per token with a
+    per-class array (vocabulary-sized — the same count-gated broadcast
+    budget as the unigram LM scorer) and broadcast; scoring is explode +
+    map-side join + one groupBy(id) with an element-wise array sum. The
+    class list itself is the only driver collect (label cardinality).
+    """
+    from lance_spark.functions.text import tokenize
+
+    classes = sorted(
+        r[0] for r in train.select(F.col(label_col)).distinct().collect()
+    )
+    if not classes:
+        raise ValueError("nb_classify: training set has no labels")
+    tr = train.select(F.col(label_col).alias("c"), tokenize(F.col(text_col)).alias("w"))
+    # priors from document frequencies; token totals per class
+    docs_c = {r["c"]: r["n"] for r in tr.groupBy("c").agg(F.count("*").alias("n")).collect()}
+    total_docs = sum(docs_c.values())
+    ex = tr.select("c", F.explode("w").alias("t"))
+    cnt = ex.groupBy("t", "c").agg(F.count("*").cast("double").alias("n"))
+    ntok_c = {r["c"]: r["n"] for r in ex.groupBy("c").agg(F.count("*").alias("n")).collect()}
+    v = cnt.select("t").distinct().count()
+    import math
+
+    denom = {c: float(ntok_c.get(c, 0)) + alpha * v for c in classes}
+    floor = [math.log(alpha / denom[c]) for c in classes]
+    prior = [math.log(docs_c.get(c, 0.5) / total_docs) for c in classes]
+    # one row per token: per-class log-likelihood array (nulls → floor)
+    model = cnt.groupBy("t").pivot("c", classes).agg(F.first("n"))
+    ll = F.array(
+        *[
+            F.log((F.coalesce(F.col(f"`{c}`"), F.lit(0.0)) + alpha) / denom[c])
+            for c in classes
+        ]
+    )
+    model = model.select("t", ll.alias("ll"))
+
+    sc = score.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("w"))
+    ex_s = sc.select("id", F.explode_outer("w").alias("t"))
+    floor_arr = F.array(*[F.lit(x) for x in floor])
+    zero_arr = F.array(*[F.lit(0.0) for _ in classes])
+    joined = ex_s.join(F.broadcast(model), "t", "left").select(
+        "id",
+        F.when(F.col("t").isNull(), zero_arr)  # empty doc: prior-only
+        .otherwise(F.coalesce(F.col("ll"), floor_arr))
+        .alias("ll"),
+    )
+    summed = joined.groupBy("id").agg(
+        F.array(
+            *[
+                F.sum(F.element_at("ll", i + 1)).alias(f"s{i}")
+                for i in range(len(classes))
+            ]
+        ).alias("s")
+    )
+    prior_arr = F.array(*[F.lit(x) for x in prior])
+    scores = F.zip_with(F.col("s"), prior_arr, lambda a, b: a + b)
+    # argmax with cross-engine-stable tie-breaking: round to 6 decimals,
+    # pick (score desc, class asc) via a sorted struct array
+    cls_arr = F.array(*[F.lit(c) for c in classes])
+    ranked = F.array_sort(
+        F.zip_with(
+            scores,
+            cls_arr,
+            lambda s, c: F.struct((-F.round(s, 6)).alias("neg"), c.alias("cls")),
+        )
+    )
+    best = ranked[0]
+    return summed.select(
+        "id",
+        best["cls"].alias("pred"),
+        (-best["neg"]).alias("score"),
+    )
+
+
 def excise_spans(
     df: DataFrame, spans: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:

@@ -1231,6 +1231,55 @@ def text_token_stats(spark, sf_dir):
 
 
 @query(
+    "curate_nb_classifier",
+    f"""
+    WITH train AS (SELECT lang AS c, {_DUCK_TOKS.format(col='text')} AS w
+                   FROM documents WHERE doc_id % 3 != 0),
+    docs_c AS (SELECT c, count(*) AS dn FROM train GROUP BY c),
+    tot AS (SELECT CAST(sum(dn) AS DOUBLE) AS td FROM docs_c),
+    ex AS (SELECT c, unnest(w) AS t FROM train),
+    cnt AS (SELECT t, c, CAST(count(*) AS DOUBLE) AS n FROM ex GROUP BY t, c),
+    ntok AS (SELECT c, CAST(count(*) AS DOUBLE) AS nt FROM ex GROUP BY c),
+    vocab AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v FROM ex),
+    exs AS (SELECT doc_id AS id, unnest({_DUCK_TOKS.format(col='text')}) AS t
+            FROM documents),
+    perclass AS (
+      SELECT e.id, d.c,
+             sum(ln((coalesce(cnt.n, 0) + 1.0) / (ntok.nt + 1.0 * vocab.v))) AS s
+      FROM exs e
+      CROSS JOIN docs_c d
+      LEFT JOIN cnt ON cnt.t = e.t AND cnt.c = d.c
+      JOIN ntok ON ntok.c = d.c
+      CROSS JOIN vocab
+      GROUP BY e.id, d.c),
+    scored AS (SELECT p.id, p.c, round(p.s + ln(d.dn / t.td), 6) AS sc
+               FROM perclass p JOIN docs_c d ON d.c = p.c CROSS JOIN tot t),
+    best AS (SELECT id, c, sc,
+                    row_number() OVER (PARTITION BY id ORDER BY sc DESC, c) AS rn
+             FROM scored)
+    SELECT id, c AS pred, round(sc, 2) AS score FROM best WHERE rn = 1 ORDER BY id
+    """,
+)
+def curate_nb_classifier(spark, sf_dir):
+    """Multinomial Naive Bayes classifier trained distributed on a labeled
+    subset (lang on 2/3 of docs) and scoring the whole corpus
+    (operators/curation.py:nb_classify) — the CCNet/fastText
+    quality-or-domain classifier stage in closed, oracle-checkable form.
+    One wordcount shuffle to train, broadcast model + one groupBy to
+    score."""
+    from lance_spark.operators.curation import nb_classify
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    out = nb_classify(train, docs, "text", "doc_id", "lang")
+    # report at 2 decimals: the joint log-likelihood is a ~600-term float
+    # sum whose engine-dependent last-ulp order can cross a 4-decimal
+    # rounding boundary (observed once at sf0.001); 2 decimals puts the
+    # boundary ~9 orders of magnitude beyond the summation error
+    return out.select("id", "pred", F.round("score", 2).alias("score")).orderBy("id")
+
+
+@query(
     "text_token_entropy",
     f"""
     WITH base AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col='text')} AS w FROM documents),

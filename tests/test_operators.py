@@ -736,3 +736,61 @@ class TestExciseSpans:
         assert out[2]["removed_chars"] == 0
         assert out[1]["removed_chars"] > len(bench) - 40
         assert "benchmark passage" not in out[1]["cleaned_text"]
+
+
+class TestNaiveBayes:
+    def test_hand_corpus_prediction(self, spark):
+        from math import log
+
+        from lance_spark.operators.curation import nb_classify
+
+        train = spark.createDataFrame(
+            [
+                (1, "spark shuffle partition executor", "tech"),
+                (2, "partition executor codegen spark", "tech"),
+                (3, "butter flour sugar oven bake", "cooking"),
+                (4, "oven bake sugar butter whisk", "cooking"),
+            ],
+            ["doc_id", "text", "topic"],
+        )
+        score = spark.createDataFrame(
+            [(10, "spark executor shuffle"), (11, "bake butter sugar"), (12, "")],
+            ["doc_id", "text"],
+        )
+        out = {r["id"]: r for r in
+               nb_classify(train, score, "text", "doc_id", "topic").collect()}
+        assert out[10]["pred"] == "tech"
+        assert out[11]["pred"] == "cooking"
+        # empty doc: prior-only; equal priors → lexicographically first class
+        assert out[12]["pred"] == "cooking"
+        assert out[12]["score"] == pytest.approx(round(log(0.5), 6), abs=1e-9)
+
+    def test_holdout_accuracy_separable_corpus(self, spark):
+        """Two classes with mostly-disjoint vocabularies plus shared noise
+        words: held-out accuracy must be near-perfect. (The sf* documents'
+        synthetic lang label barely correlates with its text — ~35% NB
+        accuracy vs a 39% majority baseline — so the learnability check
+        uses a corpus with real signal; exactness vs the DuckDB oracle is
+        pinned separately by curate_nb_classifier.)"""
+        import random
+
+        from lance_spark.operators.curation import nb_classify
+
+        rng = random.Random(7)
+        vocab_a = [f"alpha{i}" for i in range(30)]
+        vocab_b = [f"beta{i}" for i in range(30)]
+        noise = [f"noise{i}" for i in range(20)]
+        rows = []
+        for i in range(300):
+            cls = "a" if i % 2 == 0 else "b"
+            core = vocab_a if cls == "a" else vocab_b
+            words = rng.choices(core, k=12) + rng.choices(noise, k=6)
+            rng.shuffle(words)
+            rows.append((i, " ".join(words), cls))
+        df = spark.createDataFrame(rows, ["doc_id", "text", "cls"])
+        train = df.filter(F.col("doc_id") % 3 != 0)
+        test = df.filter(F.col("doc_id") % 3 == 0)
+        pred = nb_classify(train, test, "text", "doc_id", "cls")
+        j = pred.join(test.select(F.col("doc_id").alias("id"), "cls"), "id")
+        acc = j.filter(F.col("pred") == F.col("cls")).count() / j.count()
+        assert acc >= 0.95
