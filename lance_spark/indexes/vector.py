@@ -609,6 +609,8 @@ def ann_join(
     query_id_col: str,
     k: int = 10,
     nprobes: int = 1,
+    use_codes: bool = False,
+    refine_factor: int = 4,
 ) -> DataFrame:
     """Distributed ANN JOIN: top-``k`` indexed neighbors for EVERY query
     row → ``(query_id, id, _distance)``. The bulk-retrieval shape
@@ -627,11 +629,16 @@ def ann_join(
     IVF prune applied in bulk; at ``nprobes = num_partitions`` the join
     is exhaustive and therefore exact (the oracle configuration).
 
-    Scoring uses the stored raw vectors (IVF_FLAT semantics) regardless
-    of the index's compression type — the PQ/SQ ADC path buys code-only
-    IO for single queries, but a bulk join re-reads every probed
-    partition anyway, so exact scoring costs the same scan and skips the
-    refine stage.
+    By default scoring uses the stored raw vectors (IVF_FLAT semantics,
+    exact within probed partitions — the oracle configuration). With
+    ``use_codes=True`` on a PQ index, probed partitions are scored from
+    ``pq_code`` ONLY via per-(query, partition) ADC lookup tables built
+    executor-side (one LUT + one vectorized gather per group), the top
+    ``refine_factor·k`` candidates per query are LATE-MATERIALIZED — the
+    raw-vector read happens for survivors only, via a broadcast join
+    against the codes table — and re-scored exactly. At 100 TB that is
+    the IO story: codes are ~dim/sub× smaller than vectors, and vectors
+    are fetched for |Q|·refine·k rows instead of every probed row.
     """
     from lance_spark.functions.vector import cosine_sim, dot_product, l2_distance
 
@@ -657,27 +664,83 @@ def ann_join(
         F.col(query_vec_col).cast("array<double>").alias("__qv"),
         F.explode(probe(F.col(query_vec_col))).alias("partition_id"),
     )
-    codes = spark.read.parquet(os.path.join(index.uri, "codes")).select(
-        "partition_id", "id", "vec"
-    )
-    v = F.col("vec").cast("array<double>")
-    if metric == "l2":
-        dist = l2_distance(v, F.col("__qv"))
-    elif metric == "dot":
-        dist = -dot_product(v, F.col("__qv"))
-    else:
-        dist = 1.0 - cosine_sim(v, F.col("__qv"))
-    scored = q.join(codes, "partition_id").select(
-        "query_id", "id", dist.alias("_distance")
-    )
+
+    def _exact():
+        v = F.col("vec").cast("array<double>")
+        if metric == "l2":
+            return l2_distance(v, F.col("__qv"))
+        if metric == "dot":
+            return -dot_product(v, F.col("__qv"))
+        return 1.0 - cosine_sim(v, F.col("__qv"))
+
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.asc("_distance"), F.asc("id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
+
+    def _topk(scored, n):
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .drop("__rn")
+        )
+
+    if not (use_codes and index.codebooks is not None):
+        codes = spark.read.parquet(os.path.join(index.uri, "codes")).select(
+            "partition_id", "id", "vec"
+        )
+        scored = q.join(codes, "partition_id").select(
+            "query_id", "id", _exact().alias("_distance")
+        )
+        return _topk(scored, k)
+
+    # --- PQ/ADC bulk path: codes-only scoring + late-materialized refine ---
+    cb_b = spark.sparkContext.broadcast(index.codebooks.astype(np.float64))
+
+    @pandas_udf("double")
+    def adc(qid: pd.Series, qv: pd.Series, pid: pd.Series, code: pd.Series) -> pd.Series:
+        cbs = cb_b.value  # (m, 256, sub)
+        cents = cent_b.value
+        m, _, sub = cbs.shape
+        codes_m = np.asarray(code.tolist(), dtype=np.int64)  # (n, m)
+        pids = pid.to_numpy()
+        qids = qid.to_numpy()
+        qarr = np.asarray(qv.tolist(), dtype=np.float64)
+        if cosine:
+            qarr = _normalize(qarr)
+        out = np.empty(len(codes_m), dtype=np.float64)
+        cols = np.arange(m)[None, :]
+        # one LUT + one vectorized gather per (query, partition) group
+        keys = np.stack([qids, pids], axis=1)
+        uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+        for g in range(len(uniq)):
+            mask = inv == g
+            i0 = int(np.argmax(mask))
+            r = (qarr[i0] - cents[int(pids[i0])]).reshape(m, sub)
+            diff = r[:, None, :] - cbs  # (m, 256, sub)
+            lut = (diff * diff).sum(axis=2)
+            out[mask] = lut[cols, codes_m[mask]].sum(axis=1)
+        return pd.Series(out)
+
+    code_tbl = spark.read.parquet(os.path.join(index.uri, "codes")).select(
+        "partition_id", "id", "pq_code"
     )
+    approx = q.join(code_tbl, "partition_id").select(
+        "query_id",
+        "__qv",
+        "partition_id",
+        "id",
+        adc("query_id", "__qv", "partition_id", "pq_code").alias("_distance"),
+    )
+    cand = _topk(approx, k * max(refine_factor, 1)).drop("_distance")
+    # late materialization: raw vectors stream-join against the SMALL
+    # broadcast survivor set — only |Q|·refine·k vectors are ever read out
+    vec_tbl = spark.read.parquet(os.path.join(index.uri, "codes")).select(
+        "partition_id", "id", "vec"
+    )
+    refined = vec_tbl.join(F.broadcast(cand), ["partition_id", "id"]).select(
+        "query_id", "id", _exact().alias("_distance")
+    )
+    return _topk(refined, k)
 
 
 def _finalize_distance(df: DataFrame, metric: str) -> DataFrame:

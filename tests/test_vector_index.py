@@ -459,3 +459,41 @@ def test_ann_join_partial_probe_recall(spark, emb, tmp_path):
         hits += len(by_q.get(qrow["vec_id"], set()) & truth)
         total += 10
     assert hits / total >= 0.7
+
+
+def test_ann_join_pq_codes_refine(spark, emb, tmp_path):
+    """use_codes=True: ADC scoring from pq_code + late-materialized exact
+    refine. With refine wide enough the final top-k must equal the
+    raw-vector join's on the same probes; distances are exact (refine
+    rescored from raw vectors, not ADC estimates)."""
+    from lance_spark.indexes.vector import ann_join, build_ivf
+
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).limit(6)
+    idx = build_ivf(
+        corpus, "embedding", "vec_id", str(tmp_path / "ajpq"), num_partitions=8,
+        metric="cosine", index_type="IVF_PQ", num_sub_vectors=8,
+    )
+    flat = ann_join(spark, idx, queries, "embedding", "vec_id", k=5, nprobes=8)
+    pq = ann_join(
+        spark, idx, queries, "embedding", "vec_id", k=5, nprobes=8,
+        use_codes=True, refine_factor=20,
+    )
+    def by_q(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], []).append((round(r["_distance"], 6), r["id"]))
+        return {k: sorted(v) for k, v in out.items()}
+    f, p = by_q(flat), by_q(pq)
+    assert set(f) == set(p)
+    hits = total = 0
+    for qid in f:
+        fi = [i for _, i in f[qid]]
+        pi = [i for _, i in p[qid]]
+        hits += len(set(fi) & set(pi)); total += len(fi)
+        # distances of agreeing ids are exact (same raw-vector math)
+        fd = dict((i, d) for d, i in f[qid])
+        for d, i in p[qid]:
+            if i in fd:
+                assert d == pytest.approx(fd[i], abs=1e-9)
+    assert hits / total >= 0.9  # wide refine recovers ADC ranking error
