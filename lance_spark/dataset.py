@@ -1642,6 +1642,31 @@ class LanceDataset:
             with_row_id=with_row_id,
         )
 
+    def nearest_join(
+        self,
+        spark: SparkSession,
+        column: str,
+        queries: DataFrame,
+        query_vec_col: str,
+        query_id_col: str,
+        k: int = 10,
+        nprobes: int = 4,
+        use_codes: bool = False,
+        refine_factor: int = 4,
+        fast_search: bool = False,
+    ) -> DataFrame:
+        """Bulk ``nearest``: top-k live rows for EVERY row of a query
+        table → (query_id, _rowid, _distance); index-pruned via ann_join,
+        unindexed tail unioned, deletions masked (indexes/vector.py:
+        dataset_nearest_join)."""
+        from lance_spark.indexes.vector import dataset_nearest_join
+
+        return dataset_nearest_join(
+            self, spark, column, queries, query_vec_col, query_id_col, k=k,
+            nprobes=nprobes, use_codes=use_codes, refine_factor=refine_factor,
+            fast_search=fast_search,
+        )
+
     def compact_files(self, spark: SparkSession, target_rows_per_fragment: int = 1024 * 1024) -> "LanceDataset":
         from lance_spark.maintenance import compact_files
 

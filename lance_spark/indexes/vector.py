@@ -900,3 +900,78 @@ def dataset_nearest(
     if not with_row_id:
         out = out.drop(ROWID_COL)
     return out.orderBy("_distance")
+
+
+def dataset_nearest_join(
+    ds,
+    spark: SparkSession,
+    column: str,
+    queries: DataFrame,
+    query_vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+    nprobes: int = 4,
+    use_codes: bool = False,
+    refine_factor: int = 4,
+    fast_search: bool = False,
+) -> DataFrame:
+    """Bulk ``nearest`` over a dataset's vector index: top-k live rows for
+    EVERY row of a query table → ``(query_id, _rowid, _distance)``. The
+    dataset-surface entry point for ``ann_join`` (no per-query driver
+    round-trips, no broadcast of the query set), with the single-query
+    path's semantics preserved: fragments written after the index are
+    brute-force scored and unioned unless ``fast_search``, and hits are
+    validated against the live rowid set (deletions apply at scan, not in
+    the index).
+
+    The unindexed-tail branch broadcasts the query set (it is a
+    ``knn_batch`` over the few post-index fragments); call
+    ``optimize_indices`` first if the tail has grown query-set-broadcast
+    large.
+    """
+    from lance_spark.operators.knn import knn_batch
+    from lance_spark.write import ROWID_COL
+
+    meta = next(
+        (
+            i
+            for i in ds.manifest.indices
+            if i.column == column and i.index_type.startswith("IVF")
+        ),
+        None,
+    )
+    if meta is None:
+        full = ds.to_df(spark, with_row_id=True)
+        hits = knn_batch(
+            full, queries, column, ROWID_COL, query_id_col,
+            query_vec_col=query_vec_col, k=k, metric="cosine",
+        )
+    else:
+        index = IvfIndex(os.path.join(ds.uri, meta.path))
+        hits = ann_join(
+            spark, index, queries, query_vec_col, query_id_col, k=k,
+            nprobes=nprobes, use_codes=use_codes, refine_factor=refine_factor,
+        )
+        covered = set(meta.fragment_ids)
+        tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
+        if tail and not fast_search:
+            flat = ds.scanner(spark, columns=[column], with_row_id=True, fragments=tail)
+            flat_hits = knn_batch(
+                flat, queries, column, ROWID_COL, query_id_col,
+                query_vec_col=query_vec_col, k=k, metric=meta.params["metric"],
+            )
+            hits = hits.unionByName(flat_hits)
+        hits = hits.join(
+            ds.to_df(spark, with_row_id=True).select(F.col(ROWID_COL).alias("id")),
+            on="id",
+            how="left_semi",
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("_distance"), F.asc("id"))
+    return (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .withColumnRenamed("id", ROWID_COL)
+    )

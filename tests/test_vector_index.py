@@ -497,3 +497,34 @@ def test_ann_join_pq_codes_refine(spark, emb, tmp_path):
             if i in fd:
                 assert d == pytest.approx(fd[i], abs=1e-9)
     assert hits / total >= 0.9  # wide refine recovers ADC ranking error
+
+
+def test_dataset_nearest_join_matches_per_query_nearest(spark, emb, tmp_path):
+    """ds.nearest_join equals per-query ds.nearest on the indexed path,
+    including tail-union and deletion masking semantics."""
+    import lance_spark as ls
+
+    uri = str(tmp_path / "njds")
+    ls.write_dataset(emb.repartition(4), uri, mode="create")
+    ds = ls.dataset(uri)
+    ds = ds.create_index(spark, "embedding", num_partitions=8, metric="cosine",
+                         index_type="IVF_FLAT")
+    # append a post-index tail and delete some rows: both paths must agree
+    tailrows = emb.limit(20).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding", "label")
+    ls.write_dataset(tailrows, uri, mode="append")
+    ds = ls.dataset(uri).delete(spark, "vec_id % 17 = 0")
+    queries = emb.filter(F.col("vec_id") % 100 == 3).limit(4)
+    bulk = ds.nearest_join(
+        spark, "embedding", queries, "embedding", "vec_id", k=5,
+        nprobes=8,
+    )
+    got = {}
+    for r in bulk.collect():
+        got.setdefault(r["query_id"], []).append((round(r["_distance"], 6), r["_rowid"]))
+    for qrow in queries.collect():
+        qv = [float(x) for x in qrow["embedding"]]
+        single = ds.nearest(spark, "embedding", qv, k=5, nprobes=8,
+                            with_row_id=True)
+        want = [(round(r["_distance"], 6), r["_rowid"]) for r in single.collect()]
+        assert sorted(got[qrow["vec_id"]]) == sorted(want)
