@@ -1023,7 +1023,12 @@ def substring_duplicate_spans(
     function partitioned by doc id.
     """
     gap = max_gap if max_gap is not None else window
-    wins = sampled_window_hashes(df, text_col, id_col, window, every)
+    # repartition by h BEFORE fanning out to the two consumers: the dup
+    # aggregation and the semi join then share ONE exchange (ReuseExchange)
+    # whose child computes the window hashing — without it each consumer
+    # re-runs the anchor/substring/hash explode over the full corpus
+    # (measured 2× the dominant cost at sf0.1)
+    wins = sampled_window_hashes(df, text_col, id_col, window, every).repartition("h")
     dup = (
         wins.groupBy("h")
         .agg(F.countDistinct("id").alias("nd"))
