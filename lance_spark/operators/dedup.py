@@ -911,6 +911,11 @@ def paragraph_dedup(
         .filter(F.size("__p") > 0)
         .select("id", "pos", F.md5(F.array_join("__p", " ")).alias("h"))
     )
+    # one exchange under both consumers (winner agg + join back) — without
+    # the explicit h-repartition each side re-runs the tokenize/explode/md5
+    # pass (same ReuseExchange gap as substring_duplicate_spans; measured
+    # ~2× there)
+    paras = paras.repartition("h")
     winners = paras.groupBy("h").agg(F.min(F.struct("id", "pos")).alias("w"))
     kept = paras.join(
         winners.select("h", F.col("w.id").alias("wid"), F.col("w.pos").alias("wpos")), on="h"
