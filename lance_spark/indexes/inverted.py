@@ -156,6 +156,78 @@ def match_query(ds, spark: SparkSession, terms: list[str], column: str | None = 
     return _topk(scored.select("id", F.round("_score", 4).alias("_score")), k)
 
 
+def match_join(
+    ds,
+    spark: SparkSession,
+    queries: DataFrame,
+    query_text_col: str,
+    query_id_col: str,
+    k: int | None = 10,
+    column: str | None = None,
+) -> DataFrame:
+    """Bulk BM25: top-``k`` docs for EVERY row of a query table through
+    the inverted index → ``(query_id, id, _score)`` — the FTS analogue of
+    ``ann_join`` (RAG candidate generation, eval-harness retrieval, query
+    logs), with no per-query driver round-trip.
+
+    Query texts tokenize with the INDEX's recorded tokenizer; distinct
+    (query, term) pairs join the postings on term — only query-vocabulary
+    postings rows are touched (Σ_t df(t) work per distinct query term,
+    the same posting traversal a single query pays, batched); scores sum
+    per (query, doc) with one map-side-combinable groupBy and a per-query
+    window keeps top-k. ``k=None`` returns all scored pairs (callers that
+    re-rank ties on another column — e.g. the oracle's doc_id — cut after
+    their own sort, the _topk contract).
+    """
+    meta = _find(ds, column)
+    postings, doclens = _index_tables(ds, spark, meta)
+    from lance_spark.functions.text import tokenizer_expr
+
+    tok = tokenizer_expr(meta.params.get("tokenizer", "simple"))
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.explode(tok(F.col(query_text_col))).alias("token"),
+        )
+        .distinct()
+    )
+    stats = doclens.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    qvocab = qt.select("token").distinct()
+    dfreq = (
+        postings.join(F.broadcast(qvocab), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    # prune postings to the query vocabulary with the BROADCAST distinct
+    # token set (vocabulary-bounded), then shuffle-join the pruned postings
+    # with the (query, term) pairs — the query table itself never
+    # broadcasts, so bulk query sets scale past executor memory (the
+    # knn_batch-style broadcast trap); AQE's skew join splits hot terms
+    qp = postings.join(F.broadcast(qvocab), "token", "left_semi").join(qt, "token")
+    scored = (
+        qp.join(F.broadcast(dfreq), "token")
+        .join(doclens, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf", F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn("s", bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), F.col("avgdl")))
+        .groupBy("qid", "id")
+        .agg(F.round(F.sum("s"), 4).alias("_score"))
+        .withColumnRenamed("qid", "query_id")
+    )
+    if k is None:
+        return scored
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def _phrase_step(cand_col, next_pos_col, i: int, slop: int):
     """One candidate-walk step of sloppy phrase matching: each candidate
     {start, last} advances to the smallest position q of term i with

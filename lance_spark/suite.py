@@ -2143,6 +2143,68 @@ def fts_index_match(spark, sf_dir):
     )
 
 
+@query(
+    "fts_bm25_join",
+    f"""
+    WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
+    dl AS (SELECT id, len(w) AS dl FROM tok),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    post AS (SELECT id, unnest(w) AS token FROM tok),
+    q AS (SELECT id AS qid, list_slice(w, 1, 5) AS qw FROM tok WHERE id % 97 = 0),
+    qt AS (SELECT DISTINCT qid, unnest(qw) AS token FROM q),
+    tfq AS (SELECT token, id, count(*) AS tf FROM post
+            WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1, 2),
+    dfq AS (SELECT token, count(*) AS df FROM tfq GROUP BY token),
+    sc AS (SELECT qt.qid, tfq.id,
+                  round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                        * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS _score
+           FROM qt JOIN tfq USING (token) JOIN dfq USING (token)
+                JOIN dl ON dl.id = tfq.id CROSS JOIN stats
+           GROUP BY qt.qid, tfq.id),
+    r AS (SELECT qid, id, _score,
+                 row_number() OVER (PARTITION BY qid ORDER BY _score DESC, id) AS rn
+          FROM sc)
+    SELECT qid AS query_id, id AS doc_id, _score FROM r WHERE rn <= 5
+    ORDER BY query_id, rn
+    """,
+)
+def fts_bm25_join(spark, sf_dir):
+    """Bulk BM25 through the inverted index (indexes/inverted.py:
+    match_join): top-5 docs for EVERY query row — queries are the first 5
+    tokens of every 97th doc — with only query-vocabulary postings touched
+    and the query table never broadcast. Ties re-cut on doc_id after the
+    rowid map (the k=None contract), mirroring the indexed fts entries."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_join
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_bmj_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text")
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.slice(F.expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')"), 1, 5),
+        ).alias("qtext"),
+    )
+    hits = match_join(ds, spark, queries, "qtext", "doc_id", k=None)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", F.col("doc_id").alias("hit_doc"))
+    mapped = hits.join(base, hits.id == base._rowid).select(
+        "query_id", F.col("hit_doc").alias("doc_id"), "_score"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("doc_id"))
+    return (
+        mapped.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+        .orderBy("query_id", F.desc("_score"), "doc_id")
+    )
+
+
 @query("func_fts_sql", _bm25_oracle(["table", "scan", "join"]))
 def func_fts_sql(spark, sf_dir):
     """FTS as a table function inside a SQL string — the reference's

@@ -122,3 +122,31 @@ def test_fuzzy_expansion_cap(spark, docs_ds):
     assert {(r["id"], r["_score"]) for r in exact.collect()} == {
         (r["id"], r["_score"]) for r in plain.collect()
     }
+
+
+def test_match_join_equals_per_query_match(spark, sf_dir, tmp_path):
+    """match_join's per-query top-k equals match_query run per query on the
+    same index (same BM25 stats, same tie rule)."""
+    import lance_spark as ls
+    from pyspark.sql import functions as F
+
+    from lance_spark.indexes.inverted import (
+        create_inverted_index,
+        match_join,
+        match_query,
+    )
+
+    uri = str(tmp_path / "mj")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ls.write_dataset(docs.repartition(2), uri, mode="create")
+    ds = create_inverted_index(ls.dataset(uri), spark, "text")
+    qrows = [(1, "table scan join"), (2, "key order"), (3, "spark data")]
+    queries = spark.createDataFrame(qrows, ["qid", "qtext"])
+    bulk = {}
+    for r in match_join(ds, spark, queries, "qtext", "qid", k=5).collect():
+        bulk.setdefault(r["query_id"], []).append((r["_score"], r["id"]))
+    for qid, qtext in qrows:
+        want = [(r["_score"], r["id"])
+                for r in match_query(ds, spark, qtext.split(), k=5).collect()]
+        got = sorted(bulk.get(qid, []), key=lambda t: (-t[0], t[1]))
+        assert got == want, qid
