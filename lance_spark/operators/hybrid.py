@@ -40,6 +40,60 @@ def rrf_fuse(
     )
 
 
+def rank_per_group(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "query_id",
+    id_col: str = "id",
+    ascending: bool = False,
+    keep: int | None = None,
+) -> DataFrame:
+    """Per-group rank (1-based) by (score, id) — the deterministic ranking
+    both RRF branches need. Score must already be ROUNDED by the caller so
+    engines rank identically; ties break on ``id_col``."""
+    order = [
+        F.asc(score_col) if ascending else F.desc(score_col),
+        F.asc(id_col),
+    ]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    out = df.withColumn("rank", F.row_number().over(w))
+    return out if keep is None else out.filter(F.col("rank") <= keep)
+
+
+def rrf_fuse_grouped(
+    rankings: list[DataFrame],
+    group_col: str = "query_id",
+    id_col: str = "id",
+    k: int = 60,
+    top: int = 10,
+) -> DataFrame:
+    """RRF per group: fuse ranked lists carrying (group, id, rank) into the
+    ``top`` ids per group by Σ 1/(k + rank) → (group, id, rrf). The bulk
+    counterpart of ``rrf_fuse`` — one union + one map-side-combinable
+    groupBy + one per-group window; nothing corpus-sized, nothing
+    driver-sized."""
+    contribs = [
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(id_col).alias("id"),
+            (1.0 / (k + F.col("rank"))).alias("c"),
+        )
+        for df in rankings
+    ]
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    fused = allc.groupBy("g", "id").agg(F.round(F.sum("c"), 6).alias("rrf"))
+    w = Window.partitionBy("g").orderBy(F.desc("rrf"), F.asc("id"))
+    return (
+        fused.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top)
+        .drop("__rn")
+        .withColumnRenamed("g", group_col)
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def hybrid_search(
     corpus: DataFrame,
     text_col: str,

@@ -2205,6 +2205,99 @@ def fts_bm25_join(spark, sf_dir):
     )
 
 
+@query(
+    "search_hybrid_join",
+    f"""
+    WITH corpus AS (
+      SELECT d.doc_id AS id, d.text, e.embedding
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+    tok AS (SELECT id, {_DUCK_TOKS.format(col='text')} AS w FROM corpus),
+    dl AS (SELECT id, len(w) AS dl FROM tok),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    post AS (SELECT id, unnest(w) AS token FROM tok),
+    q AS (SELECT id AS qid, list_slice(w, 1, 5) AS qw FROM tok WHERE id % 97 = 0),
+    qt AS (SELECT DISTINCT qid, unnest(qw) AS token FROM q),
+    tfq AS (SELECT token, id, count(*) AS tf FROM post
+            WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1, 2),
+    dfq AS (SELECT token, count(*) AS df FROM tfq GROUP BY token),
+    sc AS (SELECT qt.qid, tfq.id,
+                  round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                        * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS _score
+           FROM qt JOIN tfq USING (token) JOIN dfq USING (token)
+                JOIN dl ON dl.id = tfq.id CROSS JOIN stats
+           GROUP BY qt.qid, tfq.id),
+    tkeep AS (SELECT qid, id, rank FROM (
+        SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY _score DESC, id) AS rank
+        FROM sc) WHERE rank <= 50),
+    qv AS (SELECT c.id AS qid, c.embedding FROM corpus c WHERE c.id % 97 = 0),
+    vd AS (SELECT q.qid, e.id, round(1.0 - ({_DUCK_COS_Q}), 4) AS d
+           FROM qv q, corpus e),
+    vkeep AS (SELECT qid, id, rank FROM (
+        SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank
+        FROM vd) WHERE rank <= 50),
+    allc AS (SELECT qid, id, 1.0 / (60 + rank) AS c FROM tkeep
+             UNION ALL SELECT qid, id, 1.0 / (60 + rank) FROM vkeep),
+    fused AS (SELECT qid, id, round(sum(c), 6) AS rrf FROM allc GROUP BY qid, id),
+    r AS (SELECT qid, id, rrf,
+                 row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS rn
+          FROM fused)
+    SELECT qid AS query_id, id AS doc_id, rrf FROM r WHERE rn <= 10
+    ORDER BY query_id, rn
+    """,
+)
+def search_hybrid_join(spark, sf_dir):
+    """Bulk hybrid retrieval: BM25 (match_join) + vector (nearest_join)
+    branches per query row, fused per query with RRF
+    (operators/hybrid.py:rank_per_group + rrf_fuse_grouped) — the full
+    RAG-retrieval shape for a query TABLE over one dataset carrying both
+    an inverted and an IVF index. Both branches rank on ROUNDED scores
+    mapped to doc_id before the rank window, so engines cannot diverge on
+    ties."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, match_join
+    from lance_spark.operators.hybrid import rank_per_group, rrf_fuse_grouped
+    from lance_spark.write import write_dataset
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        docs.doc_id, docs.text, emb.embedding
+    )
+    uri = tempfile.mkdtemp(prefix="lsq_hyj_") + "/corpus"
+    write_dataset(corpus.repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text")
+    ds = ds.create_index(
+        spark, "embedding", num_partitions=8, metric="cosine", index_type="IVF_FLAT"
+    )
+    queries = corpus.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.slice(F.expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')"), 1, 5),
+        ).alias("qtext"),
+        F.col("embedding").alias("qvec"),
+    )
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", F.col("doc_id").alias("did"))
+    thits = match_join(ds, spark, queries, "qtext", "doc_id", k=None)
+    tmapped = thits.join(base, thits.id == base._rowid).select(
+        "query_id", F.col("did").alias("doc_id"), "_score"
+    )
+    tkeep = rank_per_group(tmapped, "_score", id_col="doc_id", keep=50)
+    vhits = ds.nearest_join(
+        spark, "embedding", queries, "qvec", "doc_id", k=1_000_000, nprobes=8
+    )
+    vmapped = vhits.join(base, vhits["_rowid"] == base._rowid).select(
+        "query_id", F.col("did").alias("doc_id"), F.round("_distance", 4).alias("d")
+    )
+    vkeep = rank_per_group(vmapped, "d", id_col="doc_id", ascending=True, keep=50)
+    fused = rrf_fuse_grouped([tkeep, vkeep], id_col="doc_id", top=10)
+    return fused.select("query_id", F.col("doc_id"), "rrf").orderBy(
+        "query_id", F.desc("rrf"), "doc_id"
+    )
+
+
 @query("func_fts_sql", _bm25_oracle(["table", "scan", "join"]))
 def func_fts_sql(spark, sf_dir):
     """FTS as a table function inside a SQL string — the reference's
