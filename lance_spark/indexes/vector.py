@@ -703,14 +703,16 @@ def ann_join(
         m, _, sub = cbs.shape
         codes_m = np.asarray(code.tolist(), dtype=np.int64)  # (n, m)
         pids = pid.to_numpy()
-        qids = qid.to_numpy()
+        # factorize → int codes so string/arbitrary query ids group fine
+        # (np.unique(axis=0) rejects object dtype)
+        qcodes = pd.factorize(qid)[0]
         qarr = np.asarray(qv.tolist(), dtype=np.float64)
         if cosine:
             qarr = _normalize(qarr)
         out = np.empty(len(codes_m), dtype=np.float64)
         cols = np.arange(m)[None, :]
         # one LUT + one vectorized gather per (query, partition) group
-        keys = np.stack([qids, pids], axis=1)
+        keys = np.stack([qcodes, pids.astype(np.int64)], axis=1)
         uniq, inv = np.unique(keys, axis=0, return_inverse=True)
         for g in range(len(uniq)):
             mask = inv == g

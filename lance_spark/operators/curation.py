@@ -331,11 +331,13 @@ def nb_classify(
     denom = {c: float(ntok_c.get(c, 0)) + alpha * v for c in classes}
     floor = [math.log(alpha / denom[c]) for c in classes]
     prior = [math.log(docs_c.get(c, 0.5) / total_docs) for c in classes]
-    # one row per token: per-class log-likelihood array (nulls → floor)
+    # one row per token: per-class log-likelihood array (nulls → floor).
+    # model[c] (getitem) resolves the pivoted column by exact name — class
+    # labels containing dots/backticks would break a parsed F.col path
     model = cnt.groupBy("t").pivot("c", classes).agg(F.first("n"))
     ll = F.array(
         *[
-            F.log((F.coalesce(F.col(f"`{c}`"), F.lit(0.0)) + alpha) / denom[c])
+            F.log((F.coalesce(model[c], F.lit(0.0)) + alpha) / denom[c])
             for c in classes
         ]
     )
