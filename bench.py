@@ -54,6 +54,8 @@ HEADLINE = [
     # round-8: span-level eval decontamination + entropy quality signal
     "curate_decontaminate_spans",
     "text_token_entropy",
+    # round-8: distributed train+score NB classifier (the filter-model stage)
+    "curate_nb_classifier",
 ]
 
 
