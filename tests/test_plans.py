@@ -157,3 +157,48 @@ def test_take_blobs_pruned_scan_lists_few_files(spark, tmp_path):
     files = q.inputFiles()
     assert 0 < len(files) <= 2, files
     assert all("-blob-" in f for f in files)
+
+
+def test_match_join_never_broadcasts_query_table(spark, sf_dir, tmp_path):
+    """match_join's promise: postings prune via a BROADCAST vocabulary
+    semi-join, but the (query, term) pair stream itself joins by shuffle —
+    a bulk query table must never be a broadcast build side."""
+    import lance_spark as ls
+    from pyspark.sql import functions as F
+
+    from lance_spark.indexes.inverted import create_inverted_index, match_join
+
+    uri = str(tmp_path / "mjplan")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ls.write_dataset(docs.repartition(2), uri, mode="create")
+    ds = create_inverted_index(ls.dataset(uri), spark, "text")
+    queries = docs.select(
+        F.col("doc_id").alias("qid"),
+        F.substring("text", 1, 40).alias("qtext"),
+    )
+    out = match_join(ds, spark, queries, "qtext", "qid", k=5)
+    e = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in e  # the vocabulary semi-join + dfreq
+    # exactly one BroadcastNestedLoopJoin is expected: the 1-row BM25
+    # stats crossJoin. Anything more would mean a real join degenerated.
+    assert e.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in e
+
+
+def test_ann_join_probe_is_single_shuffle_join(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lance_spark.indexes.vector import ann_join, build_ivf
+    from lance_spark.plans.explain import plan_summary
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = build_ivf(
+        emb, "embedding", "vec_id", str(tmp_path / "ajplan"), num_partitions=8,
+        metric="cosine", index_type="IVF_FLAT",
+    )
+    out = ann_join(spark, idx, emb, "embedding", "vec_id", k=5, nprobes=2)
+    e = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in e and "CartesianProduct" not in e
+    s = plan_summary(out)
+    # probe-stream join + the top-k window partition: nothing else shuffles
+    assert s["shuffles"] <= 3
