@@ -284,6 +284,119 @@ def contamination_spans(
     return merge_anchor_spans(d, window, gap)
 
 
+def nb_train(
+    train: DataFrame,
+    text_col: str,
+    label_col: str,
+    model_uri: str,
+    alpha: float = 1.0,
+) -> str:
+    """Train the ``nb_classify`` model and PERSIST it — the production
+    shape: classify every future snapshot against one trained filter
+    model without re-reading the labeled corpus (the same persisted-index
+    pattern as ``build_fingerprint_index``). Writes
+    ``<uri>/model`` (parquet: token → per-class log-likelihood array,
+    vocabulary-sized) and ``<uri>/meta.json`` (classes, log priors,
+    smoothing floors). Returns ``model_uri``."""
+    import json as _json
+    import math
+    import os
+
+    from lance_spark.functions.text import tokenize
+
+    classes = sorted(
+        r[0] for r in train.select(F.col(label_col)).distinct().collect()
+    )
+    if not classes:
+        raise ValueError("nb_train: training set has no labels")
+    tr = train.select(F.col(label_col).alias("c"), tokenize(F.col(text_col)).alias("w"))
+    docs_c = {r["c"]: r["n"] for r in tr.groupBy("c").agg(F.count("*").alias("n")).collect()}
+    total_docs = sum(docs_c.values())
+    ex = tr.select("c", F.explode("w").alias("t"))
+    cnt = ex.groupBy("t", "c").agg(F.count("*").cast("double").alias("n"))
+    ntok_c = {r["c"]: r["n"] for r in ex.groupBy("c").agg(F.count("*").alias("n")).collect()}
+    v = cnt.select("t").distinct().count()
+    denom = {c: float(ntok_c.get(c, 0)) + alpha * v for c in classes}
+    model = cnt.groupBy("t").pivot("c", classes).agg(F.first("n"))
+    ll = F.array(
+        *[
+            F.log((F.coalesce(model[c], F.lit(0.0)) + alpha) / denom[c])
+            for c in classes
+        ]
+    )
+    os.makedirs(model_uri, exist_ok=True)
+    model.select("t", ll.alias("ll")).write.mode("overwrite").parquet(
+        os.path.join(model_uri, "model")
+    )
+    with open(os.path.join(model_uri, "meta.json"), "w") as fh:
+        _json.dump(
+            {
+                "classes": classes,
+                "prior": [math.log(docs_c[c] / total_docs) for c in classes],
+                "floor": [math.log(alpha / denom[c]) for c in classes],
+            },
+            fh,
+        )
+    return model_uri
+
+
+def nb_score(
+    score: DataFrame,
+    text_col: str,
+    id_col: str,
+    model_uri: str,
+) -> DataFrame:
+    """Score a snapshot against a persisted ``nb_train`` model →
+    ``(id, pred, score)`` with ``nb_classify``'s exact semantics (same
+    smoothing floors, same rounded-argmax tie rule). One broadcast join
+    of the vocabulary-sized model + one groupBy(id); the labeled corpus
+    is never touched."""
+    import json as _json
+    import os
+
+    from lance_spark.functions.text import tokenize
+
+    spark = score.sparkSession
+    with open(os.path.join(model_uri, "meta.json")) as fh:
+        meta = _json.load(fh)
+    classes, prior, floor = meta["classes"], meta["prior"], meta["floor"]
+    model = spark.read.parquet(os.path.join(model_uri, "model"))
+    sc = score.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("w"))
+    ex_s = sc.select("id", F.explode_outer("w").alias("t"))
+    floor_arr = F.array(*[F.lit(x) for x in floor])
+    zero_arr = F.array(*[F.lit(0.0) for _ in classes])
+    joined = ex_s.join(F.broadcast(model), "t", "left").select(
+        "id",
+        F.when(F.col("t").isNull(), zero_arr)
+        .otherwise(F.coalesce(F.col("ll"), floor_arr))
+        .alias("ll"),
+    )
+    summed = joined.groupBy("id").agg(
+        F.array(
+            *[
+                F.sum(F.element_at("ll", i + 1)).alias(f"s{i}")
+                for i in range(len(classes))
+            ]
+        ).alias("s")
+    )
+    prior_arr = F.array(*[F.lit(x) for x in prior])
+    scores = F.zip_with(F.col("s"), prior_arr, lambda a, b: a + b)
+    cls_arr = F.array(*[F.lit(c) for c in classes])
+    ranked = F.array_sort(
+        F.zip_with(
+            scores,
+            cls_arr,
+            lambda s, c: F.struct((-F.round(s, 6)).alias("neg"), c.alias("cls")),
+        )
+    )
+    best = ranked[0]
+    return summed.select(
+        "id",
+        best["cls"].alias("pred"),
+        (-best["neg"]).alias("score"),
+    )
+
+
 def nb_classify(
     train: DataFrame,
     score: DataFrame,
@@ -310,76 +423,15 @@ def nb_classify(
     budget as the unigram LM scorer) and broadcast; scoring is explode +
     map-side join + one groupBy(id) with an element-wise array sum. The
     class list itself is the only driver collect (label cardinality).
+
+    Delegates through ``nb_train`` → ``nb_score`` (a throwaway model dir),
+    so the one-shot and persisted-model paths cannot drift numerically.
     """
-    from lance_spark.functions.text import tokenize
+    import tempfile
 
-    classes = sorted(
-        r[0] for r in train.select(F.col(label_col)).distinct().collect()
-    )
-    if not classes:
-        raise ValueError("nb_classify: training set has no labels")
-    tr = train.select(F.col(label_col).alias("c"), tokenize(F.col(text_col)).alias("w"))
-    # priors from document frequencies; token totals per class
-    docs_c = {r["c"]: r["n"] for r in tr.groupBy("c").agg(F.count("*").alias("n")).collect()}
-    total_docs = sum(docs_c.values())
-    ex = tr.select("c", F.explode("w").alias("t"))
-    cnt = ex.groupBy("t", "c").agg(F.count("*").cast("double").alias("n"))
-    ntok_c = {r["c"]: r["n"] for r in ex.groupBy("c").agg(F.count("*").alias("n")).collect()}
-    v = cnt.select("t").distinct().count()
-    import math
-
-    denom = {c: float(ntok_c.get(c, 0)) + alpha * v for c in classes}
-    floor = [math.log(alpha / denom[c]) for c in classes]
-    prior = [math.log(docs_c.get(c, 0.5) / total_docs) for c in classes]
-    # one row per token: per-class log-likelihood array (nulls → floor).
-    # model[c] (getitem) resolves the pivoted column by exact name — class
-    # labels containing dots/backticks would break a parsed F.col path
-    model = cnt.groupBy("t").pivot("c", classes).agg(F.first("n"))
-    ll = F.array(
-        *[
-            F.log((F.coalesce(model[c], F.lit(0.0)) + alpha) / denom[c])
-            for c in classes
-        ]
-    )
-    model = model.select("t", ll.alias("ll"))
-
-    sc = score.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("w"))
-    ex_s = sc.select("id", F.explode_outer("w").alias("t"))
-    floor_arr = F.array(*[F.lit(x) for x in floor])
-    zero_arr = F.array(*[F.lit(0.0) for _ in classes])
-    joined = ex_s.join(F.broadcast(model), "t", "left").select(
-        "id",
-        F.when(F.col("t").isNull(), zero_arr)  # empty doc: prior-only
-        .otherwise(F.coalesce(F.col("ll"), floor_arr))
-        .alias("ll"),
-    )
-    summed = joined.groupBy("id").agg(
-        F.array(
-            *[
-                F.sum(F.element_at("ll", i + 1)).alias(f"s{i}")
-                for i in range(len(classes))
-            ]
-        ).alias("s")
-    )
-    prior_arr = F.array(*[F.lit(x) for x in prior])
-    scores = F.zip_with(F.col("s"), prior_arr, lambda a, b: a + b)
-    # argmax with cross-engine-stable tie-breaking: round to 6 decimals,
-    # pick (score desc, class asc) via a sorted struct array
-    cls_arr = F.array(*[F.lit(c) for c in classes])
-    ranked = F.array_sort(
-        F.zip_with(
-            scores,
-            cls_arr,
-            lambda s, c: F.struct((-F.round(s, 6)).alias("neg"), c.alias("cls")),
-        )
-    )
-    best = ranked[0]
-    return summed.select(
-        "id",
-        best["cls"].alias("pred"),
-        (-best["neg"]).alias("score"),
-    )
-
+    uri = tempfile.mkdtemp(prefix="lsq_nb_")
+    nb_train(train, text_col, label_col, uri, alpha=alpha)
+    return nb_score(score, text_col, id_col, uri)
 
 def excise_spans(
     df: DataFrame, spans: DataFrame, text_col: str, id_col: str

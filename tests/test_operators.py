@@ -794,3 +794,36 @@ class TestNaiveBayes:
         j = pred.join(test.select(F.col("doc_id").alias("id"), "cls"), "id")
         acc = j.filter(F.col("pred") == F.col("cls")).count() / j.count()
         assert acc >= 0.95
+
+
+def test_nb_model_persists_across_snapshots(spark, tmp_path):
+    """nb_train writes a reusable model; nb_score classifies a NEW snapshot
+    without touching the labeled corpus, matching a fresh nb_classify on
+    the same inputs exactly."""
+    from lance_spark.operators.curation import nb_classify, nb_score, nb_train
+
+    train = spark.createDataFrame(
+        [
+            (1, "spark shuffle partition executor", "tech"),
+            (2, "partition executor codegen spark", "tech"),
+            (3, "butter flour sugar oven bake", "cooking"),
+            (4, "oven bake sugar butter whisk", "cooking"),
+        ],
+        ["doc_id", "text", "topic"],
+    )
+    snapshot2 = spark.createDataFrame(
+        [(20, "codegen spark shuffle"), (21, "whisk the butter and sugar")],
+        ["doc_id", "text"],
+    )
+    uri = str(tmp_path / "nbmodel")
+    nb_train(train, "text", "topic", uri)
+    got = sorted(
+        (r["id"], r["pred"], r["score"])
+        for r in nb_score(snapshot2, "text", "doc_id", uri).collect()
+    )
+    want = sorted(
+        (r["id"], r["pred"], r["score"])
+        for r in nb_classify(train, snapshot2, "text", "doc_id", "topic").collect()
+    )
+    assert got == want
+    assert [p for _, p, _ in got] == ["tech", "cooking"]
