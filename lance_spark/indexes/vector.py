@@ -608,7 +608,7 @@ def ann_join(
     query_vec_col: str,
     query_id_col: str,
     k: int = 10,
-    nprobes: int = 1,
+    nprobes: int = 4,
     use_codes: bool = False,
     refine_factor: int = 4,
 ) -> DataFrame:
