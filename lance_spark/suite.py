@@ -1603,6 +1603,21 @@ _DUCK_COS_Q = """
 """
 
 
+def _topk_rounded(res, k=10, id_col="vec_id", dist_col="_distance"):
+    """Re-cut an ANN/KNN result on the ROUNDED distance exactly like the
+    oracle's ORDER BY round(d, 4), id LIMIT k. The operators cut top-k on
+    the UNROUNDED distance (correct engineering), so a tie at the rounded
+    k-boundary can admit a different member than the oracle picks (bit at
+    sf0.001 on ann_ivf_hnsw_topk, rank 10). Entries therefore fetch WIDE
+    (k >= corpus at gate scales — exhaustive configurations anyway) and
+    cut here, on the oracle's exact sort key."""
+    return (
+        res.select(id_col, F.round(dist_col, 4).alias(dist_col))
+        .orderBy(dist_col, id_col)
+        .limit(k)
+    )
+
+
 @query(
     "knn_cosine_topk",
     f"""
@@ -1618,10 +1633,10 @@ def knn_cosine_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
-    res = knn_bruteforce(emb.filter("vec_id != 0"), "embedding", qvec, k=10, metric="cosine")
-    return res.select("vec_id", F.round("_distance", 4).alias("_distance")).orderBy(
-        "_distance", "vec_id"
+    res = knn_bruteforce(
+        emb.filter("vec_id != 0"), "embedding", qvec, k=100_000, metric="cosine"
     )
+    return _topk_rounded(res)
 
 
 @query(
@@ -1643,10 +1658,8 @@ def knn_l2_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
-    res = knn_bruteforce(emb.filter("vec_id != 7"), "embedding", qvec, k=10, metric="l2")
-    return res.select("vec_id", F.round("_distance", 4).alias("_distance")).orderBy(
-        "_distance", "vec_id"
-    )
+    res = knn_bruteforce(emb.filter("vec_id != 7"), "embedding", qvec, k=100_000, metric="l2")
+    return _topk_rounded(res)
 
 
 @query(
@@ -1674,10 +1687,8 @@ def ann_ivf_flat_topk(spark, sf_dir):
         tempfile.mkdtemp(prefix="lsq_flat_"), num_partitions=8,
         metric="cosine", index_type="IVF_FLAT",
     )
-    return (
-        ann_search(spark, idx, qvec, k=10, nprobes=8)
-        .select(F.col("id").alias("vec_id"), F.round("_distance", 4).alias("_distance"))
-        .orderBy("_distance", "vec_id")
+    return _topk_rounded(
+        ann_search(spark, idx, qvec, k=100_000, nprobes=8).withColumnRenamed("id", "vec_id")
     )
 
 
@@ -1717,13 +1728,19 @@ def ann_knn_join(spark, sf_dir):
         tempfile.mkdtemp(prefix="lsq_annjoin_"), num_partitions=8,
         metric="cosine", index_type="IVF_FLAT",
     )
+    hits = ann_join(
+        spark, idx, queries, "embedding", "vec_id", k=1_000_000, nprobes=8
+    ).select(
+        "query_id",
+        F.col("id").alias("vec_id"),
+        F.round("_distance", 4).alias("_distance"),
+    )
+    # per-query cut on the ROUNDED distance, the oracle's sort key
+    w = Window.partitionBy("query_id").orderBy("_distance", "vec_id")
     return (
-        ann_join(spark, idx, queries, "embedding", "vec_id", k=5, nprobes=8)
-        .select(
-            "query_id",
-            F.col("id").alias("vec_id"),
-            F.round("_distance", 4).alias("_distance"),
-        )
+        hits.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
         .orderBy("query_id", "_distance", "vec_id")
     )
 
@@ -1762,9 +1779,7 @@ def ann_staged_builder_topk(spark, sf_dir):
     files = b.shuffle_transformed_vectors(["unsorted"], work, ivf)
     ds = b.load_shuffled_vectors(files, work, ivf, None, index_name="emb_idx")
     return (
-        ds.nearest(spark, "embedding", qvec, k=10, nprobes=8)
-        .select("vec_id", F.round("_distance", 4).alias("_distance"))
-        .orderBy("_distance", "vec_id")
+        _topk_rounded(ds.nearest(spark, "embedding", qvec, k=100_000, nprobes=8))
     )
 
 
@@ -1797,10 +1812,8 @@ def ann_ivf_pq_refine(spark, sf_dir):
         tempfile.mkdtemp(prefix="lsq_pq_"), num_partitions=8,
         metric="l2", index_type="IVF_PQ", num_sub_vectors=8,
     )
-    return (
-        ann_search(spark, idx, qvec, k=10, nprobes=8, refine_factor=100)
-        .select(F.col("id").alias("vec_id"), F.round("_distance", 4).alias("_distance"))
-        .orderBy("_distance", "vec_id")
+    return _topk_rounded(
+        ann_search(spark, idx, qvec, k=100_000, nprobes=8, refine_factor=100).withColumnRenamed("id", "vec_id")
     )
 
 
@@ -1833,10 +1846,8 @@ def ann_ivf_rq_refine(spark, sf_dir):
         tempfile.mkdtemp(prefix="lsq_rq_"), num_partitions=8,
         metric="l2", index_type="IVF_RQ",
     )
-    return (
-        ann_search(spark, idx, qvec, k=10, nprobes=8, refine_factor=100)
-        .select(F.col("id").alias("vec_id"), F.round("_distance", 4).alias("_distance"))
-        .orderBy("_distance", "vec_id")
+    return _topk_rounded(
+        ann_search(spark, idx, qvec, k=100_000, nprobes=8, refine_factor=100).withColumnRenamed("id", "vec_id")
     )
 
 
@@ -1869,10 +1880,8 @@ def ann_ivf_hnsw_pq_refine(spark, sf_dir):
         tempfile.mkdtemp(prefix="lsq_hnswpq_"), num_partitions=8,
         metric="l2", index_type="IVF_HNSW_PQ", num_sub_vectors=8,
     )
-    return (
-        ann_search(spark, idx, qvec, k=10, nprobes=8, ef_search=1_000_000, refine_factor=100)
-        .select(F.col("id").alias("vec_id"), F.round("_distance", 4).alias("_distance"))
-        .orderBy("_distance", "vec_id")
+    return _topk_rounded(
+        ann_search(spark, idx, qvec, k=100_000, nprobes=8, ef_search=1_000_000, refine_factor=100).withColumnRenamed("id", "vec_id")
     )
 
 
@@ -1904,10 +1913,8 @@ def ann_ivf_hnsw_sq_refine(spark, sf_dir):
         tempfile.mkdtemp(prefix="lsq_hnswsq_"), num_partitions=8,
         metric="l2", index_type="IVF_HNSW_SQ",
     )
-    return (
-        ann_search(spark, idx, qvec, k=10, nprobes=8, ef_search=1_000_000, refine_factor=100)
-        .select(F.col("id").alias("vec_id"), F.round("_distance", 4).alias("_distance"))
-        .orderBy("_distance", "vec_id")
+    return _topk_rounded(
+        ann_search(spark, idx, qvec, k=100_000, nprobes=8, ef_search=1_000_000, refine_factor=100).withColumnRenamed("id", "vec_id")
     )
 
 
@@ -1940,10 +1947,8 @@ def ann_ivf_hnsw_topk(spark, sf_dir):
         tempfile.mkdtemp(prefix="lsq_hnsw_"), num_partitions=8,
         metric="l2", index_type="IVF_HNSW_FLAT",
     )
-    return (
-        ann_search(spark, idx, qvec, k=10, nprobes=8, ef_search=1_000_000)
-        .select(F.col("id").alias("vec_id"), F.round("_distance", 4).alias("_distance"))
-        .orderBy("_distance", "vec_id")
+    return _topk_rounded(
+        ann_search(spark, idx, qvec, k=100_000, nprobes=8, ef_search=1_000_000).withColumnRenamed("id", "vec_id")
     )
 
 
@@ -4085,10 +4090,8 @@ def ann_ivf_sq_refine(spark, sf_dir):
         tempfile.mkdtemp(prefix="lsq_sq_") + "/i", num_partitions=8,
         metric="l2", index_type="IVF_SQ",
     )
-    return (
-        ann_search(spark, idx, qvec, k=10, nprobes=8, refine_factor=100)
-        .select(F.col("id").alias("vec_id"), F.round("_distance", 4).alias("_distance"))
-        .orderBy("_distance", "vec_id")
+    return _topk_rounded(
+        ann_search(spark, idx, qvec, k=100_000, nprobes=8, refine_factor=100).withColumnRenamed("id", "vec_id")
     )
 
 
@@ -4121,10 +4124,14 @@ def knn_batch_queries(spark, sf_dir):
         "embedding",
         "vec_id",
         "vec_id",
-        k=5,
+        k=100_000,
         metric="l2",
     )
-    return res.select("query_id", "id", F.round("_distance", 4).alias("_distance"))
+    # re-cut per query on the ROUNDED distance (the oracle's sort key) —
+    # see _topk_rounded for the boundary-tie class this avoids
+    r = res.select("query_id", "id", F.round("_distance", 4).alias("_distance"))
+    w = Window.partitionBy("query_id").orderBy("_distance", "id")
+    return r.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= 5).drop("__rn")
 
 
 @query(
@@ -4235,11 +4242,10 @@ def ann_prefiltered(spark, sf_dir):
         spark, "embedding", index_type="IVF_PQ", num_partitions=8, metric="cosine"
     )
     res = ds.nearest(
-        spark, "embedding", qvec, k=5, nprobes=8, refine_factor=200, filter="label = 1"
+        spark, "embedding", qvec, k=100_000, nprobes=8, refine_factor=200,
+        filter="label = 1",
     )
-    return res.select("vec_id", F.round("_distance", 4).alias("_distance")).orderBy(
-        "_distance", "vec_id"
-    )
+    return _topk_rounded(res, k=5)
 
 
 @query(
@@ -4274,10 +4280,8 @@ def ds_lifecycle_e2e(spark, sf_dir):
     )
     ds = ds.insert(rest.filter("vec_id % 10 >= 7").repartition(2))
     ds = ds.optimize_indices(spark)
-    res = ds.nearest(spark, "embedding", qvec, k=10, nprobes=8, refine_factor=100)
-    return res.select(
-        "vec_id", F.round("_distance", 4).alias("_distance")
-    ).orderBy("_distance", "vec_id")
+    res = ds.nearest(spark, "embedding", qvec, k=100_000, nprobes=8, refine_factor=100)
+    return _topk_rounded(res)
 
 
 # --------------------------------------------------------------------------
