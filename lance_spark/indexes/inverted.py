@@ -192,18 +192,22 @@ def match_join(
         .distinct()
     )
     stats = doclens.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    qvocab = qt.select("token").distinct()
+    # prune postings to the query vocabulary, then shuffle-join the pruned
+    # postings with the (query, term) pairs — the query table itself never
+    # broadcasts, so bulk query sets scale past executor memory (the
+    # knn_batch-style broadcast trap); AQE's skew join splits hot terms.
+    # The vocabulary broadcast is COUNT-GATED (the unigram-LM-scorer
+    # budget): a corpus-sized query table has corpus-sized vocabulary, and
+    # past the gate the semi join runs as a shuffle instead.
+    qvocab = qt.select("token").distinct().localCheckpoint(eager=True)
+    if qvocab.count() <= 2_000_000:
+        qvocab = F.broadcast(qvocab)
     dfreq = (
-        postings.join(F.broadcast(qvocab), "token", "left_semi")
+        postings.join(qvocab, "token", "left_semi")
         .groupBy("token")
         .agg(F.count("*").alias("df"))
     )
-    # prune postings to the query vocabulary with the BROADCAST distinct
-    # token set (vocabulary-bounded), then shuffle-join the pruned postings
-    # with the (query, term) pairs — the query table itself never
-    # broadcasts, so bulk query sets scale past executor memory (the
-    # knn_batch-style broadcast trap); AQE's skew join splits hot terms
-    qp = postings.join(F.broadcast(qvocab), "token", "left_semi").join(qt, "token")
+    qp = postings.join(qvocab, "token", "left_semi").join(qt, "token")
     scored = (
         qp.join(F.broadcast(dfreq), "token")
         .join(doclens, "id")
