@@ -734,12 +734,17 @@ def ann_join(
         adc("query_id", "__qv", "partition_id", "pq_code").alias("_distance"),
     )
     cand = _topk(approx, k * max(refine_factor, 1)).drop("_distance")
-    # late materialization: raw vectors stream-join against the SMALL
-    # broadcast survivor set — only |Q|·refine·k vectors are ever read out
+    # late materialization: raw vectors join against the survivor set —
+    # only |Q|·refine·k vectors are ever read out. The survivor broadcast
+    # is COUNT-GATED: each row carries its query vector, so a huge query
+    # table's survivors can outgrow a broadcast — past the gate the join
+    # runs as a shuffle on (partition_id, id) instead.
+    cand = cand.localCheckpoint(eager=True)
+    cand_side = F.broadcast(cand) if cand.count() <= 2_000_000 else cand
     vec_tbl = spark.read.parquet(os.path.join(index.uri, "codes")).select(
         "partition_id", "id", "vec"
     )
-    refined = vec_tbl.join(F.broadcast(cand), ["partition_id", "id"]).select(
+    refined = vec_tbl.join(cand_side, ["partition_id", "id"]).select(
         "query_id", "id", _exact().alias("_distance")
     )
     return _topk(refined, k)

@@ -361,11 +361,18 @@ def nb_score(
         meta = _json.load(fh)
     classes, prior, floor = meta["classes"], meta["prior"], meta["floor"]
     model = spark.read.parquet(os.path.join(model_uri, "model"))
+    # count-gated broadcast (the unigram-LM-scorer budget): the model is
+    # vocabulary-sized, and a 100 TB training corpus's vocabulary can
+    # outgrow a broadcast — past the gate the lookup runs as a shuffle
+    model_side = (
+        F.broadcast(model) if model.count() <= 2_000_000
+        else model.hint("shuffle_hash")
+    )
     sc = score.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("w"))
     ex_s = sc.select("id", F.explode_outer("w").alias("t"))
     floor_arr = F.array(*[F.lit(x) for x in floor])
     zero_arr = F.array(*[F.lit(0.0) for _ in classes])
-    joined = ex_s.join(F.broadcast(model), "t", "left").select(
+    joined = ex_s.join(model_side, "t", "left").select(
         "id",
         F.when(F.col("t").isNull(), zero_arr)
         .otherwise(F.coalesce(F.col("ll"), floor_arr))
