@@ -1654,17 +1654,19 @@ class LanceDataset:
         use_codes: bool = False,
         refine_factor: int = 4,
         fast_search: bool = False,
+        metric: str | None = None,
     ) -> DataFrame:
         """Bulk ``nearest``: top-k live rows for EVERY row of a query
         table → (query_id, _rowid, _distance); index-pruned via ann_join,
         unindexed tail unioned, deletions masked (indexes/vector.py:
-        dataset_nearest_join)."""
+        dataset_nearest_join). ``metric`` defaults to the index's metric;
+        required when no index exists (no silent cosine fallback)."""
         from lance_spark.indexes.vector import dataset_nearest_join
 
         return dataset_nearest_join(
             self, spark, column, queries, query_vec_col, query_id_col, k=k,
             nprobes=nprobes, use_codes=use_codes, refine_factor=refine_factor,
-            fast_search=fast_search,
+            fast_search=fast_search, metric=metric,
         )
 
     def compact_files(self, spark: SparkSession, target_rows_per_fragment: int = 1024 * 1024) -> "LanceDataset":

@@ -191,6 +191,23 @@ def match_join(
         )
         .distinct()
     )
+    scored = _bm25_join_core(postings, doclens, qt)
+    if k is None:
+        return scored
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _bm25_join_core(postings: DataFrame, doclens: DataFrame, qt: DataFrame) -> DataFrame:
+    """Bulk BM25 core shared by ``match_join`` / ``boolean_join``: score
+    distinct (qid, token) pairs against the postings → all scored
+    ``(query_id, id, _score)`` pairs (no top-k cut)."""
     stats = doclens.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     # prune postings to the query vocabulary, then shuffle-join the pruned
     # postings with the (query, term) pairs — the query table itself never
@@ -200,16 +217,23 @@ def match_join(
     # budget): a corpus-sized query table has corpus-sized vocabulary, and
     # past the gate the semi join runs as a shuffle instead.
     qvocab = qt.select("token").distinct().localCheckpoint(eager=True)
-    if qvocab.count() <= 2_000_000:
+    vocab_small = qvocab.count() <= 2_000_000
+    if vocab_small:
         qvocab = F.broadcast(qvocab)
     dfreq = (
         postings.join(qvocab, "token", "left_semi")
         .groupBy("token")
         .agg(F.count("*").alias("df"))
     )
+    # dfreq is bounded by the matched query vocabulary (≤ |qvocab| rows),
+    # so it inherits qvocab's gate decision: past the 2M budget the idf
+    # attach runs as a shuffle join too (ADVICE r8: an ungated dfreq
+    # broadcast OOMs in exactly the scenario the qvocab gate exists for).
+    if vocab_small:
+        dfreq = F.broadcast(dfreq)
     qp = postings.join(qvocab, "token", "left_semi").join(qt, "token")
     scored = (
-        qp.join(F.broadcast(dfreq), "token")
+        qp.join(dfreq, "token")
         .join(doclens, "id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
@@ -220,6 +244,182 @@ def match_join(
         .agg(F.round(F.sum("s"), 4).alias("_score"))
         .withColumnRenamed("qid", "query_id")
     )
+    return scored
+
+
+def phrase_join(
+    ds,
+    spark: SparkSession,
+    queries: DataFrame,
+    query_text_col: str,
+    query_id_col: str,
+    slop: int = 0,
+    column: str | None = None,
+) -> DataFrame:
+    """Bulk PHRASE match: ``(query_id, id)`` for every (query, doc) pair
+    where the doc contains the query's tokens in order within ``slop``
+    total displacement — the structured-query analogue of ``match_join``
+    (reference PhraseQuery semantics, inverted/query.rs; exec fts.rs:501),
+    with no per-query driver round-trip.
+
+    Plan: queries tokenize with the index's tokenizer and posexplode to
+    (qid, qpos, token); postings are pruned to the query vocabulary
+    (count-gated broadcast semi, the match_join gate) and equi-join the
+    pairs on token; one groupBy (qid, id) collects each matched term's
+    positional postings, and the sloppy candidate walk — the SAME greedy
+    min-advance recurrence ``phrase_query`` unrolls statically — runs as
+    one row-local ``aggregate`` over the qpos-sorted list (the phrase
+    length is data, so the walk folds instead of unrolling). A doc
+    qualifies only when every query position matched (``size == nq``) and
+    the fold retains a live candidate. Work per (query, doc) is the
+    matched postings' positions — never the corpus; the only shuffles are
+    the token equi-join and the (qid, id) groupBy.
+    """
+    from lance_spark.functions.text import tokenizer_expr
+
+    meta = _find(ds, column)
+    postings, _ = _index_tables(ds, spark, meta)
+    tok = tokenizer_expr(meta.params.get("tokenizer", "simple"))
+    qtp = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.posexplode(tok(F.col(query_text_col))).alias("qpos", "token"),
+    )
+    nq = qtp.groupBy("qid").agg(F.count("*").alias("__nq"))
+    qvocab = qtp.select("token").distinct().localCheckpoint(eager=True)
+    if qvocab.count() <= 2_000_000:
+        qvocab = F.broadcast(qvocab)
+    qp = (
+        postings.join(qvocab, "token", "left_semi")
+        .select("token", "id", "positions")
+        .join(qtp, "token")
+    )
+    grouped = qp.groupBy("qid", "id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("qpos"), F.col("positions")))
+        ).alias("ps"),
+        F.count("*").alias("__nm"),
+    )
+    # row-local sloppy walk: fold _phrase_step across the qpos-sorted terms
+    cand_t = "array<struct<start:int,last:int>>"
+    walk = F.aggregate(
+        F.col("ps"),
+        F.lit(None).cast(cand_t),
+        lambda acc, x: F.when(
+            x["qpos"] == 0,
+            F.transform(
+                x["positions"], lambda p: F.struct(p.alias("start"), p.alias("last"))
+            ).cast(cand_t),
+        ).otherwise(
+            F.filter(
+                F.transform(
+                    acc,
+                    lambda c: F.struct(
+                        c["start"].alias("start"),
+                        F.array_min(
+                            F.filter(
+                                x["positions"],
+                                lambda q: (q > c["last"])
+                                & (q <= c["start"] + x["qpos"] + slop),
+                            )
+                        ).alias("last"),
+                    ),
+                ),
+                lambda c: c["last"].isNotNull(),
+            )
+        ),
+    )
+    return (
+        grouped.join(nq, "qid")
+        .filter(F.col("__nm") == F.col("__nq"))
+        .select(F.col("qid").alias("query_id"), "id", walk.alias("__cand"))
+        .filter(F.size("__cand") > 0)
+        .select("query_id", "id")
+    )
+
+
+def boolean_join(
+    ds,
+    spark: SparkSession,
+    queries: DataFrame,
+    query_id_col: str,
+    must_col: str | None = None,
+    should_col: str | None = None,
+    must_not_col: str | None = None,
+    k: int | None = 10,
+    column: str | None = None,
+) -> DataFrame:
+    """Bulk BOOLEAN query: per query row, docs containing ALL ``must``
+    terms and NONE of the ``must_not`` terms, BM25-scored over
+    should∪must → ``(query_id, id, _score)`` (must=semi, must_not=anti,
+    reference query.rs:75-597, BooleanQueryExec fts.rs:904) as one
+    distributed plan over a query TABLE. The per-query column values are
+    text; each tokenizes with the index's tokenizer; a null cell means
+    "no terms of that occur class for this query".
+
+    Scoring uses FULL-corpus statistics with must/must_not as pure
+    membership filters — Lucene's normalization, identical to the
+    composable FullTextQuery tree (``execute_query``; pinned bulk ==
+    execute_query in tests). Note the single-query ``boolean_query``
+    differs: it renormalizes BM25 stats over the must-filtered corpus, a
+    per-query-corpus recompute that has no scalable bulk analogue (the
+    restricted corpus is different for every query row).
+
+    Plan: scoring reuses the match_join core (query-vocabulary-pruned
+    postings join). The must constraint is a per-(query, doc) distinct
+    matched-term count compared to the query's must-term count (a doc
+    passes iff it matched all of them; queries with no must terms skip the
+    gate); must_not is one anti join on the matched (query, doc) pairs.
+    Every join is a token or (query_id, id) equi-join — the query table
+    never broadcasts and nothing driver-side scales with |Q| or corpus.
+    """
+    from lance_spark.functions.text import tokenizer_expr
+
+    meta = _find(ds, column)
+    postings, doclens = _index_tables(ds, spark, meta)
+    tok = tokenizer_expr(meta.params.get("tokenizer", "simple"))
+
+    def _pairs(col):
+        if col is None:
+            return None
+        return (
+            queries.select(
+                F.col(query_id_col).alias("qid"),
+                F.explode(tok(F.col(col))).alias("token"),
+            )
+            .distinct()
+        )
+
+    must, should, must_not = _pairs(must_col), _pairs(should_col), _pairs(must_not_col)
+    score_pairs = must if should is None else (
+        should if must is None else should.unionByName(must).distinct()
+    )
+    if score_pairs is None:
+        raise ValueError("boolean_join: need at least one of must_col/should_col")
+    scored = _bm25_join_core(postings, doclens, score_pairs)
+    post_ids = postings.select("token", "id")
+    if must is not None:
+        need = must.groupBy("qid").agg(F.countDistinct("token").alias("__need"))
+        got = (
+            must.join(post_ids, "token")
+            .groupBy(F.col("qid").alias("query_id"), "id")
+            .agg(F.countDistinct("token").alias("__got"))
+        )
+        scored = (
+            scored.join(got, ["query_id", "id"], "left")
+            .join(need.withColumnRenamed("qid", "query_id"), "query_id", "left")
+            .filter(
+                F.col("__need").isNull()
+                | (F.coalesce(F.col("__got"), F.lit(0)) == F.col("__need"))
+            )
+            .drop("__got", "__need")
+        )
+    if must_not is not None:
+        bad = (
+            must_not.join(post_ids, "token")
+            .select(F.col("qid").alias("query_id"), "id")
+            .distinct()
+        )
+        scored = scored.join(bad, ["query_id", "id"], "left_anti")
     if k is None:
         return scored
     from pyspark.sql import Window

@@ -35,6 +35,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
+# Cap on the refine stage's driver-side candidate collect: (id, _approx)
+# rows are ~24 bytes, so 1M rows ≈ 24 MB — corpus-independent no matter how
+# wide a k × refine_factor configuration the caller asks for (ADVICE r8).
+_MAX_REFINE_CANDIDATES = 1_000_000
+
+
 def _as_matrix(series: pd.Series) -> np.ndarray:
     return np.asarray([np.asarray(v, dtype=np.float32) for v in series], dtype=np.float32)
 
@@ -391,6 +397,12 @@ def ann_search(
             spark, index, query, k, nprobes, ef_search, prefilter_rowids,
             refine_factor,
         )
+    # The refine stage collects k·refine_factor (id, _approx) rows to the
+    # driver; cap it at a corpus-independent bound so a wide-fetch
+    # configuration (e.g. the oracle suite's k=100_000 × refine=100-200)
+    # never turns the bounded point-read into a corpus-sized collect
+    # (ADVICE r8). 1M rows ≈ 24 MB — still a TakeExec-shaped read.
+    n_cand = min(k * max(refine_factor, 1), _MAX_REFINE_CANDIDATES)
     q = _query_prep(index, query)
     probes = probe_partitions(index, query, nprobes)
     codes = spark.read.parquet(os.path.join(index.uri, "codes")).filter(
@@ -456,7 +468,7 @@ def ann_search(
         scored = codes.select(
             "id", rq_dist("pq_code", "rq_norm", "rq_corr", "partition_id").alias("_approx")
         )
-        cand = scored.orderBy("_approx", "id").limit(k * max(refine_factor, 1)).collect()
+        cand = scored.orderBy("_approx", "id").limit(n_cand).collect()
         return _exact_refine_local(spark, index, probes, [r["id"] for r in cand], q, k, cosine)
 
     if index.index_type == "IVF_SQ":
@@ -477,7 +489,7 @@ def ann_search(
             return pd.Series(((deq - qb.value.astype(np.float64)) ** 2).sum(axis=1))
 
         scored = codes.select("id", sq_dist("pq_code").alias("_approx"))
-        cand = scored.orderBy("_approx", "id").limit(k * max(refine_factor, 1)).collect()
+        cand = scored.orderBy("_approx", "id").limit(n_cand).collect()
         return _exact_refine_local(spark, index, probes, [r["id"] for r in cand], q, k, cosine)
 
     # IVF_PQ: ADC lookup table (m, 256) of ||q_sub - (centroid_sub + code)||²
@@ -511,7 +523,6 @@ def ann_search(
     # the scan, the Python transfer, or the top-k heap — codes are ~dim/sub×
     # smaller, which is the entire IO story of PQ at 100 TB.
     scored = codes.select("id", pq_dist("pq_code", "partition_id").alias("_approx"))
-    n_cand = k * max(refine_factor, 1)
     cand = scored.orderBy("_approx", "id").limit(n_cand).collect()
     return _exact_refine_local(spark, index, probes, [r["id"] for r in cand], q, k, cosine)
 
@@ -733,19 +744,29 @@ def ann_join(
         "id",
         adc("query_id", "__qv", "partition_id", "pq_code").alias("_distance"),
     )
-    cand = _topk(approx, k * max(refine_factor, 1)).drop("_distance")
     # late materialization: raw vectors join against the survivor set —
     # only |Q|·refine·k vectors are ever read out. The survivor broadcast
-    # is COUNT-GATED: each row carries its query vector, so a huge query
-    # table's survivors can outgrow a broadcast — past the gate the join
-    # runs as a shuffle on (partition_id, id) instead.
+    # is COUNT-GATED, and the rows broadcast are NARROW: __qv (dim doubles
+    # per row) is dropped first so 2M rows means ~50 MB, not multiple GB
+    # (ADVICE r8 — a row-count gate over wide rows isn't a byte gate).
+    # Query vectors re-attach by query_id after the survivor join; that
+    # join is a plain equi-join AQE can broadcast when |Q| is small.
+    cand = _topk(approx, k * max(refine_factor, 1)).select(
+        "query_id", "partition_id", "id"
+    )
     cand = cand.localCheckpoint(eager=True)
     cand_side = F.broadcast(cand) if cand.count() <= 2_000_000 else cand
     vec_tbl = spark.read.parquet(os.path.join(index.uri, "codes")).select(
         "partition_id", "id", "vec"
     )
-    refined = vec_tbl.join(cand_side, ["partition_id", "id"]).select(
-        "query_id", "id", _exact().alias("_distance")
+    qvecs = queries.filter(F.col(query_vec_col).isNotNull()).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("__qv"),
+    ).dropDuplicates(["query_id"])
+    refined = (
+        vec_tbl.join(cand_side, ["partition_id", "id"])
+        .join(qvecs, "query_id")
+        .select("query_id", "id", _exact().alias("_distance"))
     )
     return _topk(refined, k)
 
@@ -786,6 +807,12 @@ def create_dataset_index(
     name = name or f"{column}_idx"
     rel = os.path.join("_indices", name)
     uri = os.path.join(ds.uri, rel)
+    # record whether the caller CHOSE the partition count: a √n-defaulted
+    # index must re-resolve √n against the row count at every rebuild
+    # (optimize_indices), or an index built at 1M rows keeps ~1000
+    # partitions at 100M and the nprobes prune ratio silently erodes
+    # (VERDICT r8 #4; the reference retrains on optimize too)
+    partitions_explicit = num_partitions is not None
     df = ds.scanner(spark, columns=[column], with_row_id=True)
     index = build_ivf(
         df,
@@ -818,6 +845,7 @@ def create_dataset_index(
                     params={
                         "metric": metric,
                         "num_partitions": num_partitions,
+                        "num_partitions_explicit": partitions_explicit,
                         "num_sub_vectors": num_sub_vectors,
                     },
                 )
@@ -921,6 +949,7 @@ def dataset_nearest_join(
     use_codes: bool = False,
     refine_factor: int = 4,
     fast_search: bool = False,
+    metric: str | None = None,
 ) -> DataFrame:
     """Bulk ``nearest`` over a dataset's vector index: top-k live rows for
     EVERY row of a query table → ``(query_id, _rowid, _distance)``. The
@@ -930,6 +959,10 @@ def dataset_nearest_join(
     brute-force scored and unioned unless ``fast_search``, and hits are
     validated against the live rowid set (deletions apply at scan, not in
     the index).
+
+    ``metric`` defaults to the index's recorded metric; when no index
+    exists it MUST be passed explicitly (there is nothing to default from
+    and a silent cosine fallback would mis-rank l2/dot datasets).
 
     The unindexed-tail branch broadcasts the query set (it is a
     ``knn_batch`` over the few post-index fragments); call
@@ -947,11 +980,24 @@ def dataset_nearest_join(
         ),
         None,
     )
+    if meta is not None:
+        idx_metric = meta.params["metric"]
+        if metric is not None and metric != idx_metric:
+            raise ValueError(
+                f"metric={metric!r} conflicts with the {idx_metric!r} index "
+                f"on column {column!r}; drop the argument or rebuild the index"
+            )
+        metric = idx_metric
+    elif metric is None:
+        raise ValueError(
+            f"no vector index on column {column!r}: pass metric= explicitly "
+            "('l2' | 'cosine' | 'dot') for the brute-force fallback"
+        )
     if meta is None:
         full = ds.to_df(spark, with_row_id=True)
         hits = knn_batch(
             full, queries, column, ROWID_COL, query_id_col,
-            query_vec_col=query_vec_col, k=k, metric="cosine",
+            query_vec_col=query_vec_col, k=k, metric=metric,
         )
     else:
         index = IvfIndex(os.path.join(ds.uri, meta.path))
@@ -965,7 +1011,7 @@ def dataset_nearest_join(
             flat = ds.scanner(spark, columns=[column], with_row_id=True, fragments=tail)
             flat_hits = knn_batch(
                 flat, queries, column, ROWID_COL, query_id_col,
-                query_vec_col=query_vec_col, k=k, metric=meta.params["metric"],
+                query_vec_col=query_vec_col, k=k, metric=metric,
             )
             hits = hits.unionByName(flat_hits)
         hits = hits.join(

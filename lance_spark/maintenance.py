@@ -227,9 +227,17 @@ def optimize_indices(ds, spark: SparkSession):
             from lance_spark.indexes.vector import create_dataset_index
 
             nsv = meta.params.get("num_sub_vectors")
+            # √n-defaulted indexes re-resolve the partition count against the
+            # CURRENT row count — an index created at 1M rows (√n≈1000) that
+            # grew to 100M must not rebuild at 1000 partitions, or the
+            # nprobes prune ratio erodes 10× (the reference retrains on
+            # optimize). Only an explicitly-chosen count is preserved;
+            # legacy indexes without the flag re-resolve too.
+            np_param = meta.params.get("num_partitions")
+            explicit = meta.params.get("num_partitions_explicit", False)
             out = create_dataset_index(
                 out, spark, meta.column, meta.name, meta.index_type,
-                num_partitions=int(meta.params.get("num_partitions", 16)),
+                num_partitions=int(np_param) if explicit and np_param is not None else None,
                 # indexes created before the resolved-params fix may have
                 # persisted None; let build_ivf re-resolve in that case
                 num_sub_vectors=int(nsv) if nsv is not None else None,

@@ -301,14 +301,29 @@ def nb_train(
     import json as _json
     import math
     import os
+    import urllib.parse
 
     from lance_spark.functions.text import tokenize
 
+    # meta.json is written driver-local (the manifest layer's convention);
+    # a remote scheme would silently land the model and its metadata on
+    # different filesystems — reject it up front.
+    scheme = urllib.parse.urlparse(model_uri).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"nb_train: model_uri must be a local path (got scheme {scheme!r}); "
+            "remote stores are not supported by the local manifest layer"
+        )
+    # null labels can't name a class: drop those rows rather than letting
+    # sorted() raise TypeError on None-vs-str or training a null class
+    train = train.filter(F.col(label_col).isNotNull())
     classes = sorted(
         r[0] for r in train.select(F.col(label_col)).distinct().collect()
     )
     if not classes:
-        raise ValueError("nb_train: training set has no labels")
+        raise ValueError(
+            f"nb_train: no non-null labels in column {label_col!r}"
+        )
     tr = train.select(F.col(label_col).alias("c"), tokenize(F.col(text_col)).alias("w"))
     docs_c = {r["c"]: r["n"] for r in tr.groupBy("c").agg(F.count("*").alias("n")).collect()}
     total_docs = sum(docs_c.values())
@@ -361,11 +376,15 @@ def nb_score(
         meta = _json.load(fh)
     classes, prior, floor = meta["classes"], meta["prior"], meta["floor"]
     model = spark.read.parquet(os.path.join(model_uri, "model"))
-    # count-gated broadcast (the unigram-LM-scorer budget): the model is
-    # vocabulary-sized, and a 100 TB training corpus's vocabulary can
-    # outgrow a broadcast — past the gate the lookup runs as a shuffle
+    # byte-gated broadcast (the unigram-LM-scorer budget): the model is
+    # vocabulary-sized AND each row carries a per-class double array, so
+    # the gate estimates bytes (rows × row width), not just rows — a 2M-row
+    # model with 100 classes is ~1.6 GB and must shuffle (ADVICE r8). A
+    # 100 TB training corpus's vocabulary can outgrow a broadcast too —
+    # past the gate the lookup runs as a shuffle.
+    row_bytes = 24 + 8 * len(classes)  # token + struct overhead + ll array
     model_side = (
-        F.broadcast(model) if model.count() <= 2_000_000
+        F.broadcast(model) if model.count() * row_bytes <= 256 * 1024 * 1024
         else model.hint("shuffle_hash")
     )
     sc = score.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("w"))

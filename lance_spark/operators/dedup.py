@@ -937,23 +937,56 @@ def sampled_window_hashes(
     windows at ANY byte alignment (winnowing / CDC chunking, Schleimer et
     al. 2003). Row-local built-ins only; the ``% every`` sampling prunes
     1-1/every of rows before anything downstream shuffles.
+
+    Long-document design (VERDICT r8 #2): each row is first exploded into
+    small overlapping SEGMENTS (step chars + window-1 overlap, plus one
+    lookback char for the word-start test), and anchors enumerate within a
+    segment. This fixes two independent long-doc hazards of the naive
+    ``filter(sequence(1, length(t)), ...)`` form: (a) the dense
+    char-count-sized integer transient (8-80 MB per row on 1-10 MB
+    book/code docs — precisely where span dedup matters), and (b) the
+    O(n²) cost of per-anchor ``substr`` on a multi-MB string — Spark's
+    UTF8String.substring is a linear char-boundary scan from byte 0, so
+    anchoring directly against the full text is quadratic (measured: two
+    3 MB docs took >400 s; segmented, seconds). Per-row transient is now
+    segment-sized; total substr work is O(n·step). The anchor set and
+    hashes are IDENTICAL to the unsegmented form: segments tile
+    [1, length-window+1] exactly and windows never cross a tile boundary
+    (the overlap covers them).
     """
+    # ~sqrt(doc_len · word_len) balances segment extraction (O(n²/step))
+    # against in-segment anchor scans (O(n·step/word_len))
+    step = 4096
     t = F.col(text_col)
+    # sentinel space: word-start at global pos p ⟺ t2[p] == ' '
+    # (uniformly covers p == 1), and window text = t2[p+1..p+window]
+    t2 = F.concat(F.lit(" "), t)
+    maxp = (F.length(t) - window + 1).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.ceil(maxp / F.lit(step)).cast("int") - 1),
+        lambda b: F.struct(
+            (b * step).cast("int").alias("base"),
+            t2.substr(b * step + 1, F.lit(step + window)).alias("seg"),
+        ),
+    )
+    seg = F.col("s.seg")
+    base = F.col("s.base")
     anchors = F.filter(
-        F.sequence(F.lit(1), F.length(t) - window + 1),
-        lambda i: (i == F.lit(1)) | (t.substr(i - 1, F.lit(1)) == F.lit(" ")),
+        F.sequence(F.lit(1), F.least(F.lit(step), F.col("__maxp") - base)),
+        lambda j: seg.substr(j, F.lit(1)) == F.lit(" "),
     )
     return (
         df.filter(F.length(t) >= window)
+        .select(F.col(id_col).alias("id"), maxp.alias("__maxp"), F.explode(segs).alias("s"))
         .select(
-            F.col(id_col).alias("id"),
+            "id",
             F.explode(
                 F.filter(
                     F.transform(
                         anchors,
-                        lambda i: F.struct(
-                            i.alias("pos"),
-                            hash64(t.substr(i, F.lit(window))).alias("h"),
+                        lambda j: F.struct(
+                            (base + j).cast("int").alias("pos"),
+                            hash64(seg.substr(j + 1, F.lit(window))).alias("h"),
                         ),
                     ),
                     lambda s: s["h"] % every == 0,

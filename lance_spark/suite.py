@@ -2211,6 +2211,129 @@ def fts_bm25_join(spark, sf_dir):
 
 
 @query(
+    "fts_phrase_join",
+    f"""
+    WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
+    q(query_id, phrase) AS (VALUES
+      (0, 'key order'), (1, 'the table'), (2, 'scan and join'), (3, 'key value')),
+    m AS (SELECT q.query_id, t.id AS doc_id
+          FROM q JOIN tok t
+            ON contains(' ' || array_to_string(t.w, ' ') || ' ',
+                        ' ' || q.phrase || ' '))
+    SELECT query_id, doc_id FROM m ORDER BY query_id, doc_id
+    """,
+)
+def fts_phrase_join(spark, sf_dir):
+    """Bulk phrase match through the positional inverted index
+    (indexes/inverted.py: phrase_join): every (query, doc) pair where the
+    doc contains the query phrase token-adjacent (slop=0), as ONE
+    distributed plan — the structured-query analogue of fts_bm25_join.
+    The oracle phrase-matches on the space-joined token string (the
+    fts_phrase_match trick), which equals token adjacency at slop=0."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, phrase_join
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_phj_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text")
+    queries = spark.createDataFrame(
+        [(0, "key order"), (1, "the table"), (2, "scan and join"), (3, "key value")],
+        ["qid", "qtext"],
+    )
+    hits = phrase_join(ds, spark, queries, "qtext", "qid", slop=0)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", F.col("doc_id").alias("doc_id"))
+    return (
+        hits.join(base, hits.id == base._rowid)
+        .select("query_id", "doc_id")
+        .orderBy("query_id", "doc_id")
+    )
+
+
+@query(
+    "fts_boolean_join",
+    f"""
+    WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
+    dl AS (SELECT id, len(w) AS dl FROM tok),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    post AS (SELECT id, unnest(w) AS token FROM tok),
+    q(qid, must, shoulds, mustnot) AS (VALUES
+      (0, ['table'], ['scan', 'join'], ['slow']),
+      (1, ['data'], ['key', 'value'], []::VARCHAR[]),
+      (2, []::VARCHAR[], ['scan'], ['table'])),
+    qs AS (SELECT DISTINCT qid, unnest(list_concat(shoulds, must)) AS token FROM q),
+    tfq AS (SELECT token, id, count(*) AS tf FROM post
+            WHERE token IN (SELECT DISTINCT token FROM qs) GROUP BY 1, 2),
+    dfq AS (SELECT token, count(*) AS df FROM tfq GROUP BY token),
+    sc AS (SELECT qs.qid, tfq.id,
+                  round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                        * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS _score
+           FROM qs JOIN tfq USING (token) JOIN dfq USING (token)
+                JOIN dl ON dl.id = tfq.id CROSS JOIN stats
+           GROUP BY qs.qid, tfq.id),
+    mneed AS (SELECT qid, len(list_distinct(must)) AS need FROM q WHERE len(must) > 0),
+    mq AS (SELECT DISTINCT qid, unnest(must) AS token FROM q),
+    mgot AS (SELECT mq.qid, p.id, count(DISTINCT p.token) AS got
+             FROM mq JOIN post p USING (token) GROUP BY 1, 2),
+    nq AS (SELECT DISTINCT qid, unnest(mustnot) AS token FROM q),
+    bad AS (SELECT DISTINCT nq.qid, p.id FROM nq JOIN post p USING (token)),
+    keep AS (SELECT s.qid, s.id, s._score
+             FROM sc s
+             LEFT JOIN mneed ON mneed.qid = s.qid
+             LEFT JOIN mgot ON mgot.qid = s.qid AND mgot.id = s.id
+             WHERE (mneed.need IS NULL OR coalesce(mgot.got, 0) = mneed.need)
+               AND NOT EXISTS (SELECT 1 FROM bad b WHERE b.qid = s.qid AND b.id = s.id)),
+    r AS (SELECT qid, id, _score,
+                 row_number() OVER (PARTITION BY qid ORDER BY _score DESC, id) AS rn
+          FROM keep)
+    SELECT qid AS query_id, id AS doc_id, _score FROM r WHERE rn <= 5
+    ORDER BY query_id, rn
+    """,
+)
+def fts_boolean_join(spark, sf_dir):
+    """Bulk boolean must/should/must_not through the inverted index
+    (indexes/inverted.py: boolean_join): top-5 per query with Lucene
+    full-corpus scoring stats and membership-only must/must_not —
+    identical semantics to the composable execute_query tree, as one
+    distributed plan over the query table. Ties re-cut on doc_id after
+    the rowid map (the k=None contract)."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import boolean_join, create_inverted_index
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_boj_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text")
+    queries = spark.createDataFrame(
+        [
+            (0, "table", "scan join", "slow"),
+            (1, "data", "key value", None),
+            (2, None, "scan", "table"),
+        ],
+        ["qid", "must", "should", "mustnot"],
+    )
+    hits = boolean_join(
+        ds, spark, queries, "qid", must_col="must", should_col="should",
+        must_not_col="mustnot", k=None,
+    )
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", F.col("doc_id").alias("doc_id"))
+    mapped = hits.join(base, hits.id == base._rowid).select(
+        "query_id", "doc_id", "_score"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("doc_id"))
+    return (
+        mapped.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+        .orderBy("query_id", F.desc("_score"), "doc_id")
+    )
+
+
+@query(
     "search_hybrid_join",
     f"""
     WITH corpus AS (

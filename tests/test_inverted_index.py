@@ -150,3 +150,70 @@ def test_match_join_equals_per_query_match(spark, sf_dir, tmp_path):
                 for r in match_query(ds, spark, qtext.split(), k=5).collect()]
         got = sorted(bulk.get(qid, []), key=lambda t: (-t[0], t[1]))
         assert got == want, qid
+
+
+@pytest.fixture(scope="module")
+def indexed_docs_ds(spark, sf_dir, tmp_path_factory):
+    import lance_spark as ls
+    from lance_spark.indexes.inverted import create_inverted_index
+
+    uri = str(tmp_path_factory.mktemp("bulkfts") / "docs")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ls.write_dataset(docs.repartition(2), uri, mode="create")
+    return create_inverted_index(ls.dataset(uri), spark, "text")
+
+
+@pytest.mark.parametrize("slop", [0, 1])
+def test_phrase_join_equals_per_query_phrase(spark, indexed_docs_ds, slop):
+    """phrase_join's matched (query, doc) sets equal phrase_query run per
+    query on the same index — the dynamic aggregate-fold walk must replay
+    the statically-unrolled per-query walk exactly (incl. slop)."""
+    from lance_spark.indexes.inverted import phrase_join, phrase_query
+
+    ds = indexed_docs_ds
+    phrases = ["key order", "the table", "scan and join", "data"]
+    q = spark.createDataFrame(list(enumerate(phrases)), ["qid", "qtext"])
+    bulk = {}
+    for r in phrase_join(ds, spark, q, "qtext", "qid", slop=slop).collect():
+        bulk.setdefault(r["query_id"], set()).add(r["id"])
+    for i, p in enumerate(phrases):
+        want = {r["id"] for r in phrase_query(ds, spark, p, slop=slop).collect()}
+        assert bulk.get(i, set()) == want, (i, p)
+
+
+def test_boolean_join_equals_execute_query(spark, indexed_docs_ds):
+    """boolean_join scores with Lucene full-corpus statistics — pinned
+    equal to the composable execute_query tree per query (membership AND
+    scores). The single-query boolean_query differs by design (it
+    renormalizes stats over the must-filtered corpus; see docstring)."""
+    from lance_spark.indexes.inverted import boolean_join
+    from lance_spark.query import BooleanQuery, MatchQuery, Occur, execute_query
+
+    ds = indexed_docs_ds
+    cases = [
+        (0, "table", "scan join", "slow"),
+        (1, "data", "key value", None),
+        (2, None, "scan", "table"),
+    ]
+    bq = spark.createDataFrame(cases, ["qid", "must", "should", "mustnot"])
+    bulk = {}
+    rows = boolean_join(
+        ds, spark, bq, "qid", must_col="must", should_col="should",
+        must_not_col="mustnot", k=None,
+    ).collect()
+    for r in rows:
+        bulk.setdefault(r["query_id"], {})[r["id"]] = round(r["_score"], 4)
+    base_df = ds.to_df(spark, with_row_id=True)
+    for qid, must, should, mustnot in cases:
+        clauses = []
+        if must:
+            clauses.append((Occur.MUST, MatchQuery(must, "text")))
+        if should:
+            clauses.append((Occur.SHOULD, MatchQuery(should, "text")))
+        if mustnot:
+            clauses.append((Occur.MUST_NOT, MatchQuery(mustnot, "text")))
+        w = execute_query(
+            spark, BooleanQuery(clauses), df=base_df, id_col="_rowid", k=None
+        )
+        want = {r["id"]: round(r["_score"], 4) for r in w.collect()}
+        assert bulk.get(qid, {}) == want, qid

@@ -600,6 +600,30 @@ class TestSubstringSpans:
         rows = [(1, "tiny"), (2, "tiny")]
         assert self._spans(spark, rows, window=20, every=1) == []
 
+    def test_multi_megabyte_documents(self, spark):
+        # book/code-corpus sized rows: the tiled anchor enumeration keeps
+        # the per-row transient block-sized instead of the ~8 bytes/char
+        # dense sequence() array (VERDICT r8 #2); this doc is ~3 MB, which
+        # under the old expression allocated a ~24 MB int array per row
+        import random
+
+        rng = random.Random(7)
+        filler1 = " ".join(f"w{rng.randrange(10**9)}" for _ in range(200_000))
+        filler2 = " ".join(f"v{rng.randrange(10**9)}" for _ in range(200_000))
+        boiler = (
+            "this exact licensed paragraph is repeated verbatim across both "
+            "large documents and must be recovered as one duplicated span"
+        )
+        rows = [
+            (1, filler1[: 2**21] + " " + boiler + " " + filler1[: 2**20]),
+            (2, filler2[: 2**21 - 317] + " " + boiler + " " + filler2[: 2**20]),
+        ]
+        spans = self._spans(spark, rows, window=30, every=1)
+        assert {s[0] for s in spans} == {1, 2}
+        for doc_id, start, length in spans:
+            text = rows[doc_id - 1][1]
+            assert boiler.find(text[start - 1 : start - 1 + length]) >= 0
+
 
 class TestContaminationSpans:
     """contamination_spans (span-level eval-set decontamination: broadcast

@@ -416,6 +416,70 @@ def test_optimize_tolerates_legacy_none_num_sub_vectors(spark, emb, tmp_path):
     assert ds.list_indices()
 
 
+def test_optimize_reresolves_sqrt_n_partitions(spark, emb, tmp_path):
+    """A √n-defaulted index must retrain its partition count from the
+    CURRENT row count on optimize (VERDICT r8 #4): an index built at n
+    rows that grows ~16× rebuilds near √(16n), not at the creation-time
+    count — and the rebuilt index still answers exactly at full probe."""
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.vector import IvfIndex
+    from lance_spark.operators.knn import knn_bruteforce
+    from lance_spark.write import write_dataset
+    import os
+
+    uri = str(tmp_path / "resqrt")
+    write_dataset(emb.limit(60), uri, mode="create")
+    ds = dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_FLAT", metric="l2"
+    )
+    meta0 = next(i for i in ds.manifest.indices if i.column == "embedding")
+    assert meta0.params["num_partitions_explicit"] is False
+    n0 = int(meta0.params["num_partitions"])
+    assert n0 == pytest.approx(60 ** 0.5, abs=2)
+
+    extra = emb.subtract(emb.limit(60))
+    ds.insert(extra)
+    total = dataset(uri).to_df(spark).count()
+    ds = dataset(uri).optimize_indices(spark)
+    meta1 = next(i for i in ds.manifest.indices if i.column == "embedding")
+    n1 = int(meta1.params["num_partitions"])
+    assert n1 == pytest.approx(total ** 0.5, abs=4) and n1 > n0
+    idx = IvfIndex(os.path.join(uri, meta1.path))
+    assert idx.centroids.shape[0] == n1
+
+    q = _query_vec(emb, 7)
+    got = [
+        r["_rowid"]
+        for r in ds.nearest(
+            spark, "embedding", q, k=5, nprobes=n1, with_row_id=True
+        ).collect()
+    ]
+    want = [
+        r["_rowid"]
+        for r in knn_bruteforce(
+            ds.to_df(spark, with_row_id=True), "embedding", q, k=5,
+            metric="l2", id_col="_rowid",
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_optimize_preserves_explicit_partition_count(spark, emb, tmp_path):
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "keepnp")
+    write_dataset(emb.limit(100), uri, mode="create")
+    ds = dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_FLAT", num_partitions=7, metric="l2"
+    )
+    ds.insert(emb.limit(400).subtract(emb.limit(100)))
+    ds = dataset(uri).optimize_indices(spark)
+    meta = next(i for i in ds.manifest.indices if i.column == "embedding")
+    assert int(meta.params["num_partitions"]) == 7
+    assert meta.params["num_partitions_explicit"] is True
+
+
 def test_ann_join_full_probe_is_exact(spark, emb, tmp_path):
     """ann_join at nprobes=num_partitions equals per-query brute force
     (same plan the ann_knn_join suite oracle pins at sf0.01/0.1)."""
@@ -528,3 +592,51 @@ def test_dataset_nearest_join_matches_per_query_nearest(spark, emb, tmp_path):
                             with_row_id=True)
         want = [(round(r["_distance"], 6), r["_rowid"]) for r in single.collect()]
         assert sorted(got[qrow["vec_id"]]) == sorted(want)
+
+
+def test_nearest_join_no_index_requires_and_honors_metric(spark, emb, tmp_path):
+    """No-index nearest_join must not silently fall back to cosine: it
+    requires an explicit metric and then matches knn_batch at that metric
+    (VERDICT r8 #1 — indexes/vector.py dataset_nearest_join)."""
+    import lance_spark as ls
+    from lance_spark.operators.knn import knn_batch
+    from lance_spark.write import ROWID_COL
+
+    uri = str(tmp_path / "njnometric")
+    ls.write_dataset(emb.limit(400).repartition(2), uri, mode="create")
+    ds = ls.dataset(uri)
+    queries = emb.filter(F.col("vec_id") % 100 == 7).limit(3)
+    with pytest.raises(ValueError, match="metric"):
+        ds.nearest_join(spark, "embedding", queries, "embedding", "vec_id", k=5)
+    bulk = ds.nearest_join(
+        spark, "embedding", queries, "embedding", "vec_id", k=5, metric="l2"
+    )
+    got = {}
+    for r in bulk.collect():
+        got.setdefault(r["query_id"], []).append((round(r["_distance"], 6), r[ROWID_COL]))
+    full = ds.to_df(spark, with_row_id=True)
+    want_df = knn_batch(
+        full, queries, "embedding", ROWID_COL, "vec_id",
+        query_vec_col="embedding", k=5, metric="l2",
+    )
+    want = {}
+    for r in want_df.collect():
+        want.setdefault(r["query_id"], []).append((round(r["_distance"], 6), r["id"]))
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in want.items()
+    }
+
+
+def test_nearest_join_metric_conflict_with_index_raises(spark, emb, tmp_path):
+    import lance_spark as ls
+
+    uri = str(tmp_path / "njconflict")
+    ls.write_dataset(emb.limit(400).repartition(2), uri, mode="create")
+    ds = ls.dataset(uri).create_index(
+        spark, "embedding", num_partitions=4, metric="cosine", index_type="IVF_FLAT"
+    )
+    queries = emb.limit(2)
+    with pytest.raises(ValueError, match="conflicts"):
+        ds.nearest_join(
+            spark, "embedding", queries, "embedding", "vec_id", k=3, metric="l2"
+        )
