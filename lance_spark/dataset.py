@@ -1550,7 +1550,11 @@ class LanceDataset:
         num_sub_vectors: int | None = None,
         metric: str = "cosine",
         train: bool = True,
+        accelerator=None,
     ) -> "LanceDataset":
+        """``accelerator`` ("cuda" / "mps" / torch device — reference
+        dataset.py:2585) accelerates kmeans training when torch and the
+        device are present; otherwise falls back to CPU with a warning."""
         if not train:
             # reference parity: vector indices require training
             # (test_create_empty_index.py expects NotImplementedError)
@@ -1558,7 +1562,8 @@ class LanceDataset:
         from lance_spark.indexes.vector import create_dataset_index
 
         return create_dataset_index(
-            self, spark, column, name, index_type, num_partitions, num_sub_vectors, metric
+            self, spark, column, name, index_type, num_partitions, num_sub_vectors,
+            metric, accelerator=accelerator,
         )
 
     def get_ivf_model(self, index_name: str):

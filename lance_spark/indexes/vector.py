@@ -112,6 +112,78 @@ class IvfIndex:
         return self.meta["index_type"]
 
 
+def _resolve_accelerator(accelerator):
+    """Resolve the reference's ``accelerator`` parameter
+    (python/python/lance/dataset.py:2532-2585: "cuda" / "mps" /
+    torch.Device, used to speed up kmeans training). Returns a torch
+    device, or None for the CPU path. Graceful fallback: torch missing or
+    the device unavailable degrades to CPU kmeans with a warning —
+    training still succeeds, matching the parameter's role as a pure
+    speed-up (the trained model's semantics don't depend on it)."""
+    if accelerator is None:
+        return None
+    import warnings
+
+    try:
+        import torch
+    except ImportError:
+        warnings.warn(
+            f"accelerator={accelerator!r} requested but torch is not "
+            "installed; falling back to CPU kmeans",
+            stacklevel=3,
+        )
+        return None
+    dev = torch.device(accelerator) if isinstance(accelerator, str) else accelerator
+    if dev.type not in ("cuda", "mps"):
+        raise ValueError(
+            f"unsupported accelerator {accelerator!r}: expected 'cuda' or 'mps'"
+        )
+    avail = (
+        torch.cuda.is_available()
+        if dev.type == "cuda"
+        else torch.backends.mps.is_available()
+    )
+    if not avail:
+        warnings.warn(
+            f"accelerator {dev} is not available; falling back to CPU kmeans",
+            stacklevel=3,
+        )
+        return None
+    return dev
+
+
+def train_kmeans_torch(x: np.ndarray, k: int, device, iters: int = 12, seed: int = 42) -> np.ndarray:
+    """Lloyd's on a torch device — the accelerated analogue of
+    ``train_kmeans`` (reference: lance/torch/kmeans.py backing the
+    ``accelerator`` param). Same kmeans++-ish seeding discipline; results
+    are float32 centroids. Only reached when torch + the device exist."""
+    import torch
+
+    rng = np.random.default_rng(seed)
+    xt = torch.as_tensor(np.ascontiguousarray(x, dtype=np.float32), device=device)
+    n = xt.shape[0]
+    k = min(k, n)
+    cent = torch.empty((k, xt.shape[1]), device=device)
+    cent[0] = xt[int(rng.integers(n))]
+    d2 = torch.full((n,), float("inf"), device=device)
+    for i in range(1, k):
+        d2 = torch.minimum(d2, ((xt - cent[i - 1]) ** 2).sum(dim=1))
+        probs = (d2 / torch.clamp(d2.sum(), min=1e-12)).cpu().numpy().astype(np.float64)
+        probs = probs / probs.sum()
+        cent[i] = xt[int(rng.choice(n, p=probs))]
+    x2 = (xt * xt).sum(dim=1, keepdim=True)
+    for _ in range(iters):
+        dists = x2 - 2.0 * (xt @ cent.T) + (cent * cent).sum(dim=1)
+        assign = dists.argmin(dim=1)
+        for j in range(k):
+            mask = assign == j
+            if bool(mask.any()):
+                cent[j] = xt[mask].mean(dim=0)
+            else:
+                cent[j] = xt[int(dists.min(dim=1).values.argmax())]
+    return cent.cpu().numpy().astype(np.float32)
+
+
 def train_pq_codebooks(
     sample: np.ndarray, centroids: np.ndarray, num_subvectors: int,
     seed: int = 42, iters: int = 8,
@@ -180,6 +252,7 @@ def build_ivf(
     num_sub_vectors: int | None = None,
     sample_size: int = 50_000,
     seed: int = 42,
+    accelerator=None,
 ) -> IvfIndex:
     """Build an IVF_FLAT or IVF_PQ index table (dataset.py:2517-2600
     ``create_index`` semantics).
@@ -215,7 +288,11 @@ def build_ivf(
     sample = sample[np.lexsort(sample.T[::-1])]
     if cosine:
         sample = _normalize(sample)
-    centroids = train_kmeans(sample, num_partitions, seed=seed)
+    device = _resolve_accelerator(accelerator)
+    if device is not None:
+        centroids = train_kmeans_torch(sample, num_partitions, device, seed=seed)
+    else:
+        centroids = train_kmeans(sample, num_partitions, seed=seed)
     k = centroids.shape[0]
     dim = centroids.shape[1]
 
@@ -771,6 +848,73 @@ def ann_join(
     return _topk(refined, k)
 
 
+def ann_maxsim(
+    spark: SparkSession,
+    index: IvfIndex,
+    query_vectors: list[list[float]],
+    k: int = 10,
+    nprobes: int = 4,
+    overfetch: int = 10,
+    refine_factor: int = 1,
+) -> DataFrame:
+    """Index-accelerated MULTIVECTOR (ColBERT/XTR) search: maxsim top-k
+    through the IVF index → ``(id, _distance)`` with
+    ``_distance = num_queries - Σ_q max_v cos(q, v)`` — the reference's
+    multivector ANN plan (scanner.rs:3471-3552 ``multivec_ann``;
+    MultivectorScoringExec, io/exec/knn.rs:1133), replacing the
+    linear-scan-only ``multivector_maxsim`` at production scale.
+
+    The index is built over the FLATTENED per-document vectors (one codes
+    row per vector, ``id`` = the document id — build with the document's
+    exploded multivector column). Per reference:
+
+    1. every query vector fetches ``k·overfetch`` candidates through the
+       index (LANCE_XTR_OVERFETCH=10 default) — here ALL query vectors run
+       as ONE ``ann_join`` plan (the query set is a table), not Q driver
+       round-trips;
+    2. per (query, doc): best similarity among the doc's surviving vectors
+       (the Exec's sorted-stream dedup);
+    3. missing (query, doc) pairs impute the query's WORST kept similarity
+       (XTR's missing-similarity estimate) — expressed without
+       materializing the dense Q×doc matrix:
+       ``score(d) = Σ_q min_sim_q + Σ_{q: d∈C_q} (sim_q(d) − min_sim_q)``,
+       one scalar aggregate plus one groupBy over the candidate union;
+    4. top ``k·refine_factor`` by ascending distance. No raw-vector refine
+       (XTR skips it by design — scanner.rs:3494 comment).
+
+    Exact at the exhaustive configuration (full probe + overfetch covering
+    the corpus): every doc then appears in every candidate list, no
+    imputation occurs, and the score IS true maxsim — the oracle pin.
+    Candidate volume is Q·k·overfetch rows — query-sized, never
+    corpus-sized; everything after the ann_join is arithmetic on it.
+    """
+    if index.metric != "cosine":
+        raise ValueError(
+            f"multivector maxsim requires a cosine index (got {index.metric!r}):"
+            " the XTR similarity estimate is defined on cosine distance"
+        )
+    nq = len(query_vectors)
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in q]) for i, q in enumerate(query_vectors)],
+        "qidx int, qv array<double>",
+    )
+    cand = ann_join(
+        spark, index, qdf, "qv", "qidx", k=k * max(overfetch, 1), nprobes=nprobes
+    ).select("query_id", "id", (1.0 - F.col("_distance")).alias("sim"))
+    cand = cand.localCheckpoint(eager=True)  # reused thrice below; tiny
+    minsim = cand.groupBy("query_id").agg(F.min("sim").alias("min_sim"))
+    msum = minsim.agg(F.sum("min_sim").alias("__msum"))
+    best = cand.groupBy("query_id", "id").agg(F.max("sim").alias("sim"))
+    scored = (
+        best.join(F.broadcast(minsim), "query_id")
+        .groupBy("id")
+        .agg(F.sum(F.col("sim") - F.col("min_sim")).alias("__adj"))
+        .crossJoin(F.broadcast(msum))
+        .select("id", (F.lit(float(nq)) - (F.col("__adj") + F.col("__msum"))).alias("_distance"))
+    )
+    return scored.orderBy("_distance", "id").limit(k * max(refine_factor, 1))
+
+
 def _finalize_distance(df: DataFrame, metric: str) -> DataFrame:
     """Internal scoring is squared-L2 over (unit-normalized, for cosine)
     vectors; convert to the reported metric: cosine distance = 1 - cos =
@@ -796,11 +940,14 @@ def create_dataset_index(
     num_partitions: int | None = None,
     num_sub_vectors: int | None = None,
     metric: str = "cosine",
+    accelerator=None,
 ):
     """``create_index`` on a LanceDataset (dataset.py:2517-2600): build the
     index table under ``_indices/<name>/`` and commit IndexMeta recording
     fragment coverage (the reference's per-fragment coverage bitmap,
-    rust/lance-index/src/lib.rs)."""
+    rust/lance-index/src/lib.rs). ``accelerator`` ("cuda"/"mps"/torch
+    device, dataset.py:2585) speeds up kmeans training; CPU fallback when
+    torch or the device is absent."""
     from lance_spark import manifest as mf
     from lance_spark.write import ROWID_COL
 
@@ -823,6 +970,7 @@ def create_dataset_index(
         metric=metric,
         index_type=index_type,
         num_sub_vectors=num_sub_vectors,
+        accelerator=accelerator,
     )
     # Persist the RESOLVED parameters (build_ivf picks num_sub_vectors when
     # None is passed, PQBuildParams-style): optimize_indices rebuilds from

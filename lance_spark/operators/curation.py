@@ -349,6 +349,9 @@ def nb_train(
                 "classes": classes,
                 "prior": [math.log(docs_c[c] / total_docs) for c in classes],
                 "floor": [math.log(alpha / denom[c]) for c in classes],
+                # persisted so nb_score's broadcast gate is a metadata read,
+                # not an extra count() job per scoring call (VERDICT r8 #3)
+                "vocab_size": int(v),
             },
             fh,
         )
@@ -381,10 +384,15 @@ def nb_score(
     # the gate estimates bytes (rows × row width), not just rows — a 2M-row
     # model with 100 classes is ~1.6 GB and must shuffle (ADVICE r8). A
     # 100 TB training corpus's vocabulary can outgrow a broadcast too —
-    # past the gate the lookup runs as a shuffle.
+    # past the gate the lookup runs as a shuffle. Vocabulary size comes
+    # from train-time metadata, so the gate costs zero jobs here (legacy
+    # models without the field fall back to one count).
+    vocab = meta.get("vocab_size")
+    if vocab is None:
+        vocab = model.count()
     row_bytes = 24 + 8 * len(classes)  # token + struct overhead + ll array
     model_side = (
-        F.broadcast(model) if model.count() * row_bytes <= 256 * 1024 * 1024
+        F.broadcast(model) if vocab * row_bytes <= 256 * 1024 * 1024
         else model.hint("shuffle_hash")
     )
     sc = score.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("w"))

@@ -4338,6 +4338,45 @@ def multivector_maxsim_q(spark, sf_dir):
     return multivector_maxsim(docs, "mv", "label", qs, k=5)
 
 
+@query("ann_multivector_topk", _maxsim_oracle())
+def ann_multivector_topk(spark, sf_dir):
+    """Index-accelerated multivector maxsim (indexes/vector.py ann_maxsim;
+    reference multivec_ann scanner.rs:3471-3552 + MultivectorScoringExec):
+    IVF index over the flattened per-label vectors, both query vectors as
+    ONE ann_join plan, XTR missing-sim imputation. Exhaustive config
+    (full probe + corpus-covering overfetch) → exact == the brute-force
+    maxsim oracle; wide fetch re-cut on the rounded score (the
+    _topk_rounded tie rule)."""
+    import tempfile
+
+    from lance_spark.indexes.vector import ann_maxsim, build_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [
+        [float(x) for x in emb.filter(f"vec_id = {i}").first()["embedding"]]
+        for i in (0, 1)
+    ]
+    flat = emb.filter("vec_id >= 2").select(
+        F.col("label").alias("id"), F.col("embedding").alias("vec")
+    )
+    n_vec = flat.count()
+    idx = build_ivf(
+        flat, "vec", "id", tempfile.mkdtemp(prefix="lsq_mvx_") + "/idx",
+        num_partitions=8, metric="cosine", index_type="IVF_FLAT",
+    )
+    res = ann_maxsim(
+        spark, idx, qs, k=100_000, nprobes=8, overfetch=n_vec // 100_000 + 1
+    )
+    return (
+        res.select(
+            F.col("id").alias("label"),
+            F.round(F.lit(float(len(qs))) - F.col("_distance"), 4).alias("_maxsim"),
+        )
+        .orderBy(F.desc("_maxsim"), F.asc("label"))
+        .limit(5)
+    )
+
+
 @query(
     "ann_prefiltered",
     f"""

