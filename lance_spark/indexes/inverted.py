@@ -262,18 +262,37 @@ def phrase_join(
     (reference PhraseQuery semantics, inverted/query.rs; exec fts.rs:501),
     with no per-query driver round-trip.
 
-    Plan: queries tokenize with the index's tokenizer and posexplode to
-    (qid, qpos, token); postings are pruned to the query vocabulary
-    (count-gated broadcast semi, the match_join gate) and equi-join the
-    pairs on token; one groupBy (qid, id) collects each matched term's
-    positional postings, and the sloppy candidate walk — the SAME greedy
-    min-advance recurrence ``phrase_query`` unrolls statically — runs as
-    one row-local ``aggregate`` over the qpos-sorted list (the phrase
-    length is data, so the walk folds instead of unrolling). A doc
-    qualifies only when every query position matched (``size == nq``) and
-    the fold retains a live candidate. Work per (query, doc) is the
-    matched postings' positions — never the corpus; the only shuffles are
-    the token equi-join and the (qid, id) groupBy.
+    Two plans, chosen by ``slop``:
+
+    ``slop == 0`` — N-GRAM HASH JOIN (query-count-independent): postings
+    positions are token ORDINALS (posexplode indices), so exact phrase
+    containment is equality of a rolling token L-gram with the query's
+    token sequence. One corpus-token pass (explode positions → per-doc
+    window of ``lead(token, j)``) emits each required-length gram's hash;
+    the per-query phrase hashes (ONE row per query) broadcast and the
+    gram stream probes them MAP-SIDE, with a string-equality recheck so
+    hash collisions cannot create false matches. Total cost: one
+    corpus-token shuffle + a map-side probe — independent of |Q| and of
+    term document frequencies. This matters because term-at-a-time plans
+    are Σ_q df(t₀): measured on a template corpus where every query
+    token has df≈76% (the stopword worst case, 2500 queries × 50k docs),
+    ANY pair-materializing plan touches ~95M (query, doc) pairs and ran
+    >9 minutes on 16 threads; the gram plan does 10M narrow corpus rows
+    and finishes in seconds. Real engines hit the same wall — pure-
+    stopword phrases are Lucene's worst case — and the fix is the same
+    idea as positional n-gram indexes.
+
+    ``slop > 0`` — INCREMENTAL positional intersection: all queries
+    advance one phrase position per round (a driver loop over phrase
+    LENGTH, capped at 64 — a query property, never data-sized). Round 0
+    joins every query's first term with the vocabulary-pruned positional
+    postings; round i left-joins the i-th term's positions on (qid, id)
+    and steps the walk — the same greedy min-advance recurrence
+    ``phrase_query`` unrolls statically — filtering dead pairs every
+    round, so adjacency selectivity prunes even when df cannot.
+
+    In both plans the query table never broadcasts un-gated; every join
+    is a token / hash / (qid, id) equi-join.
     """
     from lance_spark.functions.text import tokenizer_expr
 
@@ -284,57 +303,77 @@ def phrase_join(
         F.col(query_id_col).alias("qid"),
         F.posexplode(tok(F.col(query_text_col))).alias("qpos", "token"),
     )
-    nq = qtp.groupBy("qid").agg(F.count("*").alias("__nq"))
-    qvocab = qtp.select("token").distinct().localCheckpoint(eager=True)
-    if qvocab.count() <= 2_000_000:
+    qtp = qtp.localCheckpoint(eager=True)  # reused every round
+    row = qtp.agg(
+        F.max("qpos").alias("m"), F.count_distinct("token").alias("v")
+    ).first()
+    if row["m"] is None:
+        return spark.createDataFrame([], "query_id long, id long")
+    maxpos = int(row["m"])
+    if maxpos + 1 > 64:
+        raise ValueError(
+            f"phrase_join: longest query has {maxpos + 1} tokens; phrases "
+            "over 64 tokens are not supported (one distributed round per "
+            "token — tokenize/shorten the query text)"
+        )
+    if slop == 0:
+        return _phrase_ngram_join(spark, postings, qtp)
+    qvocab = qtp.select("token").distinct()
+    if int(row["v"]) <= 2_000_000:
         qvocab = F.broadcast(qvocab)
-    qp = (
-        postings.join(qvocab, "token", "left_semi")
-        .select("token", "id", "positions")
-        .join(qtp, "token")
+    post_pos = postings.join(qvocab, "token", "left_semi").select(
+        "token", "id", "positions"
     )
-    grouped = qp.groupBy("qid", "id").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("qpos"), F.col("positions")))
-        ).alias("ps"),
-        F.count("*").alias("__nm"),
-    )
-    # row-local sloppy walk: fold _phrase_step across the qpos-sorted terms
+    qlens = qtp.groupBy("qid").agg((F.max("qpos") + 1).alias("__qlen"))
     cand_t = "array<struct<start:int,last:int>>"
-    walk = F.aggregate(
-        F.col("ps"),
-        F.lit(None).cast(cand_t),
-        lambda acc, x: F.when(
-            x["qpos"] == 0,
+    cur = (
+        qtp.filter(F.col("qpos") == 0)
+        .join(post_pos, "token")
+        .join(qlens, "qid")
+        .select(
+            "qid",
+            "id",
+            "__qlen",
             F.transform(
-                x["positions"], lambda p: F.struct(p.alias("start"), p.alias("last"))
-            ).cast(cand_t),
-        ).otherwise(
-            F.filter(
-                F.transform(
-                    acc,
-                    lambda c: F.struct(
-                        c["start"].alias("start"),
-                        F.array_min(
-                            F.filter(
-                                x["positions"],
-                                lambda q: (q > c["last"])
-                                & (q <= c["start"] + x["qpos"] + slop),
-                            )
-                        ).alias("last"),
-                    ),
+                "positions", lambda p: F.struct(p.alias("start"), p.alias("last"))
+            ).cast(cand_t).alias("__cand"),
+        )
+    )
+    for i in range(1, maxpos + 1):
+        nxt = (
+            qtp.filter(F.col("qpos") == i)
+            .join(post_pos, "token")
+            .select("qid", "id", F.col("positions").alias("__pos"))
+        )
+        stepped = F.filter(
+            F.transform(
+                F.col("__cand"),
+                lambda c: F.struct(
+                    c["start"].alias("start"),
+                    F.array_min(
+                        F.filter(
+                            F.col("__pos"),
+                            lambda q: (q > c["last"]) & (q <= c["start"] + i + slop),
+                        )
+                    ).alias("last"),
                 ),
-                lambda c: c["last"].isNotNull(),
+            ),
+            lambda c: c["last"].isNotNull(),
+        )
+        cur = (
+            cur.join(nxt, ["qid", "id"], "left")
+            .withColumn(
+                "__cand",
+                F.when(F.col("__qlen") <= i, F.col("__cand"))  # query ended
+                .when(F.col("__pos").isNull(), F.array().cast(cand_t))  # term absent
+                .otherwise(stepped),
             )
-        ),
-    )
-    return (
-        grouped.join(nq, "qid")
-        .filter(F.col("__nm") == F.col("__nq"))
-        .select(F.col("qid").alias("query_id"), "id", walk.alias("__cand"))
-        .filter(F.size("__cand") > 0)
-        .select("query_id", "id")
-    )
+            .drop("__pos")
+            .filter(F.size("__cand") > 0)
+        )
+        if i % 8 == 0:  # bound the iterative plan depth
+            cur = cur.localCheckpoint(eager=False)
+    return cur.select(F.col("qid").alias("query_id"), "id")
 
 
 def boolean_join(
@@ -430,6 +469,63 @@ def boolean_join(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+_GRAM_SEP = "\x1f"
+
+
+def _phrase_ngram_join(spark: SparkSession, postings: DataFrame, qtp: DataFrame) -> DataFrame:
+    """slop=0 bulk phrase core: rolling token L-gram hash equality (see
+    phrase_join docstring). ``qtp`` = (qid, qpos, token)."""
+    from pyspark.sql import Window
+
+    qg = (
+        qtp.groupBy("qid")
+        .agg(
+            F.concat_ws(
+                _GRAM_SEP,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("qpos", "token"))),
+                    lambda s: s["token"],
+                ),
+            ).alias("g"),
+            (F.max("qpos") + 1).cast("int").alias("L"),
+        )
+        .withColumn("h", F.xxhash64("L", "g"))
+        .localCheckpoint(eager=True)
+    )
+    lengths = sorted(r["L"] for r in qg.select("L").distinct().collect())
+    if not lengths:
+        return spark.createDataFrame([], "query_id long, id long")
+    # one row per query → broadcast unless the query table is enormous
+    qg_side = F.broadcast(qg) if qg.count() <= 2_000_000 else qg
+    stream = postings.select("token", "id", F.explode("positions").alias("pos"))
+    w = Window.partitionBy("id").orderBy("pos")
+    maxl = max(lengths)
+    leads = stream.select(
+        "id",
+        "token",
+        *[F.lead("token", j).over(w).alias(f"__t{j}") for j in range(1, maxl)],
+    )
+    hits = []
+    for L in lengths:
+        cols = [F.col("token")] + [F.col(f"__t{j}") for j in range(1, L)]
+        gram = F.concat_ws(_GRAM_SEP, *cols)
+        side = leads if L == 1 else leads.filter(F.col(f"__t{L-1}").isNotNull())
+        grams = side.select(
+            "id",
+            gram.alias("__dg"),
+            F.xxhash64(F.lit(L).cast("int"), gram).alias("h"),
+        )
+        hits.append(
+            grams.join(qg_side, "h")
+            .filter(F.col("__dg") == F.col("g"))  # collision-proof recheck
+            .select(F.col("qid").alias("query_id"), "id")
+        )
+    out = hits[0]
+    for h in hits[1:]:
+        out = out.unionByName(h)
+    return out.distinct()
 
 
 def _phrase_step(cand_col, next_pos_col, i: int, slop: int):

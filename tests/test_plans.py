@@ -185,6 +185,41 @@ def test_match_join_never_broadcasts_query_table(spark, sf_dir, tmp_path):
     assert "CartesianProduct" not in e
 
 
+def test_phrase_and_boolean_join_never_degenerate(spark, sf_dir, tmp_path):
+    """The bulk structured-FTS family inherits match_join's scale
+    guarantees: a corpus-sized query table must never become a broadcast
+    build side or a cartesian product; the only nested-loop join allowed
+    is the 1-row BM25 stats crossJoin (boolean scoring only)."""
+    import lance_spark as ls
+    from pyspark.sql import functions as F
+
+    from lance_spark.indexes.inverted import (
+        boolean_join,
+        create_inverted_index,
+        phrase_join,
+    )
+
+    uri = str(tmp_path / "pjplan")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ls.write_dataset(docs.repartition(2), uri, mode="create")
+    ds = create_inverted_index(ls.dataset(uri), spark, "text")
+    queries = docs.select(
+        F.col("doc_id").alias("qid"),
+        F.substring("text", 1, 40).alias("qtext"),
+    )
+    p = phrase_join(ds, spark, queries, "qtext", "qid", slop=0)
+    ep = p._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in ep
+    assert "BroadcastNestedLoopJoin" not in ep  # no stats crossJoin here
+    b = boolean_join(
+        ds, spark, queries.withColumn("neg", F.lit("slow")), "qid",
+        must_col="qtext", must_not_col="neg", k=5,
+    )
+    eb = b._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in eb
+    assert eb.count("BroadcastNestedLoopJoin") <= 1  # the 1-row stats join
+
+
 def test_ann_join_probe_is_single_shuffle_join(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
