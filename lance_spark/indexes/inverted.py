@@ -204,10 +204,19 @@ def match_join(
     )
 
 
-def _bm25_join_core(postings: DataFrame, doclens: DataFrame, qt: DataFrame) -> DataFrame:
-    """Bulk BM25 core shared by ``match_join`` / ``boolean_join``: score
-    distinct (qid, token) pairs against the postings → all scored
-    ``(query_id, id, _score)`` pairs (no top-k cut)."""
+def _bm25_join_core(
+    postings: DataFrame,
+    doclens: DataFrame,
+    qt: DataFrame,
+    dfreq: DataFrame | None = None,
+) -> DataFrame:
+    """Bulk BM25 core shared by ``match_join`` / ``boolean_join`` /
+    ``more_like_this_join``: score distinct (qid, token) pairs against the
+    postings → all scored ``(query_id, id, _score)`` pairs (no top-k cut).
+
+    ``dfreq`` (token, df) may be precomputed by the caller (MLT already
+    paid for corpus document frequencies during term selection); it is
+    pruned to qt's vocabulary here, so a superset is fine."""
     stats = doclens.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     # prune postings to the query vocabulary, then shuffle-join the pruned
     # postings with the (query, term) pairs — the query table itself never
@@ -220,11 +229,14 @@ def _bm25_join_core(postings: DataFrame, doclens: DataFrame, qt: DataFrame) -> D
     vocab_small = qvocab.count() <= 2_000_000
     if vocab_small:
         qvocab = F.broadcast(qvocab)
-    dfreq = (
-        postings.join(qvocab, "token", "left_semi")
-        .groupBy("token")
-        .agg(F.count("*").alias("df"))
-    )
+    if dfreq is None:
+        dfreq = (
+            postings.join(qvocab, "token", "left_semi")
+            .groupBy("token")
+            .agg(F.count("*").alias("df"))
+        )
+    else:
+        dfreq = dfreq.join(qvocab, "token", "left_semi")
     # dfreq is bounded by the matched query vocabulary (≤ |qvocab| rows),
     # so it inherits qvocab's gate decision: past the 2M budget the idf
     # attach runs as a shuffle join too (ADVICE r8: an ungated dfreq
@@ -463,6 +475,104 @@ def boolean_join(
         return scored
     from pyspark.sql import Window
 
+    w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def more_like_this_join(
+    ds,
+    spark: SparkSession,
+    queries: DataFrame,
+    query_text_col: str,
+    query_id_col: str,
+    k: int | None = 10,
+    max_query_terms: int = 25,
+    min_doc_freq: int = 1,
+    max_doc_freq: int | None = None,
+    column: str | None = None,
+) -> DataFrame:
+    """Bulk more-like-this: for EVERY query document, the top-``k`` most
+    similar indexed documents → ``(query_id, id, _score)``. Elasticsearch
+    MLT semantics re-expressed as one distributed plan: each query doc is
+    reduced to its ``max_query_terms`` most DISTINCTIVE terms — ranked by
+    tf(term in query doc) · idf(term in the INDEX corpus), ties on token
+    asc — and those terms run through the bulk BM25 core (match_join's
+    plan). The reference exposes the building blocks (inverted index +
+    match query, rust/lance-index/src/scalar/inverted/query.rs); MLT is
+    the standard search-engine composition on top, here batched so a
+    corpus-sized "find near-duplicates by lexical similarity" or RAG
+    "related documents" pass needs no per-query driver round-trip.
+
+    ``min_doc_freq`` / ``max_doc_freq`` drop query terms whose corpus df
+    is out of range BEFORE selection (ES's knobs: rare-term noise and
+    stopword saturation). Terms absent from the index retrieve nothing
+    and are dropped by the df join.
+
+    Scale: query texts tokenize row-locally; corpus document frequencies
+    come from ONE aggregation over the vocabulary-pruned postings (the
+    same count-gated semi-join prune as match_join — the query table
+    never broadcasts); term selection is a per-query window over
+    (qid, token, tfidf) rows bounded by Σ query-doc vocabulary; scoring
+    touches only selected-term postings (Σ_t df(t) work). The df table is
+    computed ONCE and reused for selection idf and scoring idf
+    (lazy-checkpointed), so MLT costs one postings-agg more than the
+    match_join it feeds."""
+    from pyspark.sql import Window
+
+    from lance_spark.functions.text import tokenizer_expr
+
+    meta = _find(ds, column)
+    postings, doclens = _index_tables(ds, spark, meta)
+    tok = tokenizer_expr(meta.params.get("tokenizer", "simple"))
+    qtf = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.explode(tok(F.col(query_text_col))).alias("token"),
+        )
+        .groupBy("qid", "token")
+        .agg(F.count("*").alias("qtf"))
+    )
+    # corpus df for the query-doc vocabulary — count-gated like match_join
+    qvocab = qtf.select("token").distinct().localCheckpoint(eager=True)
+    vocab_small = qvocab.count() <= 2_000_000
+    qv = F.broadcast(qvocab) if vocab_small else qvocab
+    dfreq = (
+        postings.join(qv, "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+    )
+    if max_doc_freq is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_doc_freq)
+    # reused by selection (idf rank) and scoring (BM25 idf): materialize once
+    dfreq = dfreq.localCheckpoint(eager=False)
+    n_docs = doclens.agg(F.count("*").alias("n_docs"))
+    sel = (
+        qtf.join(F.broadcast(dfreq) if vocab_small else dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "__tfidf",
+            # BM25's idf form, rounded so the cross-engine rank is stable
+            F.round(
+                F.col("qtf")
+                * F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+                6,
+            ),
+        )
+    )
+    wsel = Window.partitionBy("qid").orderBy(F.desc("__tfidf"), F.asc("token"))
+    qt = (
+        sel.withColumn("__rn", F.row_number().over(wsel))
+        .filter(F.col("__rn") <= max_query_terms)
+        .select("qid", "token")
+    )
+    scored = _bm25_join_core(postings, doclens, qt, dfreq=dfreq)
+    if k is None:
+        return scored
     w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("id"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))

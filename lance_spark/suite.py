@@ -2334,6 +2334,75 @@ def fts_boolean_join(spark, sf_dir):
 
 
 @query(
+    "fts_mlt_join",
+    f"""
+    WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
+    dl AS (SELECT id, len(w) AS dl FROM tok),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    post AS (SELECT id, unnest(w) AS token FROM tok),
+    qtf AS (SELECT id AS qid, token, count(*) AS qtf
+            FROM (SELECT id, unnest(w) AS token FROM tok WHERE id % 97 = 0)
+            GROUP BY 1, 2),
+    tfq AS (SELECT token, id, count(*) AS tf FROM post
+            WHERE token IN (SELECT DISTINCT token FROM qtf) GROUP BY 1, 2),
+    dfq AS (SELECT token, count(*) AS df FROM tfq GROUP BY token),
+    sel AS (SELECT qid, token,
+                   round(qtf * ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS tfidf
+            FROM qtf JOIN dfq USING (token) CROSS JOIN stats),
+    qt AS (SELECT qid, token FROM (
+             SELECT qid, token,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY tfidf DESC, token) AS trn
+             FROM sel) WHERE trn <= 10),
+    sc AS (SELECT qt.qid, tfq.id,
+                  round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                        * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS _score
+           FROM qt JOIN tfq USING (token) JOIN dfq USING (token)
+                JOIN dl ON dl.id = tfq.id CROSS JOIN stats
+           GROUP BY qt.qid, tfq.id),
+    r AS (SELECT qid, id, _score,
+                 row_number() OVER (PARTITION BY qid ORDER BY _score DESC, id) AS rn
+          FROM sc)
+    SELECT qid AS query_id, id AS doc_id, _score FROM r WHERE rn <= 5
+    ORDER BY query_id, rn
+    """,
+)
+def fts_mlt_join(spark, sf_dir):
+    """Bulk more-like-this through the inverted index (indexes/
+    inverted.py: more_like_this_join): every 97th doc as a query DOCUMENT,
+    reduced to its 10 most distinctive terms by tf·idf (ties on token),
+    then bulk-BM25-scored — top-5 similar docs per query as ONE
+    distributed plan. The lexical "related documents" pass of a RAG /
+    curation pipeline, with no per-query driver round-trip. Ties re-cut
+    on doc_id after the rowid map (the k=None contract)."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, more_like_this_join
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_mlt_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text")
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    hits = more_like_this_join(
+        ds, spark, queries, "text", "doc_id", k=None, max_query_terms=10
+    )
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", F.col("doc_id").alias("hit_doc"))
+    mapped = hits.join(base, hits.id == base._rowid).select(
+        "query_id", F.col("hit_doc").alias("doc_id"), "_score"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("doc_id"))
+    return (
+        mapped.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+        .orderBy("query_id", F.desc("_score"), "doc_id")
+    )
+
+
+@query(
     "search_hybrid_join",
     f"""
     WITH corpus AS (

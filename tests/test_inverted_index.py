@@ -217,3 +217,85 @@ def test_boolean_join_equals_execute_query(spark, indexed_docs_ds):
         )
         want = {r["id"]: round(r["_score"], 4) for r in w.collect()}
         assert bulk.get(qid, {}) == want, qid
+
+
+def test_mlt_join_equals_selected_terms_match(spark, indexed_docs_ds):
+    """more_like_this_join == (tf·idf term selection) ∘ match_query: the
+    bulk plan's per-query top-k equals running match_query with the same
+    selected terms per query — selection recomputed here independently
+    from raw postings/doclens pulled to pandas."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lance_spark.indexes.inverted import (
+        _index_tables,
+        match_query,
+        more_like_this_join,
+    )
+
+    ds = indexed_docs_ds
+    docs = ds.to_df(spark).limit(0)  # schema only; queries come from base
+    base = ds.to_df(spark, with_row_id=True)
+    queries = base.filter(F.col("_rowid") % 31 == 0).select(
+        F.col("_rowid").alias("qid"), "text"
+    )
+    m = 8
+    bulk = {}
+    rows = more_like_this_join(
+        ds, spark, queries, "text", "qid", k=5, max_query_terms=m
+    ).collect()
+    for r in rows:
+        bulk.setdefault(r["query_id"], []).append((r["_score"], r["id"]))
+
+    # independent selection: pandas over the persisted postings + doclens
+    meta = ds.manifest.indices[0]
+    postings, doclens = _index_tables(ds, spark, meta)
+    df_map = {
+        r["token"]: r["df"]
+        for r in postings.groupBy("token").agg(F.count("*").alias("df")).collect()
+    }
+    n_docs = doclens.count()
+    import re
+
+    for q in queries.collect():
+        toks = [t for t in re.split(r"[^a-z]+", q["text"].lower()) if t]
+        tf = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        scored = [
+            (
+                round(c * math.log(1 + (n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5)), 6),
+                t,
+            )
+            for t, c in tf.items()
+            if t in df_map
+        ]
+        terms = [t for s, t in sorted(scored, key=lambda x: (-x[0], x[1]))[:m]]
+        want = [
+            (r["_score"], r["id"]) for r in match_query(ds, spark, terms, k=5).collect()
+        ]
+        got = sorted(bulk.get(q["qid"], []), key=lambda t: (-t[0], t[1]))
+        assert got == want, q["qid"]
+
+
+def test_mlt_join_retrieves_self_and_df_bounds(spark, indexed_docs_ds):
+    """Every query document appears in its own MLT hit set (it contains
+    all of its selected terms); df-bound knobs prune terms: an impossible
+    min_doc_freq empties the result."""
+    from pyspark.sql import functions as F
+
+    from lance_spark.indexes.inverted import more_like_this_join
+
+    ds = indexed_docs_ds
+    base = ds.to_df(spark, with_row_id=True)
+    queries = base.filter(F.col("_rowid") % 53 == 0).select(
+        F.col("_rowid").alias("qid"), "text"
+    )
+    hits = more_like_this_join(ds, spark, queries, "text", "qid", k=None)
+    self_hits = hits.filter(F.col("query_id") == F.col("id")).count()
+    assert self_hits == queries.count()
+    empty = more_like_this_join(
+        ds, spark, queries, "text", "qid", k=5, min_doc_freq=10**9
+    )
+    assert empty.count() == 0
