@@ -1,0 +1,286 @@
+"""Distributed BPE tokenizer training + encoding.
+
+Byte-pair encoding (Sennrich et al. 2016, "Neural Machine Translation of
+Rare Words with Subword Units") is the vocabulary-construction step of
+most LLM training pipelines. The reference engine ships tokenizers for
+SEARCH (rust/lance-index/src/scalar/inverted/tokenizer.rs) but no subword
+trainer; this module is the Spark-native training-data extension, built
+the way production BPE trainers actually run:
+
+  1. corpus → word histogram: ONE map-side-combined shuffle. The unique-
+     word table is bounded by vocabulary growth (Heaps' law: ~K·N^0.5),
+     not corpus size, and is additionally capped at ``max_words`` rows by
+     (count desc, word asc) — the dropped tail is words too rare to move
+     any merge decision (the same min-frequency pruning HuggingFace
+     tokenizers applies before training).
+  2. merge learning runs DRIVER-side on the bounded histogram —
+     identical to the canonical implementation (pair statistics are
+     weighted by word counts; corpus text is never re-read). Incremental
+     pair-count maintenance: each merge touches only the words that
+     contain the merged pair.
+  3. encoding never runs Python over the corpus: tokenization and word
+     positions stay JVM-side; ONLY the distinct-word table (again
+     Heaps-bounded) goes through an Arrow-batched ``mapInPandas`` encode,
+     and the per-word piece sequences join back by word (count-gated
+     broadcast). Python cost is O(unique words), not O(corpus tokens).
+
+Determinism: merge ties break on (count desc, pair lexicographic asc);
+words tie on (count desc, word asc); encoding applies the lowest-rank
+pair present, all occurrences left-to-right — so the same corpus always
+yields the same vocab and the same encoding, on any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_spark.functions.text import tokenize
+
+END_OF_WORD = "▁"  # sentencepiece-style word-boundary marker
+
+# encode joins per-word piece rows back to the corpus positions table; the
+# distinct-word side broadcasts only below this bound (same budget as the
+# match_join vocabulary gate — past it the join shuffles).
+_BROADCAST_ROW_BUDGET = 2_000_000
+
+
+def word_histogram(
+    df: DataFrame,
+    text_col: str,
+    max_words: int = 1_000_000,
+    min_count: int = 1,
+) -> DataFrame:
+    """(word, cnt) histogram of ``text_col``, capped at ``max_words`` rows
+    by (cnt desc, word asc). The single corpus-wide pass of BPE training."""
+    counts = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    return counts.orderBy(F.desc("cnt"), "word").limit(max_words)
+
+
+def _learn_merges(
+    words: list[tuple[str, int]],
+    vocab_size: int,
+    min_pair_count: int,
+) -> tuple[list[tuple[str, str]], list[str]]:
+    """Canonical BPE merge learning over a (word, count) histogram.
+
+    Returns (merges in rank order, base alphabet sorted). Incremental
+    pair-statistics: a merge re-scans only the words that contain its
+    pair. Pair selection is O(distinct pairs) per merge — fine for the
+    few-thousand-merge vocabularies this targets; a lazy max-heap is the
+    known upgrade path for 50k+ merges."""
+    from collections import defaultdict
+
+    seqs: list[tuple[str, ...]] = [tuple(w) + (END_OF_WORD,) for w, _ in words]
+    cnts = [int(c) for _, c in words]
+    pair_count: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, s in enumerate(seqs):
+        c = cnts[i]
+        for p in zip(s, s[1:]):
+            pair_count[p] += c
+            pair_words[p].add(i)
+    base = sorted({sym for s in seqs for sym in s})
+    merges: list[tuple[str, str]] = []
+    budget = max(0, vocab_size - len(base))
+    while len(merges) < budget and pair_count:
+        best_n = max(pair_count.values())
+        if best_n < min_pair_count:
+            break
+        a, b = min(p for p, n in pair_count.items() if n == best_n)
+        new_sym = a + b
+        for i in list(pair_words[(a, b)]):
+            s, c = seqs[i], cnts[i]
+            for p in zip(s, s[1:]):
+                pair_count[p] -= c
+                if pair_count[p] <= 0:
+                    del pair_count[p]
+                    pair_words.pop(p, None)
+                else:
+                    pair_words[p].discard(i)
+            out = []
+            j = 0
+            while j < len(s):
+                if j < len(s) - 1 and s[j] == a and s[j + 1] == b:
+                    out.append(new_sym)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            seqs[i] = t = tuple(out)
+            for p in zip(t, t[1:]):
+                pair_count[p] += c
+                pair_words[p].add(i)
+        merges.append((a, b))
+    return merges, base
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    *,
+    vocab_size: int = 512,
+    max_words: int = 1_000_000,
+    min_count: int = 1,
+    min_pair_count: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Train a BPE tokenizer on a corpus column.
+
+    Returns ``(merges, vocab)``:
+      - merges: (rank, left, right) — the merge table in training order;
+      - vocab: (token, id) — base alphabet (sorted) then merged symbols in
+        rank order, ids dense from 0.
+
+    Scale: the corpus contributes ONE wordcount shuffle; everything after
+    operates on the ≤``max_words``-row histogram (collected — bounded by
+    the cap, independent of corpus size). ``vocab_size`` counts base
+    symbols + merges; training stops early when no pair reaches
+    ``min_pair_count``."""
+    spark = df.sparkSession
+    hist = [(r["word"], r["cnt"]) for r in word_histogram(df, text_col, max_words, min_count).collect()]
+    merges, base = _learn_merges(hist, vocab_size, min_pair_count)
+    vocab = base + [a + b for a, b in merges]
+    merges_df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)], "rank INT, left STRING, right STRING"
+    )
+    vocab_df = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(vocab)], "token STRING, id BIGINT"
+    )
+    return merges_df, vocab_df
+
+
+def bpe_save(merges: DataFrame, vocab: DataFrame, model_uri: str) -> str:
+    """Persist a trained tokenizer: ``<uri>/merges`` + ``<uri>/vocab``
+    parquet and ``<uri>/meta.json``. Local paths only (the manifest
+    layer's convention — same guard as nb_train)."""
+    import json
+    import os
+    import urllib.parse
+
+    scheme = urllib.parse.urlparse(model_uri).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"bpe_save: model_uri must be a local path (got scheme {scheme!r})"
+        )
+    merges.coalesce(1).write.mode("overwrite").parquet(os.path.join(model_uri, "merges"))
+    vocab.coalesce(1).write.mode("overwrite").parquet(os.path.join(model_uri, "vocab"))
+    meta = {"format": "bpe", "end_of_word": END_OF_WORD}
+    with open(os.path.join(model_uri, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return model_uri
+
+
+def bpe_load(spark: SparkSession, model_uri: str) -> tuple[DataFrame, DataFrame]:
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(model_uri, "merges")),
+        spark.read.parquet(os.path.join(model_uri, "vocab")),
+    )
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merges to one word: lowest-rank pair present, all
+    occurrences left-to-right, repeat (the GPT-2 encoder loop)."""
+    s = list(word) + [END_OF_WORD]
+    while len(s) >= 2:
+        best_rank = None
+        for j in range(len(s) - 1):
+            r = ranks.get((s[j], s[j + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best = (s[j], s[j + 1])
+        if best_rank is None:
+            break
+        a, b = best
+        out = []
+        j = 0
+        while j < len(s):
+            if j < len(s) - 1 and s[j] == a and s[j + 1] == b:
+                out.append(a + b)
+                j += 2
+            else:
+                out.append(s[j])
+                j += 1
+        s = out
+    return s
+
+
+def bpe_encode_words(uniq_words: DataFrame, merges: DataFrame) -> DataFrame:
+    """(word) → (word, pieces array<string>) via the merge table.
+
+    The ONLY Python stage of encoding — and it runs over the distinct-word
+    table, never the corpus. Merge ranks ride to executors as a plain
+    broadcast dict (the merge table is vocab-sized by construction)."""
+    spark = uniq_words.sparkSession
+    ranks = {
+        (r["left"], r["right"]): int(r["rank"]) for r in merges.collect()
+    }
+    rb = spark.sparkContext.broadcast(ranks)
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rk = rb.value
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "pieces": [
+                        _encode_word(w, rk) for w in pdf["word"]
+                    ],
+                }
+            )
+
+    return uniq_words.select("word").distinct().mapInPandas(
+        enc, "word STRING, pieces ARRAY<STRING>"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: DataFrame,
+) -> DataFrame:
+    """Encode a corpus with a trained merge table →
+    ``(id, n_words, n_pieces, pieces_md5)`` where pieces_md5 fingerprints
+    the document's full piece sequence in order (the compact equivalent of
+    materializing token ids — same convention as encode_with_vocab).
+
+    Scale: tokenize + positions stay JVM-side; Python encodes DISTINCT
+    words only (Heaps-bounded); the pieces table joins back by word —
+    count-gated broadcast, shuffle join past the budget. One shuffle
+    carries (id, pos, word); the per-doc agg is the encode_with_vocab
+    pattern."""
+    words = df.select(
+        F.col(id_col).alias("id"), F.posexplode(tokenize(F.col(text_col))).alias("pos", "word")
+    )
+    pieces = bpe_encode_words(words.select("word"), merges).localCheckpoint(eager=True)
+    side = F.broadcast(pieces) if pieces.count() <= _BROADCAST_ROW_BUDGET else pieces
+    joined = words.join(side, "word")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.size("pieces")).alias("n_pieces"),
+            F.md5(
+                F.array_join(
+                    F.flatten(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "pieces"))
+                            ),
+                            lambda s: s["pieces"],
+                        )
+                    ),
+                    " ",
+                )
+            ).alias("pieces_md5"),
+        )
+    )

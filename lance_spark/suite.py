@@ -5612,6 +5612,28 @@ def text_build_vocab(spark, sf_dir):
     return build_vocab(_t(spark, sf_dir, "documents"), "text", max_size=1000)
 
 
+# no oracle_sql: BPE merge learning is iterative (each merge re-segments
+# the histogram before the next pair count) — not SQL-expressible; the
+# driver records the weaker rows-only check. The STRONG gate is
+# tests/test_bpe.py: merge order, encode loop, and doc fingerprints are
+# pinned against an independent naive full-recount reference.
+@query("text_bpe_encode")
+def text_bpe_encode(spark, sf_dir):
+    """Distributed BPE (operators/bpe.py): train subword merges on the
+    corpus (ONE wordcount shuffle + driver learning on the Heaps-bounded
+    histogram), then encode every document — Python touches only the
+    DISTINCT-word table; tokenize/positions/fingerprint are JVM-side."""
+    from lance_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _vocab = bpe_train(docs, "text", vocab_size=300, max_words=200_000)
+    return (
+        bpe_encode(docs, "text", "doc_id", merges)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _semantic_keep_oracle() -> str:
     from lance_spark.operators.dedup import hyperplanes
 

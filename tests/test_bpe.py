@@ -1,0 +1,182 @@
+"""Distributed BPE trainer/encoder vs an independent naive reference.
+
+The reference here recomputes ALL pair statistics from scratch every
+merge (no incremental bookkeeping) and encodes with a fresh scan per
+step — algorithmically independent of the production implementation's
+indexed updates, so agreement pins both the merge order and the encode
+loop."""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+EOW = "▁"
+
+
+def _ref_tokenize(text):
+    return [w for w in re.split(r"[^a-z]+", text.lower()) if w]
+
+
+def _ref_learn(hist, vocab_size, min_pair_count=2):
+    """Naive reference BPE: full pair recount per merge."""
+    seqs = [[*w, EOW] for w, _ in hist]
+    cnts = [c for _, c in hist]
+    base = sorted({s for seq in seqs for s in seq})
+    merges = []
+    while len(base) + len(merges) < vocab_size:
+        pairs = {}
+        for seq, c in zip(seqs, cnts):
+            for p in zip(seq, seq[1:]):
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best_n = max(pairs.values())
+        if best_n < min_pair_count:
+            break
+        a, b = min(p for p, n in pairs.items() if n == best_n)
+        for i, seq in enumerate(seqs):
+            out, j = [], 0
+            while j < len(seq):
+                if j < len(seq) - 1 and seq[j] == a and seq[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(seq[j])
+                    j += 1
+            seqs[i] = out
+        merges.append((a, b))
+    return merges, base
+
+
+def _ref_encode(word, merges):
+    """Reference encode: repeatedly apply the EARLIEST-rank merge whose
+    pair occurs, all occurrences left-to-right."""
+    s = [*word, EOW]
+    while True:
+        applied = False
+        for a, b in merges:  # rank order
+            if any(s[j] == a and s[j + 1] == b for j in range(len(s) - 1)):
+                out, j = [], 0
+                while j < len(s):
+                    if j < len(s) - 1 and s[j] == a and s[j + 1] == b:
+                        out.append(a + b)
+                        j += 2
+                    else:
+                        out.append(s[j])
+                        j += 1
+                s = out
+                applied = True
+                break
+        if not applied:
+            return s
+
+
+CORPUS = [
+    (0, "the lower lowest newer new news widening"),
+    (1, "lower newer wider the the widest news"),
+    (2, "new newer news lowest lowly the widely"),
+    (3, "low slow slower slowest wide widen"),
+    (4, "newest newly lowness wideness the lows"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def trained(spark, corpus_df):
+    from lance_spark.operators.bpe import bpe_train
+
+    return bpe_train(corpus_df, "text", vocab_size=60, min_pair_count=2)
+
+
+def test_merges_match_naive_reference(spark, corpus_df, trained):
+    hist = {}
+    for _, text in CORPUS:
+        for w in _ref_tokenize(text):
+            hist[w] = hist.get(w, 0) + 1
+    # same cap order as word_histogram: (cnt desc, word asc)
+    hist = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))
+    want_merges, want_base = _ref_learn(hist, vocab_size=60)
+    merges_df, vocab_df = trained
+    got = [(r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()]
+    assert got == want_merges
+    vocab = [r["token"] for r in vocab_df.orderBy("id").collect()]
+    assert vocab == want_base + [a + b for a, b in want_merges]
+    assert vocab_df.count() <= 60
+
+
+def test_encode_words_match_reference_and_reconstruct(spark, trained):
+    from lance_spark.operators.bpe import bpe_encode_words
+
+    merges_df, _ = trained
+    merges = [(r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()]
+    words = sorted({w for _, t in CORPUS for w in _ref_tokenize(t)})
+    # plus words never seen in training (cold encode path)
+    words += ["zebra", "lowzzz", "w"]
+    wdf = spark.createDataFrame([(w,) for w in words], ["word"])
+    got = {r["word"]: r["pieces"] for r in bpe_encode_words(wdf, merges_df).collect()}
+    for w in words:
+        assert got[w] == _ref_encode(w, merges), w
+        assert "".join(got[w]) == w + EOW, w  # lossless reconstruction
+
+
+def test_encode_corpus_fingerprint(spark, corpus_df, trained):
+    from lance_spark.operators.bpe import bpe_encode
+
+    merges_df, _ = trained
+    merges = [(r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()]
+    enc = {r["id"]: r for r in bpe_encode(corpus_df, "text", "doc_id", merges_df).collect()}
+    for doc_id, text in CORPUS:
+        toks = _ref_tokenize(text)
+        pieces = [p for w in toks for p in _ref_encode(w, merges)]
+        r = enc[doc_id]
+        assert r["n_words"] == len(toks)
+        assert r["n_pieces"] == len(pieces)
+        want_md5 = hashlib.md5(" ".join(pieces).encode()).hexdigest()
+        assert r["pieces_md5"] == want_md5
+
+
+def test_min_pair_count_stops_early(spark):
+    from lance_spark.operators.bpe import bpe_train
+
+    # every word unique, every pair count 1 → no merge clears the floor
+    df = spark.createDataFrame([(0, "abc defg hij")], ["doc_id", "text"])
+    merges, vocab = bpe_train(df, "text", vocab_size=100, min_pair_count=2)
+    assert merges.count() == 0
+    # base alphabet only
+    toks = {r["token"] for r in vocab.collect()}
+    assert toks == set("abcdefghij") | {EOW}
+
+
+def test_save_load_roundtrip_and_uri_guard(spark, corpus_df, trained, tmp_path):
+    from lance_spark.operators.bpe import bpe_encode, bpe_load, bpe_save
+
+    merges_df, vocab_df = trained
+    uri = str(tmp_path / "bpe_model")
+    bpe_save(merges_df, vocab_df, uri)
+    m2, v2 = bpe_load(spark, uri)
+    assert [(r["left"], r["right"]) for r in m2.orderBy("rank").collect()] == [
+        (r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()
+    ]
+    assert v2.count() == vocab_df.count()
+    a = bpe_encode(corpus_df, "text", "doc_id", merges_df).orderBy("id").collect()
+    b = bpe_encode(corpus_df, "text", "doc_id", m2).orderBy("id").collect()
+    assert a == b
+    with pytest.raises(ValueError, match="local path"):
+        bpe_save(merges_df, vocab_df, "s3://bucket/model")
+
+
+def test_histogram_cap_order(spark):
+    from lance_spark.operators.bpe import word_histogram
+
+    df = spark.createDataFrame(
+        [(0, "aa aa aa bb bb cc dd dd dd dd")], ["doc_id", "text"]
+    )
+    rows = word_histogram(df, "text", max_words=3).collect()
+    got = sorted((r["word"], r["cnt"]) for r in rows)
+    assert got == [("aa", 3), ("bb", 2), ("dd", 4)]  # cc dropped by the cap
