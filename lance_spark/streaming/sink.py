@@ -179,6 +179,92 @@ def dataset_upsert_writer(
     return write_batch
 
 
+def dataset_dedup_writer(
+    uri: str,
+    index_uri: str,
+    text_col: str,
+    id_col: str,
+    query_key: str = "default",
+    *,
+    min_est_jaccard: float = 0.5,
+    exact: bool = True,
+    near: bool = True,
+    num_perm: int | None = None,
+    bands: int | None = None,
+    shingle_k: int = 3,
+):
+    """foreachBatch callback: continuous ingest-with-dedup. Every
+    micro-batch is (1) exact-deduped WITHIN the batch (first row per
+    canonical fingerprint, by min ``id_col``), (2) anti-joined against the
+    persisted fingerprint index at ``index_uri`` — exact fp collisions
+    and/or minhash-LSH near-duplicates of EVERYTHING already ingested are
+    dropped (operators/dedup.dedup_against_index) — and (3) the survivors
+    land as fragments in ``uri`` while their fingerprints append to the
+    index, so batch N+1 dedups against batch N without ever rescanning
+    corpus text. The streaming composition of the incremental-dedup-index
+    operator: the 100 TB continuous-crawl ingest path.
+
+    Replay safety: both appends run through the idempotent batch-id
+    commit, DATA FIRST. A crash between the two commits replays the
+    batch: survivors recompute identically (the index provably hasn't
+    seen this batch — its fingerprint append didn't commit), the data
+    append no-ops on the recorded batch id, and the fingerprint append
+    completes. ``id_col`` must be unique within a batch (it picks the
+    in-batch survivor deterministically).
+
+    Scale: per batch, one fingerprint/signature pass over BATCH text only;
+    the index contributes fingerprint rows via the banded equi-join (LSH's
+    no-all-pairs contract). In-batch NEAR dedup is intentionally not done
+    here (the batch self-join is the offline minhash_lsh_pairs job);
+    within-batch exact dups ARE dropped."""
+    from lance_spark.functions.text import fingerprint
+    from lance_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        _banded_fingerprints,
+        dedup_against_index,
+    )
+
+    num_perm = MINHASH_PERMS if num_perm is None else num_perm
+    bands = MINHASH_BANDS if bands is None else bands
+    data_writer = dataset_batch_writer(uri, query_key)
+    fp_writer = dataset_batch_writer(index_uri, query_key + ".fp")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from lance_spark.dataset import dataset as open_dataset
+
+        spark = batch_df.sparkSession
+        keep = (
+            batch_df.select(
+                F.col(id_col).alias("__kid"), fingerprint(F.col(text_col)).alias("__fp")
+            )
+            .groupBy("__fp")
+            .agg(F.min("__kid").alias("__kid"))
+            .select("__kid")
+        )
+        batch = batch_df.join(
+            keep.withColumnRenamed("__kid", id_col), id_col, "left_semi"
+        )
+        if mf.latest_version(index_uri) is not None:
+            survivors = dedup_against_index(
+                batch, text_col, id_col, open_dataset(index_uri), spark,
+                min_est_jaccard=min_est_jaccard, exact=exact, near=near,
+                num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            )
+        else:
+            survivors = batch
+        # materialize once: the data append and the fingerprint append must
+        # see the same survivor set without re-running the dedup joins
+        survivors = survivors.localCheckpoint(eager=True)
+        data_writer(survivors, batch_id)
+        fps = _banded_fingerprints(
+            survivors, text_col, id_col, num_perm, bands, shingle_k
+        )
+        fp_writer(fps, batch_id)
+
+    return write_batch
+
+
 def write_stream(
     sdf: DataFrame,
     uri: str,
@@ -189,15 +275,27 @@ def write_stream(
     mode: str = "append",
     on: str | list[str] | None = None,
     sequence_col: str | None = None,
+    dedup_index_uri: str | None = None,
+    text_col: str | None = None,
+    id_col: str | None = None,
 ):
     """readStream → ... → write_stream(df, dataset_uri, ckpt): start the
     streaming write into the dataset. ``mode="append"`` adds fragments;
     ``mode="upsert"`` merges each micro-batch on key ``on`` (CDC ingest;
-    pass ``sequence_col`` when a batch may hold several changes per key)."""
+    pass ``sequence_col`` when a batch may hold several changes per key);
+    ``mode="dedup"`` appends only rows that duplicate neither earlier
+    batches nor the existing corpus (requires ``dedup_index_uri``,
+    ``text_col``, ``id_col`` — see dataset_dedup_writer)."""
     if mode == "upsert":
         if not on:
             raise ValueError("mode='upsert' requires the merge key(s) in `on`")
         writer = dataset_upsert_writer(uri, on, query_key, sequence_col)
+    elif mode == "dedup":
+        if not (dedup_index_uri and text_col and id_col):
+            raise ValueError(
+                "mode='dedup' requires dedup_index_uri, text_col and id_col"
+            )
+        writer = dataset_dedup_writer(uri, dedup_index_uri, text_col, id_col, query_key)
     elif mode == "append":
         writer = dataset_batch_writer(uri, query_key)
     else:

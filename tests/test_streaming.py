@@ -417,3 +417,108 @@ def test_sliding_agg_matches_batch(spark, sf_dir, events_stream_dir, tmp_path):
     )
     want = {(r["ws"], r["event_type"]): r["n"] for r in batch.collect()}
     assert got == want
+
+
+def test_stream_dedup_against_index(spark, tmp_path):
+    """mode='dedup': continuous ingest-with-dedup. Batch files carry
+    in-batch exact dups, cross-batch exact dups, cross-batch NEAR dups
+    (one-word perturbations), and fresh docs — only the fresh/first
+    copies land; the fingerprint index accumulates so later batches dedup
+    against earlier ones; a checkpoint replay adds nothing."""
+    from lance_spark.dataset import dataset
+    from lance_spark.streaming.sink import write_stream
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest tonight")
+    # high-jaccard near-dup: last word replaced — perturbs only the final
+    # shingles, so the pair deterministically shares an LSH band (verified:
+    # signature agreement 15/16). A mid-document replacement at this length
+    # can miss all 4 bands — that's LSH recall, not a dedup bug.
+    near = base.rsplit(" ", 1)[0] + " yesterday"
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(0, base), (1, base), (2, "completely different text about spark "
+                                   "query engines and distributed joins over parquet tables")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(10, base),            # exact dup of batch-1 doc
+         (11, near),            # near dup of batch-1 doc
+         (12, "a genuinely novel document mentioning streaming dedup "
+              "sinks fingerprint indexes and incremental ingestion")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    uri, idx_uri = str(tmp_path / "ds"), str(tmp_path / "fpidx")
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = write_stream(
+        sdf, uri, str(tmp_path / "ckpt"), mode="dedup",
+        dedup_index_uri=idx_uri, text_col="text", id_col="doc_id",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r["doc_id"] for r in dataset(uri).to_df(spark).collect())
+    # in-batch dup 1 dropped (min doc_id wins), 10 exact-dropped,
+    # 11 near-dropped, 12 fresh
+    assert got == [0, 2, 12]
+    # the index holds exactly the survivors' fingerprints
+    idx_ids = {r["id"] for r in dataset(idx_uri).to_df(spark).select("id").distinct().collect()}
+    assert idx_ids == {0, 2, 12}
+
+    # replay from the same checkpoint: no new rows, no new index rows
+    v_data, v_idx = dataset(uri).version, dataset(idx_uri).version
+    q2 = write_stream(
+        sdf, uri, str(tmp_path / "ckpt"), mode="dedup",
+        dedup_index_uri=idx_uri, text_col="text", id_col="doc_id",
+        trigger_available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert sorted(r["doc_id"] for r in dataset(uri).to_df(spark).collect()) == [0, 2, 12]
+    assert dataset(uri).version == v_data and dataset(idx_uri).version == v_idx
+
+
+def test_stream_dedup_crash_between_commits_recovers(spark, tmp_path):
+    """The documented replay contract: a crash AFTER the data commit but
+    BEFORE the fingerprint commit must, on replay, skip the data append
+    and complete the fingerprint append — no duplicate rows, index
+    caught up."""
+    from lance_spark.dataset import dataset
+    from lance_spark.streaming.sink import dataset_batch_writer, dataset_dedup_writer
+
+    uri, idx_uri = str(tmp_path / "ds"), str(tmp_path / "fpidx")
+    b0 = spark.createDataFrame(
+        [(0, "some reasonably long first document text with many distinct words")],
+        "doc_id long, text string",
+    )
+    w = dataset_dedup_writer(uri, idx_uri, "text", "doc_id")
+    w(b0, 0)
+    # simulate the torn batch: commit batch 1's DATA via the same writer
+    # key, but never its fingerprints (crash window)
+    b1 = spark.createDataFrame(
+        [(5, "an entirely different second document mentioning parquet manifests")],
+        "doc_id long, text string",
+    )
+    dataset_batch_writer(uri, "default")(b1, 1)
+    assert dataset(uri).count_rows() == 2
+    idx_before = dataset(idx_uri).to_df(spark).select("id").distinct().count()
+    assert idx_before == 1  # batch 1 fingerprints missing
+
+    w(b1, 1)  # foreachBatch replay of the torn batch
+    assert dataset(uri).count_rows() == 2  # data append no-oped
+    idx_ids = {r["id"] for r in dataset(idx_uri).to_df(spark).select("id").distinct().collect()}
+    assert idx_ids == {0, 5}  # fingerprint append completed
+
+    # and batch 2 dedups against the now-complete index
+    b2 = spark.createDataFrame(
+        [(9, "an entirely different second document mentioning parquet manifests"),
+         (10, "fresh third text that matches nothing previously ingested at all")],
+        "doc_id long, text string",
+    )
+    w(b2, 2)
+    got = sorted(r["doc_id"] for r in dataset(uri).to_df(spark).collect())
+    assert got == [0, 5, 10]
