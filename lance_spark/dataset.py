@@ -1697,10 +1697,19 @@ class LanceDataset:
             retain_versions, older_than=older_than,
         )
 
-    def optimize_indices(self, spark: SparkSession) -> "LanceDataset":
+    def optimize_indices(
+        self,
+        spark: SparkSession,
+        num_indices_to_merge: int | None = None,
+        index_names: list[str] | None = None,
+        retrain: bool = False,
+    ) -> "LanceDataset":
         from lance_spark.maintenance import optimize_indices
 
-        return optimize_indices(self, spark)
+        return optimize_indices(
+            self, spark, num_indices_to_merge=num_indices_to_merge,
+            index_names=index_names, retrain=retrain,
+        )
 
 
 class _SpanUnavailable(Exception):
@@ -2165,8 +2174,8 @@ class _OptimizeNamespace:
     def compact_files(self, spark: SparkSession, target_rows_per_fragment: int = 1024 * 1024) -> LanceDataset:
         return self._ds.compact_files(spark, target_rows_per_fragment)
 
-    def optimize_indices(self, spark: SparkSession) -> LanceDataset:
-        return self._ds.optimize_indices(spark)
+    def optimize_indices(self, spark: SparkSession, **kwargs) -> LanceDataset:
+        return self._ds.optimize_indices(spark, **kwargs)
 
     def enable_auto_cleanup(self, auto_cleanup_config: dict) -> LanceDataset:
         """Store the auto-GC policy in dataset config (reference

@@ -173,9 +173,16 @@ def _build_graph(vecs: np.ndarray, m: int = HNSW_M, ef_c: int = HNSW_EF_CONSTRUC
     return levels, nbrs
 
 
-def build_hnsw_graphs(index, spark: SparkSession) -> None:
+def build_hnsw_graphs(
+    index, spark: SparkSession, codes_dir: str | None = None, out_dir: str | None = None
+) -> None:
     """Build one HNSW graph per IVF partition of an existing IVF index dir
     (codes already written). One applyInPandas task per partition.
+
+    ``codes_dir``/``out_dir`` default to the base segment; delta optimize
+    passes a ``codes_v<N>`` segment and its sibling ``hnsw_v<N>`` so only
+    NEW vectors get graphs (each segment's graph is self-contained —
+    search traverses per (segment, partition) and merges candidates).
 
     Graph construction always measures raw-vector distances (builder.rs does
     the same — codes are a storage format, not a build metric); the PQ
@@ -183,7 +190,7 @@ def build_hnsw_graphs(index, spark: SparkSession) -> None:
     so the query-time graph table is code-sized."""
     cosine = index.metric == "cosine"
     pq = index.index_type in ("IVF_HNSW_PQ", "IVF_HNSW_SQ")  # code-sized rows
-    codes = spark.read.parquet(os.path.join(index.uri, "codes"))
+    codes = spark.read.parquet(codes_dir or os.path.join(index.uri, "codes"))
 
     def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(pdf["partition_id"].iloc[0])
@@ -220,7 +227,7 @@ def build_hnsw_graphs(index, spark: SparkSession) -> None:
         .applyInPandas(build_one, out_schema)
         .write.mode("overwrite")
         .partitionBy("partition_id")
-        .parquet(os.path.join(index.uri, "hnsw"))
+        .parquet(out_dir or os.path.join(index.uri, "hnsw"))
     )
 
 
@@ -233,9 +240,14 @@ def hnsw_search(
     ef_search: int = 64,
     prefilter_rowids: DataFrame | None = None,
     refine_factor: int = 1,
+    exclude_fragments: list[int] | None = None,
 ) -> DataFrame:
     """Probe nprobes partitions; traverse each probed HNSW graph in its own
-    task; merge per-partition candidates into a global top-k.
+    task; merge per-partition candidates into a global top-k. With delta
+    segments, each (segment, partition) graph is traversed independently
+    and candidates merge — the reference searches delta indices the same
+    way. ``exclude_fragments`` masks emitted candidates (like prefilter,
+    masked nodes stay routing waypoints).
 
     FLAT scores raw vectors during traversal (exact distances, no refine
     needed); the PQ variant scores an ADC lookup over the stored codes and
@@ -253,9 +265,11 @@ def hnsw_search(
     sq = index.index_type == "IVF_HNSW_SQ"
     q = _query_prep(index, query).astype(np.float32)
     probes = probe_partitions(index, query, nprobes)
-    graph = spark.read.parquet(os.path.join(index.uri, "hnsw")).filter(
-        F.col("partition_id").isin(probes)
-    )
+    segs = None
+    for i, p in enumerate(index.hnsw_paths()):
+        g = spark.read.parquet(p).withColumn("__seg", F.lit(i))
+        segs = g if segs is None else segs.unionByName(g)
+    graph = segs.filter(F.col("partition_id").isin(probes))
     metric = index.metric
     qb = spark.sparkContext.broadcast(q)
     ef = max(ef_search, k)
@@ -325,7 +339,12 @@ def hnsw_search(
             {"id": [int(ids[i]) for _, i in top], "_d2": [d for d, _ in top]}
         )
 
-    cands = graph.groupBy("partition_id").applyInPandas(search_one, "id long, _d2 double")
+    cands = graph.groupBy("__seg", "partition_id").applyInPandas(
+        search_one, "id long, _d2 double"
+    )
+    from lance_spark.indexes.vector import _mask_fragments
+
+    cands = _mask_fragments(cands, "id", exclude_fragments)
     if prefilter_rowids is not None:
         allow = prefilter_rowids.toDF("id")
         cands = cands.join(F.broadcast(allow), "id", "left_semi")

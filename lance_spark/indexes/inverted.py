@@ -91,15 +91,31 @@ def create_inverted_index(
     return LanceDataset(ds.uri)
 
 
+def _segment_dirs(base: str, meta) -> list[str]:
+    """Index segment roots: the base layout plus any ``seg_v<N>`` delta
+    segments recorded in IndexMeta params (committed atomically WITH
+    fragment coverage — a torn delta's directory is invisible)."""
+    return [base if s == "." else os.path.join(base, s)
+            for s in (meta.params.get("segments") or ["."])]
+
+
 def _index_tables(ds, spark: SparkSession, meta) -> tuple[DataFrame, DataFrame]:
-    """Index postings/doclens UNION flat postings over uncovered fragments —
-    the knn_combined analogue for FTS."""
+    """Index postings/doclens (all segments) UNION flat postings over
+    uncovered fragments — the knn_combined analogue for FTS. Index rows
+    belonging to uncovered fragments are masked first (they are re-derived
+    flat), so a half-visible delta can never double-count a document's
+    term frequencies."""
     base = os.path.join(ds.uri, meta.path)
-    postings = spark.read.parquet(os.path.join(base, "postings"))
-    doclens = spark.read.parquet(os.path.join(base, "doclens"))
+    dirs = _segment_dirs(base, meta)
+    postings = spark.read.parquet(*[os.path.join(d, "postings") for d in dirs])
+    doclens = spark.read.parquet(*[os.path.join(d, "doclens") for d in dirs])
     covered = set(meta.fragment_ids)
     tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
     if tail:
+        from lance_spark.indexes.vector import _mask_fragments
+
+        postings = _mask_fragments(postings, "id", tail)
+        doclens = _mask_fragments(doclens, "id", tail)
         flat = ds.scanner(spark, columns=[meta.column], with_row_id=True, fragments=tail)
         p2, d2 = _positional_postings(
             flat, meta.column, ROWID_COL, meta.params.get("tokenizer", "simple")
@@ -120,6 +136,37 @@ def _index_tables(ds, spark: SparkSession, meta) -> tuple[DataFrame, DataFrame]:
         return postings, doclens
     live = ds.to_df(spark, with_row_id=True).select(F.col(ROWID_COL).alias("id"))
     return postings.join(live, "id", "left_semi"), doclens.join(live, "id", "left_semi")
+
+
+def extend_inverted(ds, spark: SparkSession, meta) -> list[str]:
+    """Delta-extend an INVERTED index: postings/doclens for the UNCOVERED
+    fragments only, written into a fresh ``seg_v<n>`` segment dir. Returns
+    the updated segments list — the caller (optimize_indices) commits it
+    into IndexMeta in the SAME manifest commit as the fragment coverage,
+    so segment visibility is transactional; a torn attempt leaves an
+    invisible directory that the idempotent re-run overwrites.
+
+    Scale: cost is one tokenize pass over the new fragments' text — the
+    existing postings are never read or rewritten. Query-time BM25 stats
+    derive from the unioned doclens, so corpus-wide idf/avgdl stay exact
+    with any number of segments; a segment is just another parquet path in
+    the union (no per-segment scoring penalty). New-doc rowids are unique,
+    so no postings merge is ever needed — 'merge' is free by construction."""
+    base = os.path.join(ds.uri, meta.path)
+    covered = set(meta.fragment_ids)
+    tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
+    segs = list(meta.params.get("segments") or ["."])
+    if not tail:
+        return segs
+    n = max((int(s[len("seg_v"):]) for s in segs if s.startswith("seg_v")), default=0)
+    seg = f"seg_v{n + 1}"
+    flat = ds.scanner(spark, columns=[meta.column], with_row_id=True, fragments=tail)
+    p2, d2 = _positional_postings(
+        flat, meta.column, ROWID_COL, meta.params.get("tokenizer", "simple")
+    )
+    p2.write.mode("overwrite").parquet(os.path.join(base, seg, "postings"))
+    d2.write.mode("overwrite").parquet(os.path.join(base, seg, "doclens"))
+    return segs + [seg]
 
 
 def _bm25(postings: DataFrame, doclens: DataFrame, terms: list[str]) -> DataFrame:

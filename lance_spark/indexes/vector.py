@@ -41,6 +41,20 @@ from pyspark.sql.functions import pandas_udf
 _MAX_REFINE_CANDIDATES = 1_000_000
 
 
+def _mask_fragments(df: DataFrame, id_col: str, exclude_fragments) -> DataFrame:
+    """Drop rows whose ``_rowid`` belongs to one of the given fragments
+    (``_rowid`` = fragment_id << 32 | offset, write.py:13). The guard that
+    makes a torn delta-optimize harmless: rows the manifest still lists as
+    uncovered are flat-searched, so their index copies must not score."""
+    if not exclude_fragments:
+        return df
+    from lance_spark.write import FRAGID_SHIFT
+
+    return df.filter(
+        ~F.shiftright(F.col(id_col), FRAGID_SHIFT).isin([int(f) for f in exclude_fragments])
+    )
+
+
 def _as_matrix(series: pd.Series) -> np.ndarray:
     return np.asarray([np.asarray(v, dtype=np.float32) for v in series], dtype=np.float32)
 
@@ -87,12 +101,21 @@ class IvfIndex:
     """Handle over a built index directory:
        <uri>/codes/partition_id=*/...parquet   {id, vec, pq_code?}
        <uri>/centroids.npy, codebooks.npy, meta.json
-    """
+
+    ``meta.json``'s ``segments`` lists the code directories (default
+    ``["codes"]``). optimize_indices' delta path appends ``codes_v<N>``
+    segments — same schema, encoded with the SAME training artifacts —
+    and readers scan the union. Segment visibility flips atomically with
+    an os.replace of meta.json; rows belonging to fragments the MANIFEST
+    still lists as uncovered are masked at the dataset layer
+    (exclude_fragments), so a torn delta (segment visible, manifest
+    commit lost) never double-counts against the flat tail."""
 
     def __init__(self, uri: str):
         self.uri = uri
         with open(os.path.join(uri, "meta.json")) as fh:
             self.meta = json.load(fh)
+        self.segments = list(self.meta.get("segments") or ["codes"])
         self.centroids = np.load(os.path.join(uri, "centroids.npy"))
         cb = os.path.join(uri, "codebooks.npy")
         self.codebooks = np.load(cb) if os.path.exists(cb) else None
@@ -102,6 +125,27 @@ class IvfIndex:
         self.rotation = np.load(rot) if os.path.exists(rot) else None
         rad = os.path.join(uri, "radii.npy")
         self.radii = np.load(rad) if os.path.exists(rad) else None
+
+    def codes_paths(self) -> list[str]:
+        return [os.path.join(self.uri, s) for s in self.segments]
+
+    def hnsw_paths(self) -> list[str]:
+        # each codes segment has a sibling graph dir: codes→hnsw,
+        # codes_vN→hnsw_vN (built from that segment's vectors only)
+        return [
+            os.path.join(self.uri, "hnsw" + s[len("codes"):]) for s in self.segments
+        ]
+
+    def codes_df(self, spark: SparkSession, exclude_fragments=None) -> DataFrame:
+        """All code segments unioned; ``exclude_fragments`` masks rows of
+        manifest-uncovered fragments (they are flat-searched instead).
+        Segments are separate hive-partitioned roots, so each reads on its
+        own (multi-root partition discovery conflicts otherwise)."""
+        df = None
+        for p in self.codes_paths():
+            d = spark.read.parquet(p)
+            df = d if df is None else df.unionByName(d, allowMissingColumns=True)
+        return _mask_fragments(df, "id", exclude_fragments)
 
     @property
     def metric(self) -> str:
@@ -325,7 +369,82 @@ def build_ivf(
         # residual PQ (vector/residual.rs): codebooks trained on (vec - centroid)
         codebooks = train_pq_codebooks(sample, centroids, m, seed=seed)
 
-    # --- distributed assign + encode ---------------------------------------
+    enc = _assign_encode_df(
+        df, vec_col, id_col, spark, centroids, codebooks, sq_bounds, rotation, cosine
+    )
+
+    os.makedirs(uri, exist_ok=True)
+    # store raw vec for FLAT scoring and local refine; a deployment trading
+    # index size for a take()-style refine join can drop it (see ann_search)
+    (
+        enc.repartition("partition_id")
+        .write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(os.path.join(uri, "codes"))
+    )
+    radii = compute_partition_radii(spark, os.path.join(uri, "codes"), centroids, cosine)
+    np.save(os.path.join(uri, "radii.npy"), radii)
+    np.save(os.path.join(uri, "centroids.npy"), centroids)
+    if codebooks is not None:
+        np.save(os.path.join(uri, "codebooks.npy"), codebooks)
+    if sq_bounds is not None:
+        np.save(os.path.join(uri, "sq_bounds.npy"), sq_bounds)
+    if rotation is not None:
+        np.save(os.path.join(uri, "rotation.npy"), rotation)
+    _write_meta_json(
+        uri,
+        {
+            "index_type": index_type,
+            "metric": metric,
+            "num_partitions": int(k),
+            "num_sub_vectors": int(num_sub_vectors) if index_type in ("IVF_PQ", "IVF_HNSW_PQ") else None,
+            "dim": int(dim),
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "segments": ["codes"],
+        },
+    )
+    # a rebuild resets the segment list — delta dirs from a previous
+    # incarnation are invisible now; reclaim them (meta.json already
+    # points only at the fresh base, so removal can't strand a reader)
+    import shutil
+
+    for d in os.listdir(uri):
+        if d.startswith(("codes_v", "hnsw_v")):
+            shutil.rmtree(os.path.join(uri, d), ignore_errors=True)
+    index = IvfIndex(uri)
+    if index_type in ("IVF_HNSW_FLAT", "IVF_HNSW_PQ", "IVF_HNSW_SQ"):
+        # per-partition proximity graphs next to the codes (indexes/hnsw.py)
+        from lance_spark.indexes.hnsw import build_hnsw_graphs
+
+        build_hnsw_graphs(index, spark)
+    return index
+
+
+def _write_meta_json(uri: str, meta: dict) -> None:
+    """Atomic meta.json replace: segment visibility must flip all-or-
+    nothing (a torn meta.json would orphan the whole index)."""
+    tmp = os.path.join(uri, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(uri, "meta.json"))
+
+
+def _assign_encode_df(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    spark: SparkSession,
+    centroids: np.ndarray,
+    codebooks,
+    sq_bounds,
+    rotation,
+    cosine: bool,
+) -> DataFrame:
+    """(id, vec, partition_id, pq_code, rq_norm, rq_corr) for every non-null
+    vector row: row-local centroid assignment + quantization with FIXED
+    training artifacts. Shared by build_ivf and the delta-optimize path
+    (extend_ivf) so fresh and delta rows cannot drift numerically."""
     cent_b = spark.sparkContext.broadcast(centroids)
     cb_b = spark.sparkContext.broadcast(codebooks)
     sq_b = spark.sparkContext.broadcast(sq_bounds)
@@ -385,50 +504,137 @@ def build_ivf(
             }
         )
 
-    enc = df.select(
+    return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<float>").alias("vec"),
         assign_encode(F.col(vec_col)).alias("e"),
     ).select("id", "vec", "e.partition_id", "e.pq_code", "e.rq_norm", "e.rq_corr")
 
-    os.makedirs(uri, exist_ok=True)
-    # store raw vec for FLAT scoring and local refine; a deployment trading
-    # index size for a take()-style refine join can drop it (see ann_search)
+
+def extend_ivf(
+    index: IvfIndex, spark: SparkSession, df: DataFrame, fragments: list[int] | None = None
+) -> IvfIndex:
+    """Delta-extend an IVF index with NEW rows, without retraining
+    (optimize_indices' default — the reference's contract: "does not
+    retrain the index, it only assigns the new data to existing
+    partitions", dataset.py:4838-4842).
+
+    The rows encode with the index's FROZEN artifacts (centroids /
+    codebooks / sq bounds / rotation) into a fresh ``codes_v<n>`` segment
+    dir (HNSW variants also get that segment's own per-partition graphs);
+    radii.npy is raised to cover the new rows (elementwise max — monotone,
+    so a torn run only leaves the bound loose, never wrong); the segment
+    becomes visible via ONE atomic meta.json replace.
+
+    ``fragments`` records which data fragments the segment covers
+    (meta.json ``segment_fragments``). Replay safety hangs on it: a delta
+    whose fragments the MANIFEST still lists as uncovered is a torn
+    leftover (its coverage commit never landed), so a re-run DROPS any
+    existing segment intersecting the new fragment set before writing —
+    the replay supersedes the torn attempt instead of double-adding its
+    rows. Until the coverage commit lands, readers mask the segment's
+    rows per-fragment (exclude_fragments), so the torn window reads
+    consistently too.
+
+    Scale: cost is one assign+encode pass over the NEW rows plus their
+    radii aggregation; the existing index is never read or rewritten. The
+    trade (reference-documented) is recall drift if the new data shifts
+    distribution — retrain=True is the reset."""
+    vec_col = index.meta["vec_col"]
+    id_col = index.meta["id_col"]
+    enc = _assign_encode_df(
+        df.select(F.col(id_col), F.col(vec_col)),
+        vec_col,
+        id_col,
+        spark,
+        index.centroids,
+        index.codebooks,
+        index.sq_bounds,
+        index.rotation,
+        index.metric == "cosine",
+    )
+    frag_set = set(int(f) for f in (fragments or []))
+    seg_frags = dict(index.meta.get("segment_fragments") or {})
+    kept = [
+        s for s in index.segments
+        if not (frag_set & set(seg_frags.get(s, [])))
+    ]
+    seg_frags = {s: seg_frags[s] for s in seg_frags if s in kept}
+    n = 0
+    for s in kept:
+        if s.startswith("codes_v"):
+            n = max(n, int(s[len("codes_v"):]))
+    seg = f"codes_v{n + 1}"
+    seg_dir = os.path.join(index.uri, seg)
     (
         enc.repartition("partition_id")
         .write.mode("overwrite")
         .partitionBy("partition_id")
-        .parquet(os.path.join(uri, "codes"))
+        .parquet(seg_dir)
     )
-    radii = compute_partition_radii(spark, os.path.join(uri, "codes"), centroids, cosine)
-    np.save(os.path.join(uri, "radii.npy"), radii)
-    np.save(os.path.join(uri, "centroids.npy"), centroids)
-    if codebooks is not None:
-        np.save(os.path.join(uri, "codebooks.npy"), codebooks)
-    if sq_bounds is not None:
-        np.save(os.path.join(uri, "sq_bounds.npy"), sq_bounds)
-    if rotation is not None:
-        np.save(os.path.join(uri, "rotation.npy"), rotation)
-    with open(os.path.join(uri, "meta.json"), "w") as fh:
-        json.dump(
-            {
-                "index_type": index_type,
-                "metric": metric,
-                "num_partitions": int(k),
-                "num_sub_vectors": int(num_sub_vectors) if index_type in ("IVF_PQ", "IVF_HNSW_PQ") else None,
-                "dim": int(dim),
-                "id_col": id_col,
-                "vec_col": vec_col,
-            },
-            fh,
-        )
-    index = IvfIndex(uri)
-    if index_type in ("IVF_HNSW_FLAT", "IVF_HNSW_PQ", "IVF_HNSW_SQ"):
-        # per-partition proximity graphs next to the codes (indexes/hnsw.py)
+    new_radii = compute_partition_radii(
+        spark, seg_dir, index.centroids, index.metric == "cosine"
+    )
+    if index.radii is not None:
+        np.save(os.path.join(index.uri, "radii.npy"), np.maximum(index.radii, new_radii))
+    if index.index_type.startswith("IVF_HNSW"):
         from lance_spark.indexes.hnsw import build_hnsw_graphs
 
-        build_hnsw_graphs(index, spark)
-    return index
+        build_hnsw_graphs(
+            index, spark, codes_dir=seg_dir,
+            out_dir=os.path.join(index.uri, "hnsw" + seg[len("codes"):]),
+        )
+    meta = dict(index.meta)
+    meta["segments"] = kept + [seg]
+    if frag_set:
+        seg_frags[seg] = sorted(frag_set)
+    meta["segment_fragments"] = seg_frags
+    _write_meta_json(index.uri, meta)
+    return IvfIndex(index.uri)
+
+
+def merge_ivf_segments(index: IvfIndex, spark: SparkSession) -> IvfIndex:
+    """Merge all code segments into one (the reference's
+    ``num_indices_to_merge`` compaction): read the union, rewrite as a
+    single ``codes_v<n>`` segment, flip meta.json, reclaim old dirs. Keeps
+    query-time segment fan-out bounded under continuous delta optimizes."""
+    import shutil
+
+    if len(index.segments) <= 1:
+        return index
+    n = max(
+        (int(s[len("codes_v"):]) for s in index.segments if s.startswith("codes_v")),
+        default=0,
+    )
+    seg = f"codes_v{n + 1}"
+    seg_dir = os.path.join(index.uri, seg)
+    (
+        index.codes_df(spark)
+        .repartition("partition_id")
+        .write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(seg_dir)
+    )
+    old = list(index.segments)
+    if index.index_type.startswith("IVF_HNSW"):
+        from lance_spark.indexes.hnsw import build_hnsw_graphs
+
+        build_hnsw_graphs(
+            index, spark, codes_dir=seg_dir,
+            out_dir=os.path.join(index.uri, "hnsw" + seg[len("codes"):]),
+        )
+    meta = dict(index.meta)
+    meta["segments"] = [seg]
+    # merge runs only on COMMITTED segments (optimize merges after the
+    # coverage commit), so the merged segment is base-like: no per-segment
+    # fragment bookkeeping survives it
+    meta["segment_fragments"] = {}
+    _write_meta_json(index.uri, meta)
+    for s in old:
+        shutil.rmtree(os.path.join(index.uri, s), ignore_errors=True)
+        h = os.path.join(index.uri, "hnsw" + s[len("codes"):])
+        shutil.rmtree(h, ignore_errors=True)
+    return IvfIndex(index.uri)
 
 
 def _query_prep(index: IvfIndex, query: list[float]) -> np.ndarray:
@@ -455,6 +661,7 @@ def ann_search(
     refine_factor: int = 1,
     prefilter_rowids: DataFrame | None = None,
     ef_search: int = 64,
+    exclude_fragments: list[int] | None = None,
 ) -> DataFrame:
     """ANN top-k: partition prune → (prefilter) → score → topk → optional
     exact refine.
@@ -472,7 +679,7 @@ def ann_search(
 
         return hnsw_search(
             spark, index, query, k, nprobes, ef_search, prefilter_rowids,
-            refine_factor,
+            refine_factor, exclude_fragments=exclude_fragments,
         )
     # The refine stage collects k·refine_factor (id, _approx) rows to the
     # driver; cap it at a corpus-independent bound so a wide-fetch
@@ -482,7 +689,7 @@ def ann_search(
     n_cand = min(k * max(refine_factor, 1), _MAX_REFINE_CANDIDATES)
     q = _query_prep(index, query)
     probes = probe_partitions(index, query, nprobes)
-    codes = spark.read.parquet(os.path.join(index.uri, "codes")).filter(
+    codes = index.codes_df(spark, exclude_fragments).filter(
         F.col("partition_id").isin(probes)
     )
     if prefilter_rowids is not None:
@@ -625,7 +832,11 @@ def _exact_refine_local(
 
     if not cand_ids:
         return spark.createDataFrame([], "id long, _distance double")
-    dset = pads.dataset(os.path.join(index.uri, "codes"), partitioning="hive")
+    # candidate ids come pre-masked (the torn-delta guard runs at scoring),
+    # so the point read may touch every segment
+    dset = pads.dataset(
+        [pads.dataset(p, partitioning="hive") for p in index.codes_paths()]
+    )
     tbl = dset.to_table(
         columns=["id", "vec"],
         filter=pads.field("partition_id").isin(probes) & pads.field("id").isin(cand_ids),
@@ -668,9 +879,7 @@ def distance_range_search(
     probes = [int(i) for i in np.nonzero(lower <= range_max_l2)[0]]
     if not probes:
         return spark.createDataFrame([], "id long, _distance double")
-    codes = spark.read.parquet(os.path.join(index.uri, "codes")).filter(
-        F.col("partition_id").isin(probes)
-    )
+    codes = index.codes_df(spark).filter(F.col("partition_id").isin(probes))
     cosine = index.metric == "cosine"
     qb = spark.sparkContext.broadcast(q)
 
@@ -699,6 +908,7 @@ def ann_join(
     nprobes: int = 4,
     use_codes: bool = False,
     refine_factor: int = 4,
+    exclude_fragments: list[int] | None = None,
 ) -> DataFrame:
     """Distributed ANN JOIN: top-``k`` indexed neighbors for EVERY query
     row → ``(query_id, id, _distance)``. The bulk-retrieval shape
@@ -773,7 +983,7 @@ def ann_join(
         )
 
     if not (use_codes and index.codebooks is not None):
-        codes = spark.read.parquet(os.path.join(index.uri, "codes")).select(
+        codes = index.codes_df(spark, exclude_fragments).select(
             "partition_id", "id", "vec"
         )
         scored = q.join(codes, "partition_id").select(
@@ -811,7 +1021,7 @@ def ann_join(
             out[mask] = lut[cols, codes_m[mask]].sum(axis=1)
         return pd.Series(out)
 
-    code_tbl = spark.read.parquet(os.path.join(index.uri, "codes")).select(
+    code_tbl = index.codes_df(spark, exclude_fragments).select(
         "partition_id", "id", "pq_code"
     )
     approx = q.join(code_tbl, "partition_id").select(
@@ -833,9 +1043,7 @@ def ann_join(
     )
     cand = cand.localCheckpoint(eager=True)
     cand_side = F.broadcast(cand) if cand.count() <= 2_000_000 else cand
-    vec_tbl = spark.read.parquet(os.path.join(index.uri, "codes")).select(
-        "partition_id", "id", "vec"
-    )
+    vec_tbl = index.codes_df(spark).select("partition_id", "id", "vec")
     qvecs = queries.filter(F.col(query_vec_col).isNotNull()).select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("__qv"),
@@ -1055,12 +1263,15 @@ def dataset_nearest(
         hits = scored.withColumnRenamed(ROWID_COL, "id")
     else:
         index = IvfIndex(os.path.join(ds.uri, meta.path))
+        covered = set(meta.fragment_ids)
+        tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
         hits = ann_search(
             spark, index, query, k=k, nprobes=nprobes, refine_factor=refine_factor,
             prefilter_rowids=allow, ef_search=ef_search,
+            # torn-delta guard: index rows of still-uncovered fragments are
+            # flat-searched below, so the index copies must not also score
+            exclude_fragments=tail,
         )
-        covered = set(meta.fragment_ids)
-        tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
         if tail and not fast_search:
             flat = ds.scanner(spark, columns=[column], with_row_id=True, fragments=tail)
             if allow is not None:
@@ -1149,12 +1360,13 @@ def dataset_nearest_join(
         )
     else:
         index = IvfIndex(os.path.join(ds.uri, meta.path))
+        covered = set(meta.fragment_ids)
+        tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
         hits = ann_join(
             spark, index, queries, query_vec_col, query_id_col, k=k,
             nprobes=nprobes, use_codes=use_codes, refine_factor=refine_factor,
+            exclude_fragments=tail,
         )
-        covered = set(meta.fragment_ids)
-        tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
         if tail and not fast_search:
             flat = ds.scanner(spark, columns=[column], with_row_id=True, fragments=tail)
             flat_hits = knn_batch(

@@ -1693,6 +1693,42 @@ def ann_ivf_flat_topk(spark, sf_dir):
 
 
 @query(
+    "ann_delta_optimize",
+    f"""
+    SELECT e.vec_id, round(1.0 - ({_DUCK_COS_Q}), 4) AS _distance
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 3) q
+    ORDER BY round(1.0 - ({_DUCK_COS_Q}), 4), e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_delta_optimize(spark, sf_dir):
+    """Delta index optimize (maintenance.optimize_indices default — the
+    reference's no-retrain contract, dataset.py:4838): index HALF the
+    corpus, append the rest, optimize — new vectors assign to the FROZEN
+    centroids as a codes_v1 segment. Full probe over both segments is
+    exhaustive → exact, so brute-force SQL over the whole corpus is a true
+    oracle for the delta pipeline (encode → segment union → coverage
+    commit → search)."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    uri = tempfile.mkdtemp(prefix="lsq_dopt_") + "/ds"
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    write_dataset(half, uri, mode="create")
+    ds = dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_FLAT", num_partitions=8, metric="cosine"
+    )
+    ds.insert(emb.filter(F.col("vec_id") % 2 == 1))
+    ds = dataset(uri).optimize_indices(spark)
+    res = ds.nearest(spark, "embedding", qvec, k=100_000, nprobes=8)
+    return _topk_rounded(res.select("vec_id", "_distance"))
+
+
+@query(
     "ann_knn_join",
     f"""
     WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),

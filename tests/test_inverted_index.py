@@ -299,3 +299,40 @@ def test_mlt_join_retrieves_self_and_df_bounds(spark, indexed_docs_ds):
         ds, spark, queries, "text", "qid", k=5, min_doc_freq=10**9
     )
     assert empty.count() == 0
+
+
+def test_optimize_delta_inverted_segments(spark, sf_dir, tmp_path):
+    """Default optimize on a stale INVERTED index writes a postings delta
+    segment for the new fragments only (indexes/inverted.extend_inverted):
+    scores are IDENTICAL to the pre-optimize tail-union path (same
+    corpus-wide BM25 stats), coverage + segments commit atomically, and a
+    second optimize is a no-op."""
+    import lance_spark as ls
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+
+    uri = str(tmp_path / "ftsdelta")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ls.write_dataset(docs.limit(300), uri, mode="create")
+    ds = create_inverted_index(ls.dataset(uri), spark, "text")
+    ds.insert(docs.subtract(docs.limit(300)))
+    ds = ls.dataset(uri)
+
+    before = [
+        (r["id"], r["_score"])
+        for r in match_query(ds, spark, ["table", "scan", "join"], k=20).collect()
+    ]
+    ds = ds.optimize_indices(spark)
+    meta = next(i for i in ds.manifest.indices if i.index_type == "INVERTED")
+    assert meta.params["segments"] == [".", "seg_v1"]
+    assert set(meta.fragment_ids) == {f.id for f in ds.manifest.fragments}
+    after = [
+        (r["id"], r["_score"])
+        for r in match_query(ds, spark, ["table", "scan", "join"], k=20).collect()
+    ]
+    assert after == before
+
+    v = ds.version
+    ds = ds.optimize_indices(spark)  # nothing stale → no-op
+    assert ds.version == v
+    meta = next(i for i in ds.manifest.indices if i.index_type == "INVERTED")
+    assert meta.params["segments"] == [".", "seg_v1"]

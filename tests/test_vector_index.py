@@ -417,10 +417,12 @@ def test_optimize_tolerates_legacy_none_num_sub_vectors(spark, emb, tmp_path):
 
 
 def test_optimize_reresolves_sqrt_n_partitions(spark, emb, tmp_path):
-    """A √n-defaulted index must retrain its partition count from the
-    CURRENT row count on optimize (VERDICT r8 #4): an index built at n
-    rows that grows ~16× rebuilds near √(16n), not at the creation-time
-    count — and the rebuilt index still answers exactly at full probe."""
+    """optimize_indices(retrain=True) must re-resolve a √n-defaulted
+    partition count from the CURRENT row count (VERDICT r8 #4): an index
+    built at n rows that grows ~16× rebuilds near √(16n), not at the
+    creation-time count — and the rebuilt index still answers exactly at
+    full probe. (The DEFAULT optimize is the reference's no-retrain delta
+    assign — partition count intentionally frozen there.)"""
     from lance_spark.dataset import dataset
     from lance_spark.indexes.vector import IvfIndex
     from lance_spark.operators.knn import knn_bruteforce
@@ -440,7 +442,7 @@ def test_optimize_reresolves_sqrt_n_partitions(spark, emb, tmp_path):
     extra = emb.subtract(emb.limit(60))
     ds.insert(extra)
     total = dataset(uri).to_df(spark).count()
-    ds = dataset(uri).optimize_indices(spark)
+    ds = dataset(uri).optimize_indices(spark, retrain=True)
     meta1 = next(i for i in ds.manifest.indices if i.column == "embedding")
     n1 = int(meta1.params["num_partitions"])
     assert n1 == pytest.approx(total ** 0.5, abs=4) and n1 > n0
@@ -474,7 +476,8 @@ def test_optimize_preserves_explicit_partition_count(spark, emb, tmp_path):
         spark, "embedding", index_type="IVF_FLAT", num_partitions=7, metric="l2"
     )
     ds.insert(emb.limit(400).subtract(emb.limit(100)))
-    ds = dataset(uri).optimize_indices(spark)
+    # an explicitly-chosen partition count survives even a full RETRAIN
+    ds = dataset(uri).optimize_indices(spark, retrain=True)
     meta = next(i for i in ds.manifest.indices if i.column == "embedding")
     assert int(meta.params["num_partitions"]) == 7
     assert meta.params["num_partitions_explicit"] is True
@@ -765,3 +768,215 @@ def test_nearest_join_metric_conflict_with_index_raises(spark, emb, tmp_path):
         ds.nearest_join(
             spark, "embedding", queries, "embedding", "vec_id", k=3, metric="l2"
         )
+
+
+def test_optimize_delta_assigns_without_retrain(spark, emb, tmp_path):
+    """Default optimize_indices = the reference's no-retrain contract
+    (dataset.py:4838: "only assigns the new data to existing partitions"):
+    centroids stay byte-identical, new vectors land in a codes_v1 delta
+    segment, coverage updates, and IVF_FLAT search at full probe is still
+    EXACT over old+new rows."""
+    import os
+
+    import numpy as np
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.vector import IvfIndex
+    from lance_spark.operators.knn import knn_bruteforce
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "delta")
+    write_dataset(emb.limit(300), uri, mode="create")
+    ds = dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_FLAT", num_partitions=5, metric="l2"
+    )
+    meta0 = next(i for i in ds.manifest.indices if i.column == "embedding")
+    idx_uri = os.path.join(uri, meta0.path)
+    cent0 = np.load(os.path.join(idx_uri, "centroids.npy"))
+
+    ds.insert(emb.subtract(emb.limit(300)))
+    ds = dataset(uri).optimize_indices(spark)
+
+    meta1 = next(i for i in ds.manifest.indices if i.column == "embedding")
+    assert set(meta1.fragment_ids) == {f.id for f in ds.manifest.fragments}
+    idx = IvfIndex(idx_uri)
+    assert idx.segments == ["codes", "codes_v1"]
+    assert np.array_equal(np.load(os.path.join(idx_uri, "centroids.npy")), cent0)
+    # index row count == every non-null vector, old + new
+    total = ds.to_df(spark).filter("embedding is not null").count()
+    assert idx.codes_df(spark).count() == total
+
+    q = _query_vec(emb, 311)  # a vector that arrived AFTER the index build
+    got = [
+        r["_rowid"]
+        for r in ds.nearest(spark, "embedding", q, k=5, nprobes=5, with_row_id=True).collect()
+    ]
+    want = [
+        r["_rowid"]
+        for r in knn_bruteforce(
+            ds.to_df(spark, with_row_id=True), "embedding", q, k=5,
+            metric="l2", id_col="_rowid",
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_optimize_delta_idempotent_and_torn_visibility(spark, emb, tmp_path):
+    """Torn-delta guard: when the segment is visible in meta.json but the
+    manifest still lists the fragments as uncovered (crash between the
+    atomic meta.json flip and the manifest commit), search must not
+    double-count — index copies of uncovered fragments are masked and the
+    flat tail covers them. Re-running optimize converges to ONE delta
+    segment (idempotent overwrite)."""
+    import os
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.vector import IvfIndex, extend_ivf
+    from lance_spark.operators.knn import knn_bruteforce
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "torn")
+    write_dataset(emb.limit(300), uri, mode="create")
+    ds = dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_FLAT", num_partitions=5, metric="l2"
+    )
+    ds.insert(emb.subtract(emb.limit(300)))
+    ds = dataset(uri)
+    meta = next(i for i in ds.manifest.indices if i.column == "embedding")
+    idx_uri = os.path.join(uri, meta.path)
+
+    # simulate the torn state: run ONLY the segment write + meta.json flip
+    covered = set(meta.fragment_ids)
+    tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
+    df = ds.scanner(spark, columns=["embedding"], with_row_id=True, fragments=tail)
+    extend_ivf(IvfIndex(idx_uri), spark, df, fragments=tail)
+    assert IvfIndex(idx_uri).segments == ["codes", "codes_v1"]
+    # manifest NOT updated — search now: no duplicates, still exact
+    q = _query_vec(emb, 311)
+    rows = dataset(uri).nearest(
+        spark, "embedding", q, k=5, nprobes=5, with_row_id=True
+    ).collect()
+    ids = [r["_rowid"] for r in rows]
+    assert len(ids) == len(set(ids)) == 5
+    want = [
+        r["_rowid"]
+        for r in knn_bruteforce(
+            dataset(uri).to_df(spark, with_row_id=True), "embedding", q, k=5,
+            metric="l2", id_col="_rowid",
+        ).collect()
+    ]
+    assert ids == want
+
+    # replay the whole optimize: overwrites the SAME segment, commits
+    ds = dataset(uri).optimize_indices(spark)
+    idx = IvfIndex(idx_uri)
+    assert idx.segments == ["codes", "codes_v1"]
+    meta1 = next(i for i in ds.manifest.indices if i.column == "embedding")
+    assert set(meta1.fragment_ids) == {f.id for f in ds.manifest.fragments}
+    total = ds.to_df(spark).filter("embedding is not null").count()
+    assert idx.codes_df(spark).count() == total
+
+
+def test_optimize_delta_auto_merges_segments(spark, emb, tmp_path):
+    """Segment fan-out is bounded: past the auto-merge budget the code
+    segments rewrite into one (no retrain — centroids untouched), and
+    num_indices_to_merge=0 disables merging (always-delta, the
+    reference's 'create a delta index' mode)."""
+    import os
+
+    import numpy as np
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.vector import IvfIndex
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "merge")
+    write_dataset(emb.limit(100), uri, mode="create")
+    ds = dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_FLAT", num_partitions=4, metric="l2"
+    )
+    meta = next(i for i in ds.manifest.indices if i.column == "embedding")
+    idx_uri = os.path.join(uri, meta.path)
+    cent0 = np.load(os.path.join(idx_uri, "centroids.npy"))
+
+    for lo, hi in ((100, 150), (150, 200), (200, 250)):
+        dataset(uri).insert(emb.limit(hi).subtract(emb.limit(lo)))
+        ds = dataset(uri).optimize_indices(spark, num_indices_to_merge=0)
+    assert IvfIndex(idx_uri).segments == ["codes", "codes_v1", "codes_v2", "codes_v3"]
+
+    # one more delta would exceed the default budget of 4 → auto-merge
+    dataset(uri).insert(emb.limit(300).subtract(emb.limit(250)))
+    ds = dataset(uri).optimize_indices(spark)
+    idx = IvfIndex(idx_uri)
+    assert len(idx.segments) == 1 and idx.segments[0].startswith("codes_v")
+    assert np.array_equal(np.load(os.path.join(idx_uri, "centroids.npy")), cent0)
+    total = ds.to_df(spark).filter("embedding is not null").count()
+    assert idx.codes_df(spark).count() == total
+    # stale segment dirs reclaimed
+    leftovers = [d for d in os.listdir(idx_uri) if d.startswith("codes") and d not in idx.segments]
+    assert leftovers == []
+
+
+def test_optimize_delta_hnsw_segment_graphs(spark, emb, tmp_path):
+    """IVF_HNSW delta: the new segment gets its OWN per-partition graphs
+    (hnsw_v1) — base graphs untouched — and exhaustive-config search over
+    the multi-segment index is exact."""
+    import os
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.vector import IvfIndex
+    from lance_spark.operators.knn import knn_bruteforce
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "hnswdelta")
+    write_dataset(emb.limit(300), uri, mode="create")
+    ds = dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_HNSW_FLAT", num_partitions=4, metric="l2"
+    )
+    meta = next(i for i in ds.manifest.indices if i.column == "embedding")
+    idx_uri = os.path.join(uri, meta.path)
+    base_graph_mtime = os.path.getmtime(os.path.join(idx_uri, "hnsw"))
+
+    ds.insert(emb.subtract(emb.limit(300)))
+    ds = dataset(uri).optimize_indices(spark)
+    idx = IvfIndex(idx_uri)
+    assert idx.segments == ["codes", "codes_v1"]
+    assert os.path.isdir(os.path.join(idx_uri, "hnsw_v1"))
+    assert os.path.getmtime(os.path.join(idx_uri, "hnsw")) == base_graph_mtime
+
+    q = _query_vec(emb, 311)
+    got = [
+        r["_rowid"]
+        for r in ds.nearest(
+            spark, "embedding", q, k=5, nprobes=4, ef_search=100000, with_row_id=True
+        ).collect()
+    ]
+    want = [
+        r["_rowid"]
+        for r in knn_bruteforce(
+            ds.to_df(spark, with_row_id=True), "embedding", q, k=5,
+            metric="l2", id_col="_rowid",
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_optimize_index_names_filter(spark, emb, tmp_path):
+    """index_names restricts which stale indexes are optimized (reference
+    dataset.py:4849)."""
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "names")
+    write_dataset(emb.limit(200), uri, mode="create")
+    ds = dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_FLAT", num_partitions=4, metric="l2",
+        name="embidx",
+    )
+    ds.insert(emb.limit(260).subtract(emb.limit(200)))
+    ds = dataset(uri).optimize_indices(spark, index_names=["otheridx"])
+    meta = next(i for i in ds.manifest.indices if i.column == "embedding")
+    assert set(meta.fragment_ids) != {f.id for f in ds.manifest.fragments}  # untouched
+    ds = dataset(uri).optimize_indices(spark, index_names=["embidx"])
+    meta = next(i for i in ds.manifest.indices if i.column == "embedding")
+    assert set(meta.fragment_ids) == {f.id for f in ds.manifest.fragments}
