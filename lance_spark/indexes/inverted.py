@@ -856,6 +856,108 @@ def fuzzy_query(
     return _topk(scored.select("id", F.round("_score", 4).alias("_score")), k)
 
 
+def fuzzy_join(
+    ds,
+    spark: SparkSession,
+    queries: DataFrame,
+    query_text_col: str,
+    query_id_col: str,
+    k: int | None = 10,
+    fuzziness: int | None = 1,
+    prefix_length: int = 0,
+    max_expansions: int = 50,
+    transpositions: bool = True,
+    column: str | None = None,
+) -> DataFrame:
+    """Bulk FUZZY match: top-``k`` docs for EVERY query row with each query
+    term expanded to its edit-distance-``fuzziness`` neighborhood in the
+    index VOCABULARY (inverted/query.rs MatchQuery.fuzziness semantics:
+    expanded terms score as ordinary OR-of-terms, each with its own df) —
+    one distributed plan, no per-query driver expansion.
+
+    The expansion is a vocabulary×query-vocabulary problem, never a corpus
+    one, and it is pruned before any distance runs: candidate pairs must
+    agree on token LENGTH within ``fuzziness`` (an equi-join on exploded
+    length keys — no cross join survives the optimizer) and on the
+    ``prefix_length`` prefix when set (tantivy's automaton prefix, as a
+    second equi-join key; Lucene's guidance to always set it at web-scale
+    vocabularies applies here verbatim). Survivors pay a JVM
+    ``levenshtein`` — with ``transpositions`` (Damerau, the tantivy
+    default) the JVM pass is a ≤2·fuzziness prefilter (one transposition
+    costs two plain edits, so DL ≤ f ⇒ lev ≤ 2f) and the exact Damerau
+    check is an Arrow-batched UDF over the already-tiny survivor set.
+    Per query token, the ``max_expansions`` closest variants win
+    ((distance, token) window — Lucene's cap, default 50)."""
+    from pyspark.sql import Window
+
+    from lance_spark.functions.text import tokenizer_expr
+
+    meta = _find(ds, column)
+    postings, doclens = _index_tables(ds, spark, meta)
+    tok = tokenizer_expr(meta.params.get("tokenizer", "simple"))
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.explode(tok(F.col(query_text_col))).alias("qtok"),
+        )
+        .distinct()
+    )
+    qvoc = qt.select("qtok").distinct()
+    vocab = postings.select("token").distinct()
+    # fuzziness=None → the reference's per-token length schedule
+    # (query.rs:373 auto_fuzziness): 0 for len<=2, 1 for len<=5, else 2
+    fz = (
+        F.when(F.length("qtok") <= 2, 0).when(F.length("qtok") <= 5, 1).otherwise(2)
+        if fuzziness is None
+        else F.lit(int(fuzziness))
+    )
+    # length-bucket equi-join: each query token claims lengths ±fuzziness
+    lens = F.sequence(F.greatest(F.length("qtok") - fz, F.lit(1)), F.length("qtok") + fz)
+    ql = qvoc.select("qtok", fz.alias("__f"), F.explode(lens).alias("__len"))
+    vl = vocab.select("token", F.length("token").alias("__len"))
+    join_keys = ["__len"]
+    if prefix_length > 0:
+        ql = ql.withColumn("__pfx", F.substring("qtok", 1, prefix_length))
+        vl = vl.withColumn("__pfx", F.substring("token", 1, prefix_length))
+        join_keys.append("__pfx")
+    pairs = ql.join(vl, join_keys).select("qtok", "__f", "token")
+    lev_budget = (F.col("__f") * 2) if transpositions else F.col("__f")
+    pairs = pairs.withColumn("_lev", F.levenshtein("qtok", "token")).filter(
+        F.col("_lev") <= lev_budget
+    )
+    if transpositions:
+        from pyspark.sql.functions import pandas_udf
+
+        from lance_spark.functions.text import damerau_levenshtein
+
+        @pandas_udf("int")
+        def _dl(a: pd.Series, b: pd.Series) -> pd.Series:
+            return pd.Series(
+                [damerau_levenshtein(x or "", y or "") for x, y in zip(a, b)]
+            )
+
+        pairs = pairs.withColumn("_d", _dl("qtok", "token"))
+    else:
+        pairs = pairs.withColumn("_d", F.col("_lev"))
+    wexp = Window.partitionBy("qtok").orderBy("_d", "token")
+    expanded = (
+        pairs.filter(F.col("_d") <= F.col("__f"))
+        .withColumn("__rn", F.row_number().over(wexp))
+        .filter(F.col("__rn") <= max_expansions)
+        .select("qtok", "token")
+    )
+    score_pairs = qt.join(expanded, "qtok").select("qid", "token").distinct()
+    scored = _bm25_join_core(postings, doclens, score_pairs)
+    if k is None:
+        return scored
+    w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def _find(ds, column: str | None):
     for i in ds.manifest.indices:
         if i.index_type == "INVERTED" and (column is None or i.column == column):

@@ -2370,6 +2370,74 @@ def fts_boolean_join(spark, sf_dir):
 
 
 @query(
+    "fts_fuzzy_join",
+    f"""
+    WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
+    dl AS (SELECT id, len(w) AS dl FROM tok),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    post AS (SELECT id, unnest(w) AS token FROM tok),
+    q(qid, qtext) AS (VALUES (0, 'tbale'), (1, 'scna jion'), (2, 'kye valu')),
+    qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS qtok FROM q),
+    voc AS (SELECT DISTINCT token FROM post),
+    pairs AS (SELECT p.qtok, v.token, damerau_levenshtein(p.qtok, v.token) AS d
+              FROM (SELECT DISTINCT qtok FROM qt) p, voc v
+              WHERE abs(len(p.qtok) - len(v.token)) <= 1),
+    exp AS (SELECT qtok, token FROM (
+              SELECT qtok, token, d,
+                     row_number() OVER (PARTITION BY qtok ORDER BY d, token) AS rn
+              FROM pairs WHERE d <= 1) WHERE rn <= 50),
+    qterm AS (SELECT DISTINCT qid, token FROM qt JOIN exp USING (qtok)),
+    tfq AS (SELECT token, id, count(*) AS tf FROM post
+            WHERE token IN (SELECT DISTINCT token FROM qterm) GROUP BY 1, 2),
+    dfq AS (SELECT token, count(*) AS df FROM tfq GROUP BY token),
+    sc AS (SELECT qterm.qid, tfq.id,
+                  round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                        * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS _score
+           FROM qterm JOIN tfq USING (token) JOIN dfq USING (token)
+                JOIN dl ON dl.id = tfq.id CROSS JOIN stats
+           GROUP BY qterm.qid, tfq.id),
+    r AS (SELECT qid, id, _score,
+                 row_number() OVER (PARTITION BY qid ORDER BY _score DESC, id) AS rn
+          FROM sc)
+    SELECT qid AS query_id, id AS doc_id, _score FROM r WHERE rn <= 5
+    ORDER BY query_id, rn
+    """,
+)
+def fts_fuzzy_join(spark, sf_dir):
+    """Bulk fuzzy match through the inverted index (indexes/inverted.py:
+    fuzzy_join): every query's misspelled terms expand to their Damerau
+    edit-distance-1 vocabulary neighborhood via a length-bucketed
+    equi-join (never a cross join), then bulk BM25 — one distributed
+    plan. Ties re-cut on doc_id after the rowid map (k=None contract)."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import create_inverted_index, fuzzy_join
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_fzj_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text")
+    queries = spark.createDataFrame(
+        [(0, "tbale"), (1, "scna jion"), (2, "kye valu")], ["qid", "qtext"]
+    )
+    hits = fuzzy_join(
+        ds, spark, queries, "qtext", "qid", k=None, fuzziness=1, transpositions=True
+    )
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", F.col("doc_id").alias("hit_doc"))
+    mapped = hits.join(base, hits.id == base._rowid).select(
+        "query_id", F.col("hit_doc").alias("doc_id"), "_score"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("doc_id"))
+    return (
+        mapped.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+        .orderBy("query_id", F.desc("_score"), "doc_id")
+    )
+
+
+@query(
     "fts_mlt_join",
     f"""
     WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col='text')} AS w FROM documents),

@@ -336,3 +336,58 @@ def test_optimize_delta_inverted_segments(spark, sf_dir, tmp_path):
     assert ds.version == v
     meta = next(i for i in ds.manifest.indices if i.index_type == "INVERTED")
     assert meta.params["segments"] == [".", "seg_v1"]
+
+
+@pytest.mark.parametrize("transpositions", [True, False])
+def test_fuzzy_join_equals_per_query_fuzzy(spark, indexed_docs_ds, transpositions):
+    """fuzzy_join == fuzzy_query per single-term query row: same vocabulary
+    expansion rule (cap by (distance, token)), same OR-of-terms scoring.
+    Parametrized over Damerau vs plain Levenshtein ('tbale'→'table' is
+    1 edit only with transpositions)."""
+    from pyspark.sql import functions as F
+
+    from lance_spark.indexes.inverted import fuzzy_join, fuzzy_query
+
+    ds = indexed_docs_ds
+    qrows = [(0, "tbale"), (1, "scna"), (2, "jion"), (3, "kye")]
+    queries = spark.createDataFrame(qrows, ["qid", "qtext"])
+    bulk = {}
+    rows = fuzzy_join(
+        ds, spark, queries, "qtext", "qid", k=5, fuzziness=1,
+        transpositions=transpositions,
+    ).collect()
+    for r in rows:
+        bulk.setdefault(r["query_id"], []).append((r["_score"], r["id"]))
+    for qid, term in qrows:
+        want = [
+            (r["_score"], r["id"])
+            for r in fuzzy_query(
+                ds, spark, term, fuzziness=1, k=5, transpositions=transpositions
+            ).collect()
+        ]
+        got = sorted(bulk.get(qid, []), key=lambda t: (-t[0], t[1]))
+        assert got == want, (qid, term, transpositions)
+
+
+def test_fuzzy_join_prefix_and_auto_fuzziness(spark, indexed_docs_ds):
+    """prefix_length restricts expansion to shared-prefix vocabulary (the
+    automaton prefix as an equi-join key); fuzziness=None follows the
+    reference's length schedule (len<=2 → 0 edits, so 'ky' matches only
+    itself — absent from the vocab → no hits)."""
+    from lance_spark.indexes.inverted import fuzzy_join
+
+    ds = indexed_docs_ds
+    # 'tbale' → 'table' shares no 1-char prefix ('t' vs 't'... it does);
+    # use prefix_length=2: 'tb' vs 'ta' differ → expansion blocked
+    q = spark.createDataFrame([(0, "tbale")], ["qid", "qtext"])
+    none_hits = fuzzy_join(
+        ds, spark, q, "qtext", "qid", k=5, fuzziness=1, prefix_length=2
+    ).count()
+    assert none_hits == 0
+    some_hits = fuzzy_join(
+        ds, spark, q, "qtext", "qid", k=5, fuzziness=1, prefix_length=1
+    ).count()
+    assert some_hits > 0
+
+    q2 = spark.createDataFrame([(0, "ky")], ["qid", "qtext"])
+    assert fuzzy_join(ds, spark, q2, "qtext", "qid", k=5, fuzziness=None).count() == 0
