@@ -540,6 +540,7 @@ def more_like_this_join(
     max_query_terms: int = 25,
     min_doc_freq: int = 1,
     max_doc_freq: int | None = None,
+    min_term_freq: int = 1,
     column: str | None = None,
 ) -> DataFrame:
     """Bulk more-like-this: for EVERY query document, the top-``k`` most
@@ -556,8 +557,18 @@ def more_like_this_join(
 
     ``min_doc_freq`` / ``max_doc_freq`` drop query terms whose corpus df
     is out of range BEFORE selection (ES's knobs: rare-term noise and
-    stopword saturation). Terms absent from the index retrieve nothing
-    and are dropped by the df join.
+    stopword saturation); ``min_term_freq`` drops terms appearing fewer
+    times in the QUERY doc (ES defaults this to 2 — here 1, so the suite
+    oracle stays closed-form). Terms absent from the index retrieve
+    nothing and are dropped by the df join.
+
+    The df knobs are the scale lever, not a nicety: per-query candidate
+    volume is Σ df(selected terms), so on a corpus where even distinctive
+    terms are common, unbounded MLT degenerates toward |Q|·n_docs scored
+    pairs. Measured at sf1 (50k docs, 515 full-doc queries, local[32]):
+    unbounded 252 s; ``max_doc_freq = 5%·n_docs`` 7.7 s — same plan, the
+    df filter collapses the postings join. Set max_doc_freq (or rely on
+    min_term_freq≥2 on natural corpora) for production bulk MLT.
 
     Scale: query texts tokenize row-locally; corpus document frequencies
     come from ONE aggregation over the vocabulary-pruned postings (the
@@ -583,6 +594,8 @@ def more_like_this_join(
         .groupBy("qid", "token")
         .agg(F.count("*").alias("qtf"))
     )
+    if min_term_freq > 1:
+        qtf = qtf.filter(F.col("qtf") >= min_term_freq)
     # corpus df for the query-doc vocabulary — count-gated like match_join
     qvocab = qtf.select("token").distinct().localCheckpoint(eager=True)
     vocab_small = qvocab.count() <= 2_000_000

@@ -237,3 +237,37 @@ def test_ann_join_probe_is_single_shuffle_join(spark, sf_dir, tmp_path):
     s = plan_summary(out)
     # probe-stream join + the top-k window partition: nothing else shuffles
     assert s["shuffles"] <= 3
+
+
+def test_fuzzy_and_mlt_join_never_degenerate(spark, sf_dir, tmp_path):
+    """fuzzy_join's expansion is a length-bucket EQUI-join and mlt_join's
+    selection windows per query — neither may plan a CartesianProduct, and
+    the only nested-loop joins allowed are the 1-row stats crossJoins."""
+    import lance_spark as ls
+    from pyspark.sql import functions as F
+
+    from lance_spark.indexes.inverted import (
+        create_inverted_index,
+        fuzzy_join,
+        more_like_this_join,
+    )
+
+    uri = str(tmp_path / "fzplan")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ls.write_dataset(docs.repartition(2), uri, mode="create")
+    ds = create_inverted_index(ls.dataset(uri), spark, "text")
+    queries = docs.select(
+        F.col("doc_id").alias("qid"), F.substring("text", 1, 30).alias("qtext")
+    )
+    fz = fuzzy_join(ds, spark, queries, "qtext", "qid", k=5, fuzziness=1)
+    e = fz._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in e
+    # stats crossJoin only; the qtok×vocab expansion must be an equi-join
+    assert e.count("BroadcastNestedLoopJoin") <= 1
+
+    mlt = more_like_this_join(ds, spark, queries, "qtext", "qid", k=5)
+    e2 = mlt._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in e2
+    # two 1-row crossJoins are legitimate here: n_docs for selection idf,
+    # stats for BM25 scoring
+    assert e2.count("BroadcastNestedLoopJoin") <= 2
