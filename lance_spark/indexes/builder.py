@@ -118,12 +118,24 @@ class IndicesBuilder:
 
     # ------------------------------------------------------------ training
     def _sample(self, n: int, distance_type: str) -> np.ndarray:
-        # null vectors are unindexable (reference mostly_null behavior)
+        # null vectors are unindexable (reference mostly_null behavior).
+        # Layout-unbiased, content-deterministic sampling: hash-bucket
+        # prefilter + smallest-hash cap (same rule and rationale as
+        # build_ivf — a limit() sample of a time-ordered 100 TB table
+        # trains centroids on one temporal slice).
+        from pyspark.sql import functions as F
+
         df = self.dataset.scanner(
             self.spark, columns=[self.column], filter=f"`{self.column}` IS NOT NULL",
-            limit=n,
         )
-        sample = _as_matrix(df.toPandas()[self.column]).astype(np.float64)
+        h = F.xxhash64(F.col(self.column).cast("array<float>"), F.lit(42))
+        cand = df.select(F.col(self.column), h.alias("__h"))
+        every = max(1, self.dataset.count_rows() // (2 * max(n, 1)))
+        if every > 1:
+            cand = cand.filter(F.pmod(F.col("__h"), F.lit(every)) == 0)
+        sample = _as_matrix(
+            cand.orderBy("__h").limit(n).toPandas()[self.column]
+        ).astype(np.float64)
         if len(sample) == 0:
             raise ValueError("no non-null vectors to train on")
         # canonical order: centroids are a function of the sample SET, not

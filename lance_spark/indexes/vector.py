@@ -312,19 +312,33 @@ def build_ivf(
     # (test_indices.py mostly_null fixtures): they never match a search
     df = df.filter(F.col(vec_col).isNotNull())
 
+    n_rows = df.count()  # column-pruned scan; parquet answers from metadata
     if num_partitions is None:
         # ~sqrt(num_rows), the reference's IndicesBuilder default
         # (python/python/lance/indices.py IvfModel training; mirrored by our
         # indexes/builder.py:150) clamped to 4096 — a fixed count would
         # leave nprobes pruning nothing at 100M+ rows, and sqrt keeps
         # per-partition residuals small enough for PQ to rank usefully
-        num_partitions = max(1, min(4096, int(round(df.count() ** 0.5))))
+        num_partitions = max(1, min(4096, int(round(n_rows ** 0.5))))
 
     # --- train on sample (driver) -----------------------------------------
-    # limit() avoids a full count+scan; the reference trains on a sample
-    # too. If the table layout is heavily clustered, pass a pre-shuffled df.
+    # The sample must be UNBIASED BY LAYOUT: a bare limit() fills from the
+    # first scan partitions, so on a 100 TB time-ordered corpus kmeans
+    # would train on one temporal slice and every later partition lands in
+    # far-away centroids. Sample by CONTENT hash instead (the reference
+    # samples randomly too, sampler maybe_sample): a seed-stable
+    # hash-bucket filter prunes to ~2× sample_size rows in one scan, and
+    # the smallest-hash cap (TakeOrdered — per-task heap, no global sort)
+    # picks the final set. The sample is a pure function of the row SET
+    # and seed — any partitioning, ordering, or cluster shape trains the
+    # same centroids.
+    h = F.xxhash64(F.col(vec_col).cast("array<float>"), F.lit(seed))
+    cand = df.select(F.col(vec_col), h.alias("__h"))
+    every = max(1, n_rows // (2 * max(sample_size, 1)))
+    if every > 1:
+        cand = cand.filter(F.pmod(F.col("__h"), F.lit(every)) == 0)
     sample = _as_matrix(
-        df.select(vec_col).limit(sample_size).toPandas()[vec_col]
+        cand.orderBy("__h").limit(sample_size).toPandas()[vec_col]
     ).astype(np.float64)
     # limit() row order varies with scan parallelism; canonicalize so the
     # trained centroids are a function of the sample SET, not the cluster

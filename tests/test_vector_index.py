@@ -980,3 +980,27 @@ def test_optimize_index_names_filter(spark, emb, tmp_path):
     ds = dataset(uri).optimize_indices(spark, index_names=["embidx"])
     meta = next(i for i in ds.manifest.indices if i.column == "embedding")
     assert set(meta.fragment_ids) == {f.id for f in ds.manifest.fragments}
+
+
+def test_kmeans_sample_is_layout_independent(spark, emb, tmp_path):
+    """The training sample is a pure function of the row SET and seed —
+    not of partitioning or scan order (a limit() sample of a time-ordered
+    100 TB table would train centroids on one temporal slice). Pinned by
+    building over two hostile layouts with a sample smaller than the
+    table: identical centroids."""
+    import numpy as np
+
+    from lance_spark.indexes.vector import build_ivf
+
+    layouts = {
+        "asc1": emb.orderBy("vec_id").repartition(1),
+        "desc8": emb.orderBy(F.desc("vec_id")).repartition(8),
+    }
+    cents = {}
+    for name, df in layouts.items():
+        idx = build_ivf(
+            df, "embedding", "vec_id", str(tmp_path / name), num_partitions=6,
+            metric="l2", index_type="IVF_FLAT", sample_size=400,
+        )
+        cents[name] = idx.centroids
+    assert np.array_equal(cents["asc1"], cents["desc8"])
