@@ -164,6 +164,10 @@ def extend_inverted(ds, spark: SparkSession, meta) -> list[str]:
     p2, d2 = _positional_postings(
         flat, meta.column, ROWID_COL, meta.params.get("tokenizer", "simple")
     )
+    if d2.isEmpty():
+        # new fragments hold no rows (e.g. fully deleted): no segment to
+        # write — an empty parquet dir would break the segment union read
+        return segs
     p2.write.mode("overwrite").parquet(os.path.join(base, seg, "postings"))
     d2.write.mode("overwrite").parquet(os.path.join(base, seg, "doclens"))
     return segs + [seg]

@@ -567,6 +567,11 @@ def extend_ivf(
         index.rotation,
         index.metric == "cosine",
     )
+    if enc.isEmpty():
+        # nothing indexable in the new fragments (e.g. all-null vectors):
+        # no segment to write — the caller's coverage commit is all that's
+        # needed, and an empty parquet dir would break the segment union
+        return index
     frag_set = set(int(f) for f in (fragments or []))
     seg_frags = dict(index.meta.get("segment_fragments") or {})
     kept = [

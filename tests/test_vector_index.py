@@ -1004,3 +1004,29 @@ def test_kmeans_sample_is_layout_independent(spark, emb, tmp_path):
         )
         cents[name] = idx.centroids
     assert np.array_equal(cents["asc1"], cents["desc8"])
+
+
+def test_optimize_delta_all_null_append(spark, emb, tmp_path):
+    """Appending fragments whose vectors are all NULL then optimizing must
+    not write an (unreadable) empty segment: coverage commits, segments
+    stay as-is, search still works."""
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.vector import IvfIndex
+    from lance_spark.write import write_dataset
+    import os
+
+    uri = str(tmp_path / "nulldelta")
+    write_dataset(emb.limit(200), uri, mode="create")
+    ds = dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_FLAT", num_partitions=4, metric="l2"
+    )
+    nulls = spark.createDataFrame(
+        [(990001, None, 0), (990002, None, 1)], schema=emb.schema
+    )
+    ds.insert(nulls)
+    ds = dataset(uri).optimize_indices(spark)
+    meta = next(i for i in ds.manifest.indices if i.column == "embedding")
+    assert set(meta.fragment_ids) == {f.id for f in ds.manifest.fragments}
+    assert IvfIndex(os.path.join(uri, meta.path)).segments == ["codes"]
+    q = _query_vec(emb, 7)
+    assert len(ds.nearest(spark, "embedding", q, k=3, nprobes=4).collect()) == 3
