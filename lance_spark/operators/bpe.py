@@ -144,7 +144,14 @@ def bpe_train(
     spark = df.sparkSession
     hist = [(r["word"], r["cnt"]) for r in word_histogram(df, text_col, max_words, min_count).collect()]
     merges, base = _learn_merges(hist, vocab_size, min_pair_count)
-    vocab = base + [a + b for a, b in merges]
+    # distinct merges can concatenate to the SAME symbol (("ab","c") and
+    # ("a","bc") both yield "abc") — the vocab keeps the first occurrence
+    # so (token → id) stays a function
+    vocab, seen = [], set()
+    for t in base + [a + b for a, b in merges]:
+        if t not in seen:
+            seen.add(t)
+            vocab.append(t)
     merges_df = spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)], "rank INT, left STRING, right STRING"
     )

@@ -106,7 +106,13 @@ def test_merges_match_naive_reference(spark, corpus_df, trained):
     got = [(r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()]
     assert got == want_merges
     vocab = [r["token"] for r in vocab_df.orderBy("id").collect()]
-    assert vocab == want_base + [a + b for a, b in want_merges]
+    want_vocab, seen = [], set()
+    for t in want_base + [a + b for a, b in want_merges]:
+        if t not in seen:
+            seen.add(t)
+            want_vocab.append(t)
+    assert vocab == want_vocab
+    assert len(vocab) == len(set(vocab))  # (token → id) is a function
     assert vocab_df.count() <= 60
 
 
