@@ -260,6 +260,7 @@ def _bm25_join_core(
     doclens: DataFrame,
     qt: DataFrame,
     dfreq: DataFrame | None = None,
+    round_scores: bool = True,
 ) -> DataFrame:
     """Bulk BM25 core shared by ``match_join`` / ``boolean_join`` /
     ``more_like_this_join``: score distinct (qid, token) pairs against the
@@ -304,7 +305,9 @@ def _bm25_join_core(
         )
         .withColumn("s", bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), F.col("avgdl")))
         .groupBy("qid", "id")
-        .agg(F.round(F.sum("s"), 4).alias("_score"))
+        .agg(
+            (F.round(F.sum("s"), 4) if round_scores else F.sum("s")).alias("_score")
+        )
         .withColumnRenamed("qid", "query_id")
     )
     return scored
@@ -804,6 +807,93 @@ def boost_query(
             F.round(F.col("p") - F.lit(negative_boost) * F.coalesce("n", F.lit(0.0)), 4).alias("_score"),
         ),
         k,
+    )
+
+
+def boost_join(
+    ds,
+    spark: SparkSession,
+    queries: DataFrame,
+    query_id_col: str,
+    positive_col: str,
+    negative_col: str,
+    negative_boost: float = 0.5,
+    k: int | None = 10,
+    column: str | None = None,
+) -> DataFrame:
+    """Bulk BOOST query (BoostQueryExec, fts.rs:729): per query row,
+    ``score = positive_score − negative_boost · negative_score`` over the
+    doc set matching the positive terms — one distributed plan over a
+    query TABLE, completing the bulk structured-query family
+    (match/phrase/boolean/fuzzy/MLT/boost). A null ``negative_col`` cell
+    means no demotion for that query.
+
+    Plan: BOTH branches score through ONE match_join core call (the
+    positive and negative (query, term) pairs union with an occur tag, so
+    postings are pruned by one vocabulary semi-join and traversed once);
+    the per-(query, doc) pivot and the boost arithmetic are a single
+    map-side-combinable aggregation. The query table never broadcasts."""
+    from pyspark.sql import Window
+
+    from lance_spark.functions.text import tokenizer_expr
+
+    meta = _find(ds, column)
+    postings, doclens = _index_tables(ds, spark, meta)
+    tok = tokenizer_expr(meta.params.get("tokenizer", "simple"))
+
+    def _pairs(col, tag):
+        return (
+            queries.select(
+                F.col(query_id_col).alias("qid"),
+                F.explode(tok(F.col(col))).alias("token"),
+            )
+            .distinct()
+            .withColumn("__occ", F.lit(tag))
+        )
+
+    pairs = _pairs(positive_col, "p").unionByName(_pairs(negative_col, "n"))
+    # one scoring pass over both occur classes: tag rides inside qid, so
+    # the core's (qid, doc) groupBy keeps the classes separate
+    tagged = pairs.select(
+        F.concat(F.col("__occ"), F.lit(":"), F.col("qid").cast("string")).alias("qid"),
+        "token",
+    )
+    # branch scores stay UNROUNDED — boost_query's convention is one
+    # round(4) after the demotion arithmetic, and double rounding flips
+    # the 4th decimal
+    scored = _bm25_join_core(postings, doclens, tagged, round_scores=False)
+    # occur tag is exactly one char + ':' — strip positionally, so a qid
+    # that itself contains ':' round-trips intact
+    split = scored.select(
+        F.expr("substring(query_id, 3)").alias("qid_str"),
+        F.substring("query_id", 1, 1).alias("__occ"),
+        "id",
+        "_score",
+    )
+    qid_type = dict(queries.dtypes)[query_id_col]
+    both = (
+        split.groupBy(F.col("qid_str").cast(qid_type).alias("query_id"), "id")
+        .agg(
+            F.max(F.when(F.col("__occ") == "p", F.col("_score"))).alias("p"),
+            F.max(F.when(F.col("__occ") == "n", F.col("_score"))).alias("n"),
+        )
+        # Boost demotes within the POSITIVE match set; negative-only docs drop
+        .filter(F.col("p").isNotNull())
+        .select(
+            "query_id",
+            "id",
+            F.round(
+                F.col("p") - F.lit(negative_boost) * F.coalesce("n", F.lit(0.0)), 4
+            ).alias("_score"),
+        )
+    )
+    if k is None:
+        return both
+    w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("id"))
+    return (
+        both.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )
 
 

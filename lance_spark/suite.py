@@ -2370,6 +2370,74 @@ def fts_boolean_join(spark, sf_dir):
 
 
 @query(
+    "fts_boost_join",
+    f"""
+    WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
+    dl AS (SELECT id, len(w) AS dl FROM tok),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    post AS (SELECT id, unnest(w) AS token FROM tok),
+    q(qid, pos, neg) AS (VALUES
+      (0, 'table scan', 'slow'), (1, 'key value', 'join'), (2, 'data', NULL)),
+    qp AS (SELECT DISTINCT qid, 'p' AS occ, unnest(string_split(pos, ' ')) AS token FROM q
+           UNION ALL
+           SELECT DISTINCT qid, 'n' AS occ, unnest(string_split(neg, ' ')) AS token
+           FROM q WHERE neg IS NOT NULL),
+    tfq AS (SELECT token, id, count(*) AS tf FROM post
+            WHERE token IN (SELECT DISTINCT token FROM qp) GROUP BY 1, 2),
+    dfq AS (SELECT token, count(*) AS df FROM tfq GROUP BY token),
+    sc AS (SELECT qp.qid, qp.occ, tfq.id,
+                  sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                        * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+           FROM qp JOIN tfq USING (token) JOIN dfq USING (token)
+                JOIN dl ON dl.id = tfq.id CROSS JOIN stats
+           GROUP BY qp.qid, qp.occ, tfq.id),
+    b AS (SELECT qid, id,
+                 max(CASE WHEN occ = 'p' THEN s END) AS p,
+                 max(CASE WHEN occ = 'n' THEN s END) AS n
+          FROM sc GROUP BY qid, id),
+    keep AS (SELECT qid, id, round(p - 0.5 * coalesce(n, 0.0), 4) AS _score
+             FROM b WHERE p IS NOT NULL),
+    r AS (SELECT qid, id, _score,
+                 row_number() OVER (PARTITION BY qid ORDER BY _score DESC, id) AS rn
+          FROM keep)
+    SELECT qid AS query_id, id AS doc_id, _score FROM r WHERE rn <= 5
+    ORDER BY query_id, rn
+    """,
+)
+def fts_boost_join(spark, sf_dir):
+    """Bulk BOOST query (indexes/inverted.py: boost_join): per query row,
+    positive-match docs demoted by negative_boost × negative score —
+    BoostQueryExec semantics over a query TABLE, both occur classes
+    scored in ONE postings traversal. Ties re-cut on doc_id after the
+    rowid map (k=None contract)."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.inverted import boost_join, create_inverted_index
+    from lance_spark.write import write_dataset
+
+    uri = tempfile.mkdtemp(prefix="lsq_bst_") + "/docs"
+    write_dataset(_t(spark, sf_dir, "documents").repartition(2), uri, mode="create")
+    ds = create_inverted_index(dataset(uri), spark, "text")
+    queries = spark.createDataFrame(
+        [(0, "table scan", "slow"), (1, "key value", "join"), (2, "data", None)],
+        ["qid", "pos", "neg"],
+    )
+    hits = boost_join(ds, spark, queries, "qid", "pos", "neg", negative_boost=0.5, k=None)
+    base = ds.to_df(spark, with_row_id=True).select("_rowid", F.col("doc_id").alias("hit_doc"))
+    mapped = hits.join(base, hits.id == base._rowid).select(
+        "query_id", F.col("hit_doc").alias("doc_id"), "_score"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("doc_id"))
+    return (
+        mapped.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+        .orderBy("query_id", F.desc("_score"), "doc_id")
+    )
+
+
+@query(
     "fts_fuzzy_join",
     f"""
     WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col='text')} AS w FROM documents),

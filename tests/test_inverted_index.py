@@ -391,3 +391,28 @@ def test_fuzzy_join_prefix_and_auto_fuzziness(spark, indexed_docs_ds):
 
     q2 = spark.createDataFrame([(0, "ky")], ["qid", "qtext"])
     assert fuzzy_join(ds, spark, q2, "qtext", "qid", k=5, fuzziness=None).count() == 0
+
+
+def test_boost_join_equals_per_query_boost(spark, indexed_docs_ds):
+    """boost_join == boost_query per query row (same BM25 branch scores,
+    same demotion arithmetic, positive-match-set membership); a null
+    negative cell means no demotion."""
+    from pyspark.sql import functions as F
+
+    from lance_spark.indexes.inverted import boost_join, boost_query
+
+    ds = indexed_docs_ds
+    cases = [(0, "table scan", "slow"), (1, "key value", "join"), (2, "data", None)]
+    q = spark.createDataFrame(cases, ["qid", "pos", "neg"])
+    bulk = {}
+    for r in boost_join(ds, spark, q, "qid", "pos", "neg", negative_boost=0.3, k=None).collect():
+        bulk.setdefault(r["query_id"], {})[r["id"]] = r["_score"]
+    for qid, pos, neg in cases:
+        want = {
+            r["id"]: r["_score"]
+            for r in boost_query(
+                ds, spark, pos.split(), neg.split() if neg else [],
+                negative_boost=0.3, k=None,
+            ).collect()
+        }
+        assert bulk.get(qid, {}) == want, qid
