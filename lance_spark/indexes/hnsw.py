@@ -241,6 +241,7 @@ def hnsw_search(
     prefilter_rowids: DataFrame | None = None,
     refine_factor: int = 1,
     exclude_fragments: list[int] | None = None,
+    rowid_map: DataFrame | None = None,
 ) -> DataFrame:
     """Probe nprobes partitions; traverse each probed HNSW graph in its own
     task; merge per-partition candidates into a global top-k. With delta
@@ -344,7 +345,7 @@ def hnsw_search(
     )
     from lance_spark.indexes.vector import _mask_fragments
 
-    cands = _mask_fragments(cands, "id", exclude_fragments)
+    cands = _mask_fragments(cands, "id", exclude_fragments, rowid_map)
     if prefilter_rowids is not None:
         allow = prefilter_rowids.toDF("id")
         cands = cands.join(F.broadcast(allow), "id", "left_semi")

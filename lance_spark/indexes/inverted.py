@@ -113,9 +113,14 @@ def _index_tables(ds, spark: SparkSession, meta) -> tuple[DataFrame, DataFrame]:
     tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
     if tail:
         from lance_spark.indexes.vector import _mask_fragments
+        from lance_spark.mutation import _rowid_fragment_map
 
-        postings = _mask_fragments(postings, "id", tail)
-        doclens = _mask_fragments(doclens, "id", tail)
+        # post-compaction, rowids no longer encode the owning fragment —
+        # the shiftright mask would silently miss compaction-created
+        # fragments and double-count their term frequencies
+        rmap = _rowid_fragment_map(ds, spark)
+        postings = _mask_fragments(postings, "id", tail, rmap)
+        doclens = _mask_fragments(doclens, "id", tail, rmap)
         flat = ds.scanner(spark, columns=[meta.column], with_row_id=True, fragments=tail)
         p2, d2 = _positional_postings(
             flat, meta.column, ROWID_COL, meta.params.get("tokenizer", "simple")
@@ -161,6 +166,17 @@ def extend_inverted(ds, spark: SparkSession, meta) -> list[str]:
     n = max((int(s[len("seg_v"):]) for s in segs if s.startswith("seg_v")), default=0)
     seg = f"seg_v{n + 1}"
     flat = ds.scanner(spark, columns=[meta.column], with_row_id=True, fragments=tail)
+    if not ds.manifest.config.get("rowid_address_style", True):
+        # post-compaction hazard (same as extend_ivf's dedup_existing):
+        # compaction preserves rowids into NEW fragments and a mixed-victim
+        # rewrite leaves its output uncovered even though some of its rows
+        # are already in a committed segment — re-tokenizing them would
+        # double doclens/tf (wrong BM25). Anti-join already-indexed ids;
+        # an id-column-only read of doclens, never the corpus text.
+        seen = spark.read.parquet(
+            *[os.path.join(d, "doclens") for d in _segment_dirs(base, meta)]
+        ).select(F.col("id").alias(ROWID_COL))
+        flat = flat.join(seen, ROWID_COL, "left_anti")
     p2, d2 = _positional_postings(
         flat, meta.column, ROWID_COL, meta.params.get("tokenizer", "simple")
     )

@@ -41,13 +41,29 @@ from pyspark.sql.functions import pandas_udf
 _MAX_REFINE_CANDIDATES = 1_000_000
 
 
-def _mask_fragments(df: DataFrame, id_col: str, exclude_fragments) -> DataFrame:
+def _mask_fragments(
+    df: DataFrame, id_col: str, exclude_fragments, rowid_map: DataFrame | None = None
+) -> DataFrame:
     """Drop rows whose ``_rowid`` belongs to one of the given fragments
     (``_rowid`` = fragment_id << 32 | offset, write.py:13). The guard that
     makes a torn delta-optimize harmless: rows the manifest still lists as
-    uncovered are flat-searched, so their index copies must not score."""
+    uncovered are flat-searched, so their index copies must not score.
+
+    ``rowid_map`` (``mutation._rowid_fragment_map``) MUST be supplied when
+    the dataset has been compacted (manifest flag
+    ``rowid_address_style=False``): compaction preserves rowids into NEW
+    fragments, so the shiftright fast path would derive the pre-compaction
+    owner and silently fail to mask — index copies and the flat tail would
+    then double-count the same rows during the uncovered window."""
     if not exclude_fragments:
         return df
+    if rowid_map is not None:
+        from lance_spark.write import ROWID_COL
+
+        bad = rowid_map.filter(
+            F.col("fragment_id").isin([int(f) for f in exclude_fragments])
+        ).select(F.col(ROWID_COL).alias(id_col))
+        return df.join(bad, id_col, "left_anti")
     from lance_spark.write import FRAGID_SHIFT
 
     return df.filter(
@@ -136,16 +152,19 @@ class IvfIndex:
             os.path.join(self.uri, "hnsw" + s[len("codes"):]) for s in self.segments
         ]
 
-    def codes_df(self, spark: SparkSession, exclude_fragments=None) -> DataFrame:
+    def codes_df(
+        self, spark: SparkSession, exclude_fragments=None, rowid_map=None
+    ) -> DataFrame:
         """All code segments unioned; ``exclude_fragments`` masks rows of
-        manifest-uncovered fragments (they are flat-searched instead).
+        manifest-uncovered fragments (they are flat-searched instead;
+        ``rowid_map`` required post-compaction, see ``_mask_fragments``).
         Segments are separate hive-partitioned roots, so each reads on its
         own (multi-root partition discovery conflicts otherwise)."""
         df = None
         for p in self.codes_paths():
             d = spark.read.parquet(p)
             df = d if df is None else df.unionByName(d, allowMissingColumns=True)
-        return _mask_fragments(df, "id", exclude_fragments)
+        return _mask_fragments(df, "id", exclude_fragments, rowid_map)
 
     @property
     def metric(self) -> str:
@@ -526,7 +545,11 @@ def _assign_encode_df(
 
 
 def extend_ivf(
-    index: IvfIndex, spark: SparkSession, df: DataFrame, fragments: list[int] | None = None
+    index: IvfIndex,
+    spark: SparkSession,
+    df: DataFrame,
+    fragments: list[int] | None = None,
+    dedup_existing: bool = False,
 ) -> IvfIndex:
     """Delta-extend an IVF index with NEW rows, without retraining
     (optimize_indices' default — the reference's contract: "does not
@@ -553,9 +576,35 @@ def extend_ivf(
     Scale: cost is one assign+encode pass over the NEW rows plus their
     radii aggregation; the existing index is never read or rewritten. The
     trade (reference-documented) is recall drift if the new data shifts
-    distribution — retrain=True is the reset."""
+    distribution — retrain=True is the reset.
+
+    ``dedup_existing`` guards the post-compaction hazard: compact_files
+    preserves rowids into NEW fragments, and a rewrite task that absorbed
+    a mix of covered and uncovered victims leaves its output fragment
+    UNCOVERED even though the covered victims' rows are already encoded in
+    a committed segment. Blindly re-encoding the tail would make both
+    copies permanently visible (duplicate ANN hits inside top-k). When
+    set (optimize_indices passes it iff the manifest says
+    ``rowid_address_style=False``), rows whose ids already appear in a
+    KEPT segment are anti-joined away — an id-column-only read of the
+    index, never the corpus vectors."""
     vec_col = index.meta["vec_col"]
     id_col = index.meta["id_col"]
+    frag_set = set(int(f) for f in (fragments or []))
+    seg_frags = dict(index.meta.get("segment_fragments") or {})
+    kept = [
+        s for s in index.segments
+        if not (frag_set & set(seg_frags.get(s, [])))
+    ]
+    seg_frags = {s: seg_frags[s] for s in seg_frags if s in kept}
+    if dedup_existing and kept:
+        seen = None
+        for s in kept:
+            d = spark.read.parquet(os.path.join(index.uri, s)).select(
+                F.col("id").alias(id_col)
+            )
+            seen = d if seen is None else seen.unionByName(d)
+        df = df.join(seen, id_col, "left_anti")
     enc = _assign_encode_df(
         df.select(F.col(id_col), F.col(vec_col)),
         vec_col,
@@ -568,17 +617,11 @@ def extend_ivf(
         index.metric == "cosine",
     )
     if enc.isEmpty():
-        # nothing indexable in the new fragments (e.g. all-null vectors):
-        # no segment to write — the caller's coverage commit is all that's
-        # needed, and an empty parquet dir would break the segment union
+        # nothing indexable in the new fragments (e.g. all-null vectors, or
+        # every tail row already indexed pre-compaction): no segment to
+        # write — the caller's coverage commit is all that's needed, and an
+        # empty parquet dir would break the segment union
         return index
-    frag_set = set(int(f) for f in (fragments or []))
-    seg_frags = dict(index.meta.get("segment_fragments") or {})
-    kept = [
-        s for s in index.segments
-        if not (frag_set & set(seg_frags.get(s, [])))
-    ]
-    seg_frags = {s: seg_frags[s] for s in seg_frags if s in kept}
     n = 0
     for s in kept:
         if s.startswith("codes_v"):
@@ -681,6 +724,7 @@ def ann_search(
     prefilter_rowids: DataFrame | None = None,
     ef_search: int = 64,
     exclude_fragments: list[int] | None = None,
+    rowid_map: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k: partition prune → (prefilter) → score → topk → optional
     exact refine.
@@ -699,6 +743,7 @@ def ann_search(
         return hnsw_search(
             spark, index, query, k, nprobes, ef_search, prefilter_rowids,
             refine_factor, exclude_fragments=exclude_fragments,
+            rowid_map=rowid_map,
         )
     # The refine stage collects k·refine_factor (id, _approx) rows to the
     # driver; cap it at a corpus-independent bound so a wide-fetch
@@ -708,7 +753,7 @@ def ann_search(
     n_cand = min(k * max(refine_factor, 1), _MAX_REFINE_CANDIDATES)
     q = _query_prep(index, query)
     probes = probe_partitions(index, query, nprobes)
-    codes = index.codes_df(spark, exclude_fragments).filter(
+    codes = index.codes_df(spark, exclude_fragments, rowid_map).filter(
         F.col("partition_id").isin(probes)
     )
     if prefilter_rowids is not None:
@@ -928,6 +973,7 @@ def ann_join(
     use_codes: bool = False,
     refine_factor: int = 4,
     exclude_fragments: list[int] | None = None,
+    rowid_map: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed ANN JOIN: top-``k`` indexed neighbors for EVERY query
     row → ``(query_id, id, _distance)``. The bulk-retrieval shape
@@ -1002,7 +1048,7 @@ def ann_join(
         )
 
     if not (use_codes and index.codebooks is not None):
-        codes = index.codes_df(spark, exclude_fragments).select(
+        codes = index.codes_df(spark, exclude_fragments, rowid_map).select(
             "partition_id", "id", "vec"
         )
         scored = q.join(codes, "partition_id").select(
@@ -1040,7 +1086,7 @@ def ann_join(
             out[mask] = lut[cols, codes_m[mask]].sum(axis=1)
         return pd.Series(out)
 
-    code_tbl = index.codes_df(spark, exclude_fragments).select(
+    code_tbl = index.codes_df(spark, exclude_fragments, rowid_map).select(
         "partition_id", "id", "pq_code"
     )
     approx = q.join(code_tbl, "partition_id").select(
@@ -1281,15 +1327,21 @@ def dataset_nearest(
         scored = knn_bruteforce(full, column, query, k=k, metric=metric, id_col=ROWID_COL)
         hits = scored.withColumnRenamed(ROWID_COL, "id")
     else:
+        from lance_spark.mutation import _rowid_fragment_map
+
         index = IvfIndex(os.path.join(ds.uri, meta.path))
         covered = set(meta.fragment_ids)
         tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
+        # post-compaction, rowids no longer encode the owning fragment —
+        # masking needs the (_rowid → fragment_id) mapping (None = fast path)
+        rmap = _rowid_fragment_map(ds, spark) if tail else None
         hits = ann_search(
             spark, index, query, k=k, nprobes=nprobes, refine_factor=refine_factor,
             prefilter_rowids=allow, ef_search=ef_search,
             # torn-delta guard: index rows of still-uncovered fragments are
             # flat-searched below, so the index copies must not also score
             exclude_fragments=tail,
+            rowid_map=rmap,
         )
         if tail and not fast_search:
             flat = ds.scanner(spark, columns=[column], with_row_id=True, fragments=tail)
@@ -1378,13 +1430,17 @@ def dataset_nearest_join(
             query_vec_col=query_vec_col, k=k, metric=metric,
         )
     else:
+        from lance_spark.mutation import _rowid_fragment_map
+
         index = IvfIndex(os.path.join(ds.uri, meta.path))
         covered = set(meta.fragment_ids)
         tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
+        rmap = _rowid_fragment_map(ds, spark) if tail else None
         hits = ann_join(
             spark, index, queries, query_vec_col, query_id_col, k=k,
             nprobes=nprobes, use_codes=use_codes, refine_factor=refine_factor,
             exclude_fragments=tail,
+            rowid_map=rmap,
         )
         if tail and not fast_search:
             flat = ds.scanner(spark, columns=[column], with_row_id=True, fragments=tail)

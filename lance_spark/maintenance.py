@@ -269,7 +269,11 @@ def optimize_indices(
             tail = [f.id for f in out.manifest.fragments if f.id not in set(meta.fragment_ids)]
             df = out.scanner(spark, columns=[meta.column], with_row_id=True, fragments=tail)
             index = IvfIndex(os.path.join(out.uri, meta.path))
-            index = extend_ivf(index, spark, df, fragments=tail)
+            # post-compaction (rowid_address_style=False) the tail may hold
+            # rowids already encoded in a committed segment — dedup them or
+            # both copies become permanently visible (ADVICE r9 #1)
+            dedup = not out.manifest.config.get("rowid_address_style", True)
+            index = extend_ivf(index, spark, df, fragments=tail, dedup_existing=dedup)
             out = _commit_index_coverage(out, meta.name)
             # merge only COMMITTED segments: a torn merge is then a pure
             # rewrite of identical content, never a coverage change

@@ -416,3 +416,48 @@ def test_boost_join_equals_per_query_boost(spark, indexed_docs_ds):
             ).collect()
         }
         assert bulk.get(qid, {}) == want, qid
+
+
+def test_inverted_after_mixed_compaction_no_double_count(spark, sf_dir, tmp_path):
+    """Same post-compaction hazard as the IVF path (ADVICE r9 #1): a
+    mixed-coverage rewrite leaves an uncovered fragment whose rows are
+    partly in the base postings segment. During the window the index
+    copies must be masked via the rowid map (shiftright would miss them
+    and double tf/doclens → wrong BM25); optimize must anti-join the
+    already-indexed ids instead of re-tokenizing them. Rowids are stable
+    across all three states, so (id, score) lists must be IDENTICAL."""
+    import lance_spark as ls
+    from lance_spark.indexes.inverted import _segment_dirs, match_query
+
+    uri = str(tmp_path / "ftsmix")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ls.write_dataset(docs.limit(300), uri, mode="create")
+    from lance_spark.indexes.inverted import create_inverted_index
+
+    ds = create_inverted_index(ls.dataset(uri), spark, "text")
+    ds.insert(docs.subtract(docs.limit(300)))
+
+    terms = ["table", "scan", "join"]
+    before = [
+        (r["id"], r["_score"])
+        for r in match_query(ls.dataset(uri), spark, terms, k=20).collect()
+    ]
+    ds = ls.dataset(uri).compact_files(spark)
+    assert ds.manifest.config.get("rowid_address_style", True) is False
+    window = [(r["id"], r["_score"]) for r in match_query(ds, spark, terms, k=20).collect()]
+    assert window == before
+
+    ds = ds.optimize_indices(spark)
+    meta = next(i for i in ds.manifest.indices if i.index_type == "INVERTED")
+    assert set(meta.fragment_ids) == {f.id for f in ds.manifest.fragments}
+    import os
+
+    base = os.path.join(ds.uri, meta.path)
+    doclens = spark.read.parquet(
+        *[os.path.join(d, "doclens") for d in _segment_dirs(base, meta)]
+    )
+    n = ds.to_df(spark).count()
+    assert doclens.count() == n  # one doclens row per live doc — no doubles
+    assert doclens.select("id").distinct().count() == n
+    after = [(r["id"], r["_score"]) for r in match_query(ds, spark, terms, k=20).collect()]
+    assert after == before

@@ -1030,3 +1030,69 @@ def test_optimize_delta_all_null_append(spark, emb, tmp_path):
     assert IvfIndex(os.path.join(uri, meta.path)).segments == ["codes"]
     q = _query_vec(emb, 7)
     assert len(ds.nearest(spark, "embedding", q, k=3, nprobes=4).collect()) == 3
+
+
+def test_optimize_after_mixed_compaction_no_double_index(spark, emb, tmp_path):
+    """Compaction preserves rowids into NEW fragments (rowid_address_style
+    flips to False) and a rewrite that absorbed a covered + an uncovered
+    victim leaves its output fragment UNCOVERED even though half its rows
+    are already encoded in the base segment. Two guards under test
+    (ADVICE r9 #1/#2):
+
+    - during the uncovered window, search masks the index copies via the
+      (_rowid → fragment_id) mapping — the shiftright fast path would
+      derive pre-compaction owners and double-count;
+    - optimize_indices dedups the tail against already-indexed rowids, so
+      the index never holds two copies of a row.
+    """
+    import os
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.vector import IvfIndex
+    from lance_spark.operators.knn import knn_bruteforce
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "mixcompact")
+    write_dataset(emb.limit(300), uri, mode="create")
+    ds = dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_FLAT", num_partitions=5, metric="l2"
+    )
+    ds.insert(emb.subtract(emb.limit(300)))
+    ds = dataset(uri).compact_files(spark)
+    assert ds.manifest.config.get("rowid_address_style", True) is False
+
+    def brute(d, q, k=5):
+        return [
+            r["_rowid"]
+            for r in knn_bruteforce(
+                d.to_df(spark, with_row_id=True), "embedding", q, k=k,
+                metric="l2", id_col="_rowid",
+            ).collect()
+        ]
+
+    def nearest(d, q, k=5):
+        return [
+            r["_rowid"]
+            for r in d.nearest(
+                spark, "embedding", q, k=k, nprobes=5, with_row_id=True
+            ).collect()
+        ]
+
+    q = _query_vec(emb, 311)  # arrived AFTER the index build
+    q2 = _query_vec(emb, 7)   # indexed before the compaction
+    # uncovered window: index copies must be masked (rowid-map path), the
+    # flat tail re-scores everything — still exact, no duplicate ids
+    assert nearest(ds, q) == brute(ds, q)
+    assert nearest(ds, q2) == brute(ds, q2)
+
+    ds = dataset(uri).optimize_indices(spark)
+    meta = next(i for i in ds.manifest.indices if i.column == "embedding")
+    assert set(meta.fragment_ids) == {f.id for f in ds.manifest.fragments}
+    idx = IvfIndex(os.path.join(uri, meta.path))
+    total = ds.to_df(spark).filter("embedding is not null").count()
+    # one copy per row: the 300 pre-indexed rows were anti-joined away,
+    # only the genuinely-new rows landed in the delta segment
+    assert idx.codes_df(spark).count() == total
+    assert idx.codes_df(spark).select("id").distinct().count() == total
+    assert nearest(ds, q) == brute(ds, q)
+    assert nearest(ds, q2) == brute(ds, q2)
