@@ -130,7 +130,11 @@ class IndicesBuilder:
         )
         h = F.xxhash64(F.col(self.column).cast("array<float>"), F.lit(42))
         cand = df.select(F.col(self.column), h.alias("__h"))
-        every = max(1, self.dataset.count_rows() // (2 * max(n, 1)))
+        # size the hash-bucket prefilter from the NON-NULL row count:
+        # count_rows() includes nulls, so on a mostly-null column the
+        # expected survivors would shrink by the null fraction — silently
+        # under-sampling or even raising despite enough vectors (ADVICE r9)
+        every = max(1, df.count() // (2 * max(n, 1)))
         if every > 1:
             cand = cand.filter(F.pmod(F.col("__h"), F.lit(every)) == 0)
         sample = _as_matrix(

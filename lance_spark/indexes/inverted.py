@@ -1028,9 +1028,13 @@ def fuzzy_join(
     qvoc = qt.select("qtok").distinct()
     vocab = postings.select("token").distinct()
     # fuzziness=None → the reference's per-token length schedule
-    # (query.rs:373 auto_fuzziness): 0 for len<=2, 1 for len<=5, else 2
+    # (query.rs:373 auto_fuzziness): 0 for len<=2, 1 for len<=5, else 2.
+    # token.len() in Rust is BYTE length — octet_length, not char count
+    # (a 3-char/9-byte CJK token gets 2 edits, a 2-char accented one 1)
     fz = (
-        F.when(F.length("qtok") <= 2, 0).when(F.length("qtok") <= 5, 1).otherwise(2)
+        F.when(F.octet_length("qtok") <= 2, 0)
+        .when(F.octet_length("qtok") <= 5, 1)
+        .otherwise(2)
         if fuzziness is None
         else F.lit(int(fuzziness))
     )

@@ -326,6 +326,22 @@ def build_ivf(
     reference's ivf shuffler. Training is a bounded driver-side sample.
     """
     spark = df.sparkSession
+    if metric not in ("l2", "cosine", "dot"):
+        raise ValueError(
+            f"metric must be one of ('l2', 'cosine', 'dot'), got {metric!r}"
+        )
+    if metric == "dot" and (
+        index_type == "IVF_RQ" or index_type.startswith("IVF_HNSW")
+    ):
+        # RabitQ's estimator reconstructs ||q-x||² only (the stored norm is
+        # the RESIDUAL norm, so dot can't be derived), and the HNSW graphs
+        # are built/navigated on L2 geometry — an inner-product traversal
+        # needs a different graph. Refuse rather than silently mis-rank
+        # (the r9 defect class): IVF_FLAT / IVF_PQ / IVF_SQ support dot.
+        raise ValueError(
+            f"metric='dot' is not supported for {index_type}; use IVF_FLAT, "
+            "IVF_PQ or IVF_SQ (or metric 'l2'/'cosine')"
+        )
     cosine = metric == "cosine"
     # null vectors are unindexable — skip them like the reference's builder
     # (test_indices.py mostly_null fixtures): they never match a search
@@ -637,8 +653,22 @@ def extend_ivf(
     new_radii = compute_partition_radii(
         spark, seg_dir, index.centroids, index.metric == "cosine"
     )
-    if index.radii is not None:
-        np.save(os.path.join(index.uri, "radii.npy"), np.maximum(index.radii, new_radii))
+    if index.radii is None:
+        # radii-less legacy index: compute the kept segments' radii now so
+        # the saved file covers EVERY segment — skipping would leave
+        # distance_range blind to the new rows forever
+        base_radii = np.zeros(index.centroids.shape[0], dtype=np.float64)
+        for s in kept:
+            base_radii = np.maximum(
+                base_radii,
+                compute_partition_radii(
+                    spark, os.path.join(index.uri, s), index.centroids,
+                    index.metric == "cosine",
+                ),
+            )
+    else:
+        base_radii = index.radii
+    np.save(os.path.join(index.uri, "radii.npy"), np.maximum(base_radii, new_radii))
     if index.index_type.startswith("IVF_HNSW"):
         from lance_spark.indexes.hnsw import build_hnsw_graphs
 
@@ -651,16 +681,46 @@ def extend_ivf(
     if frag_set:
         seg_frags[seg] = sorted(frag_set)
     meta["segment_fragments"] = seg_frags
+    # opportunistically reclaim merge-retired dirs past their grace period
+    meta["retired_segments"] = _reclaim_retired_segments(index.uri, meta)
     _write_meta_json(index.uri, meta)
     return IvfIndex(index.uri)
+
+
+#: seconds a superseded code segment stays on disk after a merge retires
+#: it — a reader that loaded IvfIndex just before the meta flip must be
+#: able to finish its query against the old paths (the dataset layer gives
+#: orphans the same courtesy); the NEXT merge/extend reclaims expired ones
+_RETIRE_GRACE_SECONDS = 15 * 60
+
+
+def _reclaim_retired_segments(index_uri: str, meta: dict) -> dict:
+    """Delete retired segment dirs past the grace period; returns the
+    still-retired map (segment → retire timestamp) to persist back."""
+    import shutil
+    import time
+
+    retired = dict(meta.get("retired_segments") or {})
+    now = time.time()
+    for s, ts in list(retired.items()):
+        if now - float(ts) > _RETIRE_GRACE_SECONDS:
+            shutil.rmtree(os.path.join(index_uri, s), ignore_errors=True)
+            shutil.rmtree(
+                os.path.join(index_uri, "hnsw" + s[len("codes"):]), ignore_errors=True
+            )
+            del retired[s]
+    return retired
 
 
 def merge_ivf_segments(index: IvfIndex, spark: SparkSession) -> IvfIndex:
     """Merge all code segments into one (the reference's
     ``num_indices_to_merge`` compaction): read the union, rewrite as a
-    single ``codes_v<n>`` segment, flip meta.json, reclaim old dirs. Keeps
-    query-time segment fan-out bounded under continuous delta optimizes."""
-    import shutil
+    single ``codes_v<n>`` segment, flip meta.json. Old dirs are RETIRED
+    (deleted only after a grace period, by the next merge) rather than
+    removed synchronously — a reader that loaded the index just before
+    the flip can finish its query against the old paths. Keeps query-time
+    segment fan-out bounded under continuous delta optimizes."""
+    import time
 
     if len(index.segments) <= 1:
         return index
@@ -691,11 +751,12 @@ def merge_ivf_segments(index: IvfIndex, spark: SparkSession) -> IvfIndex:
     # coverage commit), so the merged segment is base-like: no per-segment
     # fragment bookkeeping survives it
     meta["segment_fragments"] = {}
-    _write_meta_json(index.uri, meta)
+    retired = _reclaim_retired_segments(index.uri, meta)
+    now = time.time()
     for s in old:
-        shutil.rmtree(os.path.join(index.uri, s), ignore_errors=True)
-        h = os.path.join(index.uri, "hnsw" + s[len("codes"):])
-        shutil.rmtree(h, ignore_errors=True)
+        retired[s] = now
+    meta["retired_segments"] = retired
+    _write_meta_json(index.uri, meta)
     return IvfIndex(index.uri)
 
 
@@ -708,9 +769,15 @@ def _query_prep(index: IvfIndex, query: list[float]) -> np.ndarray:
 
 def probe_partitions(index: IvfIndex, query: list[float], nprobes: int) -> list[int]:
     """ANNIvfPartitionExec (knn.rs:359): nprobes nearest centroids to the
-    query — a k×dim numpy op on the driver (centroids are tiny)."""
+    query — a k×dim numpy op on the driver (centroids are tiny). For
+    ``dot`` the probe order is descending q·c (the MIPS quantizer rule —
+    faiss METRIC_INNER_PRODUCT does the same): high-dot partitions hold
+    the high-dot vectors, L2-near ones need not."""
     q = _query_prep(index, query)
-    d = ((index.centroids - q) ** 2).sum(axis=1)
+    if index.metric == "dot":
+        d = -(index.centroids.astype(np.float64) @ q.astype(np.float64))
+    else:
+        d = ((index.centroids - q) ** 2).sum(axis=1)
     return [int(i) for i in np.argsort(d, kind="stable")[:nprobes]]
 
 
@@ -761,6 +828,8 @@ def ann_search(
         codes = codes.join(F.broadcast(allow), "id", "left_semi")
     cosine = index.metric == "cosine"
 
+    dot = index.metric == "dot"
+
     if index.index_type == "IVF_FLAT":
         qb = spark.sparkContext.broadcast(q)
 
@@ -769,6 +838,10 @@ def ann_search(
             # float64 scoring over float32 storage: bit-matches any engine
             # that widens-then-computes (the DuckDB oracle, numpy references)
             x = _as_matrix(s).astype(np.float64)
+            if dot:
+                # -q·x: same scale/sign as knn_bruteforce's dot scoring, so
+                # the unindexed-tail union in dataset_nearest is comparable
+                return pd.Series(-(x @ qb.value.astype(np.float64)))
             if cosine:
                 x = _normalize(x)
             return pd.Series(((x - qb.value.astype(np.float64)) ** 2).sum(axis=1))
@@ -832,6 +905,8 @@ def ann_search(
             lo, span = sq_b2.value[0].astype(np.float64), sq_b2.value[1].astype(np.float64)
             codes = np.asarray(code.tolist(), dtype=np.float64)
             deq = lo + codes / 255.0 * span
+            if dot:
+                return pd.Series(-(deq @ qb.value.astype(np.float64)))
             if cosine:
                 deq = _normalize(deq)
             return pd.Series(((deq - qb.value.astype(np.float64)) ** 2).sum(axis=1))
@@ -841,17 +916,25 @@ def ann_search(
         return _exact_refine_local(spark, index, probes, [r["id"] for r in cand], q, k, cosine)
 
     # IVF_PQ: ADC lookup table (m, 256) of ||q_sub - (centroid_sub + code)||²
+    # — or, for dot, of -q_sub·code with the partition constant -q·c_p
+    # folded into subspace 0 (x ≈ c_p + Σ_j code_j, so
+    # -q·x ≈ -q·c_p - Σ_j q_j·code_j: same gather-and-sum shape).
     cents = index.centroids
     cbs = index.codebooks
     m, _, sub = cbs.shape
     # per-probed-partition ADC tables: residual query = q - centroid
     adc = {}
     for pid in probes:
-        rq = (q - cents[pid]).astype(np.float32)
         tbl = np.empty((m, 256), dtype=np.float32)
-        for j in range(m):
-            diff = rq[j * sub : (j + 1) * sub] - cbs[j]
-            tbl[j] = (diff * diff).sum(axis=1)
+        if dot:
+            for j in range(m):
+                tbl[j] = -(cbs[j] @ q[j * sub : (j + 1) * sub].astype(np.float64))
+            tbl[0] += -float(q.astype(np.float64) @ cents[pid].astype(np.float64))
+        else:
+            rq = (q - cents[pid]).astype(np.float32)
+            for j in range(m):
+                diff = rq[j * sub : (j + 1) * sub] - cbs[j]
+                tbl[j] = (diff * diff).sum(axis=1)
         adc[pid] = tbl
     adc_b = spark.sparkContext.broadcast(adc)
 
@@ -882,7 +965,7 @@ def _exact_refine_local(
     cand_ids: list[int],
     q: np.ndarray,
     k: int,
-    cosine: bool,
+    cosine: bool,  # kept for call-site clarity; index.metric decides dot
 ) -> DataFrame:
     """Exact re-rank of the ADC candidates (scanner.rs:2884-2905 refine).
 
@@ -907,16 +990,38 @@ def _exact_refine_local(
     )
     ids = tbl.column("id").to_numpy()
     x = np.asarray(tbl.column("vec").to_pylist(), dtype=np.float64)
-    if cosine:
-        x = _normalize(x)
-    d = ((x - q.astype(np.float64)) ** 2).sum(axis=1)
-    if index.metric == "cosine":
-        d = d / 2.0
-    elif index.metric == "l2":
-        d = np.sqrt(d)
+    if index.metric == "dot":
+        d = -(x @ q.astype(np.float64))
+    else:
+        if cosine:
+            x = _normalize(x)
+        d = ((x - q.astype(np.float64)) ** 2).sum(axis=1)
+        if index.metric == "cosine":
+            d = d / 2.0
+        elif index.metric == "l2":
+            d = np.sqrt(d)
     order = np.lexsort((ids, d))[:k]
     rows = [(int(ids[i]), float(d[i])) for i in order]
     return spark.createDataFrame(rows, "id long, _distance double")
+
+
+def _ensure_radii(index: IvfIndex, spark: SparkSession) -> np.ndarray:
+    """Covering radii, computed on demand when ``radii.npy`` is absent
+    (indexes built before the radii feature, or whose file was lost): one
+    max-residual-norm aggregation per segment, elementwise-maxed and saved
+    so the next call is a file read. A legacy index thus works for
+    ``distance_range`` instead of TypeError-ing on ``None`` arithmetic."""
+    if index.radii is not None:
+        return index.radii
+    cosine = index.metric == "cosine"
+    radii = np.zeros(index.centroids.shape[0], dtype=np.float64)
+    for p in index.codes_paths():
+        radii = np.maximum(
+            radii, compute_partition_radii(spark, p, index.centroids, cosine)
+        )
+    np.save(os.path.join(index.uri, "radii.npy"), radii)
+    index.radii = radii
+    return radii
 
 
 def distance_range_search(
@@ -931,25 +1036,38 @@ def distance_range_search(
     ‖q − c_p‖ − radius_p ≤ range_max (triangle inequality over the stored
     covering radii), so only qualifying partitions are scanned; exact
     distances filter within them. At scale the prune is the whole win: a
-    tight range touches few partitions, the rest are never read."""
+    tight range touches few partitions, the rest are never read.
+
+    For ``dot`` the same radii prune holds via Cauchy–Schwarz:
+    x = c_p + r with ‖r‖ ≤ radius_p, so -q·x ≥ -q·c_p − ‖q‖·radius_p —
+    partitions whose best possible score misses ``range_max`` are skipped."""
     q = _query_prep(index, query)
-    d_cent = np.sqrt(((index.centroids.astype(np.float64) - q) ** 2).sum(axis=1))
-    lower = np.maximum(0.0, d_cent - index.radii)
-    if index.metric == "cosine":
-        # internal space is unit-normalized squared-L2 = 2·cosine_distance
-        range_max_l2 = float(np.sqrt(2.0 * range_max)) if np.isfinite(range_max) else np.inf
+    radii = _ensure_radii(index, spark)
+    if index.metric == "dot":
+        qn = float(np.sqrt((q.astype(np.float64) ** 2).sum()))
+        best = -(index.centroids.astype(np.float64) @ q.astype(np.float64)) - qn * radii
+        probes = [int(i) for i in np.nonzero(best <= range_max)[0]]
     else:
-        range_max_l2 = range_max
-    probes = [int(i) for i in np.nonzero(lower <= range_max_l2)[0]]
+        d_cent = np.sqrt(((index.centroids.astype(np.float64) - q) ** 2).sum(axis=1))
+        lower = np.maximum(0.0, d_cent - radii)
+        if index.metric == "cosine":
+            # internal space is unit-normalized squared-L2 = 2·cosine_distance
+            range_max_l2 = float(np.sqrt(2.0 * range_max)) if np.isfinite(range_max) else np.inf
+        else:
+            range_max_l2 = range_max
+        probes = [int(i) for i in np.nonzero(lower <= range_max_l2)[0]]
     if not probes:
         return spark.createDataFrame([], "id long, _distance double")
     codes = index.codes_df(spark).filter(F.col("partition_id").isin(probes))
     cosine = index.metric == "cosine"
+    dot = index.metric == "dot"
     qb = spark.sparkContext.broadcast(q)
 
     @pandas_udf("double")
     def exact_dist(s: pd.Series) -> pd.Series:
         x = _as_matrix(s).astype(np.float64)
+        if dot:
+            return pd.Series(-(x @ qb.value.astype(np.float64)))
         if cosine:
             x = _normalize(x)
         return pd.Series(((x - qb.value.astype(np.float64)) ** 2).sum(axis=1))
@@ -1014,11 +1132,16 @@ def ann_join(
     def probe(s: pd.Series) -> pd.Series:
         cents = cent_b.value
         x = _as_matrix(s).astype(np.float64)
-        if cosine:
-            x = _normalize(x)
-        d = (x * x).sum(axis=1, keepdims=True) - 2 * (x @ cents.T) + (
-            cents * cents
-        ).sum(axis=1)
+        if metric == "dot":
+            # MIPS probe order: descending q·c (same rule as the
+            # single-query probe_partitions), not L2-nearest centroids
+            d = -(x @ cents.T)
+        else:
+            if cosine:
+                x = _normalize(x)
+            d = (x * x).sum(axis=1, keepdims=True) - 2 * (x @ cents.T) + (
+                cents * cents
+            ).sum(axis=1)
         idx = np.argsort(d, axis=1, kind="stable")[:, :np_]
         return pd.Series(list(idx.astype(np.int32)))
 
@@ -1080,10 +1203,17 @@ def ann_join(
         for g in range(len(uniq)):
             mask = inv == g
             i0 = int(np.argmax(mask))
-            r = (qarr[i0] - cents[int(pids[i0])]).reshape(m, sub)
-            diff = r[:, None, :] - cbs  # (m, 256, sub)
-            lut = (diff * diff).sum(axis=2)
-            out[mask] = lut[cols, codes_m[mask]].sum(axis=1)
+            if metric == "dot":
+                # -q·x ≈ -q·c_p - Σ_j q_j·code_j (x = c_p + Σ residual codes)
+                qi = qarr[i0].reshape(m, 1, sub)
+                lut = -(qi * cbs).sum(axis=2)  # (m, 256)
+                const = -float(qarr[i0] @ cents[int(pids[i0])])
+                out[mask] = lut[cols, codes_m[mask]].sum(axis=1) + const
+            else:
+                r = (qarr[i0] - cents[int(pids[i0])]).reshape(m, sub)
+                diff = r[:, None, :] - cbs  # (m, 256, sub)
+                lut = (diff * diff).sum(axis=2)
+                out[mask] = lut[cols, codes_m[mask]].sum(axis=1)
         return pd.Series(out)
 
     code_tbl = index.codes_df(spark, exclude_fragments, rowid_map).select(

@@ -66,8 +66,10 @@ class FullTextQuery(abc.ABC):
 def auto_fuzziness(token: str) -> int:
     """Length-based fuzzy distance used when ``fuzziness=None``
     (rust/lance-index/src/scalar/inverted/query.rs:373 auto_fuzziness):
-    0 for terms of length <= 2, 1 for <= 5, 2 otherwise."""
-    n = len(token)
+    0 for terms of length <= 2, 1 for <= 5, 2 otherwise. The reference's
+    ``token.len()`` is the BYTE length of the &str, so multi-byte tokens
+    bucket by their UTF-8 size (a 3-char/9-byte CJK token gets 2 edits)."""
+    n = len(token.encode("utf-8"))
     return 0 if n <= 2 else (1 if n <= 5 else 2)
 
 

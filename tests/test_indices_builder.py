@@ -227,3 +227,31 @@ def test_stale_precompute_reencodes_pq_residual(spark, emb, tmp_path):
         if err_o > err_stale + 1e-4:
             worse += 1
     assert worse == 0  # re-encoded codes are never worse than stale ones
+
+
+def test_sample_sizes_prefilter_from_non_null_count(spark, emb, tmp_path):
+    """On a mostly-null vector column the hash-bucket prefilter must be
+    sized from the NON-NULL count (ADVICE r9 #3): sizing from count_rows()
+    (which includes nulls) shrinks expected survivors by the null fraction
+    — silently under-sampling and, at extreme fractions, raising 'no
+    non-null vectors' despite plenty of rows."""
+    from pyspark.sql import functions as F
+
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    # 95% nulls: 25 real vectors in 500 rows
+    sparse = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 20 == 0, F.col("embedding")).otherwise(F.lit(None)),
+    )
+    uri = str(tmp_path / "mostlynull")
+    write_dataset(sparse, uri, mode="create")
+    b = IndicesBuilder(dataset(uri), "embedding", spark)
+    n_non_null = sparse.filter("embedding is not null").count()
+    # ask for every non-null vector: the old sizing made `every` ≈ 10 and
+    # kept ~1/10th of the 25 survivors; the fix must return all of them
+    sample = b._sample(n_non_null, "l2")
+    assert len(sample) == n_non_null
+    ivf = b.train_ivf(num_partitions=4)
+    assert ivf.num_partitions == 4

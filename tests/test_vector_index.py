@@ -912,9 +912,14 @@ def test_optimize_delta_auto_merges_segments(spark, emb, tmp_path):
     assert np.array_equal(np.load(os.path.join(idx_uri, "centroids.npy")), cent0)
     total = ds.to_df(spark).filter("embedding is not null").count()
     assert idx.codes_df(spark).count() == total
-    # stale segment dirs reclaimed
-    leftovers = [d for d in os.listdir(idx_uri) if d.startswith("codes") and d not in idx.segments]
-    assert leftovers == []
+    # stale segment dirs are RETIRED (grace period for in-flight readers,
+    # ADVICE r9 #4), not deleted at the flip: every leftover is accounted
+    # for in meta.json's retired map and none is in the active segment list
+    import json
+
+    retired = set(json.load(open(os.path.join(idx_uri, "meta.json")))["retired_segments"])
+    leftovers = {d for d in os.listdir(idx_uri) if d.startswith("codes") and d not in idx.segments}
+    assert leftovers == retired and not (retired & set(idx.segments))
 
 
 def test_optimize_delta_hnsw_segment_graphs(spark, emb, tmp_path):
@@ -1096,3 +1101,238 @@ def test_optimize_after_mixed_compaction_no_double_index(spark, emb, tmp_path):
     assert idx.codes_df(spark).select("id").distinct().count() == total
     assert nearest(ds, q) == brute(ds, q)
     assert nearest(ds, q2) == brute(ds, q2)
+
+
+def test_ivf_dot_full_probe_exact_flat_pq_sq(spark, emb, tmp_path):
+    """metric='dot' (r10): IVF_FLAT scores -q·x directly; IVF_PQ ranks by
+    inner-product ADC LUTs (partition constant folded into subspace 0) and
+    IVF_SQ by dequantized dot, both exact after refine at full probe. All
+    three must equal brute-force dot ranking — vector norms vary in the
+    synthetic data, so the old squared-L2 scoring would mis-rank."""
+    from lance_spark.indexes.vector import ann_search, build_ivf
+
+    q = _query_vec(emb, 42)
+    want = _brute_ids(emb, q, 10, "dot")
+    for itype, refine in (("IVF_FLAT", 1), ("IVF_PQ", 1000), ("IVF_SQ", 1000)):
+        idx = build_ivf(
+            emb, "embedding", "vec_id", str(tmp_path / f"dot_{itype}"),
+            num_partitions=6, metric="dot", index_type=itype,
+        )
+        got = ann_search(spark, idx, q, k=10, nprobes=6, refine_factor=refine).collect()
+        assert [r["id"] for r in got] == want, itype
+        # scores ARE negative inner products (knn_bruteforce scale)
+        import numpy as np
+
+        x = np.asarray(
+            emb.filter(F.col("vec_id") == got[0]["id"]).first()["embedding"],
+            dtype=np.float64,
+        )
+        assert got[0]["_distance"] == pytest.approx(
+            -(x @ np.asarray(q, dtype=np.float64)), rel=1e-6
+        ), itype
+
+
+def test_ivf_dot_pq_adc_ranks_usefully(spark, emb, tmp_path):
+    """The dot ADC estimate must actually RANK (not just be fixed by the
+    refine): with a modest refine factor the true top-10 survives."""
+    from lance_spark.indexes.vector import ann_search, build_ivf
+
+    idx = build_ivf(
+        emb, "embedding", "vec_id", str(tmp_path / "dot_adc"),
+        num_partitions=4, metric="dot", index_type="IVF_PQ",
+    )
+    hits = 0
+    for vid in (0, 7, 42, 99):
+        q = _query_vec(emb, vid)
+        got = {r["id"] for r in ann_search(spark, idx, q, k=10, nprobes=4, refine_factor=5).collect()}
+        hits += len(got & set(_brute_ids(emb, q, 10, "dot")))
+    assert hits / 40 >= 0.9
+
+
+def test_ivf_dot_rejected_for_rq_and_hnsw(spark, emb, tmp_path):
+    """RabitQ's estimator and the L2-navigated HNSW graphs can't honor
+    inner-product ranking — refuse at build (the r9 defect class was
+    accepting the flag and silently scoring squared-L2)."""
+    from lance_spark.indexes.vector import build_ivf
+
+    for itype in ("IVF_RQ", "IVF_HNSW_FLAT", "IVF_HNSW_PQ", "IVF_HNSW_SQ"):
+        with pytest.raises(ValueError, match="dot"):
+            build_ivf(
+                emb, "embedding", "vec_id", str(tmp_path / f"rej_{itype}"),
+                num_partitions=4, metric="dot", index_type=itype,
+            )
+    with pytest.raises(ValueError, match="metric"):
+        build_ivf(
+            emb, "embedding", "vec_id", str(tmp_path / "rej_metric"),
+            num_partitions=4, metric="hamming", index_type="IVF_FLAT",
+        )
+
+
+def test_nearest_dot_tail_union_parity(spark, emb, tmp_path):
+    """dataset.nearest with a dot index + unindexed tail: index hits (-q·x)
+    and flat-tail hits (knn_bruteforce dot) must land on ONE comparable
+    scale — the r9 defect mixed L2 index scores with -dot flat scores."""
+    from lance_spark.dataset import dataset
+    from lance_spark.operators.knn import knn_bruteforce
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "dottail")
+    write_dataset(emb.limit(300), uri, mode="create")
+    ds = dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_FLAT", num_partitions=5, metric="dot"
+    )
+    ds.insert(emb.subtract(emb.limit(300)))
+    ds = dataset(uri)
+    for vid in (7, 311):
+        q = _query_vec(emb, vid)
+        got = [
+            r["_rowid"]
+            for r in ds.nearest(
+                spark, "embedding", q, k=8, nprobes=5, with_row_id=True
+            ).collect()
+        ]
+        want = [
+            r["_rowid"]
+            for r in knn_bruteforce(
+                ds.to_df(spark, with_row_id=True), "embedding", q, k=8,
+                metric="dot", id_col="_rowid",
+            ).collect()
+        ]
+        assert got == want, vid
+
+
+def test_nearest_join_dot_exhaustive_exact(spark, emb, tmp_path):
+    """Bulk surface: ann_join / nearest_join on a dot index at full probe
+    equals per-query brute force (probe order q·c-descending, -dot scores)."""
+    from lance_spark.dataset import dataset
+    from lance_spark.operators.knn import knn_bruteforce
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "dotjoin")
+    write_dataset(emb, uri, mode="create")
+    ds = dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_FLAT", num_partitions=5, metric="dot"
+    )
+    queries = emb.filter(F.col("vec_id").isin([3, 99])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    rows = ds.nearest_join(
+        spark, "embedding", queries, "qv", "qid", k=5, nprobes=5
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(r["_rowid"])
+    full = ds.to_df(spark, with_row_id=True)
+    for vid in (3, 99):
+        q = _query_vec(emb, vid)
+        want = [
+            r["_rowid"]
+            for r in knn_bruteforce(full, "embedding", q, k=5, metric="dot", id_col="_rowid").collect()
+        ]
+        assert got[vid] == want, vid
+
+
+def test_distance_range_dot_and_radii_less_index(spark, emb, tmp_path):
+    """distance_range on a dot index prunes partitions via Cauchy–Schwarz
+    (-q·c − ‖q‖·r lower bound) and filters exact -q·x; a radii-less index
+    (legacy / lost radii.npy) computes radii on demand instead of
+    TypeError-ing on None arithmetic (r9 'what's wrong' #2)."""
+    import os
+
+    import numpy as np
+
+    from lance_spark.indexes.vector import IvfIndex, build_ivf, distance_range_search
+
+    q = _query_vec(emb, 42)
+    idx = build_ivf(
+        emb, "embedding", "vec_id", str(tmp_path / "dotrange"),
+        num_partitions=6, metric="dot", index_type="IVF_FLAT",
+    )
+    qa = np.asarray(q, dtype=np.float64)
+
+    def brute_range(lo, hi):
+        import pandas as pd
+
+        pdf = emb.select("vec_id", "embedding").toPandas()
+        d = pdf["embedding"].map(lambda v: -(np.asarray(v, dtype=np.float64) @ qa))
+        m = (d >= lo) & (d < hi)
+        return sorted(zip(d[m], pdf["vec_id"][m]))
+
+    lo, hi = -5.0, -1.0
+    got = [(r["_distance"], r["id"]) for r in distance_range_search(spark, idx, q, lo, hi).collect()]
+    want = brute_range(lo, hi)
+    assert [i for _, i in got] == [i for _, i in want]
+    assert [d for d, _ in got] == pytest.approx([d for d, _ in want], rel=1e-6)
+
+    # radii-less: drop the file, reload — same answer, file regenerated
+    os.remove(os.path.join(idx.uri, "radii.npy"))
+    idx2 = IvfIndex(idx.uri)
+    assert idx2.radii is None
+    got2 = [(r["_distance"], r["id"]) for r in distance_range_search(spark, idx2, q, lo, hi).collect()]
+    assert [i for _, i in got2] == [i for _, i in want]
+    assert os.path.exists(os.path.join(idx.uri, "radii.npy"))
+
+
+def test_radii_less_index_delta_optimize_recomputes(spark, emb, tmp_path):
+    """extend_ivf on a radii-less index must WRITE radii covering every
+    segment (old skip-when-None left distance_range blind to new rows)."""
+    import os
+
+    import numpy as np
+
+    from lance_spark.dataset import dataset
+    from lance_spark.indexes.vector import IvfIndex, distance_range_search
+    from lance_spark.write import write_dataset
+
+    uri = str(tmp_path / "radless")
+    write_dataset(emb.limit(300), uri, mode="create")
+    ds = dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_FLAT", num_partitions=5, metric="l2"
+    )
+    meta = next(i for i in ds.manifest.indices if i.column == "embedding")
+    os.remove(os.path.join(uri, meta.path, "radii.npy"))
+    ds.insert(emb.subtract(emb.limit(300)))
+    ds = dataset(uri).optimize_indices(spark)
+    idx = IvfIndex(os.path.join(uri, meta.path))
+    assert idx.radii is not None  # recomputed over base + delta
+    # a query vector that arrived in the DELTA segment must be findable
+    # at distance ~0 — a radii file that ignored the delta would prune it
+    q = _query_vec(emb, 311)
+    ids = {r["id"] for r in distance_range_search(spark, idx, q, 0.0, 1e-6).collect()}
+    assert len(ids) >= 1
+
+
+def test_merge_retires_segments_with_grace_period(spark, emb, tmp_path):
+    """merge_ivf_segments no longer rmtree's old segment dirs at the meta
+    flip: they are retired (still readable by an in-flight query) and
+    reclaimed only past the grace period by the next merge/extend."""
+    import json
+    import os
+
+    from lance_spark.indexes.vector import (
+        IvfIndex,
+        build_ivf,
+        extend_ivf,
+        merge_ivf_segments,
+    )
+
+    uri = str(tmp_path / "graceidx")
+    idx = build_ivf(
+        emb.limit(300), "embedding", "vec_id", uri,
+        num_partitions=4, metric="l2", index_type="IVF_FLAT",
+    )
+    idx = extend_ivf(idx, spark, emb.subtract(emb.limit(300)))
+    assert idx.segments == ["codes", "codes_v1"]
+    old_dirs = [os.path.join(uri, s) for s in idx.segments]
+    idx = merge_ivf_segments(idx, spark)
+    assert len(idx.segments) == 1
+    # old dirs retired, NOT deleted — an in-flight reader can finish
+    assert all(os.path.isdir(d) for d in old_dirs)
+    meta = json.load(open(os.path.join(uri, "meta.json")))
+    assert set(meta["retired_segments"]) == {"codes", "codes_v1"}
+    # age the retirement stamps past the grace period; next extend reclaims
+    meta["retired_segments"] = {s: 0.0 for s in meta["retired_segments"]}
+    json.dump(meta, open(os.path.join(uri, "meta.json"), "w"))
+    idx = extend_ivf(IvfIndex(uri), spark, emb.limit(50))
+    assert not any(os.path.isdir(d) for d in old_dirs)
+    assert json.load(open(os.path.join(uri, "meta.json")))["retired_segments"] == {}
