@@ -281,10 +281,19 @@ def optimize_indices(
             if budget and len(index.segments) > budget:
                 merge_ivf_segments(index, spark)
         elif meta.index_type == "INVERTED" and not retrain:
-            from lance_spark.indexes.inverted import extend_inverted
+            from lance_spark.indexes.inverted import (
+                extend_inverted,
+                merge_inverted_segments,
+            )
 
             segments = extend_inverted(out, spark, meta)
             out = _commit_index_coverage(out, meta.name, params_update={"segments": segments})
+            # merge only COMMITTED segments (same rule as the IVF branch):
+            # a torn merge is a pure rewrite of identical content plus a
+            # params flip that never happened — the re-run overwrites it
+            budget = _AUTO_MERGE_SEGMENTS if num_indices_to_merge is None else num_indices_to_merge
+            if budget and len(segments) > budget:
+                out = merge_inverted_segments(out, spark, meta.name)
         elif meta.index_type.startswith("IVF"):
             from lance_spark.indexes.vector import create_dataset_index
 
@@ -336,6 +345,30 @@ def _commit_index_coverage(ds, name: str, params_update: dict | None = None):
                     name=i.name, index_type=i.index_type, column=i.column,
                     path=i.path, fragment_ids=covered,
                     params={**i.params, **(params_update or {})},
+                )
+            idx.append(i)
+        return mf.Manifest.evolve(base, version, operation="create_index", indices=idx)
+
+    mf.commit(ds.uri, build, operation="create_index")
+    return LanceDataset(ds.uri)
+
+
+def _commit_index_params(ds, name: str, params_update: dict):
+    """Update index ``name``'s params WITHOUT touching fragment coverage —
+    the commit point of a segment merge (which rewrites files but changes
+    no coverage). Kept separate from _commit_index_coverage so a
+    standalone merge on a stale index can never silently extend coverage."""
+    from lance_spark import manifest as mf
+    from lance_spark.dataset import LanceDataset
+
+    def build(base, version):
+        idx = []
+        for i in base.indices:
+            if i.name == name:
+                i = mf.IndexMeta(
+                    name=i.name, index_type=i.index_type, column=i.column,
+                    path=i.path, fragment_ids=i.fragment_ids,
+                    params={**i.params, **params_update},
                 )
             idx.append(i)
         return mf.Manifest.evolve(base, version, operation="create_index", indices=idx)
