@@ -4656,6 +4656,73 @@ def ann_multivector_topk(spark, sf_dir):
 
 
 @query(
+    "ann_multivector_join",
+    """
+    WITH b AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    docs AS (SELECT label, list(e) AS mv FROM b WHERE vec_id >= 4 GROUP BY label),
+    qs AS (SELECT CAST(vec_id // 2 AS INT) AS qid, list(e) AS qmv FROM b WHERE vec_id < 4 GROUP BY 1),
+    pairs AS (
+      SELECT qid, label,
+        list_sum(list_transform(qmv, q ->
+          list_max(list_transform(mv, v ->
+            list_sum(list_transform(range(1, 65), i -> q[i] * v[i]))
+            / (sqrt(list_sum(list_transform(q, x -> x * x)))
+             * sqrt(list_sum(list_transform(v, x -> x * x))))
+          ))
+        )) AS maxsim
+      FROM qs, docs)
+    SELECT qid, label, round(maxsim, 4) AS _maxsim FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY round(maxsim, 4) DESC, label) <= 5
+    ORDER BY qid, _maxsim DESC, label
+    """,
+)
+def ann_multivector_join(spark, sf_dir):
+    """BULK multivector maxsim over a query TABLE (indexes/vector.py
+    ann_maxsim_join; reference multivec_ann scanner.rs:3471-3552 processes
+    one query per scan — this is the eval-harness shape, thousands of
+    ColBERT queries as ONE plan, no driver loop). Two 2-vector queries,
+    docs = per-label vector sets, exhaustive config → exact; per-query
+    top-5 re-cut on the rounded score (the oracle's QUALIFY tie rule)."""
+    import tempfile
+
+    from lance_spark.indexes.vector import ann_maxsim_join, build_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qtbl = (
+        emb.filter("vec_id < 4")
+        .groupBy((F.col("vec_id") / 2).cast("int").alias("qid"))
+        .agg(F.collect_list("embedding").alias("qmv"))
+    )
+    flat = emb.filter("vec_id >= 4").select(
+        F.col("label").alias("id"), F.col("embedding").alias("vec")
+    )
+    n_vec = flat.count()
+    idx = build_ivf(
+        flat, "vec", "id", tempfile.mkdtemp(prefix="lsq_mvj_") + "/idx",
+        num_partitions=8, metric="cosine", index_type="IVF_FLAT",
+    )
+    res = ann_maxsim_join(
+        spark, idx, qtbl, "qmv", "qid", k=100_000, nprobes=8,
+        overfetch=n_vec // 100_000 + 1,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_maxsim"), F.asc("label"))
+    nq = qtbl.select("qid", F.size("qmv").alias("__n"))
+    return (
+        res.join(nq, res.query_id == nq.qid)
+        .select(
+            "qid",
+            F.col("id").alias("label"),
+            F.round(F.col("__n") - F.col("_distance"), 4).alias("_maxsim"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter("__rn <= 5")
+        .drop("__rn")
+        .orderBy("qid", F.desc("_maxsim"), "label")
+    )
+
+
+@query(
     "ann_prefiltered",
     f"""
     SELECT e.vec_id, round(1.0 - ({_DUCK_COS_Q}), 4) AS _distance

@@ -721,6 +721,55 @@ class TestAnnMaxsim:
         with pytest.raises(ValueError, match="cosine"):
             ann_maxsim(spark, idx, [[0.0] * 64], k=3)
 
+    def test_bulk_join_equals_per_query_maxsim(self, spark, emb, mv):
+        """ann_maxsim_join over a multivector-query TABLE == ann_maxsim per
+        row at the same config — including ragged query sets (different
+        vector counts per query) and a partial-probe config where the XTR
+        imputation is active."""
+        from lance_spark.indexes.vector import ann_maxsim, ann_maxsim_join
+
+        qs, _, idx, n_vec = mv
+        # ragged query table: 3-vector, 2-vector, 1-vector queries
+        qtbl = spark.createDataFrame(
+            [("qa", qs), ("qb", qs[:2]), ("qc", qs[2:])],
+            "qid string, mv array<array<double>>",
+        )
+        for nprobes, overfetch in ((8, n_vec // 5 + 1), (6, 20)):
+            bulk = ann_maxsim_join(
+                spark, idx, qtbl, "mv", "qid", k=5, nprobes=nprobes, overfetch=overfetch
+            ).collect()
+            by_q = {}
+            for r in bulk:
+                by_q.setdefault(r["query_id"], []).append((r["id"], r["_distance"]))
+            assert set(by_q) == {"qa", "qb", "qc"}
+            for qid, sub in (("qa", qs), ("qb", qs[:2]), ("qc", qs[2:])):
+                want = [
+                    (r["id"], r["_distance"])
+                    for r in ann_maxsim(
+                        spark, idx, sub, k=5, nprobes=nprobes, overfetch=overfetch
+                    ).collect()
+                ]
+                got = by_q[qid]
+                assert [i for i, _ in got] == [i for i, _ in want]
+                for (_, gd), (_, wd) in zip(got, want):
+                    assert gd == pytest.approx(wd, abs=1e-9)
+
+    def test_bulk_join_non_cosine_rejected(self, spark, emb, tmp_path):
+        from lance_spark.indexes.vector import ann_maxsim_join, build_ivf
+
+        flat = emb.limit(100).select(
+            F.col("label").alias("id"), F.col("embedding").alias("vec")
+        )
+        idx = build_ivf(
+            flat, "vec", "id", str(tmp_path / "l2idx2"),
+            num_partitions=2, metric="l2", index_type="IVF_FLAT",
+        )
+        qtbl = spark.createDataFrame(
+            [(0, [[0.0] * 64])], "qid int, mv array<array<double>>"
+        )
+        with pytest.raises(ValueError, match="cosine"):
+            ann_maxsim_join(spark, idx, qtbl, "mv", "qid", k=3)
+
 
 def test_nearest_join_no_index_requires_and_honors_metric(spark, emb, tmp_path):
     """No-index nearest_join must not silently fall back to cosine: it
