@@ -326,9 +326,18 @@ def build_ivf(
     reference's ivf shuffler. Training is a bounded driver-side sample.
     """
     spark = df.sparkSession
-    if metric not in ("l2", "cosine", "dot"):
+    if metric not in ("l2", "cosine", "dot", "hamming"):
         raise ValueError(
-            f"metric must be one of ('l2', 'cosine', 'dot'), got {metric!r}"
+            f"metric must be one of ('l2', 'cosine', 'dot', 'hamming'), got {metric!r}"
+        )
+    if metric == "hamming" and index_type != "IVF_FLAT":
+        # the reference supports Hamming for binary embeddings on IVF_FLAT
+        # (distance.rs:36-42; PQ/SQ/RQ quantize real-valued residuals and
+        # the HNSW graphs are L2-navigated — none are defined over bits).
+        # Refuse rather than silently mis-rank (the r9 'dot' defect class).
+        raise ValueError(
+            f"metric='hamming' is only supported for IVF_FLAT (got {index_type});"
+            " binary vectors quantize no further"
         )
     if metric == "dot" and (
         index_type == "IVF_RQ" or index_type.startswith("IVF_HNSW")
@@ -381,11 +390,24 @@ def build_ivf(
     sample = sample[np.lexsort(sample.T[::-1])]
     if cosine:
         sample = _normalize(sample)
+    if metric == "hamming" and sample.size and not np.isin(sample, (0.0, 1.0)).all():
+        raise ValueError(
+            "metric='hamming' requires binary 0/1 element vectors (the flat"
+            " knn_bruteforce hamming convention); pack arbitrary ints to bits"
+            " first"
+        )
     device = _resolve_accelerator(accelerator)
     if device is not None:
         centroids = train_kmeans_torch(sample, num_partitions, device, seed=seed)
     else:
         centroids = train_kmeans(sample, num_partitions, seed=seed)
+    if metric == "hamming":
+        # k-majority (the binary-kmeans centroid rule): Lloyd on 0/1 floats
+        # IS hamming kmeans (‖a−b‖² = hamming on bits), and thresholding the
+        # mean at 0.5 is the per-bit majority vote. Binarized centroids make
+        # every downstream squared-L2 path — assignment (argmin ‖x−c‖²),
+        # probe order, radii, FLAT scoring — compute exact hamming counts.
+        centroids = (centroids >= 0.5).astype(centroids.dtype)
     k = centroids.shape[0]
     dim = centroids.shape[1]
 
@@ -1053,6 +1075,10 @@ def distance_range_search(
         if index.metric == "cosine":
             # internal space is unit-normalized squared-L2 = 2·cosine_distance
             range_max_l2 = float(np.sqrt(2.0 * range_max)) if np.isfinite(range_max) else np.inf
+        elif index.metric == "hamming":
+            # hamming = squared-L2 on bits; the radii/centroid prune runs in
+            # L2 units, so the bound converts by sqrt
+            range_max_l2 = float(np.sqrt(range_max)) if np.isfinite(range_max) else np.inf
         else:
             range_max_l2 = range_max
         probes = [int(i) for i in np.nonzero(lower <= range_max_l2)[0]]
@@ -1157,6 +1183,12 @@ def ann_join(
             return l2_distance(v, F.col("__qv"))
         if metric == "dot":
             return -dot_product(v, F.col("__qv"))
+        if metric == "hamming":
+            from lance_spark.functions.vector import hamming_distance
+
+            return hamming_distance(
+                F.col("vec").cast("array<long>"), F.col("__qv").cast("array<long>")
+            ).cast("double")
         return 1.0 - cosine_sim(v, F.col("__qv"))
 
     from pyspark.sql import Window

@@ -771,6 +771,115 @@ class TestAnnMaxsim:
             ann_maxsim_join(spark, idx, qtbl, "mv", "qid", k=3)
 
 
+class TestIvfHamming:
+    """IVF over binary 0/1 vectors with metric='hamming' (reference
+    distance.rs:36-42 — binary embeddings were flat-KNN-only before)."""
+
+    @pytest.fixture(scope="class")
+    def ham(self, spark, emb, tmp_path_factory):
+        from lance_spark.indexes.vector import build_ivf
+
+        bits = emb.select(
+            F.col("vec_id").alias("id"),
+            F.transform(
+                F.col("embedding"), lambda x: F.when(x > 0, 1).otherwise(0).cast("long")
+            ).alias("bits"),
+        )
+        qbits = [r["bits"] for r in bits.filter("id = 7").collect()][0]
+        idx = build_ivf(
+            bits.filter("id != 7"), "bits", "id",
+            str(tmp_path_factory.mktemp("hamidx") / "idx"),
+            num_partitions=8, metric="hamming", index_type="IVF_FLAT",
+        )
+        return bits, [int(x) for x in qbits], idx
+
+    def test_centroids_binary_and_exhaustive_exact(self, spark, ham):
+        from lance_spark.indexes.vector import ann_search
+        from lance_spark.operators.knn import knn_bruteforce
+
+        bits, qbits, idx = ham
+        assert set(np.unique(idx.centroids)) <= {0.0, 1.0}
+        got = [
+            (r["id"], r["_distance"])
+            for r in ann_search(spark, idx, qbits, k=10, nprobes=8).collect()
+        ]
+        want = [
+            (r["id"], r["_distance"])
+            for r in knn_bruteforce(
+                bits.filter("id != 7"), "bits", qbits, k=10, metric="hamming", id_col="id"
+            ).collect()
+        ]
+        assert got == want
+        assert all(d == int(d) for _, d in got)  # exact integer hamming counts
+
+    def test_partial_probe_recall(self, spark, ham):
+        from lance_spark.indexes.vector import ann_search
+        from lance_spark.operators.knn import knn_bruteforce
+
+        bits, qbits, idx = ham
+        want = {
+            r["id"]
+            for r in knn_bruteforce(
+                bits.filter("id != 7"), "bits", qbits, k=10, metric="hamming", id_col="id"
+            ).collect()
+        }
+        got = {
+            r["id"]
+            for r in ann_search(spark, idx, qbits, k=10, nprobes=4).collect()
+        }
+        assert len(got & want) / 10 >= 0.5  # measured 0.8 on this corpus
+
+    def test_distance_range_and_ann_join_match_flat(self, spark, ham):
+        from lance_spark.indexes.vector import ann_join, distance_range_search
+
+        bits, qbits, idx = ham
+        rng = distance_range_search(spark, idx, qbits, range_min=0.0, range_max=20.0)
+        from lance_spark.functions.vector import hamming_distance
+
+        qlit = F.array(*[F.lit(int(x)) for x in qbits])
+        flat = bits.filter("id != 7").select(
+            "id", hamming_distance(F.col("bits"), qlit).cast("double").alias("_distance")
+        ).filter("_distance < 20.0")
+        assert sorted(map(tuple, rng.select("id", "_distance").collect())) == sorted(
+            map(tuple, flat.collect())
+        )
+        qtbl = bits.filter("id < 3").select(F.col("id").alias("qid"), F.col("bits").alias("qv"))
+        bulk = ann_join(spark, idx, qtbl, "qv", "qid", k=5, nprobes=8).collect()
+        assert {r["query_id"] for r in bulk} == {0, 1, 2}
+        from lance_spark.operators.knn import knn_bruteforce
+
+        for qid in (0, 1, 2):
+            qb = [int(x) for x in bits.filter(f"id = {qid}").first()["bits"]]
+            want = [
+                (r["id"], r["_distance"])
+                for r in knn_bruteforce(
+                    bits.filter("id != 7"), "bits", qb, k=5, metric="hamming", id_col="id"
+                ).collect()
+            ]
+            got = sorted(
+                ((r["id"], r["_distance"]) for r in bulk if r["query_id"] == qid),
+                key=lambda t: (t[1], t[0]),
+            )
+            assert got == want
+
+    def test_non_flat_and_non_binary_rejected(self, spark, emb, tmp_path):
+        from lance_spark.indexes.vector import build_ivf
+
+        bits = emb.limit(50).select(
+            F.col("vec_id").alias("id"),
+            F.transform(
+                F.col("embedding"), lambda x: F.when(x > 0, 1).otherwise(0).cast("long")
+            ).alias("bits"),
+        )
+        with pytest.raises(ValueError, match="IVF_FLAT"):
+            build_ivf(bits, "bits", "id", str(tmp_path / "hpq"),
+                      num_partitions=2, metric="hamming", index_type="IVF_PQ")
+        nonbin = emb.limit(50).select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+        with pytest.raises(ValueError, match="binary"):
+            build_ivf(nonbin, "v", "id", str(tmp_path / "hnb"),
+                      num_partitions=2, metric="hamming", index_type="IVF_FLAT")
+
+
 def test_nearest_join_no_index_requires_and_honors_metric(spark, emb, tmp_path):
     """No-index nearest_join must not silently fall back to cosine: it
     requires an explicit metric and then matches knn_batch at that metric
