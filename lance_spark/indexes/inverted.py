@@ -315,6 +315,7 @@ def match_join(
     query_id_col: str,
     k: int | None = 10,
     column: str | None = None,
+    query_vocab_rows: int | None = None,
 ) -> DataFrame:
     """Bulk BM25: top-``k`` docs for EVERY row of a query table through
     the inverted index → ``(query_id, id, _score)`` — the FTS analogue of
@@ -342,7 +343,7 @@ def match_join(
         )
         .distinct()
     )
-    scored = _bm25_join_core(postings, doclens, qt)
+    scored = _bm25_join_core(postings, doclens, qt, query_vocab_rows=query_vocab_rows)
     if k is None:
         return scored
     from pyspark.sql import Window
@@ -361,6 +362,7 @@ def _bm25_join_core(
     qt: DataFrame,
     dfreq: DataFrame | None = None,
     round_scores: bool = True,
+    query_vocab_rows: int | None = None,
 ) -> DataFrame:
     """Bulk BM25 core shared by ``match_join`` / ``boolean_join`` /
     ``more_like_this_join``: score distinct (qid, token) pairs against the
@@ -376,9 +378,18 @@ def _bm25_join_core(
     # knn_batch-style broadcast trap); AQE's skew join splits hot terms.
     # The vocabulary broadcast is COUNT-GATED (the unigram-LM-scorer
     # budget): a corpus-sized query table has corpus-sized vocabulary, and
-    # past the gate the semi join runs as a shuffle instead.
-    qvocab = qt.select("token").distinct().localCheckpoint(eager=True)
-    vocab_small = qvocab.count() <= 2_000_000
+    # past the gate the semi join runs as a shuffle instead. The gate costs
+    # one eager checkpoint + count job per call; a caller that loops over
+    # many bulk queries (eval harness, serving path) can pass
+    # ``query_vocab_rows`` (an upper bound is fine) to skip both — the
+    # distinct-vocab subplan then evaluates inside the broadcast exchange,
+    # which Spark builds once and reuses across the three joins.
+    qvocab = qt.select("token").distinct()
+    if query_vocab_rows is None:
+        qvocab = qvocab.localCheckpoint(eager=True)
+        vocab_small = qvocab.count() <= 2_000_000
+    else:
+        vocab_small = query_vocab_rows <= 2_000_000
     if vocab_small:
         qvocab = F.broadcast(qvocab)
     if dfreq is None:
@@ -552,6 +563,7 @@ def boolean_join(
     must_not_col: str | None = None,
     k: int | None = 10,
     column: str | None = None,
+    query_vocab_rows: int | None = None,
 ) -> DataFrame:
     """Bulk BOOLEAN query: per query row, docs containing ALL ``must``
     terms and NONE of the ``must_not`` terms, BM25-scored over
@@ -600,7 +612,7 @@ def boolean_join(
     )
     if score_pairs is None:
         raise ValueError("boolean_join: need at least one of must_col/should_col")
-    scored = _bm25_join_core(postings, doclens, score_pairs)
+    scored = _bm25_join_core(postings, doclens, score_pairs, query_vocab_rows=query_vocab_rows)
     post_ids = postings.select("token", "id")
     if must is not None:
         need = must.groupBy("qid").agg(F.countDistinct("token").alias("__need"))
@@ -918,6 +930,7 @@ def boost_join(
     positive_col: str,
     negative_col: str,
     negative_boost: float = 0.5,
+    query_vocab_rows: int | None = None,
     k: int | None = 10,
     column: str | None = None,
 ) -> DataFrame:
@@ -961,7 +974,7 @@ def boost_join(
     # branch scores stay UNROUNDED — boost_query's convention is one
     # round(4) after the demotion arithmetic, and double rounding flips
     # the 4th decimal
-    scored = _bm25_join_core(postings, doclens, tagged, round_scores=False)
+    scored = _bm25_join_core(postings, doclens, tagged, round_scores=False, query_vocab_rows=query_vocab_rows)
     # occur tag is exactly one char + ':' — strip positionally, so a qid
     # that itself contains ':' round-trips intact
     split = scored.select(

@@ -151,6 +151,22 @@ def test_match_join_equals_per_query_match(spark, sf_dir, tmp_path):
         got = sorted(bulk.get(qid, []), key=lambda t: (-t[0], t[1]))
         assert got == want, qid
 
+    # query_vocab_rows hint (zero gate jobs on the hot path): identical
+    # results whether the hint keeps the broadcast (small bound) or forces
+    # the shuffle plan (bound past the 2M budget)
+    base = sorted(
+        (r["query_id"], r["id"], r["_score"])
+        for r in match_join(ds, spark, queries, "qtext", "qid", k=5).collect()
+    )
+    for bound in (8, 3_000_000):
+        hinted = sorted(
+            (r["query_id"], r["id"], r["_score"])
+            for r in match_join(
+                ds, spark, queries, "qtext", "qid", k=5, query_vocab_rows=bound
+            ).collect()
+        )
+        assert hinted == base, bound
+
 
 @pytest.fixture(scope="module")
 def indexed_docs_ds(spark, sf_dir, tmp_path_factory):
