@@ -1638,13 +1638,18 @@ class LanceDataset:
         fast_search: bool = False,
         ef_search: int = 64,
         with_row_id: bool = False,
+        overfetch: int = 10,
     ) -> DataFrame:
+        """``query`` may be ONE vector or a LIST of vectors — the latter is
+        a multivector query (reference _coerce_query_vector,
+        dataset.py:5309-5322) and requires a multivector-column index;
+        ``overfetch`` is the XTR candidate over-fetch (multivector only)."""
         from lance_spark.indexes.vector import dataset_nearest
 
         return dataset_nearest(
             self, spark, column, query, k, nprobes, refine_factor, use_index,
             filter=filter, fast_search=fast_search, ef_search=ef_search,
-            with_row_id=with_row_id,
+            with_row_id=with_row_id, overfetch=overfetch,
         )
 
     def nearest_join(
@@ -1660,6 +1665,7 @@ class LanceDataset:
         refine_factor: int = 4,
         fast_search: bool = False,
         metric: str | None = None,
+        overfetch: int = 10,
     ) -> DataFrame:
         """Bulk ``nearest``: top-k live rows for EVERY row of a query
         table → (query_id, _rowid, _distance); index-pruned via ann_join,
@@ -1671,7 +1677,7 @@ class LanceDataset:
         return dataset_nearest_join(
             self, spark, column, queries, query_vec_col, query_id_col, k=k,
             nprobes=nprobes, use_codes=use_codes, refine_factor=refine_factor,
-            fast_search=fast_search, metric=metric,
+            fast_search=fast_search, metric=metric, overfetch=overfetch,
         )
 
     def compact_files(self, spark: SparkSession, target_rows_per_fragment: int = 1024 * 1024) -> "LanceDataset":

@@ -1291,6 +1291,8 @@ def ann_maxsim(
     nprobes: int = 4,
     overfetch: int = 10,
     refine_factor: int = 1,
+    exclude_fragments: list[int] | None = None,
+    rowid_map: DataFrame | None = None,
 ) -> DataFrame:
     """Index-accelerated MULTIVECTOR (ColBERT/XTR) search: maxsim top-k
     through the IVF index → ``(id, _distance)`` with
@@ -1334,7 +1336,8 @@ def ann_maxsim(
         "qidx int, qv array<double>",
     )
     cand = ann_join(
-        spark, index, qdf, "qv", "qidx", k=k * max(overfetch, 1), nprobes=nprobes
+        spark, index, qdf, "qv", "qidx", k=k * max(overfetch, 1), nprobes=nprobes,
+        exclude_fragments=exclude_fragments, rowid_map=rowid_map,
     ).select("query_id", "id", (1.0 - F.col("_distance")).alias("sim"))
     cand = cand.localCheckpoint(eager=True)  # reused thrice below; tiny
     minsim = cand.groupBy("query_id").agg(F.min("sim").alias("min_sim"))
@@ -1360,6 +1363,8 @@ def ann_maxsim_join(
     nprobes: int = 4,
     overfetch: int = 10,
     refine_factor: int = 1,
+    exclude_fragments: list[int] | None = None,
+    rowid_map: DataFrame | None = None,
 ) -> DataFrame:
     """BULK multivector (ColBERT/XTR) maxsim: top-``k`` docs for EVERY
     query row of a multivector-query TABLE → ``(query_id, id, _distance)``
@@ -1392,7 +1397,8 @@ def ann_maxsim_join(
     sub = sub.withColumn("__subq", F.struct("__qid", "__qpos"))
     nq = sub.groupBy("__qid").agg(F.count("*").alias("__nq"))
     cand = ann_join(
-        spark, index, sub, "__qv", "__subq", k=k * max(overfetch, 1), nprobes=nprobes
+        spark, index, sub, "__qv", "__subq", k=k * max(overfetch, 1), nprobes=nprobes,
+        exclude_fragments=exclude_fragments, rowid_map=rowid_map,
     ).select(
         F.col("query_id.__qid").alias("__qid"),
         F.col("query_id.__qpos").alias("__qpos"),
@@ -1444,6 +1450,22 @@ def _finalize_distance(df: DataFrame, metric: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _is_multivector_type(dtype) -> bool:
+    """True for ``array<array<numeric>>`` — the Spark mapping of the
+    reference's multivector ``list<fixed_size_list>`` (dataset.py:2719)."""
+    from pyspark.sql.types import ArrayType
+
+    return isinstance(dtype, ArrayType) and isinstance(dtype.elementType, ArrayType)
+
+
+def _is_multivector_query(query) -> bool:
+    """True when ``query`` is a list of vectors (reference
+    _coerce_query_vector, dataset.py:5309-5322)."""
+    import numpy as _np
+
+    return bool(len(query)) and isinstance(query[0], (list, tuple, _np.ndarray))
+
+
 def create_dataset_index(
     ds,
     spark: SparkSession,
@@ -1474,6 +1496,20 @@ def create_dataset_index(
     # (VERDICT r8 #4; the reference retrains on optimize too)
     partitions_explicit = num_partitions is not None
     df = ds.scanner(spark, columns=[column], with_row_id=True)
+    multivector = _is_multivector_type(df.schema[column].dataType)
+    if multivector:
+        # multivector column (list<fixed_size_list>, reference
+        # dataset.py:2716-2742): the index is built over the FLATTENED
+        # per-document vectors — one codes row per vector, id = the doc's
+        # rowid — and searches route through the maxsim plans. The
+        # reference defines multivector search on cosine only; refuse
+        # anything else up front (the ann_maxsim guard, one layer earlier).
+        if metric != "cosine":
+            raise ValueError(
+                f"multivector column {column!r} supports metric='cosine' only"
+                f" (got {metric!r}): maxsim scoring is defined on cosine"
+            )
+        df = df.select(ROWID_COL, F.explode(column).alias(column))
     index = build_ivf(
         df,
         column,
@@ -1508,6 +1544,7 @@ def create_dataset_index(
                         "num_partitions": num_partitions,
                         "num_partitions_explicit": partitions_explicit,
                         "num_sub_vectors": num_sub_vectors,
+                        "multivector": multivector,
                     },
                 )
             ],
@@ -1532,6 +1569,7 @@ def dataset_nearest(
     fast_search: bool = False,
     ef_search: int = 64,
     with_row_id: bool = False,
+    overfetch: int = 10,
 ) -> DataFrame:
     """``scanner.nearest(...)`` (dataset.py:4420-4501): ANN over the indexed
     fragments UNION exact KNN over fragments written after the index
@@ -1559,7 +1597,24 @@ def dataset_nearest(
         if filter
         else None
     )
-    if meta is None or not use_index:
+    mv_index = meta is not None and meta.params.get("multivector", False)
+    mv_query = _is_multivector_query(query)
+    if mv_query and meta is not None and not mv_index:
+        raise ValueError(
+            f"multivector query against the single-vector index on {column!r};"
+            " pass one query vector or index a multivector column"
+        )
+    if mv_index or mv_query:
+        # multivector column: route through the maxsim plans (reference
+        # multivec_ann, scanner.rs:3471-3552; a single query vector is the
+        # one-element multivector, _coerce_query_vector dataset.py:5309)
+        hits = _multivector_nearest_hits(
+            ds, spark, column, meta, query if mv_query else [query],
+            k=k, nprobes=nprobes, refine_factor=refine_factor,
+            allow=allow, fast_search=fast_search, use_index=use_index,
+            overfetch=overfetch,
+        )
+    elif meta is None or not use_index:
         full = ds.to_df(spark, with_row_id=True)
         if allow is not None:
             full = full.join(F.broadcast(allow), ROWID_COL, "left_semi")
@@ -1607,6 +1662,64 @@ def dataset_nearest(
     return out.orderBy("_distance")
 
 
+def _multivector_nearest_hits(
+    ds,
+    spark: SparkSession,
+    column: str,
+    meta,
+    qs: list,
+    k: int,
+    nprobes: int,
+    refine_factor: int,
+    allow: DataFrame | None,
+    fast_search: bool,
+    use_index: bool,
+    overfetch: int = 10,
+) -> DataFrame:
+    """(id, _distance) hits for a multivector nearest: indexed fragments
+    through ``ann_maxsim`` (torn-delta masked) UNION exact flat maxsim over
+    the unindexed tail, live-rowid gated — the knn_combined split with
+    maxsim scoring on both sides. With a prefilter or no usable index the
+    whole corpus scores exactly via the flat bulk plan (pushing an
+    allow-list through the candidate over-fetch would change XTR's
+    imputation set; exactness-first, like the reference's flat fallback)."""
+    from lance_spark.operators.knn import multivector_maxsim_join
+    from lance_spark.write import ROWID_COL
+
+    qdf = spark.createDataFrame(
+        [(0, [[float(x) for x in q] for q in qs])], "qid int, mv array<array<double>>"
+    )
+
+    def flat_hits(df):
+        return multivector_maxsim_join(
+            df, column, ROWID_COL, qdf, "mv", "qid", k=k
+        ).drop("query_id")
+
+    if meta is None or not use_index or allow is not None:
+        full = ds.to_df(spark, with_row_id=True)
+        if allow is not None:
+            full = full.join(F.broadcast(allow), ROWID_COL, "left_semi")
+        return flat_hits(full)
+    from lance_spark.mutation import _rowid_fragment_map
+
+    index = IvfIndex(os.path.join(ds.uri, meta.path))
+    covered = set(meta.fragment_ids)
+    tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
+    rmap = _rowid_fragment_map(ds, spark) if tail else None
+    hits = ann_maxsim(
+        spark, index, qs, k=k, nprobes=nprobes, refine_factor=refine_factor,
+        overfetch=overfetch, exclude_fragments=tail, rowid_map=rmap,
+    )
+    if tail and not fast_search:
+        flat = ds.scanner(spark, columns=[column], with_row_id=True, fragments=tail)
+        hits = hits.unionByName(flat_hits(flat))
+    return hits.join(
+        ds.to_df(spark, with_row_id=True).select(F.col(ROWID_COL).alias("id")),
+        on="id",
+        how="left_semi",
+    )
+
+
 def dataset_nearest_join(
     ds,
     spark: SparkSession,
@@ -1620,6 +1733,7 @@ def dataset_nearest_join(
     refine_factor: int = 4,
     fast_search: bool = False,
     metric: str | None = None,
+    overfetch: int = 10,
 ) -> DataFrame:
     """Bulk ``nearest`` over a dataset's vector index: top-k live rows for
     EVERY row of a query table → ``(query_id, _rowid, _distance)``. The
@@ -1650,6 +1764,60 @@ def dataset_nearest_join(
         ),
         None,
     )
+    mv_index = meta is not None and meta.params.get("multivector", False)
+    mv_query = _is_multivector_type(queries.schema[query_vec_col].dataType)
+    if mv_query and meta is not None and not mv_index:
+        raise ValueError(
+            f"multivector queries against the single-vector index on {column!r};"
+            " flatten the query column or index a multivector column"
+        )
+    if mv_index or mv_query:
+        # multivector column: maxsim on both sides of the coverage split
+        # (see dataset_nearest's multivector branch); maxsim is defined on
+        # cosine, so metric= is redundant — reject anything else
+        if metric not in (None, "cosine"):
+            raise ValueError(
+                f"multivector search supports metric='cosine' only (got {metric!r})"
+            )
+        from lance_spark.operators.knn import multivector_maxsim_join
+
+        if meta is None:
+            return multivector_maxsim_join(
+                ds.to_df(spark, with_row_id=True), column, ROWID_COL,
+                queries, query_vec_col, query_id_col, k=k,
+            ).withColumnRenamed("id", ROWID_COL)
+        from lance_spark.mutation import _rowid_fragment_map
+
+        index = IvfIndex(os.path.join(ds.uri, meta.path))
+        covered = set(meta.fragment_ids)
+        tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
+        rmap = _rowid_fragment_map(ds, spark) if tail else None
+        hits = ann_maxsim_join(
+            spark, index, queries, query_vec_col, query_id_col, k=k,
+            nprobes=nprobes, refine_factor=refine_factor, overfetch=overfetch,
+            exclude_fragments=tail, rowid_map=rmap,
+        )
+        if tail and not fast_search:
+            flat = ds.scanner(spark, columns=[column], with_row_id=True, fragments=tail)
+            hits = hits.unionByName(
+                multivector_maxsim_join(
+                    flat, column, ROWID_COL, queries, query_vec_col, query_id_col, k=k
+                )
+            )
+        hits = hits.join(
+            ds.to_df(spark, with_row_id=True).select(F.col(ROWID_COL).alias("id")),
+            on="id",
+            how="left_semi",
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.asc("_distance"), F.asc("id"))
+        return (
+            hits.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+            .withColumnRenamed("id", ROWID_COL)
+        )
     if meta is not None:
         idx_metric = meta.params["metric"]
         if metric is not None and metric != idx_metric:

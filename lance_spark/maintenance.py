@@ -268,6 +268,13 @@ def optimize_indices(
 
             tail = [f.id for f in out.manifest.fragments if f.id not in set(meta.fragment_ids)]
             df = out.scanner(spark, columns=[meta.column], with_row_id=True, fragments=tail)
+            if meta.params.get("multivector", False):
+                # multivector index: delta rows flatten exactly like the
+                # build did (one codes row per vector, id = doc rowid)
+                from pyspark.sql import functions as F
+                from lance_spark.write import ROWID_COL
+
+                df = df.select(ROWID_COL, F.explode(meta.column).alias(meta.column))
             index = IvfIndex(os.path.join(out.uri, meta.path))
             # post-compaction (rowid_address_style=False) the tail may hold
             # rowids already encoded in a committed segment — dedup them or

@@ -120,6 +120,72 @@ def multivector_maxsim(
     )
 
 
+def multivector_maxsim_join(
+    corpus: DataFrame,
+    mv_col: str,
+    id_col: str,
+    queries: DataFrame,
+    query_mv_col: str,
+    query_id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Bulk FLAT multivector maxsim: exact per-query maxsim over a
+    multivector corpus for EVERY row of a multivector-query table —
+    the knn_batch analogue of ``multivector_maxsim`` (and the flat-tail /
+    no-index fallback of the indexed ``ann_maxsim_join``). Returns
+    ``(query_id, id, _distance)`` with ``_distance = |Q_q| − Σ_i max_v
+    cos(q_i, v)`` — the same scale as the indexed path, unrounded.
+
+    Plan: the query table is broadcast exploded to its vectors (queries
+    are small by definition — a large query set belongs on the indexed
+    path); doc vectors explode once and score the cross product with JVM
+    arithmetic; two groupBys fold max-per-query-vector then
+    sum-per-query. Exact: every (doc, query-vector) pair is scored, no
+    imputation. One corpus pass regardless of query count."""
+    from pyspark.sql import Window
+
+    corpus = corpus.filter(F.col(mv_col).isNotNull())
+    dv = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.col(mv_col).cast("array<array<double>>")).alias("dv"),
+    )
+    qs = queries.filter(F.col(query_mv_col).isNotNull())
+    qx = F.broadcast(
+        qs.select(
+            F.col(query_id_col).alias("query_id"),
+            F.posexplode(F.col(query_mv_col).cast("array<array<double>>")).alias(
+                "__qpos", "qv"
+            ),
+        )
+    )
+    nq = F.broadcast(
+        qs.select(
+            F.col(query_id_col).alias("query_id"),
+            F.size(query_mv_col).cast("double").alias("__nq"),
+        )
+    )
+    best = (
+        dv.crossJoin(qx)
+        .select(
+            "query_id", "__qpos", "id", cosine_sim(F.col("dv"), F.col("qv")).alias("sim")
+        )
+        .groupBy("query_id", "__qpos", "id")
+        .agg(F.max("sim").alias("sim"))
+    )
+    scored = (
+        best.groupBy("query_id", "id")
+        .agg(F.sum("sim").alias("__s"))
+        .join(nq, "query_id")
+        .select("query_id", "id", (F.col("__nq") - F.col("__s")).alias("_distance"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_distance"), F.asc("id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def knn_bruteforce(
     df: DataFrame,
     vec_col: str,

@@ -4722,6 +4722,49 @@ def ann_multivector_join(spark, sf_dir):
     )
 
 
+@query("ds_multivector_nearest", _maxsim_oracle())
+def ds_multivector_nearest(spark, sf_dir):
+    """Multivector column on the DATASET surface (reference create_index on
+    list<fixed_size_list>, dataset.py:2716-2742; multivector query
+    coercion dataset.py:5309): write (label, mv) docs, index the
+    multivector column (auto-flatten), append MORE docs so the search
+    exercises the coverage split (indexed maxsim ∪ exact flat-tail
+    maxsim), then ``ds.nearest`` with a 2-vector query at the exhaustive
+    config → exact == the brute-force maxsim oracle."""
+    import tempfile
+
+    from lance_spark.dataset import dataset
+    from lance_spark.write import write_dataset
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [
+        [float(x) for x in emb.filter(f"vec_id = {i}").first()["embedding"]]
+        for i in (0, 1)
+    ]
+    docs = (
+        emb.filter("vec_id >= 2")
+        .groupBy("label")
+        .agg(F.collect_list(F.col("embedding").cast("array<double>")).alias("mv"))
+    )
+    uri = tempfile.mkdtemp(prefix="lsq_mvds_") + "/d"
+    write_dataset(docs.filter("label < 8"), uri, mode="create")
+    ds = dataset(uri).create_index(
+        spark, "mv", index_type="IVF_FLAT", num_partitions=8, metric="cosine"
+    )
+    ds.insert(docs.filter("label >= 8"))
+    res = dataset(uri).nearest(
+        spark, "mv", qs, k=100_000, nprobes=8, overfetch=1_000_000
+    )
+    return (
+        res.select(
+            "label",
+            F.round(F.lit(float(len(qs))) - F.col("_distance"), 4).alias("_maxsim"),
+        )
+        .orderBy(F.desc("_maxsim"), F.asc("label"))
+        .limit(5)
+    )
+
+
 @query(
     "ann_prefiltered",
     f"""

@@ -880,6 +880,134 @@ class TestIvfHamming:
                       num_partitions=2, metric="hamming", index_type="IVF_FLAT")
 
 
+class TestMultivectorDataset:
+    """Multivector columns on the DATASET surface (reference
+    dataset.py:2716-2742 create_index on list<fixed_size_list>;
+    _coerce_query_vector dataset.py:5309-5322 multivector queries):
+    create_index flattens, nearest/nearest_join route through maxsim,
+    the coverage split scores maxsim on both sides, optimize delta-extends
+    with the same flatten."""
+
+    @pytest.fixture(scope="class")
+    def mvds(self, spark, emb, tmp_path_factory):
+        import lance_spark as ls
+
+        docs = (
+            emb.filter("vec_id >= 4")
+            .groupBy("label")
+            .agg(F.collect_list(F.col("embedding").cast("array<double>")).alias("mv"))
+        )
+        uri = str(tmp_path_factory.mktemp("mvds") / "d")
+        ls.write_dataset(docs.filter("label < 7"), uri, mode="create")
+        ds = ls.dataset(uri).create_index(
+            spark, "mv", index_type="IVF_FLAT", num_partitions=4, metric="cosine"
+        )
+        qs = [
+            [float(x) for x in emb.filter(f"vec_id = {i}").first()["embedding"]]
+            for i in (0, 1)
+        ]
+        return ds, docs, qs, uri
+
+    def _brute(self, docs, qs, k, where="label >= 0"):
+        from lance_spark.operators.knn import multivector_maxsim
+
+        return [
+            (r["label"], round(len(qs) - r["_maxsim"], 4))
+            for r in multivector_maxsim(docs.filter(where), "mv", "label", qs, k=k).collect()
+        ]
+
+    def test_index_is_multivector_and_exact(self, spark, mvds):
+        ds, docs, qs, _ = mvds
+        meta = next(i for i in ds.manifest.indices if i.column == "mv")
+        assert meta.params["multivector"] is True
+        got = [
+            (r["label"], round(r["_distance"], 4))
+            for r in ds.nearest(
+                spark, "mv", qs, k=7, nprobes=4, overfetch=10_000
+            ).select("label", "_distance").collect()
+        ]
+        assert got == self._brute(docs, qs, 7, "label < 7")
+
+    def test_single_vector_query_wraps(self, spark, mvds):
+        ds, docs, qs, _ = mvds
+        got = [
+            (r["label"], round(r["_distance"], 4))
+            for r in ds.nearest(
+                spark, "mv", qs[0], k=5, nprobes=4, overfetch=10_000
+            ).select("label", "_distance").collect()
+        ]
+        assert got == self._brute(docs, [qs[0]], 5, "label < 7")
+
+    def test_tail_union_and_optimize(self, spark, mvds):
+        import lance_spark as ls
+
+        ds, docs, qs, uri = mvds
+        ds.insert(docs.filter("label >= 7"))
+        ds = ls.dataset(uri)
+        want = self._brute(docs, qs, 10)  # full corpus, all 10 labels
+        got = [
+            (r["label"], round(r["_distance"], 4))
+            for r in ds.nearest(
+                spark, "mv", qs, k=10, nprobes=4, overfetch=10_000
+            ).select("label", "_distance").collect()
+        ]
+        assert got == want
+        ds = ds.optimize_indices(spark)
+        meta = next(i for i in ds.manifest.indices if i.column == "mv")
+        assert set(meta.fragment_ids) == {f.id for f in ds.manifest.fragments}
+        got2 = [
+            (r["label"], round(r["_distance"], 4))
+            for r in ds.nearest(
+                spark, "mv", qs, k=10, nprobes=4, overfetch=10_000
+            ).select("label", "_distance").collect()
+        ]
+        assert got2 == want
+
+    def test_nearest_join_bulk(self, spark, mvds):
+        import lance_spark as ls
+
+        ds, docs, qs, uri = mvds
+        ds = ls.dataset(uri)
+        qtbl = spark.createDataFrame(
+            [(0, [qs[0]]), (1, [qs[1]]), (2, qs)],
+            "qid int, qmv array<array<double>>",
+        )
+        bulk = ds.nearest_join(
+            spark, "mv", qtbl, "qmv", "qid", k=5, nprobes=4, overfetch=10_000
+        ).collect()
+        base = ds.to_df(spark, with_row_id=True).select("_rowid", "label")
+        lab = {r["_rowid"]: r["label"] for r in base.collect()}
+        by_q = {}
+        for r in bulk:
+            by_q.setdefault(r["query_id"], []).append(
+                (lab[r["_rowid"]], round(r["_distance"], 4))
+            )
+        full = ds.to_df(spark)
+        for qid, sub in ((0, [qs[0]]), (1, [qs[1]]), (2, qs)):
+            got = sorted(by_q[qid], key=lambda t: (t[1], t[0]))
+            assert got == self._brute(full, sub, 5)
+
+    def test_errors(self, spark, mvds, emb, tmp_path):
+        import lance_spark as ls
+
+        ds, docs, qs, uri = mvds
+        with pytest.raises(ValueError, match="cosine"):
+            ls.dataset(uri).create_index(
+                spark, "mv", index_type="IVF_FLAT", num_partitions=2,
+                metric="l2", name="mv_l2",
+            )
+        # multivector query against a single-vector index
+        flat_uri = str(tmp_path / "flat")
+        ls.write_dataset(
+            emb.limit(100).select("vec_id", "embedding"), flat_uri, mode="create"
+        )
+        fds = ls.dataset(flat_uri).create_index(
+            spark, "embedding", index_type="IVF_FLAT", num_partitions=2, metric="cosine"
+        )
+        with pytest.raises(ValueError, match="multivector"):
+            fds.nearest(spark, "embedding", qs, k=3)
+
+
 def test_nearest_join_no_index_requires_and_honors_metric(spark, emb, tmp_path):
     """No-index nearest_join must not silently fall back to cosine: it
     requires an explicit metric and then matches knn_batch at that metric
