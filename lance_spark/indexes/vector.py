@@ -171,6 +171,11 @@ class IvfIndex:
         return self.meta["metric"]
 
     @property
+    def packed(self) -> bool:
+        """uint8-packed binary vectors (hamming indexes only)."""
+        return bool(self.meta.get("packed", False))
+
+    @property
     def index_type(self) -> str:
         return self.meta["index_type"]
 
@@ -274,8 +279,19 @@ def train_pq_codebooks(
     )  # (m, 256, sub)
 
 
+def _unpack_bits(x: np.ndarray) -> np.ndarray:
+    """uint8-PACKED binary vectors → 0/1 float64 bit matrix (the
+    reference stores binary embeddings as uint8, 8 bits/byte —
+    distance.rs:36-42 hamming popcounts the xor). Squared-L2 over the
+    unpacked bits IS the bit hamming distance, and the JVM-side
+    ``hamming_distance`` (popcount-xor per byte) computes the same value
+    on the packed form — bit order cancels in both."""
+    return np.unpackbits(x.astype(np.uint8), axis=1).astype(np.float64)
+
+
 def compute_partition_radii(
-    spark: SparkSession, codes_dir: str, centroids: np.ndarray, cosine: bool
+    spark: SparkSession, codes_dir: str, centroids: np.ndarray, cosine: bool,
+    packed: bool = False,
 ) -> np.ndarray:
     """Per-partition covering radius max‖x − c_p‖ over a codes table —
     enables triangle-inequality partition pruning for distance_range
@@ -286,6 +302,8 @@ def compute_partition_radii(
     @pandas_udf("double")
     def _resid_norm(s: pd.Series, pid: pd.Series) -> pd.Series:
         x = _as_matrix(s).astype(np.float64)
+        if packed:
+            x = _unpack_bits(x)
         if cosine:
             x = _normalize(x)
         c = cent_b.value.astype(np.float64)[pid.to_numpy()]
@@ -390,12 +408,20 @@ def build_ivf(
     sample = sample[np.lexsort(sample.T[::-1])]
     if cosine:
         sample = _normalize(sample)
+    packed = False
     if metric == "hamming" and sample.size and not np.isin(sample, (0.0, 1.0)).all():
-        raise ValueError(
-            "metric='hamming' requires binary 0/1 element vectors (the flat"
-            " knn_bruteforce hamming convention); pack arbitrary ints to bits"
-            " first"
-        )
+        # not 0/1 bits: accept the reference's PACKED form — uint8 bytes,
+        # 8 bits each (binary embeddings are stored packed there; hamming
+        # popcounts the xor). Training/assignment/scoring unpack to bit
+        # space; the stored codes stay packed (8× smaller scan IO).
+        if (sample == np.rint(sample)).all() and sample.min() >= 0 and sample.max() <= 255:
+            packed = True
+            sample = _unpack_bits(sample)
+        else:
+            raise ValueError(
+                "metric='hamming' requires binary vectors: 0/1 elements or"
+                " uint8-packed bytes (the reference's binary embedding form)"
+            )
     device = _resolve_accelerator(accelerator)
     if device is not None:
         centroids = train_kmeans_torch(sample, num_partitions, device, seed=seed)
@@ -441,7 +467,8 @@ def build_ivf(
         codebooks = train_pq_codebooks(sample, centroids, m, seed=seed)
 
     enc = _assign_encode_df(
-        df, vec_col, id_col, spark, centroids, codebooks, sq_bounds, rotation, cosine
+        df, vec_col, id_col, spark, centroids, codebooks, sq_bounds, rotation,
+        cosine, packed=packed,
     )
 
     os.makedirs(uri, exist_ok=True)
@@ -453,7 +480,9 @@ def build_ivf(
         .partitionBy("partition_id")
         .parquet(os.path.join(uri, "codes"))
     )
-    radii = compute_partition_radii(spark, os.path.join(uri, "codes"), centroids, cosine)
+    radii = compute_partition_radii(
+        spark, os.path.join(uri, "codes"), centroids, cosine, packed=packed
+    )
     np.save(os.path.join(uri, "radii.npy"), radii)
     np.save(os.path.join(uri, "centroids.npy"), centroids)
     if codebooks is not None:
@@ -472,6 +501,7 @@ def build_ivf(
             "dim": int(dim),
             "id_col": id_col,
             "vec_col": vec_col,
+            "packed": packed,
             "segments": ["codes"],
         },
     )
@@ -511,6 +541,7 @@ def _assign_encode_df(
     sq_bounds,
     rotation,
     cosine: bool,
+    packed: bool = False,
 ) -> DataFrame:
     """(id, vec, partition_id, pq_code, rq_norm, rq_corr) for every non-null
     vector row: row-local centroid assignment + quantization with FIXED
@@ -530,6 +561,8 @@ def _assign_encode_df(
         sq = sq_b.value
         rot = rot_b.value
         x = _as_matrix(s)
+        if packed:
+            x = _unpack_bits(x)
         if cosine:
             x = _normalize(x)
         # argmin ||x - c||^2 = argmax (x·c - ||c||²/2)
@@ -653,6 +686,7 @@ def extend_ivf(
         index.sq_bounds,
         index.rotation,
         index.metric == "cosine",
+        packed=index.packed,
     )
     if enc.isEmpty():
         # nothing indexable in the new fragments (e.g. all-null vectors, or
@@ -673,7 +707,8 @@ def extend_ivf(
         .parquet(seg_dir)
     )
     new_radii = compute_partition_radii(
-        spark, seg_dir, index.centroids, index.metric == "cosine"
+        spark, seg_dir, index.centroids, index.metric == "cosine",
+        packed=index.packed,
     )
     if index.radii is None:
         # radii-less legacy index: compute the kept segments' radii now so
@@ -685,7 +720,7 @@ def extend_ivf(
                 base_radii,
                 compute_partition_radii(
                     spark, os.path.join(index.uri, s), index.centroids,
-                    index.metric == "cosine",
+                    index.metric == "cosine", packed=index.packed,
                 ),
             )
     else:
@@ -784,6 +819,10 @@ def merge_ivf_segments(index: IvfIndex, spark: SparkSession) -> IvfIndex:
 
 def _query_prep(index: IvfIndex, query: list[float]) -> np.ndarray:
     q = np.asarray(query, dtype=np.float64)
+    if index.packed:
+        # packed-binary index: probe/score in bit space (same unpack the
+        # build applied); the query arrives in the stored packed form
+        q = _unpack_bits(q[None, :])[0]
     if index.metric == "cosine":
         q = _normalize(q[None, :])[0]
     return q
@@ -854,12 +893,15 @@ def ann_search(
 
     if index.index_type == "IVF_FLAT":
         qb = spark.sparkContext.broadcast(q)
+        packed = index.packed
 
         @pandas_udf("double")
         def flat_dist(s: pd.Series) -> pd.Series:
             # float64 scoring over float32 storage: bit-matches any engine
             # that widens-then-computes (the DuckDB oracle, numpy references)
             x = _as_matrix(s).astype(np.float64)
+            if packed:
+                x = _unpack_bits(x)
             if dot:
                 # -q·x: same scale/sign as knn_bruteforce's dot scoring, so
                 # the unindexed-tail union in dataset_nearest is comparable
@@ -1012,6 +1054,8 @@ def _exact_refine_local(
     )
     ids = tbl.column("id").to_numpy()
     x = np.asarray(tbl.column("vec").to_pylist(), dtype=np.float64)
+    if index.packed:
+        x = _unpack_bits(x)
     if index.metric == "dot":
         d = -(x @ q.astype(np.float64))
     else:
@@ -1039,7 +1083,10 @@ def _ensure_radii(index: IvfIndex, spark: SparkSession) -> np.ndarray:
     radii = np.zeros(index.centroids.shape[0], dtype=np.float64)
     for p in index.codes_paths():
         radii = np.maximum(
-            radii, compute_partition_radii(spark, p, index.centroids, cosine)
+            radii,
+            compute_partition_radii(
+                spark, p, index.centroids, cosine, packed=index.packed
+            ),
         )
     np.save(os.path.join(index.uri, "radii.npy"), radii)
     index.radii = radii
@@ -1087,11 +1134,14 @@ def distance_range_search(
     codes = index.codes_df(spark).filter(F.col("partition_id").isin(probes))
     cosine = index.metric == "cosine"
     dot = index.metric == "dot"
+    packed = index.packed
     qb = spark.sparkContext.broadcast(q)
 
     @pandas_udf("double")
     def exact_dist(s: pd.Series) -> pd.Series:
         x = _as_matrix(s).astype(np.float64)
+        if packed:
+            x = _unpack_bits(x)
         if dot:
             return pd.Series(-(x @ qb.value.astype(np.float64)))
         if cosine:
@@ -1151,6 +1201,7 @@ def ann_join(
 
     metric = index.metric
     cosine = metric == "cosine"
+    packed = index.packed
     cent_b = spark.sparkContext.broadcast(index.centroids.astype(np.float64))
     np_ = min(int(nprobes), int(index.centroids.shape[0]))
 
@@ -1158,6 +1209,8 @@ def ann_join(
     def probe(s: pd.Series) -> pd.Series:
         cents = cent_b.value
         x = _as_matrix(s).astype(np.float64)
+        if packed:
+            x = _unpack_bits(x)
         if metric == "dot":
             # MIPS probe order: descending q·c (same rule as the
             # single-query probe_partitions), not L2-nearest centroids

@@ -862,6 +862,66 @@ class TestIvfHamming:
             )
             assert got == want
 
+    def test_packed_uint8_equals_unpacked(self, spark, ham, tmp_path):
+        """uint8-PACKED binary vectors (the reference's storage form) build
+        and search through the same IVF: identical hamming counts to the
+        0/1 index over the same bits, exact at full probe, and the
+        popcount-xor bulk path agrees."""
+        from lance_spark.indexes.vector import ann_join, ann_search, build_ivf
+        from lance_spark.operators.knn import knn_bruteforce
+
+        bits, qbits, idx = ham
+        packed = bits.select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(len(qbits) // 8 - 1)),
+                lambda b: F.aggregate(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    F.lit(0).cast("long"),
+                    lambda acc, j: acc * 2
+                    + F.element_at(F.col("bits"), (b * 8 + j + 1).cast("int")),
+                ),
+            ).alias("pb"),
+        )
+        qp = [r["pb"] for r in packed.filter("id = 7").collect()][0]
+        pidx = build_ivf(
+            packed.filter("id != 7"), "pb", "id", str(tmp_path / "hpk"),
+            num_partitions=8, metric="hamming", index_type="IVF_FLAT",
+        )
+        assert pidx.packed is True
+        got = [
+            (r["id"], r["_distance"])
+            for r in ann_search(spark, pidx, [int(x) for x in qp], k=10, nprobes=8).collect()
+        ]
+        want = [
+            (r["id"], r["_distance"])
+            for r in ann_search(spark, idx, qbits, k=10, nprobes=8).collect()
+        ]
+        assert got == want  # same bits → same hamming counts
+        flat = [
+            (r["id"], r["_distance"])
+            for r in knn_bruteforce(
+                packed.filter("id != 7"), "pb", [int(x) for x in qp], k=10,
+                metric="hamming", id_col="id",
+            ).collect()
+        ]
+        assert got == flat  # JVM popcount-xor on packed == bit-space L2
+        qtbl = packed.filter("id < 2").select(F.col("id").alias("qid"), F.col("pb").alias("qv"))
+        bulk = ann_join(spark, pidx, qtbl, "qv", "qid", k=5, nprobes=8).collect()
+        for qid in (0, 1):
+            qb = [int(x) for x in packed.filter(f"id = {qid}").first()["pb"]]
+            want = [
+                (r["id"], r["_distance"])
+                for r in knn_bruteforce(
+                    packed.filter("id != 7"), "pb", qb, k=5, metric="hamming", id_col="id"
+                ).collect()
+            ]
+            got = sorted(
+                ((r["id"], r["_distance"]) for r in bulk if r["query_id"] == qid),
+                key=lambda t: (t[1], t[0]),
+            )
+            assert got == want
+
     def test_non_flat_and_non_binary_rejected(self, spark, emb, tmp_path):
         from lance_spark.indexes.vector import build_ivf
 
