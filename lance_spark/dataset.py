@@ -978,7 +978,12 @@ class LanceDataset:
         )
         hits = execute_query(spark, qobj, ds=self, k=None)
         base = self.to_df(spark, with_row_id=True)
-        res = base.join(F.broadcast(hits), base[ROWID_COL] == hits["id"]).drop("id")
+        # the hits key renames to a reserved name before the fetch join: a
+        # bare drop("id") would also drop a USER column named id
+        hits = hits.withColumnRenamed("id", "__match_id")
+        res = base.join(
+            F.broadcast(hits), base[ROWID_COL] == hits["__match_id"]
+        ).drop("__match_id")
         if opts.get("with_row_addr"):
             # rowid IS fragment<<32|offset pre-compaction
             res = res.withColumn(ROWADDR_COL, F.col(ROWID_COL))
@@ -1281,7 +1286,11 @@ class LanceDataset:
                     ROWID_COL, "id"
                 )
         base = self.to_df(spark, with_row_id=True)
-        out = base.join(F.broadcast(hits), base[ROWID_COL] == hits["id"]).drop("id")
+        # reserved join-key name: drop("id") would also drop a user id column
+        hits = hits.withColumnRenamed("id", "__match_id")
+        out = base.join(
+            F.broadcast(hits), base[ROWID_COL] == hits["__match_id"]
+        ).drop("__match_id")
         if not with_row_id:
             out = out.drop(ROWID_COL)
         return out.orderBy(F.desc("_score"))

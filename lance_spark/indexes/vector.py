@@ -1709,7 +1709,12 @@ def dataset_nearest(
     topk = hits.orderBy("_distance", "id").limit(k)
     # fetch the dataset columns for the winners (TakeExec role, take.rs:284)
     base = ds.to_df(spark, with_row_id=True)
-    out = base.join(F.broadcast(topk), base[ROWID_COL] == topk["id"], "inner").drop("id")
+    # reserved join-key name: a bare drop("id") would also drop a USER
+    # column named id from the fetched dataset columns
+    topk = topk.withColumnRenamed("id", "__match_id")
+    out = base.join(
+        F.broadcast(topk), base[ROWID_COL] == topk["__match_id"], "inner"
+    ).drop("__match_id")
     if not with_row_id:
         out = out.drop(ROWID_COL)
     return out.orderBy("_distance")

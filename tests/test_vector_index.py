@@ -922,6 +922,43 @@ class TestIvfHamming:
             )
             assert got == want
 
+    def test_dataset_surface_hamming_lifecycle(self, spark, ham, tmp_path):
+        """Binary vectors end-to-end through the DATASET surface: write 0/1
+        bit vectors, create_index(metric='hamming'), nearest == flat
+        popcount KNN, append (coverage split), delta optimize — hamming
+        counts stable through every phase."""
+        import lance_spark as ls
+        from lance_spark.operators.knn import knn_bruteforce
+
+        bits, qbits, _ = ham
+        uri = str(tmp_path / "hamds")
+        ls.write_dataset(bits.filter("id < 300 and id != 7"), uri, mode="create")
+        ds = ls.dataset(uri).create_index(
+            spark, "bits", index_type="IVF_FLAT", num_partitions=8, metric="hamming"
+        )
+
+        def got(ds):
+            return [
+                (r["id"], r["_distance"])
+                for r in ds.nearest(spark, "bits", qbits, k=10, nprobes=8)
+                .select("id", "_distance").orderBy("_distance", "id").collect()
+            ]
+
+        def want(where):
+            return [
+                (r["id"], r["_distance"])
+                for r in knn_bruteforce(
+                    bits.filter(where), "bits", qbits, k=10, metric="hamming", id_col="id"
+                ).collect()
+            ]
+
+        assert got(ds) == want("id < 300 and id != 7")
+        ds.insert(bits.filter("id >= 300"))
+        ds = ls.dataset(uri)
+        assert got(ds) == want("id != 7")  # indexed ∪ flat tail, same scale
+        ds = ds.optimize_indices(spark)
+        assert got(ds) == want("id != 7")
+
     def test_non_flat_and_non_binary_rejected(self, spark, emb, tmp_path):
         from lance_spark.indexes.vector import build_ivf
 
@@ -1046,6 +1083,27 @@ class TestMultivectorDataset:
         for qid, sub in ((0, [qs[0]]), (1, [qs[1]]), (2, qs)):
             got = sorted(by_q[qid], key=lambda t: (t[1], t[0]))
             assert got == self._brute(full, sub, 5)
+
+    def test_scanner_nearest_dict_routes_multivector(self, spark, mvds):
+        """scanner(nearest={"q": [v1, v2], ...}) — the reference's dict form
+        with a multivector query — routes through the maxsim path."""
+        import lance_spark as ls
+
+        ds, docs, qs, uri = mvds
+        ds = ls.dataset(uri)
+        via_scanner = ds.scanner(
+            spark, nearest={"column": "mv", "q": qs, "k": 5, "nprobes": 4}
+        )
+        got = [
+            (r["label"], round(r["_distance"], 4))
+            for r in via_scanner.select("label", "_distance").collect()
+        ]
+        want = [
+            (r["label"], round(r["_distance"], 4))
+            for r in ds.nearest(spark, "mv", qs, k=5, nprobes=4)
+            .select("label", "_distance").collect()
+        ]
+        assert got == want and len(got) == 5
 
     def test_errors(self, spark, mvds, emb, tmp_path):
         import lance_spark as ls
