@@ -2299,3 +2299,56 @@ class Session:
 
     def clear(self) -> None:
         mf.clear_manifest_cache()
+
+
+class VectorIndexReader:
+    """Reader over a built vector index's partitions (reference
+    dataset.py:5404 ``VectorIndexReader``): partition count, centroids,
+    and per-partition point reads — the introspection surface a
+    re-ranking or diagnostics tool uses without running a search.
+
+    Raises ``ValueError`` when ``index_name`` is not a vector index,
+    like the reference."""
+
+    def __init__(self, dataset: "LanceDataset", index_name: str):
+        meta = next(
+            (i for i in dataset.manifest.indices if i.name == index_name), None
+        )
+        if meta is None or not meta.index_type.startswith("IVF"):
+            raise ValueError(f"Index {index_name} is not vector index")
+        self.dataset = dataset
+        self.index_name = index_name
+        self._index = dataset.get_ivf_model(index_name)
+
+    def num_partitions(self) -> int:
+        """Number of IVF partitions."""
+        return int(self._index.centroids.shape[0])
+
+    def centroids(self):
+        """Centroids, shape (num_partitions, dim)."""
+        import numpy as np
+
+        return np.array(self._index.centroids)
+
+    def read_partition(self, partition_id: int, *, with_vector: bool = False):
+        """pyarrow Table of one IVF partition: ``_rowid`` plus, with
+        ``with_vector``, the stored vectors (IVF_FLAT) or quantized codes
+        (IVF_PQ/SQ/RQ — the reference returns PQ codes there too). A
+        partition + column predicate pushed into the codes parquet —
+        a point read, never an index scan."""
+        import pyarrow.dataset as pads
+
+        if partition_id < 0 or partition_id >= self.num_partitions():
+            raise IndexError(
+                f"Partition id {partition_id} is out of range, "
+                f"expected 0 <= partition_id < {self.num_partitions()}"
+            )
+        dset = pads.dataset(
+            [pads.dataset(p, partitioning="hive") for p in self._index.codes_paths()]
+        )
+        vec_col = "vec" if self._index.index_type == "IVF_FLAT" else "pq_code"
+        cols = ["id"] + ([vec_col] if with_vector else [])
+        tbl = dset.to_table(
+            columns=cols, filter=pads.field("partition_id") == int(partition_id)
+        )
+        return tbl.rename_columns(["_rowid"] + cols[1:])

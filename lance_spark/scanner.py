@@ -146,6 +146,16 @@ def _stats_from_metrics(counts: dict) -> ScanStatistics:
     return st
 
 
+@dataclass
+class TaggedRecordBatch:
+    """A record batch paired with the fragment it was read from
+    (reference ``lance.fragment.TaggedRecordBatch`` shape, consumed by
+    ``LanceScanner.scan_batches``)."""
+
+    record_batch: "pa.RecordBatch"
+    fragment: object
+
+
 class LanceScanner(DataFrame):
     """A scan plan with the reference scanner's materialization surface.
 
@@ -193,6 +203,42 @@ class LanceScanner(DataFrame):
         t = self.to_table()
         batches = t.to_batches(max_chunksize=batch_size) if batch_size else t.to_batches()
         return pa.RecordBatchReader.from_batches(t.schema, batches)
+
+    def scan_batches(self) -> Iterator["TaggedRecordBatch"]:
+        """Record batches tagged with their owning fragment (reference
+        dataset.py:4670 ``scan_batches``; its docstring promises
+        TaggedRecordBatch — the tagging is real here). Iterates the
+        dataset's fragments in order and reads each one's rows with this
+        scanner's projected columns — the batch/fragment pairing a
+        sharded loader consumes."""
+        ds = self._lance_dataset
+        if ds is None:
+            raise ValueError("scan_batches requires a dataset-backed scanner")
+        from lance_spark.write import ROWID_COL
+
+        cols = [c for c in self.columns if c in ds.columns]
+        for frag in ds.manifest.fragments:
+            part = ds.scanner(
+                self.sparkSession, columns=cols or None, fragments=[frag.id],
+                with_row_id=ROWID_COL in self.columns,
+            )
+            for b in part.toArrow().to_batches():
+                yield TaggedRecordBatch(record_batch=b, fragment=frag)
+
+    @staticmethod
+    def from_dataset(*args, **kwargs):
+        """Not implemented (matches the reference, dataset.py:4645)."""
+        raise NotImplementedError("from dataset")
+
+    @staticmethod
+    def from_fragment(*args, **kwargs):
+        """Not implemented (matches the reference, dataset.py:4652)."""
+        raise NotImplementedError("from fragment")
+
+    @staticmethod
+    def from_batches(*args, **kwargs):
+        """Not implemented (matches the reference, dataset.py:4659)."""
+        raise NotImplementedError("from batches")
 
     def count_rows(self) -> int:
         """Row count of the scan result (reference dataset.py:4635).

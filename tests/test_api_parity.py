@@ -292,3 +292,56 @@ def test_scanner_usable_as_join_right_side(spark, ds):
 def test_merge_index_metadata_redirects(ds):
     with pytest.raises(NotImplementedError, match="load_shuffled_vectors"):
         ds.merge_index_metadata("uuid", "IVF_PQ")
+
+
+def test_vector_index_reader(spark, sf_dir, tmp_path):
+    """VectorIndexReader (reference dataset.py:5404): partition count,
+    centroids, per-partition point reads with _rowid; vector-vs-codes
+    column by index type; range and non-vector-index errors."""
+    from lance_spark.dataset import VectorIndexReader
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    uri = str(tmp_path / "vir")
+    ls.write_dataset(emb, uri, mode="create")
+    ds = ls.dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_FLAT", num_partitions=4, metric="cosine"
+    )
+    r = VectorIndexReader(ds, "embedding_idx")
+    assert r.num_partitions() == 4
+    assert r.centroids().shape[0] == 4
+    total = 0
+    for p in range(4):
+        t = r.read_partition(p)
+        assert t.column_names == ["_rowid"]
+        total += t.num_rows
+    assert total == emb.count()
+    withv = r.read_partition(0, with_vector=True)
+    assert withv.column_names == ["_rowid", "vec"]
+    with pytest.raises(IndexError):
+        r.read_partition(4)
+    with pytest.raises(ValueError, match="not vector index"):
+        VectorIndexReader(ds, "nope")
+
+    ds2 = ds.create_index(
+        spark, "embedding", index_type="IVF_PQ", name="pq_idx",
+        num_partitions=4, num_sub_vectors=8, metric="cosine",
+    )
+    codes = VectorIndexReader(ds2, "pq_idx").read_partition(0, with_vector=True)
+    assert codes.column_names == ["_rowid", "pq_code"]
+
+
+def test_scan_batches_tags_fragments(spark, ds):
+    """scan_batches yields (record_batch, fragment) pairs covering every
+    fragment and row exactly once, honoring the scanner's projection;
+    the reference's unimplemented from_* statics raise here too."""
+    from lance_spark.scanner import LanceScanner, TaggedRecordBatch
+
+    sc = ds.scanner(spark, columns=["o_orderkey"])
+    tagged = list(sc.scan_batches())
+    assert tagged and all(isinstance(t, TaggedRecordBatch) for t in tagged)
+    assert {t.fragment.id for t in tagged} == {f.id for f in ds.manifest.fragments}
+    assert sum(t.record_batch.num_rows for t in tagged) == ds.count_rows()
+    assert all(t.record_batch.schema.names == ["o_orderkey"] for t in tagged)
+    for fn in (LanceScanner.from_dataset, LanceScanner.from_fragment, LanceScanner.from_batches):
+        with pytest.raises(NotImplementedError):
+            fn()
