@@ -594,7 +594,15 @@ class LanceDataset:
             out_cols.append(ROWADDR_COL)
         from lance_spark.scanner import LanceScanner
 
-        return LanceScanner(df.select(*out_cols), self, scan_stats_callback)
+        sc = LanceScanner(df.select(*out_cols), self, scan_stats_callback)
+        # scan_batches re-derives a per-fragment plan from these (a bare
+        # column-name rebuild would silently drop the filter / fragment
+        # restriction / dict projections)
+        sc._scan_kwargs = {
+            "columns": columns, "filter": filter, "fragments": fragments,
+            "with_row_id": with_row_id, "limit": limit, "offset": offset,
+        }
+        return sc
 
     def _search_scan(
         self,
@@ -2346,7 +2354,13 @@ class VectorIndexReader:
         dset = pads.dataset(
             [pads.dataset(p, partitioning="hive") for p in self._index.codes_paths()]
         )
-        vec_col = "vec" if self._index.index_type == "IVF_FLAT" else "pq_code"
+        # FLAT-family indexes store no quantized codes (pq_code is null);
+        # their vector column IS the raw vectors
+        vec_col = (
+            "vec"
+            if self._index.index_type in ("IVF_FLAT", "IVF_HNSW_FLAT")
+            else "pq_code"
+        )
         cols = ["id"] + ([vec_col] if with_vector else [])
         tbl = dset.to_table(
             columns=cols, filter=pads.field("partition_id") == int(partition_id)

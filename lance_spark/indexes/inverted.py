@@ -107,6 +107,20 @@ def _index_tables(ds, spark: SparkSession, meta) -> tuple[DataFrame, DataFrame]:
     term frequencies."""
     base = os.path.join(ds.uri, meta.path)
     dirs = _segment_dirs(base, meta)
+    reclaimed = any(not os.path.isdir(os.path.join(d, "postings")) for d in dirs)
+    if reclaimed:
+        # Time-travel read past a merge's grace window: this (older)
+        # manifest pins a segment list whose dirs a later merge retired and
+        # reclaimed. The CURRENT index content is a row-superset (merges
+        # rewrite the union; extends only add), so read the latest segment
+        # list instead — and force the live-rowid gate below so rows of
+        # fragments that don't exist at THIS version cannot score.
+        from lance_spark import manifest as mf
+
+        latest = mf.read_manifest(ds.uri, mf.list_versions(ds.uri)[-1])
+        cur = next((i for i in latest.indices if i.name == meta.name), None)
+        if cur is not None:
+            dirs = _segment_dirs(base, cur)
     postings = spark.read.parquet(*[os.path.join(d, "postings") for d in dirs])
     doclens = spark.read.parquet(*[os.path.join(d, "doclens") for d in dirs])
     covered = set(meta.fragment_ids)
@@ -134,8 +148,10 @@ def _index_tables(ds, spark: SparkSession, meta) -> tuple[DataFrame, DataFrame]:
     # then a query touches only the query-term postings rows (token pushdown),
     # never the corpus. O(metadata) check; the common hot path at scale.
     frag_ids = {f.id for f in ds.manifest.fragments}
-    all_live = all(f.num_deleted_rows == 0 for f in ds.manifest.fragments) and (
-        covered <= frag_ids
+    all_live = (
+        not reclaimed
+        and all(f.num_deleted_rows == 0 for f in ds.manifest.fragments)
+        and covered <= frag_ids
     )
     if all_live:
         return postings, doclens
@@ -237,11 +253,13 @@ def merge_inverted_segments(ds, spark: SparkSession, name: str):
     BETTER than the base layout it replaces.
 
     Superseded dirs are RETIRED behind a grace period (not deleted under
-    in-flight readers) and reclaimed by the next merge. Like the IVF
-    meta.json flip and in-place index rebuilds, index internals are not
-    time-travel-versioned: a checkout older than the grace window sees
-    the merged superset, whose extra rows belong to fragments absent
-    from that manifest and are masked by the coverage split."""
+    in-flight readers) and reclaimed by the next merge. Unlike IVF
+    (segment list in the unversioned meta.json), INVERTED segment lists
+    are version-pinned in the manifest — so a time-travel read whose
+    pinned dirs were reclaimed falls back to the LATEST segment list (a
+    row-superset by construction) with the live-rowid gate forced, which
+    restricts scoring and BM25 stats to exactly that version's rows
+    (_index_tables' ``reclaimed`` branch)."""
     import time
 
     from lance_spark.dataset import LanceDataset
@@ -930,9 +948,9 @@ def boost_join(
     positive_col: str,
     negative_col: str,
     negative_boost: float = 0.5,
-    query_vocab_rows: int | None = None,
     k: int | None = 10,
     column: str | None = None,
+    query_vocab_rows: int | None = None,
 ) -> DataFrame:
     """Bulk BOOST query (BoostQueryExec, fts.rs:729): per query row,
     ``score = positive_score − negative_boost · negative_score`` over the

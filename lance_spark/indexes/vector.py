@@ -1755,6 +1755,14 @@ def _multivector_nearest_hits(
 
     if meta is None or not use_index or allow is not None:
         full = ds.to_df(spark, with_row_id=True)
+        if not _is_multivector_type(full.schema[column].dataType):
+            # a multivector query against a plain vector column would die
+            # on an impossible cast inside the flat plan — same clear error
+            # as the indexed path's guard
+            raise ValueError(
+                f"multivector query against the single-vector column {column!r};"
+                " pass one query vector or use a multivector column"
+            )
         if allow is not None:
             full = full.join(F.broadcast(allow), ROWID_COL, "left_semi")
         return flat_hits(full)
@@ -1840,8 +1848,15 @@ def dataset_nearest_join(
         from lance_spark.operators.knn import multivector_maxsim_join
 
         if meta is None:
+            full = ds.to_df(spark, with_row_id=True)
+            if not _is_multivector_type(full.schema[column].dataType):
+                raise ValueError(
+                    f"multivector queries against the single-vector column"
+                    f" {column!r}; flatten the query column or use a"
+                    " multivector column"
+                )
             return multivector_maxsim_join(
-                ds.to_df(spark, with_row_id=True), column, ROWID_COL,
+                full, column, ROWID_COL,
                 queries, query_vec_col, query_id_col, k=k,
             ).withColumnRenamed("id", ROWID_COL)
         from lance_spark.mutation import _rowid_fragment_map

@@ -145,10 +145,16 @@ def multivector_maxsim_join(
     from pyspark.sql import Window
 
     corpus = corpus.filter(F.col(mv_col).isNotNull())
+    # null ELEMENTS inside a multivector must not score: a null dv would
+    # null the whole (sim → max → sum) chain and NULLS-FIRST-rank that doc
+    # ahead of every real hit (the hazard knn_bruteforce guards for single
+    # vectors); a null query element must not inflate |Q| either, or the
+    # flat score scale diverges from the indexed ann_maxsim_join (which
+    # explodes non-null sub-queries only)
     dv = corpus.select(
         F.col(id_col).alias("id"),
         F.explode(F.col(mv_col).cast("array<array<double>>")).alias("dv"),
-    )
+    ).filter(F.col("dv").isNotNull())
     qs = queries.filter(F.col(query_mv_col).isNotNull())
     qx = F.broadcast(
         qs.select(
@@ -156,12 +162,14 @@ def multivector_maxsim_join(
             F.posexplode(F.col(query_mv_col).cast("array<array<double>>")).alias(
                 "__qpos", "qv"
             ),
-        )
+        ).filter(F.col("qv").isNotNull())
     )
     nq = F.broadcast(
         qs.select(
             F.col(query_id_col).alias("query_id"),
-            F.size(query_mv_col).cast("double").alias("__nq"),
+            F.size(F.filter(F.col(query_mv_col), lambda x: x.isNotNull()))
+            .cast("double")
+            .alias("__nq"),
         )
     )
     best = (

@@ -207,20 +207,30 @@ class LanceScanner(DataFrame):
     def scan_batches(self) -> Iterator["TaggedRecordBatch"]:
         """Record batches tagged with their owning fragment (reference
         dataset.py:4670 ``scan_batches``; its docstring promises
-        TaggedRecordBatch — the tagging is real here). Iterates the
-        dataset's fragments in order and reads each one's rows with this
-        scanner's projected columns — the batch/fragment pairing a
-        sharded loader consumes."""
+        TaggedRecordBatch — the tagging is real here). Re-runs this
+        scanner's recorded plan (projection, filter, fragment restriction)
+        one fragment at a time — the batch/fragment pairing a sharded
+        loader consumes. A global ``limit``/``offset`` has no per-fragment
+        meaning and is refused rather than silently mis-sliced."""
         ds = self._lance_dataset
-        if ds is None:
-            raise ValueError("scan_batches requires a dataset-backed scanner")
-        from lance_spark.write import ROWID_COL
-
-        cols = [c for c in self.columns if c in ds.columns]
+        kwargs = getattr(self, "_scan_kwargs", None)
+        if ds is None or kwargs is None:
+            raise ValueError(
+                "scan_batches requires a scanner built by ds.scanner(...)"
+            )
+        if kwargs["limit"] is not None or kwargs["offset"] is not None:
+            raise ValueError(
+                "scan_batches with limit/offset is not supported: a global"
+                " row slice has no per-fragment meaning"
+            )
+        wanted = kwargs["fragments"]
         for frag in ds.manifest.fragments:
+            if wanted is not None and frag.id not in set(wanted):
+                continue
             part = ds.scanner(
-                self.sparkSession, columns=cols or None, fragments=[frag.id],
-                with_row_id=ROWID_COL in self.columns,
+                self.sparkSession, columns=kwargs["columns"],
+                filter=kwargs["filter"], fragments=[frag.id],
+                with_row_id=kwargs["with_row_id"],
             )
             for b in part.toArrow().to_batches():
                 yield TaggedRecordBatch(record_batch=b, fragment=frag)

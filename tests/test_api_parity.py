@@ -345,3 +345,33 @@ def test_scan_batches_tags_fragments(spark, ds):
     for fn in (LanceScanner.from_dataset, LanceScanner.from_fragment, LanceScanner.from_batches):
         with pytest.raises(NotImplementedError):
             fn()
+
+
+def test_vector_index_reader_hnsw_flat_returns_vectors(spark, sf_dir, tmp_path):
+    """IVF_HNSW_FLAT stores no quantized codes — read_partition(with_vector)
+    must return the raw vectors, not an all-null pq_code column."""
+    from lance_spark.dataset import VectorIndexReader
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    uri = str(tmp_path / "virh")
+    ls.write_dataset(emb, uri, mode="create")
+    ds = ls.dataset(uri).create_index(
+        spark, "embedding", index_type="IVF_HNSW_FLAT", num_partitions=2, metric="cosine"
+    )
+    t = VectorIndexReader(ds, "embedding_idx").read_partition(0, with_vector=True)
+    assert t.column_names == ["_rowid", "vec"]
+    assert t.column("vec").null_count == 0 and t.num_rows > 0
+
+
+def test_scan_batches_honors_filter_and_fragments(spark, ds):
+    """scan_batches re-runs the scanner's recorded plan — filter and
+    fragment restriction included; limit/offset refused."""
+    sc = ds.scanner(spark, columns=["o_orderkey"], filter="o_orderkey % 2 = 0")
+    tagged = list(sc.scan_batches())
+    n = sum(t.record_batch.num_rows for t in tagged)
+    assert n == ds.to_df(spark).filter("o_orderkey % 2 = 0").count()
+    frag0 = ds.manifest.fragments[0].id
+    only = list(ds.scanner(spark, columns=["o_orderkey"], fragments=[frag0]).scan_batches())
+    assert {t.fragment.id for t in only} == {frag0}
+    with pytest.raises(ValueError, match="limit"):
+        list(ds.scanner(spark, columns=["o_orderkey"], limit=5).scan_batches())

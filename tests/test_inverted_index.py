@@ -377,6 +377,7 @@ def test_optimize_auto_merges_inverted_segments(spark, sf_dir, tmp_path, monkeyp
     ds = ls.dataset(uri).optimize_indices(spark)
     meta = next(m for m in ds.manifest.indices if m.index_type == "INVERTED")
     assert meta.params["segments"] == [".", "seg_v1"]  # within budget: delta accumulates
+    v_deltas = ds.version  # pins ['.', 'seg_v1'] — reclaimed far below
 
     ds.insert(slices[2])
     ds = ls.dataset(uri).optimize_indices(spark)  # 3 segments > budget 2 → merge
@@ -425,6 +426,31 @@ def test_optimize_auto_merges_inverted_segments(spark, sf_dir, tmp_path, monkeyp
     for s in retired:
         root = base if s == "." else os.path.join(base, s)
         assert not os.path.isdir(os.path.join(root, "postings")), s
+
+    # time-travel past the reclaim: v_deltas pins ['.', 'seg_v1'] whose dirs
+    # were just reclaimed — the reader must fall back to the latest
+    # (superset) segments with the live gate forced, scoring exactly the
+    # old version's corpus (flat BM25 over that corpus is the reference)
+    from lance_spark.operators.fts import bm25_search
+
+    old = ls.dataset(uri).checkout_version(v_deltas)
+    tt = sorted(
+        (r["doc_id"], r["_score"])
+        for r in match_query(old, spark, ["table", "scan", "join"], k=None)
+        .join(
+            old.to_df(spark, with_row_id=True).select("_rowid", "doc_id"),
+            F.col("id") == F.col("_rowid"),
+        )
+        .select("doc_id", "_score")
+        .collect()
+    )
+    want_tt = sorted(
+        (r["doc_id"], r["_score"])
+        for r in bm25_search(
+            old.to_df(spark), "text", "doc_id", ["table", "scan", "join"], k=None
+        ).collect()
+    )
+    assert tt == want_tt and tt
 
 
 @pytest.mark.parametrize("transpositions", [True, False])

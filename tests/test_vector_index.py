@@ -1105,10 +1105,46 @@ class TestMultivectorDataset:
         ]
         assert got == want and len(got) == 5
 
+    def test_null_elements_never_rank_first(self, spark, mvds):
+        """A doc multivector containing null ELEMENTS must not null its
+        score and NULLS-FIRST-rank ahead of every real hit; a null query
+        element must not inflate |Q| (the flat/indexed scale split)."""
+        from lance_spark.operators.knn import multivector_maxsim_join
+
+        ds, docs, qs, _ = mvds
+        corpus = docs.select(
+            F.col("label").cast("long").alias("label"),
+            F.col("mv").cast("array<array<double>>").alias("mv"),
+        ).unionByName(
+            spark.sql(
+                "SELECT CAST(999 AS BIGINT) AS label,"
+                " array(CAST(NULL AS array<double>), CAST(NULL AS array<double>)) AS mv"
+            )
+        )
+        qtbl = spark.createDataFrame(
+            [(0, [qs[0], None, qs[1]])], "qid int, qmv array<array<double>>"
+        )
+        res = multivector_maxsim_join(corpus, "mv", "label", qtbl, "qmv", "qid", k=5).collect()
+        assert res and all(r["id"] != 999 for r in res)
+        assert all(r["_distance"] is not None for r in res)
+        # null query element skipped: distance scale is |Q|=2, so < 2 here
+        assert all(r["_distance"] < 2.0 for r in res)
+
     def test_errors(self, spark, mvds, emb, tmp_path):
         import lance_spark as ls
 
         ds, docs, qs, uri = mvds
+        # multivector query against an UNINDEXED single-vector column: the
+        # clear error, not an AnalysisException from an impossible cast
+        flat_noidx = str(tmp_path / "flatnoidx")
+        ls.write_dataset(emb.limit(50).select("vec_id", "embedding"), flat_noidx, mode="create")
+        with pytest.raises(ValueError, match="single-vector"):
+            ls.dataset(flat_noidx).nearest(spark, "embedding", qs, k=3)
+        qtbl = spark.createDataFrame([(0, qs)], "qid int, qmv array<array<double>>")
+        with pytest.raises(ValueError, match="single-vector"):
+            ls.dataset(flat_noidx).nearest_join(
+                spark, "embedding", qtbl, "qmv", "qid", k=3
+            )
         with pytest.raises(ValueError, match="cosine"):
             ls.dataset(uri).create_index(
                 spark, "mv", index_type="IVF_FLAT", num_partitions=2,
