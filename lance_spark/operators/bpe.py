@@ -32,8 +32,10 @@ yields the same vocab and the same encoding, on any partitioning.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from lance_spark.functions.text import tokenize
 
@@ -291,3 +293,89 @@ def bpe_encode(
             ).alias("pieces_md5"),
         )
     )
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: DataFrame,
+    vocab: DataFrame,
+) -> DataFrame:
+    """Encode to MATERIALIZED subword ids → ``(id, token_ids array<bigint>)``
+    in document order — the shape a training loader consumes
+    (``bpe_encode`` emits the compact count/fingerprint form instead).
+    Pieces outside the trained vocab map to ``-1`` (the encode_with_vocab
+    OOV convention; only possible when encoding with a foreign/truncated
+    vocab — a model's own training corpus always resolves).
+
+    Scale: identical plan to ``bpe_encode`` — tokenize + positions stay
+    JVM-side, Python touches DISTINCT words only (Heaps-bounded), and the
+    piece→id map is a driver dict bounded by ``vocab_size`` (a training
+    hyperparameter, corpus-independent). One shuffle carries
+    (id, pos, word); per-doc order reassembles via array_sort."""
+    spark = df.sparkSession
+    vmap = {r["token"]: int(r["id"]) for r in vocab.collect()}  # ≤ vocab_size
+    v_b = spark.sparkContext.broadcast(vmap)
+
+    @pandas_udf("array<long>")
+    def to_ids(ps: pd.Series) -> pd.Series:
+        m = v_b.value
+        return ps.apply(lambda arr: [m.get(p, -1) for p in arr])
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "word"),
+    )
+    pieces = (
+        bpe_encode_words(words.select("word"), merges)
+        .withColumn("ids", to_ids("pieces"))
+        .drop("pieces")
+        .localCheckpoint(eager=True)
+    )
+    side = F.broadcast(pieces) if pieces.count() <= _BROADCAST_ROW_BUDGET else pieces
+    return (
+        words.join(side, "word")
+        .groupBy("id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ids"))),
+                    lambda s: s["ids"],
+                )
+            ).alias("token_ids")
+        )
+    )
+
+
+def bpe_decode(
+    df: DataFrame,
+    ids_col: str,
+    id_col: str,
+    vocab: DataFrame,
+) -> DataFrame:
+    """Decode subword ids back to text → ``(id, text)`` — the inverse of
+    ``bpe_encode_ids`` up to the tokenizer's whitespace normalization:
+    pieces concatenate, the sentencepiece-style END_OF_WORD marker splits
+    words, words join with single spaces. Unknown / OOV ids decode to
+    nothing (they carry no surface form).
+
+    Scale: row-local — one Arrow-batched pass with a broadcast id→piece
+    dict (bounded by vocab_size); no shuffle, no explode."""
+    spark = df.sparkSession
+    rmap = {int(r["id"]): r["token"] for r in vocab.collect()}
+    r_b = spark.sparkContext.broadcast(rmap)
+
+    @pandas_udf("string")
+    def to_text(ids: pd.Series) -> pd.Series:
+        m = r_b.value
+
+        def dec(arr):
+            if arr is None:  # arrow hands numpy arrays; bare `or` is ambiguous
+                return ""
+            s = "".join(m.get(int(i), "") for i in arr)
+            return " ".join(w for w in s.split(END_OF_WORD) if w)
+
+        return ids.apply(dec)
+
+    return df.select(F.col(id_col).alias("id"), to_text(F.col(ids_col)).alias("text"))

@@ -186,3 +186,29 @@ def test_histogram_cap_order(spark):
     rows = word_histogram(df, "text", max_words=3).collect()
     got = sorted((r["word"], r["cnt"]) for r in rows)
     assert got == [("aa", 3), ("bb", 2), ("dd", 4)]  # cc dropped by the cap
+
+
+def test_encode_ids_decode_roundtrip(spark, corpus_df, trained):
+    """bpe_encode_ids materializes in-order subword ids; bpe_decode inverts
+    them back to the tokenizer-normalized text exactly (BPE is lossless up
+    to whitespace normalization). OOV ids decode to nothing."""
+    from pyspark.sql import functions as F
+
+    from lance_spark.functions.text import tokenize
+    from lance_spark.operators.bpe import bpe_decode, bpe_encode_ids
+
+    merges, vocab = trained
+    docs = corpus_df.withColumn("doc_id", F.monotonically_increasing_id())
+    ids = bpe_encode_ids(docs, "text", "doc_id", merges, vocab)
+    assert ids.filter(F.exists("token_ids", lambda x: x < 0)).count() == 0
+    decoded = {r["id"]: r["text"] for r in bpe_decode(ids, "token_ids", "id", vocab).collect()}
+    want = {
+        r["doc_id"]: " ".join(r["toks"])
+        for r in docs.select("doc_id", tokenize(F.col("text")).alias("toks")).collect()
+    }
+    assert decoded == want and decoded
+
+    # OOV: encode against a truncated vocab → -1 ids, which decode drops
+    small_vocab = vocab.limit(3)
+    ids2 = bpe_encode_ids(docs, "text", "doc_id", merges, small_vocab)
+    assert ids2.filter(F.exists("token_ids", lambda x: x < 0)).count() > 0
