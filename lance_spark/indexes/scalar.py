@@ -131,8 +131,14 @@ def build_scalar_index(ds, spark: SparkSession, column: str, kind: str, uri: str
         )
     elif kind == "BLOOMFILTER":
         # per-fragment set of xxhash64(value) mod nbits — bloom semantics
-        # (membership may false-positive on hash collision, never false-negative)
+        # (membership may false-positive on hash collision, never false-negative).
+        # The COLUMN TYPE is recorded so probes hash the literal through the
+        # same cast chain (lit → column type → string): hashing Python's
+        # str(value) instead would miss e.g. double 5.0 ('5.0' at build vs
+        # '5' at probe) — a bloom false NEGATIVE, silently pruning fragments
+        # that contain matches.
         nbits = int(params.setdefault("nbits", 1 << 16))
+        params["value_type"] = df.schema[column].dataType.simpleString()
         (
             df.withColumn("fragment_id", F.shiftright(F.col(ROWID_COL), FRAGID_SHIFT))
             .select("fragment_id", F.col(column).cast("string").alias("value"))
@@ -157,9 +163,18 @@ def create_scalar_index(ds, spark: SparkSession, column: str, kind: str, name: s
     from lance_spark import manifest as mf
     from lance_spark.dataset import LanceDataset
 
+    import uuid
+
     kind = kind.upper()
     name = name or f"{column}_{kind.lower()}_idx"
-    rel = os.path.join("_indices", name)
+    # VERSIONED build dir: a rebuild (optimize_indices) must not overwrite
+    # the directory the CURRENTLY COMMITTED manifest still points at — a
+    # concurrent reader mid-query would hit deleted files, and time-travel
+    # to an older version would read the new build against old coverage
+    # metadata. Each build writes to a fresh subdir; the manifest commit is
+    # the atomic switch; superseded builds are reclaimed by
+    # cleanup_old_versions once no kept manifest references them.
+    rel = os.path.join("_indices", name, f"b{uuid.uuid4().hex[:8]}")
     uri = os.path.join(ds.uri, rel)
     if train:
         params = build_scalar_index(ds, spark, column, kind, uri, params)
@@ -192,15 +207,10 @@ def _uncovered_fragments(ds, meta) -> list[int]:
     return [f.id for f in ds.manifest.fragments if f.id not in cov]
 
 
-def _tail_predicate(meta, op: str, value):
-    """The sargable op as a Column predicate on the base column, for the
-    flat-scan branch over uncovered fragments. Must be at-least-as-selective
-    truth (exact for exact kinds; superset ok for inexact kinds)."""
-    col = F.col(meta.column)
-    if meta.index_type == "JSON":
-        col = F.get_json_object(col, meta.params["path"]).cast(
-            meta.params.get("value_type", "string")
-        )
+def _op_predicate(col, op: str, value):
+    """One comparison table for both the index side (F.col('value')) and
+    the flat tail side (the base column) — two hand-maintained copies
+    could silently diverge the index answer from the tail-scan answer."""
     if op == "=":
         return col == value
     if op == "<":
@@ -217,6 +227,21 @@ def _tail_predicate(meta, op: str, value):
         return col.isin(list(value))
     if op == "is_null":
         return col.isNull()
+    return None
+
+
+def _tail_predicate(meta, op: str, value):
+    """The sargable op as a Column predicate on the base column, for the
+    flat-scan branch over uncovered fragments. Must be at-least-as-selective
+    truth (exact for exact kinds; superset ok for inexact kinds)."""
+    col = F.col(meta.column)
+    if meta.index_type == "JSON":
+        col = F.get_json_object(col, meta.params["path"]).cast(
+            meta.params.get("value_type", "string")
+        )
+    base = _op_predicate(col, op, value)
+    if base is not None:
+        return base
     if op == "contains":
         if meta.index_type == "LABEL_LIST":
             return F.array_contains(col, value)
@@ -277,28 +302,18 @@ def query_index(ds, spark: SparkSession, meta, op: str, value) -> IndexResult:
         )
         return IndexResult(rowids=rowids, exact=res.exact)
     if kind in ("BTREE", "JSON"):  # JSON = BTree over the extracted path
-        v = F.col("value")
-        if op == "=":
-            hit = idx.filter(v == value)
-        elif op == "<":
-            hit = idx.filter(v < value)
-        elif op == "<=":
-            hit = idx.filter(v <= value)
-        elif op == ">":
-            hit = idx.filter(v > value)
-        elif op == ">=":
-            hit = idx.filter(v >= value)
-        elif op == "between":
-            hit = idx.filter(v.between(value[0], value[1]))
-        elif op == "in":
-            hit = idx.filter(v.isin(list(value)))
-        elif op == "is_null":
-            hit = idx.filter(v.isNull())
-        else:
+        pred = _op_predicate(F.col("value"), op, value)
+        if pred is None:
             raise ValueError(f"BTREE cannot answer {op}")
+        hit = idx.filter(pred)
         return with_tail(IndexResult(rowids=hit.select(ROWID_COL), exact=True))
     if kind in ("BITMAP", "LABEL_LIST"):
         v = F.col("value")
+        if op in ("contains", "array_has_any", "array_has_all") and kind == "BITMAP":
+            # 'contains' means array membership only on LABEL_LIST (exploded
+            # elements); answering it as string equality on a plain BITMAP
+            # would return exact=True false negatives for substring matches
+            raise ValueError(f"BITMAP cannot answer {op}")
         if op in ("=", "contains"):  # contains = LABEL_LIST array_contains
             hit = idx.filter(v == value)
         elif op in ("in", "array_has_any"):
@@ -325,7 +340,15 @@ def query_index(ds, spark: SparkSession, meta, op: str, value) -> IndexResult:
             raise ValueError("NGRAM answers contains() only")
         n = int(meta.params.get("n", 3))
         needle = str(value).lower()
-        grams = [needle[i : i + n] for i in range(max(len(needle) - n + 1, 0))] or [needle]
+        if len(needle) < n:
+            # a sub-gram needle matches NO indexed gram of longer documents —
+            # probing it would under-include (silent false negatives); refuse
+            # so the filter splitter falls back to the flat recheck scan
+            raise ValueError(
+                f"NGRAM(n={n}) cannot answer contains({needle!r}): needle"
+                " shorter than the gram size"
+            )
+        grams = [needle[i : i + n] for i in range(len(needle) - n + 1)]
         res = None
         for g in set(grams):
             s = idx.filter(F.col("gram") == g).select(ROWID_COL)
@@ -359,10 +382,31 @@ def query_index(ds, spark: SparkSession, meta, op: str, value) -> IndexResult:
             raise ValueError("BLOOMFILTER answers =/in only")
         vals = [value] if op == "=" else list(value)
         nbits = int(meta.params["nbits"])
-        probe = (
-            spark.createDataFrame([(str(v),) for v in vals], ["value"])
-            .select(F.pmod(F.xxhash64("value"), F.lit(nbits)).alias("bit"))
-        )
+        vt = meta.params.get("value_type")
+        if vt is not None:
+            # hash the literal through the SAME cast chain the build used
+            # (lit → column type → string), so representation matches
+            # exactly — e.g. int literal 5 probing a double column hashes
+            # '5.0', not '5'
+            probe = spark.range(1).select(
+                F.explode(
+                    F.array(*[F.lit(v).cast(vt).cast("string") for v in vals])
+                ).alias("value")
+            ).select(F.pmod(F.xxhash64("value"), F.lit(nbits)).alias("bit"))
+        else:
+            # legacy index without the recorded type: probe BOTH the Python
+            # repr and the Spark literal cast — the union can only widen the
+            # fragment set (bloom-safe), never prune a matching fragment
+            # that either representation would keep
+            py = spark.createDataFrame([(str(v),) for v in vals], ["value"])
+            lit = spark.range(1).select(
+                F.explode(
+                    F.array(*[F.lit(v).cast("string") for v in vals])
+                ).alias("value")
+            )
+            probe = py.unionByName(lit).select(
+                F.pmod(F.xxhash64("value"), F.lit(nbits)).alias("bit")
+            )
         hit = idx.join(
             F.broadcast(probe), F.array_contains(F.col("bit_idx"), F.col("bit")), "left_semi"
         )
@@ -397,6 +441,22 @@ def _parse_lit(s: str):
     if s.startswith("'"):
         return s[1:-1]
     return float(s) if "." in s else int(s)
+
+
+_INLIST_ATOM = re.compile(r"'[^']*'|[^,\s]+")
+
+
+def _parse_inlist(raw: str) -> list:
+    """Quote-aware IN-list split: a naive split(',') breaks quoted atoms
+    containing commas ('a,b') and crashes on the fragments. Atoms are
+    matched whole; anything left over besides commas/whitespace means the
+    list is outside the grammar → ValueError (caller treats the leaf as
+    opaque and leaves the predicate to the refine scan)."""
+    atoms = _INLIST_ATOM.findall(raw)
+    rest = _INLIST_ATOM.sub("", raw)
+    if rest.strip(" ,\t\n") != "" or not atoms:
+        raise ValueError(f"unparseable IN list: {raw!r}")
+    return [_parse_lit(a) for a in atoms]
 
 
 def _tokenize(s: str) -> list[str]:
@@ -498,7 +558,19 @@ class _Parser:
 
 
 def parse_filter_tree(filter_sql: str):
-    return _Parser(_tokenize(filter_sql)).parse_or()
+    """Parse, or return None when the grammar doesn't cover the filter —
+    a partially-consumed token stream means the tree DROPPED predicates
+    (e.g. ``(a = 1) != flag``); acting on the truncated tree as exact
+    would silently widen results, so the caller must treat the whole
+    filter as opaque (full refine scan)."""
+    p = _Parser(_tokenize(filter_sql))
+    try:
+        tree = p.parse_or()
+    except AssertionError:
+        return None
+    if p.i != len(p.t):
+        return None
+    return tree
 
 
 def _eval_tree(ds, spark: SparkSession, node, by_col) -> IndexResult | None:
@@ -512,15 +584,18 @@ def _eval_tree(ds, spark: SparkSession, node, by_col) -> IndexResult | None:
         meta = by_col.get(m.group("col"))
         if meta is None:
             return None
-        if m.group("op"):
-            op = "=" if m.group("op") == "==" else m.group("op")
-            value = _parse_lit(m.group("lit"))
-        elif m.group("in"):
-            op, value = "in", [_parse_lit(x) for x in m.group("inlist").split(",")]
-        elif m.group("between"):
-            op, value = "between", (_parse_lit(m.group("lo")), _parse_lit(m.group("hi")))
-        else:
-            op, value = "is_null", None
+        try:
+            if m.group("op"):
+                op = "=" if m.group("op") == "==" else m.group("op")
+                value = _parse_lit(m.group("lit"))
+            elif m.group("in"):
+                op, value = "in", _parse_inlist(m.group("inlist"))
+            elif m.group("between"):
+                op, value = "between", (_parse_lit(m.group("lo")), _parse_lit(m.group("hi")))
+            else:
+                op, value = "is_null", None
+        except ValueError:
+            return None  # literal outside the grammar → opaque, full refine
         try:
             return query_index(ds, spark, meta, op, value)
         except ValueError:
@@ -537,11 +612,11 @@ def _eval_tree(ds, spark: SparkSession, node, by_col) -> IndexResult | None:
             if r.rowids is not None:
                 rowids = r.rowids if rowids is None else rowids.join(r.rowids, ROWID_COL, "left_semi")
             if r.fragments is not None:
-                fragments = (
-                    r.fragments
-                    if fragments is None
-                    else [f for f in fragments if f in set(r.fragments)]
-                )
+                if fragments is None:
+                    fragments = r.fragments
+                else:
+                    rset = set(r.fragments)
+                    fragments = [f for f in fragments if f in rset]
         if rowids is None and fragments is None:
             return None
         return IndexResult(rowids=rowids, fragments=fragments, exact=exact)
@@ -573,12 +648,20 @@ def split_filter(ds, spark: SparkSession, filter_sql: str) -> tuple[IndexResult 
     """Returns (index_result, refine_sql). refine_sql is None only when the
     whole tree was answered exactly by indexes."""
     by_col = {}
-    for m in ds.manifest.indices:
-        if m.index_type in ("BTREE", "BITMAP", "ZONEMAP", "BLOOMFILTER"):
-            by_col.setdefault(m.column, m)
+    # exact kinds first: a ZONEMAP/BLOOMFILTER created earlier must not
+    # shadow a BTREE/BITMAP on the same column (fragment-granular inexact
+    # prune + mandatory refine instead of an exact rowid semijoin)
+    _PREF = {"BTREE": 0, "BITMAP": 1, "ZONEMAP": 2, "BLOOMFILTER": 3}
+    for m in sorted(
+        (i for i in ds.manifest.indices if i.index_type in _PREF),
+        key=lambda i: _PREF[i.index_type],
+    ):
+        by_col.setdefault(m.column, m)
     if not by_col:
         return None, filter_sql
     tree = parse_filter_tree(filter_sql)
+    if tree is None:
+        return None, filter_sql
     res = _eval_tree(ds, spark, tree, by_col)
     if res is None:
         return None, filter_sql

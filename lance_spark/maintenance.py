@@ -495,7 +495,13 @@ def cleanup_old_versions(
             if rel in dropped_refs or orphan_deletable(os.path.join(root, rel)):
                 os.unlink(os.path.join(root, rel))
                 removed += 1
-    # index directories
+    # index directories. Two layouts: flat (_indices/<name> IS the index —
+    # IVF/INVERTED/legacy scalar) and versioned builds
+    # (_indices/<name>/b<hex> per scalar rebuild). A flat dir that is
+    # directly referenced is owned wholesale by its index (delta segments
+    # etc. live inside — never touch children). A prefix-referenced dir
+    # keeps only its referenced builds; superseded build subdirs reclaim
+    # once dropped or grace-expired.
     idx_root = os.path.join(root, "_indices")
     if os.path.isdir(idx_root):
         import shutil
@@ -503,9 +509,27 @@ def cleanup_old_versions(
         for name in os.listdir(idx_root):
             rel = os.path.join("_indices", name)
             if rel in referenced:
+                continue  # flat layout, live — children are index internals
+            pfx = rel + os.sep
+            if any(p.startswith(pfx) for p in referenced):
+                # versioned layout, live: reclaim superseded build subdirs
+                for child in os.listdir(os.path.join(idx_root, name)):
+                    crel = os.path.join(rel, child)
+                    if crel in referenced:
+                        continue
+                    if crel in dropped_refs or orphan_deletable(
+                        os.path.join(idx_root, name, child)
+                    ):
+                        shutil.rmtree(os.path.join(root, crel), ignore_errors=True)
+                        removed += 1
                 continue
             if rel in dropped_refs or orphan_deletable(os.path.join(idx_root, name)):
                 shutil.rmtree(os.path.join(idx_root, rel))
+                removed += 1
+            elif any(p.startswith(pfx) for p in dropped_refs):
+                # every build of this index was dropped (no kept manifest
+                # references any) — the whole dir is reclaimable
+                shutil.rmtree(os.path.join(idx_root, rel), ignore_errors=True)
                 removed += 1
     return removed
 

@@ -281,3 +281,133 @@ def test_index_covers_appended_fragments(spark, sf_dir, tmp_path):
     pred = "o_totalprice > 200000.0 AND o_orderpriority = '5-LOW'"
     got = {r["o_orderkey"] for r in ds.scan_with_index(spark, pred).select("o_orderkey").collect()}
     assert got == _truth(ds, spark, pred) and got
+
+
+def test_bloom_probe_matches_build_representation(spark, ds, tmp_path):
+    """A bloom probe must hash the literal through the SAME cast chain the
+    build used: an int literal against a double column must not silently
+    prune fragments containing matches (a bloom false NEGATIVE)."""
+    from lance_spark.indexes.scalar import query_index, scan_with_index
+
+    ds2 = ds.create_scalar_index(spark, "o_totalprice", "BLOOMFILTER", name="bf_price")
+    meta = next(i for i in ds2.manifest.indices if i.name == "bf_price")
+    assert meta.params["value_type"] == "double"
+    # a real double value, probed as an int literal
+    v = float(ds2.to_df(spark).select("o_totalprice").first()[0])
+    iv = int(v)
+    if iv == v:  # synthesize an exact-int price if none natural
+        probe_val = iv
+    else:
+        probe_val = v
+    res = query_index(ds2, spark, meta, "=", probe_val)
+    want_frags = {
+        r[0]
+        for r in ds2.to_df(spark, with_row_id=True)
+        .filter(F.col("o_totalprice") == probe_val)
+        .select(F.shiftright("_rowid", 32))
+        .distinct()
+        .collect()
+    }
+    assert want_frags <= set(res.fragments)
+    got = {
+        r["o_orderkey"]
+        for r in scan_with_index(ds2, spark, f"o_totalprice = {probe_val}")
+        .select("o_orderkey").collect()
+    }
+    assert got == _truth(ds2, spark, f"o_totalprice = {probe_val}")
+
+
+def test_filter_grammar_edges_fall_back_to_refine(spark, ds):
+    """Filters outside the index grammar must degrade to the refine scan,
+    never to a truncated/garbled index answer: trailing operators after a
+    parenthesized group, quoted commas inside IN lists, sub-gram needles."""
+    from lance_spark.indexes.scalar import scan_with_index, split_filter
+
+    ds2 = ds.create_scalar_index(spark, "o_orderkey", "BTREE", name="bt_key")
+    # trailing comparison after a group: parser must refuse (res None)
+    sql = "(o_orderkey = 5) = (o_custkey < 0)"
+    res, refine = split_filter(ds2, spark, sql)
+    assert res is None and refine == sql
+    got = {r["o_orderkey"] for r in scan_with_index(ds2, spark, sql).select("o_orderkey").collect()}
+    assert got == _truth(ds2, spark, sql)
+
+    # quoted comma inside an IN list: leaf must parse quote-aware (and the
+    # whole scan must not crash)
+    ds3 = ds2.create_scalar_index(spark, "o_orderpriority", "BITMAP", name="bm_prio")
+    sql2 = "o_orderpriority IN ('1-URGENT', '2,HIGH')"
+    got2 = {
+        r["o_orderkey"]
+        for r in scan_with_index(ds3, spark, sql2).select("o_orderkey").collect()
+    }
+    assert got2 == _truth(ds3, spark, sql2)
+
+
+def test_ngram_short_needle_refuses(spark, sf_dir, tmp_path):
+    """contains(needle shorter than n) must raise (the gram probe would
+    under-include) — the filter splitter then runs the flat recheck."""
+    import lance_spark as ls
+    from lance_spark.indexes.scalar import query_index
+
+    uri = str(tmp_path / "ng")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    ls.write_dataset(docs, uri, mode="create")
+    ds = ls.dataset(uri).create_scalar_index(spark, "text", "NGRAM")
+    meta = next(i for i in ds.manifest.indices if i.index_type == "NGRAM")
+    with pytest.raises(ValueError, match="shorter than the gram"):
+        query_index(ds, spark, meta, "contains", "ab")
+    # at-n needle still answers
+    res = query_index(ds, spark, meta, "contains", "tab")
+    assert res.rowids is not None
+
+
+def test_bitmap_refuses_contains(spark, ds):
+    from lance_spark.indexes.scalar import query_index
+
+    ds2 = ds.create_scalar_index(spark, "o_orderpriority", "BITMAP", name="bm_c")
+    meta = next(i for i in ds2.manifest.indices if i.name == "bm_c")
+    with pytest.raises(ValueError, match="BITMAP cannot answer"):
+        query_index(ds2, spark, meta, "contains", "URGENT")
+
+
+def test_exact_index_preferred_over_inexact(spark, ds):
+    """With both a ZONEMAP and a BTREE on one column, split_filter must pick
+    the BTREE (exact rowid semijoin, no refine) regardless of creation order."""
+    from lance_spark.indexes.scalar import split_filter
+
+    ds2 = ds.create_scalar_index(spark, "o_custkey", "ZONEMAP", name="zm_cust")
+    ds2 = ds2.create_scalar_index(spark, "o_custkey", "BTREE", name="bt_cust")
+    res, refine = split_filter(ds2, spark, "o_custkey = 7")
+    assert res is not None and res.exact and refine is None and res.rowids is not None
+
+
+def test_rebuild_does_not_clobber_committed_build(spark, sf_dir, tmp_path):
+    """optimize_indices' scalar rebuild writes a FRESH versioned build dir:
+    the previously committed version still reads its own build (time travel),
+    and cleanup reclaims superseded builds once unreferenced."""
+    import os
+    from datetime import timedelta
+
+    import lance_spark as ls
+    from lance_spark.indexes.scalar import query_index
+
+    uri = str(tmp_path / "vb")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ls.write_dataset(orders.limit(400).repartition(2), uri, mode="create")
+    ds = ls.dataset(uri).create_scalar_index(spark, "o_orderkey", "BTREE")
+    meta0 = next(i for i in ds.manifest.indices if i.index_type == "BTREE")
+    v0, path0 = ds.version, meta0.path
+    ds.insert(orders.subtract(orders.limit(400)))
+    ds = ls.dataset(uri).optimize_indices(spark)
+    meta1 = next(i for i in ds.manifest.indices if i.index_type == "BTREE")
+    assert meta1.path != path0  # fresh build dir, old one untouched
+    assert os.path.isdir(os.path.join(uri, path0))
+    # the OLD version still answers from its own build
+    old = ls.dataset(uri).checkout_version(v0)
+    old_meta = next(i for i in old.manifest.indices if i.index_type == "BTREE")
+    assert old_meta.path == path0
+    res = query_index(old, spark, old_meta, "<", 50)
+    assert res.exact and res.rowids.count() > 0
+    # cleanup drops the old manifests → the superseded build reclaims
+    ds.cleanup_old_versions(older_than=timedelta(0), delete_unverified=True)
+    assert not os.path.isdir(os.path.join(uri, path0))
+    assert os.path.isdir(os.path.join(uri, meta1.path))
