@@ -47,7 +47,7 @@ def _bucketed(banded: DataFrame, payload: list[str], max_bucket_size: int | None
     the collect_list, so the guard actually bounds task memory (a post-hoc
     size filter would OOM inside the aggregation it was guarding)."""
     out = banded.repartition(
-        banded.sparkSession.sparkContext.defaultParallelism, "band_id", "band_key"
+        _default_parallelism(banded.sparkSession), "band_id", "band_key"
     )
     if max_bucket_size is not None:
         w = Window.partitionBy("band_id", "band_key")
@@ -139,12 +139,27 @@ def _probe_partitions(df: DataFrame) -> int:
         key = None
     if key is not None and key in _NPART_CACHE:
         return _NPART_CACHE[key]
-    n = df.rdd.getNumPartitions()
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: no RDD access — assume well-partitioned
+        return 1 << 30
     if key is not None:
         if len(_NPART_CACHE) >= 256:
             _NPART_CACHE.clear()
         _NPART_CACHE[key] = n
     return n
+
+
+def _default_parallelism(spark) -> int:
+    """Cluster parallelism, Connect-tolerant: sparkContext is unsupported
+    on Spark Connect sessions — fall back to the shuffle-partition conf."""
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:
+        try:
+            return int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            return 200
 
 
 def _fan_out(df: DataFrame, min_tasks: int | None = None) -> DataFrame:
@@ -156,13 +171,16 @@ def _fan_out(df: DataFrame, min_tasks: int | None = None) -> DataFrame:
     if df.isStreaming:  # no static partition count; micro-batches are sized upstream
         return df
     spark = df.sparkSession
-    target = min_tasks or spark.sparkContext.defaultParallelism
+    target = min_tasks or _default_parallelism(spark)
     if _probe_partitions(df) < min(4, target):
-        # rand() key (vs round-robin) doubles as a predicate-pushdown
-        # barrier: Catalyst won't move filters below a non-deterministic
-        # expression, so token-size guards evaluate AFTER the fan-out
-        # instead of serializing on the few pre-exchange tasks.
-        return df.repartition(target, F.rand())
+        # ROUND-ROBIN, not rand(): hash-partitioning on a non-deterministic
+        # key silently duplicates/loses rows when a shuffle-map task is
+        # recomputed after executor loss (the SPARK-23207 failure class —
+        # round-robin gets the sort-before-repartition determinism fix,
+        # rand() does not). The lost pushdown barrier only meant token-size
+        # guards could evaluate pre-exchange — a perf nuance, not
+        # correctness.
+        return df.repartition(target)
     return df
 
 
@@ -187,10 +205,19 @@ def shingles_from_tokens(toks, k: int = 3):
     ``.select(tokenize(...).alias(...))``): inlining ``tokenize(text)`` here
     would re-evaluate the full split/filter once per element_at — measured
     12s → 1s on the sf0.1 minhash signature stage."""
-    return F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
-    )
+    # docs with fewer than k tokens yield NO shingles — F.sequence(0, size-k)
+    # would otherwise generate a DESCENDING sequence and element_at(toks, 0)
+    # aborts the whole job (measured: one 2-token doc killed the minhash
+    # stage in both ANSI and non-ANSI modes); downstream joins already
+    # handle sig-less docs ('docs too short to shingle still carry an
+    # exact fp')
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingles(col, k: int = 3):
@@ -222,8 +249,19 @@ def minhash_signatures_agg(
     array-expression form in ``minhash_signature`` inlines the hash into
     every permutation — 16× the work and a codegen blowup), one shuffle
     keyed by doc id. This is the 100 TB-shaped plan."""
+    toks = _fan_out(df).select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks")
+    )
+    return _sigs_from_toks(toks, num_perm, shingle_k)
+
+
+def _sigs_from_toks(toks_df: DataFrame, num_perm: int, shingle_k: int) -> DataFrame:
+    """(id, sig) from a bound (id, __toks) frame — shared by
+    minhash_signatures_agg and _banded_fingerprints so the banded-index
+    signature math is BY CONSTRUCTION byte-identical to the pair path
+    (and the fingerprint build can reuse one tokenize pass)."""
     hashed = (
-        _fan_out(df).select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks"))
+        toks_df
         .select("id", F.explode(shingles_from_tokens(F.col("__toks"), shingle_k)).alias("s"))
         .select("id", (hash64(F.col("s")) % MERSENNE31).alias("h"))
     )
@@ -431,25 +469,33 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = 32
 
     Docs with no tokens are dropped (parity with what explode() did)."""
     masks = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
-    toks = tokenize(F.col(text_col))
-    hashes = F.transform(toks, lambda t: hash64(t))
     zero = F.array_repeat(F.lit(0).cast("long"), bits)
-    sig = F.aggregate(
-        hashes,
-        zero,
-        lambda acc, h: F.zip_with(
-            acc, masks, lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
-        ),
-        lambda acc: F.aggregate(
-            F.zip_with(acc, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
-            F.lit(0).cast("long"),
-            lambda s, x: s + x,
-        ),
-    )
+
+    def _sig(toks):
+        hashes = F.transform(toks, lambda t: hash64(t))
+        return F.aggregate(
+            hashes,
+            zero,
+            lambda acc, h: F.zip_with(
+                acc, masks, lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
+            ),
+            lambda acc: F.aggregate(
+                F.zip_with(acc, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+                F.lit(0).cast("long"),
+                lambda s, x: s + x,
+            ),
+        )
+
+    # bind the token array to a real column FIRST: inlining tokenize() in
+    # both the size filter and the signature would run the full
+    # lower+split+filter pass twice per row (Catalyst does not CSE across
+    # the filter/select operators) — the same measured multi-x hazard the
+    # shingles_from_tokens docstring records
     return (
         _fan_out(df)
-        .filter(F.size(tokenize(F.col(text_col))) > 0)
-        .select(F.col(id_col).alias("id"), sig.alias("simhash"))
+        .select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select("id", _sig(F.col("__toks")).alias("simhash"))
     )
 
 
@@ -556,22 +602,27 @@ def _simhash_pairs_capped(
     """
     ids_slice = F.slice(F.array_sort(F.collect_list("id")), 1, n + 2)
     groups = banded.repartition(
-        banded.sparkSession.sparkContext.defaultParallelism, "band_id", "band_key"
+        _default_parallelism(banded.sparkSession), "band_id", "band_key"
     ).groupBy("band_id", "band_key", "simhash").agg(
         ids_slice.alias("ids"), F.count("*").alias("k")
     )
+    # one row per distinct (bucket, signature): tiny vs the corpus — pin it
+    # so the guard probe and the pair plan share a single signature pass
+    groups = groups.localCheckpoint(eager=True)
+    guard_dropped = False
     if max_bucket_size is not None:
         # guard on distinct signatures per bucket — that is what drives the
         # d^2 comparison cost (replica mass is already collapsed)
         w = Window.partitionBy("band_id", "band_key")
-        groups = (
-            groups.withColumn("__d", F.count("*").over(w))
-            .filter(F.col("__d") <= max_bucket_size)
-            .drop("__d")
+        sized = groups.withColumn("__d", F.count("*").over(w))
+        # a sig group dropped from an oversized band-0 bucket may survive in
+        # another band's small bucket — the hamming-0 short-circuit (band-0
+        # only) would then miss its pairs, so the probe is only EXACT when
+        # the guard dropped nothing
+        guard_dropped = bool(
+            sized.filter(F.col("__d") > max_bucket_size).limit(1).count()
         )
-    # one row per distinct (bucket, signature): tiny vs the corpus — pin it
-    # so the count probe and the pair plan share a single signature pass
-    groups = groups.localCheckpoint(eager=True)
+        groups = sized.filter(F.col("__d") <= max_bucket_size).drop("__d")
     within = groups.filter(F.col("k") >= 2).select(
         F.explode(_lex_pairs(F.col("ids"), F.lit(0), n)).alias("p")
     )
@@ -586,7 +637,7 @@ def _simhash_pairs_capped(
             F.least(((F.col("k") * (F.col("k") - 1)) / 2).cast("long"), F.lit(n))
         ).alias("s")
     ).collect()[0]
-    if (row["s"] or 0) >= n:
+    if (row["s"] or 0) >= n and not guard_dropped:
         return (
             band0.select(F.explode(_lex_pairs(F.col("ids"), F.lit(0), n)).alias("p"))
             .select("p.id_a", "p.id_b", "p.hamming")
@@ -831,6 +882,7 @@ def connected_components(
     ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
     edges = edges.localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("comp"))
+    changed = 1
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -850,6 +902,16 @@ def connected_components(
         labels = stepped.drop("__chg")
         if changed == 0:
             break
+    if changed:
+        # exiting with changes pending means SOME component's diameter
+        # exceeded max_iter: its labels are wrong (a cluster can end up
+        # with no canonical member — downstream keep-one-per-cluster then
+        # silently drops or double-keeps docs). Fail loudly; the caller
+        # raises max_iter for chain-shaped graphs.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter}"
+            " rounds (a component's diameter exceeds it); raise max_iter"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("comp").alias("cluster_id"))
 
 
@@ -973,7 +1035,11 @@ def sampled_window_hashes(
     base = F.col("s.base")
     anchors = F.filter(
         F.sequence(F.lit(1), F.least(F.lit(step), F.col("__maxp") - base)),
-        lambda j: seg.substr(j, F.lit(1)) == F.lit(" "),
+        # any whitespace, not just ' ': one-word-per-line / tab-indented
+        # text would otherwise produce ZERO anchors and its repeated spans
+        # would be invisible regardless of length (the documented
+        # sensitivity bound assumes anchors at every word start)
+        lambda j: seg.substr(j, F.lit(1)).isin(" ", "\n", "\t", "\r"),
     )
     return (
         df.filter(F.length(t) >= window)
@@ -1123,9 +1189,17 @@ def _banded_fingerprints(
     minhash signature, exploded into band rows (same signature/band math
     as minhash_lsh_pairs, so thresholds mean the same thing)."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures_agg(df, text_col, id_col, num_perm, shingle_k)
-    fps = _fan_out(df).select(
-        F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp")
+    # ONE tokenize pass: fp = md5 of the canonical token stream and the
+    # shingle hashes both derive from the same bound token array (the lazy
+    # checkpoint materializes it once at the first action — without it the
+    # fp and sig sides of the join would each re-scan and re-tokenize the
+    # corpus text, doubling the dominant cost of an index build)
+    toks = _fan_out(df).select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks")
+    ).localCheckpoint(eager=False)
+    sigs = _sigs_from_toks(toks, num_perm, shingle_k)
+    fps = toks.select(
+        "id", F.md5(F.concat_ws(" ", "__toks")).alias("fp")
     )
     # left join: docs too short to shingle (no sig) still carry an exact fp
     joined = fps.join(sigs, "id", "left")
@@ -1173,8 +1247,41 @@ def build_fingerprint_index(
     grows dedup-clean). Returns the index LanceDataset."""
     from lance_spark.write import write_dataset
 
+    params = {"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k}
+    if mode == "append":
+        # appending fingerprints built with DIFFERENT params would corrupt
+        # the index silently (band keys stop matching anything)
+        from lance_spark.dataset import dataset as _open
+
+        try:
+            existing = _open(uri)
+        except FileNotFoundError:
+            existing = None
+        if existing is not None:
+            _check_index_params(existing, num_perm, bands, shingle_k)
     banded = _banded_fingerprints(df, text_col, id_col, num_perm, bands, shingle_k)
-    return write_dataset(banded, uri, mode=mode)
+    ds = write_dataset(banded, uri, mode=mode)
+    if mode != "append":
+        ds = ds.update_config(
+            {f"lance_spark.dedup.{k}": str(v) for k, v in params.items()}
+        )
+    return ds
+
+
+def _check_index_params(index_ds, num_perm: int, bands: int, shingle_k: int) -> None:
+    """A query/append with params differing from the ones the index was
+    built with silently disables near-dup detection (band keys never
+    match) — raise instead. Indexes built before params were recorded
+    skip the check."""
+    cfg = index_ds.manifest.config
+    for k, v in (("num_perm", num_perm), ("bands", bands), ("shingle_k", shingle_k)):
+        got = cfg.get(f"lance_spark.dedup.{k}")
+        if got is not None and int(got) != int(v):
+            raise ValueError(
+                f"fingerprint index was built with {k}={got}, called with"
+                f" {k}={v}: band keys would never match — pass the index's"
+                " parameters"
+            )
 
 
 def dedup_against_index(
@@ -1200,6 +1307,7 @@ def dedup_against_index(
 
     One pass over the NEW snapshot's text; the corpus contributes only its
     fingerprint rows."""
+    _check_index_params(index_ds, num_perm, bands, shingle_k)
     idx = index_ds.to_df(spark)
     nb = _banded_fingerprints(new_df, text_col, id_col, num_perm, bands, shingle_k)
     if exact and near:

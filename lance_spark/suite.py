@@ -6280,7 +6280,7 @@ def func_fts_sql_cte(spark, sf_dir):
              CAST(('0x' || substr(md5(substr(text, i, 40)), 1, 15)) AS BIGINT) AS h
       FROM documents,
            LATERAL unnest(list_filter(generate_series(1, greatest(length(text) - 39, 0), 1),
-                                      i -> i = 1 OR substr(text, i - 1, 1) = ' ')) AS t(i)
+                                      i -> i = 1 OR substr(text, i - 1, 1) IN (' ', chr(10), chr(9), chr(13)))) AS t(i)
     ),
     samp AS (SELECT * FROM anch WHERE h % 4 = 0),
     dup AS (SELECT h FROM samp GROUP BY h HAVING count(DISTINCT id) >= 2),
@@ -6320,7 +6320,7 @@ _DECONTAM_SPANS_CTES = """
         SELECT CAST(('0x' || substr(md5(substr(text, i, 40)), 1, 15)) AS BIGINT) AS h
         FROM ev,
              LATERAL unnest(list_filter(generate_series(1, greatest(length(text) - 39, 0), 1),
-                                        i -> i = 1 OR substr(text, i - 1, 1) = ' ')) AS t(i)
+                                        i -> i = 1 OR substr(text, i - 1, 1) IN (' ', chr(10), chr(9), chr(13)))) AS t(i)
       ) WHERE h % 2 = 0
     ),
     anch AS (
@@ -6329,7 +6329,7 @@ _DECONTAM_SPANS_CTES = """
                CAST(('0x' || substr(md5(substr(text, i, 40)), 1, 15)) AS BIGINT) AS h
         FROM documents,
              LATERAL unnest(list_filter(generate_series(1, greatest(length(text) - 39, 0), 1),
-                                        i -> i = 1 OR substr(text, i - 1, 1) = ' ')) AS t(i)
+                                        i -> i = 1 OR substr(text, i - 1, 1) IN (' ', chr(10), chr(9), chr(13)))) AS t(i)
       ) WHERE h % 2 = 0
     ),
     d AS (SELECT id, pos FROM anch JOIN evh USING (h)),

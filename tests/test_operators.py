@@ -891,3 +891,84 @@ def test_nb_train_null_labels_and_remote_uri(spark, tmp_path):
         nb_train(train.filter("topic IS NULL"), "text", "topic", str(tmp_path / "x"))
     with _pytest.raises(ValueError, match="local path"):
         nb_train(train, "text", "topic", "s3://bucket/model")
+
+
+def test_minhash_survives_short_and_empty_docs(spark, docs):
+    """Docs with fewer tokens than shingle_k must yield no shingles, not
+    abort the job (F.sequence descending + element_at(toks, 0) killed the
+    whole minhash stage — confirmed crash on 2-token docs in both ANSI
+    and non-ANSI modes). Short docs still exact-dedup by fingerprint."""
+    from pyspark.sql import Row
+
+    from lance_spark.operators.dedup import (
+        build_fingerprint_index,
+        minhash_lsh_pairs,
+        minhash_signatures_agg,
+    )
+
+    corpus = docs.unionByName(
+        spark.createDataFrame(
+            [Row(id=10, text="hello world", src="c"),
+             Row(id=11, text="!!!", src="c"),
+             Row(id=12, text="hello world", src="c")],
+        )
+    )
+    sigs = minhash_signatures_agg(corpus, "text", "id")
+    assert {r["id"] for r in sigs.collect()} <= {1, 2, 3, 4, 5}  # short docs: no sig row
+    pairs = minhash_lsh_pairs(corpus, "text", "id").collect()
+    assert all({p["id_a"], p["id_b"]} <= {1, 2, 3, 4, 5} for p in pairs)
+    # the banded fingerprint path (and therefore the streaming dedup sink)
+    # must also survive — short docs carry an exact fp with null band_key
+    import tempfile
+
+    ds = build_fingerprint_index(
+        corpus, "text", "id", tempfile.mkdtemp(prefix="fpix_") + "/idx"
+    )
+    rows = ds.to_df(spark).filter("id = 10").collect()
+    assert rows and all(r["band_key"] is None for r in rows)
+    assert all(r["fp"] is not None for r in rows)
+
+
+def test_fingerprint_index_param_mismatch_raises(spark, docs, tmp_path):
+    """Querying or appending a fingerprint index with different LSH params
+    than it was built with silently disables near-dup detection (band keys
+    never match) — it must raise instead."""
+    from lance_spark.operators.dedup import build_fingerprint_index, dedup_against_index
+
+    uri = str(tmp_path / "fpi")
+    ds = build_fingerprint_index(docs, "text", "id", uri, num_perm=16, bands=4)
+    with pytest.raises(ValueError, match="built with"):
+        dedup_against_index(docs, "text", "id", ds, spark, bands=8)
+    with pytest.raises(ValueError, match="built with"):
+        build_fingerprint_index(docs, "text", "id", uri, mode="append", num_perm=8)
+    # matching params still work
+    out = dedup_against_index(docs, "text", "id", ds, spark, num_perm=16, bands=4)
+    assert out.count() == 0  # the corpus duplicates itself entirely
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A component whose diameter exceeds max_iter must fail loudly — the
+    truncated labels would leave clusters without a canonical member."""
+    from lance_spark.operators.dedup import connected_components
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, chain, max_iter=3)
+    ok = connected_components(nodes, chain, max_iter=n + 1)
+    assert {r["cluster_id"] for r in ok.collect()} == {0}
+
+
+def test_span_anchors_cover_newline_separated_words(spark):
+    """Whitespace-variant text (one word per line) must still anchor —
+    a duplicated passage formatted with newlines was previously invisible
+    to substring_duplicate_spans regardless of its length."""
+    from lance_spark.operators.dedup import substring_duplicate_spans
+
+    passage = "\n".join(f"tok{i:03d}" for i in range(40))  # ~280 chars, no spaces
+    rows = [(1, "A" * 50 + "\n" + passage), (2, "B" * 35 + "\n" + passage)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = substring_duplicate_spans(df, "text", "doc_id", window=40, every=2, min_docs=2)
+    got = {r["id"] for r in spans.collect()}
+    assert got == {1, 2}
