@@ -29,20 +29,41 @@ from lance_spark import manifest as mf
 from lance_spark.write import write_fragments
 
 
+class _BatchAlreadyCommitted(mf.CommitConflictError):
+    """Deliberate no-op: a replay's build saw the batch id already
+    recorded. Distinct from the plain CommitConflictError that
+    mf.commit raises after exhausting retries under REAL contention —
+    swallowing that one would silently drop a whole micro-batch (the
+    checkpoint advances, the fragments become orphans)."""
+
+
+class _DatasetAppearedConcurrently(mf.CommitConflictError):
+    """Bootstrap lost the create race — the caller retries against the
+    now-existing dataset (with a proper fragment-id reservation)."""
+
+
+class _StaleMergeBase(Exception):
+    """The uncommitted merge's base changed before its commit — the data
+    work (deletion sidecars keyed to old fragments) must be recomputed
+    against the fresh snapshot, or concurrent deletes resurrect and
+    compacted fragments double."""
+
+
 def dataset_batch_writer(uri: str, query_key: str = "default"):
     """foreachBatch callback: micro-batch → fragments + idempotent commit."""
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def write_batch(batch_df: DataFrame, batch_id: int, _retry: bool = True) -> None:
         import os
 
         os.makedirs(uri, exist_ok=True)
         latest = mf.latest_version(uri)
-        base = mf.read_manifest(uri) if latest is not None else None
+        base = mf.read_manifest(uri, latest) if latest is not None else None
         state_key = f"stream_state.{query_key}"
         if base is not None:
             last = int(base.config.get(state_key, -1))
             if batch_id <= last:
                 return  # replayed batch — already committed
+        created = base is None
         base_fid = (
             mf.reserve_fragment_ids(uri, batch_df.rdd.getNumPartitions())
             if base is not None
@@ -52,11 +73,24 @@ def dataset_batch_writer(uri: str, query_key: str = "default"):
 
         def build(b: mf.Manifest | None, version: int) -> mf.Manifest:
             if b is not None and int(b.config.get(state_key, -1)) >= batch_id:
-                raise mf.CommitConflictError("batch already committed")  # lost race
+                raise _BatchAlreadyCommitted("batch already committed")
+            if created and b is not None:
+                # our fragments were numbered from 0 with NO reservation —
+                # appending them onto a concurrently-created dataset would
+                # duplicate fragment ids (rowid corruption); retry with a
+                # reservation against the now-existing dataset
+                raise _DatasetAppearedConcurrently("dataset appeared concurrently")
             fragments = (b.fragments if b else []) + frags
             cfg = dict(b.config) if b else {}
             cfg[state_key] = batch_id
-            max_fid = max((f.id for f in fragments), default=-1)
+            # NEVER rewind the id watermark below the base's: reservations
+            # by parallel writers (and this batch's own, when trailing
+            # empty partitions wrote no fragment) live only in
+            # max_fragment_id — a bare max over committed fragments would
+            # hand their ranges out again
+            max_fid = max(
+                [f.id for f in fragments] + ([b.max_fragment_id] if b else [-1])
+            )
             if b is not None:
                 # carry forward indices/config/blob_columns from the base
                 return mf.Manifest.evolve(
@@ -74,8 +108,13 @@ def dataset_batch_writer(uri: str, query_key: str = "default"):
 
         try:
             mf.commit(uri, build, operation="append")
-        except mf.CommitConflictError:
+        except _BatchAlreadyCommitted:
             pass  # another attempt of this same batch won
+        except _DatasetAppearedConcurrently:
+            if not _retry:
+                raise
+            # attempt-1 fragments stay uncommitted → invisible → GC'd
+            write_batch(batch_df, batch_id, _retry=False)
 
     return write_batch
 
@@ -153,28 +192,53 @@ def dataset_upsert_writer(
             except mf.CommitConflictError:
                 pass  # someone else created it — fall through to merge
 
-        ds = LanceDataset(uri)
-        if int(ds.manifest.config.get(state_key, -1)) >= batch_id:
-            return  # replayed batch — already committed
-        res = (
-            MergeInsertBuilder(ds, on)
-            .when_matched_update_all()
-            .when_not_matched_insert_all()
-            .execute_uncommitted(spark, batch)
+        for _attempt in range(10):
+            ds = LanceDataset(uri)
+            if int(ds.manifest.config.get(state_key, -1)) >= batch_id:
+                return  # replayed batch — already committed
+            # deletion-state snapshot at merge time: the guard below is the
+            # same victim recheck mutation.py's committed path performs
+            del_snapshot = {f.id: f.deletion_file for f in ds.manifest.fragments}
+            res = (
+                MergeInsertBuilder(ds, on)
+                .when_matched_update_all()
+                .when_not_matched_insert_all()
+                .execute_uncommitted(spark, batch)
+            )
+            op = res["transaction"]
+            victims = set(getattr(op, "removed_fragment_ids", [])) | {
+                f.id for f in getattr(op, "updated_fragments", [])
+            }
+
+            def build(b: mf.Manifest | None, version: int) -> mf.Manifest:
+                if b is not None and int(b.config.get(state_key, -1)) >= batch_id:
+                    raise _BatchAlreadyCommitted("batch already committed")
+                live = {} if b is None else {f.id: f.deletion_file for f in b.fragments}
+                for vid in victims:
+                    if vid not in live or live[vid] != del_snapshot.get(vid):
+                        # the merge's deletion sidecars / replacement
+                        # fragments were derived from a snapshot whose
+                        # victim fragments have since changed (concurrent
+                        # delete, compaction): rebasing would resurrect
+                        # deleted rows or duplicate keys — recompute the
+                        # data work on the fresh snapshot instead.
+                        # Unrelated appends/reservations pass untouched.
+                        raise _StaleMergeBase()
+                m = _apply(op, b, version)
+                m.config = {**m.config, state_key: batch_id}
+                return m
+
+            try:
+                mf.commit(uri, build, operation="update")
+                return
+            except _BatchAlreadyCommitted:
+                return  # a replay of this same batch won the race
+            except _StaleMergeBase:
+                continue  # base moved under the uncommitted merge — redo it
+        raise mf.CommitConflictError(
+            "streaming upsert could not commit: base kept changing across"
+            " 10 merge recomputes"
         )
-        op = res["transaction"]
-
-        def build(b: mf.Manifest | None, version: int) -> mf.Manifest:
-            if b is not None and int(b.config.get(state_key, -1)) >= batch_id:
-                raise mf.CommitConflictError("batch already committed")
-            m = _apply(op, b, version)
-            m.config = {**m.config, state_key: batch_id}
-            return m
-
-        try:
-            mf.commit(uri, build, operation="update")
-        except mf.CommitConflictError:
-            pass  # a replay of this same batch won the race
 
     return write_batch
 
@@ -230,10 +294,26 @@ def dataset_dedup_writer(
     data_writer = dataset_batch_writer(uri, query_key)
     fp_writer = dataset_batch_writer(index_uri, query_key + ".fp")
 
+    def _committed_batch(u: str, key: str) -> int:
+        v = mf.latest_version(u)
+        if v is None:
+            return -1
+        return int(mf.read_manifest(u, v).config.get(f"stream_state.{key}", -1))
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from lance_spark.dataset import dataset as open_dataset
 
         spark = batch_df.sparkSession
+        # replay short-circuit: when BOTH commits already recorded this
+        # batch (normal checkpoint-recovery case), skip the dedup joins and
+        # the eager checkpoint entirely — two manifest reads instead of the
+        # dominant per-batch cost. The full recompute below runs only when
+        # the fingerprint append is the one missing (crash between commits).
+        if (
+            _committed_batch(uri, query_key) >= batch_id
+            and _committed_batch(index_uri, query_key + ".fp") >= batch_id
+        ):
+            return
         keep = (
             batch_df.select(
                 F.col(id_col).alias("__kid"), fingerprint(F.col(text_col)).alias("__fp")
@@ -278,6 +358,8 @@ def write_stream(
     dedup_index_uri: str | None = None,
     text_col: str | None = None,
     id_col: str | None = None,
+    output_mode: str = "append",
+    **dedup_opts,
 ):
     """readStream → ... → write_stream(df, dataset_uri, ckpt): start the
     streaming write into the dataset. ``mode="append"`` adds fragments;
@@ -285,7 +367,10 @@ def write_stream(
     pass ``sequence_col`` when a batch may hold several changes per key);
     ``mode="dedup"`` appends only rows that duplicate neither earlier
     batches nor the existing corpus (requires ``dedup_index_uri``,
-    ``text_col``, ``id_col`` — see dataset_dedup_writer)."""
+    ``text_col``, ``id_col``; extra keyword options — min_est_jaccard,
+    exact, near, num_perm, bands, shingle_k — pass through to
+    dataset_dedup_writer). ``output_mode`` reaches the stream writer:
+    update-mode stateful operators need ``output_mode="update"``."""
     if mode == "upsert":
         if not on:
             raise ValueError("mode='upsert' requires the merge key(s) in `on`")
@@ -295,15 +380,22 @@ def write_stream(
             raise ValueError(
                 "mode='dedup' requires dedup_index_uri, text_col and id_col"
             )
-        writer = dataset_dedup_writer(uri, dedup_index_uri, text_col, id_col, query_key)
+        writer = dataset_dedup_writer(
+            uri, dedup_index_uri, text_col, id_col, query_key, **dedup_opts
+        )
     elif mode == "append":
         writer = dataset_batch_writer(uri, query_key)
     else:
         raise ValueError(f"unknown stream write mode {mode!r}")
+    if dedup_opts and mode != "dedup":
+        raise ValueError(f"dedup options {sorted(dedup_opts)} require mode='dedup'")
     w = (
         sdf.writeStream.foreachBatch(writer)
         .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
+        # update-mode stateful operators (running_counts_stateful & friends
+        # declare outputMode='update') cannot start under a hardcoded
+        # 'append' — the caller picks
+        .outputMode(output_mode)
     )
     if trigger_available_now:
         w = w.trigger(availableNow=True)

@@ -522,3 +522,72 @@ def test_stream_dedup_crash_between_commits_recovers(spark, tmp_path):
     w(b2, 2)
     got = sorted(r["doc_id"] for r in dataset(uri).to_df(spark).collect())
     assert got == [0, 5, 10]
+
+
+def test_batch_writer_preserves_reserved_watermark(spark, tmp_path):
+    """A streaming append must never rewind max_fragment_id below a
+    concurrent writer's reservation — the next reservation would hand the
+    same ids out again (duplicate fragment ids = rowid corruption)."""
+    from lance_spark import manifest as mf
+    from lance_spark.streaming.sink import dataset_batch_writer
+
+    uri = str(tmp_path / "ds")
+    w = dataset_batch_writer(uri, query_key="wm")
+    w(spark.createDataFrame([(1, "a")], "k int, v string"), 0)
+    # a parallel writer reserves 10 ids (watermark → start+9), writes nothing yet
+    start = mf.reserve_fragment_ids(uri, 10)
+    committed = {f.id for f in mf.read_manifest(uri).fragments}
+    w(spark.createDataFrame([(2, "b")], "k int, v string"), 1)
+    m = mf.read_manifest(uri)
+    assert m.max_fragment_id >= start + 9  # reservation survived the append
+    # the stream's own batch landed ABOVE the reserved range
+    assert all(f.id in committed or f.id > start + 9 for f in m.fragments)
+    assert mf.reserve_fragment_ids(uri, 1) > start + 9
+
+
+def test_upsert_does_not_resurrect_concurrent_delete(spark, tmp_path, monkeypatch):
+    """A delete landing between the upsert's uncommitted data work and its
+    commit must not be resurrected by rebasing stale fragment metadata —
+    the sink recomputes the merge against the fresh snapshot."""
+    import lance_spark as ls
+    from lance_spark.mutation import MergeInsertBuilder
+    from lance_spark.streaming.sink import dataset_upsert_writer
+
+    uri = str(tmp_path / "ds")
+    ls.write_dataset(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"), uri
+    )
+    state = {"raced": False}
+    orig = MergeInsertBuilder.execute_uncommitted
+
+    def race_once(self, sp, source):
+        res = orig(self, sp, source)
+        if not state["raced"]:
+            state["raced"] = True
+            ls.dataset(uri).delete(sp, "k = 1")  # concurrent delete mid-flight
+        return res
+
+    monkeypatch.setattr(MergeInsertBuilder, "execute_uncommitted", race_once)
+    w = dataset_upsert_writer(uri, "k", query_key="race")
+    w(spark.createDataFrame([(2, "B!")], "k int, v string"), 0)
+    rows = {r["k"]: r["v"] for r in ls.dataset(uri).to_df(spark).collect()}
+    assert rows == {2: "B!", 3: "c"}  # k=1 stays deleted; upsert applied once
+
+
+def test_batch_writer_propagates_real_commit_failure(spark, tmp_path, monkeypatch):
+    """Retries-exhausted contention must PROPAGATE (Spark then retries the
+    batch) — swallowing it as a benign replay would advance the checkpoint
+    past a batch that never landed (permanent silent data loss)."""
+    from lance_spark import manifest as mf
+    from lance_spark.streaming.sink import dataset_batch_writer
+
+    uri = str(tmp_path / "ds")
+    w = dataset_batch_writer(uri, query_key="fail")
+    w(spark.createDataFrame([(1, "a")], "k int, v string"), 0)
+
+    def always_contended(*a, **kw):
+        raise mf.CommitConflictError("commit of append failed after 10 retries")
+
+    monkeypatch.setattr(mf, "commit", always_contended)
+    with pytest.raises(mf.CommitConflictError):
+        w(spark.createDataFrame([(2, "b")], "k int, v string"), 1)
