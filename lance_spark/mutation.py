@@ -50,8 +50,30 @@ def _rowid_fragment_map(ds, spark: SparkSession) -> DataFrame | None:
     exact. The mapping scan reads only the _rowid column (parquet prunes)."""
     if ds.manifest.config.get("rowid_address_style", True):
         return None
+    frags = ds.manifest.fragments
+    # fast path: our writer embeds the fragment id in the file name
+    # (write.py frag-<id>-<uuid>.parquet), so ONE scan + a filename regex
+    # replaces a per-fragment union chain (an O(fragments)-deep Catalyst
+    # plan — driver analysis blows up in the thousands). Files whose names
+    # don't carry their own fragment id (e.g. adopted via
+    # Fragment.create_from_file) fall back to the explicit chain.
+    import re as _re
+
+    def _embedded_id(path: str):
+        m = _re.search(r"frag-(\d+)-", os.path.basename(path))
+        return int(m.group(1)) if m else None
+
+    if all(_embedded_id(f.files[0].path) == f.id for f in frags):
+        return spark.read.parquet(
+            *[os.path.join(ds.uri, f.files[0].path) for f in frags]
+        ).select(
+            ROWID_COL,
+            F.regexp_extract(F.input_file_name(), r"frag-(\d+)-", 1)
+            .cast("int")
+            .alias("fragment_id"),
+        )
     pieces = []
-    for frag in ds.manifest.fragments:
+    for frag in frags:
         p = spark.read.parquet(os.path.join(ds.uri, frag.files[0].path)).select(
             ROWID_COL, F.lit(frag.id).alias("fragment_id")
         )
@@ -68,16 +90,34 @@ def _write_deletion_files(ds, spark: SparkSession, del_rowids: DataFrame) -> dic
     fragment's existing deletion file so each version has one sidecar per
     fragment. Distributed: one task per fragment group."""
     root = ds.uri
-    existing = [f.deletion_file for f in ds.manifest.fragments if f.deletion_file]
-    dels = del_rowids.select(ROWID_COL)
-    if existing:
-        old = spark.read.parquet(*[os.path.join(root, p) for p in existing]).select(ROWID_COL)
-        dels = dels.unionByName(old)
     mapping = _rowid_fragment_map(ds, spark)
-    if mapping is None:
-        dels = dels.withColumn("fragment_id", F.shiftright(F.col(ROWID_COL), FRAGID_SHIFT))
-    else:
-        dels = dels.join(mapping, ROWID_COL, "inner")
+
+    def _with_fid(df):
+        if mapping is None:
+            return df.withColumn(
+                "fragment_id", F.shiftright(F.col(ROWID_COL), FRAGID_SHIFT)
+            )
+        return df.join(mapping, ROWID_COL, "inner")
+
+    dels = _with_fid(del_rowids.select(ROWID_COL))
+    # union ONLY the affected fragments' existing sidecars: rewriting every
+    # sidecar made each mutation O(total deleted rows) and put EVERY
+    # previously-deleted fragment into the staleness check — two
+    # non-overlapping concurrent deletes would force full recomputes. The
+    # distinct collect is bounded by the fragment count.
+    affected = {
+        int(r[0]) for r in dels.select("fragment_id").distinct().collect()
+    }
+    existing = [
+        f.deletion_file
+        for f in ds.manifest.fragments
+        if f.deletion_file and f.id in affected
+    ]
+    if existing:
+        old = _with_fid(
+            spark.read.parquet(*[os.path.join(root, p) for p in existing]).select(ROWID_COL)
+        )
+        dels = dels.unionByName(old)
 
     def write_group(pdf):
         import pandas as pd
@@ -131,10 +171,26 @@ def _apply_deletes_and_appends(
 
     new_frags: list[mf.Fragment] = []
     if append_df is not None:
-        append_df = append_df.select(*ds.columns)
-        # reserve ids so a racing writer can't claim the same fragment range
-        base_fid = mf.reserve_fragment_ids(root, append_df.rdd.getNumPartitions())
-        new_frags = write_fragments(append_df, root, base_fid)
+        from lance_spark.write import project_to_schema
+
+        # project AND cast to the dataset schema: a type-changing update
+        # expression (price * 1.1 on a bigint) would otherwise write
+        # parquet files whose physical type diverges from the existing
+        # fragments — every later unified scan then fails
+        append_df = project_to_schema(append_df, ds.schema)
+        # reserve ids so a racing writer can't claim the same fragment range;
+        # coalesce pins the write to the probed count (AQE may otherwise
+        # re-plan the job with MORE partitions than were reserved, pushing
+        # fragment ids into a range another writer may hold)
+        n_parts = append_df.rdd.getNumPartitions()
+        append_df = append_df.coalesce(max(n_parts, 1))
+        base_fid = mf.reserve_fragment_ids(root, max(n_parts, 1))
+        new_frags = write_fragments(
+            append_df, root, base_fid,
+            # blob-column datasets keep the out-of-line layout on rewritten
+            # rows, or take_blobs silently misses them
+            blob_columns=ds.manifest.blob_columns or None,
+        )
 
     if not commit:
         from lance_spark.operation import LanceOperation
@@ -230,6 +286,12 @@ def delete(ds, spark: SparkSession, predicate: str):
 def update(ds, spark: SparkSession, values: dict[str, str], where: str | None = None):
     """SQL-expr assignments on matching rows (update.rs:58-252): matched rows
     are re-written as appended fragments; originals are masked."""
+
+    unknown = sorted(set(values) - set(ds.columns))
+    if unknown:
+        # silently projecting the typo'd column away would commit a no-op
+        # rewrite while the user's intended update never happens
+        raise ValueError(f"update: unknown column(s) {unknown}; dataset has {ds.columns}")
 
     def run(d):
         matched = d.scanner(spark, filter=where, with_row_id=True) if where else d.to_df(
@@ -344,59 +406,79 @@ class MergeInsertBuilder:
         return self._execute_once(self.ds, spark, source, commit=False)
 
     def _routing_plan(self, ds, spark: SparkSession, source: DataFrame) -> DataFrame:
-        """The full-outer routing join shared by execute / explain_plan /
-        analyze_plan (merge_insert.rs:690 plan shape)."""
+        """The routing join shared by execute / explain_plan / analyze_plan
+        (merge_insert.rs:690 plan shape). Sides alias as ``source`` /
+        ``target`` so the reference's documented condition form
+        (``target.x < source.x``) resolves directly. NULL join keys never
+        match (standard MERGE semantics — eqNullSafe would pair NULL-keyed
+        rows across sides with cartesian fan-out instead of routing them
+        as inserts). full_outer only when a by-source clause actually
+        consumes target-only rows; otherwise left_outer keeps a small
+        source broadcastable."""
         cols = ds.columns
         target = ds.to_df(spark, with_row_id=True)
         src = source.select(*cols)
-        return src.withColumn("__src", F.lit(1)).alias("s").join(
-            target.withColumn("__tgt", F.lit(1)).alias("t"),
-            on=[F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in self.on],
-            how="full_outer",
+        how = "full_outer" if self._delete_not_matched_by_source else "left_outer"
+        return src.withColumn("__src", F.lit(1)).alias("source").join(
+            target.withColumn("__tgt", F.lit(1)).alias("target"),
+            on=[F.col(f"source.{k}") == F.col(f"target.{k}") for k in self.on],
+            how=how,
         )
 
     def _execute_once(self, ds, spark: SparkSession, source: DataFrame, commit: bool = True):
         cols = ds.columns
         joined = self._routing_plan(ds, spark, source)
-        matched = F.col("s.__src").isNotNull() & F.col("t.__tgt").isNotNull()
-        src_only = F.col("s.__src").isNotNull() & F.col("t.__tgt").isNull()
-        tgt_only = F.col("s.__src").isNull() & F.col("t.__tgt").isNotNull()
+        matched = F.col("source.__src").isNotNull() & F.col("target.__tgt").isNotNull()
+        src_only = F.col("source.__src").isNotNull() & F.col("target.__tgt").isNull()
+        tgt_only = F.col("source.__src").isNull() & F.col("target.__tgt").isNotNull()
 
         joined = joined.cache()
-        delete_ids_parts, append_parts = [], []
-
-        if self._fail_on_match:
-            n = joined.filter(matched).limit(1).count()
-            if n:
-                joined.unpersist()
-                raise ValueError("merge_insert: when_matched_fail and source rows matched target")
-        if self._update_all:
-            upd = joined.filter(matched)
-            if self._update_condition:
-                upd = upd.filter(F.expr(self._update_condition))
-            delete_ids_parts.append(upd.select(F.col(f"t.{ROWID_COL}").alias(ROWID_COL)))
-            append_parts.append(upd.select(*[F.col(f"s.{c}").alias(c) for c in cols]))
-        if self._insert_all:
-            ins = joined.filter(src_only)
-            append_parts.append(ins.select(*[F.col(f"s.{c}").alias(c) for c in cols]))
-        if self._delete_not_matched_by_source:
-            dl = joined.filter(tgt_only)
-            if self._delete_condition:
-                dl = dl.filter(F.expr(self._delete_condition))
-            delete_ids_parts.append(dl.select(F.col(f"t.{ROWID_COL}").alias(ROWID_COL)))
-
-        del_df = None
-        if delete_ids_parts:
-            del_df = delete_ids_parts[0]
-            for p in delete_ids_parts[1:]:
-                del_df = del_df.unionByName(p)
-        app_df = None
-        if append_parts:
-            app_df = append_parts[0]
-            for p in append_parts[1:]:
-                app_df = app_df.unionByName(p)
-
+        # one try/finally from the cache to the commit: a condition that
+        # fails to parse (F.expr raises) must not leave the join pinned in
+        # executor memory for the session
         try:
+            delete_ids_parts, append_parts = [], []
+
+            if self._fail_on_match:
+                n = joined.filter(matched).limit(1).count()
+                if n:
+                    raise ValueError(
+                        "merge_insert: when_matched_fail and source rows matched target"
+                    )
+            if self._update_all:
+                upd = joined.filter(matched)
+                if self._update_condition:
+                    upd = upd.filter(F.expr(self._update_condition))
+                delete_ids_parts.append(
+                    upd.select(F.col(f"target.{ROWID_COL}").alias(ROWID_COL))
+                )
+                append_parts.append(
+                    upd.select(*[F.col(f"source.{c}").alias(c) for c in cols])
+                )
+            if self._insert_all:
+                ins = joined.filter(src_only)
+                append_parts.append(
+                    ins.select(*[F.col(f"source.{c}").alias(c) for c in cols])
+                )
+            if self._delete_not_matched_by_source:
+                dl = joined.filter(tgt_only)
+                if self._delete_condition:
+                    dl = dl.filter(F.expr(self._delete_condition))
+                delete_ids_parts.append(
+                    dl.select(F.col(f"target.{ROWID_COL}").alias(ROWID_COL))
+                )
+
+            del_df = None
+            if delete_ids_parts:
+                del_df = delete_ids_parts[0]
+                for p in delete_ids_parts[1:]:
+                    del_df = del_df.unionByName(p)
+            app_df = None
+            if append_parts:
+                app_df = append_parts[0]
+                for p in append_parts[1:]:
+                    app_df = app_df.unionByName(p)
+
             return _apply_deletes_and_appends(ds, spark, del_df, app_df, "merge", commit=commit)
         finally:
             joined.unpersist()
