@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 
 from lance_spark.functions.text import tokenize
 
-EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+# char classes, not (?i): the same literal must run on Spark (Java regex)
+# and the DuckDB oracle (RE2) — and a lowercase-only pattern leaves
+# 'JOHN@EXAMPLE.COM' unredacted (a PII leak from the scrubbing function)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
 
 
@@ -44,7 +47,12 @@ def chunk_documents(
     step = chunk_tokens - overlap
     assert step > 0, "overlap must be smaller than chunk_tokens"
     toks = F.col("__toks")
-    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(step))
+    # last start is bounded at size-overlap-1: a start past it yields a
+    # chunk fully CONTAINED in the previous one (pure overlap tail) —
+    # duplicated training text masquerading as a new sample
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1 - overlap, F.lit(0)), F.lit(step)
+    )
     return (
         df.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks"))
         .filter(F.size(toks) > 0)
@@ -127,7 +135,11 @@ def stratified_sample(
     bucket = hash64(F.col(id_col).cast("string")) % 10000
     keep = None
     for grp, rate in rates.items():
-        cond = (F.col(group_col) == grp) & (bucket < int(rate * 10000))
+        # round, not truncate: int(0.57*10000) == 5699 — rates not exactly
+        # representable in binary would lose a bucket vs the documented
+        # hash%10000 < rate*10000 predicate (deterministic_split and
+        # weighted_mixture already round)
+        cond = (F.col(group_col) == grp) & (bucket < int(round(rate * 10000)))
         keep = cond if keep is None else keep | cond
     # NULL group is "not listed" → keep (a bare ~isin would null out and drop)
     others = F.col(group_col).isNull() | ~F.col(group_col).isin(list(rates.keys()))
@@ -328,14 +340,31 @@ def nb_train(
     docs_c = {r["c"]: r["n"] for r in tr.groupBy("c").agg(F.count("*").alias("n")).collect()}
     total_docs = sum(docs_c.values())
     ex = tr.select("c", F.explode("w").alias("t"))
-    cnt = ex.groupBy("t", "c").agg(F.count("*").cast("double").alias("n"))
-    ntok_c = {r["c"]: r["n"] for r in ex.groupBy("c").agg(F.count("*").alias("n")).collect()}
+    # ONE corpus-scale wordcount; ntok_c and the vocabulary size both
+    # derive from the pinned vocabulary-sized aggregate (re-running the
+    # explode for each was two extra full-corpus tokenize passes — the
+    # docstring's 'one wordcount shuffle' claim)
+    cnt = ex.groupBy("t", "c").agg(
+        F.count("*").cast("double").alias("n")
+    ).localCheckpoint(eager=True)
+    ntok_c = {
+        r["c"]: r["n"]
+        for r in cnt.groupBy("c").agg(F.sum("n").alias("n")).collect()
+    }
     v = cnt.select("t").distinct().count()
     denom = {c: float(ntok_c.get(c, 0)) + alpha * v for c in classes}
     model = cnt.groupBy("t").pivot("c", classes).agg(F.first("n"))
+
+    def _cls_col(c):
+        # pivot names the column str(c): model[c] would POSITIONALLY index
+        # integer labels (resolving to the token column — silent garbage)
+        # and struct-parse dotted labels ('sci.med' → AnalysisException);
+        # backticked name access is the only form that survives both
+        return F.col("`" + str(c).replace("`", "``") + "`")
+
     ll = F.array(
         *[
-            F.log((F.coalesce(model[c], F.lit(0.0)) + alpha) / denom[c])
+            F.log((F.coalesce(_cls_col(c), F.lit(0.0)) + alpha) / denom[c])
             for c in classes
         ]
     )
@@ -461,9 +490,15 @@ def nb_classify(
     Delegates through ``nb_train`` → ``nb_score`` (a throwaway model dir),
     so the one-shot and persisted-model paths cannot drift numerically.
     """
+    import atexit
+    import shutil
     import tempfile
 
     uri = tempfile.mkdtemp(prefix="lsq_nb_")
+    # the returned DataFrame reads the model lazily, so the throwaway dir
+    # can only be reclaimed at process exit (a loop of nb_classify calls
+    # would otherwise leak one vocabulary-sized model per call forever)
+    atexit.register(shutil.rmtree, uri, ignore_errors=True)
     nb_train(train, text_col, label_col, uri, alpha=alpha)
     return nb_score(score, text_col, id_col, uri)
 
@@ -720,6 +755,10 @@ def pack_sequences(
     cumsum + broadcast offset. One shuffle, no single-partition stage; at
     1000 executors set num_shards ≈ cluster cores.
     """
+    # a NULL id has no place in a global id order: it would surface as a
+    # None shard key (TypeError in the offset sort) or silently vanish in
+    # the offset join — refuse the ambiguity up front
+    df = df.filter(F.col(id_col).isNotNull())
     stats = df.agg(
         F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
     ).collect()[0]
@@ -941,10 +980,15 @@ def bigram_logprob_score(
         ).alias("b"),
     ).select("id", "b.w1", "b.w2")
 
-    counts = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    counts = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12")).localCheckpoint(
+        eager=True
+    )
     ctx = counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vocab_n = bi.select(F.col("w2").alias("w")).union(
-        bi.select(F.col("w1").alias("w"))
+    # distinct unigrams from the VOCABULARY-sized counts, not two more
+    # corpus-scale bigram explodes — identical set (every unigram of a
+    # 2+-token doc borders some bigram)
+    vocab_n = counts.select(F.col("w2").alias("w")).union(
+        counts.select(F.col("w1").alias("w"))
     ).distinct().count()
     # localCheckpoint, NOT persist: blocks are released when the returned
     # plan is GC'd instead of leaking in executor storage (ADVICE r5)

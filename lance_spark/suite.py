@@ -1350,8 +1350,8 @@ def text_fingerprint_dups(spark, sf_dir):
     WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKS.format(col='text')} AS w FROM documents),
     nz AS (SELECT * FROM tok WHERE len(w) > 0),
     st AS (SELECT id, w,
-                  unnest(range(0, len(w), 40)) AS start,
-                  generate_subscripts(range(0, len(w), 40), 1) - 1 AS chunk_id
+                  unnest(range(0, greatest(len(w) - 10, 1), 40)) AS start,
+                  generate_subscripts(range(0, greatest(len(w) - 10, 1), 40), 1) - 1 AS chunk_id
            FROM nz),
     ch AS (SELECT id, chunk_id, w[start + 1 : start + 50] AS c FROM st)
     SELECT id AS doc_id, chunk_id,
@@ -1463,7 +1463,7 @@ def curate_repetition(spark, sf_dir):
              len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS ne,
              len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{4}\\b')) AS np,
              regexp_replace(
-               regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                '\\b[0-9]{3}-[0-9]{4}\\b', '[PHONE]', 'g') <> text AS changed
       FROM corpus)
     SELECT source,
@@ -1527,7 +1527,7 @@ def curate_pii_redact(spark, sf_dir):
       FROM dedup),
     keep AS (SELECT * FROM q WHERE q >= 0.6 AND len(w) > 0),
     st AS (SELECT doc_id, source, w,
-                  unnest(range(0, len(w), 40)) AS start FROM keep),
+                  unnest(range(0, greatest(len(w) - 10, 1), 40)) AS start FROM keep),
     ch AS (SELECT source, len(w[start + 1 : start + 50]) AS n_tokens FROM st)
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_chunks,

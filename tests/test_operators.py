@@ -286,9 +286,12 @@ def test_chunk_documents_windows(spark):
     by_doc = {}
     for r in ch:
         by_doc.setdefault(r["id"], []).append(r)
-    # doc 1: starts at 0, 8, 16, 24 -> sizes 10, 10, 9, 1
+    # doc 1: starts at 0, 8, 16 -> sizes 10, 10, 9. A start at 24 would
+    # emit token 25 alone — fully contained in the start-16 chunk (pure
+    # overlap tail), i.e. duplicated training text — so it must NOT appear;
+    # every token is still covered (chunk 16 spans through token 25).
     d1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
-    assert [r["n_tokens"] for r in d1] == [10, 10, 9, 1]
+    assert [r["n_tokens"] for r in d1] == [10, 10, 9]
     assert d1[0]["chunk_text"].startswith(f"{words[0]} ")
     assert d1[1]["chunk_text"].startswith(f"{words[8]} ")
     # overlap: chunk 1 starts at token 8, which chunk 0 also contains
@@ -972,3 +975,57 @@ def test_span_anchors_cover_newline_separated_words(spark):
     spans = substring_duplicate_spans(df, "text", "doc_id", window=40, every=2, min_docs=2)
     got = {r["id"] for r in spans.collect()}
     assert got == {1, 2}
+
+
+def test_nb_train_integer_and_dotted_labels(spark, tmp_path):
+    """Pivoted class columns must be accessed by (escaped) NAME: integer
+    labels positionally resolved model[0] to the token column (silent
+    garbage) and dotted labels ('sci.med') raised AnalysisException."""
+    from lance_spark.operators.curation import nb_classify
+
+    rows = [
+        (0, "alpha beta beta gamma"), (0, "alpha beta delta"),
+        (1, "omega psi psi chi"), (1, "omega psi phi"),
+    ]
+    train = spark.createDataFrame(rows, "label int, text string")
+    score = spark.createDataFrame(
+        [(10, "beta alpha beta"), (11, "psi omega psi")], "id int, text string"
+    )
+    got = {r["id"]: r["pred"] for r in nb_classify(train, score, "text", "id", "label").collect()}
+    assert got == {10: 0, 11: 1}
+
+    train2 = spark.createDataFrame(
+        [("sci.med", "dose patient trial"), ("rec.autos", "engine wheel brake")],
+        "label string, text string",
+    )
+    score2 = spark.createDataFrame([(1, "patient dose")], "id int, text string")
+    got2 = nb_classify(train2, score2, "text", "id", "label").collect()
+    assert got2[0]["pred"] == "sci.med"
+
+
+def test_redact_pii_mixed_case_email(spark):
+    """Uppercase/mixed-case emails must redact — a case-sensitive pattern
+    left 'JOHN@EXAMPLE.COM' intact (a PII leak) and partially mangled
+    'John.Doe@Example.com'."""
+    from lance_spark.operators.curation import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "Contact JOHN@EXAMPLE.COM now"), (2, "or John.Doe@Example.com ok")],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: r["text"]
+        for r in df.select("id", redact_pii(F.col("text")).alias("text")).collect()
+    }
+    assert got[1] == "Contact [EMAIL] now"
+    assert got[2] == "or [EMAIL] ok"
+
+
+def test_pack_sequences_null_ids_excluded(spark):
+    from lance_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 10), (None, 10)], "id int, n long"
+    )
+    out = pack_sequences(df, "id", "n", capacity=16)
+    assert {r["id"] for r in out.collect()} == {1, 2}
