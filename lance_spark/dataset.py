@@ -578,9 +578,7 @@ class LanceDataset:
                     df = df.limit(limit)
 
         if with_row_address:
-            df = df.withColumn(
-                ROWADDR_COL, F.col(ROWID_COL)  # rowid IS fragment<<32|offset pre-compaction
-            )
+            df = self._attach_row_address(spark, df)
         out_cols: list = []
         if isinstance(columns, dict):
             out_cols = [F.expr(e).alias(n) for n, e in columns.items()]
@@ -748,6 +746,57 @@ class LanceDataset:
         """True while rowids still encode fragment<<32|offset; compaction
         preserves ids into new fragments and clears this (config flag)."""
         return bool(self.manifest.config.get("rowid_address_style", True))
+
+    def _rowaddr_df(self, spark: SparkSession) -> DataFrame | None:
+        """``{_rowid, _rowaddr}`` with the TRUE current address
+        ``fragment_id << 32 | position-in-fragment`` (rowaddr contract,
+        rust/lance-core/src/lib.rs:19-36). None on the uncompacted fast
+        path, where ``_rowid`` IS the address. Post-compaction the physical
+        position comes from the parquet reader's ``_metadata.row_index``
+        (JVM-side, no extra shuffle) and the fragment id from the file name
+        (or an explicit per-fragment union for adopted files)."""
+        if self._rowid_addressable():
+            return None
+        import re as _re
+
+        frags = self.manifest.fragments
+
+        def _embedded_id(path: str):
+            m = _re.search(r"frag-(\d+)-", os.path.basename(path))
+            return int(m.group(1)) if m else None
+
+        pos = F.col("_metadata.row_index").cast("long")
+        if all(_embedded_id(f.files[0].path) == f.id for f in frags):
+            raw = spark.read.parquet(*[self._abs(f.files[0].path) for f in frags])
+            fid = F.regexp_extract(
+                F.input_file_name(), r"frag-(\d+)-[^/]*$", 1
+            ).cast("long")
+            return raw.select(
+                ROWID_COL, F.shiftleft(fid, FRAGID_SHIFT).bitwiseOR(pos).alias(ROWADDR_COL)
+            )
+        pieces = [
+            spark.read.parquet(self._abs(f.files[0].path)).select(
+                ROWID_COL,
+                F.shiftleft(F.lit(f.id).cast("long"), FRAGID_SHIFT)
+                .bitwiseOR(pos)
+                .alias(ROWADDR_COL),
+            )
+            for f in frags
+        ]
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _attach_row_address(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        """Add ``_rowaddr`` to a DataFrame carrying ``_rowid``. Pre-compaction
+        this is a free column alias; afterwards a join against the address
+        map — never the stale identity (a consumer mapping addresses back to
+        fragments/offsets would silently get dead fragment ids)."""
+        addr = self._rowaddr_df(spark)
+        if addr is None:
+            return df.withColumn(ROWADDR_COL, F.col(ROWID_COL))
+        return df.join(addr, ROWID_COL, "left")
 
     def _rowid_range(self, path: str) -> tuple[int, int] | None:
         """(min, max) of ``_rowid`` in one parquet file, from its footer
@@ -993,8 +1042,7 @@ class LanceDataset:
             F.broadcast(hits), base[ROWID_COL] == hits["__match_id"]
         ).drop("__match_id")
         if opts.get("with_row_addr"):
-            # rowid IS fragment<<32|offset pre-compaction
-            res = res.withColumn(ROWADDR_COL, F.col(ROWID_COL))
+            res = self._attach_row_address(spark, res)
         if not opts.get("with_row_id"):
             res = res.drop(ROWID_COL)
         if opts.get("ordered"):
@@ -2273,9 +2321,7 @@ class SqlQueryBuilder:
     def build(self, spark: SparkSession) -> SqlQuery:
         df = self._ds.to_df(spark, with_row_id=self._with_row_id or self._with_row_addr)
         if self._with_row_addr:
-            # _rowaddr = (fragment_id << FRAGID_SHIFT) | local offset — same
-            # packing as _rowid for uncompacted fragments (write.py:28-30)
-            df = df.withColumn(ROWADDR_COL, F.col(ROWID_COL))
+            df = self._ds._attach_row_address(spark, df)
             if not self._with_row_id:
                 df = df.drop(ROWID_COL)
         df.createOrReplaceTempView(self._table_name)

@@ -41,9 +41,18 @@ _CG_META_SCHEMA = StructType(
 def _write_column_groups(
     root: str, new_cols_df: DataFrame, new_cols: list[str], checkpoint=None,
     fn=None, fn_read_cols: list[str] | None = None, fn_out_schema=None,
+    fid_map: DataFrame | None = None,
 ) -> dict[int, str]:
     """Write {_rowid, *new_cols} as one parquet per fragment; returns
     {fragment_id: rel_path}. Distributed one-task-per-fragment.
+
+    ``fid_map`` (a ``{_rowid, fragment_id}`` DataFrame from
+    ``mutation._rowid_fragment_map``) MUST be supplied for post-compaction
+    datasets (``rowid_address_style=False``): there rowids no longer encode
+    the owning fragment, so the shiftright derivation would key the
+    column-group files to dead fragment ids — the commit would then attach
+    them to no live fragment and every subsequent read of the dataset fails
+    on the schema-promised-but-missing column.
 
     With ``fn`` (the checkpointed-BatchUDF path) the UDF runs INSIDE the
     fragment task, so one fragment's failure leaves sibling fragments'
@@ -88,9 +97,18 @@ def _write_column_groups(
             FragmentCheckpoint(ckpt_path).put(fid, rel, len(out))
         return pd.DataFrame({"fragment_id": [fid], "path": [rel], "num_rows": [len(out)]})
 
+    if fid_map is None:
+        keyed = new_cols_df.withColumn(
+            "fragment_id", F.shiftright(F.col(ROWID_COL), FRAGID_SHIFT)
+        )
+    else:
+        keyed = new_cols_df.join(
+            fid_map.select(ROWID_COL, F.col("fragment_id").cast("long").alias("fragment_id")),
+            ROWID_COL,
+            "inner",
+        )
     meta = (
-        new_cols_df.withColumn("fragment_id", F.shiftright(F.col(ROWID_COL), FRAGID_SHIFT))
-        .groupBy("fragment_id")
+        keyed.groupBy("fragment_id")
         .applyInPandas(write_group, _CG_META_SCHEMA)
         .collect()
     )
@@ -199,7 +217,12 @@ def add_columns(ds, spark: SparkSession, transforms, read_columns: list[str] | N
             for f in transforms
         }
 
+    from lance_spark.mutation import _rowid_fragment_map
+
     base = ds.to_df(spark, with_row_id=True)
+    # post-compaction rowids don't encode the owning fragment; the map
+    # (None on the uncompacted fast path) keys column-group files correctly
+    fid_map = _rowid_fragment_map(ds, spark)
     checkpoint = None
 
     if callable(transforms):
@@ -221,9 +244,18 @@ def add_columns(ds, spark: SparkSession, transforms, read_columns: list[str] | N
             if done:
                 # resume: skip completed fragments BEFORE the UDF runs —
                 # the fragment-id filter prunes whole fragments at the scan
-                base = base.filter(
-                    ~F.shiftright(F.col(ROWID_COL), FRAGID_SHIFT).isin(list(done))
-                )
+                if fid_map is None:
+                    base = base.filter(
+                        ~F.shiftright(F.col(ROWID_COL), FRAGID_SHIFT).isin(list(done))
+                    )
+                else:
+                    base = base.join(
+                        fid_map.filter(
+                            F.col("fragment_id").isin([int(k) for k in done])
+                        ).select(ROWID_COL),
+                        ROWID_COL,
+                        "left_anti",
+                    )
             # the UDF must run INSIDE the per-fragment write task (not a
             # map stage before the shuffle barrier): a failure on one
             # fragment then can't prevent sibling fragments from finishing
@@ -235,7 +267,7 @@ def add_columns(ds, spark: SparkSession, transforms, read_columns: list[str] | N
             cg_map = _write_column_groups(
                 ds.uri, src, new_cols, checkpoint=checkpoint,
                 fn=fn, fn_read_cols=read_columns or ds.columns,
-                fn_out_schema=out_schema,
+                fn_out_schema=out_schema, fid_map=fid_map,
             )
             cg_map.update({fid: d["path"] for fid, d in checkpoint.done().items()})
             new_fields = list(out_schema.jsonValue()["fields"])
@@ -252,8 +284,26 @@ def add_columns(ds, spark: SparkSession, transforms, read_columns: list[str] | N
     collide = set(new_cols) & set(ds.columns)
     if collide:
         raise ValueError(f"columns already exist: {sorted(collide)}")
-    cg_map = _write_column_groups(ds.uri, new_df, new_cols)
+    cg_map = _write_column_groups(ds.uri, new_df, new_cols, fid_map=fid_map)
     return _commit_new_columns(ds, cg_map, new_fields_json(new_df, new_cols), new_cols)
+
+
+def dedup_right_keys(right: DataFrame, key: str) -> DataFrame:
+    """One row per join key, last occurrence wins — the reference HashJoiner
+    contract (rust/lance/src/dataset/hash_joiner.rs:90: later batches
+    overwrite earlier map entries). Without this the left join fans out and
+    the column-group file carries duplicate ``_rowid``s, which the read-path
+    zip join multiplies into duplicate TABLE rows."""
+    from pyspark.sql.window import Window
+
+    seq = F.monotonically_increasing_id()
+    w = Window.partitionBy(key).orderBy(F.desc("__seq"))
+    return (
+        right.withColumn("__seq", seq)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__seq", "__rn")
+    )
 
 
 def merge(ds, spark: SparkSession, right: DataFrame, left_on: str, right_on: str | None = None):
@@ -269,13 +319,19 @@ def merge(ds, spark: SparkSession, right: DataFrame, left_on: str, right_on: str
         from lance_spark.types import normalize_arrow_table
 
         right = spark.createDataFrame(normalize_arrow_table(right))
+    from lance_spark.mutation import _rowid_fragment_map
+
     right_on = right_on or left_on
     new_cols = [c for c in right.columns if c != right_on]
     base = ds.to_df(spark, with_row_id=True).select(ROWID_COL, left_on)
     joined = base.join(
-        right.withColumnRenamed(right_on, left_on), on=left_on, how="left"
+        dedup_right_keys(right.withColumnRenamed(right_on, left_on), left_on),
+        on=left_on,
+        how="left",
     ).select(ROWID_COL, *new_cols)
-    cg_map = _write_column_groups(ds.uri, joined, new_cols)
+    cg_map = _write_column_groups(
+        ds.uri, joined, new_cols, fid_map=_rowid_fragment_map(ds, spark)
+    )
     new_fields = [
         f
         for f in right.schema.jsonValue()["fields"]

@@ -216,7 +216,12 @@ class LanceFragment:
         collide = set(new_cols) & set(self._ds.columns)
         if collide:
             raise ValueError(f"columns already exist: {sorted(collide)}")
-        cg_map = _write_column_groups(self._ds.uri, new_df, new_cols)
+        from lance_spark.mutation import _rowid_fragment_map
+
+        cg_map = _write_column_groups(
+            self._ds.uri, new_df, new_cols,
+            fid_map=_rowid_fragment_map(self._ds, spark),
+        )
         path = cg_map[self.id]
         meta = self._meta
         new_frag = mf.Fragment(
@@ -259,11 +264,19 @@ class LanceFragment:
             raise ValueError(f"columns already exist: {sorted(collide)}")
         if left_on not in self._ds.columns:
             raise ValueError(f"left_on {left_on!r} is not a dataset column")
+        from lance_spark.evolution import dedup_right_keys
+        from lance_spark.mutation import _rowid_fragment_map
+
         base = self.scanner(spark, columns=[left_on], with_row_id=True)
         joined = base.join(
-            right.withColumnRenamed(right_on, left_on), on=left_on, how="left"
+            dedup_right_keys(right.withColumnRenamed(right_on, left_on), left_on),
+            on=left_on,
+            how="left",
         ).select(ROWID_COL, *new_cols)
-        cg_map = _write_column_groups(self._ds.uri, joined, new_cols)
+        cg_map = _write_column_groups(
+            self._ds.uri, joined, new_cols,
+            fid_map=_rowid_fragment_map(self._ds, spark),
+        )
         meta = self._meta
         new_frag = mf.Fragment(
             id=meta.id,

@@ -68,7 +68,10 @@ def _rowid_fragment_map(ds, spark: SparkSession) -> DataFrame | None:
             *[os.path.join(ds.uri, f.files[0].path) for f in frags]
         ).select(
             ROWID_COL,
-            F.regexp_extract(F.input_file_name(), r"frag-(\d+)-", 1)
+            # anchored to the basename: a directory component containing
+            # 'frag-<n>-' must not win over the file's own embedded id
+            # (the Python-side validation above reads the basename too)
+            F.regexp_extract(F.input_file_name(), r"frag-(\d+)-[^/]*$", 1)
             .cast("int")
             .alias("fragment_id"),
         )

@@ -725,6 +725,31 @@ def ds_add_columns(spark, sf_dir):
 
 
 @query(
+    "ds_add_columns_compacted",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           round(CAST(sum(CAST(round((o_totalprice * 0.9) * 1e6) AS BIGINT)) AS DOUBLE) / 1e4) / 100.0
+             AS discounted_total
+    FROM orders WHERE o_custkey % 3 != 0 GROUP BY o_orderpriority
+    """,
+)
+def ds_add_columns_compacted(spark, sf_dir):
+    """add_columns AFTER compact_files: post-compaction rowids no longer
+    encode the owning fragment, so column-group files must be keyed via the
+    rowid→fragment map (r11 fix; reference supports add-column at any point
+    in a dataset's life, schema_evolution.rs:58-71)."""
+    ds = _tmp_ds(spark, sf_dir, "orders", nparts=8)
+    ds = ds.delete(spark, "o_custkey % 3 = 0")
+    ds = ds.compact_files(spark, target_rows_per_fragment=1_000_000)
+    ds = ds.add_columns(spark, {"discounted": "o_totalprice * 0.9"})
+    return (
+        ds.to_df(spark)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), _msum(F.col("discounted")).alias("discounted_total"))
+    )
+
+
+@query(
     "ds_fragment_merge_columns",
     """
     SELECT o_orderpriority, count(*) AS n,
