@@ -1616,10 +1616,14 @@ class LanceDataset:
         metric: str = "cosine",
         train: bool = True,
         accelerator=None,
+        packed: bool | None = None,
     ) -> "LanceDataset":
         """``accelerator`` ("cuda" / "mps" / torch device — reference
         dataset.py:2585) accelerates kmeans training when torch and the
-        device are present; otherwise falls back to CPU with a warning."""
+        device are present; otherwise falls back to CPU with a warning.
+        ``packed`` declares hamming vectors as uint8-packed bytes (True) or
+        0/1 bits (False); None infers from a sample — ambiguous for very
+        sparse packed data, so packed datasets should declare it."""
         if not train:
             # reference parity: vector indices require training
             # (test_create_empty_index.py expects NotImplementedError)
@@ -1628,7 +1632,7 @@ class LanceDataset:
 
         return create_dataset_index(
             self, spark, column, name, index_type, num_partitions, num_sub_vectors,
-            metric, accelerator=accelerator,
+            metric, accelerator=accelerator, packed=packed,
         )
 
     def get_ivf_model(self, index_name: str):

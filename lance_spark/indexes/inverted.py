@@ -159,6 +159,26 @@ def _index_tables(ds, spark: SparkSession, meta) -> tuple[DataFrame, DataFrame]:
     return postings.join(live, "id", "left_semi"), doclens.join(live, "id", "left_semi")
 
 
+def _next_seg_num(base: str, segs: list[str], retired: dict | None) -> int:
+    """Highest seg_v number across the committed list, the retired ledger,
+    AND dirs already on disk — a fresh segment name must not collide with a
+    retired-but-not-yet-reclaimed dir or a concurrent writer's in-flight
+    dir (mode('overwrite') would clobber it)."""
+    cands = set(segs) | set(retired or {})
+    try:
+        cands |= {d for d in os.listdir(base) if d.startswith("seg_v")}
+    except OSError:
+        pass
+    return max(
+        (
+            int(d[len("seg_v"):])
+            for d in cands
+            if d.startswith("seg_v") and d[len("seg_v"):].isdigit()
+        ),
+        default=0,
+    )
+
+
 def extend_inverted(ds, spark: SparkSession, meta) -> list[str]:
     """Delta-extend an INVERTED index: postings/doclens for the UNCOVERED
     fragments only, written into a fresh ``seg_v<n>`` segment dir. Returns
@@ -179,8 +199,7 @@ def extend_inverted(ds, spark: SparkSession, meta) -> list[str]:
     segs = list(meta.params.get("segments") or ["."])
     if not tail:
         return segs
-    n = max((int(s[len("seg_v"):]) for s in segs if s.startswith("seg_v")), default=0)
-    seg = f"seg_v{n + 1}"
+    seg = f"seg_v{_next_seg_num(base, segs, meta.params.get('retired_segments')) + 1}"
     flat = ds.scanner(spark, columns=[meta.column], with_row_id=True, fragments=tail)
     if not ds.manifest.config.get("rowid_address_style", True):
         # post-compaction hazard (same as extend_ivf's dedup_existing):
@@ -269,8 +288,7 @@ def merge_inverted_segments(ds, spark: SparkSession, name: str):
     if len(segs) <= 1:
         return ds
     base = os.path.join(ds.uri, meta.path)
-    n = max((int(s[len("seg_v"):]) for s in segs if s.startswith("seg_v")), default=0)
-    seg = f"seg_v{n + 1}"
+    seg = f"seg_v{_next_seg_num(base, segs, meta.params.get('retired_segments')) + 1}"
     dirs = _segment_dirs(base, meta)
     postings = spark.read.parquet(*[os.path.join(d, "postings") for d in dirs])
     doclens = spark.read.parquet(*[os.path.join(d, "doclens") for d in dirs])
@@ -285,9 +303,40 @@ def merge_inverted_segments(ds, spark: SparkSession, name: str):
     now = time.time()
     for s in segs:
         retired[s] = now
-    from lance_spark.maintenance import _commit_index_params
 
-    _commit_index_params(ds, name, {"segments": [seg], "retired_segments": retired})
+    from lance_spark import manifest as mf
+
+    consumed = set(segs)
+
+    def build(base_m, version):
+        """Commit the merged segment against the FRESH manifest: a
+        concurrent optimize may have extended the list since our read —
+        blindly writing ``[seg]`` would drop that delta's postings while
+        its fragment coverage survives, silently vanishing those documents
+        from FTS results. Reconcile: keep any segment the merge did not
+        consume."""
+        idx = []
+        for i in base_m.indices:
+            if i.name == name:
+                current = list(i.params.get("segments") or ["."])
+                extras = [s for s in current if s not in consumed and s != seg]
+                i = mf.IndexMeta(
+                    name=i.name, index_type=i.index_type, column=i.column,
+                    path=i.path, fragment_ids=i.fragment_ids,
+                    params={
+                        **i.params,
+                        "segments": [seg] + extras,
+                        "retired_segments": {
+                            k: v for k, v in retired.items() if k not in extras
+                        },
+                    },
+                )
+            idx.append(i)
+        return mf.Manifest.evolve(
+            base_m, version, operation="create_index", indices=idx
+        )
+
+    mf.commit(ds.uri, build, operation="create_index")
     return LanceDataset(ds.uri)
 
 

@@ -334,9 +334,17 @@ def build_ivf(
     sample_size: int = 50_000,
     seed: int = 42,
     accelerator=None,
+    packed: bool | None = None,
 ) -> IvfIndex:
     """Build an IVF_FLAT or IVF_PQ index table (dataset.py:2517-2600
     ``create_index`` semantics).
+
+    ``packed`` (hamming only): True = vectors are uint8-packed bytes (8
+    bits each, the reference's binary-embedding storage), False = 0/1 bit
+    elements. None infers from the training sample — but a PACKED dataset
+    whose sampled bytes all happen to be 0/1 (very sparse bits) is
+    indistinguishable from unpacked, so callers with packed data should
+    pass the flag explicitly.
 
     Scale path: one distributed pass assigns partitions + encodes PQ codes
     (Arrow-batched pandas_udf), then ``partitionBy(partition_id)`` shuffles
@@ -408,20 +416,41 @@ def build_ivf(
     sample = sample[np.lexsort(sample.T[::-1])]
     if cosine:
         sample = _normalize(sample)
-    packed = False
-    if metric == "hamming" and sample.size and not np.isin(sample, (0.0, 1.0)).all():
-        # not 0/1 bits: accept the reference's PACKED form — uint8 bytes,
-        # 8 bits each (binary embeddings are stored packed there; hamming
-        # popcounts the xor). Training/assignment/scoring unpack to bit
-        # space; the stored codes stay packed (8× smaller scan IO).
-        if (sample == np.rint(sample)).all() and sample.min() >= 0 and sample.max() <= 255:
-            packed = True
+    if metric == "hamming" and sample.size:
+        is_bits = np.isin(sample, (0.0, 1.0)).all()
+        is_bytes = (
+            (sample == np.rint(sample)).all()
+            and sample.min() >= 0
+            and sample.max() <= 255
+        )
+        explicit = packed is not None
+        if packed is None:
+            # sample-based inference: values outside {0,1} can only be the
+            # reference's PACKED form — uint8 bytes, 8 bits each (hamming
+            # popcounts the xor). All-0/1 samples read as unpacked bits;
+            # a sparse packed dataset must pass packed=True explicitly.
+            packed = not is_bits
+        packed = bool(packed)
+        if packed:
+            if not is_bytes:
+                raise ValueError(
+                    "metric='hamming' packed vectors must be uint8 bytes"
+                    " (integers in 0..255)"
+                    if explicit
+                    else "metric='hamming' requires binary vectors: 0/1"
+                    " elements or uint8-packed bytes (the reference's"
+                    " binary embedding form)"
+                )
+            # training/assignment/scoring unpack to bit space; the stored
+            # codes stay packed (8× smaller scan IO)
             sample = _unpack_bits(sample)
-        else:
+        elif not is_bits:
             raise ValueError(
-                "metric='hamming' requires binary vectors: 0/1 elements or"
-                " uint8-packed bytes (the reference's binary embedding form)"
+                "metric='hamming' with packed=False requires 0/1 elements;"
+                " pass packed=True for uint8-packed binary embeddings"
             )
+    else:
+        packed = bool(packed) if metric == "hamming" else False
     device = _resolve_accelerator(accelerator)
     if device is not None:
         centroids = train_kmeans_torch(sample, num_partitions, device, seed=seed)
@@ -1529,6 +1558,7 @@ def create_dataset_index(
     num_sub_vectors: int | None = None,
     metric: str = "cosine",
     accelerator=None,
+    packed: bool | None = None,
 ):
     """``create_index`` on a LanceDataset (dataset.py:2517-2600): build the
     index table under ``_indices/<name>/`` and commit IndexMeta recording
@@ -1573,6 +1603,7 @@ def create_dataset_index(
         index_type=index_type,
         num_sub_vectors=num_sub_vectors,
         accelerator=accelerator,
+        packed=packed,
     )
     # Persist the RESOLVED parameters (build_ivf picks num_sub_vectors when
     # None is passed, PQBuildParams-style): optimize_indices rebuilds from
@@ -1598,6 +1629,9 @@ def create_dataset_index(
                         "num_partitions_explicit": partitions_explicit,
                         "num_sub_vectors": num_sub_vectors,
                         "multivector": multivector,
+                        # resolved bit-encoding (hamming): a rebuild must not
+                        # re-infer from a different sample
+                        "packed": bool(index.meta.get("packed", False)),
                     },
                 )
             ],
@@ -1837,6 +1871,14 @@ def dataset_nearest_join(
             f"multivector queries against the single-vector index on {column!r};"
             " flatten the query column or index a multivector column"
         )
+    if mv_index and not mv_query:
+        # single-vector query table against a multivector index: wrap each
+        # query as a one-element multivector (dataset_nearest's [query]
+        # coercion) — maxsim over one query vector reduces to plain cosine.
+        # Without this, posexplode inside ann_maxsim_join yields scalar
+        # doubles and fails deep in the pandas UDF with an obscure error.
+        queries = queries.withColumn(query_vec_col, F.array(F.col(query_vec_col)))
+        mv_query = True
     if mv_index or mv_query:
         # multivector column: maxsim on both sides of the coverage split
         # (see dataset_nearest's multivector branch); maxsim is defined on

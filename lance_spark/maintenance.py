@@ -320,6 +320,10 @@ def optimize_indices(
                 # persisted None; let build_ivf re-resolve in that case
                 num_sub_vectors=int(nsv) if nsv is not None else None,
                 metric=meta.params.get("metric", "cosine"),
+                # hamming bit-encoding is resolved once at create time; a
+                # rebuild re-inferring from a fresh sample could silently
+                # flip a sparse packed dataset to unpacked
+                packed=meta.params.get("packed"),
             )
         elif meta.index_type == "INVERTED":
             from lance_spark.indexes.inverted import create_inverted_index
@@ -395,6 +399,46 @@ UNVERIFIED_GRACE_SECONDS = 7 * 24 * 3600.0
 #: the reference's cleanup default: versions younger than two weeks are
 #: kept (python/python/lance/dataset.py:2180, cleanup.rs DEFAULT_CLEANUP)
 DEFAULT_CLEANUP_SECONDS = 14 * 24 * 3600.0
+
+
+#: Grace period between a data/deletion file becoming unreferenced and its
+#: actual deletion: a reader that planned its scan against the manifest
+#: that was latest moments ago may still be mid-execution when GC runs
+#: (observed as FileNotFoundException on a superseded deletion sidecar under
+#: an aggressive older_than=0 auto-GC). Files are RETIRED into a ledger
+#: first and only unlinked once they have been retired this long — the same
+#: two-phase reclaim the IVF segment merge uses (indexes/vector.py
+#: _RETIRE_GRACE_SECONDS). ``delete_unverified=True`` (the caller's
+#: assertion that nothing is concurrently reading or writing) bypasses it.
+READER_GRACE_SECONDS = 15 * 60.0
+
+_TRASH_LEDGER = "_trash.json"
+
+
+def _load_trash(root: str) -> dict[str, float]:
+    import json
+
+    try:
+        with open(os.path.join(root, _TRASH_LEDGER)) as fh:
+            return {str(k): float(v) for k, v in json.load(fh).items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_trash(root: str, ledger: dict[str, float]) -> None:
+    import json
+
+    path = os.path.join(root, _TRASH_LEDGER)
+    if not ledger:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(ledger, fh)
+    os.replace(tmp, path)
 
 
 def cleanup_old_versions(
@@ -484,6 +528,29 @@ def cleanup_old_versions(
         # deleted version files may be re-claimed by a future writer after a
         # drop/recreate cycle — stale cache entries must not survive that
         mf.invalidate_root(root)
+    ledger = _load_trash(root)
+    # a restore/branch checkout can re-commit old fragments: anything
+    # referenced again is un-retired
+    for rel in [r for r in ledger if r in referenced]:
+        del ledger[rel]
+
+    def reclaim(rel: str, abs_path: str) -> None:
+        """Two-phase delete: retire into the ledger now, unlink only once
+        retired longer than READER_GRACE_SECONDS (in-flight readers of the
+        just-superseded version finish against intact files)."""
+        nonlocal removed
+        retired_at = ledger.get(rel)
+        if not delete_unverified and retired_at is None:
+            ledger[rel] = now
+            return
+        if delete_unverified or (now - retired_at) >= READER_GRACE_SECONDS:
+            try:
+                os.unlink(abs_path)
+                removed += 1
+            except OSError:
+                pass
+            ledger.pop(rel, None)
+
     for sub in ("data", "_deletions"):
         d = os.path.join(root, sub)
         if not os.path.isdir(d):
@@ -492,9 +559,16 @@ def cleanup_old_versions(
             rel = os.path.join(sub, name)
             if rel in referenced:
                 continue
-            if rel in dropped_refs or orphan_deletable(os.path.join(root, rel)):
-                os.unlink(os.path.join(root, rel))
-                removed += 1
+            # ledger membership IS the dropped-at-an-earlier-cleanup proof:
+            # the manifests that referenced the file are gone by now, so
+            # dropped_refs can't re-derive it
+            if (
+                rel in dropped_refs
+                or rel in ledger
+                or orphan_deletable(os.path.join(root, rel))
+            ):
+                reclaim(rel, os.path.join(root, rel))
+    _save_trash(root, ledger)
     # index directories. Two layouts: flat (_indices/<name> IS the index —
     # IVF/INVERTED/legacy scalar) and versioned builds
     # (_indices/<name>/b<hex> per scalar rebuild). A flat dir that is
@@ -524,13 +598,24 @@ def cleanup_old_versions(
                         removed += 1
                 continue
             if rel in dropped_refs or orphan_deletable(os.path.join(idx_root, name)):
-                shutil.rmtree(os.path.join(idx_root, rel))
+                shutil.rmtree(os.path.join(idx_root, name), ignore_errors=True)
                 removed += 1
             elif any(p.startswith(pfx) for p in dropped_refs):
-                # every build of this index was dropped (no kept manifest
-                # references any) — the whole dir is reclaimable
-                shutil.rmtree(os.path.join(idx_root, rel), ignore_errors=True)
-                removed += 1
+                # every RECORDED build of this index was dropped — but a
+                # concurrent create_scalar_index may have a fresh
+                # (pre-commit) build dir here, so reclaim per child with
+                # the same orphan guard as the live-prefix branch, never
+                # the directory wholesale
+                children = os.listdir(os.path.join(idx_root, name))
+                for child in children:
+                    crel = os.path.join(rel, child)
+                    if crel in dropped_refs or orphan_deletable(
+                        os.path.join(idx_root, name, child)
+                    ):
+                        shutil.rmtree(os.path.join(root, crel), ignore_errors=True)
+                        removed += 1
+                if not os.listdir(os.path.join(idx_root, name)):
+                    shutil.rmtree(os.path.join(idx_root, name), ignore_errors=True)
     return removed
 
 

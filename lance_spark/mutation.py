@@ -256,26 +256,54 @@ def _apply_deletes_and_appends(
     return LanceDataset(root)
 
 
+def _is_missing_file_error(exc: BaseException) -> bool:
+    """True when a Spark plan failed because a file it planned against was
+    GC'd mid-execution (superseded deletion sidecar / data file yanked by an
+    aggressive cleanup). Such failures are snapshot-staleness, not data
+    errors: re-planning from the fresh manifest reads only live files."""
+    s = str(exc)
+    return (
+        "FileNotFoundException" in s
+        or "PATH_NOT_FOUND" in s
+        or "FILE_NOT_EXIST" in s
+        or "does not exist" in s
+    )
+
+
 def _retrying(ds, fn, max_retries: int = 10, timeout_s: float | None = None):
     """Re-read + recompute loop around a mutation (dataset.py:197-222
     conflict_retries + retry_timeout): fn(fresh_ds) must build its plan from
     the snapshot it is handed, so each retry sees the other writer's
-    committed deletions."""
+    committed deletions. Missing-file failures retry too — a concurrent GC
+    removing a superseded sidecar is a race with THIS reader's plan, not a
+    commit conflict, so it would otherwise surface as a hard
+    AnalysisException."""
     import time
 
     from lance_spark.dataset import LanceDataset
 
     deadline = time.monotonic() + timeout_s if timeout_s is not None else None
+    last: BaseException | None = None
     for _ in range(max_retries):
         try:
             return fn(ds)
-        except StaleSnapshotError:
+        except StaleSnapshotError as exc:
+            last = exc
             if deadline is not None and time.monotonic() > deadline:
                 raise StaleSnapshotError(
                     f"mutation retry budget exhausted after {timeout_s}s"
                 ) from None
             ds = LanceDataset(ds.uri)
-    raise StaleSnapshotError(f"mutation failed after {max_retries} recomputes")
+        except Exception as exc:
+            if not _is_missing_file_error(exc):
+                raise
+            last = exc
+            if deadline is not None and time.monotonic() > deadline:
+                raise
+            ds = LanceDataset(ds.uri)
+    raise StaleSnapshotError(
+        f"mutation failed after {max_retries} recomputes"
+    ) from last
 
 
 def delete(ds, spark: SparkSession, predicate: str):

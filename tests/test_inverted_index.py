@@ -453,6 +453,58 @@ def test_optimize_auto_merges_inverted_segments(spark, sf_dir, tmp_path, monkeyp
     assert tt == want_tt and tt
 
 
+def test_merge_reconciles_concurrent_extend(spark, sf_dir, tmp_path):
+    """A delta segment committed between a segment-merge's read and its
+    commit must SURVIVE in the reconciled list (r11 ADVICE fix): blindly
+    committing [merged] would leave that delta's fragments 'covered' with
+    no postings — their documents silently vanish from FTS results."""
+    import lance_spark as ls
+    from lance_spark.indexes import inverted as inv
+    from lance_spark.indexes.inverted import create_inverted_index, match_query
+    from lance_spark.operators.fts import bm25_search
+
+    uri = str(tmp_path / "ftsrace")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").orderBy("doc_id").limit(150)
+    slices = [docs.filter(f"doc_id % 3 = {i}") for i in range(3)]
+    ls.write_dataset(slices[0], uri, mode="create")
+    ds = create_inverted_index(ls.dataset(uri), spark, "text")
+    ds.insert(slices[1])
+    stale = ls.dataset(uri).optimize_indices(spark)  # ['.', 'seg_v1']
+    stale_meta = next(m for m in stale.manifest.indices if m.index_type == "INVERTED")
+    assert stale_meta.params["segments"] == [".", "seg_v1"]
+
+    # a concurrent optimize lands seg_v2 AFTER the merge's snapshot read
+    stale.insert(slices[2])
+    ds2 = ls.dataset(uri).optimize_indices(spark)
+    meta2 = next(m for m in ds2.manifest.indices if m.index_type == "INVERTED")
+    assert meta2.params["segments"] == [".", "seg_v1", "seg_v2"]
+
+    merged = inv.merge_inverted_segments(stale, spark, stale_meta.name)
+    meta3 = next(m for m in merged.manifest.indices if m.index_type == "INVERTED")
+    segs = meta3.params["segments"]
+    assert "seg_v2" in segs, segs  # the concurrent delta survives
+    assert "." not in segs and "seg_v1" not in segs
+    assert "seg_v2" not in meta3.params["retired_segments"]
+
+    # index-path scores == flat BM25 over the whole corpus (nothing lost,
+    # nothing double-counted)
+    gbase = merged.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
+    got = sorted(
+        (r["doc_id"], r["_score"])
+        for r in match_query(merged, spark, ["table", "scan", "join"], k=None)
+        .join(gbase, F.col("id") == F.col("_rowid"))
+        .select("doc_id", "_score")
+        .collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["_score"])
+        for r in bm25_search(
+            merged.to_df(spark), "text", "doc_id", ["table", "scan", "join"], k=None
+        ).collect()
+    )
+    assert got == want and got
+
+
 @pytest.mark.parametrize("transpositions", [True, False])
 def test_fuzzy_join_equals_per_query_fuzzy(spark, indexed_docs_ds, transpositions):
     """fuzzy_join == fuzzy_query per single-term query row: same vocabulary

@@ -862,6 +862,39 @@ class TestIvfHamming:
             )
             assert got == want
 
+    def test_packed_flag_explicit(self, spark, ham, tmp_path):
+        """Sample inference can't tell a SPARSE packed dataset (all sampled
+        bytes 0/1) from unpacked bits — the explicit flag must win (r11
+        ADVICE fix), and a contradictory flag must raise."""
+        from lance_spark.indexes.vector import build_ivf
+
+        bits, qbits, _ = ham
+        # bytes that all happen to be 0/1: ambiguous without the flag
+        sparse = bits.select("id", F.col("bits").alias("pb"))
+        idx = build_ivf(
+            sparse.filter("id != 7"), "pb", "id", str(tmp_path / "sparse_packed"),
+            num_partitions=4, metric="hamming", index_type="IVF_FLAT",
+            packed=True,
+        )
+        assert idx.packed is True
+        # inference alone records unpacked for the same data
+        idx2 = build_ivf(
+            sparse.filter("id != 7"), "pb", "id", str(tmp_path / "sparse_inferred"),
+            num_partitions=4, metric="hamming", index_type="IVF_FLAT",
+        )
+        assert idx2.packed is False
+        # contradictory flag: byte values >1 declared unpacked must raise
+        bytes_df = bits.select(
+            "id",
+            F.transform(F.col("bits"), lambda x: x * 200 + 3).alias("pb"),
+        )
+        with pytest.raises(ValueError, match="0/1"):
+            build_ivf(
+                bytes_df.filter("id != 7"), "pb", "id", str(tmp_path / "bad"),
+                num_partitions=4, metric="hamming", index_type="IVF_FLAT",
+                packed=False,
+            )
+
     def test_packed_uint8_equals_unpacked(self, spark, ham, tmp_path):
         """uint8-PACKED binary vectors (the reference's storage form) build
         and search through the same IVF: identical hamming counts to the
@@ -1083,6 +1116,34 @@ class TestMultivectorDataset:
         for qid, sub in ((0, [qs[0]]), (1, [qs[1]]), (2, qs)):
             got = sorted(by_q[qid], key=lambda t: (t[1], t[0]))
             assert got == self._brute(full, sub, 5)
+
+    def test_nearest_join_single_vector_query_table(self, spark, mvds):
+        """A plain array<double> query table against a multivector index is
+        coerced to one-element multivectors (r11 ADVICE fix) — previously it
+        failed deep inside ann_maxsim_join's pandas UDF."""
+        import lance_spark as ls
+
+        ds, docs, qs, uri = mvds
+        ds = ls.dataset(uri)
+        qtbl = spark.createDataFrame(
+            [(0, qs[0]), (1, qs[1])], "qid int, qv array<double>"
+        )
+        bulk = ds.nearest_join(
+            spark, "mv", qtbl, "qv", "qid", k=5, nprobes=4, overfetch=10_000
+        ).collect()
+        lab = {
+            r["_rowid"]: r["label"]
+            for r in ds.to_df(spark, with_row_id=True).select("_rowid", "label").collect()
+        }
+        full = ds.to_df(spark)
+        by_q = {}
+        for r in bulk:
+            by_q.setdefault(r["query_id"], []).append(
+                (lab[r["_rowid"]], round(r["_distance"], 4))
+            )
+        for qid, q in ((0, qs[0]), (1, qs[1])):
+            got = sorted(by_q[qid], key=lambda t: (t[1], t[0]))
+            assert got == self._brute(full, [q], 5)
 
     def test_scanner_nearest_dict_routes_multivector(self, spark, mvds):
         """scanner(nearest={"q": [v1, v2], ...}) — the reference's dict form
