@@ -12,12 +12,13 @@ what matters, and it IS implemented here for real:
   - processing partitions by fragment (input files), so media locality
     follows storage locality.
 
-The codec call itself is STUBBED: this container has no image/audio libs.
-``decode_image(..., codec="pil")`` raises NotImplementedError where
-Pillow would be invoked; ``codec="header"`` parses a deterministic fake
-header (magic + width + height + channels packed big-endian) so the full
-Spark path — schema, batching, partitioning, UDF signatures — is testable
-and oracle-checkable. Swapping in a real codec changes ONE function.
+Codecs: ``ppm``/``bmp``/``png`` are REAL pure-numpy/stdlib decoders (the
+PNG path inflates IDAT and undoes all five scanline filters); ``pil``
+decodes any Pillow-readable format when the library is installed and is
+a guarded NotImplementedError otherwise (this container ships no image
+libs — the gate fails the CALL on the driver, never an executor task).
+``header`` parses a deterministic fake header (magic + width + height +
+channels packed big-endian) for plumbing tests.
 """
 
 from __future__ import annotations
@@ -111,8 +112,181 @@ def _bmp_header(b: bytes) -> tuple[int, int, int]:
     return (w, abs(h), 3)
 
 
-_CODECS = {"ppm": _parse_ppm, "bmp": _parse_bmp}
-_HEADER_CODECS = {"ppm": _ppm_header, "bmp": _bmp_header}
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def _png_chunks(b: bytes):
+    pos = 8
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        typ = b[pos + 4 : pos + 8]
+        yield typ, b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IEND":
+            return
+
+
+def _png_header(b: bytes) -> tuple[int, int, int]:
+    """Header-only PNG parse (IHDR; no decompression). Supports 8-bit
+    non-interlaced grayscale / RGB / gray+alpha / RGBA."""
+    if b is None or len(b) < 33 or bytes(b[:8]) != _PNG_SIG:
+        return (-1, -1, -1)
+    b = bytes(b)
+    for typ, data in _png_chunks(b):
+        if typ != b"IHDR" or len(data) != 13:
+            return (-1, -1, -1)  # IHDR must be the first chunk
+        w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+        if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+            return (-1, -1, -1)
+        return (w, h, _PNG_CHANNELS[color])
+    return (-1, -1, -1)
+
+
+def _parse_png(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
+    """Pure-stdlib REAL PNG decode: zlib-inflate the IDAT stream, undo the
+    per-scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6). 8-bit
+    non-interlaced gray/RGB/gray+alpha/RGBA — the shapes a training-data
+    pipeline's thumbnails use; anything else returns invalid rather than
+    mis-decoding."""
+    import zlib
+
+    w, h, c = _png_header(b)
+    if w < 0:
+        return (-1, -1, -1, None)
+    b = bytes(b)
+    idat = b"".join(data for typ, data in _png_chunks(b) if typ == b"IDAT")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return (-1, -1, -1, None)
+    stride = w * c
+    if len(raw) < h * (stride + 1):
+        return (-1, -1, -1, None)
+    raw = np.frombuffer(raw, dtype=np.uint8)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(raw[y * (stride + 1)])
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)].astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up — vectorized (the common photographic filter)
+            rec = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need the left neighbor
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(rec[x - c]) if x >= c else 0
+                up = int(prev[x])
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + up) >> 1
+                else:
+                    ul = int(prev[x - c]) if x >= c else 0
+                    p = a + up - ul
+                    pa, pb_, pc_ = abs(p - a), abs(p - up), abs(p - ul)
+                    pred = a if (pa <= pb_ and pa <= pc_) else (up if pb_ <= pc_ else ul)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            return (-1, -1, -1, None)
+        prev = rec
+        out[y] = rec.astype(np.uint8)
+    return (w, h, c, out.reshape(h, w, c))
+
+
+def pack_png(width: int, height: int, channels: int, payload: bytes) -> bytes:
+    """Minimal REAL PNG encoder (filter 0, single IDAT, correct CRCs): the
+    fixture builder for the png decode path — its output opens in any PNG
+    reader. ``payload`` bytes become the pixel stream (repeated/truncated
+    to fit)."""
+    import zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    need = width * height * channels
+    px = (payload * (need // max(len(payload), 1) + 1))[:need] if payload else b"\x00" * need
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + px[y * stride : (y + 1) * stride] for y in range(height)
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _require_pil(codec: str) -> None:
+    """Driver-side availability gate: a missing library must fail the CALL,
+    not a Spark task deep inside an executor."""
+    if codec == "pil" and not _pil_available():
+        raise NotImplementedError(
+            "codec 'pil' requires Pillow, which is not installed in this"
+            " environment; built-in codecs: header, ppm, bmp, png"
+        )
+
+
+def _parse_pil(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
+    """Pillow-backed decode (any format Pillow reads) — active only when
+    the library is importable (guarded; _require_pil gates the API)."""
+    import io
+
+    from PIL import Image
+
+    if b is None:
+        return (-1, -1, -1, None)
+    try:
+        img = Image.open(io.BytesIO(bytes(b)))
+        arr = np.asarray(img)
+    except Exception:
+        return (-1, -1, -1, None)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return (int(img.width), int(img.height), int(arr.shape[2]), arr)
+
+
+def _pil_header(b: bytes) -> tuple[int, int, int]:
+    """Pillow header read — Image.open is lazy, so no pixel decode."""
+    import io
+
+    from PIL import Image
+
+    if b is None:
+        return (-1, -1, -1)
+    try:
+        img = Image.open(io.BytesIO(bytes(b)))
+    except Exception:
+        return (-1, -1, -1)
+    return (int(img.width), int(img.height), len(img.getbands()))
+
+
+_CODECS = {"ppm": _parse_ppm, "bmp": _parse_bmp, "png": _parse_png, "pil": _parse_pil}
+_HEADER_CODECS = {
+    "ppm": _ppm_header,
+    "bmp": _bmp_header,
+    "png": _png_header,
+    "pil": _pil_header,
+}
 
 
 def pack_fake_image(width: int, height: int, channels: int = 3, seed: int = 0) -> bytes:
@@ -134,13 +308,14 @@ def _parse_header(b: bytes) -> tuple[int, int, int]:
 
 def decode_image_meta(df: DataFrame, binary_col: str, codec: str = "header") -> DataFrame:
     """binary → typed metadata struct. codec='header' parses the fake
-    16-byte header; codec='ppm'/'bmp' are real pure-numpy decoders
-    (_parse_ppm/_parse_bmp); anything else (e.g. 'pil') is the
-    NotImplementedError seam where an image library would plug in."""
+    16-byte header; 'ppm'/'bmp'/'png' are real pure-numpy/stdlib decoders;
+    'pil' decodes any Pillow-readable format when the library is installed
+    (guarded — a missing library fails the call, not an executor task)."""
+    _require_pil(codec)
     if codec != "header" and codec not in _CODECS:
         raise NotImplementedError(
             f"codec {codec!r} requires an image library not present in this "
-            "environment; built-in codecs: header, ppm, bmp"
+            "environment; built-in codecs: header, ppm, bmp, png, pil"
         )
 
     out_schema = f"{', '.join(f'{c.name} {c.dataType.simpleString()}' for c in df.schema)}, meta struct<{IMG_META_SCHEMA}>"
@@ -172,8 +347,11 @@ def decode_image_stats(
     bytes, not the header). Arrow-batched mapInPandas; bytes never leave the
     executor. Reference surface: python/python/lance/blob.py BlobFile decode
     client-side; here decode is pushed into the scan pipeline."""
+    _require_pil(codec)
     if codec not in _CODECS:
-        raise NotImplementedError(f"unknown codec {codec!r}; built-in: ppm, bmp")
+        raise NotImplementedError(
+            f"unknown codec {codec!r}; built-in: ppm, bmp, png, pil"
+        )
     parse = _CODECS[codec]
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

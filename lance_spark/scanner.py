@@ -204,14 +204,20 @@ class LanceScanner(DataFrame):
         batches = t.to_batches(max_chunksize=batch_size) if batch_size else t.to_batches()
         return pa.RecordBatchReader.from_batches(t.schema, batches)
 
-    def scan_batches(self) -> Iterator["TaggedRecordBatch"]:
+    def scan_batches(self, fragment_batch_size: int = 16) -> Iterator["TaggedRecordBatch"]:
         """Record batches tagged with their owning fragment (reference
         dataset.py:4670 ``scan_batches``; its docstring promises
         TaggedRecordBatch — the tagging is real here). Re-runs this
         scanner's recorded plan (projection, filter, fragment restriction)
-        one fragment at a time — the batch/fragment pairing a sharded
-        loader consumes. A global ``limit``/``offset`` has no per-fragment
-        meaning and is refused rather than silently mis-sliced."""
+        in CHUNKS of ``fragment_batch_size`` fragments — ONE Spark job per
+        chunk, not one per fragment (a sharded loader over a 10k-fragment
+        dataset would otherwise pay 10k driver job launches; r11 fix). The
+        per-row tag derives driver-side from ``_rowid``'s embedded fragment
+        id; post-compaction datasets (few fragments by construction — the
+        compactor consolidates) fall back to the per-fragment path since
+        their rowids don't encode the owner. A global ``limit``/``offset``
+        has no per-fragment meaning and is refused rather than silently
+        mis-sliced. Driver memory is bounded by one chunk's rows."""
         ds = self._lance_dataset
         kwargs = getattr(self, "_scan_kwargs", None)
         if ds is None or kwargs is None:
@@ -224,16 +230,48 @@ class LanceScanner(DataFrame):
                 " row slice has no per-fragment meaning"
             )
         wanted = kwargs["fragments"]
-        for frag in ds.manifest.fragments:
-            if wanted is not None and frag.id not in set(wanted):
-                continue
+        frags = [
+            f
+            for f in ds.manifest.fragments
+            if wanted is None or f.id in set(wanted)
+        ]
+        if not ds._rowid_addressable() or fragment_batch_size <= 1:
+            for frag in frags:
+                part = ds.scanner(
+                    self.sparkSession, columns=kwargs["columns"],
+                    filter=kwargs["filter"], fragments=[frag.id],
+                    with_row_id=kwargs["with_row_id"],
+                )
+                for b in part.toArrow().to_batches():
+                    yield TaggedRecordBatch(record_batch=b, fragment=frag)
+            return
+
+        from lance_spark.write import FRAGID_SHIFT, ROWID_COL
+
+        by_id = {f.id: f for f in frags}
+        drop_rowid = not kwargs["with_row_id"]
+        for i in range(0, len(frags), fragment_batch_size):
+            chunk = frags[i : i + fragment_batch_size]
             part = ds.scanner(
                 self.sparkSession, columns=kwargs["columns"],
-                filter=kwargs["filter"], fragments=[frag.id],
-                with_row_id=kwargs["with_row_id"],
+                filter=kwargs["filter"], fragments=[f.id for f in chunk],
+                with_row_id=True,
             )
-            for b in part.toArrow().to_batches():
-                yield TaggedRecordBatch(record_batch=b, fragment=frag)
+            tbl = part.toArrow()  # ONE job for the whole chunk
+            import numpy as np
+
+            fids = tbl[ROWID_COL].to_numpy() >> np.int64(FRAGID_SHIFT)
+            if drop_rowid:
+                out_tbl = tbl.drop_columns([ROWID_COL])
+            else:
+                out_tbl = tbl
+            for frag in chunk:  # manifest order, like the per-fragment path
+                mask = fids == frag.id
+                if not mask.any():
+                    continue
+                sub = out_tbl.filter(mask)
+                for b in sub.to_batches():
+                    yield TaggedRecordBatch(record_batch=b, fragment=by_id[frag.id])
 
     @staticmethod
     def from_dataset(*args, **kwargs):

@@ -375,3 +375,42 @@ def test_scan_batches_honors_filter_and_fragments(spark, ds):
     assert {t.fragment.id for t in only} == {frag0}
     with pytest.raises(ValueError, match="limit"):
         list(ds.scanner(spark, columns=["o_orderkey"], limit=5).scan_batches())
+
+
+def test_scan_batches_chunked_jobs(spark, ds, monkeypatch):
+    """scan_batches executes ONE Spark job per fragment_batch_size chunk,
+    not one per fragment (r11 fix) — pinned by counting the sub-scanner
+    constructions — and a chunked run tags identically to the per-fragment
+    path."""
+    from lance_spark.dataset import LanceDataset
+
+    n_frags = len(ds.manifest.fragments)
+    assert n_frags >= 2
+    orig = LanceDataset.scanner
+    calls = {"n": 0}
+
+    def counting(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(LanceDataset, "scanner", counting)
+    sc = orig(ds, spark, columns=["o_orderkey"])
+    chunked = list(sc.scan_batches(fragment_batch_size=max(2, n_frags)))
+    assert calls["n"] == 1  # whole scan in one chunk → one sub-scan job
+    monkeypatch.undo()
+
+    per_frag = list(
+        ds.scanner(spark, columns=["o_orderkey"]).scan_batches(fragment_batch_size=1)
+    )
+
+    def flat(tagged):
+        return sorted(
+            (t.fragment.id, v)
+            for t in tagged
+            for v in t.record_batch.column("o_orderkey").to_pylist()
+        )
+
+    assert flat(chunked) == flat(per_frag)
+    assert all(
+        t.record_batch.schema.names == ["o_orderkey"] for t in chunked
+    )  # _rowid helper column stripped
