@@ -66,6 +66,20 @@ def dataset(
     )
 
 
+#: Config keys a ``replace=True`` config update must never clobber: the
+#: metadata namespaces (reference semantics) plus the FORMAT flags the
+#: engine itself maintains — losing ``rowid_address_style`` re-enables the
+#: rid>>32 fast paths on a compacted dataset (silently wrong take/delete),
+#: losing ``column_renames`` detaches renamed columns from their files.
+_PROTECTED_CONFIG_KEYS = (
+    "schema_metadata",
+    "table_metadata",
+    "rowid_address_style",
+    "column_renames",
+    "data_storage_version",
+)
+
+
 class LanceDataset:
     def __init__(
         self,
@@ -311,12 +325,24 @@ class LanceDataset:
             # columns — a scan that skips the blob/wide group never opens it
             # (late-materialization payoff, scanner.rs:1579-1654)
             wanted = [gi for gi, cols in enumerate(sig) if phys_needed & set(cols)] or [0]
+            if include_deleted and 0 not in wanted:
+                # the base file (group 0) is the authoritative PHYSICAL row
+                # set; column-group files written after a delete hold only
+                # then-live rows, so they must never define the row universe
+                wanted = [0, *wanted]
             base = self._read_files(spark, [fr.files[wanted[0]].path for fr in frags])
             for gi in wanted[1:]:
                 extra = self._read_files(spark, [fr.files[gi].path for fr in frags])
                 # column-group zip: equi-join on _rowid; co-partitioned by
-                # file so AQE turns this into a local join at scale
-                base = base.join(extra, on=ROWID_COL, how="inner")
+                # file so AQE turns this into a local join at scale. Under
+                # include_deleted the join is LEFT: an inner join would drop
+                # physically-present deleted rows absent from a younger
+                # column group (columns added post-delete read as null),
+                # desyncing fragment.update's base-file rewrite from
+                # physical_rows.
+                base = base.join(
+                    extra, on=ROWID_COL, how="left" if include_deleted else "inner"
+                )
             keep = [c for c in base.columns if c in phys_needed or c == ROWID_COL]
             pieces.append(base.select(*keep))
         df = pieces[0]
@@ -355,25 +381,13 @@ class LanceDataset:
         {"column", "q", "k", "nprobes", "refine_factor", "use_index"}.
         Materializes on the driver by definition — use ``scanner()`` /
         ``to_batches()`` for anything unbounded."""
-        if nearest is not None:
-            df = self.nearest(
-                spark,
-                nearest["column"],
-                list(nearest.get("q", nearest.get("query"))),
-                k=int(nearest.get("k", 10)),
-                nprobes=int(nearest.get("nprobes", 4)),
-                refine_factor=int(nearest.get("refine_factor", 1)),
-                use_index=bool(nearest.get("use_index", True)),
-                filter=filter,
-            )
-            if columns is not None:
-                df = df.select(*columns, "_distance")
-            if limit is not None:
-                df = df.limit(limit)
-            return df.toArrow()
+        # one code path for both entry points: the scanner handles the
+        # nearest dict (q/query key, refine_factor=None, dict projections,
+        # with_row_id) — a hand-rolled branch here silently diverged on all
+        # four (r11 review)
         df = self.scanner(
             spark, columns=columns, filter=filter, limit=limit, offset=offset,
-            with_row_id=with_row_id,
+            with_row_id=with_row_id, nearest=nearest,
         )
         return df.toArrow()
 
@@ -442,9 +456,25 @@ class LanceDataset:
             else:
                 filter = arrow_filter_to_sql(filter)  # noqa: A001 - reference API name
         if nearest is not None or full_text_query is not None:
+            # loud refusal beats silent omission: the search route has no
+            # fragment restriction / offset / sort / allow-set support, and
+            # returning unrestricted hits for scanner(nearest=...,
+            # fragments=[3]) would be a wrong answer, not a degraded one
+            unsupported = {
+                "fragments": fragments, "offset": offset, "order_by": order_by,
+                "prefilter_rowids": prefilter_rowids,
+                "include_deleted_rows": include_deleted_rows,
+            }
+            bad = sorted(k for k, v in unsupported.items() if v)
+            if bad:
+                raise ValueError(
+                    f"scanner search route (nearest/full_text_query) does not"
+                    f" support: {bad}"
+                )
             res = self._search_scan(
                 spark, columns=columns, filter=filter, limit=limit,
-                with_row_id=with_row_id, nearest=nearest,
+                with_row_id=with_row_id, with_row_address=with_row_address,
+                nearest=nearest,
                 full_text_query=full_text_query, prefilter=prefilter,
                 fast_search=fast_search,
                 disable_scoring_autoprojection=disable_scoring_autoprojection,
@@ -599,6 +629,9 @@ class LanceDataset:
         sc._scan_kwargs = {
             "columns": columns, "filter": filter, "fragments": fragments,
             "with_row_id": with_row_id, "limit": limit, "offset": offset,
+            "prefilter_rowids": prefilter_rowids,
+            "include_deleted_rows": include_deleted_rows,
+            "with_row_address": with_row_address, "order_by": order_by,
         }
         return sc
 
@@ -609,6 +642,7 @@ class LanceDataset:
         filter: str | None = None,  # noqa: A002
         limit: int | None = None,
         with_row_id: bool = False,
+        with_row_address: bool = False,
         nearest: dict | None = None,
         full_text_query=None,
         prefilter: bool = False,
@@ -621,10 +655,13 @@ class LanceDataset:
         converts pyarrow/Substrait inputs before dispatching here."""
         if nearest is not None:
             nq = dict(nearest)
+            qv = nq.get("q", nq.get("query"))
+            if qv is None:
+                raise ValueError("nearest dict needs a 'q' (or 'query') vector")
             hits = self.nearest(
                 spark,
                 nq["column"],
-                list(nq["q"]),
+                list(qv),
                 k=int(nq.get("k", 10)),
                 nprobes=int(nq.get("nprobes", 4)),
                 refine_factor=int(nq.get("refine_factor") or 1),
@@ -685,6 +722,9 @@ class LanceDataset:
             sel = [*sel, score_col]
         if with_row_id:
             sel.append(ROWID_COL)
+        if with_row_address:
+            hits = self._attach_row_address(spark, hits)
+            sel.append(ROWADDR_COL)
         from lance_spark.scanner import LanceScanner
 
         return LanceScanner(hits.select(*sel), self)
@@ -1119,10 +1159,12 @@ class LanceDataset:
         return bool(self.manifest.indices)
 
     def checkout_latest(self) -> "LanceDataset":
-        return LanceDataset(self.uri)
+        # _derived keeps the credential seam (storage options / provider) —
+        # a bare re-open would drop them (r11 review)
+        return self._derived()
 
     def checkout_branch(self, name: str) -> "LanceDataset":
-        return LanceDataset(self.uri, version=mf.resolve_ref(self.uri, "branches", name))
+        return self._derived(version=mf.resolve_ref(self.uri, "branches", name))
 
     @property
     def config(self) -> dict:
@@ -1143,10 +1185,15 @@ class LanceDataset:
         def build(base, version):
             if replace:
                 # schema/table metadata live in their own namespaces in the
-                # reference — a config replace must not clobber them
+                # reference — a config replace must not clobber them. Nor
+                # the FORMAT flags the engine itself maintains: dropping
+                # rowid_address_style silently re-enables the rid>>32 fast
+                # paths on a compacted dataset (wrong take/delete results),
+                # and dropping column_renames detaches renamed columns from
+                # their physical files.
                 merged = {
                     k: v for k, v in base.config.items()
-                    if k in ("schema_metadata", "table_metadata")
+                    if k in _PROTECTED_CONFIG_KEYS
                 }
                 merged.update(upsert)
             else:
@@ -1392,7 +1439,15 @@ class LanceDataset:
         as cheap at 100 TB as locally."""
         import pyarrow.parquet as pq
 
-        wanted = set(columns) if columns is not None else None
+        # footers and DataFile column lists carry PHYSICAL names; the caller
+        # speaks logical — translate both the filter and the output keys
+        renames = self.manifest.config.get("column_renames", {})
+        logical_to_phys = {v: k for k, v in renames.items()}
+        wanted = (
+            {logical_to_phys.get(c, c) for c in columns}
+            if columns is not None
+            else None
+        )
         out: dict[str, dict] = {}
         for frag in self.manifest.fragments:
             for df in frag.files:
@@ -1407,6 +1462,7 @@ class LanceDataset:
                         name = col.path_in_schema.split(".")[0]
                         if name.startswith("_") or (wanted is not None and name not in wanted):
                             continue
+                        name = renames.get(name, name)
                         ent = out.setdefault(
                             name,
                             {"num_values": 0, "null_count": 0,
@@ -1487,7 +1543,12 @@ class LanceDataset:
                 covered.extend(df.columns)
             if len(covered) != len(set(covered)):
                 problems.append(f"fragment {frag.id}: column stored in multiple files: {covered}")
-            missing = set(fields) - set(covered)
+            # files keep PHYSICAL names; schema fields are logical — apply
+            # the rename map before coverage comparison or any renamed
+            # column fails validation on a healthy dataset
+            renames = m.config.get("column_renames", {})
+            covered_logical = {renames.get(c, c) for c in covered}
+            missing = set(fields) - covered_logical
             if missing:
                 problems.append(f"fragment {frag.id}: schema fields with no data file: {sorted(missing)}")
             if frag.deletion_file is not None:
@@ -2047,8 +2108,19 @@ def _rendered_arrow_to_sql(s: str, expr) -> str:
     # invert(...) → NOT (...): the operand is always a parenthesized group
     while "invert(" in s:
         s = re.sub(r"invert\(", "NOT (", s, count=1)
-    s = s.replace("==", "=")
-    s = re.sub(r'"([^"]*)"', r"'\1'", s)
+    # Literal-aware final rewrites: '==' → '=' must not touch literal
+    # CONTENTS ("a==b" is data), and the double→single quote conversion
+    # must SQL-escape embedded single quotes ("O'Brien" → 'O''Brien') —
+    # a blind global replace produced malformed or silently-different SQL.
+    parts = re.split(r'("(?:[^"\\]|\\.)*")', s)
+    out = []
+    for i, p in enumerate(parts):
+        if i % 2:  # a double-quoted string literal from pyarrow's renderer
+            inner = p[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+            out.append("'" + inner.replace("'", "''") + "'")
+        else:
+            out.append(p.replace("==", "="))
+    s = "".join(out)
     # leftover-call sanity check runs on the string with literals blanked —
     # a quoted literal containing "foo(" is data, not an unconverted call
     bare = re.sub(r"'[^']*'", "''", s)

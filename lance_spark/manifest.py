@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -276,7 +277,11 @@ def list_versions(root: str) -> list[int]:
     out = []
     for name in os.listdir(vd):
         if name.endswith(".manifest.json"):
-            out.append(int(name.split(".")[0]))
+            # tolerate foreign files (editor backups, manual copies): a
+            # stray 'backup.manifest.json' must not brick every operation
+            prefix = name.split(".")[0]
+            if prefix.isdigit():
+                out.append(int(prefix))
     return sorted(out)
 
 
@@ -290,14 +295,18 @@ def latest_version(root: str) -> int | None:
 # is IMMUTABLE once committed — write_manifest claims the version with an
 # exclusive create — so caching the parsed object is correctness-safe.
 # "latest" resolution is never cached. Capped LRU; stats feed ds.session().
-_MANIFEST_CACHE: "dict[tuple[str, int], tuple[Manifest, int]]" = {}
+# Values are (manifest, raw_size_bytes, (mtime_ns, size)) 3-tuples; all
+# access goes through _CACHE_LOCK — Spark driver threads read concurrently.
+_MANIFEST_CACHE: "dict[tuple[str, int], tuple[Manifest, int, tuple[int, int]]]" = {}
 _MANIFEST_CACHE_CAP = 64
 _CACHE_STATS = {"hits": 0, "misses": 0}
+_CACHE_LOCK = threading.Lock()
 
 
 def clear_manifest_cache() -> None:
-    _MANIFEST_CACHE.clear()
-    _CACHE_STATS["hits"] = _CACHE_STATS["misses"] = 0
+    with _CACHE_LOCK:
+        _MANIFEST_CACHE.clear()
+        _CACHE_STATS["hits"] = _CACHE_STATS["misses"] = 0
 
 
 def invalidate_root(root: str) -> None:
@@ -305,16 +314,18 @@ def invalidate_root(root: str) -> None:
     files are REMOVED (LanceDataset.drop + recreate, cleanup_old_versions),
     the one case where a (root, version) key can be re-claimed."""
     root = os.path.abspath(root)
-    for key in [k for k in _MANIFEST_CACHE if k[0] == root]:
-        _MANIFEST_CACHE.pop(key, None)
+    with _CACHE_LOCK:
+        for key in [k for k in _MANIFEST_CACHE if k[0] == root]:
+            _MANIFEST_CACHE.pop(key, None)
 
 
 def manifest_cache_stats() -> dict:
-    return {
-        "approx_num_items": len(_MANIFEST_CACHE),
-        "size_bytes": sum(entry[1] for entry in _MANIFEST_CACHE.values()),
-        **_CACHE_STATS,
-    }
+    with _CACHE_LOCK:
+        return {
+            "approx_num_items": len(_MANIFEST_CACHE),
+            "size_bytes": sum(entry[1] for entry in _MANIFEST_CACHE.values()),
+            **_CACHE_STATS,
+        }
 
 
 def read_manifest(root: str, version: int | None = None) -> Manifest:
@@ -324,7 +335,8 @@ def read_manifest(root: str, version: int | None = None) -> Manifest:
             raise FileNotFoundError(f"no dataset at {root}")
     key = (os.path.abspath(root), version)
     path = manifest_path(root, version)
-    hit = _MANIFEST_CACHE.get(key)
+    with _CACHE_LOCK:
+        hit = _MANIFEST_CACHE.get(key)
     if hit is not None:
         # one stat() guards against out-of-band rmtree+recreate (a dropped
         # dataset replaced at the same path): the entry is only valid while
@@ -333,19 +345,32 @@ def read_manifest(root: str, version: int | None = None) -> Manifest:
         try:
             st = os.stat(path)
             if (st.st_mtime_ns, st.st_size) == sig:
-                _CACHE_STATS["hits"] += 1
+                with _CACHE_LOCK:
+                    _CACHE_STATS["hits"] += 1
+                    if key in _MANIFEST_CACHE:
+                        # LRU, not FIFO: a hit refreshes recency, or the
+                        # hottest (oldest-inserted) entry evicts first
+                        _MANIFEST_CACHE[key] = _MANIFEST_CACHE.pop(key)
                 return m
         except FileNotFoundError:
             pass
-        _MANIFEST_CACHE.pop(key, None)
-    _CACHE_STATS["misses"] += 1
+        with _CACHE_LOCK:
+            _MANIFEST_CACHE.pop(key, None)
     with open(path) as fh:
+        # fstat the OPEN fd: stat'ing the path after the read could
+        # describe a DIFFERENT file (rmtree+recreate between read and
+        # stat), caching old content under the new file's signature
+        st = os.fstat(fh.fileno())
         raw = fh.read()
-    st = os.stat(path)
     m = Manifest.from_json(json.loads(raw))
-    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
-        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
-    _MANIFEST_CACHE[key] = (m, len(raw), (st.st_mtime_ns, st.st_size))
+    with _CACHE_LOCK:
+        _CACHE_STATS["misses"] += 1
+        while len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
+            try:
+                _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)), None)
+            except StopIteration:  # racing clear emptied it
+                break
+        _MANIFEST_CACHE[key] = (m, len(raw), (st.st_mtime_ns, st.st_size))
     return m
 
 
@@ -359,23 +384,30 @@ def write_manifest(root: str, manifest: Manifest) -> None:
     manifest.timestamp = time.time()
     target = manifest_path(root, manifest.version)
     tmp = os.path.join(versions_dir(root), f".tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as fh:
-        json.dump(manifest.to_json(), fh)
     try:
+        # dump inside the try: a serialization error (non-JSON property
+        # value) must not leak the tmp file forever — GC never reclaims
+        # .tmp-* under _versions/
+        with open(tmp, "w") as fh:
+            json.dump(manifest.to_json(), fh)
         os.link(tmp, target)  # fails with EEXIST if version already claimed
     except FileExistsError as exc:
         raise CommitConflictError(f"version {manifest.version} already exists") from exc
     finally:
-        os.unlink(tmp)
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
     # a prior dataset at this root may have been dropped: the freshly
     # claimed version supersedes any stale cache entry for the key
-    _MANIFEST_CACHE.pop((os.path.abspath(root), manifest.version), None)
+    with _CACHE_LOCK:
+        _MANIFEST_CACHE.pop((os.path.abspath(root), manifest.version), None)
 
 
-# Operations that only add data never conflict with each other; operations
-# that rewrite/delete rows conflict with anything touching the same rows.
-# Simplified compatibility matrix from transaction.rs:1252+.
-_COMPATIBLE_WITH_APPEND = {"append", "create_index", "update_config"}
+# Conflict handling: every conflict is resolved by rebuild-and-retry (the
+# build closure re-reads the fresh base), with mutation-level staleness
+# checks (StaleSnapshotError) where a blind rebase would be wrong. There is
+# deliberately NO operation-compatibility matrix here.
 
 
 def commit(
@@ -553,7 +585,10 @@ def reserve_fragment_ids(root: str, n: int) -> int:
     out = {}
 
     def build(base: Manifest | None, version: int) -> Manifest:
-        assert base is not None, "reserve requires an existing dataset"
+        if base is None:
+            raise FileNotFoundError(
+                f"cannot reserve fragment ids: no dataset at {root}"
+            )
         start = base.max_fragment_id + 1
         out["start"] = start
         return Manifest.evolve(
@@ -616,31 +651,66 @@ def _refs_dir(root: str, kind: str) -> str:
     return os.path.join(root, "_refs", kind)
 
 
+_REF_NOUN = {"tags": "tag", "branches": "branch"}
+
+
+def _ref_path(root: str, kind: str, name: str) -> str:
+    """Validated ref file path. Names are plain identifiers — a name with a
+    path separator or '..' would escape _refs/ (delete_tag('../../_versions/
+    3.manifest') could unlink a committed version)."""
+    if (
+        not name
+        or name != os.path.basename(name)
+        or name in (".", "..")
+        or name.startswith(".")
+        or "\\" in name
+    ):
+        raise ValueError(
+            f"invalid {_REF_NOUN.get(kind, kind)} name {name!r}: must be a"
+            " plain file name (no path separators, not starting with '.')"
+        )
+    return os.path.join(_refs_dir(root, kind), f"{name}.json")
+
+
 def create_ref(root: str, kind: str, name: str, version: int) -> None:
-    d = _refs_dir(root, kind)
-    os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, f"{name}.json")
-    if os.path.exists(path):
-        raise ValueError(f"{kind[:-1]} {name} already exists")
-    with open(path, "w") as fh:
-        json.dump({"version": version}, fh)
+    path = _ref_path(root, kind, name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    # exclusive create via tmp + hard link (the manifest protocol): an
+    # exists-check-then-write race would let two creators both 'succeed'
+    tmp = os.path.join(os.path.dirname(path), f".tmp-{uuid.uuid4().hex}.json")
+    try:
+        with open(tmp, "w") as fh:
+            json.dump({"version": version}, fh)
+        os.link(tmp, path)
+    except FileExistsError:
+        raise ValueError(
+            f"{_REF_NOUN.get(kind, kind)} {name} already exists"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def delete_ref(root: str, kind: str, name: str) -> None:
-    os.unlink(os.path.join(_refs_dir(root, kind), f"{name}.json"))
+    os.unlink(_ref_path(root, kind, name))
 
 
 def update_ref(root: str, kind: str, name: str, version: int) -> None:
-    path = os.path.join(_refs_dir(root, kind), f"{name}.json")
+    path = _ref_path(root, kind, name)
     if not os.path.exists(path):
-        raise ValueError(f"{kind[:-1]} {name} does not exist")
-    with open(path, "w") as fh:
+        raise ValueError(f"{_REF_NOUN.get(kind, kind)} {name} does not exist")
+    # atomic swap: truncate-in-place would expose a torn/empty file to a
+    # concurrent resolve_ref
+    tmp = os.path.join(os.path.dirname(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
         json.dump({"version": version}, fh)
+    os.replace(tmp, path)
 
 
 def resolve_ref(root: str, kind: str, name: str) -> int:
-    path = os.path.join(_refs_dir(root, kind), f"{name}.json")
-    with open(path) as fh:
+    with open(_ref_path(root, kind, name)) as fh:
         return json.load(fh)["version"]
 
 
@@ -650,7 +720,7 @@ def list_refs(root: str, kind: str) -> dict[str, int]:
         return {}
     out = {}
     for name in os.listdir(d):
-        if name.endswith(".json"):
+        if name.endswith(".json") and not name.startswith("."):
             with open(os.path.join(d, name)) as fh:
                 out[name[: -len(".json")]] = json.load(fh)["version"]
     return out

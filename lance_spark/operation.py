@@ -305,18 +305,21 @@ def _apply(op, base: mf.Manifest | None, version: int) -> mf.Manifest:
                 out.update(um.updates)
             return {k: v for k, v in out.items() if v is not None}
 
+        from lance_spark.dataset import _PROTECTED_CONFIG_KEYS
+
         config = dict(base.config)
         if op.config_updates is not None:
             # flat config keys only — the metadata namespaces have their own
-            # UpdateMaps and must survive a config replace (update_config
-            # method semantics, dataset.py)
+            # UpdateMaps, and the engine-maintained format flags
+            # (rowid_address_style, column_renames, ...) must survive a
+            # config replace (update_config method semantics, dataset.py)
             flat = {
                 k: v for k, v in config.items()
-                if k not in ("schema_metadata", "table_metadata")
+                if k not in _PROTECTED_CONFIG_KEYS
             }
             keep = {
                 k: v for k, v in config.items()
-                if k in ("schema_metadata", "table_metadata")
+                if k in _PROTECTED_CONFIG_KEYS
             }
             config = {**keep, **merged(flat, op.config_updates)}
         for ns, um in (

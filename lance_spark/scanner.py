@@ -229,6 +229,23 @@ class LanceScanner(DataFrame):
                 "scan_batches with limit/offset is not supported: a global"
                 " row slice has no per-fragment meaning"
             )
+        if kwargs.get("order_by"):
+            raise ValueError(
+                "scan_batches with order_by is not supported: batches are"
+                " yielded in fragment order, a global sort has no"
+                " per-fragment meaning"
+            )
+        if kwargs.get("with_row_address"):
+            raise ValueError(
+                "scan_batches with with_row_address is not supported: the"
+                " fragment tag already carries the owner; use with_row_id"
+            )
+        # the allow-set and deleted-rows options must survive the rebuild —
+        # silently dropping them would widen the row set (r11 review)
+        passthrough = {
+            "prefilter_rowids": kwargs.get("prefilter_rowids"),
+            "include_deleted_rows": bool(kwargs.get("include_deleted_rows")),
+        }
         wanted = kwargs["fragments"]
         frags = [
             f
@@ -240,7 +257,7 @@ class LanceScanner(DataFrame):
                 part = ds.scanner(
                     self.sparkSession, columns=kwargs["columns"],
                     filter=kwargs["filter"], fragments=[frag.id],
-                    with_row_id=kwargs["with_row_id"],
+                    with_row_id=kwargs["with_row_id"], **passthrough,
                 )
                 for b in part.toArrow().to_batches():
                     yield TaggedRecordBatch(record_batch=b, fragment=frag)
@@ -255,7 +272,7 @@ class LanceScanner(DataFrame):
             part = ds.scanner(
                 self.sparkSession, columns=kwargs["columns"],
                 filter=kwargs["filter"], fragments=[f.id for f in chunk],
-                with_row_id=True,
+                with_row_id=True, **passthrough,
             )
             tbl = part.toArrow()  # ONE job for the whole chunk
             import numpy as np

@@ -147,6 +147,13 @@ def _fragment_writer(root: str, base_fragment_id: int, data_dir: str = "data",
     return write_partition
 
 
+class _DatasetAppearedConcurrently(Exception):
+    """Raised inside the commit builder when a mode='create' commit finds a
+    base manifest: another writer created the dataset between the caller's
+    existence probe and this commit (streaming/sink.py guards the same
+    bootstrap race)."""
+
+
 def write_fragments(
     df: DataFrame,
     root: str,
@@ -156,20 +163,28 @@ def write_fragments(
     blob_columns: list[str] | None = None,
     progress=None,
     target_roots: list[str] | None = None,
+    total_rows: int | None = None,
 ) -> list[mf.Fragment]:
     """Write df's partitions as fragments; return metadata (no commit).
 
     One Spark partition → one fragment. Callers control fragment sizing via
     the df's partitioning (e.g. ``df.repartition(n)``) or
     ``max_rows_per_fragment``. ``preserve_rowids`` keeps an existing _rowid
-    column (compaction: stable ids, rowids.rs:55 semantics).
+    column (compaction: stable ids, rowids.rs:55 semantics). ``total_rows``
+    lets a caller that already counted skip the second full count job.
     """
+    missing_blobs = set(blob_columns or []) - set(df.columns)
+    if missing_blobs:
+        # without this, get_field_index(-1) inside every executor task
+        # silently grabs the LAST column (the appended _rowid) and fails
+        # deep in the job with an opaque Arrow error
+        raise ValueError(f"blob_columns not in input columns: {sorted(missing_blobs)}")
     if preserve_rowids:
         assert ROWID_COL in df.columns, "preserve_rowids requires _rowid column"
     elif ROWID_COL in df.columns:
         df = df.drop(ROWID_COL)
     if max_rows_per_fragment is not None:
-        total = df.count()
+        total = total_rows if total_rows is not None else df.count()
         parts = max(1, -(-total // max_rows_per_fragment))
         df = df.repartition(parts)
     meta_rows = (
@@ -253,6 +268,8 @@ def input_to_spark_df(df) -> DataFrame:
         df = pa.table(df.data.table)
     if isinstance(df, pa.RecordBatchReader):
         df = df.read_all()
+    if isinstance(df, pa.RecordBatch):
+        df = pa.Table.from_batches([df])
     if isinstance(df, pd.DataFrame):
         df = pa.Table.from_pandas(df, preserve_index=False)
     if isinstance(df, pa.Table):
@@ -264,6 +281,15 @@ def input_to_spark_df(df) -> DataFrame:
         if spark is None:
             raise RuntimeError("arrow/pandas write input needs an active SparkSession")
         df = spark.createDataFrame(normalize_arrow_table(df))
+    if not isinstance(df, DataFrame):
+        # surface the mistake at the API boundary, not as an opaque
+        # AttributeError three calls later
+        raise TypeError(
+            "unsupported write input type "
+            f"{type(df).__name__}: expected a Spark DataFrame, pyarrow "
+            "Table/RecordBatch/RecordBatchReader, pandas DataFrame, "
+            "HuggingFace dataset, or a non-empty list of dicts"
+        )
     return df
 
 
@@ -383,13 +409,27 @@ def write_dataset(
     """
     from lance_spark.dataset import LanceDataset
 
+    if mode not in ("create", "append", "overwrite"):
+        # an unknown mode must never reach the commit builder: it would
+        # fall through the create/append branches and commit ONLY the new
+        # fragments — silently truncating an existing dataset (r11 review)
+        raise ValueError(
+            f"unknown write mode {mode!r}: use 'create', 'append' or 'overwrite'"
+        )
     df = input_to_spark_df(df)
     if schema is not None:
         df = project_to_schema(df, schema)
+    # _rowid/_rowaddr are engine-reserved: the fragment writer regenerates
+    # rowids, so committing an incoming copy in the schema would register a
+    # phantom user column the data files don't carry
+    for reserved in (ROWID_COL, ROWADDR_COL):
+        if reserved in df.columns:
+            df = df.drop(reserved)
 
     if max_rows_per_fragment is None:
         max_rows_per_fragment = max_rows_per_file
     os.makedirs(uri, exist_ok=True)
+    requested_mode = mode
     existing = mf.latest_version(uri)
     if mode == "create" and existing is not None:
         raise ValueError(f"dataset already exists at {uri}; use append or overwrite")
@@ -443,9 +483,9 @@ def write_dataset(
             else:
                 raise ValueError(f"unknown target base: {t!r} (registered: {sorted(by_name)})")
 
-    schema_json = df.schema.jsonValue()
-
+    total_rows = None
     if mode in ("create", "overwrite"):
+        schema_json = df.schema.jsonValue()
         base_fragment_id = 0
     else:
         base = mf.read_manifest(uri)
@@ -454,36 +494,84 @@ def write_dataset(
                 f"append schema mismatch: dataset has "
                 f"{[f['name'] for f in base.schema_json['fields']]}, df has {df.columns}"
             )
+        # names match — now cast to the DATASET types and keep ITS schema:
+        # committing the incoming df's schema_json would silently flip the
+        # dataset schema on type drift (e.g. long→string from CSV) while
+        # old fragments keep the original physical type, failing every
+        # later unified scan (mutation.py's update path casts the same way)
+        from pyspark.sql.types import StructType as _St
+
+        df = project_to_schema(df, _St.fromJson(base.schema_json))
+        schema_json = base.schema_json
         # reserve disjoint fragment ids so concurrent appends never collide
         # (rowids embed the fragment id, so a late rebase would mean a file
         # rewrite; reservation is a metadata-only commit instead)
         n_parts = df.rdd.getNumPartitions()
         if max_rows_per_fragment is not None:
-            n_parts = max(n_parts, -(-df.count() // max_rows_per_fragment))
-        base_fragment_id = mf.reserve_fragment_ids(uri, n_parts)
+            total_rows = df.count()
+            n_parts = max(n_parts, -(-total_rows // max_rows_per_fragment))
+        else:
+            # pin the partition count: AQE may re-plan the write job with
+            # MORE partitions than the probe saw, pushing fragment ids past
+            # the reservation into a range another writer may hold
+            # (mutation.py's append pin)
+            df = df.coalesce(max(n_parts, 1))
+        base_fragment_id = mf.reserve_fragment_ids(uri, max(n_parts, 1))
 
-    if mode == "append" and existing is not None and not blob_columns:
-        blob_columns = mf.read_manifest(uri).blob_columns or None
+    if mode == "append" and existing is not None:
+        registered = mf.read_manifest(uri).blob_columns or []
+        if blob_columns and sorted(blob_columns) != sorted(registered):
+            # the blob layout is dataset-wide: swapping the registry on
+            # append would make older rows' sidecars unreachable
+            raise ValueError(
+                f"append blob_columns {sorted(blob_columns)} != dataset blob "
+                f"registry {sorted(registered)}; the blob layout is fixed at "
+                "create time"
+            )
+        blob_columns = registered or None
 
     frags = write_fragments(
         df, uri, base_fragment_id, max_rows_per_fragment, blob_columns=blob_columns,
-        target_roots=target_roots, progress=progress,
+        target_roots=target_roots, progress=progress, total_rows=total_rows,
     )
 
+    initial_bases_json = [
+        (b if isinstance(b, mf.DatasetBasePath) else mf.DatasetBasePath.from_json(b)).to_json()
+        for b in (initial_bases or [])
+    ]
+
+    def _merged_bases(current: list[dict]) -> list[dict]:
+        out = list(current)
+        names = {x["name"] for x in out}
+        for bj in initial_bases_json:
+            if bj["name"] not in names:
+                out.append(bj)
+        return out
+
     def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
+        if mode == "create" and base is not None:
+            # another writer created the dataset between our existence probe
+            # and this commit: our fragments are numbered from 0 and would
+            # collide — never blindly overwrite their version
+            raise _DatasetAppearedConcurrently(uri)
         if mode == "append" and base is not None:
-            # ids were reserved up front → disjoint by construction
-            fragments = base.fragments + frags
-            indices = base.indices  # still valid for covered fragments
-            cfg = base.config
-        else:
-            fragments = frags
-            indices = []
-            cfg = {}
+            # evolve carries config/indices/blob_columns/bases forward — the
+            # raw constructor with pre-read snapshots would revert registry
+            # or config commits that landed since our probe (r11 review).
+            # Bases merge against the FRESH manifest at commit time.
+            all_frags = base.fragments + frags  # reserved ids → disjoint
+            return mf.Manifest.evolve(
+                base, version, operation="append",
+                fragments=all_frags,
+                max_fragment_id=max(
+                    [f.id for f in all_frags] + [base.max_fragment_id]
+                ),
+                bases=_merged_bases(base.bases),
+            )
+        cfg: dict = {}
         if auto_cleanup_options is not None:
             # reference dataset.py:5093 auto_cleanup_options on write:
             # store the GC policy in the dataset config at create time
-            cfg = dict(cfg)
             cfg["lance.auto_cleanup.interval"] = str(auto_cleanup_options["interval"])
             cfg["lance.auto_cleanup.older_than"] = (
                 f"{auto_cleanup_options['older_than_seconds']}s"
@@ -492,20 +580,40 @@ def write_dataset(
                 cfg["lance.auto_cleanup.retain_versions"] = str(
                     auto_cleanup_options["retain_versions"]
                 )
-        max_fid = max((f.id for f in fragments), default=-1)
-        if mode == "append" and base is not None:
-            max_fid = max(max_fid, base.max_fragment_id)  # keep reservations
+        # overwrite inherits the LIVE registry (+ any initial additions);
+        # create starts from the initial list
+        bases = (
+            _merged_bases(base.bases)
+            if mode == "overwrite" and base is not None
+            else list(initial_bases_json)
+        )
         return mf.Manifest(
             version=version,
             schema_json=schema_json,
-            fragments=fragments,
-            max_fragment_id=max_fid,
+            fragments=frags,
+            max_fragment_id=max((f.id for f in frags), default=-1),
             operation=mode,
-            indices=indices,
+            indices=[],
             config=cfg,
             blob_columns=sorted(blob_columns) if blob_columns else [],
-            bases=bases_json,
+            bases=bases,
         )
 
-    mf.commit(uri, build, operation=mode, commit_lock=commit_lock)
+    try:
+        mf.commit(uri, build, operation=mode, commit_lock=commit_lock)
+    except _DatasetAppearedConcurrently:
+        if requested_mode == "append":
+            # the bootstrap create lost the race — rerun as a true append:
+            # fresh fragment-id reservation, fragments rewritten without
+            # collisions (our first attempt's files become GC-able orphans)
+            return write_dataset(
+                df, uri, mode="append",
+                max_rows_per_fragment=max_rows_per_fragment,
+                blob_columns=blob_columns, progress=progress,
+                target_bases=target_bases, initial_bases=initial_bases,
+                storage_options=storage_options, commit_lock=commit_lock,
+            )
+        raise ValueError(
+            f"dataset appeared concurrently at {uri}; use append or overwrite"
+        ) from None
     return LanceDataset(uri, storage_options=storage_options)

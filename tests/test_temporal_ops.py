@@ -263,3 +263,125 @@ def test_range_join_random_vs_bruteforce(spark):
         if rk == ak and ats <= rts < ats + datetime.timedelta(minutes=10)
     )
     assert got == want
+
+
+class TestJoinsReviewR11:
+    """Pins for the r11 adversarial review of operators/joins.py."""
+
+    def _mk(self, spark, rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    def test_null_right_time_and_null_keys_never_match(self, spark):
+        import datetime as dt
+
+        from lance_spark.operators.joins import as_of_join
+
+        t = lambda h, m=0: dt.datetime(2025, 1, 1, h, m)  # noqa: E731
+        left = self._mk(
+            spark,
+            [("A", t(10)), (None, t(10))],
+            "k string, ts timestamp",
+        )
+        right = self._mk(
+            spark,
+            [("A", None, 5.0), (None, t(9), 1.0)],
+            "k string, ts timestamp, bid double",
+        )
+        rows = {
+            r["k"]: (r["bid_asof"], r["ts_asof"])
+            for r in as_of_join(left, right, "k", "ts", ["bid"]).collect()
+        }
+        assert rows["A"] == (None, None)  # NULL right time: no match
+        assert rows[None] == (None, None)  # NULL keys don't equal each other
+
+    def test_tolerance_gates_each_value_by_its_supplier_row(self, spark):
+        import datetime as dt
+
+        from lance_spark.operators.joins import as_of_join
+
+        t = lambda h, m=0: dt.datetime(2025, 1, 1, h, m)  # noqa: E731
+        left = self._mk(spark, [("A", t(10))], "k string, ts timestamp")
+        right = self._mk(
+            spark,
+            [("A", t(9, 0), 50.0), ("A", t(9, 59), None)],
+            "k string, ts timestamp, bid double",
+        )
+        row = as_of_join(
+            left, right, "k", "ts", ["bid"], tolerance="5 minutes"
+        ).collect()[0]
+        # the carried 50.0 came from 09:00 (outside tolerance) even though
+        # the latest matched row (09:59, NULL bid) is inside it
+        assert row["bid_asof"] is None
+        assert row["ts_asof"] == t(9, 59)
+        # without tolerance the old value shows through (documented caveat)
+        row2 = as_of_join(left, right, "k", "ts", ["bid"]).collect()[0]
+        assert row2["bid_asof"] == 50.0
+
+    def test_unorderable_extra_right_columns_ok(self, spark):
+        import datetime as dt
+
+        from lance_spark.operators.joins import as_of_join
+
+        t = dt.datetime(2025, 1, 1, 9)
+        left = self._mk(
+            spark, [("A", dt.datetime(2025, 1, 1, 10))], "k string, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [("A", t, 1.0, {"x": "y"})],
+            "k string, ts timestamp, bid double, attrs map<string,string>",
+        )
+        got = as_of_join(left, right, "k", "ts", ["bid"]).collect()
+        assert got[0]["bid_asof"] == 1.0  # map column never shuffles/orders
+
+    def test_suffix_collision_raises(self, spark):
+        import datetime as dt
+
+        from lance_spark.operators.joins import as_of_join, range_join
+
+        t = dt.datetime(2025, 1, 1, 10)
+        left = self._mk(
+            spark, [("A", t, 1.0)], "k string, ts timestamp, bid_asof double"
+        )
+        right = self._mk(spark, [("A", t, 2.0)], "k string, ts timestamp, bid double")
+        with pytest.raises(ValueError, match="collide"):
+            as_of_join(left, right, "k", "ts", ["bid"])
+        left2 = self._mk(
+            spark, [("A", t, 3.0)], "k string, ts timestamp, bid_r double"
+        )
+        with pytest.raises(ValueError, match="collide"):
+            range_join(left2, right, "k", "ts", "1 hour", bucket_seconds=3600)
+
+    def test_subsecond_windows_exact(self, spark):
+        import datetime as dt
+
+        from lance_spark.operators.joins import _interval_seconds, range_join
+
+        assert _interval_seconds(spark, "500 milliseconds") == pytest.approx(0.5)
+        assert _interval_seconds(spark, "1 second 500 milliseconds") == pytest.approx(1.5)
+
+        base = dt.datetime(2025, 1, 1, 0, 0, 0)
+        us = lambda n: base + dt.timedelta(microseconds=n)  # noqa: E731
+        left = self._mk(spark, [("A", us(900_000))], "k string, ts timestamp")
+        right = self._mk(
+            spark,
+            [("A", us(2_300_000), 1), ("A", us(2_500_000), 2)],
+            "k string, ts timestamp, v int",
+        )
+        got = sorted(
+            r["v_r"]
+            for r in range_join(
+                left, right, "k", "ts", "1 second 500 milliseconds", bucket_seconds=1
+            ).collect()
+        )
+        # window [0.9s, 2.4s): 2.3s in, 2.5s out — the truncated-seconds
+        # fan-out missed the 2.3s row entirely
+        assert got == [1]
+
+    def test_rejected_nonspark_units(self, spark):
+        from lance_spark.operators.joins import range_join
+
+        left = spark.createDataFrame([("A",)], "k string").withColumn(
+            "ts", F.current_timestamp()
+        )
+        with pytest.raises(ValueError, match="positive day-time interval"):
+            range_join(left, left.select("k", "ts"), "k", "ts", "30 mins", bucket_seconds=900)
