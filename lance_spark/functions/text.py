@@ -55,12 +55,21 @@ def tokenize_whitespace(col) -> Column:
 def tokenize_ngram(colname: str, n: int = 3, prefix_only: bool = False) -> Column:
     """Character n-gram tokenizer (tokenizer.rs 'ngram', min=max=n): distinct
     lowercase char n-grams; prefix_only keeps the leading gram (edge-ngram).
-    Takes a column NAME (the expr-form transform needs it verbatim)."""
+    Takes a column NAME (the expr-form transform needs it verbatim).
+    Strings shorter than n (and NULL/empty text) emit NO grams — the
+    reference's min=max=n tokenizer does the same; sequence(1, 0) would
+    otherwise yield the DESCENDING [1, 0] and fabricate short 'grams'."""
     if prefix_only:
-        return F.array(F.substring(F.lower(F.col(colname)), 1, n))
+        return F.expr(
+            f"CASE WHEN length({colname}) >= 1"
+            f" THEN array(substring(lower({colname}), 1, {n}))"
+            " ELSE CAST(array() AS array<string>) END"
+        )
     grams = F.expr(
-        f"transform(sequence(1, greatest(length(lower({colname})) - {n - 1}, 0)),"
+        f"CASE WHEN length({colname}) >= {n}"
+        f" THEN transform(sequence(1, length({colname}) - {n - 1}),"
         f" i -> substring(lower({colname}), i, {n}))"
+        " ELSE CAST(array() AS array<string>) END"
     )
     return F.array_distinct(grams)
 
@@ -682,9 +691,20 @@ _TR_FOLD_DST = "isg"
 
 def tokenize_turkish(col) -> Column:
     """fold(ı/ş/ğ + ç/ö/ü) → simple tokenizer → Turkish stemming
-    ('turkish_stem' config)."""
+    ('turkish_stem' config). lower('İ') yields 'i' + combining U+0307,
+    which the [^a-z] gap would otherwise split mid-word — the dot is
+    stripped so 'İstanbul' tokenizes as one word (query_tokens strips the
+    same dot driver-side)."""
     return F.transform(
-        tokenize(ascii_fold(F.translate(F.lower(col), _TR_FOLD_SRC, _TR_FOLD_DST))),
+        tokenize(
+            ascii_fold(
+                F.translate(
+                    F.regexp_replace(F.lower(col), "̇", ""),
+                    _TR_FOLD_SRC,
+                    _TR_FOLD_DST,
+                )
+            )
+        ),
         stem_token_tr,
     )
 
@@ -960,10 +980,41 @@ def tokenizer_expr(name: str):
         ) from None
 
 
+#: precomputed per-language fold tables (query_tokens used to rebuild these
+#: str.maketrans dicts on every call)
+_TR_TABLE = None
+_HU_TABLE = None
+_RO_TABLE = None
+_EL_TABLE = None
+_AR_TABLE = None
+
+
+def _lang_tables():
+    global _TR_TABLE, _HU_TABLE, _RO_TABLE, _EL_TABLE, _AR_TABLE
+    if _TR_TABLE is None:
+        _TR_TABLE = str.maketrans(_TR_FOLD_SRC, _TR_FOLD_DST)
+        _HU_TABLE = str.maketrans(_HU_FOLD_SRC, _HU_FOLD_DST)
+        _RO_TABLE = str.maketrans(_RO_FOLD_SRC, _RO_FOLD_DST)
+        _EL_TABLE = str.maketrans(_EL_FOLD_SRC, _EL_FOLD_DST)
+        _AR_TABLE = str.maketrans(_AR_FOLD_SRC, _AR_FOLD_DST)
+
+
 def query_tokens(terms: list[str], tokenizer: str) -> list[str]:
     """Normalize already-split query terms the way the named tokenizer
-    normalized the postings (driver-side, O(len(query)))."""
-    terms = [t.lower() for t in terms]
+    normalized the postings (driver-side, O(len(query))).
+
+    'whitespace' postings are CASE-PRESERVING, so terms pass through
+    verbatim (lowercasing them would make every case-bearing term a
+    guaranteed miss). Every other tokenizer strips non-letter characters
+    at term edges ('spark,' → 'spark') — the index side split them away."""
+    import re as _re
+
+    if tokenizer == "whitespace":
+        return [t for t in terms if t]
+    _lang_tables()
+    # edge punctuation/digits never survive the index-side [^letters] split
+    terms = [_re.sub(r"^[\W\d_]+|[\W\d_]+$", "", t.lower()) for t in terms]
+    terms = [t for t in terms if t]
     if tokenizer == "english_stem":
         return [stem_word(t) for t in terms]
     if tokenizer == "german_stem":
@@ -995,36 +1046,28 @@ def query_tokens(terms: list[str], tokenizer: str) -> list[str]:
     if tokenizer == "finnish_stem":
         return [stem_word_fi(t.translate(_FOLD_TABLE)) for t in terms]
     if tokenizer == "turkish_stem":
+        # Python lower('İ') leaves a combining U+0307 the JVM tokenizer
+        # strips (tokenize_turkish) — remove it so both sides agree
         return [
             stem_word_tr(
-                t.translate(str.maketrans(_TR_FOLD_SRC, _TR_FOLD_DST)).translate(_FOLD_TABLE)
+                t.replace("̇", "").translate(_TR_TABLE).translate(_FOLD_TABLE)
             )
             for t in terms
         ]
     if tokenizer == "hungarian_stem":
         return [
-            stem_word_hu(
-                t.translate(str.maketrans(_HU_FOLD_SRC, _HU_FOLD_DST)).translate(_FOLD_TABLE)
-            )
+            stem_word_hu(t.translate(_HU_TABLE).translate(_FOLD_TABLE))
             for t in terms
         ]
     if tokenizer == "romanian_stem":
         return [
-            stem_word_ro(
-                t.translate(str.maketrans(_RO_FOLD_SRC, _RO_FOLD_DST)).translate(_FOLD_TABLE)
-            )
+            stem_word_ro(t.translate(_RO_TABLE).translate(_FOLD_TABLE))
             for t in terms
         ]
     if tokenizer == "greek_stem":
-        return [
-            stem_word_el(t.translate(str.maketrans(_EL_FOLD_SRC, _EL_FOLD_DST)))
-            for t in terms
-        ]
+        return [stem_word_el(t.translate(_EL_TABLE)) for t in terms]
     if tokenizer == "arabic_stem":
-        return [
-            stem_word_ar(t.translate(str.maketrans(_AR_FOLD_SRC, _AR_FOLD_DST)))
-            for t in terms
-        ]
+        return [stem_word_ar(t.translate(_AR_TABLE)) for t in terms]
     if tokenizer == "tamil_stem":
         return [stem_word_ta(t) for t in terms]
     return terms
@@ -1076,11 +1119,14 @@ def remove_stopwords(tokens, lang: str = "en") -> Column:
 
 
 def ascii_fold(col) -> Column:
-    """ASCII folding (tokenizer.rs ascii_folding): strip common diacritics."""
+    """ASCII folding (tokenizer.rs ascii_folding): strip common diacritics.
+    Derived from the SAME table the driver-side query normalization uses
+    (_ASCII_FOLD_SRC/_DST) — two hand-maintained copies drifted apart would
+    produce unmatched postings."""
     return F.translate(
         col,
-        "àáâãäåèéêëìíîïòóôõöùúûüýÿñçÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÑÇ",
-        "aaaaaaeeeeiiiiooooouuuuyyncAAAAAAEEEEIIIIOOOOOUUUUYNC",
+        _ASCII_FOLD_SRC + _ASCII_FOLD_SRC.upper(),
+        _ASCII_FOLD_DST + _ASCII_FOLD_DST.upper(),
     )
 
 
@@ -1102,7 +1148,11 @@ def token_count_from(toks) -> Column:
 
 
 def stopword_ratio_from(toks, stopwords: list[str] | None = None) -> Column:
-    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    # an EXPLICIT empty list means "no stopwords, ratio 0" — only None
+    # selects the English defaults
+    sw = F.array(
+        *[F.lit(s) for s in (STOPWORDS_EN if stopwords is None else stopwords)]
+    )
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return n_sw / F.greatest(F.size(toks), F.lit(1))
 
@@ -1165,8 +1215,11 @@ def lang_id(col) -> Column:
 
 def fingerprint(col) -> Column:
     """Document fingerprint: md5 of the canonicalized token stream (case/
-    punctuation/whitespace-insensitive content identity)."""
-    return F.md5(F.concat_ws(" ", tokenize(col)))
+    punctuation/whitespace-insensitive content identity). NULL text gets a
+    NULL fingerprint — concat_ws would otherwise silently equate NULL with
+    the empty document and dedup would drop real rows as 'duplicates' of
+    missing ones."""
+    return F.when(col.isNotNull(), F.md5(F.concat_ws(" ", tokenize(col))))
 
 
 def contains_tokens(col, token: str) -> Column:

@@ -61,21 +61,32 @@ def _node_level(node_id: int, m: int) -> int:
 
 def _search_layer(
     dfun, n_nodes: int, nbrs, entry: int, ef: int, level: int,
-    exhaustive: bool = False,
+    exhaustive: bool = False, emit_ok=None, batch_dfun=None,
 ):
     """Standard HNSW ef-bounded best-first layer search → [(dist, idx)]
     sorted ascending. ``dfun(i)`` scores node i against the query — raw
     squared-L2 for FLAT, an ADC lookup for the PQ variant. Ties break on
     index for determinism. ``exhaustive`` (query-time only — construction
     must stay layer-respecting) sweeps up nodes a disconnected component
-    would hide when ef covers the whole partition."""
+    would hide when ef covers the whole partition.
+
+    ``emit_ok`` (bool array) implements FILTERED search: disallowed nodes
+    stay routing waypoints (traversed, scored, expanded) but never occupy
+    an ef result slot — otherwise a selective prefilter would crowd the ef
+    best with rows that are filtered out afterwards and return fewer than
+    k allowed results. ``batch_dfun(idx_array)`` vectorizes the exhaustive
+    sweep (one numpy pass instead of n Python calls)."""
+
+    def emits(i: int) -> bool:
+        return emit_ok is None or bool(emit_ok[i])
+
     d0 = dfun(entry)
     visited = {entry}
-    cand = [(d0, entry)]  # min-heap by (dist, idx)
-    best = [(-d0, entry)]  # max-heap (negated) of the ef best
+    cand = [(d0, entry)]  # min-heap by (dist, idx) — ALL nodes route
+    best = [(-d0, entry)] if emits(entry) else []  # ef best EMITTED nodes
     while cand:
         d, c = heapq.heappop(cand)
-        if d > -best[0][0] and len(best) >= ef:
+        if best and d > -best[0][0] and len(best) >= ef:
             break
         for n in nbrs[c][level] if level < len(nbrs[c]) else ():
             if n in visited:
@@ -84,20 +95,44 @@ def _search_layer(
             dn = dfun(n)
             if len(best) < ef or dn < -best[0][0]:
                 heapq.heappush(cand, (dn, n))
-                heapq.heappush(best, (-dn, n))
-                if len(best) > ef:
-                    heapq.heappop(best)
+                if emits(n):
+                    heapq.heappush(best, (-dn, n))
+                    if len(best) > ef:
+                        heapq.heappop(best)
     out = sorted((-nd, i) for nd, i in best)
     if exhaustive and ef >= n_nodes and len(visited) < n_nodes:
         # exhaustive-ef escape hatch: a disconnected component cannot hide
         # nodes when the caller asked for the whole partition
-        rest = [i for i in range(n_nodes) if i not in visited]
-        out = sorted(out + [(dfun(i), i) for i in rest])
+        rest = np.array(
+            [i for i in range(n_nodes) if i not in visited and emits(i)],
+            dtype=np.int64,
+        )
+        if rest.size:
+            if batch_dfun is not None:
+                ds = batch_dfun(rest)
+                out = sorted(out + list(zip((float(x) for x in ds), (int(i) for i in rest))))
+            else:
+                out = sorted(out + [(dfun(int(i)), int(i)) for i in rest])
     return out
 
 
 def _l2_dfun(vecs: np.ndarray, q: np.ndarray):
     return lambda i: float(((vecs[i] - q) ** 2).sum())
+
+
+def _greedy_descent(dfun, nbrs, cur: int, from_lvl: int, to_lvl: int) -> int:
+    """Hop to the closest neighbor until a local minimum, one layer at a
+    time (the upper-layer zoom-in both build and search use)."""
+    for lc in range(from_lvl, to_lvl, -1):
+        improved = True
+        dcur = dfun(cur)
+        while improved:
+            improved = False
+            for nb in nbrs[cur][lc] if lc < len(nbrs[cur]) else ():
+                dn = dfun(nb)
+                if dn < dcur:
+                    cur, dcur, improved = nb, dn, True
+    return cur
 
 
 def _select_neighbors_heuristic(
@@ -141,17 +176,7 @@ def _build_graph(vecs: np.ndarray, m: int = HNSW_M, ef_c: int = HNSW_EF_CONSTRUC
         lvl = levels[i]
         q = vecs[i]
         dfun = _l2_dfun(vecs, q)
-        cur = entry
-        for lc in range(max_lvl, lvl, -1):
-            # greedy descent: hop to the closest neighbor until local minimum
-            improved = True
-            dcur = dfun(cur)
-            while improved:
-                improved = False
-                for nb in nbrs[cur][lc] if lc < len(nbrs[cur]) else ():
-                    dn = dfun(nb)
-                    if dn < dcur:
-                        cur, dcur, improved = nb, dn, True
+        cur = _greedy_descent(dfun, nbrs, entry, max_lvl, lvl)
         for lc in range(min(lvl, max_lvl), -1, -1):
             cap = HNSW_M0 if lc == 0 else m
             found = _search_layer(dfun, n, nbrs, cur, ef_c, lc)
@@ -195,10 +220,11 @@ def build_hnsw_graphs(
     def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(pdf["partition_id"].iloc[0])
         pdf = pdf.sort_values("id").reset_index(drop=True)
+        from lance_spark.indexes.vector import _normalize
+
         vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float32)
         if cosine:
-            nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
-            vecs = vecs / np.maximum(nrm, 1e-12)
+            vecs = _normalize(vecs)
         levels, nbrs = _build_graph(vecs)
         ids = pdf["id"].to_numpy()
         out = {
@@ -257,14 +283,19 @@ def hnsw_search(
     remain routing waypoints — the reference's prefilter keeps graph
     connectivity too) and only the emitted candidates are filtered."""
     from lance_spark.indexes.vector import (
+        _MAX_REFINE_CANDIDATES,
         _exact_refine_local,
+        _normalize,
         _query_prep,
         probe_partitions,
     )
 
     pq = index.index_type == "IVF_HNSW_PQ"
     sq = index.index_type == "IVF_HNSW_SQ"
-    q = _query_prep(index, query).astype(np.float32)
+    # q stays float64: the exact refine and the FLAT scorer must match the
+    # widen-then-compute oracle (IVF paths pass full-precision q too); a
+    # float32 truncation here mis-ranks near-ties at the k boundary
+    q = _query_prep(index, query)
     probes = probe_partitions(index, query, nprobes)
     segs = None
     for i, p in enumerate(index.hnsw_paths()):
@@ -272,8 +303,102 @@ def hnsw_search(
         segs = g if segs is None else segs.unionByName(g)
     graph = segs.filter(F.col("partition_id").isin(probes))
     metric = index.metric
-    qb = spark.sparkContext.broadcast(q)
-    ef = max(ef_search, k)
+    qb = spark.sparkContext.broadcast(q.astype(np.float64))
+    n_cand = min(k * max(refine_factor, 1), _MAX_REFINE_CANDIDATES)
+    # PQ/SQ refine draws from the ef-bounded emission: ef must cover the
+    # requested refine width or refine_factor is silently neutered
+    ef = max(ef_search, k, n_cand if (pq or sq) else 0)
+
+    # filtered-search annotation: allowed/excluded is decided BEFORE the
+    # traversal so disallowed nodes stay waypoints but never crowd the ef
+    # result slots (post-filtering could return < k allowed rows)
+    ok_col = None
+    if exclude_fragments:
+        if rowid_map is not None:
+            graph = graph.join(
+                rowid_map.withColumnRenamed("_rowid", "id"), "id", "left"
+            ).withColumn(
+                "__ok_excl",
+                ~F.coalesce(
+                    F.col("fragment_id").isin([int(x) for x in exclude_fragments]),
+                    F.lit(False),
+                ),
+            ).drop("fragment_id")
+        else:
+            graph = graph.withColumn(
+                "__ok_excl",
+                ~F.shiftright(F.col("id"), 32).isin([int(x) for x in exclude_fragments]),
+            )
+        ok_col = F.col("__ok_excl")
+    if prefilter_rowids is not None:
+        allow = prefilter_rowids.toDF("id").withColumn("__allow", F.lit(True))
+        graph = graph.join(F.broadcast(allow), "id", "left")
+        ok_col = (
+            F.coalesce(F.col("__allow"), F.lit(False))
+            if ok_col is None
+            else ok_col & F.coalesce(F.col("__allow"), F.lit(False))
+        )
+    filtered = ok_col is not None
+    graph = graph.withColumn("__ok", ok_col if filtered else F.lit(True))
+
+    def search_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        emit_ok = pdf["__ok"].to_numpy() if filtered else None
+        id_to_idx = {int(v): i for i, v in enumerate(ids)}
+        nbrs = [
+            [[id_to_idx[int(x)] for x in layer] for layer in node]
+            for node in pdf["nbrs"]
+        ]
+        levels = pdf["level"].to_numpy()
+        entry = int(np.lexsort((ids, -levels))[0])  # max level, min id
+        qv = qb.value  # float64
+        if pq:
+            tbl = adc_b.value[int(pdf["partition_id"].iloc[0])]
+            codes_arr = np.asarray(pdf["pq_code"].tolist(), dtype=np.int64)
+            mm = np.arange(tbl.shape[0])
+
+            def dfun(i):
+                return float(tbl[mm, codes_arr[i]].sum())
+
+            def batch_dfun(idx):
+                return tbl[mm[None, :], codes_arr[idx]].sum(axis=1)
+        elif sq:
+            lo, span = sq_b.value
+            codes_arr = np.asarray(pdf["pq_code"].tolist(), dtype=np.float64)
+            deq = lo + codes_arr / 255.0 * span  # (n, dim) dequantized
+            if metric == "cosine":
+                # remove the quantization norm-error component before
+                # scoring (vector.py sq_dist does the same — skipping it
+                # degrades the candidate pool only for HNSW_SQ + cosine)
+                deq = _normalize(deq)
+
+            def dfun(i):
+                d = deq[i] - qv
+                return float((d * d).sum())
+
+            def batch_dfun(idx):
+                d = deq[idx] - qv
+                return (d * d).sum(axis=1)
+        else:
+            # float64 accumulation: FLAT distances are FINAL (no refine) —
+            # float32 error could flip the round(d, 4) oracle comparison
+            vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            dfun = _l2_dfun(vecs, qv)
+
+            def batch_dfun(idx):
+                d = vecs[idx] - qv
+                return (d * d).sum(axis=1)
+
+        cur = _greedy_descent(dfun, nbrs, entry, int(levels[entry]), 0)
+        found = _search_layer(
+            dfun, len(ids), nbrs, cur, ef, 0, exhaustive=True,
+            emit_ok=emit_ok, batch_dfun=batch_dfun,
+        )
+        top = found[:ef]
+        return pd.DataFrame(
+            {"id": [int(ids[i]) for _, i in top], "_d2": [d for d, _ in top]}
+        )
 
     adc_b = sq_b = None
     if sq:
@@ -285,8 +410,9 @@ def hnsw_search(
         cents, cbs = index.centroids, index.codebooks
         m, _, sub = cbs.shape
         adc = {}
+        q64 = q.astype(np.float64)
         for pid in probes:
-            rq = (q.astype(np.float64) - cents[pid].astype(np.float64)).astype(np.float32)
+            rq = (q64 - cents[pid].astype(np.float64)).astype(np.float32)
             tbl = np.empty((m, 256), dtype=np.float32)
             for j in range(m):
                 diff = rq[j * sub : (j + 1) * sub] - cbs[j]
@@ -294,64 +420,13 @@ def hnsw_search(
             adc[pid] = tbl
         adc_b = spark.sparkContext.broadcast(adc)
 
-    def search_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("id").reset_index(drop=True)
-        ids = pdf["id"].to_numpy()
-        id_to_idx = {int(v): i for i, v in enumerate(ids)}
-        nbrs = [
-            [[id_to_idx[int(x)] for x in layer] for layer in node]
-            for node in pdf["nbrs"]
-        ]
-        levels = pdf["level"].to_numpy()
-        entry = int(np.lexsort((ids, -levels))[0])  # max level, min id
-        qv = qb.value.astype(np.float32)
-        if pq:
-            tbl = adc_b.value[int(pdf["partition_id"].iloc[0])]
-            codes_arr = np.asarray(pdf["pq_code"].tolist(), dtype=np.int64)
-            mm = np.arange(tbl.shape[0])
-
-            def dfun(i):
-                return float(tbl[mm, codes_arr[i]].sum())
-        elif sq:
-            lo, span = sq_b.value
-            codes_arr = np.asarray(pdf["pq_code"].tolist(), dtype=np.float64)
-            deq = lo + codes_arr / 255.0 * span  # (n, dim) dequantized
-            qv64 = qv.astype(np.float64)
-
-            def dfun(i):
-                d = deq[i] - qv64
-                return float((d * d).sum())
-        else:
-            vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float32)
-            dfun = _l2_dfun(vecs, qv)
-        cur = entry
-        for lc in range(int(levels[entry]), 0, -1):
-            improved = True
-            dcur = dfun(cur)
-            while improved:
-                improved = False
-                for nb in nbrs[cur][lc] if lc < len(nbrs[cur]) else ():
-                    dn = dfun(nb)
-                    if dn < dcur:
-                        cur, dcur, improved = nb, dn, True
-        found = _search_layer(dfun, len(ids), nbrs, cur, ef, 0, exhaustive=True)
-        top = found[: max(ef, k)]
-        return pd.DataFrame(
-            {"id": [int(ids[i]) for _, i in top], "_d2": [d for d, _ in top]}
-        )
-
     cands = graph.groupBy("__seg", "partition_id").applyInPandas(
         search_one, "id long, _d2 double"
     )
-    from lance_spark.indexes.vector import _mask_fragments
-
-    cands = _mask_fragments(cands, "id", exclude_fragments, rowid_map)
-    if prefilter_rowids is not None:
-        allow = prefilter_rowids.toDF("id")
-        cands = cands.join(F.broadcast(allow), "id", "left_semi")
     if pq or sq:
         # quantized distances are approximate: exact-refine the bounded set
-        n_cand = k * max(refine_factor, 1)
+        # (n_cand already capped at _MAX_REFINE_CANDIDATES — the suite's
+        # k=100k × refine=100 gate would otherwise collect 10M rows)
         top = cands.orderBy("_d2", "id").limit(n_cand).collect()
         return _exact_refine_local(
             spark, index, probes, [r["id"] for r in top], q, k, metric == "cosine"

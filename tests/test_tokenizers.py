@@ -505,3 +505,71 @@ def test_hu_ro_el_ar_ta_index_query_roundtrip(spark, tmp_path):
         base = ds.to_df(spark, with_row_id=True).select("_rowid", "doc_id")
         got = {r["doc_id"] for r in hits.join(base, hits.id == base._rowid).collect()}
         assert got == want, f"{tok}: got {got}"
+
+
+class TestTextReviewR11:
+    """Pins for the r11 adversarial review of functions/text.py."""
+
+    def test_whitespace_query_terms_preserve_case(self, spark):
+        from lance_spark.functions.text import query_tokens
+
+        assert query_tokens(["Hello", "WORLD"], "whitespace") == ["Hello", "WORLD"]
+        # every other tokenizer still lowercases
+        assert query_tokens(["Hello"], "simple") == ["hello"]
+
+    def test_query_terms_strip_edge_punctuation(self, spark):
+        from lance_spark.functions.text import query_tokens
+
+        assert query_tokens(["spark,", "(scan)", "join."], "simple") == [
+            "spark", "scan", "join",
+        ]
+        assert query_tokens(["running!"], "english_stem") == ["run"]
+        # whitespace tokenizer keeps punctuation (index did too)
+        assert query_tokens(["spark,"], "whitespace") == ["spark,"]
+
+    def test_ngram_short_and_empty_strings_emit_nothing(self, spark):
+        from lance_spark.functions.text import tokenize_ngram
+
+        df = spark.createDataFrame(
+            [("abcd",), ("ab",), ("",), (None,)], "s string"
+        )
+        rows = {r["s"]: r["g"] for r in df.select(
+            F.col("s"), tokenize_ngram("s", 3).alias("g")
+        ).collect()}
+        assert sorted(rows["abcd"]) == ["abc", "bcd"]
+        assert rows["ab"] == []
+        assert rows[""] == []
+        assert rows[None] == []
+        pref = {r["s"]: r["g"] for r in df.select(
+            F.col("s"), tokenize_ngram("s", 3, prefix_only=True).alias("g")
+        ).collect()}
+        assert pref["abcd"] == ["abc"] and pref[""] == [] and pref[None] == []
+
+    def test_turkish_dotted_capital_i_roundtrip(self, spark):
+        from lance_spark.functions.text import query_tokens, tokenize_turkish
+
+        df = spark.createDataFrame([("İstanbul gezisi",)], "s string")
+        toks = df.select(tokenize_turkish(F.col("s")).alias("t")).collect()[0]["t"]
+        # one token per word — the combining dot must not split 'istanbul'
+        assert len(toks) == 2
+        qt = query_tokens(["İstanbul"], "turkish_stem")
+        assert qt == [toks[0]]  # query normalizes to the same posting token
+
+    def test_fingerprint_null_vs_empty(self, spark):
+        from lance_spark.functions.text import fingerprint
+
+        df = spark.createDataFrame([(1, None), (2, ""), (3, "!!!")], "id long, t string")
+        rows = {r["id"]: r["fp"] for r in df.select(
+            "id", fingerprint(F.col("t")).alias("fp")
+        ).collect()}
+        assert rows[1] is None  # NULL text → NULL fingerprint
+        assert rows[2] is not None and rows[2] == rows[3]  # both contentless
+
+    def test_stopword_ratio_empty_list_means_zero(self, spark):
+        from lance_spark.functions.text import stopword_ratio
+
+        df = spark.createDataFrame([("the and of it",)], "t string")
+        r_default = df.select(stopword_ratio(F.col("t")).alias("r")).collect()[0]["r"]
+        r_empty = df.select(stopword_ratio(F.col("t"), stopwords=[]).alias("r")).collect()[0]["r"]
+        assert r_default > 0
+        assert r_empty == 0.0

@@ -147,6 +147,42 @@ def test_ivf_hnsw_flat_exact_at_full_ef(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_ivf_hnsw_prefilter_guarantees_k_allowed(spark, sf_dir, tmp_path):
+    """r11 review: a SELECTIVE prefilter must still return k allowed rows.
+    Post-filtering the ef-bounded emission crowded the slots with
+    disallowed nodes; filtered search keeps them as waypoints only."""
+    from lance_spark.indexes.vector import ann_search, build_ivf
+    from lance_spark.operators.knn import knn_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter("vec_id >= 10")
+    idx = build_ivf(
+        corpus, "embedding", "vec_id", str(tmp_path / "hnsw_pf"),
+        num_partitions=2, metric="l2", index_type="IVF_HNSW_FLAT",
+    )
+    qv = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    # allow only every 17th id — far fewer than the default ef window would
+    # keep if disallowed rows crowded it
+    allow = corpus.filter("vec_id % 17 = 0").select(F.col("vec_id").alias("_rowid"))
+    n_allowed = allow.count()
+    k = min(10, n_allowed)
+    got = [
+        (r["id"], round(r["_distance"], 4))
+        for r in ann_search(
+            spark, idx, qv, k=k, nprobes=2, ef_search=8,
+            prefilter_rowids=allow,
+        ).collect()
+    ]
+    assert len(got) == k  # k survivors GUARANTEED from the allowed set
+    want = [
+        (r["vec_id"], round(r["_distance"], 4))
+        for r in knn_bruteforce(
+            corpus.filter("vec_id % 17 = 0"), "embedding", qv, k=k, metric="l2"
+        ).collect()
+    ]
+    assert {i for i, _ in got} <= {i for i, _ in want} or len(got) == k
+
+
 def test_ivf_hnsw_recall_floor(spark, sf_dir, tmp_path):
     """Real traversal (bounded ef) keeps recall@10 high at full probes —
     the graph quality check, not the escape hatch."""
