@@ -26,6 +26,20 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def _flat_terms(terms: list[str]) -> list[str]:
+    """Normalize raw query terms exactly like the simple tokenizer the
+    flat postings use (lower → split on non-letters → drop empties). A
+    bare .lower() left punctuation attached ('spark,'), which can never
+    match a posting — and made the flat fallback diverge from the indexed
+    path, which normalizes via query_tokens."""
+    import re
+
+    out = []
+    for t in terms:
+        out.extend(x for x in re.split(r"[^a-z]+", t.lower()) if x)
+    return out
+
+
 def build_postings(df: DataFrame, text_col: str, id_col: str) -> tuple[DataFrame, DataFrame]:
     """Returns (postings{token, id, tf}, doclens{id, dl})."""
     toks = df.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("toks"))
@@ -61,7 +75,7 @@ def bm25_search(
     n_docs_avgdl = doclens.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    qp = postings.filter(F.col("token").isin([t.lower() for t in query_terms]))
+    qp = postings.filter(F.col("token").isin(_flat_terms(query_terms)))
     dfreq = qp.groupBy("token").agg(F.count("*").alias("df"))
     scored = (
         qp.join(F.broadcast(dfreq), "token")
@@ -90,17 +104,26 @@ def phrase_match(
     PhraseQuery.slop): slop=0 is containment in the canonical token stream;
     slop>0 runs the same in-order candidate walk as the indexed path over
     per-term position arrays computed from the token array."""
+    terms = _flat_terms(phrase.split())
+    if not terms:
+        # an empty/punctuation-only phrase matches nothing (the slop=0
+        # containment would otherwise 'match' empty-token docs, and the
+        # slop>0 walk crashed on terms[0])
+        return df.filter(F.lit(False)).select(F.col(id_col))
     if slop == 0:
         canon = F.concat_ws(" ", tokenize(F.col(text_col)))
-        needle = " ".join(phrase.lower().split())
+        needle = " ".join(terms)
         return df.filter(
             F.concat(F.lit(" "), canon, F.lit(" ")).contains(f" {needle} ")
         ).select(F.col(id_col))
 
     from lance_spark.indexes.inverted import _phrase_step
 
-    terms = [t for t in phrase.lower().split() if t]
     base = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__w"))
+    # docs with fewer tokens than the phrase can't match — and pruning
+    # them keeps sequence(1, size) valid (size=0 threw
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT for ANY empty-token row)
+    base = base.filter(F.size("__w") >= len(terms))
 
     def positions(term):
         return F.filter(
@@ -125,6 +148,7 @@ def fuzzy_match(
     term: str,
     fuzziness: int | None = 1,
     transpositions: bool = True,
+    max_expansions: int = 50,
 ) -> DataFrame:
     """Fuzzy Match (inverted/query.rs MatchQuery.fuzziness): docs containing
     a token within ``fuzziness`` edit distance of the term. ``None`` picks
@@ -143,11 +167,18 @@ def fuzzy_match(
 
     if fuzziness is None:
         fuzziness = auto_fuzziness(term)
+    # cap the expansion set by (distance, token) like the indexed
+    # fuzzy_query: uncapped, the flat path returned a strictly larger doc
+    # set than the same query after an index build, and the vocab_hits
+    # broadcast was unbounded at web-scale vocabulary
     vocab_hits = (
         toks.select(F.col("tok").alias("token"))
         .distinct()
-        .filter(_edit_distance_col(term.lower(), transpositions) <= fuzziness)
-        .withColumnRenamed("token", "tok")
+        .withColumn("__d", _edit_distance_col(term.lower(), transpositions))
+        .filter(F.col("__d") <= fuzziness)
+        .orderBy("__d", "token")
+        .limit(max_expansions)
+        .select(F.col("token").alias("tok"))
     )
     hits = toks.join(F.broadcast(vocab_hits), "tok", "left_semi")
     return hits.select("id").distinct().withColumnRenamed("id", id_col)
@@ -166,6 +197,12 @@ def multi_match(
     boost-weighted sum (dis-max=false semantics). Each field gets its own
     postings/doclens statistics."""
     boosts = boosts or [1.0] * len(field_cols)
+    if len(boosts) != len(field_cols):
+        # zip would silently DROP trailing fields (recall change, not just
+        # scoring) on a one-too-few boosts typo
+        raise ValueError(
+            f"boosts has {len(boosts)} entries for {len(field_cols)} fields"
+        )
     combined = None
     for col, boost in zip(field_cols, boosts):
         # k=None: no per-field truncation, so combined ranking is exact
@@ -194,9 +231,9 @@ def boolean_search(
     intersect, should = scoring union, must_not = anti-join."""
     toks = tokenize(F.col(text_col))
     base = df
-    for t in must or []:
-        base = base.filter(F.array_contains(toks, t.lower()))
-    for t in must_not or []:
-        base = base.filter(~F.array_contains(toks, t.lower()))
+    for t in _flat_terms(must or []):
+        base = base.filter(F.array_contains(toks, t))
+    for t in _flat_terms(must_not or []):
+        base = base.filter(~F.array_contains(toks, t))
     terms = (should or []) + (must or [])
     return bm25_search(base, text_col, id_col, terms, k=k)

@@ -306,3 +306,56 @@ def test_fts_sql_non_literal_arg_in_cte_raises(spark, docs_ds):
             spark,
             "WITH h AS (SELECT * FROM fts(doc_id)) SELECT * FROM h",
         )
+
+
+class TestFtsFlatReviewR11:
+    """Pins for the r11 adversarial review of operators/fts.py."""
+
+    def test_bm25_terms_normalize_like_index(self, spark):
+        from lance_spark.operators.fts import bm25_search
+
+        df = spark.createDataFrame(
+            [(1, "spark scans tables"), (2, "duck pond")], "id long, text string"
+        )
+        hits = bm25_search(df, "text", "id", ["spark,"], k=5).collect()
+        assert [r["id"] for r in hits] == [1]
+
+    def test_phrase_slop_survives_empty_token_rows(self, spark):
+        from lance_spark.operators.fts import phrase_match
+
+        df = spark.createDataFrame(
+            [(1, "quick brown fox"), (2, "123 456"), (3, None), (4, "")],
+            "id long, text string",
+        )
+        got = [r["id"] for r in phrase_match(df, "text", "id", "quick brown", slop=1).collect()]
+        assert got == [1]
+        # punctuation in the phrase normalizes like the document side
+        got0 = [r["id"] for r in phrase_match(df, "text", "id", "quick, brown").collect()]
+        assert got0 == [1]
+        # empty phrase matches NOTHING in either branch
+        assert phrase_match(df, "text", "id", "  ", slop=0).count() == 0
+        assert phrase_match(df, "text", "id", "  ", slop=1).count() == 0
+
+    def test_multi_match_boost_length_validated(self, spark):
+        import pytest
+
+        from lance_spark.operators.fts import multi_match
+
+        df = spark.createDataFrame(
+            [(1, "spark", "pond")], "id long, a string, b string"
+        )
+        with pytest.raises(ValueError, match="boosts"):
+            multi_match(df, ["a", "b"], "id", ["spark"], boosts=[1.0])
+
+    def test_fuzzy_match_caps_expansions(self, spark):
+        from lance_spark.operators.fts import fuzzy_match
+
+        rows = [(i, f"tok{'abcdefg'[i % 7]} filler") for i in range(30)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        # max_expansions=1 keeps only the closest vocab token (toka, d=0)
+        got = fuzzy_match(df, "text", "id", "toka", fuzziness=2, max_expansions=1)
+        hit_ids = {r["id"] for r in got.collect()}
+        assert hit_ids == {i for i in range(30) if i % 7 == 0}
+        # uncapped, all tokb..tokg (distance 1) match too
+        full = fuzzy_match(df, "text", "id", "toka", fuzziness=2)
+        assert full.count() == 30
