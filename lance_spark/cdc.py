@@ -21,30 +21,43 @@ this O(changed fragments), never a table diff:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lance_spark.write import ROWID_COL
 
 
-def _deleted_rowids(spark: SparkSession, root: str, paths: list[str]) -> DataFrame | None:
+def _deleted_rowids(ds, spark: SparkSession, paths: list[str]) -> DataFrame | None:
     if not paths:
         return None
-    return spark.read.parquet(*[os.path.join(root, p) for p in paths]).select(ROWID_COL)
+    # ds._read_files is the single read seam (absolute clone paths,
+    # storage/io layering) — a raw spark.read.parquet copy would drift
+    return ds._read_files(spark, paths).select(ROWID_COL)
+
+
+def _files_replaced(of, nf) -> bool:
+    """True when a common fragment's EXISTING column group points at a
+    different file (DataReplacement / restore of a column swap) — a
+    value change with unchanged rowids. A merely APPENDED group
+    (add_columns) is not a replacement of existing values."""
+    newby = {tuple(f.columns): f.path for f in nf.files}
+    return any(
+        tuple(f.columns) in newby and newby[tuple(f.columns)] != f.path
+        for f in of.files
+    )
 
 
 def changes(ds, spark: SparkSession, from_version: int, to_version: int | None = None) -> DataFrame:
-    """Rows inserted/deleted between two versions. Returns
+    """Rows inserted/deleted/updated between two versions. Returns
     ``(_change_type, _rowid, <table columns>)`` — column values populated
-    for inserts, null for deletes (the row no longer exists to read).
-    ``from_version`` is exclusive, ``to_version`` inclusive (defaults to
-    the dataset's current version)."""
-    from lance_spark.dataset import LanceDataset
-
-    old = LanceDataset(ds.uri, version=from_version)
-    new = LanceDataset(ds.uri, version=to_version) if to_version is not None else ds
+    for inserts/updates, null for deletes (the row no longer exists to
+    read). ``from_version`` is exclusive, ``to_version`` inclusive
+    (defaults to the dataset's current version). ``update`` rows cover
+    (a) rows RESURRECTED by a sidecar shrink (restore after a delete) and
+    (b) live rows of fragments whose data files were replaced in place
+    (DataReplacement) — both invisible to a pure membership diff."""
+    old = ds._derived(version=from_version)
+    new = ds._derived(version=to_version) if to_version is not None else ds
     if new.manifest.version < old.manifest.version:
         raise ValueError("to_version must be >= from_version")
     cols = new.columns
@@ -65,27 +78,44 @@ def changes(ds, spark: SparkSession, from_version: int, to_version: int | None =
     dropped = [old_frags[f] for f in old_frags if f not in new_frags]
     if dropped:
         del_pieces.append(old._fragment_df(spark, dropped, []).select(ROWID_COL))
-    # (b) common fragments whose deletion sidecar grew: new − old rowids
-    new_dels, old_dels = [], []
+    # (b) common fragments whose deletion sidecar changed: new − old rowids
+    # are deletes; old − new are RESURRECTIONS (restore shrank the sidecar)
+    new_dels, old_dels, sidecar_fids = [], [], []
     for fid, nf in new_frags.items():
         of = old_frags.get(fid)
         if of is None or nf.deletion_file == of.deletion_file:
             continue
+        sidecar_fids.append(fid)
         if nf.deletion_file:
             new_dels.append(nf.deletion_file)
         if of.deletion_file:
             old_dels.append(of.deletion_file)
-    nd = _deleted_rowids(spark, ds.uri, new_dels)
-    if nd is not None:
-        od = _deleted_rowids(spark, ds.uri, old_dels)
-        if od is not None:
-            nd = nd.join(od, on=ROWID_COL, how="left_anti")
+    nd_raw = _deleted_rowids(new, spark, new_dels)
+    od_raw = _deleted_rowids(old, spark, old_dels)
+    if nd_raw is not None:
+        nd = (
+            nd_raw.join(F.broadcast(od_raw), on=ROWID_COL, how="left_anti")
+            if od_raw is not None
+            else nd_raw
+        )
         del_pieces.append(nd)
     dels = None
     if del_pieces:
         dels = del_pieces[0]
         for p in del_pieces[1:]:
             dels = dels.unionByName(p)
+
+    # rows live again at ``to``: in the OLD sidecar but not the new one —
+    # values read back from the fragments that still hold them
+    resurrected = None
+    if od_raw is not None:
+        back = (
+            od_raw.join(F.broadcast(nd_raw), on=ROWID_COL, how="left_anti")
+            if nd_raw is not None
+            else od_raw
+        )
+        vals = new._fragment_df(spark, [new_frags[f] for f in sidecar_fids], None)
+        resurrected = vals.join(back, on=ROWID_COL, how="left_semi")
 
     # ---- cancel moved rows (compaction preserves rowids) -----------------
     # a rowid appearing as BOTH candidate insert and candidate delete only
@@ -114,10 +144,29 @@ def changes(ds, spark: SparkSession, from_version: int, to_version: int | None =
                 F.lit("delete").alias("_change_type"), F.col(ROWID_COL), *null_cols
             )
         )
+    if resurrected is not None:
+        pieces.append(
+            resurrected.select(
+                F.lit("update").alias("_change_type"), F.col(ROWID_COL), *cols
+            )
+        )
+    # in-place value swaps (DataReplacement / restore of one): same
+    # fragment id, same rowids, different data file → live rows surface
+    # as updates with the NEW values
+    replaced = [
+        fid
+        for fid, nf in new_frags.items()
+        if fid in old_frags and _files_replaced(old_frags[fid], nf)
+    ]
+    if replaced:
+        pieces.append(
+            new._fragment_df(spark, [new_frags[f] for f in replaced], None).select(
+                F.lit("update").alias("_change_type"), F.col(ROWID_COL), *cols
+            )
+        )
 
     if not pieces:
-        empty = new._fragment_df(spark, [], None).limit(0)
-        return empty.select(
+        return new._fragment_df(spark, [], None).select(
             F.lit("insert").alias("_change_type"), F.col(ROWID_COL), *cols
         )
     out = pieces[0]

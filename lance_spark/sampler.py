@@ -31,6 +31,7 @@ __all__ = [
     "FullScanSampler",
     "ShardedFragmentSampler",
     "ShardedBatchSampler",
+    "ShardedFixedBatchSampler",
     "ShardedBatchIterator",
     "CachedDataset",
 ]
@@ -50,13 +51,23 @@ def _fragment_table(ds, frag, columns=None, filter=None, with_row_id=False):  # 
     missing = [c for c in want if c not in found]
     if missing:
         raise KeyError(f"columns not in fragment {frag.id}: {missing}")
+    # a string filter may reference columns OUTSIDE the projection (late
+    # materialization, reference scanner semantics): read them for the
+    # predicate, drop them from the output
+    read_cols = list(want)
+    if isinstance(filter, str):
+        import re
+
+        avail = {c for f in frag.files for c in f.columns}
+        refs = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", filter))
+        read_cols += [c for c in sorted(avail - set(want)) if c in refs]
     tables = [
         pq.read_table(
             ds._abs(f.path),
-            columns=[ROWID_COL] + [c for c in f.columns if c in want],
+            columns=[ROWID_COL] + [c for c in f.columns if c in read_cols],
         )
         for f in frag.files
-        if any(c in want for c in f.columns)
+        if any(c in read_cols for c in f.columns)
     ]
     base = tables[0]
     for t in tables[1:]:
@@ -118,6 +129,8 @@ def maybe_sample(
         dataset = LanceDataset(dataset)
     if isinstance(columns, str):
         columns = [columns]
+    if n <= 0:
+        return  # the positional path would otherwise divide by takes=0
 
     frags = [f for f in dataset.manifest.fragments]
     total = sum(f.num_rows for f in frags)
@@ -180,14 +193,16 @@ def maybe_sample(
     # positional sampling: global position -> (fragment, local offset)
     takes = min(max_takes, n)
     chunk = max(total // takes, 1)
-    per_chunk = max(n // takes, 1)
+    # CEIL, not floor: n just above max_takes would otherwise take 1 row
+    # per window and return ~half the requested sample
+    per_chunk = max(-(-n // takes), 1)
     sampled = 0
     buf, buffered = [], 0
     for start in range(0, total, chunk):
         if sampled >= n:
             break
         local = min(chunk, total - start)
-        take_n = min(per_chunk, local)
+        take_n = min(per_chunk, local, n - sampled)
         # +1: randint's high is exclusive — without it the window could
         # never END at the chunk boundary, zeroing the last row's
         # sampling probability in every chunk
@@ -205,6 +220,28 @@ def maybe_sample(
         yield from out.to_batches(max_chunksize=batch_size)
 
 
+#: last-two fragment tables, keyed (uri, version, frag, columns, rowid):
+#: consecutive positional takes walk fragments in order, so a tiny cache
+#: collapses the per-take full-fragment re-read (a 1M-row fragment read
+#: ~1000× per epoch by a batch_size=128 sharded loader otherwise)
+_FRAG_TABLE_CACHE: dict = {}
+
+
+def _cached_fragment_table(ds, frag, columns, with_row_id):
+    key = (
+        ds.uri, ds.manifest.version, frag.id,
+        tuple(columns) if columns else None, with_row_id,
+    )
+    hit = _FRAG_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    t = _fragment_table(ds, frag, columns, with_row_id=with_row_id)
+    while len(_FRAG_TABLE_CACHE) >= 2:
+        _FRAG_TABLE_CACHE.pop(next(iter(_FRAG_TABLE_CACHE)))
+    _FRAG_TABLE_CACHE[key] = t
+    return t
+
+
 def _take_positions(ds, frags, positions, columns, with_row_id=False):
     """Global live-row positions → one arrow table (fragment-pruned)."""
     import pyarrow as pa
@@ -220,7 +257,7 @@ def _take_positions(ds, frags, positions, columns, with_row_id=False):
             local.append(pos - lo)
             pos = next(it, None)
         if local:
-            t = _fragment_table(ds, frag, columns, with_row_id=with_row_id)
+            t = _cached_fragment_table(ds, frag, columns, with_row_id)
             out.append(t.take(local))
         lo = hi
     return pa.concat_tables(out) if out else pa.table({})
@@ -238,6 +275,8 @@ class PrioritizedItem(Generic[T]):
 def reservoir_sampling(stream: Iterable[T], k: int) -> list[T]:
     """Approximate k-reservoir over an arbitrary stream (reference
     sampler.py:241-258 — same random-priority heap)."""
+    if k <= 0:
+        return []  # rng.integers(0, 0) would raise on the first item
     rng = np.random.default_rng()
     heap: list[PrioritizedItem] = []
     for idx, item in enumerate(stream):
@@ -378,16 +417,27 @@ class ShardedBatchSampler(Sampler):
     ):
         frags = list(dataset.manifest.fragments)
         if filter is not None:
-            # filtered: scan own fragment shard's filtered stream, keep all
-            # (positions can't be pre-assigned once a filter intervenes)
-            batches = []
+            # filtered: every rank scans the filtered stream and keeps its
+            # modulo share (positions can't be pre-assigned once a filter
+            # intervenes). Streaming: memory stays one fragment, never the
+            # whole filtered dataset; the randomized variant buffers only
+            # THIS rank's share and shuffles it with (seed + epoch) so runs
+            # are reproducible and set_epoch re-orders (the unfiltered
+            # path's contract).
+            idx = 0
+            mine = [] if self._randomize else None
             for frag in frags:
                 t = _fragment_table(dataset, frag, columns, filter, with_row_id)
-                batches.extend(t.to_batches(max_chunksize=batch_size))
-            mine = batches[self._rank :: self._world_size]
-            if self._randomize:
-                mine = reservoir_sampling(iter(mine), len(mine))
-            yield from mine
+                for b in t.to_batches(max_chunksize=batch_size):
+                    if idx % self._world_size == self._rank:
+                        if mine is None:
+                            yield b
+                        else:
+                            mine.append(b)
+                    idx += 1
+            if mine is not None:
+                random.Random(self._seed + self._epoch).shuffle(mine)
+                yield from mine
             return
         total = sum(f.num_rows for f in frags)
         starts = list(range(0, total, batch_size))
@@ -431,10 +481,13 @@ class ShardedFixedBatchSampler(ShardedBatchSampler):
         return start, min(start + per_rank, self._total_num_rows)
 
     def __len__(self) -> int:
-        if self._batch_size == 0 and self._total_num_rows == 0:
+        # must agree with __iter__: the last rank's range is CLAMPED, so
+        # the ceil per-rank count can overstate its batches (a torch loop
+        # driven by len() would then hang at a distributed barrier)
+        if self._batch_size <= 0 or self._total_num_rows <= 0:
             return 0
-        per_rank = -(-self._total_num_rows // self._world_size)
-        return -(-per_rank // self._batch_size)
+        start, end = self._rank_range()
+        return -(-(end - start) // self._batch_size) if end > start else 0
 
     def __iter__(self):
         if self._batch_size <= 0 or self._total_num_rows <= 0:

@@ -123,3 +123,78 @@ def test_changes_compaction_reports_nothing(spark, sf_dir, tmp_path):
     assert len(ds.get_fragments()) < 4
     ch = ds.changes(spark, v_before)
     assert ch.count() == 0
+
+
+class TestCdcReviewR11:
+    """Pins for the r11 adversarial review of cdc.py."""
+
+    def test_restore_resurrections_surface_as_updates(self, spark, sf_dir, tmp_path):
+        import lance_spark as ls
+
+        uri = str(tmp_path / "cdc_r")
+        ds = ls.write_dataset(
+            spark.read.parquet(f"{sf_dir}/region.parquet"), uri, mode="create"
+        )
+        ds = ds.delete(spark, "r_regionkey = 2")  # v2
+        v2 = ds.version
+        ds = ds.checkout_version(1).restore()  # v3: row 2 is live again
+        ch = ds.changes(spark, v2).collect()
+        kinds = {(r["_change_type"], r["r_regionkey"]) for r in ch}
+        assert ("update", 2) in kinds  # resurrected row, values populated
+        assert not any(k == "delete" for k, _ in kinds)
+        row = next(r for r in ch if r["_change_type"] == "update")
+        assert row["r_name"] is not None
+
+    def test_data_replacement_surfaces_as_update(self, spark, sf_dir, tmp_path):
+        import lance_spark as ls
+        from lance_spark import manifest as mf
+        from lance_spark.operation import LanceOperation, commit
+
+        DataReplacementGroup = LanceOperation.DataReplacementGroup
+
+        uri = str(tmp_path / "cdc_dr")
+        docs = spark.createDataFrame([(i, i * 10) for i in range(5)], "id long, v long")
+        ds = ls.write_dataset(docs.coalesce(1), uri, mode="create")
+        v1 = ds.version
+        frag = ds.manifest.fragments[0]
+        # write a replacement file with doubled values, same rowids
+        import pyarrow.parquet as pq
+
+        old = pq.read_table(f"{uri}/{frag.files[0].path}")
+        import os as _os
+
+        import pyarrow as pa
+
+        new_rel = "data/frag-%d-repl.parquet" % frag.id
+        tbl = old.set_column(
+            old.schema.get_field_index("v"),
+            "v",
+            pa.array([x.as_py() * 2 for x in old.column("v")]),
+        )
+        pq.write_table(tbl, _os.path.join(uri, new_rel))
+        ds2 = commit(
+            uri,
+            LanceOperation.DataReplacement(
+                replacements=[
+                    DataReplacementGroup(
+                        fragment_id=frag.id,
+                        new_file=mf.DataFile(path=new_rel, columns=frag.files[0].columns),
+                    )
+                ]
+            ),
+        )
+        ch = ds2.changes(spark, v1).collect()
+        ups = {r["id"]: r["v"] for r in ch if r["_change_type"] == "update"}
+        assert ups == {i: i * 20 for i in range(5)}  # NEW values surface
+
+    def test_add_columns_not_reported_as_replacement(self, spark, sf_dir, tmp_path):
+        import lance_spark as ls
+
+        uri = str(tmp_path / "cdc_ac")
+        ds = ls.write_dataset(
+            spark.read.parquet(f"{sf_dir}/region.parquet"), uri, mode="create"
+        )
+        v1 = ds.version
+        ds = ds.add_columns(spark, {"double_key": "r_regionkey * 2"})
+        # an appended column group replaces nothing: no phantom updates
+        assert ds.changes(spark, v1).count() == 0

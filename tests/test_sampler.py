@@ -207,3 +207,60 @@ def test_maybe_sample_filtered_reservoir(ds):
     )
     want = sum(1 for v in all_rows.column("c_mktsegment").to_pylist() if v == "BUILDING")
     assert n_building == want
+
+
+class TestSamplerReviewR11:
+    """Pins for the r11 adversarial review of sampler.py."""
+
+    def test_maybe_sample_fills_n_past_max_takes(self, ds):
+        total = ds.count_rows()
+        n = min(total - 1, 150)
+        got = sum(
+            b.num_rows for b in maybe_sample(ds, n, columns=["c_custkey"], max_takes=64)
+        )
+        # floor(n/takes) undersampled by ~half; ceil must land within one
+        # window of n
+        assert got >= int(n * 0.95) and got <= n
+
+    def test_maybe_sample_zero_and_reservoir_zero(self, ds):
+        assert list(maybe_sample(ds, 0, columns=["c_custkey"])) == []
+        assert reservoir_sampling(iter([1, 2, 3]), 0) == []
+
+    def test_filter_on_unprojected_column(self, ds):
+        batches = list(
+            FullScanSampler()(ds, columns=["c_custkey"], filter="c_nationkey = 1")
+        )
+        assert batches and all(b.schema.names == ["c_custkey"] for b in batches)
+        n = sum(b.num_rows for b in batches)
+        assert 0 < n < ds.count_rows()
+
+    def test_sharded_fixed_len_matches_iter(self):
+        from lance_spark.sampler import ShardedFixedBatchSampler
+
+        for total, world, bs in [(10, 4, 2), (6, 4, 2), (100, 1, 7), (5, 8, 2)]:
+            for rank in range(world):
+                s = ShardedFixedBatchSampler(
+                    rank, world, batch_size=bs, total_num_rows=total
+                )
+                assert len(s) == len(list(s)), (total, world, bs, rank)
+        # default batch_size=0 with rows: len 0, iter empty, no crash
+        s = ShardedFixedBatchSampler(0, 1, total_num_rows=100)
+        assert len(s) == 0 and list(s) == []
+
+    def test_sharded_filtered_deterministic_and_partitioned(self, ds):
+        def batches(rank, epoch=0, randomize=True):
+            s = ShardedBatchSampler(rank, 2, randomize=randomize, seed=7)
+            s.set_epoch(epoch)
+            return [
+                tuple(b.column("c_custkey").to_pylist())
+                for b in s(
+                    ds, batch_size=16, columns=["c_custkey"], filter="c_custkey >= 0"
+                )
+            ]
+
+        assert batches(0) == batches(0)  # seeded: reproducible across runs
+        flat0 = {v for b in batches(0, randomize=False) for v in b}
+        flat1 = {v for b in batches(1, randomize=False) for v in b}
+        assert flat0.isdisjoint(flat1)
+        spark_ids = {r["c_custkey"] for r in ds.to_df(ds_spark(ds)).select("c_custkey").collect()}
+        assert flat0 | flat1 == spark_ids
