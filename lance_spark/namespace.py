@@ -41,7 +41,16 @@ def _segments(ident) -> list[str]:
         ident = [ident] if ident else []
     segs = list(ident)
     for s in segs:
-        if not s or "/" in s or s.startswith("$"):
+        # '..'/'.' would traverse OUT of the catalog root: create_namespace
+        # could write into the root's parent and a CASCADE drop could
+        # rmtree it — never allow path-like segments
+        if (
+            not s
+            or "/" in s
+            or "\\" in s
+            or s in (".", "..")
+            or s.startswith("$")
+        ):
             raise ValueError(f"invalid identifier segment: {s!r}")
     return segs
 
@@ -81,8 +90,15 @@ class DirectoryNamespace:
         return {}
 
     def _write_registry(self, ns_path: str, reg: dict[str, str]) -> None:
-        with open(os.path.join(ns_path, _REG_FILE), "w") as f:
+        # atomic swap: a crash mid-dump would leave truncated JSON that
+        # bricks every later list/open on this namespace
+        import uuid
+
+        path = os.path.join(ns_path, _REG_FILE)
+        tmp = os.path.join(ns_path, f"${uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
             json.dump(reg, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
 
     def _table_path(self, ident) -> tuple[str, str, str]:
         """→ (ns_path, table_name, table_uri); resolves registrations."""
@@ -105,6 +121,13 @@ class DirectoryNamespace:
         marker = os.path.join(path, _NS_MARKER)
         if os.path.isfile(marker):
             raise ValueError(f"namespace already exists: {'.'.join(segs)}")
+        if _is_dataset(path):
+            # a namespace marker inside a dataset dir would let a later
+            # drop_namespace RESTRICT pass (datasets hold no child tables)
+            # and rmtree the dataset — silent data loss
+            raise ValueError(
+                f"a table already exists at: {'.'.join(segs)}"
+            )
         os.makedirs(path, exist_ok=True)
         with open(marker, "w") as f:
             json.dump({"properties": dict(properties or {})}, f)
@@ -139,6 +162,12 @@ class DirectoryNamespace:
         segs = _segments(ident)
         if not segs:
             raise ValueError("cannot drop the root namespace")
+        if behavior.upper() not in ("RESTRICT", "CASCADE"):
+            # a typo'd behavior must never fall through to cascade — that
+            # deletes every managed table under the namespace
+            raise ValueError(
+                f"unknown drop behavior {behavior!r}: use RESTRICT or CASCADE"
+            )
         path = self._ns_path(segs)
         if behavior.upper() == "RESTRICT" and (
             self.list_tables(segs) or self.list_namespaces(segs)
@@ -172,11 +201,18 @@ class DirectoryNamespace:
         from lance_spark.dataset import dataset
 
         ds = dataset(uri)
+        # namespace-level properties (root + owning namespace marker) ARE
+        # the table's storage options — the credential path the
+        # StorageOptionsProvider docstring promises
+        segs = _segments(ident)
+        opts = dict(self.properties)
+        opts.update(self.describe_namespace(segs[:-1]).get("properties", {}))
         return {
             "location": uri,
             "version": ds.version,
             "schema": ds.manifest.schema_json,
             "stats": ds.stats(),
+            "storage_options": opts,
         }
 
     def create_table(self, ident, df, mode: str = "create"):
@@ -187,6 +223,11 @@ class DirectoryNamespace:
         ns_path, name, uri = self._table_path(ident)
         if name in self._registry(ns_path):
             raise ValueError(f"table name is registered elsewhere: {name}")
+        if os.path.isfile(os.path.join(uri, _NS_MARKER)):
+            # writing _versions into a namespace dir creates a dual
+            # identity; a later drop_table would rmtree the whole subtree
+            # including nested namespaces and their tables
+            raise ValueError(f"a namespace already exists at: {name}")
         write_dataset(df, uri, mode=mode)
         return dataset(uri)
 
@@ -200,12 +241,15 @@ class DirectoryNamespace:
 
     def register_table(self, ident, location: str) -> None:
         """Attach an existing dataset (anywhere on disk) under this name."""
-        ns_path, name, _ = self._table_path(ident)
+        ns_path, name, uri = self._table_path(ident)
         if not _is_dataset(location):
             raise ValueError(f"not a lance_spark dataset: {location}")
-        if self.table_exists(ident):
-            raise ValueError(f"table already exists: {name}")
         reg = self._registry(ns_path)
+        if _is_dataset(uri) or name in reg:
+            raise ValueError(f"table already exists: {name}")
+        if os.path.isfile(os.path.join(ns_path, name, _NS_MARKER)):
+            # a name can't be both a child namespace and a table
+            raise ValueError(f"a namespace already exists at: {name}")
         reg[name] = os.path.abspath(location)
         self._write_registry(ns_path, reg)
 
@@ -242,7 +286,10 @@ class LanceNamespaceStorageOptionsProvider:
 
     def __init__(self, namespace, table_id):
         self.namespace = namespace
-        self.table_id = list(table_id)
+        # _segments, not list(): a plain-string id is ONE segment
+        # everywhere else in this module — list('orders') would split it
+        # into single characters
+        self.table_id = _segments(table_id)
 
     def fetch_storage_options(self) -> dict:
         desc = self.namespace.describe_table(self.table_id)

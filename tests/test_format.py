@@ -572,3 +572,86 @@ def test_cleanup_protects_branch_heads(spark, sf_dir, tmp_uri):
     ds.delete_branch("exp")
     ds.cleanup_old_versions(older_than_seconds=0.0)
     assert mf.list_versions(tmp_uri) == [3]
+
+
+class TestFileApiReviewR11:
+    """Pins for the r11 adversarial review of file.py."""
+
+    def test_metadata_size_is_file_size(self, tmp_path):
+        import os
+
+        import pyarrow as pa
+
+        from lance_spark.file import LanceFileReader, LanceFileWriter
+
+        p = str(tmp_path / "f1.parquet")
+        with LanceFileWriter(p) as w:
+            w.write_batch(pa.table({"a": list(range(1000))}))
+        md = LanceFileReader(p).metadata()
+        assert md.size_bytes == os.path.getsize(p)
+        assert md.size_bytes > 1000
+
+    def test_empty_results_keep_projection(self, tmp_path):
+        import pyarrow as pa
+
+        from lance_spark.file import LanceFileReader, LanceFileWriter
+
+        p = str(tmp_path / "f2.parquet")
+        with LanceFileWriter(p) as w:
+            w.write_batch(pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]}))
+        r = LanceFileReader(p, columns=["b"])
+        assert r.take_rows([]).to_table().column_names == ["b"]
+        import pytest
+
+        with pytest.raises(IndexError):
+            r.read_range(10, 5)
+        with pytest.raises(IndexError):
+            r.read_range(1, 100)
+        with pytest.raises(IndexError):
+            r.take_rows([-2, 1])
+
+    def test_writer_guards(self, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pytest
+
+        from lance_spark.file import LanceFileWriter
+
+        p = str(tmp_path / "f3.parquet")
+        with pytest.raises(TypeError, match="unknown"):
+            LanceFileWriter(p, compression="zstd")
+        w = LanceFileWriter(p)
+        w.add_global_buffer(b"abc")
+        with pytest.raises(RuntimeError, match="no schema"):
+            w.close()  # silently dropping the buffer would lie to the caller
+        w2 = LanceFileWriter(p)
+        w2.write_batch(pa.table({"a": [1]}))
+        w2.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            w2.write_batch(pa.table({"a": [2]}))
+        # mismatched first batch leaves NO file behind
+        p4 = str(tmp_path / "f4.parquet")
+        w3 = LanceFileWriter(p4, schema=pa.schema([("x", pa.int64())]))
+        with pytest.raises(ValueError):
+            w3.write_batch(pa.table({"a": [1]}))
+        assert not os.path.exists(p4)
+        with pytest.raises(ValueError, match="reserved"):
+            w3.add_schema_metadata("lance_spark:global_buffer:1", "v")
+
+    def test_metadata_rewrite_preserves_row_groups(self, tmp_path):
+        import pyarrow as pa
+
+        from lance_spark.file import LanceFileReader, LanceFileWriter
+
+        p = str(tmp_path / "f5.parquet")
+        with LanceFileWriter(p) as w:
+            for i in range(3):
+                w.write_batch(pa.table({"a": [i] * 10}))
+            w.add_schema_metadata("k", "v")
+            w.add_global_buffer(b"payload")
+        r = LanceFileReader(p)
+        assert r.metadata().num_row_groups == 3  # rewrite kept the groups
+        assert r.read_global_buffer(1) == b"payload"
+        assert r.metadata().schema.metadata[b"k"] == b"v"
+        assert r.read_range(10, 10).to_table().column("a").to_pylist() == [1] * 10

@@ -75,3 +75,56 @@ def test_root_is_default_namespace(ns, small_df):
     ns.create_table("t0", small_df)
     assert ns.list_tables() == ["t0"]
     assert "t0" not in ns.list_namespaces()
+
+
+class TestNamespaceReviewR11:
+    """Pins for the r11 adversarial review of namespace.py."""
+
+    def test_path_traversal_segments_rejected(self, tmp_path):
+        from lance_spark.namespace import DirectoryNamespace
+
+        ns = DirectoryNamespace(str(tmp_path / "cat"))
+        for bad in ("..", ".", "a/b", "a\\b"):
+            with pytest.raises(ValueError, match="invalid"):
+                ns.create_namespace([bad])
+            with pytest.raises(ValueError, match="invalid"):
+                ns.drop_namespace([bad], behavior="CASCADE")
+
+    def test_table_namespace_dual_identity_blocked(self, spark, sf_dir, tmp_path):
+        from lance_spark.namespace import DirectoryNamespace
+
+        ns = DirectoryNamespace(str(tmp_path / "cat2"))
+        df = spark.read.parquet(f"{sf_dir}/region.parquet")
+        ns.create_table("t0", df)
+        with pytest.raises(ValueError, match="table already exists"):
+            ns.create_namespace("t0")
+        ns.create_namespace("prod")
+        with pytest.raises(ValueError, match="namespace already exists"):
+            ns.create_table("prod", df)
+        with pytest.raises(ValueError, match="namespace already exists"):
+            ns.register_table("prod", ns.describe_table("t0")["location"])
+        # the dataset survives all three rejections
+        assert ns.open_table("t0").count_rows() == 5
+
+    def test_drop_behavior_validated(self, spark, sf_dir, tmp_path):
+        from lance_spark.namespace import DirectoryNamespace
+
+        ns = DirectoryNamespace(str(tmp_path / "cat3"))
+        ns.create_namespace("prod")
+        ns.create_table(["prod", "t"], spark.read.parquet(f"{sf_dir}/region.parquet"))
+        with pytest.raises(ValueError, match="unknown drop behavior"):
+            ns.drop_namespace("prod", behavior="RESTICT")  # typo must not cascade
+        assert ns.open_table(["prod", "t"]).count_rows() == 5
+
+    def test_provider_accepts_plain_string_and_gets_options(self, spark, sf_dir, tmp_path):
+        from lance_spark.namespace import (
+            DirectoryNamespace,
+            LanceNamespaceStorageOptionsProvider,
+        )
+
+        ns = DirectoryNamespace(str(tmp_path / "cat4"), region="us-east")
+        ns.create_table("orders", spark.read.parquet(f"{sf_dir}/region.parquet"))
+        p = LanceNamespaceStorageOptionsProvider(ns, "orders")
+        opts = p.fetch_storage_options()
+        assert opts["region"] == "us-east"  # namespace properties flow through
+        assert opts["location"].endswith("orders")
