@@ -331,8 +331,10 @@ def hnsw_search(
             )
         ok_col = F.col("__ok_excl")
     if prefilter_rowids is not None:
+        from lance_spark.indexes.vector import _gated_broadcast
+
         allow = prefilter_rowids.toDF("id").withColumn("__allow", F.lit(True))
-        graph = graph.join(F.broadcast(allow), "id", "left")
+        graph = graph.join(_gated_broadcast(allow), "id", "left")
         ok_col = (
             F.coalesce(F.col("__allow"), F.lit(False))
             if ok_col is None

@@ -95,8 +95,15 @@ def train_kmeans(x: np.ndarray, k: int, iters: int = 12, seed: int = 42) -> np.n
     d2 = np.full(n, np.inf)
     for i in range(1, k):
         d2 = np.minimum(d2, ((x - centroids[i - 1]) ** 2).sum(axis=1))
-        probs = d2 / max(d2.sum(), 1e-12)
-        centroids[i] = x[rng.choice(n, p=probs)]
+        s = float(d2.sum())
+        if s <= 0:
+            # fewer distinct points than k (duplicate-heavy data): every
+            # remaining point coincides with a chosen centroid — a zero
+            # probability vector would crash rng.choice; uniform pick keeps
+            # the build going (Lloyd's empty-cluster re-seed handles dupes)
+            centroids[i] = x[rng.integers(n)]
+        else:
+            centroids[i] = x[rng.choice(n, p=d2 / s)]
     x2 = (x * x).sum(axis=1, keepdims=True)
     for _ in range(iters):
         # assign via |x|² - 2x·c + |c|² (GEMM; the (n,k,dim) broadcast
@@ -132,15 +139,22 @@ class IvfIndex:
         with open(os.path.join(uri, "meta.json")) as fh:
             self.meta = json.load(fh)
         self.segments = list(self.meta.get("segments") or ["codes"])
-        self.centroids = np.load(os.path.join(uri, "centroids.npy"))
-        cb = os.path.join(uri, "codebooks.npy")
-        self.codebooks = np.load(cb) if os.path.exists(cb) else None
-        sq = os.path.join(uri, "sq_bounds.npy")
-        self.sq_bounds = np.load(sq) if os.path.exists(sq) else None
-        rot = os.path.join(uri, "rotation.npy")
-        self.rotation = np.load(rot) if os.path.exists(rot) else None
-        rad = os.path.join(uri, "radii.npy")
-        self.radii = np.load(rad) if os.path.exists(rad) else None
+        # rebuilds suffix their training artifacts (generation isolation —
+        # a reader mid-rebuild must never pair old codes with new
+        # centroids); legacy indexes use the unsuffixed names
+        self.artifact_suffix = self.meta.get("artifact_suffix", "")
+        self.centroids = np.load(self.artifact_path("centroids"))
+        self.codebooks = self._opt_artifact("codebooks")
+        self.sq_bounds = self._opt_artifact("sq_bounds")
+        self.rotation = self._opt_artifact("rotation")
+        self.radii = self._opt_artifact("radii")
+
+    def artifact_path(self, base: str) -> str:
+        return os.path.join(self.uri, f"{base}{self.artifact_suffix}.npy")
+
+    def _opt_artifact(self, base: str):
+        p = self.artifact_path(base)
+        return np.load(p) if os.path.exists(p) else None
 
     def codes_paths(self) -> list[str]:
         return [os.path.join(self.uri, s) for s in self.segments]
@@ -236,7 +250,11 @@ def train_kmeans_torch(x: np.ndarray, k: int, device, iters: int = 12, seed: int
     d2 = torch.full((n,), float("inf"), device=device)
     for i in range(1, k):
         d2 = torch.minimum(d2, ((xt - cent[i - 1]) ** 2).sum(dim=1))
-        probs = (d2 / torch.clamp(d2.sum(), min=1e-12)).cpu().numpy().astype(np.float64)
+        s = float(d2.sum())
+        if s <= 0:  # duplicate-heavy: see train_kmeans's uniform fallback
+            cent[i] = xt[int(rng.integers(n))]
+            continue
+        probs = (d2 / s).cpu().numpy().astype(np.float64)
         probs = probs / probs.sum()
         cent[i] = xt[int(rng.choice(n, p=probs))]
     x2 = (xt * xt).sum(dim=1, keepdim=True)
@@ -356,6 +374,16 @@ def build_ivf(
         raise ValueError(
             f"metric must be one of ('l2', 'cosine', 'dot', 'hamming'), got {metric!r}"
         )
+    if index_type not in (
+        "IVF_FLAT", "IVF_PQ", "IVF_SQ", "IVF_RQ",
+        "IVF_HNSW_FLAT", "IVF_HNSW_PQ", "IVF_HNSW_SQ",
+    ):
+        # a typo'd type would build "successfully" with no quantizer and
+        # only fail at FIRST QUERY deep in the PQ fallthrough
+        raise ValueError(
+            f"unknown index_type {index_type!r}: use IVF_FLAT/PQ/SQ/RQ or "
+            "IVF_HNSW_FLAT/PQ/SQ"
+        )
     if metric == "hamming" and index_type != "IVF_FLAT":
         # the reference supports Hamming for binary embeddings on IVF_FLAT
         # (distance.rs:36-42; PQ/SQ/RQ quantize real-valued residuals and
@@ -410,6 +438,12 @@ def build_ivf(
     sample = _as_matrix(
         cand.orderBy("__h").limit(sample_size).toPandas()[vec_col]
     ).astype(np.float64)
+    if sample.size == 0:
+        # empty/all-null vector column: fail HERE with the real problem,
+        # not deep inside numpy's lexsort/kmeans with an opaque ValueError
+        raise ValueError(
+            f"no non-null vectors in column {vec_col!r} to train an index on"
+        )
     # limit() row order varies with scan parallelism; canonicalize so the
     # trained centroids are a function of the sample SET, not the cluster
     # shape that happened to deliver it (bounded driver-side cost).
@@ -501,25 +535,69 @@ def build_ivf(
     )
 
     os.makedirs(uri, exist_ok=True)
-    # store raw vec for FLAT scoring and local refine; a deployment trading
-    # index size for a take()-style refine join can drop it (see ann_search)
+    # A REBUILD must never clobber the live index in place (a reader
+    # holding the pre-rebuild meta would hit FileNotFoundException mid-
+    # query, or load half-written artifacts): write a FRESH codes segment,
+    # suffix the training artifacts, retire the old generation behind the
+    # grace period, and flip visibility with one atomic meta replace —
+    # the same discipline the delta extend/merge paths use.
+    old_meta = None
+    meta_path = os.path.join(uri, "meta.json")
+    if os.path.isfile(meta_path):
+        with open(meta_path) as fh:
+            old_meta = json.load(fh)
+    import time
+    import uuid as _uuid
+
+    if old_meta is None:
+        seg, sfx, retired = "codes", "", {}
+    else:
+        nums = [0]
+        for d in os.listdir(uri):
+            if d.startswith("codes_v") and d[len("codes_v"):].isdigit():
+                nums.append(int(d[len("codes_v"):]))
+        seg = f"codes_v{max(nums) + 1}"
+        sfx = f"_b{_uuid.uuid4().hex[:8]}"
+        retired = _reclaim_retired_segments(uri, old_meta)
+        now = time.time()
+        for s in old_meta.get("segments") or ["codes"]:
+            retired[s] = now
+        old_sfx = old_meta.get("artifact_suffix", "")
+        if old_sfx != sfx:
+            retired[f"npy:{old_sfx}"] = now
     (
         enc.repartition("partition_id")
         .write.mode("overwrite")
         .partitionBy("partition_id")
-        .parquet(os.path.join(uri, "codes"))
+        .parquet(os.path.join(uri, seg))
     )
     radii = compute_partition_radii(
-        spark, os.path.join(uri, "codes"), centroids, cosine, packed=packed
+        spark, os.path.join(uri, seg), centroids, cosine, packed=packed
     )
-    np.save(os.path.join(uri, "radii.npy"), radii)
-    np.save(os.path.join(uri, "centroids.npy"), centroids)
+    _np_save_atomic(uri, f"radii{sfx}.npy", radii)
+    _np_save_atomic(uri, f"centroids{sfx}.npy", centroids)
     if codebooks is not None:
-        np.save(os.path.join(uri, "codebooks.npy"), codebooks)
+        _np_save_atomic(uri, f"codebooks{sfx}.npy", codebooks)
     if sq_bounds is not None:
-        np.save(os.path.join(uri, "sq_bounds.npy"), sq_bounds)
+        _np_save_atomic(uri, f"sq_bounds{sfx}.npy", sq_bounds)
     if rotation is not None:
-        np.save(os.path.join(uri, "rotation.npy"), rotation)
+        _np_save_atomic(uri, f"rotation{sfx}.npy", rotation)
+    # stale UNSUFFIXED artifacts from a different index_type must never
+    # survive a same-generation rebuild: _assign_encode_df keys its
+    # encoder off which artifact files EXIST, so a leftover rotation.npy
+    # would make a later delta extend encode RabitQ bits into an IVF_PQ
+    # index (silently garbage distances)
+    if not sfx:
+        for name, keep in (
+            ("codebooks.npy", codebooks is not None),
+            ("sq_bounds.npy", sq_bounds is not None),
+            ("rotation.npy", rotation is not None),
+        ):
+            if not keep:
+                try:
+                    os.unlink(os.path.join(uri, name))
+                except FileNotFoundError:
+                    pass
     _write_meta_json(
         uri,
         {
@@ -531,24 +609,65 @@ def build_ivf(
             "id_col": id_col,
             "vec_col": vec_col,
             "packed": packed,
-            "segments": ["codes"],
+            "segments": [seg],
+            "artifact_suffix": sfx,
+            "retired_segments": retired,
         },
     )
-    # a rebuild resets the segment list — delta dirs from a previous
-    # incarnation are invisible now; reclaim them (meta.json already
-    # points only at the fresh base, so removal can't strand a reader)
-    import shutil
-
-    for d in os.listdir(uri):
-        if d.startswith(("codes_v", "hnsw_v")):
-            shutil.rmtree(os.path.join(uri, d), ignore_errors=True)
     index = IvfIndex(uri)
     if index_type in ("IVF_HNSW_FLAT", "IVF_HNSW_PQ", "IVF_HNSW_SQ"):
         # per-partition proximity graphs next to the codes (indexes/hnsw.py)
         from lance_spark.indexes.hnsw import build_hnsw_graphs
 
-        build_hnsw_graphs(index, spark)
+        build_hnsw_graphs(
+            index, spark,
+            codes_dir=os.path.join(uri, seg),
+            out_dir=os.path.join(uri, "hnsw" + seg[len("codes"):]),
+        )
     return index
+
+
+#: rows above which an allow-set stops being broadcast (the same 2M gate
+#: the bulk-join paths apply): an unselective prefilter's allow-set is
+#: corpus-sized and must SHUFFLE, not ship to every executor
+_BROADCAST_ROW_GATE = 2_000_000
+
+
+def _gated_broadcast(df: DataFrame | None):
+    """Broadcast `df` only when provably small; the decision is cached on
+    the DataFrame so repeated uses (prefilter applied at several plan
+    sites) pay the count once."""
+    if df is None:
+        return None
+    small = getattr(df, "_ls_bcast_small", None)
+    if small is None:
+        small = df.limit(_BROADCAST_ROW_GATE + 1).count() <= _BROADCAST_ROW_GATE
+        try:
+            df._ls_bcast_small = small
+        except Exception:
+            pass
+    return F.broadcast(df) if small else df
+
+
+def _k_overfetch(ds, k: int) -> int:
+    """Index-side fetch width compensating for deleted rows that linger in
+    the index (deletion sidecars apply at scan, not at index build): each
+    deleted row can displace one live row from an index top-k, so without
+    widening a query whose nearest neighbors were deleted returns FEWER
+    than k live rows despite plenty of live candidates. Callers re-cut to
+    k after the live-rowid gate. Bounded by the refine cap."""
+    ndel = sum(f.num_deleted_rows for f in ds.manifest.fragments)
+    if not ndel:
+        return k
+    return min(k + ndel, max(k, _MAX_REFINE_CANDIDATES))
+
+
+def _np_save_atomic(uri: str, name: str, arr: np.ndarray) -> None:
+    """np.save via tmp + rename: a reader must never np.load a truncated
+    artifact mid-write."""
+    tmp = os.path.join(uri, f".{name}.tmp.npy")
+    np.save(tmp, arr)
+    os.replace(tmp, os.path.join(uri, name))
 
 
 def _write_meta_json(uri: str, meta: dict) -> None:
@@ -754,7 +873,7 @@ def extend_ivf(
             )
     else:
         base_radii = index.radii
-    np.save(os.path.join(index.uri, "radii.npy"), np.maximum(base_radii, new_radii))
+    _np_save_atomic(index.uri, f"radii{index.artifact_suffix}.npy", np.maximum(base_radii, new_radii))
     if index.index_type.startswith("IVF_HNSW"):
         from lance_spark.indexes.hnsw import build_hnsw_graphs
 
@@ -790,10 +909,20 @@ def _reclaim_retired_segments(index_uri: str, meta: dict) -> dict:
     now = time.time()
     for s, ts in list(retired.items()):
         if now - float(ts) > _RETIRE_GRACE_SECONDS:
-            shutil.rmtree(os.path.join(index_uri, s), ignore_errors=True)
-            shutil.rmtree(
-                os.path.join(index_uri, "hnsw" + s[len("codes"):]), ignore_errors=True
-            )
+            if s.startswith("npy:"):
+                # a superseded generation's training artifacts
+                sfx = s[len("npy:"):]
+                for base in ("centroids", "codebooks", "sq_bounds", "rotation", "radii"):
+                    try:
+                        os.unlink(os.path.join(index_uri, f"{base}{sfx}.npy"))
+                    except FileNotFoundError:
+                        pass
+            else:
+                shutil.rmtree(os.path.join(index_uri, s), ignore_errors=True)
+                shutil.rmtree(
+                    os.path.join(index_uri, "hnsw" + s[len("codes"):]),
+                    ignore_errors=True,
+                )
             del retired[s]
     return retired
 
@@ -915,7 +1044,7 @@ def ann_search(
     )
     if prefilter_rowids is not None:
         allow = prefilter_rowids.toDF("id")
-        codes = codes.join(F.broadcast(allow), "id", "left_semi")
+        codes = codes.join(_gated_broadcast(allow), "id", "left_semi")
     cosine = index.metric == "cosine"
 
     dot = index.metric == "dot"
@@ -1117,7 +1246,7 @@ def _ensure_radii(index: IvfIndex, spark: SparkSession) -> np.ndarray:
                 spark, p, index.centroids, cosine, packed=index.packed
             ),
         )
-    np.save(os.path.join(index.uri, "radii.npy"), radii)
+    _np_save_atomic(index.uri, f"radii{index.artifact_suffix}.npy", radii)
     index.radii = radii
     return radii
 
@@ -1704,7 +1833,7 @@ def dataset_nearest(
     elif meta is None or not use_index:
         full = ds.to_df(spark, with_row_id=True)
         if allow is not None:
-            full = full.join(F.broadcast(allow), ROWID_COL, "left_semi")
+            full = full.join(_gated_broadcast(allow), ROWID_COL, "left_semi")
         metric = meta.params["metric"] if meta else "cosine"
         scored = knn_bruteforce(full, column, query, k=k, metric=metric, id_col=ROWID_COL)
         hits = scored.withColumnRenamed(ROWID_COL, "id")
@@ -1718,7 +1847,8 @@ def dataset_nearest(
         # masking needs the (_rowid → fragment_id) mapping (None = fast path)
         rmap = _rowid_fragment_map(ds, spark) if tail else None
         hits = ann_search(
-            spark, index, query, k=k, nprobes=nprobes, refine_factor=refine_factor,
+            spark, index, query, k=_k_overfetch(ds, k), nprobes=nprobes,
+            refine_factor=refine_factor,
             prefilter_rowids=allow, ef_search=ef_search,
             # torn-delta guard: index rows of still-uncovered fragments are
             # flat-searched below, so the index copies must not also score
@@ -1728,7 +1858,7 @@ def dataset_nearest(
         if tail and not fast_search:
             flat = ds.scanner(spark, columns=[column], with_row_id=True, fragments=tail)
             if allow is not None:
-                flat = flat.join(F.broadcast(allow), ROWID_COL, "left_semi")
+                flat = flat.join(_gated_broadcast(allow), ROWID_COL, "left_semi")
             flat_hits = knn_bruteforce(
                 flat, column, query, k=k, metric=meta.params["metric"], id_col=ROWID_COL
             ).withColumnRenamed(ROWID_COL, "id")
@@ -1798,7 +1928,7 @@ def _multivector_nearest_hits(
                 " pass one query vector or use a multivector column"
             )
         if allow is not None:
-            full = full.join(F.broadcast(allow), ROWID_COL, "left_semi")
+            full = full.join(_gated_broadcast(allow), ROWID_COL, "left_semi")
         return flat_hits(full)
     from lance_spark.mutation import _rowid_fragment_map
 
@@ -1807,7 +1937,8 @@ def _multivector_nearest_hits(
     tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
     rmap = _rowid_fragment_map(ds, spark) if tail else None
     hits = ann_maxsim(
-        spark, index, qs, k=k, nprobes=nprobes, refine_factor=refine_factor,
+        spark, index, qs, k=_k_overfetch(ds, k), nprobes=nprobes,
+        refine_factor=refine_factor,
         overfetch=overfetch, exclude_fragments=tail, rowid_map=rmap,
     )
     if tail and not fast_search:
@@ -1908,7 +2039,8 @@ def dataset_nearest_join(
         tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
         rmap = _rowid_fragment_map(ds, spark) if tail else None
         hits = ann_maxsim_join(
-            spark, index, queries, query_vec_col, query_id_col, k=k,
+            spark, index, queries, query_vec_col, query_id_col,
+            k=_k_overfetch(ds, k),
             nprobes=nprobes, refine_factor=refine_factor, overfetch=overfetch,
             exclude_fragments=tail, rowid_map=rmap,
         )
@@ -1960,7 +2092,8 @@ def dataset_nearest_join(
         tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
         rmap = _rowid_fragment_map(ds, spark) if tail else None
         hits = ann_join(
-            spark, index, queries, query_vec_col, query_id_col, k=k,
+            spark, index, queries, query_vec_col, query_id_col,
+            k=_k_overfetch(ds, k),
             nprobes=nprobes, use_codes=use_codes, refine_factor=refine_factor,
             exclude_fragments=tail,
             rowid_map=rmap,

@@ -1873,3 +1873,89 @@ def test_merge_retires_segments_with_grace_period(spark, emb, tmp_path):
     idx = extend_ivf(IvfIndex(uri), spark, emb.limit(50))
     assert not any(os.path.isdir(d) for d in old_dirs)
     assert json.load(open(os.path.join(uri, "meta.json")))["retired_segments"] == {}
+
+
+class TestVectorReviewR11:
+    """Pins for the r11 adversarial review of indexes/vector.py."""
+
+    def test_kmeans_duplicate_heavy_data(self):
+        from lance_spark.indexes.vector import train_kmeans
+
+        x = np.tile(np.eye(4, dtype=np.float64), (50, 1))  # 4 distinct rows
+        cents = train_kmeans(x, k=16, seed=1)  # k > distinct: must not crash
+        assert cents.shape[1] == 4 and np.isfinite(cents).all()
+
+    def test_build_validates_inputs(self, spark, emb, tmp_path):
+        from lance_spark.indexes.vector import build_ivf
+
+        flat = emb.limit(50).select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+        with pytest.raises(ValueError, match="unknown index_type"):
+            build_ivf(flat, "v", "id", str(tmp_path / "t1"), index_type="IVF_FALT")
+        empty = flat.withColumn("v", F.lit(None).cast("array<double>"))
+        with pytest.raises(ValueError, match="no non-null vectors"):
+            build_ivf(empty, "v", "id", str(tmp_path / "t2"), num_partitions=2)
+
+    def test_rebuild_type_switch_clears_stale_artifacts(self, spark, emb, tmp_path):
+        """IVF_RQ → IVF_PQ rebuild under the same uri: the new generation
+        must not inherit rotation.npy (delta extends would silently encode
+        RabitQ bits into pq codes), and the OLD codes stay on disk behind
+        the retire grace for in-flight readers."""
+        import os
+
+        from lance_spark.indexes.vector import IvfIndex, ann_search, build_ivf
+        from lance_spark.operators.knn import knn_bruteforce
+
+        uri = str(tmp_path / "sw")
+        flat = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+        build_ivf(flat, "v", "id", uri, num_partitions=2, metric="l2", index_type="IVF_RQ")
+        idx = build_ivf(
+            flat, "v", "id", uri, num_partitions=2, metric="l2", index_type="IVF_PQ",
+            num_sub_vectors=8,
+        )
+        assert idx.rotation is None  # no stale RQ artifact in the new generation
+        assert idx.codebooks is not None
+        assert idx.segments != ["codes"]  # rebuilt into a fresh segment
+        assert os.path.isdir(os.path.join(uri, "codes"))  # old gen retired, not deleted
+        assert idx.meta["retired_segments"]
+        q = [float(x) for x in emb.first()["embedding"]]
+        got = [
+            (r["id"], round(r["_distance"], 4))
+            for r in ann_search(spark, idx, q, k=5, nprobes=2, refine_factor=100).collect()
+        ]
+        want = [
+            (r["vec_id"], round(r["_distance"], 4))
+            for r in knn_bruteforce(emb, "embedding", q, k=5, metric="l2").collect()
+        ]
+        assert got == want
+        # a handle constructed fresh reads the new generation
+        assert IvfIndex(uri).index_type == "IVF_PQ"
+
+    def test_deleted_neighbors_dont_starve_topk(self, spark, sf_dir, tmp_path):
+        """r11 review: deleting the query's nearest neighbors must not
+        shrink the result below k while live candidates exist."""
+        import lance_spark as ls
+        from lance_spark.operators.knn import knn_bruteforce
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        uri = str(tmp_path / "starve")
+        ds = ls.write_dataset(emb, uri, mode="create")
+        ds = ds.create_index(spark, "embedding", index_type="IVF_FLAT",
+                             num_partitions=2, metric="l2")
+        q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+        # delete the 10 nearest (including the query row itself)
+        nearest = [
+            r["vec_id"]
+            for r in knn_bruteforce(emb, "embedding", q, k=10, metric="l2").collect()
+        ]
+        ds = ds.delete(spark, f"vec_id in ({','.join(map(str, nearest))})")
+        got = ds.nearest(spark, "embedding", q, k=10, nprobes=2).collect()
+        assert len(got) == 10  # k live rows despite 10 deleted front-runners
+        assert not ({r["vec_id"] for r in got} & set(nearest))
+
+    def test_gated_broadcast_caches_decision(self, spark):
+        from lance_spark.indexes import vector as v
+
+        small = spark.range(10)
+        out = v._gated_broadcast(small)
+        assert out is not None and small._ls_bcast_small is True
+        assert v._gated_broadcast(None) is None
