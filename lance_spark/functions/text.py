@@ -1219,6 +1219,8 @@ def fingerprint(col) -> Column:
     NULL fingerprint — concat_ws would otherwise silently equate NULL with
     the empty document and dedup would drop real rows as 'duplicates' of
     missing ones."""
+    if isinstance(col, str):  # accept a column name like the other bands
+        col = F.col(col)
     return F.when(col.isNotNull(), F.md5(F.concat_ws(" ", tokenize(col))))
 
 
