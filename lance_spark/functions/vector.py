@@ -29,7 +29,10 @@ def _norm(a) -> Column:
 
 
 def cosine_sim(a, b) -> Column:
-    return dot_product(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm vector yields NULL (ranked last by callers'
+    # NULLS LAST orderings) instead of throwing DIVIDE_BY_ZERO under
+    # Spark's default ANSI mode and killing the whole query
+    return F.try_divide(dot_product(a, b), _norm(a) * _norm(b))
 
 
 def l2_distance(a, b) -> Column:

@@ -50,6 +50,7 @@ def knn_batch(
     the cross product with JVM expression arithmetic, keep per-query top-k
     with a window — one pass over the corpus regardless of query count.
     Returns (query_id, id, _distance)."""
+    _check_metric(metric)
     corpus = corpus.filter(F.col(vec_col).isNotNull())
     queries = queries.filter(F.col(query_vec_col or vec_col).isNotNull())
     from pyspark.sql import Window
@@ -71,12 +72,35 @@ def knn_batch(
     scored = corpus.crossJoin(q).select(
         "query_id", F.col(id_col).alias("id"), dist.alias("_distance")
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("_distance"), F.asc("id"))
+    # pre-reduce per (query, scan partition): with few queries and a big
+    # corpus the global per-query window would sort the WHOLE corpus in
+    # one task; the local top-k bounds the final window to k·partitions
+    # rows per query. NULLS LAST: a zero-norm/mismatched vector's NULL
+    # distance must never outrank real neighbors (asc is NULLS FIRST).
+    order = [F.asc_nulls_last("_distance"), F.asc("id")]
+    pre = scored.withColumn("__p", F.spark_partition_id())
+    w1 = Window.partitionBy("query_id", "__p").orderBy(*order)
+    reduced = (
+        pre.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__p")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
+        reduced.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+_METRICS = ("l2", "cosine", "dot", "hamming")
+
+
+def _check_metric(metric: str) -> None:
+    if metric not in _METRICS:
+        # a typo'd metric silently fell through to cosine — plausible but
+        # wrong-metric rankings with no error
+        raise ValueError(f"metric must be one of {_METRICS}, got {metric!r}")
 
 
 def multivector_maxsim(
@@ -95,27 +119,37 @@ def multivector_maxsim(
     arithmetic: the query set is a literal array (broadcast-in-expression),
     each doc row computes its own max per query vector — no explode, no
     shuffle until the final top-k."""
+    import math
+
+    if not query_vectors:
+        raise ValueError("multivector_maxsim needs at least one query vector")
     df = df.filter(F.col(mv_col).isNotNull())
     doc = F.col(mv_col).cast("array<array<double>>")
 
-    def cos(a, b):
-        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-        return dot / (na * nb)
-
+    # doc-vector norms computed ONCE per row (higher-order functions are
+    # CodegenFallback — no subexpression elimination would rescue a
+    # per-query recompute); query norms are plain Python floats
+    norms = F.transform(
+        doc, lambda v: F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    )
     per_query = []
     for q in query_vectors:
         qc = F.array(*[F.lit(float(x)) for x in q])
-        per_query.append(
-            F.array_max(F.transform(doc, lambda v: cos(qc, v)))
+        qn = math.sqrt(sum(float(x) * float(x) for x in q)) or 1.0
+        sims = F.zip_with(
+            doc,
+            norms,
+            # try_divide: a zero-norm doc vector is NULL (skipped by
+            # array_max), not an ANSI DIVIDE_BY_ZERO for the whole query
+            lambda v, n: F.try_divide(dot_product(qc, v), n * F.lit(qn)),
         )
+        per_query.append(F.array_max(sims))
     score = per_query[0]
     for s in per_query[1:]:
         score = score + s
     return (
         df.select(F.col(id_col), F.round(score, 4).alias("_maxsim"))
-        .orderBy(F.desc("_maxsim"), F.asc(id_col))
+        .orderBy(F.desc_nulls_last("_maxsim"), F.asc(id_col))
         .limit(k)
     )
 
@@ -186,7 +220,11 @@ def multivector_maxsim_join(
         .join(nq, "query_id")
         .select("query_id", "id", (F.col("__nq") - F.col("__s")).alias("_distance"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("_distance"), F.asc("id"))
+    # NULLS LAST: an all-zero-norm doc's NULL distance (sim→max→sum chain)
+    # must never outrank every real hit
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc_nulls_last("_distance"), F.asc("id")
+    )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
@@ -206,6 +244,11 @@ def knn_bruteforce(
     """Exact top-k; returns (id_col, _distance) — `_distance` follows the
     reference's meta-column convention (rust/lance-core/src/lib.rs). Ties
     break on id for determinism."""
+    _check_metric(metric)
+    if use_numpy and metric == "hamming":
+        # the numpy kernel has no hamming branch — falling through to
+        # cosine silently re-ranked integer codes with the wrong metric
+        raise ValueError("metric='hamming' is not supported with use_numpy")
     # null vectors can never be neighbors; without this they'd crash the
     # numpy path and rank FIRST in the SQL path (asc = NULLS FIRST)
     df = df.filter(F.col(vec_col).isNotNull())
@@ -237,6 +280,9 @@ def knn_bruteforce(
         dcol = 1.0 - cosine_sim(v, q)
     return (
         df.select(F.col(id_col), dcol.alias("_distance"))
-        .orderBy(F.asc("_distance"), F.asc(id_col))
+        # NULLS LAST: zero-norm (cosine), null-element, or mismatched-
+        # length vectors produce NULL distances that must never occupy
+        # top-k slots (and the numpy path's NaN sorts last too)
+        .orderBy(F.asc_nulls_last("_distance"), F.asc(id_col))
         .limit(k)
     )

@@ -1029,3 +1029,62 @@ def test_pack_sequences_null_ids_excluded(spark):
     )
     out = pack_sequences(df, "id", "n", capacity=16)
     assert {r["id"] for r in out.collect()} == {1, 2}
+
+
+class TestKnnReviewR11:
+    """Pins for the r11 adversarial review of operators/knn.py."""
+
+    def test_null_distance_rows_never_rank_first(self, spark):
+        from lance_spark.operators.knn import (
+            knn_batch,
+            knn_bruteforce,
+            multivector_maxsim_join,
+        )
+
+        rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])]  # 3: zero norm
+        df = spark.createDataFrame(rows, "id long, v array<double>")
+        got = [r["id"] for r in knn_bruteforce(df, "v", [1.0, 0.0], k=2, metric="cosine", id_col="id").collect()]
+        assert got == [1, 2]  # zero-norm row must not occupy a slot
+
+        q = spark.createDataFrame([(0, [1.0, 0.0])], "qid long, v array<double>")
+        gb = [r["id"] for r in knn_batch(df, q, "v", "id", "qid", k=2).collect()]
+        assert gb == [1, 2]
+
+        mv = spark.createDataFrame(
+            [(1, [[1.0, 0.0]]), (2, [[0.9, 0.1]]), (3, [[0.0, 0.0]])],
+            "id long, mv array<array<double>>",
+        )
+        qmv = spark.createDataFrame([(0, [[1.0, 0.0]])], "qid long, mv array<array<double>>")
+        gj = [
+            r["id"]
+            for r in multivector_maxsim_join(mv, "mv", "id", qmv, "mv", "qid", k=2).collect()
+        ]
+        assert gj == [1, 2]
+
+    def test_metric_validated_and_numpy_hamming_refused(self, spark):
+        from lance_spark.operators.knn import knn_batch, knn_bruteforce
+
+        df = spark.createDataFrame([(1, [1.0, 0.0])], "id long, v array<double>")
+        q = spark.createDataFrame([(0, [1.0, 0.0])], "qid long, v array<double>")
+        with pytest.raises(ValueError, match="metric"):
+            knn_bruteforce(df, "v", [1.0, 0.0], metric="euclidean", id_col="id")
+        with pytest.raises(ValueError, match="metric"):
+            knn_batch(df, q, "v", "id", "qid", metric="L2")
+        with pytest.raises(ValueError, match="use_numpy"):
+            knn_bruteforce(df, "v", [1.0, 0.0], metric="hamming", id_col="id", use_numpy=True)
+
+    def test_multivector_maxsim_empty_queries_and_parity(self, spark):
+        from lance_spark.operators.knn import multivector_maxsim
+
+        mv = spark.createDataFrame(
+            [(1, [[1.0, 0.0], [0.0, 1.0]]), (2, [[0.5, 0.5]])],
+            "id long, mv array<array<double>>",
+        )
+        with pytest.raises(ValueError, match="query vector"):
+            multivector_maxsim(mv, "mv", "id", [])
+        got = {
+            r["id"]: r["_maxsim"]
+            for r in multivector_maxsim(mv, "mv", "id", [[1.0, 0.0], [0.0, 1.0]], k=2).collect()
+        }
+        assert got[1] == pytest.approx(2.0, abs=1e-4)  # exact maxsim after the norm hoist
+        assert got[2] == pytest.approx(2 * (0.5 / (0.7071067811865476)), abs=1e-3)
