@@ -343,7 +343,10 @@ def merge_inverted_segments(ds, spark: SparkSession, name: str):
 def _bm25(postings: DataFrame, doclens: DataFrame, terms: list[str]) -> DataFrame:
     """One global scoring pass → (id, _score) for an OR-of-terms match."""
     stats = doclens.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    qp = postings.filter(F.col("token").isin([t.lower() for t in terms]))
+    # terms arrive ALREADY tokenizer-normalized (query_tokens): an extra
+    # .lower() here made every case-bearing term a guaranteed miss against
+    # a case-preserving 'whitespace' index
+    qp = postings.filter(F.col("token").isin(list(terms)))
     dfreq = qp.groupBy("token").agg(F.count("*").alias("df"))
     return (
         qp.join(F.broadcast(dfreq), "token")
@@ -905,19 +908,11 @@ def _phrase_step(cand_col, next_pos_col, i: int, slop: int):
     return F.filter(stepped, lambda c: c["last"].isNotNull())
 
 
-def phrase_query(
-    ds, spark: SparkSession, phrase: str, column: str | None = None, slop: int = 0
-) -> DataFrame:
-    """PhraseQueryExec (fts.rs:501; PhraseQuery.slop, inverted/query.rs):
-    in-order position intersect over the positional postings, allowing up
-    to ``slop`` total displacement between terms."""
-    meta = _find(ds, column)
-    postings, _ = _index_tables(ds, spark, meta)
-    terms = query_tokens(
-        [t for t in phrase.split() if t], meta.params.get("tokenizer", "simple")
-    )
-    if not terms:
-        return spark.createDataFrame([], "id long")
+def phrase_hits(postings: DataFrame, terms: list[str], slop: int) -> DataFrame:
+    """In-order position intersect over positional postings → matching doc
+    ids, allowing up to ``slop`` total displacement between terms. The one
+    shared candidate-walk both phrase_query and the structured-query
+    compiler use (two hand-maintained copies drifted before)."""
     cur = postings.filter(F.col("token") == terms[0]).select(
         "id", F.transform("positions", lambda p: F.struct(p.alias("start"), p.alias("last"))).alias("cand")
     )
@@ -932,6 +927,22 @@ def phrase_query(
             .drop(f"pos{i}")
         )
     return cur.select("id")
+
+
+def phrase_query(
+    ds, spark: SparkSession, phrase: str, column: str | None = None, slop: int = 0
+) -> DataFrame:
+    """PhraseQueryExec (fts.rs:501; PhraseQuery.slop, inverted/query.rs):
+    in-order position intersect over the positional postings, allowing up
+    to ``slop`` total displacement between terms."""
+    meta = _find(ds, column)
+    postings, _ = _index_tables(ds, spark, meta)
+    terms = query_tokens(
+        [t for t in phrase.split() if t], meta.params.get("tokenizer", "simple")
+    )
+    if not terms:
+        return spark.createDataFrame([], "id long")
+    return phrase_hits(postings, terms, slop)
 
 
 def boolean_query(

@@ -136,6 +136,13 @@ class MultiMatchQuery(FullTextQuery):
         self.query = query
         self.columns = list(columns)
         self.boosts = list(boosts) if boosts is not None else [1.0] * len(columns)
+        if len(self.boosts) != len(self.columns):
+            # zip() at compile time would silently drop unmatched trailing
+            # columns from the search
+            raise ValueError(
+                f"boosts has {len(self.boosts)} entries for "
+                f"{len(self.columns)} columns"
+            )
         self.operator = operator
 
     def query_type(self) -> FullTextQueryType:
@@ -181,7 +188,18 @@ def _from_json_value(value) -> FullTextQuery:
         matches = [_match_from_json(m) for m in v["match_queries"]]
         if not matches:
             raise ValueError("empty multi_match query")
-        if all(m.query == matches[0].query for m in matches):
+        plain = all(
+            m.query == matches[0].query
+            and m.operator is matches[0].operator
+            and m.fuzziness == 0
+            and m.prefix_length == 0
+            and m.max_expansions == 50
+            for m in matches
+        )
+        if plain:
+            # the MultiMatchQuery shape carries only query/columns/boosts/
+            # operator — collapsing clauses that asked for fuzziness (or a
+            # non-default operator mix) would silently drop those options
             return MultiMatchQuery(
                 matches[0].query,
                 [m.column for m in matches],
@@ -261,11 +279,18 @@ class _Corpus:
         if self.ds is not None:
             from lance_spark.indexes.inverted import _find, _index_tables
 
+            # only the INDEX LOOKUP may fall back to the flat pass: a
+            # ValueError from reading a real index's tables is a fault to
+            # surface, not an invitation to silently re-tokenize the corpus
+            # with a possibly-different tokenizer
             try:
                 meta = _find(self.ds, col)
+            except ValueError:
+                meta = None
+            if meta is not None:
                 postings, doclens = _index_tables(self.ds, self.spark, meta)
                 tok = meta.params.get("tokenizer", "simple")
-            except ValueError:
+            else:
                 flat = self.ds.scanner(self.spark, columns=[col], with_row_id=True)
                 postings, doclens, tok = self._flat(flat, col, "_rowid")
         else:
@@ -281,22 +306,52 @@ class _Corpus:
         return postings, doclens, "simple"
 
 
-def _match_scores(corpus: _Corpus, q: MatchQuery) -> DataFrame:
+def _query_terms(text: str, tok: str) -> list[str]:
+    """Split query text into terms the way the INDEX tokenizer split the
+    documents: whitespace-tokenized indexes keep terms verbatim; every
+    other tokenizer also splits on interior ASCII punctuation/digits —
+    'state-of-the-art' must become four terms, or it matches nothing
+    against postings that hold 'state','of','the','art'. Per-language
+    folding/stemming then happens in query_tokens."""
+    import re
+
     from lance_spark.functions.text import query_tokens
+
+    raw = [t for t in text.split() if t]
+    if tok == "whitespace":
+        return query_tokens(raw, tok)
+    split = []
+    for t in raw:
+        split.extend(x for x in re.split(r"[!-/:-@\[-`{-~\d]+", t) if x)
+    return query_tokens(split, tok)
+
+
+def _match_scores(corpus: _Corpus, q: MatchQuery) -> DataFrame:
     from lance_spark.indexes.inverted import _bm25
 
     postings, doclens, tok = corpus.tables(q.column)
-    terms = query_tokens([t for t in q.query.split() if t], tok)
+    base_terms = _query_terms(q.query, tok)
     if q.fuzziness is None or q.fuzziness:
-        terms = _expand_fuzzy(postings, terms, q.fuzziness, q.prefix_length,
-                              q.max_expansions)
+        groups = _expand_fuzzy(postings, base_terms, q.fuzziness, q.prefix_length,
+                               q.max_expansions)
+    else:
+        groups = [[t] for t in base_terms]
+    terms = list(dict.fromkeys(v for g in groups for v in g))
+    empty = corpus.spark.createDataFrame([], "id long, _score double")
     if not terms:
-        return corpus.spark.createDataFrame([], "id long, _score double")
+        return empty
+    if q.operator is FullTextOperator.AND and any(not g for g in groups):
+        # a REQUIRED term with zero vocabulary expansions can match no doc
+        # (dropping it would over-match; the flat variant list under-matched
+        # by requiring every VARIANT instead of every ORIGINAL term)
+        return empty
     scored = _bm25(postings, doclens, terms)
     if q.operator is FullTextOperator.AND:
-        for t in terms:
+        for g in groups:
             scored = scored.join(
-                postings.filter(F.col("token") == t).select("id"), "id", "left_semi"
+                postings.filter(F.col("token").isin(g)).select("id").distinct(),
+                "id",
+                "left_semi",
             )
     if q.boost != 1.0:
         scored = scored.select("id", (F.col("_score") * q.boost).alias("_score"))
@@ -304,59 +359,64 @@ def _match_scores(corpus: _Corpus, q: MatchQuery) -> DataFrame:
 
 
 def _expand_fuzzy(postings, terms, fuzziness, prefix_length, max_expansions):
-    """Term expansion against the token DICTIONARY (vocabulary-sized, capped
-    in-plan before the collect — same contract as indexes/inverted.py
-    fuzzy_query). Transposition-aware (Damerau) like tantivy's automaton
-    default. ``fuzziness=None`` resolves per term from its length
-    (auto_fuzziness — query.rs:373), so short terms stay exact instead of
-    over-expanding."""
+    """Per-term expansion against the token DICTIONARY → one variant GROUP
+    per original term (AND semantics need the grouping: each ORIGINAL term
+    must match via any of ITS variants). Vocabulary-sized, capped in-plan
+    per term before ONE collect (the per-term sequential jobs this
+    replaces re-shuffled the full dictionary once per query term).
+    Transposition-aware (Damerau) like tantivy's automaton default.
+    ``fuzziness=None`` resolves per term from its length (auto_fuzziness —
+    query.rs:373), so short terms stay exact instead of over-expanding."""
+    from pyspark.sql import Window
+
     from lance_spark.indexes.inverted import _edit_distance_col
 
-    out: list[str] = []
+    groups: list[list[str]] = [[] for _ in terms]
     vocab = postings.select("token").distinct()
-    for t in terms:
+    frames = []
+    for i, t in enumerate(terms):
         d = auto_fuzziness(t) if fuzziness is None else fuzziness
         if d == 0:
-            out.append(t)
+            groups[i].append(t)
             continue
         v = vocab
         if prefix_length > 0:
             v = v.filter(F.col("token").startswith(t[:prefix_length]))
-        out.extend(
-            r["token"]
-            for r in v.select("token", _edit_distance_col(t, True).alias("_d"))
-            .filter(F.col("_d") <= d)
-            .orderBy("_d", "token")
-            .limit(max_expansions)
+        frames.append(
+            v.select(
+                F.lit(i).alias("__ti"), "token",
+                _edit_distance_col(t, True).alias("_d"),
+            ).filter(F.col("_d") <= d)
+        )
+    if frames:
+        allf = frames[0]
+        for fdf in frames[1:]:
+            allf = allf.unionByName(fdf)
+        w = Window.partitionBy("__ti").orderBy("_d", "token")
+        rows = (
+            allf.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_expansions)
+            .select("__ti", "token")
             .collect()
         )
-    return list(dict.fromkeys(out))
+        for r in rows:
+            groups[r["__ti"]].append(r["token"])
+    return groups
 
 
 def _phrase_scores(corpus: _Corpus, q: PhraseQuery) -> DataFrame:
-    from lance_spark.functions.text import query_tokens
-    from lance_spark.indexes.inverted import _bm25, _phrase_step
+    from lance_spark.indexes.inverted import _bm25, phrase_hits
 
     postings, doclens, tok = corpus.tables(q.column)
-    terms = query_tokens([t for t in q.query.split() if t], tok)
+    terms = _query_terms(q.query, tok)
     if not terms:
         return corpus.spark.createDataFrame([], "id long, _score double")
-    cur = postings.filter(F.col("token") == terms[0]).select(
-        "id",
-        F.transform("positions", lambda p: F.struct(p.alias("start"), p.alias("last"))).alias("cand"),
-    )
-    for i, t in enumerate(terms[1:], start=1):
-        nxt = postings.filter(F.col("token") == t).select("id", F.col("positions").alias(f"p{i}"))
-        cur = (
-            cur.join(nxt, "id")
-            .withColumn("cand", _phrase_step(F.col("cand"), F.col(f"p{i}"), i, q.slop))
-            .filter(F.size("cand") > 0)
-            .drop(f"p{i}")
-        )
-    hits = cur.select("id")
-    scored = _bm25(postings.join(hits, "id", "left_semi"),
-                   doclens.join(hits, "id", "left_semi"), terms)
-    return scored
+    hits = phrase_hits(postings, terms, q.slop)
+    # score with CORPUS-WIDE stats (idf/avgdl/n_docs) and then restrict to
+    # the phrase hits: stats from only the matching docs made phrase scores
+    # incomparable with Match scores in the same query tree (a 10-doc
+    # phrase saw n_docs=10 and near-zero idf)
+    return _bm25(postings, doclens, terms).join(hits, "id", "left_semi")
 
 
 def _scores(corpus: _Corpus, q: FullTextQuery) -> DataFrame:
@@ -414,9 +474,8 @@ def execute_query(
     """Run a structured query → (id, _score) top-k, deterministic ties."""
     if (ds is None) == (df is None):
         raise ValueError("pass exactly one of ds= or df=")
+    from lance_spark.indexes.inverted import _topk
+
     corpus = _Corpus(spark, ds=ds, df=df, id_col=id_col, default_column=column)
     scored = _scores(corpus, query)
-    out = scored.select("id", F.round("_score", 4).alias("_score")).orderBy(
-        F.desc("_score"), F.asc("id")
-    )
-    return out if k is None else out.limit(k)
+    return _topk(scored.select("id", F.round("_score", 4).alias("_score")), k)

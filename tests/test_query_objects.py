@@ -209,3 +209,71 @@ def test_from_json_auto_fuzziness():
     assert from_json('{"match": {"terms": "tabl", "fuzziness": "auto"}}').fuzziness is None
     assert from_json('{"match": {"terms": "tabl", "fuzziness": null}}').fuzziness is None
     assert from_json('{"match": {"terms": "tabl"}}').fuzziness == 0
+
+
+class TestQueryReviewR11:
+    """Pins for the r11 adversarial review of query.py."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            (1, "hello world systems"),
+            (2, "hello there"),
+            (3, "world peace"),
+            (4, "state-of-the-art scan"),
+            (5, "Hello CasePreserved"),
+        ]
+        return spark.createDataFrame(rows, "id long, text string")
+
+    def test_fuzzy_and_requires_each_original_term(self, spark, docs):
+        from lance_spark.query import FullTextOperator, MatchQuery, execute_query
+
+        q = MatchQuery("helo world", "text", fuzziness=1,
+                       operator=FullTextOperator.AND)
+        got = {r["id"] for r in execute_query(spark, q, df=docs, id_col="id").collect()}
+        assert got == {1}  # hello AND world via variants — not empty
+
+        # a required term with NO expansion matches nothing
+        q2 = MatchQuery("hello zzzzqqqq", "text", fuzziness=1,
+                        operator=FullTextOperator.AND)
+        assert execute_query(spark, q2, df=docs, id_col="id").count() == 0
+
+    def test_interior_punctuation_splits_like_index(self, spark, docs):
+        from lance_spark.query import MatchQuery, PhraseQuery, execute_query
+
+        got = {r["id"] for r in execute_query(
+            spark, MatchQuery("state-of-the-art", "text"), df=docs, id_col="id"
+        ).collect()}
+        assert 4 in got
+        ph = {r["id"] for r in execute_query(
+            spark, PhraseQuery("state-of-the-art scan", "text"), df=docs, id_col="id"
+        ).collect()}
+        assert ph == {4}
+
+    def test_phrase_scores_use_corpus_stats(self, spark, docs):
+        from lance_spark.query import MatchQuery, PhraseQuery, execute_query
+
+        m = {r["id"]: r["_score"] for r in execute_query(
+            spark, MatchQuery("hello world", "text"), df=docs, id_col="id"
+        ).collect()}
+        p = {r["id"]: r["_score"] for r in execute_query(
+            spark, PhraseQuery("hello world", "text"), df=docs, id_col="id"
+        ).collect()}
+        assert set(p) == {1}
+        # same doc, same terms, same corpus → identical BM25 score scale
+        assert p[1] == pytest.approx(m[1], abs=1e-4)
+
+    def test_multimatch_boost_validation_and_json_fuzziness(self, spark):
+        from lance_spark.query import MultiMatchQuery, from_json
+
+        with pytest.raises(ValueError, match="boosts"):
+            MultiMatchQuery("q", ["a", "b"], boosts=[1.0])
+        q = from_json(
+            '{"multi_match": {"match_queries": ['
+            '{"terms": "helo", "column": "a", "fuzziness": 1},'
+            '{"terms": "helo", "column": "b", "fuzziness": 1}]}}'
+        )
+        from lance_spark.query import BooleanQuery
+
+        assert isinstance(q, BooleanQuery)  # fuzziness preserved per clause
+        assert all(s.fuzziness == 1 for _, s in q.queries)
