@@ -18,6 +18,42 @@ import pyarrow.parquet as pq
 
 from lance_spark.write import ROWID_COL
 
+#: footer metadata per blob file: (rowid column index, [(min,max)|None per
+#: row group]). Footers are immutable, so caching is safe; a small cap
+#: bounds driver memory when many files are touched.
+_FOOTER_CACHE: dict[str, tuple] = {}
+_FOOTER_CACHE_CAP = 256
+
+
+def _rowid_groups(path: str, rowid: int) -> list[int]:
+    """Row groups of ``path`` that may contain ``rowid``, from cached
+    footer stats. Locates ``_rowid`` BY NAME (externally-produced sidecars
+    may order columns differently — positional column(0) could read the
+    binary column's stats) and honors ``has_min_max``."""
+    meta = _FOOTER_CACHE.get(path)
+    if meta is None:
+        f = pq.ParquetFile(path)
+        md = f.metadata
+        names = [md.schema.column(j).name for j in range(md.num_columns)]
+        idx = names.index(ROWID_COL) if ROWID_COL in names else None
+        ranges = []
+        for i in range(md.num_row_groups):
+            rng = None
+            if idx is not None:
+                st = md.row_group(i).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    rng = (st.min, st.max)
+            ranges.append(rng)
+        meta = (ranges,)
+        while len(_FOOTER_CACHE) >= _FOOTER_CACHE_CAP:
+            _FOOTER_CACHE.pop(next(iter(_FOOTER_CACHE)))
+        _FOOTER_CACHE[path] = meta
+    (ranges,) = meta
+    return [
+        i for i, rng in enumerate(ranges)
+        if rng is None or (rng[0] <= rowid <= rng[1])
+    ]
+
 
 class BlobFile(io.RawIOBase):
     """Random-access reader over one blob cell (reference blob.py:52)."""
@@ -40,27 +76,45 @@ class BlobFile(io.RawIOBase):
         self._check_open()
         if self._buf is None:
             for p in self._paths:
-                f = pq.ParquetFile(p)
-                # prune row groups on _rowid min/max stats before any IO on
+                # prune row groups on _rowid footer stats before any IO on
                 # the (potentially huge) blob column
-                groups = []
-                for i in range(f.num_row_groups):
-                    col = f.metadata.row_group(i).column(0)
-                    st = col.statistics
-                    if st is None or (st.min <= self._rowid <= st.max):
-                        groups.append(i)
+                groups = _rowid_groups(p, self._rowid)
                 if not groups:
                     continue
-                t = f.read_row_groups(groups, columns=[ROWID_COL, self._column])
+                t = pq.ParquetFile(p).read_row_groups(
+                    groups, columns=[ROWID_COL, self._column]
+                )
                 mask = pc.equal(t.column(ROWID_COL), self._rowid)
                 hit = t.filter(mask)
                 if hit.num_rows:
-                    self._buf = hit.column(self._column)[0].as_py()
+                    val = hit.column(self._column)[0].as_py()
+                    # a NULL blob cell is a PRESENT row with empty content —
+                    # not a missing rowid (BlobColumn yields None for the
+                    # same case; a file handle serves empty bytes)
+                    self._buf = b"" if val is None else val
                     break
             if self._buf is None:
                 raise KeyError(f"rowid {self._rowid} not found in blob column {self._column}")
             self._size = len(self._buf)
         return self._buf
+
+    def _fetch_size(self) -> int | None:
+        """Size from the sidecar's ``{col}_size`` column — O(two tiny
+        columns), never the multi-GB binary payload."""
+        size_col = f"{self._column}_size"
+        for p in self._paths:
+            groups = _rowid_groups(p, self._rowid)
+            if not groups:
+                continue
+            f = pq.ParquetFile(p)
+            if size_col not in f.schema_arrow.names:
+                return None
+            t = f.read_row_groups(groups, columns=[ROWID_COL, size_col])
+            hit = t.filter(pc.equal(t.column(ROWID_COL), self._rowid))
+            if hit.num_rows:
+                v = hit.column(size_col)[0].as_py()
+                return int(v) if v is not None else 0
+        return None
 
     # -- io.RawIOBase surface ----------------------------------------------
     def readable(self) -> bool:
@@ -78,6 +132,10 @@ class BlobFile(io.RawIOBase):
         self._buf = None
 
     def size(self) -> int:
+        if self._size is None and self._buf is None:
+            # the sidecar materializes {col}_size per row exactly so a
+            # length check never downloads the payload
+            self._size = self._fetch_size()
         if self._size is None:
             self._load()
         return self._size  # type: ignore[return-value]
@@ -88,13 +146,18 @@ class BlobFile(io.RawIOBase):
     def seek(self, offset: int, whence: int = io.SEEK_SET) -> int:
         self._check_open()
         if whence == io.SEEK_SET:
-            self._pos = offset
+            pos = offset
         elif whence == io.SEEK_CUR:
-            self._pos += offset
+            pos = self._pos + offset
         elif whence == io.SEEK_END:
-            self._pos = self.size() + offset
+            pos = self.size() + offset
         else:
             raise ValueError(f"invalid whence: {whence}")
+        if pos < 0:
+            # Python negative slicing would otherwise silently serve bytes
+            # from the END of the blob (BytesIO raises here too)
+            raise ValueError(f"negative seek position {pos}")
+        self._pos = pos
         return self._pos
 
     def readall(self) -> bytes:
@@ -133,29 +196,66 @@ class BlobIterator:
         return next(self._it)
 
 
+def _deleted_rowids_local(ds, frags) -> frozenset:
+    """Union of the given fragments' deletion-sidecar rowids, read
+    driver-side (bounded by the fragments' deleted-row counts) and cached
+    per sidecar path — deletion files are immutable."""
+    cache = ds.__dict__.setdefault("_blob_del_cache", {})
+    out: set[int] = set()
+    for frag in frags:
+        p = frag.deletion_file
+        if not p:
+            continue
+        hit = cache.get(p)
+        if hit is None:
+            hit = frozenset(
+                pq.read_table(ds._abs(p), columns=[ROWID_COL])
+                .column(0)
+                .to_pylist()
+            )
+            cache[p] = hit
+        out |= hit
+    return frozenset(out)
+
+
 def blob_files(ds, column: str, rowids: list[int]) -> list[BlobFile]:
     """``take_blobs``-shaped handle constructor: one lazy BlobFile per rowid
     (reference dataset.py:1500 ``take_blobs`` → list[BlobFile]). Fragment
     pruning by rowid prefix happens here; row-group pruning inside the file
-    happens at first read."""
+    happens at first read. DELETED rowids raise KeyError up front — the
+    blob sidecar is never rewritten on delete, so without the sidecar check
+    a tombstoned row's stale bytes would be served."""
     from lance_spark.write import FRAGID_SHIFT
 
     out = []
     rel_paths = ds._blob_files(column)
     all_paths = [ds._abs(p) for p in rel_paths]
-    frags = {f.id: f for f in ds.manifest.fragments} if ds._rowid_addressable() else {}
+    addressable = ds._rowid_addressable()
+    frags = {f.id: f for f in ds.manifest.fragments} if addressable else {}
+    if not addressable:
+        deleted = _deleted_rowids_local(ds, ds.manifest.fragments)
     for rid in rowids:
         frag = frags.get(rid >> FRAGID_SHIFT)
+        if addressable:
+            del_set = _deleted_rowids_local(ds, [frag]) if frag is not None else frozenset()
+        else:
+            del_set = deleted
+        if rid in del_set:
+            raise KeyError(
+                f"rowid {rid} is deleted; its blob bytes are no longer live"
+            )
         if frag is not None and any(column in f.columns for f in frag.files[1:]):
             paths = [ds._abs(p) for p in ds._blob_files(column, [frag])]
         elif not frags:
             # post-compaction: footer-stats pruning (dataset._rowid_range)
-            # narrows each handle to the files whose _rowid range covers it
-            hit = [
+            # narrows each handle to the files whose _rowid range covers it.
+            # An empty hit PROVES absence (files without stats stay in the
+            # hit list), so falling back to scanning every blob file would
+            # only delay the KeyError.
+            paths = [
                 ds._abs(p) for p in rel_paths
                 if (rng := ds._rowid_range(p)) is None or rng[0] <= rid <= rng[1]
             ]
-            paths = hit or all_paths
         else:
             paths = all_paths
         out.append(BlobFile(paths, column, rid))

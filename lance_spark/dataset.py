@@ -917,6 +917,11 @@ class LanceDataset:
     # ------------------------------------------------------------ blobs
 
     def _blob_files(self, column: str, fragments: list[mf.Fragment] | None = None) -> list[str]:
+        if column not in (self.manifest.blob_columns or []):
+            # the manifest registry is authoritative: any files[1:] group
+            # (e.g. an add_columns column group) would otherwise pass as a
+            # 'blob store' and serve non-binary cells through BlobFile
+            raise ValueError(f"{column} is not a blob column")
         out = []
         for frag in fragments if fragments is not None else self.manifest.fragments:
             for f in frag.files[1:]:
@@ -962,7 +967,14 @@ class LanceDataset:
         if not paths:
             return spark.createDataFrame([], f"{ROWID_COL} long, {column} binary")
         df = self._read_files(spark, paths)
-        return df.filter(F.col(ROWID_COL).isin(rowids)).select(ROWID_COL, column)
+        out = df.filter(F.col(ROWID_COL).isin(rowids)).select(ROWID_COL, column)
+        # blob sidecars are never rewritten on delete: without the
+        # deletion-file anti-join a tombstoned row's stale bytes come back
+        del_paths = [f.deletion_file for f in frags if f.deletion_file]
+        if del_paths:
+            dels = self._read_files(spark, del_paths).select(ROWID_COL)
+            out = out.join(F.broadcast(dels), ROWID_COL, "left_anti")
+        return out
 
     def take_blob_files(self, rowids: list[int], column: str) -> list:
         """Lazy file-like handles, one per rowid (the reference's actual

@@ -80,7 +80,12 @@ class CompactionTask:
         n_frags = max(1, -(-live_rows // self.target_rows_per_fragment))
         base_fid = mf.reserve_fragment_ids(self.uri, n_frags)
         new_frags = write_fragments(
-            df.repartition(n_frags), self.uri, base_fid, preserve_rowids=True
+            df.repartition(n_frags), self.uri, base_fid, preserve_rowids=True,
+            # blob-column datasets must keep the out-of-line sidecar layout
+            # across compaction, or take_blobs/take_blob_files break for
+            # every compacted fragment (mutation.py's rewrite carries the
+            # layout the same way)
+            blob_columns=d.manifest.blob_columns or None,
         )
         return RewriteResult(
             victim_ids=list(self.fragment_ids),
