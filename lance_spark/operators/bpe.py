@@ -105,16 +105,7 @@ def _learn_merges(
                     pair_words.pop(p, None)
                 else:
                     pair_words[p].discard(i)
-            out = []
-            j = 0
-            while j < len(s):
-                if j < len(s) - 1 and s[j] == a and s[j + 1] == b:
-                    out.append(new_sym)
-                    j += 2
-                else:
-                    out.append(s[j])
-                    j += 1
-            seqs[i] = t = tuple(out)
+            seqs[i] = t = tuple(_apply_pair(s, a, b))
             for p in zip(t, t[1:]):
                 pair_count[p] += c
                 pair_words[p].add(i)
@@ -169,28 +160,45 @@ def bpe_save(merges: DataFrame, vocab: DataFrame, model_uri: str) -> str:
     layer's convention — same guard as nb_train)."""
     import json
     import os
-    import urllib.parse
 
-    scheme = urllib.parse.urlparse(model_uri).scheme
-    if scheme not in ("", "file"):
-        raise ValueError(
-            f"bpe_save: model_uri must be a local path (got scheme {scheme!r})"
-        )
-    merges.coalesce(1).write.mode("overwrite").parquet(os.path.join(model_uri, "merges"))
-    vocab.coalesce(1).write.mode("overwrite").parquet(os.path.join(model_uri, "vocab"))
+    from lance_spark.util import local_path
+
+    path = local_path(model_uri, "bpe_save: model_uri")
+    merges.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "merges"))
+    vocab.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "vocab"))
     meta = {"format": "bpe", "end_of_word": END_OF_WORD}
-    with open(os.path.join(model_uri, "meta.json"), "w") as f:
+    with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
-    return model_uri
+    return path
 
 
 def bpe_load(spark: SparkSession, model_uri: str) -> tuple[DataFrame, DataFrame]:
     import os
 
+    from lance_spark.util import local_path
+
+    path = local_path(model_uri, "bpe_load: model_uri")
     return (
-        spark.read.parquet(os.path.join(model_uri, "merges")),
-        spark.read.parquet(os.path.join(model_uri, "vocab")),
+        spark.read.parquet(os.path.join(path, "merges")),
+        spark.read.parquet(os.path.join(path, "vocab")),
     )
+
+
+def _apply_pair(s, a: str, b: str) -> list[str]:
+    """Merge every left-to-right occurrence of (a, b) in the symbol
+    sequence. The ONE scan both training and encoding use — two copies of
+    this loop drifting apart would break the same-corpus → same-encoding
+    determinism contract."""
+    out = []
+    j = 0
+    while j < len(s):
+        if j < len(s) - 1 and s[j] == a and s[j + 1] == b:
+            out.append(a + b)
+            j += 2
+        else:
+            out.append(s[j])
+            j += 1
+    return out
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
@@ -207,16 +215,7 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
         if best_rank is None:
             break
         a, b = best
-        out = []
-        j = 0
-        while j < len(s):
-            if j < len(s) - 1 and s[j] == a and s[j + 1] == b:
-                out.append(a + b)
-                j += 2
-            else:
-                out.append(s[j])
-                j += 1
-        s = out
+        s = _apply_pair(s, a, b)
     return s
 
 
@@ -306,8 +305,10 @@ def bpe_encode_ids(
     in document order — the shape a training loader consumes
     (``bpe_encode`` emits the compact count/fingerprint form instead).
     Pieces outside the trained vocab map to ``-1`` (the encode_with_vocab
-    OOV convention; only possible when encoding with a foreign/truncated
-    vocab — a model's own training corpus always resolves).
+    OOV convention). OOV can occur with a foreign/truncated vocab AND on
+    the model's own corpus when ``min_count``/``max_words`` pruned every
+    training word containing some character — the character never entered
+    the base alphabet, and ``bpe_decode`` drops it silently.
 
     Scale: identical plan to ``bpe_encode`` — tokenize + positions stay
     JVM-side, Python touches DISTINCT words only (Heaps-bounded), and the
@@ -373,7 +374,10 @@ def bpe_decode(
         def dec(arr):
             if arr is None:  # arrow hands numpy arrays; bare `or` is ambiguous
                 return ""
-            s = "".join(m.get(int(i), "") for i in arr)
+            # null ELEMENTS are legal array<long> data from any non-encode
+            # source: they carry no surface form, like unknown ids (arrow
+            # hands them as None OR NaN depending on the batch dtype)
+            s = "".join(m.get(int(i), "") for i in arr if not pd.isna(i))
             return " ".join(w for w in s.split(END_OF_WORD) if w)
 
         return ids.apply(dec)

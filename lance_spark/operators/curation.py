@@ -313,19 +313,14 @@ def nb_train(
     import json as _json
     import math
     import os
-    import urllib.parse
 
     from lance_spark.functions.text import tokenize
 
     # meta.json is written driver-local (the manifest layer's convention);
-    # a remote scheme would silently land the model and its metadata on
-    # different filesystems — reject it up front.
-    scheme = urllib.parse.urlparse(model_uri).scheme
-    if scheme not in ("", "file"):
-        raise ValueError(
-            f"nb_train: model_uri must be a local path (got scheme {scheme!r}); "
-            "remote stores are not supported by the local manifest layer"
-        )
+    # local_path resolves file: URIs and rejects remote schemes up front
+    from lance_spark.util import local_path
+
+    model_uri = local_path(model_uri, "nb_train: model_uri")
     # null labels can't name a class: drop those rows rather than letting
     # sorted() raise TypeError on None-vs-str or training a null class
     train = train.filter(F.col(label_col).isNotNull())

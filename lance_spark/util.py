@@ -222,3 +222,24 @@ def validate_vector_index(
             f"validate_vector_index failed: {passed}/{len(rows)} queries "
             f"returned themselves (threshold {pass_threshold})"
         )
+
+
+def local_path(uri: str, what: str = "model_uri") -> str:
+    """Resolve a caller-supplied URI to a plain LOCAL filesystem path.
+
+    Accepts a bare path or a ``file:`` URI (converted to its path — the
+    bare-URI form used to pass the scheme guard and then crash ``open()``
+    after the parquet writes, leaving a partial model with no meta.json);
+    any other scheme raises, since the local manifest-layer convention
+    writes driver-side metadata next to the data."""
+    from urllib.parse import urlparse
+
+    p = urlparse(uri)
+    if p.scheme in ("", None):
+        return uri
+    if p.scheme == "file":
+        return p.path or uri[len("file:"):]
+    raise ValueError(
+        f"{what} must be a local path (got scheme {p.scheme!r}); "
+        "remote stores are not supported by the local manifest layer"
+    )

@@ -212,3 +212,38 @@ def test_encode_ids_decode_roundtrip(spark, corpus_df, trained):
     small_vocab = vocab.limit(3)
     ids2 = bpe_encode_ids(docs, "text", "doc_id", merges, small_vocab)
     assert ids2.filter(F.exists("token_ids", lambda x: x < 0)).count() > 0
+
+
+class TestBpeReviewR11:
+    """Pins for the r11 adversarial review of operators/bpe.py."""
+
+    def test_file_uri_save_load_roundtrip(self, spark, tmp_path):
+        from lance_spark.operators.bpe import bpe_load, bpe_save, bpe_train
+
+        df = spark.createDataFrame(
+            [(i, "low lower lowest new newer") for i in range(4)], "id long, text string"
+        )
+        merges, vocab = bpe_train(df, "text", vocab_size=40)
+        uri = "file://" + str(tmp_path / "m")
+        out = bpe_save(merges, vocab, uri)
+        assert not out.startswith("file:")
+        import os
+
+        assert os.path.isfile(os.path.join(out, "meta.json"))
+        m2, v2 = bpe_load(spark, uri)
+        assert m2.count() == merges.count() and v2.count() == vocab.count()
+        import pytest
+
+        with pytest.raises(ValueError, match="local path"):
+            bpe_save(merges, vocab, "s3://bucket/m")
+
+    def test_decode_tolerates_null_elements(self, spark, tmp_path):
+        from lance_spark.operators.bpe import bpe_decode, bpe_train
+
+        df = spark.createDataFrame([(1, "aa bb")], "id long, text string")
+        _, vocab = bpe_train(df, "text", vocab_size=20)
+        ids_df = spark.createDataFrame(
+            [(1, [0, None, 1])], "id long, token_ids array<bigint>"
+        )
+        got = bpe_decode(ids_df, "token_ids", "id", vocab).collect()
+        assert len(got) == 1  # null element skipped, no crash
