@@ -94,7 +94,7 @@ def _write_column_groups(
         if ckpt_path is not None:
             from lance_spark.udf import FragmentCheckpoint
 
-            FragmentCheckpoint(ckpt_path).put(fid, rel, len(out))
+            FragmentCheckpoint(ckpt_path).put(fid, rel, len(out), columns=new_cols)
         return pd.DataFrame({"fragment_id": [fid], "path": [rel], "num_rows": [len(out)]})
 
     if fid_map is None:
@@ -240,7 +240,7 @@ def add_columns(ds, spark: SparkSession, transforms, read_columns: list[str] | N
             from lance_spark.udf import FragmentCheckpoint
 
             checkpoint = FragmentCheckpoint(transforms.checkpoint_file)
-            done = checkpoint.done()
+            done = checkpoint.done(expected_columns=new_cols)
             if done:
                 # resume: skip completed fragments BEFORE the UDF runs —
                 # the fragment-id filter prunes whole fragments at the scan
@@ -269,9 +269,18 @@ def add_columns(ds, spark: SparkSession, transforms, read_columns: list[str] | N
                 fn=fn, fn_read_cols=read_columns or ds.columns,
                 fn_out_schema=out_schema, fid_map=fid_map,
             )
-            cg_map.update({fid: d["path"] for fid, d in checkpoint.done().items()})
+            cg_map.update(
+                {
+                    fid: d["path"]
+                    for fid, d in checkpoint.done(expected_columns=new_cols).items()
+                }
+            )
             new_fields = list(out_schema.jsonValue()["fields"])
-            return _commit_new_columns(ds, cg_map, new_fields, new_cols)
+            out_ds = _commit_new_columns(ds, cg_map, new_fields, new_cols)
+            # the commit is durable: stale markers must not poison a later
+            # add_columns that reuses this checkpoint path
+            checkpoint.cleanup()
+            return out_ds
 
         new_df, new_cols = transforms_to_new_df(
             base, fn, read_columns or ds.columns, spark, out_schema=out_schema

@@ -87,19 +87,38 @@ class FragmentCheckpoint:
         except FileNotFoundError:
             return None
 
-    def put(self, fragment_id: int, rel_path: str, num_rows: int) -> None:
+    def put(
+        self, fragment_id: int, rel_path: str, num_rows: int,
+        columns: list[str] | None = None,
+    ) -> None:
         tmp = self._marker(fragment_id) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"path": rel_path, "num_rows": num_rows}, f)
+            json.dump(
+                {"path": rel_path, "num_rows": num_rows, "columns": columns}, f
+            )
         os.replace(tmp, self._marker(fragment_id))
 
-    def done(self) -> dict[int, dict]:
+    def done(self, expected_columns: list[str] | None = None) -> dict[int, dict]:
+        """Committed markers — optionally ONLY those recorded for
+        ``expected_columns``. A checkpoint directory reused across two
+        different add_columns runs would otherwise resume from the FIRST
+        run's markers: every fragment gets filtered out before the new UDF
+        runs, and the old files (holding the OLD column) commit as the new
+        column's data files — bricking every later read of it."""
         out = {}
         for name in os.listdir(self.path):
-            if name.startswith("frag-") and name.endswith(".json"):
-                fid = int(name[len("frag-"):-len(".json")])
-                with open(os.path.join(self.path, name)) as f:
-                    out[fid] = json.load(f)
+            if not (name.startswith("frag-") and name.endswith(".json")):
+                continue
+            mid = name[len("frag-"):-len(".json")]
+            if not mid.isdigit():
+                continue  # stray file (editor artifact); never abort resume
+            with open(os.path.join(self.path, name)) as f:
+                info = json.load(f)
+            if expected_columns is not None and info.get("columns") != list(
+                expected_columns
+            ):
+                continue  # stale marker from a DIFFERENT operation
+            out[int(mid)] = info
         return out
 
     def cleanup(self) -> None:
@@ -120,64 +139,83 @@ class BatchUDFCheckpoint:
             self.fragment_id = fragment_id
             self.batch_index = batch_index
 
-    def __init__(self, path: str):
+    def _connect(self):
+        """Fresh connection per call (sqlite3 connections aren't
+        thread-safe) with WAL + a generous busy timeout so concurrent
+        fragment tasks block instead of failing with 'database is locked'.
+        Callers close via contextlib.closing — each method previously
+        leaked a connection per call."""
         import sqlite3
 
+        conn = sqlite3.connect(self.path, timeout=60.0)
+        conn.execute("PRAGMA journal_mode=WAL")
+        return conn
+
+    def __init__(self, path: str):
+        from contextlib import closing
+
         self.path = path
-        conn = sqlite3.connect(path)
-        conn.execute(
-            "CREATE TABLE IF NOT EXISTS batches"
-            " (fragment_id INT, batch_index INT, result BLOB)"
-        )
-        conn.execute(
-            "CREATE TABLE IF NOT EXISTS fragments (fragment_id INT, data BLOB)"
-        )
-        conn.commit()
+        with closing(self._connect()) as conn:
+            # PRIMARY KEYs make retried inserts idempotent: a Spark task
+            # retry would otherwise duplicate rows and get_batch returned
+            # an arbitrary one (non-deterministic UDFs could then resume
+            # with a result that differs from what was already written)
+            conn.execute(
+                "CREATE TABLE IF NOT EXISTS batches"
+                " (fragment_id INT, batch_index INT, result BLOB,"
+                " PRIMARY KEY (fragment_id, batch_index))"
+            )
+            conn.execute(
+                "CREATE TABLE IF NOT EXISTS fragments"
+                " (fragment_id INT PRIMARY KEY, data BLOB)"
+            )
+            conn.commit()
 
     def cleanup(self) -> None:
         os.remove(self.path)
 
     def get_batch(self, info: "BatchUDFCheckpoint.BatchInfo"):
         import pickle
-        import sqlite3
+        from contextlib import closing
 
-        conn = sqlite3.connect(self.path)
-        row = conn.execute(
-            "SELECT result FROM batches WHERE fragment_id = ? AND batch_index = ?",
-            (info.fragment_id, info.batch_index),
-        ).fetchone()
+        with closing(self._connect()) as conn:
+            row = conn.execute(
+                "SELECT result FROM batches WHERE fragment_id = ? AND batch_index = ?",
+                (info.fragment_id, info.batch_index),
+            ).fetchone()
         return pickle.loads(row[0]) if row is not None else None
 
     def insert_batch(self, info: "BatchUDFCheckpoint.BatchInfo", batch) -> None:
         import pickle
-        import sqlite3
+        from contextlib import closing
 
-        conn = sqlite3.connect(self.path)
-        conn.execute(
-            "INSERT INTO batches (fragment_id, batch_index, result) VALUES (?, ?, ?)",
-            (info.fragment_id, info.batch_index, pickle.dumps(batch)),
-        )
-        conn.commit()
+        with closing(self._connect()) as conn:
+            conn.execute(
+                "INSERT OR REPLACE INTO batches (fragment_id, batch_index, result)"
+                " VALUES (?, ?, ?)",
+                (info.fragment_id, info.batch_index, pickle.dumps(batch)),
+            )
+            conn.commit()
 
     def get_fragment(self, fragment_id: int) -> str | None:
-        import sqlite3
+        from contextlib import closing
 
-        conn = sqlite3.connect(self.path)
-        row = conn.execute(
-            "SELECT data FROM fragments WHERE fragment_id = ?", (fragment_id,)
-        ).fetchone()
+        with closing(self._connect()) as conn:
+            row = conn.execute(
+                "SELECT data FROM fragments WHERE fragment_id = ?", (fragment_id,)
+            ).fetchone()
         return row[0] if row is not None else None
 
     def insert_fragment(self, fragment_id: int, fragment: str) -> None:
-        import sqlite3
+        from contextlib import closing
 
-        conn = sqlite3.connect(self.path)
-        conn.execute(
-            "INSERT INTO fragments (fragment_id, data) VALUES (?, ?)",
-            (fragment_id, fragment),
-        )
-        conn.execute("DELETE FROM batches WHERE fragment_id = ?", (fragment_id,))
-        conn.commit()
+        with closing(self._connect()) as conn:
+            conn.execute(
+                "INSERT OR REPLACE INTO fragments (fragment_id, data) VALUES (?, ?)",
+                (fragment_id, fragment),
+            )
+            conn.execute("DELETE FROM batches WHERE fragment_id = ?", (fragment_id,))
+            conn.commit()
 
 
 def normalize_transform(udf_like, data_source, read_columns=None, reader_schema=None):
@@ -199,6 +237,10 @@ def normalize_transform(udf_like, data_source, read_columns=None, reader_schema=
             frags = ds.manifest.fragments
             if not frags:
                 raise ValueError("cannot infer UDF output schema on an empty dataset")
+            if read_columns is None and reader_schema is not None:
+                # the declared reader schema names the columns the UDF
+                # consumes — previously accepted and silently ignored
+                read_columns = [f.name for f in reader_schema]
             sample = _fragment_table(ds, frags[0], read_columns).slice(0, 64)
             out = udf_like(sample.to_pandas())  # our BatchUDF is pandas-in/out
             import pyarrow as pa

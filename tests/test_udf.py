@@ -101,3 +101,63 @@ def test_checkpoint_resume_after_failure(spark, nation_ds, tmp_path):
 
     rows = ds2.to_df(spark).select("n_nationkey", "key2").collect()
     assert len(rows) == 25 and all(r["key2"] == r["n_nationkey"] * 2 for r in rows)
+
+
+class TestUdfReviewR11:
+    """Pins for the r11 adversarial review of udf.py checkpointing."""
+
+    def test_checkpoint_reuse_across_operations_is_safe(self, spark, sf_dir, tmp_path):
+        """A checkpoint dir reused for a DIFFERENT add_columns must not
+        resume from the first run's markers (that committed the old
+        column's files as the new column's data and bricked reads)."""
+        import lance_spark as ls
+        from lance_spark.udf import BatchUDF
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        uri = str(tmp_path / "ck")
+        ds = ls.write_dataset(
+            spark.read.parquet(f"{sf_dir}/region.parquet"), uri, mode="create"
+        )
+        ckpt = str(tmp_path / "shared_ckpt")
+
+        def mk(name, mult):
+            def fn(pdf):
+                import pandas as pd
+
+                return pd.DataFrame({name: pdf["r_regionkey"] * float(mult)})
+
+            return BatchUDF(
+                fn,
+                output_schema=StructType([StructField(name, DoubleType())]),
+                checkpoint_file=ckpt,
+            )
+
+        ds = ds.add_columns(spark, mk("a", 2), read_columns=["r_regionkey"])
+        ds = ds.add_columns(spark, mk("b", 3), read_columns=["r_regionkey"])
+        rows = ds.to_df(spark).select("r_regionkey", "a", "b").collect()
+        assert all(r["a"] == r["r_regionkey"] * 2 for r in rows)
+        assert all(r["b"] == r["r_regionkey"] * 3 for r in rows)
+
+    def test_done_skips_stray_files_and_stale_columns(self, tmp_path):
+        from lance_spark.udf import FragmentCheckpoint
+
+        fc = FragmentCheckpoint(str(tmp_path / "fc"))
+        fc.put(1, "data/x.parquet", 5, columns=["a"])
+        with open(str(tmp_path / "fc") + "/frag-old.json", "w") as f:
+            f.write("{}")
+        assert set(fc.done()) == {1}  # stray file skipped, not a crash
+        assert set(fc.done(expected_columns=["a"])) == {1}
+        assert fc.done(expected_columns=["b"]) == {}  # stale for op 'b'
+
+    def test_sqlite_checkpoint_idempotent_retries(self, tmp_path):
+        from lance_spark.udf import BatchUDFCheckpoint
+
+        ck = BatchUDFCheckpoint(str(tmp_path / "c.db"))
+        info = BatchUDFCheckpoint.BatchInfo(3, 7)
+        ck.insert_batch(info, {"v": 1})
+        ck.insert_batch(info, {"v": 2})  # task retry: replaces, not duplicates
+        assert ck.get_batch(info) == {"v": 2}
+        ck.insert_fragment(3, "frag-meta")
+        ck.insert_fragment(3, "frag-meta-2")
+        assert ck.get_fragment(3) == "frag-meta-2"
+        assert ck.get_batch(info) is None  # fragment insert cleared batches
