@@ -60,6 +60,7 @@ class FragmentPartition(InputPartition):
     files: list[str]  # absolute paths, column groups in order
     deletion_file: str | None
     filters: tuple = ()
+    columns: tuple = ()  # declared output column order
 
 
 @dataclass
@@ -86,7 +87,7 @@ def _to_arrow_filter(f):
     if isinstance(f, LessThanOrEqual):
         return col <= f.value
     if isinstance(f, In):
-        return col.isin(list(f.values))
+        return col.isin(list(f.value))
     if isinstance(f, IsNull):
         return col.is_null()
     if isinstance(f, IsNotNull):
@@ -97,17 +98,58 @@ def _to_arrow_filter(f):
 _SUPPORTED = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, In, IsNull, IsNotNull)
 
 
+def _fragment_table(partition: FragmentPartition):
+    """One fragment → a pyarrow Table in the DECLARED column order: column
+    groups zip on ``_rowid``, deletion sidecars anti-join, pushed filters
+    apply per file (only to columns that file carries). Shared by the batch
+    and stream readers — the stream previously CONCATENATED multi-file
+    fragments instead of zipping, yielding wrong columns."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    tables = []
+    for path in partition.files:
+        schema_cols = set(pq.read_schema(path).names)
+        file_expr = None
+        for f in partition.filters:
+            if f.attribute[0] in schema_cols:
+                e = _to_arrow_filter(f)
+                file_expr = e if file_expr is None else (file_expr & e)
+        tables.append(pds.dataset(path, format="parquet").to_table(filter=file_expr))
+    # column-group zip on _rowid (DataFile alignment, fragment.rs:27)
+    table = tables[0]
+    for t in tables[1:]:
+        size_cols = [c for c in t.column_names if c.endswith("_size")]
+        table = table.join(t.drop_columns(size_cols), keys=ROWID_COL, join_type="inner")
+    if partition.deletion_file:
+        dels = pq.read_table(partition.deletion_file, columns=[ROWID_COL])
+        table = table.join(dels, keys=ROWID_COL, join_type="left anti")
+    # DECLARED order, not join order: Spark consumes Arrow columns
+    # POSITIONALLY, so a blob dataset's [primary..., blob] join order would
+    # land data in the wrong columns
+    if partition.columns:
+        table = table.select([c for c in partition.columns if c in table.column_names])
+    else:
+        table = table.drop_columns([ROWID_COL])
+    return table
+
+
 class LanceReader(DataSourceReader):
-    def __init__(self, uri: str, version: int | None):
+    def __init__(self, uri: str, version: int | None, schema: StructType | None = None):
         self.uri = uri
         self.version = version
+        self.columns = tuple(schema.fieldNames()) if schema is not None else ()
         self._filters: list = []
 
     def pushFilters(self, filters):  # noqa: N802 - API name
         """Exact pushdown for sargable single-column predicates (the
         TableProvider role); the rest go back to Spark for post-filtering."""
         for f in filters:
-            if isinstance(f, _SUPPORTED) and len(getattr(f, "attribute", ())) == 1:
+            if isinstance(f, In) and any(v is None for v in f.value):
+                # pyarrow isin matches null-to-null; SQL IN treats NULL as
+                # never-true — hand it back rather than push wrong semantics
+                yield f
+            elif isinstance(f, _SUPPORTED) and len(getattr(f, "attribute", ())) == 1:
                 self._filters.append(f)
             else:
                 yield f
@@ -125,150 +167,176 @@ class LanceReader(DataSourceReader):
                         os.path.join(self.uri, frag.deletion_file) if frag.deletion_file else None
                     ),
                     filters=tuple(self._filters),
+                    columns=self.columns,
                 )
             )
-        return out
+        # PySpark substitutes [None] for an empty partition list; a sentinel
+        # empty partition keeps read() on OUR types (a zero-fragment dataset
+        # otherwise crashed with 'NoneType has no attribute filters')
+        return out or [FragmentPartition(files=[], deletion_file=None, columns=self.columns)]
 
     def read(self, partition: FragmentPartition):
-        import pyarrow as pa
-        import pyarrow.dataset as pds
-        import pyarrow.parquet as pq
-
-        expr = None
-        for f in partition.filters:
-            e = _to_arrow_filter(f)
-            expr = e if expr is None else (expr & e)
-
-        tables = []
-        for i, path in enumerate(partition.files):
-            # only the primary group can satisfy pushed filters generally;
-            # pyarrow silently ignores filters on absent columns is NOT true,
-            # so restrict filtering to columns present in this file
-            schema_cols = set(pq.read_schema(path).names)
-            file_expr = None
-            for f in partition.filters:
-                if f.attribute[0] in schema_cols:
-                    e = _to_arrow_filter(f)
-                    file_expr = e if file_expr is None else (file_expr & e)
-            t = pds.dataset(path, format="parquet").to_table(filter=file_expr)
-            tables.append(t)
-        # column-group zip on _rowid (DataFile alignment, fragment.rs:27)
-        table = tables[0]
-        for t in tables[1:]:
-            size_cols = [c for c in t.column_names if c.endswith("_size")]
-            table = table.join(t.drop_columns(size_cols), keys=ROWID_COL, join_type="inner")
-        if partition.deletion_file:
-            dels = pq.read_table(partition.deletion_file, columns=[ROWID_COL])
-            table = table.join(dels, keys=ROWID_COL, join_type="left anti")
-        table = table.drop_columns([ROWID_COL])
+        if partition is None or not partition.files:
+            return
+        table = _fragment_table(partition)
         for batch in table.to_batches(max_chunksize=65536):
             yield batch
 
 
 class LanceWriter(DataSourceWriter):
-    def __init__(self, uri: str, overwrite: bool):
+    def __init__(self, uri: str, overwrite: bool, schema: StructType | None = None):
         self.uri = uri
         self.overwrite = overwrite
+        # the DECLARED write schema: batches cast to it (per-row inference
+        # crashed on nulls/nested types and drifted integer widths), and an
+        # empty write still commits a real schema_json
+        self.schema = schema
 
     def write(self, iterator):
         """Executor side: one fragment per task (two-phase distributed
         write). Fragment id is finalized at commit; the file carries a
-        placeholder id derived from a uuid to stay unique."""
-        import numpy as np
+        placeholder id derived from the partition to stay unique.
+
+        Spark hands an Iterator[Row]: rows buffer into sized chunks and
+        convert with the DECLARED arrow schema — one RecordBatch per chunk,
+        nested Rows handled by asDict(recursive=True)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
 
         part_id = TaskContext.get().partitionId()
         rel = os.path.join("data", f"frag-w-{part_id}-{uuid.uuid4().hex}.parquet")
         abs_path = os.path.join(self.uri, rel)
         os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+        arrow_schema = to_arrow_schema(self.schema) if self.schema is not None else None
+        out_schema = (
+            arrow_schema.append(pa.field(ROWID_COL, pa.int64()))
+            if arrow_schema is not None
+            else None
+        )
         writer = None
         offset = 0
-        for batch in iterator:
-            if not isinstance(batch, pa.RecordBatch):
-                batch = pa.RecordBatch.from_pylist([row.asDict() for row in [batch]])
-            n = batch.num_rows
-            rowids = pa.array(np.arange(offset, offset + n, dtype=np.int64))
+        buf: list[dict] = []
+
+        def flush():
+            nonlocal writer, offset
+            if not buf:
+                return
+            import numpy as np
+
+            if arrow_schema is not None:
+                batch = pa.RecordBatch.from_pylist(buf, schema=arrow_schema)
+            else:
+                batch = pa.RecordBatch.from_pylist(buf)
+            rowids = pa.array(np.arange(offset, offset + batch.num_rows, dtype=np.int64))
             batch = pa.RecordBatch.from_arrays(
                 list(batch.columns) + [rowids],
-                schema=batch.schema.append(pa.field(ROWID_COL, pa.int64())),
+                schema=out_schema or batch.schema.append(pa.field(ROWID_COL, pa.int64())),
             )
             if writer is None:
                 writer = pq.ParquetWriter(abs_path, batch.schema, compression="zstd")
             writer.write_batch(batch)
-            offset += n
+            offset += batch.num_rows
+            buf.clear()
+
+        for row in iterator:
+            buf.append(row.asDict(recursive=True))
+            if len(buf) >= 8192:
+                flush()
+        flush()
         if writer is not None:
             writer.close()
         return FragmentCommit(fragment_id=part_id, path=rel, physical_rows=offset)
 
     def commit(self, messages):
         """Driver side: one manifest commit referencing all task outputs —
-        rowids are rebased to fragment_id<<32|offset at commit."""
+        rowids are rebased to fragment_id<<32|offset. Fragment ids are
+        RESERVED up front on appends, so the per-file rebase runs ONCE
+        (outside the commit-retry closure — a conflict retry no longer
+        re-downloads and re-writes every fragment file)."""
         import pyarrow.parquet as pq
 
         from lance_spark import manifest as mf
 
-        frags_meta = [m for m in messages if m is not None and m.physical_rows > 0]
+        frags_meta = sorted(
+            (m for m in messages if m is not None and m.physical_rows > 0),
+            key=lambda x: x.fragment_id,
+        )
+        os.makedirs(self.uri, exist_ok=True)
+        existing_version = mf.latest_version(self.uri)
+        appending = existing_version is not None and not self.overwrite
+        if appending:
+            base_m = mf.read_manifest(self.uri)
+            declared = [f.name for f in self.schema.fields] if self.schema else None
+            base_names = [f["name"] for f in base_m.schema_json["fields"]]
+            if declared is not None and declared != base_names:
+                # an unvalidated append would register fragments whose files
+                # carry different columns under the old schema — one bad
+                # append bricks every later scan (write.py raises the same)
+                raise ValueError(
+                    f"append schema mismatch: dataset has {base_names}, "
+                    f"write has {declared}"
+                )
+            base_fid = mf.reserve_fragment_ids(self.uri, max(len(frags_meta), 1))
+        else:
+            base_fid = 0
+
+        import numpy as np
+        import pyarrow as pa
+
+        schema_json = self.schema.jsonValue() if self.schema is not None else None
+        new_frags = []
+        for i, m in enumerate(frags_meta):
+            fid = base_fid + i
+            abs_path = os.path.join(self.uri, m.path)
+            t = pq.read_table(abs_path)
+            # mask off any previous prefix before OR-ing so the rebase is
+            # idempotent across task retries
+            rid = pa.array(
+                (np.asarray(t[ROWID_COL]) & np.int64((1 << FRAGID_SHIFT) - 1))
+                | np.int64(fid << FRAGID_SHIFT)
+            )
+            t = t.set_column(t.column_names.index(ROWID_COL), ROWID_COL, rid)
+            pq.write_table(t, abs_path, compression="zstd")
+            cols = [c for c in t.column_names if c != ROWID_COL]
+            if schema_json is None:
+                from pyspark.sql.pandas.types import from_arrow_schema
+
+                schema_json = from_arrow_schema(
+                    pa.schema([f for f in t.schema if f.name != ROWID_COL])
+                ).jsonValue()
+            new_frags.append(
+                mf.Fragment(
+                    id=fid,
+                    files=[mf.DataFile(path=m.path, columns=cols)],
+                    physical_rows=m.physical_rows,
+                )
+            )
+        if schema_json is None:
+            raise ValueError(
+                "cannot commit an empty write without a declared schema"
+            )
 
         def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
-            if self.overwrite or base is None:
-                existing, base_fid = [], 0
-                schema_json = None
-            else:
-                existing, base_fid = base.fragments, base.max_fragment_id + 1
-                schema_json = base.schema_json
-            new_frags = []
-            for i, m in enumerate(sorted(frags_meta, key=lambda x: x.fragment_id)):
-                fid = base_fid + i
-                # rebase rowids in-place: rewrite the file with fragment prefix
-                abs_path = os.path.join(self.uri, m.path)
-                t = pq.read_table(abs_path)
-                import numpy as np
-                import pyarrow as pa
-
-                # mask off any previous fragment prefix before OR-ing: this
-                # build closure re-runs on commit conflict with a different
-                # base_fid, and a plain OR would merge both prefixes into a
-                # corrupt rowid — masking makes the rewrite idempotent
-                rid = pa.array(
-                    (np.asarray(t[ROWID_COL]) & np.int64((1 << FRAGID_SHIFT) - 1))
-                    | np.int64(fid << FRAGID_SHIFT)
-                )
-                t = t.set_column(t.column_names.index(ROWID_COL), ROWID_COL, rid)
-                pq.write_table(t, abs_path, compression="zstd")
-                cols = [c for c in t.column_names if c != ROWID_COL]
-                if schema_json is None:
-                    from pyspark.sql.pandas.types import from_arrow_schema
-
-                    schema_json = from_arrow_schema(
-                        pa.schema([f for f in t.schema if f.name != ROWID_COL])
-                    ).jsonValue()
-                new_frags.append(
-                    mf.Fragment(
-                        id=fid,
-                        files=[mf.DataFile(path=m.path, columns=cols)],
-                        physical_rows=m.physical_rows,
-                    )
-                )
-            fragments = list(existing) + new_frags
-            max_fid = max((f.id for f in fragments), default=-1)
-            if base is not None and not self.overwrite:
-                # carry forward indices/config/blob_columns on append
+            if appending:
+                assert base is not None
+                fragments = list(base.fragments) + new_frags
                 return mf.Manifest.evolve(
                     base, version, operation="append",
-                    schema_json=schema_json, fragments=fragments,
-                    max_fragment_id=max(max_fid, base.max_fragment_id),
+                    fragments=fragments,
+                    max_fragment_id=max(
+                        [f.id for f in fragments] + [base.max_fragment_id]
+                    ),
                 )
             return mf.Manifest(
                 version=version,
                 schema_json=schema_json,
-                fragments=fragments,
-                max_fragment_id=max_fid,
+                fragments=new_frags,
+                max_fragment_id=max((f.id for f in new_frags), default=-1),
                 operation="overwrite" if self.overwrite else "append",
             )
 
-        os.makedirs(self.uri, exist_ok=True)
         mf.commit(self.uri, build, operation="overwrite" if self.overwrite else "append")
 
     def abort(self, messages):
@@ -280,12 +348,21 @@ class LanceWriter(DataSourceWriter):
                     pass
 
 
+#: manifest operations that only ADD rows — safe for the version-tailing
+#: stream to diff by fragment id
+_STREAM_SAFE_OPS = {
+    "create", "append", "create_index", "update_config", "reserve_fragments",
+    "add_columns", "alter_columns", "drop_columns", "merge",
+}
+
+
 class LanceStreamReader(DataSourceStreamReader):
     """Version-tailing stream: offset = manifest version; each batch reads
     fragments that appeared between the two versions (append CDC)."""
 
-    def __init__(self, uri: str):
+    def __init__(self, uri: str, schema: StructType | None = None):
         self.uri = uri
+        self.columns = tuple(schema.fieldNames()) if schema is not None else ()
 
     def initialOffset(self):  # noqa: N802
         return {"version": 0}
@@ -301,6 +378,21 @@ class LanceStreamReader(DataSourceStreamReader):
         v0, v1 = start["version"], end["version"]
         if v1 <= v0:
             return [FragmentPartition(files=[], deletion_file=None)]
+        # the id-diff is only sound across append-shaped commits: an
+        # overwrite reuses fragment ids from 0 (its rows would silently
+        # never stream) and a rewrite's fresh ids hold OLD rows (replayed
+        # as duplicates) — refuse loudly instead
+        for v in range(v0 + 1, v1 + 1):
+            try:
+                op = mf.read_manifest(self.uri, v).operation
+            except FileNotFoundError:
+                continue  # GC'd intermediate version: assume append-shaped
+            if op not in _STREAM_SAFE_OPS:
+                raise ValueError(
+                    f"lance stream cannot continue across a {op!r} commit "
+                    f"(version {v}): restart the stream from a fresh "
+                    "checkpoint to re-snapshot"
+                )
         old_ids = set()
         if v0 > 0:
             old_ids = {f.id for f in mf.read_manifest(self.uri, v0).fragments}
@@ -309,19 +401,17 @@ class LanceStreamReader(DataSourceStreamReader):
             FragmentPartition(
                 files=[os.path.join(self.uri, df.path) for df in f.files],
                 deletion_file=None,  # CDC reads raw appends
+                columns=self.columns,
             )
             for f in new
         ] or [FragmentPartition(files=[], deletion_file=None)]
 
     def read(self, partition: FragmentPartition):
-        import pyarrow.parquet as pq
-
-        for path in partition.files:
-            t = pq.read_table(path)
-            if ROWID_COL in t.column_names:
-                t = t.drop_columns([ROWID_COL])
-            for batch in t.to_batches(max_chunksize=65536):
-                yield batch
+        if partition is None or not partition.files:
+            return
+        table = _fragment_table(partition)
+        for batch in table.to_batches(max_chunksize=65536):
+            yield batch
 
     def commit(self, end):
         pass
@@ -344,10 +434,10 @@ class LanceDataSource(DataSource):
 
     def reader(self, schema: StructType):
         version = self.options.get("version")
-        return LanceReader(self.options["uri"], int(version) if version else None)
+        return LanceReader(self.options["uri"], int(version) if version else None, schema)
 
     def writer(self, schema: StructType, overwrite: bool):
-        return LanceWriter(self.options["uri"], overwrite)
+        return LanceWriter(self.options["uri"], overwrite, schema)
 
     def streamReader(self, schema: StructType):  # noqa: N802
-        return LanceStreamReader(self.options["uri"])
+        return LanceStreamReader(self.options["uri"], schema)

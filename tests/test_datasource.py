@@ -69,7 +69,9 @@ def test_format_write_two_phase(spark, registered, sf_dir, tmp_path):
     # append again → new version, rows double
     src.repartition(1).write.format("lance").option("uri", uri).mode("append").save()
     ds2 = dataset(uri)
-    assert ds2.count_rows() == 2 * src.count() and ds2.version == ds.version + 1
+    # +2: format("lance") appends reserve fragment ids first (their own
+    # metadata commit) so concurrent appends get disjoint id ranges
+    assert ds2.count_rows() == 2 * src.count() and ds2.version == ds.version + 2
     # written dataset is readable through the normal scanner path too
     assert ds2.to_df(spark).count() == 2 * src.count()
 
@@ -118,3 +120,72 @@ def test_streaming_pipeline_through_format(spark, registered, sf_dir, tmp_path):
     assert dataset(dst_uri).count_rows() == 2 * region.count()
     got = dataset(dst_uri).to_df(spark)
     assert set(got.columns) == {"r_regionkey", "uname"}
+
+
+class TestDatasourceReviewR11:
+    """Pins for the r11 adversarial review of sources/datasource.py."""
+
+    def test_row_writer_handles_nulls_and_declared_types(self, spark, tmp_path, registered):
+        from lance_spark.dataset import dataset
+
+        uri = str(tmp_path / "dsw")
+        df = spark.createDataFrame(
+            [(1, None, [1, 2]), (2, "b", None), (3, None, [3])],
+            "id int, name string, xs array<int>",
+        )
+        df.repartition(2).write.format("lance").option("uri", uri).mode("append").save()
+        ds = dataset(uri)
+        got = {r["id"]: (r["name"], r["xs"]) for r in ds.to_df(spark).collect()}
+        assert got == {1: (None, [1, 2]), 2: ("b", None), 3: (None, [3])}
+        # declared int width survives (per-row inference widened to long)
+        assert dict(ds.to_df(spark).dtypes)["id"] == "int"
+
+    def test_empty_write_commits_declared_schema(self, spark, tmp_path, registered):
+        from lance_spark.dataset import dataset
+
+        uri = str(tmp_path / "dse")
+        spark.createDataFrame([], "id int, name string").write.format(
+            "lance"
+        ).option("uri", uri).mode("append").save()
+        ds = dataset(uri)
+        assert ds.count_rows() == 0
+        assert [f.name for f in ds.schema.fields] == ["id", "name"]
+        # and a zero-fragment dataset reads back as empty, not a crash
+        assert (
+            spark.read.format("lance").option("uri", uri).load().count() == 0
+        )
+
+    def test_append_schema_mismatch_rejected(self, spark, tmp_path, registered):
+        uri = str(tmp_path / "dsm")
+        spark.createDataFrame([(1, "a")], "id int, name string").write.format(
+            "lance"
+        ).option("uri", uri).mode("append").save()
+        bad = spark.createDataFrame([(1, 2)], "id int, extra int")
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="append schema mismatch"):
+            bad.write.format("lance").option("uri", uri).mode("append").save()
+
+    def test_in_filter_with_null_not_pushed_wrong(self, spark, tmp_path, registered):
+        uri = str(tmp_path / "dsn")
+        spark.createDataFrame(
+            [(1,), (2,), (None,)], "v int"
+        ).coalesce(1).write.format("lance").option("uri", uri).mode("append").save()
+        got = (
+            spark.read.format("lance").option("uri", uri).load()
+            .filter("v in (1, null)")
+            .collect()
+        )
+        assert [r["v"] for r in got] == [1]  # SQL IN: null never matches
+
+    def test_blob_dataset_column_order(self, spark, tmp_path, registered):
+        import lance_spark as ls
+
+        uri = str(tmp_path / "dsb")
+        docs = spark.createDataFrame(
+            [(1, b"xx", "n1"), (2, b"yy", "n2")], "id long, img binary, name string"
+        )
+        ls.write_dataset(docs, uri, mode="create", blob_columns=["img"])
+        back = spark.read.format("lance").option("uri", uri).load()
+        rows = {r["id"]: (bytes(r["img"]), r["name"]) for r in back.collect()}
+        assert rows == {1: (b"xx", "n1"), 2: (b"yy", "n2")}
