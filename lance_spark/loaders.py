@@ -42,15 +42,38 @@ def numpy_batches(
     batch_size: int = 1024,
     rank: int = 0,
     world_size: int = 1,
+    fragment_batch_size: int = 16,
 ):
     """Dict-of-numpy batches over this rank's fragment shard (the
     ShardedFragmentSampler contract: ranks read disjoint fragments whose
-    union is the table)."""
+    union is the table).
+
+    Executes through the scanner's chunked ``scan_batches`` — ONE Spark job
+    per ``fragment_batch_size`` fragments, not one per fragment (the
+    reference streams a rank's shard in one pass,
+    python/python/lance/sampler.py:260-361; a 10k-fragment shard here costs
+    ~⌈10k/16⌉ job launches instead of 10k, so the driver never becomes the
+    ingest bottleneck). Batches still stream fragment-by-fragment in
+    manifest order, so loader memory stays bounded by one fragment chunk."""
+    import pyarrow as pa
+
     if not 0 <= rank < world_size:
         raise ValueError(f"rank {rank} not in [0, {world_size})")
-    frags = [f for f in ds.manifest.fragments if f.id % world_size == rank]
-    for frag in frags:
-        t = ds.scanner(spark, columns=columns, fragments=[frag.id]).toArrow()
+    frag_ids = [f.id for f in ds.manifest.fragments if f.id % world_size == rank]
+    if not frag_ids:
+        return
+    scanner = ds.scanner(spark, columns=columns, fragments=frag_ids)
+    cur_frag, cur = None, []
+    for tagged in scanner.scan_batches(fragment_batch_size=fragment_batch_size):
+        if tagged.fragment.id != cur_frag and cur:
+            t = pa.Table.from_batches(cur)
+            cur = []
+            for b in t.to_batches(max_chunksize=batch_size):
+                yield _batch_to_numpy(b)
+        cur_frag = tagged.fragment.id
+        cur.append(tagged.record_batch)
+    if cur:
+        t = pa.Table.from_batches(cur)
         for b in t.to_batches(max_chunksize=batch_size):
             yield _batch_to_numpy(b)
 
