@@ -252,12 +252,21 @@ class LanceWriter(DataSourceWriter):
     def commit(self, messages):
         """Driver side: one manifest commit referencing all task outputs —
         rowids are rebased to fragment_id<<32|offset. Fragment ids are
-        RESERVED up front on appends, so the per-file rebase runs ONCE
-        (outside the commit-retry closure — a conflict retry no longer
-        re-downloads and re-writes every fragment file)."""
+        RESERVED up front on appends, so the per-file rebase runs ONCE per
+        attempt. Append-ness is RE-DERIVED inside the commit closure: if
+        another writer creates the dataset between the latest_version probe
+        and our commit, the closure raises and the whole attempt reruns as
+        a true append (fresh id reservation, rowid re-rebase — the masked
+        OR makes the rebase idempotent), mirroring write.py's
+        _DatasetAppearedConcurrently handling. On append, file tables are
+        CAST to the dataset's declared types (nullability-preserving), so a
+        type-drifted append (int→long, long→string) either lands with the
+        manifest's types or fails loudly at commit — never a mixed-type
+        dataset that bricks later scans."""
         import pyarrow.parquet as pq
 
         from lance_spark import manifest as mf
+        from lance_spark.write import _DatasetAppearedConcurrently
 
         frags_meta = sorted(
             (m for m in messages if m is not None and m.physical_rows > 0),
@@ -266,6 +275,24 @@ class LanceWriter(DataSourceWriter):
         os.makedirs(self.uri, exist_ok=True)
         existing_version = mf.latest_version(self.uri)
         appending = existing_version is not None and not self.overwrite
+        while True:
+            try:
+                self._commit_attempt(frags_meta, appending)
+                return
+            except _DatasetAppearedConcurrently:
+                if self.overwrite:
+                    raise  # unreachable: overwrite never raises the sentinel
+                appending = True  # lost the bootstrap race → true append
+
+    def _commit_attempt(self, frags_meta, appending: bool):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lance_spark import manifest as mf
+        from lance_spark.write import _DatasetAppearedConcurrently
+
+        cast_schema = None
         if appending:
             base_m = mf.read_manifest(self.uri)
             declared = [f.name for f in self.schema.fields] if self.schema else None
@@ -278,12 +305,13 @@ class LanceWriter(DataSourceWriter):
                     f"append schema mismatch: dataset has {base_names}, "
                     f"write has {declared}"
                 )
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType
+
+            cast_schema = to_arrow_schema(StructType.fromJson(base_m.schema_json))
             base_fid = mf.reserve_fragment_ids(self.uri, max(len(frags_meta), 1))
         else:
             base_fid = 0
-
-        import numpy as np
-        import pyarrow as pa
 
         schema_json = self.schema.jsonValue() if self.schema is not None else None
         new_frags = []
@@ -292,12 +320,23 @@ class LanceWriter(DataSourceWriter):
             abs_path = os.path.join(self.uri, m.path)
             t = pq.read_table(abs_path)
             # mask off any previous prefix before OR-ing so the rebase is
-            # idempotent across task retries
+            # idempotent across task retries AND across a lost-race rerun
             rid = pa.array(
                 (np.asarray(t[ROWID_COL]) & np.int64((1 << FRAGID_SHIFT) - 1))
                 | np.int64(fid << FRAGID_SHIFT)
             )
-            t = t.set_column(t.column_names.index(ROWID_COL), ROWID_COL, rid)
+            if cast_schema is not None:
+                data = t.drop_columns([ROWID_COL])
+                try:
+                    data = data.cast(cast_schema)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, ValueError) as exc:
+                    raise ValueError(
+                        f"append type mismatch: cannot cast write schema "
+                        f"{data.schema} to dataset schema {cast_schema}: {exc}"
+                    ) from exc
+                t = data.append_column(ROWID_COL, rid)
+            else:
+                t = t.set_column(t.column_names.index(ROWID_COL), ROWID_COL, rid)
             pq.write_table(t, abs_path, compression="zstd")
             cols = [c for c in t.column_names if c != ROWID_COL]
             if schema_json is None:
@@ -329,6 +368,11 @@ class LanceWriter(DataSourceWriter):
                         [f.id for f in fragments] + [base.max_fragment_id]
                     ),
                 )
+            if base is not None and not self.overwrite:
+                # another writer created the dataset between the probe and
+                # this commit: our fragments are numbered from 0 and would
+                # silently drop the concurrent creator's committed data
+                raise _DatasetAppearedConcurrently(self.uri)
             return mf.Manifest(
                 version=version,
                 schema_json=schema_json,

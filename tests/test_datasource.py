@@ -189,3 +189,73 @@ class TestDatasourceReviewR11:
         back = spark.read.format("lance").option("uri", uri).load()
         rows = {r["id"]: (bytes(r["img"]), r["name"]) for r in back.collect()}
         assert rows == {1: (b"xx", "n1"), 2: (b"yy", "n2")}
+
+
+def test_write_commit_lost_create_race_appends(spark, registered, tmp_path, monkeypatch):
+    """If another writer creates the dataset between LanceWriter.commit's
+    latest_version probe and the manifest commit, the commit must re-run as
+    a true append (fresh fragment ids, rebased rowids) instead of
+    overwriting the concurrent creator's data (r12 ADVICE fix)."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import lance_spark as ls
+    from lance_spark import manifest as mf
+    from lance_spark.dataset import dataset
+    from lance_spark.sources.datasource import FragmentCommit, LanceWriter
+    from lance_spark.write import ROWID_COL
+
+    uri = str(tmp_path / "race")
+    # the concurrent creator commits FIRST
+    ls.write_dataset(spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"), uri)
+
+    # our writer's probe RACED: simulate by forcing latest_version → None once
+    writer = LanceWriter(uri, overwrite=False, schema=spark.createDataFrame(
+        [(3, "c")], "id long, s string").schema)
+    rel = os.path.join("data", f"frag-w-0-{uuid.uuid4().hex}.parquet")
+    os.makedirs(os.path.join(uri, "data"), exist_ok=True)
+    pq.write_table(
+        pa.table({"id": pa.array([3], pa.int64()), "s": ["c"],
+                  ROWID_COL: pa.array([0], pa.int64())}),
+        os.path.join(uri, rel), compression="zstd",
+    )
+    real = mf.latest_version
+    fired = {"n": 0}
+
+    def probe_races_once(u, **k):
+        fired["n"] += 1
+        return None if fired["n"] == 1 else real(u, **k)
+
+    monkeypatch.setattr(mf, "latest_version", probe_races_once)
+    writer.commit([FragmentCommit(fragment_id=0, path=rel, physical_rows=1)])
+    monkeypatch.undo()
+    ds = dataset(uri)
+    rows = {(r["id"], r["s"]) for r in ds.to_df(spark).collect()}
+    assert rows == {(1, "a"), (2, "b"), (3, "c")}  # nobody's data dropped
+    assert len({f.id for f in ds.manifest.fragments}) == len(ds.manifest.fragments)
+
+
+def test_format_append_casts_drifted_types(spark, registered, tmp_path):
+    """A type-drifted append (int where the dataset has long) casts to the
+    dataset schema instead of writing mixed-type files that brick later
+    scans; an uncastable drift fails loudly at commit (r12 ADVICE fix)."""
+    import lance_spark as ls
+    from lance_spark.dataset import dataset
+
+    uri = str(tmp_path / "drift")
+    ls.write_dataset(spark.createDataFrame([(1, 10)], "id long, v long"), uri)
+    # benign drift: int → long widens silently
+    spark.createDataFrame([(2, 20)], "id int, v int").coalesce(1) \
+        .write.format("lance").option("uri", uri).mode("append").save()
+    got = sorted((r["id"], r["v"]) for r in dataset(uri).to_df(spark).collect())
+    assert got == [(1, 10), (2, 20)]
+    assert dict(dataset(uri).to_df(spark).dtypes) == {"id": "bigint", "v": "bigint"}
+    # uncastable drift: string payload that is not a number → loud failure
+    with pytest.raises(Exception, match="type mismatch|cast|convert"):
+        spark.createDataFrame([("x", "not-a-number")], "id string, v string") \
+            .coalesce(1).write.format("lance").option("uri", uri).mode("append").save()
+    # dataset unchanged after the failed append
+    assert dataset(uri).count_rows() == 2
