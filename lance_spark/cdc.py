@@ -105,16 +105,30 @@ def changes(ds, spark: SparkSession, from_version: int, to_version: int | None =
         for p in del_pieces[1:]:
             dels = dels.unionByName(p)
 
+    # in-place value swaps (DataReplacement / restore of one): same
+    # fragment id, same rowids, different data file → live rows surface
+    # as updates with the NEW values (piece appended below)
+    replaced = [
+        fid
+        for fid, nf in new_frags.items()
+        if fid in old_frags and _files_replaced(old_frags[fid], nf)
+    ]
+
     # rows live again at ``to``: in the OLD sidecar but not the new one —
-    # values read back from the fragments that still hold them
+    # values read back from the fragments that still hold them. Fragments
+    # whose data file was ALSO swapped in the span are excluded at the
+    # source: the replaced piece already emits every live row of those
+    # fragments (resurrected ones included), so reading them here would
+    # emit two 'update' rows for the same _rowid (r12 ADVICE fix)
     resurrected = None
-    if od_raw is not None:
+    res_fids = [f for f in sidecar_fids if f not in set(replaced)]
+    if od_raw is not None and res_fids:
         back = (
             od_raw.join(F.broadcast(nd_raw), on=ROWID_COL, how="left_anti")
             if nd_raw is not None
             else od_raw
         )
-        vals = new._fragment_df(spark, [new_frags[f] for f in sidecar_fids], None)
+        vals = new._fragment_df(spark, [new_frags[f] for f in res_fids], None)
         resurrected = vals.join(back, on=ROWID_COL, how="left_semi")
 
     # ---- cancel moved rows (compaction preserves rowids) -----------------
@@ -150,14 +164,6 @@ def changes(ds, spark: SparkSession, from_version: int, to_version: int | None =
                 F.lit("update").alias("_change_type"), F.col(ROWID_COL), *cols
             )
         )
-    # in-place value swaps (DataReplacement / restore of one): same
-    # fragment id, same rowids, different data file → live rows surface
-    # as updates with the NEW values
-    replaced = [
-        fid
-        for fid, nf in new_frags.items()
-        if fid in old_frags and _files_replaced(old_frags[fid], nf)
-    ]
     if replaced:
         pieces.append(
             new._fragment_df(spark, [new_frags[f] for f in replaced], None).select(

@@ -724,6 +724,11 @@ class LanceDataset:
             sel.append(ROWID_COL)
         if with_row_address:
             hits = self._attach_row_address(spark, hits)
+            if limit is not None:
+                # the attach is a shuffle join on compacted datasets — Spark
+                # does not preserve sort order through it, so re-apply the
+                # score ordering (r12 ADVICE fix)
+                hits = hits.orderBy(order, ROWID_COL)
             sel.append(ROWADDR_COL)
         from lance_spark.scanner import LanceScanner
 

@@ -60,8 +60,12 @@ def tokenize_ngram(colname: str, n: int = 3, prefix_only: bool = False) -> Colum
     reference's min=max=n tokenizer does the same; sequence(1, 0) would
     otherwise yield the DESCENDING [1, 0] and fabricate short 'grams'."""
     if prefix_only:
+        # same length >= n guard as the sliding branch: a string shorter
+        # than n emits NO grams, so index and query sides agree on short
+        # tokens (r12 ADVICE fix — >= 1 let a 2-char string emit a 2-char
+        # 'gram' from a min=max=3 tokenizer)
         return F.expr(
-            f"CASE WHEN length({colname}) >= 1"
+            f"CASE WHEN length({colname}) >= {n}"
             f" THEN array(substring(lower({colname}), 1, {n}))"
             " ELSE CAST(array() AS array<string>) END"
         )

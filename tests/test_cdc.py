@@ -198,3 +198,47 @@ class TestCdcReviewR11:
         ds = ds.add_columns(spark, {"double_key": "r_regionkey * 2"})
         # an appended column group replaces nothing: no phantom updates
         assert ds.changes(spark, v1).count() == 0
+
+    def test_resurrection_plus_replacement_dedup(self, spark, tmp_path):
+        """A fragment whose deletion sidecar shrank AND whose data file was
+        replaced across the same version span emits each resurrected row
+        ONCE (with the replacement's values), not twice (r12 ADVICE fix)."""
+        import os as _os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import lance_spark as ls
+        from lance_spark import manifest as mf
+        from lance_spark.operation import LanceOperation, commit
+
+        uri = str(tmp_path / "cdc_rr")
+        docs = spark.createDataFrame([(i, i * 10) for i in range(5)], "id long, v long")
+        ds = ls.write_dataset(docs.coalesce(1), uri, mode="create")
+        ds = ds.delete(spark, "id = 2")  # v2: sidecar appears
+        v2 = ds.version
+        ds = ds.checkout_version(1).restore()  # v3: sidecar gone, row 2 live
+        frag = ds.manifest.fragments[0]
+        old = pq.read_table(f"{uri}/{frag.files[0].path}")
+        new_rel = "data/frag-%d-rr.parquet" % frag.id
+        tbl = old.set_column(
+            old.schema.get_field_index("v"), "v",
+            pa.array([x.as_py() * 2 for x in old.column("v")]),
+        )
+        pq.write_table(tbl, _os.path.join(uri, new_rel))
+        ds2 = commit(
+            uri,
+            LanceOperation.DataReplacement(
+                replacements=[
+                    LanceOperation.DataReplacementGroup(
+                        fragment_id=frag.id,
+                        new_file=mf.DataFile(path=new_rel, columns=frag.files[0].columns),
+                    )
+                ]
+            ),
+        )  # v4: same span as the resurrection
+        ch = ds2.changes(spark, v2).collect()
+        ups = [r for r in ch if r["_change_type"] == "update"]
+        ids = [r["id"] for r in ups]
+        assert len(ids) == len(set(ids)), f"duplicate update rows: {sorted(ids)}"
+        assert {r["id"]: r["v"] for r in ups}[2] == 40  # replacement values win

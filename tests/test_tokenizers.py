@@ -544,6 +544,9 @@ class TestTextReviewR11:
             F.col("s"), tokenize_ngram("s", 3, prefix_only=True).alias("g")
         ).collect()}
         assert pref["abcd"] == ["abc"] and pref[""] == [] and pref[None] == []
+        # a string shorter than n emits NO prefix gram either — index and
+        # query sides must agree on short tokens (r12 ADVICE fix)
+        assert pref["ab"] == []
 
     def test_turkish_dotted_capital_i_roundtrip(self, spark):
         from lance_spark.functions.text import query_tokens, tokenize_turkish
