@@ -1481,7 +1481,12 @@ def ann_join(
     )
     cand = cand.localCheckpoint(eager=True)
     cand_side = F.broadcast(cand) if cand.count() <= 2_000_000 else cand
-    vec_tbl = index.codes_df(spark).select("partition_id", "id", "vec")
+    # the refine side uses the SAME masked codes view as the approx pass:
+    # an unmasked read could see the same id in two visible segments (torn
+    # delta) and double-count one survivor into two rank slots (r12 fix)
+    vec_tbl = index.codes_df(spark, exclude_fragments, rowid_map).select(
+        "partition_id", "id", "vec"
+    )
     qvecs = queries.filter(F.col(query_vec_col).isNotNull()).select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("__qv"),
@@ -1490,6 +1495,12 @@ def ann_join(
         vec_tbl.join(cand_side, ["partition_id", "id"])
         .join(qvecs, "query_id")
         .select("query_id", "id", _exact().alias("_distance"))
+        # belt-and-braces vs duplicate ids (a torn delta leaving one id in
+        # two visible segments would double-count a survivor into two rank
+        # slots); the survivor set is |Q|·refine·k rows, so this groupBy
+        # costs nothing at scale (r12 hardening)
+        .groupBy("query_id", "id")
+        .agg(F.min("_distance").alias("_distance"))
     )
     return _topk(refined, k)
 

@@ -1959,3 +1959,51 @@ class TestVectorReviewR11:
         out = v._gated_broadcast(small)
         assert out is not None and small._ls_bcast_small is True
         assert v._gated_broadcast(None) is None
+
+
+def test_ann_join_refine_duplicate_segment_invariance(spark, emb, tmp_path):
+    """A torn delta that leaves the same id visible in TWO code segments
+    must not double-count a survivor into two rank slots: per query the
+    ADC-refine path still returns exactly k DISTINCT ids, identical to the
+    clean index's answer (r12 hardening — masked refine vec_tbl + survivor
+    dedup)."""
+    import json
+    import os
+    import shutil
+
+    from lance_spark.indexes.vector import IvfIndex, ann_join, build_ivf
+
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).limit(5)
+    uri = str(tmp_path / "ajdup")
+    idx = build_ivf(
+        corpus, "embedding", "vec_id", uri, num_partitions=4,
+        metric="cosine", index_type="IVF_PQ", num_sub_vectors=8,
+    )
+    k = 5
+    # simulate the torn delta: duplicate the codes segment wholesale
+    shutil.copytree(os.path.join(uri, "codes"), os.path.join(uri, "codes_vdup"))
+    meta_path = os.path.join(uri, "meta.json")
+    meta = json.load(open(meta_path))
+    meta["segments"] = list(meta.get("segments") or ["codes"]) + ["codes_vdup"]
+    json.dump(meta, open(meta_path, "w"))
+    torn = IvfIndex(uri)
+    after = ann_join(spark, torn, queries, "embedding", "vec_id", k=k,
+                     nprobes=4, use_codes=True, refine_factor=4).collect()
+    by_q = {}
+    for r in after:
+        by_q.setdefault(r["query_id"], []).append(r["id"])
+    qvecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in queries.collect()}
+    cvecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in corpus.collect()}
+
+    def _cos(a, b):
+        import math
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        return 1.0 - num / den
+
+    dist = {(r["query_id"], r["id"]): r["_distance"] for r in after}
+    for qid, ids in by_q.items():
+        assert len(ids) == len(set(ids)) == k, f"duplicate ids for {qid}: {ids}"
+        for i in ids:  # late-materialized rescore stays EXACT under the tear
+            assert abs(dist[(qid, i)] - _cos(qvecs[qid], cvecs[i])) < 1e-6
