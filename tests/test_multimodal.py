@@ -411,3 +411,74 @@ class TestBlobReviewR11:
         ds = blob_ds.add_columns(spark, {"extra": "id * 2"})
         with pytest.raises(ValueError, match="not a blob column"):
             ds.take_blob_files([0], "extra")
+
+
+def test_png_megapixel_decode_time_bound():
+    """A 1-megapixel Sub/Up-filtered RGB PNG decodes within a wall-clock
+    bound (r12: Sub defiltering is a vectorized per-channel cumsum, not a
+    per-byte Python loop); a Paeth-heavy quarter-MP image stays within a
+    loose bound through the plain-int row loop."""
+    import struct
+    import time
+    import zlib
+
+    import numpy as np
+
+    from lance_spark.operators.multimodal import _PNG_SIG, _parse_png
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def build(w, h, f, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w * 3), dtype=np.int32)
+        c = 3
+        raw = bytearray()
+        for y in range(h):
+            prev = img[y - 1] if y else np.zeros(w * c, dtype=np.int32)
+            line = img[y]
+            if f == 1:  # forward Sub filter, vectorized for fixture speed
+                shifted = np.concatenate([np.zeros(c, dtype=np.int32), line[:-c]])
+                out = (line - shifted) & 0xFF
+            elif f == 2:
+                out = (line - prev) & 0xFF
+            else:  # Paeth, forward
+                out = np.zeros_like(line)
+                rec = line
+                for x in range(line.size):
+                    a = int(rec[x - c]) if x >= c else 0
+                    up = int(prev[x])
+                    ul = int(prev[x - c]) if x >= c else 0
+                    p = a + up - ul
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - ul)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                    out[x] = (int(line[x]) - pred) & 0xFF
+            raw += bytes([f]) + out.astype(np.uint8).tobytes()
+        png = (
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw), 1))
+            + chunk(b"IEND", b"")
+        )
+        return png, img
+
+    # 1024x1024 RGB, alternating Sub rows (vectorized path dominates)
+    png, img = build(1024, 1024, 1, seed=3)
+    t0 = time.monotonic()
+    w, h, c, px = _parse_png(png)
+    sub_sec = time.monotonic() - t0
+    assert (w, h, c) == (1024, 1024, 3)
+    assert (px.reshape(h, w * c) == img.astype(np.uint8)).all()
+    assert sub_sec < 2.5, f"1MP Sub decode took {sub_sec:.2f}s"
+
+    # 512x512 RGB all-Paeth: row-sequential loop, loose bound
+    png, img = build(512, 512, 4, seed=4)
+    t0 = time.monotonic()
+    w, h, c, px = _parse_png(png)
+    paeth_sec = time.monotonic() - t0
+    assert (w, h, c) == (512, 512, 3)
+    assert (px.reshape(h, w * c) == img.astype(np.uint8)).all()
+    assert paeth_sec < 10.0, f"0.25MP Paeth decode took {paeth_sec:.2f}s"
