@@ -56,6 +56,10 @@ HEADLINE = [
     "text_token_entropy",
     # round-8: distributed train+score NB classifier (the filter-model stage)
     "curate_nb_classifier",
+    # round-12: iterative-graph operators — per-round loop overhead was
+    # invisible to BENCH (the r11 verdict's missing-row item)
+    "dedup_clusters",
+    "dedup_semantic_keep",
 ]
 
 

@@ -809,26 +809,33 @@ def embedding_lsh_pairs(
         nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
         return dot / (na * nb)
 
+    # cosine is evaluated ONCE per in-bucket pair (higher-order lambdas are
+    # interpreted, and the 2·dim-element fold dominates — the old
+    # filter-then-transform shape re-evaluated it for every survivor);
+    # thresholding happens row-level after the explode, where the RAW value
+    # filters (oracle semantics) and the rounded one is projected by
+    # whole-stage codegen (r12 perf fix, ~2× on the pair stage)
     pair = F.explode(
         F.flatten(
             F.transform(
                 F.col("ms"),
                 lambda x, i: F.transform(
-                    F.filter(
-                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                        lambda y: _cos(x["v"], y["v"]) >= min_cosine,
-                    ),
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
                     lambda y: F.struct(
                         F.least(x["id"], y["id"]).alias("id_a"),
                         F.greatest(x["id"], y["id"]).alias("id_b"),
-                        F.round(_cos(x["v"], y["v"]), 4).alias("cosine"),
+                        _cos(x["v"], y["v"]).alias("cosine"),
                     ),
                 ),
             )
         )
     )
     return (
-        buckets.select(pair.alias("p")).select("p.*").dropDuplicates(["id_a", "id_b"])
+        buckets.select(pair.alias("p"))
+        .select("p.*")
+        .filter(F.col("cosine") >= min_cosine)
+        .withColumn("cosine", F.round("cosine", 4))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -896,9 +903,14 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
                 (F.coalesce("nbr_comp", "comp") < F.col("comp")).alias("__chg"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint + full count in ONE action: the count
+            # materializes every partition into the checkpoint (no
+            # limit-style early exit — that could leave it torn) AND
+            # returns the convergence probe, halving the per-round job
+            # count (r12; was eager checkpoint + a second probe job)
+            .localCheckpoint(eager=False)
         )
-        changed = stepped.filter(F.col("__chg")).limit(1).count()
+        changed = stepped.filter(F.col("__chg")).count()
         labels = stepped.drop("__chg")
         if changed == 0:
             break
