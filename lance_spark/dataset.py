@@ -669,6 +669,7 @@ class LanceDataset:
                 filter=filter if prefilter else None,
                 fast_search=fast_search,
                 with_row_id=True,
+                metric=nq.get("metric"),
             )
             score_col = "_distance"
         else:
@@ -1786,17 +1787,20 @@ class LanceDataset:
         ef_search: int = 64,
         with_row_id: bool = False,
         overfetch: int = 10,
+        metric: str | None = None,
     ) -> DataFrame:
         """``query`` may be ONE vector or a LIST of vectors — the latter is
         a multivector query (reference _coerce_query_vector,
         dataset.py:5309-5322) and requires a multivector-column index;
-        ``overfetch`` is the XTR candidate over-fetch (multivector only)."""
+        ``overfetch`` is the XTR candidate over-fetch (multivector only).
+        ``metric`` defaults to the index's metric and is REQUIRED when no
+        index exists (nearest_join enforces the same)."""
         from lance_spark.indexes.vector import dataset_nearest
 
         return dataset_nearest(
             self, spark, column, query, k, nprobes, refine_factor, use_index,
             filter=filter, fast_search=fast_search, ef_search=ef_search,
-            with_row_id=with_row_id, overfetch=overfetch,
+            with_row_id=with_row_id, overfetch=overfetch, metric=metric,
         )
 
     def nearest_join(

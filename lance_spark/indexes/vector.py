@@ -525,7 +525,11 @@ def build_ivf(
             # power-of-two divisor of dim when 16 doesn't divide it
             num_sub_vectors = next(m for m in (16, 8, 4, 2, 1) if dim % m == 0)
         m = num_sub_vectors
-        assert dim % m == 0, f"dim {dim} not divisible by num_sub_vectors {m}"
+        if dim % m != 0:
+            # ValueError, not assert: python -O strips asserts and the
+            # truncated sub spacing would silently drop trailing dims from
+            # every pq_code (builder.py raises the same; r12 review fix)
+            raise ValueError(f"dim {dim} not divisible by num_sub_vectors {m}")
         # residual PQ (vector/residual.rs): codebooks trained on (vec - centroid)
         codebooks = train_pq_codebooks(sample, centroids, m, seed=seed)
 
@@ -1065,12 +1069,31 @@ def ann_search(
                 # the unindexed-tail union in dataset_nearest is comparable
                 return pd.Series(-(x @ qb.value.astype(np.float64)))
             if cosine:
+                # zero-norm rows (failed embeddings): cosine is undefined —
+                # NaN ranks last, matching the JVM cosine_sim NULL contract
+                # (the _normalize guard alone would fabricate distance 0.5
+                # and let the junk row beat real neighbors; r12 review fix)
+                zero = np.linalg.norm(x, axis=1) == 0.0
                 x = _normalize(x)
+                d = ((x - qb.value.astype(np.float64)) ** 2).sum(axis=1)
+                d[zero] = np.nan
+                return pd.Series(d)
             return pd.Series(((x - qb.value.astype(np.float64)) ** 2).sum(axis=1))
 
         scored = codes.select("id", flat_dist("vec").alias("_distance"))
         scored = _finalize_distance(scored, index.metric)
-        return scored.orderBy("_distance", "id").limit(k)
+        # torn-delta guard: an id visible in two segments scores twice and
+        # would fill two of the k slots. Over-fetch 2k through the map-side
+        # TakeOrdered (a torn delta duplicates an id at most once), then
+        # dedup the 2k-row head — keeps the no-shuffle top-k plan (r12,
+        # sibling of the ann_join refine hardening)
+        head = scored.orderBy(F.asc_nulls_last("_distance"), "id").limit(2 * k)
+        return (
+            head.groupBy("id")
+            .agg(F.min("_distance").alias("_distance"))
+            .orderBy(F.asc_nulls_last("_distance"), "id")
+            .limit(k)
+        )
 
     if index.index_type == "IVF_RQ":
         # RabitQ estimator (bq.rs): per probed partition, rotate the query
@@ -1143,11 +1166,14 @@ def ann_search(
     # -q·x ≈ -q·c_p - Σ_j q_j·code_j: same gather-and-sum shape).
     cents = index.centroids
     cbs = index.codebooks
-    m, _, sub = cbs.shape
-    # per-probed-partition ADC tables: residual query = q - centroid
+    m, ncode, sub = cbs.shape
+    # per-probed-partition ADC tables: residual query = q - centroid.
+    # ncode, not a hardcoded 256: train_kmeans caps the codebook at the
+    # training-row count, so a small corpus ships narrower codebooks
+    # (r12 review fix — the 256 allocation crashed such indexes at query)
     adc = {}
     for pid in probes:
-        tbl = np.empty((m, 256), dtype=np.float32)
+        tbl = np.empty((m, ncode), dtype=np.float32)
         if dot:
             for j in range(m):
                 tbl[j] = -(cbs[j] @ q[j * sub : (j + 1) * sub].astype(np.float64))
@@ -1197,36 +1223,64 @@ def _exact_refine_local(
     row-group pruning, and the re-rank is one tiny numpy pass. No second
     Spark job or Python-worker round trip (measured: halves per-query
     latency vs a pandas_udf refine stage at sf0.1)."""
+    import pyarrow as pa
     import pyarrow.dataset as pads
 
-    if not cand_ids:
-        return spark.createDataFrame([], "id long, _distance double")
-    # candidate ids come pre-masked (the torn-delta guard runs at scoring),
-    # so the point read may touch every segment
     dset = pads.dataset(
         [pads.dataset(p, partitioning="hive") for p in index.codes_paths()]
     )
+    id_arrow = dset.schema.field("id").type
+    if pa.types.is_string(id_arrow) or pa.types.is_large_string(id_arrow):
+        id_spark = "string"
+    elif pa.types.is_int32(id_arrow):
+        id_spark = "int"
+    else:
+        id_spark = "long"  # int64 and the legacy default
+    if not cand_ids:
+        return spark.createDataFrame([], f"id {id_spark}, _distance double")
+    # candidate ids come pre-masked (the torn-delta guard runs at scoring),
+    # so the point read may touch every segment — including a superseded
+    # copy of a candidate id, which the seen-set below collapses
     tbl = dset.to_table(
         columns=["id", "vec"],
         filter=pads.field("partition_id").isin(probes) & pads.field("id").isin(cand_ids),
     )
-    ids = tbl.column("id").to_numpy()
+    ids = tbl.column("id").to_numpy(zero_copy_only=False)
     x = np.asarray(tbl.column("vec").to_pylist(), dtype=np.float64)
     if index.packed:
         x = _unpack_bits(x)
     if index.metric == "dot":
         d = -(x @ q.astype(np.float64))
     else:
+        zero = np.linalg.norm(x, axis=1) == 0.0 if cosine else None
         if cosine:
             x = _normalize(x)
         d = ((x - q.astype(np.float64)) ** 2).sum(axis=1)
         if index.metric == "cosine":
             d = d / 2.0
+            d[zero] = np.nan  # undefined cosine ranks last (r12 review fix)
         elif index.metric == "l2":
             d = np.sqrt(d)
-    order = np.lexsort((ids, d))[:k]
-    rows = [(int(ids[i]), float(d[i])) for i in order]
-    return spark.createDataFrame(rows, "id long, _distance double")
+    # python key-sort: type-agnostic (string ids lexsort-safe) and the
+    # candidate set is O(k·refine) — tiny. The seen-set keeps ONE rank slot
+    # per id when a torn delta left the same id in two segments (r12,
+    # sibling of the ann_join refine hardening). NaN (undefined cosine)
+    # sorts LAST via the isnan flag — raw NaN breaks tuple ordering.
+    order = sorted(
+        range(len(d)),
+        key=lambda i: (bool(np.isnan(d[i])), 0.0 if np.isnan(d[i]) else float(d[i]), ids[i]),
+    )
+    seen: set = set()
+    rows = []
+    for i in order:
+        key = ids[i].item() if isinstance(ids[i], np.generic) else ids[i]
+        if key in seen:
+            continue
+        seen.add(key)
+        rows.append((key, float(d[i])))
+        if len(rows) == k:
+            break
+    return spark.createDataFrame(rows, f"id {id_spark}, _distance double")
 
 
 def _ensure_radii(index: IvfIndex, spark: SparkSession) -> np.ndarray:
@@ -1311,7 +1365,7 @@ def distance_range_search(
     )
     return scored.filter(
         (F.col("_distance") >= range_min) & (F.col("_distance") < range_max)
-    ).orderBy("_distance", "id")
+    ).orderBy(F.asc_nulls_last("_distance"), "id")
 
 
 def ann_join(
@@ -1404,7 +1458,7 @@ def ann_join(
 
     from pyspark.sql import Window
 
-    w = Window.partitionBy("query_id").orderBy(F.asc("_distance"), F.asc("id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc_nulls_last("_distance"), F.asc("id"))
 
     def _topk(scored, n):
         return (
@@ -1572,7 +1626,7 @@ def ann_maxsim(
         .crossJoin(F.broadcast(msum))
         .select("id", (F.lit(float(nq)) - (F.col("__adj") + F.col("__msum"))).alias("_distance"))
     )
-    return scored.orderBy("_distance", "id").limit(k * max(refine_factor, 1))
+    return scored.orderBy(F.asc_nulls_last("_distance"), "id").limit(k * max(refine_factor, 1))
 
 
 def ann_maxsim_join(
@@ -1648,7 +1702,7 @@ def ann_maxsim_join(
             (F.col("__nq") - (F.col("__adj") + F.col("__msum"))).alias("_distance"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("_distance"), F.asc("id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc_nulls_last("_distance"), F.asc("id"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k * max(refine_factor, 1))
@@ -1797,11 +1851,17 @@ def dataset_nearest(
     ef_search: int = 64,
     with_row_id: bool = False,
     overfetch: int = 10,
+    metric: str | None = None,
 ) -> DataFrame:
     """``scanner.nearest(...)`` (dataset.py:4420-4501): ANN over the indexed
     fragments UNION exact KNN over fragments written after the index
     (``knn_combined``, scanner.rs:2946-3029), then global top-k. Returns the
     dataset's columns + ``_distance``.
+
+    ``metric`` defaults to the index's recorded metric, or to ``l2`` with
+    no index (the reference's flat-search default, scanner.rs:1074); a
+    metric conflicting with an existing index raises (r12 review fix — the
+    old silent cosine fallback mis-ranked l2/dot corpora).
 
     ``filter`` is a PREfilter (dataset.py:4353 prefilter=True): the allowed
     row-id set is computed first and candidates are restricted before top-k,
@@ -1845,12 +1905,30 @@ def dataset_nearest(
         full = ds.to_df(spark, with_row_id=True)
         if allow is not None:
             full = full.join(_gated_broadcast(allow), ROWID_COL, "left_semi")
-        metric = meta.params["metric"] if meta else "cosine"
+        if meta is not None:
+            idx_metric = meta.params["metric"]
+            if metric is not None and metric != idx_metric:
+                raise ValueError(
+                    f"metric={metric!r} conflicts with the {idx_metric!r} index "
+                    f"on {column!r}"
+                )
+            metric = idx_metric
+        elif metric is None:
+            # the reference's flat-search default (scanner.rs:1074
+            # MetricType::L2, overridden by the index's metric when one
+            # exists) — this repo defaulted to cosine, a silent parity break
+            # that mis-ranked l2 corpora (r12 review fix)
+            metric = "l2"
         scored = knn_bruteforce(full, column, query, k=k, metric=metric, id_col=ROWID_COL)
         hits = scored.withColumnRenamed(ROWID_COL, "id")
     else:
         from lance_spark.mutation import _rowid_fragment_map
 
+        if metric is not None and metric != meta.params["metric"]:
+            raise ValueError(
+                f"metric={metric!r} conflicts with the "
+                f"{meta.params['metric']!r} index on {column!r}"
+            )
         index = IvfIndex(os.path.join(ds.uri, meta.path))
         covered = set(meta.fragment_ids)
         tail = [f.id for f in ds.manifest.fragments if f.id not in covered]
@@ -1881,7 +1959,7 @@ def dataset_nearest(
             on="id",
             how="left_semi",
         )
-    topk = hits.orderBy("_distance", "id").limit(k)
+    topk = hits.orderBy(F.asc_nulls_last("_distance"), "id").limit(k)
     # fetch the dataset columns for the winners (TakeExec role, take.rs:284)
     base = ds.to_df(spark, with_row_id=True)
     # reserved join-key name: a bare drop("id") would also drop a USER
@@ -1892,7 +1970,7 @@ def dataset_nearest(
     ).drop("__match_id")
     if not with_row_id:
         out = out.drop(ROWID_COL)
-    return out.orderBy("_distance")
+    return out.orderBy(F.asc_nulls_last("_distance"))
 
 
 def _multivector_nearest_hits(
@@ -2069,7 +2147,7 @@ def dataset_nearest_join(
         )
         from pyspark.sql import Window
 
-        w = Window.partitionBy("query_id").orderBy(F.asc("_distance"), F.asc("id"))
+        w = Window.partitionBy("query_id").orderBy(F.asc_nulls_last("_distance"), F.asc("id"))
         return (
             hits.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
@@ -2123,7 +2201,7 @@ def dataset_nearest_join(
         )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("query_id").orderBy(F.asc("_distance"), F.asc("id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc_nulls_last("_distance"), F.asc("id"))
     return (
         hits.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
