@@ -1003,78 +1003,108 @@ def _lang_tables():
         _AR_TABLE = str.maketrans(_AR_FOLD_SRC, _AR_FOLD_DST)
 
 
+#: tokenizers whose index side splits with tokenize_unicode
+#: ([^\p{L}\p{N}]+ gaps, CJK unigrams — digits are TOKEN characters)
+UNICODE_SPLIT_FAMILY = frozenset(
+    {"unicode", "russian_stem", "greek_stem", "arabic_stem", "tamil_stem"}
+)
+
+#: ranges tokenize_unicode unigrams (Han incl. ext A/B + compat, kana +
+#: small-kana ext, hangul syllables + jamo) — mirrors the JVM
+#: \p{IsHan|IsHiragana|IsKatakana|IsHangul} script classes
+_CJK_RANGES = (
+    "\u4e00-\u9fff\u3400-\u4dbf\uf900-\ufaff\U00020000-\U0002ebef"
+    "\u3040-\u309f\u30a0-\u30ff\u31f0-\u31ff"
+    "\uac00-\ud7af\u1100-\u11ff\u3130-\u318f\ua960-\ua97f\ud7b0-\ud7ff"
+)
+
+
+def _fold_query(t: str, tokenizer: str) -> str:
+    """Language fold of lowered query text — EXACTLY the pre-split transform
+    the index-side tokenizer applies (the fold stage of tokenize_XX), so a
+    fold-then-split query mirror reproduces the posting tokens."""
+    if tokenizer == "german_stem":
+        return t.replace("ß", "ss").translate(_FOLD_TABLE)
+    if tokenizer in (
+        "french_stem", "spanish_stem", "italian_stem", "portuguese_stem",
+        "dutch_stem", "swedish_stem", "finnish_stem",
+    ):
+        return t.translate(_FOLD_TABLE)
+    if tokenizer in ("danish_stem", "norwegian_stem"):
+        return t.replace("æ", "ae").replace("ø", "o").translate(_FOLD_TABLE)
+    if tokenizer == "turkish_stem":
+        # Python lower('İ') leaves a combining U+0307 the JVM tokenizer
+        # strips (tokenize_turkish) — remove it so both sides agree
+        return t.replace("̇", "").translate(_TR_TABLE).translate(_FOLD_TABLE)
+    if tokenizer == "hungarian_stem":
+        return t.translate(_HU_TABLE).translate(_FOLD_TABLE)
+    if tokenizer == "romanian_stem":
+        return t.translate(_RO_TABLE).translate(_FOLD_TABLE)
+    if tokenizer == "russian_stem":
+        return t.replace("ё", "е")
+    if tokenizer == "greek_stem":
+        return t.translate(_EL_TABLE)
+    if tokenizer == "arabic_stem":
+        return t.translate(_AR_TABLE)
+    return t
+
+
+def _stem_query_term(t: str, tokenizer: str) -> str:
+    stemmers = {
+        "english_stem": stem_word, "german_stem": stem_word_de,
+        "french_stem": stem_word_fr, "spanish_stem": stem_word_es,
+        "italian_stem": stem_word_it, "portuguese_stem": stem_word_pt,
+        "russian_stem": stem_word_ru, "dutch_stem": stem_word_nl,
+        "swedish_stem": stem_word_sv, "danish_stem": stem_word_da,
+        "norwegian_stem": stem_word_no, "finnish_stem": stem_word_fi,
+        "turkish_stem": stem_word_tr, "hungarian_stem": stem_word_hu,
+        "romanian_stem": stem_word_ro, "greek_stem": stem_word_el,
+        "arabic_stem": stem_word_ar, "tamil_stem": stem_word_ta,
+    }
+    f = stemmers.get(tokenizer)
+    return f(t) if f else t
+
+
+def query_split(text: str, tokenizer: str) -> list[str]:
+    """Split raw QUERY text into pre-normalization terms with the SAME gap
+    class the index-side tokenizer used (r12 review fix — a
+    whitespace-plus-ASCII-punctuation split missed digit terms and CJK
+    unigrams under 'unicode', and interior non-ASCII separators under the
+    'simple' family, guaranteeing query misses):
+      - whitespace: whitespace gaps only, case preserved;
+      - unicode family: language fold → CJK chars unigram →
+        [^letter/digit]+ gaps (digits are token chars);
+      - tokenize ('simple') family: language fold → [^a-z]+ gaps."""
+    import re as _re
+
+    if tokenizer == "whitespace":
+        return [t for t in text.split() if t]
+    _lang_tables()
+    t = _fold_query(text.lower(), tokenizer)
+    if tokenizer in UNICODE_SPLIT_FAMILY:
+        t = _re.sub(f"([{_CJK_RANGES}])", r" \1 ", t)
+        return [x for x in _re.split(r"[\W_]+", t) if x]
+    return [x for x in _re.split(r"[^a-z]+", t) if x]
+
+
 def query_tokens(terms: list[str], tokenizer: str) -> list[str]:
     """Normalize already-split query terms the way the named tokenizer
     normalized the postings (driver-side, O(len(query))).
 
     'whitespace' postings are CASE-PRESERVING, so terms pass through
     verbatim (lowercasing them would make every case-bearing term a
-    guaranteed miss). Every other tokenizer strips non-letter characters
-    at term edges ('spark,' → 'spark') — the index side split them away."""
+    guaranteed miss). Every other tokenizer strips characters that could
+    not survive the index-side split at term edges ('spark,' → 'spark');
+    for the unicode family digits are KEPT — they are token characters
+    there (r12 review fix)."""
     import re as _re
 
     if tokenizer == "whitespace":
         return [t for t in terms if t]
     _lang_tables()
-    # edge punctuation/digits never survive the index-side [^letters] split
-    terms = [_re.sub(r"^[\W\d_]+|[\W\d_]+$", "", t.lower()) for t in terms]
-    terms = [t for t in terms if t]
-    if tokenizer == "english_stem":
-        return [stem_word(t) for t in terms]
-    if tokenizer == "german_stem":
-        return [stem_word_de(t.replace("ß", "ss").translate(_FOLD_TABLE)) for t in terms]
-    if tokenizer == "french_stem":
-        return [stem_word_fr(t.translate(_FOLD_TABLE)) for t in terms]
-    if tokenizer == "spanish_stem":
-        return [stem_word_es(t.translate(_FOLD_TABLE)) for t in terms]
-    if tokenizer == "italian_stem":
-        return [stem_word_it(t.translate(_FOLD_TABLE)) for t in terms]
-    if tokenizer == "portuguese_stem":
-        return [stem_word_pt(t.translate(_FOLD_TABLE)) for t in terms]
-    if tokenizer == "russian_stem":
-        return [stem_word_ru(t.replace("ё", "е")) for t in terms]
-    if tokenizer == "dutch_stem":
-        return [stem_word_nl(t.translate(_FOLD_TABLE)) for t in terms]
-    if tokenizer == "swedish_stem":
-        return [stem_word_sv(t.translate(_FOLD_TABLE)) for t in terms]
-    if tokenizer == "danish_stem":
-        return [
-            stem_word_da(t.replace("æ", "ae").replace("ø", "o").translate(_FOLD_TABLE))
-            for t in terms
-        ]
-    if tokenizer == "norwegian_stem":
-        return [
-            stem_word_no(t.replace("æ", "ae").replace("ø", "o").translate(_FOLD_TABLE))
-            for t in terms
-        ]
-    if tokenizer == "finnish_stem":
-        return [stem_word_fi(t.translate(_FOLD_TABLE)) for t in terms]
-    if tokenizer == "turkish_stem":
-        # Python lower('İ') leaves a combining U+0307 the JVM tokenizer
-        # strips (tokenize_turkish) — remove it so both sides agree
-        return [
-            stem_word_tr(
-                t.replace("̇", "").translate(_TR_TABLE).translate(_FOLD_TABLE)
-            )
-            for t in terms
-        ]
-    if tokenizer == "hungarian_stem":
-        return [
-            stem_word_hu(t.translate(_HU_TABLE).translate(_FOLD_TABLE))
-            for t in terms
-        ]
-    if tokenizer == "romanian_stem":
-        return [
-            stem_word_ro(t.translate(_RO_TABLE).translate(_FOLD_TABLE))
-            for t in terms
-        ]
-    if tokenizer == "greek_stem":
-        return [stem_word_el(t.translate(_EL_TABLE)) for t in terms]
-    if tokenizer == "arabic_stem":
-        return [stem_word_ar(t.translate(_AR_TABLE)) for t in terms]
-    if tokenizer == "tamil_stem":
-        return [stem_word_ta(t) for t in terms]
-    return terms
+    edge = r"^[\W_]+|[\W_]+$" if tokenizer in UNICODE_SPLIT_FAMILY else r"^[\W\d_]+|[\W\d_]+$"
+    terms = [_re.sub(edge, "", t.lower()) for t in terms]
+    return [_stem_query_term(_fold_query(t, tokenizer), tokenizer) for t in terms if t]
 
 
 def damerau_levenshtein(a: str, b: str) -> int:

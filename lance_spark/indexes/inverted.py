@@ -1137,19 +1137,17 @@ def fuzzy_query(
         from lance_spark.query import auto_fuzziness
 
         fuzziness = auto_fuzziness(t)
-    vocab = postings.select("token").distinct()
-    if prefix_length > 0:
-        vocab = vocab.filter(F.col("token").startswith(t[:prefix_length]))
-    expanded = [
-        r["token"]
-        for r in vocab.select("token", _edit_distance_col(t, transpositions).alias("_d"))
-        .filter(F.col("_d") <= fuzziness)
-        .orderBy("_d", "token")
-        .limit(max_expansions)
-        .collect()
-    ]
+    # ONE shared expansion pipeline with the structured-query path
+    # (query.py _expand_fuzzy) — two hand-maintained copies of the
+    # vocabulary expansion had already begun to drift (r12 review fix)
+    from lance_spark.query import _expand_fuzzy
+
+    expanded = _expand_fuzzy(
+        postings, [t], fuzziness, prefix_length, max_expansions,
+        transpositions=transpositions,
+    )[0]
     if not expanded:
-        return spark.createDataFrame([], "id long, _score double")
+        return postings.select("id").limit(0).withColumn("_score", F.lit(0.0))
     scored = _bm25(postings, doclens, expanded)
     return _topk(scored.select("id", F.round("_score", 4).alias("_score")), k)
 

@@ -91,7 +91,14 @@ class MatchQuery(FullTextQuery):
         # None = automatic per-term distance (auto_fuzziness)
         self.fuzziness = fuzziness if fuzziness is None else int(fuzziness)
         self.max_expansions = max_expansions
-        self.operator = operator
+        # coerce plain strings ('AND') like _match_from_json does — the
+        # compiled `is FullTextOperator.AND` test would otherwise silently
+        # degrade a string operator to OR semantics (r12 review fix)
+        self.operator = (
+            operator
+            if isinstance(operator, FullTextOperator)
+            else FullTextOperator(str(operator).upper())
+        )
         self.prefix_length = prefix_length
 
     def query_type(self) -> FullTextQueryType:
@@ -151,7 +158,12 @@ class MultiMatchQuery(FullTextQuery):
 
 class BooleanQuery(FullTextQuery):
     def __init__(self, queries: list[tuple[Occur, FullTextQuery]]):
-        self.queries = list(queries)
+        # coerce plain strings ('MUST') — the compiled `is Occur.MUST` tests
+        # would otherwise silently DROP a string-keyed clause (r12 review)
+        self.queries = [
+            (o if isinstance(o, Occur) else Occur(str(o).upper()), s)
+            for o, s in queries
+        ]
 
     def query_type(self) -> FullTextQueryType:
         return FullTextQueryType.BOOLEAN
@@ -308,22 +320,17 @@ class _Corpus:
 
 def _query_terms(text: str, tok: str) -> list[str]:
     """Split query text into terms the way the INDEX tokenizer split the
-    documents: whitespace-tokenized indexes keep terms verbatim; every
-    other tokenizer also splits on interior ASCII punctuation/digits —
-    'state-of-the-art' must become four terms, or it matches nothing
-    against postings that hold 'state','of','the','art'. Per-language
-    folding/stemming then happens in query_tokens."""
-    import re
+    documents — 'state-of-the-art' must become four terms, or it matches
+    nothing against postings that hold 'state','of','the','art'.
+    ``query_split`` mirrors each tokenizer family's exact gap class
+    (whitespace verbatim; unicode family keeps digits and unigrams CJK;
+    the simple family splits on every non-[a-z] after the language fold —
+    r12 review fix: the old ASCII-punctuation split missed digit/CJK terms
+    under 'unicode' and non-ASCII separators under 'simple').
+    Per-language folding/stemming then happens in query_tokens."""
+    from lance_spark.functions.text import query_split, query_tokens
 
-    from lance_spark.functions.text import query_tokens
-
-    raw = [t for t in text.split() if t]
-    if tok == "whitespace":
-        return query_tokens(raw, tok)
-    split = []
-    for t in raw:
-        split.extend(x for x in re.split(r"[!-/:-@\[-`{-~\d]+", t) if x)
-    return query_tokens(split, tok)
+    return query_tokens(query_split(text, tok), tok)
 
 
 def _match_scores(corpus: _Corpus, q: MatchQuery) -> DataFrame:
@@ -337,7 +344,9 @@ def _match_scores(corpus: _Corpus, q: MatchQuery) -> DataFrame:
     else:
         groups = [[t] for t in base_terms]
     terms = list(dict.fromkeys(v for g in groups for v in g))
-    empty = corpus.spark.createDataFrame([], "id long, _score double")
+    # empty frame TYPED from the corpus postings: a hardcoded 'id long'
+    # breaks composed queries over df= corpora with non-long ids (r12)
+    empty = postings.select("id").limit(0).withColumn("_score", F.lit(0.0))
     if not terms:
         return empty
     if q.operator is FullTextOperator.AND and any(not g for g in groups):
@@ -358,7 +367,37 @@ def _match_scores(corpus: _Corpus, q: MatchQuery) -> DataFrame:
     return scored
 
 
-def _expand_fuzzy(postings, terms, fuzziness, prefix_length, max_expansions):
+def _match_ids(corpus: _Corpus, q: FullTextQuery) -> DataFrame:
+    """Match SET of a query node — ids only, no scores. MUST_NOT clauses
+    need membership, not ranking: compiling the full BM25 plan (doclens
+    join, stats, aggregation) just to discard every score wastes a shuffle
+    per anti clause (r12 efficiency fix). MatchQuery compiles to postings
+    filters; other node types fall back to their scored plan's ids."""
+    if isinstance(q, MatchQuery):
+        postings, doclens, tok = corpus.tables(q.column)
+        base_terms = _query_terms(q.query, tok)
+        if q.fuzziness is None or q.fuzziness:
+            groups = _expand_fuzzy(postings, base_terms, q.fuzziness,
+                                   q.prefix_length, q.max_expansions)
+        else:
+            groups = [[t] for t in base_terms]
+        terms = list(dict.fromkeys(v for g in groups for v in g))
+        if not terms or (
+            q.operator is FullTextOperator.AND and any(not g for g in groups)
+        ):
+            return postings.select("id").limit(0)
+        if q.operator is FullTextOperator.AND:
+            out = None
+            for g in groups:
+                ids = postings.filter(F.col("token").isin(g)).select("id").distinct()
+                out = ids if out is None else out.join(ids, "id", "left_semi")
+            return out
+        return postings.filter(F.col("token").isin(terms)).select("id").distinct()
+    return _scores(corpus, q).select("id")
+
+
+def _expand_fuzzy(postings, terms, fuzziness, prefix_length, max_expansions,
+                  transpositions: bool = True):
     """Per-term expansion against the token DICTIONARY → one variant GROUP
     per original term (AND semantics need the grouping: each ORIGINAL term
     must match via any of ITS variants). Vocabulary-sized, capped in-plan
@@ -385,7 +424,7 @@ def _expand_fuzzy(postings, terms, fuzziness, prefix_length, max_expansions):
         frames.append(
             v.select(
                 F.lit(i).alias("__ti"), "token",
-                _edit_distance_col(t, True).alias("_d"),
+                _edit_distance_col(t, transpositions).alias("_d"),
             ).filter(F.col("_d") <= d)
         )
     if frames:
@@ -410,7 +449,7 @@ def _phrase_scores(corpus: _Corpus, q: PhraseQuery) -> DataFrame:
     postings, doclens, tok = corpus.tables(q.column)
     terms = _query_terms(q.query, tok)
     if not terms:
-        return corpus.spark.createDataFrame([], "id long, _score double")
+        return postings.select("id").limit(0).withColumn("_score", F.lit(0.0))
     hits = phrase_hits(postings, terms, q.slop)
     # score with CORPUS-WIDE stats (idf/avgdl/n_docs) and then restrict to
     # the phrase hits: stats from only the matching docs made phrase scores
@@ -456,7 +495,9 @@ def _scores(corpus: _Corpus, q: FullTextQuery) -> DataFrame:
         for i, s in enumerate(must):
             out = out.join(scoring[i].select("id"), "id", "left_semi")
         for s in must_not:
-            out = out.join(_scores(corpus, s).select("id"), "id", "left_anti")
+            # membership only: full _scores would pay the BM25 doclens join
+            # + aggregation just to discard every score (r12 efficiency fix)
+            out = out.join(_match_ids(corpus, s), "id", "left_anti")
         return out
     raise TypeError(f"not a FullTextQuery: {type(q).__name__}")
 

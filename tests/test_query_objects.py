@@ -277,3 +277,83 @@ class TestQueryReviewR11:
 
         assert isinstance(q, BooleanQuery)  # fuzziness preserved per clause
         assert all(s.fuzziness == 1 for _, s in q.queries)
+
+
+class TestQueryReviewR12:
+    """Pins for the r12 adversarial review of query.py."""
+
+    def test_unicode_tokenizer_digit_and_cjk_queries(self, spark, tmp_path):
+        """_query_terms must mirror the 'unicode' index tokenizer: digits
+        are token chars and CJK indexes as unigrams — the old ASCII split
+        guaranteed misses for both."""
+        from lance_spark.dataset import dataset
+        from lance_spark.indexes.inverted import create_inverted_index, match_query
+        from lance_spark.write import write_dataset
+
+        df = spark.createDataFrame(
+            [(1, "room 42 ready"), (2, "東京タワーの夜景"), (3, "plain text")],
+            "id long, text string",
+        )
+        uri = str(tmp_path / "uni")
+        write_dataset(df, uri)
+        ds = create_inverted_index(dataset(uri), spark, "text", tokenizer="unicode")
+        hits = execute_query(spark, MatchQuery("42", "text"), ds=ds, k=5)
+        ids = {r["id"] for r in hits.join(
+            ds.to_df(spark, with_row_id=True).select(F.col("_rowid").alias("id"), F.col("id").alias("doc")),
+            "id").collect()}
+        assert len(ids) == 1
+        got = match_query(ds, spark, "東京", column="text", k=5).count()
+        assert got == 1  # unigram mirror: 東京 → [東, 京] hits doc 2
+
+    def test_simple_tokenizer_non_ascii_separators(self, spark, docs):
+        """'state—of' (em dash) and 'naïve' must split the way the simple
+        tokenizer split the documents."""
+        from lance_spark.functions.text import query_split
+
+        assert query_split("state—of", "simple") == ["state", "of"]
+        assert query_split("naïve", "simple") == ["na", "ve"]
+        assert query_split("room 42", "unicode") == ["room", "42"]
+
+    def test_match_operator_string_coerces(self, spark, docs):
+        and_str = execute_query(
+            spark, MatchQuery("table scan", "text", operator="AND"),
+            df=docs, id_col="doc_id", k=None,
+        )
+        and_enum = execute_query(
+            spark, MatchQuery("table scan", "text", operator=FullTextOperator.AND),
+            df=docs, id_col="doc_id", k=None,
+        )
+        assert sorted(r["id"] for r in and_str.collect()) == sorted(
+            r["id"] for r in and_enum.collect()
+        )
+        with pytest.raises(ValueError):
+            MatchQuery("x", "text", operator="NAND")
+
+    def test_boolean_occur_string_coerces(self, spark, docs):
+        q_str = BooleanQuery(
+            [("MUST", MatchQuery("table", "text")),
+             ("must_not", MatchQuery("error", "text"))]
+        )
+        q_enum = BooleanQuery(
+            [(Occur.MUST, MatchQuery("table", "text")),
+             (Occur.MUST_NOT, MatchQuery("error", "text"))]
+        )
+        a = sorted(r["id"] for r in execute_query(
+            spark, q_str, df=docs, id_col="doc_id", k=None).collect())
+        b = sorted(r["id"] for r in execute_query(
+            spark, q_enum, df=docs, id_col="doc_id", k=None).collect())
+        assert a == b and a
+
+    def test_string_id_corpus_empty_term_composition(self, spark):
+        """A clause whose terms all normalize away must produce an empty
+        frame TYPED like the corpus ids — the hardcoded 'id long' broke
+        unions over string-id corpora."""
+        df = spark.createDataFrame(
+            [("a", "spark engine"), ("b", "query planner")], "doc string, text string"
+        )
+        q = BooleanQuery(
+            [(Occur.SHOULD, MatchQuery("engine", "text")),
+             (Occur.SHOULD, MatchQuery("!!!", "text"))]  # normalizes to zero terms
+        )
+        got = execute_query(spark, q, df=df, id_col="doc", k=5).collect()
+        assert [r["id"] for r in got] == ["a"]
