@@ -89,6 +89,17 @@ def _learn_merges(
             pair_words[p].add(i)
     base = sorted({sym for s in seqs for sym in s})
     merges: list[tuple[str, str]] = []
+    if len(base) > vocab_size:
+        # the vocab can NOT be smaller than the base alphabet (every base
+        # symbol must stay encodable) — warn loudly: a caller sizing an
+        # embedding table to vocab_size would index out of bounds (r12)
+        import warnings
+
+        warnings.warn(
+            f"bpe: vocab_size={vocab_size} is below the base alphabet size"
+            f" ({len(base)}); the returned vocab will have {len(base)} tokens",
+            stacklevel=3,
+        )
     budget = max(0, vocab_size - len(base))
     while len(merges) < budget and pair_count:
         best_n = max(pair_count.values())
@@ -157,27 +168,65 @@ def bpe_train(
 def bpe_save(merges: DataFrame, vocab: DataFrame, model_uri: str) -> str:
     """Persist a trained tokenizer: ``<uri>/merges`` + ``<uri>/vocab``
     parquet and ``<uri>/meta.json``. Local paths only (the manifest
-    layer's convention — same guard as nb_train)."""
+    layer's convention — same guard as nb_train).
+
+    The save is ATOMIC per generation: everything writes into a
+    ``.staging-<pid>`` sibling first and lands via one os.replace — a
+    mid-save failure over an existing model can no longer leave new
+    merges paired with old vocab/meta, a torn model that loads fine and
+    silently mis-encodes every corpus (r12 review fix)."""
+    import json
+    import os
+    import shutil
+
+    from lance_spark.util import local_path
+
+    path = local_path(model_uri, "bpe_save: model_uri")
+    staging = f"{path.rstrip(os.sep)}.staging-{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    try:
+        merges.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "merges"))
+        vocab.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "vocab"))
+        meta = {"format": "bpe", "end_of_word": END_OF_WORD}
+        with open(os.path.join(staging, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        backup = f"{path.rstrip(os.sep)}.old-{os.getpid()}"
+        if os.path.isdir(path):
+            os.replace(path, backup)
+        os.replace(staging, path)
+        shutil.rmtree(backup, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return path
+
+
+def bpe_load(spark: SparkSession, model_uri: str) -> tuple[DataFrame, DataFrame]:
+    """Load a saved tokenizer, VALIDATING meta.json first: a directory
+    written by a different model family (same local-path convention) or a
+    future format with another end-of-word marker must fail fast, not
+    decode with a wrong marker into silently fused text (r12 review)."""
     import json
     import os
 
     from lance_spark.util import local_path
 
-    path = local_path(model_uri, "bpe_save: model_uri")
-    merges.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "merges"))
-    vocab.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "vocab"))
-    meta = {"format": "bpe", "end_of_word": END_OF_WORD}
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
-    return path
-
-
-def bpe_load(spark: SparkSession, model_uri: str) -> tuple[DataFrame, DataFrame]:
-    import os
-
-    from lance_spark.util import local_path
-
     path = local_path(model_uri, "bpe_load: model_uri")
+    meta_path = os.path.join(path, "meta.json")
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"{meta_path} not found: not a saved bpe model (torn save or wrong path)"
+        ) from None
+    if meta.get("format") != "bpe":
+        raise ValueError(f"{path} holds a {meta.get('format')!r} model, not 'bpe'")
+    if meta.get("end_of_word") != END_OF_WORD:
+        raise ValueError(
+            f"model end_of_word {meta.get('end_of_word')!r} differs from this"
+            f" build's {END_OF_WORD!r}; decode would split on the wrong marker"
+        )
     return (
         spark.read.parquet(os.path.join(path, "merges")),
         spark.read.parquet(os.path.join(path, "vocab")),
@@ -245,9 +294,54 @@ def bpe_encode_words(uniq_words: DataFrame, merges: DataFrame) -> DataFrame:
                 }
             )
 
-    return uniq_words.select("word").distinct().mapInPandas(
-        enc, "word STRING, pieces ARRAY<STRING>"
+    # null words (from any raw source) carry no pieces — encoding None
+    # would TypeError inside the executor and abort the job (r12 review)
+    return (
+        uniq_words.select("word")
+        .filter(F.col("word").isNotNull())
+        .distinct()
+        .mapInPandas(enc, "word STRING, pieces ARRAY<STRING>")
     )
+
+
+def _pieces_joined(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: DataFrame,
+    transform_pieces=None,
+) -> DataFrame:
+    """Shared encode plan for bpe_encode / bpe_encode_ids (one copy — two
+    hand-maintained clones of the words/checkpoint/broadcast-gate/join
+    block would drift, r12 review): JVM-side tokenize + positions, Python
+    over DISTINCT words only, piece rows joined back by word.
+
+    The corpus appears TWICE in the DAG (the distinct-word pass and the
+    join probe). For a NON-deterministic source (sample()/rand()-derived)
+    the two evaluations see different rows and the inner join silently
+    drops words the pieces pass never saw — so such plans are pinned with
+    one checkpoint first (r12 review fix). Deterministic corpora keep the
+    zero-materialization plan."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "word"),
+    )
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # non-JVM backends: assume deterministic
+        plan = ""
+    import re
+
+    if re.search(
+        r"\brand\(|\bSample |\buuid\(|monotonically_increasing_id|\bshuffle\(", plan
+    ):
+        words = words.localCheckpoint(eager=True)
+    pieces = bpe_encode_words(words.select("word"), merges)
+    if transform_pieces is not None:
+        pieces = transform_pieces(pieces)
+    pieces = pieces.localCheckpoint(eager=True)
+    side = F.broadcast(pieces) if pieces.count() <= _BROADCAST_ROW_BUDGET else pieces
+    return words.join(side, "word")
 
 
 def bpe_encode(
@@ -266,12 +360,7 @@ def bpe_encode(
     count-gated broadcast, shuffle join past the budget. One shuffle
     carries (id, pos, word); the per-doc agg is the encode_with_vocab
     pattern."""
-    words = df.select(
-        F.col(id_col).alias("id"), F.posexplode(tokenize(F.col(text_col))).alias("pos", "word")
-    )
-    pieces = bpe_encode_words(words.select("word"), merges).localCheckpoint(eager=True)
-    side = F.broadcast(pieces) if pieces.count() <= _BROADCAST_ROW_BUDGET else pieces
-    joined = words.join(side, "word")
+    joined = _pieces_joined(df, text_col, id_col, merges)
     return (
         joined.groupBy("id")
         .agg(
@@ -324,19 +413,11 @@ def bpe_encode_ids(
         m = v_b.value
         return ps.apply(lambda arr: [m.get(p, -1) for p in arr])
 
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokenize(F.col(text_col))).alias("pos", "word"),
-    )
-    pieces = (
-        bpe_encode_words(words.select("word"), merges)
-        .withColumn("ids", to_ids("pieces"))
-        .drop("pieces")
-        .localCheckpoint(eager=True)
-    )
-    side = F.broadcast(pieces) if pieces.count() <= _BROADCAST_ROW_BUDGET else pieces
     return (
-        words.join(side, "word")
+        _pieces_joined(
+            df, text_col, id_col, merges,
+            transform_pieces=lambda p: p.withColumn("ids", to_ids("pieces")).drop("pieces"),
+        )
         .groupBy("id")
         .agg(
             F.flatten(

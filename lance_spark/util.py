@@ -238,6 +238,14 @@ def local_path(uri: str, what: str = "model_uri") -> str:
     if p.scheme in ("", None):
         return uri
     if p.scheme == "file":
+        if p.netloc and p.netloc != "localhost":
+            # 'file://tmp/model' (the natural two-slash typo) urlparses to
+            # netloc='tmp', path='/model' — returning p.path would silently
+            # redirect the model to the filesystem ROOT (r12 review fix)
+            raise ValueError(
+                f"{what}: ambiguous file URI {uri!r} (host part {p.netloc!r});"
+                " use file:///absolute/path or a bare path"
+            )
         return p.path or uri[len("file:"):]
     raise ValueError(
         f"{what} must be a local path (got scheme {p.scheme!r}); "

@@ -247,3 +247,73 @@ class TestBpeReviewR11:
         )
         got = bpe_decode(ids_df, "token_ids", "id", vocab).collect()
         assert len(got) == 1  # null element skipped, no crash
+
+
+class TestBpeReviewR12:
+    """Pins for the r12 adversarial review of operators/bpe.py."""
+
+    def test_encode_nondeterministic_source_no_row_drop(self, spark):
+        """A sample()-derived corpus is evaluated once: the pieces pass and
+        the join pass must see the SAME rows (the un-pinned plan silently
+        dropped words only present in the second evaluation)."""
+        from lance_spark.operators.bpe import bpe_encode, bpe_train
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta w{i} gamma") for i in range(400)], "id long, text string"
+        )
+        merges, vocab = bpe_train(docs, "text", vocab_size=64)
+        sampled = docs.sample(0.5, seed=None)  # non-deterministic
+        out = bpe_encode(sampled, "text", "id", merges)
+        rows = out.collect()
+        # every encoded doc saw all 4 of its words — none dropped mid-join
+        assert rows and all(r["n_words"] == 4 for r in rows)
+
+    def test_encode_words_null_safe(self, spark):
+        from lance_spark.operators.bpe import bpe_encode_words, bpe_train
+
+        docs = spark.createDataFrame([("low lower",)], "text string")
+        merges, _ = bpe_train(docs, "text", vocab_size=32)
+        words = spark.createDataFrame([("low",), (None,)], "word string")
+        got = bpe_encode_words(words, merges).collect()
+        assert [r["word"] for r in got] == ["low"]
+
+    def test_save_atomic_and_load_validates(self, spark, tmp_path):
+        import json
+        import os
+
+        from lance_spark.operators.bpe import bpe_load, bpe_save, bpe_train
+
+        docs = spark.createDataFrame([("low lower lowest",)], "text string")
+        merges, vocab = bpe_train(docs, "text", vocab_size=40)
+        path = str(tmp_path / "model")
+        bpe_save(merges, vocab, path)
+        m2, v2 = bpe_load(spark, path)
+        assert m2.count() == merges.count() and v2.count() == vocab.count()
+        assert not [d for d in os.listdir(str(tmp_path)) if "staging" in d or ".old" in d]
+        # wrong-format directory fails fast instead of decoding garbage
+        bad = str(tmp_path / "nb")
+        os.makedirs(bad)
+        json.dump({"format": "naive_bayes"}, open(os.path.join(bad, "meta.json"), "w"))
+        with pytest.raises(ValueError, match="bpe"):
+            bpe_load(spark, bad)
+        with pytest.raises(FileNotFoundError, match="meta"):
+            bpe_load(spark, str(tmp_path / "missing"))
+
+    def test_file_uri_with_netloc_rejected(self):
+        from lance_spark.util import local_path
+
+        with pytest.raises(ValueError, match="ambiguous"):
+            local_path("file://tmp/model", "test")
+        assert local_path("file:///tmp/model", "test") == "/tmp/model"
+
+    def test_vocab_size_below_alphabet_warns(self, spark):
+        import warnings
+
+        from lance_spark.operators.bpe import bpe_train
+
+        docs = spark.createDataFrame([("abcdefghijklmnopqrstuvwxyz",)], "text string")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            merges, vocab = bpe_train(docs, "text", vocab_size=10)
+        assert any("base alphabet" in str(x.message) for x in w)
+        assert merges.count() == 0 and vocab.count() == 27  # 26 + END_OF_WORD
