@@ -54,3 +54,23 @@ def hamming_distance(a, b) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def distance_expr(v, q, metric: str) -> Column:
+    """Metric → distance Column over two array columns, with the
+    metric-appropriate cast applied to BOTH sides (``array<long>`` for
+    hamming — routing integer codes through a double cast silently
+    corrupts values above 2^53 — ``array<double>`` otherwise). ONE
+    dispatch shared by knn_batch and knn_bruteforce: the two
+    hand-maintained copies had already drifted on exactly that hamming
+    cast (r12 review fix)."""
+    t = "array<long>" if metric == "hamming" else "array<double>"
+    v = v.cast(t)
+    q = q.cast(t)
+    if metric == "l2":
+        return l2_distance(v, q)
+    if metric == "dot":
+        return -dot_product(v, q)
+    if metric == "hamming":
+        return hamming_distance(v, q).cast("double")
+    return 1.0 - cosine_sim(v, q)

@@ -28,8 +28,6 @@ from pyspark.sql.functions import pandas_udf
 from lance_spark.functions.vector import (
     cosine_sim,
     dot_product,
-    hamming_distance,
-    l2_distance,
 )
 
 
@@ -56,21 +54,27 @@ def knn_batch(
     from pyspark.sql import Window
 
     qv = query_vec_col or vec_col
+    # reserved __kb_* internals: the raw corpus may already carry a
+    # query_id/qv column (reused pipeline outputs) and an un-projected
+    # crossJoin would make the final select ambiguous (r12 review fix).
+    # The query vector keeps its RAW type into distance_expr — the old
+    # double-cast corrupted 64-bit hamming codes above 2^53.
     q = F.broadcast(
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(qv).cast("array<double>").alias("qv"))
+        queries.select(
+            F.col(query_id_col).alias("__kb_qid"), F.col(qv).alias("__kb_qv")
+        )
     )
-    v = F.col(vec_col).cast("array<double>")
-    if metric == "l2":
-        dist = l2_distance(v, F.col("qv"))
-    elif metric == "dot":
-        dist = -dot_product(v, F.col("qv"))
-    elif metric == "hamming":
-        v = F.col(vec_col).cast("array<long>")
-        dist = hamming_distance(v, F.col("qv").cast("array<long>")).cast("double")
-    else:
-        dist = 1.0 - cosine_sim(v, F.col("qv"))
-    scored = corpus.crossJoin(q).select(
-        "query_id", F.col(id_col).alias("id"), dist.alias("_distance")
+    from lance_spark.functions.vector import distance_expr
+
+    dist = distance_expr(F.col("__kb_v"), F.col("__kb_qv"), metric)
+    scored = (
+        corpus.select(F.col(id_col).alias("__kb_id"), F.col(vec_col).alias("__kb_v"))
+        .crossJoin(q)
+        .select(
+            F.col("__kb_qid").alias("query_id"),
+            F.col("__kb_id").alias("id"),
+            dist.alias("_distance"),
+        )
     )
     # pre-reduce per (query, scan partition): with few queries and a big
     # corpus the global per-query window would sort the WHOLE corpus in
@@ -124,21 +128,28 @@ def multivector_maxsim(
     if not query_vectors:
         raise ValueError("multivector_maxsim needs at least one query vector")
     df = df.filter(F.col(mv_col).isNotNull())
-    doc = F.col(mv_col).cast("array<array<double>>")
+    doc_expr = F.col(mv_col).cast("array<array<double>>")
 
-    # doc-vector norms computed ONCE per row (higher-order functions are
-    # CodegenFallback — no subexpression elimination would rescue a
-    # per-query recompute); query norms are plain Python floats
-    norms = F.transform(
-        doc, lambda v: F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    # doc-vector norms MATERIALIZED once per row via withColumn — reusing
+    # the Python Column object only copies the expression tree into every
+    # per-query zip_with, and Spark's subexpression elimination skips
+    # lambda-bearing expressions, so Q query vectors would recompute all
+    # doc norms Q times per row (r12 review fix)
+    df = df.select(F.col(id_col), doc_expr.alias("__doc")).withColumn(
+        "__norms",
+        F.transform(
+            F.col("__doc"),
+            lambda v: F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)),
+        ),
     )
+    doc = F.col("__doc")
     per_query = []
     for q in query_vectors:
         qc = F.array(*[F.lit(float(x)) for x in q])
         qn = math.sqrt(sum(float(x) * float(x) for x in q)) or 1.0
         sims = F.zip_with(
             doc,
-            norms,
+            F.col("__norms"),
             # try_divide: a zero-norm doc vector is NULL (skipped by
             # array_max), not an ANSI DIVIDE_BY_ZERO for the whole query
             lambda v, n: F.try_divide(dot_product(qc, v), n * F.lit(qn)),
@@ -252,14 +263,33 @@ def knn_bruteforce(
     # null vectors can never be neighbors; without this they'd crash the
     # numpy path and rank FIRST in the SQL path (asc = NULLS FIRST)
     df = df.filter(F.col(vec_col).isNotNull())
-    q = F.array(*[F.lit(float(x)) for x in query])
-    v = F.col(vec_col).cast("array<double>")
     if use_numpy:
         qv = np.asarray(query, dtype=np.float64)
 
+        def _one(row):
+            # NULL (NaN) for wrong-length rows — the expression path's
+            # NULL-and-rank-last contract, not a task-aborting ValueError
+            if row is None or len(row) != len(qv):
+                return float("nan")
+            a = np.asarray(row, dtype=np.float64)
+            if metric == "l2":
+                return float(np.linalg.norm(a - qv))
+            if metric == "dot":
+                return float(-(a @ qv))
+            return float(1.0 - (a @ qv) / (np.linalg.norm(a) * np.linalg.norm(qv)))
+
         @pandas_udf("double")
         def dist(s: pd.Series) -> pd.Series:
-            m = np.asarray(s.tolist(), dtype=np.float64)
+            lst = s.tolist()
+            try:
+                m = np.asarray(lst, dtype=np.float64)
+                clean = m.ndim == 2 and m.shape[1] == len(qv)
+            except ValueError:  # ragged batch (mixed-length vectors)
+                clean = False
+            if not clean:
+                # dirty/empty batch: row-wise scoring, NaN ranks last
+                # (r12 review fix — one length-7 vector aborted the job)
+                return pd.Series([_one(r) for r in lst], dtype="float64")
             if metric == "l2":
                 d = np.linalg.norm(m - qv, axis=1)
             elif metric == "dot":
@@ -269,15 +299,14 @@ def knn_bruteforce(
             return pd.Series(d)
 
         dcol = dist(F.col(vec_col))
-    elif metric == "l2":
-        dcol = l2_distance(v, q)
-    elif metric == "dot":
-        dcol = -dot_product(v, q)
-    elif metric == "hamming":
-        qi = F.array(*[F.lit(int(x)).cast("long") for x in query])
-        dcol = hamming_distance(F.col(vec_col).cast("array<long>"), qi).cast("double")
     else:
-        dcol = 1.0 - cosine_sim(v, q)
+        from lance_spark.functions.vector import distance_expr
+
+        if metric == "hamming":
+            qarr = F.array(*[F.lit(int(x)).cast("long") for x in query])
+        else:
+            qarr = F.array(*[F.lit(float(x)) for x in query])
+        dcol = distance_expr(F.col(vec_col), qarr, metric)
     return (
         df.select(F.col(id_col), dcol.alias("_distance"))
         # NULLS LAST: zero-norm (cosine), null-element, or mismatched-

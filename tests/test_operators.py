@@ -1088,3 +1088,50 @@ class TestKnnReviewR11:
         }
         assert got[1] == pytest.approx(2.0, abs=1e-4)  # exact maxsim after the norm hoist
         assert got[2] == pytest.approx(2 * (0.5 / (0.7071067811865476)), abs=1e-3)
+
+
+class TestKnnReviewR12:
+    """Pins for the r12 adversarial review of operators/knn.py."""
+
+    def test_knn_batch_hamming_64bit_codes_exact(self, spark):
+        """64-bit codes above 2^53 must survive the query-side cast — the
+        old double round-trip silently corrupted them."""
+        from lance_spark.operators.knn import knn_batch
+
+        big = (1 << 62) + 3  # not representable as a double
+        corpus = spark.createDataFrame(
+            [(1, [big, 0]), (2, [big + 1, 0]), (3, [0, 0])],
+            "id long, code array<long>",
+        )
+        queries = spark.createDataFrame([(100, [big, 0])], "qid long, code array<long>")
+        got = knn_batch(corpus, queries, "code", "id", "qid", k=3, metric="hamming")
+        rows = {r["id"]: r["_distance"] for r in got.collect()}
+        assert rows[1] == 0.0  # exact self-match: the cast kept all 64 bits
+        assert rows[2] == float(bin(big ^ (big + 1)).count("1"))
+
+    def test_knn_batch_corpus_reserved_column_names(self, spark, sf_dir):
+        """A corpus already carrying query_id/qv columns (reused pipeline
+        output) must not make the plan ambiguous."""
+        from lance_spark.operators.knn import knn_batch
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+        corpus = emb.withColumn("query_id", F.lit(0)).withColumn("qv", F.lit("x"))
+        queries = emb.limit(2).select("vec_id", "embedding")
+        got = knn_batch(corpus, queries, "embedding", "vec_id", "vec_id", k=3)
+        assert got.count() == 6
+
+    def test_knn_bruteforce_numpy_ragged_corpus(self, spark):
+        """One mixed-length vector must NULL-rank last, not abort the job
+        (the expression path's contract, now mirrored by use_numpy)."""
+        from lance_spark.operators.knn import knn_bruteforce
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [1.0, 0.0, 0.0])],
+            "id long, v array<double>",
+        ).coalesce(1)
+        got = knn_bruteforce(df, "v", [1.0, 0.0], k=3, metric="cosine",
+                             id_col="id", use_numpy=True).collect()
+        assert [r["id"] for r in got[:2]] == [1, 2]
+        import math
+        assert got[2]["id"] == 3 and (got[2]["_distance"] is None
+                                      or math.isnan(got[2]["_distance"]))
