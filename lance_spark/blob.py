@@ -46,7 +46,13 @@ def _rowid_groups(path: str, rowid: int) -> list[int]:
             ranges.append(rng)
         meta = (ranges,)
         while len(_FOOTER_CACHE) >= _FOOTER_CACHE_CAP:
-            _FOOTER_CACHE.pop(next(iter(_FOOTER_CACHE)))
+            try:
+                # concurrent BlobFile reads race here (thread pools are the
+                # normal pattern for file-like handles): two threads can get
+                # the same eviction key — tolerate the loser (r12 review)
+                _FOOTER_CACHE.pop(next(iter(_FOOTER_CACHE)), None)
+            except (StopIteration, RuntimeError):
+                break
         _FOOTER_CACHE[path] = meta
     (ranges,) = meta
     return [
@@ -108,7 +114,10 @@ class BlobFile(io.RawIOBase):
                 continue
             f = pq.ParquetFile(p)
             if size_col not in f.schema_arrow.names:
-                return None
+                # this file can't answer, but a LATER candidate (e.g. the
+                # native sidecar next to an external one) may own the rowid
+                # AND carry the size column — keep looking (r12 review)
+                continue
             t = f.read_row_groups(groups, columns=[ROWID_COL, size_col])
             hit = t.filter(pc.equal(t.column(ROWID_COL), self._rowid))
             if hit.num_rows:
@@ -132,6 +141,7 @@ class BlobFile(io.RawIOBase):
         self._buf = None
 
     def size(self) -> int:
+        self._check_open()
         if self._size is None and self._buf is None:
             # the sidecar materializes {col}_size per row exactly so a
             # length check never downloads the payload
@@ -163,7 +173,9 @@ class BlobFile(io.RawIOBase):
     def readall(self) -> bytes:
         buf = self._load()
         out = buf[self._pos :]
-        self._pos = len(buf)
+        # a seek past end-of-blob keeps its position (BytesIO semantics —
+        # rewinding to len(buf) disagreed with read(n), r12 review)
+        self._pos = max(self._pos, len(buf))
         return out
 
     def read(self, n: int = -1) -> bytes:
@@ -234,10 +246,23 @@ def blob_files(ds, column: str, rowids: list[int]) -> list[BlobFile]:
     frags = {f.id: f for f in ds.manifest.fragments} if addressable else {}
     if not addressable:
         deleted = _deleted_rowids_local(ds, ds.manifest.fragments)
+    # del-sets computed ONCE per unique owning fragment — per-rowid
+    # recomputation copied the tombstone set rowids×deleted times (r12)
+    del_by_frag: dict[int, frozenset] = {}
+    if addressable:
+        for fid in {rid >> FRAGID_SHIFT for rid in rowids}:
+            f = frags.get(fid)
+            del_by_frag[fid] = (
+                _deleted_rowids_local(ds, [f]) if f is not None else frozenset()
+            )
     for rid in rowids:
         frag = frags.get(rid >> FRAGID_SHIFT)
         if addressable:
-            del_set = _deleted_rowids_local(ds, [frag]) if frag is not None else frozenset()
+            if frag is None:
+                # the rowid prefix PROVES the row can live in no fragment —
+                # scanning every sidecar would only delay this KeyError
+                raise KeyError(f"rowid {rid}: no fragment {rid >> FRAGID_SHIFT}")
+            del_set = del_by_frag[rid >> FRAGID_SHIFT]
         else:
             del_set = deleted
         if rid in del_set:

@@ -86,12 +86,19 @@ class FragmentCheckpoint:
                 return json.load(f)
         except FileNotFoundError:
             return None
+        except json.JSONDecodeError:
+            return None  # torn marker: treat as not-done, the work re-runs
 
     def put(
         self, fragment_id: int, rel_path: str, num_rows: int,
         columns: list[str] | None = None,
     ) -> None:
-        tmp = self._marker(fragment_id) + ".tmp"
+        import uuid
+
+        # unique temp name per attempt: concurrent task attempts
+        # (speculation / zombie retry) writing one shared '.tmp' would
+        # interleave bytes and os.replace could promote a torn marker (r12)
+        tmp = self._marker(fragment_id) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(
                 {"path": rel_path, "num_rows": num_rows, "columns": columns}, f
@@ -112,8 +119,11 @@ class FragmentCheckpoint:
             mid = name[len("frag-"):-len(".json")]
             if not mid.isdigit():
                 continue  # stray file (editor artifact); never abort resume
-            with open(os.path.join(self.path, name)) as f:
-                info = json.load(f)
+            try:
+                with open(os.path.join(self.path, name)) as f:
+                    info = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                continue  # torn marker (crashed writer): redo that fragment
             if expected_columns is not None and info.get("columns") != list(
                 expected_columns
             ):
@@ -218,6 +228,42 @@ class BatchUDFCheckpoint:
             conn.commit()
 
 
+def _fragment_head(ds, frag, columns, n: int = 64):
+    """First ``n`` rows of a fragment's requested columns with BOUNDED IO:
+    one parquet batch per owning column-group file (files are row-aligned
+    by construction; a schema probe needs representative values, not the
+    deletion-filtered row set)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    want = list(columns) if columns else None
+    pieces, got = [], set()
+    for fobj in frag.files:
+        cols = [
+            c for c in fobj.columns
+            if (want is None or c in want) and c not in got and c != "_rowid"
+        ]
+        if not cols:
+            continue
+        pf = pq.ParquetFile(ds._abs(fobj.path))
+        batch = next(pf.iter_batches(batch_size=n, columns=cols), None)
+        if batch is not None:
+            pieces.append(pa.Table.from_batches([batch]))
+            got.update(cols)
+    if want is not None:
+        missing = [c for c in want if c not in got]
+        if missing:
+            raise KeyError(f"columns not in fragment {frag.id}: {missing}")
+    if not pieces:
+        raise ValueError(f"fragment {frag.id} has no readable columns")
+    m = min(p.num_rows for p in pieces)
+    out = {}
+    for p in pieces:
+        for name in p.column_names:
+            out[name] = p.column(name).slice(0, m)
+    return pa.table(out)
+
+
 def normalize_transform(udf_like, data_source, read_columns=None, reader_schema=None):
     """Canonicalize an add_columns transform (reference udf.py:168-230):
     a ``{name: sql_expr}`` dict passes through; a BatchUDF with no declared
@@ -231,8 +277,6 @@ def normalize_transform(udf_like, data_source, read_columns=None, reader_schema=
         udf_like = BatchUDF(udf_like, None, None)
     if isinstance(udf_like, BatchUDF):
         if udf_like.output_schema is None:
-            from lance_spark.sampler import _fragment_table
-
             ds = getattr(data_source, "_ds", data_source)
             frags = ds.manifest.fragments
             if not frags:
@@ -241,7 +285,13 @@ def normalize_transform(udf_like, data_source, read_columns=None, reader_schema=
                 # the declared reader schema names the columns the UDF
                 # consumes — previously accepted and silently ignored
                 read_columns = [f.name for f in reader_schema]
-            sample = _fragment_table(ds, frags[0], read_columns).slice(0, 64)
+            # BOUNDED probe: first parquet batch per column-group file, not
+            # a full-fragment read (a 1M-row fragment with a wide binary
+            # column materialized GBs on the driver for a 64-row sample;
+            # r12 review fix). NOTE: evolution.add_columns keeps its own
+            # Spark-native 1-row probe — this is the reference-parity
+            # pyarrow surface (reference udf.py:168-230).
+            sample = _fragment_head(ds, frags[0], read_columns, n=64)
             out = udf_like(sample.to_pandas())  # our BatchUDF is pandas-in/out
             import pyarrow as pa
 

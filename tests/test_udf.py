@@ -161,3 +161,82 @@ class TestUdfReviewR11:
         ck.insert_fragment(3, "frag-meta-2")
         assert ck.get_fragment(3) == "frag-meta-2"
         assert ck.get_batch(info) is None  # fragment insert cleared batches
+
+
+class TestBlobUdfReviewR12:
+    """Pins for the r12 adversarial review of blob.py + udf.py."""
+
+    def test_checkpoint_torn_marker_recovers(self, tmp_path):
+        """A torn marker (crashed writer) must mean 'redo that fragment',
+        not a JSONDecodeError that bricks every later resume."""
+        from lance_spark.udf import FragmentCheckpoint
+
+        cp = FragmentCheckpoint(str(tmp_path / "ckpt"))
+        cp.put(1, "data/a.parquet", 10, columns=["x"])
+        with open(cp._marker(2), "w") as f:
+            f.write('{"path": "data/b.par')  # torn write
+        assert cp.get(2) is None
+        done = cp.done(expected_columns=["x"])
+        assert set(done) == {1}
+
+    def test_blobfile_closed_size_raises(self, spark, tmp_path):
+        import lance_spark as ls
+
+        uri = str(tmp_path / "b")
+        docs = spark.createDataFrame([(1, b"payload-bytes")], "id long, img binary")
+        ds = ls.write_dataset(docs, uri, blob_columns=["img"])
+        rid = ds.to_df(spark, with_row_id=True).first()["_rowid"]
+        f = ds.take_blob_files([rid], "img")[0]
+        assert f.size() == len(b"payload-bytes")
+        f.close()
+        with pytest.raises(ValueError, match="closed"):
+            f.size()
+
+    def test_blobfile_seek_past_end_position(self, spark, tmp_path):
+        """read() after a sparse seek keeps BytesIO position semantics."""
+        import lance_spark as ls
+
+        uri = str(tmp_path / "b2")
+        docs = spark.createDataFrame([(1, b"0123456789")], "id long, img binary")
+        ds = ls.write_dataset(docs, uri, blob_columns=["img"])
+        rid = ds.to_df(spark, with_row_id=True).first()["_rowid"]
+        f = ds.take_blob_files([rid], "img")[0]
+        f.seek(100)
+        assert f.read() == b"" and f.tell() == 100
+        f.seek(100)
+        assert f.read(5) == b"" and f.tell() == 100
+
+    def test_blob_missing_fragment_fast_keyerror(self, spark, tmp_path):
+        import lance_spark as ls
+
+        uri = str(tmp_path / "b3")
+        docs = spark.createDataFrame([(1, b"x")], "id long, img binary")
+        ds = ls.write_dataset(docs, uri, blob_columns=["img"])
+        with pytest.raises(KeyError, match="fragment"):
+            ds.take_blob_files([(999 << 32) | 5], "img")
+
+    def test_schema_probe_reads_one_batch(self, spark, tmp_path, monkeypatch):
+        """normalize_transform's inference must NOT materialize the whole
+        fragment (bounded probe)."""
+        import pyarrow.parquet as pq_mod
+
+        import lance_spark as ls
+        from lance_spark.udf import BatchUDF, normalize_transform
+
+        uri = str(tmp_path / "p")
+        docs = spark.createDataFrame(
+            [(i, "t" * 100) for i in range(5000)], "id long, text string"
+        ).coalesce(1)
+        ds = ls.write_dataset(docs, uri)
+        calls = {"read_table": 0}
+        orig = pq_mod.read_table
+
+        def counting(*a, **k):
+            calls["read_table"] += 1
+            return orig(*a, **k)
+
+        monkeypatch.setattr(pq_mod, "read_table", counting)
+        udf = BatchUDF(lambda pdf: pdf.assign(n=pdf["id"] * 2)[["n"]], None, None)
+        out = normalize_transform(udf, ds, read_columns=["id"])
+        assert out.output_schema is not None
+        assert calls["read_table"] == 0  # batch-iterated, never full-read
