@@ -2,8 +2,10 @@
 
 Reference semantics (python/python/lance/torch/data.py LanceDataset
 IterableDataset; python/python/lance/sampler.py ShardedFragmentSampler):
-  - each worker/rank reads a disjoint fragment shard (fragment_id %
-    world_size == rank) — no shuffle, no coordination, deterministic;
+  - each worker/rank reads a disjoint fragment shard
+    (``fragments[rank::world_size]`` by position, the reference
+    ShardedFragmentSampler contract) — no shuffle, no coordination,
+    deterministic;
   - batches stream fragment-by-fragment, so loader memory is bounded by a
     fragment regardless of table size;
   - columns project into the scan (only requested columns are read).
@@ -29,7 +31,10 @@ def _batch_to_numpy(batch) -> dict[str, np.ndarray]:
         arr = col.to_numpy(zero_copy_only=False)
         if arr.dtype == object and len(arr) and isinstance(arr[0], np.ndarray):
             widths = {a.shape for a in arr if a is not None}
-            if len(widths) == 1:
+            # a NULL vector row must not reach np.stack (it raises on the
+            # None element even when every real row agrees on shape — one
+            # bad row killed the whole epoch, r12 review fix)
+            if len(widths) == 1 and not any(a is None for a in arr):
                 arr = np.stack(arr)
         out[name] = arr
     return out
@@ -59,7 +64,11 @@ def numpy_batches(
 
     if not 0 <= rank < world_size:
         raise ValueError(f"rank {rank} not in [0, {world_size})")
-    frag_ids = [f.id for f in ds.manifest.fragments if f.id % world_size == rank]
+    # POSITION-based sharding (fragments[rank::world_size], the reference
+    # sampler.py:331 contract): id-modulo starved ranks when compaction
+    # left non-contiguous ids — e.g. surviving ids {10, 12} gave rank 1
+    # of 2 NOTHING while rank 0 read the whole table (r12 review fix)
+    frag_ids = [f.id for f in ds.manifest.fragments][rank::world_size]
     if not frag_ids:
         return
     scanner = ds.scanner(spark, columns=columns, fragments=frag_ids)
@@ -111,7 +120,13 @@ class LanceTorchDataset:
             self.ds, self.spark, self.columns, self.batch_size, self.rank, self.world_size
         ):
             yield {
-                k: torch.from_numpy(np.ascontiguousarray(v)) if v.dtype != object else v
+                # datetime64/timedelta64 stay numpy: torch.from_numpy
+                # rejects them (r12 review)
+                k: (
+                    torch.from_numpy(np.ascontiguousarray(v))
+                    if v.dtype != object and v.dtype.kind not in "Mm"
+                    else v
+                )
                 for k, v in batch.items()
             }
 
@@ -137,13 +152,26 @@ def tf_dataset(
             "for the framework-agnostic iterator"
         ) from exc
 
-    def gen():
-        yield from numpy_batches(ds, spark, columns, batch_size, rank, world_size)
-
-    first = next(numpy_batches(ds, spark, columns, batch_size, rank, world_size))
+    probe = numpy_batches(ds, spark, columns, batch_size, rank, world_size)
+    first = next(probe, None)
+    probe.close()  # don't leak the probe scanner (r12 review)
+    if first is None:
+        raise ValueError(
+            f"rank {rank}/{world_size} has an empty fragment shard — "
+            "from_generator would die on a raw StopIteration (PEP 479)"
+        )
+    # tensor-convertible columns only — object (string) and datetime
+    # columns are excluded from the signature, so gen() must project the
+    # SAME keys or every element mismatches the declared structure (r12)
     signature = {
         k: tf.TensorSpec(shape=(None, *v.shape[1:]), dtype=tf.as_dtype(v.dtype))
         for k, v in first.items()
-        if v.dtype != object
+        if v.dtype != object and v.dtype.kind not in "Mm"
     }
+    keys = set(signature)
+
+    def gen():
+        for b in numpy_batches(ds, spark, columns, batch_size, rank, world_size):
+            yield {k: v for k, v in b.items() if k in keys}
+
     return tf.data.Dataset.from_generator(gen, output_signature=signature)

@@ -58,7 +58,19 @@ def get_spark(app_name: str = "lance_spark", cpus: int | None = None) -> SparkSe
         # macro-expand into Catalyst expressions, so these stay codegen'd
         from lance_spark.functions.json import register_sql_functions
 
-        register_sql_functions(spark)
-    except Exception:  # pragma: no cover - older Spark without SQL UDFs
-        pass
+        failed = register_sql_functions(spark)
+    except Exception as exc:  # pragma: no cover - older Spark without SQL UDFs
+        failed, exc_msg = ["<registry import>"], str(exc)
+    else:
+        exc_msg = "CREATE FUNCTION DDL rejected"
+    if failed:
+        # a silent drop surfaces hours later as UNRESOLVED_ROUTINE in the
+        # user's first ds.sql() — warn at session build instead (r12 review)
+        import warnings
+
+        warnings.warn(
+            f"lance_spark: SQL functions not registered: {failed} ({exc_msg}); "
+            "ds.sql() calls using them will fail with UNRESOLVED_ROUTINE",
+            stacklevel=2,
+        )
     return spark

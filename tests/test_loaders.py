@@ -132,3 +132,64 @@ def test_tf_dataset_import_guard(spark, sf_dir, tmp_path):
     ds = ls.write_dataset(emb, str(tmp_path / "tf"))
     with pytest.raises(ImportError, match="tensorflow"):
         tf_dataset(ds, spark)
+
+
+class TestLoadersReviewR12:
+    """Pins for the r12 adversarial review of loaders.py + plans/."""
+
+    def test_null_vector_row_survives(self, spark, tmp_path):
+        """One NULL embedding row must not kill the epoch at np.stack."""
+        import lance_spark as ls
+        from lance_spark.loaders import numpy_batches
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0])],
+            "id long, v array<double>",
+        )
+        ds = ls.write_dataset(df.coalesce(1), str(tmp_path / "nv"))
+        batches = list(numpy_batches(ds, spark, columns=["id", "v"], batch_size=10))
+        assert sum(len(b["id"]) for b in batches) == 3
+
+    def test_position_based_sharding_non_contiguous_ids(self, spark, tmp_path):
+        """Ranks shard by fragment POSITION, not id-modulo — compaction can
+        leave ids {even, even} and id-modulo starved odd ranks entirely."""
+        import lance_spark as ls
+        from lance_spark.loaders import numpy_batches
+
+        uri = str(tmp_path / "shard")
+        base = spark.createDataFrame([(i,) for i in range(40)], "id long")
+        ds = ls.write_dataset(base.repartition(4), uri)
+        # craft non-contiguous ids: delete nothing, but reality check via
+        # the manifest — shard by position must give both ranks work even
+        # if ids were all-even
+        counts = []
+        for rank in range(2):
+            n = sum(
+                len(b["id"])
+                for b in numpy_batches(ds, spark, columns=["id"], rank=rank, world_size=2)
+            )
+            counts.append(n)
+        assert sum(counts) == 40 and all(c > 0 for c in counts)
+
+    def test_plan_summary_nested_read_schema(self, spark):
+        from lance_spark.plans.explain import _read_schemas, _top_level_fields
+
+        plan = "FileScan ... ReadSchema: struct<a:struct<x:int,y:int>,b:array<int>,c:decimal(10,2),d:int>"
+        [body] = _read_schemas(plan)
+        assert _top_level_fields(body) == ["a", "b", "c", "d"]
+
+    def test_assert_pushed_word_boundary(self, spark, sf_dir):
+        from lance_spark.plans.explain import assert_pushed
+
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet").filter("o_custkey = 5")
+        assert_pushed(df, "o_custkey")
+        with pytest.raises(AssertionError):
+            assert_pushed(df, "custkey")  # substring of o_custkey: must NOT pass
+
+    def test_analyze_plan_runs_own_query_execution(self, spark, sf_dir):
+        from lance_spark.plans.explain import analyze_plan
+
+        df = spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_regionkey").count()
+        out = analyze_plan(df)
+        assert "isFinalPlan=true" in out  # the df's OWN plan was executed
+        assert "== Metrics ==" in out
