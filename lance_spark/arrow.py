@@ -109,7 +109,17 @@ class ImageURIArray(pa.ExtensionArray):
         EncodedImageArray (reference arrow.py ImageURIArray.read_uris)."""
         bufs = []
         for u in self.storage.to_pylist():
-            path = u[len("file://"):] if u and u.startswith("file://") else u
+            if u is None:
+                bufs.append(None)  # null uri → null bytes, not open(None)
+                continue
+            path = u
+            if u.startswith("file://"):
+                rest = u[len("file://"):]
+                # file://localhost/a.ppm and file:///a.ppm both mean /a.ppm
+                # (RFC 8089); keeping the host as a path prefix broke them
+                if rest.startswith("localhost/"):
+                    rest = rest[len("localhost"):]
+                path = rest
             with open(path, "rb") as fh:
                 bufs.append(fh.read())
         return pa.ExtensionArray.from_storage(EncodedImageType(), pa.array(bufs, pa.binary()))
@@ -125,6 +135,11 @@ class EncodedImageArray(pa.ExtensionArray):
 
         mats, shape = [], None
         for b in self.storage.to_pylist():
+            if b is None:
+                raise ValueError(
+                    "to_tensor: array contains a null image; filter nulls"
+                    " first (a fixed-shape tensor array cannot hold holes)"
+                )
             if b[:2] == b"P6":
                 w, h, c, px = _parse_ppm(b)
             elif b[:2] == b"BM":
@@ -153,6 +168,13 @@ class FixedShapeImageTensorArray(pa.ExtensionArray):
 
     def to_numpy(self, zero_copy_only: bool = False) -> np.ndarray:
         shape = self.type.shape
+        if self.storage.null_count:
+            # FixedSizeListArray.flatten() DROPS values under null slots, so
+            # the dense reshape would mis-align every row after the first
+            # null (r12 review) — fail loudly instead
+            raise ValueError(
+                "to_numpy: tensor array contains nulls; drop or fill them first"
+            )
         flat = self.storage.flatten().to_numpy(zero_copy_only=zero_copy_only)
         return flat.reshape((len(self), *shape))
 

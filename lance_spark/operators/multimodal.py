@@ -83,33 +83,17 @@ def _parse_bmp(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
 
 
 def _ppm_header(b: bytes) -> tuple[int, int, int]:
-    """Header-only PPM parse (no pixel materialization) for metadata paths."""
-    if b is None:
-        return (-1, -1, -1)
-    b = bytes(b)
-    m = _PPM_HEADER.match(b)
-    if not m:
-        return (-1, -1, -1)
-    w, h, maxval = (int(m.group(i)) for i in (1, 2, 3))
-    if maxval > 255 or len(b) - m.end() < w * h * 3:
-        return (-1, -1, -1)
-    return (w, h, 3)
+    """Header-only PPM parse for metadata paths. Delegates to the full
+    decoder — its 'pixel' array is a zero-copy numpy view over the bytes
+    already in memory, so sharing ONE validation path costs nothing and
+    the two can't drift (r12 review)."""
+    return _parse_ppm(b)[:3]
 
 
 def _bmp_header(b: bytes) -> tuple[int, int, int]:
-    """Header-only BMP parse (no pixel materialization) for metadata paths."""
-    if b is None or len(b) < 54 or bytes(b[:2]) != b"BM":
-        return (-1, -1, -1)
-    b = bytes(b)
-    data_offset = struct.unpack_from("<I", b, 10)[0]
-    w, h = struct.unpack_from("<ii", b, 18)
-    bpp = struct.unpack_from("<H", b, 28)[0]
-    compression = struct.unpack_from("<I", b, 30)[0]
-    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
-        return (-1, -1, -1)
-    if len(b) < data_offset + ((w * 3 + 3) & ~3) * abs(h):
-        return (-1, -1, -1)
-    return (w, abs(h), 3)
+    """Header-only BMP parse for metadata paths (delegates; see
+    _ppm_header)."""
+    return _parse_bmp(b)[:3]
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -334,7 +318,15 @@ def decode_image_meta(df: DataFrame, binary_col: str, codec: str = "header") -> 
             "environment; built-in codecs: header, ppm, bmp, png, pil"
         )
 
-    out_schema = f"{', '.join(f'{c.name} {c.dataType.simpleString()}' for c in df.schema)}, meta struct<{IMG_META_SCHEMA}>"
+    if "meta" in df.columns:
+        raise ValueError(
+            "decode_image_meta appends a 'meta' column; the input already"
+            " has one — rename it first"
+        )
+    out_schema = (
+        ", ".join(f"`{c.name}` {c.dataType.simpleString()}" for c in df.schema)
+        + f", meta struct<{IMG_META_SCHEMA}>"
+    )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -387,10 +379,11 @@ def decode_image_stats(
                  "px_sum": sums, "mean_px": means}
             )
 
+    id_t = df.schema[id_col].dataType.simpleString()
     return df.mapInPandas(
         stats,
         schema=(
-            f"{id_col} long, width int, height int, channels int, "
+            f"`{id_col}` {id_t}, width int, height int, channels int, "
             "px_sum bigint, mean_px double"
         ),
     )
@@ -415,7 +408,8 @@ def image_features(df: DataFrame, binary_col: str, id_col: str, dim: int = 8) ->
                 feats.append((hist / norm if norm else hist).astype(np.float32).tolist())
             yield pd.DataFrame({id_col: pdf[id_col], "feature": feats})
 
-    return df.mapInPandas(extract, schema=f"{id_col} long, feature array<float>")
+    id_t = df.schema[id_col].dataType.simpleString()
+    return df.mapInPandas(extract, schema=f"`{id_col}` {id_t}, feature array<float>")
 
 
 def resize_images(df: DataFrame, binary_col: str, width: int, height: int) -> DataFrame:
@@ -430,6 +424,12 @@ def resize_images(df: DataFrame, binary_col: str, width: int, height: int) -> Da
                     out.append(b)
                     continue
                 b = bytes(b)
+                if b[:4] != FAKE_MAGIC:
+                    # a REAL image (PPM/BMP/PNG/...) must pass through, not
+                    # get its first 16 bytes stomped with a fake header —
+                    # real resize = decode→scale→encode (r12 review fix)
+                    out.append(b)
+                    continue
                 _, _, c = _parse_header(b)
                 out.append(FAKE_MAGIC + struct.pack(">III", width, height, max(c, 0)) + b[16:])
             pdf = pdf.copy()
@@ -458,4 +458,7 @@ def sample_frames(df: DataFrame, binary_col: str, id_col: str, every_n: int = 2,
                     frames.append(payload[fi * frame_size : (fi + 1) * frame_size])
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
-    return df.mapInPandas(sample, schema=f"{id_col} long, frame_idx int, frame binary")
+    id_t = df.schema[id_col].dataType.simpleString()
+    return df.mapInPandas(
+        sample, schema=f"`{id_col}` {id_t}, frame_idx int, frame binary"
+    )

@@ -45,10 +45,46 @@ def _norm_value_type(vt: pa.DataType) -> pa.DataType:
     return pa.float32() if pa.types.is_float16(vt) else vt
 
 
+def _norm_nested_type(t: pa.DataType) -> pa.DataType:
+    """Recursively normalized type for STRUCT/MAP-nested children — the
+    top-level rules applied at depth (r12 review: struct<f:float16> passed
+    through untouched and crashed Spark conversion)."""
+    if isinstance(t, pa.ExtensionType):
+        if t.extension_name == BFLOAT16_EXTENSION:
+            return pa.float32()
+        return _norm_nested_type(t.storage_type)
+    if pa.types.is_float16(t):
+        return pa.float32()
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    if pa.types.is_dictionary(t):
+        return _norm_nested_type(t.value_type)
+    if pa.types.is_struct(t):
+        return pa.struct(
+            [
+                pa.field(f.name, _norm_nested_type(f.type), nullable=f.nullable)
+                for f in t
+            ]
+        )
+    if pa.types.is_map(t):
+        return pa.map_(_norm_nested_type(t.key_type), _norm_nested_type(t.item_type))
+    if (
+        pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_fixed_size_list(t)
+    ):
+        return pa.list_(_norm_nested_type(t.value_type))
+    return t
+
+
 def _normalize_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:
     t = arr.type
     if isinstance(t, pa.ExtensionType) and t.extension_name == BFLOAT16_EXTENSION:
-        return pa.chunked_array([_decode_bf16(c) for c in arr.chunks])
+        # type= so a ZERO-chunk bf16 column still yields a float32 column
+        # instead of ArrowInvalid (r12 review: empty-table writes)
+        return pa.chunked_array([_decode_bf16(c) for c in arr.chunks], type=pa.float32())
     if isinstance(t, pa.ExtensionType):
         # generic extension unwrap (image uri/encoded/tensor types,
         # lance_spark.arrow): Spark stores the storage type; the extension
@@ -70,12 +106,32 @@ def _normalize_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:
         return arr.cast(pa.list_(_norm_value_type(t.value_type)))
     if pa.types.is_list(t) and pa.types.is_float16(t.value_type):
         return arr.cast(pa.list_(pa.float32()))
+    if pa.types.is_struct(t) or pa.types.is_map(t) or pa.types.is_list(t):
+        norm = _norm_nested_type(t)
+        if norm != t:
+            try:
+                return arr.cast(norm)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as exc:
+                raise NotImplementedError(
+                    f"cannot normalize nested type {t} to {norm} for Spark "
+                    f"(e.g. bf16 inside a struct has no arrow cast): {exc}"
+                ) from exc
     return arr
 
 
 def normalize_arrow_table(table: pa.Table) -> pa.Table:
+    """Normalize every column, PRESERVING the schema's field names
+    (duplicates included), nullability, and metadata — the old dict-based
+    rebuild silently dropped duplicate-named columns and stripped
+    nullable=False + field metadata (r12 review fix)."""
     cols = [_normalize_array(table.column(i)) for i in range(table.num_columns)]
-    return pa.table(dict(zip(table.column_names, cols)))
+    fields = [
+        pa.field(f.name, c.type, nullable=f.nullable, metadata=f.metadata)
+        for f, c in zip(table.schema, cols)
+    ]
+    return pa.Table.from_arrays(
+        cols, schema=pa.schema(fields, metadata=table.schema.metadata)
+    )
 
 
 def schema_to_json(schema: "pa.Schema") -> dict:

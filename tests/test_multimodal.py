@@ -482,3 +482,71 @@ def test_png_megapixel_decode_time_bound():
     assert (w, h, c) == (512, 512, 3)
     assert (px.reshape(h, w * c) == img.astype(np.uint8)).all()
     assert paeth_sec < 10.0, f"0.25MP Paeth decode took {paeth_sec:.2f}s"
+
+
+class TestMultimodalReviewR12:
+    """Pins for the r12 adversarial review of multimodal.py/types.py/arrow.py."""
+
+    def test_resize_passes_real_images_through(self, spark):
+        """resize_images must NOT stomp a real image's first 16 bytes with a
+        fake header (pixel data destroyed silently)."""
+        from lance_spark.operators.multimodal import resize_images
+
+        ppm = b"P6 4 4 255\n" + bytes(range(48))
+        df = spark.createDataFrame([(1, ppm)], "id long, img binary")
+        out = resize_images(df, "img", 2, 2).first()
+        assert bytes(out["img"]) == ppm  # untouched
+
+    def test_decode_stats_string_id_column(self, spark):
+        from lance_spark.operators.multimodal import decode_image_stats
+
+        ppm = b"P6 2 2 255\n" + bytes(range(12))
+        df = spark.createDataFrame([("doc-a", ppm)], "name string, img binary")
+        got = decode_image_stats(df, "img", "name", codec="ppm").first()
+        assert got["name"] == "doc-a" and got["width"] == 2
+
+    def test_decode_meta_rejects_meta_collision(self, spark):
+        from lance_spark.operators.multimodal import decode_image_meta
+
+        df = spark.createDataFrame([(1, b"x", "m")], "id long, img binary, meta string")
+        with pytest.raises(ValueError, match="meta"):
+            decode_image_meta(df, "img")
+
+    def test_normalize_table_preserves_schema_fidelity(self, spark):
+        import numpy as np
+        import pyarrow as pa
+
+        from lance_spark.types import normalize_arrow_table
+
+        t = pa.table([pa.array([1]), pa.array([2])], names=["x", "x"])
+        assert normalize_arrow_table(t).num_columns == 2  # duplicates kept
+        sch = pa.schema([pa.field("a", pa.int64(), nullable=False, metadata={b"k": b"v"})])
+        o = normalize_arrow_table(pa.Table.from_arrays([pa.array([1])], schema=sch))
+        assert not o.schema.field("a").nullable
+        assert o.schema.field("a").metadata == {b"k": b"v"}
+        nested = pa.table({
+            "s": pa.array([{"f": np.float16(1.5)}], type=pa.struct([("f", pa.float16())]))
+        })
+        o2 = normalize_arrow_table(nested)
+        assert pa.types.is_float32(o2.column("s").type.field("f").type)
+
+    def test_image_arrays_null_handling(self, tmp_path):
+        import pyarrow as pa
+
+        from lance_spark.arrow import EncodedImageType, ImageURIType
+
+        # null uri → null bytes, localhost URIs resolve
+        p = tmp_path / "img.ppm"
+        p.write_bytes(b"P6 1 1 255\n\x01\x02\x03")
+        uris = pa.ExtensionArray.from_storage(
+            ImageURIType(), pa.array([f"file://localhost{p}", None], pa.string())
+        )
+        enc = uris.read_uris()
+        vals = enc.storage.to_pylist()
+        assert vals[1] is None and vals[0] is not None
+        # null image in to_tensor → clear ValueError, not TypeError
+        bad = pa.ExtensionArray.from_storage(
+            EncodedImageType(), pa.array([None], pa.binary())
+        )
+        with pytest.raises(ValueError, match="null"):
+            bad.to_tensor()
