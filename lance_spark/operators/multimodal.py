@@ -12,8 +12,10 @@ what matters, and it IS implemented here for real:
   - processing partitions by fragment (input files), so media locality
     follows storage locality.
 
-Codecs: ``ppm``/``bmp``/``png`` are REAL pure-numpy/stdlib decoders (the
-PNG path inflates IDAT and undoes all five scanline filters); ``pil``
+Codecs: ``ppm``/``bmp``/``png``/``jpeg`` are REAL pure-numpy/stdlib
+decoders (PNG inflates IDAT and undoes all five scanline filters; JPEG is
+a full baseline-sequential implementation — Huffman, dequant, IDCT,
+4:2:0/4:2:2 upsampling, see operators/jpeg.py); ``pil``
 decodes any Pillow-readable format when the library is installed and is
 a guarded NotImplementedError otherwise (this container ships no image
 libs — the gate fails the CALL on the driver, never an executor task).
@@ -280,11 +282,27 @@ def _pil_header(b: bytes) -> tuple[int, int, int]:
     return (int(img.width), int(img.height), len(img.getbands()))
 
 
-_CODECS = {"ppm": _parse_ppm, "bmp": _parse_bmp, "png": _parse_png, "pil": _parse_pil}
+def _parse_jpeg(b):
+    from lance_spark.operators.jpeg import parse_jpeg
+
+    return parse_jpeg(b)
+
+
+def _jpeg_header(b):
+    from lance_spark.operators.jpeg import jpeg_header
+
+    return jpeg_header(b)
+
+
+_CODECS = {
+    "ppm": _parse_ppm, "bmp": _parse_bmp, "png": _parse_png,
+    "jpeg": _parse_jpeg, "pil": _parse_pil,
+}
 _HEADER_CODECS = {
     "ppm": _ppm_header,
     "bmp": _bmp_header,
     "png": _png_header,
+    "jpeg": _jpeg_header,
     "pil": _pil_header,
 }
 
@@ -315,7 +333,7 @@ def decode_image_meta(df: DataFrame, binary_col: str, codec: str = "header") -> 
     if codec != "header" and codec not in _CODECS:
         raise NotImplementedError(
             f"codec {codec!r} requires an image library not present in this "
-            "environment; built-in codecs: header, ppm, bmp, png, pil"
+            "environment; built-in codecs: header, ppm, bmp, png, jpeg, pil"
         )
 
     if "meta" in df.columns:
@@ -461,4 +479,99 @@ def sample_frames(df: DataFrame, binary_col: str, id_col: str, every_n: int = 2,
     id_t = df.schema[id_col].dataType.simpleString()
     return df.mapInPandas(
         sample, schema=f"`{id_col}` {id_t}, frame_idx int, frame binary"
+    )
+
+
+# ---------------------------------------------------------------- audio
+
+def pack_wav(sample_rate: int, channels: int, samples: np.ndarray) -> bytes:
+    """Minimal REAL RIFF/WAVE encoder (PCM 16-bit little-endian): the
+    fixture builder for the wav decode path — output opens in any audio
+    tool. ``samples``: int16 array, shape (n_frames,) mono or
+    (n_frames, channels)."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.shape[1] != channels:
+        raise ValueError(f"samples have {s.shape[1]} channels, declared {channels}")
+    data = s.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    out = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return out
+
+
+def parse_wav(b: bytes) -> tuple[int, int, int, int, np.ndarray | None]:
+    """Pure-stdlib RIFF/WAVE decode (PCM 8/16-bit, any channel count):
+    → (sample_rate, channels, bits, n_frames, samples int32 array of shape
+    (n_frames, channels)) or (-1, -1, -1, -1, None) for non-PCM/invalid.
+    Chunk-walks the RIFF container, so extra chunks (LIST/fact/cue) are
+    skipped like any compliant reader."""
+    invalid = (-1, -1, -1, -1, None)
+    if b is None or len(b) < 44:
+        return invalid
+    b = bytes(b)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return invalid
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return invalid
+    audio_fmt, channels, rate, _br, _ba, bits = fmt
+    if audio_fmt != 1 or channels < 1 or bits not in (8, 16):
+        return invalid  # non-PCM (float/ADPCM/mp3-in-wav) → invalid
+    width = bits // 8
+    n_frames = len(data) // (width * channels)
+    if n_frames == 0:
+        return (rate, channels, bits, 0, np.zeros((0, channels), dtype=np.int32))
+    raw = data[: n_frames * width * channels]
+    if bits == 16:
+        s = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    else:  # 8-bit WAV is UNSIGNED, centered at 128
+        s = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+    return (rate, channels, bits, n_frames, s.reshape(n_frames, channels))
+
+
+def decode_audio_stats(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """REAL audio decode over a binary column (Arrow-batched mapInPandas,
+    bytes never shuffle): → (id, sample_rate, channels, n_frames,
+    duration_ms, abs_sum). ``abs_sum`` (Σ|sample|, integer-exact) is the
+    oracle-safe loudness proxy; duration_ms = n_frames·1000/rate floored.
+    Invalid/non-PCM bytes yield -1 rows, never a task failure."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, chs, frames, durs, sums = [], [], [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[binary_col]):
+                rate, ch, _bits, nf, s = parse_wav(b)
+                ids.append(i)
+                rates.append(rate)
+                chs.append(ch)
+                frames.append(nf)
+                durs.append(nf * 1000 // rate if rate > 0 else -1)
+                sums.append(int(np.abs(s).sum()) if s is not None else -1)
+            yield pd.DataFrame(
+                {id_col: ids, "sample_rate": rates, "channels": chs,
+                 "n_frames": frames, "duration_ms": durs, "abs_sum": sums}
+            )
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    return df.mapInPandas(
+        stats,
+        schema=(
+            f"`{id_col}` {id_t}, sample_rate int, channels int,"
+            " n_frames int, duration_ms int, abs_sum bigint"
+        ),
     )

@@ -550,3 +550,160 @@ class TestMultimodalReviewR12:
         )
         with pytest.raises(ValueError, match="null"):
             bad.to_tensor()
+
+
+class TestJpegCodec:
+    """Pins for the pure numpy/stdlib baseline JPEG codec (r12 — VERDICT
+    missing #2: real decode for the format a scraped corpus contains)."""
+
+    def test_flat_roundtrip_exact_q100(self):
+        import numpy as np
+
+        from lance_spark.operators.jpeg import jpeg_header, pack_jpeg, parse_jpeg
+
+        for v in (0, 37, 128, 255):
+            img = np.full((16, 24), v, dtype=np.uint8)
+            b = pack_jpeg(24, 16, img, quality=100)
+            assert jpeg_header(b) == (24, 16, 1)
+            w, h, c, px = parse_jpeg(b)
+            assert (w, h, c) == (24, 16, 1)
+            assert (px[..., 0] == img).all()
+        rgb = np.full((8, 8, 3), 77, dtype=np.uint8)
+        w, h, c, px = parse_jpeg(pack_jpeg(8, 8, rgb, quality=100))
+        assert (w, h, c) == (8, 8, 3) and (px == rgb).all()
+
+    def test_lossy_tolerance_and_subsampling(self):
+        import numpy as np
+
+        from lance_spark.operators.jpeg import pack_jpeg, parse_jpeg
+
+        xx, yy = np.meshgrid(np.arange(41), np.arange(23))
+        smooth = np.stack(
+            [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], -1
+        ).astype(np.uint8)
+        for sub in ("444", "420"):
+            b = pack_jpeg(41, 23, smooth, quality=95, subsampling=sub)
+            w, h, c, px = parse_jpeg(b)
+            assert (w, h, c) == (41, 23, 3)
+            err = np.abs(px.astype(int) - smooth.astype(int))
+            assert err.max() <= 8, (sub, err.max())
+        # noise at q=95 stays within JPEG's expected band
+        rng = np.random.default_rng(7)
+        noisy = rng.integers(0, 256, (24, 33, 3), dtype=np.uint8)
+        w, h, c, px = parse_jpeg(pack_jpeg(33, 24, noisy, quality=95))
+        assert np.abs(px.astype(int) - noisy.astype(int)).mean() < 8
+
+    def test_invalid_streams_rejected(self):
+        from lance_spark.operators.jpeg import jpeg_header, parse_jpeg
+
+        assert parse_jpeg(None)[0] == -1
+        assert parse_jpeg(b"nope")[0] == -1
+        assert parse_jpeg(b"\xff\xd8\xff\xd9")[0] == -1
+        assert jpeg_header(b"\x89PNG")[0] == -1
+        # progressive marker (SOF2) → invalid, not a mis-decode
+        import struct
+
+        prog = (
+            b"\xff\xd8"
+            + struct.pack(">HH", 0xFFC2, 11)
+            + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+            + b"\xff\xd9"
+        )
+        assert parse_jpeg(prog)[0] == -1
+
+    def test_truncated_entropy_stream(self):
+        import numpy as np
+
+        from lance_spark.operators.jpeg import pack_jpeg, parse_jpeg
+
+        img = np.full((16, 16), 90, dtype=np.uint8)
+        b = pack_jpeg(16, 16, img, quality=90)
+        assert parse_jpeg(b[: len(b) // 2])[0] == -1  # no crash
+
+    def test_decode_image_stats_jpeg_codec(self, spark):
+        import numpy as np
+
+        from lance_spark.operators.jpeg import pack_jpeg
+        from lance_spark.operators.multimodal import decode_image_stats
+
+        img = np.full((8, 16), 40, dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, pack_jpeg(16, 8, img, quality=100)), (2, b"junk")],
+            "id long, img binary",
+        )
+        rows = {r["id"]: r for r in decode_image_stats(df, "img", "id", codec="jpeg").collect()}
+        assert rows[1]["width"] == 16 and rows[1]["px_sum"] == 40 * 16 * 8
+        assert rows[2]["width"] == -1  # invalid bytes → invalid, not a crash
+
+
+class TestWavCodec:
+    """Pins for the RIFF/WAVE PCM codec + decode_audio_stats (r12)."""
+
+    def test_roundtrip_mono_stereo(self):
+        import numpy as np
+
+        from lance_spark.operators.multimodal import pack_wav, parse_wav
+
+        s = (np.arange(100) * 7 % 256 - 128).astype(np.int16)
+        rate, ch, bits, nf, arr = parse_wav(pack_wav(8000, 1, s))
+        assert (rate, ch, bits, nf) == (8000, 1, 16, 100)
+        assert (arr[:, 0] == s).all()
+        st = np.stack([s, -s], axis=1).astype(np.int16)
+        rate, ch, bits, nf, arr = parse_wav(pack_wav(44100, 2, st))
+        assert (rate, ch, nf) == (44100, 2, 100) and (arr == st).all()
+
+    def test_extra_chunks_and_8bit(self):
+        import struct
+
+        import numpy as np
+
+        from lance_spark.operators.multimodal import pack_wav, parse_wav
+
+        s = np.array([1, -2, 3], dtype=np.int16)
+        b = bytearray(pack_wav(16000, 1, s))
+        # splice a LIST chunk between fmt and data (real encoders do this)
+        data_at = bytes(b).index(b"data")
+        junk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        b2 = bytes(b[:data_at]) + junk + bytes(b[data_at:])
+        b2 = b2[:4] + struct.pack("<I", len(b2) - 8) + b2[8:]
+        rate, ch, bits, nf, arr = parse_wav(b2)
+        assert (rate, nf) == (16000, 3) and (arr[:, 0] == s).all()
+        # 8-bit unsigned PCM centers at 128
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        data = bytes([128, 130, 126])
+        wav8 = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        rate, ch, bits, nf, arr = parse_wav(wav8)
+        assert bits == 8 and list(arr[:, 0]) == [0, 2, -2]
+
+    def test_invalid_and_non_pcm(self):
+        import struct
+
+        from lance_spark.operators.multimodal import parse_wav
+
+        assert parse_wav(None)[0] == -1
+        assert parse_wav(b"RIFFxxxxWAVE")[0] == -1
+        # IEEE-float wav (format 3) → invalid, not mis-decoded
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        wav = (
+            b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0)
+        )
+        assert parse_wav(wav)[0] == -1
+
+    def test_decode_audio_stats(self, spark):
+        import numpy as np
+
+        from lance_spark.operators.multimodal import decode_audio_stats, pack_wav
+
+        s = np.array([100, -50, 25], dtype=np.int16)
+        df = spark.createDataFrame(
+            [("a", pack_wav(8000, 1, s)), ("b", b"junk")], "name string, audio binary"
+        )
+        rows = {r["name"]: r for r in decode_audio_stats(df, "audio", "name").collect()}
+        assert rows["a"]["abs_sum"] == 175 and rows["a"]["sample_rate"] == 8000
+        assert rows["b"]["sample_rate"] == -1  # invalid → row, not a crash
