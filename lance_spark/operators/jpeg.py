@@ -577,3 +577,87 @@ def parse_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
 
 def _jpeg_header(b: bytes) -> tuple[int, int, int]:
     return jpeg_header(b)
+
+
+# ------------------------------------------------------------ AVI / MJPEG
+
+def pack_avi_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 10) -> bytes:
+    """Minimal REAL AVI container around Motion-JPEG frames (RIFF 'AVI '
+    with hdrl/avih/strl/strh/strf, a movi list of 00dc chunks, and an
+    idx1 index — the layout any AVI player/demuxer reads). The fixture
+    builder for the video frame-sampling path; each frame is a complete
+    baseline JPEG (pack_jpeg)."""
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    n = len(frames)
+    max_size = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(fps, 1),  # usec per frame
+        0, 0, 0x10,  # max bytes/sec, padding, flags (HASINDEX)
+        n, 0, 1, max_size, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, max(fps, 1),
+                                        0, n, max_size, 0, 0, 0)
+    )
+    # BITMAPINFOHEADER with MJPG compression
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+                       width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_body)
+    # idx1: one entry per frame, offsets relative to the movi list body
+    idx_entries, off = [], 4  # 4 = the 'movi' kind tag
+    for f in frames:
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def parse_avi_frames(b: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Walk a RIFF/AVI container and return (width, height, n_frames,
+    [frame bytes...]) for the first video stream's 00dc/00db chunks —
+    (-1, -1, -1, []) for invalid/non-AVI input. Works on any AVI whose
+    frames this codec can then decode (MJPG = baseline JPEGs)."""
+    invalid = (-1, -1, -1, [])
+    if b is None or len(b) < 12:
+        return invalid
+    b = bytes(b)
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return invalid
+    width = height = -1
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", b, pos + 4)
+            body_start = pos + 8
+            body_end = min(body_start + ln, end)
+            if cid == b"LIST":
+                walk(body_start + 4, body_end)  # skip the list kind tag
+            elif cid == b"avih" and ln >= 40:
+                width, height = struct.unpack_from("<II", b, body_start + 32)
+            elif cid in (b"00dc", b"00db"):
+                frames.append(b[body_start:body_end])
+            pos = body_start + ln + (ln & 1)
+
+    try:
+        walk(12, 12 + struct.unpack_from("<I", b, 4)[0] - 4)
+    except struct.error:
+        return invalid
+    if width < 0 and not frames:
+        return invalid
+    return (width, height, len(frames), frames)

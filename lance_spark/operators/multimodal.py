@@ -457,16 +457,40 @@ def resize_images(df: DataFrame, binary_col: str, width: int, height: int) -> Da
     return df.mapInPandas(resize, schema=df.schema)
 
 
-def sample_frames(df: DataFrame, binary_col: str, id_col: str, every_n: int = 2, frame_size: int = 64) -> DataFrame:
-    """Video frame-sampling plumbing: one row in → k frame rows out
-    (explode-shaped mapInPandas; payload chunks stand in for decoded
-    frames). Returns (id_col, frame_idx, frame binary)."""
+def sample_frames(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    every_n: int = 2,
+    frame_size: int = 64,
+    codec: str = "fake",
+) -> DataFrame:
+    """Video frame sampling: one row in → k frame rows out (explode-shaped
+    mapInPandas). Returns (id_col, frame_idx, frame binary).
+
+    ``codec='mjpeg'`` (r12): REAL container path — the payload is a RIFF
+    AVI holding Motion-JPEG frames; the AVI is chunk-walked
+    (operators/jpeg.py parse_avi_frames) and every ``every_n``-th frame's
+    complete baseline-JPEG bytes are emitted (decode them with
+    decode_image_stats(codec='jpeg')). ``codec='fake'`` keeps the
+    plumbing-test behavior: payload chunks stand in for frames."""
+    if codec not in ("fake", "mjpeg"):
+        raise ValueError(f"sample_frames codec must be 'fake' or 'mjpeg', got {codec!r}")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lance_spark.operators.jpeg import parse_avi_frames
+
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for i, b in zip(pdf[id_col], pdf[binary_col]):
                 if b is None:
+                    continue
+                if codec == "mjpeg":
+                    _w, _h, n, fr = parse_avi_frames(bytes(b))
+                    for fi in range(0, n, every_n):
+                        ids.append(i)
+                        idxs.append(fi)
+                        frames.append(fr[fi])
                     continue
                 payload = bytes(b)[16:]
                 n_frames = max(len(payload) // frame_size, 1)

