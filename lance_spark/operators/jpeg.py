@@ -275,6 +275,15 @@ def _encode_block(
     return dc
 
 
+def _pad_edge(a: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Pad the first two axes up to (rows, cols) by edge replication —
+    ONE implementation for the plane, chroma, and block-grid pads (three
+    hand-rolled copies drifted-prone slice arithmetic before; r12)."""
+    pad = [(0, rows - a.shape[0]), (0, cols - a.shape[1])]
+    pad += [(0, 0)] * (a.ndim - 2)
+    return np.pad(a, pad, mode="edge")
+
+
 def _plane_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     """Level-shifted plane → quantized 8×8 coefficient blocks, edge-padded
     (replication keeps padded-block AC energy, and thus stream size, low).
@@ -282,10 +291,7 @@ def _plane_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     height, width = plane.shape
     bh = (height + 7) // 8
     bw_ = (width + 7) // 8
-    padded = np.zeros((bh * 8, bw_ * 8))
-    padded[:height, :width] = plane
-    padded[height:, :width] = plane[-1:, :]
-    padded[:, width:] = padded[:, width - 1 : width]
+    padded = _pad_edge(plane, bh * 8, bw_ * 8)
     blocks = padded.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
     coefs = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
     return np.round(coefs / qt).astype(np.int32).reshape(bh, bw_, 8, 8)
@@ -329,10 +335,7 @@ def pack_jpeg(
                 p = planes[i]
                 ph = (p.shape[0] + 1) // 2 * 2
                 pw = (p.shape[1] + 1) // 2 * 2
-                pad = np.zeros((ph, pw))
-                pad[: p.shape[0], : p.shape[1]] = p
-                pad[p.shape[0]:, : p.shape[1]] = p[-1:, :]
-                pad[:, p.shape[1]:] = pad[:, p.shape[1] - 1 : p.shape[1]]
+                pad = _pad_edge(p, ph, pw)
                 planes[i] = pad.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
     qts = [qt_l] + [qt_c] * (ncomp - 1)
     factors = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * ncomp
@@ -351,12 +354,8 @@ def pack_jpeg(
         # pad the block grid to the MCU lattice (DC-only blocks at edges)
         need_r, need_c = mcus_y * cv, mcus_x * ch
         if g.shape[0] < need_r or g.shape[1] < need_c:
-            full = np.zeros((need_r, need_c, 8, 8), dtype=np.int32)
-            full[: g.shape[0], : g.shape[1]] = g
             # replicate edge blocks so padding stays cheap and valid
-            full[g.shape[0]:, : g.shape[1]] = g[-1:, :]
-            full[:, g.shape[1]:] = full[:, g.shape[1] - 1 : g.shape[1]]
-            g = full
+            g = _pad_edge(g, need_r, need_c)
         grids.append(g)
 
     bwriter = _BitWriter()
@@ -436,6 +435,9 @@ def _scan_markers_inner(b: bytes):
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             return None
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             pos += 2
@@ -482,6 +484,14 @@ def _scan_markers_inner(b: bytes):
             scomps = [(payload[1 + 2 * i], payload[2 + 2 * i]) for i in range(ns)]
             if sof is None or not qts or not huffs:
                 return None
+            comps = sof[3]
+            if any(not (1 <= c[1] <= 4 and 1 <= c[2] <= 4) for c in comps):
+                return None  # zero/huge sampling factor: corrupt SOF (r12)
+            if len(scomps) != len(comps):
+                # spec-valid NON-interleaved multi-scan baseline: decoding
+                # only the first scan would return valid-looking garbage —
+                # invalid beats mis-decoding (the module contract; r12)
+                return None
             return (qts, huffs, sof, restart, scomps, pos)
         elif marker == 0xD9:
             return None
@@ -510,8 +520,8 @@ def parse_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
             for c in comps
         }
         preds = {c[0]: 0 for c in comps}
-        tables = {cid: (huffs[(0, dc)], huffs[(1, ac >> 0)]) for cid, (dc, ac) in
-                  ((cid, (t >> 4, t & 0x0F)) for cid, t in scomps)}
+        # t's high nibble = DC table id (Td), low nibble = AC table id (Ta)
+        tables = {cid: (huffs[(0, t >> 4)], huffs[(1, t & 0x0F)]) for cid, t in scomps}
         n_mcu = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
@@ -571,12 +581,10 @@ def parse_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
         if px.ndim == 2:
             px = px[..., None]
         return (width, height, px.shape[-1], px)
-    except (EOFError, ValueError, KeyError, IndexError, struct.error):
+    except (EOFError, ValueError, KeyError, IndexError, struct.error,
+            ZeroDivisionError):
         return (-1, -1, -1, None)
 
-
-def _jpeg_header(b: bytes) -> tuple[int, int, int]:
-    return jpeg_header(b)
 
 
 # ------------------------------------------------------------ AVI / MJPEG
@@ -603,8 +611,11 @@ def pack_avi_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 10) 
         n, 0, 1, max_size, width, height, 0, 0, 0, 0,
     )
     strh = (
-        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, max(fps, 1),
-                                        0, n, max_size, 0, 0, 0)
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, max(fps, 1),
+                      0, n, max_size, 0, 0, 0)
+        + struct.pack("<4h", 0, 0, width, height)  # rcFrame — strict
+        # VfW demuxers validate the full 56+8-byte AVISTREAMHEADER (r12)
     )
     # BITMAPINFOHEADER with MJPG compression
     strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
@@ -638,26 +649,34 @@ def parse_avi_frames(b: bytes) -> tuple[int, int, int, list[bytes]]:
         return invalid
     width = height = -1
     frames: list[bytes] = []
-
-    def walk(pos: int, end: int) -> None:
-        nonlocal width, height
+    try:
+        # declared size clamped to the buffer: a truncated download must
+        # not slice partial 'frames' past the data we actually have (r12)
+        end0 = min(12 + struct.unpack_from("<I", b, 4)[0] - 4, len(b))
+    except struct.error:
+        return invalid
+    # iterative walk (explicit stack): crafted deeply-nested LISTs would
+    # blow Python's recursion limit and crash the executor task (r12)
+    stack = [(12, end0)]
+    while stack:
+        pos, end = stack.pop()
         while pos + 8 <= end:
             cid = b[pos : pos + 4]
             (ln,) = struct.unpack_from("<I", b, pos + 4)
             body_start = pos + 8
             body_end = min(body_start + ln, end)
             if cid == b"LIST":
-                walk(body_start + 4, body_end)  # skip the list kind tag
-            elif cid == b"avih" and ln >= 40:
+                next_pos = body_start + ln + (ln & 1)
+                stack.append((next_pos, end))  # resume after the list
+                pos, end = body_start + 4, body_end  # descend into it
+                continue
+            if cid == b"avih" and ln >= 40 and body_start + 40 <= len(b):
                 width, height = struct.unpack_from("<II", b, body_start + 32)
             elif cid in (b"00dc", b"00db"):
+                if body_start + ln > len(b):
+                    return invalid  # truncated frame: reject, don't emit
                 frames.append(b[body_start:body_end])
             pos = body_start + ln + (ln & 1)
-
-    try:
-        walk(12, 12 + struct.unpack_from("<I", b, 4)[0] - 4)
-    except struct.error:
-        return invalid
     if width < 0 and not frames:
         return invalid
     return (width, height, len(frames), frames)

@@ -754,3 +754,67 @@ class TestAviMjpeg:
             assert int(px[0, 0, 0]) == 20 * r["frame_idx"]
         with pytest.raises(ValueError, match="codec"):
             sample_frames(df, "video", "id", codec="h264")
+
+
+class TestJpegReviewR12:
+    """Pins for the adversarial review of the new jpeg.py module."""
+
+    def test_zero_sampling_factor_invalid_not_crash(self):
+        import numpy as np
+
+        from lance_spark.operators.jpeg import pack_jpeg, parse_jpeg
+
+        b = bytearray(pack_jpeg(8, 8, np.full((8, 8), 5, dtype=np.uint8)))
+        sof_at = bytes(b).index(b"\xff\xc0")
+        # SOF0 layout: marker(2) len(2) prec(1) h(2) w(2) nc(1) cid(1) samp(1)
+        b[sof_at + 2 + 2 + 1 + 2 + 2 + 1 + 1] = 0x00
+        assert parse_jpeg(bytes(b))[0] == -1  # invalid, not ZeroDivisionError
+
+    def test_fill_bytes_before_markers_accepted(self):
+        import numpy as np
+
+        from lance_spark.operators.jpeg import jpeg_header, pack_jpeg, parse_jpeg
+
+        img = np.full((8, 8), 42, dtype=np.uint8)
+        b = pack_jpeg(8, 8, img, quality=100)
+        sof_at = b.index(b"\xff\xc0")
+        filled = b[:sof_at] + b"\xff" + b[sof_at:]  # T.81 B.1.1.2 fill byte
+        assert jpeg_header(filled) == (8, 8, 1)
+        w, h, c, px = parse_jpeg(filled)
+        assert (w, h, c) == (8, 8, 1) and (px[..., 0] == img).all()
+
+    def test_multiscan_rejected_not_misdecoded(self):
+        import struct
+
+        import numpy as np
+
+        from lance_spark.operators.jpeg import pack_jpeg, parse_jpeg
+
+        # craft SOF declaring 3 comps but SOS covering only 1 (valid
+        # non-interleaved baseline we don't implement): must be invalid
+        b = pack_jpeg(8, 8, np.full((8, 8, 3), 50, dtype=np.uint8), quality=100)
+        sos_at = b.index(b"\xff\xda")
+        (ln,) = struct.unpack_from(">H", b, sos_at + 2)
+        one_scan = struct.pack(">HH", 0xFFDA, 8) + bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+        crafted = b[:sos_at] + one_scan + b[sos_at + 2 + ln:]
+        assert parse_jpeg(crafted)[0] == -1
+
+    def test_avi_nested_lists_and_truncation(self):
+        import struct
+
+        from lance_spark.operators.jpeg import parse_avi_frames
+
+        # 3000 nested LISTs: iterative walk, no RecursionError
+        inner = b""
+        for _ in range(3000):
+            inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"seqX" + inner
+        avi = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+        assert parse_avi_frames(avi)[0] == -1  # no frames, no crash
+        # truncated frame chunk: rejected, not emitted partially
+        import numpy as np
+
+        from lance_spark.operators.jpeg import pack_avi_mjpeg, pack_jpeg
+
+        frames = [pack_jpeg(8, 8, np.full((8, 8), 9, dtype=np.uint8))]
+        whole = pack_avi_mjpeg(frames, 8, 8)
+        assert parse_avi_frames(whole[: len(whole) - 30])[0] == -1
