@@ -143,6 +143,21 @@ def bench_indexed(spark, sf_dir: str, timings: dict[str, float]) -> None:
     timings["fts_bm25_indexed"] = round(statistics.median(search_samples), 3)
 
 
+def _cpu_calibration() -> float:
+    """Milliseconds for a fixed single-core loop (median of 3): a pure
+    host-speed probe, independent of Spark and of this repo's code."""
+    import statistics
+
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        s = 0
+        for i in range(2_000_000):
+            s += i * i
+        samples.append((time.time() - t0) * 1000)
+    return round(statistics.median(samples), 1)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -154,6 +169,11 @@ def main():
         load1_start, load5_start, _ = os.getloadavg()
     except OSError:
         load1_start = load5_start = -1.0
+    # single-core CPU calibration: the shared host's effective clock varies
+    # round-to-round (r12 measured untouched queries uniformly ~1.5× slower
+    # on an IDLE box vs r11) — this constant-work loop lets a cross-round
+    # comparison normalize for host speed, not just contention (loadavg)
+    cpu_cal = _cpu_calibration()
 
     from lance_spark.session import get_spark
     from lance_spark import suite
@@ -228,6 +248,7 @@ def main():
                 "loadavg_5m": round(load5, 2),
                 "loadavg_1m_start": round(load1_start, 2),
                 "loadavg_5m_start": round(load5_start, 2),
+                "cpu_cal_ms": cpu_cal,
             }
         )
     )
