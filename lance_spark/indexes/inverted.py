@@ -37,9 +37,12 @@ def _positional_postings(
     """(postings{token,id,tf,positions}, doclens{id,dl}) from raw text."""
     from lance_spark.functions.text import tokenizer_expr
 
-    toks = df.select(
+    toks = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), tokenizer_expr(tokenizer)(F.col(text_col)).alias("toks")
     )
+    # NULL-text docs are unindexable and must not enter doclens: F.size of
+    # a NULL array is -1, which dragged avgdl down and inflated n_docs —
+    # wrong BM25 idf/length normalization for EVERY query (r12 review)
     doclens = toks.select("id", F.size("toks").alias("dl"))
     postings = (
         toks.select("id", F.posexplode("toks").alias("pos", "token"))
@@ -61,15 +64,39 @@ def create_inverted_index(
     from lance_spark import manifest as mf
     from lance_spark.dataset import LanceDataset
 
+    import time
+
     name = name or f"{column}_inverted_idx"
     rel = os.path.join("_indices", name)
     uri = os.path.join(ds.uri, rel)
     extra_params = {"tokenizer": tokenizer}
+    prior = next((i for i in ds.manifest.indices if i.name == name), None)
+    if prior is None:
+        seg, seg_dir = ".", uri
+        retired: dict = {}
+    else:
+        # RE-create (retrain): never overwrite '.' in place — in-flight and
+        # time-travel readers pinned to the old segment list would read a
+        # half-rewritten base or double-count docs covered by both the new
+        # '.' and a surviving delta dir. Write a fresh versioned segment
+        # and RETIRE the old list behind the merge grace window (r12
+        # review — the same generation discipline IVF rebuilds use).
+        old_segs = list(prior.params.get("segments") or ["."])
+        retired = _reclaim_retired_segments(uri, prior.params)
+        seg = f"seg_v{_next_seg_num(uri, old_segs, prior.params.get('retired_segments')) + 1}"
+        seg_dir = os.path.join(uri, seg)
+        now = time.time()
+        for s in old_segs:
+            retired[s] = now
     df = ds.scanner(spark, columns=[column], with_row_id=True)
     postings, doclens = _positional_postings(df, column, ROWID_COL, tokenizer)
-    postings.write.mode("overwrite").parquet(os.path.join(uri, "postings"))
-    doclens.write.mode("overwrite").parquet(os.path.join(uri, "doclens"))
+    postings.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings"))
+    doclens.write.mode("overwrite").parquet(os.path.join(seg_dir, "doclens"))
     covered = [f.id for f in ds.manifest.fragments]
+    params = {"k1": BM25_K1, "b": BM25_B, **extra_params}
+    if seg != ".":
+        params["segments"] = [seg]
+        params["retired_segments"] = retired
 
     def build(base, version):
         return mf.Manifest.evolve(
@@ -82,7 +109,7 @@ def create_inverted_index(
                     column=column,
                     path=rel,
                     fragment_ids=covered,
-                    params={"k1": BM25_K1, "b": BM25_B, **extra_params},
+                    params=params,
                 )
             ],
         )
@@ -307,6 +334,10 @@ def merge_inverted_segments(ds, spark: SparkSession, name: str):
     from lance_spark import manifest as mf
 
     consumed = set(segs)
+    epoch0 = int(meta.params.get("merge_epoch", 0))
+
+    class _ConcurrentMerge(Exception):
+        pass
 
     def build(base_m, version):
         """Commit the merged segment against the FRESH manifest: a
@@ -318,6 +349,14 @@ def merge_inverted_segments(ds, spark: SparkSession, name: str):
         idx = []
         for i in base_m.indices:
             if i.name == name:
+                if int(i.params.get("merge_epoch", 0)) != epoch0:
+                    # another merge committed since our read: its output
+                    # covers (a superset of) our inputs, so committing OUR
+                    # segment next to it would duplicate every consumed
+                    # posting — doubled df/n_docs, wrong BM25 everywhere
+                    # (r12 review). The loser aborts; merging is idempotent
+                    # maintenance, the winner's result stands.
+                    raise _ConcurrentMerge()
                 current = list(i.params.get("segments") or ["."])
                 extras = [s for s in current if s not in consumed and s != seg]
                 i = mf.IndexMeta(
@@ -329,6 +368,7 @@ def merge_inverted_segments(ds, spark: SparkSession, name: str):
                         "retired_segments": {
                             k: v for k, v in retired.items() if k not in extras
                         },
+                        "merge_epoch": epoch0 + 1,
                     },
                 )
             idx.append(i)
@@ -336,7 +376,13 @@ def merge_inverted_segments(ds, spark: SparkSession, name: str):
             base_m, version, operation="create_index", indices=idx
         )
 
-    mf.commit(ds.uri, build, operation="create_index")
+    try:
+        mf.commit(ds.uri, build, operation="create_index")
+    except _ConcurrentMerge:
+        import shutil
+
+        shutil.rmtree(os.path.join(base, seg), ignore_errors=True)
+        return LanceDataset(ds.uri)
     return LanceDataset(ds.uri)
 
 
@@ -414,6 +460,13 @@ def match_join(
         .distinct()
     )
     scored = _bm25_join_core(postings, doclens, qt, query_vocab_rows=query_vocab_rows)
+    return _topk_per_query(scored, k)
+
+
+def _topk_per_query(scored: DataFrame, k: int | None) -> DataFrame:
+    """Per-query top-k with the bulk tie-break contract (score desc, id
+    asc); k=None returns all scored rows. ONE copy for every *_join
+    surface — the identical window block was pasted five times (r12)."""
     if k is None:
         return scored
     from pyspark.sql import Window
@@ -555,7 +608,13 @@ def phrase_join(
         F.max("qpos").alias("m"), F.count_distinct("token").alias("v")
     ).first()
     if row["m"] is None:
-        return spark.createDataFrame([], "query_id long, id long")
+        # empty frame typed from the REAL query-id and postings columns —
+        # a hardcoded 'long' broke unions over string-keyed batches (r12)
+        return (
+            queries.select(F.col(query_id_col).alias("query_id"))
+            .limit(0)
+            .crossJoin(postings.select("id").limit(0))
+        )
     maxpos = int(row["m"])
     if maxpos + 1 > 64:
         raise ValueError(
@@ -592,21 +651,10 @@ def phrase_join(
             .join(post_pos, "token")
             .select("qid", "id", F.col("positions").alias("__pos"))
         )
-        stepped = F.filter(
-            F.transform(
-                F.col("__cand"),
-                lambda c: F.struct(
-                    c["start"].alias("start"),
-                    F.array_min(
-                        F.filter(
-                            F.col("__pos"),
-                            lambda q: (q > c["last"]) & (q <= c["start"] + i + slop),
-                        )
-                    ).alias("last"),
-                ),
-            ),
-            lambda c: c["last"].isNotNull(),
-        )
+        # ONE candidate-walk implementation (the helper exists because two
+        # hand-maintained copies drifted before; r12: this inline twin
+        # replaced with the shared step)
+        stepped = _phrase_step(F.col("__cand"), F.col("__pos"), i, slop)
         cur = (
             cur.join(nxt, ["qid", "id"], "left")
             .withColumn(
@@ -707,16 +755,7 @@ def boolean_join(
             .distinct()
         )
         scored = scored.join(bad, ["query_id", "id"], "left_anti")
-    if k is None:
-        return scored
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _topk_per_query(scored, k)
 
 
 def more_like_this_join(
@@ -820,14 +859,7 @@ def more_like_this_join(
         .select("qid", "token")
     )
     scored = _bm25_join_core(postings, doclens, qt, dfreq=dfreq)
-    if k is None:
-        return scored
-    w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _topk_per_query(scored, k)
 
 
 _GRAM_SEP = "\x1f"
@@ -855,7 +887,11 @@ def _phrase_ngram_join(spark: SparkSession, postings: DataFrame, qtp: DataFrame)
     )
     lengths = sorted(r["L"] for r in qg.select("L").distinct().collect())
     if not lengths:
-        return spark.createDataFrame([], "query_id long, id long")
+        return (
+            queries.select(F.col(query_id_col).alias("query_id"))
+            .limit(0)
+            .crossJoin(postings.select("id").limit(0))
+        )
     # one row per query → broadcast unless the query table is enormous
     qg_side = F.broadcast(qg) if qg.count() <= 2_000_000 else qg
     stream = postings.select("token", "id", F.explode("positions").alias("pos"))
@@ -937,11 +973,15 @@ def phrase_query(
     to ``slop`` total displacement between terms."""
     meta = _find(ds, column)
     postings, _ = _index_tables(ds, spark, meta)
-    terms = query_tokens(
-        [t for t in phrase.split() if t], meta.params.get("tokenizer", "simple")
-    )
+    tok = meta.params.get("tokenizer", "simple")
+    from lance_spark.functions.text import query_split
+
+    # query_split, not str.split: the phrase must break on the SAME gap
+    # class the index tokenizer used ('spark-sql' and CJK unigrams were
+    # guaranteed misses before; r12 review — query.py's fix, migrated)
+    terms = query_tokens(query_split(phrase, tok), tok)
     if not terms:
-        return spark.createDataFrame([], "id long")
+        return postings.select("id").limit(0)
     return phrase_hits(postings, terms, slop)
 
 
@@ -963,13 +1003,17 @@ def boolean_query(
     should = query_tokens(should or [], tok)
     must_not = query_tokens(must_not or [], tok)
     base = doclens.select("id")
+    # terms are ALREADY normalized by query_tokens — re-lowercasing broke
+    # the case-preserving 'whitespace' tokenizer (must matched nothing;
+    # worse, must_not excluded nothing; r12 review — _bm25 had this exact
+    # .lower() removed earlier, the membership filters still carried it)
     for t in must or []:
         base = base.join(
-            postings.filter(F.col("token") == t.lower()).select("id"), "id", "left_semi"
+            postings.filter(F.col("token") == t).select("id"), "id", "left_semi"
         )
     for t in must_not or []:
         base = base.join(
-            postings.filter(F.col("token") == t.lower()).select("id"), "id", "left_anti"
+            postings.filter(F.col("token") == t).select("id"), "id", "left_anti"
         )
     terms = (should or []) + (must or [])
     scored = _bm25(postings.join(base, "id", "left_semi"), doclens.join(base, "id", "left_semi"), terms)
@@ -1078,14 +1122,7 @@ def boost_join(
             ).alias("_score"),
         )
     )
-    if k is None:
-        return both
-    w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("id"))
-    return (
-        both.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _topk_per_query(both, k)
 
 
 def _edit_distance_col(term: str, transpositions: bool):
@@ -1132,7 +1169,12 @@ def fuzzy_query(
     plain Levenshtein."""
     meta = _find(ds, column)
     postings, doclens = _index_tables(ds, spark, meta)
-    t = query_tokens([term], meta.params.get("tokenizer", "simple"))[0]
+    norm = query_tokens([term], meta.params.get("tokenizer", "simple"))
+    if not norm:
+        # '2024' or '!!!' normalizes away under the simple family: empty
+        # result, not IndexError (r12 review)
+        return postings.select("id").limit(0).withColumn("_score", F.lit(0.0))
+    t = norm[0]
     if fuzziness is None:  # length-based auto distance (query.rs:373)
         from lance_spark.query import auto_fuzziness
 
@@ -1248,14 +1290,7 @@ def fuzzy_join(
     )
     score_pairs = qt.join(expanded, "qtok").select("qid", "token").distinct()
     scored = _bm25_join_core(postings, doclens, score_pairs)
-    if k is None:
-        return scored
-    w = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _topk_per_query(scored, k)
 
 
 def _find(ds, column: str | None):

@@ -628,3 +628,123 @@ def test_inverted_after_mixed_compaction_no_double_count(spark, sf_dir, tmp_path
     assert doclens.select("id").distinct().count() == n
     after = [(r["id"], r["_score"]) for r in match_query(ds, spark, terms, k=20).collect()]
     assert after == before
+
+
+class TestInvertedReviewR12:
+    """Pins for the r12 adversarial review of indexes/inverted.py."""
+
+    def _mk(self, spark, tmp_path, rows, tokenizer="simple", name="idx"):
+        import lance_spark as ls
+        from lance_spark.dataset import dataset
+        from lance_spark.indexes.inverted import create_inverted_index
+
+        uri = str(tmp_path / name)
+        ls.write_dataset(
+            spark.createDataFrame(rows, "id long, text string"), uri
+        )
+        return create_inverted_index(
+            dataset(uri), spark, "text", tokenizer=tokenizer
+        )
+
+    @staticmethod
+    def _doc_ids(ds, spark, hits):
+        """hit _rowids → user doc ids."""
+        m = {r["_rowid"]: r["id"]
+             for r in ds.to_df(spark, with_row_id=True).collect()}
+        return {m[r["id"]] for r in hits.collect()}
+
+    def test_phrase_query_mirrors_tokenizer_gaps(self, spark, tmp_path):
+        from lance_spark.indexes.inverted import phrase_query
+
+        ds = self._mk(spark, tmp_path, [(1, "the spark-sql engine wins"),
+                                        (2, "spark almost sql")])
+        ids = self._doc_ids(ds, spark, phrase_query(ds, spark, "spark-sql engine"))
+        assert ids == {1}  # 'spark-sql' splits like the index did
+
+    def test_boolean_query_whitespace_case_preserved(self, spark, tmp_path):
+        from lance_spark.indexes.inverted import boolean_query
+
+        ds = self._mk(
+            spark, tmp_path,
+            [(1, "Spark engine"), (2, "spark engine"), (3, "Flink engine")],
+            tokenizer="whitespace",
+        )
+        got = self._doc_ids(ds, spark, boolean_query(ds, spark, must=["Spark"], k=None))
+        assert got == {1}  # case-preserving index: 'Spark' != 'spark'
+        got2 = self._doc_ids(
+            ds, spark,
+            boolean_query(ds, spark, must=["engine"], must_not=["Spark"], k=None),
+        )
+        assert got2 == {2, 3}  # must_not actually excludes
+
+    def test_fuzzy_query_empty_normalization(self, spark, tmp_path):
+        from lance_spark.indexes.inverted import fuzzy_query
+
+        ds = self._mk(spark, tmp_path, [(1, "hello world")])
+        assert fuzzy_query(ds, spark, "2024").count() == 0  # not IndexError
+        assert fuzzy_query(ds, spark, "!!!").count() == 0
+
+    def test_null_text_rows_do_not_skew_bm25_stats(self, spark, tmp_path):
+        from lance_spark.indexes.inverted import _index_tables, _find
+
+        ds = self._mk(spark, tmp_path, [(1, "alpha beta"), (2, None), (3, "alpha")])
+        _postings, doclens = _index_tables(ds, spark, _find(ds, "text"))
+        rows = {r["id"]: r["dl"] for r in doclens.collect()}
+        assert all(v >= 0 for v in rows.values()), rows  # no dl=-1 rows
+        assert len(rows) == 2  # the NULL doc never entered doclens
+
+    def test_recreate_does_not_overwrite_base_segment(self, spark, tmp_path):
+        """Rebuilding an existing index writes a fresh versioned segment
+        (old list retired behind the grace window) instead of rewriting
+        '.' under pinned readers."""
+        import lance_spark as ls
+        from lance_spark.dataset import dataset
+        from lance_spark.indexes.inverted import create_inverted_index, match_query
+
+        uri = str(tmp_path / "re")
+        ls.write_dataset(
+            spark.createDataFrame([(1, "alpha beta")], "id long, text string"), uri
+        )
+        ds = create_inverted_index(dataset(uri), spark, "text")
+        meta0 = next(i for i in ds.manifest.indices if i.name == "text_inverted_idx")
+        assert (meta0.params.get("segments") or ["."]) == ["."]
+        ds = ds.delete(spark, "id = -1")  # bump a version
+        ds2 = create_inverted_index(dataset(uri), spark, "text")
+        meta1 = next(i for i in ds2.manifest.indices if i.name == "text_inverted_idx")
+        segs = meta1.params.get("segments")
+        assert segs and segs != ["."] and all(s.startswith("seg_v") for s in segs)
+        assert "." in (meta1.params.get("retired_segments") or {})
+        assert match_query(ds2, spark, ["alpha"], k=5).count() == 1
+
+    def test_concurrent_merge_loser_aborts(self, spark, tmp_path, monkeypatch):
+        """Two merges racing: the loser must drop its segment instead of
+        committing a second full copy of the postings (doubled BM25 df)."""
+        import lance_spark as ls
+        from lance_spark.dataset import dataset
+        from lance_spark.indexes.inverted import (
+            _find, _index_tables, create_inverted_index, merge_inverted_segments,
+        )
+
+        uri = str(tmp_path / "race")
+        ls.write_dataset(
+            spark.createDataFrame([(1, "alpha")], "id long, text string"), uri
+        )
+        ds = create_inverted_index(dataset(uri), spark, "text")
+        ls.write_dataset(
+            spark.createDataFrame([(2, "alpha")], "id long, text string"),
+            uri, mode="append",
+        )
+        # delta-extend so the index has >= 2 segments, but keep them
+        # (disable the auto-merge) so both racers start from the same list
+        ds = dataset(uri).optimize_indices(spark, num_indices_to_merge=0)
+        meta = next(i for i in ds.manifest.indices if i.name == "text_inverted_idx")
+        assert len(meta.params.get("segments") or ["."]) >= 2
+        # first merge wins
+        ds1 = merge_inverted_segments(ds, spark, "text_inverted_idx")
+        # second merge STARTED from the stale pre-merge meta: must abort
+        ds2 = merge_inverted_segments(ds, spark, "text_inverted_idx")
+        meta2 = next(i for i in ds2.manifest.indices if i.name == "text_inverted_idx")
+        postings, doclens = _index_tables(ds2, spark, _find(ds2, "text"))
+        # each doc appears exactly once — no doubled postings
+        assert doclens.count() == 2
+        assert postings.filter("token = 'alpha'").count() == 2
