@@ -232,7 +232,15 @@ def add_columns(ds, spark: SparkSession, transforms, read_columns: list[str] | N
         if isinstance(transforms, BatchUDF) and transforms.output_schema is not None:
             out_schema = transforms.output_schema
         else:
-            probe = fn(base.select(*(read_columns or ds.columns)).limit(1).toPandas())
+            probe_pdf = base.select(*(read_columns or ds.columns)).limit(1).toPandas()
+            if probe_pdf.empty:
+                # the opaque 'can not infer schema from empty dataset' is
+                # replaced by the shared probe's crafted error (r12 review)
+                raise ValueError(
+                    "add_columns: no live rows to derive the UDF output"
+                    " schema from; declare output_schema on the BatchUDF"
+                )
+            probe = fn(probe_pdf)
             out_schema = spark.createDataFrame(probe).schema
         new_cols = list(out_schema.fieldNames())
 
@@ -332,6 +340,13 @@ def merge(ds, spark: SparkSession, right: DataFrame, left_on: str, right_on: str
 
     right_on = right_on or left_on
     new_cols = [c for c in right.columns if c != right_on]
+    existing = {f["name"] for f in ds.manifest.schema_json["fields"]}
+    clash = [c for c in new_cols if c in existing]
+    if clash:
+        # the reference's HashJoiner rejects overlapping columns; silently
+        # committing a duplicate field + a second file claiming it made
+        # later reads ambiguous (r12 review — add_columns already checks)
+        raise ValueError(f"merge: column(s) already exist: {clash}")
     base = ds.to_df(spark, with_row_id=True).select(ROWID_COL, left_on)
     joined = base.join(
         dedup_right_keys(right.withColumnRenamed(right_on, left_on), left_on),
@@ -356,16 +371,34 @@ def drop_columns(ds, columns: list[str]):
 
     def build(base: mf.Manifest | None, version: int) -> mf.Manifest:
         assert base is not None
+        names = {f["name"] for f in base.schema_json["fields"]}
+        missing = [c for c in columns if c not in names]
+        if missing:
+            # silent no-op on a typo'd name previously; worse, the
+            # drop-all guard's length arithmetic was bypassed by it (r12)
+            raise ValueError(f"no such column(s): {missing}")
         remaining = [f for f in base.schema_json["fields"] if f["name"] not in columns]
-        if len(remaining) == len(base.schema_json["fields"]) - len(columns) and not remaining:
+        if not remaining:
             raise ValueError("cannot drop all columns")
         schema_json = dict(base.schema_json)
         schema_json["fields"] = remaining
+        # DataFile.columns hold PHYSICAL names: translate each dropped
+        # LOGICAL name through column_renames, and purge its map entry —
+        # a stale entry let a later add_columns of the same name silently
+        # resurrect the dropped column's old values (r12 review)
+        renames = dict(base.config.get("column_renames", {}))
+        phys_drop = set()
+        for c in columns:
+            phys = next((k for k, v in renames.items() if v == c), c)
+            phys_drop.add(phys)
+            renames.pop(phys, None)
+        cfg = dict(base.config)
+        cfg["column_renames"] = renames
         fragments = []
         for frag in base.fragments:
             files = []
             for df_ in frag.files:
-                kept = [c for c in df_.columns if c not in columns]
+                kept = [c for c in df_.columns if c not in phys_drop]
                 if kept or df_ is frag.files[0]:
                     files.append(mf.DataFile(path=df_.path, columns=kept))
             fragments.append(
@@ -373,7 +406,7 @@ def drop_columns(ds, columns: list[str]):
             )
         return mf.Manifest.evolve(
             base, version, operation="drop_columns",
-            schema_json=schema_json, fragments=fragments,
+            schema_json=schema_json, fragments=fragments, config=cfg,
             indices=[i for i in base.indices if i.column not in columns],
             blob_columns=[c for c in base.blob_columns if c not in columns],
         )
@@ -413,8 +446,22 @@ def alter_columns(ds, *alterations: dict, spark=None):
             for f in fields:
                 if f["name"] == path:
                     if "rename" in alt:
-                        physical = renames.get(path, path)
-                        # keep mapping physical-name -> new logical name
+                        if any(
+                            g["name"] == alt["rename"] for g in fields if g is not f
+                        ):
+                            # a duplicate field name makes every later
+                            # select ambiguous (r12 review)
+                            raise ValueError(
+                                f"column {alt['rename']!r} already exists"
+                            )
+                        # REVERSE-value lookup: renames maps physical →
+                        # logical, so a second rename (b→c after a→b) must
+                        # resolve b back to the file's physical 'a' — the
+                        # old KEY lookup detached the column from its data
+                        # file permanently (r12 review)
+                        physical = next(
+                            (k for k, v in renames.items() if v == path), path
+                        )
                         renames = {k: v for k, v in renames.items() if v != path}
                         renames[physical] = alt["rename"]
                         f["name"] = alt["rename"]
@@ -426,11 +473,23 @@ def alter_columns(ds, *alterations: dict, spark=None):
         schema_json["fields"] = fields
         cfg = dict(base.config)
         cfg["column_renames"] = renames
-        # a renamed blob column must keep its blob status
+        # a renamed blob column must keep its blob status; indexes follow
+        # their column's new logical name too (the stale IndexMeta.column
+        # crashed optimize_indices and unmatched query-time lookups; r12)
         logical_renames = {a["path"]: a["rename"] for a in alterations if "rename" in a}
+        indices = [
+            mf.IndexMeta(
+                name=i.name, index_type=i.index_type,
+                column=logical_renames.get(i.column, i.column),
+                path=i.path, fragment_ids=i.fragment_ids, params=i.params,
+            )
+            if i.column in logical_renames
+            else i
+            for i in base.indices
+        ]
         return mf.Manifest.evolve(
             base, version, operation="alter_columns",
-            schema_json=schema_json, config=cfg,
+            schema_json=schema_json, config=cfg, indices=indices,
             blob_columns=[logical_renames.get(c, c) for c in base.blob_columns],
         )
 

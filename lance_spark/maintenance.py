@@ -76,6 +76,13 @@ class CompactionTask:
         victims = [by_id[i] for i in self.fragment_ids]
         del_snapshot = {f.id: f.deletion_file for f in victims}
         df = d._fragment_df(spark, victims, None)  # deletions applied; _rowid kept
+        # _fragment_df emits LOGICAL names; DataFile.columns must hold
+        # PHYSICAL names (the global column_renames map translates at
+        # read) — writing logical names detached every renamed column
+        # from its rewritten file (r12 review)
+        for physical, logical in d.manifest.config.get("column_renames", {}).items():
+            if logical in df.columns:
+                df = df.withColumnRenamed(logical, physical)
         live_rows = sum(f.num_rows for f in victims)
         n_frags = max(1, -(-live_rows // self.target_rows_per_fragment))
         base_fid = mf.reserve_fragment_ids(self.uri, n_frags)
@@ -369,29 +376,6 @@ def _commit_index_coverage(ds, name: str, params_update: dict | None = None):
     return LanceDataset(ds.uri)
 
 
-def _commit_index_params(ds, name: str, params_update: dict):
-    """Update index ``name``'s params WITHOUT touching fragment coverage —
-    the commit point of a segment merge (which rewrites files but changes
-    no coverage). Kept separate from _commit_index_coverage so a
-    standalone merge on a stale index can never silently extend coverage."""
-    from lance_spark import manifest as mf
-    from lance_spark.dataset import LanceDataset
-
-    def build(base, version):
-        idx = []
-        for i in base.indices:
-            if i.name == name:
-                i = mf.IndexMeta(
-                    name=i.name, index_type=i.index_type, column=i.column,
-                    path=i.path, fragment_ids=i.fragment_ids,
-                    params={**i.params, **params_update},
-                )
-            idx.append(i)
-        return mf.Manifest.evolve(base, version, operation="create_index", indices=idx)
-
-    mf.commit(ds.uri, build, operation="create_index")
-    return LanceDataset(ds.uri)
-
 
 #: Grace period before an *orphan* file (referenced by NO manifest, ever) is
 #: GC'd. Orphans are indistinguishable from a concurrent writer's in-flight
@@ -400,11 +384,9 @@ def _commit_index_params(ds, name: str, params_update: dict):
 #: unreferenced file newer than the cutoff for exactly this reason).
 UNVERIFIED_GRACE_SECONDS = 7 * 24 * 3600.0
 
-
 #: the reference's cleanup default: versions younger than two weeks are
 #: kept (python/python/lance/dataset.py:2180, cleanup.rs DEFAULT_CLEANUP)
 DEFAULT_CLEANUP_SECONDS = 14 * 24 * 3600.0
-
 
 #: Grace period between a data/deletion file becoming unreferenced and its
 #: actual deletion: a reader that planned its scan against the manifest
@@ -573,7 +555,24 @@ def cleanup_old_versions(
                 or orphan_deletable(os.path.join(root, rel))
             ):
                 reclaim(rel, os.path.join(root, rel))
-    _save_trash(root, ledger)
+
+    def reclaim_dir(rel: str, abs_path: str) -> None:
+        """Directory twin of ``reclaim``: index build dirs get the SAME
+        retire-then-delete grace as data/deletion files — an immediate
+        rmtree raced in-flight readers of the just-superseded version
+        (the exact race READER_GRACE_SECONDS fixed for files; r12)."""
+        nonlocal removed
+        import shutil
+
+        retired_at = ledger.get(rel)
+        if not delete_unverified and retired_at is None:
+            ledger[rel] = now
+            return
+        if delete_unverified or (now - retired_at) >= READER_GRACE_SECONDS:
+            shutil.rmtree(abs_path, ignore_errors=True)
+            removed += 1
+            ledger.pop(rel, None)
+
     # index directories. Two layouts: flat (_indices/<name> IS the index —
     # IVF/INVERTED/legacy scalar) and versioned builds
     # (_indices/<name>/b<hex> per scalar rebuild). A flat dir that is
@@ -596,15 +595,15 @@ def cleanup_old_versions(
                     crel = os.path.join(rel, child)
                     if crel in referenced:
                         continue
-                    if crel in dropped_refs or orphan_deletable(
+                    if crel in dropped_refs or crel in ledger or orphan_deletable(
                         os.path.join(idx_root, name, child)
                     ):
-                        shutil.rmtree(os.path.join(root, crel), ignore_errors=True)
-                        removed += 1
+                        reclaim_dir(crel, os.path.join(root, crel))
                 continue
-            if rel in dropped_refs or orphan_deletable(os.path.join(idx_root, name)):
-                shutil.rmtree(os.path.join(idx_root, name), ignore_errors=True)
-                removed += 1
+            if rel in dropped_refs or rel in ledger or orphan_deletable(
+                os.path.join(idx_root, name)
+            ):
+                reclaim_dir(rel, os.path.join(idx_root, name))
             elif any(p.startswith(pfx) for p in dropped_refs):
                 # every RECORDED build of this index was dropped — but a
                 # concurrent create_scalar_index may have a fresh
@@ -614,13 +613,15 @@ def cleanup_old_versions(
                 children = os.listdir(os.path.join(idx_root, name))
                 for child in children:
                     crel = os.path.join(rel, child)
-                    if crel in dropped_refs or orphan_deletable(
+                    if crel in dropped_refs or crel in ledger or orphan_deletable(
                         os.path.join(idx_root, name, child)
                     ):
-                        shutil.rmtree(os.path.join(root, crel), ignore_errors=True)
-                        removed += 1
+                        reclaim_dir(crel, os.path.join(root, crel))
                 if not os.listdir(os.path.join(idx_root, name)):
                     shutil.rmtree(os.path.join(idx_root, name), ignore_errors=True)
+    # persist the retire ledger AFTER the index section too, so index-dir
+    # retirements survive to the next cleanup pass
+    _save_trash(root, ledger)
     return removed
 
 

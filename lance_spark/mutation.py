@@ -181,6 +181,13 @@ def _apply_deletes_and_appends(
         # parquet files whose physical type diverges from the existing
         # fragments — every later unified scan then fails
         append_df = project_to_schema(append_df, ds.schema)
+        # DataFile.columns hold PHYSICAL names: rewritten rows arrive with
+        # LOGICAL names, so rename back through column_renames or every
+        # renamed column detaches from the new fragments (r12 review —
+        # same invariant fix as CompactionTask.execute)
+        for physical, logical in ds.manifest.config.get("column_renames", {}).items():
+            if logical in append_df.columns:
+                append_df = append_df.withColumnRenamed(logical, physical)
         # reserve ids so a racing writer can't claim the same fragment range;
         # coalesce pins the write to the probed count (AQE may otherwise
         # re-plan the job with MORE partitions than were reserved, pushing

@@ -193,3 +193,85 @@ def test_rowaddr_identity_before_compaction(spark, sf_dir, tmp_path):
         .collect()
     )
     assert all(r["_rowid"] == r["_rowaddr"] for r in rows)
+
+
+class TestRenameClusterR12:
+    """Pins for the r12 adversarial review of evolution.py + maintenance.py:
+    the column_renames physical-name invariant across every mutating path."""
+
+    def _ds(self, spark, tmp_path, name="rn"):
+        import lance_spark as ls
+
+        uri = str(tmp_path / name)
+        return ls.write_dataset(
+            spark.createDataFrame([(i, i * 10) for i in range(20)], "id long, a long"),
+            uri,
+        )
+
+    def test_compaction_preserves_renamed_columns(self, spark, tmp_path):
+        import lance_spark as ls
+        from lance_spark.dataset import dataset
+
+        uri = str(tmp_path / "rc")
+        ls.write_dataset(
+            spark.createDataFrame([(i, i * 10) for i in range(10)], "id long, a long")
+            .repartition(3), uri,
+        )
+        ds = dataset(uri).alter_columns({"path": "a", "rename": "b"})
+        ds = ds.compact_files(spark, target_rows_per_fragment=100)
+        rows = sorted((r["id"], r["b"]) for r in ds.to_df(spark).collect())
+        assert rows == [(i, i * 10) for i in range(10)]
+
+    def test_second_rename_resolves_physical(self, spark, tmp_path):
+        ds = self._ds(spark, tmp_path)
+        ds = ds.alter_columns({"path": "a", "rename": "b"})
+        ds = ds.alter_columns({"path": "b", "rename": "c"})  # a→b→c
+        rows = sorted((r["id"], r["c"]) for r in ds.to_df(spark).collect())
+        assert rows == [(i, i * 10) for i in range(20)]
+
+    def test_drop_renamed_column_purges_mapping(self, spark, tmp_path):
+        ds = self._ds(spark, tmp_path)
+        ds = ds.alter_columns({"path": "a", "rename": "b"})
+        ds = ds.drop_columns(["b"])
+        assert "b" not in ds.columns
+        # re-adding the name must NOT resurrect the old physical data
+        ds = ds.add_columns(ds.spark if hasattr(ds, "spark") else spark, {"b": "id * 7"})
+        rows = {r["id"]: r["b"] for r in ds.to_df(spark).collect()}
+        assert rows[3] == 21  # the new expression, not 30
+
+    def test_drop_validation(self, spark, tmp_path):
+        import pytest as _pytest
+
+        ds = self._ds(spark, tmp_path)
+        with _pytest.raises(ValueError, match="no such column"):
+            ds.drop_columns(["typo"])
+        with _pytest.raises(ValueError, match="all columns"):
+            ds.drop_columns(["id", "a"])
+
+    def test_rename_collision_rejected_and_index_follows(self, spark, tmp_path):
+        import pytest as _pytest
+
+        ds = self._ds(spark, tmp_path)
+        with _pytest.raises(ValueError, match="already exists"):
+            ds.alter_columns({"path": "a", "rename": "id"})
+        # index column follows the rename
+        ds2 = ds.create_scalar_index(spark, "a", "BTREE")
+        ds2 = ds2.alter_columns({"path": "a", "rename": "b"})
+        metas = [i for i in ds2.manifest.indices]
+        assert any(i.column == "b" for i in metas)
+        assert not any(i.column == "a" for i in metas)
+
+    def test_update_after_rename_keeps_column_attached(self, spark, tmp_path):
+        ds = self._ds(spark, tmp_path)
+        ds = ds.alter_columns({"path": "a", "rename": "b"})
+        ds = ds.update(spark, {"b": "b + 1"}, where="id = 3")
+        rows = {r["id"]: r["b"] for r in ds.to_df(spark).collect()}
+        assert rows[3] == 31 and rows[4] == 40
+
+    def test_merge_rejects_existing_columns(self, spark, tmp_path):
+        import pytest as _pytest
+
+        ds = self._ds(spark, tmp_path)
+        right = spark.createDataFrame([(1, 5)], "id long, a long")
+        with _pytest.raises(ValueError, match="already exist"):
+            ds.merge(spark, right, "id")
