@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lance_spark import manifest as mf
-from lance_spark.write import FRAGID_SHIFT
+from lance_spark.write import FRAGID_SHIFT, ROWID_COL
 
 
 class LanceFragment:
@@ -58,6 +58,12 @@ class LanceFragment:
     def count_rows(self, filter: str | None = None, spark: SparkSession | None = None) -> int:  # noqa: A002
         if filter is None:
             return self._meta.num_rows
+        if spark is None:
+            from pyspark.sql import SparkSession as _S
+
+            spark = _S.getActiveSession()
+            if spark is None:  # clear error, not a deep AttributeError (r12)
+                raise ValueError("count_rows(filter=...) needs a SparkSession")
         return self.scanner(spark, columns=[], filter=filter).count()
 
     def data_files(self) -> list[mf.DataFile]:
@@ -126,6 +132,14 @@ class LanceFragment:
                 if mf.latest_version(dataset_uri) is not None
                 else 0
             )
+        if mf.latest_version(dataset_uri) is not None:
+            # DataFile.columns hold PHYSICAL names on datasets with renamed
+            # columns — rename the worker's logically-named frame back
+            # before writing (r12 review; mutation/compaction do the same)
+            base_m = mf.read_manifest(dataset_uri)
+            for physical, logical in base_m.config.get("column_renames", {}).items():
+                if logical in sdf.columns:
+                    sdf = sdf.withColumnRenamed(logical, physical)
         frags = write_fragments(
             sdf.coalesce(1), dataset_uri, fragment_id, progress=progress
         )
@@ -220,7 +234,7 @@ class LanceFragment:
 
         cg_map = _write_column_groups(
             self._ds.uri, new_df, new_cols,
-            fid_map=_rowid_fragment_map(self._ds, spark),
+            fid_map=_rowid_fragment_map(self._ds, spark, fragments=[self._meta]),
         )
         path = cg_map[self.id]
         meta = self._meta
@@ -253,6 +267,11 @@ class LanceFragment:
         from lance_spark.write import ROWID_COL, input_to_spark_df
 
         right_on = right_on or left_on
+        if self._meta.num_rows == 0:
+            # merge_columns guards this; a raw cg_map KeyError leaked here
+            raise ValueError(
+                f"fragment {self.id} has no live rows; nothing to merge"
+            )
         right = input_to_spark_df(data_obj)
         if schema is not None:
             from lance_spark.write import project_to_schema
@@ -275,7 +294,7 @@ class LanceFragment:
         ).select(ROWID_COL, *new_cols)
         cg_map = _write_column_groups(
             self._ds.uri, joined, new_cols,
-            fid_map=_rowid_fragment_map(self._ds, spark),
+            fid_map=_rowid_fragment_map(self._ds, spark, fragments=[self._meta]),
         )
         meta = self._meta
         new_frag = mf.Fragment(
@@ -326,21 +345,37 @@ class LanceFragment:
         # include DELETED rows: this rewrites files that physically contain
         # them — dropping them here would silently shrink the file below
         # physical_rows and desync it from its sibling column groups
+        from lance_spark.evolution import dedup_right_keys
+
         base = self.scanner(spark, with_row_id=True, include_deleted_rows=True)
         r2 = right.withColumnRenamed(right_on, left_on).select(
             left_on, *[F.col(c).alias(f"__new_{c}") for c in upd_cols]
         )
-        joined = base.join(r2, on=left_on, how="left")
+        # duplicate right keys would fan the rewrite out past physical_rows
+        # and desync the file from its sibling column groups (r12 review —
+        # merge() already deduped, update_columns did not)
+        joined = base.join(dedup_right_keys(r2, left_on), on=left_on, how="left")
+
+        # DataFile.columns hold PHYSICAL names while the scanner frame
+        # carries LOGICAL ones — translate per file (r12 review, the same
+        # invariant commit e435ef5 fixed in compaction/mutation)
+        renames = self._ds.manifest.config.get("column_renames", {})
 
         new_files = []
         for df_meta in self._meta.files:
-            if not set(df_meta.columns) & set(upd_cols):
+            logical_cols = [renames.get(c, c) for c in df_meta.columns]
+            if not set(logical_cols) & set(upd_cols):
                 new_files.append(df_meta)
                 continue
             cols = [
-                F.coalesce(F.col(f"__new_{c}").cast(base.schema[c].dataType), F.col(c)).alias(c)
-                if c in upd_cols else F.col(c)
-                for c in df_meta.columns
+                (
+                    F.coalesce(
+                        F.col(f"__new_{lc}").cast(base.schema[lc].dataType), F.col(lc)
+                    ).alias(pc)
+                    if lc in upd_cols
+                    else F.col(lc).alias(pc)
+                )
+                for pc, lc in zip(df_meta.columns, logical_cols)
             ]
             rel = os.path.join("data", f"update-{self.id}-{uuid.uuid4().hex[:8]}.parquet")
             out_dir = os.path.join(self._ds.uri, f"__tmp_upd_{uuid.uuid4().hex[:8]}")
@@ -395,10 +430,16 @@ class LanceFragment:
 
     def take(self, spark: SparkSession, indices: list[int], columns=None):
         """Rows by position WITHIN the fragment (fragment.py:499-505):
-        positions offset into this fragment's _rowid space."""
-        base = self.id << FRAGID_SHIFT
-        rowids = [base + int(i) for i in indices]
-        return self._ds.take(spark, rowids, columns=columns)
+        positions offset into this fragment's _rowid space. Post-compaction
+        the offset arithmetic is meaningless (rowids are preserved, not
+        re-based) — positions then index LIVE rows in _rowid order, the
+        FragmentSession semantics (r12 review: the old arithmetic silently
+        returned an EMPTY table on compacted fragments)."""
+        if self._ds._rowid_addressable():
+            base = self.id << FRAGID_SHIFT
+            rowids = [base + int(i) for i in indices]
+            return self._ds.take(spark, rowids, columns=columns)
+        return self.open_session(spark, columns=columns).take(indices)
 
     # ------------------------------------------------------------ mutation
 
@@ -406,10 +447,25 @@ class LanceFragment:
         """Fragment-scoped delete (fragment.py:780-824): rows of OTHER
         fragments never match, so only this fragment's deletion sidecar
         changes. Returns the updated dataset (functional, like all
-        mutations here)."""
-        lo = self.id << FRAGID_SHIFT
-        hi = (self.id + 1) << FRAGID_SHIFT
-        scoped = f"({predicate}) AND _rowid >= {lo} AND _rowid < {hi}"
+        mutations here). Post-compaction, rowids no longer encode the
+        owning fragment — the scope comes from this fragment's OWN primary
+        file's rowid set instead of the <<32 range (which silently
+        no-op'd; r12 review)."""
+        if self._ds._rowid_addressable():
+            lo = self.id << FRAGID_SHIFT
+            hi = (self.id + 1) << FRAGID_SHIFT
+            scoped = f"({predicate}) AND _rowid >= {lo} AND _rowid < {hi}"
+            return self._ds.delete(spark, scoped)
+        import pyarrow.parquet as pq
+
+        rid_tbl = pq.read_table(
+            self._ds._abs(self._meta.files[0].path), columns=[ROWID_COL]
+        )
+        rids = [int(x) for x in rid_tbl.column(0).to_pylist()]
+        # rowids within one rewritten fragment are preserved, not re-based:
+        # scope by the EXACT membership set from the fragment's own file
+        id_list = ", ".join(str(r) for r in rids)
+        scoped = f"({predicate}) AND _rowid IN ({id_list})" if rids else "false"
         return self._ds.delete(spark, scoped)
 
 

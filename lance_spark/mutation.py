@@ -43,14 +43,18 @@ _DEL_META_SCHEMA = StructType(
 )
 
 
-def _rowid_fragment_map(ds, spark: SparkSession) -> DataFrame | None:
+def _rowid_fragment_map(ds, spark: SparkSession, fragments=None) -> DataFrame | None:
     """(_rowid → fragment_id) for datasets where rowids no longer encode the
     owning fragment (after compaction preserves ids into NEW fragments,
     config flag rowid_address_style=False). None = shiftright fast path is
-    exact. The mapping scan reads only the _rowid column (parquet prunes)."""
+    exact. The mapping scan reads only the _rowid column (parquet prunes).
+    ``fragments`` restricts the map to the given fragment metas — a
+    per-fragment caller (fragment.merge/merge_columns) must not scan the
+    WHOLE dataset's rowids, or its documented each-worker-merges-its-
+    fragments pattern goes O(fragments²) in file reads (r12 review)."""
     if ds.manifest.config.get("rowid_address_style", True):
         return None
-    frags = ds.manifest.fragments
+    frags = fragments if fragments is not None else ds.manifest.fragments
     # fast path: our writer embeds the fragment id in the file name
     # (write.py frag-<id>-<uuid>.parquet), so ONE scan + a filename regex
     # replaces a per-fragment union chain (an O(fragments)-deep Catalyst

@@ -25,6 +25,8 @@ def rrf_fuse(
 ) -> DataFrame:
     """Fuse ranked lists — each input has (id_col, ``rank`` starting at 1).
     Returns (id, rrf) for the ``top`` ids by fused score, ties by id."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")  # r12 review
     contribs = [
         df.select(F.col(id_col).alias("id"), (1.0 / (k + F.col("rank"))).alias("c"))
         for df in rankings
@@ -72,6 +74,8 @@ def rrf_fuse_grouped(
     counterpart of ``rrf_fuse`` — one union + one map-side-combinable
     groupBy + one per-group window; nothing corpus-sized, nothing
     driver-sized."""
+    if not rankings:
+        raise ValueError("rrf_fuse_grouped needs at least one ranking")  # r12
     contribs = [
         df.select(
             F.col(group_col).alias("g"),

@@ -246,11 +246,9 @@ class LanceScanner(DataFrame):
             "prefilter_rowids": kwargs.get("prefilter_rowids"),
             "include_deleted_rows": bool(kwargs.get("include_deleted_rows")),
         }
-        wanted = kwargs["fragments"]
+        wanted = set(kwargs["fragments"]) if kwargs["fragments"] is not None else None
         frags = [
-            f
-            for f in ds.manifest.fragments
-            if wanted is None or f.id in set(wanted)
+            f for f in ds.manifest.fragments if wanted is None or f.id in wanted
         ]
         if not ds._rowid_addressable() or fragment_batch_size <= 1:
             for frag in frags:
@@ -265,7 +263,6 @@ class LanceScanner(DataFrame):
 
         from lance_spark.write import FRAGID_SHIFT, ROWID_COL
 
-        by_id = {f.id: f for f in frags}
         drop_rowid = not kwargs["with_row_id"]
         for i in range(0, len(frags), fragment_batch_size):
             chunk = frags[i : i + fragment_batch_size]
@@ -288,7 +285,7 @@ class LanceScanner(DataFrame):
                     continue
                 sub = out_tbl.filter(mask)
                 for b in sub.to_batches():
-                    yield TaggedRecordBatch(record_batch=b, fragment=by_id[frag.id])
+                    yield TaggedRecordBatch(record_batch=b, fragment=frag)
 
     @staticmethod
     def from_dataset(*args, **kwargs):

@@ -284,3 +284,102 @@ def test_fragment_session_take_with_deletions_and_compaction(spark, sf_dir, tmp_
     frag2 = LanceFragment(ds2, ds2.get_fragments()[0].id)
     with frag2.open_session(spark, columns=["n_nationkey"]) as sess:
         assert sess.take([0, 1]).num_rows == 2
+
+
+class TestFragmentReviewR12:
+    """Pins for the r12 adversarial review of fragment.py + hybrid.py."""
+
+    def _compacted(self, spark, tmp_path):
+        import lance_spark as ls
+        from lance_spark.dataset import dataset
+
+        uri = str(tmp_path / "cf")
+        ls.write_dataset(
+            spark.createDataFrame([(i, i * 10) for i in range(30)], "id long, v long")
+            .repartition(4), uri,
+        )
+        ds = dataset(uri).compact_files(spark, target_rows_per_fragment=100)
+        assert not ds._rowid_addressable()
+        return ds
+
+    def test_fragment_delete_post_compaction(self, spark, tmp_path):
+        from lance_spark.fragment import LanceFragment
+
+        ds = self._compacted(spark, tmp_path)
+        frag = ds.manifest.fragments[0]
+        before = ds.count_rows()
+        ds2 = LanceFragment(ds, frag.id).delete(spark, "v >= 0")  # all of frag
+        # the delete actually removed THIS fragment's rows (no silent no-op)
+        assert ds2.count_rows() == before - frag.num_rows
+
+    def test_fragment_take_post_compaction(self, spark, tmp_path):
+        from lance_spark.fragment import LanceFragment
+
+        ds = self._compacted(spark, tmp_path)
+        frag = ds.manifest.fragments[0]
+        t = LanceFragment(ds, frag.id).take(spark, [0, 1], columns=["id"])
+        assert t.num_rows == 2  # not an empty table
+
+    def test_update_columns_duplicate_right_keys(self, spark, tmp_path):
+        import lance_spark as ls
+        from lance_spark.fragment import LanceFragment
+
+        uri = str(tmp_path / "uc")
+        ds = ls.write_dataset(
+            spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"), uri
+        )
+        frag = ds.manifest.fragments[0]
+        right = spark.createDataFrame([(1, 111), (1, 999)], "id long, v long")
+        new_frag, _ = LanceFragment(ds, frag.id).update_columns(
+            spark, right, left_on="id"
+        )
+        # the rewrite kept exactly physical_rows rows (no join fan-out)
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(ds._abs(new_frag.files[0].path))
+        assert t.num_rows == frag.physical_rows
+
+    def test_update_columns_after_rename(self, spark, tmp_path):
+        import lance_spark as ls
+        from lance_spark.dataset import dataset
+        from lance_spark.fragment import LanceFragment
+        from lance_spark.operation import LanceOperation, commit
+
+        uri = str(tmp_path / "ur")
+        ds = ls.write_dataset(
+            spark.createDataFrame([(1, 10), (2, 20)], "id long, a long"), uri
+        )
+        ds = ds.alter_columns({"path": "a", "rename": "b"})
+        frag = ds.manifest.fragments[0]
+        right = spark.createDataFrame([(1, 111)], "id long, b long")
+        new_frag, _ = LanceFragment(ds, frag.id).update_columns(
+            spark, right, left_on="id"
+        )
+        ds2 = commit(uri, LanceOperation.DataReplacement(replacements=[
+            LanceOperation.DataReplacementGroup(
+                fragment_id=frag.id, new_file=new_frag.files[0]
+            )
+        ]))
+        rows = {r["id"]: r["b"] for r in ds2.to_df(spark).collect()}
+        assert rows == {1: 111, 2: 20}
+
+    def test_merge_empty_fragment_clear_error(self, spark, tmp_path):
+        import lance_spark as ls
+        from lance_spark.fragment import LanceFragment
+
+        uri = str(tmp_path / "me")
+        ds = ls.write_dataset(
+            spark.createDataFrame([(1, 10)], "id long, v long"), uri
+        )
+        ds = ds.delete(spark, "id = 1")
+        if ds.manifest.fragments:  # fully-deleted fragment may be dropped
+            frag = ds.manifest.fragments[0]
+            right = spark.createDataFrame([(1, "x")], "id long, s string")
+            with pytest.raises(ValueError, match="no live rows"):
+                LanceFragment(ds, frag.id).merge(spark, right, "id")
+
+    def test_rrf_fuse_empty_rankings(self, spark):
+        from lance_spark.operators.hybrid import rrf_fuse
+
+        with pytest.raises(ValueError, match="ranking"):
+            rrf_fuse([])
