@@ -25,25 +25,59 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _rotate_unsampled(d: dict) -> dict:
-    """Order entries so queries the driver's CORRECTNESS gate has never
-    sampled come FIRST. The gate samples a subset of the suite per round;
-    without rotation the same head entries get re-checked forever while
-    the tail never earns a driver-verified row. Reads the recorded
-    CORRECTNESS_r*.json ledgers, so the rotation maintains itself."""
+    """Order entries so the driver's per-round CORRECTNESS sample (a
+    ~50-entry head of this dict) covers what most needs a fresh row:
+
+      1. never-sampled queries (no row in any ledger),
+      2. queries whose LATEST sampled row was an ERR / mismatch —
+         without this a fixed failure may never be re-sampled and
+         stays red forever,
+      3. everything else, least-recently-sampled first.
+
+    Reads the recorded CORRECTNESS_r*.json ledgers, so the rotation
+    maintains itself round over round."""
     import glob
     import json
+    import re
 
-    seen: set[str] = set()
+    # name -> (latest_round_sampled, ok_in_that_round)
+    latest: dict[str, tuple[int, bool]] = {}
     base = os.path.dirname(os.path.abspath(__file__))
     for p in glob.glob(os.path.join(base, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(p) as fh:
-                seen |= set(json.load(fh))
+                rows = json.load(fh)
         except (OSError, ValueError):
-            pass
-    never = {k: v for k, v in d.items() if k not in seen}
-    rest = {k: v for k, v in d.items() if k in seen}
-    return {**never, **rest}
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if name in latest and latest[name][0] >= rnd:
+                continue
+            ok = True
+            if isinstance(row, dict):
+                ok = row.get("err") in (None, "no_oracle") and row.get(
+                    "rows_match"
+                ) is not False and row.get("hash_match") is not False
+            latest[name] = (rnd, ok)
+
+    def key(item: tuple) -> tuple:
+        name = item[0]
+        if name not in latest:
+            return (0, 0)  # never sampled: first, original order
+        rnd, ok = latest[name]
+        if not ok:
+            return (1, rnd)  # latest row red: next, oldest failure first
+        return (2, rnd)  # green: last, least-recently-sampled first
+
+    items = list(d.items())
+    # stable sort preserves original suite order within equal keys
+    items.sort(key=key)
+    return dict(items)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

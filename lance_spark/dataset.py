@@ -1591,10 +1591,12 @@ class LanceDataset:
 
     # mutation / evolution / maintenance entry points (implemented in their
     # own modules; bound here for the reference's method-on-dataset API)
-    def delete(self, spark: SparkSession, predicate: str) -> "LanceDataset":
+    def delete(
+        self, spark: SparkSession, predicate: str, scope_rowids=None
+    ) -> "LanceDataset":
         from lance_spark.mutation import delete
 
-        return delete(self, spark, predicate)
+        return delete(self, spark, predicate, scope_rowids=scope_rowids)
 
     def update(self, spark: SparkSession, values: dict[str, str], where: str | None = None) -> "LanceDataset":
         from lance_spark.mutation import update

@@ -456,17 +456,15 @@ class LanceFragment:
             hi = (self.id + 1) << FRAGID_SHIFT
             scoped = f"({predicate}) AND _rowid >= {lo} AND _rowid < {hi}"
             return self._ds.delete(spark, scoped)
-        import pyarrow.parquet as pq
-
-        rid_tbl = pq.read_table(
-            self._ds._abs(self._meta.files[0].path), columns=[ROWID_COL]
-        )
-        rids = [int(x) for x in rid_tbl.column(0).to_pylist()]
         # rowids within one rewritten fragment are preserved, not re-based:
-        # scope by the EXACT membership set from the fragment's own file
-        id_list = ", ".join(str(r) for r in rids)
-        scoped = f"({predicate}) AND _rowid IN ({id_list})" if rids else "false"
-        return self._ds.delete(spark, scoped)
+        # scope by the EXACT membership set from the fragment's own file —
+        # as a semi-join frame, NOT an enumerated `_rowid IN (...)` literal
+        # (a compacted fragment holds ~millions of rowids; the string form
+        # was a multi-MB predicate Catalyst had to parse)
+        rid_df = spark.read.parquet(self._ds._abs(self._meta.files[0].path)).select(
+            ROWID_COL
+        )
+        return self._ds.delete(spark, predicate, scope_rowids=rid_df)
 
 
 class FragmentSession:

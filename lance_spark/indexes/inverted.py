@@ -887,8 +887,10 @@ def _phrase_ngram_join(spark: SparkSession, postings: DataFrame, qtp: DataFrame)
     )
     lengths = sorted(r["L"] for r in qg.select("L").distinct().collect())
     if not lengths:
+        # every query tokenized to nothing — typed empty frame from the
+        # IN-SCOPE inputs (this function receives qtp, not queries)
         return (
-            queries.select(F.col(query_id_col).alias("query_id"))
+            qtp.select(F.col("qid").alias("query_id"))
             .limit(0)
             .crossJoin(postings.select("id").limit(0))
         )

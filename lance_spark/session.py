@@ -27,7 +27,10 @@ def get_spark(app_name: str = "lance_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # Python DataSource (sources/datasource.py) exact filter pushdown
+        # Python DataSource (sources/datasource.py) exact filter pushdown.
+        # The env breadcrumb lets LanceDataSource.reader() — which runs in a
+        # planner worker with no SparkSession — know the conf is on and pick
+        # the pushFilters-capable reader (see datasource._pushdown_enabled).
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -52,6 +55,11 @@ def get_spark(app_name: str = "lance_spark", cpus: int | None = None) -> SparkSe
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
     )
+    # Breadcrumb for LanceDataSource._pushdown_enabled(): planner workers
+    # (spawned by the driver JVM, so they inherit this env even on a real
+    # cluster) can't read session confs; set BEFORE getOrCreate so the
+    # first worker pool already sees it.
+    os.environ["LANCE_SPARK_PUSHDOWN"] = "true"
     spark = builder.getOrCreate()
     try:
         # the reference's SQL UDF registry (udf.rs:16-29) — SQL UDFs

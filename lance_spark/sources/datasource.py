@@ -135,24 +135,21 @@ def _fragment_table(partition: FragmentPartition):
 
 
 class LanceReader(DataSourceReader):
+    """Fragment-parallel reader WITHOUT a ``pushFilters`` override.
+
+    Spark 4 hard-errors (DATA_SOURCE_PUSHDOWN_DISABLED) when a reader
+    implements ``pushFilters`` while ``spark.sql.python.filterPushdown.
+    enabled`` is false — and false is the DEFAULT, so a vanilla session
+    would crash on every ``format("lance")`` read. The pushdown override
+    therefore lives on the :class:`LancePushdownReader` subclass, selected
+    by ``LanceDataSource.reader()`` only when pushdown is known-enabled;
+    this base class always plans, merely letting Spark post-filter."""
+
     def __init__(self, uri: str, version: int | None, schema: StructType | None = None):
         self.uri = uri
         self.version = version
         self.columns = tuple(schema.fieldNames()) if schema is not None else ()
         self._filters: list = []
-
-    def pushFilters(self, filters):  # noqa: N802 - API name
-        """Exact pushdown for sargable single-column predicates (the
-        TableProvider role); the rest go back to Spark for post-filtering."""
-        for f in filters:
-            if isinstance(f, In) and any(v is None for v in f.value):
-                # pyarrow isin matches null-to-null; SQL IN treats NULL as
-                # never-true — hand it back rather than push wrong semantics
-                yield f
-            elif isinstance(f, _SUPPORTED) and len(getattr(f, "attribute", ())) == 1:
-                self._filters.append(f)
-            else:
-                yield f
 
     def partitions(self):
         from lance_spark import manifest as mf
@@ -181,6 +178,25 @@ class LanceReader(DataSourceReader):
         table = _fragment_table(partition)
         for batch in table.to_batches(max_chunksize=65536):
             yield batch
+
+
+class LancePushdownReader(LanceReader):
+    """LanceReader + exact filter pushdown. Only instantiated when
+    ``spark.sql.python.filterPushdown.enabled`` is known to be true
+    (Spark asserts if this class is returned while the conf is off)."""
+
+    def pushFilters(self, filters):  # noqa: N802 - API name
+        """Exact pushdown for sargable single-column predicates (the
+        TableProvider role); the rest go back to Spark for post-filtering."""
+        for f in filters:
+            if isinstance(f, In) and any(v is None for v in f.value):
+                # pyarrow isin matches null-to-null; SQL IN treats NULL as
+                # never-true — hand it back rather than push wrong semantics
+                yield f
+            elif isinstance(f, _SUPPORTED) and len(getattr(f, "attribute", ())) == 1:
+                self._filters.append(f)
+            else:
+                yield f
 
 
 class LanceWriter(DataSourceWriter):
@@ -478,7 +494,40 @@ class LanceDataSource(DataSource):
 
     def reader(self, schema: StructType):
         version = self.options.get("version")
-        return LanceReader(self.options["uri"], int(version) if version else None, schema)
+        cls = LancePushdownReader if self._pushdown_enabled() else LanceReader
+        return cls(self.options["uri"], int(version) if version else None, schema)
+
+    def _pushdown_enabled(self) -> bool:
+        """Whether returning a pushFilters-implementing reader is SAFE.
+
+        ``reader()`` runs in a planner worker with no SparkSession, so the
+        conf can't be read directly; three breadcrumbs, most explicit wins:
+        1. ``.option("pushdown", ...)`` on the read — explicit user intent.
+        2. The active session's conf, when reader() happens to run where a
+           session exists (driver-side planning / future Spark versions).
+        3. ``LANCE_SPARK_PUSHDOWN`` in the env: lance_spark.session sets it
+           alongside the conf, and local-mode planner workers (and cluster
+           planner workers, which the driver JVM spawns) inherit driver env.
+        Default FALSE: the vanilla-session default for
+        ``spark.sql.python.filterPushdown.enabled`` is false, and a plain
+        reader merely post-filters while a pushdown reader hard-errors."""
+        opt = self.options.get("pushdown")
+        if opt is not None:
+            return str(opt).lower() in ("true", "1", "yes")
+        try:
+            from pyspark.sql import SparkSession
+
+            sess = SparkSession.getActiveSession()
+            if sess is not None:
+                return (
+                    str(
+                        sess.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+                    ).lower()
+                    == "true"
+                )
+        except Exception:
+            pass
+        return os.environ.get("LANCE_SPARK_PUSHDOWN", "").lower() == "true"
 
     def writer(self, schema: StructType, overwrite: bool):
         return LanceWriter(self.options["uri"], overwrite, schema)

@@ -4597,6 +4597,10 @@ def datasource_roundtrip(spark, sf_dir):
 
     from lance_spark.sources.datasource import LanceDataSource
 
+    # Self-bootstrap: the driver's harness builds a VANILLA SparkSession
+    # (no lance_spark.session defaults), and Spark 4 refuses a DataSource
+    # reader that implements pushFilters() while this conf is off.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(LanceDataSource)
     uri = tempfile.mkdtemp(prefix="lsq_dsv2_") + "/orders"
     (
@@ -4604,7 +4608,9 @@ def datasource_roundtrip(spark, sf_dir):
         .write.format("lance").option("uri", uri).mode("append").save()
     )
     return (
-        spark.read.format("lance").option("uri", uri).load()
+        # option("pushdown") because the planner worker that instantiates
+        # the reader can't see the conf set above (no session there)
+        spark.read.format("lance").option("uri", uri).option("pushdown", "true").load()
         .filter("o_totalprice > 150000")
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
@@ -6305,6 +6311,11 @@ def func_json_sql_registry(spark, sf_dir):
     (udf.rs:16-29 reached through Dataset::sql): json_get_int/json_exists
     are session-registered Spark SQL UDFs that macro-expand to Catalyst
     expressions — the filter stays in whole-stage codegen."""
+    # Self-bootstrap: the driver's vanilla session never ran
+    # lance_spark.session.get_spark(), so register the SQL names here.
+    from lance_spark.functions.json import register_sql_functions
+
+    register_sql_functions(spark)
     ev = _t(spark, sf_dir, "events")
     ev.createOrReplaceTempView("__ev_json")
     return spark.sql("""

@@ -2,7 +2,11 @@
 Spark AND its DuckDB oracle at a given sf, compare row count + column names
 + order-insensitive values. Usage:
 
-    python tools/check.py [sf_dir] [query ...]
+    python tools/check.py [sf_dir] [--vanilla] [query ...]
+
+``--vanilla`` builds a BARE SparkSession (no lance_spark.session confs, no
+SQL UDF registry, no env breadcrumbs) — the driver's harness does exactly
+that, and r12 went red on two entries the get_spark sweep couldn't catch.
 """
 
 from __future__ import annotations
@@ -31,8 +35,10 @@ def normalize(pdf):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = set(a for a in args if not os.path.isdir(a))
 
     import duckdb
     import pandas as pd
@@ -44,7 +50,19 @@ def main():
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-    spark = get_spark("check", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    if vanilla:
+        os.environ.pop("LANCE_SPARK_PUSHDOWN", None)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("check-vanilla")
+            .master(f"local[{cpus}]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check", cpus=cpus)
 
     failures = []
     names = [n for n in suite.QUERIES if not only or n in only]
