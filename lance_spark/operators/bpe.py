@@ -191,9 +191,21 @@ def bpe_save(merges: DataFrame, vocab: DataFrame, model_uri: str) -> str:
         with open(os.path.join(staging, "meta.json"), "w") as f:
             json.dump(meta, f)
         backup = f"{path.rstrip(os.sep)}.old-{os.getpid()}"
+        # a crashed earlier process with a recycled pid can leave a stale
+        # non-empty backup dir here — os.replace onto it would raise
+        shutil.rmtree(backup, ignore_errors=True)
+        moved_aside = False
         if os.path.isdir(path):
             os.replace(path, backup)
-        os.replace(staging, path)
+            moved_aside = True
+        try:
+            os.replace(staging, path)
+        except BaseException:
+            # restore the old model so a crash BETWEEN the two replaces
+            # can't leave nothing at `path`
+            if moved_aside and not os.path.isdir(path):
+                os.replace(backup, path)
+            raise
         shutil.rmtree(backup, ignore_errors=True)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)

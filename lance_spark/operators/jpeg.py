@@ -611,11 +611,15 @@ def pack_avi_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 10) 
         n, 0, 1, max_size, width, height, 0, 0, 0, 0,
     )
     strh = (
+        # AVISTREAMHEADER: fccType..dwSampleSize is exactly 48 bytes
+        # (dwFlags, wPriority, wLanguage, dwInitialFrames, dwScale, dwRate,
+        # dwStart, dwLength, dwSuggestedBufferSize, dwQuality, dwSampleSize)
+        # + 8-byte rcFrame = 56; an extra DWORD here misaligned rcFrame for
+        # strict VfW demuxers (r13 fix)
         b"vids" + b"MJPG"
-        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, max(fps, 1),
-                      0, n, max_size, 0, 0, 0)
-        + struct.pack("<4h", 0, 0, width, height)  # rcFrame — strict
-        # VfW demuxers validate the full 56+8-byte AVISTREAMHEADER (r12)
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, max(fps, 1),
+                      0, n, max_size, 0, 0)
+        + struct.pack("<4h", 0, 0, width, height)  # rcFrame
     )
     # BITMAPINFOHEADER with MJPG compression
     strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",

@@ -299,6 +299,47 @@ class TestBpeReviewR12:
         with pytest.raises(FileNotFoundError, match="meta"):
             bpe_load(spark, str(tmp_path / "missing"))
 
+    def test_save_survives_stale_backup_and_restores_on_failure(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r13 ADVICE: a stale non-empty `.old-<pid>` dir (crashed earlier
+        process, recycled pid) must not break the swap, and a failure
+        BETWEEN the two os.replace calls must restore the old model."""
+        import os
+
+        from lance_spark.operators.bpe import bpe_load, bpe_save, bpe_train
+
+        docs = spark.createDataFrame([("low lower lowest",)], "text string")
+        merges, vocab = bpe_train(docs, "text", vocab_size=40)
+        path = str(tmp_path / "model")
+        bpe_save(merges, vocab, path)
+
+        # 1. stale backup dir with our pid, non-empty
+        stale = f"{path}.old-{os.getpid()}"
+        os.makedirs(os.path.join(stale, "junk"))
+        open(os.path.join(stale, "junk", "f"), "w").write("x")
+        bpe_save(merges, vocab, path)  # must not raise
+        assert not os.path.isdir(stale)
+        bpe_load(spark, path)
+
+        # 2. failure on the staging->path replace restores the old model
+        real_replace = os.replace
+
+        def failing_replace(src, dst):
+            if src.endswith(f".staging-{os.getpid()}"):
+                raise OSError("injected: crash between the two replaces")
+            return real_replace(src, dst)
+
+        monkeypatch.setattr("os.replace", failing_replace)
+        with pytest.raises(OSError, match="injected"):
+            bpe_save(merges, vocab, path)
+        monkeypatch.undo()
+        # the ORIGINAL model is back at path and loads
+        bpe_load(spark, path)
+        assert not [
+            d for d in os.listdir(str(tmp_path)) if "staging" in d or ".old" in d
+        ]
+
     def test_file_uri_with_netloc_rejected(self):
         from lance_spark.util import local_path
 

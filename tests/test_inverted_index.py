@@ -197,6 +197,27 @@ def test_phrase_join_equals_per_query_phrase(spark, indexed_docs_ds, slop):
         assert bulk.get(i, set()) == want, (i, p)
 
 
+def test_phrase_join_all_empty_queries(spark, indexed_docs_ds):
+    """Queries that all tokenize to nothing return a typed EMPTY frame —
+    both through phrase_join's early exit and _phrase_ngram_join's own
+    defensive branch (which referenced out-of-scope names before r13)."""
+    from lance_spark.indexes.inverted import (
+        _find, _index_tables, _phrase_ngram_join, phrase_join,
+    )
+
+    ds = indexed_docs_ds
+    q = spark.createDataFrame([(0, "!!!"), (1, "...")], ["qid", "qtext"])
+    out = phrase_join(ds, spark, q, "qtext", "qid", slop=0)
+    assert out.count() == 0
+    assert set(out.columns) >= {"query_id", "id"}
+    # the inner branch directly: empty qtp, no NameError
+    meta = _find(ds, None)
+    postings, _ = _index_tables(ds, spark, meta)
+    qtp = spark.createDataFrame([], "qid long, qpos int, token string")
+    inner = _phrase_ngram_join(spark, postings, qtp)
+    assert inner.count() == 0 and set(inner.columns) >= {"query_id", "id"}
+
+
 def test_boolean_join_equals_execute_query(spark, indexed_docs_ds):
     """boolean_join scores with Lucene full-corpus statistics — pinned
     equal to the composable execute_query tree per query (membership AND

@@ -732,6 +732,13 @@ class TestAviMjpeg:
             assert (fw, fh) == (16, 8) and (px == 10 * i).all()
         assert parse_avi_frames(b"junk")[0] == -1
         assert parse_avi_frames(None)[0] == -1
+        # AVISTREAMHEADER is exactly 56 bytes (fccType..dwSampleSize 48 +
+        # rcFrame 8); an extra DWORD misaligned rcFrame for strict VfW
+        # demuxers (r13 ADVICE fix)
+        import struct
+
+        i = avi.find(b"strh")
+        assert struct.unpack_from("<I", avi, i + 4)[0] == 56
 
     def test_sample_frames_mjpeg(self, spark):
         import numpy as np
