@@ -6244,6 +6244,77 @@ def text_bpe_encode(spark, sf_dir):
     )
 
 
+# Fixed, data-independent merge list for the VALUE-ORACLED encode entry
+# below: every multi-char operand is created by an earlier rank (the
+# operand-precedence invariant real BPE training guarantees), which makes
+# rank-ordered single-pass application equivalent to the GPT-2
+# lowest-rank-first encode loop — and rank-ordered application is what the
+# DuckDB oracle can replay as chained REPLACEs.
+_BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("the", "▁"), ("a", "n"), ("an", "d"),
+    ("and", "▁"), ("i", "n"), ("in", "g"), ("ing", "▁"), ("e", "r"),
+    ("er", "▁"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("e", "s"), ("es", "▁"), ("t", "o"), ("to", "▁"),
+    ("o", "u"), ("i", "s"), ("is", "▁"), ("e", "d"), ("ed", "▁"),
+    ("a", "r"), ("a", "l"), ("s", "t"), ("o", "f"), ("of", "▁"),
+    ("i", "t"), ("it", "▁"), ("l", "l"), ("c", "o"), ("s", "e"),
+    ("m", "e"), ("d", "e"), ("a", "▁"), ("s", "▁"), ("e", "▁"),
+]
+
+
+def _bpe_fixed_oracle() -> str:
+    """DuckDB replay of encoding under ``_BPE_FIXED_MERGES``.
+
+    Each word renders as sentinel-wrapped space-joined symbols
+    (``low`` → ``|l| |o| |w| |▁|``); each merge is one
+    ``replace(s, '|a| |b|', '|ab|')``. The wrapping makes adjacent
+    occurrences share NO characters, so replace's left-to-right
+    non-overlapping scan merges exactly the pairs the BPE step merges
+    (an unwrapped space-joined form fails on runs: ``a b a b`` would
+    merge only the first pair because the shared space is consumed).
+    Tokens are [a-z] only (the 'simple' tokenizer), so ``|`` is safe."""
+    expr = "rtrim(regexp_replace(word || '▁', '(.)', '|\\1| ', 'g'))"
+    for left, right in _BPE_FIXED_MERGES:
+        expr = f"replace({expr}, '|{left}| |{right}|', '|{left}{right}|')"
+    piece_str = f"trim(replace({expr}, '| |', ' '), '|')"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {_DUCK_TOKS.format(col='text')} AS words FROM documents),
+    w AS (
+      SELECT doc_id, unnest(words) AS word,
+             generate_subscripts(words, 1) AS pos
+      FROM tok),
+    enc AS (
+      SELECT doc_id, pos, {piece_str} AS pieces FROM w)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(pieces, ' '))) AS BIGINT) AS n_pieces,
+           md5(string_agg(pieces, ' ' ORDER BY pos)) AS pieces_md5
+    FROM enc GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("text_bpe_encode_fixed", _bpe_fixed_oracle())
+def text_bpe_encode_fixed(spark, sf_dir):
+    """bpe_encode under the BAKED ``_BPE_FIXED_MERGES`` table — the
+    VALUE-oracled twin of text_bpe_encode (whose trained merges are
+    iterative and not SQL-expressible; its driver row is rows-only by
+    design). Same distributed encode plan: Python touches only DISTINCT
+    words, one (id, pos, word) shuffle."""
+    from lance_spark.operators.bpe import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(_BPE_FIXED_MERGES)],
+        "rank long, left string, right string",
+    )
+    return (
+        bpe_encode(docs, "text", "doc_id", merges)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _semantic_keep_oracle() -> str:
     from lance_spark.operators.dedup import hyperplanes
 
