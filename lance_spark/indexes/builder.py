@@ -163,11 +163,14 @@ class IndicesBuilder:
             raise ValueError(f"distance_type must be one of {_DISTANCE_TYPES}")
         num_rows = self.dataset.count_rows()
         if num_partitions is None:
-            num_partitions = max(1, int(round(np.sqrt(num_rows))))
+            # same default AND 4096 clamp as build_ivf (vector.py:415-420):
+            # unclamped sqrt on a 100M-row dataset means a 10k-way driver
+            # kmeans over a 2.56M-vector toPandas sample
+            num_partitions = max(1, min(4096, int(round(np.sqrt(num_rows)))))
         sample = self._sample(
             min(num_rows, sample_rate * num_partitions), distance_type
         )
-        cents = train_kmeans(sample, num_partitions, iters=min(max_iters, 50))
+        cents = train_kmeans(sample, num_partitions, iters=max_iters)
         return IvfModel(cents, distance_type)
 
     def train_pq(
@@ -196,7 +199,7 @@ class IndicesBuilder:
         num_rows = self.dataset.count_rows()
         sample = self._sample(min(num_rows, sample_rate * 256), ivf_model.distance_type)
         codebook = train_pq_codebooks(
-            sample, ivf_model.centroids, num_subvectors, iters=min(max_iters, 8)
+            sample, ivf_model.centroids, num_subvectors, iters=max_iters
         )
         return PqModel(num_subvectors, codebook)
 
@@ -204,37 +207,8 @@ class IndicesBuilder:
     def _transform_df(
         self, ivf: IvfModel, pq: PqModel | None, fragments=None
     ) -> DataFrame:
+        from lance_spark.indexes.vector import _assign_encode_df
         from lance_spark.write import ROWID_COL
-
-        cosine = ivf.distance_type == "cosine"
-        cent_b = self.spark.sparkContext.broadcast(ivf.centroids)
-        cb_b = self.spark.sparkContext.broadcast(pq.codebook if pq else None)
-
-        # Deliberately a PQ/FLAT-only subset of build_ivf's assign_encode
-        # (vector.py): the staged API stages IVF_FLAT/IVF_PQ builds — the
-        # RQ/SQ variants exist only on the monolithic path, and their code
-        # columns (rq_norm/rq_corr) are likewise absent here by design.
-        @pandas_udf("struct<partition_id:int, pq_code:array<smallint>>")
-        def enc(s: pd.Series) -> pd.DataFrame:
-            cents = cent_b.value.astype(np.float32)
-            cbs = cb_b.value
-            x = _as_matrix(s)
-            if cosine:
-                x = _normalize(x)
-            pid = (x @ cents.T - 0.5 * (cents * cents).sum(axis=1)).argmax(axis=1)
-            if cbs is None:
-                codes = [None] * len(x)
-            else:
-                m, _, sub = cbs.shape
-                resid = x - cents[pid]
-                code = np.empty((len(x), m), dtype=np.int16)
-                for j in range(m):
-                    r = resid[:, j * sub : (j + 1) * sub]
-                    cb = cbs[j]
-                    d = (r * r).sum(axis=1, keepdims=True) - 2 * (r @ cb.T) + (cb * cb).sum(axis=1)
-                    code[:, j] = d.argmin(axis=1).astype(np.int16)
-                codes = list(code)
-            return pd.DataFrame({"partition_id": pid.astype(np.int32), "pq_code": codes})
 
         fids = None
         if fragments is not None:
@@ -245,11 +219,16 @@ class IndicesBuilder:
             self.spark, columns=[self.column], filter=f"`{self.column}` IS NOT NULL",
             with_row_id=True, fragments=fids,
         )
-        out = df.select(
-            F.col(ROWID_COL).alias("id"),
-            F.col(self.column).cast("array<float>").alias("vec"),
-            enc(F.col(self.column)).alias("e"),
-        ).select("id", "vec", "e.partition_id", "e.pq_code")
+        # the ONE shared assign+encode kernel (vector.py:686) — a third
+        # hand-copy of the GEMM assign / per-subvector argmin here drifted
+        # from the monolithic path by construction (r13 review). The staged
+        # API stages IVF_FLAT/IVF_PQ only, so SQ/RQ artifacts are None and
+        # their rq_* columns are dropped.
+        out = _assign_encode_df(
+            df, self.column, ROWID_COL, self.spark, ivf.centroids,
+            pq.codebook if pq else None, None, None,
+            ivf.distance_type == "cosine",
+        ).drop("rq_norm", "rq_corr")
         covered = fids if fids is not None else [f.id for f in self.dataset.manifest.fragments]
         return out, covered
 
@@ -320,12 +299,15 @@ class IndicesBuilder:
                         code[:, j] = d.argmin(axis=1).astype(np.int16)
                     return pd.Series(list(code))
 
-                out = out.withColumn(
-                    "pq_code",
-                    F.when(
-                        F.col("__final_pid") == F.col("partition_id"), F.col("pq_code")
-                    ).otherwise(enc_at(F.col("vec"), F.col("__final_pid"))),
-                )
+                # filtered union, NOT when/otherwise: Spark extracts Python
+                # UDFs out of CASE WHEN and evaluates them for EVERY row —
+                # the precompute path would pay the full encode twice
+                # (r13 review). Re-encode only the disagreeing rows.
+                match = out.filter(F.col("__final_pid") == F.col("partition_id"))
+                mism = out.filter(
+                    F.col("__final_pid") != F.col("partition_id")
+                ).withColumn("pq_code", enc_at(F.col("vec"), F.col("__final_pid")))
+                out = match.unionByName(mism)
             out = (
                 out.withColumn("partition_id", F.col("__final_pid"))
                 .drop("pre_pid", "__final_pid")
@@ -396,7 +378,12 @@ class IndicesBuilder:
         ds = self.dataset
         name = index_name or f"{self.column}_idx"
         rel = os.path.join("_indices", name)
-        uri = os.path.join(ds.uri, rel)
+        live_uri = os.path.join(ds.uri, rel)
+        # NEVER clobber a live committed index in place (build_ivf's rebuild
+        # discipline, vector.py:542-547): assemble the full layout in a
+        # staging sibling, run the radii job against it, and only then swap
+        # — a failed Spark job or commit leaves the live index untouched
+        uri = f"{live_uri}.staging-{os.getpid()}"
         codes_dir = os.path.join(uri, "codes")
         if os.path.isdir(uri):
             shutil.rmtree(uri)
@@ -483,6 +470,30 @@ class IndicesBuilder:
                 ],
             )
 
-        mf.commit(ds.uri, build, operation="create_index")
-        IvfIndex(uri)  # validate the assembled layout opens
+        IvfIndex(uri)  # validate the assembled layout opens BEFORE the swap
+        # swap staging -> live (bpe_save pattern: clear stale backup, keep
+        # the old generation restorable across the two-rename window)
+        backup = f"{live_uri}.old-{os.getpid()}"
+        shutil.rmtree(backup, ignore_errors=True)
+        moved_aside = False
+        if os.path.isdir(live_uri):
+            os.replace(live_uri, backup)
+            moved_aside = True
+        try:
+            os.replace(uri, live_uri)
+        except BaseException:
+            if moved_aside and not os.path.isdir(live_uri):
+                os.replace(backup, live_uri)
+            raise
+        try:
+            mf.commit(ds.uri, build, operation="create_index")
+        except BaseException:
+            # failed commit: the manifest still references the OLD index —
+            # put the old generation back so it keeps resolving
+            if moved_aside:
+                shutil.rmtree(live_uri, ignore_errors=True)
+                if not os.path.isdir(live_uri):
+                    os.replace(backup, live_uri)
+            raise
+        shutil.rmtree(backup, ignore_errors=True)
         return LanceDataset(ds.uri)

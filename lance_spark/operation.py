@@ -222,8 +222,13 @@ def _field_entry(schema_json: dict, path) -> dict:
 
 def _apply(op, base: mf.Manifest | None, version: int) -> mf.Manifest:
     O = LanceOperation  # noqa: E741
+    if base is None and not isinstance(op, O.Overwrite):
+        # ValueError, not assert: python -O strips asserts and the failure
+        # would surface as an AttributeError deep inside the builder
+        raise ValueError(
+            f"{type(op).__name__} requires an existing dataset (no base manifest)"
+        )
     if isinstance(op, O.Append):
-        assert base is not None, "Append needs an existing dataset"
         frags = base.fragments + list(op.fragments)
         return mf.Manifest.evolve(
             base, version, fragments=frags,
@@ -238,12 +243,17 @@ def _apply(op, base: mf.Manifest | None, version: int) -> mf.Manifest:
                 max_fragment_id=max([f.id for f in frags] + [-1]),
                 operation="overwrite",
             )
+        # mirror write.py's overwrite: indices, config and blob_columns RESET
+        # (carrying forward column_renames keyed to the REPLACED dataset's
+        # physical names would detach the new files' columns on read —
+        # scans translate logical->physical through that map); bases carry
+        # forward, same as write.py's live-registry merge
         return mf.Manifest.evolve(
             base, version, schema_json=schema, fragments=frags, indices=[],
+            config={}, blob_columns=[],
             max_fragment_id=max([f.id for f in frags] + [base.max_fragment_id]),
         )
     if isinstance(op, O.Delete):
-        assert base is not None
         updated = {f.id: f for f in op.updated_fragments}
         dropped = set(op.deleted_fragment_ids)
         frags = [
@@ -251,7 +261,6 @@ def _apply(op, base: mf.Manifest | None, version: int) -> mf.Manifest:
         ]
         return mf.Manifest.evolve(base, version, fragments=frags)
     if isinstance(op, O.Update):
-        assert base is not None
         updated = {f.id: f for f in op.updated_fragments}
         dropped = set(op.removed_fragment_ids)
         frags = [updated.get(f.id, f) for f in base.fragments if f.id not in dropped]
@@ -261,7 +270,6 @@ def _apply(op, base: mf.Manifest | None, version: int) -> mf.Manifest:
             max_fragment_id=max([f.id for f in frags] + [base.max_fragment_id]),
         )
     if isinstance(op, O.Merge):
-        assert base is not None
         return mf.Manifest.evolve(
             base, version, fragments=list(op.fragments),
             schema_json=_schema_json(op.schema),
@@ -269,7 +277,6 @@ def _apply(op, base: mf.Manifest | None, version: int) -> mf.Manifest:
     # Restore is handled in commit() — it resolves the target manifest from
     # the dataset root, which _apply doesn't know
     if isinstance(op, O.Rewrite):
-        assert base is not None
         old_ids = {f.id for g in op.groups for f in g.old_fragments}
         new_frags = [f for g in op.groups for f in g.new_fragments]
         old_rows = sum(f.num_rows for f in base.fragments if f.id in old_ids)
@@ -294,10 +301,8 @@ def _apply(op, base: mf.Manifest | None, version: int) -> mf.Manifest:
             max_fragment_id=max([f.id for f in frags] + [base.max_fragment_id]),
         )
     if isinstance(op, O.Project):
-        assert base is not None
         return mf.Manifest.evolve(base, version, schema_json=_schema_json(op.schema))
     if isinstance(op, O.UpdateConfig):
-        assert base is not None
 
         def merged(cur: dict, um) -> dict:
             out = {} if (um is not None and um.replace) else dict(cur)
@@ -340,7 +345,6 @@ def _apply(op, base: mf.Manifest | None, version: int) -> mf.Manifest:
             base, version, config=config, schema_json=schema,
         )
     if isinstance(op, O.UpdateBases):
-        assert base is not None
         adds = [
             (b if isinstance(b, mf.DatasetBasePath) else mf.DatasetBasePath.from_json(b)).to_json()
             for b in op.new_bases
@@ -351,7 +355,6 @@ def _apply(op, base: mf.Manifest | None, version: int) -> mf.Manifest:
             raise ValueError(f"duplicate base name(s): {sorted(dupes)}")
         return mf.Manifest.evolve(base, version, bases=base.bases + adds)
     if isinstance(op, O.DataReplacement):
-        assert base is not None
         by_id = {f.id: f for f in base.fragments}
         swaps: dict[int, mf.DataFile] = {}
         for g in op.replacements:
@@ -398,7 +401,6 @@ def _apply(op, base: mf.Manifest | None, version: int) -> mf.Manifest:
         ]
         return mf.Manifest.evolve(base, version, fragments=frags, indices=indices)
     if isinstance(op, O.CreateIndex):
-        assert base is not None
         new = [
             i if isinstance(i, mf.IndexMeta) else mf.IndexMeta.from_json(i)
             for i in op.new_indices
@@ -524,14 +526,23 @@ def commit(
         snap = mf.read_manifest(src_uri, src_version)
 
         def build(base, version):  # noqa: F811
+            if base is not None:
+                # the exists pre-check above is racy: a writer may create
+                # the destination between it and this commit — never stack
+                # the clone on top of a foreign dataset
+                raise ValueError(f"dataset already exists at {uri}")
             m = mf.cloned_manifest(src_uri, snap, version)
             if operation.is_shallow:
                 return m
             return _deep_copy_clone(m, uri)
 
-        mf.commit(uri, build, operation="clone", max_retries=max_retries, properties=properties)
+        committed = mf.commit(
+            uri, build, operation="clone", max_retries=max_retries, properties=properties
+        )
         if operation.branch_name:
-            mf.create_ref(uri, "branches", operation.branch_name, 1)
+            # point the branch at the version we actually committed, not a
+            # hardcoded 1 (a conflicting writer could have taken version 1)
+            mf.create_ref(uri, "branches", operation.branch_name, committed.version)
         return LanceDataset(uri)
 
     if isinstance(operation, LanceOperation.Restore):

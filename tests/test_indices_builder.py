@@ -69,6 +69,54 @@ def test_staged_build_end_to_end(spark, ds, emb, tmp_path):
     assert res[0]["_distance"] == pytest.approx(0.0, abs=1e-5)
 
 
+def test_rebuild_never_clobbers_live_index(spark, ds, emb, tmp_path):
+    """r13 review: load_shuffled_vectors used to rmtree the LIVE committed
+    index dir before running the radii job — a failure mid-build left the
+    manifest pointing at a deleted path. Now it stages + swaps: a rebuild
+    whose radii job fails leaves the committed index fully readable."""
+    import os
+
+    import numpy as np
+
+    from lance_spark.indexes import builder as builder_mod
+
+    b = IndicesBuilder(ds, "embedding", spark)
+    ivf = b.train_ivf(4, distance_type="l2", sample_rate=32)
+    work = str(tmp_path / "w1")
+    b.transform_vectors(ivf, None, work + "/unsorted")
+    files = b.shuffle_transformed_vectors(["unsorted"], work, ivf)
+    ds2 = b.load_shuffled_vectors(files, work, ivf, None, index_name="live_idx")
+    q = _query_vec(emb, 3)
+    assert ds2.nearest(spark, "embedding", q, k=3, nprobes=4).count() == 3
+
+    # second build whose radii computation explodes mid-flight
+    work2 = str(tmp_path / "w2")
+    b2 = IndicesBuilder(ds2, "embedding", spark)
+    b2.transform_vectors(ivf, None, work2 + "/unsorted")
+    files2 = b2.shuffle_transformed_vectors(["unsorted"], work2, ivf)
+    real = builder_mod.compute_partition_radii
+
+    def boom(*a, **k):
+        raise RuntimeError("injected radii failure")
+
+    builder_mod.compute_partition_radii = boom
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected"):
+            b2.load_shuffled_vectors(files2, work2, ivf, None, index_name="live_idx")
+    finally:
+        builder_mod.compute_partition_radii = real
+    # the COMMITTED index still opens and answers
+    from lance_spark.dataset import LanceDataset
+
+    ds3 = LanceDataset(ds2.uri)
+    assert ds3.nearest(spark, "embedding", q, k=3, nprobes=4).count() == 3
+    live = os.path.join(ds2.uri, "_indices", "live_idx")
+    assert os.path.isfile(os.path.join(live, "meta.json"))
+    assert np.load(os.path.join(live, "radii.npy")).shape[0] == 4
+
+
 def test_precomputed_partition_assignment(spark, ds, tmp_path):
     b = IndicesBuilder(ds, "embedding", spark)
     ivf = b.train_ivf(4, distance_type="l2", sample_rate=64)

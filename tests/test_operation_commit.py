@@ -43,6 +43,36 @@ def test_commit_overwrite(spark, ds_and_df, tmp_path):
     assert ds.checkout_version(1).count_rows() == 25
 
 
+def test_commit_overwrite_resets_column_renames(spark, ds_and_df):
+    """r13 review: Overwrite carried forward column_renames keyed to the
+    REPLACED dataset's physical names, detaching the new files' columns
+    on read (scans translate logical->physical through that map)."""
+    ds, nation = ds_and_df
+    # physical 'n_name' renamed to logical 'label' → config.column_renames
+    ds = ds.alter_columns({"path": "n_name", "rename": "label"}, spark=spark)
+    assert "label" in ds.columns
+    # external overwrite whose NEW files store a column literally named
+    # 'label' — the stale renames map must not redirect it
+    new = nation.limit(5).select(
+        F.col("n_nationkey"), F.col("n_name").alias("label")
+    )
+    base = mf.reserve_fragment_ids(ds.uri, 2)
+    frags = write_fragments(new.repartition(1), ds.uri, base)
+    ds2 = ls.commit(ds.uri, Op.Overwrite(new_schema=new.schema, fragments=frags))
+    got = ds2.to_df(spark)
+    assert got.count() == 5
+    assert set(got.columns) == {"n_nationkey", "label"}
+    assert got.filter(F.col("label").isNotNull()).count() == 5
+    assert ds2.manifest.config.get("column_renames", {}) in ({}, None)
+
+
+def test_commit_against_missing_dataset_raises(tmp_path):
+    """r13 review: base-existence guard is a ValueError, not a stripped
+    assert surfacing as AttributeError deep in the builder."""
+    with pytest.raises((ValueError, FileNotFoundError)):
+        ls.commit(str(tmp_path / "nope"), Op.Append(fragments=[]))
+
+
 def test_commit_delete_drops_fragments(spark, ds_and_df):
     ds, nation = ds_and_df
     victim = ds.get_fragments()[0]

@@ -225,6 +225,27 @@ def test_json_function_family(spark):
     assert r[2]["k"] is None and not r[2]["has_k"] and not r[2]["has2"] and r[2]["alen"] == 0
     assert r[3]["k"] is None and r[3]["alen"] is None
 
+    # r13 review pins: bool probes render as JSON text ('true', not
+    # str(True)='True'); null-valued keys EXIST; null elements are
+    # findable and don't turn a miss into NULL
+    df2 = spark.createDataFrame(
+        [(1, '{"z": null, "arr": [true, null, 2.5], "o": {"k": null}}')],
+        ["id", "j"],
+    )
+    c2 = F.col("j")
+    row = df2.select(
+        J.json_exists(c2, "$.z").alias("e_null"),
+        J.json_exists(c2, "$.missing").alias("e_miss"),
+        J.json_exists(c2, "$.o.k").alias("e_nested"),
+        J.json_array_contains(c2, "$.arr", True).alias("c_true"),
+        J.json_array_contains(c2, "$.arr", False).alias("c_false"),
+        J.json_array_contains(c2, "$.arr", 2.5).alias("c_f"),
+        J.json_array_contains(c2, "$.arr", None).alias("c_null"),
+    ).collect()[0]
+    assert row["e_null"] and not row["e_miss"] and row["e_nested"]
+    assert row["c_true"] and row["c_false"] is False and row["c_f"]
+    assert row["c_null"]
+
 
 def test_to_table_primary_read_call(spark, sf_dir, tmp_path):
     """ds.to_table(...) parity (reference dataset.py:666-899): pyarrow Table
