@@ -145,68 +145,120 @@ class _BitWriter:
 
 
 class _BitReader:
-    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
-    stops at any non-stuffing marker (leaves position on it)."""
+    """MSB-first reader over entropy-coded data.
+
+    The stream is pre-scanned ONCE up front: 0xFF00 stuffing is stripped
+    and the data split into per-restart-interval segments (any other
+    marker ends the scan). The hot path then never inspects bytes for
+    markers — ``bits(k)`` is one shift/mask, and ``peek16``/``skip`` back
+    the LUT Huffman decode (r13: the per-bit Python loop made the codec
+    thumbnail-only; this tier handles ~0.25 MP in seconds)."""
 
     def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
+        segments: list[bytes] = []
+        cur = bytearray()
+        d = data
+        n = len(d)
+        i = pos
+        while True:
+            j = d.find(b"\xff", i)
+            if j < 0 or j + 1 >= n:
+                cur += d[i : n if j < 0 else j]
+                break
+            cur += d[i:j]
+            nxt = d[j + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i = j + 2
+            elif 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i = j + 2
+            else:
+                break  # real marker: scan is over
+        segments.append(bytes(cur))
+        self._segments = segments
+        self._seg = 0
+        self._buf = segments[0]
+        self._pos = 0
         self.acc = 0
         self.n = 0
 
-    def _fill(self) -> bool:
-        d = self.data
-        if self.pos >= len(d):
-            return False
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
-            if nxt == 0x00:
-                self.pos += 2
-            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
-                return False  # restart marker: caller resyncs
-            else:
-                return False  # real marker: scan is over
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.n += 8
-        return True
-
-    def bit(self) -> int:
-        if self.n == 0 and not self._fill():
-            raise EOFError("jpeg entropy stream truncated")
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+    def _ensure(self, k: int) -> bool:
+        buf, p = self._buf, self._pos
+        end = len(buf)
+        acc, n = self.acc, self.n
+        while n < k and p < end:
+            acc = (acc << 8) | buf[p]
+            p += 1
+            n += 8
+        self._pos, self.acc, self.n = p, acc, n
+        return n >= k
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        if k == 0:
+            return 0
+        if not self._ensure(k):
+            raise EOFError("jpeg entropy stream truncated")
+        n = self.n - k
+        v = (self.acc >> n) & ((1 << k) - 1)
+        # mask consumed history off acc, or it grows into a multi-megabit
+        # int and every shift turns O(stream length)
+        self.acc &= (1 << n) - 1
+        self.n = n
         return v
 
+    def bit(self) -> int:
+        return self.bits(1)
+
+    def peek16(self) -> int:
+        """Next 16 bits without consuming; zero-padded past segment end
+        (a code that needs the padding is caught by the length check in
+        ``_decode_huff``)."""
+        if self._ensure(16):
+            return (self.acc >> (self.n - 16)) & 0xFFFF
+        return (self.acc << (16 - self.n)) & 0xFFFF
+
+    def remaining_bits(self) -> int:
+        return self.n + 8 * (len(self._buf) - self._pos)
+
+    def skip(self, k: int) -> None:
+        self.n -= k
+        self.acc &= (1 << self.n) - 1  # see bits(): keep acc bounded
+
     def sync_restart(self) -> None:
-        """Consume an RSTn marker and reset the bit buffer."""
+        """Advance to the next restart segment and reset the bit buffer."""
+        self._seg += 1
+        if self._seg >= len(self._segments):
+            raise EOFError("expected restart marker")
+        self._buf = self._segments[self._seg]
+        self._pos = 0
         self.acc = 0
         self.n = 0
-        d = self.data
-        while self.pos + 1 < len(d):
-            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
-        raise EOFError("expected restart marker")
 
 
-def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code, length = 0, 0
-    while length <= 16:
-        code = (code << 1) | reader.bit()
-        length += 1
-        sym = table.get((code, length))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid huffman code")
+def _huff_lut(table: dict[tuple[int, int], int]) -> tuple[np.ndarray, np.ndarray]:
+    """16-bit-peek lookup tables: luts[v] = (symbol, code length) for every
+    16-bit window whose prefix is a code; length 0 = invalid prefix."""
+    sym = np.zeros(1 << 16, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    for (code, length), s in table.items():
+        base = code << (16 - length)
+        span = 1 << (16 - length)
+        sym[base : base + span] = s
+        ln[base : base + span] = length
+    return sym, ln
+
+
+def _decode_huff(reader: _BitReader, lut: tuple[np.ndarray, np.ndarray]) -> int:
+    v = reader.peek16()
+    length = int(lut[1][v])
+    if length == 0:
+        raise ValueError("invalid huffman code")
+    if length > reader.remaining_bits():
+        raise EOFError("jpeg entropy stream truncated")
+    reader.skip(length)
+    return int(lut[0][v])
 
 
 def _extend(v: int, size: int) -> int:
@@ -520,8 +572,10 @@ def parse_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray | None]:
             for c in comps
         }
         preds = {c[0]: 0 for c in comps}
-        # t's high nibble = DC table id (Td), low nibble = AC table id (Ta)
-        tables = {cid: (huffs[(0, t >> 4)], huffs[(1, t & 0x0F)]) for cid, t in scomps}
+        # t's high nibble = DC table id (Td), low nibble = AC table id (Ta);
+        # one LUT per distinct table (shared tables build once)
+        luts = {k: _huff_lut(t) for k, t in huffs.items()}
+        tables = {cid: (luts[(0, t >> 4)], luts[(1, t & 0x0F)]) for cid, t in scomps}
         n_mcu = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):

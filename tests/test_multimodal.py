@@ -763,6 +763,39 @@ class TestAviMjpeg:
             sample_frames(df, "video", "id", codec="h264")
 
 
+class TestJpegEntropyTierR13:
+    """r13 VERDICT #7: the per-bit Python Huffman loop made the codec
+    thumbnail-only. The LUT decode over pre-unstuffed restart segments
+    must handle a ≥0.25 MP image in seconds — pinned with a generous
+    bound so a contended box doesn't flake, but the pre-r13 loop (~30s+
+    at this size, worse superlinearly) can never pass."""
+
+    def test_quarter_megapixel_decode_time_bound(self):
+        import time
+
+        import numpy as np
+
+        from lance_spark.operators.jpeg import pack_jpeg, parse_jpeg
+
+        rng = np.random.default_rng(7)
+        # worst-case entropy content: random noise codes ~every coefficient
+        img = rng.integers(0, 256, (512, 512, 3), dtype=np.uint8)
+        b = pack_jpeg(512, 512, img, quality=75, subsampling="420")
+        t0 = time.time()
+        w, h, c, px = parse_jpeg(b)
+        took = time.time() - t0
+        assert (w, h, c) == (512, 512, 3) and px is not None
+        assert took < 10.0, f"0.26 MP decode took {took:.1f}s"
+        # decode must stay LINEAR in stream size (the acc-growth bug made
+        # it quadratic): 4x the pixels may not cost more than ~10x the time
+        img2 = rng.integers(0, 256, (1024, 1024), dtype=np.uint8)
+        b2 = pack_jpeg(1024, 1024, img2, quality=75)
+        t0 = time.time()
+        w2, _, _, _ = parse_jpeg(b2)
+        took2 = time.time() - t0
+        assert w2 == 1024 and took2 < max(10 * took, 20.0)
+
+
 class TestJpegReviewR12:
     """Pins for the adversarial review of the new jpeg.py module."""
 
