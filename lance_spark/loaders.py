@@ -48,6 +48,7 @@ def numpy_batches(
     rank: int = 0,
     world_size: int = 1,
     fragment_batch_size: int = 16,
+    max_chunk_bytes: int = 2 << 30,
 ):
     """Dict-of-numpy batches over this rank's fragment shard (the
     ShardedFragmentSampler contract: ranks read disjoint fragments whose
@@ -73,7 +74,11 @@ def numpy_batches(
         return
     scanner = ds.scanner(spark, columns=columns, fragments=frag_ids)
     cur_frag, cur = None, []
-    for tagged in scanner.scan_batches(fragment_batch_size=fragment_batch_size):
+    # max_chunk_bytes cuts chunks early on WIDE fragments (blob columns):
+    # a fixed 16-fragment chunk over multi-GB blobs would blow the driver
+    for tagged in scanner.scan_batches(
+        fragment_batch_size=fragment_batch_size, max_chunk_bytes=max_chunk_bytes
+    ):
         if tagged.fragment.id != cur_frag and cur:
             t = pa.Table.from_batches(cur)
             cur = []

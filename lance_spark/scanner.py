@@ -14,6 +14,7 @@ method (or any Spark action) runs it.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING, Iterator
 
@@ -204,7 +205,11 @@ class LanceScanner(DataFrame):
         batches = t.to_batches(max_chunksize=batch_size) if batch_size else t.to_batches()
         return pa.RecordBatchReader.from_batches(t.schema, batches)
 
-    def scan_batches(self, fragment_batch_size: int = 16) -> Iterator["TaggedRecordBatch"]:
+    def scan_batches(
+        self,
+        fragment_batch_size: int = 16,
+        max_chunk_bytes: int = 2 << 30,
+    ) -> Iterator["TaggedRecordBatch"]:
         """Record batches tagged with their owning fragment (reference
         dataset.py:4670 ``scan_batches``; its docstring promises
         TaggedRecordBatch — the tagging is real here). Re-runs this
@@ -217,7 +222,12 @@ class LanceScanner(DataFrame):
         compactor consolidates) fall back to the per-fragment path since
         their rowids don't encode the owner. A global ``limit``/``offset``
         has no per-fragment meaning and is refused rather than silently
-        mis-sliced. Driver memory is bounded by one chunk's rows."""
+        mis-sliced. Driver memory is bounded by one chunk's rows —
+        ``max_chunk_bytes`` (default 2 GiB of on-disk file size, a proxy
+        for materialized size) additionally cuts chunks early when
+        fragments are WIDE (blob columns): a fixed 16-fragment chunk over
+        multi-GB blob fragments would otherwise exceed driver memory
+        (r13, VERDICT #8)."""
         ds = self._lance_dataset
         kwargs = getattr(self, "_scan_kwargs", None)
         if ds is None or kwargs is None:
@@ -264,8 +274,33 @@ class LanceScanner(DataFrame):
         from lance_spark.write import FRAGID_SHIFT, ROWID_COL
 
         drop_rowid = not kwargs["with_row_id"]
-        for i in range(0, len(frags), fragment_batch_size):
-            chunk = frags[i : i + fragment_batch_size]
+
+        def _frag_bytes(frag) -> int:
+            total = 0
+            for df_ in frag.files:
+                try:
+                    total += os.path.getsize(ds._abs(df_.path))
+                except OSError:
+                    pass  # remote/missing stat: count-based cut still applies
+            return total
+
+        def _chunks():
+            cur: list = []
+            cur_bytes = 0
+            for frag in frags:
+                fb = _frag_bytes(frag)
+                if cur and (
+                    len(cur) >= fragment_batch_size
+                    or cur_bytes + fb > max_chunk_bytes
+                ):
+                    yield cur
+                    cur, cur_bytes = [], 0
+                cur.append(frag)  # always ≥1 fragment per chunk
+                cur_bytes += fb
+            if cur:
+                yield cur
+
+        for chunk in _chunks():
             part = ds.scanner(
                 self.sparkSession, columns=kwargs["columns"],
                 filter=kwargs["filter"], fragments=[f.id for f in chunk],
