@@ -20,6 +20,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 - resolves pandas_udf type hints at runtime
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1001,4 +1003,65 @@ def bigram_logprob_score(
     return joined.groupBy("id").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.avg(-F.log(F.col("p"))), 4).alias("avg_logprob"),
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids,
+    per_cluster: int,
+    salt: str = "cbs",
+) -> DataFrame:
+    """Diversity-preserving sample over an embedding column (the
+    SemDeDup / cluster-then-sample curation step): assign every row to its
+    nearest centroid (L2) and keep a deterministic per-cluster quota →
+    ``(id, cluster_id)`` for the kept rows.
+
+    ``centroids`` are FIXED inputs (trained upstream — e.g. by
+    ``indexes.vector.train_kmeans`` — or baked), which keeps the operator a
+    pure two-stage plan and makes it oracle-checkable.
+
+    Scale: assignment is row-local (Arrow-batched pandas UDF; explicit
+    (x-c)² in float64 for ≤256 centroids — bit-stable vs a sequential-sum
+    oracle — and the GEMM form past that, where exact ties are no longer
+    plausible); the quota is ONE shuffle of (id, cluster_id) pairs — two
+    longs per row regardless of embedding width, so a 100 TB corpus
+    shuffles gigabytes, not terabytes. Skewed clusters are bounded by the
+    window top-k like cap_per_group."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from lance_spark.functions.text import hash64
+
+    C = np.asarray(centroids, dtype=np.float64)
+    if C.ndim != 2 or not len(C):
+        raise ValueError("centroids must be a non-empty (k, dim) matrix")
+    if per_cluster < 1:
+        raise ValueError("per_cluster must be >= 1")
+    spark = df.sparkSession
+    c_b = spark.sparkContext.broadcast(C)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        cents = c_b.value
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        if cents.shape[0] <= 256:
+            d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        else:
+            d = (X * X).sum(axis=1, keepdims=True) - 2 * (X @ cents.T) + (
+                cents * cents
+            ).sum(axis=1)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    assigned = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), assign(F.col(vec_col)).alias("cluster_id")
+    )
+    order = hash64(F.concat_ws(":", F.lit(salt), F.col("id").cast("string")))
+    w = Window.partitionBy("cluster_id").orderBy(order.asc(), F.col("id").asc())
+    return (
+        assigned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_cluster)
+        .drop("__rn")
     )

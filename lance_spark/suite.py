@@ -5815,6 +5815,54 @@ def curate_split(spark, sf_dir):
     )
 
 
+def _cluster_sample_oracle() -> str:
+    from lance_spark.operators.dedup import hyperplanes
+
+    K, PER = 6, 25
+    cents = hyperplanes(64, K, 7)
+    dists = ",\n           ".join(
+        f"""list_sum(list_transform(range(1, 65),
+              j -> pow(CAST(embedding[j] AS DOUBLE) - ([{", ".join(repr(float(x)) for x in c)}])[j], 2))) AS d{i}"""
+        for i, c in enumerate(cents)
+    )
+    m = "least(" + ", ".join(f"d{i}" for i in range(K)) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN d{i} = {m} THEN {i}" for i in range(K)
+    ) + " END"
+    h = _DUCK_HASH64.format(s="'cbs:' || CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH d AS (
+      SELECT vec_id, {dists}
+      FROM embeddings WHERE embedding IS NOT NULL),
+    a AS (SELECT vec_id, {case} AS cluster_id FROM d),
+    r AS (SELECT vec_id, cluster_id,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY {h}, vec_id) AS rn
+          FROM a)
+    SELECT CAST(vec_id AS BIGINT) AS id, CAST(cluster_id AS INT) AS cluster_id
+    FROM r WHERE rn <= {PER} ORDER BY cluster_id, id
+    """
+
+
+@query("curate_cluster_sample", _cluster_sample_oracle())
+def curate_cluster_sample(spark, sf_dir):
+    """SemDeDup-style diversity sampling: nearest-centroid assignment over
+    the embedding column + a deterministic per-cluster quota. Centroids
+    are BAKED (shared constants with the oracle, the _lsh_oracle pattern)
+    so the full keep-set is value-hash-gated."""
+    from lance_spark.operators.curation import cluster_balanced_sample
+    from lance_spark.operators.dedup import hyperplanes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cluster_balanced_sample(
+        emb, "embedding", "vec_id", hyperplanes(64, 6, 7), per_cluster=25
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+    ).orderBy("cluster_id", "id")
+
+
 @query(
     "curate_mix_weighted",
     f"""

@@ -1135,3 +1135,45 @@ class TestKnnReviewR12:
         import math
         assert got[2]["id"] == 3 and (got[2]["_distance"] is None
                                       or math.isnan(got[2]["_distance"]))
+
+
+def test_cluster_balanced_sample_quota_and_branches(spark):
+    """r13: per-cluster quota enforced; the ≤256-centroid explicit branch
+    and the >256 GEMM branch assign identically (GEMM exercised by
+    padding the centroid set with far-away dummies)."""
+    import numpy as np
+
+    from lance_spark.operators.curation import cluster_balanced_sample
+
+    rng = np.random.default_rng(3)
+    cents = rng.standard_normal((4, 8))
+    rows = [
+        (i, (cents[i % 4] + 0.01 * rng.standard_normal(8)).tolist())
+        for i in range(80)
+    ] + [(999, None)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+
+    out = cluster_balanced_sample(df, "v", "id", cents, per_cluster=5)
+    got = out.collect()
+    by_cluster: dict = {}
+    for r in got:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["id"])
+    assert all(len(v) <= 5 for v in by_cluster.values())
+    assert sum(len(v) for v in by_cluster.values()) == 20  # 4 full clusters
+    assert 999 not in {r["id"] for r in got}  # null vector excluded
+
+    # GEMM branch: same 4 near centroids + 300 dummies far away → same
+    # assignments for the kept rows
+    far = 1e6 + rng.standard_normal((300, 8))
+    big = np.vstack([cents, far])
+    out2 = cluster_balanced_sample(df, "v", "id", big, per_cluster=5)
+    assert sorted((r["cluster_id"], r["id"]) for r in out2.collect()) == sorted(
+        (r["cluster_id"], r["id"]) for r in got
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="per_cluster"):
+        cluster_balanced_sample(df, "v", "id", cents, per_cluster=0)
+    with _pytest.raises(ValueError, match="centroids"):
+        cluster_balanced_sample(df, "v", "id", np.zeros((0, 8)), per_cluster=1)
