@@ -407,7 +407,7 @@ def test_optimize_after_default_num_sub_vectors(spark, emb, tmp_path):
     from lance_spark.write import write_dataset
 
     uri = str(tmp_path / "ds")
-    write_dataset(emb.limit(400), uri, mode="create")
+    write_dataset(emb.filter(F.col("vec_id") < 400), uri, mode="create")
     ds = dataset(uri).create_index(
         spark, "embedding", index_type="IVF_PQ", num_partitions=4, metric="l2"
     )
@@ -415,7 +415,7 @@ def test_optimize_after_default_num_sub_vectors(spark, emb, tmp_path):
     assert meta["params"]["num_sub_vectors"] is not None
 
     # make the index stale, then optimize — must not raise
-    extra = emb.limit(450).subtract(emb.limit(400))
+    extra = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
     ds.insert(extra)
     ds = dataset(uri).optimize_indices(spark)
     idx_meta = next(i for i in ds.manifest.indices if i.column == "embedding")
@@ -433,7 +433,7 @@ def test_optimize_tolerates_legacy_none_num_sub_vectors(spark, emb, tmp_path):
     from lance_spark.write import write_dataset
 
     uri = str(tmp_path / "ds")
-    write_dataset(emb.limit(300), uri, mode="create")
+    write_dataset(emb.filter(F.col("vec_id") < 300), uri, mode="create")
     ds = dataset(uri).create_index(
         spark, "embedding", index_type="IVF_PQ", num_partitions=4, metric="l2"
     )
@@ -447,7 +447,7 @@ def test_optimize_tolerates_legacy_none_num_sub_vectors(spark, emb, tmp_path):
 
     mf.commit(uri, poison, operation="update_config")
     ds = dataset(uri)
-    ds.insert(emb.limit(330).subtract(emb.limit(300)))
+    ds.insert(emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 330)))
     ds = dataset(uri).optimize_indices(spark)  # must not raise
     assert ds.list_indices()
 
@@ -466,7 +466,7 @@ def test_optimize_reresolves_sqrt_n_partitions(spark, emb, tmp_path):
     import os
 
     uri = str(tmp_path / "resqrt")
-    write_dataset(emb.limit(60), uri, mode="create")
+    write_dataset(emb.filter(F.col("vec_id") < 60), uri, mode="create")
     ds = dataset(uri).create_index(
         spark, "embedding", index_type="IVF_FLAT", metric="l2"
     )
@@ -475,7 +475,7 @@ def test_optimize_reresolves_sqrt_n_partitions(spark, emb, tmp_path):
     n0 = int(meta0.params["num_partitions"])
     assert n0 == pytest.approx(60 ** 0.5, abs=2)
 
-    extra = emb.subtract(emb.limit(60))
+    extra = emb.filter(F.col("vec_id") >= 60)
     ds.insert(extra)
     total = dataset(uri).to_df(spark).count()
     ds = dataset(uri).optimize_indices(spark, retrain=True)
@@ -507,11 +507,11 @@ def test_optimize_preserves_explicit_partition_count(spark, emb, tmp_path):
     from lance_spark.write import write_dataset
 
     uri = str(tmp_path / "keepnp")
-    write_dataset(emb.limit(100), uri, mode="create")
+    write_dataset(emb.filter(F.col("vec_id") < 100), uri, mode="create")
     ds = dataset(uri).create_index(
         spark, "embedding", index_type="IVF_FLAT", num_partitions=7, metric="l2"
     )
-    ds.insert(emb.limit(400).subtract(emb.limit(100)))
+    ds.insert(emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 400)))
     # an explicitly-chosen partition count survives even a full RETRAIN
     ds = dataset(uri).optimize_indices(spark, retrain=True)
     meta = next(i for i in ds.manifest.indices if i.column == "embedding")
@@ -1323,7 +1323,7 @@ def test_optimize_delta_assigns_without_retrain(spark, emb, tmp_path):
     from lance_spark.write import write_dataset
 
     uri = str(tmp_path / "delta")
-    write_dataset(emb.limit(300), uri, mode="create")
+    write_dataset(emb.filter(F.col("vec_id") < 300), uri, mode="create")
     ds = dataset(uri).create_index(
         spark, "embedding", index_type="IVF_FLAT", num_partitions=5, metric="l2"
     )
@@ -1331,7 +1331,7 @@ def test_optimize_delta_assigns_without_retrain(spark, emb, tmp_path):
     idx_uri = os.path.join(uri, meta0.path)
     cent0 = np.load(os.path.join(idx_uri, "centroids.npy"))
 
-    ds.insert(emb.subtract(emb.limit(300)))
+    ds.insert(emb.filter(F.col("vec_id") >= 300))
     ds = dataset(uri).optimize_indices(spark)
 
     meta1 = next(i for i in ds.manifest.indices if i.column == "embedding")
@@ -1373,11 +1373,11 @@ def test_optimize_delta_idempotent_and_torn_visibility(spark, emb, tmp_path):
     from lance_spark.write import write_dataset
 
     uri = str(tmp_path / "torn")
-    write_dataset(emb.limit(300), uri, mode="create")
+    write_dataset(emb.filter(F.col("vec_id") < 300), uri, mode="create")
     ds = dataset(uri).create_index(
         spark, "embedding", index_type="IVF_FLAT", num_partitions=5, metric="l2"
     )
-    ds.insert(emb.subtract(emb.limit(300)))
+    ds.insert(emb.filter(F.col("vec_id") >= 300))
     ds = dataset(uri)
     meta = next(i for i in ds.manifest.indices if i.column == "embedding")
     idx_uri = os.path.join(uri, meta.path)
@@ -1428,7 +1428,7 @@ def test_optimize_delta_auto_merges_segments(spark, emb, tmp_path):
     from lance_spark.write import write_dataset
 
     uri = str(tmp_path / "merge")
-    write_dataset(emb.limit(100), uri, mode="create")
+    write_dataset(emb.filter(F.col("vec_id") < 100), uri, mode="create")
     ds = dataset(uri).create_index(
         spark, "embedding", index_type="IVF_FLAT", num_partitions=4, metric="l2"
     )
@@ -1437,12 +1437,12 @@ def test_optimize_delta_auto_merges_segments(spark, emb, tmp_path):
     cent0 = np.load(os.path.join(idx_uri, "centroids.npy"))
 
     for lo, hi in ((100, 150), (150, 200), (200, 250)):
-        dataset(uri).insert(emb.limit(hi).subtract(emb.limit(lo)))
+        dataset(uri).insert(emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)))
         ds = dataset(uri).optimize_indices(spark, num_indices_to_merge=0)
     assert IvfIndex(idx_uri).segments == ["codes", "codes_v1", "codes_v2", "codes_v3"]
 
     # one more delta would exceed the default budget of 4 → auto-merge
-    dataset(uri).insert(emb.limit(300).subtract(emb.limit(250)))
+    dataset(uri).insert(emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 300)))
     ds = dataset(uri).optimize_indices(spark)
     idx = IvfIndex(idx_uri)
     assert len(idx.segments) == 1 and idx.segments[0].startswith("codes_v")
@@ -1471,7 +1471,7 @@ def test_optimize_delta_hnsw_segment_graphs(spark, emb, tmp_path):
     from lance_spark.write import write_dataset
 
     uri = str(tmp_path / "hnswdelta")
-    write_dataset(emb.limit(300), uri, mode="create")
+    write_dataset(emb.filter(F.col("vec_id") < 300), uri, mode="create")
     ds = dataset(uri).create_index(
         spark, "embedding", index_type="IVF_HNSW_FLAT", num_partitions=4, metric="l2"
     )
@@ -1479,7 +1479,7 @@ def test_optimize_delta_hnsw_segment_graphs(spark, emb, tmp_path):
     idx_uri = os.path.join(uri, meta.path)
     base_graph_mtime = os.path.getmtime(os.path.join(idx_uri, "hnsw"))
 
-    ds.insert(emb.subtract(emb.limit(300)))
+    ds.insert(emb.filter(F.col("vec_id") >= 300))
     ds = dataset(uri).optimize_indices(spark)
     idx = IvfIndex(idx_uri)
     assert idx.segments == ["codes", "codes_v1"]
@@ -1510,12 +1510,12 @@ def test_optimize_index_names_filter(spark, emb, tmp_path):
     from lance_spark.write import write_dataset
 
     uri = str(tmp_path / "names")
-    write_dataset(emb.limit(200), uri, mode="create")
+    write_dataset(emb.filter(F.col("vec_id") < 200), uri, mode="create")
     ds = dataset(uri).create_index(
         spark, "embedding", index_type="IVF_FLAT", num_partitions=4, metric="l2",
         name="embidx",
     )
-    ds.insert(emb.limit(260).subtract(emb.limit(200)))
+    ds.insert(emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 260)))
     ds = dataset(uri).optimize_indices(spark, index_names=["otheridx"])
     meta = next(i for i in ds.manifest.indices if i.column == "embedding")
     assert set(meta.fragment_ids) != {f.id for f in ds.manifest.fragments}  # untouched
@@ -1595,11 +1595,15 @@ def test_optimize_after_mixed_compaction_no_double_index(spark, emb, tmp_path):
     from lance_spark.write import write_dataset
 
     uri = str(tmp_path / "mixcompact")
-    write_dataset(emb.limit(300), uri, mode="create")
+    # key-based split, not limit(): an unordered limit(300) may resolve to
+    # DIFFERENT rows in the write job vs the insert job under load, making
+    # the "complement" overlap the base (observed full-suite flake, r13)
+    base_df = emb.filter(F.col("vec_id") < 300)
+    write_dataset(base_df, uri, mode="create")
     ds = dataset(uri).create_index(
         spark, "embedding", index_type="IVF_FLAT", num_partitions=5, metric="l2"
     )
-    ds.insert(emb.subtract(emb.limit(300)))
+    ds.insert(emb.filter(F.col("vec_id") >= 300))
     ds = dataset(uri).compact_files(spark)
     assert ds.manifest.config.get("rowid_address_style", True) is False
 
@@ -1714,11 +1718,11 @@ def test_nearest_dot_tail_union_parity(spark, emb, tmp_path):
     from lance_spark.write import write_dataset
 
     uri = str(tmp_path / "dottail")
-    write_dataset(emb.limit(300), uri, mode="create")
+    write_dataset(emb.filter(F.col("vec_id") < 300), uri, mode="create")
     ds = dataset(uri).create_index(
         spark, "embedding", index_type="IVF_FLAT", num_partitions=5, metric="dot"
     )
-    ds.insert(emb.subtract(emb.limit(300)))
+    ds.insert(emb.filter(F.col("vec_id") >= 300))
     ds = dataset(uri)
     for vid in (7, 311):
         q = _query_vec(emb, vid)
@@ -1822,13 +1826,13 @@ def test_radii_less_index_delta_optimize_recomputes(spark, emb, tmp_path):
     from lance_spark.write import write_dataset
 
     uri = str(tmp_path / "radless")
-    write_dataset(emb.limit(300), uri, mode="create")
+    write_dataset(emb.filter(F.col("vec_id") < 300), uri, mode="create")
     ds = dataset(uri).create_index(
         spark, "embedding", index_type="IVF_FLAT", num_partitions=5, metric="l2"
     )
     meta = next(i for i in ds.manifest.indices if i.column == "embedding")
     os.remove(os.path.join(uri, meta.path, "radii.npy"))
-    ds.insert(emb.subtract(emb.limit(300)))
+    ds.insert(emb.filter(F.col("vec_id") >= 300))
     ds = dataset(uri).optimize_indices(spark)
     idx = IvfIndex(os.path.join(uri, meta.path))
     assert idx.radii is not None  # recomputed over base + delta
@@ -1858,7 +1862,7 @@ def test_merge_retires_segments_with_grace_period(spark, emb, tmp_path):
         emb.limit(300), "embedding", "vec_id", uri,
         num_partitions=4, metric="l2", index_type="IVF_FLAT",
     )
-    idx = extend_ivf(idx, spark, emb.subtract(emb.limit(300)))
+    idx = extend_ivf(idx, spark, emb.filter(F.col("vec_id") >= 300))
     assert idx.segments == ["codes", "codes_v1"]
     old_dirs = [os.path.join(uri, s) for s in idx.segments]
     idx = merge_ivf_segments(idx, spark)
