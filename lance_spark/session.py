@@ -39,6 +39,17 @@ def get_spark(app_name: str = "lance_spark", cpus: int | None = None) -> SparkSe
         # Spark has no ns timestamp type: read parquet TIMESTAMP(NANOS) as long
         # (events.ts); lance_spark.io.load_table derives a µs timestamp column
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Read shuffle blocks with plain pread instead of mmap: Spark mmaps
+        # any block over 2 MB (ancient default), and on many-core hosts the
+        # resulting mmap/munmap churn serializes tasks on the process
+        # mmap_lock + TLB shootdowns — measured here as 32 tasks uniformly
+        # blocked in FileChannelImpl.map0/unmap0 turning a 2s shuffle stage
+        # into 60s (jstack-confirmed; guide §7.3). Large-block reads via
+        # pread are also kinder to the page cache on real clusters.
+        .config(
+            "spark.storage.memoryMapThreshold",
+            os.environ.get("SPARK_GRAFT_MMAP_THRESHOLD", "512m"),
+        )
         # This engine joins on COMPUTED keys everywhere (token hashes, LSH
         # band keys, shingles): InferFiltersFromConstraints clones the whole
         # key expression tree into inferred isnotnull/size predicates and
