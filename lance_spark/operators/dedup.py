@@ -19,6 +19,8 @@ so the exact same math is expressible in ANSI SQL for the DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -777,14 +779,33 @@ def embedding_lsh_pairs(
     band_bits = nplanes // bands
     planes = hyperplanes(dim, nplanes, seed)
     v = F.col(vec_col).cast("array<double>")
-    bits = []
-    for i, p in enumerate(planes):
-        w = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.aggregate(F.zip_with(v, w, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    sig = sum(bits[1:], bits[0])
+    # The plane matrix is ONE nested-array literal and the signature ONE
+    # aggregate over plane indexes — not nplanes unrolled dot expressions
+    # each embedding dim inlined literals (16×64 Literal nodes). The big
+    # tree made every Catalyst pass (AQE re-optimizations, per-task
+    # UnsafeProjection canonicalize, Janino compile) scale with dim×planes:
+    # measured 10-18 s of driver planning/codegen on a 2 s query at sf0.1.
+    # Float semantics are IDENTICAL: per plane, the same zip_with-multiply
+    # → left-fold sum; bit packing is exact integer math in the same order.
+    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    pows_lit = F.lit([1 << i for i in range(nplanes)])
+
+    def _plane_dot(w):
+        return F.aggregate(
+            F.zip_with(v, w, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    sig = F.aggregate(
+        F.sequence(F.lit(1), F.lit(nplanes)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            _plane_dot(F.element_at(planes_lit, i)) > 0, F.element_at(pows_lit, i)
+        ).otherwise(F.lit(0)),
+    )
 
     sigs = df.select(F.col(id_col).alias("id"), v.alias("v"), sig.alias("sig"))
+
     mask = (1 << band_bits) - 1
     banded = sigs.select(
         "id",
@@ -888,6 +909,74 @@ def connected_components(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
     edges = edges.localCheckpoint(eager=True)
+    # Small-graph fast path: when the (already materialized) edge set fits
+    # a driver budget, run union-find on the driver and broadcast-join the
+    # labels back — same output (cluster = min reachable id) without the
+    # O(diameter) rounds of 3-shuffle jobs. Near-dup graphs routinely have
+    # chain components whose label takes 8+ rounds to converge while the
+    # per-round update count is single digits (measured: rounds with
+    # changed=1,1 at the tail); each tail round is a full pass over every
+    # node. The gate (edges, both directions) is conf/env-tunable; past it
+    # the distributed loop below is unchanged — at 100 TB pair counts the
+    # loop is the only shape that works, but a collected edge list at the
+    # default gate is ≤ ~64 MB on the driver, the same budget class as the
+    # broadcast-model operators.
+    try:
+        gate = int(
+            nodes.sparkSession.conf.get(
+                "lance_spark.cc.driverEdgeGate",
+                os.environ.get("LANCE_SPARK_CC_EDGE_GATE", "2000000"),
+            )
+        )
+    except Exception:
+        gate = 2_000_000
+    if gate > 0 and edges.count() <= gate:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            a, b = row[0], row[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so every root is its component's minimum
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        mapping = [(x, find(x)) for x in parent]
+        spark = nodes.sparkSession
+        node_field = nodes.select(F.col(id_col)).schema.fields[0]
+        from pyspark.sql.types import StructField, StructType
+
+        map_df = spark.createDataFrame(
+            mapping,
+            StructType(
+                [
+                    StructField("__cc_node", node_field.dataType, True),
+                    StructField("__cc_comp", node_field.dataType, True),
+                ]
+            ),
+        )
+        return (
+            nodes.select(F.col(id_col))
+            .join(
+                F.broadcast(map_df), F.col(id_col) == F.col("__cc_node"), "left"
+            )
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("__cc_comp"), F.col(id_col)).alias("cluster_id"),
+            )
+        )
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("comp"))
     changed = 1
     for _ in range(max_iter):

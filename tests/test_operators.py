@@ -951,16 +951,43 @@ def test_fingerprint_index_param_mismatch_raises(spark, docs, tmp_path):
 
 def test_connected_components_raises_on_non_convergence(spark):
     """A component whose diameter exceeds max_iter must fail loudly — the
-    truncated labels would leave clusters without a canonical member."""
+    truncated labels would leave clusters without a canonical member.
+    The driver union-find valve is disabled (gate=0) to pin the
+    DISTRIBUTED loop's guard; the valve path has no iteration to bound."""
     from lance_spark.operators.dedup import connected_components
 
     n = 12
     nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
     chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
-    with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(nodes, chain, max_iter=3)
-    ok = connected_components(nodes, chain, max_iter=n + 1)
-    assert {r["cluster_id"] for r in ok.collect()} == {0}
+    spark.conf.set("lance_spark.cc.driverEdgeGate", "0")
+    try:
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(nodes, chain, max_iter=3)
+        ok = connected_components(nodes, chain, max_iter=n + 1)
+        assert {r["cluster_id"] for r in ok.collect()} == {0}
+    finally:
+        spark.conf.unset("lance_spark.cc.driverEdgeGate")
+
+
+def test_connected_components_valve_matches_loop(spark):
+    """The small-graph driver union-find fast path must label exactly like
+    the distributed min-label loop: same (id, cluster_id) rows, singletons
+    clustering to themselves, chains to their minimum."""
+    from lance_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(20)], ["id"])
+    # chain 0..5, triangle 7-8-9, pair (12, 15), singletons elsewhere
+    edges = [(i, i + 1) for i in range(5)] + [(7, 8), (8, 9), (7, 9), (15, 12)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    valve = {(r["id"], r["cluster_id"]) for r in connected_components(nodes, pairs).collect()}
+    spark.conf.set("lance_spark.cc.driverEdgeGate", "0")
+    try:
+        loop = {(r["id"], r["cluster_id"]) for r in connected_components(nodes, pairs).collect()}
+    finally:
+        spark.conf.unset("lance_spark.cc.driverEdgeGate")
+    assert valve == loop
+    assert dict(valve)[3] == 0 and dict(valve)[9] == 7 and dict(valve)[15] == 12
+    assert dict(valve)[11] == 11
 
 
 def test_span_anchors_cover_newline_separated_words(spark):
