@@ -326,16 +326,23 @@ def nb_train(
     # null labels can't name a class: drop those rows rather than letting
     # sorted() raise TypeError on None-vs-str or training a null class
     train = train.filter(F.col(label_col).isNotNull())
-    classes = sorted(
-        r[0] for r in train.select(F.col(label_col)).distinct().collect()
-    )
+    # classes and per-class doc counts from ONE job (was a distinct()
+    # collect plus a separate groupBy collect — each a full labeled-corpus
+    # pass; at bench scale the train path is almost entirely job-count
+    # overhead: 21 jobs, 0.5 s total executor CPU)
+    docs_c = {
+        r["c"]: r["n"]
+        for r in train.groupBy(F.col(label_col).alias("c"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    classes = sorted(docs_c)
     if not classes:
         raise ValueError(
             f"nb_train: no non-null labels in column {label_col!r}"
         )
-    tr = train.select(F.col(label_col).alias("c"), tokenize(F.col(text_col)).alias("w"))
-    docs_c = {r["c"]: r["n"] for r in tr.groupBy("c").agg(F.count("*").alias("n")).collect()}
     total_docs = sum(docs_c.values())
+    tr = train.select(F.col(label_col).alias("c"), tokenize(F.col(text_col)).alias("w"))
     ex = tr.select("c", F.explode("w").alias("t"))
     # ONE corpus-scale wordcount; ntok_c and the vocabulary size both
     # derive from the pinned vocabulary-sized aggregate (re-running the
@@ -344,11 +351,20 @@ def nb_train(
     cnt = ex.groupBy("t", "c").agg(
         F.count("*").cast("double").alias("n")
     ).localCheckpoint(eager=True)
-    ntok_c = {
-        r["c"]: r["n"]
-        for r in cnt.groupBy("c").agg(F.sum("n").alias("n")).collect()
-    }
-    v = cnt.select("t").distinct().count()
+    # per-class token totals AND the vocabulary size in ONE rollup job over
+    # the checkpointed wordcount (the grand-total row carries
+    # countDistinct(t) = V; per-class rows carry ntok_c)
+    ntok_c = {}
+    v = 0
+    for r in (
+        cnt.rollup("c")
+        .agg(F.sum("n").alias("n"), F.countDistinct("t").alias("vd"))
+        .collect()
+    ):
+        if r["c"] is None:
+            v = r["vd"]
+        else:
+            ntok_c[r["c"]] = r["n"]
     denom = {c: float(ntok_c.get(c, 0)) + alpha * v for c in classes}
     model = cnt.groupBy("t").pivot("c", classes).agg(F.first("n"))
 

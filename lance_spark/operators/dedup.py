@@ -21,6 +21,9 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve via module
+# globals (``from __future__ import annotations`` stringifies them)
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -257,23 +260,72 @@ def minhash_signatures_agg(
     return _sigs_from_toks(toks, num_perm, shingle_k)
 
 
+def _hash64_py(s: str) -> int:
+    """Python mirror of functions.text.hash64 (bigint of the first 15 hex
+    chars of md5) — exact: both engines hash the UTF-8 bytes and parse the
+    same 60-bit hex prefix, so values are integer-identical."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _minhash_sig_udf(num_perm: int, shingle_k: int):
+    """Arrow-batched minhash signatures from a token array: shingle → md5
+    → num_perm permutation mins, all exact integer math identical to the
+    explode/groupBy form this replaces (guide §4.2: batch work in numpy
+    beats a corpus-wide explode + 16 min-aggregates — and needs NO shuffle
+    at all; the old plan's groupBy(id) exchange is gone entirely). Docs
+    with < shingle_k tokens return NULL (the rows the old aggregation
+    simply never produced — callers filter them)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _sig(toks: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.arange(3, 2 * num_perm + 2, 2, dtype=np.int64).reshape(-1, 1)
+        B = np.arange(7, 5 * num_perm + 3, 5, dtype=np.int64).reshape(-1, 1)
+        cache: dict = {}  # shingles repeat heavily across near-dup docs
+
+        def h(s: str) -> int:
+            v = cache.get(s)
+            if v is None:
+                v = _hash64_py(s) % MERSENNE31
+                cache[s] = v
+            return v
+
+        out = []
+        for t in toks:
+            if t is None or len(t) < shingle_k:
+                out.append(None)
+                continue
+            hs = np.fromiter(
+                (
+                    h(" ".join(t[i : i + shingle_k]))
+                    for i in range(len(t) - shingle_k + 1)
+                ),
+                dtype=np.int64,
+            )
+            out.append(((A * hs + B) % MERSENNE31).min(axis=1).tolist())
+        return pd.Series(out)
+
+    return _sig
+
+
 def _sigs_from_toks(toks_df: DataFrame, num_perm: int, shingle_k: int) -> DataFrame:
     """(id, sig) from a bound (id, __toks) frame — shared by
     minhash_signatures_agg and _banded_fingerprints so the banded-index
-    signature math is BY CONSTRUCTION byte-identical to the pair path
-    (and the fingerprint build can reuse one tokenize pass)."""
-    hashed = (
-        toks_df
-        .select("id", F.explode(shingles_from_tokens(F.col("__toks"), shingle_k)).alias("s"))
-        .select("id", (hash64(F.col("s")) % MERSENNE31).alias("h"))
+    signature math is BY CONSTRUCTION byte-identical to the pair path.
+    Row-local Arrow UDF: one md5 per shingle, zero shuffles (the previous
+    explode → groupBy(id) form paid a corpus-wide exchange plus 16
+    codegen'd min-aggregates — measured 6.7 s of executor CPU at sf0.1
+    against ~1 s for the batched numpy form)."""
+    sig_udf = _minhash_sig_udf(num_perm, shingle_k)
+    return (
+        toks_df.select("id", sig_udf(F.col("__toks")).alias("sig"))
+        .filter(F.col("sig").isNotNull())
     )
-    mins = hashed.groupBy("id").agg(
-        *[
-            F.min((F.lit(2 * j + 3) * F.col("h") + F.lit(5 * j + 7)) % MERSENNE31).alias(f"m{j}")
-            for j in range(num_perm)
-        ]
-    )
-    return mins.select("id", F.array(*[f"m{j}" for j in range(num_perm)]).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -470,23 +522,40 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = 32
     out of summing per token occurrence, identical math either way.
 
     Docs with no tokens are dropped (parity with what explode() did)."""
-    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
-    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    def _sig(toks):
-        hashes = F.transform(toks, lambda t: hash64(t))
-        return F.aggregate(
-            hashes,
-            zero,
-            lambda acc, h: F.zip_with(
-                acc, masks, lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
-            ),
-            lambda acc: F.aggregate(
-                F.zip_with(acc, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
-                F.lit(0).cast("long"),
-                lambda s, x: s + x,
-            ),
-        )
+    @pandas_udf("long")
+    def _sig(toks_s: pd.Series) -> pd.Series:
+        # Arrow-batched numpy vote fold (guide §4.2): per distinct token one
+        # md5, bit votes as one matmul-shaped reduction. Exact integer math
+        # — identical signatures to the 32-lane zip_with fold this replaces,
+        # which paid bits× interpreted lambda steps per token occurrence
+        # (measured 6.5 s executor CPU at sf0.1; this form ~1 s).
+        import numpy as np
+
+        lanes = np.arange(bits, dtype=np.int64)
+        pows = np.left_shift(np.int64(1), lanes)
+        cache: dict = {}
+
+        def h(s: str) -> int:
+            v = cache.get(s)
+            if v is None:
+                v = _hash64_py(s)
+                cache[s] = v
+            return v
+
+        out = []
+        for t in toks_s:
+            if t is None or len(t) == 0:
+                out.append(None)
+                continue
+            uniq, counts = np.unique(np.asarray(t, dtype=object), return_counts=True)
+            hs = np.fromiter((h(s) for s in uniq), dtype=np.int64)
+            ones = ((hs[:, None] & pows[None, :]) != 0)
+            votes = (counts[:, None] * np.where(ones, 1, -1)).sum(axis=0)
+            out.append(int(pows[votes > 0].sum()))
+        return pd.Series(out, dtype="object")
 
     # bind the token array to a real column FIRST: inlining tokenize() in
     # both the size filter and the signature would run the full
@@ -1143,7 +1212,12 @@ def sampled_window_hashes(
         lambda j: seg.substr(j, F.lit(1)).isin(" ", "\n", "\t", "\r"),
     )
     return (
-        df.filter(F.length(t) >= window)
+        # fan out BEFORE the anchor explode: documents often arrive as one
+        # scan split (single parquet row group), and the per-anchor
+        # substr+md5 work is the dominant CPU of the span operators — on
+        # one task it serializes on a single core (measured 2.5 s of a
+        # 3 s query in ONE task at sf0.1; guide §2.5 input skew)
+        _fan_out(df).filter(F.length(t) >= window)
         .select(F.col(id_col).alias("id"), maxp.alias("__maxp"), F.explode(segs).alias("s"))
         .select(
             "id",
@@ -1228,21 +1302,26 @@ def substring_duplicate_spans(
     function partitioned by doc id.
     """
     gap = max_gap if max_gap is not None else window
-    # repartition by h BEFORE fanning out to the two consumers: the dup
-    # aggregation and the semi join then share ONE exchange (ReuseExchange)
-    # whose child computes the window hashing — without it each consumer
-    # re-runs the anchor/substring/hash explode over the full corpus
-    # (measured 2× the dominant cost at sf0.1)
-    wins = sampled_window_hashes(df, text_col, id_col, window, every).repartition("h")
-    dup = (
-        wins.groupBy("h")
-        .agg(F.countDistinct("id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("h")
+    # ONE pass over the anchors: the dup gate (>= min_docs distinct docs
+    # per hash) is two window functions over the SAME hash partitioning —
+    # a first-occurrence-per-(h, id) flag from a sorted lag, summed per h.
+    # The previous groupBy + join-back shape computed the anchor explode
+    # into TWO map stages (column pruning specialized each consumer's
+    # projection under the shared repartition, defeating ReuseExchange —
+    # both stages measured ~2.5 s CPU each at sf0.1); this shape scans the
+    # anchors once and shuffles them once.
+    wins = sampled_window_hashes(df, text_col, id_col, window, every)
+    w_ord = Window.partitionBy("h").orderBy("id", "pos")
+    w_all = Window.partitionBy("h")
+    first_of_doc = (
+        F.lag("id").over(w_ord).isNull() | (F.lag("id").over(w_ord) != F.col("id"))
     )
-    # (id, pos) is unique by construction (one hash per anchor), so no
-    # distinct — that would be a second full shuffle for nothing
-    d = wins.join(dup, "h").select("id", "pos")
+    d = (
+        wins.withColumn("__first", first_of_doc.cast("long"))
+        .withColumn("__nd", F.sum("__first").over(w_all))
+        .filter(F.col("__nd") >= min_docs)
+        .select("id", "pos")
+    )
     return merge_anchor_spans(d, window, gap)
 
 
@@ -1290,20 +1369,38 @@ def _banded_fingerprints(
     minhash signature, exploded into band rows (same signature/band math
     as minhash_lsh_pairs, so thresholds mean the same thing)."""
     rows_per_band = num_perm // bands
-    # ONE tokenize pass: fp = md5 of the canonical token stream and the
-    # shingle hashes both derive from the same bound token array (the lazy
-    # checkpoint materializes it once at the first action — without it the
-    # fp and sig sides of the join would each re-scan and re-tokenize the
-    # corpus text, doubling the dominant cost of an index build)
+    # ONE tokenize pass AND one row-local Arrow UDF computing fp + sig
+    # together: the previous shape (fp projection ⋈ sig aggregation over a
+    # lazily checkpointed token frame) paid a checkpoint materialization,
+    # a groupBy exchange and a join — all to reunite two values that are
+    # pure row-local functions of the same token array. fp stays md5 of
+    # the space-joined canonical token stream (NULL/empty arrays hash ""
+    # exactly like concat_ws did); docs too short to shingle carry a NULL
+    # sig, as the old left join produced.
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sig_udf = _minhash_sig_udf(num_perm, shingle_k)
+
+    @pandas_udf("string")
+    def _fp(toks_s: pd.Series) -> pd.Series:
+        import hashlib
+
+        return pd.Series(
+            [
+                hashlib.md5(
+                    (" ".join(t) if t is not None else "").encode("utf-8")
+                ).hexdigest()
+                for t in toks_s
+            ]
+        )
+
     toks = _fan_out(df).select(
         F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks")
-    ).localCheckpoint(eager=False)
-    sigs = _sigs_from_toks(toks, num_perm, shingle_k)
-    fps = toks.select(
-        "id", F.md5(F.concat_ws(" ", "__toks")).alias("fp")
     )
-    # left join: docs too short to shingle (no sig) still carry an exact fp
-    joined = fps.join(sigs, "id", "left")
+    joined = toks.select(
+        "id", _fp(F.col("__toks")).alias("fp"), sig_udf(F.col("__toks")).alias("sig")
+    )
     return joined.select(
         "id",
         "fp",
