@@ -785,6 +785,13 @@ def pack_sequences(
     base = df.select(
         F.col(id_col), F.col(token_count_col).cast("long").alias("n_tokens"), shard.alias("__shard")
     )
+    # The totals collect AND the final windowed output both consume
+    # `base`; without a checkpoint each pays the full upstream compute —
+    # token_count_col is typically a tokenize() projection, so the corpus
+    # was tokenized twice. Materialize the (id, n_tokens, shard) proxy
+    # (~24 B/row — guide §8's "decide with small rows" shape) at the
+    # totals collect and let every later pass reuse it.
+    base = base.localCheckpoint(eager=False)
     # pass 1: per-shard totals — tiny (num_shards rows) driver collect
     totals = {
         r["__shard"]: r["t"]
@@ -809,7 +816,7 @@ def pack_sequences(
                 F.col(id_col),
                 F.col(token_count_col).cast("long").alias("n_tokens"),
                 shard.alias("__shard"),
-            )
+            ).localCheckpoint(eager=False)
             totals = {
                 r["__shard"]: r["t"]
                 for r in base.groupBy("__shard").agg(F.sum("n_tokens").alias("t")).collect()

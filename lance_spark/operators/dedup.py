@@ -1143,18 +1143,18 @@ def paragraph_dedup(
         .filter(F.size("__p") > 0)
         .select("id", "pos", F.md5(F.array_join("__p", " ")).alias("h"))
     )
-    # one exchange under both consumers (winner agg + join back) — without
-    # the explicit h-repartition each side re-runs the tokenize/explode/md5
-    # pass (same ReuseExchange gap as substring_duplicate_spans; measured
-    # ~2× there)
-    paras = paras.repartition("h")
-    winners = paras.groupBy("h").agg(F.min(F.struct("id", "pos")).alias("w"))
-    kept = paras.join(
-        winners.select("h", F.col("w.id").alias("wid"), F.col("w.pos").alias("wpos")), on="h"
-    ).withColumn("keep", (F.col("id") == F.col("wid")) & (F.col("pos") == F.col("wpos")))
+    # ONE pass over the paragraphs: the winner — min (id, pos) per hash —
+    # is row_number()==1 under the same hash partitioning, so the explode
+    # stream is scanned once and shuffled once. The previous groupBy +
+    # join-back under a shared h-repartition computed the winner agg AND
+    # the join probe as two consumers of the exchange (an extra agg
+    # exchange + join stage; the same shape substring_duplicate_spans
+    # dropped for its ~2× win).
+    w_ord = Window.partitionBy("h").orderBy("id", "pos")
+    kept = paras.withColumn("keep", (F.row_number().over(w_ord) == 1).cast("long"))
     return kept.groupBy("id").agg(
         F.count("*").alias("n_paras"),
-        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum("keep").alias("n_kept"),
     )
 
 

@@ -1204,3 +1204,33 @@ def test_cluster_balanced_sample_quota_and_branches(spark):
         cluster_balanced_sample(df, "v", "id", cents, per_cluster=0)
     with _pytest.raises(ValueError, match="centroids"):
         cluster_balanced_sample(df, "v", "id", np.zeros((0, 8)), per_cluster=1)
+
+
+def test_paragraph_dedup_single_pass_no_join(spark):
+    """r13 optimization pin: the >=first-occurrence gate is one window
+    pass over one hash shuffle — no winner-agg + join-back (the plan must
+    contain no Join), and values are unchanged: first occurrence =
+    lexicographic-min (id, pos) per paragraph hash."""
+    from lance_spark.operators.dedup import paragraph_dedup
+    from lance_spark.plans.explain import explain_plan
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"   # 10 toks
+    b = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"{a} {b}"),          # paras: [a, b]
+        (2, f"{b} {a}"),          # same paras, later id — all dups
+        (3, a),                   # dup of doc1's first para
+        (4, "unique eleven twelve thirteen fourteen"),  # short, 1 para
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: (r["n_paras"], r["n_kept"])
+        for r in paragraph_dedup(df, "text", "doc_id", para_tokens=10).collect()
+    }
+    assert out == {1: (2, 2), 2: (2, 0), 3: (1, 0), 4: (1, 1)}
+
+    plan = explain_plan(
+        paragraph_dedup(df, "text", "doc_id", para_tokens=10), "formatted"
+    )
+    assert "Join" not in plan
+    assert "Window" in plan
