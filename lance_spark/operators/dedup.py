@@ -1515,8 +1515,12 @@ def dedup_against_index(
         nb = nb.localCheckpoint(eager=False)
     doomed = None
     if exact:
+        # band_id == 0 selects exactly ONE fp row per indexed id (every id
+        # has every band), so no distinct exchange is needed on the index
+        # side — duplicate fps across duplicate corpus docs only duplicate
+        # hit ids, which the final doomed.distinct() collapses anyway.
         hits = nb.select("id", "fp").join(
-            idx.select(F.col("fp").alias("ifp")).distinct(),
+            idx.filter(F.col("band_id") == 0).select(F.col("fp").alias("ifp")),
             F.col("fp") == F.col("ifp"),
             "inner",
         ).select("id")
@@ -1532,8 +1536,14 @@ def dedup_against_index(
             )
             .select(F.col("n.id").alias("id"), F.col("n.sig").alias("sig"),
                     F.col("i.sig").alias("isig"))
-            .dropDuplicates(["id", "isig"])
         )
+        # est is ROW-LOCAL: evaluate it in the join's own stage and project
+        # down to the id before anything shuffles. The previous
+        # dropDuplicates(["id", "isig"]) paid a whole exchange carrying two
+        # 32-int arrays per row just to avoid re-evaluating this 32-lane
+        # fold on band-duplicated pairs — strictly worse than recomputing
+        # it (≤bands× per pair); duplicate surviving ids collapse in the
+        # final doomed.distinct().
         agree = F.aggregate(
             F.zip_with("sig", "isig", lambda x, y: F.when(x == y, 1).otherwise(0)),
             F.lit(0),
@@ -1547,6 +1557,12 @@ def dedup_against_index(
         doomed = near_hits if doomed is None else doomed.unionByName(near_hits)
     if doomed is None:
         return new_df
+    # Checkpoint the doomed-id set: Catalyst rewrites anti-join-over-union
+    # as union-of-anti-joins, so when new_df is a multi-branch union the
+    # ENTIRE exact+near pipeline was replicated into every branch (the
+    # sf0.1 plan computed it 3× — 38 Exchange nodes). A materialized id
+    # frame replicates for free.
+    doomed = doomed.distinct().localCheckpoint(eager=False)
     return new_df.join(
-        doomed.distinct().withColumnRenamed("id", id_col), on=id_col, how="left_anti"
+        doomed.withColumnRenamed("id", id_col), on=id_col, how="left_anti"
     )

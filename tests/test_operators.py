@@ -1234,3 +1234,34 @@ def test_paragraph_dedup_single_pass_no_join(spark):
     )
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_dedup_against_index_multi_route_hits_surface_once(spark, tmp_path):
+    """r13 optimization pin: est is evaluated in the band-join stage and
+    duplicate hit ids (same doc matching via exact fp AND several LSH
+    bands) collapse in the single doomed.distinct() — survivors carry no
+    duplicate rows and multi-route dups are still dropped."""
+    from pyspark.sql import functions as F
+
+    from lance_spark.operators.dedup import (
+        build_fingerprint_index,
+        dedup_against_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    corpus = docs.select(F.col("doc_id").alias("id"), "text")
+    idx = build_fingerprint_index(corpus, "text", "id", str(tmp_path / "fps"))
+
+    # identical text -> exact fp hit AND all-band near hit simultaneously
+    both = docs.limit(6).select((F.col("doc_id") + 100).alias("id"), "text")
+    fresh = docs.limit(3).select(
+        (F.col("doc_id") + 500).alias("id"),
+        F.concat_ws(" ", *[F.concat(F.lit(f"yy{c}"), F.col("doc_id").cast("string"))
+                           for c in "abcdef"]).alias("text"),
+    )
+    out = dedup_against_index(
+        both.unionByName(fresh), "text", "id", idx, spark
+    ).collect()
+    ids = [r["id"] for r in out]
+    assert sorted(ids) == sorted(set(ids))          # no duplicate survivors
+    assert set(ids) == {r["id"] for r in fresh.collect()}
