@@ -199,7 +199,8 @@ class IndicesBuilder:
         num_rows = self.dataset.count_rows()
         sample = self._sample(min(num_rows, sample_rate * 256), ivf_model.distance_type)
         codebook = train_pq_codebooks(
-            sample, ivf_model.centroids, num_subvectors, iters=max_iters
+            sample, ivf_model.centroids, num_subvectors, iters=max_iters,
+            sc=self.spark.sparkContext,
         )
         return PqModel(num_subvectors, codebook)
 

@@ -31,10 +31,37 @@ from lance_spark.operators.fts import BM25_B, BM25_K1, bm25_score_expr
 from lance_spark.write import ROWID_COL
 
 
+def _group_token_positions():
+    """Arrow-batched per-DOC token grouping: (token → ordinal positions)
+    is a pure row-local function of one document's token array — a (token,
+    id) group can never span documents — so the postings build needs NO
+    shuffle at all (guide §2.4): the old posexplode → groupBy(token, id)
+    exchange moved every corpus token over the network only to reunite
+    rows that started in the same document. Output structs carry the same
+    values the groupBy produced: tf = count, positions = ascending
+    ordinals (enumerate order)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<token:string, tf:bigint, positions:array<int>>>")
+    def group_tokens(toks: pd.Series) -> pd.Series:
+        out = []
+        for arr in toks:
+            d: dict = {}
+            for i, t in enumerate(arr):
+                d.setdefault(t, []).append(i)
+            out.append([(t, len(ps), ps) for t, ps in d.items()])
+        return pd.Series(out)
+
+    return group_tokens
+
+
 def _positional_postings(
     df: DataFrame, text_col: str, id_col: str, tokenizer: str = "simple"
 ) -> tuple[DataFrame, DataFrame]:
-    """(postings{token,id,tf,positions}, doclens{id,dl}) from raw text."""
+    """(postings{token,id,tf,positions}, doclens{id,dl}) from raw text.
+    Both frames are shuffle-free: postings group row-locally (see
+    ``_group_token_positions``), doclens is a projection."""
     from lance_spark.functions.text import tokenizer_expr
 
     toks = df.filter(F.col(text_col).isNotNull()).select(
@@ -45,9 +72,8 @@ def _positional_postings(
     # wrong BM25 idf/length normalization for EVERY query (r12 review)
     doclens = toks.select("id", F.size("toks").alias("dl"))
     postings = (
-        toks.select("id", F.posexplode("toks").alias("pos", "token"))
-        .groupBy("token", "id")
-        .agg(F.count("*").alias("tf"), F.sort_array(F.collect_list("pos")).alias("positions"))
+        toks.select("id", F.explode(_group_token_positions()("toks")).alias("p"))
+        .select("p.token", "id", "p.tf", "p.positions")
     )
     return postings, doclens
 
@@ -89,8 +115,24 @@ def create_inverted_index(
         for s in old_segs:
             retired[s] = now
     df = ds.scanner(spark, columns=[column], with_row_id=True)
-    postings, doclens = _positional_postings(df, column, ROWID_COL, tokenizer)
+    postings, _ = _positional_postings(df, column, ROWID_COL, tokenizer)
     postings.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings"))
+    # doclens from the WRITTEN postings instead of a second corpus
+    # tokenize (guide §1.2: don't recompute what a finished pass already
+    # knows): dl = Σ tf over a doc's postings rows — exactly size(toks) —
+    # and the id-only left join restores zero-token docs at dl=0. The
+    # corpus text is read once for the null gate but never re-tokenized.
+    dl_sum = (
+        spark.read.parquet(os.path.join(seg_dir, "postings"))
+        .groupBy("id")
+        .agg(F.sum("tf").alias("__dl"))
+    )
+    doclens = (
+        df.filter(F.col(column).isNotNull())
+        .select(F.col(ROWID_COL).alias("id"))
+        .join(dl_sum, "id", "left")
+        .select("id", F.coalesce(F.col("__dl"), F.lit(0)).cast("int").alias("dl"))
+    )
     doclens.write.mode("overwrite").parquet(os.path.join(seg_dir, "doclens"))
     covered = [f.id for f in ds.manifest.fragments]
     params = {"k1": BM25_K1, "b": BM25_B, **extra_params}
@@ -247,6 +289,20 @@ def extend_inverted(ds, spark: SparkSession, meta) -> list[str]:
         # write — an empty parquet dir would break the segment union read
         return segs
     p2.write.mode("overwrite").parquet(os.path.join(base, seg, "postings"))
+    # doclens from the written postings — the tail text tokenizes once,
+    # not twice (same derivation as create_inverted_index: dl = Σ tf,
+    # zero-token docs restored at 0 by the id-only left join)
+    dl_sum = (
+        spark.read.parquet(os.path.join(base, seg, "postings"))
+        .groupBy("id")
+        .agg(F.sum("tf").alias("__dl"))
+    )
+    d2 = (
+        flat.filter(F.col(meta.column).isNotNull())
+        .select(F.col(ROWID_COL).alias("id"))
+        .join(dl_sum, "id", "left")
+        .select("id", F.coalesce(F.col("__dl"), F.lit(0)).cast("int").alias("dl"))
+    )
     d2.write.mode("overwrite").parquet(os.path.join(base, seg, "doclens"))
     return segs + [seg]
 

@@ -272,12 +272,21 @@ def train_kmeans_torch(x: np.ndarray, k: int, device, iters: int = 12, seed: int
 
 def train_pq_codebooks(
     sample: np.ndarray, centroids: np.ndarray, num_subvectors: int,
-    seed: int = 42, iters: int = 8,
+    seed: int = 42, iters: int = 8, sc=None,
 ) -> np.ndarray:
     """Residual-PQ codebooks (vector/residual.rs): GEMM-assign each sample
     to its centroid, then per-subvector 256-way kmeans on the residuals.
     Shared by the monolithic build (build_ivf) and the staged
-    IndicesBuilder so the two build paths cannot drift numerically."""
+    IndicesBuilder so the two build paths cannot drift numerically.
+
+    ``sc`` (optional SparkContext): train the ``num_subvectors``
+    independent 256-way kmeans as one parallelized Spark job instead of a
+    sequential driver loop — the per-book Lloyd loop is Python-call-bound
+    (256 tiny mask/mean numpy ops per iteration), so m books serialize
+    ~m× the single-book wall on the driver while the cluster idles
+    (guide §5: the driver should do almost no data work). Each task runs
+    the IDENTICAL ``train_kmeans(resid_sub, seed+j)`` call, so the
+    codebooks are bit-for-bit the driver loop's."""
     dim = centroids.shape[1]
     sub = dim // num_subvectors
     cf = centroids.astype(np.float64)
@@ -289,6 +298,24 @@ def train_pq_codebooks(
         + (cf * cf).sum(axis=1)
     )
     resid = sample - cf[d2.argmin(axis=1)]
+    # tiny samples train faster on the driver than a job round-trips;
+    # the gate only skips the job when the whole loop is ~tens of ms
+    if sc is not None and num_subvectors > 1 and resid.shape[0] >= 1000:
+        resid_b = sc.broadcast(resid)
+
+        def _one(j: int) -> np.ndarray:
+            r = resid_b.value
+            return train_kmeans(
+                r[:, j * sub : (j + 1) * sub], 256, iters=iters, seed=seed + j
+            )
+
+        books = (
+            sc.parallelize(range(num_subvectors), num_subvectors)
+            .map(_one)
+            .collect()
+        )
+        resid_b.unpersist()
+        return np.stack(books)
     return np.stack(
         [
             train_kmeans(resid[:, j * sub : (j + 1) * sub], 256, iters=iters, seed=seed + j)
@@ -314,7 +341,33 @@ def compute_partition_radii(
     """Per-partition covering radius max‖x − c_p‖ over a codes table —
     enables triangle-inequality partition pruning for distance_range
     (lower bound ‖q−c‖ − r_p). One distributed aggregation; shared by both
-    index-build paths."""
+    index-build paths.
+
+    Fast path: codes written by ``_assign_encode_df`` carry the residual
+    norm as an ``rnorm`` column (bit-identical float path, see there), so
+    the radius is a two-column parquet scan + max — no Python boundary and
+    no vector bytes read. Segments written before the column existed fall
+    back to recomputing from the stored vectors."""
+    base = spark.read.parquet(codes_dir)
+    if "rnorm" in base.columns:
+        radii_rows = (
+            base.select("partition_id", "rnorm")
+            .groupBy("partition_id")
+            .agg(
+                F.max("rnorm").alias("radius"),
+                F.sum(F.col("rnorm").isNull().cast("int")).alias("n_null"),
+            )
+            .collect()
+        )
+        # a merged segment can interleave legacy rows (null rnorm) with new
+        # ones; a partition with ANY null would report a radius that is too
+        # small — silently wrong distance_range pruning — so only an
+        # all-non-null segment takes the fast path
+        if all(int(r["n_null"] or 0) == 0 for r in radii_rows):
+            radii = np.zeros(centroids.shape[0], dtype=np.float64)
+            for r in radii_rows:
+                radii[int(r["partition_id"])] = float(r["radius"])
+            return radii
     cent_b = spark.sparkContext.broadcast(centroids)
 
     @pandas_udf("double")
@@ -531,7 +584,9 @@ def build_ivf(
             # every pq_code (builder.py raises the same; r12 review fix)
             raise ValueError(f"dim {dim} not divisible by num_sub_vectors {m}")
         # residual PQ (vector/residual.rs): codebooks trained on (vec - centroid)
-        codebooks = train_pq_codebooks(sample, centroids, m, seed=seed)
+        codebooks = train_pq_codebooks(
+            sample, centroids, m, seed=seed, sc=spark.sparkContext
+        )
 
     enc = _assign_encode_df(
         df, vec_col, id_col, spark, centroids, codebooks, sq_bounds, rotation,
@@ -705,20 +760,38 @@ def _assign_encode_df(
     rot_b = spark.sparkContext.broadcast(rotation)
 
     @pandas_udf(
-        "struct<partition_id:int, pq_code:array<smallint>, rq_norm:float, rq_corr:float>"
+        "struct<partition_id:int, pq_code:array<smallint>, rq_norm:float, rq_corr:float,"
+        " rnorm:double>"
     )
     def assign_encode(s: pd.Series) -> pd.DataFrame:
         cents = cent_b.value.astype(np.float32)
         cbs = cb_b.value
         sq = sq_b.value
         rot = rot_b.value
-        x = _as_matrix(s)
+        raw = _as_matrix(s)
+        x = raw
         if packed:
             x = _unpack_bits(x)
         if cosine:
             x = _normalize(x)
         # argmin ||x - c||^2 = argmax (x·c - ||c||²/2)
         pid = (x @ cents.T - 0.5 * (cents * cents).sum(axis=1)).argmax(axis=1)
+        # residual norm ‖x − c_pid‖, persisted with the codes so the
+        # covering-radius pass (compute_partition_radii) is a column max
+        # instead of a second Python-boundary pass over every vector
+        # (guide §4: one crossing). Float path replicates the radii UDF
+        # exactly — widen the float32 storage form to float64 FIRST, then
+        # the same unpack/normalize, direct (x−c)² — so the stored value
+        # is bit-identical to what the fallback pass would recompute from
+        # the written vec column.
+        x64 = raw.astype(np.float64)
+        if packed:
+            x64 = _unpack_bits(x64)
+        if cosine:
+            x64 = _normalize(x64)
+        rnorm = np.sqrt(
+            ((x64 - cent_b.value.astype(np.float64)[pid]) ** 2).sum(axis=1)
+        )
         rq_norm = rq_corr = [None] * len(x)
         if rot is not None:
             resid = (x - cents[pid]).astype(np.float64)
@@ -757,6 +830,7 @@ def _assign_encode_df(
                 "pq_code": codes,
                 "rq_norm": rq_norm,
                 "rq_corr": rq_corr,
+                "rnorm": rnorm,
             }
         )
 
@@ -764,7 +838,10 @@ def _assign_encode_df(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<float>").alias("vec"),
         assign_encode(F.col(vec_col)).alias("e"),
-    ).select("id", "vec", "e.partition_id", "e.pq_code", "e.rq_norm", "e.rq_corr")
+    ).select(
+        "id", "vec", "e.partition_id", "e.pq_code", "e.rq_norm", "e.rq_corr",
+        "e.rnorm",
+    )
 
 
 def extend_ivf(

@@ -329,7 +329,7 @@ def test_distance_range_pruning_lossless(spark, sf_dir, tmp_path):
     }
     want = {
         (r["vec_id"], round(r["_distance"], 4))
-        for r in knn_bruteforce(corpus, "embedding", qvec, k=10**9, metric="l2")
+        for r in knn_bruteforce(corpus, "embedding", qvec, k=10_000, metric="l2")
         .filter(f"_distance < {rmax}")
         .collect()
     }
@@ -350,7 +350,7 @@ def test_distance_range_pruning_lossless(spark, sf_dir, tmp_path):
     }
     want_t = {
         (r["vec_id"], round(r["_distance"], 4))
-        for r in knn_bruteforce(corpus, "embedding", qvec, k=10**9, metric="l2")
+        for r in knn_bruteforce(corpus, "embedding", qvec, k=10_000, metric="l2")
         .filter(f"_distance < {r_tight}")
         .collect()
     }
@@ -2011,3 +2011,51 @@ def test_ann_join_refine_duplicate_segment_invariance(spark, emb, tmp_path):
         assert len(ids) == len(set(ids)) == k, f"duplicate ids for {qid}: {ids}"
         for i in ids:  # late-materialized rescore stays EXACT under the tear
             assert abs(dist[(qid, i)] - _cos(qvecs[qid], cvecs[i])) < 1e-6
+
+
+def test_build_internals_r13_rnorm_and_parallel_codebooks(spark, emb, tmp_path):
+    """r13 optimization pins: (1) the rnorm column persisted by the encode
+    pass is bit-identical to what compute_partition_radii's fallback UDF
+    recomputes from the stored vectors (so the fast radii path can never
+    drift from the legacy path); (2) codebooks trained through the
+    parallelized Spark job equal the sequential driver loop bit-for-bit."""
+    import numpy as np
+
+    from lance_spark.indexes.vector import (
+        IvfIndex,
+        build_ivf,
+        compute_partition_radii,
+        train_kmeans,
+        train_pq_codebooks,
+    )
+
+    idx = build_ivf(
+        emb, "embedding", "vec_id", str(tmp_path / "pq_rnorm"),
+        num_partitions=4, metric="cosine", index_type="IVF_PQ",
+        num_sub_vectors=8,
+    )
+    import os
+
+    codes_dir = os.path.join(idx.uri, idx.segments[0])
+    fast = compute_partition_radii(
+        spark, codes_dir, idx.centroids, cosine=True, packed=False
+    )
+    # force the fallback by hiding the rnorm column behind a view-less
+    # re-read: drop it from a copied parquet dir
+    legacy_dir = str(tmp_path / "legacy_codes")
+    (
+        spark.read.parquet(codes_dir).drop("rnorm")
+        .write.partitionBy("partition_id").parquet(legacy_dir)
+    )
+    slow = compute_partition_radii(
+        spark, legacy_dir, idx.centroids, cosine=True, packed=False
+    )
+    assert np.array_equal(fast, slow)
+
+    # parallel vs sequential codebook training
+    rng = np.random.default_rng(7)
+    sample = rng.standard_normal((1500, 16))
+    cents = train_kmeans(sample, 4, seed=42)
+    seq = train_pq_codebooks(sample, cents, 4, seed=42)
+    par = train_pq_codebooks(sample, cents, 4, seed=42, sc=spark.sparkContext)
+    assert np.array_equal(seq, par)
