@@ -209,60 +209,35 @@ def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     it). ``norm_entropy`` divides by ln(n_distinct) → [0, 1], comparable
     across doc lengths (0 when only one distinct token).
 
-    Scale shape: a doc's entropy is a pure row-local function of its own
-    token array, so NOTHING shuffles (guide §2.4) — the old
-    explode → groupBy(id, tok) → groupBy(id) pipeline moved every corpus
-    token over TWO exchanges only to reunite rows that started in the
-    same document (the postings-build lesson). The per-doc counting runs
-    as one Arrow-batched pandas groupby (C-speed hash aggregation, O(n)
-    per doc — not the O(n·d) per-token rescan a JVM higher-order
-    expression would need, which degrades quadratically on long
+    Scale shape: the wordcount-by-doc pattern — explode to (id, token),
+    one map-side-combinable groupBy on (id, token), then a per-doc
+    rollup whose key count is bounded by distinct (id, token) pairs. No
+    text bytes shuffle (tokens only), no Python UDFs, no O(n·d)
+    row-local frequency scan (that degrades quadratically on long
     repetitive docs — exactly the ones this signal exists to catch).
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
     from lance_spark.functions.text import tokenize
-
-    @pandas_udf("struct<nd:long, ent:double>")
-    def _doc_entropy(w: pd.Series) -> pd.DataFrame:
-        lens = np.fromiter((len(x) for x in w), dtype=np.int64, count=len(w))
-        if lens.sum() == 0:
-            return pd.DataFrame(
-                {"nd": np.zeros(len(w), dtype=np.int64), "ent": np.zeros(len(w))}
-            )
-        flat = pd.DataFrame(
-            {
-                "d": np.repeat(np.arange(len(w)), lens),
-                "t": np.concatenate([np.asarray(x, dtype=object) for x in w]),
-            }
-        )
-        counts = flat.groupby(["d", "t"], sort=False).size()
-        d_idx = counts.index.get_level_values(0).to_numpy()
-        c = counts.to_numpy(dtype=np.float64)
-        p = c / lens[d_idx].astype(np.float64)
-        contrib = -(p * np.log(p))
-        ent = np.zeros(len(w))
-        np.add.at(ent, d_idx, contrib)
-        nd = np.bincount(d_idx, minlength=len(w)).astype(np.int64)
-        return pd.DataFrame({"nd": nd, "ent": ent})
 
     t = (
         df.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("w"))
         .filter(F.size("w") >= 1)
-        .select("id", F.size("w").cast("long").alias("nt"), _doc_entropy("w").alias("e"))
+        .select("id", F.size("w").cast("long").alias("nt"), F.explode("w").alias("tok"))
     )
-    return t.select(
+    # nt is functionally dependent on id: keying by (id, nt, tok) costs
+    # nothing extra and saves an any_value pass
+    c = t.groupBy("id", "nt", "tok").agg(F.count("*").cast("double").alias("c"))
+    p = F.col("c") / F.col("nt")
+    e = c.groupBy("id", "nt").agg(
+        F.count("*").cast("long").alias("nd"),
+        (-F.sum(p * F.log(p))).alias("ent"),
+    )
+    return e.select(
         "id",
         F.col("nt").alias("n_tokens"),
-        F.col("e.nd").alias("n_distinct"),
-        F.round("e.ent", 4).alias("entropy"),
+        F.col("nd").alias("n_distinct"),
+        F.round("ent", 4).alias("entropy"),
         F.round(
-            F.when(F.col("e.nd") > 1, F.col("e.ent") / F.log(F.col("e.nd"))).otherwise(
-                0.0
-            ),
-            4,
+            F.when(F.col("nd") > 1, F.col("ent") / F.log(F.col("nd"))).otherwise(0.0), 4
         ).alias("norm_entropy"),
     )
 
