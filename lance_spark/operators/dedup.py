@@ -260,70 +260,68 @@ def minhash_signatures_agg(
     return _sigs_from_toks(toks, num_perm, shingle_k)
 
 
-def _hash64_py(s: str) -> int:
-    """Python mirror of functions.text.hash64 (bigint of the first 15 hex
-    chars of md5) — exact: both engines hash the UTF-8 bytes and parse the
-    same 60-bit hex prefix, so values are integer-identical."""
-    import hashlib
+def _minhash_mins_udf(num_perm: int):
+    """Arrow-batched minhash permutation mins over PRE-HASHED shingle
+    values (``array<long>`` of hash64(shingle) % p computed by the JVM's
+    codegen'd md5): one numpy broadcast per doc, exact integer math
+    identical to the explode/groupBy form (guide §4.2). The hash itself
+    stays in the JVM — the r13 form ran hashlib.md5 per shingle in a
+    Python loop, and the md5 call overhead ate the vectorization win
+    (measured 1.9 s vs 0.8 s for this split at sf0.1). Docs whose hash
+    array is empty (< shingle_k tokens) return NULL — the rows the old
+    aggregation never produced; callers filter them.
 
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
-
-
-def _minhash_sig_udf(num_perm: int, shingle_k: int):
-    """Arrow-batched minhash signatures from a token array: shingle → md5
-    → num_perm permutation mins, all exact integer math identical to the
-    explode/groupBy form this replaces (guide §4.2: batch work in numpy
-    beats a corpus-wide explode + 16 min-aggregates — and needs NO shuffle
-    at all; the old plan's groupBy(id) exchange is gone entirely). Docs
-    with < shingle_k tokens return NULL (the rows the old aggregation
-    simply never produced — callers filter them)."""
+    NON-DETERMINISTIC ON PURPOSE (guide §4.4): callers filter on the UDF
+    output (``sig IS NOT NULL``), and the optimizer pushes that filter
+    below the fan-out exchange with a SECOND copy of the whole
+    shingle+hash+UDF pipeline — measured as the full signature stage
+    running twice, the pre-exchange copy serialized on the scan's 1-2
+    input splits. The flag pins one evaluation above the exchange."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<long>")
-    def _sig(toks: pd.Series) -> pd.Series:
+    def _mins(hs_s: pd.Series) -> pd.Series:
         import numpy as np
 
         A = np.arange(3, 2 * num_perm + 2, 2, dtype=np.int64).reshape(-1, 1)
         B = np.arange(7, 5 * num_perm + 3, 5, dtype=np.int64).reshape(-1, 1)
-        cache: dict = {}  # shingles repeat heavily across near-dup docs
-
-        def h(s: str) -> int:
-            v = cache.get(s)
-            if v is None:
-                v = _hash64_py(s) % MERSENNE31
-                cache[s] = v
-            return v
-
         out = []
-        for t in toks:
-            if t is None or len(t) < shingle_k:
+        for hs in hs_s:
+            if hs is None or len(hs) == 0:
                 out.append(None)
                 continue
-            hs = np.fromiter(
-                (
-                    h(" ".join(t[i : i + shingle_k]))
-                    for i in range(len(t) - shingle_k + 1)
-                ),
-                dtype=np.int64,
-            )
-            out.append(((A * hs + B) % MERSENNE31).min(axis=1).tolist())
+            a = np.asarray(hs, dtype=np.int64)
+            out.append(((A * a + B) % MERSENNE31).min(axis=1).tolist())
         return pd.Series(out)
 
-    return _sig
+    return _mins.asNondeterministic()
+
+
+def _shingle_hashes(toks_col, shingle_k: int):
+    """``array<long>`` of hash64(shingle) % p from a PRE-BOUND token-array
+    column — the JVM half of the minhash signature (codegen'd md5, no
+    Python boundary). Docs with < shingle_k tokens yield an empty array
+    (shingles_from_tokens' contract)."""
+    return F.transform(
+        shingles_from_tokens(toks_col, shingle_k),
+        lambda s: hash64(s) % MERSENNE31,
+    )
 
 
 def _sigs_from_toks(toks_df: DataFrame, num_perm: int, shingle_k: int) -> DataFrame:
     """(id, sig) from a bound (id, __toks) frame — shared by
     minhash_signatures_agg and _banded_fingerprints so the banded-index
     signature math is BY CONSTRUCTION byte-identical to the pair path.
-    Row-local Arrow UDF: one md5 per shingle, zero shuffles (the previous
-    explode → groupBy(id) form paid a corpus-wide exchange plus 16
-    codegen'd min-aggregates — measured 6.7 s of executor CPU at sf0.1
-    against ~1 s for the batched numpy form)."""
-    sig_udf = _minhash_sig_udf(num_perm, shingle_k)
+    Split at the cheapest boundary: shingle + md5 in the JVM (codegen),
+    the 16 permutation mins as one numpy broadcast per doc crossing the
+    Arrow boundary as plain int64 arrays — zero shuffles (the r12
+    explode → groupBy(id) form paid a corpus-wide exchange; the r13
+    all-Python form paid hashlib.md5 per shingle in a Python loop)."""
+    mins_udf = _minhash_mins_udf(num_perm)
+    hs = toks_df.select("id", _shingle_hashes(F.col("__toks"), shingle_k).alias("__hs"))
     return (
-        toks_df.select("id", sig_udf(F.col("__toks")).alias("sig"))
+        hs.select("id", mins_udf(F.col("__hs")).alias("sig"))
         .filter(F.col("sig").isNotNull())
     )
 
@@ -529,9 +527,15 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = 32
     def _sig(toks_s: pd.Series) -> pd.Series:
         # Arrow-batched numpy vote fold (guide §4.2): per distinct token one
         # md5, bit votes as one matmul-shaped reduction. Exact integer math
-        # — identical signatures to the 32-lane zip_with fold this replaces,
-        # which paid bits× interpreted lambda steps per token occurrence
-        # (measured 6.5 s executor CPU at sf0.1; this form ~1 s).
+        # — identical signatures to the 32-lane zip_with fold this replaces.
+        # The md5 deliberately stays in PYTHON with a per-batch cache,
+        # unlike the minhash shingle hash (JVM): token vocabularies are
+        # tiny relative to occurrences, so the cache collapses ~410k
+        # hashes to ~vocab-size md5 calls at sf0.1, while the JVM's
+        # conv(md5) chain pays per OCCURRENCE — measured 1.9 s (JVM form)
+        # vs ~1.0 s (this form) for the signature stage (r14 A/B).
+        import hashlib
+
         import numpy as np
 
         lanes = np.arange(bits, dtype=np.int64)
@@ -541,7 +545,7 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = 32
         def h(s: str) -> int:
             v = cache.get(s)
             if v is None:
-                v = _hash64_py(s)
+                v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
                 cache[s] = v
             return v
 
@@ -1387,37 +1391,26 @@ def _banded_fingerprints(
     minhash signature, exploded into band rows (same signature/band math
     as minhash_lsh_pairs, so thresholds mean the same thing)."""
     rows_per_band = num_perm // bands
-    # ONE tokenize pass AND one row-local Arrow UDF computing fp + sig
-    # together: the previous shape (fp projection ⋈ sig aggregation over a
-    # lazily checkpointed token frame) paid a checkpoint materialization,
-    # a groupBy exchange and a join — all to reunite two values that are
-    # pure row-local functions of the same token array. fp stays md5 of
-    # the space-joined canonical token stream (NULL/empty arrays hash ""
-    # exactly like concat_ws did); docs too short to shingle carry a NULL
-    # sig, as the old left join produced.
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    sig_udf = _minhash_sig_udf(num_perm, shingle_k)
-
-    @pandas_udf("string")
-    def _fp(toks_s: pd.Series) -> pd.Series:
-        import hashlib
-
-        return pd.Series(
-            [
-                hashlib.md5(
-                    (" ".join(t) if t is not None else "").encode("utf-8")
-                ).hexdigest()
-                for t in toks_s
-            ]
-        )
+    # ONE tokenize pass, fp and sig both row-local functions of the same
+    # token array: fp is md5 of the space-joined canonical token stream in
+    # the JVM (concat_ws skips a NULL array → "" hashes exactly like the
+    # old Python " ".join fallback); sig is the shared JVM-shingle-hash +
+    # numpy-permutation-mins split (_sigs_from_toks' math, inlined here so
+    # fp and sig share one projection). Docs too short to shingle carry a
+    # NULL sig, as the old left join produced. INVARIANT (relied on by
+    # dedup_against_index's exact branch and the band_id==0 slice): every
+    # doc — including NULL-sig ones — emits ALL band_id rows, with NULL
+    # band_key for NULL sigs; dropping NULL-band_key rows at write time
+    # would make exact duplicates of short docs undetectable.
+    mins_udf = _minhash_mins_udf(num_perm)
 
     toks = _fan_out(df).select(
         F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks")
     )
     joined = toks.select(
-        "id", _fp(F.col("__toks")).alias("fp"), sig_udf(F.col("__toks")).alias("sig")
+        "id",
+        F.md5(F.concat_ws(" ", F.col("__toks"))).alias("fp"),
+        mins_udf(_shingle_hashes(F.col("__toks"), shingle_k)).alias("sig"),
     )
     return joined.select(
         "id",
