@@ -172,7 +172,10 @@ def _fan_out(df: DataFrame, min_tasks: int | None = None) -> DataFrame:
     under-partitioned source (e.g. a single-row-group parquet file) would
     serialize it on one core. Repartition ONLY when the scan yields fewer
     splits than cores — on production multi-fragment layouts this is a
-    no-op, so no added shuffle at scale."""
+    no-op, so no added shuffle at scale. (A full fan-out to cluster
+    parallelism whenever splits < cores was built for the FTS postings
+    build and measured WORSE: python-worker startup outweighs the extra
+    cores once the input has a handful of splits.)"""
     if df.isStreaming:  # no static partition count; micro-batches are sized upstream
         return df
     spark = df.sparkSession
