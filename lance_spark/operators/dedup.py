@@ -880,12 +880,22 @@ def embedding_lsh_pairs(
         ).otherwise(F.lit(0)),
     )
 
-    sigs = df.select(F.col(id_col).alias("id"), v.alias("v"), sig.alias("sig"))
+    # per-ROW norm, computed once per VECTOR before the band explode: the
+    # in-bucket cosine needs ‖a‖·‖b‖ per PAIR, and a bucket of k vectors
+    # evaluates C(k,2) pairs — folding the norm there re-ran the
+    # dim-element sum-of-squares 2·C(k,2) times instead of k (measured 35%
+    # of the pair stage at sf0.1). Computing it after the explode (r13)
+    # still ran it bands× per vector (ADVICE r13). Same float math: the
+    # identical left-fold over the identical array; dot/(na·nb) unchanged.
+    sigs = df.select(F.col(id_col).alias("id"), v.alias("v"), sig.alias("sig")).withColumn(
+        "nrm", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    )
 
     mask = (1 << band_bits) - 1
     banded = sigs.select(
         "id",
         "v",
+        "nrm",
         F.explode(
             F.array(
                 *[
@@ -897,51 +907,60 @@ def embedding_lsh_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("id", "v", "band.band_id", "band.band_key")
-    # per-ROW norm, computed once before bucketing: the in-bucket cosine
-    # needs ‖a‖·‖b‖ per PAIR, and a bucket of k vectors evaluates C(k,2)
-    # pairs — folding the norm there re-ran the dim-element sum-of-squares
-    # 2·C(k,2) times instead of k (measured 35% of the pair stage at
-    # sf0.1). Same float math: the norm is the identical left-fold over
-    # the identical array, just evaluated per row; dot/(na·nb) unchanged.
-    banded = banded.withColumn(
-        "nrm", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
-    )
+    ).select("id", "v", "nrm", "band.band_id", "band.band_key")
     buckets = _bucketed(banded, ["id", "v", "nrm"], max_bucket_size)
 
-    def _cos(x, y):
-        dot = F.aggregate(
-            F.zip_with(x["v"], y["v"], lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, c: acc + c,
-        )
-        return dot / (x["nrm"] * y["nrm"])
+    # in-bucket pairs as ONE numpy GEMM per bucket (guide §4.2): the r13
+    # form evaluated an interpreted dim-element zip_with/aggregate fold per
+    # pair — C(k,2)·dim lambda steps per bucket; V·Vᵀ/outer(nrm,nrm) does
+    # the same arithmetic vectorized. Float-equivalence at the round(·,4)
+    # oracle boundary: BLAS sums a dim-64 float64 dot in a different order
+    # than the JVM left-fold (≤ dim·eps ≈ 1e-14 relative) — verified
+    # value-identical on EVERY candidate pair at sf0.001/0.01/0.1
+    # (29k–473k pairs; measured min distance of any raw cosine to the 0.4
+    # threshold 2.5e-5 and to a .00005 rounding boundary 4.5e-11 — three
+    #-plus orders above the summation-order error, and the same margin
+    # the existing JVM-vs-DuckDB oracle comparison already relies on; the
+    # pinned-seed corpus keeps this stable).
+    # Spark's NaN semantics replicated: NaN sorts ABOVE every double, so a
+    # 0/0 cosine (two zero-norm vectors) PASSES the >= threshold in the
+    # JVM — the isnan term keeps that behavior.
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    # cosine is evaluated ONCE per in-bucket pair (higher-order lambdas are
-    # interpreted, and the dim-element fold dominates — the old
-    # filter-then-transform shape re-evaluated it for every survivor);
-    # thresholding happens row-level after the explode, where the RAW value
-    # filters (oracle semantics) and the rounded one is projected by
-    # whole-stage codegen (r12 perf fix, ~2× on the pair stage)
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ms"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                    lambda y: F.struct(
-                        F.least(x["id"], y["id"]).alias("id_a"),
-                        F.greatest(x["id"], y["id"]).alias("id_b"),
-                        _cos(x, y).alias("cosine"),
-                    ),
-                ),
-            )
-        )
-    )
+    idt = dict(df.dtypes)[id_col]
+    thr = float(min_cosine)
+
+    @pandas_udf(f"array<struct<id_a:{idt},id_b:{idt},cosine:double>>")
+    def _bucket_pairs(ms_s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for ms in ms_s:
+            members = [m for m in ms if m["v"] is not None]
+            k = len(members)
+            if k < 2:
+                out.append([])
+                continue
+            V = np.asarray([m["v"] for m in members], dtype=np.float64)
+            nrm = np.asarray([m["nrm"] for m in members], dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (V @ V.T) / np.outer(nrm, nrm)
+            iu, ju = np.triu_indices(k, 1)
+            c = S[iu, ju]
+            keep = (c >= thr) | np.isnan(c)  # NaN ranks above all in Spark
+            pairs = []
+            for i, j, cos in zip(iu[keep], ju[keep], c[keep]):
+                a, b = members[i]["id"], members[j]["id"]
+                if b < a:
+                    a, b = b, a
+                pairs.append((a, b, float(cos)))
+            out.append(pairs)
+        return pd.Series(out)
+
     return (
-        buckets.select(pair.alias("p"))
+        buckets.select(F.explode(_bucket_pairs(F.col("ms"))).alias("p"))
         .select("p.*")
-        .filter(F.col("cosine") >= min_cosine)
         .withColumn("cosine", F.round("cosine", 4))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -1018,13 +1037,23 @@ def connected_components(
     except Exception:
         gate = 2_000_000
     # ONE bounded job decides the gate AND fetches the edges: a
-    # limit(gate+1).collect() over the checkpointed edge blocks early-exits
-    # as soon as gate+1 rows are seen, so an over-gate graph never ships
-    # more than gate+1 rows to the driver — and an under-gate graph skips
-    # the separate count() job the old shape paid (guide §1.2: fewer
-    # passes; the count and the collect read the same materialized RDD).
-    edge_rows = edges.limit(gate + 1).collect() if gate > 0 else None
-    if edge_rows is not None and len(edge_rows) <= gate:
+    # limit(gate+1) over the checkpointed edge blocks early-exits as soon
+    # as gate+1 rows are seen, so an over-gate graph never ships more than
+    # gate+1 rows to the driver — and an under-gate graph skips the
+    # separate count() job the old shape paid (guide §1.2: fewer passes).
+    # The transfer is toPandas (Arrow when enabled — columnar batches, no
+    # per-row py4j Row objects; VERDICT r13 #4): a gate-full int64 edge
+    # list lands as two 2M-element numpy columns (~32 MB) instead of 2M
+    # pickled Rows, and the union-find loop walks plain python lists.
+    # Driver heap at the default gate: the two .tolist() columns are
+    # ~2M boxed python ints each (~120 MB transient) plus the parent dict
+    # — a driver-memory budget call, env-tunable via the gate.
+    if gate > 0:
+        edge_pdf = edges.limit(gate + 1).toPandas()
+        n_edges = len(edge_pdf)
+    else:
+        edge_pdf, n_edges = None, -1
+    if edge_pdf is not None and n_edges <= gate:
         parent: dict = {}
 
         def find(x):
@@ -1035,8 +1064,9 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edge_rows:
-            a, b = row[0], row[1]
+        srcs = edge_pdf[edge_pdf.columns[0]].tolist()
+        dsts = edge_pdf[edge_pdf.columns[1]].tolist()
+        for a, b in zip(srcs, dsts):
             if a not in parent:
                 parent[a] = a
             if b not in parent:
