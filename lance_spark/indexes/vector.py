@@ -1437,6 +1437,11 @@ def distance_range_search(
             x = _normalize(x)
         return pd.Series(((x - qb.value.astype(np.float64)) ** 2).sum(axis=1))
 
+    # non-deterministic (guide §4.4): the range filter below references the
+    # UDF column, and filter pushdown otherwise clones the whole scoring
+    # UDF below the projection — plan-verified 2 ArrowEvalPython nodes,
+    # every scanned vector scored twice
+    exact_dist = exact_dist.asNondeterministic()
     scored = _finalize_distance(
         codes.select("id", exact_dist("vec").alias("_distance")), index.metric
     )
