@@ -39,6 +39,14 @@ def get_spark(app_name: str = "lance_spark", cpus: int | None = None) -> SparkSe
         # Spark has no ns timestamp type: read parquet TIMESTAMP(NANOS) as long
         # (events.ts); lance_spark.io.load_table derives a µs timestamp column
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Console progress bar: pure stderr churn in headless runs, and it
+        # measurably interacts with output-capturing harnesses (pytest's
+        # capture multiplies the redraw cost). Env-overridable; default on
+        # so interactive use is unchanged.
+        .config(
+            "spark.ui.showConsoleProgress",
+            os.environ.get("SPARK_GRAFT_CONSOLE_PROGRESS", "true"),
+        )
         # Read shuffle blocks with plain pread instead of mmap: Spark mmaps
         # any block over 2 MB (ancient default), and on many-core hosts the
         # resulting mmap/munmap churn serializes tasks on the process

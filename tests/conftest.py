@@ -12,7 +12,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from lance_spark.session import get_spark
 
-    spark = get_spark("lance_spark-tests", cpus=8)
+    # Console progress bar off: the suite runs under pytest's output
+    # capture, where the bar's continuous stderr redraws are pure cost
+    # (measured on test_query_objects.py; see OPTIMIZATION_r14.md).
+    os.environ.setdefault("SPARK_GRAFT_CONSOLE_PROGRESS", "false")
+    cpus = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
+    spark = get_spark("lance_spark-tests", cpus=cpus)
     yield spark
 
 
