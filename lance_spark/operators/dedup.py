@@ -312,15 +312,88 @@ def _shingle_hashes(toks_col, shingle_k: int):
     )
 
 
+def _hash64_py(s: str) -> int:
+    """Python mirror of functions.text.hash64 (bigint of the first 15 hex
+    chars of md5) — exact: both engines hash the UTF-8 bytes and parse the
+    same 60-bit hex prefix, so values are integer-identical."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _minhash_sig_udf(num_perm: int, shingle_k: int):
+    """Arrow-batched minhash signatures from a token array: shingle → md5
+    → num_perm permutation mins, all exact integer math identical to the
+    explode/groupBy form. Docs with < shingle_k tokens return NULL (the
+    rows the aggregation form simply never produced — callers filter
+    them). NON-DETERMINISTIC for the same §4.4 reason as
+    ``_minhash_mins_udf``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _sig(toks: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.arange(3, 2 * num_perm + 2, 2, dtype=np.int64).reshape(-1, 1)
+        B = np.arange(7, 5 * num_perm + 3, 5, dtype=np.int64).reshape(-1, 1)
+        cache: dict = {}  # shingles repeat heavily across near-dup docs
+
+        def h(s: str) -> int:
+            v = cache.get(s)
+            if v is None:
+                v = _hash64_py(s) % MERSENNE31
+                cache[s] = v
+            return v
+
+        out = []
+        for t in toks:
+            if t is None or len(t) < shingle_k:
+                out.append(None)
+                continue
+            hs = np.fromiter(
+                (
+                    h(" ".join(t[i : i + shingle_k]))
+                    for i in range(len(t) - shingle_k + 1)
+                ),
+                dtype=np.int64,
+            )
+            out.append(((A * hs + B) % MERSENNE31).min(axis=1).tolist())
+        return pd.Series(out)
+
+    return _sig.asNondeterministic()
+
+
 def _sigs_from_toks(toks_df: DataFrame, num_perm: int, shingle_k: int) -> DataFrame:
     """(id, sig) from a bound (id, __toks) frame — shared by
     minhash_signatures_agg and _banded_fingerprints so the banded-index
     signature math is BY CONSTRUCTION byte-identical to the pair path.
-    Split at the cheapest boundary: shingle + md5 in the JVM (codegen),
-    the 16 permutation mins as one numpy broadcast per doc crossing the
-    Arrow boundary as plain int64 arrays — zero shuffles (the r12
-    explode → groupBy(id) form paid a corpus-wide exchange; the r13
-    all-Python form paid hashlib.md5 per shingle in a Python loop)."""
+
+    Implementation switch (LANCE_SPARK_SIG_IMPL, measurement aid):
+      jvmhof  — shingle + md5 as JVM ``transform`` lambdas, numpy mins UDF
+      explode — explode shingles, codegen'd md5, groupBy(id) min-aggregates
+      pyhash  — hashlib.md5 per distinct shingle inside the Arrow UDF
+    All three produce integer-identical signatures."""
+    impl = os.environ.get("LANCE_SPARK_SIG_IMPL", "jvmhof")
+    if impl == "explode":
+        hashed = (
+            toks_df
+            .select("id", F.explode(shingles_from_tokens(F.col("__toks"), shingle_k)).alias("s"))
+            .select("id", (hash64(F.col("s")) % MERSENNE31).alias("h"))
+        )
+        mins = hashed.groupBy("id").agg(
+            *[
+                F.min((F.lit(2 * j + 3) * F.col("h") + F.lit(5 * j + 7)) % MERSENNE31).alias(f"m{j}")
+                for j in range(num_perm)
+            ]
+        )
+        return mins.select("id", F.array(*[f"m{j}" for j in range(num_perm)]).alias("sig"))
+    if impl == "pyhash":
+        sig_udf = _minhash_sig_udf(num_perm, shingle_k)
+        return (
+            toks_df.select("id", sig_udf(F.col("__toks")).alias("sig"))
+            .filter(F.col("sig").isNotNull())
+        )
     mins_udf = _minhash_mins_udf(num_perm)
     hs = toks_df.select("id", _shingle_hashes(F.col("__toks"), shingle_k).alias("__hs"))
     return (
@@ -1435,16 +1508,26 @@ def _banded_fingerprints(
     # doc — including NULL-sig ones — emits ALL band_id rows, with NULL
     # band_key for NULL sigs; dropping NULL-band_key rows at write time
     # would make exact duplicates of short docs undetectable.
-    mins_udf = _minhash_mins_udf(num_perm)
-
     toks = _fan_out(df).select(
         F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks")
     )
-    joined = toks.select(
-        "id",
-        F.md5(F.concat_ws(" ", F.col("__toks"))).alias("fp"),
-        mins_udf(_shingle_hashes(F.col("__toks"), shingle_k)).alias("sig"),
-    )
+    impl = os.environ.get("LANCE_SPARK_SIG_IMPL", "jvmhof")
+    if impl == "explode":
+        fp = toks.select("id", F.md5(F.concat_ws(" ", F.col("__toks"))).alias("fp"))
+        sigs = _sigs_from_toks(toks, num_perm, shingle_k)
+        joined = fp.join(sigs, "id", "left")
+    elif impl == "pyhash":
+        joined = toks.select(
+            "id",
+            F.md5(F.concat_ws(" ", F.col("__toks"))).alias("fp"),
+            _minhash_sig_udf(num_perm, shingle_k)(F.col("__toks")).alias("sig"),
+        )
+    else:
+        joined = toks.select(
+            "id",
+            F.md5(F.concat_ws(" ", F.col("__toks"))).alias("fp"),
+            _minhash_mins_udf(num_perm)(_shingle_hashes(F.col("__toks"), shingle_k)).alias("sig"),
+        )
     return joined.select(
         "id",
         "fp",
